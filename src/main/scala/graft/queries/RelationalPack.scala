@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Relational-layer correctness-gate queries (SURVEY.md §2.2/§2.4/§2.5 subset
+  * that is directly SQL-expressible over the driver test tables).
+  *
+  * Numeric discipline shared with the DuckDB oracles: every double aggregate is
+  * summed through an exact decimal wide enough to represent the mathematical
+  * value (source doubles carry <=4 decimal digits), then cast back to double —
+  * identical bits on both engines regardless of partial-aggregation order.
+  */
+object RelationalPack extends QueryPack {
+
+  /** Exact decimal sum of a <=4-decimal-digit double metric, as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  private def davg(c: Column, n: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double") / n
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing summary (groupBy + exact-decimal sums; mirrors
+    // aggregate(agg_func=sum/mean/count) over the table layer,
+    // reference aggregate.py:439-452).
+    "q01_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          round(col("sum_qty") / col("count_order"), 6))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Five-way join family seed: inner equi-join element(lineitem) x
+    // obs(orders) + groupBy (reference relational_query.py:337-395).
+    "q02_join_inner_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // left_semi: element rows that have annotation (relational_query.py:434).
+    "q03_join_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // left_anti == left_exclusive join (relational_query.py:398-431):
+    // orders with no high-quantity line.
+    "q04_join_anti" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      o.join(hi, o("o_orderkey") === hi("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // get_extent over a points element (x,y from lineitem metrics);
+    // min/max aggregate (data_extent.py:78-82).
+    "q05_extent_points" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
+        min(col("l_extendedprice")).as("xmin"),
+        max(col("l_extendedprice")).as("xmax"),
+        min(col("l_quantity")).as("ymin"),
+        max(col("l_quantity")).as("ymax"))
+    }),
+
+    // get_element_instances: distinct instance ids, background dropped
+    // (relational_query.py:62-120: labels drop id 0).
+    "q06_distinct_instances" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("instance_id"))
+        .filter(col("instance_id") =!= 0)
+        .distinct()
+        .orderBy(col("instance_id"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_inner_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q03_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q04_join_anti" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_extent_points" ->
+      """SELECT min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
+        |  min(l_quantity) AS ymin, max(l_quantity) AS ymax FROM lineitem""".stripMargin,
+    "q06_distinct_instances" ->
+      """SELECT DISTINCT l_suppkey AS instance_id FROM lineitem
+        |WHERE l_suppkey <> 0 ORDER BY instance_id""".stripMargin
+  )
+}
