@@ -1,0 +1,370 @@
+package graft.geom
+
+/** Executor-side computational-geometry kernel.
+  *
+  * Every method is a static-forwarder-friendly function over primitive args /
+  * WKB byte arrays so Catalyst can call it from generated code via
+  * `StaticInvoke` (see [[graft.geom.st]]). Implements exactly the predicates
+  * and measures the reference uses through shapely/GEOS: area, centroid,
+  * point-in-polygon, intersects, affine transform, n-gon buffer, convex clip
+  * (reference usages: spatial_query.py:746-975, aggregate.py:312-493,
+  * vectorize.py:39-302, transform.py:506-547).
+  */
+object GeomKernel {
+
+  // ---- envelope ----
+
+  def envelopeMinX(wkb: Array[Byte]): Double = WKB.read(wkb).envelope(0)
+  def envelopeMinY(wkb: Array[Byte]): Double = WKB.read(wkb).envelope(1)
+  def envelopeMaxX(wkb: Array[Byte]): Double = WKB.read(wkb).envelope(2)
+  def envelopeMaxY(wkb: Array[Byte]): Double = WKB.read(wkb).envelope(3)
+
+  // ---- measures ----
+
+  /** Signed shoelace area of one ring (positive = CCW). */
+  private def ringSignedArea(ring: Array[Double]): Double = {
+    var a = 0.0
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      a += ring(2 * i) * ring(2 * j + 1) - ring(2 * j) * ring(2 * i + 1)
+      i += 1
+    }
+    a / 2.0
+  }
+
+  private def polygonArea(p: GPolygon): Double = {
+    // Exterior minus holes, orientation-independent (abs per ring).
+    var a = math.abs(ringSignedArea(p.rings(0)))
+    var r = 1
+    while (r < p.rings.length) {
+      a -= math.abs(ringSignedArea(p.rings(r)))
+      r += 1
+    }
+    a
+  }
+
+  def area(wkb: Array[Byte]): Double = WKB.read(wkb) match {
+    case _: GPoint => 0.0
+    case p: GPolygon => polygonArea(p)
+    case GMultiPolygon(ps) => ps.map(polygonArea).sum
+  }
+
+  private def ringCentroid(ring: Array[Double]): (Double, Double, Double) = {
+    // (cx*A, cy*A, A) with signed A — standard polygon centroid accumulation.
+    var cx = 0.0; var cy = 0.0; var a = 0.0
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val cross = ring(2 * i) * ring(2 * j + 1) - ring(2 * j) * ring(2 * i + 1)
+      cx += (ring(2 * i) + ring(2 * j)) * cross
+      cy += (ring(2 * i + 1) + ring(2 * j + 1)) * cross
+      a += cross
+      i += 1
+    }
+    (cx / 6.0, cy / 6.0, a / 2.0)
+  }
+
+  private def polygonCentroid(p: GPolygon): (Double, Double, Double) = {
+    // Exterior contributes +|A|, holes -|A| (orientation-normalized).
+    var cx = 0.0; var cy = 0.0; var ar = 0.0
+    var r = 0
+    while (r < p.rings.length) {
+      val (x, y, a) = ringCentroid(p.rings(r))
+      val sign = if (r == 0) 1.0 else -1.0
+      val s = if (a == 0.0) 0.0 else sign * math.signum(a)
+      cx += x * s; cy += y * s; ar += math.abs(a) * sign
+      r += 1
+    }
+    (cx, cy, ar)
+  }
+
+  def centroidX(wkb: Array[Byte]): Double = WKB.read(wkb) match {
+    case GPoint(x, _) => x
+    case p: GPolygon => val (cx, _, a) = polygonCentroid(p); cx / a
+    case GMultiPolygon(ps) =>
+      val parts = ps.map(polygonCentroid)
+      parts.map(_._1).sum / parts.map(_._3).sum
+  }
+
+  def centroidY(wkb: Array[Byte]): Double = WKB.read(wkb) match {
+    case GPoint(_, y) => y
+    case p: GPolygon => val (_, cy, a) = polygonCentroid(p); cy / a
+    case GMultiPolygon(ps) =>
+      val parts = ps.map(polygonCentroid)
+      parts.map(_._2).sum / parts.map(_._3).sum
+  }
+
+  // ---- predicates ----
+
+  private def ringContains(ring: Array[Double], x: Double, y: Double): Boolean = {
+    // Even-odd ray casting; points exactly on an edge count as inside
+    // via the on-segment check (matches shapely `intersects` semantics
+    // closely enough for the reference's sjoin usage).
+    var inside = false
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      // on-segment check
+      val cross = (x - xi) * (yj - yi) - (y - yi) * (xj - xi)
+      if (cross == 0.0 &&
+          x >= math.min(xi, xj) && x <= math.max(xi, xj) &&
+          y >= math.min(yi, yj) && y <= math.max(yi, yj)) return true
+      if ((yi > y) != (yj > y)) {
+        val xint = xi + (y - yi) * (xj - xi) / (yj - yi)
+        if (x < xint) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
+  private def polygonContains(p: GPolygon, x: Double, y: Double): Boolean = {
+    if (!ringContains(p.rings(0), x, y)) return false
+    var r = 1
+    while (r < p.rings.length) {
+      if (ringContains(p.rings(r), x, y)) {
+        // Inside a hole: only "contained" if exactly on the hole boundary.
+        return onRingBoundary(p.rings(r), x, y)
+      }
+      r += 1
+    }
+    true
+  }
+
+  private def onRingBoundary(ring: Array[Double], x: Double, y: Double): Boolean = {
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      val cross = (x - xi) * (yj - yi) - (y - yi) * (xj - xi)
+      if (cross == 0.0 &&
+          x >= math.min(xi, xj) && x <= math.max(xi, xj) &&
+          y >= math.min(yi, yj) && y <= math.max(yi, yj)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Point-in-geometry (polygon/multipolygon; point = equality). */
+  def containsPoint(wkb: Array[Byte], x: Double, y: Double): Boolean =
+    WKB.read(wkb) match {
+      case GPoint(px, py) => px == x && py == y
+      case p: GPolygon => polygonContains(p, x, y)
+      case GMultiPolygon(ps) => ps.exists(polygonContains(_, x, y))
+    }
+
+  private def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    def onSeg(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Boolean =
+      rx >= math.min(px, qx) && rx <= math.max(px, qx) &&
+        ry >= math.min(py, qy) && ry <= math.max(py, qy)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) return true
+    if (o1 == 0 && onSeg(ax, ay, bx, by, cx, cy)) return true
+    if (o2 == 0 && onSeg(ax, ay, bx, by, dx, dy)) return true
+    if (o3 == 0 && onSeg(cx, cy, dx, dy, ax, ay)) return true
+    if (o4 == 0 && onSeg(cx, cy, dx, dy, bx, by)) return true
+    false
+  }
+
+  private def ringsIntersect(a: Array[Double], b: Array[Double]): Boolean = {
+    val na = a.length / 2; val nb = b.length / 2
+    var i = 0
+    while (i < na) {
+      val i2 = (i + 1) % na
+      var j = 0
+      while (j < nb) {
+        val j2 = (j + 1) % nb
+        if (segmentsIntersect(
+          a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
+          b(2 * j), b(2 * j + 1), b(2 * j2), b(2 * j2 + 1))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def polysIntersect(a: GPolygon, b: GPolygon): Boolean = {
+    val ea = a.envelope; val eb = b.envelope
+    if (ea(0) > eb(2) || eb(0) > ea(2) || ea(1) > eb(3) || eb(1) > ea(3)) return false
+    // vertex containment either way, else boundary crossing
+    if (polygonContains(a, b.rings(0)(0), b.rings(0)(1))) return true
+    if (polygonContains(b, a.rings(0)(0), a.rings(0)(1))) return true
+    var i = 0
+    while (i < a.rings.length) {
+      var j = 0
+      while (j < b.rings.length) {
+        if (ringsIntersect(a.rings(i), b.rings(j))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Geometry-geometry intersects over WKB (polygon/multipolygon/point). */
+  def intersects(wkbA: Array[Byte], wkbB: Array[Byte]): Boolean = {
+    (WKB.read(wkbA), WKB.read(wkbB)) match {
+      case (GPoint(x, y), g) => containsGeomPoint(g, x, y)
+      case (g, GPoint(x, y)) => containsGeomPoint(g, x, y)
+      case (a: GPolygon, b: GPolygon) => polysIntersect(a, b)
+      case (a: GPolygon, GMultiPolygon(bs)) => bs.exists(polysIntersect(a, _))
+      case (GMultiPolygon(as), b: GPolygon) => as.exists(polysIntersect(_, b))
+      case (GMultiPolygon(as), GMultiPolygon(bs)) =>
+        as.exists(a => bs.exists(polysIntersect(a, _)))
+    }
+  }
+
+  private def containsGeomPoint(g: Geom, x: Double, y: Double): Boolean = g match {
+    case GPoint(px, py) => px == x && py == y
+    case p: GPolygon => polygonContains(p, x, y)
+    case GMultiPolygon(ps) => ps.exists(polygonContains(_, x, y))
+  }
+
+  /** Geometry intersects an axis-aligned box (used by bounding_box_query on
+    * shapes after the coarse bbox-column prefilter, spatial_query.py:746-800).
+    */
+  def intersectsBox(wkb: Array[Byte], minx: Double, miny: Double,
+      maxx: Double, maxy: Double): Boolean = {
+    val boxRing = Array(minx, miny, maxx, miny, maxx, maxy, minx, maxy)
+    WKB.read(wkb) match {
+      case GPoint(x, y) => x >= minx && x <= maxx && y >= miny && y <= maxy
+      case p: GPolygon => polysIntersect(p, GPolygon(Array(boxRing)))
+      case GMultiPolygon(ps) => ps.exists(polysIntersect(_, GPolygon(Array(boxRing))))
+    }
+  }
+
+  // ---- constructions ----
+
+  /** Affine-map every coordinate in the WKB stream: (x,y) -> (m00 x + m01 y
+    * + t0, m10 x + m11 y + t1) (reference transform.py:506-547).
+    */
+  def affine(wkb: Array[Byte], m00: Double, m01: Double, t0: Double,
+      m10: Double, m11: Double, t1: Double): Array[Byte] = {
+    def tx(x: Double, y: Double) = m00 * x + m01 * y + t0
+    def ty(x: Double, y: Double) = m10 * x + m11 * y + t1
+    def mapRing(r: Array[Double]): Array[Double] = {
+      val out = new Array[Double](r.length)
+      var i = 0
+      while (i < r.length) {
+        out(i) = tx(r(i), r(i + 1)); out(i + 1) = ty(r(i), r(i + 1))
+        i += 2
+      }
+      out
+    }
+    val g = WKB.read(wkb) match {
+      case GPoint(x, y) => GPoint(tx(x, y), ty(x, y))
+      case GPolygon(rings) => GPolygon(rings.map(mapRing))
+      case GMultiPolygon(ps) => GMultiPolygon(ps.map(p => GPolygon(p.rings.map(mapRing))))
+    }
+    WKB.write(g)
+  }
+
+  /** Point WKB constructor. */
+  def makePoint(x: Double, y: Double): Array[Byte] = WKB.write(GPoint(x, y))
+
+  /** Circle -> n-gon polygon (`to_polygons` on circles buffers by radius,
+    * vectorize.py:273-293; quadSegs segments per quarter circle like GEOS).
+    */
+  def bufferPoint(x: Double, y: Double, radius: Double, quadSegs: Int): Array[Byte] = {
+    val n = math.max(4, quadSegs * 4)
+    val ring = new Array[Double](n * 2)
+    var i = 0
+    while (i < n) {
+      val theta = 2.0 * math.Pi * i / n
+      ring(2 * i) = x + radius * math.cos(theta)
+      ring(2 * i + 1) = y + radius * math.sin(theta)
+      i += 1
+    }
+    WKB.write(GPolygon(Array(ring)))
+  }
+
+  // ---- clipping (Sutherland–Hodgman; clip polygon must be convex) ----
+
+  private def clipRingByConvex(subject: Array[Double], clip: Array[Double]): Array[Double] = {
+    // Ensure CCW clip ring so "inside" is a consistent half-plane side.
+    val c = if (ringSignedArea(clip) < 0) {
+      val n = clip.length / 2
+      val rev = new Array[Double](clip.length)
+      var i = 0
+      while (i < n) {
+        rev(2 * i) = clip(2 * (n - 1 - i)); rev(2 * i + 1) = clip(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      rev
+    } else clip
+    var poly = subject
+    val nc = c.length / 2
+    var e = 0
+    while (e < nc && poly.length >= 6) {
+      val e2 = (e + 1) % nc
+      val ax = c(2 * e); val ay = c(2 * e + 1)
+      val bx = c(2 * e2); val by = c(2 * e2 + 1)
+      val np = poly.length / 2
+      val out = new scala.collection.mutable.ArrayBuffer[Double](poly.length + 4)
+      var i = 0
+      while (i < np) {
+        val j = (i + 1) % np
+        val x1 = poly(2 * i); val y1 = poly(2 * i + 1)
+        val x2 = poly(2 * j); val y2 = poly(2 * j + 1)
+        val f1 = (bx - ax) * (y1 - ay) - (by - ay) * (x1 - ax)
+        val f2 = (bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax)
+        val in1 = f1 >= 0; val in2 = f2 >= 0
+        if (in1) { out += x1; out += y1 }
+        if (in1 != in2 && f1 != f2) {
+          val t = f1 / (f1 - f2)
+          out += x1 + t * (x2 - x1); out += y1 + t * (y2 - y1)
+        }
+        i += 1
+      }
+      poly = out.toArray
+      e += 1
+    }
+    if (poly.length >= 6) poly else Array.emptyDoubleArray
+  }
+
+  /** Clip a polygon/multipolygon by a CONVEX polygon; returns WKB or null if
+    * the intersection is empty (polygon_query(clip=True),
+    * spatial_query.py:958-963).
+    */
+  def clipByConvex(wkb: Array[Byte], clipWkb: Array[Byte]): Array[Byte] = {
+    val clipG = WKB.read(clipWkb) match {
+      case p: GPolygon => p.rings(0)
+      case _ => sys.error("clip geometry must be a polygon")
+    }
+    WKB.read(wkb) match {
+      case p: GPolygon =>
+        val r = clipRingByConvex(p.rings(0), clipG)
+        if (r.isEmpty) null else WKB.write(GPolygon(Array(r)))
+      case GMultiPolygon(ps) =>
+        val rs = ps.map(p => clipRingByConvex(p.rings(0), clipG)).filter(_.nonEmpty)
+        if (rs.isEmpty) null
+        else WKB.write(GMultiPolygon(rs.map(r => GPolygon(Array(r)))))
+      case GPoint(x, y) =>
+        if (ringContains(clipG, x, y)) WKB.write(GPoint(x, y)) else null
+    }
+  }
+
+  /** Area of (geometry ∩ convex polygon) — the `fractions=True` weight
+    * (aggregate.py:429-450) without materializing the clipped geometry.
+    */
+  def intersectionAreaConvex(wkb: Array[Byte], clipWkb: Array[Byte]): Double = {
+    val clipped = clipByConvex(wkb, clipWkb)
+    if (clipped == null) 0.0 else area(clipped)
+  }
+}

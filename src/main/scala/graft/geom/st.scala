@@ -1,0 +1,71 @@
+package graft.geom
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Spatial column functions.
+  *
+  * Each lowers to a `StaticInvoke` of [[GeomKernel]] — a plain static call in
+  * generated code, so the predicates stay inside whole-stage codegen (no UDF
+  * serialization, no codegen fallback).
+  */
+object st {
+
+  private val K: Class[_] = Class.forName("graft.geom.GeomKernel")
+
+  private val B = BinaryType
+  private val D = DoubleType
+
+  private def inv(dt: DataType, fn: String, inputTypes: Seq[DataType],
+      nullable: Boolean, args: Column*): Column =
+    Bridge.staticInvoke(K, dt, fn, args.toSeq, inputTypes, nullable)
+
+  /** Polygon/multipolygon area (shoelace; holes subtract). */
+  def st_area(geom: Column): Column = inv(D, "area", Seq(B), nullable = false, geom)
+
+  def st_centroid_x(geom: Column): Column = inv(D, "centroidX", Seq(B), nullable = false, geom)
+  def st_centroid_y(geom: Column): Column = inv(D, "centroidY", Seq(B), nullable = false, geom)
+
+  def st_minx(geom: Column): Column = inv(D, "envelopeMinX", Seq(B), nullable = false, geom)
+  def st_miny(geom: Column): Column = inv(D, "envelopeMinY", Seq(B), nullable = false, geom)
+  def st_maxx(geom: Column): Column = inv(D, "envelopeMaxX", Seq(B), nullable = false, geom)
+  def st_maxy(geom: Column): Column = inv(D, "envelopeMaxY", Seq(B), nullable = false, geom)
+
+  /** Point-in-geometry predicate (ray casting, boundary-inclusive). */
+  def st_contains_point(geom: Column, x: Column, y: Column): Column =
+    inv(BooleanType, "containsPoint", Seq(B, D, D), nullable = false, geom, x, y)
+
+  /** Exact geometry-geometry intersects. Pair with a coarse bbox-column
+    * range predicate first — that is the scan-prunable stage.
+    */
+  def st_intersects(a: Column, b: Column): Column =
+    inv(BooleanType, "intersects", Seq(B, B), nullable = false, a, b)
+
+  def st_intersects_box(geom: Column, minx: Column, miny: Column,
+      maxx: Column, maxy: Column): Column =
+    inv(BooleanType, "intersectsBox", Seq(B, D, D, D, D), nullable = false,
+      geom, minx, miny, maxx, maxy)
+
+  /** Affine-transform every coordinate in the WKB stream. */
+  def st_affine(geom: Column, m00: Column, m01: Column, t0: Column,
+      m10: Column, m11: Column, t1: Column): Column =
+    inv(B, "affine", Seq(B, D, D, D, D, D, D), nullable = false,
+      geom, m00, m01, t0, m10, m11, t1)
+
+  /** Point WKB constructor. */
+  def st_point(x: Column, y: Column): Column =
+    inv(B, "makePoint", Seq(D, D), nullable = false, x, y)
+
+  /** Circle -> n-gon polygon WKB. */
+  def st_buffer_point(x: Column, y: Column, radius: Column, quadSegs: Column): Column =
+    inv(B, "bufferPoint", Seq(D, D, D, IntegerType), nullable = false, x, y, radius, quadSegs)
+
+  /** Clip by a convex polygon; null when the intersection is empty. */
+  def st_clip_convex(geom: Column, clip: Column): Column =
+    inv(B, "clipByConvex", Seq(B, B), nullable = true, geom, clip)
+
+  /** Area of (geom ∩ convex clip) — the fractions=True weight. */
+  def st_intersection_area_convex(geom: Column, clip: Column): Column =
+    inv(D, "intersectionAreaConvex", Seq(B, B), nullable = false, geom, clip)
+}

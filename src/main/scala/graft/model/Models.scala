@@ -1,0 +1,176 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.geom.st._
+
+/** Schema parsers/validators per element kind — the Spark re-expression of
+  * the reference's model classes (`models/models.py`): `parse()` normalizes
+  * arbitrary input to the canonical layout, `validate()` re-checks
+  * invariants. Validation that needs data (dtype, positivity, uniqueness) is
+  * expressed as DataFrame predicates so it runs distributed, not on the
+  * driver.
+  */
+object Models {
+
+  // ---------- Points (PointsModel, models.py:667-945) ----------
+
+  object PointsModel {
+    val CoordTypes: Set[DataType] = Set(IntegerType, LongType, FloatType, DoubleType)
+
+    /** Normalize coordinate columns to double, keep payload columns as-is.
+      * `featureKey`/`instanceKey` recorded in the element meta, not the data
+      * (models.py:909-945).
+      */
+    def parse(df: DataFrame, axes: Seq[String] = Seq("x", "y")): DataFrame = {
+      axes.foreach { ax =>
+        val f = df.schema.fields.find(_.name == ax)
+          .getOrElse(sys.error(s"points missing coordinate column '$ax'"))
+        require(CoordTypes.contains(f.dataType),
+          s"coordinate '$ax' must be numeric (int32/64, float32/64), got ${f.dataType}")
+      }
+      axes.foldLeft(df)((d, ax) => d.withColumn(ax, col(ax).cast(DoubleType)))
+    }
+
+    def meta(name: String, axes: Seq[String] = Seq("x", "y"),
+        featureKey: Option[String] = None, instanceKey: Option[String] = None,
+        transforms: Map[String, Transform] = Map("global" -> IdentityT)): ElementMeta =
+      ElementMeta(name, ElementKind.Points, axes, transforms,
+        attrs = featureKey.map("feature_key" -> _).toMap ++
+          instanceKey.map("instance_key" -> _).toMap)
+  }
+
+  // ---------- Shapes (ShapesModel, models.py:451-664) ----------
+
+  object ShapesModel {
+    val GeomCircle = "circle"
+    val GeomPolygon = "polygon"
+    val GeomMultiPolygon = "multipolygon"
+
+    /** Canonical shapes layout: index, geometry (WKB), geom_type, radius
+      * (circles only), plus precomputed envelope columns minx/miny/maxx/maxy
+      * — the distributed stand-in for the reference's STRtree spatial index
+      * (spatial_query.py:788): coarse range predicates on these columns are
+      * parquet-statistics-prunable.
+      */
+    def parse(df: DataFrame, geometryCol: String = "geometry",
+        radiusCol: Option[String] = None, indexCol: Option[String] = None): DataFrame = {
+      require(df.schema.fields.exists(f => f.name == geometryCol && f.dataType == BinaryType),
+        s"shapes need a binary WKB column '$geometryCol'")
+      val withIdx = indexCol match {
+        case Some(c) => df.withColumn("index", col(c).cast(LongType))
+        case None if df.columns.contains("index") => df
+        case None => df.withColumn("index", monotonically_increasing_id())
+      }
+      val withRadius = radiusCol match {
+        case Some(c) => withIdx.withColumn("radius", col(c).cast(DoubleType))
+        case None if withIdx.columns.contains("radius") => withIdx
+        case None => withIdx.withColumn("radius", lit(null).cast(DoubleType))
+      }
+      val g = col(geometryCol)
+      withRadius
+        .withColumn("minx", st_minx(g) - coalesce(col("radius"), lit(0.0)))
+        .withColumn("miny", st_miny(g) - coalesce(col("radius"), lit(0.0)))
+        .withColumn("maxx", st_maxx(g) + coalesce(col("radius"), lit(0.0)))
+        .withColumn("maxy", st_maxy(g) + coalesce(col("radius"), lit(0.0)))
+    }
+
+    /** Invariant check (radius > 0 where circle; models.py:487-501):
+      * returns offending rows; empty = valid. Mixed point/polygon elements
+      * are forbidden (models.py:521-549).
+      */
+    def invalidRows(df: DataFrame): DataFrame =
+      df.filter(col("geom_type") === GeomCircle &&
+        (col("radius").isNull || col("radius") <= 0))
+
+    def meta(name: String,
+        transforms: Map[String, Transform] = Map("global" -> IdentityT)): ElementMeta =
+      ElementMeta(name, ElementKind.Shapes, Seq("x", "y"), transforms)
+  }
+
+  // ---------- Labels (Labels2D/3DModel, models.py:409-440) ----------
+
+  object LabelsModel {
+    /** Long-form labels: [z,] y, x int32 + label int64; label 0 =
+      * background and is dropped at parse (the reference keeps 0 in the
+      * raster but every consumer skips it).
+      */
+    def parse(df: DataFrame, dims: Seq[String] = Seq("y", "x")): DataFrame = {
+      val casted = dims.foldLeft(df)((d, ax) => d.withColumn(ax, col(ax).cast(IntegerType)))
+        .withColumn("label", col("label").cast(LongType))
+      casted
+    }
+
+    def meta(name: String, dims: Seq[String] = Seq("y", "x"),
+        transforms: Map[String, Transform] = Map("global" -> IdentityT)): ElementMeta =
+      ElementMeta(name, ElementKind.Labels, dims, transforms)
+  }
+
+  // ---------- Images (Image2D/3DModel, models.py:443-447) ----------
+
+  object ImageModel {
+    val TileSize = 256
+
+    /** Tiled image schema: scale, c, tile_y, tile_x, h, w, px[h*w].
+      * Multiscale pyramids are a `scale` column (SURVEY.md §1.5).
+      */
+    val schema: StructType = StructType(Seq(
+      StructField("scale", IntegerType, nullable = false),
+      StructField("c", IntegerType, nullable = false),
+      StructField("tile_y", IntegerType, nullable = false),
+      StructField("tile_x", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("w", IntegerType, nullable = false),
+      StructField("px", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+    def validateSchema(df: DataFrame): Unit = {
+      val names = df.schema.fieldNames.toSet
+      val missing = schema.fieldNames.filterNot(names.contains)
+      require(missing.isEmpty, s"image tiles missing columns: ${missing.mkString(", ")}")
+    }
+
+    def meta(name: String, dims: Seq[String] = Seq("c", "y", "x"),
+        channelNames: Seq[String] = Nil,
+        transforms: Map[String, Transform] = Map("global" -> IdentityT)): ElementMeta =
+      ElementMeta(name, ElementKind.Images, dims, transforms, channelNames)
+  }
+
+  // ---------- Tables (TableModel, models.py:948-1269) ----------
+
+  object TableModel {
+    /** obs must carry the region and instance columns named by the
+      * annotation; (region, instance) pairs must be unique
+      * (models.py:1250-1259). Returns duplicated pairs; empty = valid.
+      */
+    def duplicateAnnotations(obs: DataFrame, ann: TableAnnotation): DataFrame =
+      obs.groupBy(col(ann.regionKey), col(ann.instanceKey))
+        .count().filter(col("count") > 1)
+
+    def parseObs(obs: DataFrame, ann: Option[TableAnnotation]): DataFrame = {
+      ann.foreach { a =>
+        require(obs.columns.contains(a.regionKey),
+          s"obs missing region_key column '${a.regionKey}'")
+        require(obs.columns.contains(a.instanceKey),
+          s"obs missing instance_key column '${a.instanceKey}'")
+        val t = obs.schema(a.instanceKey).dataType
+        require(t == IntegerType || t == LongType || t == StringType,
+          s"instance_key must be int or string, got $t (models.py:1091-1112)")
+      }
+      obs
+    }
+
+    /** Long-form X: one row per (instance, var) nonzero — sparse-friendly
+      * (the reference's CSR X maps to COO triples, aggregate.py:474-482).
+      */
+    def xSchema(instanceType: DataType = LongType): StructType = StructType(Seq(
+      StructField("instance_id", instanceType, nullable = false),
+      StructField("region", StringType, nullable = true),
+      StructField("var_name", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+
+    def meta(name: String, ann: Option[TableAnnotation],
+        attrs: Map[String, String] = Map.empty): ElementMeta =
+      ElementMeta(name, ElementKind.Tables, Nil, Map.empty, Nil, ann, attrs)
+  }
+}

@@ -1,0 +1,210 @@
+package graft.model
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/** One element = manifest entry + its DataFrame(s).
+  *
+  * Data layout per kind (SURVEY.md §1.5):
+  *  - points:  x,y[,z]: Double + payload columns (Parquet-backed, lazy)
+  *  - shapes:  index: Long, geometry: Binary (WKB), geom_type: String,
+  *             radius: Double?, minx,miny,maxx,maxy: Double (precomputed bbox)
+  *  - labels:  long-form [z: Int,] y: Int, x: Int, label: Long
+  *  - images:  tiled: scale,c,tile_y,tile_x,h,w: Int, px: Array[Double]
+  *  - tables:  `data` = obs (regionKey/instanceKey cols + annotations),
+  *             `aux("X")` = long-form (instance cols, var_name, value)
+  */
+final case class SpatialElement(
+    meta: ElementMeta,
+    data: DataFrame,
+    aux: Map[String, DataFrame] = Map.empty) {
+  def obs: DataFrame = data
+  def x: DataFrame = aux.getOrElse("X",
+    sys.error(s"element '${meta.name}' has no X matrix"))
+}
+
+/** The container: a lightweight manifest + named lazy DataFrames per element.
+  * Spark-native re-expression of the reference's `SpatialData` class
+  * (`_core/spatialdata.py:61`): all data stays distributed/lazy; only the
+  * manifest lives on the driver.
+  */
+final class SpatialDataset(
+    val spark: SparkSession,
+    val manifest: GraftManifest,
+    val elementData: Map[String, SpatialElement]) {
+
+  def element(name: String): SpatialElement =
+    elementData.getOrElse(name, sys.error(s"no element named '$name'"))
+
+  def apply(name: String): DataFrame = element(name).data
+
+  private def kindMap(kind: ElementKind): Map[String, SpatialElement] =
+    elementData.filter(_._2.meta.kind == kind)
+
+  def images: Map[String, SpatialElement] = kindMap(ElementKind.Images)
+  def labels: Map[String, SpatialElement] = kindMap(ElementKind.Labels)
+  def points: Map[String, SpatialElement] = kindMap(ElementKind.Points)
+  def shapes: Map[String, SpatialElement] = kindMap(ElementKind.Shapes)
+  def tables: Map[String, SpatialElement] = kindMap(ElementKind.Tables)
+
+  def withElement(el: SpatialElement): SpatialDataset = {
+    val newMeta = manifest.elements.filterNot(_.name == el.meta.name) :+ el.meta
+    new SpatialDataset(spark, manifest.copy(elements = newMeta),
+      elementData + (el.meta.name -> el))
+  }
+
+  def withoutElement(name: String): SpatialDataset =
+    new SpatialDataset(spark,
+      manifest.copy(elements = manifest.elements.filterNot(_.name == name)),
+      elementData - name)
+
+  /** Project the container to named elements; tables annotating removed
+    * elements are kept but their annotation targets shrink
+    * (reference `SpatialData.subset`, spatialdata.py:2269-2309).
+    */
+  def subset(names: Seq[String], filterTables: Boolean = true): SpatialDataset = {
+    val keep = names.toSet
+    val kept = manifest.elements.filter(e => keep(e.name))
+    val tablesKept = if (filterTables) {
+      manifest.ofKind(ElementKind.Tables).flatMap { t =>
+        t.table match {
+          case Some(ann) =>
+            val still = ann.region.filter(keep)
+            if (still.isEmpty) None
+            else Some(t.copy(table = Some(ann.copy(region = still))))
+          case None => Some(t)
+        }
+      }
+    } else manifest.ofKind(ElementKind.Tables)
+    val all = (kept.filterNot(_.kind == ElementKind.Tables) ++ tablesKept)
+    new SpatialDataset(spark, manifest.copy(elements = all),
+      elementData.filter { case (n, e) => all.exists(_.name == n) })
+  }
+
+  /** Keep only elements that have a transform into `cs`
+    * (reference `filter_by_coordinate_system`, spatialdata.py:591-644).
+    */
+  def filterByCoordinateSystem(cs: String, filterTables: Boolean = true): SpatialDataset = {
+    val names = manifest.elements
+      .filter(e => e.kind != ElementKind.Tables && e.transforms.contains(cs))
+      .map(_.name)
+    subset(names, filterTables)
+  }
+
+  /** Resolve the transform of `element` into coordinate system `cs`. */
+  def transformTo(element: String, cs: String): Transform =
+    CsGraph.elementToCs(manifest, element, cs)
+
+  /** Rename coordinate systems (collision-safe two-phase rename,
+    * reference spatialdata.py:721-778).
+    */
+  def renameCoordinateSystems(renames: Map[String, String]): SpatialDataset = {
+    val existing = manifest.coordinateSystems.toSet
+    renames.keys.foreach(k => require(existing(k), s"unknown cs '$k'"))
+    val newEls = manifest.elements.map { e =>
+      e.copy(transforms = e.transforms.map { case (cs, t) =>
+        renames.getOrElse(cs, cs) -> t
+      })
+    }
+    new SpatialDataset(spark, manifest.copy(elements = newEls),
+      elementData.map { case (n, el) =>
+        n -> el.copy(meta = newEls.find(_.name == n).get)
+      })
+  }
+
+  /** Persist: one parquet dir per element under `root/{kind}/{name}/` +
+    * `manifest.json` (zstd parquet, mirroring the reference's compressed
+    * Zarr layout, spatialdata.py:1108-1203).
+    */
+  def write(root: String): Unit = {
+    elementData.values.foreach(el => SpatialDataset.writeElement(el, root))
+    SpatialDataset.writeManifest(spark, manifest, root)
+  }
+
+  /** Incremental per-element write (reference `write_element`,
+    * spatialdata.py:1286-1375).
+    */
+  def writeElement(name: String, root: String): Unit = {
+    SpatialDataset.writeElement(element(name), root)
+    SpatialDataset.writeManifest(spark, manifest, root)
+  }
+
+  /** Metadata-only update: rewrite the manifest without touching data
+    * (reference `write_metadata`/`write_transformations`,
+    * spatialdata.py:1544-1647).
+    */
+  def writeMetadata(root: String): Unit =
+    SpatialDataset.writeManifest(spark, manifest, root)
+}
+
+object SpatialDataset {
+
+  def apply(spark: SparkSession, elements: Seq[SpatialElement],
+      attrs: Map[String, String] = Map.empty): SpatialDataset = {
+    val manifest = GraftManifest(GraftManifest.CurrentVersion, elements.map(_.meta), attrs)
+    new SpatialDataset(spark, manifest, elements.map(e => e.meta.name -> e).toMap)
+  }
+
+  private def elementDir(root: String, m: ElementMeta): String =
+    s"$root/${m.kind.dirName}/${m.name}"
+
+  private[model] def writeElement(el: SpatialElement, root: String): Unit = {
+    val dir = elementDir(root, el.meta)
+    val w = el.data.write.mode("overwrite")
+      .option("compression", "zstd")
+    if (el.meta.kind == ElementKind.Tables) {
+      w.parquet(s"$dir/obs")
+      el.aux.get("X").foreach(_.write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$dir/X"))
+    } else {
+      w.parquet(s"$dir/data")
+    }
+  }
+
+  private[model] def writeManifest(spark: SparkSession, m: GraftManifest, root: String): Unit = {
+    val p = new Path(s"$root/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(GraftManifest.toJson(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a container: manifest parse + lazy `spark.read.parquet` per element
+    * (reference `SpatialData.read`, spatialdata.py:1853-1882). `selection`
+    * restricts to named elements without touching the rest (partial read,
+    * `_io/io_zarr.py:33-83`).
+    */
+  def read(spark: SparkSession, root: String, selection: Option[Seq[String]] = None): SpatialDataset = {
+    val p = new Path(s"$root/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val manifest0 = GraftManifest.fromJson(json)
+    val manifest = selection match {
+      case Some(names) =>
+        manifest0.copy(elements = manifest0.elements.filter(e => names.contains(e.name)))
+      case None => manifest0
+    }
+    val els = manifest.elements.map { m =>
+      val dir = elementDir(root, m)
+      val el =
+        if (m.kind == ElementKind.Tables) {
+          val obs = spark.read.parquet(s"$dir/obs")
+          val xPath = new Path(s"$dir/X")
+          val aux =
+            if (fs.exists(xPath)) Map("X" -> spark.read.parquet(s"$dir/X"))
+            else Map.empty[String, DataFrame]
+          SpatialElement(m, obs, aux)
+        } else SpatialElement(m, spark.read.parquet(s"$dir/data"))
+      m.name -> el
+    }.toMap
+    new SpatialDataset(spark, manifest, els)
+  }
+}

@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.DataType
+
+/** Minimal bridge into `private[sql]` surface: Column <-> Expression and a
+  * `StaticInvoke` builder so graft's spatial functions compile to plain
+  * static calls inside whole-stage codegen.
+  */
+object Bridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Codegen-friendly static method call: `clazz.fn(args...)`. */
+  def staticInvoke(
+      clazz: Class[_],
+      dataType: DataType,
+      fn: String,
+      args: Seq[Column],
+      inputTypes: Seq[DataType],
+      returnNullable: Boolean): Column =
+    ExpressionUtils.column(StaticInvoke(
+      clazz, dataType, fn,
+      args.map(ExpressionUtils.expression),
+      inputTypes,
+      propagateNull = true,
+      returnNullable = returnNullable))
+}

@@ -1,0 +1,98 @@
+package graft.model
+
+import graft.SparkTestBase
+import graft.geom._
+import graft.geom.st._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class SpatialDatasetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixture: SpatialDataset = {
+    val pts = Models.PointsModel.parse(
+      Seq((0L, 1.0, 2.0, "a", 3), (1L, 4.0, 5.0, "b", 7), (2L, -1.0, 0.5, "a", 3))
+        .toDF("row_id", "x", "y", "genes", "instance_id"))
+    val poly = WKB.write(GPolygon(Array(Array(0.0, 0, 2, 0, 2, 2, 0, 2))))
+    val circle = WKB.write(GPoint(5.0, 5.0))
+    val shp = Models.ShapesModel.parse(
+      Seq((0L, poly, "polygon", null.asInstanceOf[java.lang.Double]),
+          (1L, circle, "circle", java.lang.Double.valueOf(1.5)))
+        .toDF("index", "geometry", "geom_type", "radius"))
+    val lbl = Models.LabelsModel.parse(
+      Seq((0, 0, 1L), (0, 1, 1L), (1, 0, 2L), (1, 1, 0L)).toDF("y", "x", "label"))
+    val obs = Seq((3L, "cells", 0.5), (7L, "cells", 0.25)).toDF("instance_id", "region", "a")
+    val x = Seq((3L, "g1", 1.0), (7L, "g1", 2.0), (7L, "g2", 4.0))
+      .toDF("instance_id", "var_name", "value")
+    SpatialDataset(spark, Seq(
+      SpatialElement(Models.PointsModel.meta("pts",
+        featureKey = Some("genes"), instanceKey = Some("instance_id"),
+        transforms = Map("global" -> ScaleT(Seq(2.0, 2.0), Seq("y", "x")))), pts),
+      SpatialElement(Models.ShapesModel.meta("cells"), shp),
+      SpatialElement(Models.LabelsModel.meta("lbl"), lbl),
+      SpatialElement(Models.TableModel.meta("tbl",
+        Some(TableAnnotation(Seq("cells"), "region", "instance_id"))), obs, Map("X" -> x))))
+  }
+
+  test("write/read round-trip preserves manifest and data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sd").toString
+    val sd = fixture
+    sd.write(dir)
+    val back = SpatialDataset.read(spark, dir)
+    assert(back.manifest.elements.map(_.name).sorted == Seq("cells", "lbl", "pts", "tbl"))
+    assert(back.points.keySet == Set("pts") && back.shapes.keySet == Set("cells"))
+    // transform survived
+    val t = back.manifest.element("pts").transforms("global")
+    assert(t.toAffineMatrix(Seq("x", "y"), Seq("x", "y"))
+      .sameAs(Matrix(3, 3, Array(2, 0, 0, 0, 2, 0, 0, 0, 1))))
+    // data identical
+    assert(back("pts").orderBy("row_id").collect().toSeq ==
+      sd("pts").orderBy("row_id").collect().toSeq)
+    assert(back.element("tbl").x.count() == 3)
+    // table annotation survived
+    assert(back.manifest.element("tbl").table.contains(
+      TableAnnotation(Seq("cells"), "region", "instance_id")))
+  }
+
+  test("partial read by selection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sd2").toString
+    fixture.write(dir)
+    val back = SpatialDataset.read(spark, dir, selection = Some(Seq("pts")))
+    assert(back.manifest.elements.map(_.name) == Seq("pts"))
+  }
+
+  test("subset cascades table annotations") {
+    val sub = fixture.subset(Seq("pts"))
+    assert(!sub.elementData.contains("cells"))
+    assert(!sub.elementData.contains("tbl")) // its only region was dropped
+    val sub2 = fixture.subset(Seq("cells"))
+    assert(sub2.elementData.contains("tbl"))
+  }
+
+  test("shapes parse precomputes envelopes incl. radius") {
+    val rows = fixture("cells").orderBy("index")
+      .select("minx", "miny", "maxx", "maxy").collect()
+    assert(rows(0) == Row(0.0, 0.0, 2.0, 2.0))
+    assert(rows(1) == Row(3.5, 3.5, 6.5, 6.5))
+  }
+
+  test("st functions run inside plans") {
+    val shp = fixture("cells")
+    val areas = shp.filter(col("geom_type") === "polygon")
+      .select(st_area(col("geometry"))).as[Double].collect()
+    assert(areas.toSeq == Seq(4.0))
+    val hit = fixture("pts")
+      .filter(st_contains_point(
+        lit(WKB.write(GPolygon(Array(Array(0.0, 0, 2, 0, 2, 3, 0, 3))))),
+        col("x"), col("y")))
+    assert(hit.select("row_id").as[Long].collect().toSet == Set(0L))
+  }
+
+  test("validation helpers") {
+    val bad = Models.ShapesModel.invalidRows(fixture("cells"))
+    assert(bad.count() == 0)
+    val dup = Models.TableModel.duplicateAnnotations(
+      fixture.element("tbl").obs, TableAnnotation(Seq("cells"), "region", "instance_id"))
+    assert(dup.count() == 0)
+  }
+}
