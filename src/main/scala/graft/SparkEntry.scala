@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    graft.queries.RelationalPack
+    graft.queries.RelationalPack,
+    graft.queries.SpatialPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

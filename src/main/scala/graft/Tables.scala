@@ -18,7 +18,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) which Spark's parquet reader rejects at
+    * schema inference; an explicit schema skips the column (consumers needing
+    * event time use [[eventsWithTs]], which reads ts as nanos-since-epoch).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$d/events.parquet")
+
+  /** events incl. `ts` read as LONG nanoseconds (legacy nanosAsLong). */
+  def eventsWithTs(s: SparkSession, d: String): DataFrame =
+    s.read.schema(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$d/events.parquet")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,135 @@
+package graft.query
+
+import graft.SparkTestBase
+import graft.geom.{GPolygon, WKB}
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class RelationalQuerySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ann = TableAnnotation(Seq("cells"), "region", "instance_id")
+  private def elem = Seq((1L, "x1"), (2L, "x2"), (3L, "x3"), (4L, "x4"))
+    .toDF("index", "payload")
+  private def obs = Seq(
+    (2L, "cells", 0.2), (3L, "cells", 0.3), (9L, "cells", 0.9), (4L, "other", 0.4))
+    .toDF("instance_id", "region", "a")
+
+  private def ids(df: org.apache.spark.sql.DataFrame, c: String) =
+    df.select(col(c).cast("long")).as[Long].collect().toSet
+
+  test("left: all element rows, table filtered") {
+    val r = RelationalQuery.joinElementTable(elem, "index", "cells", obs, ann, "left")
+    assert(ids(r.element.get, "index") == Set(1L, 2L, 3L, 4L))
+    assert(ids(r.table.get, "instance_id") == Set(2L, 3L))
+  }
+
+  test("left_exclusive: unannotated element rows only") {
+    val r = RelationalQuery.joinElementTable(elem, "index", "cells", obs, ann, "left_exclusive")
+    assert(ids(r.element.get, "index") == Set(1L, 4L))
+    assert(r.table.isEmpty)
+  }
+
+  test("inner: both sides filtered") {
+    val r = RelationalQuery.joinElementTable(elem, "index", "cells", obs, ann, "inner")
+    assert(ids(r.element.get, "index") == Set(2L, 3L))
+    assert(ids(r.table.get, "instance_id") == Set(2L, 3L))
+  }
+
+  test("right: full region table, masked element") {
+    val r = RelationalQuery.joinElementTable(elem, "index", "cells", obs, ann, "right")
+    assert(ids(r.element.get, "index") == Set(2L, 3L))
+    assert(ids(r.table.get, "instance_id") == Set(2L, 3L, 9L))
+  }
+
+  test("right_exclusive: table rows with no element match") {
+    val r = RelationalQuery.joinElementTable(elem, "index", "cells", obs, ann, "right_exclusive")
+    assert(r.element.isEmpty)
+    assert(ids(r.table.get, "instance_id") == Set(9L))
+  }
+
+  test("matchTableToElement enriches element rows in element order") {
+    val got = RelationalQuery.matchTableToElement(elem, "index", "cells", obs, ann)
+      .orderBy("index").select("index", "a").collect()
+    assert(got.map(r => (r.getLong(0), Option(r.get(1)))).toSeq == Seq(
+      (1L, None), (2L, Some(0.2)), (3L, Some(0.3)), (4L, None)))
+  }
+
+  test("filterByTableQuery masks elements to surviving instances") {
+    val sd = SpatialDataset(spark, Seq(
+      SpatialElement(Models.ShapesModel.meta("cells"),
+        Models.ShapesModel.parse(elem.withColumn("geometry",
+          graft.geom.st.st_point(lit(0.0), lit(0.0)))
+          .withColumn("geom_type", lit("circle"))
+          .withColumn("radius", lit(1.0)))),
+      SpatialElement(Models.TableModel.meta("tbl", Some(ann)), obs)))
+    val out = RelationalQuery.filterByTableQuery(sd, "tbl", col("a") > 0.25)
+    assert(ids(out("cells"), "index") == Set(3L))
+    assert(ids(out.element("tbl").obs, "instance_id") == Set(3L, 9L, 4L))
+  }
+}
+
+class SpatialQuerySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pts = Seq(
+    (0L, 1.0, 1.0), (1L, 3.0, 3.0), (2L, 5.0, 1.0), (3L, -2.0, -2.0))
+    .toDF("id", "x", "y")
+
+  private def got(df: org.apache.spark.sql.DataFrame) =
+    df.select("id").as[Long].collect().toSet
+
+  test("identity bbox is exclusive on both sides") {
+    val r = SpatialQuery.boundingBoxPoints(pts, IdentityT,
+      Seq("x", "y"), Seq(0.0, 0.0), Seq(3.0, 3.0))
+    assert(got(r) == Set(0L)) // (3,3) excluded
+  }
+
+  test("negative-scale transform swaps interval bounds") {
+    // target = -1 * intrinsic; box (-4,-4)..(0,0) in target = (0,0)..(4,4) intrinsic
+    val t = ScaleT(Seq(-1.0, -1.0), Seq("x", "y"))
+    val r = SpatialQuery.boundingBoxPoints(pts, t,
+      Seq("x", "y"), Seq(-4.0, -4.0), Seq(0.0, 0.0))
+    assert(got(r) == Set(0L, 1L))
+  }
+
+  test("rotation transform matches brute-force projection") {
+    // 90° CCW rotation: target_x = -y, target_y = x; box in target space
+    val rot = AffineT(Matrix(3, 3, Array(0, -1, 0, 1, 0, 0, 0, 0, 1)),
+      Seq("x", "y"), Seq("x", "y"))
+    val r = SpatialQuery.boundingBoxPoints(pts, rot,
+      Seq("x", "y"), Seq(-4.0, 0.0), Seq(0.0, 4.0))
+    // -y in (-4,0) => y in (0,4); x in (0,4)
+    assert(got(r) == Set(0L, 1L))
+  }
+
+  test("polygon query on points with diagonal transform") {
+    val poly = WKB.write(GPolygon(Array(Array(0.0, 0, 8, 0, 8, 8, 0, 8))))
+    val t = ScaleT(Seq(2.0, 2.0), Seq("x", "y")) // doubles coordinates
+    val r = SpatialQuery.polygonQueryPoints(pts, t, poly)
+    // scaled points: (2,2),(6,6),(10,2),(-4,-4) -> inside: first two
+    assert(got(r) == Set(0L, 1L))
+  }
+
+  test("shapes bbox query: coarse + exact, rotated box") {
+    import graft.geom.st._
+    val shp = Models.ShapesModel.parse(Seq(
+      (0L, WKB.write(GPolygon(Array(Array(0.0, 0, 2, 0, 2, 2, 0, 2)))), "polygon"),
+      (1L, WKB.write(GPolygon(Array(Array(10.0, 10, 12, 10, 12, 12, 10, 12)))), "polygon"))
+      .toDF("index", "geometry", "geom_type"))
+    val r0 = SpatialQuery.boundingBoxShapes(shp, IdentityT, Seq(1.0, 1.0), Seq(3.0, 3.0))
+    assert(r0.select("index").as[Long].collect().toSet == Set(0L))
+    // rotated cs: intrinsic box becomes a diamond; square 1 still excluded
+    val rot = AffineT(Matrix(3, 3, Array(0, -1, 0, 1, 0, 0, 0, 0, 1)), Seq("x", "y"), Seq("x", "y"))
+    val r1 = SpatialQuery.boundingBoxShapes(shp, rot, Seq(-3.0, 0.0), Seq(0.0, 3.0))
+    assert(r1.select("index").as[Long].collect().toSet == Set(0L))
+  }
+
+  test("labels bbox uses inclusive integer bounds") {
+    val lbl = Models.LabelsModel.parse(
+      Seq((0, 0, 1L), (2, 2, 2L), (5, 5, 3L)).toDF("y", "x", "label"))
+    val r = SpatialQuery.boundingBoxLabels(lbl, IdentityT, Seq("y", "x"),
+      Seq(0.0, 0.0), Seq(2.0, 2.0))
+    assert(r.select("label").as[Long].collect().toSet == Set(1L, 2L))
+  }
+}
