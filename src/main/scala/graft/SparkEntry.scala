@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.RelationalPack,
-    graft.queries.SpatialPack
+    graft.queries.SpatialPack,
+    graft.queries.AggregatePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

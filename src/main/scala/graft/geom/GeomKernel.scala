@@ -278,6 +278,10 @@ object GeomKernel {
   /** Point WKB constructor. */
   def makePoint(x: Double, y: Double): Array[Byte] = WKB.write(GPoint(x, y))
 
+  /** Axis-aligned box polygon constructor (CCW). */
+  def makeBox(minx: Double, miny: Double, maxx: Double, maxy: Double): Array[Byte] =
+    WKB.write(GPolygon(Array(Array(minx, miny, maxx, miny, maxx, maxy, minx, maxy))))
+
   /** Circle -> n-gon polygon (`to_polygons` on circles buffers by radius,
     * vectorize.py:273-293; quadSegs segments per quarter circle like GEOS).
     */

@@ -57,6 +57,10 @@ object st {
   def st_point(x: Column, y: Column): Column =
     inv(B, "makePoint", Seq(D, D), nullable = false, x, y)
 
+  /** Axis-aligned box polygon constructor. */
+  def st_make_box(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    inv(B, "makeBox", Seq(D, D, D, D), nullable = false, minx, miny, maxx, maxy)
+
   /** Circle -> n-gon polygon WKB. */
   def st_buffer_point(x: Column, y: Column, radius: Column, quadSegs: Column): Column =
     inv(B, "bufferPoint", Seq(D, D, D, IntegerType), nullable = false, x, y, radius, quadSegs)

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.geom.st._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed spatial joins (the reference's geopandas `sjoin`/`overlay`
+  * calls, spatial_query.py:907 and aggregate.py:424-432, re-expressed as
+  * joins Catalyst can plan).
+  *
+  * Two strategies:
+  *  - `broadcast`: shapes side is small (the overwhelmingly common case —
+  *    regions are thousands, points are billions). Broadcast shapes with
+  *    their envelope columns; the coarse bbox conjunct prunes pairs before
+  *    the exact kernel predicate runs.
+  *  - `grid`: both sides big. Bucket points by cell id (one cell per point)
+  *    and shapes by every cell their envelope covers (explode), equi-join on
+  *    the cell id (a plain shuffle hash join), then refine with the exact
+  *    predicate. A (point, shape) pair meets in exactly one cell — the
+  *    point's — so no dedup is needed.
+  */
+object SpatialJoin {
+
+  /** Exact point-in-shape predicate: circles are arithmetic
+    * ((x-cx)^2+(y-cy)^2 <= r^2 — fully codegen, no WKB parse), polygons use
+    * the ray-cast kernel.
+    */
+  private def pointInShape(px: String, py: String): org.apache.spark.sql.Column = {
+    val dx = col(px) - col("__cx")
+    val dy = col(py) - col("__cy")
+    when(col("geom_type") === "circle",
+      dx * dx + dy * dy <= col("radius") * col("radius"))
+      .otherwise(st_contains_point(col("geometry"), col(px), col(py)))
+  }
+
+  private def prepShapes(shapes: DataFrame): DataFrame =
+    shapes.withColumn("__cx", st_centroid_x(col("geometry")))
+      .withColumn("__cy", st_centroid_y(col("geometry")))
+
+  /** Broadcast join: every point row paired with the shapes containing it.
+    * Output: point columns + `region_id` (shape index).
+    */
+  def pointsInShapesBroadcast(points: DataFrame, shapes: DataFrame,
+      px: String = "x", py: String = "y"): DataFrame = {
+    val s = prepShapes(shapes)
+      .select(col("index").as("region_id"), col("geometry"), col("geom_type"),
+        col("radius"), col("minx"), col("miny"), col("maxx"), col("maxy"),
+        col("__cx"), col("__cy"))
+    val coarse = col(px) >= col("minx") && col(px) <= col("maxx") &&
+      col(py) >= col("miny") && col(py) <= col("maxy")
+    points.join(broadcast(s), coarse && pointInShape(px, py), "inner")
+      .drop("geometry", "geom_type", "radius", "minx", "miny", "maxx", "maxy", "__cx", "__cy")
+  }
+
+  /** Grid-bucketed join for big-by-big: `cell` size should be ~the median
+    * shape envelope so shapes replicate to O(1) cells.
+    */
+  def pointsInShapesGrid(points: DataFrame, shapes: DataFrame, cell: Double,
+      px: String = "x", py: String = "y"): DataFrame = {
+    val p = points
+      .withColumn("__cellx", floor(col(px) / cell).cast("long"))
+      .withColumn("__celly", floor(col(py) / cell).cast("long"))
+    val s = prepShapes(shapes)
+      .select(col("index").as("region_id"), col("geometry"), col("geom_type"),
+        col("radius"), col("minx"), col("miny"), col("maxx"), col("maxy"),
+        col("__cx"), col("__cy"))
+      .withColumn("__cellx", explode(sequence(
+        floor(col("minx") / cell).cast("long"), floor(col("maxx") / cell).cast("long"))))
+      .withColumn("__celly", explode(sequence(
+        floor(col("miny") / cell).cast("long"), floor(col("maxy") / cell).cast("long"))))
+    p.join(s, Seq("__cellx", "__celly"), "inner")
+      .filter(pointInShape(px, py))
+      .drop("geometry", "geom_type", "radius", "minx", "miny", "maxx", "maxy",
+        "__cx", "__cy", "__cellx", "__celly")
+  }
+
+  /** Shapes-by-shapes intersection pairs (gpd.overlay precursor,
+    * aggregate.py:429-432): bbox-bucket equi-join + exact intersects.
+    * `left` keeps its `index` as `region_id`; right keeps `index` as
+    * `value_id`; optionally computes the intersection area (fractions).
+    */
+  def shapesIntersectShapes(by: DataFrame, values: DataFrame,
+      withIntersectionArea: Boolean = false): DataFrame = {
+    val l = by.select(col("index").as("region_id"),
+      col("geometry").as("__lg"), col("minx").as("__lminx"), col("miny").as("__lminy"),
+      col("maxx").as("__lmaxx"), col("maxy").as("__lmaxy"))
+    // values side keeps its payload columns (the aggregation input)
+    val r = values
+      .withColumnRenamed("index", "value_id")
+      .withColumnRenamed("geometry", "__rg")
+      .drop("geom_type", "radius")
+    val coarse = col("__lminx") <= col("maxx") && col("minx") <= col("__lmaxx") &&
+      col("__lminy") <= col("maxy") && col("miny") <= col("__lmaxy")
+    val joined = r.join(broadcast(l), coarse && st_intersects(col("__lg"), col("__rg")), "inner")
+    val out = if (withIntersectionArea)
+      joined.withColumn("intersection_area",
+        st_intersection_area_convex(col("__rg"), col("__lg")))
+        .withColumn("value_area", st_area(col("__rg")))
+    else joined
+    out.drop("__lg", "__rg", "__lminx", "__lminy", "__lmaxx", "__lmaxy",
+      "minx", "miny", "maxx", "maxy")
+  }
+}

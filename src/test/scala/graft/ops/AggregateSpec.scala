@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.geom.st._
+import graft.model.Models
+import org.apache.spark.sql.functions._
+
+class AggregateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pts = Seq.tabulate(200)(i =>
+    (i.toLong, (i % 23).toDouble, (i % 17).toDouble, (i % 5).toDouble))
+    .toDF("id", "x", "y", "v")
+
+  private def shapes = Models.ShapesModel.parse(Seq(
+    (0L, 2.0, 2.0, 3.0), (1L, 10.0, 8.0, 4.0), (2L, 20.0, 14.0, 2.5))
+    .toDF("index", "cx", "cy", "radius")
+    .withColumn("geometry", st_point(col("cx"), col("cy")))
+    .withColumn("geom_type", lit("circle"))
+    .drop("cx", "cy"), radiusCol = Some("radius"))
+
+  test("grid join matches broadcast join exactly") {
+    val a = SpatialJoin.pointsInShapesBroadcast(pts, shapes)
+      .select("id", "region_id").as[(Long, Long)].collect().toSet
+    val b = SpatialJoin.pointsInShapesGrid(pts, shapes, cell = 4.0)
+      .select("id", "region_id").as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("polygon shapes route through the ray-cast kernel in both strategies") {
+    val polys = Models.ShapesModel.parse(Seq(
+      (0L, graft.geom.WKB.write(graft.geom.GPolygon(Array(Array(0.0, 0, 8, 0, 8, 8, 0, 8)))), "polygon"),
+      (1L, graft.geom.WKB.write(graft.geom.GPolygon(Array(Array(10.0, 2, 22, 2, 16, 16)))), "polygon"))
+      .toDF("index", "geometry", "geom_type"))
+    val a = SpatialJoin.pointsInShapesBroadcast(pts, polys)
+      .select("id", "region_id").as[(Long, Long)].collect().toSet
+    val b = SpatialJoin.pointsInShapesGrid(pts, polys, cell = 5.0)
+      .select("id", "region_id").as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("tilesByLabels explodes tiles to the right pixel coordinates") {
+    // one 2x2-ish tile world: tileSize=2, tile (0,0) px [0,1,2,3] and tile (0,1) px [10,11,12,13]
+    val tiles = Seq(
+      (0, 0, 0, 0, 2, 2, Seq(0.0, 1.0, 2.0, 3.0)),
+      (0, 0, 0, 1, 2, 2, Seq(10.0, 11.0, 12.0, 13.0)))
+      .toDF("scale", "c", "tile_y", "tile_x", "h", "w", "px")
+    // labels: label 1 covers y=0 row; label 2 covers y=1 row (x 0..3)
+    val labels = Seq.tabulate(8)(i => (i / 4, i % 4, (i / 4 + 1).toLong))
+      .toDF("y", "x", "label")
+    val got = Aggregate.tilesByLabels(tiles, labels, "sum", tileSize = 2)
+      .orderBy("label").select("label", "value").as[(Long, Double)].collect().toSeq
+    // label 1 (y=0): tile0 px[0]=0 px[1]=1 + tile1 px[10,11] = 22; label 2 (y=1): 2+3+12+13 = 30
+    assert(got == Seq((1L, 22.0), (2L, 30.0)))
+  }
+
+  test("fractions weighting sums to the value when regions tile the plane") {
+    // two half-plane boxes tiling [0,4]x[0,4]; one value box [1,3]^2 split evenly
+    val by = Models.ShapesModel.parse(Seq(
+      (0L, 0.0, 0.0, 2.0, 4.0), (1L, 2.0, 0.0, 4.0, 4.0))
+      .toDF("index", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", st_make_box(col("x0"), col("y0"), col("x1"), col("y1")))
+      .withColumn("geom_type", lit("polygon")).drop("x0", "y0", "x1", "y1"))
+    val values = Models.ShapesModel.parse(Seq((0L, 8.0))
+      .toDF("index", "value")
+      .withColumn("geometry", st_make_box(lit(1.0), lit(1.0), lit(3.0), lit(3.0)))
+      .withColumn("geom_type", lit("polygon")))
+    val got = Aggregate.shapesByShapes(by, values, "value", "sum", fractions = true)
+      .orderBy("region_id").select("value").as[Double].collect().toSeq
+    assert(got == Seq(4.0, 4.0))
+  }
+}
