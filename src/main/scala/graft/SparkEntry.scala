@@ -13,7 +13,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.RelationalPack,
     graft.queries.SpatialPack,
-    graft.queries.AggregatePack
+    graft.queries.AggregatePack,
+    graft.queries.RasterPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.model.Models
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Raster operators over the two layouts (SURVEY.md §1.5):
+  * long-form pixels `(c?, y, x, value|label)` and tiled images
+  * `(scale, c, tile_y, tile_x, h, w, px)`.
+  *
+  * Spark-native stand-ins for the reference's dask-blockwise machinery:
+  * per-pixel kernels are higher-order array functions on the tile payload
+  * (no shuffle, whole-stage codegen — the analog of `map_blocks`,
+  * map.py:22-156); resolution changes are groupBy re-tilings.
+  */
+object RasterOps {
+
+  val TS: Int = Models.ImageModel.TileSize
+
+  // ---- layout conversion ----
+
+  /** Long-form pixels -> tiles (used after rasterize / ingest). */
+  def pixelsToTiles(pixels: DataFrame, tileSize: Int = TS,
+      channelCol: Option[String] = Some("c"), scale: Int = 0): DataFrame = {
+    val c = channelCol.map(col).getOrElse(lit(0))
+    val within = (col("y") % tileSize) * tileSize + (col("x") % tileSize)
+    pixels
+      .withColumn("tile_y", (col("y") / tileSize).cast("int"))
+      .withColumn("tile_x", (col("x") / tileSize).cast("int"))
+      .withColumn("__pos", within.cast("int"))
+      .groupBy(c.as("c"), col("tile_y"), col("tile_x"))
+      .agg(map_from_arrays(collect_list(col("__pos")),
+        collect_list(col("value"))).as("__m"))
+      .select(lit(scale).as("scale"), col("c"), col("tile_y"), col("tile_x"),
+        lit(tileSize).as("h"), lit(tileSize).as("w"),
+        transform(sequence(lit(0), lit(tileSize * tileSize - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0))).as("px"))
+  }
+
+  /** Tiles -> long-form pixels (posexplode keeps it one codegen stage). */
+  def tilesToPixels(tiles: DataFrame, tileSize: Int = TS): DataFrame =
+    tiles.select(col("scale"), col("c"), col("tile_y"), col("tile_x"),
+        col("h"), col("w"), posexplode(col("px")).as(Seq("pos", "value")))
+      .select(col("scale"), col("c"),
+        (col("tile_y") * tileSize + (col("pos") / col("w")).cast("int")).as("y"),
+        (col("tile_x") * tileSize + col("pos") % col("w")).cast("int").as("x"),
+        col("value"))
+
+  // ---- map_raster (map.py:22-156) ----
+
+  /** Per-pixel kernel over tiles: `fn` maps the pixel-value Column; stays
+    * inside the tile array, no shuffle (blockwise `map_blocks` analog).
+    */
+  def mapRaster(tiles: DataFrame)(fn: Column => Column): DataFrame =
+    tiles.withColumn("px", transform(col("px"), fn))
+
+  /** Neighborhood kernel with halo: assembles each tile with its 8
+    * neighbors' payloads (`map_overlap(depth)`, map.py:110-126) via an
+    * adjacency self-join, then hands `(h, w, center, Map[(dy,dx) -> px])`
+    * to `fn` per tile. depth must be <= tileSize.
+    */
+  def mapRasterWithHalo(tiles: DataFrame, tileSize: Int = TS)(
+      fn: (Int, Int, Array[Double], Map[(Int, Int), Array[Double]]) => Array[Double]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    // neighbor copies keyed by the receiving tile
+    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    val neighborCols = offsets.map { case (dy, dx) =>
+      struct(lit(dy).as("dy"), lit(dx).as("dx"),
+        (col("tile_y") + dy).as("to_y"), (col("tile_x") + dx).as("to_x"))
+    }
+    val sent = tiles.select(col("scale"), col("c"), col("px").as("n_px"),
+        explode(array(neighborCols: _*)).as("o"))
+      .select(col("scale"), col("c"), col("n_px"),
+        col("o.dy").as("dy"), col("o.dx").as("dx"),
+        col("o.to_y").as("tile_y"), col("o.to_x").as("tile_x"))
+    val joined = tiles.join(sent, Seq("scale", "c", "tile_y", "tile_x"), "left")
+      .groupBy(col("scale"), col("c"), col("tile_y"), col("tile_x"),
+        col("h"), col("w"), col("px"))
+      .agg(collect_list(struct(col("dy"), col("dx"), col("n_px"))).as("halo"))
+    joined
+      .as[(Int, Int, Int, Int, Int, Int, Array[Double],
+        Seq[(Option[Int], Option[Int], Option[Seq[Double]])])]
+      .map { case (scale, c, ty, tx, h, w, px, halo) =>
+        val m = halo.collect { case (Some(dy), Some(dx), Some(npx)) =>
+          // sender offset (dy,dx) seen from the receiver is (-dy,-dx)
+          ((-dy, -dx), npx.toArray)
+        }.toMap
+        (scale, c, ty, tx, h, w, fn(h, w, px, m))
+      }.toDF("scale", "c", "tile_y", "tile_x", "h", "w", "px")
+  }
+
+  // ---- pyramid (models.py:234-263 multiscale; coarsen/subsample) ----
+
+  /** One pyramid level down for images: 2x2 mean (coarsen, like
+    * multiscale_spatial_image; pyramids_utils.py:54).
+    */
+  def coarsenImage(pixels: DataFrame, factor: Int = 2): DataFrame =
+    pixels.groupBy(col("c"),
+        (col("y") / factor).cast("int").as("y"),
+        (col("x") / factor).cast("int").as("x"))
+      .agg(avg(col("value")).as("value"))
+
+  /** One level down for labels: nearest-neighbour subsample (top-left),
+    * matching ome-zarr's `resize` order-0 (models.py:242-263).
+    */
+  def subsampleLabels(labels: DataFrame, factor: Int = 2): DataFrame =
+    labels.filter(col("y") % factor === 0 && col("x") % factor === 0)
+      .select((col("y") / factor).cast("int").as("y"),
+        (col("x") / factor).cast("int").as("x"), col("label"))
+
+  /** Full pyramid as a single DataFrame with a `scale` column. */
+  def buildPyramid(pixels: DataFrame, levels: Int, factor: Int = 2): DataFrame = {
+    var cur = pixels.withColumn("scale", lit(0))
+    var out = cur
+    var s = 1
+    while (s <= levels) {
+      cur = coarsenImage(cur.drop("scale")).withColumn("scale", lit(s))
+      out = out.unionByName(cur)
+      s += 1
+    }
+    out
+  }
+
+  // ---- rasterize (rasterize.py:616-743 datashader path) ----
+
+  /** Points -> sparse pixel table: bin coordinates at `(sx, sy)` resolution
+    * from origin `(x0, y0)`, reduce per pixel (and per category when
+    * `categoryCol` is set — datashader `count_cat`). The groupBy is the
+    * whole algorithm; partial aggregation handles any point count.
+    */
+  def rasterizePoints(points: DataFrame, x0: Double, y0: Double,
+      sx: Double, sy: Double, width: Int, height: Int,
+      valueCol: Option[String] = None, aggFunc: String = "count",
+      categoryCol: Option[String] = None): DataFrame = {
+    val px = floor((col("x") - x0) / sx).cast("int")
+    val py = floor((col("y") - y0) / sy).cast("int")
+    val base = points
+      .withColumn("__px", px).withColumn("__py", py)
+      .filter(col("__px") >= 0 && col("__px") < width &&
+        col("__py") >= 0 && col("__py") < height)
+    val keys = Seq(col("__py").as("y"), col("__px").as("x")) ++
+      categoryCol.map(c => col(c).as("category"))
+    base.withColumn("__v", valueCol.map(col).getOrElse(lit(1L)))
+      .groupBy(keys: _*)
+      .agg(Aggregate.reduction(aggFunc, col("__v")).as("value"))
+  }
+
+  /** rasterize_bins (rasterize_bins.py:31-237): grid-binned table values ->
+    * sparse pixels, 1px per bin, origin at the min bin.
+    */
+  def rasterizeBins(obs: DataFrame, rowCol: String, colCol: String,
+      valueCol: String): DataFrame = {
+    val mins = obs.agg(min(col(rowCol)).as("r0"), min(col(colCol)).as("c0")).collect()(0)
+    val (r0, c0) = (mins.getLong(0), mins.getLong(1))
+    obs.select((col(rowCol) - r0).cast("int").as("y"),
+      (col(colCol) - c0).cast("int").as("x"), col(valueCol).as("value"))
+  }
+
+  // ---- affine resample, order 0 (rasterize.py:375-613 / transform.py:38-105) ----
+
+  /** Inverse-affine gather on long-form pixels: for every output pixel the
+    * source pixel is `floor(inv . (xo+0.5, yo+0.5))` (nearest); the gather
+    * is an equi-join on source coordinates — a plain shuffle join Catalyst
+    * can plan at any scale.
+    */
+  def affineResample(src: DataFrame, valueCol: String,
+      inv: Array[Double], // row-major 2x3: xs = i00*xo + i01*yo + i02 ...
+      outWidth: Int, outHeight: Int): DataFrame = {
+    val spark = src.sparkSession
+    val outGrid = spark.range(outWidth.toLong * outHeight)
+      .select((col("id") / outWidth).cast("int").as("yo"),
+        (col("id") % outWidth).cast("int").as("xo"))
+    val xs = floor(lit(inv(0)) * (col("xo") + 0.5) + lit(inv(1)) * (col("yo") + 0.5) + lit(inv(2))).cast("int")
+    val ys = floor(lit(inv(3)) * (col("xo") + 0.5) + lit(inv(4)) * (col("yo") + 0.5) + lit(inv(5))).cast("int")
+    outGrid.withColumn("__xs", xs).withColumn("__ys", ys)
+      .join(src.withColumnRenamed("x", "__xs").withColumnRenamed("y", "__ys"),
+        Seq("__xs", "__ys"), "inner")
+      .select(col("yo").as("y"), col("xo").as("x"), col(valueCol))
+  }
+
+  // ---- unpad (reference _utils.py:71-160) ----
+
+  /** Strip empty margins: filter to the non-background extent (computed
+    * distributed, applied as a range predicate).
+    */
+  def unpad(pixels: DataFrame, valueCol: String = "value"): DataFrame = {
+    val ext = pixels.filter(col(valueCol) =!= 0)
+      .agg(min("y").as("y0"), max("y").as("y1"), min("x").as("x0"), max("x").as("x1"))
+      .collect()(0)
+    pixels.filter(col("y") >= ext.getAs[Int]("y0") && col("y") <= ext.getAs[Int]("y1") &&
+      col("x") >= ext.getAs[Int]("x0") && col("x") <= ext.getAs[Int]("x1"))
+      .select(col("y") - ext.getAs[Int]("y0"), col("x") - ext.getAs[Int]("x0"), col(valueCol))
+      .toDF("y", "x", valueCol)
+  }
+
+  // ---- relabel (map.py:159-253) ----
+
+  /** Block-unique labels by bit-shifting the partition id in
+    * (map.py:159-217): label' = (label << shift) | partition.
+    */
+  def relabelByPartition(labels: DataFrame, shift: Int = 20): DataFrame =
+    labels.withColumn("label",
+      when(col("label") === 0, 0L)
+        .otherwise(shiftleft(col("label"), shift)
+          .bitwiseOR(spark_partition_id().cast("long"))))
+
+  /** Compact ids to 1..n by rank over distinct labels
+    * (relabel_sequential, map.py:219-253). The distinct set is small; the
+    * remap joins back broadcast.
+    */
+  def relabelSequential(labels: DataFrame): DataFrame = {
+    val distinctLabels = labels.select("label").filter(col("label") =!= 0).distinct()
+      .withColumn("__new", row_number().over(Window.orderBy(col("label"))).cast("long"))
+    labels.join(broadcast(distinctLabels), Seq("label"), "left")
+      .withColumn("label", coalesce(col("__new"), lit(0L)))
+      .drop("__new")
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.geom.st._
+import graft.ops.{RasterOps, Vectorize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raster/vectorize correctness-gate queries (SURVEY.md §2.6). */
+object RasterPack extends QueryPack {
+
+  private def points(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      (col("l_extendedprice") / 1000.0).as("x"),
+      col("l_quantity").as("y"),
+      col("l_returnflag").as("category"))
+
+  private val pointsSql =
+    "SELECT l_extendedprice / 1000.0 AS x, l_quantity AS y, l_returnflag AS category FROM lineitem"
+
+  // deterministic label field over distinct event pixels (label = f(y,x)
+  // so deduplication cannot create label conflicts)
+  private def eventLabels(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      (col("event_id") % 48).cast("int").as("y"),
+      (col("user_id") % 48).cast("int").as("x"))
+      .distinct()
+      .withColumn("label", (col("y") * 131 + col("x")) % 9)
+
+  private val eventLabelsSql =
+    """SELECT y, x, (y * 131 + x) % 9 AS label FROM (
+      |  SELECT DISTINCT CAST(event_id % 48 AS INT) AS y, CAST(user_id % 48 AS INT) AS x
+      |  FROM events)""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // rasterize points -> count per pixel (datashader Canvas.points with
+    // count reduction, rasterize.py:694-710).
+    "q30_rasterize_points_count" -> ((s, d) => {
+      RasterOps.rasterizePoints(points(s, d), 0.0, 0.0, 4.0, 2.0, 32, 32)
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // categorical rasterize (count_cat): sum of an integral value per
+    // (pixel, category) -> multi-channel image (rasterize.py:669-710).
+    "q31_rasterize_sum_cat" -> ((s, d) => {
+      RasterOps.rasterizePoints(points(s, d), 0.0, 0.0, 4.0, 2.0, 32, 32,
+        valueCol = Some("y"), aggFunc = "sum", categoryCol = Some("category"))
+        .orderBy(col("y"), col("x"), col("category"))
+    }),
+
+    // pyramid coarsen: 2x2 mean over integral pixel values
+    // (models.py:234-263 multiscale build).
+    "q32_pyramid_coarsen" -> ((s, d) => {
+      val pixels = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"),
+        (col("event_id") % 100).cast("double").as("value"))
+        .groupBy("y", "x").agg(sum(col("value")).as("value"))
+        .withColumn("c", lit(0))
+      RasterOps.coarsenImage(pixels).orderBy(col("y"), col("x"))
+        .select(col("y"), col("x"), col("value"))
+    }),
+
+    // order-0 affine resample: 2x upscale of a label grid via inverse-affine
+    // gather (rasterize.py:375-613).
+    "q33_affine_resample" -> ((s, d) => {
+      val src = s.range(32 * 32).select(
+        (col("id") / 32).cast("int").as("y"),
+        (col("id") % 32).cast("int").as("x"),
+        (col("id") % 13).as("label"))
+      RasterOps.affineResample(src, "label", Array(0.5, 0, 0, 0, 0.5, 0), 64, 64)
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // labels -> equal-area circles (vectorize.py:39-156): center = mean
+    // pixel coordinate, radius = sqrt(count/pi).
+    "q34_to_circles_labels" -> ((s, d) => {
+      Vectorize.labelsToCircles(eventLabels(s, d))
+        .orderBy(col("index"))
+    }),
+
+    // relabel_sequential (map.py:219-253): compact ids to 1..n, 0 stays.
+    "q35_relabel_sequential" -> ((s, d) => {
+      val lbl = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"),
+        (col("event_id") * 37 % 97).as("label"))
+      RasterOps.relabelSequential(lbl).orderBy(col("y"), col("x"), col("label"))
+    }),
+
+    // labels -> boundary polygons (vectorize.py:160-302): traced polygon
+    // area must equal the pixel count per label — an exact invariant of the
+    // edge-walk tracer, checkable in SQL.
+    "q36_to_polygons_area" -> ((s, d) => {
+      Vectorize.labelsToPolygons(eventLabels(s, d))
+        .select(col("index"), st_area(col("geometry")).as("area"))
+        .orderBy(col("index"))
+    }),
+
+    // unpad (reference _utils.py:71-160): strip zero margins, shift to origin.
+    "q37_unpad" -> ((s, d) => {
+      val pixels = Tables.events(s, d).select(
+        (col("event_id") % 40 + 7).cast("int").as("y"),
+        (col("user_id") % 40 + 3).cast("int").as("x"),
+        col("value").as("value"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("value"))
+      RasterOps.unpad(pixels).orderBy(col("y"), col("x"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q30_rasterize_points_count" ->
+      s"""SELECT CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 4.0) AS INT) AS x,
+         |  COUNT(*) AS value
+         |FROM ($pointsSql)
+         |WHERE FLOOR(x / 4.0) >= 0 AND FLOOR(x / 4.0) < 32
+         |  AND FLOOR(y / 2.0) >= 0 AND FLOOR(y / 2.0) < 32
+         |GROUP BY 1, 2 ORDER BY y, x""".stripMargin,
+    "q31_rasterize_sum_cat" ->
+      s"""SELECT CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 4.0) AS INT) AS x,
+         |  category, SUM(y) AS value
+         |FROM ($pointsSql)
+         |WHERE FLOOR(x / 4.0) >= 0 AND FLOOR(x / 4.0) < 32
+         |  AND FLOOR(y / 2.0) >= 0 AND FLOOR(y / 2.0) < 32
+         |GROUP BY 1, 2, 3 ORDER BY y, x, category""".stripMargin,
+    "q32_pyramid_coarsen" ->
+      """SELECT CAST(y // 2 AS INT) AS y, CAST(x // 2 AS INT) AS x, AVG(value) AS value
+        |FROM (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         SUM(CAST(event_id % 100 AS DOUBLE)) AS value
+        |  FROM events GROUP BY 1, 2)
+        |GROUP BY 1, 2 ORDER BY y, x""".stripMargin,
+    "q33_affine_resample" ->
+      """SELECT CAST(o.id // 64 AS INT) AS y, CAST(o.id % 64 AS INT) AS x,
+        |  (((o.id // 64) // 2) * 32 + ((o.id % 64) // 2)) % 13 AS label
+        |FROM range(4096) o(id) ORDER BY y, x""".stripMargin,
+    "q34_to_circles_labels" ->
+      s"""SELECT label AS index, AVG(x) AS x, AVG(y) AS y,
+         |  SQRT(COUNT(*) / PI()) AS radius
+         |FROM ($eventLabelsSql) WHERE label <> 0
+         |GROUP BY label ORDER BY index""".stripMargin,
+    "q35_relabel_sequential" ->
+      """WITH lbl AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         event_id * 37 % 97 AS label FROM events),
+        |m AS (SELECT label, DENSE_RANK() OVER (ORDER BY label) AS new FROM
+        |      (SELECT DISTINCT label FROM lbl WHERE label <> 0))
+        |SELECT lbl.y, lbl.x, COALESCE(m.new, 0) AS label
+        |FROM lbl LEFT JOIN m ON lbl.label = m.label
+        |ORDER BY y, x, label""".stripMargin,
+    "q36_to_polygons_area" ->
+      s"""SELECT label AS index, CAST(COUNT(*) AS DOUBLE) AS area
+         |FROM ($eventLabelsSql) WHERE label <> 0
+         |GROUP BY label ORDER BY index""".stripMargin,
+    "q37_unpad" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 40 + 7 AS INT) AS y, CAST(user_id % 40 + 3 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |ext AS (SELECT min(y) AS y0, min(x) AS x0 FROM px WHERE value <> 0)
+        |SELECT px.y - ext.y0 AS y, px.x - ext.x0 AS x, px.value
+        |FROM px, ext ORDER BY y, x""".stripMargin
+  )
+}

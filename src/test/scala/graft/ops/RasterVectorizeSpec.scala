@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.geom.GeomKernel
+import org.apache.spark.sql.functions._
+
+class RasterVectorizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pixelsToTiles/tilesToPixels round-trip") {
+    val pixels = Seq.tabulate(300)(i => (0, i / 20, i % 20, i.toDouble))
+      .toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 8)
+    val back = RasterOps.tilesToPixels(tiles, tileSize = 8)
+      .filter(col("value") =!= 0.0)
+      .select("y", "x", "value").as[(Int, Int, Double)].collect().toSet
+    val want = Seq.tabulate(300)(i => (i / 20, i % 20, i.toDouble))
+      .filter(_._3 != 0.0).toSet
+    assert(back == want)
+  }
+
+  test("mapRaster applies per-pixel kernel inside tiles") {
+    val pixels = Seq((0, 0, 0, 1.0), (0, 0, 1, 2.0)).toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 4)
+    val out = RasterOps.mapRaster(tiles)(_ + lit(10.0))
+    val vals = RasterOps.tilesToPixels(out, tileSize = 4)
+      .filter(col("y") === 0 && col("x") <= 1)
+      .orderBy("x").select("value").as[Double].collect().toSeq
+    assert(vals == Seq(11.0, 12.0))
+  }
+
+  test("mapRasterWithHalo sees neighbor tiles") {
+    // two adjacent 2x2 tiles; kernel returns sum of center + right-neighbor payloads
+    val pixels = (Seq.tabulate(4)(i => (0, i / 2, i % 2, 1.0)) ++
+      Seq.tabulate(4)(i => (0, i / 2, 2 + i % 2, 10.0))).toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 2)
+    val out = RasterOps.mapRasterWithHalo(tiles, tileSize = 2) { (h, w, px, halo) =>
+      val right = halo.get((0, 1)).map(_.sum).getOrElse(0.0)
+      px.map(_ + right)
+    }
+    val tile0 = RasterOps.tilesToPixels(out, tileSize = 2)
+      .filter(col("x") < 2).select("value").as[Double].collect().toSeq
+    assert(tile0 == Seq(41.0, 41.0, 41.0, 41.0)) // 1 + sum(right tile)=40
+  }
+
+  test("coarsen + subsample") {
+    val pixels = Seq((0, 0, 0, 1.0), (0, 0, 1, 3.0), (0, 1, 0, 5.0), (0, 1, 1, 7.0))
+      .toDF("c", "y", "x", "value")
+    val c = RasterOps.coarsenImage(pixels).select("value").as[Double].collect().toSeq
+    assert(c == Seq(4.0))
+    val lbl = Seq((0, 0, 1L), (0, 1, 2L), (1, 0, 3L), (1, 1, 4L)).toDF("y", "x", "label")
+    val s = RasterOps.subsampleLabels(lbl).select("label").as[Long].collect().toSeq
+    assert(s == Seq(1L))
+  }
+
+  test("affineResample order-0 identity and 2x upscale") {
+    val src = Seq((0, 0, 1L), (0, 1, 2L), (1, 0, 3L), (1, 1, 4L)).toDF("y", "x", "label")
+    // identity: inv = [1,0,0, 0,1,0]
+    val id = RasterOps.affineResample(src, "label", Array(1, 0, 0, 0, 1, 0), 2, 2)
+      .orderBy("y", "x").select("label").as[Long].collect().toSeq
+    assert(id == Seq(1L, 2L, 3L, 4L))
+    // 2x upscale: output 4x4, source pixel = out/2 -> inv scale 0.5
+    val up = RasterOps.affineResample(src, "label", Array(0.5, 0, 0, 0, 0.5, 0), 4, 4)
+      .orderBy("y", "x").select("label").as[Long].collect().toSeq
+    assert(up == Seq(1L, 1L, 2L, 2L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 3L, 3L, 4L, 4L))
+  }
+
+  test("relabelSequential compacts ids, keeps background") {
+    val lbl = Seq((0, 0, 0L), (0, 1, 500L), (1, 0, 7L), (1, 1, 500L)).toDF("y", "x", "label")
+    val got = RasterOps.relabelSequential(lbl).orderBy("y", "x")
+      .select("label").as[Long].collect().toSeq
+    assert(got == Seq(0L, 2L, 1L, 2L))
+  }
+
+  test("labelsToPolygons: rectangle, L-shape, donut, disconnected") {
+    // label 1: 2x3 rectangle; label 2: donut (3x3 minus center);
+    // label 3: two disconnected pixels
+    val px =
+      (for (y <- 0 until 2; x <- 0 until 3) yield (y, x, 1L)) ++
+      (for (y <- 10 to 12; x <- 10 to 12; if !(y == 11 && x == 11)) yield (y, x, 2L)) ++
+      Seq((20, 20, 3L), (20, 25, 3L))
+    val shapes = Vectorize.labelsToPolygons(px.toDF("y", "x", "label"))
+      .orderBy("index").collect()
+    val area = shapes.map(r => (r.getLong(0), GeomKernel.area(r.getAs[Array[Byte]](1))))
+    assert(area.toSeq == Seq((1L, 6.0), (2L, 8.0), (3L, 2.0)))
+    assert(shapes.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "polygon"), (2L, "polygon"), (3L, "multipolygon")))
+    // donut: centroid of the traced shape is the center of the ring
+    val donut = shapes(1).getAs[Array[Byte]](1)
+    assert(math.abs(GeomKernel.centroidX(donut) - 11.5) < 1e-9)
+    assert(math.abs(GeomKernel.centroidY(donut) - 11.5) < 1e-9)
+    // the hole is a real hole
+    assert(!GeomKernel.containsPoint(donut, 11.5, 11.5))
+    assert(GeomKernel.containsPoint(donut, 10.5, 10.5))
+  }
+
+  test("labelsToCircles equal-area invariant") {
+    val px = (for (y <- 0 until 4; x <- 0 until 4) yield (y, x, 9L)).toDF("y", "x", "label")
+    val r = Vectorize.labelsToCircles(px).select("radius").as[Double].collect()(0)
+    assert(math.abs(math.Pi * r * r - 16.0) < 1e-9)
+  }
+}
