@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.RelationalPack,
     graft.queries.SpatialPack,
     graft.queries.AggregatePack,
-    graft.queries.RasterPack
+    graft.queries.RasterPack,
+    graft.queries.PipelinePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * All hash primitives are md5-hex based so every stage is deterministic,
+  * engine-portable (verifiable against SQL oracles), and shuffle-friendly.
+  * Every operator is a groupBy/join — no driver materialization, no
+  * per-partition state; the LSH band join is the classic
+  * shingle -> minhash -> band -> bucket-join pipeline.
+  */
+object Dedup {
+
+  /** Normalized word array: lowercase, non-alphanumerics collapsed to
+    * single spaces, whitespace-split. The shared tokenizer for
+    * shingling/minhash/quality.
+    */
+  def words(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
+  /** k-word shingles: shingle i = words[i..i+k-1] joined by spaces. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = words(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(w) - k, lit(0))),
+        i => when(size(w) >= k, concat_ws(" ", slice(w, i + 1, lit(k))))),
+      s => s.isNotNull)
+  }
+
+  /** Exact dedup: hash the full text, keep the smallest id per hash
+    * (hash-groupBy; the 100 TB path is a shuffle on the 32-char hash).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    docs.withColumn("__h", md5(col(textCol)))
+      .groupBy(col("__h").as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Exact-dedup filter: keep one representative row per content hash. */
+  def exactFiltered(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature columns `mh0..mh{n-1}`: lexicographic-min md5 over
+    * seeded shingle hashes, h_j(s) = md5(j + ':' + s). The hex ordering is a
+    * valid random permutation family and portable across engines.
+    *
+    * Shingles are exploded to rows first and the minima are ONE partial
+    * aggregation — computing the signature as nested array expressions would
+    * inline the shingle expression numHashes x bands times in the plan
+    * (Catalyst has no cross-lambda CSE), and row-wise + map-side combine is
+    * also the right shape at scale.
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), k)).as("__s"))
+    val aggs = (0 until numHashes).map { j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("__s")))).as(s"mh$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: docs -> (band_id, band_key) rows; docs sharing a band key
+    * in any band are candidate near-duplicates
+    * (shingle->minhash->band->bucket-join).
+    */
+  def lshBands(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, textCol, idCol, k, numHashes)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(j => col(s"mh$j"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH: same key in >= 1 band.
+    * Returns (id_a < id_b, n_bands agreeing).
+    */
+  def lshCandidatePairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val b = lshBands(docs, textCol, idCol, k, numHashes, bands)
+    val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("band")).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity for a pair table (the verify stage
+    * after LSH candidates): |A ∩ B| / |A ∪ B| over distinct k-shingles.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), k)).as("shingle")).distinct()
+    val counts = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    // intersection via self-join on shingle
+    val shA = sh.select(col("__id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("__id").as("id_b"), col("shingle"))
+    val interCount = pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    pairs
+      .join(interCount, Seq("id_a", "id_b"), "left")
+      .join(counts.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), Seq("id_a"))
+      .join(counts.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        coalesce(col("__inter"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__inter"), lit(0L))))
+      .drop("__inter", "__na", "__nb")
+  }
+
+  /** SimHash fingerprint (16-bit, md5-derived): bit j of the fingerprint is
+    * the majority vote over words of bit j of the word hash, where word-hash
+    * bit j = parity of hex digit j of md5(word). Near-duplicates differ in
+    * few bits (compare with hamming distance).
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // words exploded once, md5 hashed once per word; 16 bit-majority sums in
+    // one partial aggregation (nested-lambda form would hash each word 16x).
+    val wordRows = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .withColumn("__h", md5(col("__w")))
+    val aggs = (0 until 16).map { j =>
+      sum(when(conv(substring(col("__h"), j + 1, 1), 16, 10).cast("int") % 2 === 1, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    val sums = wordRows.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 16).map(j =>
+      when(col(s"__b$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a restricted pair set
+    * (sampled or LSH-bucketed upstream): exact cosine via an ordered fold
+    * (deterministic), rounded for cross-engine stability.
+    */
+  def cosinePairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.0): DataFrame = {
+    val withNorm = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
+    val a = withNorm.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__norm").as("__na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__norm").as("__nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
+          (col("__na") * col("__nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

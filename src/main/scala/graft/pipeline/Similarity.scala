@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; the join is
+  * queries x corpus, fine when queries are a small batch). Scale path:
+  * random-hyperplane LSH — bucket by sign bits, search only same-bucket
+  * (plus optional multi-probe) candidates; the hyperplanes are
+  * md5-seeded so the index is deterministic and rebuildable anywhere.
+  */
+object Similarity {
+
+  private def norm2(v: org.apache.spark.sql.Column) =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
+
+  /** Exact top-k by cosine for each query vector. Ties break on corpus id
+    * (deterministic). Output: (query_id, vec_id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm2(col("__cv")))
+    val q = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm2(col("__qv")))
+    val scored = q.crossJoin(c)
+      .withColumn("cosine", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: md5-seeded value in
+    * [-0.5, 0.5) for (plane, dimension).
+    */
+  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
+    val h = md5(concat(lit(s"plane$plane:"), dim.cast("string")))
+    (conv(substring(h, 1, 6), 16, 10).cast("double") / lit(16777216.0)) - 0.5
+  }
+
+  /** Sign-bit bucket id from `numPlanes` hyperplanes. */
+  def lshBucket(vecCol: org.apache.spark.sql.Column, numPlanes: Int): org.apache.spark.sql.Column = {
+    val v = vecCol.cast("array<double>")
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (s, t) => s + t)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates = same bucket; exact cosine + top-k inside
+    * the bucket. Trades recall for a bucket-local join — the 100 TB path
+    * (the corpus shuffle is by bucket id, queries broadcast per bucket).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__bucket", lshBucket(col("__cv"), numPlanes))
+      .withColumn("__cn", norm2(col("__cv")))
+    val q = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__bucket", lshBucket(col("__qv"), numPlanes))
+      .withColumn("__qn", norm2(col("__qv")))
+    val scored = q.join(c, Seq("__bucket"))
+      .withColumn("cosine", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (a small broadcast table of (centroid_id, embedding)); ANN
+    * probes only the closest cells. Returns corpus annotated with cell id.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cent = centroids.select(col(centroidIdCol), col(vecCol).cast("array<double>").as("__c"))
+    val dist2 = aggregate(zip_with(col("__v"), col("__c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col(centroidIdCol))
+    c.crossJoin(broadcast(cent))
+      .withColumn("__d", dist2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(centroidIdCol), col("__d").as("dist2"))
+  }
+}

@@ -1,0 +1,303 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline correctness-gate queries (dedup, similarity,
+  * text analysis, multimodal plumbing) over `documents` / `embeddings`.
+  *
+  * Every hash primitive is md5-hex (identical in Spark and DuckDB), so even
+  * MinHash-LSH banding, SimHash and winnowing verify hash-exactly against
+  * the oracle. Cosines are rounded to 6 decimals on both engines (fold-order
+  * differences live at 1e-15).
+  */
+object PipelinePack extends QueryPack {
+
+  // shared SQL fragments mirroring Dedup.words / Dedup.shingles(k=3)
+  private val wordsSql =
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+  private def shinglesSql(w: String, k: Int) =
+    s"""CASE WHEN len($w) >= $k
+       |  THEN list_transform(range(1, len($w) - $k + 2),
+       |         i -> array_to_string(list_slice($w, i, i + $k - 1), ' '))
+       |  ELSE [] END""".stripMargin
+
+  // signature SQL: 12 lexicographic-min seeded md5 minhashes
+  private def sigSql(sh: String) =
+    (0 until 12).map(j =>
+      s"list_min(list_transform($sh, s -> md5('$j:' || s)))").mkString("[", ", ", "]")
+
+  private val bandsSqlCte =
+    s"""WITH w AS (
+       |  SELECT doc_id, ${shinglesSql(wordsSql, 3)} AS sh FROM documents),
+       |sig AS (
+       |  SELECT doc_id, ${sigSql("sh")} AS sig FROM w WHERE len(sh) > 0),
+       |bands AS (
+       |  SELECT doc_id, b.band,
+       |    md5(array_to_string(list_slice(sig, b.band * 3 + 1, b.band * 3 + 3), '|')) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: content-hash groupBy (keep min id, count copies)
+    "q40_exact_dedup" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("content_hash"))
+    }),
+
+    // token count + quality features + composite score
+    "q41_text_quality" -> ((s, d) => {
+      TextAnalysis.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+          "mean_word_len", "quality_score")
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH candidate pairs (shingle -> minhash -> band -> bucket join)
+    "q42_lsh_candidates" -> ((s, d) => {
+      Dedup.lshCandidatePairs(Tables.documents(s, d))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact n-gram Jaccard verification of the LSH candidates
+    "q43_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshCandidatePairs(docs).select("id_a", "id_b")
+      Dedup.ngramJaccard(docs, pairs)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash 16-bit fingerprints
+    "q44_simhash" -> ((s, d) => {
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // embedding-cosine near-duplicate pairs on a deterministic sample
+    "q45_cosine_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      Dedup.cosinePairs(emb, threshold = 0.2).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // brute-force cosine top-k ANN baseline
+    "q46_ann_topk" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (random-hyperplane sign buckets)
+    "q47_ann_lsh" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(corpus, queries, k = 5, numPlanes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // multimodal: batch "decode" of binary payloads (stubbed codec,
+    // real schema/batching)
+    "q48_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text", "image")
+      Multimodal.decodeBatch(media).orderBy(col("media_id"))
+    }),
+
+    // metadata-only resize planning on decoded dims
+    "q49_resize_plan" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text", "image")
+      Multimodal.resizePlan(Multimodal.decodeBatch(media), maxEdge = 256)
+        .select("media_id", "width", "height", "target_w", "target_h")
+        .orderBy(col("media_id"))
+    }),
+
+    // language-ID heuristic (stopword argmax)
+    "q50_language_id" -> ((s, d) => {
+      TextAnalysis.languageId(Tables.documents(s, d))
+        .select("doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "lang_pred")
+        .orderBy(col("doc_id"))
+    }),
+
+    // normalized-content fingerprint
+    "q51_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // winnowing sketch (k-gram rolling hash, per-window minimum)
+    "q52_winnowing" -> ((s, d) => {
+      TextAnalysis.winnowing(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("h"))
+    }),
+
+    // video frame-sampling plan (explode over generated frame indices)
+    "q53_frame_plan" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 0), "doc_id", "text", "video")
+      Multimodal.frameSamplePlan(media, nFrames = 4, stride = 3)
+        .orderBy(col("media_id"), col("frame_idx"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = {
+    // SimHash: 16 generated terms, bit j = parity of hex digit j of md5(word)
+    val simhashTerms = (0 until 16).map { j =>
+      s"""CASE WHEN list_sum(list_transform(w, t ->
+         |  CASE WHEN (strpos('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2 = 1
+         |       THEN 1 ELSE -1 END)) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+    // plane projection SQL for plane p over a 64-dim embedding e
+    def projSql(p: Int, e: String) =
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |  CAST($e[i + 1] AS DOUBLE) *
+         |  ((CAST('0x' || substr(md5('plane$p:' || i), 1, 6) AS BIGINT) / 16777216.0) - 0.5)))""".stripMargin
+    def bucketSql(e: String) = (0 until 8).map(p =>
+      s"CASE WHEN ${projSql(p, e)} >= 0 THEN ${1 << p} ELSE 0 END").mkString(" + ")
+
+    val dotSql =
+      """list_sum(list_transform(range(0, 64), i ->
+        |  CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)))""".stripMargin
+    val normSql = (t: String) =>
+      s"sqrt(list_sum(list_transform(range(0, 64), i -> CAST($t.embedding[i + 1] AS DOUBLE) * CAST($t.embedding[i + 1] AS DOUBLE))))"
+
+    Map(
+      "q40_exact_dedup" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+      "q41_text_quality" ->
+        """WITH f AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+          |    ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+          |    ROUND(CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+          |    ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+          |      GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6) AS mean_word_len
+          |  FROM documents)
+          |SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, mean_word_len,
+          |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) *
+          |        (1.0 - LEAST(punct_ratio * 4.0, 1.0) * 0.5) *
+          |        LEAST(mean_word_len / 4.0, 1.5) / 1.5, 6) AS quality_score
+          |FROM f ORDER BY doc_id""".stripMargin,
+      "q42_lsh_candidates" ->
+        s"""$bandsSqlCte
+           |SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(DISTINCT l.band) AS n_bands
+           |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+           |WHERE l.doc_id < r.doc_id
+           |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+      "q43_ngram_jaccard" ->
+        s"""$bandsSqlCte,
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+           |  WHERE l.doc_id < r.doc_id),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM w),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, COUNT(*) AS i
+           |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+           |               JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2)
+           |SELECT p.id_a AS id_a, p.id_b AS id_b,
+           |  CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0)) AS jaccard
+           |FROM pairs p
+           |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+           |JOIN cnt ca ON ca.doc_id = p.id_a
+           |JOIN cnt cb ON cb.doc_id = p.id_b
+           |ORDER BY p.id_a, p.id_b""".stripMargin,
+      "q44_simhash" ->
+        s"""SELECT doc_id, $simhashTerms AS simhash
+           |FROM (SELECT doc_id, $wordsSql AS w FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "q45_cosine_pairs" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) AS cosine
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) >= 0.2
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q46_ann_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 500 = 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ROUND((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))), 6) AS cosine
+           |  FROM q, embeddings c)
+           |SELECT query_id, vec_id, cosine, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "q47_ann_lsh" ->
+        s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 500 = 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ROUND((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))), 6) AS cosine
+           |  FROM q JOIN c ON q.bucket = c.bucket)
+           |SELECT query_id, vec_id, cosine, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "q48_multimodal_decode" ->
+        """SELECT doc_id AS media_id,
+          |  octet_length(encode(text)) % 512 + 1 AS width,
+          |  (octet_length(encode(text)) // 7) % 512 + 1 AS height,
+          |  octet_length(encode(text)) AS n_bytes
+          |FROM documents ORDER BY media_id""".stripMargin,
+      "q49_resize_plan" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    octet_length(encode(text)) % 512 + 1 AS width,
+          |    (octet_length(encode(text)) // 7) % 512 + 1 AS height
+          |  FROM documents)
+          |SELECT media_id, width, height,
+          |  CAST(CEIL(width * LEAST(256.0 / width, 256.0 / height, 1.0)) AS INT) AS target_w,
+          |  CAST(CEIL(height * LEAST(256.0 / width, 256.0 / height, 1.0)) AS INT) AS target_h
+          |FROM d ORDER BY media_id""".stripMargin,
+      "q50_language_id" ->
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    len(list_filter($wordsSql, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS hits_de,
+           |    len(list_filter($wordsSql, t -> t IN ('the','and','of','to','is','in','that','it','for','with'))) AS hits_en,
+           |    len(list_filter($wordsSql, t -> t IN ('el','la','los','de','que','es','en','una','por','con'))) AS hits_es,
+           |    len(list_filter($wordsSql, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS hits_fr
+           |  FROM documents)
+           |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           |  CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+           |       ELSE list_sort([
+           |         {'nh': -hits_de, 'o': 1, 'l': 'de'}, {'nh': -hits_en, 'o': 2, 'l': 'en'},
+           |         {'nh': -hits_es, 'o': 3, 'l': 'es'}, {'nh': -hits_fr, 'o': 4, 'l': 'fr'}])[1].l
+           |  END AS lang_pred
+           |FROM h ORDER BY doc_id""".stripMargin,
+      "q51_fingerprint" ->
+        s"""SELECT doc_id, md5(array_to_string($wordsSql, ' ')) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q52_winnowing" ->
+        s"""WITH n AS (
+           |  SELECT doc_id, array_to_string($wordsSql, ' ') AS norm FROM documents),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(1, GREATEST(length(norm) - 7, 1) + 1),
+           |    i -> md5(substr(norm, i, 8))) AS gh FROM n)
+           |SELECT DISTINCT doc_id,
+           |  unnest(list_distinct(list_transform(range(0, GREATEST(len(gh) - 4, 0) + 1),
+           |    w -> list_min(list_slice(gh, w + 1, w + 4))))) AS h
+           |FROM g ORDER BY doc_id, h""".stripMargin,
+      "q53_frame_plan" ->
+        """SELECT doc_id AS media_id, f.i AS frame_idx
+          |FROM documents, (SELECT unnest([0, 3, 6, 9]) AS i) f
+          |WHERE doc_id % 25 = 0 ORDER BY media_id, frame_idx""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "Completely different content about distributed query engines and shuffles"),
+    (4L, "The quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "la la la"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs)
+    val dups = d.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 1 && dups(0).getAs[Long]("keep_id") == 1L &&
+      dups(0).getAs[Long]("n_copies") == 2L)
+    assert(Dedup.exactFiltered(docs).count() == 4)
+  }
+
+  test("LSH finds the exact and near duplicates, not the distinct doc") {
+    val pairs = Dedup.lshCandidatePairs(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup likely
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, distinct low") {
+    val pairs = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.7)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: exact dup identical, near-dup close in hamming") {
+    val fp = Dedup.simhash(docs, "text", "doc_id")
+      .select("doc_id", "simhash").as[(Long, Int)].collect().toMap
+    assert(fp(1L) == fp(4L))
+    val ham = Integer.bitCount(fp(1L) ^ fp(2L))
+    assert(ham <= 6, s"near-dup hamming distance $ham")
+  }
+
+  test("cosine pairs and ANN agree with brute-force math") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(emb, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val q = emb.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.bruteForceTopK(emb, q, k = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("lsh ANN returns subset of brute-force candidates with exact scores") {
+    val emb = (1 to 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (qid, vid, c) => (qid, vid) -> c }.toMap
+    val lsh = Similarity.lshTopK(emb, q, 5, numPlanes = 4)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's cosine equals the exact brute-force cosine
+    lsh.foreach { case (qid, vid, c) =>
+      assert(brute.get((qid, vid)).forall(_ == c))
+    }
+    // self-match always in the same bucket
+    assert(lsh.exists { case (qid, vid, _) => qid == vid })
+  }
+
+  test("token counting and subword estimate") {
+    val t = Seq((1L, "Hello world, this is GPT4 speaking"), (2L, "  "), (3L, "one"))
+      .toDF("doc_id", "text")
+    val got = t.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.subwordCountEstimate(col("text")).as("sub"))
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(got.map(_._2) == Seq(6, 0, 1))
+    assert(got(0)._3 >= 7) // GPT|4 splits
+  }
+
+  test("language id picks the stopword-majority language") {
+    val t = Seq(
+      (1L, "the cat and the dog is in that house for it"),
+      (2L, "der hund und die katze ist nicht ein problem"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(t).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val t = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "HELLO WORLD?"))
+      .toDF("doc_id", "text")
+    val fps = t.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("multimodal decode batch + resize plan + features") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    val dec = Multimodal.decodeBatch(media)
+    assert(dec.count() == 5)
+    val plan = Multimodal.resizePlan(dec, maxEdge = 16)
+    val r = plan.filter(col("media_id") === 1).select("target_w", "target_h")
+      .as[(Int, Int)].collect()(0)
+    assert(r._1 <= 16 && r._2 <= 16)
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+      .select("features").as[Array[Float]].collect()
+    assert(feats.forall(_.length == 4))
+    // deterministic: same payload -> same features
+    val f = Multimodal.extractFeatures(media, dim = 4)
+      .orderBy("media_id").select("features").as[Array[Float]].collect()
+    assert(f(0).toSeq == f(3).toSeq) // docs 1 and 4 have identical text
+  }
+}
