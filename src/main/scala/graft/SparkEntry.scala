@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.SpatialPack,
     graft.queries.AggregatePack,
     graft.queries.RasterPack,
-    graft.queries.PipelinePack
+    graft.queries.PipelinePack,
+    graft.queries.ExtraPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

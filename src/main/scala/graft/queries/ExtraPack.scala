@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.model._
+import graft.ops.{RasterOps, TransformOps}
+import graft.query.RelationalQuery
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coverage-completion gate queries: geometric transforms, match_rows,
+  * map_raster through the tiled layout, rasterize_bins, and the event-time
+  * window/sessionization extensions.
+  */
+object ExtraPack extends QueryPack {
+
+  private def points(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") / 1000.0).as("x"),
+      col("l_quantity").as("y"))
+
+  private val pointsSql =
+    "SELECT l_orderkey, l_linenumber, l_extendedprice / 1000.0 AS x, l_quantity AS y FROM lineitem"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // transform(points, cs): generated affine projection (transform.py:429-503)
+    "q18_transform_points" -> ((s, d) => {
+      val t = SequenceT(List(
+        AffineT(Matrix(3, 3, Array(0.5, -0.25, 3.0, 0.25, 2.0, -1.0, 0, 0, 1)),
+          Seq("x", "y"), Seq("x", "y"))))
+      TransformOps.transformPoints(points(s, d), t)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // match_rows row-aligned annotation (relational_query.py:482-504)
+    "q19_match_rows" -> ((s, d) => {
+      val elem = points(s, d)
+      val obs = Tables.orders(s, d).select(
+        col("o_orderkey").as("instance_id"), col("o_totalprice"),
+        lit("li").as("region"))
+      RelationalQuery.matchTableToElement(elem, "l_orderkey", "li", obs,
+        TableAnnotation(Seq("li"), "region", "instance_id"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // map_raster through the tiled layout: pixels -> tiles -> per-pixel
+    // kernel -> pixels (map.py:22-156; zero-fill for absent cells in
+    // present tiles is tile semantics)
+    "q38_map_raster" -> ((s, d) => {
+      val pixels = Tables.events(s, d).select(
+        lit(0).as("c"),
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("c", "y", "x").agg(count(lit(1)).cast("double").as("value"))
+      val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 16)
+      RasterOps.tilesToPixels(RasterOps.mapRaster(tiles)(_ * 2.0 + 1.0), tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // rasterize_bins (rasterize_bins.py:31-237): grid-binned obs -> pixels
+    "q39_rasterize_bins" -> ((s, d) => {
+      val obs = Tables.orders(s, d).select(
+        (col("o_orderkey") % 30 + 5).as("bin_row"),
+        (col("o_custkey") % 40 + 2).as("bin_col"),
+        col("o_totalprice").cast("decimal(28,6)").as("v"))
+        .groupBy("bin_row", "bin_col")
+        .agg(sum(col("v")).cast("double").as("value"))
+      RasterOps.rasterizeBins(obs, "bin_row", "bin_col", "value")
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // event-time tumbling window aggregate (batch form of the streaming
+    // plan; SURVEY.md §2.9 extension)
+    "q55_event_windows" -> ((s, d) => {
+      EventStream.windowedCounts(Tables.eventsWithTs(s, d))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // sessionization (gaps-and-islands; streaming form =
+    // flatMapGroupsWithState)
+    "q56_sessionize" -> ((s, d) => {
+      EventStream.sessionize(Tables.eventsWithTs(s, d))
+        .orderBy(col("user_id"), col("session_seq"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q18_transform_points" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  (0.5 * x + -0.25 * y) + 3.0 AS x, (0.25 * x + 2.0 * y) + -1.0 AS y
+         |FROM ($pointsSql) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q19_match_rows" ->
+      s"""SELECT p.l_orderkey, p.l_linenumber, o.o_totalprice
+         |FROM ($pointsSql) p LEFT JOIN orders o ON p.l_orderkey = o.o_orderkey
+         |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
+    "q38_map_raster" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |tiles AS (SELECT DISTINCT y // 16 AS ty, x // 16 AS tx FROM px),
+        |cells AS (
+        |  SELECT CAST(t.ty * 16 + (c.i // 16) AS INT) AS y,
+        |         CAST(t.tx * 16 + (c.i % 16) AS INT) AS x
+        |  FROM tiles t, (SELECT unnest(range(0, 256)) AS i) c)
+        |SELECT cells.y, cells.x, COALESCE(px.value, 0.0) * 2.0 + 1.0 AS value
+        |FROM cells LEFT JOIN px ON px.y = cells.y AND px.x = cells.x
+        |ORDER BY cells.y, cells.x""".stripMargin,
+    "q39_rasterize_bins" ->
+      """WITH obs AS (
+        |  SELECT o_orderkey % 30 + 5 AS bin_row, o_custkey % 40 + 2 AS bin_col,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS value
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT min(bin_row) AS r0, min(bin_col) AS c0 FROM obs)
+        |SELECT CAST(obs.bin_row - m.r0 AS INT) AS y, CAST(obs.bin_col - m.c0 AS INT) AS x,
+        |  obs.value
+        |FROM obs, m ORDER BY y, x""".stripMargin,
+    "q55_event_windows" ->
+      """SELECT make_timestamp((epoch_ns(ts) // 1000) // 300000000 * 300000000) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q56_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS event_time FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_time,
+        |    CASE WHEN lag(event_time) OVER (PARTITION BY user_id ORDER BY event_time) IS NULL
+        |           OR epoch(event_time) - epoch(lag(event_time) OVER (PARTITION BY user_id ORDER BY event_time)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |seq AS (
+        |  SELECT user_id, event_time,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, min(event_time) AS session_start,
+        |  max(event_time) AS session_end, COUNT(*) AS n_events
+        |FROM seq GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+  )
+}

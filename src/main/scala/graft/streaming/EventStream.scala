@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time processing over the stream-shaped `events` table.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.9); this module is
+  * the scale-out extension: every aggregate is an incremental `groupBy`
+  * expressible identically in batch and Structured Streaming —
+  * `windowedCounts` runs on a static DataFrame, `streamingWindowedCounts`
+  * runs the same plan over `readStream` with a watermark.
+  */
+object EventStream {
+
+  /** ns-epoch long -> timestamp (micros precision). Integer `div`, not `/`:
+    * double division loses the low microsecond digits at ns magnitudes.
+    */
+  def tsFromNanos(nsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(
+      org.apache.spark.sql.graftbridge.Bridge.integralDivide(nsCol, lit(1000L)))
+
+  /** Tumbling event-time window aggregate (batch form): count + exact
+    * decimal sum per (window, event_type).
+    */
+  def windowedCounts(events: DataFrame, windowDuration: String = "5 minutes"): DataFrame =
+    events
+      .withColumn("event_time", tsFromNanos(col("ts")))
+      .groupBy(window(col("event_time"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** The same aggregation as an unbounded streaming query over a parquet
+    * directory source, with a watermark for state cleanup. Caller starts it
+    * with `.writeStream`(e.g. memory sink in tests; kafka/delta in prod).
+    */
+  def streamingWindowedCounts(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, windowDuration: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    spark.readStream.schema(schemaDDL).parquet(sourceDir)
+      .withColumn("event_time", tsFromNanos(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sessionization per user: events within `gapMinutes` of each other chain
+    * into one session (classic gaps-and-islands — batch form; the streaming
+    * form is flatMapGroupsWithState with a session timeout).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_time"))
+    events
+      .withColumn("event_time", tsFromNanos(col("ts")))
+      .withColumn("__prev", lag(col("event_time"), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_timestamp(col("event_time")) - unix_timestamp(col("__prev")) > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("__new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -16,6 +16,13 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Integer division (SQL `div`) — `/` on long columns is double division
+    * and loses low digits at int64 magnitudes.
+    */
+  def integralDivide(a: Column, b: Column): Column =
+    ExpressionUtils.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Codegen-friendly static method call: `clazz.fn(args...)`. */
   def staticInvoke(
       clazz: Class[_],

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class EventStreamSpec extends SparkTestBase {
+
+  private val schemaDDL =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  test("streaming windowed counts equal the batch plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // stage the events parquet as a stream source directory (ts as LONG ns)
+    Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+
+    val batch = EventStream.windowedCounts(spark.read.schema(schemaDDL).parquet(dir))
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    val q = EventStream.streamingWindowedCounts(spark, dir, schemaDDL)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("sessionize groups events by 30-minute gaps") {
+    import spark.implicits._
+    val ns = (m: Long) => m * 60L * 1000000000L
+    val events = Seq(
+      (1L, ns(0), 7L, "a", 1.0, ""), (2L, ns(10), 7L, "a", 1.0, ""),
+      (3L, ns(60), 7L, "a", 1.0, ""), // new session (50 min gap)
+      (4L, ns(5), 9L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStream.sessionize(events)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 1L, 2L), (7L, 2L, 1L), (9L, 1L, 1L)))
+  }
+}
