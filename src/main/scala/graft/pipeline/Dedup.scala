@@ -21,13 +21,33 @@ object Dedup {
   def words(text: Column): Column =
     split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
 
-  /** k-word shingles: shingle i = words[i..i+k-1] joined by spaces. */
+  /** k-word shingles: shingle i = words[i..i+k-1] joined by spaces.
+    * Array form — only for small/test use: the lambda re-evaluates the
+    * tokenizer per element (Catalyst inlines single-reference expressions
+    * into lambdas). Large-scale paths use [[shingleRows]].
+    */
   def shingles(text: Column, k: Int): Column = {
     val w = words(text)
     filter(
       transform(sequence(lit(0), greatest(size(w) - k, lit(0))),
         i => when(size(w) >= k, concat_ws(" ", slice(w, i + 1, lit(k))))),
       s => s.isNotNull)
+  }
+
+  /** k-word shingles as rows (id, shingle): tokenize ONCE per document,
+    * explode words with position, and assemble each shingle from window
+    * `lead`s — linear work, one shuffle by document id.
+    */
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = col("__w") +: (1 until k).map(o => lead(col("__w"), o).over(w))
+    docs
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+      .withColumn("__last", lead(col("__w"), k - 1).over(w))
+      .withColumn("shingle", concat_ws(" ", parts: _*))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("shingle"))
   }
 
   /** Exact dedup: hash the full text, keep the smallest id per hash
@@ -58,9 +78,9 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), k)).as("__s"))
+    val sh = shingleRows(docs, textCol, idCol, k)
     val aggs = (0 until numHashes).map { j =>
-      min(md5(concat(lit(j.toString), lit(":"), col("__s")))).as(s"mh$j")
+      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"mh$j")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -102,8 +122,8 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), k)).as("shingle")).distinct()
+    val sh = shingleRows(docs, textCol, idCol, k)
+      .withColumnRenamed(idCol, "__id").distinct()
     val counts = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
     // intersection via self-join on shingle
     val shA = sh.select(col("__id").as("id_a"), col("shingle"))

@@ -76,15 +76,18 @@ object AggregatePack extends QueryPack {
     // aggregate(points, by=circles, count + sum) — broadcast spatial join +
     // hash aggregate (aggregate.py:312-493; circle test is pure arithmetic).
     "q20_aggregate_points_by_circles" -> ((s, d) => {
+      // grid-bucketed join (cell ~ max radius): same pairs as broadcast,
+      // cell-local exact predicate instead of all-pairs nested loop
       Aggregate.pointsByShapes(points(s, d), circles(s, d),
-        valueKey = Some("y"), aggFunc = "sum")
+        valueKey = Some("y"), aggFunc = "sum", grid = Some(16.0))
         .orderBy(col("region_id"))
     }),
 
     // categorical aggregation -> long-form X (count per region x category,
     // aggregate.py:454-488).
     "q21_aggregate_categorical" -> ((s, d) => {
-      Aggregate.pointsByShapesCategorical(points(s, d), circles(s, d), "category")
+      Aggregate.pointsByShapesCategorical(points(s, d), circles(s, d), "category",
+        grid = Some(16.0))
         .orderBy(col("region_id"), col("var_name"))
     }),
 
