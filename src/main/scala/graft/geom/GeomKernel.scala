@@ -298,6 +298,70 @@ object GeomKernel {
     WKB.write(GPolygon(Array(ring)))
   }
 
+  // ---- rasterization support ----
+
+  /** Scanline fill: packed (y << 32 | x) ids of grid cells whose CENTER lies
+    * inside the geometry, on the grid cell (px,py) -> world
+    * (x0 + px*sx .. +sx, y0 + py*sy .. +sy), clipped to [0,w) x [0,h)
+    * (datashader Canvas.polygons semantics, reference rasterize.py:616-743).
+    * Returns Catalyst ArrayData so `st_cover_cells` can explode it in-plan.
+    */
+  def coverCells(wkb: Array[Byte], x0: Double, y0: Double, sx: Double,
+      sy: Double, width: Int, height: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    def fillPolygon(p: GPolygon): Unit = {
+      val env = p.envelope
+      val pyMin = math.max(0, math.floor((env(1) - y0) / sy).toInt)
+      val pyMax = math.min(height - 1, math.ceil((env(3) - y0) / sy).toInt)
+      var py = pyMin
+      while (py <= pyMax) {
+        val yc = y0 + (py + 0.5) * sy
+        // x-intersections of all ring edges with the scanline (even-odd)
+        val xs = new scala.collection.mutable.ArrayBuffer[Double]()
+        p.rings.foreach { ring =>
+          val n = ring.length / 2
+          var i = 0
+          while (i < n) {
+            val j = (i + 1) % n
+            val y1 = ring(2 * i + 1); val y2 = ring(2 * j + 1)
+            if ((y1 > yc) != (y2 > yc)) {
+              val x1 = ring(2 * i); val x2 = ring(2 * j)
+              xs += x1 + (yc - y1) * (x2 - x1) / (y2 - y1)
+            }
+            i += 1
+          }
+        }
+        val sorted = xs.sorted
+        var k = 0
+        while (k + 1 < sorted.length) {
+          val pxMin = math.max(0, math.ceil((sorted(k) - x0) / sx - 0.5).toInt)
+          val pxMax = math.min(width - 1, math.floor((sorted(k + 1) - x0) / sx - 0.5).toInt)
+          var px = pxMin
+          while (px <= pxMax) {
+            out += (py.toLong << 32) | px.toLong
+            px += 1
+          }
+          k += 2
+        }
+        py += 1
+      }
+    }
+    WKB.read(wkb) match {
+      case GPoint(x, y) =>
+        val px = math.floor((x - x0) / sx).toInt
+        val py = math.floor((y - y0) / sy).toInt
+        if (px >= 0 && px < width && py >= 0 && py < height)
+          out += (py.toLong << 32) | px.toLong
+      case p: GPolygon => fillPolygon(p)
+      case GMultiPolygon(ps) =>
+        ps.foreach(fillPolygon)
+        // de-dup cells covered by several members
+        val distinct = out.distinct
+        out.clear(); out ++= distinct
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   // ---- clipping (Sutherland–Hodgman; clip polygon must be convex) ----
 
   private def clipRingByConvex(subject: Array[Double], clip: Array[Double]): Array[Double] = {

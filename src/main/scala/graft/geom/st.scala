@@ -65,6 +65,13 @@ object st {
   def st_buffer_point(x: Column, y: Column, radius: Column, quadSegs: Column): Column =
     inv(B, "bufferPoint", Seq(D, D, D, IntegerType), nullable = false, x, y, radius, quadSegs)
 
+  /** Packed (y<<32|x) grid cells whose center the geometry covers. */
+  def st_cover_cells(geom: Column, x0: Column, y0: Column, sx: Column,
+      sy: Column, width: Column, height: Column): Column =
+    inv(ArrayType(LongType, containsNull = false), "coverCells",
+      Seq(B, D, D, D, D, IntegerType, IntegerType), nullable = false,
+      geom, x0, y0, sx, sy, width, height)
+
   /** Clip by a convex polygon; null when the intersection is empty. */
   def st_clip_convex(geom: Column, clip: Column): Column =
     inv(B, "clipByConvex", Seq(B, B), nullable = true, geom, clip)

@@ -148,6 +148,26 @@ object RasterOps {
       .agg(Aggregate.reduction(aggFunc, col("__v")).as("value"))
   }
 
+  /** Shapes -> raster via scanline fill (datashader Canvas.polygons,
+    * rasterize.py:616-743): every shape emits its covered cells (geometry
+    * kernel, exploded in-plan), then one groupBy reduces per pixel.
+    * Default reduction: min over the shape index — deterministic
+    * first-wins labels (`_default_agg_func`, rasterize.py:746-761).
+    */
+  def rasterizeShapes(shapes: DataFrame, x0: Double, y0: Double,
+      sx: Double, sy: Double, width: Int, height: Int,
+      valueCol: Option[String] = None, aggFunc: String = "min"): DataFrame = {
+    import graft.geom.st._
+    val cells = shapes.select(
+      valueCol.map(col).getOrElse(col("index")).as("__sv"),
+      explode(st_cover_cells(col("geometry"), lit(x0), lit(y0), lit(sx), lit(sy),
+        lit(width), lit(height))).as("__cell"))
+    cells.groupBy(
+        shiftrightunsigned(col("__cell"), 32).cast("int").as("y"),
+        (col("__cell").bitwiseAND(lit(0xFFFFFFFFL))).cast("int").as("x"))
+      .agg(Aggregate.reduction(aggFunc, col("__sv")).as("value"))
+  }
+
   /** rasterize_bins (rasterize_bins.py:31-237): grid-binned table values ->
     * sparse pixels, 1px per bin, origin at the min bin.
     */

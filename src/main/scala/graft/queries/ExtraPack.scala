@@ -85,6 +85,43 @@ object ExtraPack extends QueryPack {
     "q56_sessionize" -> ((s, d) => {
       EventStream.sessionize(Tables.eventsWithTs(s, d))
         .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // shapes -> raster via scanline fill, min-index labels
+    // (rasterize.py:616-743)
+    "q58_rasterize_shapes" -> ((s, d) => {
+      val boxes = Models.ShapesModel.parse(
+        Tables.supplier(s, d).select(
+          col("s_suppkey").as("index"),
+          ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+          ((col("s_suppkey") * 3) % 40).cast("double").as("y0"))
+          .withColumn("geometry", graft.geom.st.st_make_box(
+            col("x0"), col("y0"), col("x0") + 8.0, col("y0") + 6.0))
+          .withColumn("geom_type", lit("polygon")))
+      graft.ops.RasterOps.rasterizeShapes(boxes, 0.0, 0.0, 1.0, 1.0, 60, 50)
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // multi-box batch bounding-box query: one scan, OR of range predicates
+    // (vectorized bounding_box_query, spatial_query.py:458-505)
+    "q59_bbox_multibox" -> ((s, d) => {
+      graft.query.SpatialQuery.boundingBoxPointsMulti(points(s, d), IdentityT,
+        Seq("x", "y"), Seq(
+          (Seq(5.0, 5.0), Seq(15.0, 15.0)),
+          (Seq(60.0, 30.0), Seq(90.0, 45.0))))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // labels pixel masking: zero out labels not annotated by the table
+    // (relational_query.py:1112-1156)
+    "q60_mask_labels" -> ((s, d) => {
+      val labels = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"),
+        (col("event_id") % 50).as("label"))
+      val keep = Tables.supplier(s, d).select(col("s_suppkey"))
+      RelationalQuery.maskLabelsByInstances(labels, keep)
+        .orderBy(col("y"), col("x"), col("label"))
     })
   )
 
@@ -140,6 +177,29 @@ object ExtraPack extends QueryPack {
         |  FROM flagged)
         |SELECT user_id, session_seq, min(event_time) AS session_start,
         |  max(event_time) AS session_end, COUNT(*) AS n_events
-        |FROM seq GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+        |FROM seq GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    // cell center (x+0.5, y+0.5) inside box [x0, x0+8] x [y0, y0+6]
+    "q58_rasterize_shapes" ->
+      """WITH b AS (
+        |  SELECT s_suppkey AS index, CAST((s_suppkey * 7) % 50 AS DOUBLE) AS x0,
+        |    CAST((s_suppkey * 3) % 40 AS DOUBLE) AS y0 FROM supplier),
+        |g AS (SELECT CAST(id // 60 AS INT) AS y, CAST(id % 60 AS INT) AS x
+        |      FROM range(3000) t(id)),
+        |hit AS (
+        |  SELECT g.y, g.x, b.index FROM g JOIN b
+        |  ON g.x + 0.5 >= b.x0 AND g.x + 0.5 <= b.x0 + 8.0
+        |  AND g.y + 0.5 >= b.y0 AND g.y + 0.5 <= b.y0 + 6.0
+        |  WHERE g.y < 50)
+        |SELECT y, x, min(index) AS value FROM hit GROUP BY 1, 2 ORDER BY y, x""".stripMargin,
+    "q59_bbox_multibox" ->
+      s"""SELECT * FROM ($pointsSql)
+         |WHERE (x > 5.0 AND x < 15.0 AND y > 5.0 AND y < 15.0)
+         |   OR (x > 60.0 AND x < 90.0 AND y > 30.0 AND y < 45.0)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q60_mask_labels" ->
+      """SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |  CASE WHEN event_id % 50 IN (SELECT s_suppkey FROM supplier)
+        |       THEN event_id % 50 ELSE 0 END AS label
+        |FROM events ORDER BY y, x, label""".stripMargin
   )
 }

@@ -120,6 +120,26 @@ object RelationalQuery {
     new SpatialDataset(sd.spark, sd.manifest, sd.elementData ++ newTables)
   }
 
+  /** Labels pixel filtering for right/inner joins: zero out pixels whose
+    * label is not annotated by the table (reference
+    * relational_query.py:1112-1156, blockwise np.isin -> 0; here a broadcast
+    * left join + conditional).
+    */
+  def maskLabelsByInstances(labels: DataFrame, keepIds: DataFrame): DataFrame = {
+    val keep = keepIds.select(col(keepIds.columns.head).cast("long").as("__keep")).distinct()
+    labels.join(broadcast(keep), labels("label") === col("__keep"), "left")
+      .withColumn("label", when(col("__keep").isNull, 0L).otherwise(col("label")))
+      .drop("__keep")
+  }
+
+  /** Which tables annotate an element (get_element_annotators,
+    * relational_query.py:38-59) — a manifest lookup.
+    */
+  def elementAnnotators(sd: SpatialDataset, elementName: String): Seq[String] =
+    sd.manifest.ofKind(ElementKind.Tables)
+      .filter(_.table.exists(_.region.contains(elementName)))
+      .map(_.name)
+
   /** Resolve a value key against element columns, obs columns, or X vars
     * (`get_values`, relational_query.py:981-1109). Returns a DataFrame of
     * (instance id, value).

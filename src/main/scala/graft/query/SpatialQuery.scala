@@ -268,6 +268,32 @@ object SpatialQuery {
       coalesce(st_clip_convex(col("geometry"), lit(intrinsicPoly)), col("geometry")))
   }
 
+  /** Multi-box batch query (the reference's vectorized bounding_box_query,
+    * spatial_query.py:458-505 with batched boxes): OR of per-box predicates
+    * — one scan, all boxes (parquet pruning still applies to the OR of
+    * ranges).
+    */
+  def boundingBoxPointsMulti(df: DataFrame, t: Transform, axes: Seq[String],
+      boxes: Seq[(Seq[Double], Seq[Double])]): DataFrame = {
+    require(boxes.nonEmpty, "need at least one box")
+    df.filter(boxes.map { case (mins, maxs) =>
+      boundingBoxPredicate(t, axes, mins, maxs)
+    }.reduce(_ || _))
+  }
+
+  /** Polygon query on rasters = bounding-box query on the polygon envelope
+    * (reference spatial_query.py:874-892).
+    */
+  def polygonQueryLabels(df: DataFrame, t: Transform, dims: Seq[String],
+      polyWkb: Array[Byte]): DataFrame = {
+    val env = WKB.read(polyWkb).envelope
+    // envelope is (minx, miny, maxx, maxy); map onto dims order (y,x)/(x,y)
+    val byAxis = Map("x" -> (env(0), env(2)), "y" -> (env(1), env(3)))
+    val mins = dims.map(d => byAxis(d)._1)
+    val maxs = dims.map(d => byAxis(d)._2)
+    boundingBoxLabels(df, t, dims, mins, maxs)
+  }
+
   // ---- container-level query (spatialdata.py:2466-2528 QueryManager) ----
 
   /** Bounding-box query over a whole container: every spatial element is

@@ -94,6 +94,21 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(GeomKernel.containsPoint(donut, 10.5, 10.5))
   }
 
+  test("rasterizeShapes scanline fill: triangle covers the expected cells") {
+    import graft.geom.{GPolygon, WKB}
+    import graft.model.Models
+    import graft.geom.st._
+    val tri = Models.ShapesModel.parse(Seq(
+      (5L, WKB.write(GPolygon(Array(Array(0.0, 0, 8, 0, 0, 8)))), "polygon"))
+      .toDF("index", "geometry", "geom_type"))
+    val got = RasterOps.rasterizeShapes(tri, 0.0, 0.0, 1.0, 1.0, 16, 16)
+      .select("y", "x").as[(Int, Int)].collect().toSet
+    // cell centers (x+.5, y+.5) with x>=0, y>=0, x+y<=8 (boundary-inclusive:
+    // a center exactly on the hypotenuse counts as covered)
+    val want = (for (y <- 0 to 7; x <- 0 to 7 - y) yield (y, x)).toSet
+    assert(got == want)
+  }
+
   test("labelsToCircles equal-area invariant") {
     val px = (for (y <- 0 until 4; x <- 0 until 4) yield (y, x, 9L)).toDF("y", "x", "label")
     val r = Vectorize.labelsToCircles(px).select("radius").as[Double].collect()(0)
