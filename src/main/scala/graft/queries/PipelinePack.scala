@@ -77,14 +77,14 @@ object PipelinePack extends QueryPack {
 
     // embedding-cosine near-duplicate pairs on a deterministic sample
     "q45_cosine_pairs" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 25 === 0)
       Dedup.cosinePairs(emb, threshold = 0.2).orderBy(col("id_a"), col("id_b"))
     }),
 
     // brute-force cosine top-k ANN baseline
     "q46_ann_topk" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
-      val queries = corpus.filter(col("vec_id") % 500 === 0)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.bruteForceTopK(corpus, queries, k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -93,7 +93,7 @@ object PipelinePack extends QueryPack {
     // LSH-bucketed ANN (random-hyperplane sign buckets)
     "q47_ann_lsh" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
-      val queries = corpus.filter(col("vec_id") % 500 === 0)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(corpus, queries, k = 5, numPlanes = 8)
         .orderBy(col("query_id"), col("rank"))
@@ -217,14 +217,14 @@ object PipelinePack extends QueryPack {
            |FROM (SELECT doc_id, $wordsSql AS w FROM documents)
            |ORDER BY doc_id""".stripMargin,
       "q45_cosine_pairs" ->
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0)
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |  ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) AS cosine
            |FROM e a JOIN e b ON a.vec_id < b.vec_id
            |WHERE ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) >= 0.2
            |ORDER BY id_a, id_b""".stripMargin,
       "q46_ann_topk" ->
-        s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 500 = 0),
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
            |scored AS (
            |  SELECT q.query_id, c.vec_id,
            |    ROUND((list_sum(list_transform(range(0, 64), i ->
@@ -238,7 +238,7 @@ object PipelinePack extends QueryPack {
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "q47_ann_lsh" ->
         s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 500 = 0),
+           |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),
            |scored AS (
            |  SELECT q.query_id, c.vec_id,
            |    ROUND((list_sum(list_transform(range(0, 64), i ->
