@@ -161,18 +161,22 @@ object ExtraPack extends QueryPack {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // gap compare in integer MICROSECONDS + event_id tiebreak, mirroring
+    // EventStream.sessionize exactly (second-truncated epoch() would split
+    // 1800.x s gaps differently between the engines)
     "q56_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS event_time FROM events),
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS event_time FROM events),
         |flagged AS (
-        |  SELECT user_id, event_time,
-        |    CASE WHEN lag(event_time) OVER (PARTITION BY user_id ORDER BY event_time) IS NULL
-        |           OR epoch(event_time) - epoch(lag(event_time) OVER (PARTITION BY user_id ORDER BY event_time)) > 1800
+        |  SELECT user_id, event_id, ts_us, event_time,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
-        |  FROM e),
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |seq AS (
         |  SELECT user_id, event_time,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_time
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged)
         |SELECT user_id, session_seq, min(event_time) AS session_start,

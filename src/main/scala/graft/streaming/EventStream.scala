@@ -54,13 +54,20 @@ object EventStream {
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_time"))
+    // Gap compare runs on integer MICROSECONDS (the native precision of the
+    // timestamps), never on second-truncated unix_timestamp: a 1800.4 s gap
+    // must split on both engines. event_id tiebreaks equal timestamps so the
+    // window order is total.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__ts_us"), col("event_id"))
     events
-      .withColumn("event_time", tsFromNanos(col("ts")))
-      .withColumn("__prev", lag(col("event_time"), 1).over(w))
+      .withColumn("__ts_us",
+        org.apache.spark.sql.graftbridge.Bridge.integralDivide(col("ts"), lit(1000L)))
+      .withColumn("event_time", timestamp_micros(col("__ts_us")))
+      .withColumn("__prev", lag(col("__ts_us"), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev").isNull ||
-          unix_timestamp(col("event_time")) - unix_timestamp(col("__prev")) > gapMinutes * 60L, 1)
+          col("__ts_us") - col("__prev") > gapMinutes * 60L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("__new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
