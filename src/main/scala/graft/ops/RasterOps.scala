@@ -228,13 +228,23 @@ object RasterOps {
           .bitwiseOR(spark_partition_id().cast("long"))))
 
   /** Compact ids to 1..n by rank over distinct labels
-    * (relabel_sequential, map.py:219-253). The distinct set is small; the
-    * remap joins back broadcast.
+    * (relabel_sequential, map.py:219-253). Rank assignment is a
+    * range-partitioned sort + zipWithIndex (per-partition offsets), NOT an
+    * unpartitioned window — 10^8 distinct labels would funnel through one
+    * task under `row_number().over(Window.orderBy(...))`. The remap joins
+    * back broadcast.
     */
   def relabelSequential(labels: DataFrame): DataFrame = {
-    val distinctLabels = labels.select("label").filter(col("label") =!= 0).distinct()
-      .withColumn("__new", row_number().over(Window.orderBy(col("label"))).cast("long"))
-    labels.join(broadcast(distinctLabels), Seq("label"), "left")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = labels.sparkSession
+    val distinctSorted = labels.select("label").filter(col("label") =!= 0)
+      .distinct().orderBy("label")
+    val rankedRdd = distinctSorted.rdd.zipWithIndex
+      .map { case (r, i) => Row(r.get(0), i + 1L) }
+    val ranked = spark.createDataFrame(rankedRdd,
+      StructType(distinctSorted.schema.fields :+ StructField("__new", LongType)))
+    labels.join(broadcast(ranked), Seq("label"), "left")
       .withColumn("label", coalesce(col("__new"), lit(0L)))
       .drop("__new")
   }

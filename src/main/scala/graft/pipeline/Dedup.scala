@@ -160,21 +160,53 @@ object Dedup {
     sums.select(col(idCol), fp.as("simhash"))
   }
 
-  /** Embedding-cosine near-duplicate pairs over a restricted pair set
-    * (sampled or LSH-bucketed upstream): exact cosine via an ordered fold
-    * (deterministic), rounded for cross-engine stability.
+  /** Embedding-cosine near-duplicate pairs, LSH-bucket gated: candidate
+    * pairs come from `bands` independent random-hyperplane sign buckets
+    * (`numPlanes` planes each — OR-amplification, the classic recall knob),
+    * so every join is a bucket equi-join. NO all-pairs product anywhere:
+    * at 100 TB the shuffle is by bucket id and the per-bucket work is
+    * |bucket|^2, bounded by the bucket granularity you pick. Exact cosine
+    * via an ordered fold (deterministic), rounded for cross-engine
+    * stability; duplicates across bands collapse with one distinct.
     */
   def cosinePairs(emb: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", threshold: Double = 0.0): DataFrame = {
+      vecCol: String = "embedding", threshold: Double = 0.0,
+      numPlanes: Int = 2, bands: Int = 2): DataFrame = {
     val withNorm = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
-    val a = withNorm.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__norm").as("__na"))
-    val b = withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__norm").as("__nb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val perBand = (0 until bands).map { band =>
+      val bucketed = withNorm.withColumn("__bucket",
+        Similarity.lshBucket(col("__v"), numPlanes, planeOffset = band * numPlanes))
+      val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
+        col("__v").as("__va"), col("__norm").as("__na"))
+      val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
+        col("__v").as("__vb"), col("__norm").as("__nb"))
+      a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(
+          aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
+            (col("__na") * col("__nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+    perBand.reduce(_ unionAll _).distinct()
+  }
+
+  /** Exact cosine for a caller-supplied candidate pair table (the verify
+    * stage when candidates come from elsewhere — LSH bands, ANN, sampling).
+    * Two id-equi-joins against the vector table; no product.
+    */
+  def cosineForPairs(emb: DataFrame, pairs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withNorm = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
+    pairs
+      .join(withNorm.select(col(idCol).as("id_a"), col("__v").as("__va"),
+        col("__norm").as("__na")), Seq("id_a"))
+      .join(withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+        col("__norm").as("__nb")), Seq("id_b"))
       .withColumn("cosine", round(
         aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
           (col("__na") * col("__nb")), 6))
-      .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

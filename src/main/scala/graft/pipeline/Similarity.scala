@@ -39,20 +39,35 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: md5-seeded value in
-    * [-0.5, 0.5) for (plane, dimension).
+    * [-0.5, 0.5) for (plane, dimension). Computed ON THE DRIVER — the weights
+    * are row-independent constants, so hashing them per input row (the naive
+    * expression form) would cost planes x dims md5 calls per row for values
+    * that never change. All steps are IEEE-exact and identical to the SQL
+    * `CAST('0x'||substr(md5(...),1,6) AS BIGINT)/16777216.0 - 0.5`: a 24-bit
+    * integer and a power-of-two divisor have exact double representations.
     */
-  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
-    val h = md5(concat(lit(s"plane$plane:"), dim.cast("string")))
-    (conv(substring(h, 1, 6), 16, 10).cast("double") / lit(16777216.0)) - 0.5
+  private[pipeline] def planeWeight(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$plane:$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0 - 0.5
   }
 
-  /** Sign-bit bucket id from `numPlanes` hyperplanes. */
-  def lshBucket(vecCol: org.apache.spark.sql.Column, numPlanes: Int): org.apache.spark.sql.Column = {
+  private val MaxDims = 64
+
+  /** Sign-bit bucket id from `numPlanes` hyperplanes, plane indices starting
+    * at `planeOffset` (for banded amplification). The plane matrix is baked
+    * into the plan as array literals; the projection is a pure zip_with-sum
+    * inside whole-stage codegen. Vectors up to [[MaxDims]] dims supported
+    * (weights are sliced to the row's length, so mixed-length inputs work).
+    */
+  def lshBucket(vecCol: org.apache.spark.sql.Column, numPlanes: Int,
+      planeOffset: Int = 0): org.apache.spark.sql.Column = {
     val v = vecCol.cast("array<double>")
     val bits = (0 until numPlanes).map { p =>
+      val w = typedlit((0 until MaxDims).map(i => planeWeight(planeOffset + p, i)))
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
+        zip_with(v, slice(w, lit(1), size(v)), (x, c) => x * c),
         lit(0.0), (s, t) => s + t)
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }

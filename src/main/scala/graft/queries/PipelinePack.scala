@@ -75,9 +75,11 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // embedding-cosine near-duplicate pairs on a deterministic sample
+    // embedding-cosine near-duplicate pairs on a deterministic sample,
+    // candidate-gated by 2 bands of 2-plane LSH sign buckets (no all-pairs
+    // product anywhere in the plan — see PlanShapeSpec)
     "q45_cosine_pairs" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 25 === 0)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
       Dedup.cosinePairs(emb, threshold = 0.2).orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -216,13 +218,22 @@ object PipelinePack extends QueryPack {
         s"""SELECT doc_id, $simhashTerms AS simhash
            |FROM (SELECT doc_id, $wordsSql AS w FROM documents)
            |ORDER BY doc_id""".stripMargin,
-      "q45_cosine_pairs" ->
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0)
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |  ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) AS cosine
-           |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |WHERE ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) >= 0.2
-           |ORDER BY id_a, id_b""".stripMargin,
+      "q45_cosine_pairs" -> {
+        // band b = 2 planes at global indices (2b, 2b+1) — mirrors
+        // Dedup.cosinePairs(numPlanes = 2, bands = 2)
+        def bandSql(band: Int, e: String) = (0 until 2).map(p =>
+          s"CASE WHEN ${projSql(band * 2 + p, e)} >= 0 THEN ${1 << p} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+           |bk AS (SELECT vec_id, embedding, ${bandSql(0, "embedding")} AS b0,
+           |  ${bandSql(1, "embedding")} AS b1 FROM e),
+           |scored AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) AS cosine
+           |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+           |SELECT DISTINCT id_a, id_b, cosine FROM scored
+           |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
+      },
       "q46_ann_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
            |scored AS (

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions for the pipeline operators that must never produce
+  * an all-pairs product: every candidate-generation stage joins on a bucket
+  * key (equi-join), so the physical plan contains no CartesianProduct and no
+  * BroadcastNestedLoopJoin. `bruteForceTopK` is the one intentional product
+  * (the exact small-query-batch baseline) and is excluded.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = (1 to 200).map(i =>
+    (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.37 + d * 1.7).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  private def assertNoProduct(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"BroadcastNestedLoopJoin in:\n$plan")
+  }
+
+  test("cosinePairs is bucket-gated: no product join in the plan") {
+    assertNoProduct(Dedup.cosinePairs(emb, threshold = 0.5))
+  }
+
+  test("cosinePairs finds near-identical vectors through the bucket gate") {
+    val nearDup = Seq(
+      (1001L, Array.tabulate(16)(d => math.sin(7 * 0.37 + d * 1.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.cosinePairs(emb.unionAll(nearDup), threshold = 0.999999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((7L, 1001L)), s"identical pair not found: $got")
+  }
+
+  test("cosineForPairs computes exact cosine over supplied pairs only") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.cosineForPairs(emb, pairs)
+    assertNoProduct(got)
+    assert(got.count() == 2)
+  }
+
+  test("lshTopK joins corpus to queries on bucket only") {
+    val q = emb.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assertNoProduct(Similarity.lshTopK(emb, q, k = 3, numPlanes = 4))
+  }
+
+  test("lsh candidate pairs join on band key only") {
+    val docs = (1 to 50).map(i => (i.toLong,
+      s"document number $i with some shared vocabulary across documents ${i % 5}"))
+      .toDF("doc_id", "text")
+    assertNoProduct(Dedup.lshCandidatePairs(docs))
+  }
+
+  test("relabelSequential has no unpartitioned window in the plan") {
+    val lbl = Seq((0, 0, 10L), (0, 1, 20L), (1, 0, 0L), (1, 1, 10L))
+      .toDF("y", "x", "label")
+    val out = graft.ops.RasterOps.relabelSequential(lbl)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "window node present — rank must come from zipWithIndex")
+    val got = out.orderBy("y", "x").select("label").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 0L, 1L))
+  }
+}
