@@ -64,12 +64,19 @@ object Aggregate {
   }
 
   /** Shapes-by-shapes with optional `fractions=True` weighting: value *
-    * intersection_area / value_area (aggregate.py:435-450).
+    * intersection_area / value_area (aggregate.py:435-450). `gridCell`
+    * selects the grid-bucketed join (big-by-big; cell ~ median envelope
+    * edge) instead of broadcasting the `by` side.
     */
   def shapesByShapes(by: DataFrame, values: DataFrame, valueKey: String,
-      aggFunc: String = "sum", fractions: Boolean = false): DataFrame = {
-    val joined = SpatialJoin.shapesIntersectShapes(by, values,
-      withIntersectionArea = fractions)
+      aggFunc: String = "sum", fractions: Boolean = false,
+      gridCell: Option[Double] = None): DataFrame = {
+    val joined = gridCell match {
+      case Some(cell) => SpatialJoin.shapesIntersectShapesGrid(by, values, cell,
+        withIntersectionArea = fractions)
+      case None => SpatialJoin.shapesIntersectShapes(by, values,
+        withIntersectionArea = fractions)
+    }
     val v =
       if (fractions) col(valueKey) * col("intersection_area") / col("value_area")
       else col(valueKey)

@@ -81,17 +81,57 @@ object SpatialJoin {
     */
   def shapesIntersectShapes(by: DataFrame, values: DataFrame,
       withIntersectionArea: Boolean = false): DataFrame = {
-    val l = by.select(col("index").as("region_id"),
+    val l = prepLeft(by)
+    val r = prepRight(values)
+    val joined = r.join(broadcast(l),
+      coarseOverlap && st_intersects(col("__lg"), col("__rg")), "inner")
+    finishPairs(joined, withIntersectionArea)
+  }
+
+  /** Grid-bucketed shapes-by-shapes for big-by-big (the fallback when the
+    * `by` side is too large to broadcast — mirrors [[pointsInShapesGrid]]).
+    * Both sides explode their envelopes onto grid cells and meet in a plain
+    * shuffle equi-join on the cell id. A pair whose envelopes overlap meets
+    * in EVERY cell both envelopes cover; it is kept only in the canonical
+    * cell (the one holding the lower-left corner of the envelope
+    * intersection), so no distinct/dedup shuffle is needed.
+    */
+  def shapesIntersectShapesGrid(by: DataFrame, values: DataFrame, cell: Double,
+      withIntersectionArea: Boolean = false): DataFrame = {
+    def cells(minC: org.apache.spark.sql.Column, maxC: org.apache.spark.sql.Column) =
+      sequence(floor(minC / cell).cast("long"), floor(maxC / cell).cast("long"))
+    val l = prepLeft(by)
+      .withColumn("__cellx", explode(cells(col("__lminx"), col("__lmaxx"))))
+      .withColumn("__celly", explode(cells(col("__lminy"), col("__lmaxy"))))
+    val r = prepRight(values)
+      .withColumn("__cellx", explode(cells(col("minx"), col("maxx"))))
+      .withColumn("__celly", explode(cells(col("miny"), col("maxy"))))
+    val canonical =
+      col("__cellx") === floor(greatest(col("__lminx"), col("minx")) / cell).cast("long") &&
+        col("__celly") === floor(greatest(col("__lminy"), col("miny")) / cell).cast("long")
+    val joined = r.join(l, Seq("__cellx", "__celly"))
+      .filter(coarseOverlap && canonical && st_intersects(col("__lg"), col("__rg")))
+      .drop("__cellx", "__celly")
+    finishPairs(joined, withIntersectionArea)
+  }
+
+  private def prepLeft(by: DataFrame): DataFrame =
+    by.select(col("index").as("region_id"),
       col("geometry").as("__lg"), col("minx").as("__lminx"), col("miny").as("__lminy"),
       col("maxx").as("__lmaxx"), col("maxy").as("__lmaxy"))
-    // values side keeps its payload columns (the aggregation input)
-    val r = values
+
+  // values side keeps its payload columns (the aggregation input)
+  private def prepRight(values: DataFrame): DataFrame =
+    values
       .withColumnRenamed("index", "value_id")
       .withColumnRenamed("geometry", "__rg")
       .drop("geom_type", "radius")
-    val coarse = col("__lminx") <= col("maxx") && col("minx") <= col("__lmaxx") &&
+
+  private def coarseOverlap: org.apache.spark.sql.Column =
+    col("__lminx") <= col("maxx") && col("minx") <= col("__lmaxx") &&
       col("__lminy") <= col("maxy") && col("miny") <= col("__lmaxy")
-    val joined = r.join(broadcast(l), coarse && st_intersects(col("__lg"), col("__rg")), "inner")
+
+  private def finishPairs(joined: DataFrame, withIntersectionArea: Boolean): DataFrame = {
     val out = if (withIntersectionArea)
       joined.withColumn("intersection_area",
         st_intersection_area_convex(col("__rg"), col("__lg")))

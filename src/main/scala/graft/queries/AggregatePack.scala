@@ -143,19 +143,23 @@ object AggregatePack extends QueryPack {
       t.data.orderBy(col("region"), col("c_custkey"))
     }),
 
-    // shapes-by-shapes: box-box intersection join + sum (aggregate.py:423-452).
+    // shapes-by-shapes: box-box intersection join + sum (aggregate.py:423-452)
+    // via the grid-bucketed path (the big-by-big strategy; broadcast variant
+    // is pinned equivalent in AggregateSpec).
     "q26_shapes_by_shapes" -> ((s, d) => {
       val vals = valBoxes(s, d).withColumn("value", col("value").cast("decimal(28,6)"))
-      Aggregate.shapesByShapes(byBoxes(s, d), vals, "value", "sum")
+      Aggregate.shapesByShapes(byBoxes(s, d), vals, "value", "sum",
+        gridCell = Some(8.0))
         .withColumn("value", col("value").cast("double"))
         .orderBy(col("region_id"))
     }),
 
     // fractions=True: value weighted by intersection_area / value_area
-    // through the convex-clip kernel (aggregate.py:429-450).
+    // through the convex-clip kernel (aggregate.py:429-450), grid path.
     "q27_shapes_fractions" -> ((s, d) => {
       val vals = valBoxes(s, d)
-      Aggregate.shapesByShapes(byBoxes(s, d), vals, "value", "sum", fractions = true)
+      Aggregate.shapesByShapes(byBoxes(s, d), vals, "value", "sum",
+        fractions = true, gridCell = Some(8.0))
         .withColumn("value", round(col("value"), 6))
         .orderBy(col("region_id"))
     })

@@ -69,4 +69,32 @@ class AggregateSpec extends SparkTestBase {
       .orderBy("region_id").select("value").as[Double].collect().toSeq
     assert(got == Seq(4.0, 4.0))
   }
+
+  test("shapes-shapes grid join matches broadcast join for every cell size") {
+    // 40 value boxes of assorted sizes against 12 by-regions; straddling,
+    // containment, disjoint and shared-edge cases all present
+    val by = Models.ShapesModel.parse(Seq.tabulate(12)(i =>
+      (i.toLong, (i % 4) * 9.0, (i / 4) * 11.0))
+      .toDF("index", "x0", "y0")
+      .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+        col("x0") + 10.0, col("y0") + 12.0))
+      .withColumn("geom_type", lit("polygon")).drop("x0", "y0"))
+    val values = Models.ShapesModel.parse(Seq.tabulate(40)(i =>
+      (i.toLong, (i * 3.7) % 30.0, (i * 2.3) % 28.0, 1.0 + i % 5, i * 1.5))
+      .toDF("index", "x0", "y0", "w", "value")
+      .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+        col("x0") + col("w"), col("y0") + col("w") * 0.8))
+      .withColumn("geom_type", lit("polygon")).drop("x0", "y0", "w"))
+    val broadcastPairs = SpatialJoin.shapesIntersectShapes(by, values, withIntersectionArea = true)
+      .select("region_id", "value_id", "intersection_area")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(broadcastPairs.nonEmpty)
+    for (cell <- Seq(3.0, 8.0, 25.0)) {
+      val gridPairs = SpatialJoin.shapesIntersectShapesGrid(by, values, cell,
+        withIntersectionArea = true)
+        .select("region_id", "value_id", "intersection_area")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gridPairs == broadcastPairs, s"cell=$cell mismatch")
+    }
+  }
 }
