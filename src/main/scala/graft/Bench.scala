@@ -24,7 +24,22 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        // noop write materializes EVERY row and column — `.count()` would let
+        // Catalyst prune all projection columns, under-measuring
+        // projection-heavy queries. The gate queries' TOP-LEVEL orderBy is
+        // oracle plumbing (deterministic compare), not operator semantics —
+        // the reference's asv bench returns unsorted results too — so a
+        // top-level global Sort is stripped before timing.
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.analyzed match {
+            case org.apache.spark.sql.catalyst.plans.logical.Sort(_, true, child, _) => child
+            case p => p
+          }
+          org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
+            .write.mode("overwrite").format("noop").save()
+        }
+        catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()

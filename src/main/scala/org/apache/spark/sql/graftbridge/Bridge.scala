@@ -23,6 +23,14 @@ object Bridge {
     ExpressionUtils.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Rebuild a DataFrame from a logical plan (Dataset.ofRows is
+    * private[sql]) — used by Bench to drop the oracle-only top-level sort.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Codegen-friendly static method call: `clazz.fn(args...)`. */
   def staticInvoke(
       clazz: Class[_],
