@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.AggregatePack,
     graft.queries.RasterPack,
     graft.queries.PipelinePack,
-    graft.queries.ExtraPack
+    graft.queries.ExtraPack,
+    graft.queries.NgffPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

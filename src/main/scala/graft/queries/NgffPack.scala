@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.model._
+import graft.ops.RasterOps
+import graft.sources.NgffRaster
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OME-NGFF/zarr ingest gates: build a raster from the `events` table,
+  * persist it as a zarr v2 multiscale group, read it back with the
+  * task-parallel chunk reader, and verify pixel-exact content against
+  * DuckDB computing the same raster directly from `events`
+  * (mirroring `reference/tests/io/test_readwrite.py` round-trips).
+  *
+  * The store round-trip is deterministic, so the oracle never needs to see
+  * the zarr bytes — equality of the read-back pixels with the directly-
+  * computed raster IS the round-trip proof.
+  */
+object NgffPack extends QueryPack {
+
+  private def tmp(tag: String, d: String): String = {
+    val h = java.lang.Integer.toHexString(d.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ngff_${tag}_$h"
+  }
+
+  // 2-channel 64x64 image from events: value = count per (c, y, x) cell
+  private def eventPixels(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      (col("event_id") % 2).cast("int").as("c"),
+      (col("event_id") % 64).cast("int").as("y"),
+      (col("user_id") % 64).cast("int").as("x"))
+      .groupBy("c", "y", "x").agg(count(lit(1)).cast("double").as("value"))
+
+  private val eventPixelsSql =
+    """SELECT CAST(event_id % 2 AS INT) AS c, CAST(event_id % 64 AS INT) AS y,
+      |       CAST(user_id % 64 AS INT) AS x, CAST(COUNT(*) AS DOUBLE) AS value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // write multiscale NGFF (zstd chunks) -> read back -> bbox crop ->
+    // per-channel aggregate. Tiles are dense within present 16x16 chunks,
+    // so zero-filled cells are excluded to compare against the sparse SQL
+    // raster (io_raster.py:162-233 read, :261-573 write).
+    "q61_ngff_roundtrip" -> ((s, d) => {
+      val dir = tmp("rt", d)
+      val tiles = RasterOps.pixelsToTiles(eventPixels(s, d), tileSize = 16)
+      NgffRaster.write(tiles, dir, "events_img", tileSize = 16,
+        transforms = Map("global" -> ScaleT(Seq(0.5, 0.5), Seq("x", "y"))),
+        channels = Seq("even", "odd"))
+      val (back, meta) = NgffRaster.read(s, dir)
+      require(meta.transforms("global") == ScaleT(Seq(0.5, 0.5), Seq("x", "y")),
+        "transform metadata did not round-trip")
+      require(meta.channels == Seq("even", "odd"), "channels did not round-trip")
+      RasterOps.tilesToPixels(back, tileSize = 16)
+        .filter(col("value") =!= 0.0)
+        .filter(col("y") >= 8 && col("y") < 40 && col("x") >= 8 && col("x") < 40)
+        .groupBy("c")
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("total"),
+          sum((col("y") * 64 + col("x")) * col("value").cast("decimal(28,6)"))
+            .cast("double").as("pos_weighted"))
+        .orderBy("c")
+    }),
+
+    // rank-2 labels store (<i4 chunks, zlib): write -> read -> histogram
+    "q62_ngff_labels" -> ((s, d) => {
+      val dir = tmp("lab", d)
+      val labels = Tables.events(s, d).select(
+        lit(0).as("c"),
+        (col("event_id") % 48).cast("int").as("y"),
+        (col("user_id") % 48).cast("int").as("x"),
+        (col("event_id") % 9).cast("double").as("label"))
+        .groupBy("c", "y", "x").agg(max("label").as("value"))
+      val tiles = RasterOps.pixelsToTiles(labels, tileSize = 16)
+      NgffRaster.write(tiles, dir, "events_lab", tileSize = 16,
+        axes = Seq("y", "x"), dtype = "<i4", compressorId = "zlib", isLabels = true)
+      val (back, meta) = NgffRaster.read(s, dir)
+      require(meta.isLabels, "image-label marker did not round-trip")
+      RasterOps.tilesToPixels(back, tileSize = 16)
+        .filter(col("value") =!= 0.0)
+        .groupBy(col("value").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_px"))
+        .orderBy("label")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q61_ngff_roundtrip" ->
+      s"""WITH px AS ($eventPixelsSql)
+         |SELECT c, COUNT(*) AS n_px,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+         |  CAST(SUM((y * 64 + x) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS pos_weighted
+         |FROM px
+         |WHERE y >= 8 AND y < 40 AND x >= 8 AND x < 40
+         |GROUP BY c ORDER BY c""".stripMargin,
+    "q62_ngff_labels" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 48 AS INT) AS y, CAST(user_id % 48 AS INT) AS x,
+        |         MAX(event_id % 9) AS label
+        |  FROM events GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS n_px FROM px
+        |WHERE label <> 0 GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,335 @@
+package graft.sources
+
+import graft.model._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** OME-NGFF (zarr v2) multiscale raster ingest and write, Spark-first.
+  *
+  * The reference reads a multiscale group into a dask-backed DataTree
+  * (`reference/src/spatialdata/_io/io_raster.py:162-233`: multiscales
+  * metadata -> per-scale arrays -> transformations from the ngff dict) and
+  * writes one zarr array per pyramid level plus multiscales/omero attrs
+  * (`io_raster.py:261-573`, transform attrs via
+  * `_io/_utils.py:83-138`). Here the same store maps onto the engine's
+  * tiled layout `(scale, c, tile_y, tile_x, h, w, px)`:
+  *
+  *  - READ: the driver parses only JSON metadata (`.zattrs`, `.zarray`);
+  *    the chunk grid becomes a DataFrame of chunk descriptors and each
+  *    TASK reads + decodes its chunks — at 100 TB the store is scanned by
+  *    a thousand executors in parallel, no driver materialization.
+  *    Chunks absent from the store are `fill_value` (zarr semantics) and
+  *    are skipped, keeping sparse rasters sparse.
+  *  - WRITE: one zarr chunk per tile row, written from `foreachPartition`
+  *    (task-parallel); the driver writes only the group/array JSON.
+  *
+  * Supported: rank-3 `(c, y, x)` images and rank-2 `(y, x)` labels, any
+  * zarr numeric dtype, zlib/zstd write compression, blosc/zlib/gzip/zstd
+  * read compression. `z` axes are out of scope (matching the engine's 2D
+  * raster layouts, SURVEY.md §1.5).
+  */
+object NgffRaster {
+
+  /** Per-scale store info surfaced to callers. */
+  final case class ScaleInfo(path: String, meta: Zarr.ArrayMeta, scaleFactors: Seq[Double])
+
+  /** Parsed group metadata (the driver-side planning surface). */
+  final case class NgffMeta(
+      name: String,
+      axes: Seq[String],
+      scales: Seq[ScaleInfo],
+      transforms: Map[String, Transform],
+      channels: Seq[String],
+      isLabels: Boolean)
+
+  val TileSchema: StructType = StructType(Seq(
+    StructField("scale", IntegerType, nullable = false),
+    StructField("c", IntegerType, nullable = false),
+    StructField("tile_y", IntegerType, nullable = false),
+    StructField("tile_x", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("px", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  // ---- transforms <-> NGFF dicts (transformations in multiscales[0]) ----
+
+  private def transformToNgff(cs: String, t: Transform): JValue = t match {
+    case IdentityT => ("type" -> "identity") ~ ("output" -> (("name" -> cs): JObject))
+    case ScaleT(v, ax) =>
+      ("type" -> "scale") ~ ("scale" -> v) ~ ("axes" -> ax) ~
+        ("output" -> (("name" -> cs): JObject))
+    case TranslationT(v, ax) =>
+      ("type" -> "translation") ~ ("translation" -> v) ~ ("axes" -> ax) ~
+        ("output" -> (("name" -> cs): JObject))
+    case AffineT(m, in, out) =>
+      ("type" -> "affine") ~
+        ("affine" -> (0 until m.rows).map(r =>
+          (0 until m.cols).map(c => m.data(r * m.cols + c)).toSeq).toSeq) ~
+        ("input_axes" -> in) ~ ("output_axes" -> out) ~
+        ("output" -> (("name" -> cs): JObject))
+    case MapAxisT(m) =>
+      ("type" -> "mapAxis") ~ ("map" -> m) ~ ("output" -> (("name" -> cs): JObject))
+    case SequenceT(ts) =>
+      ("type" -> "sequence") ~ ("transformations" -> ts.map(transformToNgff(cs, _))) ~
+        ("output" -> (("name" -> cs): JObject))
+  }
+
+  private def transformFromNgff(j: JValue, spatialAxes: Seq[String]): Transform = {
+    implicit val fmt: Formats = DefaultFormats
+    def axesOf(field: String): Seq[String] = (j \ field) match {
+      case JNothing | JNull => spatialAxes
+      case a => a.extract[Seq[String]]
+    }
+    (j \ "type").extract[String] match {
+      case "identity" => IdentityT
+      case "scale" => ScaleT((j \ "scale").extract[Seq[Double]], axesOf("axes"))
+      case "translation" =>
+        TranslationT((j \ "translation").extract[Seq[Double]], axesOf("axes"))
+      case "affine" =>
+        val rows = (j \ "affine").extract[Seq[Seq[Double]]]
+        AffineT(Matrix(rows.length, rows.head.length, rows.flatten.toArray),
+          axesOf("input_axes"), axesOf("output_axes"))
+      case "mapAxis" => MapAxisT((j \ "map").extract[Map[String, String]])
+      case "sequence" =>
+        SequenceT((j \ "transformations").asInstanceOf[JArray].arr
+          .map(transformFromNgff(_, spatialAxes)))
+      case other => sys.error(s"unknown ngff transform type '$other'")
+    }
+  }
+
+  // ---- write ----
+
+  /** Write a tiled raster DataFrame as an OME-NGFF zarr v2 group.
+    *
+    * `tiles` must follow the engine layout (`scale,c,tile_y,tile_x,h,w,px`)
+    * with one tile per (scale, c, tile_y, tile_x); chunking is
+    * `(1, tileSize, tileSize)` (rank 3) or `(tileSize, tileSize)` (rank 2,
+    * `axes = Seq("y","x")`, all `c` must be 0). Absent tiles become absent
+    * chunks (= `fill_value` 0 on read): sparse in, sparse stored.
+    */
+  def write(tiles: DataFrame, groupDir: String, name: String,
+      tileSize: Int, axes: Seq[String] = Seq("c", "y", "x"),
+      transforms: Map[String, Transform] = Map("global" -> IdentityT),
+      channels: Seq[String] = Nil, dtype: String = "<f8",
+      compressorId: String = "zstd", isLabels: Boolean = false): Unit = {
+    require(axes == Seq("c", "y", "x") || axes == Seq("y", "x"),
+      s"unsupported axes $axes")
+    val rank2 = axes == Seq("y", "x")
+    val spark = tiles.sparkSession
+    import org.apache.spark.sql.functions._
+
+    val gd = new Path(groupDir)
+    val fs = gd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(gd)) fs.delete(gd, true)
+    fs.mkdirs(gd)
+
+    // per-scale extents: a tiny driver-side aggregate (the same planning
+    // metadata the reference computes from dask shapes)
+    val stats = tiles.groupBy(col("scale"))
+      .agg(max(col("c")).as("maxc"),
+        max(col("tile_y") * tileSize + col("h")).as("maxy"),
+        max(col("tile_x") * tileSize + col("w")).as("maxx"))
+      .collect().map(r => (r.getInt(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    require(stats.nonEmpty, "cannot write an empty raster")
+    val scaleIds = stats.keys.toSeq.sorted
+    require(scaleIds == (0 until stats.size), s"scales must be 0..n, got $scaleIds")
+
+    val comp = Some(Zarr.Compressor(compressorId, clevel = 3))
+    val metas: Seq[Zarr.ArrayMeta] = scaleIds.map { s =>
+      val (maxc, maxy, maxx) = stats(s)
+      val shape = if (rank2) Seq(maxy, maxx) else Seq(maxc + 1, maxy, maxx)
+      val chunks = if (rank2) Seq(tileSize, tileSize) else Seq(1, tileSize, tileSize)
+      Zarr.ArrayMeta(shape, chunks, dtype, comp, 0.0, "C", ".")
+    }
+
+    // task-parallel chunk writes: one file per tile, no two tasks share a file
+    val metasB = spark.sparkContext.broadcast(metas)
+    val groupDirB = groupDir
+    val tsB = tileSize
+    val rank2B = rank2
+    tiles.select("scale", "c", "tile_y", "tile_x", "h", "w", "px")
+      .foreachPartition { rows: Iterator[Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fsT = new Path(groupDirB).getFileSystem(conf)
+        rows.foreach { r =>
+          val (s, c, ty, tx) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+          val (h, w) = (r.getInt(4), r.getInt(5))
+          val px = r.getSeq[Double](6)
+          require(!rank2B || c == 0, "rank-2 store requires c == 0")
+          val m = metasB.value(s)
+          // pad the (h, w) payload into the full chunk extent, fill 0
+          val full = new Array[Double](tsB * tsB)
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) { full(yy * tsB + xx) = px(yy * w + xx); xx += 1 }
+            yy += 1
+          }
+          val key = if (rank2B) s"$ty.$tx" else s"$c.$ty.$tx"
+          val p = new Path(s"$groupDirB/$s/$key")
+          val out = fsT.create(p, true)
+          try out.write(Zarr.encodeChunk(full, m)) finally out.close()
+        }
+      }
+
+    // driver-side metadata: .zgroup, per-scale .zarray, group .zattrs
+    def writeText(p: String, text: String): Unit = {
+      val out = fs.create(new Path(p), true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    writeText(s"$groupDir/.zgroup", """{"zarr_format": 2}""")
+    scaleIds.foreach { s =>
+      fs.mkdirs(new Path(s"$groupDir/$s"))
+      writeText(s"$groupDir/$s/.zarray", Zarr.arrayMetaJson(metas(s)))
+    }
+    val axesJson: Seq[JValue] = axes.map {
+      case "c" => ("name" -> "c") ~ ("type" -> "channel")
+      case a => ("name" -> a) ~ ("type" -> "space")
+    }
+    val datasets: Seq[JValue] = scaleIds.map { s =>
+      val f = math.pow(2.0, s)
+      val factors = if (rank2) Seq(f, f) else Seq(1.0, f, f)
+      ("path" -> s.toString) ~
+        ("coordinateTransformations" -> Seq(
+          (("type" -> "scale") ~ ("scale" -> factors)): JValue))
+    }
+    val multiscales: JValue =
+      ("version" -> "0.4") ~ ("name" -> name) ~ ("axes" -> axesJson) ~
+        ("datasets" -> datasets) ~
+        ("coordinateTransformations" ->
+          transforms.toSeq.sortBy(_._1).map { case (cs, t) => transformToNgff(cs, t) })
+    var attrs: JObject = ("multiscales" -> Seq(multiscales))
+    if (isLabels) attrs = attrs ~ ("image-label" -> (("version" -> "0.4"): JObject))
+    else if (channels.nonEmpty)
+      attrs = attrs ~ ("omero" -> (("channels" ->
+        channels.map(l => (("label" -> l): JObject))): JObject))
+    attrs = attrs ~ ("spatialdata_attrs" -> (("version" -> "0.3"): JObject))
+    writeText(s"$groupDir/.zattrs", JsonMethods.pretty(JsonMethods.render(attrs)))
+  }
+
+  // ---- read ----
+
+  /** Parse the group metadata (driver-side, JSON only). */
+  def readMeta(spark: SparkSession, groupDir: String): NgffMeta = {
+    implicit val fmt: Formats = DefaultFormats
+    val gd = new Path(groupDir)
+    val fs = gd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readText(p: String): String = {
+      val in = fs.open(new Path(p))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+    val attrs = JsonMethods.parse(readText(s"$groupDir/.zattrs"))
+    val ms = (attrs \ "multiscales").asInstanceOf[JArray].arr.head
+    val axes = (ms \ "axes").asInstanceOf[JArray].arr
+      .map(a => (a \ "name").extract[String])
+    val spatialAxes = axes.filterNot(_ == "c")
+    val scales = (ms \ "datasets").asInstanceOf[JArray].arr.map { d =>
+      val path = (d \ "path").extract[String]
+      val meta = Zarr.parseArrayMeta(readText(s"$groupDir/$path/.zarray"))
+      val factors = (d \ "coordinateTransformations") match {
+        case JArray(ts) => ts.collectFirst {
+          case t if (t \ "type") == JString("scale") => (t \ "scale").extract[Seq[Double]]
+        }.getOrElse(meta.shape.map(_ => 1.0))
+        case _ => meta.shape.map(_ => 1.0)
+      }
+      ScaleInfo(path, meta, factors)
+    }
+    val transforms = (ms \ "coordinateTransformations") match {
+      case JArray(ts) => ts.flatMap { t =>
+        (t \ "output" \ "name") match {
+          case JString(cs) => Some(cs -> transformFromNgff(t, spatialAxes))
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty[String, Transform]
+    }
+    val channels = (attrs \ "omero" \ "channels") match {
+      case JArray(cs) => cs.map(c => (c \ "label").extract[String])
+      case _ => Nil
+    }
+    val isLabels = (attrs \ "image-label") != JNothing
+    NgffMeta((ms \ "name").extractOrElse[String](""), axes, scales, transforms,
+      channels, isLabels)
+  }
+
+  /** Read the multiscale store into the tiled layout. Only chunks present
+    * in the store produce rows (absent = all-`fill_value`); pass
+    * `scaleSelection` to read a subset of pyramid levels (partial read,
+    * matching the reference's lazy per-level access).
+    */
+  def read(spark: SparkSession, groupDir: String,
+      scaleSelection: Option[Seq[Int]] = None): (DataFrame, NgffMeta) = {
+    val meta = readMeta(spark, groupDir)
+    val wanted = scaleSelection.getOrElse(meta.scales.indices)
+    // driver-side: the chunk-grid descriptor list (indices only, no data)
+    val tasks: Seq[(Int, String, Int, Int, Int)] = wanted.flatMap { s =>
+      val sc = meta.scales(s)
+      val grid = sc.meta.gridShape
+      val (gc, gy, gx) = if (grid.length == 3) (grid(0), grid(1), grid(2))
+        else (1, grid(0), grid(1))
+      for (c <- 0 until gc; ty <- 0 until gy; tx <- 0 until gx)
+        yield (s, sc.path, c, ty, tx)
+    }
+    val groupDirB = groupDir
+    val metasB = spark.sparkContext.broadcast(meta.scales.map(s => s.path -> s.meta).toMap)
+    val taskDf = spark.createDataFrame(tasks).toDF("scale", "path", "cc", "ty", "tx")
+      .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+    val rows = taskDf.rdd.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fsT = new Path(groupDirB).getFileSystem(conf)
+      it.flatMap { r =>
+        val (s, path, cc, ty, tx) =
+          (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        val m = metasB.value(path)
+        val rank2 = m.shape.length == 2
+        val key = if (rank2) m.chunkKey(Seq(ty, tx)) else m.chunkKey(Seq(cc, ty, tx))
+        val p = new Path(s"$groupDirB/$path/$key")
+        if (!fsT.exists(p)) Iterator.empty
+        else {
+          val in = fsT.open(p)
+          val stored = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            bos.toByteArray
+          } finally in.close()
+          val full = Zarr.decodeChunk(stored, m)
+          val (shapeC, shapeY, shapeX) =
+            if (rank2) (1, m.shape(0), m.shape(1)) else (m.shape(0), m.shape(1), m.shape(2))
+          val (chC, chY, chX) =
+            if (rank2) (1, m.chunks(0), m.chunks(1)) else (m.chunks(0), m.chunks(1), m.chunks(2))
+          val h = math.min(chY, shapeY - ty * chY)
+          val w = math.min(chX, shapeX - tx * chX)
+          (0 until chC).iterator
+            .filter(ci => cc * chC + ci < shapeC)
+            .map { ci =>
+              val px = new Array[Double](h * w)
+              var yy = 0
+              while (yy < h) {
+                var xx = 0
+                while (xx < w) {
+                  px(yy * w + xx) = full((ci * chY + yy) * chX + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              Row(s, cc * chC + ci, ty, tx, h, w, px.toSeq)
+            }
+        }
+      }
+    }
+    (spark.createDataFrame(rows, TileSchema), meta)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model._
+import graft.ops.RasterOps
+import org.apache.spark.sql.functions._
+
+class NgffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-ngff").toString
+
+  test("zarr dtype codec round-trips every numeric dtype") {
+    val vals = Array(0.0, 1.0, 7.0, 250.0, 31000.0)
+    for (dt <- Seq("<u1", "<i1", "<u2", "<i2", "<u4", "<i4", "<i8", "<f4", "<f8", ">u2", ">f8")) {
+      val capped = if (dt.contains("1")) vals.map(math.min(_, 127.0)) else vals
+      val got = Zarr.decodeValues(Zarr.encodeValues(capped, dt), dt, capped.length)
+      assert(got.toSeq == capped.toSeq, s"dtype $dt")
+    }
+  }
+
+  test("zarr compressors round-trip (zlib, gzip, zstd) ") {
+    val raw = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    for (id <- Seq("zlib", "gzip", "zstd")) {
+      val c = Some(Zarr.Compressor(id, clevel = 3))
+      val got = Zarr.decompress(Zarr.compress(raw, c), c, raw.length, 8)
+      assert(got.toSeq == raw.toSeq, s"compressor $id")
+    }
+  }
+
+  test("blosc frame decode: memcpy mode and shuffled lz4 blocks") {
+    // hand-built frames following the public c-blosc1 header layout
+    val payload = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    def header(flags: Int, typesize: Int, nbytes: Int, blocksize: Int, cbytes: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(0, 2.toByte); bb.put(1, 1.toByte)
+      bb.put(2, flags.toByte); bb.put(3, typesize.toByte)
+      bb.putInt(4, nbytes); bb.putInt(8, blocksize); bb.putInt(12, cbytes)
+      bb.array()
+    }
+    // memcpy frame: flags bit1
+    val memcpyFrame = header(0x2, 8, 64, 64, 80) ++ payload
+    assert(Zarr.bloscDecode(memcpyFrame, 64).toSeq == payload.toSeq)
+
+    // one lz4 block with byte-shuffle: shuffle(typesize=8) then lz4-compress
+    val shuffled = {
+      val ts = 8; val nelem = payload.length / ts
+      val out = new Array[Byte](payload.length)
+      for (k <- 0 until ts; j <- 0 until nelem) out(k * nelem + j) = payload(j * ts + k)
+      out
+    }
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val comp = new Array[Byte](lz4.maxCompressedLength(shuffled.length))
+    val clen = lz4.compress(shuffled, 0, shuffled.length, comp, 0)
+    val bstart = 16 + 4 // header + one bstarts entry
+    val frame = java.nio.ByteBuffer
+      .allocate(bstart + 4 + clen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(header(0x1 | (1 << 5), 8, 64, 64, bstart + 4 + clen)) // shuffle + lz4
+      .putInt(bstart) // bstarts[0]
+      .putInt(clen) // block compressed length
+      .put(comp, 0, clen)
+      .array()
+    assert(Zarr.bloscDecode(frame, 64).toSeq == payload.toSeq)
+  }
+
+  test("ngff write -> read round-trips tiles, transforms and channels") {
+    val dir = tmpDir()
+    val pixels = Seq.tabulate(500)(i =>
+      (i % 2, i % 20, (i * 7) % 23, (i % 89 + 1).toDouble))
+      .toDF("c", "y", "x", "value")
+      .groupBy("c", "y", "x").agg(sum("value").as("value"))
+    val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 8)
+    val t = Map("global" -> ScaleT(Seq(2.0, 2.0), Seq("x", "y")),
+      "micron" -> TranslationT(Seq(1.5, -3.0), Seq("x", "y")))
+    NgffRaster.write(tiles, s"$dir/img", "img", tileSize = 8,
+      transforms = t, channels = Seq("ch0", "ch1"))
+    val (got, meta) = NgffRaster.read(spark, s"$dir/img")
+    assert(meta.axes == Seq("c", "y", "x"))
+    assert(meta.channels == Seq("ch0", "ch1"))
+    assert(meta.transforms == t)
+    assert(!meta.isLabels)
+    // pixel-exact round trip (compare via long-form)
+    val want = RasterOps.tilesToPixels(tiles, tileSize = 8)
+      .select("c", "y", "x", "value").as[(Int, Int, Int, Double)].collect().toSet
+    val back = RasterOps.tilesToPixels(got, tileSize = 8)
+      .select("c", "y", "x", "value").as[(Int, Int, Int, Double)].collect().toSet
+    assert(back == want)
+  }
+
+  test("rank-2 labels store round-trips with integer dtype") {
+    val dir = tmpDir()
+    val labels = Seq.tabulate(300)(i => (0, i % 21, (i * 5) % 19, (i % 6).toDouble))
+      .toDF("c", "y", "x", "value").groupBy("c", "y", "x").agg(max("value").as("value"))
+    val tiles = RasterOps.pixelsToTiles(labels, tileSize = 8)
+    NgffRaster.write(tiles, s"$dir/lab", "lab", tileSize = 8,
+      axes = Seq("y", "x"), dtype = "<i4", compressorId = "zlib", isLabels = true)
+    val (got, meta) = NgffRaster.read(spark, s"$dir/lab")
+    assert(meta.isLabels && meta.axes == Seq("y", "x"))
+    assert(meta.scales.head.meta.dtype == "<i4")
+    val want = RasterOps.tilesToPixels(tiles, tileSize = 8)
+      .select("y", "x", "value").as[(Int, Int, Double)].collect().toSet
+    val back = RasterOps.tilesToPixels(got, tileSize = 8)
+      .select("y", "x", "value").as[(Int, Int, Double)].collect().toSet
+    assert(back == want)
+  }
+
+  test("multiscale store: per-level .zarray, partial-scale read") {
+    val dir = tmpDir()
+    val pixels = Seq.tabulate(400)(i => (0, i % 16, (i * 3) % 16, 1.0 + i % 7))
+      .toDF("c", "y", "x", "value").groupBy("c", "y", "x").agg(sum("value").as("value"))
+    val pyr = RasterOps.buildPyramid(pixels, levels = 1)
+    val tiles = RasterOps.pixelsToTiles(pyr.filter(col("scale") === 0).drop("scale"), tileSize = 8)
+      .unionByName(RasterOps.pixelsToTiles(
+        pyr.filter(col("scale") === 1).drop("scale"), tileSize = 8, scale = 1))
+    NgffRaster.write(tiles, s"$dir/ms", "ms", tileSize = 8)
+    val meta = NgffRaster.readMeta(spark, s"$dir/ms")
+    assert(meta.scales.map(_.path) == Seq("0", "1"))
+    assert(meta.scales(1).scaleFactors == Seq(1.0, 2.0, 2.0))
+    val (onlyL1, _) = NgffRaster.read(spark, s"$dir/ms", scaleSelection = Some(Seq(1)))
+    assert(onlyL1.select("scale").distinct().as[Int].collect().toSeq == Seq(1))
+    val wantL1 = pyr.filter(col("scale") === 1)
+      .select("c", "y", "x", "value").as[(Int, Int, Int, Double)].collect().toSet
+    val backL1 = RasterOps.tilesToPixels(onlyL1, tileSize = 8)
+      .filter(col("value") =!= 0.0)
+      .select("c", "y", "x", "value").as[(Int, Int, Int, Double)].collect().toSet
+    assert(backL1 == wantL1)
+  }
+
+  test("reads the externally-generated zlib fixture (plain-python writer)") {
+    // not via getResource: sbt's resource copier drops dotfiles (.zattrs)
+    val dir = new java.io.File("src/test/resources/ngff/fixture_image").getAbsolutePath
+    val (tiles, meta) = NgffRaster.read(spark, dir)
+    assert(meta.channels == Seq("DAPI", "GFP"))
+    assert(meta.transforms == Map("global" -> ScaleT(Seq(2.0, 3.0), Seq("x", "y"))))
+    assert(meta.scales.head.meta.dtype == "<u2")
+    val px = RasterOps.tilesToPixels(tiles, tileSize = 4)
+    // every pixel matches the generator formula (c*1000 + y*31 + x*7) % 60000
+    val bad = px.filter(col("y") < 10 && col("x") < 12)
+      .filter(col("value") =!= (col("c") * 1000 + col("y") * 31 + col("x") * 7) % 60000)
+      .count()
+    assert(bad == 0)
+    val total = px.filter(col("y") < 10 && col("x") < 12)
+      .agg(sum("value")).as[Double].collect()(0)
+    assert(total == 162720.0) // checksum printed by the generator
+  }
+}
