@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.RasterPack,
     graft.queries.PipelinePack,
     graft.queries.ExtraPack,
-    graft.queries.NgffPack
+    graft.queries.NgffPack,
+    graft.queries.DataloaderPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
