@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.PipelinePack,
     graft.queries.ExtraPack,
     graft.queries.NgffPack,
-    graft.queries.DataloaderPack
+    graft.queries.DataloaderPack,
+    graft.queries.ExtentPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -184,11 +184,12 @@ object RasterOps {
   /** Inverse-affine gather on long-form pixels: for every output pixel the
     * source pixel is `floor(inv . (xo+0.5, yo+0.5))` (nearest); the gather
     * is an equi-join on source coordinates — a plain shuffle join Catalyst
-    * can plan at any scale.
+    * can plan at any scale. `keepCols` (e.g. the channel column) pass
+    * through the join into the output.
     */
   def affineResample(src: DataFrame, valueCol: String,
       inv: Array[Double], // row-major 2x3: xs = i00*xo + i01*yo + i02 ...
-      outWidth: Int, outHeight: Int): DataFrame = {
+      outWidth: Int, outHeight: Int, keepCols: Seq[String] = Nil): DataFrame = {
     val spark = src.sparkSession
     val outGrid = spark.range(outWidth.toLong * outHeight)
       .select((col("id") / outWidth).cast("int").as("yo"),
@@ -198,7 +199,69 @@ object RasterOps {
     outGrid.withColumn("__xs", xs).withColumn("__ys", ys)
       .join(src.withColumnRenamed("x", "__xs").withColumnRenamed("y", "__ys"),
         Seq("__xs", "__ys"), "inner")
-      .select(col("yo").as("y"), col("xo").as("x"), col(valueCol))
+      .select(keepCols.map(col) ++
+        Seq(col("yo").as("y"), col("xo").as("x"), col(valueCol)): _*)
+  }
+
+  /** Pyramid-level selection heuristic for rasterizing a multiscale raster
+    * (rasterize.py:406-451): walk levels coarsest -> finest and pick the
+    * first whose inverse-transformed bounding box spans at least
+    * `target * sqrt(n_axes)` source pixels on EVERY axis — the coarsest
+    * level that still oversamples the target by the sqrt(n) slack (the
+    * slack covers bbox rotation in intrinsic space). Falls back to the
+    * finest level when even it is too small. Pure driver math.
+    */
+  def selectPyramidLevel(numLevels: Int, levelToCs: graft.model.Transform,
+      minC: Seq[Double], maxC: Seq[Double],
+      targetWidth: Double, targetHeight: Double,
+      levelFactor: Double = 2.0): Int = {
+    val inv = levelToCs.toAffineMatrix(Seq("x", "y"), Seq("x", "y")).inverseMatrix
+    val corners = Seq((minC(0), minC(1)), (maxC(0), minC(1)),
+      (maxC(0), maxC(1)), (minC(0), maxC(1)))
+      .map { case (x, y) =>
+        (inv(0, 0) * x + inv(0, 1) * y + inv(0, 2),
+          inv(1, 0) * x + inv(1, 1) * y + inv(1, 2)) }
+    val sizeX = corners.map(_._1).max - corners.map(_._1).min
+    val sizeY = corners.map(_._2).max - corners.map(_._2).min
+    val slack = math.sqrt(2.0)
+    var lvl = numLevels - 1
+    while (lvl > 0) {
+      val f = math.pow(levelFactor, lvl)
+      if (sizeX / f >= targetWidth * slack && sizeY / f >= targetHeight * slack)
+        return lvl
+      lvl -= 1
+    }
+    0
+  }
+
+  /** Rasterize a (possibly multiscale) long-form raster into a target grid
+    * over a bounding box in `cs` coordinates (rasterize of rasters,
+    * rasterize.py:375-613): pick the pyramid level with
+    * [[selectPyramidLevel]], fold the level factor and the output-grid
+    * geometry into ONE inverse affine, and gather with [[affineResample]].
+    * Returns (pixels, chosenLevel).
+    */
+  def rasterizeRaster(pyramid: DataFrame, valueCol: String,
+      t: graft.model.Transform, minC: Seq[Double], maxC: Seq[Double],
+      targetWidth: Int, targetHeight: Int, numLevels: Int = 1,
+      keepCols: Seq[String] = Nil): (DataFrame, Int) = {
+    import graft.model.{ScaleT, Transform}
+    val lvl = selectPyramidLevel(numLevels, t, minC, maxC, targetWidth, targetHeight)
+    val f = math.pow(2.0, lvl)
+    // level px -> cs: scale by the level factor, then the element transform
+    val levelToCs = Transform.sequence(ScaleT(Seq(f, f), Seq("x", "y")), t)
+    val inv = levelToCs.toAffineMatrix(Seq("x", "y"), Seq("x", "y")).inverseMatrix
+    // output px -> cs: x_cs = minx + (xo + 0.5) * sx (then into the inverse)
+    val sx = (maxC(0) - minC(0)) / targetWidth
+    val sy = (maxC(1) - minC(1)) / targetHeight
+    val a = Array(
+      inv(0, 0) * sx, inv(0, 1) * sy,
+      inv(0, 0) * minC(0) + inv(0, 1) * minC(1) + inv(0, 2),
+      inv(1, 0) * sx, inv(1, 1) * sy,
+      inv(1, 0) * minC(0) + inv(1, 1) * minC(1) + inv(1, 2))
+    val src = if (pyramid.columns.contains("scale"))
+      pyramid.filter(col("scale") === lvl).drop("scale") else pyramid
+    (affineResample(src, valueCol, a, targetWidth, targetHeight, keepCols), lvl)
   }
 
   // ---- unpad (reference _utils.py:71-160) ----
