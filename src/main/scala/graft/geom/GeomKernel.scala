@@ -435,4 +435,18 @@ object GeomKernel {
     val clipped = clipByConvex(wkb, clipWkb)
     if (clipped == null) 0.0 else area(clipped)
   }
+
+  /** Z/M-drop rewrite (`force_2d`, reference models/_utils.py:311-345). */
+  def force2d(wkb: Array[Byte]): Array[Byte] = WKB.force2d(wkb)
+
+  /** Geometry-kind name of a WKB blob ("circle" is a model-level concept;
+    * points come back as "point" and are promoted by the caller).
+    * Returns UTF8String — the internal string type StaticInvoke expects.
+    */
+  def geomTypeName(wkb: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(WKB.read(wkb) match {
+      case _: GPoint => "point"
+      case _: GPolygon => "polygon"
+      case _: GMultiPolygon => "multipolygon"
+    })
 }

@@ -132,4 +132,81 @@ object WKB {
       while (i < ring.length) { buf.putDouble(ring(i)); i += 1 }
     }
   }
+
+  // ---- force_2d (reference models/_utils.py:311-345) ----
+
+  /** Rewrite WKB of any dimensionality to plain 2D WKB: accepts ISO
+    * (+1000/+2000/+3000 type offsets) and EWKB (Z/M/SRID flag bits)
+    * encodings of Point/Polygon/MultiPolygon and drops the Z/M ordinates.
+    * Unlike the reference (which keeps only `shape.exterior`), interior
+    * rings are preserved — dropping holes would change areas.
+    * Already-2D input round-trips unchanged (canonical little-endian form).
+    */
+  def force2d(bytes: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.wrap(bytes)
+    write(readGeomNd(buf))
+  }
+
+  private def parseTypeHeader(buf: ByteBuffer): (Int, Int) = {
+    val order = buf.get()
+    buf.order(if (order == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val raw = buf.getInt
+    val hasSrid = (raw & 0x20000000) != 0
+    if (hasSrid) buf.getInt // skip SRID
+    val flagDims = (if ((raw & 0x80000000) != 0) 1 else 0) +
+      (if ((raw & 0x40000000) != 0) 1 else 0)
+    val base0 = raw & 0x1FFFFFFF & 0xFFFF
+    val isoExtra = (base0 / 1000) match {
+      case 1 | 2 => 1 // +1000 Z, +2000 M: one extra ordinate each
+      case 3 => 2 // +3000 ZM
+      case _ => 0
+    }
+    val extra = math.max(flagDims, isoExtra)
+    (base0 % 1000, 2 + extra)
+  }
+
+  private def readGeomNd(buf: ByteBuffer): Geom = {
+    val (geomType, dims) = parseTypeHeader(buf)
+    geomType match {
+      case PointType =>
+        val x = buf.getDouble; val y = buf.getDouble
+        var d = 2
+        while (d < dims) { buf.getDouble; d += 1 }
+        GPoint(x, y)
+      case PolygonType => readPolygonBodyNd(buf, dims)
+      case MultiPolygonType =>
+        val n = buf.getInt
+        val polys = new Array[GPolygon](n)
+        var i = 0
+        while (i < n) {
+          val (t, memberDims) = parseTypeHeader(buf)
+          require(t == PolygonType, s"multipolygon member of type $t")
+          polys(i) = readPolygonBodyNd(buf, memberDims)
+          i += 1
+        }
+        GMultiPolygon(polys)
+      case other => sys.error(s"unsupported WKB geometry type $other")
+    }
+  }
+
+  private def readPolygonBodyNd(buf: ByteBuffer, dims: Int): GPolygon = {
+    val nRings = buf.getInt
+    val rings = new Array[Array[Double]](nRings)
+    var r = 0
+    while (r < nRings) {
+      val nPts = buf.getInt
+      val ring = new Array[Double](nPts * 2)
+      var i = 0
+      while (i < nPts) {
+        ring(i * 2) = buf.getDouble
+        ring(i * 2 + 1) = buf.getDouble
+        var d = 2
+        while (d < dims) { buf.getDouble; d += 1 }
+        i += 1
+      }
+      rings(r) = ring
+      r += 1
+    }
+    GPolygon(rings)
+  }
 }

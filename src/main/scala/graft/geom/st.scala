@@ -79,4 +79,12 @@ object st {
   /** Area of (geom ∩ convex clip) — the fractions=True weight. */
   def st_intersection_area_convex(geom: Column, clip: Column): Column =
     inv(D, "intersectionAreaConvex", Seq(B, B), nullable = false, geom, clip)
+
+  /** Drop Z/M ordinates, rewriting to canonical 2D WKB (force_2d). */
+  def st_force_2d(geom: Column): Column =
+    inv(B, "force2d", Seq(B), nullable = false, geom)
+
+  /** Geometry-kind name ("point"/"polygon"/"multipolygon"). */
+  def st_geom_type(geom: Column): Column =
+    inv(StringType, "geomTypeName", Seq(B), nullable = false, geom)
 }

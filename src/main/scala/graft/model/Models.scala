@@ -48,6 +48,29 @@ object Models {
     val GeomPolygon = "polygon"
     val GeomMultiPolygon = "multipolygon"
 
+    /** Drop Z/M ordinates from a raw WKB geometry column (`force_2d`,
+      * reference models/_utils.py:311-345) — the doorway for 2.5D input;
+      * the parsed layout is strictly 2D.
+      */
+    def force2d(df: DataFrame, geometryCol: String = "geometry"): DataFrame =
+      df.withColumn(geometryCol, st_force_2d(col(geometryCol)))
+
+    /** GeoParquet read path (reference io_shapes.py:33-67, format v02+:
+      * `shapes.parquet` with a WKB geometry column): plain parquet scan +
+      * Z-drop + geom_type derived from the WKB bytes; point rows with a
+      * `radius` column are promoted to circles.
+      */
+    def readGeoParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+        geometryCol: String = "geometry", indexCol: Option[String] = None): DataFrame = {
+      val raw = force2d(spark.read.parquet(path), geometryCol)
+      val kind = st_geom_type(col(geometryCol))
+      val typed = raw.withColumn("geom_type",
+        when(kind === "point" && (if (raw.columns.contains("radius"))
+          col("radius").isNotNull else lit(false)), lit(GeomCircle))
+          .otherwise(kind))
+      parse(typed, geometryCol, indexCol = indexCol)
+    }
+
     /** Canonical shapes layout: index, geometry (WKB), geom_type, radius
       * (circles only), plus precomputed envelope columns minx/miny/maxx/maxy
       * — the distributed stand-in for the reference's STRtree spatial index

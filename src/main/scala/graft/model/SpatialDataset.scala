@@ -136,6 +136,21 @@ final class SpatialDataset(
     */
   def writeMetadata(root: String): Unit =
     SpatialDataset.writeManifest(spark, manifest, root)
+
+  /** Remove an element's data directory from a written container and drop
+    * it from the persisted manifest (reference `delete_element_from_disk`,
+    * spatialdata.py:1376-1464). Returns the container without the element;
+    * the in-memory instance this was called on is unchanged.
+    */
+  def deleteElementFromDisk(name: String, root: String): SpatialDataset = {
+    val m = manifest.element(name) // fails fast on unknown names
+    val dir = new Path(SpatialDataset.elementDir(root, m))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val updated = withoutElement(name)
+    SpatialDataset.writeManifest(spark, updated.manifest, root)
+    updated
+  }
 }
 
 object SpatialDataset {
@@ -146,7 +161,7 @@ object SpatialDataset {
     new SpatialDataset(spark, manifest, elements.map(e => e.meta.name -> e).toMap)
   }
 
-  private def elementDir(root: String, m: ElementMeta): String =
+  private[model] def elementDir(root: String, m: ElementMeta): String =
     s"$root/${m.kind.dirName}/${m.name}"
 
   private[model] def writeElement(el: SpatialElement, root: String): Unit = {

@@ -179,6 +179,24 @@ object RasterOps {
       (col(colCol) - c0).cast("int").as("x"), col(valueCol).as("value"))
   }
 
+  /** Re-point a table's annotation target at rasterized-bin labels
+    * (`rasterize_bins_link_table_to_labels`, rasterize_bins.py:266-287):
+    * the obs region column becomes the labels element name and the
+    * instance key switches to the relabeled column, so joins resolve
+    * against the rasterized labels instead of the original bins.
+    */
+  def rasterizeBinsLinkTableToLabels(sd: graft.model.SpatialDataset,
+      tableName: String, labelsName: String): graft.model.SpatialDataset = {
+    val el = sd.element(tableName)
+    val ann = el.meta.table.getOrElse(
+      sys.error(s"table '$tableName' has no annotation metadata"))
+    val newObs = el.data.withColumn(ann.regionKey, lit(labelsName))
+    val newAnn = ann.copy(region = Seq(labelsName),
+      instanceKey = s"relabeled_${ann.instanceKey}")
+    sd.withElement(el.copy(
+      meta = el.meta.copy(table = Some(newAnn)), data = newObs))
+  }
+
   // ---- affine resample, order 0 (rasterize.py:375-613 / transform.py:38-105) ----
 
   /** Inverse-affine gather on long-form pixels: for every output pixel the

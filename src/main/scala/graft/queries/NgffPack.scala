@@ -64,6 +64,27 @@ object NgffPack extends QueryPack {
         .orderBy("c")
     }),
 
+    // GeoParquet shapes round trip (io_shapes.py:33-67): WKB written as a
+    // plain parquet geometry column, read back via readGeoParquet (Z-drop +
+    // geom_type derivation + envelope recompute), measured distributed
+    "q68_geoparquet_shapes" -> ((s, d) => {
+      val dir = tmp("gpq", d)
+      val boxes = Tables.supplier(s, d).select(
+        col("s_suppkey").as("index"),
+        ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y0"),
+        (lit(2.0) + (col("s_suppkey") % 5).cast("double")).as("w"))
+        .withColumn("geometry", graft.geom.st.st_make_box(
+          col("x0"), col("y0"), col("x0") + col("w"), col("y0") + col("w") * 2))
+        .select("index", "geometry")
+      boxes.write.mode("overwrite").parquet(dir)
+      val shapes = Models.ShapesModel.readGeoParquet(s, dir)
+      shapes.select(col("index"), col("geom_type"),
+          graft.geom.st.st_area(col("geometry")).as("area"),
+          col("minx"), col("miny"), col("maxx"), col("maxy"))
+        .orderBy("index")
+    }),
+
     // rank-2 labels store (<i4 chunks, zlib): write -> read -> histogram
     "q62_ngff_labels" -> ((s, d) => {
       val dir = tmp("lab", d)
@@ -95,6 +116,16 @@ object NgffPack extends QueryPack {
          |FROM px
          |WHERE y >= 8 AND y < 40 AND x >= 8 AND x < 40
          |GROUP BY c ORDER BY c""".stripMargin,
+    "q68_geoparquet_shapes" ->
+      """WITH b AS (
+        |  SELECT s_suppkey AS index,
+        |    CAST((s_suppkey * 7) % 50 AS DOUBLE) AS x0,
+        |    CAST((s_suppkey * 3) % 40 AS DOUBLE) AS y0,
+        |    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS w
+        |  FROM supplier)
+        |SELECT index, 'polygon' AS geom_type, w * (w * 2) AS area,
+        |  x0 AS minx, y0 AS miny, x0 + w AS maxx, y0 + w * 2 AS maxy
+        |FROM b ORDER BY index""".stripMargin,
     "q62_ngff_labels" ->
       """WITH px AS (
         |  SELECT CAST(event_id % 48 AS INT) AS y, CAST(user_id % 48 AS INT) AS x,
