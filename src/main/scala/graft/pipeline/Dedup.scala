@@ -104,11 +104,28 @@ object Dedup {
 
   /** Candidate near-duplicate pairs from LSH: same key in >= 1 band.
     * Returns (id_a < id_b, n_bands agreeing).
+    *
+    * `maxBucketSize` is the skew guard for the self-join: a band key shared
+    * by B documents produces B^2 candidate pairs, so one hot key (e.g.
+    * boilerplate that hashes identically) turns the join quadratic. Keys
+    * above the cap are dropped BEFORE the join (one extra aggregation on
+    * the band table, shuffled by the same key the join uses) — the classic
+    * trade: such buckets are near-useless for dedup anyway because their
+    * members collide with everything in them. Deterministic, so the oracle
+    * can mirror it with a HAVING.
     */
   def lshCandidatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 12,
-      bands: Int = 4): DataFrame = {
-    val b = lshBands(docs, textCol, idCol, k, numHashes, bands)
+      bands: Int = 4, maxBucketSize: Option[Int] = None): DataFrame = {
+    val b0 = lshBands(docs, textCol, idCol, k, numHashes, bands)
+    val b = maxBucketSize match {
+      case Some(cap) =>
+        val small = b0.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+          .select(col("band"), col("band_key"))
+        b0.join(small, Seq("band", "band_key"))
+      case None => b0
+    }
     val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))

@@ -54,9 +54,11 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash-LSH candidate pairs (shingle -> minhash -> band -> bucket join)
+    // MinHash-LSH candidate pairs (shingle -> minhash -> band -> bucket
+    // join) with the hot-bucket skew guard engaged (band keys shared by
+    // > 50 docs are dropped before the self-join)
     "q42_lsh_candidates" -> ((s, d) => {
-      Dedup.lshCandidatePairs(Tables.documents(s, d))
+      Dedup.lshCandidatePairs(Tables.documents(s, d), maxBucketSize = Some(50))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -188,9 +190,11 @@ object PipelinePack extends QueryPack {
           |        LEAST(mean_word_len / 4.0, 1.5) / 1.5, 6) AS quality_score
           |FROM f ORDER BY doc_id""".stripMargin,
       "q42_lsh_candidates" ->
-        s"""$bandsSqlCte
+        s"""$bandsSqlCte,
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key))
            |SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(DISTINCT l.band) AS n_bands
-           |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+           |FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
            |WHERE l.doc_id < r.doc_id
            |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
       "q43_ngram_jaccard" ->

@@ -30,6 +30,16 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lsh hot-bucket cap drops oversized band keys before the join") {
+    // 6 identical docs -> every band key has 6 members; cap 3 kills them all
+    val clones = (1L to 6L).map(i => (i, "same text repeated again and again here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.lshCandidatePairs(clones).count() == 15) // 6 choose 2
+    assert(Dedup.lshCandidatePairs(clones, maxBucketSize = Some(3)).count() == 0)
+    // cap above the bucket size: identical results
+    assert(Dedup.lshCandidatePairs(clones, maxBucketSize = Some(6)).count() == 15)
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, distinct low") {
     val pairs = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs)
