@@ -85,6 +85,39 @@ object NgffPack extends QueryPack {
         .orderBy("index")
     }),
 
+    // container-level zarr store (io_zarr.py:33-123): write a container of
+    // points + labels + annotating table, read it back through the store
+    // dispatch, and aggregate the round-tripped points
+    "q69_zarr_container" -> ((s, d) => {
+      val dir = tmp("store", d)
+      val pts = Models.PointsModel.parse(Tables.lineitem(s, d).select(
+        col("l_orderkey"), (col("l_extendedprice") / 1000.0).as("x"),
+        col("l_quantity").as("y")))
+      val lab = Tables.events(s, d).select(
+        (col("event_id") % 32).cast("int").as("y"),
+        (col("user_id") % 32).cast("int").as("x"))
+        .groupBy("y", "x").agg((max(col("x")) % 5 + 1).cast("long").as("label"))
+      val obs = Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"), lit("lab").as("region"))
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.PointsModel.meta("pts"), pts),
+        SpatialElement(ElementMeta("lab", ElementKind.Labels, Seq("y", "x")), lab),
+        SpatialElement(Models.TableModel.meta("tab",
+          Some(TableAnnotation(Seq("lab"), "region", "instance_id"))), obs)))
+      graft.sources.ZarrStore.write(sd, dir, tileSize = 16)
+      val back = graft.sources.ZarrStore.read(s, dir)
+      require(back.manifest.element("tab").table ==
+        Some(TableAnnotation(Seq("lab"), "region", "instance_id")),
+        "table annotation did not round-trip")
+      val p = back("pts").groupBy(floor(col("x") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(28,6)")).cast("double").as("sum_y"))
+      val l = back("lab").groupBy((col("label") + 100).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(28,6)")).cast("double").as("sum_y"))
+      p.unionByName(l).orderBy("bucket")
+    }),
+
     // rank-2 labels store (<i4 chunks, zlib): write -> read -> histogram
     "q62_ngff_labels" -> ((s, d) => {
       val dir = tmp("lab", d)
@@ -116,6 +149,23 @@ object NgffPack extends QueryPack {
          |FROM px
          |WHERE y >= 8 AND y < 40 AND x >= 8 AND x < 40
          |GROUP BY c ORDER BY c""".stripMargin,
+    "q69_zarr_container" ->
+      """WITH p AS (
+        |  SELECT CAST(FLOOR((l_extendedprice / 1000.0) / 10) AS BIGINT) AS bucket,
+        |         l_quantity AS y
+        |  FROM lineitem),
+        |lab AS (
+        |  SELECT CAST(event_id % 32 AS INT) AS y, CAST(user_id % 32 AS INT) AS x,
+        |         CAST(MAX(CAST(user_id % 32 AS INT)) % 5 + 1 AS BIGINT) AS label
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sum_y
+        |FROM p GROUP BY 1
+        |UNION ALL
+        |SELECT label + 100 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sum_y
+        |FROM lab WHERE label <> 0 GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
     "q68_geoparquet_shapes" ->
       """WITH b AS (
         |  SELECT s_suppkey AS index,

@@ -57,7 +57,7 @@ object NgffRaster {
 
   // ---- transforms <-> NGFF dicts (transformations in multiscales[0]) ----
 
-  private def transformToNgff(cs: String, t: Transform): JValue = t match {
+  private[sources] def transformToNgff(cs: String, t: Transform): JValue = t match {
     case IdentityT => ("type" -> "identity") ~ ("output" -> (("name" -> cs): JObject))
     case ScaleT(v, ax) =>
       ("type" -> "scale") ~ ("scale" -> v) ~ ("axes" -> ax) ~
@@ -78,7 +78,7 @@ object NgffRaster {
         ("output" -> (("name" -> cs): JObject))
   }
 
-  private def transformFromNgff(j: JValue, spatialAxes: Seq[String]): Transform = {
+  private[sources] def transformFromNgff(j: JValue, spatialAxes: Seq[String]): Transform = {
     implicit val fmt: Formats = DefaultFormats
     def axesOf(field: String): Seq[String] = (j \ field) match {
       case JNothing | JNull => spatialAxes

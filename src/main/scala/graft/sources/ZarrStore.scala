@@ -1,0 +1,194 @@
+package graft.sources
+
+import graft.model._
+import graft.ops.RasterOps
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Container-level zarr store: the reference's primary on-disk layout
+  * (`reference/src/spatialdata/_io/io_zarr.py:33-123` dispatch;
+  * `spatialdata.py:1108-1203` write): one root group with per-kind
+  * subgroups —
+  *
+  * {{{
+  * root/.zgroup .zattrs            (spatialdata version attrs)
+  *   images/<name>/                (OME-NGFF multiscale, NgffRaster)
+  *   labels/<name>/                (OME-NGFF rank-2, image-label marker)
+  *   points/<name>/points.parquet  (+ .zattrs transforms, io_points.py:34)
+  *   shapes/<name>/shapes.parquet  (+ .zattrs transforms, io_shapes.py:58)
+  *   tables/<name>/obs.parquet, X.parquet (+ .zattrs annotation keys)
+  * }}}
+  *
+  * Divergences, both deliberate: parquet "files" are Spark parquet
+  * directories (task-parallel IO at any scale; a single-file layout would
+  * serialize through one writer), and tables are parquet obs + long-form X
+  * rather than AnnData zarr (the engine's table layout, SURVEY.md §1.5).
+  */
+object ZarrStore {
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: String, text: String): Unit = {
+    val out = fs.create(new Path(p), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem, p: String): String = {
+    val in = fs.open(new Path(p))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def elementAttrs(meta: ElementMeta): String = {
+    var o: JObject =
+      ("coordinateTransformations" -> meta.transforms.toSeq.sortBy(_._1)
+        .map { case (cs, t) => NgffRaster.transformToNgff(cs, t) }) ~
+        ("axes" -> meta.dims)
+    meta.table.foreach { ann =>
+      o = o ~ ("spatialdata_attrs" ->
+        (("region" -> ann.region) ~ ("region_key" -> ann.regionKey) ~
+          ("instance_key" -> ann.instanceKey)))
+    }
+    if (meta.channelNames.nonEmpty) o = o ~ ("channel_names" -> meta.channelNames)
+    JsonMethods.pretty(JsonMethods.render(o))
+  }
+
+  private def parseElementAttrs(json: String, name: String, kind: ElementKind): ElementMeta = {
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val dims = (j \ "axes") match {
+      case JArray(a) => a.map(_.extract[String])
+      case _ => Nil
+    }
+    val spatialAxes = if (dims.nonEmpty) dims.filterNot(_ == "c") else Seq("x", "y")
+    val transforms = (j \ "coordinateTransformations") match {
+      case JArray(ts) => ts.flatMap { t =>
+        (t \ "output" \ "name") match {
+          case JString(cs) => Some(cs -> NgffRaster.transformFromNgff(t, spatialAxes))
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty[String, Transform]
+    }
+    val table = (j \ "spatialdata_attrs") match {
+      case JNothing | JNull => None
+      case a => Some(TableAnnotation(
+        (a \ "region").extract[Seq[String]],
+        (a \ "region_key").extract[String],
+        (a \ "instance_key").extract[String]))
+    }
+    val channels = (j \ "channel_names") match {
+      case JArray(cs) => cs.map(_.extract[String])
+      case _ => Nil
+    }
+    ElementMeta(name, kind, dims, transforms, channels, table)
+  }
+
+  /** Write the container as a zarr store. Raster elements must be in the
+    * engine layouts (images tiled, labels long-form `(y, x, label)`).
+    */
+  def write(sd: SpatialDataset, root: String,
+      tileSize: Int = Models.ImageModel.TileSize): Unit = {
+    import org.apache.spark.sql.functions._
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(sd.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true)
+    fs.mkdirs(rp)
+    writeText(fs, s"$root/.zgroup", """{"zarr_format": 2}""")
+    writeText(fs, s"$root/.zattrs",
+      """{"spatialdata_attrs": {"version": "0.1", "writer": "graft"}}""")
+    ElementKind.all.foreach { kind =>
+      if (sd.manifest.ofKind(kind).nonEmpty) {
+        fs.mkdirs(new Path(s"$root/${kind.dirName}"))
+        writeText(fs, s"$root/${kind.dirName}/.zgroup", """{"zarr_format": 2}""")
+      }
+    }
+    sd.manifest.elements.foreach { meta =>
+      val el = sd.element(meta.name)
+      val dir = s"$root/${meta.kind.dirName}/${meta.name}"
+      meta.kind match {
+        case ElementKind.Images =>
+          NgffRaster.write(el.data, dir, meta.name, tileSize,
+            transforms = meta.transforms, channels = meta.channelNames)
+        case ElementKind.Labels =>
+          val tiles = RasterOps.pixelsToTiles(
+            el.data.select(lit(0).as("c"), col("y"), col("x"),
+              col("label").cast("double").as("value")), tileSize)
+          NgffRaster.write(tiles, dir, meta.name, tileSize,
+            axes = Seq("y", "x"), dtype = "<i8", transforms = meta.transforms,
+            isLabels = true)
+        case ElementKind.Points =>
+          el.data.write.mode("overwrite").option("compression", "zstd")
+            .parquet(s"$dir/points.parquet")
+          writeText(fs, s"$dir/.zattrs", elementAttrs(meta))
+        case ElementKind.Shapes =>
+          el.data.write.mode("overwrite").option("compression", "zstd")
+            .parquet(s"$dir/shapes.parquet")
+          writeText(fs, s"$dir/.zattrs", elementAttrs(meta))
+        case ElementKind.Tables =>
+          el.data.write.mode("overwrite").option("compression", "zstd")
+            .parquet(s"$dir/obs.parquet")
+          el.aux.get("X").foreach(_.write.mode("overwrite")
+            .option("compression", "zstd").parquet(s"$dir/X.parquet"))
+          writeText(fs, s"$dir/.zattrs", elementAttrs(meta))
+      }
+    }
+  }
+
+  /** Read a zarr store back into a container; `selection` restricts to
+    * named elements (partial read, io_zarr.py:33-83). Labels return to the
+    * long-form layout (background/zero pixels are not materialized).
+    */
+  def read(spark: SparkSession, root: String,
+      selection: Option[Seq[String]] = None): SpatialDataset = {
+    import org.apache.spark.sql.functions._
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted: String => Boolean = selection match {
+      case Some(names) => names.toSet
+      case None => _ => true
+    }
+    val elements = ElementKind.all.flatMap { kind =>
+      val kindDir = new Path(s"$root/${kind.dirName}")
+      if (!fs.exists(kindDir)) Nil
+      else fs.listStatus(kindDir).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).sorted.filter(wanted).map { name =>
+          val dir = s"$root/${kind.dirName}/$name"
+          kind match {
+            case ElementKind.Images =>
+              val (tiles, nm) = NgffRaster.read(spark, dir)
+              SpatialElement(ElementMeta(name, kind, nm.axes, nm.transforms,
+                nm.channels), tiles)
+            case ElementKind.Labels =>
+              val (tiles, nm) = NgffRaster.read(spark, dir)
+              // tile coordinates decode against the STORE's chunk size
+              val ts = nm.scales.head.meta.chunks.head
+              val longForm = RasterOps.tilesToPixels(tiles, ts)
+                .filter(col("value") =!= 0.0)
+                .select(col("y"), col("x"), col("value").cast("long").as("label"))
+              SpatialElement(ElementMeta(name, kind, Seq("y", "x"),
+                nm.transforms), longForm)
+            case ElementKind.Points | ElementKind.Shapes =>
+              val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
+              val file = if (kind == ElementKind.Points) "points.parquet" else "shapes.parquet"
+              SpatialElement(meta, spark.read.parquet(s"$dir/$file"))
+            case ElementKind.Tables =>
+              val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
+              val aux =
+                if (fs.exists(new Path(s"$dir/X.parquet")))
+                  Map("X" -> spark.read.parquet(s"$dir/X.parquet"))
+                else Map.empty[String, DataFrame]
+              SpatialElement(meta, spark.read.parquet(s"$dir/obs.parquet"), aux)
+          }
+        }
+    }
+    SpatialDataset(spark, elements)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.geom.st._
+import graft.model._
+import graft.ops.RasterOps
+import org.apache.spark.sql.functions._
+
+class ZarrStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def container(): SpatialDataset = {
+    val img = RasterOps.pixelsToTiles(
+      Seq.tabulate(200)(i => (i % 2, i % 10, (i * 3) % 10, (i % 7 + 1).toDouble))
+        .toDF("c", "y", "x", "value").groupBy("c", "y", "x").agg(sum("value").as("value")),
+      tileSize = 8)
+    val lab = Seq((0, 0, 5L), (3, 4, 9L), (9, 9, 2L)).toDF("y", "x", "label")
+    val pts = Models.PointsModel.parse(
+      Seq((1L, 1.5, 2.5, "a"), (2L, 3.5, 4.5, "b")).toDF("id", "x", "y", "gene"))
+    val shp = Models.ShapesModel.parse(
+      Seq((0L, 2.0, 3.0, 1.5)).toDF("index", "cx", "cy", "radius")
+        .withColumn("geometry", st_point(col("cx"), col("cy")))
+        .withColumn("geom_type", lit("circle")).drop("cx", "cy"),
+      radiusCol = Some("radius"))
+    val obs = Seq((1L, "t1", 0.5), (2L, "t1", 0.7)).toDF("instance_id", "region", "score")
+    SpatialDataset(spark, Seq(
+      SpatialElement(Models.ImageModel.meta("img", channelNames = Seq("c0", "c1"),
+        transforms = Map("global" -> ScaleT(Seq(2.0, 2.0), Seq("x", "y")))), img),
+      SpatialElement(ElementMeta("lab", ElementKind.Labels, Seq("y", "x"),
+        transforms = Map("global" -> IdentityT,
+          "micron" -> TranslationT(Seq(1.0, -1.0), Seq("x", "y")))), lab),
+      SpatialElement(Models.PointsModel.meta("pts"), pts),
+      SpatialElement(Models.ShapesModel.meta("shp"), shp),
+      SpatialElement(Models.TableModel.meta("tab",
+        Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs)))
+  }
+
+  test("container zarr store round-trips every element kind") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/store.zarr"
+    val sd = container()
+    ZarrStore.write(sd, root, tileSize = 8)
+    // layout sanity: NGFF groups + parquet dirs + root attrs
+    assert(new java.io.File(s"$root/.zgroup").exists())
+    assert(new java.io.File(s"$root/images/img/.zattrs").exists())
+    assert(new java.io.File(s"$root/labels/lab/0/.zarray").exists())
+    assert(new java.io.File(s"$root/points/pts/points.parquet").exists())
+    assert(new java.io.File(s"$root/shapes/shp/shapes.parquet").exists())
+    assert(new java.io.File(s"$root/tables/tab/obs.parquet").exists())
+
+    val back = ZarrStore.read(spark, root)
+    assert(back.manifest.elements.map(_.name).sorted ==
+      Seq("img", "lab", "pts", "shp", "tab"))
+    // image pixels + channels + transform survive
+    assert(back.manifest.element("img").channelNames == Seq("c0", "c1"))
+    assert(back.manifest.element("img").transforms ==
+      Map("global" -> ScaleT(Seq(2.0, 2.0), Seq("x", "y"))))
+    val imgWant = RasterOps.tilesToPixels(sd("img"), 8)
+      .select("c", "y", "x", "value").as[(Int, Int, Int, Double)].collect().toSet
+    val imgGot = RasterOps.tilesToPixels(back("img"), 8)
+      .select("c", "y", "x", "value").as[(Int, Int, Int, Double)].collect().toSet
+    assert(imgGot == imgWant)
+    // labels back to long form, both coordinate systems intact
+    assert(back("lab").orderBy("y", "x").as[(Int, Int, Long)].collect().toSeq ==
+      Seq((0, 0, 5L), (3, 4, 9L), (9, 9, 2L)))
+    assert(back.manifest.element("lab").transforms("micron") ==
+      TranslationT(Seq(1.0, -1.0), Seq("x", "y")))
+    // points keep payload columns; shapes keep radius/envelope; table keeps annotation
+    assert(back("pts").orderBy("id").select("id", "x", "gene")
+      .as[(Long, Double, String)].collect().toSeq == Seq((1L, 1.5, "a"), (2L, 3.5, "b")))
+    assert(back("shp").select("radius").as[Double].collect().toSeq == Seq(1.5))
+    assert(back.manifest.element("tab").table ==
+      Some(TableAnnotation(Seq("shp"), "region", "instance_id")))
+    assert(back("tab").count() == 2)
+  }
+
+  test("selection reads a subset without touching other elements") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/sel.zarr"
+    ZarrStore.write(container(), root, tileSize = 8)
+    val part = ZarrStore.read(spark, root, selection = Some(Seq("pts", "lab")))
+    assert(part.manifest.elements.map(_.name).sorted == Seq("lab", "pts"))
+  }
+}
