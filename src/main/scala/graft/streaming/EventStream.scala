@@ -48,9 +48,67 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-user session state for [[streamingSessionize]] (micros epoch). */
+  final case class SessionAgg(startUs: Long, endUs: Long, n: Long)
+
+  /** The streaming form of [[sessionize]]: custom per-key state via
+    * `flatMapGroupsWithState` with an event-time timeout. A session closes
+    * and is EMITTED either when a same-user event arrives more than
+    * `gapMinutes` later, or when the watermark passes the session end by
+    * the gap (the timeout path — no later event can extend it). Output:
+    * `(user_id, start_us, end_us, n_events)` in integer microseconds, the
+    * same gap arithmetic as the batch form.
+    */
+  def streamingSessionize(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    spark.readStream.schema(schemaDDL).parquet(sourceDir)
+      .withColumn("event_time", tsFromNanos(col("ts")))
+      .withWatermark("event_time", watermark)
+      // keep the watermarked event_time column in the Dataset — projecting
+      // it away would detach the watermark the event-time timeout needs
+      .select(col("user_id").cast("long"),
+        org.apache.spark.sql.graftbridge.Bridge.integralDivide(col("ts"), lit(1000L)),
+        col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single((user, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = events.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            sorted.foreach { ts =>
+              cur match {
+                case None => cur = Some(SessionAgg(ts, ts, 1))
+                case Some(s) if ts - s.endUs > gapUs =>
+                  closed += ((user, s.startUs, s.endUs, s.n))
+                  cur = Some(SessionAgg(ts, ts, 1))
+                case Some(s) =>
+                  cur = Some(SessionAgg(s.startUs, math.max(s.endUs, ts), s.n + 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Sessionization per user: events within `gapMinutes` of each other chain
     * into one session (classic gaps-and-islands — batch form; the streaming
-    * form is flatMapGroupsWithState with a session timeout).
+    * form is [[streamingSessionize]]).
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -42,4 +42,44 @@ class EventStreamSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((7L, 1L, 2L), (7L, 2L, 1L), (9L, 1L, 1L)))
   }
+
+  test("streamingSessionize emits the batch sessions (gap close + timeout flush)") {
+    import spark.implicits._
+    val ns = (m: Long) => m * 60L * 1000000000L
+    val us = (m: Long) => m * 60L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+
+    def stage(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: user 7 has two sessions (50-min gap), user 9 one session
+    // (offset from epoch 0 — the initial watermark — so nothing sits on it)
+    stage("b1", Seq(
+      (1L, ns(1000), 7L, "a", 1.0, ""), (2L, ns(1010), 7L, "a", 1.0, ""),
+      (3L, ns(1060), 7L, "a", 1.0, ""), (4L, ns(1005), 9L, "b", 1.0, "")))
+
+    val q = EventStream.streamingSessionize(spark, dir, schemaDDL)
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a far-future sentinel advances the watermark far past every
+      // batch-1 session end + gap, so the open sessions flush via timeout
+      stage("b2", Seq((99L, ns(10000), 999L, "z", 1.0, "")))
+      q.processAllAvailable()
+      // one more micro-batch so fired timeouts surface in the sink
+      stage("b3", Seq((100L, ns(10001), 999L, "z", 1.0, "")))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out")
+        .filter(col("user_id") < 999)
+        .orderBy("user_id", "start_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(
+        (7L, us(1000), us(1010), 2L), (7L, us(1060), us(1060), 1L),
+        (9L, us(1005), us(1005), 1L)))
+    } finally q.stop()
+  }
 }
