@@ -137,6 +137,17 @@ final class SpatialDataset(
   def writeMetadata(root: String): Unit =
     SpatialDataset.writeManifest(spark, manifest, root)
 
+  /** Update an image element's channel names (`set_channel_names`,
+    * reference models/_utils.py:277-308 / spatialdata.py:289-309) —
+    * metadata-only, the data is untouched.
+    */
+  def setChannelNames(name: String, channels: Seq[String]): SpatialDataset = {
+    val el = element(name)
+    require(el.meta.kind == ElementKind.Images,
+      s"setChannelNames: '$name' is not an image element")
+    withElement(el.copy(meta = el.meta.copy(channelNames = channels)))
+  }
+
   /** Remove an element's data directory from a written container and drop
     * it from the persisted manifest (reference `delete_element_from_disk`,
     * spatialdata.py:1376-1464). Returns the container without the element;

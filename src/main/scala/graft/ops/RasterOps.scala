@@ -179,6 +179,59 @@ object RasterOps {
       (col(colCol) - c0).cast("int").as("x"), col(valueCol).as("value"))
   }
 
+  /** Unified rasterize dispatch (`rasterize`, rasterize.py:154-372): burn
+    * any element kind into a raster over `[minC, maxC]` in `cs` at
+    * `targetWidth x targetHeight`. Points reduce per cell, shapes scanline-
+    * fill (first-wins index labels), labels/images resample through the
+    * inverse affine (+ pyramid heuristic for multiscale images).
+    */
+  def rasterize(sd: graft.model.SpatialDataset, elementName: String, cs: String,
+      minC: Seq[Double], maxC: Seq[Double],
+      targetWidth: Int, targetHeight: Int,
+      valueCol: Option[String] = None, aggFunc: Option[String] = None): DataFrame = {
+    import graft.model._
+    val el = sd.element(elementName)
+    val t = sd.transformTo(elementName, cs)
+    val m = t.toAffineMatrix(Seq("x", "y"), Seq("x", "y"))
+    val sx = (maxC(0) - minC(0)) / targetWidth
+    val sy = (maxC(1) - minC(1)) / targetHeight
+    el.meta.kind match {
+      case ElementKind.Points =>
+        // transform points into cs, then bin (datashader Canvas.points path)
+        val moved = TransformOps.transformPoints(el.data, t)
+        rasterizePoints(moved, minC(0), minC(1), sx, sy, targetWidth, targetHeight,
+          valueCol, aggFunc.getOrElse("count"))
+      case ElementKind.Shapes =>
+        val moved = TransformOps.transformShapes(el.data, t)
+        rasterizeShapes(moved, minC(0), minC(1), sx, sy, targetWidth, targetHeight,
+          valueCol, aggFunc.getOrElse("min")) // _default_agg_func: first-wins index
+      case ElementKind.Labels =>
+        rasterizeRaster(el.data, valueCol.getOrElse("label"), t, minC, maxC,
+          targetWidth, targetHeight)._1
+      case ElementKind.Images =>
+        val numLevels = 1 + el.data.agg(max(col("scale"))).collect()(0).getInt(0)
+        rasterizeRaster(tilesToPixels(el.data), valueCol.getOrElse("value"), t,
+          minC, maxC, targetWidth, targetHeight, numLevels, keepCols = Seq("c"))._1
+      case other => sys.error(s"rasterize: unsupported element kind $other")
+    }
+  }
+
+  /** Fit the bin-grid -> space affine from sample bins
+    * (`rasterize_bins`'s `estimate_transform("affine")` on 20 random bins,
+    * rasterize_bins.py:129-157): least squares on driver over a
+    * deterministic sample of (bin_col, bin_row) -> (x, y) pairs.
+    */
+  def rasterizeBinsAffine(obs: DataFrame, rowCol: String, colCol: String,
+      xCol: String, yCol: String, sampleSize: Int = 20): graft.model.AffineT = {
+    val sample = obs.select(col(colCol).cast("double"), col(rowCol).cast("double"),
+        col(xCol).cast("double"), col(yCol).cast("double"))
+      .orderBy(col(rowCol), col(colCol)).limit(sampleSize).collect()
+    val src = sample.map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val dst = sample.map(r => (r.getDouble(2), r.getDouble(3))).toSeq
+    graft.model.AffineT(Landmarks.estimateAffine(src, dst),
+      Seq("x", "y"), Seq("x", "y"))
+  }
+
   /** Re-point a table's annotation target at rasterized-bin labels
     * (`rasterize_bins_link_table_to_labels`, rasterize_bins.py:266-287):
     * the obs region column becomes the labels element name and the
