@@ -112,6 +112,21 @@ object ExtraPack extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // 3D bounding-box query on points: the predicate builder is
+    // axis-generic (case analysis spatial_query.py:47-135 covers 3D); the
+    // negative z scale exercises the interval-inversion bound swap
+    "q70_bbox_points_3d" -> ((s, d) => {
+      val pts3 = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / 1000.0).as("x"),
+        col("l_quantity").as("y"),
+        (col("l_discount") * 100.0).as("z"))
+      val t = ScaleT(Seq(2.0, 1.0, -1.0), Seq("x", "y", "z"))
+      graft.query.SpatialQuery.boundingBoxPoints(pts3, t, Seq("x", "y", "z"),
+        Seq(10.0, 5.0, -8.0), Seq(100.0, 40.0, -1.0))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // labels pixel masking: zero out labels not annotated by the table
     // (relational_query.py:1112-1156)
     "q60_mask_labels" -> ((s, d) => {
@@ -200,6 +215,18 @@ object ExtraPack extends QueryPack {
          |WHERE (x > 5.0 AND x < 15.0 AND y > 5.0 AND y < 15.0)
          |   OR (x > 60.0 AND x < 90.0 AND y > 30.0 AND y < 45.0)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // interval inversion mirrored: lo=(min-shift)/scale, hi=(max-shift)/scale,
+    // swapped when scale < 0; exclusive bounds both sides
+    "q70_bbox_points_3d" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice / 1000.0 AS x,
+        |  l_quantity AS y, l_discount * 100.0 AS z
+        |FROM lineitem
+        |WHERE l_extendedprice / 1000.0 > (10.0 - 0.0) / 2.0
+        |  AND l_extendedprice / 1000.0 < (100.0 - 0.0) / 2.0
+        |  AND l_quantity > (5.0 - 0.0) / 1.0 AND l_quantity < (40.0 - 0.0) / 1.0
+        |  AND l_discount * 100.0 > (-1.0 - 0.0) / -1.0
+        |  AND l_discount * 100.0 < (-8.0 - 0.0) / -1.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q60_mask_labels" ->
       """SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
         |  CASE WHEN event_id % 50 IN (SELECT s_suppkey FROM supplier)
