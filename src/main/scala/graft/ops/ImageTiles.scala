@@ -102,8 +102,11 @@ object ImageTiles {
     val dims = sliced.select(col("instance_id"),
       (col("y1") - col("y0")).as("th"), (col("x1") - col("x0")).as("tw"))
     val crops = cropTiles(pixels, coords, cell)
+    // no forced broadcast: dims/obs are one row per region — small for
+    // typical workloads (AQE broadcasts them), but a forced hint would break
+    // at 10^8 regions
     val assembled = crops
-      .join(broadcast(dims), Seq("instance_id"))
+      .join(dims, Seq("instance_id"))
       .withColumn("__pos", (col("dy") * col("tw") + col("dx")).cast("int"))
       .groupBy(col("instance_id"), col("c"), col("th"), col("tw"))
       .agg(map_from_arrays(collect_list(col("__pos")), collect_list(col("value"))).as("__m"))
@@ -113,8 +116,8 @@ object ImageTiles {
     obs match {
       case Some((table, instanceKey, labelCol)) =>
         assembled.join(
-          broadcast(table.select(col(instanceKey).as("instance_id"),
-            col(labelCol).as("label"))),
+          table.select(col(instanceKey).as("instance_id"),
+            col(labelCol).as("label")),
           Seq("instance_id"), "left")
       case None => assembled
     }

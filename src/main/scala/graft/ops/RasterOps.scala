@@ -378,7 +378,9 @@ object RasterOps {
       .map { case (r, i) => Row(r.get(0), i + 1L) }
     val ranked = spark.createDataFrame(rankedRdd,
       StructType(distinctSorted.schema.fields :+ StructField("__new", LongType)))
-    labels.join(broadcast(ranked), Seq("label"), "left")
+    // no forced broadcast: the distinct-label table is usually small (AQE
+    // broadcasts it) but can reach 10^8 rows, where a hint would break
+    labels.join(ranked, Seq("label"), "left")
       .withColumn("label", coalesce(col("__new"), lit(0L)))
       .drop("__new")
   }
