@@ -103,6 +103,16 @@ object PipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF coarse quantization: nearest of 5 broadcast centroids per vector
+    "q54_ivf_assign" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val centroids = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.ivfAssign(corpus, centroids)
+        .select(col("vec_id"), col("centroid_id"), round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // multimodal: batch "decode" of binary payloads (stubbed codec,
     // real schema/batching)
     "q48_multimodal_decode" -> ((s, d) => {
@@ -265,6 +275,19 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "q54_ivf_assign" ->
+        """WITH cent AS (
+          |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
+          |scored AS (
+          |  SELECT e.vec_id, c.centroid_id,
+          |    list_sum(list_transform(range(0, 64), i ->
+          |      (CAST(e.embedding[i + 1] AS DOUBLE) - CAST(c.embedding[i + 1] AS DOUBLE)) *
+          |      (CAST(e.embedding[i + 1] AS DOUBLE) - CAST(c.embedding[i + 1] AS DOUBLE)))) AS d2
+          |  FROM embeddings e, cent c)
+          |SELECT vec_id, centroid_id, ROUND(d2, 6) AS dist2 FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+          |  FROM scored)
+          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
       "q48_multimodal_decode" ->
         """SELECT doc_id AS media_id,
           |  octet_length(encode(text)) % 512 + 1 AS width,
