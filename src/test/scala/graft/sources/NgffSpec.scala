@@ -127,6 +127,40 @@ class NgffSpec extends SparkTestBase {
     assert(backL1 == wantL1)
   }
 
+  test("blosc frame decode: zstd inner codec") {
+    val payload = Array.tabulate[Byte](128)(i => (i * 7 + 1).toByte)
+    val comp = com.github.luben.zstd.Zstd.compress(payload, 3)
+    val bstart = 16 + 4
+    val frame = java.nio.ByteBuffer
+      .allocate(bstart + 4 + comp.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    frame.put(0, 2.toByte); frame.put(1, 1.toByte)
+    frame.put(2, (5 << 5).toByte) // codec id 5 = zstd, no shuffle
+    frame.put(3, 8.toByte)
+    frame.putInt(4, 128); frame.putInt(8, 128)
+    frame.putInt(12, bstart + 4 + comp.length)
+    frame.putInt(16, bstart) // bstarts[0]
+    frame.putInt(20, comp.length)
+    frame.position(24); frame.put(comp)
+    assert(Zarr.bloscDecode(frame.array(), 128).toSeq == payload.toSeq)
+  }
+
+  test("nested dimension separator, big-endian dtype, absent chunk stays absent") {
+    val dir = new java.io.File("src/test/resources/ngff/fixture_nested").getAbsolutePath
+    val (tiles, meta) = NgffRaster.read(spark, dir)
+    assert(meta.isLabels && meta.axes == Seq("y", "x"))
+    assert(meta.scales.head.meta.dimSeparator == "/")
+    assert(meta.scales.head.meta.dtype == ">i4")
+    assert(meta.scales.head.meta.fillValue == 7.0)
+    // chunk (1,1) is absent from the store -> no tile row for it
+    val tileKeys = tiles.select("tile_y", "tile_x").as[(Int, Int)].collect().toSet
+    assert(tileKeys == Set((0, 0), (0, 1), (1, 0)))
+    // value = y*10 + x + 1 on the present chunks; edge chunks clip to shape
+    val px = RasterOps.tilesToPixels(tiles, tileSize = 3)
+    val bad = px.filter(col("value") =!= col("y") * 10 + col("x") + 1).count()
+    assert(bad == 0)
+    assert(px.agg(sum("value")).as[Double].collect()(0) == 465.0)
+  }
+
   test("reads the externally-generated zlib fixture (plain-python writer)") {
     // not via getResource: sbt's resource copier drops dotfiles (.zattrs)
     val dir = new java.io.File("src/test/resources/ngff/fixture_image").getAbsolutePath
