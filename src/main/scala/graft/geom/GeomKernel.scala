@@ -436,6 +436,150 @@ object GeomKernel {
     if (clipped == null) 0.0 else area(clipped)
   }
 
+  // ---- general (non-convex) intersection area ----
+  //
+  // The "hard part #1" of SURVEY.md §7.4: the reference leans on GEOS
+  // overlay for polygon-polygon intersection. Instead of porting a general
+  // clipper, the area (which is all fractions-weighting needs) decomposes
+  // exactly: ear-triangulate one ring (triangles are convex), clip the
+  // other ring by each triangle with the existing Sutherland-Hodgman
+  // kernel, and sum. Holes enter by inclusion-exclusion:
+  //   area(P ∩ Q) = A(Pe∩Qe) - Σ A(Pe∩Qh) - Σ A(Ph∩Qe) + ΣΣ A(Ph∩Qh)
+  // (holes lie inside their exterior and are mutually disjoint).
+
+  /** Ear-clipping triangulation of a simple ring. Returns triangles as
+    * flat [x0,y0,x1,y1,x2,y2] arrays. Collinear vertices are dropped
+    * up-front; if numeric degeneracy ever blocks every ear, the remaining
+    * fan is emitted (zero-area slivers contribute nothing to area sums).
+    */
+  private[geom] def earTriangulate(ring0: Array[Double]): Array[Array[Double]] = {
+    // strip duplicate closing vertex and collinear points; force CCW
+    var ring = ring0
+    if (ring.length >= 4 && ring(0) == ring(ring.length - 2) &&
+      ring(1) == ring(ring.length - 1)) ring = ring.dropRight(2)
+    if (ringSignedArea(ring) < 0) {
+      val n = ring.length / 2
+      val rev = new Array[Double](ring.length)
+      var i = 0
+      while (i < n) {
+        rev(2 * i) = ring(2 * (n - 1 - i)); rev(2 * i + 1) = ring(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      ring = rev
+    }
+    val xs = scala.collection.mutable.ArrayBuffer[Double]()
+    val ys = scala.collection.mutable.ArrayBuffer[Double]()
+    val n0 = ring.length / 2
+    var k = 0
+    while (k < n0) {
+      val p = (k + n0 - 1) % n0; val q = (k + 1) % n0
+      val cross = (ring(2 * k) - ring(2 * p)) * (ring(2 * q + 1) - ring(2 * p + 1)) -
+        (ring(2 * q) - ring(2 * p)) * (ring(2 * k + 1) - ring(2 * p + 1))
+      if (cross != 0.0) { xs += ring(2 * k); ys += ring(2 * k + 1) }
+      k += 1
+    }
+    if (xs.length < 3) return Array.empty
+    val idx = scala.collection.mutable.ArrayBuffer.tabulate(xs.length)(identity)
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    def cross3(a: Int, b: Int, c: Int): Double =
+      (xs(b) - xs(a)) * (ys(c) - ys(a)) - (xs(c) - xs(a)) * (ys(b) - ys(a))
+    def inTriangle(a: Int, b: Int, c: Int, p: Int): Boolean = {
+      // non-strict: a vertex ON the candidate triangle's boundary blocks
+      // the ear too — a diagonal through a reflex vertex would make the
+      // next cut overlap (double-counted area)
+      val d1 = cross3(a, b, p); val d2 = cross3(b, c, p); val d3 = cross3(c, a, p)
+      (d1 >= 0 && d2 >= 0 && d3 >= 0) || (d1 <= 0 && d2 <= 0 && d3 <= 0)
+    }
+    var guard = idx.length * idx.length + 16
+    while (idx.length > 3 && guard > 0) {
+      guard -= 1
+      var ear = -1
+      var i = 0
+      while (i < idx.length && ear < 0) {
+        val a = idx((i + idx.length - 1) % idx.length)
+        val b = idx(i)
+        val c = idx((i + 1) % idx.length)
+        if (cross3(a, b, c) > 0 &&
+          !idx.exists(p => p != a && p != b && p != c && inTriangle(a, b, c, p)))
+          ear = i
+        i += 1
+      }
+      if (ear < 0) {
+        // numeric degeneracy: fan out the rest (slivers are zero-area)
+        var j = 1
+        while (j + 1 < idx.length) {
+          out += Array(xs(idx(0)), ys(idx(0)), xs(idx(j)), ys(idx(j)),
+            xs(idx(j + 1)), ys(idx(j + 1)))
+          j += 1
+        }
+        return out.toArray
+      }
+      val a = idx((ear + idx.length - 1) % idx.length)
+      val b = idx(ear)
+      val c = idx((ear + 1) % idx.length)
+      out += Array(xs(a), ys(a), xs(b), ys(b), xs(c), ys(c))
+      idx.remove(ear)
+    }
+    if (idx.length == 3)
+      out += Array(xs(idx(0)), ys(idx(0)), xs(idx(1)), ys(idx(1)), xs(idx(2)), ys(idx(2)))
+    out.toArray
+  }
+
+  /** Area of ringA ∩ ringB for arbitrary simple rings: triangulate the
+    * smaller ring, sum convex-clip areas of the other against each
+    * triangle (Sutherland-Hodgman with a convex clip is area-exact even
+    * for non-convex subjects — degenerate bridges are zero-width).
+    */
+  private def ringIntersectionArea(ra: Array[Double], rb: Array[Double]): Double = {
+    val (tri, subject) =
+      if (ra.length <= rb.length) (earTriangulate(ra), rb) else (earTriangulate(rb), ra)
+    var a = 0.0
+    var i = 0
+    while (i < tri.length) {
+      val clipped = clipRingByConvex(subject, tri(i))
+      if (clipped.nonEmpty) a += math.abs(ringSignedArea(clipped))
+      i += 1
+    }
+    a
+  }
+
+  private def ringsWithSigns(g: Geom): Seq[(Array[Double], Double)] = g match {
+    case p: GPolygon =>
+      p.rings.zipWithIndex.map { case (r, i) => (r, if (i == 0) 1.0 else -1.0) }.toSeq
+    case GMultiPolygon(ps) => ps.toSeq.flatMap(ringsWithSigns)
+    case _: GPoint => Seq.empty
+  }
+
+  /** Area of (A ∩ B) for arbitrary simple polygons / multipolygons with
+    * holes — the general `fractions=True` weight (no convexity
+    * assumption). Envelope-disjoint pairs short-circuit to 0.
+    */
+  def intersectionArea(wkbA: Array[Byte], wkbB: Array[Byte]): Double = {
+    val a = WKB.read(wkbA); val b = WKB.read(wkbB)
+    val ea = a.envelope; val eb = b.envelope
+    if (ea(2) < eb(0) || eb(2) < ea(0) || ea(3) < eb(1) || eb(3) < ea(1)) return 0.0
+    var total = 0.0
+    ringsWithSigns(a).foreach { case (ra, sa) =>
+      ringsWithSigns(b).foreach { case (rb, sb) =>
+        if (sa * sb != 0.0) {
+          val area = ringIntersectionArea(ra, rb)
+          if (area != 0.0) total += sa * sb * area
+        }
+      }
+    }
+    math.max(total, 0.0)
+  }
+
+  /** Axis-aligned L-shape polygon: the union of [x0, x0+w] x [y0, y0+h1]
+    * and [x0, x0+w2] x [y0, y0+h2] with w2 < w, h1 < h2 (a canonical
+    * non-convex test/fixture shape).
+    */
+  def makeLShape(x0: Double, y0: Double, w: Double, h1: Double,
+      w2: Double, h2: Double): Array[Byte] =
+    WKB.write(GPolygon(Array(Array(
+      x0, y0, x0 + w, y0, x0 + w, y0 + h1,
+      x0 + w2, y0 + h1, x0 + w2, y0 + h2, x0, y0 + h2))))
+
   /** Z/M-drop rewrite (`force_2d`, reference models/_utils.py:311-345). */
   def force2d(wkb: Array[Byte]): Array[Byte] = WKB.force2d(wkb)
 

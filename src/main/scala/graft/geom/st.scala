@@ -80,6 +80,18 @@ object st {
   def st_intersection_area_convex(geom: Column, clip: Column): Column =
     inv(D, "intersectionAreaConvex", Seq(B, B), nullable = false, geom, clip)
 
+  /** Area of (A ∩ B), arbitrary simple polygons incl. holes (general
+    * fractions weight; no convexity assumption).
+    */
+  def st_intersection_area(a: Column, b: Column): Column =
+    inv(D, "intersectionArea", Seq(B, B), nullable = false, a, b)
+
+  /** Axis-aligned L-shape (canonical non-convex shape). */
+  def st_make_l_shape(x0: Column, y0: Column, w: Column, h1: Column,
+      w2: Column, h2: Column): Column =
+    inv(B, "makeLShape", Seq(D, D, D, D, D, D), nullable = false,
+      x0, y0, w, h1, w2, h2)
+
   /** Drop Z/M ordinates, rewriting to canonical 2D WKB (force_2d). */
   def st_force_2d(geom: Column): Column =
     inv(B, "force2d", Seq(B), nullable = false, geom)

@@ -70,12 +70,13 @@ object Aggregate {
     */
   def shapesByShapes(by: DataFrame, values: DataFrame, valueKey: String,
       aggFunc: String = "sum", fractions: Boolean = false,
-      gridCell: Option[Double] = None): DataFrame = {
+      gridCell: Option[Double] = None,
+      assumeConvexBy: Boolean = true): DataFrame = {
     val joined = gridCell match {
       case Some(cell) => SpatialJoin.shapesIntersectShapesGrid(by, values, cell,
-        withIntersectionArea = fractions)
+        withIntersectionArea = fractions, assumeConvexBy = assumeConvexBy)
       case None => SpatialJoin.shapesIntersectShapes(by, values,
-        withIntersectionArea = fractions)
+        withIntersectionArea = fractions, assumeConvexBy = assumeConvexBy)
     }
     val v =
       if (fractions) col(valueKey) * col("intersection_area") / col("value_area")

@@ -80,12 +80,13 @@ object SpatialJoin {
     * `value_id`; optionally computes the intersection area (fractions).
     */
   def shapesIntersectShapes(by: DataFrame, values: DataFrame,
-      withIntersectionArea: Boolean = false): DataFrame = {
+      withIntersectionArea: Boolean = false,
+      assumeConvexBy: Boolean = true): DataFrame = {
     val l = prepLeft(by)
     val r = prepRight(values)
     val joined = r.join(broadcast(l),
       coarseOverlap && st_intersects(col("__lg"), col("__rg")), "inner")
-    finishPairs(joined, withIntersectionArea)
+    finishPairs(joined, withIntersectionArea, assumeConvexBy)
   }
 
   /** Grid-bucketed shapes-by-shapes for big-by-big (the fallback when the
@@ -97,7 +98,8 @@ object SpatialJoin {
     * intersection), so no distinct/dedup shuffle is needed.
     */
   def shapesIntersectShapesGrid(by: DataFrame, values: DataFrame, cell: Double,
-      withIntersectionArea: Boolean = false): DataFrame = {
+      withIntersectionArea: Boolean = false,
+      assumeConvexBy: Boolean = true): DataFrame = {
     def cells(minC: org.apache.spark.sql.Column, maxC: org.apache.spark.sql.Column) =
       sequence(floor(minC / cell).cast("long"), floor(maxC / cell).cast("long"))
     val l = prepLeft(by)
@@ -112,7 +114,7 @@ object SpatialJoin {
     val joined = r.join(l, Seq("__cellx", "__celly"))
       .filter(coarseOverlap && canonical && st_intersects(col("__lg"), col("__rg")))
       .drop("__cellx", "__celly")
-    finishPairs(joined, withIntersectionArea)
+    finishPairs(joined, withIntersectionArea, assumeConvexBy)
   }
 
   private def prepLeft(by: DataFrame): DataFrame =
@@ -131,10 +133,14 @@ object SpatialJoin {
     col("__lminx") <= col("maxx") && col("minx") <= col("__lmaxx") &&
       col("__lminy") <= col("maxy") && col("miny") <= col("__lmaxy")
 
-  private def finishPairs(joined: DataFrame, withIntersectionArea: Boolean): DataFrame = {
+  private def finishPairs(joined: DataFrame, withIntersectionArea: Boolean,
+      assumeConvexBy: Boolean = true): DataFrame = {
     val out = if (withIntersectionArea)
       joined.withColumn("intersection_area",
-        st_intersection_area_convex(col("__rg"), col("__lg")))
+        // convex `by` regions take the single Sutherland-Hodgman pass;
+        // general polygons go through the triangulated exact-area kernel
+        if (assumeConvexBy) st_intersection_area_convex(col("__rg"), col("__lg"))
+        else st_intersection_area(col("__rg"), col("__lg")))
         .withColumn("value_area", st_area(col("__rg")))
     else joined
     out.drop("__lg", "__rg", "__lminx", "__lminy", "__lmaxx", "__lmaxy",

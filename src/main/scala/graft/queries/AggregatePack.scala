@@ -154,6 +154,28 @@ object AggregatePack extends QueryPack {
         .orderBy(col("region_id"))
     }),
 
+    // general (NON-convex) intersection areas: L-shaped regions against
+    // value boxes through the ear-triangulation kernel; the oracle verifies
+    // with exact union-of-rectangles algebra (iA + iB - iAB)
+    "q71_nonconvex_intersection" -> ((s, d) => {
+      val lShapes = Models.ShapesModel.parse(
+        Tables.supplier(s, d).select(
+          col("s_suppkey").as("index"),
+          ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+          ((col("s_suppkey") * 3) % 40).cast("double").as("y0"))
+          .withColumn("geometry", graft.geom.st.st_make_l_shape(
+            col("x0"), col("y0"), lit(8.0), lit(3.0), lit(4.0), lit(6.0)))
+          .withColumn("geom_type", lit("polygon"))
+          .drop("x0", "y0"))
+      val vals = valBoxes(s, d)
+      graft.ops.SpatialJoin.shapesIntersectShapesGrid(lShapes, vals, 8.0,
+          withIntersectionArea = true, assumeConvexBy = false)
+        .filter(col("intersection_area") > 0)
+        .select(col("region_id"), col("value_id"),
+          round(col("intersection_area"), 6).as("inter_area"))
+        .orderBy(col("region_id"), col("value_id"))
+    }),
+
     // fractions=True: value weighted by intersection_area / value_area
     // through the convex-clip kernel (aggregate.py:429-450), grid path.
     "q27_shapes_fractions" -> ((s, d) => {
@@ -220,6 +242,28 @@ object AggregatePack extends QueryPack {
            |  CAST(SUM(CAST(v.value AS DECIMAL(28,6))) AS DOUBLE) AS value
            |$boxJoin
            |GROUP BY b.index ORDER BY region_id""".stripMargin,
+      // L = rect A [x0,x0+8]x[y0,y0+3] ∪ rect B [x0,x0+4]x[y0,y0+6];
+      // area(L ∩ box) = iA + iB - i(A∩B) with A∩B = [x0,x0+4]x[y0,y0+3]
+      "q71_nonconvex_intersection" -> {
+        def ibox(rx0: String, ry0: String, rx1: String, ry1: String) =
+          s"""GREATEST(0.0, LEAST($rx1, v.x0 + 4.0) - GREATEST($rx0, v.x0)) *
+             |GREATEST(0.0, LEAST($ry1, v.y0 + 4.0) - GREATEST($ry0, v.y0))""".stripMargin
+        s"""WITH l AS (
+           |  SELECT s_suppkey AS region_id,
+           |    CAST((s_suppkey * 7) % 50 AS DOUBLE) AS x0,
+           |    CAST((s_suppkey * 3) % 40 AS DOUBLE) AS y0
+           |  FROM supplier),
+           |v AS ($valBoxesSql),
+           |pairs AS (
+           |  SELECT l.region_id, v.index AS value_id,
+           |    ${ibox("l.x0", "l.y0", "l.x0 + 8.0", "l.y0 + 3.0")} +
+           |    ${ibox("l.x0", "l.y0", "l.x0 + 4.0", "l.y0 + 6.0")} -
+           |    ${ibox("l.x0", "l.y0", "l.x0 + 4.0", "l.y0 + 3.0")} AS inter
+           |  FROM l, v)
+           |SELECT region_id, value_id, ROUND(inter, 6) AS inter_area
+           |FROM pairs WHERE inter > 0
+           |ORDER BY region_id, value_id""".stripMargin
+      },
       "q27_shapes_fractions" ->
         s"""SELECT b.index AS region_id,
            |  ROUND(SUM((v.value * (

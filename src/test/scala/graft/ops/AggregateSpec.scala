@@ -70,6 +70,29 @@ class AggregateSpec extends SparkTestBase {
     assert(got == Seq(4.0, 4.0))
   }
 
+  test("fractions with NON-convex regions via the general intersection kernel") {
+    // L-shaped region (area 12) + the complementary 2x2 notch tile [2,4]x[2,4]
+    val lRing = Array(0.0, 0, 4, 0, 4, 2, 2, 2, 2, 4, 0, 4)
+    val by = Models.ShapesModel.parse(Seq(
+      (0L, graft.geom.WKB.write(graft.geom.GPolygon(Array(lRing))), "polygon"),
+      (1L, graft.geom.WKB.write(graft.geom.GPolygon(
+        Array(Array(2.0, 2, 4, 2, 4, 4, 2, 4)))), "polygon"))
+      .toDF("index", "geometry", "geom_type"))
+    // one value box [1,1]-[3,3] (area 4, value 8) straddling both regions:
+    // L gets 3/4 of it, the notch tile 1/4
+    val values = Models.ShapesModel.parse(Seq((0L, 8.0)).toDF("index", "value")
+      .withColumn("geometry", st_make_box(lit(1.0), lit(1.0), lit(3.0), lit(3.0)))
+      .withColumn("geom_type", lit("polygon")))
+    val got = Aggregate.shapesByShapes(by, values, "value", "sum",
+      fractions = true, assumeConvexBy = false)
+      .orderBy("region_id").select("region_id", "value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 6.0), (1L, 2.0))) // 8 * 3/4, 8 * 1/4
+    // the convex-assuming kernel would get the L region wrong
+    val convex = Aggregate.shapesByShapes(by, values, "value", "sum", fractions = true)
+      .orderBy("region_id").select("value").as[Double].collect()
+    assert(convex(0) != 6.0)
+  }
+
   test("shapes-shapes grid join matches broadcast join for every cell size") {
     // 40 value boxes of assorted sizes against 12 by-regions; straddling,
     // containment, disjoint and shared-edge cases all present
