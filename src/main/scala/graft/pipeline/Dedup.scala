@@ -116,8 +116,15 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 12,
-      bands: Int = 4, maxBucketSize: Option[Int] = None): DataFrame = {
-    val b0 = lshBands(docs, textCol, idCol, k, numHashes, bands)
+      bands: Int = 4, maxBucketSize: Option[Int] = None,
+      persistBands: Boolean = false): DataFrame = {
+    // the band table feeds 2-4 plan branches (cap aggregation + both join
+    // sides); persisting it skips recomputing the shingle->minhash pipeline
+    // per branch (Spark's ReuseExchange catches some but not all)
+    val b00 = lshBands(docs, textCol, idCol, k, numHashes, bands)
+    val b0 = if (persistBands)
+      b00.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else b00
     val b = maxBucketSize match {
       case Some(cap) =>
         val small = b0.groupBy(col("band"), col("band_key"))

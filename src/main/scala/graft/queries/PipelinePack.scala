@@ -58,14 +58,16 @@ object PipelinePack extends QueryPack {
     // join) with the hot-bucket skew guard engaged (band keys shared by
     // > 50 docs are dropped before the self-join)
     "q42_lsh_candidates" -> ((s, d) => {
-      Dedup.lshCandidatePairs(Tables.documents(s, d), maxBucketSize = Some(50))
+      Dedup.lshCandidatePairs(Tables.documents(s, d), maxBucketSize = Some(50),
+        persistBands = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // exact n-gram Jaccard verification of the LSH candidates
     "q43_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.lshCandidatePairs(docs).select("id_a", "id_b")
+      val pairs = Dedup.lshCandidatePairs(docs, persistBands = true)
+        .select("id_a", "id_b")
       Dedup.ngramJaccard(docs, pairs)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
