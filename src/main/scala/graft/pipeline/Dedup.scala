@@ -195,9 +195,15 @@ object Dedup {
     */
   def cosinePairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.0,
-      numPlanes: Int = 2, bands: Int = 2): DataFrame = {
-    val withNorm = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      numPlanes: Int = 2, bands: Int = 2,
+      persistVectors: Boolean = false): DataFrame = {
+    val withNorm0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
+    // the normalized table feeds 2 branches per band; persisting skips the
+    // upstream recompute (same trade as lshCandidatePairs.persistBands)
+    val withNorm = if (persistVectors)
+      withNorm0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else withNorm0
     val perBand = (0 until bands).map { band =>
       val bucketed = withNorm.withColumn("__bucket",
         Similarity.lshBucket(col("__v"), numPlanes, planeOffset = band * numPlanes))

@@ -90,6 +90,29 @@ object ZarrStore {
     ElementMeta(name, kind, dims, transforms, channels, table)
   }
 
+  /** Build zarr consolidated metadata (`.zmetadata`): every JSON metadata
+    * file under the store keyed by relative path — one read resolves the
+    * whole layout on remote stores (the reference writes this too,
+    * spatialdata.py:1478-1492).
+    */
+  private def writeConsolidated(fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
+    val entries = scala.collection.mutable.ListBuffer.empty[(String, JValue)]
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) walk(st.getPath, childRel)
+        else if (name == ".zgroup" || name == ".zattrs" || name == ".zarray")
+          entries += childRel -> JsonMethods.parse(readText(fs, st.getPath.toString))
+      }
+    walk(new Path(root), "")
+    val consolidated: JValue =
+      ("zarr_consolidated_format" -> 1) ~
+        ("metadata" -> JObject(entries.sortBy(_._1).toList.map {
+          case (k, v) => JField(k, v) }))
+    writeText(fs, s"$root/.zmetadata", JsonMethods.pretty(JsonMethods.render(consolidated)))
+  }
+
   /** Write the container as a zarr store. Raster elements must be in the
     * engine layouts (images tiled, labels long-form `(y, x, label)`).
     */
@@ -139,14 +162,21 @@ object ZarrStore {
           writeText(fs, s"$dir/.zattrs", elementAttrs(meta))
       }
     }
+    writeConsolidated(fs, root)
   }
 
   /** Read a zarr store back into a container; `selection` restricts to
     * named elements (partial read, io_zarr.py:33-83). Labels return to the
     * long-form layout (background/zero pixels are not materialized).
+    * `onBadFiles = "warn"` skips elements whose metadata fails to parse
+    * instead of failing the whole read (the reference's
+    * `BadFileHandleMethod.WARN`, io_zarr.py:44-48).
     */
   def read(spark: SparkSession, root: String,
-      selection: Option[Seq[String]] = None): SpatialDataset = {
+      selection: Option[Seq[String]] = None,
+      onBadFiles: String = "error"): SpatialDataset = {
+    require(onBadFiles == "error" || onBadFiles == "warn",
+      s"onBadFiles must be 'error' or 'warn', got '$onBadFiles'")
     import org.apache.spark.sql.functions._
     val rp = new Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -159,9 +189,9 @@ object ZarrStore {
       if (!fs.exists(kindDir)) Nil
       else fs.listStatus(kindDir).toSeq
         .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
-        .map(_.getPath.getName).sorted.filter(wanted).map { name =>
+        .map(_.getPath.getName).sorted.filter(wanted).flatMap { name =>
           val dir = s"$root/${kind.dirName}/$name"
-          kind match {
+          try Some(kind match {
             case ElementKind.Images =>
               val (tiles, nm) = NgffRaster.read(spark, dir)
               SpatialElement(ElementMeta(name, kind, nm.axes, nm.transforms,
@@ -186,6 +216,12 @@ object ZarrStore {
                   Map("X" -> spark.read.parquet(s"$dir/X.parquet"))
                 else Map.empty[String, DataFrame]
               SpatialElement(meta, spark.read.parquet(s"$dir/obs.parquet"), aux)
+          })
+          catch {
+            case e: Exception if onBadFiles == "warn" =>
+              System.err.println(s"[ZarrStore] skipping corrupted element " +
+                s"'${kind.dirName}/$name': ${e.getMessage}")
+              None
           }
         }
     }

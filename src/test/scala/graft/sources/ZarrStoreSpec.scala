@@ -79,4 +79,32 @@ class ZarrStoreSpec extends SparkTestBase {
     val part = ZarrStore.read(spark, root, selection = Some(Seq("pts", "lab")))
     assert(part.manifest.elements.map(_.name).sorted == Seq("lab", "pts"))
   }
+
+  test("consolidated .zmetadata indexes every JSON metadata file") {
+    import org.json4s._
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/cm.zarr"
+    ZarrStore.write(container(), root, tileSize = 8)
+    val j = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/.zmetadata")), "UTF-8"))
+    assert((j \ "zarr_consolidated_format") == JInt(1))
+    val keys = (j \ "metadata").asInstanceOf[JObject].obj.map(_._1).toSet
+    assert(keys.contains(".zgroup") && keys.contains(".zattrs"))
+    assert(keys.contains("images/img/.zattrs"))
+    assert(keys.contains("labels/lab/0/.zarray"))
+    assert(keys.contains("points/pts/.zattrs"))
+  }
+
+  test("onBadFiles=warn skips a corrupted element; error mode throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/bad.zarr"
+    ZarrStore.write(container(), root, tileSize = 8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/points/pts/.zattrs"),
+      "NOT JSON {".getBytes("UTF-8"))
+    intercept[Exception] { ZarrStore.read(spark, root) }
+    val lenient = ZarrStore.read(spark, root, onBadFiles = "warn")
+    assert(!lenient.manifest.elements.map(_.name).contains("pts"))
+    assert(lenient.manifest.elements.map(_.name).sorted ==
+      Seq("img", "lab", "shp", "tab"))
+  }
 }
