@@ -161,6 +161,9 @@ object NgffRaster {
           val (h, w) = (r.getInt(4), r.getInt(5))
           val px = r.getSeq[Double](6)
           require(!rank2B || c == 0, "rank-2 store requires c == 0")
+          require(h <= tsB && w <= tsB,
+            s"tile ${h}x$w exceeds the chunk extent $tsB — tiles must be " +
+              "built with the same tileSize the store is written with")
           val m = metasB.value(s)
           // pad the (h, w) payload into the full chunk extent, fill 0
           val full = new Array[Double](tsB * tsB)

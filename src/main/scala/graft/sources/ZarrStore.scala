@@ -137,7 +137,11 @@ object ZarrStore {
       val dir = s"$root/${meta.kind.dirName}/${meta.name}"
       meta.kind match {
         case ElementKind.Images =>
-          NgffRaster.write(el.data, dir, meta.name, tileSize,
+          // images are already tiled — write with THEIR tile size, not the
+          // store default (mismatched chunk extents corrupt the payload)
+          val ts = el.data.agg(max(greatest(col("h"), col("w"))))
+            .collect()(0).getInt(0)
+          NgffRaster.write(el.data, dir, meta.name, ts,
             transforms = meta.transforms, channels = meta.channelNames)
         case ElementKind.Labels =>
           val tiles = RasterOps.pixelsToTiles(
