@@ -15,15 +15,20 @@ object TextAnalysis {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count estimate: word-boundary pieces + digit runs +
-    * punctuation tokens (a regex approximation of byte-pair tokenizers for
-    * budget estimation — deterministic, no vocab needed).
+  /** BPE-ish subword count estimate: whitespace tokens + intra-token case
+    * and letter<->digit transitions (a regex approximation of byte-pair
+    * tokenizers for budget estimation — deterministic, no vocab needed).
+    * Expressed as transition COUNTS rather than lookaround splits: exactly
+    * the same piece count (each in-token boundary adds one piece), but
+    * RE2-expressible, so SQL oracles can mirror it.
     */
   def subwordCountEstimate(text: Column): Column =
     when(length(trim(text)) === 0, 0)
-      .otherwise(size(filter(
-        split(text, "(?<=[a-z])(?=[A-Z])|[\\s]+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])"),
-        t => length(t) > 0)))
+      .otherwise(
+        size(split(trim(text), "\\s+")) +
+          regexp_count(text, lit("[a-z][A-Z]")) +
+          regexp_count(text, lit("[a-zA-Z][0-9]")) +
+          regexp_count(text, lit("[0-9][a-zA-Z]")))
 
   /** Quality-score components (length/punct/stopword ratios — the usual
     * heuristic filters in large-scale corpus cleaning).

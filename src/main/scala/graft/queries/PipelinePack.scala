@@ -137,6 +137,14 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // token + subword-estimate counting (the training-budget estimator)
+    "q72_token_counts" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     // normalized-content fingerprint
     "q51_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -321,6 +329,16 @@ object PipelinePack extends QueryPack {
            |         {'nh': -hits_es, 'o': 3, 'l': 'es'}, {'nh': -hits_fr, 'o': 4, 'l': 'fr'}])[1].l
            |  END AS lang_pred
            |FROM h ORDER BY doc_id""".stripMargin,
+      "q72_token_counts" ->
+        """SELECT doc_id,
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(text), '\s+'))
+          |          + len(regexp_extract_all(text, '[a-z][A-Z]'))
+          |          + len(regexp_extract_all(text, '[a-zA-Z][0-9]'))
+          |          + len(regexp_extract_all(text, '[0-9][a-zA-Z]')) END AS BIGINT) AS n_subwords
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q51_fingerprint" ->
         s"""SELECT doc_id, md5(array_to_string($wordsSql, ' ')) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
