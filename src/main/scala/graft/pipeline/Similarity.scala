@@ -106,11 +106,15 @@ object Similarity {
     val cent = centroids.select(col(centroidIdCol), col(vecCol).cast("array<double>").as("__c"))
     val dist2 = aggregate(zip_with(col("__v"), col("__c"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, t) => s + t)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col(centroidIdCol))
+    // argmin as a struct-min aggregate (lexicographic on (dist2, centroid_id),
+    // same tiebreak as an ORDER BY window) — partial-aggregates map-side, so
+    // the shuffle carries one row per vec_id instead of the full corpus x K
+    // expansion a row_number window would reshuffle.
     c.crossJoin(broadcast(cent))
       .withColumn("__d", dist2)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(centroidIdCol), col("__d").as("dist2"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d"), col(centroidIdCol))).as("__best"))
+      .select(col(idCol), col("__best")(centroidIdCol).as(centroidIdCol),
+        col("__best")("__d").as("dist2"))
   }
 }

@@ -191,8 +191,8 @@ object ExtraPack extends QueryPack {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |seq AS (
         |  SELECT user_id, event_time,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM flagged)
         |SELECT user_id, session_seq, min(event_time) AS session_start,
         |  max(event_time) AS session_end, COUNT(*) AS n_events

@@ -38,6 +38,10 @@ object RelationalQuery {
   /** The five join flavors between one element and an annotating table
     * (join_spatialelement_table, relational_query.py:558-716). `idCol` is
     * the element-side instance column.
+    *
+    * No forced broadcast hints: the distinct-id side is small for
+    * label/shape regions but can be 1e8+ ids when the element is a points
+    * table (transcripts). AQE picks broadcast vs shuffle from actual sizes.
     */
   def joinElementTable(elem: DataFrame, idCol: String, elementName: String,
       obs: DataFrame, ann: TableAnnotation, how: String): JoinResult = {
@@ -49,26 +53,26 @@ object RelationalQuery {
     how match {
       case "left" =>
         // all element rows; table filtered to matching instances (:434-479)
-        val t = obsRegion.join(broadcast(elemIds),
+        val t = obsRegion.join(elemIds,
           col(ann.instanceKey).cast("long") === col("__elem_id"), "left_semi")
         JoinResult(Some(elem), Some(t))
       case "left_exclusive" =>
         // element rows NOT annotated; no table (:398-431)
-        val e = elem.join(broadcast(obsIds), joinElemToObs, "left_anti")
+        val e = elem.join(obsIds, joinElemToObs, "left_anti")
         JoinResult(Some(e), None)
       case "inner" =>
         // both sides filtered to matches (:337-395)
-        val e = elem.join(broadcast(obsIds), joinElemToObs, "left_semi")
-        val t = obsRegion.join(broadcast(elemIds),
+        val e = elem.join(obsIds, joinElemToObs, "left_semi")
+        val t = obsRegion.join(elemIds,
           col(ann.instanceKey).cast("long") === col("__elem_id"), "left_semi")
         JoinResult(Some(e), Some(t))
       case "right" =>
         // table kept; element masked to table ids (:293-334)
-        val e = elem.join(broadcast(obsIds), joinElemToObs, "left_semi")
+        val e = elem.join(obsIds, joinElemToObs, "left_semi")
         JoinResult(Some(e), Some(obsRegion))
       case "right_exclusive" =>
         // table rows whose instance not in element (:249-290)
-        val t = obsRegion.join(broadcast(elemIds),
+        val t = obsRegion.join(elemIds,
           col(ann.instanceKey).cast("long") === col("__elem_id"), "left_anti")
         JoinResult(None, Some(t))
       case other => sys.error(s"unknown join flavor '$other'")
@@ -85,7 +89,7 @@ object RelationalQuery {
     val obsRegion = obs.filter(col(ann.regionKey) === elementName)
       .withColumnRenamed(ann.instanceKey, "__instance")
       .drop(ann.regionKey)
-    elem.join(broadcast(obsRegion), elem(idCol).cast("long") === col("__instance").cast("long"), "left")
+    elem.join(obsRegion, elem(idCol).cast("long") === col("__instance").cast("long"), "left")
       .drop("__instance")
   }
 
@@ -122,12 +126,12 @@ object RelationalQuery {
 
   /** Labels pixel filtering for right/inner joins: zero out pixels whose
     * label is not annotated by the table (reference
-    * relational_query.py:1112-1156, blockwise np.isin -> 0; here a broadcast
-    * left join + conditional).
+    * relational_query.py:1112-1156, blockwise np.isin -> 0; here a
+    * left join + conditional — AQE broadcasts the id side when it is small).
     */
   def maskLabelsByInstances(labels: DataFrame, keepIds: DataFrame): DataFrame = {
     val keep = keepIds.select(col(keepIds.columns.head).cast("long").as("__keep")).distinct()
-    labels.join(broadcast(keep), labels("label") === col("__keep"), "left")
+    labels.join(keep, labels("label") === col("__keep"), "left")
       .withColumn("label", when(col("__keep").isNull, 0L).otherwise(col("label")))
       .drop("__keep")
   }
@@ -185,12 +189,12 @@ object RelationalQuery {
           .select(col(ann.instanceKey).cast("long").as("__keep")).distinct()
         val masked = el.meta.kind match {
           case ElementKind.Shapes =>
-            el.data.join(broadcast(keep), col("index").cast("long") === col("__keep"), "left_semi")
+            el.data.join(keep, col("index").cast("long") === col("__keep"), "left_semi")
           case ElementKind.Labels =>
-            el.data.join(broadcast(keep), col("label") === col("__keep"), "left_semi")
+            el.data.join(keep, col("label") === col("__keep"), "left_semi")
           case ElementKind.Points =>
             val key = el.meta.attrs.getOrElse("instance_key", "instance_id")
-            el.data.join(broadcast(keep), col(key).cast("long") === col("__keep"), "left_semi")
+            el.data.join(keep, col(key).cast("long") === col("__keep"), "left_semi")
           case _ => el.data
         }
         el.meta.name -> el.copy(data = masked)

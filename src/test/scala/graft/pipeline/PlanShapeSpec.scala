@@ -56,6 +56,17 @@ class PlanShapeSpec extends SparkTestBase {
     assertNoProduct(Dedup.lshCandidatePairs(docs))
   }
 
+  test("ivfAssign is a struct-min aggregate: no window in the plan") {
+    val cent = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val out = Similarity.ivfAssign(emb, cent)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "argmin must be a map-side-combinable aggregate, not a row_number window")
+    // nearest centroid of a centroid is itself at distance 0
+    val self = out.filter(col("vec_id") === 1L).collect().head
+    assert(self.getLong(1) == 1L && self.getDouble(2) == 0.0)
+  }
+
   test("relabelSequential has no unpartitioned window in the plan") {
     val lbl = Seq((0, 0, 10L), (0, 1, 20L), (1, 0, 0L), (1, 1, 10L))
       .toDF("y", "x", "label")

@@ -55,6 +55,24 @@ class RelationalQuerySpec extends SparkTestBase {
       (1L, None), (2L, Some(0.2)), (3L, Some(0.3)), (4L, None)))
   }
 
+  test("join flavors carry no forced broadcast hint (AQE chooses strategy)") {
+    // A points element's distinct-id side can be 1e8+ ids at scale; a forced
+    // broadcast there is a driver/executor OOM. The plan must leave strategy
+    // choice to AQE.
+    for (how <- Seq("left", "left_exclusive", "inner", "right", "right_exclusive")) {
+      val r = RelationalQuery.joinElementTable(elem, "index", "cells", obs, ann, how)
+      for (df <- r.element.toSeq ++ r.table.toSeq) {
+        val plan = df.queryExecution.analyzed.toString
+        assert(!plan.contains("ResolvedHint"), s"'$how' forces a join hint:\n$plan")
+      }
+    }
+    val m = RelationalQuery.matchTableToElement(elem, "index", "cells", obs, ann)
+    assert(!m.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val masked = RelationalQuery.maskLabelsByInstances(
+      Seq((0L, 1L)).toDF("pix", "label"), Seq(1L).toDF("id"))
+    assert(!masked.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("filterByTableQuery masks elements to surviving instances") {
     val sd = SpatialDataset(spark, Seq(
       SpatialElement(Models.ShapesModel.meta("cells"),

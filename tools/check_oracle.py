@@ -39,6 +39,15 @@ def main(sf_dir, out_dir):
         else:
             for c in got.columns:
                 a, b = got[c], want[c]
+                # The driver's value hash is dtype-sensitive after its own
+                # canonicalization (e.g. DuckDB HUGEINT -> float64 while Spark
+                # emits int64, q56 round 2). Mirror that: a kind mismatch
+                # (int vs float vs object...) is a failure even if values
+                # compare equal numerically.
+                if a.dtype.kind != b.dtype.kind:
+                    print(f"FAIL {name}.{c}: dtype kind {a.dtype} vs {b.dtype}")
+                    ok = False
+                    continue
                 try:
                     pd.testing.assert_series_equal(
                         a, b, check_dtype=False, check_exact=True, check_names=False)
