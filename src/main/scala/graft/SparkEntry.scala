@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.ExtraPack,
     graft.queries.NgffPack,
     graft.queries.DataloaderPack,
-    graft.queries.ExtentPack
+    graft.queries.ExtentPack,
+    graft.queries.RefStorePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

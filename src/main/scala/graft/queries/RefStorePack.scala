@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.geom.st._
+import graft.sources.ZarrStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-store interop gates: ingest the python-written fixture at
+  * `src/test/resources/refstore` — a container in the REFERENCE's on-disk
+  * layouts (ShapesFormatV01 ragged arrays, ShapesFormatV02 GeoParquet,
+  * AnnData zarr tables with dense + CSR X, reference points; see
+  * `tools/make_ref_fixture.py`) — and verify exact values. Fixture content
+  * is a pure function of the row index, so the DuckDB oracles recompute it
+  * from `range()` without reading zarr.
+  */
+object RefStorePack extends QueryPack {
+
+  private def fixtureRoot: String =
+    Seq("src/test/resources/refstore", "/root/repo/src/test/resources/refstore")
+      .map(new java.io.File(_)).find(_.isDirectory).map(_.getAbsolutePath)
+      .getOrElse(sys.error("refstore fixture not found — run tools/make_ref_fixture.py"))
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // all four shapes layouts (ragged POINT/POLYGON/MULTIPOLYGON + GeoParquet):
+    // count + exact measure per element (radius sum for circles, area sum
+    // for polygons — holes included, io_shapes.py:42-67)
+    "q73_ref_ragged_shapes" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot)
+      def stats(name: String, measure: DataFrame => org.apache.spark.sql.Column) = {
+        val df = sd(name)
+        df.agg(count(lit(1)).as("n"), dsum(measure(df)).as("total"))
+          .withColumn("element", lit(name))
+      }
+      stats("circles_v01", _ => col("radius"))
+        .unionByName(stats("gp_v02", d => st_area(d("geometry"))))
+        .unionByName(stats("mpolys_v01", d => st_area(d("geometry"))))
+        .unionByName(stats("polys_v01", d => st_area(d("geometry"))))
+        .select("element", "n", "total")
+        .orderBy("element")
+    }),
+
+    // AnnData dense X -> nonzero long form, joined back to a categorical
+    // obs column through instance ids (io_table.py:22-49 + anndata encodings)
+    "q74_ref_table_dense" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("t_dense")))
+      val el = sd.element("t_dense")
+      val grp = el.obs.select(col("instance_id"), col("grp"))
+      el.x.join(grp, "instance_id")
+        .filter(col("grp") === "b")
+        .groupBy("var_name")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("var_name")
+    }),
+
+    // AnnData CSR X (data/indices/indptr) -> exact per-var totals
+    "q75_ref_table_csr" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("t_csr")))
+      sd.element("t_csr").x
+        .groupBy("var_name")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("var_name")
+    }),
+
+    // reference points element (points.parquet + V01 attrs)
+    "q76_ref_points" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("pts_v01")))
+      sd.element("pts_v01").data
+        .agg(count(lit(1)).as("n"), dsum(col("x")).as("sum_x"),
+          dsum(col("y")).as("sum_y"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q73_ref_ragged_shapes" ->
+      """SELECT 'circles_v01' AS element, COUNT(*) AS n,
+        |  CAST(SUM(CAST(1.0 + (i % 5) AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM range(40) t(i)
+        |UNION ALL SELECT 'gp_v02', COUNT(*),
+        |  CAST(SUM(CAST(2.0 AS DECIMAL(28,6))) AS DOUBLE) FROM range(20) t(i)
+        |UNION ALL SELECT 'mpolys_v01', COUNT(*),
+        |  CAST(SUM(CAST(2.0 AS DECIMAL(28,6))) AS DOUBLE) FROM range(10) t(i)
+        |UNION ALL SELECT 'polys_v01', COUNT(*),
+        |  CAST(SUM(CAST((3 + i % 4) * (2 + i % 3)
+        |    - CASE WHEN i = 3 THEN 1 ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM range(30) t(i)
+        |ORDER BY element""".stripMargin,
+    "q74_ref_table_dense" ->
+      """SELECT 'g' || CAST(j AS VARCHAR) AS var_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST((i * 4 + j) % 7 AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM range(50) t(i), range(4) u(j)
+        |WHERE (i * 4 + j) % 7 <> 0 AND i % 3 = 1
+        |GROUP BY 1 ORDER BY var_name""".stripMargin,
+    "q75_ref_table_csr" ->
+      """WITH e AS (
+        |  SELECT i % 3 AS j, CAST(i + 0.5 AS DOUBLE) AS v FROM range(30) t(i)
+        |  UNION ALL
+        |  SELECT (i + 1) % 3, CAST(2 * i + 0.25 AS DOUBLE) FROM range(30) t(i))
+        |SELECT 'v' || CAST(j AS VARCHAR) AS var_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1 ORDER BY var_name""".stripMargin,
+    "q76_ref_points" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(i * 1.5 AS DECIMAL(28,6))) AS DOUBLE) AS sum_x,
+        |  CAST(SUM(CAST(i * 0.5 AS DECIMAL(28,6))) AS DOUBLE) AS sum_y
+        |FROM range(25) t(i)""".stripMargin
+  )
+}

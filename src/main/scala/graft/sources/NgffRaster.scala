@@ -80,20 +80,43 @@ object NgffRaster {
 
   private[sources] def transformFromNgff(j: JValue, spatialAxes: Seq[String]): Transform = {
     implicit val fmt: Formats = DefaultFormats
-    def axesOf(field: String): Seq[String] = (j \ field) match {
-      case JNothing | JNull => spatialAxes
-      case a => a.extract[Seq[String]]
+    // Axis lists appear either as plain string arrays (this engine's write
+    // form) or as the reference's NgffCoordinateSystem dicts on "input"/
+    // "output" — `[{"name": "x", "type": "space", ...}, ...]`
+    // (ngff_transformations.py `_update_dict_with_input_output_cs`).
+    def axisNames(v: JValue): Option[Seq[String]] = v match {
+      case JArray(a) if a.nonEmpty => Some(a.map {
+        case JString(s) => s
+        case o => (o \ "name").extract[String]
+      })
+      case _ => None
     }
+    def axesOf(field: String, csField: String): Seq[String] =
+      axisNames(j \ field)
+        .orElse(axisNames(j \ csField \ "axes"))
+        .getOrElse(spatialAxes)
     (j \ "type").extract[String] match {
       case "identity" => IdentityT
-      case "scale" => ScaleT((j \ "scale").extract[Seq[Double]], axesOf("axes"))
+      case "scale" => ScaleT((j \ "scale").extract[Seq[Double]], axesOf("axes", "input"))
       case "translation" =>
-        TranslationT((j \ "translation").extract[Seq[Double]], axesOf("axes"))
+        TranslationT((j \ "translation").extract[Seq[Double]], axesOf("axes", "input"))
       case "affine" =>
-        val rows = (j \ "affine").extract[Seq[Seq[Double]]]
+        val raw = (j \ "affine").extract[Seq[Seq[Double]]]
+        // the reference omits the last homogeneous row (NgffAffine.to_dict);
+        // Matrix is full homogeneous, so append [0,...,0,1] when missing
+        val rows =
+          if (raw.length == raw.head.length - 1)
+            raw :+ (Seq.fill(raw.head.length - 1)(0.0) :+ 1.0)
+          else raw
         AffineT(Matrix(rows.length, rows.head.length, rows.flatten.toArray),
-          axesOf("input_axes"), axesOf("output_axes"))
-      case "mapAxis" => MapAxisT((j \ "map").extract[Map[String, String]])
+          axesOf("input_axes", "input"), axesOf("output_axes", "output"))
+      case "mapAxis" =>
+        // this engine writes "map"; the reference writes "mapAxis"
+        val m = (j \ "map") match {
+          case JNothing | JNull => (j \ "mapAxis").extract[Map[String, String]]
+          case v => v.extract[Map[String, String]]
+        }
+        MapAxisT(m)
       case "sequence" =>
         SequenceT((j \ "transformations").asInstanceOf[JArray].arr
           .map(transformFromNgff(_, spatialAxes)))

@@ -24,7 +24,10 @@ object Zarr {
   final case class Compressor(id: String, cname: String = "lz4",
       clevel: Int = 5, shuffle: Int = 1)
 
-  /** Parsed `.zarray`. `shape`/`chunks` are C-order (slowest axis first). */
+  /** Parsed `.zarray`. `shape`/`chunks` are C-order (slowest axis first).
+    * `filters` carries codec ids only (the one supported filter, numcodecs
+    * `vlen-utf8`, has no parameters).
+    */
   final case class ArrayMeta(
       shape: Seq[Int],
       chunks: Seq[Int],
@@ -32,7 +35,8 @@ object Zarr {
       compressor: Option[Compressor],
       fillValue: Double,
       order: String,
-      dimSeparator: String) {
+      dimSeparator: String,
+      filters: Seq[String] = Nil) {
     require(order == "C", s"only C-order zarr supported, got '$order'")
     /** chunk-grid extent per axis: ceil(shape / chunks) */
     def gridShape: Seq[Int] =
@@ -58,6 +62,10 @@ object Zarr {
       case JString("NaN") => Double.NaN
       case v => v.extract[Double]
     }
+    val filters = (j \ "filters") match {
+      case JArray(fs) => fs.map(f => (f \ "id").extract[String])
+      case _ => Nil
+    }
     ArrayMeta(
       shape = (j \ "shape").extract[Seq[Int]],
       chunks = (j \ "chunks").extract[Seq[Int]],
@@ -65,7 +73,8 @@ object Zarr {
       compressor = comp,
       fillValue = fill,
       order = (j \ "order").extractOrElse[String]("C"),
-      dimSeparator = (j \ "dimension_separator").extractOrElse[String]("."))
+      dimSeparator = (j \ "dimension_separator").extractOrElse[String]("."),
+      filters = filters)
   }
 
   def arrayMetaJson(m: ArrayMeta): String = {
@@ -183,6 +192,60 @@ object Zarr {
       case Some(Compressor("blosc", _, _, _)) => bloscDecode(bytes, nbytes)
       case Some(c) => sys.error(s"unsupported read compressor '${c.id}'")
     }
+
+  /** Decompress a chunk whose raw size is NOT known in advance (needed for
+    * variable-length encodings like vlen-utf8, where the buffer is
+    * `4 + sum(4 + len)` bytes rather than `chunks.product * width`).
+    */
+  def decompressAny(bytes: Array[Byte], compressor: Option[Compressor]): Array[Byte] =
+    compressor match {
+      case None => bytes
+      case Some(Compressor("zlib", _, _, _)) =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes)
+        val bos = new java.io.ByteArrayOutputStream(bytes.length * 4 + 64)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) bos.write(buf, 0, n)
+        }
+        inf.end()
+        bos.toByteArray
+      case Some(Compressor("gzip", _, _, _)) =>
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+        val bos = new java.io.ByteArrayOutputStream(bytes.length * 4 + 64)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      case Some(Compressor("zstd", _, _, _)) =>
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        require(size > 0 && size < Int.MaxValue, s"zstd frame without content size")
+        com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+      case Some(Compressor("blosc", _, _, _)) =>
+        val nbytes = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+        bloscDecode(bytes, nbytes)
+      case Some(c) => sys.error(s"unsupported read compressor '${c.id}'")
+    }
+
+  /** Decode a numcodecs `vlen-utf8` buffer: uint32-LE item count, then per
+    * item uint32-LE byte length + UTF-8 payload (numcodecs vlen spec).
+    */
+  def vlenUtf8Decode(raw: Array[Byte]): Array[String] = {
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      out(i) = new String(b, "UTF-8")
+      i += 1
+    }
+    out
+  }
 
   private def inflate(bytes: Array[Byte], nbytes: Int, raw: Boolean): Array[Byte] = {
     val inf = new java.util.zip.Inflater(raw)

@@ -76,18 +76,34 @@ object ZarrStore {
       }.toMap
       case _ => Map.empty[String, Transform]
     }
-    val table = (j \ "spatialdata_attrs") match {
-      case JNothing | JNull => None
-      case a => Some(TableAnnotation(
-        (a \ "region").extract[Seq[String]],
-        (a \ "region_key").extract[String],
-        (a \ "instance_key").extract[String]))
+    // spatialdata_attrs carries different keys per kind and per writer:
+    // the engine's tables keep region/region_key/instance_key; the
+    // reference's points keep instance_key/feature_key + a format version
+    // (io_points.py / PointsAttrsMixinV01) and its shapes keep geos/version.
+    // Only a complete (region, region_key, instance_key) triple becomes a
+    // TableAnnotation; scalar string keys land in freeform attrs.
+    val sa = j \ "spatialdata_attrs"
+    val regions = (sa \ "region") match {
+      case JString(s) => Seq(s)
+      case JArray(rs) => rs.collect { case JString(s) => s }
+      case _ => Nil
     }
+    val table = ((sa \ "region_key"), (sa \ "instance_key")) match {
+      case (JString(rk), JString(ik)) if regions.nonEmpty =>
+        Some(TableAnnotation(regions, rk, ik))
+      case _ => None
+    }
+    val freeAttrs = Seq("instance_key", "feature_key").flatMap { k =>
+      if (table.isEmpty) (sa \ k) match {
+        case JString(v) => Some(k -> v)
+        case _ => None
+      } else None
+    }.toMap
     val channels = (j \ "channel_names") match {
       case JArray(cs) => cs.map(_.extract[String])
       case _ => Nil
     }
-    ElementMeta(name, kind, dims, transforms, channels, table)
+    ElementMeta(name, kind, dims, transforms, channels, table, freeAttrs)
   }
 
   /** Build zarr consolidated metadata (`.zmetadata`): every JSON metadata
@@ -209,17 +225,35 @@ object ZarrStore {
                 .select(col("y"), col("x"), col("value").cast("long").as("label"))
               SpatialElement(ElementMeta(name, kind, Seq("y", "x"),
                 nm.transforms), longForm)
-            case ElementKind.Points | ElementKind.Shapes =>
+            case ElementKind.Points =>
               val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
-              val file = if (kind == ElementKind.Points) "points.parquet" else "shapes.parquet"
-              SpatialElement(meta, spark.read.parquet(s"$dir/$file"))
+              SpatialElement(meta, spark.read.parquet(s"$dir/points.parquet"))
+            case ElementKind.Shapes =>
+              val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
+              if (fs.exists(new Path(s"$dir/shapes.parquet"))) {
+                // engine layout (parsed columns) or reference ShapesFormatV02+
+                // GeoParquet (raw WKB); distinguish by the derived columns
+                val df = spark.read.parquet(s"$dir/shapes.parquet")
+                if (df.columns.contains("geom_type")) SpatialElement(meta, df)
+                else SpatialElement(meta,
+                  Models.ShapesModel.readGeoParquet(spark, s"$dir/shapes.parquet"))
+              } else if (fs.exists(new Path(s"$dir/coords/.zarray"))) {
+                // reference ShapesFormatV01 ragged arrays (io_shapes.py:42-56)
+                SpatialElement(meta, AnnDataZarr.readRaggedShapes(spark, dir))
+              } else sys.error(s"shapes '$name': no shapes.parquet or ragged coords")
             case ElementKind.Tables =>
-              val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
-              val aux =
-                if (fs.exists(new Path(s"$dir/X.parquet")))
-                  Map("X" -> spark.read.parquet(s"$dir/X.parquet"))
-                else Map.empty[String, DataFrame]
-              SpatialElement(meta, spark.read.parquet(s"$dir/obs.parquet"), aux)
+              if (fs.exists(new Path(s"$dir/obs.parquet"))) {
+                // engine layout: obs + optional long-form X parquet
+                val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
+                val aux =
+                  if (fs.exists(new Path(s"$dir/X.parquet")))
+                    Map("X" -> spark.read.parquet(s"$dir/X.parquet"))
+                  else Map.empty[String, DataFrame]
+                SpatialElement(meta, spark.read.parquet(s"$dir/obs.parquet"), aux)
+              } else {
+                // reference layout: AnnData zarr group (io_table.py:22-49)
+                AnnDataZarr.readTable(spark, dir, name)
+              }
           })
           catch {
             case e: Exception if onBadFiles == "warn" =>

@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model._
+import org.apache.spark.sql.functions._
+
+/** Interop with REFERENCE-written zarr stores: the fixture at
+  * `src/test/resources/refstore` is produced by `tools/make_ref_fixture.py`
+  * (plain python, no JVM involvement) in the reference's on-disk layouts —
+  * ShapesFormatV01 ragged arrays, ShapesFormatV02 GeoParquet, AnnData zarr
+  * tables (dense + CSR X, categorical/string obs), reference-style points
+  * and NGFF transform dicts with input/output coordinate-system objects.
+  */
+class RefStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val root =
+    new java.io.File("src/test/resources/refstore").getAbsolutePath
+  private lazy val sd = ZarrStore.read(spark, root)
+
+  test("container enumerates every reference-layout element") {
+    assert(sd.manifest.elements.map(_.name).toSet ==
+      Set("circles_v01", "polys_v01", "mpolys_v01", "gp_v02",
+        "t_dense", "t_csr", "pts_v01"))
+  }
+
+  test("ragged POINT + radius becomes circles, values exact") {
+    val df = sd("circles_v01").orderBy("index")
+    assert(df.count() == 40)
+    val r = df.select("index", "radius").as[(Long, Double)].collect()
+    assert(r.forall { case (i, rad) => rad == 1.0 + (i % 5) })
+    val xy = df.select(graft.geom.st.st_centroid_x(col("geometry")),
+      graft.geom.st.st_centroid_y(col("geometry"))).as[(Double, Double)].collect()
+    xy.zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == (i * 7) % 50 + 0.5 && y == (i * 3) % 40 + 0.5)
+    }
+  }
+
+  test("ragged POLYGON keeps holes: rect areas minus the poly-3 hole") {
+    val a = sd("polys_v01")
+      .select(col("index"), graft.geom.st.st_area(col("geometry")).as("a"))
+      .as[(Long, Double)].collect().toMap
+    assert(a.size == 30)
+    (0 until 30).foreach { k =>
+      val w = 3.0 + (k % 4); val h = 2.0 + (k % 3)
+      val want = if (k == 3) w * h - 1.0 else w * h
+      assert(a(k.toLong) == want, s"poly $k area ${a(k.toLong)} != $want")
+    }
+  }
+
+  test("ragged MULTIPOLYGON with int32 offsets: two unit squares each") {
+    val df = sd("mpolys_v01")
+    assert(df.count() == 10)
+    val areas = df.select(graft.geom.st.st_area(col("geometry")))
+      .as[Double].collect()
+    assert(areas.forall(_ == 2.0))
+    assert(df.select("geom_type").distinct().as[String].collect().toSeq ==
+      Seq("multipolygon"))
+  }
+
+  test("ShapesFormatV02 GeoParquet file reads with reference-style scale transform") {
+    val el = sd.element("gp_v02")
+    assert(el.data.count() == 20)
+    val areas = el.data.select(graft.geom.st.st_area(col("geometry"))).as[Double].collect()
+    assert(areas.forall(_ == 2.0))
+    assert(el.meta.transforms("global") == ScaleT(Seq(2.0, 2.0), Seq("x", "y")))
+  }
+
+  test("AnnData dense table: obs columns (categorical, string, numeric) align by row") {
+    val el = sd.element("t_dense")
+    val obs = el.obs.orderBy("instance_id")
+    assert(obs.count() == 50)
+    assert(obs.columns.toSet == Set("_index", "region", "instance_id", "score", "grp"))
+    val rows = obs.select("instance_id", "_index", "region", "score", "grp")
+      .as[(Long, String, String, Double, String)].collect()
+    rows.foreach { case (i, idx, reg, score, grp) =>
+      assert(idx == s"cell_$i" && reg == "polys_v01" && score == i * 0.5 &&
+        grp == Seq("a", "b", "c")(((i % 3).toInt)))
+    }
+    assert(el.meta.table.contains(TableAnnotation(Seq("polys_v01"), "region", "instance_id")))
+  }
+
+  test("AnnData dense X becomes nonzero long-form aligned to instance ids") {
+    val x = sd.element("t_dense").x
+    // X[i,j] = (i*4+j) % 7; zeros dropped
+    val want = (for (i <- 0 until 50; j <- 0 until 4; v = (i * 4 + j) % 7 if v != 0)
+      yield (i.toLong, s"g$j", v.toDouble)).toSet
+    val got = x.select(col("instance_id").cast("long"), col("var_name"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == want)
+    assert(x.select("region").distinct().as[String].collect().toSeq == Seq("polys_v01"))
+  }
+
+  test("AnnData CSR X reconstructs exact COO triples") {
+    val x = sd.element("t_csr").x
+    val want = (for (i <- 0 until 30; e <- Seq((i % 3, i + 0.5), ((i + 1) % 3, 2.0 * i + 0.25)))
+      yield (i.toLong, s"v${e._1}", e._2)).toSet
+    val got = x.select(col("instance_id").cast("long"), col("var_name"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("reference points element: parquet payload + instance_key in attrs") {
+    val el = sd.element("pts_v01")
+    assert(el.data.count() == 25)
+    assert(el.meta.attrs.get("instance_key").contains("instance"))
+    val s = el.data.agg(sum(col("x")), sum(col("y"))).as[(Double, Double)].collect().head
+    assert(s._1 == 1.5 * (0 until 25).sum && s._2 == 0.5 * (0 until 25).sum)
+  }
+
+  test("reference-style NGFF dicts parse: identity with coordinate-system objects") {
+    assert(sd.element("pts_v01").meta.transforms("global") == IdentityT)
+    assert(sd.element("circles_v01").meta.transforms("global") == IdentityT)
+  }
+}

@@ -1,0 +1,296 @@
+#!/usr/bin/env python3
+"""Generate src/test/resources/refstore — a spatialdata container fixture in
+the REFERENCE's on-disk layout (not the engine's), written by plain python so
+the Scala reader is proven against an external writer:
+
+  shapes/circles_v01   ShapesFormatV01 ragged arrays, POINT + radius
+  shapes/polys_v01     ShapesFormatV01 ragged arrays, POLYGON (one has a hole)
+  shapes/mpolys_v01    ShapesFormatV01 ragged arrays, MULTIPOLYGON, int32 offsets
+  shapes/gp_v02        ShapesFormatV02: single-file GeoParquet (WKB)
+  tables/t_dense       AnnData zarr: dense X, obs with categorical + strings
+  tables/t_csr         AnnData zarr: CSR X (int32 indices, int64 indptr)
+  points/pts_v01       points.parquet + reference-style .zattrs
+
+Layouts follow reference/src/spatialdata/_io/io_shapes.py:33-67 (V01 ragged /
+V02 parquet), io_table.py:22-49 + the anndata zarr v2 on-disk spec (dataframe /
+categorical / csr_matrix encodings), io_points.py:23-47, and the zarr v2
+storage spec (zlib-compressed C-order chunks, vlen-utf8 object arrays).
+
+All values are deterministic functulas of the row index so DuckDB oracles can
+recompute them from range() without reading the fixture.
+
+Run from the repo root: python3 tools/make_ref_fixture.py
+"""
+import json
+import os
+import shutil
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.join("src", "test", "resources", "refstore")
+
+DT = {
+    np.dtype("float64"): "<f8", np.dtype("float32"): "<f4",
+    np.dtype("int64"): "<i8", np.dtype("int32"): "<i4",
+    np.dtype("int16"): "<i2", np.dtype("int8"): "|i1",
+    np.dtype("uint8"): "|u1",
+}
+
+
+def write_json(path, obj):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2)
+
+
+def write_group(path, attrs=None):
+    write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+    if attrs is not None:
+        write_json(os.path.join(path, ".zattrs"), attrs)
+
+
+def write_array(path, arr, chunks=None):
+    """Numeric zarr v2 array, zlib level 1, C order."""
+    arr = np.ascontiguousarray(arr)
+    if chunks is None:
+        chunks = list(arr.shape)
+    meta = {
+        "zarr_format": 2, "shape": list(arr.shape), "chunks": list(chunks),
+        "dtype": DT[arr.dtype], "compressor": {"id": "zlib", "level": 1},
+        "fill_value": 0, "order": "C", "filters": None,
+    }
+    write_json(os.path.join(path, ".zarray"), meta)
+    grid = [(s + c - 1) // c for s, c in zip(arr.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
+        block = arr[sl]
+        full = np.zeros(chunks, dtype=arr.dtype)
+        full[tuple(slice(0, s) for s in block.shape)] = block
+        with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
+            f.write(zlib.compress(full.tobytes(), 1))
+
+
+def write_str_array(path, strings, chunks=None):
+    """Object array with the numcodecs vlen-utf8 filter."""
+    n = len(strings)
+    if chunks is None:
+        chunks = [n]
+    meta = {
+        "zarr_format": 2, "shape": [n], "chunks": list(chunks),
+        "dtype": "|O", "compressor": {"id": "zlib", "level": 1},
+        "fill_value": 0, "order": "C",
+        "filters": [{"id": "vlen-utf8"}],
+    }
+    write_json(os.path.join(path, ".zarray"), meta)
+    c = chunks[0]
+    for ci in range((n + c - 1) // c):
+        items = strings[ci * c:(ci + 1) * c]
+        buf = struct.pack("<I", len(items))
+        for s in items:
+            b = s.encode("utf-8")
+            buf += struct.pack("<I", len(b)) + b
+        with open(os.path.join(path, str(ci)), "wb") as f:
+            f.write(zlib.compress(buf, 1))
+
+
+def cs(name):
+    axes = [{"name": "x", "type": "space", "unit": "unit"},
+            {"name": "y", "type": "space", "unit": "unit"}]
+    return {"name": name, "axes": axes}
+
+
+def ngff_identity():
+    return {"type": "identity", "input": cs("xy"), "output": cs("global")}
+
+
+def ngff_scale(sx, sy):
+    return {"type": "scale", "scale": [sx, sy],
+            "input": cs("xy"), "output": cs("global")}
+
+
+def shapes_attrs_v01(geos_name, geos_type, transform):
+    return {
+        "encoding-type": "ngff:shapes", "axes": ["x", "y"],
+        "coordinateTransformations": [transform],
+        "spatialdata_attrs": {
+            "geos": {"name": geos_name, "type": geos_type}, "version": "0.1"},
+    }
+
+
+def categorical(path, codes, categories):
+    write_group(path, {"encoding-type": "categorical",
+                       "encoding-version": "0.2.0", "ordered": False})
+    write_array(os.path.join(path, "codes"), np.asarray(codes, dtype=np.int8))
+    write_str_array(os.path.join(path, "categories"), categories)
+
+
+def obs_attrs(order):
+    return {"encoding-type": "dataframe", "encoding-version": "0.2.0",
+            "_index": "_index", "column-order": order}
+
+
+def main():
+    shutil.rmtree(ROOT, ignore_errors=True)
+    write_group(ROOT, {"spatialdata_attrs": {
+        "version": "0.1", "spatialdata_software_version": "0.4.0"}})
+    write_group(os.path.join(ROOT, "shapes"))
+    write_group(os.path.join(ROOT, "tables"))
+    write_group(os.path.join(ROOT, "points"))
+
+    # ---- shapes/circles_v01: POINT + radius ----
+    n = 40
+    i = np.arange(n)
+    coords = np.stack([(i * 7) % 50 + 0.5, (i * 3) % 40 + 0.5], axis=1).astype(np.float64)
+    d = os.path.join(ROOT, "shapes", "circles_v01")
+    write_group(d, shapes_attrs_v01("POINT", 0, ngff_identity()))
+    write_array(os.path.join(d, "coords"), coords, chunks=[16, 2])
+    write_array(os.path.join(d, "Index"), i.astype(np.int64), chunks=[16])
+    write_array(os.path.join(d, "radius"), (1.0 + (i % 5)).astype(np.float64), chunks=[16])
+
+    # ---- shapes/polys_v01: POLYGON rectangles, poly 3 has a 1x1 hole ----
+    np_ = 30
+    coords_l, ring_off, geom_off = [], [0], [0]
+    for k in range(np_):
+        x0, y0 = float((k * 5) % 60), float((k * 11) % 45)
+        w, h = 3.0 + (k % 4), 2.0 + (k % 3)
+        coords_l += [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]
+        ring_off.append(len(coords_l))
+        if k == 3:  # interior ring (hole), CW
+            coords_l += [(x0 + 1, y0 + 1), (x0 + 1, y0 + 2), (x0 + 2, y0 + 2),
+                         (x0 + 2, y0 + 1), (x0 + 1, y0 + 1)]
+            ring_off.append(len(coords_l))
+        geom_off.append(len(ring_off) - 1)
+    d = os.path.join(ROOT, "shapes", "polys_v01")
+    write_group(d, shapes_attrs_v01("POLYGON", 3, ngff_identity()))
+    write_array(os.path.join(d, "coords"), np.array(coords_l, dtype=np.float64), chunks=[32, 2])
+    write_array(os.path.join(d, "offset0"), np.array(ring_off, dtype=np.int64), chunks=[16])
+    write_array(os.path.join(d, "offset1"), np.array(geom_off, dtype=np.int64), chunks=[16])
+    write_array(os.path.join(d, "Index"), np.arange(np_, dtype=np.int64), chunks=[16])
+
+    # ---- shapes/mpolys_v01: MULTIPOLYGON (two unit squares each), i4 offsets ----
+    nm = 10
+    coords_l, ring_off, poly_off, geom_off = [], [0], [0], [0]
+    for k in range(nm):
+        for bx, by in ((k * 7.0, 0.0), (k * 7.0 + 3.0, 5.0)):
+            coords_l += [(bx, by), (bx + 1, by), (bx + 1, by + 1), (bx, by + 1), (bx, by)]
+            ring_off.append(len(coords_l))
+            poly_off.append(len(ring_off) - 1)
+        geom_off.append(len(poly_off) - 1)
+    d = os.path.join(ROOT, "shapes", "mpolys_v01")
+    write_group(d, shapes_attrs_v01("MULTIPOLYGON", 6, ngff_identity()))
+    write_array(os.path.join(d, "coords"), np.array(coords_l, dtype=np.float64), chunks=[64, 2])
+    write_array(os.path.join(d, "offset0"), np.array(ring_off, dtype=np.int32))
+    write_array(os.path.join(d, "offset1"), np.array(poly_off, dtype=np.int32))
+    write_array(os.path.join(d, "offset2"), np.array(geom_off, dtype=np.int32))
+    write_array(os.path.join(d, "Index"), np.arange(nm, dtype=np.int64))
+
+    # ---- shapes/gp_v02: single-file GeoParquet, WKB rectangles ----
+    def wkb_polygon(rings):
+        b = struct.pack("<BI", 1, 3) + struct.pack("<I", len(rings))
+        for r in rings:
+            b += struct.pack("<I", len(r))
+            for x, y in r:
+                b += struct.pack("<dd", x, y)
+        return b
+
+    ng = 20
+    geoms = []
+    for k in range(ng):
+        x0, y0 = k * 2.0, float(k)
+        geoms.append(wkb_polygon([[(x0, y0), (x0 + 2, y0), (x0 + 2, y0 + 1),
+                                   (x0, y0 + 1), (x0, y0)]]))
+    d = os.path.join(ROOT, "shapes", "gp_v02")
+    write_group(d, {
+        "encoding-type": "ngff:shapes", "axes": ["x", "y"],
+        "coordinateTransformations": [ngff_scale(2.0, 2.0)],
+        "spatialdata_attrs": {"version": "0.2"},
+    })
+    geo_md = {"version": "1.0.0", "primary_column": "geometry",
+              "columns": {"geometry": {"encoding": "WKB",
+                                       "geometry_types": ["Polygon"]}}}
+    tbl = pa.table({"index": pa.array(np.arange(ng, dtype=np.int64)),
+                    "geometry": pa.array(geoms, type=pa.binary())})
+    tbl = tbl.replace_schema_metadata({"geo": json.dumps(geo_md)})
+    pq.write_table(tbl, os.path.join(d, "shapes.parquet"))
+
+    # ---- tables/t_dense: AnnData zarr, dense X ----
+    no, nv = 50, 4
+    i = np.arange(no)
+    d = os.path.join(ROOT, "tables", "t_dense")
+    write_group(d, {
+        "encoding-type": "anndata", "encoding-version": "0.1.0",
+        "spatialdata-encoding-type": "ngff:regions_table",
+        "region": "polys_v01", "region_key": "region",
+        "instance_key": "instance_id", "version": "0.1",
+    })
+    X = ((i[:, None] * nv + np.arange(nv)[None, :]) % 7).astype(np.float64)
+    write_array(os.path.join(d, "X"), X, chunks=[16, 4])
+    od = os.path.join(d, "obs")
+    write_group(od, obs_attrs(["region", "instance_id", "score", "grp"]))
+    write_str_array(os.path.join(od, "_index"), [f"cell_{k}" for k in i], chunks=[16])
+    categorical(os.path.join(od, "region"), np.zeros(no, np.int8), ["polys_v01"])
+    write_array(os.path.join(od, "instance_id"), i.astype(np.int64), chunks=[16])
+    write_array(os.path.join(od, "score"), (i * 0.5).astype(np.float64), chunks=[16])
+    categorical(os.path.join(od, "grp"), (i % 3).astype(np.int8), ["a", "b", "c"])
+    vd = os.path.join(d, "var")
+    write_group(vd, obs_attrs([]))
+    write_str_array(os.path.join(vd, "_index"), [f"g{j}" for j in range(nv)])
+
+    # ---- tables/t_csr: AnnData zarr, CSR X ----
+    no, nv = 30, 3
+    i = np.arange(no)
+    d = os.path.join(ROOT, "tables", "t_csr")
+    write_group(d, {
+        "encoding-type": "anndata", "encoding-version": "0.1.0",
+        "spatialdata-encoding-type": "ngff:regions_table",
+        "region": "circles_v01", "region_key": "region",
+        "instance_key": "instance_id", "version": "0.1",
+    })
+    data, indices, indptr = [], [], [0]
+    for k in range(no):
+        ents = sorted([(k % 3, k + 0.5), ((k + 1) % 3, 2 * k + 0.25)])
+        for c, v in ents:
+            indices.append(c)
+            data.append(v)
+        indptr.append(len(data))
+    xd = os.path.join(d, "X")
+    write_group(xd, {"encoding-type": "csr_matrix", "encoding-version": "0.1.0",
+                     "shape": [no, nv]})
+    write_array(os.path.join(xd, "data"), np.array(data, dtype=np.float64), chunks=[16])
+    write_array(os.path.join(xd, "indices"), np.array(indices, dtype=np.int32), chunks=[16])
+    write_array(os.path.join(xd, "indptr"), np.array(indptr, dtype=np.int64), chunks=[8])
+    od = os.path.join(d, "obs")
+    write_group(od, obs_attrs(["region", "instance_id"]))
+    write_str_array(os.path.join(od, "_index"), [f"r_{k}" for k in i])
+    write_str_array(os.path.join(od, "region"), ["circles_v01"] * no)
+    write_array(os.path.join(od, "instance_id"), i.astype(np.int64))
+    vd = os.path.join(d, "var")
+    write_group(vd, obs_attrs([]))
+    write_str_array(os.path.join(vd, "_index"), [f"v{j}" for j in range(nv)])
+
+    # ---- points/pts_v01 ----
+    npt = 25
+    i = np.arange(npt)
+    d = os.path.join(ROOT, "points", "pts_v01")
+    write_group(d, {
+        "encoding-type": "ngff:points", "axes": ["x", "y"],
+        "coordinateTransformations": [ngff_identity()],
+        "spatialdata_attrs": {"instance_key": "instance", "version": "0.1"},
+    })
+    pdir = os.path.join(d, "points.parquet")
+    os.makedirs(pdir, exist_ok=True)
+    pq.write_table(pa.table({
+        "x": pa.array((i * 1.5).astype(np.float64)),
+        "y": pa.array((i * 0.5).astype(np.float64)),
+        "instance": pa.array(i.astype(np.int64)),
+    }), os.path.join(pdir, "part.0.parquet"))
+
+    print(f"wrote {ROOT}")
+
+
+if __name__ == "__main__":
+    main()
