@@ -38,6 +38,37 @@ object RasterOps {
           i => coalesce(element_at(col("__m"), i), lit(0.0))).as("px"))
   }
 
+  /** 3D long-form `(c?, z, y, x, value)` -> z-stacked tiles (the 2D tile
+    * layout plus a `z` plane column; one tile per (c, z, tile_y, tile_x)).
+    * The plane count multiplies the tile count, not the tile extent — the
+    * same per-chunk contract the reference's 3D dask arrays have.
+    */
+  def pixelsToTiles3d(pixels: DataFrame, tileSize: Int = TS,
+      channelCol: Option[String] = Some("c"), scale: Int = 0): DataFrame = {
+    val c = channelCol.map(col).getOrElse(lit(0))
+    val within = (col("y") % tileSize) * tileSize + (col("x") % tileSize)
+    pixels
+      .withColumn("tile_y", (col("y") / tileSize).cast("int"))
+      .withColumn("tile_x", (col("x") / tileSize).cast("int"))
+      .withColumn("__pos", within.cast("int"))
+      .groupBy(c.as("c"), col("z").cast("int").as("z"), col("tile_y"), col("tile_x"))
+      .agg(map_from_arrays(collect_list(col("__pos")),
+        collect_list(col("value"))).as("__m"))
+      .select(lit(scale).as("scale"), col("c"), col("z"), col("tile_y"), col("tile_x"),
+        lit(tileSize).as("h"), lit(tileSize).as("w"),
+        transform(sequence(lit(0), lit(tileSize * tileSize - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0))).as("px"))
+  }
+
+  /** z-stacked tiles -> 3D long-form pixels `(scale, c, z, y, x, value)`. */
+  def tilesToPixels3d(tiles: DataFrame, tileSize: Int = TS): DataFrame =
+    tiles.select(col("scale"), col("c"), col("z"), col("tile_y"), col("tile_x"),
+        col("h"), col("w"), posexplode(col("px")).as(Seq("pos", "value")))
+      .select(col("scale"), col("c"), col("z"),
+        (col("tile_y") * tileSize + (col("pos") / col("w")).cast("int")).as("y"),
+        (col("tile_x") * tileSize + col("pos") % col("w")).cast("int").as("x"),
+        col("value"))
+
   /** Tiles -> long-form pixels (posexplode keeps it one codegen stage). */
   def tilesToPixels(tiles: DataFrame, tileSize: Int = TS): DataFrame =
     tiles.select(col("scale"), col("c"), col("tile_y"), col("tile_x"),

@@ -137,6 +137,54 @@ object NgffPack extends QueryPack {
         .groupBy(col("value").cast("long").as("label"))
         .agg(count(lit(1)).as("n_px"))
         .orderBy("label")
+    }),
+
+    // rank-3 (z, y, x) labels store round trip (Labels3DModel dims,
+    // models.py:409-427; io_raster reads the same rank-3 arrays): write a
+    // z-stacked volume, read it back, aggregate per plane
+    "q77_ngff_3d_labels" -> ((s, d) => {
+      val dir = tmp("lab3d", d)
+      val vox = Tables.events(s, d).select(
+        lit(0).as("c"),
+        (col("event_id") % 4).cast("int").as("z"),
+        (col("event_id") % 32).cast("int").as("y"),
+        (col("user_id") % 32).cast("int").as("x"))
+        .groupBy("c", "z", "y", "x").agg(count(lit(1)).cast("double").as("value"))
+      val tiles = RasterOps.pixelsToTiles3d(vox, tileSize = 16)
+      NgffRaster.write(tiles, dir, "events_vol", tileSize = 16,
+        axes = Seq("z", "y", "x"), dtype = "<i8", isLabels = true)
+      val (back, meta) = NgffRaster.read(s, dir)
+      require(meta.axes == Seq("z", "y", "x"), s"axes did not round-trip: ${meta.axes}")
+      require(meta.isLabels, "image-label marker did not round-trip")
+      RasterOps.tilesToPixels3d(back, tileSize = 16)
+        .filter(col("value") =!= 0.0)
+        .groupBy("z")
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("total"),
+          sum((col("y") * 32 + col("x")) * col("value").cast("decimal(28,6)"))
+            .cast("double").as("pos_weighted"))
+        .orderBy("z")
+    }),
+
+    // 3D zonal statistics: volume labels x a full-grid value volume, joined
+    // on (z, y, x) — the axis-generic imageByLabels path
+    "q78_zonal_stats_3d" -> ((s, d) => {
+      val labels = Tables.events(s, d).select(
+        (col("event_id") % 4).cast("int").as("z"),
+        (col("event_id") % 32).cast("int").as("y"),
+        (col("user_id") % 32).cast("int").as("x"))
+        .groupBy("z", "y", "x").agg(count(lit(1)).as("label"))
+      val grid = s.range(4 * 32 * 32).select(
+        lit(0).as("c"),
+        (col("id") / 1024).cast("int").as("z"),
+        ((col("id") % 1024) / 32).cast("int").as("y"),
+        (col("id") % 32).cast("int").as("x"),
+        col("id").cast("double").as("value"))
+      graft.ops.Aggregate.imageByLabels(grid, labels,
+          aggFunc = "sum", dims = Seq("z", "y", "x"))
+        .select(col("label"), col("c"),
+          col("value").cast("double").as("value"))
+        .orderBy("label")
     })
   )
 
@@ -182,6 +230,23 @@ object NgffPack extends QueryPack {
         |         MAX(event_id % 9) AS label
         |  FROM events GROUP BY 1, 2)
         |SELECT label, COUNT(*) AS n_px FROM px
-        |WHERE label <> 0 GROUP BY label ORDER BY label""".stripMargin
+        |WHERE label <> 0 GROUP BY label ORDER BY label""".stripMargin,
+    "q77_ngff_3d_labels" ->
+      """WITH vox AS (
+        |  SELECT CAST(event_id % 4 AS INT) AS z, CAST(event_id % 32 AS INT) AS y,
+        |         CAST(user_id % 32 AS INT) AS x, CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT z, COUNT(*) AS n_px,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        |  CAST(SUM((y * 32 + x) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS pos_weighted
+        |FROM vox GROUP BY z ORDER BY z""".stripMargin,
+    "q78_zonal_stats_3d" ->
+      """WITH lab AS (
+        |  SELECT CAST(event_id % 4 AS INT) AS z, CAST(event_id % 32 AS INT) AS y,
+        |         CAST(user_id % 32 AS INT) AS x, COUNT(*) AS label
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT label, 0 AS c,
+        |  CAST(SUM(CAST(z * 1024 + y * 32 + x AS DECIMAL(28,6))) AS DOUBLE) AS value
+        |FROM lab GROUP BY label ORDER BY label""".stripMargin
   )
 }

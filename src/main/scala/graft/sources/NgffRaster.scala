@@ -27,10 +27,11 @@ import org.json4s.jackson.JsonMethods
   *  - WRITE: one zarr chunk per tile row, written from `foreachPartition`
   *    (task-parallel); the driver writes only the group/array JSON.
   *
-  * Supported: rank-3 `(c, y, x)` images and rank-2 `(y, x)` labels, any
-  * zarr numeric dtype, zlib/zstd write compression, blosc/zlib/gzip/zstd
-  * read compression. `z` axes are out of scope (matching the engine's 2D
-  * raster layouts, SURVEY.md §1.5).
+  * Supported: `(c, y, x)` / `(c, z, y, x)` images and `(y, x)` / `(z, y, x)`
+  * labels (the reference's Image2D/3D and Labels2D/3D dims,
+  * models.py:409-447), any zarr numeric dtype, zlib/zstd write compression,
+  * blosc/zlib/gzip/zstd read compression. 3D stores add a `z` plane column
+  * to the tile rows.
   */
 object NgffRaster {
 
@@ -126,12 +127,18 @@ object NgffRaster {
 
   // ---- write ----
 
+  private val SupportedAxes = Set(
+    Seq("c", "y", "x"), Seq("y", "x"), Seq("z", "y", "x"), Seq("c", "z", "y", "x"))
+
   /** Write a tiled raster DataFrame as an OME-NGFF zarr v2 group.
     *
-    * `tiles` must follow the engine layout (`scale,c,tile_y,tile_x,h,w,px`)
-    * with one tile per (scale, c, tile_y, tile_x); chunking is
-    * `(1, tileSize, tileSize)` (rank 3) or `(tileSize, tileSize)` (rank 2,
-    * `axes = Seq("y","x")`, all `c` must be 0). Absent tiles become absent
+    * `tiles` must follow the engine layout (`scale,c,tile_y,tile_x,h,w,px`,
+    * plus a `z` column when `axes` contains `z`) with one tile per
+    * (scale, c, z, tile_y, tile_x); chunking is one (y, x) tile per chunk
+    * with unit extent on the leading `c`/`z` axes. Supported axes:
+    * `(c,y,x)`, `(y,x)`, `(z,y,x)`, `(c,z,y,x)` — the reference's
+    * Image2D/3D and Labels2D/3D dims (models.py:409-447, io_raster.py
+    * reads/writes the same rank-2..4 arrays). Absent tiles become absent
     * chunks (= `fill_value` 0 on read): sparse in, sparse stored.
     */
   def write(tiles: DataFrame, groupDir: String, name: String,
@@ -139,9 +146,9 @@ object NgffRaster {
       transforms: Map[String, Transform] = Map("global" -> IdentityT),
       channels: Seq[String] = Nil, dtype: String = "<f8",
       compressorId: String = "zstd", isLabels: Boolean = false): Unit = {
-    require(axes == Seq("c", "y", "x") || axes == Seq("y", "x"),
-      s"unsupported axes $axes")
-    val rank2 = axes == Seq("y", "x")
+    require(SupportedAxes.contains(axes), s"unsupported axes $axes")
+    val hasC = axes.contains("c")
+    val hasZ = axes.contains("z")
     val spark = tiles.sparkSession
     import org.apache.spark.sql.functions._
 
@@ -150,40 +157,46 @@ object NgffRaster {
     if (fs.exists(gd)) fs.delete(gd, true)
     fs.mkdirs(gd)
 
+    val zc = if (hasZ) col("z") else lit(0)
     // per-scale extents: a tiny driver-side aggregate (the same planning
     // metadata the reference computes from dask shapes)
     val stats = tiles.groupBy(col("scale"))
-      .agg(max(col("c")).as("maxc"),
+      .agg(max(col("c")).as("maxc"), max(zc).as("maxz"),
         max(col("tile_y") * tileSize + col("h")).as("maxy"),
         max(col("tile_x") * tileSize + col("w")).as("maxx"))
       .collect().map(r => (r.getInt(0),
-        (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
     require(stats.nonEmpty, "cannot write an empty raster")
     val scaleIds = stats.keys.toSeq.sorted
     require(scaleIds == (0 until stats.size), s"scales must be 0..n, got $scaleIds")
 
     val comp = Some(Zarr.Compressor(compressorId, clevel = 3))
     val metas: Seq[Zarr.ArrayMeta] = scaleIds.map { s =>
-      val (maxc, maxy, maxx) = stats(s)
-      val shape = if (rank2) Seq(maxy, maxx) else Seq(maxc + 1, maxy, maxx)
-      val chunks = if (rank2) Seq(tileSize, tileSize) else Seq(1, tileSize, tileSize)
-      Zarr.ArrayMeta(shape, chunks, dtype, comp, 0.0, "C", ".")
+      val (maxc, maxz, maxy, maxx) = stats(s)
+      val extent = Map("c" -> (maxc + 1), "z" -> (maxz + 1), "y" -> maxy, "x" -> maxx)
+      val chunk = Map("c" -> 1, "z" -> 1, "y" -> tileSize, "x" -> tileSize)
+      Zarr.ArrayMeta(axes.map(extent), axes.map(chunk), dtype, comp, 0.0, "C", ".")
     }
 
     // task-parallel chunk writes: one file per tile, no two tasks share a file
     val metasB = spark.sparkContext.broadcast(metas)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val groupDirB = groupDir
     val tsB = tileSize
-    val rank2B = rank2
-    tiles.select("scale", "c", "tile_y", "tile_x", "h", "w", "px")
+    val (hasCB, hasZB) = (hasC, hasZ)
+    tiles.select(col("scale"), col("c"), zc.as("z"),
+        col("tile_y"), col("tile_x"), col("h"), col("w"), col("px"))
       .foreachPartition { rows: Iterator[Row] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val fsT = new Path(groupDirB).getFileSystem(conf)
+        val fsT = new Path(groupDirB).getFileSystem(confB.value.value)
         rows.foreach { r =>
-          val (s, c, ty, tx) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
-          val (h, w) = (r.getInt(4), r.getInt(5))
-          val px = r.getSeq[Double](6)
-          require(!rank2B || c == 0, "rank-2 store requires c == 0")
+          val (s, c, z, ty, tx) =
+            (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+          val (h, w) = (r.getInt(5), r.getInt(6))
+          val px = r.getSeq[Double](7)
+          require(hasCB || c == 0, s"axes without c require c == 0, got $c")
+          require(hasZB || z == 0, s"axes without z require z == 0, got $z")
           require(h <= tsB && w <= tsB,
             s"tile ${h}x$w exceeds the chunk extent $tsB — tiles must be " +
               "built with the same tileSize the store is written with")
@@ -196,7 +209,8 @@ object NgffRaster {
             while (xx < w) { full(yy * tsB + xx) = px(yy * w + xx); xx += 1 }
             yy += 1
           }
-          val key = if (rank2B) s"$ty.$tx" else s"$c.$ty.$tx"
+          val lead = (if (hasCB) Seq(c) else Nil) ++ (if (hasZB) Seq(z) else Nil)
+          val key = (lead ++ Seq(ty, tx)).mkString(".")
           val p = new Path(s"$groupDirB/$s/$key")
           val out = fsT.create(p, true)
           try out.write(Zarr.encodeChunk(full, m)) finally out.close()
@@ -219,7 +233,9 @@ object NgffRaster {
     }
     val datasets: Seq[JValue] = scaleIds.map { s =>
       val f = math.pow(2.0, s)
-      val factors = if (rank2) Seq(f, f) else Seq(1.0, f, f)
+      // pyramids coarsen the in-plane axes only (z/c keep full resolution,
+      // matching the reference's 2D blocked scale factors)
+      val factors = axes.map { case "y" | "x" => f; case _ => 1.0 }
       ("path" -> s.toString) ~
         ("coordinateTransformations" -> Seq(
           (("type" -> "scale") ~ ("scale" -> factors)): JValue))
@@ -289,37 +305,65 @@ object NgffRaster {
       channels, isLabels)
   }
 
-  /** Read the multiscale store into the tiled layout. Only chunks present
-    * in the store produce rows (absent = all-`fill_value`); pass
-    * `scaleSelection` to read a subset of pyramid levels (partial read,
-    * matching the reference's lazy per-level access).
+  /** [[TileSchema]] plus a `z` plane column — the layout `read` emits for
+    * stores whose axes include `z` (Image3D/Labels3D, models.py:409-447).
+    */
+  val Tile3DSchema: StructType = StructType(
+    TileSchema.fields.take(2) ++ Seq(StructField("z", IntegerType, nullable = false)) ++
+      TileSchema.fields.drop(2))
+
+  /** Read the multiscale store into the tiled layout (axes with `z` add a
+    * `z` column, [[Tile3DSchema]]). Only chunks present in the store produce
+    * rows (absent = all-`fill_value`); pass `scaleSelection` to read a
+    * subset of pyramid levels (partial read, matching the reference's lazy
+    * per-level access).
     */
   def read(spark: SparkSession, groupDir: String,
       scaleSelection: Option[Seq[Int]] = None): (DataFrame, NgffMeta) = {
     val meta = readMeta(spark, groupDir)
+    require(SupportedAxes.contains(meta.axes), s"unsupported axes ${meta.axes}")
+    val hasZ = meta.axes.contains("z")
+    val axB = meta.axes
     val wanted = scaleSelection.getOrElse(meta.scales.indices)
-    // driver-side: the chunk-grid descriptor list (indices only, no data)
-    val tasks: Seq[(Int, String, Int, Int, Int)] = wanted.flatMap { s =>
+    // driver-side: the chunk-grid descriptor list (indices only, no data).
+    // Grid indices are in (c, z, y, x) order with absent axes pinned to 0.
+    val tasks: Seq[(Int, String, Int, Int, Int, Int)] = wanted.flatMap { s =>
       val sc = meta.scales(s)
       val grid = sc.meta.gridShape
-      val (gc, gy, gx) = if (grid.length == 3) (grid(0), grid(1), grid(2))
-        else (1, grid(0), grid(1))
-      for (c <- 0 until gc; ty <- 0 until gy; tx <- 0 until gx)
-        yield (s, sc.path, c, ty, tx)
+      require(grid.length == axB.length,
+        s"scale ${sc.path}: rank ${grid.length} != axes $axB")
+      def g(ax: String) = axB.indexOf(ax) match {
+        case -1 => 1
+        case i => grid(i)
+      }
+      for (c <- 0 until g("c"); z <- 0 until g("z");
+           ty <- 0 until g("y"); tx <- 0 until g("x"))
+        yield (s, sc.path, c, z, ty, tx)
     }
     val groupDirB = groupDir
     val metasB = spark.sparkContext.broadcast(meta.scales.map(s => s.path -> s.meta).toMap)
-    val taskDf = spark.createDataFrame(tasks).toDF("scale", "path", "cc", "ty", "tx")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val taskDf = spark.createDataFrame(tasks).toDF("scale", "path", "cc", "zz", "ty", "tx")
       .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
     val rows = taskDf.rdd.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val fsT = new Path(groupDirB).getFileSystem(conf)
+      val fsT = new Path(groupDirB).getFileSystem(confB.value.value)
       it.flatMap { r =>
-        val (s, path, cc, ty, tx) =
-          (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        val (s, path, cc, zz, ty, tx) =
+          (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
         val m = metasB.value(path)
-        val rank2 = m.shape.length == 2
-        val key = if (rank2) m.chunkKey(Seq(ty, tx)) else m.chunkKey(Seq(cc, ty, tx))
+        // axis extents/chunks in canonical (c, z, y, x) positions
+        def dim(ax: String, from: Seq[Int], absent: Int) = axB.indexOf(ax) match {
+          case -1 => absent
+          case i => from(i)
+        }
+        val (shapeC, shapeZ) = (dim("c", m.shape, 1), dim("z", m.shape, 1))
+        val (shapeY, shapeX) = (dim("y", m.shape, 1), dim("x", m.shape, 1))
+        val (chC, chZ) = (dim("c", m.chunks, 1), dim("z", m.chunks, 1))
+        val (chY, chX) = (dim("y", m.chunks, 1), dim("x", m.chunks, 1))
+        val lead = Map("c" -> cc, "z" -> zz, "y" -> ty, "x" -> tx)
+        val key = m.chunkKey(axB.map(lead))
         val p = new Path(s"$groupDirB/$path/$key")
         if (!fsT.exists(p)) Iterator.empty
         else {
@@ -332,30 +376,28 @@ object NgffRaster {
             bos.toByteArray
           } finally in.close()
           val full = Zarr.decodeChunk(stored, m)
-          val (shapeC, shapeY, shapeX) =
-            if (rank2) (1, m.shape(0), m.shape(1)) else (m.shape(0), m.shape(1), m.shape(2))
-          val (chC, chY, chX) =
-            if (rank2) (1, m.chunks(0), m.chunks(1)) else (m.chunks(0), m.chunks(1), m.chunks(2))
           val h = math.min(chY, shapeY - ty * chY)
           val w = math.min(chX, shapeX - tx * chX)
-          (0 until chC).iterator
-            .filter(ci => cc * chC + ci < shapeC)
-            .map { ci =>
-              val px = new Array[Double](h * w)
-              var yy = 0
-              while (yy < h) {
-                var xx = 0
-                while (xx < w) {
-                  px(yy * w + xx) = full((ci * chY + yy) * chX + xx)
-                  xx += 1
-                }
-                yy += 1
+          for {
+            ci <- (0 until chC).iterator if cc * chC + ci < shapeC
+            zi <- (0 until chZ).iterator if zz * chZ + zi < shapeZ
+          } yield {
+            val px = new Array[Double](h * w)
+            var yy = 0
+            while (yy < h) {
+              var xx = 0
+              while (xx < w) {
+                px(yy * w + xx) = full(((ci * chZ + zi) * chY + yy) * chX + xx)
+                xx += 1
               }
-              Row(s, cc * chC + ci, ty, tx, h, w, px.toSeq)
+              yy += 1
             }
+            if (hasZ) Row(s, cc * chC + ci, zz * chZ + zi, ty, tx, h, w, px.toSeq)
+            else Row(s, cc * chC + ci, ty, tx, h, w, px.toSeq)
+          }
         }
       }
     }
-    (spark.createDataFrame(rows, TileSchema), meta)
+    (spark.createDataFrame(rows, if (hasZ) Tile3DSchema else TileSchema), meta)
   }
 }

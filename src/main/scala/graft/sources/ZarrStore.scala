@@ -159,6 +159,13 @@ object ZarrStore {
             .collect()(0).getInt(0)
           NgffRaster.write(el.data, dir, meta.name, ts,
             transforms = meta.transforms, channels = meta.channelNames)
+        case ElementKind.Labels if meta.dims.contains("z") =>
+          val tiles = RasterOps.pixelsToTiles3d(
+            el.data.select(lit(0).as("c"), col("z"), col("y"), col("x"),
+              col("label").cast("double").as("value")), tileSize)
+          NgffRaster.write(tiles, dir, meta.name, tileSize,
+            axes = Seq("z", "y", "x"), dtype = "<i8", transforms = meta.transforms,
+            isLabels = true)
         case ElementKind.Labels =>
           val tiles = RasterOps.pixelsToTiles(
             el.data.select(lit(0).as("c"), col("y"), col("x"),
@@ -219,12 +226,22 @@ object ZarrStore {
             case ElementKind.Labels =>
               val (tiles, nm) = NgffRaster.read(spark, dir)
               // tile coordinates decode against the STORE's chunk size
-              val ts = nm.scales.head.meta.chunks.head
-              val longForm = RasterOps.tilesToPixels(tiles, ts)
-                .filter(col("value") =!= 0.0)
-                .select(col("y"), col("x"), col("value").cast("long").as("label"))
-              SpatialElement(ElementMeta(name, kind, Seq("y", "x"),
-                nm.transforms), longForm)
+              // (the y-axis chunk extent; leading c/z chunk extents are 1)
+              val ts = nm.scales.head.meta.chunks(nm.axes.indexOf("y"))
+              if (nm.axes.contains("z")) {
+                val longForm = RasterOps.tilesToPixels3d(tiles, ts)
+                  .filter(col("value") =!= 0.0)
+                  .select(col("z"), col("y"), col("x"),
+                    col("value").cast("long").as("label"))
+                SpatialElement(ElementMeta(name, kind, Seq("z", "y", "x"),
+                  nm.transforms), longForm)
+              } else {
+                val longForm = RasterOps.tilesToPixels(tiles, ts)
+                  .filter(col("value") =!= 0.0)
+                  .select(col("y"), col("x"), col("value").cast("long").as("label"))
+                SpatialElement(ElementMeta(name, kind, Seq("y", "x"),
+                  nm.transforms), longForm)
+              }
             case ElementKind.Points =>
               val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
               SpatialElement(meta, spark.read.parquet(s"$dir/points.parquet"))

@@ -73,6 +73,23 @@ class ZarrStoreSpec extends SparkTestBase {
     assert(back("tab").count() == 2)
   }
 
+  test("3D labels (z, y, x) round-trip through the container store") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/l3.zarr"
+    val lab3 = Seq((0, 0, 0, 5L), (1, 3, 4, 9L), (3, 9, 9, 2L), (1, 0, 7, 4L))
+      .toDF("z", "y", "x", "label")
+    val sd = SpatialDataset(spark, Seq(
+      SpatialElement(ElementMeta("vol", ElementKind.Labels, Seq("z", "y", "x"),
+        transforms = Map("global" -> ScaleT(Seq(2.0, 2.0, 4.0), Seq("x", "y", "z")))), lab3)))
+    ZarrStore.write(sd, root, tileSize = 8)
+    assert(new java.io.File(s"$root/labels/vol/0/.zarray").exists())
+    val back = ZarrStore.read(spark, root)
+    assert(back.manifest.element("vol").dims == Seq("z", "y", "x"))
+    assert(back.manifest.element("vol").transforms("global") ==
+      ScaleT(Seq(2.0, 2.0, 4.0), Seq("x", "y", "z")))
+    assert(back("vol").orderBy("z", "y", "x").as[(Int, Int, Int, Long)].collect().toSeq ==
+      Seq((0, 0, 0, 5L), (1, 0, 7, 4L), (1, 3, 4, 9L), (3, 9, 9, 2L)))
+  }
+
   test("selection reads a subset without touching other elements") {
     val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/sel.zarr"
     ZarrStore.write(container(), root, tileSize = 8)
