@@ -406,23 +406,58 @@ object GeomKernel {
     if (poly.length >= 6) poly else Array.emptyDoubleArray
   }
 
+  /** True iff a ring (closed or open form) is convex; collinear runs are
+    * allowed. Sutherland-Hodgman clipping is only correct for convex clip
+    * rings — callers must validate before clipping (the reference errors on
+    * unsupported query geometry, spatial_query.py:297-321).
+    */
+  def isConvexRing(ring: Array[Double]): Boolean = {
+    var n = ring.length / 2
+    if (n >= 2 && ring(0) == ring(2 * (n - 1)) && ring(1) == ring(2 * (n - 1) + 1)) n -= 1
+    if (n < 3) return false
+    var sign = 0.0
+    var i = 0
+    while (i < n) {
+      val a = i; val b = (i + 1) % n; val c = (i + 2) % n
+      val cr = (ring(2 * b) - ring(2 * a)) * (ring(2 * c + 1) - ring(2 * a + 1)) -
+        (ring(2 * c) - ring(2 * a)) * (ring(2 * b + 1) - ring(2 * a + 1))
+      if (cr != 0.0) {
+        if (sign == 0.0) sign = math.signum(cr)
+        else if (math.signum(cr) != sign) return false
+      }
+      i += 1
+    }
+    true
+  }
+
   /** Clip a polygon/multipolygon by a CONVEX polygon; returns WKB or null if
     * the intersection is empty (polygon_query(clip=True),
-    * spatial_query.py:958-963).
+    * spatial_query.py:958-963). Subject interior rings are clipped too and
+    * kept as holes (they stay inside the clipped exterior because the clip
+    * is convex). Callers validate clip convexity — see [[isConvexRing]].
     */
   def clipByConvex(wkb: Array[Byte], clipWkb: Array[Byte]): Array[Byte] = {
     val clipG = WKB.read(clipWkb) match {
       case p: GPolygon => p.rings(0)
       case _ => sys.error("clip geometry must be a polygon")
     }
+    def clipPoly(p: GPolygon): Option[GPolygon] = {
+      val ext = clipRingByConvex(p.rings(0), clipG)
+      // a boundary-touching subject clips to a degenerate zero-area ring —
+      // that is an empty polygon intersection, not a clipped polygon
+      if (ext.isEmpty || ringSignedArea(ext) == 0.0) None
+      else {
+        val holes = p.rings.iterator.drop(1)
+          .map(h => clipRingByConvex(h, clipG)).filter(_.nonEmpty).toArray
+        Some(GPolygon(Array(ext) ++ holes))
+      }
+    }
     WKB.read(wkb) match {
       case p: GPolygon =>
-        val r = clipRingByConvex(p.rings(0), clipG)
-        if (r.isEmpty) null else WKB.write(GPolygon(Array(r)))
+        clipPoly(p).map(out => WKB.write(out)).orNull
       case GMultiPolygon(ps) =>
-        val rs = ps.map(p => clipRingByConvex(p.rings(0), clipG)).filter(_.nonEmpty)
-        if (rs.isEmpty) null
-        else WKB.write(GMultiPolygon(rs.map(r => GPolygon(Array(r)))))
+        val rs = ps.flatMap(clipPoly)
+        if (rs.isEmpty) null else WKB.write(GMultiPolygon(rs))
       case GPoint(x, y) =>
         if (ringContains(clipG, x, y)) WKB.write(GPoint(x, y)) else null
     }

@@ -55,14 +55,57 @@ object Models {
     def force2d(df: DataFrame, geometryCol: String = "geometry"): DataFrame =
       df.withColumn(geometryCol, st_force_2d(col(geometryCol)))
 
+    /** Rewrite a geoarrow-encoded geometry column (GeoParquet 1.1 native
+      * encodings, the reference's `geometry_encoding="geoarrow"` write path,
+      * io_shapes.py:100-150) to WKB: `struct<x,y>` points,
+      * `list<list<struct<x,y>>>` polygons,
+      * `list<list<list<struct<x,y>>>>` multipolygons. The conversion is a
+      * per-row scalar UDF — an ingest-boundary cost, like the zarr chunk
+      * codec; everything downstream stays on WKB.
+      */
+    private def geoarrowToWkb(df: DataFrame, geometryCol: String): DataFrame = {
+      import graft.geom.{GMultiPolygon, GPolygon, GPoint, WKB}
+      def depth(t: DataType): Int = t match {
+        case ArrayType(e, _) => 1 + depth(e)
+        case _ => 0
+      }
+      // flatten each struct<x,y> ring into interleaved doubles with codegen'd
+      // transforms, so the WKB-assembly UDF sees plain nested Seq[Double]
+      val g = col(geometryCol)
+      def ringFlat(ring: Column): Column =
+        flatten(transform(ring, p => array(p("x"), p("y"))))
+      val t = df.schema(geometryCol).dataType
+      val converted = depth(t) match {
+        case 0 =>
+          val mk = udf((xy: Seq[Double]) => WKB.write(GPoint(xy(0), xy(1))))
+          mk(array(g("x"), g("y")))
+        case 2 =>
+          val mk = udf((rings: Seq[Seq[Double]]) =>
+            WKB.write(GPolygon(rings.map(_.toArray).toArray)))
+          mk(transform(g, ringFlat(_)))
+        case 3 =>
+          val mk = udf((polys: Seq[Seq[Seq[Double]]]) =>
+            WKB.write(GMultiPolygon(polys.map(rs => GPolygon(rs.map(_.toArray).toArray)).toArray)))
+          mk(transform(g, poly => transform(poly, ringFlat(_))))
+        case d => sys.error(s"unsupported geoarrow geometry nesting depth $d " +
+          "(point, polygon and multipolygon encodings are supported)")
+      }
+      df.withColumn(geometryCol, converted)
+    }
+
     /** GeoParquet read path (reference io_shapes.py:33-67, format v02+:
-      * `shapes.parquet` with a WKB geometry column): plain parquet scan +
-      * Z-drop + geom_type derived from the WKB bytes; point rows with a
-      * `radius` column are promoted to circles.
+      * `shapes.parquet` with a WKB or geoarrow geometry column): plain
+      * parquet scan + Z-drop + geom_type derived from the WKB bytes; point
+      * rows with a `radius` column are promoted to circles.
       */
     def readGeoParquet(spark: org.apache.spark.sql.SparkSession, path: String,
         geometryCol: String = "geometry", indexCol: Option[String] = None): DataFrame = {
-      val raw = force2d(spark.read.parquet(path), geometryCol)
+      val scanned = spark.read.parquet(path)
+      val asWkb = scanned.schema(geometryCol).dataType match {
+        case BinaryType => scanned
+        case _ => geoarrowToWkb(scanned, geometryCol)
+      }
+      val raw = force2d(asWkb, geometryCol)
       val kind = st_geom_type(col(geometryCol))
       val typed = raw.withColumn("geom_type",
         when(kind === "point" && (if (raw.columns.contains("radius"))

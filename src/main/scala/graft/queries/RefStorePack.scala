@@ -37,6 +37,7 @@ object RefStorePack extends QueryPack {
           .withColumn("element", lit(name))
       }
       stats("circles_v01", _ => col("radius"))
+        .unionByName(stats("ga_v03", d => st_area(d("geometry"))))
         .unionByName(stats("gp_v02", d => st_area(d("geometry"))))
         .unionByName(stats("mpolys_v01", d => st_area(d("geometry"))))
         .unionByName(stats("polys_v01", d => st_area(d("geometry"))))
@@ -80,6 +81,8 @@ object RefStorePack extends QueryPack {
       """SELECT 'circles_v01' AS element, COUNT(*) AS n,
         |  CAST(SUM(CAST(1.0 + (i % 5) AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM range(40) t(i)
+        |UNION ALL SELECT 'ga_v03', COUNT(*),
+        |  CAST(SUM(CAST(3.0 AS DECIMAL(28,6))) AS DOUBLE) FROM range(15) t(i)
         |UNION ALL SELECT 'gp_v02', COUNT(*),
         |  CAST(SUM(CAST(2.0 AS DECIMAL(28,6))) AS DOUBLE) FROM range(20) t(i)
         |UNION ALL SELECT 'mpolys_v01', COUNT(*),

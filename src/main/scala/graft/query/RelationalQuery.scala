@@ -162,9 +162,15 @@ object RelationalQuery {
             .select(col(ann.instanceKey).as("instance_id"), col(key))
       }.orElse {
         annotators.collectFirst {
-          case t if t.aux.contains("X") =>
+          case t if t.aux.contains("X") && !t.x.filter(col("var_name") === key).isEmpty =>
             t.x.filter(col("var_name") === key)
               .select(col("instance_id"), col("value").as(key))
+        }
+      }.orElse {
+        // obsm matrices resolve by key too (relational_query.py:981-1109
+        // accepts obsm keys): aux "obsm:<key>" is the wide per-key frame
+        annotators.collectFirst {
+          case t if t.aux.contains(s"obsm:$key") => t.aux(s"obsm:$key")
         }
       }.getOrElse(sys.error(s"value key '$key' not found for element '$elementName'"))
     }

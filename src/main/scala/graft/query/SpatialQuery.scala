@@ -264,8 +264,27 @@ object SpatialQuery {
       col("miny") <= env(3) && col("maxy") >= env(1)
     val filtered = df.filter(coarse && st_intersects(col("geometry"), lit(intrinsicPoly)))
     if (!clip) filtered
-    else filtered.withColumn("geometry",
-      coalesce(st_clip_convex(col("geometry"), lit(intrinsicPoly)), col("geometry")))
+    else {
+      // Sutherland-Hodgman is only correct for convex clips: validate ONCE
+      // on the driver and fail loudly for reflex or holed clip polygons —
+      // the reference's stance for unsupported query geometry
+      // (spatial_query.py:297-321). No silent unclipped fallback: a null
+      // clip result means a zero-area (boundary-touching) intersection and
+      // the row is dropped, never returned unclipped.
+      val clipGeom = WKB.read(intrinsicPoly) match {
+        case p: graft.geom.GPolygon => p
+        case _ => sys.error("polygon_query(clip=True) requires a polygon clip geometry")
+      }
+      require(clipGeom.rings.length == 1 &&
+        graft.geom.GeomKernel.isConvexRing(clipGeom.rings(0)),
+        "polygon_query(clip=True) supports convex, hole-free clip polygons only; " +
+          "for non-convex overlap weights use intersectionArea (q71 path)")
+      val clipped = filtered
+        .withColumn("geometry", st_clip_convex(col("geometry"), lit(intrinsicPoly)))
+        .filter(col("geometry").isNotNull)
+      // geometry changed -> recompute the coarse-index envelope columns
+      Models.ShapesModel.parse(clipped)
+    }
   }
 
   /** Multi-box batch query (the reference's vectorized bounding_box_query,

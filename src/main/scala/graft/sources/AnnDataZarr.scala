@@ -324,8 +324,36 @@ object AnnDataZarr {
         .select(col("instance_id"), col("region"), col("var_name"), col("value"))
     }
 
+    // obsm: per-key (n_obs x k) matrices -> wide aux DataFrames keyed
+    // "obsm:<key>" with columns (instance_id, <key>_0 .. <key>_{k-1}) —
+    // the get_values obsm resolution surface (relational_query.py:981-1109)
+    val obsmDir = s"$dir/obsm"
+    val obsmAux: Map[String, DataFrame] =
+      if (!f.exists(new Path(s"$obsmDir/.zgroup"))) Map.empty
+      else {
+        val instCol = instanceKey.filter(k => obs.columns.contains(k))
+          .map(k => col(k)).getOrElse(col("__row"))
+        val obsKeyed = obs.select(col("__row").as("row"), instCol.as("instance_id"))
+        f.listStatus(new Path(obsmDir)).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+          .map(_.getPath.getName).sorted
+          .filter(key => f.exists(new Path(s"$obsmDir/$key/.zarray")))
+          .map { key =>
+            val m = arrayMeta(spark, s"$obsmDir/$key")
+            require(m.shape.length == 2, s"obsm/$key: expected a 2-D array")
+            val k = m.shape(1)
+            val wide = readDenseMatrix(spark, s"$obsmDir/$key")
+              .groupBy("row")
+              .agg((0 until k).map(j =>
+                max(when(col("col") === j, col("value"))).as(s"${key}_$j")).head,
+                (1 until k).map(j =>
+                  max(when(col("col") === j, col("value"))).as(s"${key}_$j")): _*)
+            s"obsm:$key" -> wide.join(obsKeyed, "row").drop("row")
+          }.toMap
+      }
+
     SpatialElement(Models.TableModel.meta(name, ann),
-      obs.drop("__row"), xLong.map("X" -> _).toMap)
+      obs.drop("__row"), xLong.map("X" -> _).toMap ++ obsmAux)
   }
 
   // ---- ShapesFormatV01 ragged shapes ----

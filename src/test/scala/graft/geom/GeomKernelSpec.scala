@@ -121,4 +121,36 @@ class GeomKernelSpec extends AnyFunSuite {
     val got = GeomKernel.intersectionAreaConvex(bigTri, clip)
     assert(math.abs(got - 0.875) < 1e-12)
   }
+
+  test("isConvexRing: convex (either orientation, collinear runs) vs reflex") {
+    assert(GeomKernel.isConvexRing(Array(0.0, 0, 4, 0, 4, 4, 0, 4)))
+    assert(GeomKernel.isConvexRing(Array(0.0, 0, 0, 4, 4, 4, 4, 0))) // CW
+    assert(GeomKernel.isConvexRing(Array(0.0, 0, 2, 0, 4, 0, 4, 4, 0, 4))) // collinear
+    assert(GeomKernel.isConvexRing(Array(0.0, 0, 4, 0, 4, 4, 0, 4, 0.0, 0))) // closed form
+    // L-shape: reflex at (2, 2)
+    assert(!GeomKernel.isConvexRing(Array(0.0, 0, 4, 0, 4, 2, 2, 2, 2, 4, 0, 4)))
+    assert(!GeomKernel.isConvexRing(Array(0.0, 0, 1, 0))) // degenerate
+  }
+
+  test("clipByConvex keeps subject holes") {
+    // donut (outer 4x4, hole 2x2) clipped by square (0,0)-(2,2):
+    // exterior clips to the 2x2 corner, hole clips to the 1x1 square
+    // (1,1)-(2,2) -> area 4 - 1 = 3
+    val clip = WKB.write(square2)
+    val out = GeomKernel.clipByConvex(WKB.write(donut), clip)
+    assert(out != null)
+    WKB.read(out) match {
+      case GPolygon(rings) => assert(rings.length == 2, "hole must survive the clip")
+      case g => fail(s"expected a polygon, got $g")
+    }
+    assert(GeomKernel.area(out) == 3.0)
+    // the clipped-geometry area must agree with the general kernel
+    assert(GeomKernel.area(out) ==
+      GeomKernel.intersectionArea(WKB.write(donut), clip))
+    // multipolygon subject with a hole in one part
+    val mp = WKB.write(GMultiPolygon(Array(donut,
+      GPolygon(Array(Array(10.0, 10, 11, 10, 11, 11, 10, 11))))))
+    val mout = GeomKernel.clipByConvex(mp, clip)
+    assert(GeomKernel.area(mout) == 3.0)
+  }
 }

@@ -90,6 +90,32 @@ class RelationalQuerySpec extends SparkTestBase {
 class SpatialQuerySpec extends SparkTestBase {
   import spark.implicits._
 
+  private def rectWkb(x0: Double, y0: Double, x1: Double, y1: Double) =
+    graft.geom.WKB.write(graft.geom.GPolygon(Array(
+      Array(x0, y0, x1, y0, x1, y1, x0, y1))))
+
+  test("polygonQueryShapes clip=true: clips, drops boundary-touchers, rejects reflex clips") {
+    val shapes = Models.ShapesModel.parse(Seq(
+      (1L, rectWkb(0, 0, 2, 2)),   // half inside -> clipped to 1x2
+      (2L, rectWkb(1, -3, 2, 0)),  // touches the clip boundary -> zero area, dropped
+      (3L, rectWkb(5, 5, 6, 6)))   // disjoint -> filtered before clip
+      .toDF("index", "geometry")
+      .withColumn("geom_type", lit("polygon")))
+    val clip = rectWkb(1, 0, 4, 4)
+    val got = SpatialQuery.polygonQueryShapes(shapes, IdentityT, clip, clip = true)
+    val rows = got.select(col("index"), graft.geom.st.st_area(col("geometry")),
+      col("minx"), col("maxx")).as[(Long, Double, Double, Double)].collect()
+    assert(rows.toSeq == Seq((1L, 2.0, 1.0, 2.0)),
+      s"expected shape 1 clipped to 1x2 with recomputed envelope, got ${rows.toSeq}")
+    // reflex (L-shaped) clip polygon must fail loudly, not clip silently
+    val reflex = graft.geom.WKB.write(graft.geom.GPolygon(Array(
+      Array(0.0, 0, 4, 0, 4, 2, 2, 2, 2, 4, 0, 4))))
+    val e = intercept[IllegalArgumentException] {
+      SpatialQuery.polygonQueryShapes(shapes, IdentityT, reflex, clip = true)
+    }
+    assert(e.getMessage.contains("convex"))
+  }
+
   private def pts = Seq(
     (0L, 1.0, 1.0), (1L, 3.0, 3.0), (2L, 5.0, 1.0), (3L, -2.0, -2.0))
     .toDF("id", "x", "y")

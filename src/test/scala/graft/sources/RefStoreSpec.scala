@@ -20,7 +20,7 @@ class RefStoreSpec extends SparkTestBase {
 
   test("container enumerates every reference-layout element") {
     assert(sd.manifest.elements.map(_.name).toSet ==
-      Set("circles_v01", "polys_v01", "mpolys_v01", "gp_v02",
+      Set("circles_v01", "polys_v01", "mpolys_v01", "gp_v02", "ga_v03",
         "t_dense", "t_csr", "pts_v01"))
   }
 
@@ -66,6 +66,17 @@ class RefStoreSpec extends SparkTestBase {
     assert(el.meta.transforms("global") == ScaleT(Seq(2.0, 2.0), Seq("x", "y")))
   }
 
+  test("geoarrow-encoded GeoParquet (ShapesFormatV03) converts to WKB") {
+    val df = sd("ga_v03")
+    assert(df.count() == 15)
+    val rows = df.select(col("index"), graft.geom.st.st_area(col("geometry")),
+      col("minx"), col("miny"), col("geom_type"))
+      .as[(Long, Double, Double, Double, String)].collect().sortBy(_._1)
+    rows.foreach { case (i, a, minx, miny, gt) =>
+      assert(a == 3.0 && minx == i * 4.0 && miny == 2.0 * i && gt == "polygon")
+    }
+  }
+
   test("AnnData dense table: obs columns (categorical, string, numeric) align by row") {
     val el = sd.element("t_dense")
     val obs = el.obs.orderBy("instance_id")
@@ -89,6 +100,19 @@ class RefStoreSpec extends SparkTestBase {
       .as[(Long, String, Double)].collect().toSet
     assert(got == want)
     assert(x.select("region").distinct().as[String].collect().toSeq == Seq("polys_v01"))
+  }
+
+  test("obsm matrix reads wide and resolves through get_values") {
+    val el = sd.element("t_dense")
+    assert(el.aux.contains("obsm:spatial"))
+    val rows = el.aux("obsm:spatial")
+      .select(col("instance_id").cast("long"), col("spatial_0"), col("spatial_1"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 50)
+    rows.foreach { case (i, a, b) => assert(a == i * 2.0 && b == i + 0.25) }
+    val viaGet = graft.query.RelationalQuery.getValues(sd, "spatial", "polys_v01")
+    assert(viaGet.columns.toSet == Set("instance_id", "spatial_0", "spatial_1"))
+    assert(viaGet.count() == 50)
   }
 
   test("AnnData CSR X reconstructs exact COO triples") {

@@ -217,6 +217,31 @@ def main():
     tbl = tbl.replace_schema_metadata({"geo": json.dumps(geo_md)})
     pq.write_table(tbl, os.path.join(d, "shapes.parquet"))
 
+    # ---- shapes/ga_v03: geoarrow-encoded GeoParquet (ShapesFormatV03,
+    # geometry_encoding="geoarrow": list<list<struct<x,y>>> polygons) ----
+    nga = 15
+    pt = pa.struct([("x", pa.float64()), ("y", pa.float64())])
+    polys = []
+    for k in range(nga):
+        x0, y0 = k * 4.0, 2.0 * k
+        ring = [{"x": x0, "y": y0}, {"x": x0 + 3, "y": y0},
+                {"x": x0 + 3, "y": y0 + 1}, {"x": x0, "y": y0 + 1},
+                {"x": x0, "y": y0}]
+        polys.append([ring])
+    d = os.path.join(ROOT, "shapes", "ga_v03")
+    write_group(d, {
+        "encoding-type": "ngff:shapes", "axes": ["x", "y"],
+        "coordinateTransformations": [ngff_identity()],
+        "spatialdata_attrs": {"version": "0.3"},
+    })
+    ga_md = {"version": "1.1.0", "primary_column": "geometry",
+             "columns": {"geometry": {"encoding": "polygon",
+                                      "geometry_types": ["Polygon"]}}}
+    tbl = pa.table({"index": pa.array(np.arange(nga, dtype=np.int64)),
+                    "geometry": pa.array(polys, type=pa.list_(pa.list_(pt)))})
+    tbl = tbl.replace_schema_metadata({"geo": json.dumps(ga_md)})
+    pq.write_table(tbl, os.path.join(d, "shapes.parquet"))
+
     # ---- tables/t_dense: AnnData zarr, dense X ----
     no, nv = 50, 4
     i = np.arange(no)
@@ -239,6 +264,10 @@ def main():
     vd = os.path.join(d, "var")
     write_group(vd, obs_attrs([]))
     write_str_array(os.path.join(vd, "_index"), [f"g{j}" for j in range(nv)])
+    md = os.path.join(d, "obsm")
+    write_group(md)
+    spatial = np.stack([i * 2.0, i + 0.25], axis=1).astype(np.float64)
+    write_array(os.path.join(md, "spatial"), spatial, chunks=[16, 2])
 
     # ---- tables/t_csr: AnnData zarr, CSR X ----
     no, nv = 30, 3
