@@ -42,6 +42,14 @@ final case class ElementMeta(
     table: Option[TableAnnotation] = None,
     attrs: Map[String, String] = Map.empty) {
   Validation.validateName(name)
+
+  /** Tile extent of a tiled raster element's rows. Stores written with a
+    * non-default chunk size record it here (`tile_size` attr) — consumers
+    * must use THIS, not the global default, or pixel coordinates silently
+    * corrupt (tile_y * 256 vs tile_y * storeChunk).
+    */
+  def tileSize: Int =
+    attrs.get("tile_size").map(_.toInt).getOrElse(Models.ImageModel.TileSize)
 }
 
 /** Container manifest: the driver-side registry persisted as

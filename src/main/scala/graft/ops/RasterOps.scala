@@ -241,7 +241,8 @@ object RasterOps {
           targetWidth, targetHeight)._1
       case ElementKind.Images =>
         val numLevels = 1 + el.data.agg(max(col("scale"))).collect()(0).getInt(0)
-        rasterizeRaster(tilesToPixels(el.data), valueCol.getOrElse("value"), t,
+        rasterizeRaster(tilesToPixels(el.data, el.meta.tileSize),
+          valueCol.getOrElse("value"), t,
           minC, maxC, targetWidth, targetHeight, numLevels, keepCols = Seq("c"))._1
       case other => sys.error(s"rasterize: unsupported element kind $other")
     }

@@ -51,16 +51,21 @@ object TransformExtent {
             Seq(xmin, ymin), Seq(xmax, ymax), targetWidth, targetHeight)._1
         case ElementKind.Images =>
           val numLevels = 1 + el.data.agg(max(col("scale"))).collect()(0).getInt(0)
-          val px = RasterOps.tilesToPixels(el.data)
+          val px = RasterOps.tilesToPixels(el.data, meta.tileSize)
           val (res, _) = RasterOps.rasterizeRaster(px, "value", t,
             Seq(xmin, ymin), Seq(xmax, ymax), targetWidth, targetHeight,
             numLevels = numLevels, keepCols = Seq("c"))
           RasterOps.pixelsToTiles(res)
         case ElementKind.Tables => el.data
       }
-      val newMeta =
+      val newMeta0 =
         if (meta.kind == ElementKind.Tables) meta
         else meta.copy(transforms = Map(cs -> newCsT))
+      // images are re-tiled onto the default tile size above — a stale
+      // store tile_size attr would corrupt later tile->pixel decodes
+      val newMeta =
+        if (meta.kind == ElementKind.Images) newMeta0.copy(attrs = newMeta0.attrs - "tile_size")
+        else newMeta0
       SpatialElement(newMeta, data, el.aux)
     }
     SpatialDataset(filtered.spark, newEls, filtered.manifest.attrs)

@@ -332,6 +332,11 @@ object NgffRaster {
       val grid = sc.meta.gridShape
       require(grid.length == axB.length,
         s"scale ${sc.path}: rank ${grid.length} != axes $axB")
+      // downstream tile->pixel decodes use ONE tile size for both in-plane
+      // axes; a rectangular chunk would silently mis-position pixels
+      val (cy, cx) = (sc.meta.chunks(axB.indexOf("y")), sc.meta.chunks(axB.indexOf("x")))
+      require(cy == cx,
+        s"scale ${sc.path}: non-square (y, x) chunks ${cy}x$cx unsupported")
       def g(ax: String) = axB.indexOf(ax) match {
         case -1 => 1
         case i => grid(i)
@@ -365,17 +370,25 @@ object NgffRaster {
         val lead = Map("c" -> cc, "z" -> zz, "y" -> ty, "x" -> tx)
         val key = m.chunkKey(axB.map(lead))
         val p = new Path(s"$groupDirB/$path/$key")
-        if (!fsT.exists(p)) Iterator.empty
+        val absent = !fsT.exists(p)
+        // absent chunk + fill 0: stay sparse (no rows). Absent chunk with a
+        // NONZERO declared fill_value must materialize fill-valued tiles —
+        // skipping would silently decode the store as zeros.
+        if (absent && m.fillValue == 0.0) Iterator.empty
         else {
-          val in = fsT.open(p)
-          val stored = try {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](65536)
-            var n = in.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            bos.toByteArray
-          } finally in.close()
-          val full = Zarr.decodeChunk(stored, m)
+          val full: Array[Double] =
+            if (absent) null
+            else {
+              val in = fsT.open(p)
+              val stored = try {
+                val bos = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](65536)
+                var n = in.read(buf)
+                while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+                bos.toByteArray
+              } finally in.close()
+              Zarr.decodeChunk(stored, m)
+            }
           val h = math.min(chY, shapeY - ty * chY)
           val w = math.min(chX, shapeX - tx * chX)
           for {
@@ -383,14 +396,17 @@ object NgffRaster {
             zi <- (0 until chZ).iterator if zz * chZ + zi < shapeZ
           } yield {
             val px = new Array[Double](h * w)
-            var yy = 0
-            while (yy < h) {
-              var xx = 0
-              while (xx < w) {
-                px(yy * w + xx) = full(((ci * chZ + zi) * chY + yy) * chX + xx)
-                xx += 1
+            if (absent) java.util.Arrays.fill(px, m.fillValue)
+            else {
+              var yy = 0
+              while (yy < h) {
+                var xx = 0
+                while (xx < w) {
+                  px(yy * w + xx) = full(((ci * chZ + zi) * chY + yy) * chX + xx)
+                  xx += 1
+                }
+                yy += 1
               }
-              yy += 1
             }
             if (hasZ) Row(s, cc * chC + ci, zz * chZ + zi, ty, tx, h, w, px.toSeq)
             else Row(s, cc * chC + ci, ty, tx, h, w, px.toSeq)

@@ -127,7 +127,14 @@ object Zarr {
       case ('i', 2) => while (i < n) { out(i) = bb.getShort(i * 2).toDouble; i += 1 }
       case ('u', 4) => while (i < n) { out(i) = bb.getInt(i * 4) & 0xffffffffL; i += 1 }
       case ('i', 4) => while (i < n) { out(i) = bb.getInt(i * 4).toDouble; i += 1 }
-      case ('u', 8) | ('i', 8) => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
+      case ('i', 8) => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
+      case ('u', 8) =>
+        // values above Long.MaxValue must not decode as negative doubles
+        while (i < n) {
+          val l = bb.getLong(i * 8)
+          out(i) = if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19
+          i += 1
+        }
       case ('f', 4) => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
       case ('f', 8) => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
       case other => sys.error(s"unsupported zarr dtype '$dtype'")

@@ -221,8 +221,11 @@ object ZarrStore {
           try Some(kind match {
             case ElementKind.Images =>
               val (tiles, nm) = NgffRaster.read(spark, dir)
+              // record the STORE's chunk extent as the element's tile size so
+              // downstream tile->pixel decodes use it, not the global default
+              val ts = nm.scales.head.meta.chunks(nm.axes.indexOf("y"))
               SpatialElement(ElementMeta(name, kind, nm.axes, nm.transforms,
-                nm.channels), tiles)
+                nm.channels, attrs = Map("tile_size" -> ts.toString)), tiles)
             case ElementKind.Labels =>
               val (tiles, nm) = NgffRaster.read(spark, dir)
               // tile coordinates decode against the STORE's chunk size

@@ -20,6 +20,12 @@ class NgffSpec extends SparkTestBase {
     }
   }
 
+  test("u8 decode is unsigned for values above Long.MaxValue") {
+    val bytes = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(-1L).array() // 2^64 - 1
+    assert(Zarr.decodeValues(bytes, "<u8", 1)(0) == 1.8446744073709552e19)
+  }
+
   test("zarr compressors round-trip (zlib, gzip, zstd) ") {
     val raw = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
     for (id <- Seq("zlib", "gzip", "zstd")) {
@@ -202,21 +208,26 @@ class NgffSpec extends SparkTestBase {
     assert(Zarr.bloscDecode(frame.array(), 128).toSeq == payload.toSeq)
   }
 
-  test("nested dimension separator, big-endian dtype, absent chunk stays absent") {
+  test("nested dimension separator, big-endian dtype, absent chunk materializes fill") {
     val dir = new java.io.File("src/test/resources/ngff/fixture_nested").getAbsolutePath
     val (tiles, meta) = NgffRaster.read(spark, dir)
     assert(meta.isLabels && meta.axes == Seq("y", "x"))
     assert(meta.scales.head.meta.dimSeparator == "/")
     assert(meta.scales.head.meta.dtype == ">i4")
     assert(meta.scales.head.meta.fillValue == 7.0)
-    // chunk (1,1) is absent from the store -> no tile row for it
+    // chunk (1,1) is absent from the store; the declared fill_value is
+    // NONZERO, so it must materialize as a fill-valued tile (zarr fill
+    // semantics), not silently read back as zeros
     val tileKeys = tiles.select("tile_y", "tile_x").as[(Int, Int)].collect().toSet
-    assert(tileKeys == Set((0, 0), (0, 1), (1, 0)))
-    // value = y*10 + x + 1 on the present chunks; edge chunks clip to shape
+    assert(tileKeys == Set((0, 0), (0, 1), (1, 0), (1, 1)))
     val px = RasterOps.tilesToPixels(tiles, tileSize = 3)
-    val bad = px.filter(col("value") =!= col("y") * 10 + col("x") + 1).count()
-    assert(bad == 0)
-    assert(px.agg(sum("value")).as[Double].collect()(0) == 465.0)
+    // value = y*10 + x + 1 on the present chunks; edge chunks clip to shape
+    val present = px.filter(!(col("y") >= 3 && col("x") >= 3))
+    assert(present.filter(col("value") =!= col("y") * 10 + col("x") + 1).count() == 0)
+    // the materialized region (y 3..4, x 3..5) is all fill
+    val filled = px.filter(col("y") >= 3 && col("x") >= 3)
+    assert(filled.count() == 6 && filled.filter(col("value") =!= 7.0).count() == 0)
+    assert(px.agg(sum("value")).as[Double].collect()(0) == 465.0 + 42.0)
   }
 
   test("reads the externally-generated zlib fixture (plain-python writer)") {
