@@ -30,7 +30,8 @@ object RefStorePack extends QueryPack {
     // count + exact measure per element (radius sum for circles, area sum
     // for polygons — holes included, io_shapes.py:42-67)
     "q73_ref_ragged_shapes" -> ((s, _) => {
-      val sd = ZarrStore.read(s, fixtureRoot)
+      val sd = ZarrStore.read(s, fixtureRoot,
+        selection = Some(Seq("circles_v01", "ga_v03", "gp_v02", "mpolys_v01", "polys_v01")))
       def stats(name: String, measure: DataFrame => org.apache.spark.sql.Column) = {
         val df = sd(name)
         df.agg(count(lit(1)).as("n"), dsum(measure(df)).as("total"))
@@ -65,6 +66,50 @@ object RefStorePack extends QueryPack {
         .groupBy("var_name")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("var_name")
+    }),
+
+    // WRITE-side interop: build a container from testdata, write it in the
+    // REFERENCE's layouts (AnnData zarr table, single-file GeoParquet), read
+    // it back through the reference-layout dispatch, verify values survived
+    // the foreign format round trip
+    "q79_ref_write_roundtrip" -> ((s, d) => {
+      import graft.model._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_refw_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val shp = Models.ShapesModel.parse(graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("index"),
+        ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y0"))
+        .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+          col("x0") + 4.0, col("y0") + 2.0))
+        .withColumn("geom_type", lit("polygon")).drop("x0", "y0"))
+      val obs = graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"), lit("shp").as("region"),
+        (col("s_suppkey") * 0.25).as("score"))
+      val x = graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"), lit("shp").as("region"),
+        concat(lit("v"), (col("s_suppkey") % 2).cast("string")).as("var_name"),
+        (col("s_suppkey") % 7 + 1).cast("double").as("value"))
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.ShapesModel.meta("shp"), shp),
+        SpatialElement(Models.TableModel.meta("tab",
+          Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs,
+          Map("X" -> x))))
+      graft.sources.RefStoreWriter.write(sd, dir)
+      val back = graft.sources.ZarrStore.read(s, dir)
+      val areas = back("shp")
+        .agg(count(lit(1)).as("n"), dsum(st_area(col("geometry"))).as("total"))
+        .withColumn("k", lit("area"))
+      val scores = back.element("tab").obs
+        .agg(count(lit(1)).as("n"), dsum(col("score")).as("total"))
+        .withColumn("k", lit("score"))
+      val xs = back.element("tab").x
+        .groupBy(col("var_name").as("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      areas.select("k", "n", "total")
+        .unionByName(scores.select("k", "n", "total"))
+        .unionByName(xs.select("k", "n", "total"))
+        .orderBy("k")
     }),
 
     // reference points element (points.parquet + V01 attrs)
@@ -106,6 +151,15 @@ object RefStorePack extends QueryPack {
         |SELECT 'v' || CAST(j AS VARCHAR) AS var_name, COUNT(*) AS n,
         |  CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY 1 ORDER BY var_name""".stripMargin,
+    "q79_ref_write_roundtrip" ->
+      """SELECT 'area' AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(8.0 AS DECIMAL(28,6))) AS DOUBLE) AS total FROM supplier
+        |UNION ALL SELECT 'score', COUNT(*),
+        |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) FROM supplier
+        |UNION ALL SELECT 'v' || CAST(s_suppkey % 2 AS VARCHAR), COUNT(*),
+        |  CAST(SUM(CAST(s_suppkey % 7 + 1 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM supplier GROUP BY 1
+        |ORDER BY k""".stripMargin,
     "q76_ref_points" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(i * 1.5 AS DECIMAL(28,6))) AS DOUBLE) AS sum_x,

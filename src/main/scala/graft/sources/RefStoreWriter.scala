@@ -1,0 +1,348 @@
+package graft.sources
+
+import graft.model._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Write a container in the REFERENCE's on-disk layouts, so a spatialdata
+  * user can hand results straight back to the python stack:
+  *
+  *  - shapes: single-file GeoParquet with the `geo` footer metadata
+  *    geopandas requires (ShapesFormatV02, io_shapes.py:152-183) — written
+  *    through parquet-mr with explicit key-value metadata, streamed via
+  *    toLocalIterator (a single file serializes through one writer by
+  *    definition; the reference's own writer has the same constraint).
+  *  - tables: AnnData zarr groups (io_table.py:52-72 + the anndata zarr v2
+  *    encodings): `dataframe` obs/var with numeric and vlen-utf8 string
+  *    columns, dense f8 X, spatialdata annotation attrs. Column and X
+  *    chunks are written task-parallel from `foreachPartition`.
+  *  - points: parquet + reference-style attrs (io_points.py:50-99).
+  *  - images/labels: [[NgffRaster.write]] output is already NGFF.
+  *
+  * Transforms are serialized as reference-style NGFF dicts with
+  * input/output coordinate-system objects (ngff_transformations.py
+  * `_update_dict_with_input_output_cs`), which both this engine and the
+  * reference parse. `tools/check_ref_store.py` validates a written store
+  * with an independent pure-python reader.
+  */
+object RefStoreWriter {
+
+  private val ChunkRows = 1024
+
+  // ---- reference-style NGFF transform dicts ----
+
+  private def csObj(name: String, axes: Seq[String]): JValue =
+    ("name" -> name) ~ ("axes" -> axes.map(a =>
+      (("name" -> a) ~ ("type" -> (if (a == "c") "channel" else "space"))): JValue))
+
+  private[sources] def toRefNgff(cs: String, t: Transform, axes: Seq[String]): JValue = {
+    val base = NgffRaster.transformToNgff(cs, t).asInstanceOf[JObject]
+    JObject(base.obj.filterNot(_._1 == "output")) ~
+      ("input" -> csObj("intrinsic", axes)) ~ ("output" -> csObj(cs, axes))
+  }
+
+  private def refAttrs(meta: ElementMeta, groupType: String, axes: Seq[String],
+      sdAttrs: JObject): String = {
+    val o: JObject =
+      ("encoding-type" -> groupType) ~
+        ("axes" -> axes) ~
+        ("coordinateTransformations" -> meta.transforms.toSeq.sortBy(_._1)
+          .map { case (cs, t) => toRefNgff(cs, t, axes) }) ~
+        ("spatialdata_attrs" -> sdAttrs)
+    JsonMethods.pretty(JsonMethods.render(o))
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: String, text: String): Unit = {
+    val out = fs.create(new Path(p), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ---- single-file GeoParquet (parquet-mr, geo footer metadata) ----
+
+  /** Write `(index, geometry WKB[, radius])` as ONE GeoParquet file with the
+    * `geo` metadata key. Streams row batches to the driver-side writer —
+    * the format is single-file, so a single writer is inherent, but memory
+    * stays bounded.
+    */
+  private[sources] def writeGeoParquetFile(df: DataFrame, pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.MessageTypeParser
+
+    val hasRadius = df.columns.contains("radius")
+    val geomTypes = df.select("geom_type").distinct()
+      .collect().map(_.getString(0)).sorted.map {
+        case "circle" | "point" => "Point"
+        case "polygon" => "Polygon"
+        case "multipolygon" => "MultiPolygon"
+        case other => other.capitalize
+      }
+    val geoMeta = JsonMethods.compact(JsonMethods.render(
+      ("version" -> "1.0.0") ~ ("primary_column" -> "geometry") ~
+        ("columns" -> (("geometry" ->
+          (("encoding" -> "WKB") ~ ("geometry_types" -> geomTypes.toSeq))): JObject))))
+    val schema = MessageTypeParser.parseMessageType(
+      if (hasRadius)
+        "message spatialdata { required int64 index; required binary geometry; optional double radius; }"
+      else
+        "message spatialdata { required int64 index; required binary geometry; }")
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(pathStr), conf))
+      .withType(schema)
+      .withExtraMetaData(java.util.Map.of("geo", geoMeta))
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try {
+      val cols = Seq(col("index").cast("long"), col("geometry")) ++
+        (if (hasRadius) Seq(col("radius")) else Nil)
+      val it = df.select(cols: _*).toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val g = factory.newGroup()
+          .append("index", r.getLong(0))
+          .append("geometry", org.apache.parquet.io.api.Binary
+            .fromConstantByteArray(r.getAs[Array[Byte]](1)))
+        if (hasRadius && !r.isNullAt(2)) g.append("radius", r.getDouble(2))
+        writer.write(g)
+      }
+    } finally writer.close()
+  }
+
+  // ---- AnnData zarr table ----
+
+  private def arrayAttrs(encoding: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      ("encoding-type" -> encoding) ~ ("encoding-version" -> "0.2.0")))
+
+  /** Chunk-parallel 1-D zarr array write from `(row LONG, value)` rows.
+    * `n` rows, [[ChunkRows]] per chunk; numeric dtypes encode via
+    * [[Zarr.encodeChunk]], strings as vlen-utf8.
+    */
+  private def writeVector(df: DataFrame, n: Long, dir: String, dtype: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      confB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]): Unit = {
+    val isStr = dtype == "|O"
+    val m = Zarr.ArrayMeta(Seq(n.toInt), Seq(ChunkRows), dtype,
+      Some(Zarr.Compressor("zlib", clevel = 1)), 0.0, "C", ".",
+      filters = if (isStr) Seq("vlen-utf8") else Nil)
+    fs.mkdirs(new Path(dir))
+    val metaJson =
+      if (!isStr) Zarr.arrayMetaJson(m)
+      else JsonMethods.pretty(JsonMethods.render(
+        ("zarr_format" -> 2) ~ ("shape" -> Seq(n)) ~ ("chunks" -> Seq(ChunkRows)) ~
+          ("dtype" -> "|O") ~
+          ("compressor" -> (("id" -> "zlib") ~ ("level" -> 1))) ~
+          ("fill_value" -> JNull) ~ ("order" -> "C") ~
+          ("filters" -> Seq(("id" -> "vlen-utf8"): JValue)) ~
+          ("dimension_separator" -> ".")))
+    writeText(fs, s"$dir/.zarray", metaJson)
+    writeText(fs, s"$dir/.zattrs", arrayAttrs(if (isStr) "string-array" else "array"))
+    val dirB = dir
+    val nB = n
+    df.withColumn("__chunk", (col("row") / ChunkRows).cast("int"))
+      .groupBy("__chunk")
+      .agg(collect_list(struct((col("row") % ChunkRows).cast("int").as("i"),
+        col("value"))).as("vals"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val fsT = new Path(dirB).getFileSystem(confB.value.value)
+        rows.foreach { r =>
+          val ci = r.getInt(0)
+          val valid = math.min(ChunkRows.toLong, nB - ci.toLong * ChunkRows).toInt
+          val entries = r.getSeq[Row](1)
+          val bytes =
+            if (isStr) {
+              val arr = new Array[String](valid)
+              entries.foreach(e => arr(e.getInt(0)) = e.getString(1))
+              Zarr.compress(Zarr.vlenUtf8Encode(arr), m.compressor)
+            } else {
+              val arr = new Array[Double](ChunkRows)
+              entries.foreach(e => arr(e.getInt(0)) = e.getAs[Number](1).doubleValue())
+              Zarr.encodeChunk(arr, m)
+            }
+          val out = fsT.create(new Path(s"$dirB/$ci"), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+  }
+
+  /** Dense X write: `(row, col, value)` -> chunks `(ChunkRows, nVar)`. */
+  private def writeDenseX(coo: DataFrame, n: Long, nVar: Int, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      confB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]): Unit = {
+    val m = Zarr.ArrayMeta(Seq(n.toInt, nVar), Seq(ChunkRows, nVar), "<f8",
+      Some(Zarr.Compressor("zlib", clevel = 1)), 0.0, "C", ".")
+    fs.mkdirs(new Path(dir))
+    writeText(fs, s"$dir/.zarray", Zarr.arrayMetaJson(m))
+    writeText(fs, s"$dir/.zattrs", arrayAttrs("array"))
+    val dirB = dir
+    coo.withColumn("__chunk", (col("row") / ChunkRows).cast("int"))
+      .groupBy("__chunk")
+      .agg(collect_list(struct(
+        ((col("row") % ChunkRows) * nVar + col("col")).cast("int").as("i"),
+        col("value").cast("double").as("v"))).as("vals"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val fsT = new Path(dirB).getFileSystem(confB.value.value)
+        rows.foreach { r =>
+          val ci = r.getInt(0)
+          val arr = new Array[Double](ChunkRows * nVar)
+          r.getSeq[Row](1).foreach(e => arr(e.getInt(0)) = e.getDouble(1))
+          val out = fsT.create(new Path(s"$dirB/$ci.0"), true)
+          try out.write(Zarr.encodeChunk(arr, m)) finally out.close()
+        }
+      }
+  }
+
+  /** Write one table element as an AnnData zarr group. obs rows order by the
+    * instance key (explicit, deterministic — there is no implicit row order
+    * in a distributed table); X comes from the engine's long form.
+    */
+  private[sources] def writeAnnData(spark: SparkSession, el: SpatialElement,
+      dir: String, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val ann = el.meta.table
+    val ik = ann.map(_.instanceKey)
+
+    // explicit row index: sort by instance key (fallback: first column)
+    val sortCol = ik.filter(el.obs.columns.contains)
+      .getOrElse(el.obs.columns.head)
+    val obsSorted = el.obs.orderBy(col(sortCol))
+    val schema0 = obsSorted.schema
+    val withRow = spark.createDataFrame(
+      obsSorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      StructType(schema0.fields :+ StructField("__row", LongType, nullable = false)))
+    withRow.persist()
+    val n = withRow.count()
+
+    val gattrs: JObject =
+      ("encoding-type" -> "anndata") ~ ("encoding-version" -> "0.1.0") ~
+        ("spatialdata-encoding-type" -> "ngff:regions_table") ~
+        ("region" -> ann.map(a =>
+          if (a.region.length == 1) JString(a.region.head): JValue
+          else JArray(a.region.toList.map(JString(_))): JValue)) ~
+        ("region_key" -> ann.map(_.regionKey)) ~
+        ("instance_key" -> ann.map(_.instanceKey)) ~
+        ("version" -> "0.1")
+    fs.mkdirs(new Path(dir))
+    writeText(fs, s"$dir/.zgroup", """{"zarr_format": 2}""")
+    writeText(fs, s"$dir/.zattrs", JsonMethods.pretty(JsonMethods.render(gattrs)))
+
+    // ---- obs group ----
+    val obsDir = s"$dir/obs"
+    fs.mkdirs(new Path(obsDir))
+    writeText(fs, s"$obsDir/.zgroup", """{"zarr_format": 2}""")
+    writeText(fs, s"$obsDir/.zattrs", JsonMethods.pretty(JsonMethods.render(
+      ("encoding-type" -> "dataframe") ~ ("encoding-version" -> "0.2.0") ~
+        ("_index" -> "_index") ~ ("column-order" -> schema0.fieldNames.toSeq))))
+    writeVector(withRow.select(col("__row").as("row"),
+      col(sortCol).cast("string").as("value")), n, s"$obsDir/_index", "|O", fs, confB)
+    schema0.fields.foreach { f =>
+      val (vcol, dtype) = f.dataType match {
+        case StringType => (col(f.name), "|O")
+        case IntegerType | LongType => (col(f.name).cast("double"), "<i8")
+        case FloatType | DoubleType => (col(f.name).cast("double"), "<f8")
+        case other => sys.error(s"obs column '${f.name}': unsupported type $other")
+      }
+      writeVector(withRow.select(col("__row").as("row"), vcol.as("value")),
+        n, s"$obsDir/${f.name}", dtype, fs, confB)
+    }
+
+    // ---- var + X ----
+    el.aux.get("X").foreach { x =>
+      val varNames = x.select("var_name").distinct()
+        .collect().map(_.getString(0)).sorted
+      val varDir = s"$dir/var"
+      fs.mkdirs(new Path(varDir))
+      writeText(fs, s"$varDir/.zgroup", """{"zarr_format": 2}""")
+      writeText(fs, s"$varDir/.zattrs", JsonMethods.pretty(JsonMethods.render(
+        ("encoding-type" -> "dataframe") ~ ("encoding-version" -> "0.2.0") ~
+          ("_index" -> "_index") ~ ("column-order" -> Seq.empty[String]))))
+      writeVector(
+        spark.createDataFrame(varNames.zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v) }).toDF("row", "value"),
+        varNames.length.toLong, s"$varDir/_index", "|O", fs, confB)
+
+      val ikCol = ik.getOrElse(sortCol)
+      val rowMap = withRow.select(col(ikCol).cast("long").as("__ik"), col("__row"))
+      val varMap = spark.createDataFrame(varNames.zipWithIndex.toSeq
+        .map { case (v, i) => (v, i) }).toDF("var_name", "__col")
+      val coo = x.join(rowMap, x("instance_id").cast("long") === col("__ik"))
+        .join(varMap, "var_name")
+        .select(col("__row").as("row"), col("__col").as("col"), col("value"))
+      writeDenseX(coo, n, varNames.length, s"$dir/X", fs, confB)
+    }
+    withRow.unpersist()
+  }
+
+  // ---- container ----
+
+  /** Write the container in reference-compatible layouts. Raster elements
+    * reuse the NGFF writer (already compatible).
+    */
+  def write(sd: SpatialDataset, root: String,
+      tileSize: Int = Models.ImageModel.TileSize): Unit = {
+    val spark = sd.spark
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true)
+    fs.mkdirs(rp)
+    writeText(fs, s"$root/.zgroup", """{"zarr_format": 2}""")
+    writeText(fs, s"$root/.zattrs",
+      """{"spatialdata_attrs": {"version": "0.1", "spatialdata_software_version": "graft"}}""")
+    ElementKind.all.foreach { kind =>
+      if (sd.manifest.ofKind(kind).nonEmpty) {
+        fs.mkdirs(new Path(s"$root/${kind.dirName}"))
+        writeText(fs, s"$root/${kind.dirName}/.zgroup", """{"zarr_format": 2}""")
+      }
+    }
+    sd.manifest.elements.foreach { meta =>
+      val el = sd.element(meta.name)
+      val dir = s"$root/${meta.kind.dirName}/${meta.name}"
+      meta.kind match {
+        case ElementKind.Images =>
+          val ts = el.meta.tileSize
+          NgffRaster.write(el.data, dir, meta.name, ts,
+            transforms = meta.transforms, channels = meta.channelNames)
+        case ElementKind.Labels =>
+          import graft.ops.RasterOps
+          val tiles = RasterOps.pixelsToTiles(
+            el.data.select(lit(0).as("c"), col("y"), col("x"),
+              col("label").cast("double").as("value")), tileSize)
+          NgffRaster.write(tiles, dir, meta.name, tileSize,
+            axes = Seq("y", "x"), dtype = "<i8", transforms = meta.transforms,
+            isLabels = true)
+        case ElementKind.Points =>
+          el.data.write.mode("overwrite").option("compression", "zstd")
+            .parquet(s"$dir/points.parquet")
+          val ikField: List[JField] =
+            meta.attrs.get("instance_key").map(v => JField("instance_key", JString(v))).toList
+          val fkField: List[JField] =
+            meta.attrs.get("feature_key").map(v => JField("feature_key", JString(v))).toList
+          val sdAttrs: JObject =
+            JObject(ikField ++ fkField :+ JField("version", JString("0.1")))
+          writeText(fs, s"$dir/.zattrs",
+            refAttrs(meta, "ngff:points", Seq("x", "y"), sdAttrs))
+        case ElementKind.Shapes =>
+          fs.mkdirs(new Path(dir))
+          writeGeoParquetFile(el.data, s"$dir/shapes.parquet",
+            spark.sparkContext.hadoopConfiguration)
+          writeText(fs, s"$dir/.zattrs",
+            refAttrs(meta, "ngff:shapes", Seq("x", "y"),
+              ("version" -> "0.2"): JObject))
+          writeText(fs, s"$dir/.zgroup", """{"zarr_format": 2}""")
+        case ElementKind.Tables =>
+          writeAnnData(spark, el, dir, fs)
+      }
+    }
+  }
+}

@@ -254,6 +254,18 @@ object Zarr {
     out
   }
 
+  /** Encode strings as a numcodecs `vlen-utf8` buffer (inverse of
+    * [[vlenUtf8Decode]]); nulls encode as empty strings.
+    */
+  def vlenUtf8Encode(items: Array[String]): Array[Byte] = {
+    val payloads = items.map(s => (if (s == null) "" else s).getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.allocate(4 + payloads.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(items.length)
+    payloads.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
   private def inflate(bytes: Array[Byte], nbytes: Int, raw: Boolean): Array[Byte] = {
     val inf = new java.util.zip.Inflater(raw)
     inf.setInput(bytes)

@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.geom.st._
+import graft.model._
+import org.apache.spark.sql.functions._
+
+/** Write-side reference interop: [[RefStoreWriter]] emits the reference's
+  * own layouts (AnnData zarr tables, single-file GeoParquet shapes with geo
+  * footer metadata, reference-style NGFF attrs) and [[ZarrStore.read]]'s
+  * reference-layout dispatch reads them back — a full round trip THROUGH
+  * the foreign format. `tools/check_ref_store.py` validates the same bytes
+  * with an independent pure-python reader.
+  */
+class RefStoreWriterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def buildContainer(): SpatialDataset = {
+    val shp = Models.ShapesModel.parse(
+      (0 until 12).map { i =>
+        (i.toLong, graft.geom.WKB.write(graft.geom.GPolygon(Array(
+          Array(i * 3.0, i.toDouble, i * 3.0 + 2, i.toDouble,
+            i * 3.0 + 2, i + 1.0, i * 3.0, i + 1.0)))))
+      }.toDF("index", "geometry").withColumn("geom_type", lit("polygon")))
+    val obs = (0 until 12).map(i => (i.toLong, "shp", i * 0.5, s"g${i % 3}"))
+      .toDF("instance_id", "region", "score", "grp")
+    val x = (for (i <- 0 until 12; j <- 0 until 3; v = (i + j) % 5 if v != 0)
+      yield (i.toLong, "shp", s"v$j", v.toDouble))
+      .toDF("instance_id", "region", "var_name", "value")
+    val pts = Models.PointsModel.parse(
+      (0 until 20).map(i => (i.toLong, i * 1.5, i * 0.25)).toDF("id", "x", "y"))
+    SpatialDataset(spark, Seq(
+      SpatialElement(Models.ShapesModel.meta("shp",
+        transforms = Map("global" -> ScaleT(Seq(2.0, 2.0), Seq("x", "y")))), shp),
+      SpatialElement(Models.PointsModel.meta("pts", instanceKey = Some("id")), pts),
+      SpatialElement(Models.TableModel.meta("tab",
+        Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs,
+        Map("X" -> x))))
+  }
+
+  // fixed location so tools/check_ref_store.py can validate the same bytes
+  // with a pure-python reader after `sbt test`
+  private lazy val root = {
+    val r = new java.io.File("target/ref-demo.zarr").getAbsolutePath
+    RefStoreWriter.write(buildContainer(), r)
+    r
+  }
+
+  test("shapes write as ONE GeoParquet file with geo footer metadata") {
+    val f = new java.io.File(s"$root/shapes/shp/shapes.parquet")
+    assert(f.isFile, "shapes.parquet must be a single file, not a directory")
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    val geo = try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+    finally reader.close()
+    assert(geo != null && geo.contains("\"encoding\":\"WKB\"") &&
+      geo.contains("Polygon"), s"geo metadata missing or wrong: $geo")
+  }
+
+  test("AnnData table group has the anndata/dataframe encodings on disk") {
+    import org.json4s._
+    def attrs(p: String) = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+    val g = attrs(s"$root/tables/tab/.zattrs")
+    assert((g \ "encoding-type") == JString("anndata"))
+    assert((g \ "region") == JString("shp"))
+    assert((g \ "instance_key") == JString("instance_id"))
+    val o = attrs(s"$root/tables/tab/obs/.zattrs")
+    assert((o \ "encoding-type") == JString("dataframe"))
+    assert((o \ "_index") == JString("_index"))
+    assert(attrs(s"$root/tables/tab/obs/grp/.zattrs") \ "encoding-type" ==
+      JString("string-array"))
+    assert(attrs(s"$root/tables/tab/X/.zattrs") \ "encoding-type" == JString("array"))
+  }
+
+  test("round trip through the reference layout: shapes + transform") {
+    val back = ZarrStore.read(spark, root)
+    val shp = back.element("shp")
+    assert(shp.meta.transforms("global") == ScaleT(Seq(2.0, 2.0), Seq("x", "y")))
+    val areas = shp.data.select(col("index"), st_area(col("geometry")))
+      .as[(Long, Double)].collect().toMap
+    assert(areas.size == 12 && areas.values.forall(_ == 2.0))
+  }
+
+  test("round trip through the reference layout: AnnData table + X") {
+    val back = ZarrStore.read(spark, root)
+    val tab = back.element("tab")
+    assert(tab.meta.table.contains(TableAnnotation(Seq("shp"), "region", "instance_id")))
+    val obs = tab.obs.select(col("instance_id").cast("long"), col("score"), col("grp"))
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(obs.length == 12)
+    obs.foreach { case (i, s, g) => assert(s == i * 0.5 && g == s"g${i % 3}") }
+    val x = tab.x.select(col("instance_id").cast("long"), col("var_name"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    val want = (for (i <- 0 until 12; j <- 0 until 3; v = (i + j) % 5 if v != 0)
+      yield (i.toLong, s"v$j", v.toDouble)).toSet
+    assert(x == want)
+  }
+
+  test("round trip through the reference layout: points + attrs") {
+    val back = ZarrStore.read(spark, root)
+    val pts = back.element("pts")
+    assert(pts.meta.attrs.get("instance_key").contains("id"))
+    assert(pts.data.count() == 20)
+    val s = pts.data.agg(sum("x")).as[Double].collect().head
+    assert(s == 1.5 * (0 until 20).sum)
+  }
+}

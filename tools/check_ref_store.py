@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Independent pure-python validator for RefStoreWriter output.
+
+Reads a container written by `graft.sources.RefStoreWriter` exactly the way
+the reference stack would — zarr v2 JSON metadata + zlib chunks + vlen-utf8
+strings for the AnnData table, pyarrow + `geo` footer metadata for the
+GeoParquet shapes — WITHOUT any graft/JVM code, proving the bytes are
+readable by a foreign implementation.
+
+Usage:  sbt "testOnly graft.sources.RefStoreWriterSpec"   # writes target/ref-demo.zarr
+        python3 tools/check_ref_store.py target/ref-demo.zarr
+"""
+import json
+import os
+import struct
+import sys
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+DT = {"<f8": "<f8", "<i8": "<i8", "<f4": "<f4", "<i4": "<i4"}
+
+
+def jload(p):
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_array(path):
+    meta = jload(os.path.join(path, ".zarray"))
+    shape, chunks = meta["shape"], meta["chunks"]
+    comp = meta.get("compressor") or {}
+    assert comp.get("id") == "zlib", f"{path}: expected zlib, got {comp}"
+    filters = meta.get("filters") or []
+    is_str = any(f.get("id") == "vlen-utf8" for f in filters)
+    if is_str:
+        assert len(shape) == 1
+        out = []
+        for ci in range((shape[0] + chunks[0] - 1) // chunks[0]):
+            raw = zlib.decompress(open(os.path.join(path, str(ci)), "rb").read())
+            (n,) = struct.unpack_from("<I", raw, 0)
+            off = 4
+            for _ in range(n):
+                (ln,) = struct.unpack_from("<I", raw, off)
+                off += 4
+                out.append(raw[off:off + ln].decode("utf-8"))
+                off += ln
+        return out[:shape[0]]
+    dtype = np.dtype(DT[meta["dtype"]])
+    grid = [(s + c - 1) // c for s, c in zip(shape, chunks)]
+    full = np.zeros(shape, dtype=dtype)
+    for idx in np.ndindex(*grid):
+        key = ".".join(map(str, idx))
+        p = os.path.join(path, key)
+        if not os.path.exists(p):
+            continue
+        raw = zlib.decompress(open(p, "rb").read())
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        sl = tuple(slice(i * c, min((i + 1) * c, s))
+                   for i, c, s in zip(idx, chunks, shape))
+        full[sl] = block[tuple(slice(0, x.stop - x.start) for x in sl)]
+    return full
+
+
+def main(root):
+    ok = 0
+
+    # ---- table: AnnData zarr ----
+    tdir = os.path.join(root, "tables", "tab")
+    g = jload(os.path.join(tdir, ".zattrs"))
+    assert g["encoding-type"] == "anndata" and g["region"] == "shp", g
+    assert g["region_key"] == "region" and g["instance_key"] == "instance_id"
+    obs_attrs = jload(os.path.join(tdir, "obs", ".zattrs"))
+    assert obs_attrs["encoding-type"] == "dataframe"
+    inst = read_array(os.path.join(tdir, "obs", "instance_id"))
+    score = read_array(os.path.join(tdir, "obs", "score"))
+    grp = read_array(os.path.join(tdir, "obs", "grp"))
+    assert list(inst) == list(range(12)), inst
+    assert all(score[i] == i * 0.5 for i in range(12))
+    assert all(grp[i] == f"g{i % 3}" for i in range(12))
+    var_names = read_array(os.path.join(tdir, "var", "_index"))
+    assert var_names == ["v0", "v1", "v2"], var_names
+    X = read_array(os.path.join(tdir, "X"))
+    want = np.array([[(i + j) % 5 for j in range(3)] for i in range(12)], dtype="<f8")
+    assert np.array_equal(X, want), X
+    ok += 1
+    print("OK  tables/tab: anndata group decodes (obs aligned, X exact)")
+
+    # ---- shapes: single-file GeoParquet ----
+    sp = os.path.join(root, "shapes", "shp", "shapes.parquet")
+    assert os.path.isfile(sp), "shapes.parquet must be a single file"
+    pf = pq.ParquetFile(sp)
+    geo = json.loads(pf.metadata.metadata[b"geo"])
+    assert geo["primary_column"] == "geometry"
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    tbl = pf.read().to_pydict()
+    assert tbl["index"] == list(range(12))
+    for i, wkb in enumerate(tbl["geometry"]):
+        bo, typ, nrings, npts = struct.unpack_from("<BIII", wkb, 0)
+        assert bo == 1 and typ == 3 and nrings == 1 and npts in (4, 5), (i, typ)
+        xs = struct.unpack_from("<" + "d" * (2 * npts), wkb, 13)
+        assert xs[0] == i * 3.0 and xs[1] == float(i), (i, xs[:2])
+    attrs = jload(os.path.join(root, "shapes", "shp", ".zattrs"))
+    t = attrs["coordinateTransformations"][0]
+    assert t["type"] == "scale" and t["scale"] == [2.0, 2.0]
+    assert t["output"]["name"] == "global"       # reference-style cs objects
+    assert t["output"]["axes"][0]["name"] == "x"
+    ok += 1
+    print("OK  shapes/shp: GeoParquet file + geo metadata + ref-style transform")
+
+    # ---- points ----
+    pdir = os.path.join(root, "points", "pts")
+    pts = pq.read_table(os.path.join(pdir, "points.parquet")).to_pydict()
+    assert sorted(pts["id"]) == list(range(20))
+    pattrs = jload(os.path.join(pdir, ".zattrs"))
+    assert pattrs["spatialdata_attrs"]["instance_key"] == "id"
+    ok += 1
+    print("OK  points/pts: parquet + instance_key attrs")
+
+    print(f"\n{ok} element families validated by the pure-python reader")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "target/ref-demo.zarr")
