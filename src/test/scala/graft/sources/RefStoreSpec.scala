@@ -124,6 +124,15 @@ class RefStoreSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("interop readers keep product-free plans (bucketed interval joins)") {
+    for (df <- Seq(sd.element("t_csr").x, sd("polys_v01"), sd("mpolys_v01"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"BroadcastNestedLoopJoin in:\n$plan")
+    }
+  }
+
   test("reference points element: parquet payload + instance_key in attrs") {
     val el = sd.element("pts_v01")
     assert(el.data.count() == 25)
