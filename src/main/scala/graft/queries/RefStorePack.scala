@@ -112,6 +112,61 @@ object RefStorePack extends QueryPack {
         .orderBy("k")
     }),
 
+    // AnnData CSC X (indptr over columns, indices = row ids) -> same
+    // per-var totals contract as the CSR gate
+    "q80_ref_table_csc" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("t_csc")))
+      sd.element("t_csc").x
+        .groupBy("var_name")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("var_name")
+    }),
+
+    // numpy bool ('|b1') obs columns in reference-written AnnData groups
+    "q81_ref_bool_obs" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("t_csc", "t_dense")))
+      val a = sd.element("t_csc").obs
+        .groupBy(col("ok").as("flag"))
+        .agg(count(lit(1)).as("n"), dsum(col("instance_id")).as("total"))
+        .withColumn("element", lit("t_csc"))
+      val b = sd.element("t_dense").obs
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), dsum(col("score")).as("total"))
+        .withColumn("element", lit("t_dense"))
+      a.unionByName(b).select("element", "flag", "n", "total")
+        .orderBy("element", "flag")
+    }),
+
+    // WRITE-side categorical + bool obs: low-cardinality strings round-trip
+    // through the anndata `categorical` encoding, booleans through '|b1'
+    "q82_ref_write_catbool" -> ((s, d) => {
+      import graft.model._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_refcb_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val shp = Models.ShapesModel.parse(graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("index"),
+        ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y0"))
+        .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+          col("x0") + 4.0, col("y0") + 2.0))
+        .withColumn("geom_type", lit("polygon")).drop("x0", "y0"))
+      val obs = graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"), lit("shp").as("region"),
+        concat(lit("g"), (col("s_suppkey") % 3).cast("string")).as("grp"),
+        (col("s_suppkey") % 2 === 0).as("flag"),
+        (col("s_suppkey") * 0.25).as("score"))
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.ShapesModel.meta("shp"), shp),
+        SpatialElement(Models.TableModel.meta("tab",
+          Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs)))
+      graft.sources.RefStoreWriter.write(sd, dir)
+      val back = graft.sources.ZarrStore.read(s, dir)
+      back.element("tab").obs
+        .groupBy("grp", "flag")
+        .agg(count(lit(1)).as("n"), dsum(col("score")).as("total"))
+        .orderBy("grp", "flag")
+    }),
+
     // reference points element (points.parquet + V01 attrs)
     "q76_ref_points" -> ((s, _) => {
       val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("pts_v01")))
@@ -160,6 +215,26 @@ object RefStorePack extends QueryPack {
         |  CAST(SUM(CAST(s_suppkey % 7 + 1 AS DECIMAL(28,6))) AS DOUBLE)
         |FROM supplier GROUP BY 1
         |ORDER BY k""".stripMargin,
+    "q80_ref_table_csc" ->
+      """SELECT 'v' || CAST(j AS VARCHAR) AS var_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST((i + 2 * j) % 5 AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM range(24) t(i), range(3) u(j)
+        |WHERE (i + 2 * j) % 5 <> 0
+        |GROUP BY 1 ORDER BY var_name""".stripMargin,
+    "q81_ref_bool_obs" ->
+      """SELECT 't_csc' AS element, (i % 3 = 0) AS flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(i AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM range(24) t(i) GROUP BY 2
+        |UNION ALL
+        |SELECT 't_dense', (i % 2 = 0), COUNT(*),
+        |  CAST(SUM(CAST(i * 0.5 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM range(50) t(i) GROUP BY 2
+        |ORDER BY element, flag""".stripMargin,
+    "q82_ref_write_catbool" ->
+      """SELECT 'g' || CAST(s_suppkey % 3 AS VARCHAR) AS grp,
+        |  (s_suppkey % 2 = 0) AS flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM supplier GROUP BY 1, 2 ORDER BY grp, flag""".stripMargin,
     "q76_ref_points" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(i * 1.5 AS DECIMAL(28,6))) AS DOUBLE) AS sum_x,

@@ -29,6 +29,9 @@ object AnnDataZarr {
 
   private val B = 8192L // positions per interval-join bucket
 
+  /** Max obsm matrix width served through the wide-frame pivot. */
+  val MaxObsmWidth = 64
+
   // ---- driver-side metadata helpers ----
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem, p: String): String = {
@@ -209,6 +212,22 @@ object AnnDataZarr {
       .select(col("g").as("row"), col("col"), col("value"))
   }
 
+  /** CSC group (`encoding-type: csc_matrix`) -> `(row, col, value)` COO
+    * triples. Same arrays as CSR with the offset semantics transposed:
+    * `indptr` delimits columns, `indices` holds row indices — the bucketed
+    * interval join generalizes unchanged, only the output roles swap.
+    */
+  def readCscMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val data = readNumericVector(spark, s"$dir/data")
+      .select(col("row").as("pos"), col("value"))
+    val indices = readNumericVector(spark, s"$dir/indices")
+      .select(col("row").as("pos"), col("value").cast("long").as("__rowIdx"))
+    val indptr = readNumericVector(spark, s"$dir/indptr")
+    val nz = data.join(indices, "pos")
+    assignByOffsets(nz, indptr)
+      .select(col("__rowIdx").as("row"), col("g").as("col"), col("value"))
+  }
+
   // ---- AnnData dataframe group (obs / var) ----
 
   /** One dataframe-group column -> `(row, <name>)`: numeric array (int kinds
@@ -222,7 +241,9 @@ object AnnDataZarr {
       else {
         val v = readNumericVector(spark, dir)
         val kind = m.dtype.charAt(1)
-        if (kind == 'i' || kind == 'u')
+        if (kind == 'b')
+          v.select(col("row"), (col("value") =!= 0.0).as(name))
+        else if (kind == 'i' || kind == 'u')
           v.select(col("row"), col("value").cast("long").as(name))
         else v.withColumnRenamed("value", name)
       }
@@ -293,21 +314,25 @@ object AnnDataZarr {
 
     val obs = readDataFrameGroup(spark, s"$dir/obs")
 
-    val varAttrs = groupAttrs(spark, s"$dir/var")
-    val varIndexName = (varAttrs \ "_index").extractOrElse[String]("_index")
-    val varNames = readColumn(spark, s"$dir/var/$varIndexName", "var_name")
-      .select(col("row").as("col"), col("var_name").cast("string").as("var_name"))
-
     val xDir = s"$dir/X"
     val f = fs(spark, dir)
+    // var is only needed to name X columns; a table without X (annotation
+    // obs only) may legitimately lack the var group
+    def varNames: DataFrame = {
+      val varAttrs = groupAttrs(spark, s"$dir/var")
+      val varIndexName = (varAttrs \ "_index").extractOrElse[String]("_index")
+      readColumn(spark, s"$dir/var/$varIndexName", "var_name")
+        .select(col("row").as("col"), col("var_name").cast("string").as("var_name"))
+    }
     val coo: Option[DataFrame] =
       if (f.exists(new Path(s"$xDir/.zarray"))) Some(readDenseMatrix(spark, xDir))
       else if (f.exists(new Path(s"$xDir/.zgroup"))) {
         val enc = (groupAttrs(spark, xDir) \ "encoding-type").extractOrElse[String]("")
         enc match {
           case "csr_matrix" => Some(readCsrMatrix(spark, xDir))
+          case "csc_matrix" => Some(readCscMatrix(spark, xDir))
           case other => sys.error(s"$xDir: unsupported X encoding '$other' " +
-            "(dense and csr_matrix are supported; re-save csc as csr)")
+            "(dense, csr_matrix and csc_matrix are supported)")
         }
       } else None
 
@@ -342,13 +367,25 @@ object AnnDataZarr {
             val m = arrayMeta(spark, s"$obsmDir/$key")
             require(m.shape.length == 2, s"obsm/$key: expected a 2-D array")
             val k = m.shape(1)
+            // the wide pivot builds k aggregate expressions; beyond spatial/
+            // PCA-sized k that is the wrong plan shape — fail loudly rather
+            // than compile a quadratic-ish expression tree
+            require(k <= MaxObsmWidth,
+              s"obsm/$key: width $k exceeds $MaxObsmWidth; wide-frame get_values " +
+                "resolution supports spatial/PCA-sized obsm only")
             val wide = readDenseMatrix(spark, s"$obsmDir/$key")
               .groupBy("row")
               .agg((0 until k).map(j =>
                 max(when(col("col") === j, col("value"))).as(s"${key}_$j")).head,
                 (1 until k).map(j =>
                   max(when(col("col") === j, col("value"))).as(s"${key}_$j")): _*)
-            s"obsm:$key" -> wide.join(obsKeyed, "row").drop("row")
+            // left-join from obsKeyed (all instances): a fully-absent chunk
+            // row emits no long-form rows when fill_value==0, but the dense
+            // array semantics resolve it to fill_value, not a missing row
+            val filled = obsKeyed.join(wide, Seq("row"), "left")
+            val cols = col("instance_id") +: (0 until k).map(j =>
+              coalesce(col(s"${key}_$j"), lit(m.fillValue)).as(s"${key}_$j"))
+            s"obsm:$key" -> filled.select(cols: _*)
           }.toMap
       }
 

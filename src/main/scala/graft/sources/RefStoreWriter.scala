@@ -156,22 +156,59 @@ object RefStoreWriter {
         val fsT = new Path(dirB).getFileSystem(confB.value.value)
         rows.foreach { r =>
           val ci = r.getInt(0)
-          val valid = math.min(ChunkRows.toLong, nB - ci.toLong * ChunkRows).toInt
           val entries = r.getSeq[Row](1)
           val bytes =
             if (isStr) {
-              val arr = new Array[String](valid)
-              entries.foreach(e => arr(e.getInt(0)) = e.getString(1))
+              // zarr v2 stores EDGE chunks at full nominal extent: zarr-python
+              // reshapes the decoded object array to `chunks`, so the final
+              // chunk must carry ChunkRows items, padded with ""
+              val arr = Array.fill[String](ChunkRows)("")
+              entries.foreach(e => if (!e.isNullAt(1)) arr(e.getInt(0)) = e.getString(1))
               Zarr.compress(Zarr.vlenUtf8Encode(arr), m.compressor)
             } else {
+              val isFloat = m.dtype.charAt(1) == 'f'
               val arr = new Array[Double](ChunkRows)
-              entries.foreach(e => arr(e.getInt(0)) = e.getAs[Number](1).doubleValue())
+              // nullable obs columns: float null -> NaN (pandas missing),
+              // int/bool null -> fill 0 — never an executor NPE
+              entries.foreach { e =>
+                if (!e.isNullAt(1)) arr(e.getInt(0)) = e.getAs[Number](1).doubleValue()
+                else if (isFloat) arr(e.getInt(0)) = Double.NaN
+              }
               Zarr.encodeChunk(arr, m)
             }
           val out = fsT.create(new Path(s"$dirB/$ci"), true)
           try out.write(bytes) finally out.close()
         }
       }
+  }
+
+  /** Max distinct values for a string obs column to round-trip as the
+    * anndata `categorical` encoding rather than vlen-utf8.
+    */
+  private val MaxCategories = 128
+
+  /** anndata `categorical` group: int64 `codes` (null -> -1) + vlen-utf8
+    * `categories`, the encoding the reference emits for pandas categoricals.
+    */
+  private def writeCategorical(spark: SparkSession, withRow: DataFrame,
+      name: String, n: Long, dir: String, fs: org.apache.hadoop.fs.FileSystem,
+      confB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]): Unit = {
+    val cats = withRow.select(col(name)).filter(col(name).isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
+    fs.mkdirs(new Path(dir))
+    writeText(fs, s"$dir/.zgroup", """{"zarr_format": 2}""")
+    writeText(fs, s"$dir/.zattrs", JsonMethods.compact(JsonMethods.render(
+      ("encoding-type" -> "categorical") ~ ("encoding-version" -> "0.2.0") ~
+        ("ordered" -> false))))
+    val catDf = spark.createDataFrame(cats.zipWithIndex.toSeq
+      .map { case (v, i) => (v, i.toLong) }).toDF("__cat", "__code")
+    val codes = withRow.select(col("__row").as("row"), col(name).as("__cat"))
+      .join(catDf, Seq("__cat"), "left")
+      .select(col("row"), coalesce(col("__code"), lit(-1L)).as("value"))
+    writeVector(codes, n, s"$dir/codes", "<i8", fs, confB)
+    writeVector(spark.createDataFrame(cats.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v) }).toDF("row", "value"),
+      cats.length.toLong, s"$dir/categories", "|O", fs, confB)
   }
 
   /** Dense X write: `(row, col, value)` -> chunks `(ChunkRows, nVar)`. */
@@ -247,14 +284,30 @@ object RefStoreWriter {
     writeVector(withRow.select(col("__row").as("row"),
       col(sortCol).cast("string").as("value")), n, s"$obsDir/_index", "|O", fs, confB)
     schema0.fields.foreach { f =>
-      val (vcol, dtype) = f.dataType match {
-        case StringType => (col(f.name), "|O")
-        case IntegerType | LongType => (col(f.name).cast("double"), "<i8")
-        case FloatType | DoubleType => (col(f.name).cast("double"), "<f8")
+      f.dataType match {
+        case StringType =>
+          // pandas-categorical round trip: low-cardinality string columns get
+          // the anndata `categorical` encoding (codes + categories) the
+          // reference emits; high-cardinality strings stay vlen-utf8. The
+          // cardinality probe is a countDistinct aggregate — the distinct
+          // values are only collected when they are provably few.
+          val nd = withRow.agg(countDistinct(col(f.name))).collect()(0).getLong(0)
+          if (nd <= MaxCategories && nd < n)
+            writeCategorical(spark, withRow, f.name, n, s"$obsDir/${f.name}", fs, confB)
+          else
+            writeVector(withRow.select(col("__row").as("row"), col(f.name).as("value")),
+              n, s"$obsDir/${f.name}", "|O", fs, confB)
+        case BooleanType =>
+          writeVector(withRow.select(col("__row").as("row"),
+            col(f.name).cast("double").as("value")), n, s"$obsDir/${f.name}", "|b1", fs, confB)
+        case IntegerType | LongType =>
+          writeVector(withRow.select(col("__row").as("row"),
+            col(f.name).cast("double").as("value")), n, s"$obsDir/${f.name}", "<i8", fs, confB)
+        case FloatType | DoubleType =>
+          writeVector(withRow.select(col("__row").as("row"),
+            col(f.name).cast("double").as("value")), n, s"$obsDir/${f.name}", "<f8", fs, confB)
         case other => sys.error(s"obs column '${f.name}': unsupported type $other")
       }
-      writeVector(withRow.select(col("__row").as("row"), vcol.as("value")),
-        n, s"$obsDir/${f.name}", dtype, fs, confB)
     }
 
     // ---- var + X ----
@@ -332,6 +385,10 @@ object RefStoreWriter {
             JObject(ikField ++ fkField :+ JField("version", JString("0.1")))
           writeText(fs, s"$dir/.zattrs",
             refAttrs(meta, "ngff:points", Seq("x", "y"), sdAttrs))
+          // the reference enumerates elements by zarr group iteration, which
+          // only yields children carrying .zgroup (io_zarr.py) — without this
+          // the points element is silently invisible to the python stack
+          writeText(fs, s"$dir/.zgroup", """{"zarr_format": 2}""")
         case ElementKind.Shapes =>
           fs.mkdirs(new Path(dir))
           writeGeoParquetFile(el.data, s"$dir/shapes.parquet",

@@ -137,6 +137,8 @@ object Zarr {
         }
       case ('f', 4) => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
       case ('f', 8) => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
+      // numpy bool ('|b1'): one byte per element, nonzero = true
+      case ('b', 1) => while (i < n) { out(i) = if (bb.get(i) != 0) 1.0 else 0.0; i += 1 }
       case other => sys.error(s"unsupported zarr dtype '$dtype'")
     }
     out
@@ -156,6 +158,7 @@ object Zarr {
       case ('u', 8) | ('i', 8) => while (i < values.length) { bb.putLong(i * 8, values(i).toLong); i += 1 }
       case ('f', 4) => while (i < values.length) { bb.putFloat(i * 4, values(i).toFloat); i += 1 }
       case ('f', 8) => while (i < values.length) { bb.putDouble(i * 8, values(i)); i += 1 }
+      case ('b', 1) => while (i < values.length) { bb.put(i, if (values(i) != 0.0) 1.toByte else 0.toByte); i += 1 }
       case other => sys.error(s"unsupported zarr dtype '$dtype'")
     }
     bytes

@@ -21,7 +21,7 @@ class RefStoreSpec extends SparkTestBase {
   test("container enumerates every reference-layout element") {
     assert(sd.manifest.elements.map(_.name).toSet ==
       Set("circles_v01", "polys_v01", "mpolys_v01", "gp_v02", "ga_v03",
-        "t_dense", "t_csr", "pts_v01"))
+        "t_dense", "t_csr", "t_csc", "pts_v01"))
   }
 
   test("ragged POINT + radius becomes circles, values exact") {
@@ -81,12 +81,13 @@ class RefStoreSpec extends SparkTestBase {
     val el = sd.element("t_dense")
     val obs = el.obs.orderBy("instance_id")
     assert(obs.count() == 50)
-    assert(obs.columns.toSet == Set("_index", "region", "instance_id", "score", "grp"))
-    val rows = obs.select("instance_id", "_index", "region", "score", "grp")
-      .as[(Long, String, String, Double, String)].collect()
-    rows.foreach { case (i, idx, reg, score, grp) =>
+    assert(obs.columns.toSet ==
+      Set("_index", "region", "instance_id", "score", "grp", "flag"))
+    val rows = obs.select("instance_id", "_index", "region", "score", "grp", "flag")
+      .as[(Long, String, String, Double, String, Boolean)].collect()
+    rows.foreach { case (i, idx, reg, score, grp, flag) =>
       assert(idx == s"cell_$i" && reg == "polys_v01" && score == i * 0.5 &&
-        grp == Seq("a", "b", "c")(((i % 3).toInt)))
+        grp == Seq("a", "b", "c")(((i % 3).toInt)) && flag == (i % 2 == 0))
     }
     assert(el.meta.table.contains(TableAnnotation(Seq("polys_v01"), "region", "instance_id")))
   }
@@ -124,8 +125,28 @@ class RefStoreSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("AnnData CSC X reconstructs exact COO triples (column-offset semantics)") {
+    val x = sd.element("t_csc").x
+    // X[i,j] = (i + 2j) % 5; zeros dropped
+    val want = (for (i <- 0 until 24; j <- 0 until 3; v = (i + 2 * j) % 5 if v != 0)
+      yield (i.toLong, s"v$j", v.toDouble)).toSet
+    val got = x.select(col("instance_id").cast("long"), col("var_name"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("numpy bool obs columns read as BooleanType") {
+    val obs = sd.element("t_csc").obs
+    assert(obs.schema("ok").dataType == org.apache.spark.sql.types.BooleanType)
+    val rows = obs.select(col("instance_id").cast("long"), col("ok"))
+      .as[(Long, Boolean)].collect()
+    assert(rows.length == 24)
+    rows.foreach { case (i, ok) => assert(ok == (i % 3 == 0)) }
+  }
+
   test("interop readers keep product-free plans (bucketed interval joins)") {
-    for (df <- Seq(sd.element("t_csr").x, sd("polys_v01"), sd("mpolys_v01"))) {
+    for (df <- Seq(sd.element("t_csr").x, sd.element("t_csc").x,
+        sd("polys_v01"), sd("mpolys_v01"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -22,8 +22,8 @@ class RefStoreWriterSpec extends SparkTestBase {
           Array(i * 3.0, i.toDouble, i * 3.0 + 2, i.toDouble,
             i * 3.0 + 2, i + 1.0, i * 3.0, i + 1.0)))))
       }.toDF("index", "geometry").withColumn("geom_type", lit("polygon")))
-    val obs = (0 until 12).map(i => (i.toLong, "shp", i * 0.5, s"g${i % 3}"))
-      .toDF("instance_id", "region", "score", "grp")
+    val obs = (0 until 12).map(i => (i.toLong, "shp", i * 0.5, s"g${i % 3}", i % 2 == 0))
+      .toDF("instance_id", "region", "score", "grp", "flag")
     val x = (for (i <- 0 until 12; j <- 0 until 3; v = (i + j) % 5 if v != 0)
       yield (i.toLong, "shp", s"v$j", v.toDouble))
       .toDF("instance_id", "region", "var_name", "value")
@@ -70,8 +70,14 @@ class RefStoreWriterSpec extends SparkTestBase {
     val o = attrs(s"$root/tables/tab/obs/.zattrs")
     assert((o \ "encoding-type") == JString("dataframe"))
     assert((o \ "_index") == JString("_index"))
+    // low-cardinality strings round-trip as the anndata categorical encoding
     assert(attrs(s"$root/tables/tab/obs/grp/.zattrs") \ "encoding-type" ==
-      JString("string-array"))
+      JString("categorical"))
+    assert(new java.io.File(s"$root/tables/tab/obs/grp/codes/.zarray").isFile)
+    assert(new java.io.File(s"$root/tables/tab/obs/grp/categories/.zarray").isFile)
+    // booleans write as numpy '|b1'
+    val fl = attrs(s"$root/tables/tab/obs/flag/.zarray")
+    assert((fl \ "dtype") == JString("|b1"))
     assert(attrs(s"$root/tables/tab/X/.zattrs") \ "encoding-type" == JString("array"))
   }
 
@@ -88,10 +94,12 @@ class RefStoreWriterSpec extends SparkTestBase {
     val back = ZarrStore.read(spark, root)
     val tab = back.element("tab")
     assert(tab.meta.table.contains(TableAnnotation(Seq("shp"), "region", "instance_id")))
-    val obs = tab.obs.select(col("instance_id").cast("long"), col("score"), col("grp"))
-      .as[(Long, Double, String)].collect().sortBy(_._1)
+    val obs = tab.obs.select(col("instance_id").cast("long"), col("score"), col("grp"),
+        col("flag"))
+      .as[(Long, Double, String, Boolean)].collect().sortBy(_._1)
     assert(obs.length == 12)
-    obs.foreach { case (i, s, g) => assert(s == i * 0.5 && g == s"g${i % 3}") }
+    obs.foreach { case (i, s, g, f) =>
+      assert(s == i * 0.5 && g == s"g${i % 3}" && f == (i % 2 == 0)) }
     val x = tab.x.select(col("instance_id").cast("long"), col("var_name"), col("value"))
       .as[(Long, String, Double)].collect().toSet
     val want = (for (i <- 0 until 12; j <- 0 until 3; v = (i + j) % 5 if v != 0)

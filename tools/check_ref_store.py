@@ -19,7 +19,7 @@ import zlib
 import numpy as np
 import pyarrow.parquet as pq
 
-DT = {"<f8": "<f8", "<i8": "<i8", "<f4": "<f4", "<i4": "<i4"}
+DT = {"<f8": "<f8", "<i8": "<i8", "<f4": "<f4", "<i4": "<i4", "|b1": "b1"}
 
 
 def jload(p):
@@ -40,6 +40,9 @@ def read_array(path):
         for ci in range((shape[0] + chunks[0] - 1) // chunks[0]):
             raw = zlib.decompress(open(os.path.join(path, str(ci)), "rb").read())
             (n,) = struct.unpack_from("<I", raw, 0)
+            # zarr v2 edge chunks are stored at FULL nominal extent — this is
+            # what zarr-python's reshape(chunks) enforces on read
+            assert n == chunks[0], f"{path} chunk {ci}: {n} items != chunk size {chunks[0]}"
             off = 4
             for _ in range(n):
                 (ln,) = struct.unpack_from("<I", raw, off)
@@ -63,6 +66,17 @@ def read_array(path):
     return full
 
 
+def read_column(path):
+    """Dataframe column: plain array, or anndata `categorical` group."""
+    if os.path.exists(os.path.join(path, ".zarray")):
+        return read_array(path)
+    attrs = jload(os.path.join(path, ".zattrs"))
+    assert attrs["encoding-type"] == "categorical", attrs
+    codes = read_array(os.path.join(path, "codes"))
+    cats = read_array(os.path.join(path, "categories"))
+    return [cats[int(c)] if c >= 0 else None for c in codes]
+
+
 def main(root):
     ok = 0
 
@@ -73,12 +87,18 @@ def main(root):
     assert g["region_key"] == "region" and g["instance_key"] == "instance_id"
     obs_attrs = jload(os.path.join(tdir, "obs", ".zattrs"))
     assert obs_attrs["encoding-type"] == "dataframe"
-    inst = read_array(os.path.join(tdir, "obs", "instance_id"))
-    score = read_array(os.path.join(tdir, "obs", "score"))
-    grp = read_array(os.path.join(tdir, "obs", "grp"))
+    inst = read_column(os.path.join(tdir, "obs", "instance_id"))
+    score = read_column(os.path.join(tdir, "obs", "score"))
+    grp = read_column(os.path.join(tdir, "obs", "grp"))
+    flag = read_column(os.path.join(tdir, "obs", "flag"))
     assert list(inst) == list(range(12)), inst
     assert all(score[i] == i * 0.5 for i in range(12))
     assert all(grp[i] == f"g{i % 3}" for i in range(12))
+    assert all(bool(flag[i]) == (i % 2 == 0) for i in range(12))
+    grp_attrs = jload(os.path.join(tdir, "obs", "grp", ".zattrs"))
+    assert grp_attrs["encoding-type"] == "categorical", grp_attrs
+    # points element must carry .zgroup so zarr group iteration yields it
+    assert os.path.isfile(os.path.join(root, "points", "pts", ".zgroup"))
     var_names = read_array(os.path.join(tdir, "var", "_index"))
     assert var_names == ["v0", "v1", "v2"], var_names
     X = read_array(os.path.join(tdir, "X"))

@@ -37,7 +37,7 @@ DT = {
     np.dtype("float64"): "<f8", np.dtype("float32"): "<f4",
     np.dtype("int64"): "<i8", np.dtype("int32"): "<i4",
     np.dtype("int16"): "<i2", np.dtype("int8"): "|i1",
-    np.dtype("uint8"): "|u1",
+    np.dtype("uint8"): "|u1", np.dtype("bool"): "|b1",
 }
 
 
@@ -255,12 +255,13 @@ def main():
     X = ((i[:, None] * nv + np.arange(nv)[None, :]) % 7).astype(np.float64)
     write_array(os.path.join(d, "X"), X, chunks=[16, 4])
     od = os.path.join(d, "obs")
-    write_group(od, obs_attrs(["region", "instance_id", "score", "grp"]))
+    write_group(od, obs_attrs(["region", "instance_id", "score", "grp", "flag"]))
     write_str_array(os.path.join(od, "_index"), [f"cell_{k}" for k in i], chunks=[16])
     categorical(os.path.join(od, "region"), np.zeros(no, np.int8), ["polys_v01"])
     write_array(os.path.join(od, "instance_id"), i.astype(np.int64), chunks=[16])
     write_array(os.path.join(od, "score"), (i * 0.5).astype(np.float64), chunks=[16])
     categorical(os.path.join(od, "grp"), (i % 3).astype(np.int8), ["a", "b", "c"])
+    write_array(os.path.join(od, "flag"), (i % 2 == 0), chunks=[16])
     vd = os.path.join(d, "var")
     write_group(vd, obs_attrs([]))
     write_str_array(os.path.join(vd, "_index"), [f"g{j}" for j in range(nv)])
@@ -297,6 +298,40 @@ def main():
     write_str_array(os.path.join(od, "_index"), [f"r_{k}" for k in i])
     write_str_array(os.path.join(od, "region"), ["circles_v01"] * no)
     write_array(os.path.join(od, "instance_id"), i.astype(np.int64))
+    vd = os.path.join(d, "var")
+    write_group(vd, obs_attrs([]))
+    write_str_array(os.path.join(vd, "_index"), [f"v{j}" for j in range(nv)])
+
+    # ---- tables/t_csc: AnnData zarr, CSC X (indptr over COLUMNS) ----
+    no, nv = 24, 3
+    i = np.arange(no)
+    d = os.path.join(ROOT, "tables", "t_csc")
+    write_group(d, {
+        "encoding-type": "anndata", "encoding-version": "0.1.0",
+        "spatialdata-encoding-type": "ngff:regions_table",
+        "region": "polys_v01", "region_key": "region",
+        "instance_key": "instance_id", "version": "0.1",
+    })
+    data, indices, indptr = [], [], [0]
+    for j in range(nv):          # column-major nonzeros: X[k][j] = (k + 2j) % 5
+        for k in range(no):
+            v = (k + 2 * j) % 5
+            if v:
+                data.append(float(v))
+                indices.append(k)
+        indptr.append(len(data))
+    xd = os.path.join(d, "X")
+    write_group(xd, {"encoding-type": "csc_matrix", "encoding-version": "0.1.0",
+                     "shape": [no, nv]})
+    write_array(os.path.join(xd, "data"), np.array(data, dtype=np.float64), chunks=[16])
+    write_array(os.path.join(xd, "indices"), np.array(indices, dtype=np.int32), chunks=[16])
+    write_array(os.path.join(xd, "indptr"), np.array(indptr, dtype=np.int64), chunks=[2])
+    od = os.path.join(d, "obs")
+    write_group(od, obs_attrs(["region", "instance_id", "ok"]))
+    write_str_array(os.path.join(od, "_index"), [f"c_{k}" for k in i])
+    write_str_array(os.path.join(od, "region"), ["polys_v01"] * no)
+    write_array(os.path.join(od, "instance_id"), i.astype(np.int64))
+    write_array(os.path.join(od, "ok"), (i % 3 == 0))
     vd = os.path.join(d, "var")
     write_group(vd, obs_attrs([]))
     write_str_array(os.path.join(vd, "_index"), [f"v{j}" for j in range(nv)])
