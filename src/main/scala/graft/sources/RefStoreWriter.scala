@@ -62,15 +62,101 @@ object RefStoreWriter {
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
-  // ---- single-file GeoParquet (parquet-mr, geo footer metadata) ----
+  // ---- GeoParquet (parquet-mr, geo footer metadata; WKB or geoarrow) ----
 
-  /** Write `(index, geometry WKB[, radius])` as ONE GeoParquet file with the
-    * `geo` metadata key. Streams row batches to the driver-side writer —
-    * the format is single-file, so a single writer is inherent, but memory
-    * stays bounded.
+  /** Above this row count the shapes export switches from the
+    * reference-exact SINGLE GeoParquet file (which serializes through one
+    * driver-side writer by definition of the layout) to a partitioned
+    * dataset directory of part files written task-parallel — pyarrow /
+    * geopandas read parquet directories transparently, so the store stays
+    * reference-readable while the write scales with the cluster.
     */
-  private[sources] def writeGeoParquetFile(df: DataFrame, pathStr: String,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+  private[sources] val SingleFileMaxRows = 1L << 20
+
+  private def geoParquetSchemaString(encoding: String, geoarrowKind: String,
+      hasRadius: Boolean): String = {
+    val radius = if (hasRadius) " optional double radius;" else ""
+    val geom = encoding match {
+      case "WKB" => "required binary geometry;"
+      // GeoParquet 1.1 native (geoarrow) encodings — the physical layouts
+      // pyarrow produces for struct<x,y> / list<list<struct>> /
+      // list<list<list<struct>>> (reference io_shapes.py:152-183)
+      case "geoarrow" => geoarrowKind match {
+        case "point" =>
+          "optional group geometry { required double x; required double y; }"
+        case "polygon" =>
+          """optional group geometry (LIST) { repeated group list {
+            | optional group element (LIST) { repeated group list {
+            |  optional group element { required double x; required double y; } } } } }""".stripMargin
+        case "multipolygon" =>
+          """optional group geometry (LIST) { repeated group list {
+            | optional group element (LIST) { repeated group list {
+            |  optional group element (LIST) { repeated group list {
+            |   optional group element { required double x; required double y; } } } } } } }""".stripMargin
+        case other => sys.error(s"unsupported geoarrow kind '$other'")
+      }
+      case other => sys.error(s"unsupported geometry_encoding '$other' (WKB, geoarrow)")
+    }
+    s"message spatialdata { required int64 index; $geom$radius }"
+  }
+
+  private def geoMetaJson(encoding: String, geoarrowKind: String,
+      geomTypes: Seq[String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      ("version" -> (if (encoding == "WKB") "1.0.0" else "1.1.0")) ~
+        ("primary_column" -> "geometry") ~
+        ("columns" -> (("geometry" ->
+          (("encoding" -> (if (encoding == "WKB") "WKB" else geoarrowKind)) ~
+            ("geometry_types" -> geomTypes))): JObject))))
+
+  /** Build one parquet-mr record from `(index, geometry WKB[, radius])`;
+    * geoarrow encodings decode the WKB and emit nested list/struct groups.
+    */
+  private def geoRow(factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      encoding: String, geoarrowKind: String, hasRadius: Boolean,
+      r: Row): org.apache.parquet.example.data.Group = {
+    import graft.geom.{GMultiPolygon, GPoint, GPolygon, WKB}
+    import org.apache.parquet.example.data.Group
+    val g = factory.newGroup().append("index", r.getLong(0))
+    if (encoding == "WKB")
+      g.append("geometry", org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(r.getAs[Array[Byte]](1)))
+    else {
+      def ringInto(ringEl: Group, ring: Array[Double]): Unit = {
+        var i = 0
+        while (i < ring.length) {
+          val pt = ringEl.addGroup("list").addGroup("element")
+          pt.add("x", ring(i)); pt.add("y", ring(i + 1))
+          i += 2
+        }
+      }
+      def polyInto(polyEl: Group, p: GPolygon): Unit =
+        p.rings.foreach(ring => ringInto(polyEl.addGroup("list").addGroup("element"), ring))
+      (WKB.read(r.getAs[Array[Byte]](1)), geoarrowKind) match {
+        case (pt: GPoint, "point") =>
+          val pg = g.addGroup("geometry"); pg.add("x", pt.x); pg.add("y", pt.y)
+        case (p: GPolygon, "polygon") => polyInto(g.addGroup("geometry"), p)
+        case (p: GPolygon, "multipolygon") => // mixed elements promote
+          polyInto(g.addGroup("geometry").addGroup("list").addGroup("element"), p)
+        case (mp: GMultiPolygon, "multipolygon") =>
+          val mg = g.addGroup("geometry")
+          mp.polys.foreach(p => polyInto(mg.addGroup("list").addGroup("element"), p))
+        case (other, k) =>
+          sys.error(s"geometry ${other.getClass.getSimpleName} does not fit geoarrow '$k'")
+      }
+    }
+    if (hasRadius && !r.isNullAt(2)) g.append("radius", r.getDouble(2))
+    g
+  }
+
+  /** Write `(index, geometry WKB[, radius])` as GeoParquet at `pathStr`:
+    * one file below [[SingleFileMaxRows]] (reference-exact layout, bounded
+    * memory via toLocalIterator), a directory of task-parallel part files —
+    * each carrying the full `geo` footer — above it.
+    */
+  private[sources] def writeGeoParquet(spark: SparkSession, df: DataFrame,
+      pathStr: String, encoding: String = "WKB",
+      maxSingleFileRows: Long = SingleFileMaxRows): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
@@ -78,43 +164,60 @@ object RefStoreWriter {
     import org.apache.parquet.schema.MessageTypeParser
 
     val hasRadius = df.columns.contains("radius")
-    val geomTypes = df.select("geom_type").distinct()
-      .collect().map(_.getString(0)).sorted.map {
-        case "circle" | "point" => "Point"
-        case "polygon" => "Polygon"
-        case "multipolygon" => "MultiPolygon"
-        case other => other.capitalize
+    val kinds = df.select("geom_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val geomTypes = kinds.map {
+      case "circle" | "point" => "Point"
+      case "polygon" => "Polygon"
+      case "multipolygon" => "MultiPolygon"
+      case other => other.capitalize
+    }.distinct
+    val geoarrowKind =
+      if (kinds.forall(k => k == "circle" || k == "point")) "point"
+      else if (kinds.contains("multipolygon")) "multipolygon"
+      else "polygon"
+    val schemaStr = geoParquetSchemaString(encoding, geoarrowKind, hasRadius)
+    val geoMeta = geoMetaJson(encoding, geoarrowKind, geomTypes)
+    val cols = Seq(col("index").cast("long"), col("geometry")) ++
+      (if (hasRadius) Seq(col("radius")) else Nil)
+    val projected = df.select(cols: _*)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    def newWriter(p: String, c: org.apache.hadoop.conf.Configuration) = {
+      val schema = MessageTypeParser.parseMessageType(schemaStr)
+      (schema, ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(new Path(p), c))
+        .withType(schema)
+        .withExtraMetaData(java.util.Map.of("geo", geoMeta))
+        .withCompressionCodec(CompressionCodecName.ZSTD)
+        .build())
+    }
+
+    if (projected.count() <= maxSingleFileRows) {
+      val (schema, writer) = newWriter(pathStr, conf)
+      val factory = new SimpleGroupFactory(schema)
+      try {
+        val it = projected.toLocalIterator()
+        while (it.hasNext)
+          writer.write(geoRow(factory, encoding, geoarrowKind, hasRadius, it.next()))
+      } finally writer.close()
+    } else {
+      val fs = new Path(pathStr).getFileSystem(conf)
+      fs.mkdirs(new Path(pathStr))
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      projected.foreachPartition { rows: Iterator[Row] =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val (schema, writer) = newWriter(
+            f"$pathStr/part-$pid%05d.parquet", confB.value.value)
+          val factory = new SimpleGroupFactory(schema)
+          try rows.foreach(r =>
+            writer.write(geoRow(factory, encoding, geoarrowKind, hasRadius, r)))
+          finally writer.close()
+        }
       }
-    val geoMeta = JsonMethods.compact(JsonMethods.render(
-      ("version" -> "1.0.0") ~ ("primary_column" -> "geometry") ~
-        ("columns" -> (("geometry" ->
-          (("encoding" -> "WKB") ~ ("geometry_types" -> geomTypes.toSeq))): JObject))))
-    val schema = MessageTypeParser.parseMessageType(
-      if (hasRadius)
-        "message spatialdata { required int64 index; required binary geometry; optional double radius; }"
-      else
-        "message spatialdata { required int64 index; required binary geometry; }")
-    val writer = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(new Path(pathStr), conf))
-      .withType(schema)
-      .withExtraMetaData(java.util.Map.of("geo", geoMeta))
-      .withCompressionCodec(CompressionCodecName.ZSTD)
-      .build()
-    val factory = new SimpleGroupFactory(schema)
-    try {
-      val cols = Seq(col("index").cast("long"), col("geometry")) ++
-        (if (hasRadius) Seq(col("radius")) else Nil)
-      val it = df.select(cols: _*).toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        val g = factory.newGroup()
-          .append("index", r.getLong(0))
-          .append("geometry", org.apache.parquet.io.api.Binary
-            .fromConstantByteArray(r.getAs[Array[Byte]](1)))
-        if (hasRadius && !r.isNullAt(2)) g.append("radius", r.getDouble(2))
-        writer.write(g)
-      }
-    } finally writer.close()
+    }
   }
 
   // ---- AnnData zarr table ----
@@ -343,7 +446,9 @@ object RefStoreWriter {
     * reuse the NGFF writer (already compatible).
     */
   def write(sd: SpatialDataset, root: String,
-      tileSize: Int = Models.ImageModel.TileSize): Unit = {
+      tileSize: Int = Models.ImageModel.TileSize,
+      geometryEncoding: String = "WKB",
+      maxSingleFileRows: Long = SingleFileMaxRows): Unit = {
     val spark = sd.spark
     val rp = new Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -391,11 +496,11 @@ object RefStoreWriter {
           writeText(fs, s"$dir/.zgroup", """{"zarr_format": 2}""")
         case ElementKind.Shapes =>
           fs.mkdirs(new Path(dir))
-          writeGeoParquetFile(el.data, s"$dir/shapes.parquet",
-            spark.sparkContext.hadoopConfiguration)
+          writeGeoParquet(spark, el.data, s"$dir/shapes.parquet",
+            geometryEncoding, maxSingleFileRows)
           writeText(fs, s"$dir/.zattrs",
             refAttrs(meta, "ngff:shapes", Seq("x", "y"),
-              ("version" -> "0.2"): JObject))
+              ("version" -> (if (geometryEncoding == "geoarrow") "0.3" else "0.2")): JObject))
           writeText(fs, s"$dir/.zgroup", """{"zarr_format": 2}""")
         case ElementKind.Tables =>
           writeAnnData(spark, el, dir, fs)

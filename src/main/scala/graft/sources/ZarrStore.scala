@@ -252,9 +252,14 @@ object ZarrStore {
               val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
               if (fs.exists(new Path(s"$dir/shapes.parquet"))) {
                 // engine layout (parsed columns) or reference ShapesFormatV02+
-                // GeoParquet (raw WKB); distinguish by the derived columns
+                // GeoParquet (raw WKB / geoarrow). The engine marker is the
+                // FULL set of parsed+envelope columns — a reference store
+                // that happens to carry a user column named geom_type must
+                // still go through the GeoParquet parse (Z-drop, circle
+                // promotion, envelope derivation)
                 val df = spark.read.parquet(s"$dir/shapes.parquet")
-                if (df.columns.contains("geom_type")) SpatialElement(meta, df)
+                val engineCols = Set("geom_type", "minx", "miny", "maxx", "maxy")
+                if (engineCols.subsetOf(df.columns.toSet)) SpatialElement(meta, df)
                 else SpatialElement(meta,
                   Models.ShapesModel.readGeoParquet(spark, s"$dir/shapes.parquet"))
               } else if (fs.exists(new Path(s"$dir/coords/.zarray"))) {

@@ -107,6 +107,48 @@ class RefStoreWriterSpec extends SparkTestBase {
     assert(x == want)
   }
 
+  test("above the row threshold shapes export becomes a task-parallel " +
+      "partitioned dataset, each part carrying the geo footer") {
+    val r = new java.io.File("target/ref-demo-parts.zarr").getAbsolutePath
+    RefStoreWriter.write(buildContainer(), r, maxSingleFileRows = 5)
+    val d = new java.io.File(s"$r/shapes/shp/shapes.parquet")
+    assert(d.isDirectory, "expected a partitioned dataset directory")
+    val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length > 1, s"expected >1 task-written part, got ${parts.length}")
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+      val geo = try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+      finally reader.close()
+      assert(geo != null && geo.contains("\"encoding\":\"WKB\""))
+    }
+    val back = ZarrStore.read(spark, r)
+    val areas = back("shp").select(col("index"), st_area(col("geometry")))
+      .as[(Long, Double)].collect().toMap
+    assert(areas.size == 12 && areas.values.forall(_ == 2.0))
+  }
+
+  test("geometry_encoding=geoarrow writes nested list/struct geometry " +
+      "(ShapesFormatV03) that round-trips through the geoarrow read path") {
+    val r = new java.io.File("target/ref-demo-ga.zarr").getAbsolutePath
+    RefStoreWriter.write(buildContainer(), r, geometryEncoding = "geoarrow")
+    // physical layout is nested, not WKB binary
+    val raw = spark.read.parquet(s"$r/shapes/shp/shapes.parquet")
+    assert(raw.schema("geometry").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    val back = ZarrStore.read(spark, r)
+    val areas = back("shp").select(col("index"), st_area(col("geometry")))
+      .as[(Long, Double)].collect().toMap
+    assert(areas.size == 12 && areas.values.forall(_ == 2.0))
+    import org.json4s._
+    val attrs = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"$r/shapes/shp/.zattrs")), "UTF-8"))
+    assert((attrs \ "spatialdata_attrs" \ "version") == JString("0.3"))
+  }
+
   test("round trip through the reference layout: points + attrs") {
     val back = ZarrStore.read(spark, root)
     val pts = back.element("pts")

@@ -138,6 +138,38 @@ def main(root):
     ok += 1
     print("OK  points/pts: parquet + instance_key attrs")
 
+    # ---- optional sibling roots: partitioned + geoarrow shapes forms ----
+    parts_root = root.replace("ref-demo.zarr", "ref-demo-parts.zarr")
+    if parts_root != root and os.path.isdir(parts_root):
+        pdir = os.path.join(parts_root, "shapes", "shp", "shapes.parquet")
+        assert os.path.isdir(pdir), "expected partitioned dataset directory"
+        parts = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(parts) > 1, parts
+        geo = json.loads(pq.ParquetFile(
+            os.path.join(pdir, parts[0])).metadata.metadata[b"geo"])
+        assert geo["columns"]["geometry"]["encoding"] == "WKB"
+        merged = pq.read_table(pdir).to_pydict()   # pyarrow dataset read
+        assert sorted(merged["index"]) == list(range(12))
+        ok += 1
+        print("OK  shapes (partitioned): pyarrow dataset read merges part files")
+
+    ga_root = root.replace("ref-demo.zarr", "ref-demo-ga.zarr")
+    if ga_root != root and os.path.isdir(ga_root):
+        gp = os.path.join(ga_root, "shapes", "shp", "shapes.parquet")
+        pf = pq.ParquetFile(gp)
+        geo = json.loads(pf.metadata.metadata[b"geo"])
+        assert geo["version"] == "1.1.0"
+        assert geo["columns"]["geometry"]["encoding"] == "polygon"
+        tbl = pf.read().to_pydict()
+        assert sorted(tbl["index"]) == list(range(12))
+        by_idx = dict(zip(tbl["index"], tbl["geometry"]))
+        for i in range(12):
+            rings = by_idx[i]
+            assert len(rings) == 1 and len(rings[0]) in (4, 5)
+            assert rings[0][0] == {"x": i * 3.0, "y": float(i)}, rings[0][0]
+        ok += 1
+        print("OK  shapes (geoarrow): nested list<list<struct{x,y}>> decodes in pyarrow")
+
     print(f"\n{ok} element families validated by the pure-python reader")
 
 
