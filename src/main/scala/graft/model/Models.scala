@@ -114,6 +114,111 @@ object Models {
       parse(typed, geometryCol, indexCol = indexCol)
     }
 
+    /** One GeoJSON geometry (or Feature) object -> 2D WKB. Z ordinates are
+      * dropped (the reference's shapely parse + force_2d stance).
+      */
+    private[model] def geoJsonGeomToWkb(jsonStr: String): Array[Byte] = {
+      import graft.geom.{GMultiPolygon, GPolygon, GPoint, WKB}
+      import org.json4s._
+      implicit val fmt: Formats = DefaultFormats
+      val j0 = org.json4s.jackson.JsonMethods.parse(jsonStr)
+      val j = (j0 \ "type") match {
+        case JString("Feature") => j0 \ "geometry"
+        case _ => j0
+      }
+      def ring(r: Seq[Seq[Double]]): Array[Double] =
+        r.iterator.flatMap(p => Iterator(p(0), p(1))).toArray
+      (j \ "type") match {
+        case JString("Point") =>
+          val c = (j \ "coordinates").extract[Seq[Double]]
+          WKB.write(GPoint(c(0), c(1)))
+        case JString("Polygon") =>
+          val rings = (j \ "coordinates").extract[Seq[Seq[Seq[Double]]]]
+          WKB.write(GPolygon(rings.map(ring).toArray))
+        case JString("MultiPolygon") =>
+          val polys = (j \ "coordinates").extract[Seq[Seq[Seq[Seq[Double]]]]]
+          WKB.write(GMultiPolygon(polys.map(p => GPolygon(p.map(ring).toArray)).toArray))
+        case other => sys.error(s"unsupported GeoJSON geometry type $other " +
+          "(Point, Polygon, MultiPolygon)")
+      }
+    }
+
+    /** Shared tail of the GeoJSON ingest paths: WKB -> typed canonical
+      * layout; Point geometries require `radius` (circles), as in the
+      * reference's parse (models.py:640-643).
+      */
+    private def finishGeoJson(withWkb: DataFrame, radius: Option[Double]): DataFrame = {
+      val kind = st_geom_type(col("geometry"))
+      radius match {
+        case Some(r) =>
+          parse(withWkb.withColumn("geom_type",
+            when(kind === "point", lit(GeomCircle)).otherwise(kind))
+            .withColumn("radius",
+              when(kind === "point", lit(r)).otherwise(lit(null).cast(DoubleType))))
+        case None =>
+          val nPoints = withWkb.filter(kind === "point").limit(1).count()
+          require(nPoints == 0,
+            "GeoJSON contains Point geometries: pass radius to parse circles " +
+              "(reference ShapesModel.parse, models.py:640-643)")
+          parse(withWkb.withColumn("geom_type", kind))
+      }
+    }
+
+    /** GeoJSON ingest (the reference's `ShapesModel.parse(path)`,
+      * models.py:624-649: shapely `from_geojson` -> GeometryCollection).
+      * Accepts a GeometryCollection or FeatureCollection document. GeoJSON
+      * is a single-document format, so the structural split happens on the
+      * driver; per-geometry WKB assembly is distributed. For large inputs
+      * prefer [[parseGeoJsonLines]] (one feature per line, fully
+      * distributed) or GeoParquet.
+      */
+    def parseGeoJson(spark: org.apache.spark.sql.SparkSession, path: String,
+        radius: Option[Double] = None): DataFrame = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      val j = JsonMethods.parse(text)
+      val geoms: Seq[String] = (j \ "type") match {
+        case JString("GeometryCollection") =>
+          (j \ "geometries").children.map(g => JsonMethods.compact(JsonMethods.render(g)))
+        case JString("FeatureCollection") =>
+          (j \ "features").children.map(f =>
+            JsonMethods.compact(JsonMethods.render(f \ "geometry")))
+        case other => sys.error(s"`$path` does not contain a GeometryCollection " +
+          s"or FeatureCollection (got $other)")
+      }
+      import spark.implicits._
+      val wkbUdf = udf((s: String) => geoJsonGeomToWkb(s))
+      val base = geoms.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("index", "__gj")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("geometry", wkbUdf(col("__gj"))).drop("__gj")
+      finishGeoJson(base, radius)
+    }
+
+    /** Newline-delimited GeoJSON (one Feature or geometry object per line):
+      * a distributed text scan + per-line parse — the scale path for GeoJSON
+      * ingest. Row index is the line's file position order.
+      */
+    def parseGeoJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
+        radius: Option[Double] = None): DataFrame = {
+      val wkbUdf = udf((s: String) => geoJsonGeomToWkb(s))
+      val lines = spark.read.text(path)
+        .filter(length(trim(col("value"))) > 0)
+        .withColumn("index", monotonically_increasing_id())
+      finishGeoJson(lines.withColumn("geometry", wkbUdf(col("value")))
+        .drop("value"), radius)
+    }
+
     /** Canonical shapes layout: index, geometry (WKB), geom_type, radius
       * (circles only), plus precomputed envelope columns minx/miny/maxx/maxy
       * — the distributed stand-in for the reference's STRtree spatial index

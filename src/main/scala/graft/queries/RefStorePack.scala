@@ -167,6 +167,25 @@ object RefStorePack extends QueryPack {
         .orderBy("grp", "flag")
     }),
 
+    // GeoJSON ingest (reference ShapesModel.parse(path): GeometryCollection /
+    // FeatureCollection docs + the ndjson scale path), values exact
+    "q83_geojson_shapes" -> ((s, _) => {
+      import graft.model.Models
+      val root = new java.io.File(fixtureRoot).getParent + "/geojson"
+      val gc = Models.ShapesModel.parseGeoJson(s, s"$root/gc.json")
+      val pts = Models.ShapesModel.parseGeoJson(s, s"$root/points.json",
+        radius = Some(2.0))
+      val nd = Models.ShapesModel.parseGeoJsonLines(s, s"$root/features.ndjson")
+      def stats(name: String, df: DataFrame, m: DataFrame => org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n"), dsum(m(df)).as("total"))
+          .withColumn("element", lit(name))
+      stats("gc", gc, d => st_area(d("geometry")))
+        .unionByName(stats("ndjson", nd, d => st_area(d("geometry"))))
+        .unionByName(stats("points", pts, d => d("radius")))
+        .select("element", "n", "total")
+        .orderBy("element")
+    }),
+
     // reference points element (points.parquet + V01 attrs)
     "q76_ref_points" -> ((s, _) => {
       val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("pts_v01")))
@@ -235,6 +254,16 @@ object RefStorePack extends QueryPack {
         |  (s_suppkey % 2 = 0) AS flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM supplier GROUP BY 1, 2 ORDER BY grp, flag""".stripMargin,
+    "q83_geojson_shapes" ->
+      """SELECT 'gc' AS element, COUNT(*) AS n,
+        |  CAST(SUM(CAST((2.0 + i % 3) * (1.0 + i % 2)
+        |    - CASE WHEN i = 5 THEN 0.25 ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM range(18) t(i)
+        |UNION ALL SELECT 'ndjson', COUNT(*),
+        |  CAST(SUM(CAST(6.0 AS DECIMAL(28,6))) AS DOUBLE) FROM range(12) t(i)
+        |UNION ALL SELECT 'points', COUNT(*),
+        |  CAST(SUM(CAST(2.0 AS DECIMAL(28,6))) AS DOUBLE) FROM range(10) t(i)
+        |ORDER BY element""".stripMargin,
     "q76_ref_points" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(i * 1.5 AS DECIMAL(28,6))) AS DOUBLE) AS sum_x,

@@ -353,7 +353,42 @@ def main():
         "instance": pa.array(i.astype(np.int64)),
     }), os.path.join(pdir, "part.0.parquet"))
 
-    print(f"wrote {ROOT}")
+    # ---- GeoJSON ingest fixtures (reference ShapesModel.parse(path),
+    # models.py:624-649; tests/data/*.json are GeometryCollections) ----
+    gj = os.path.join("src", "test", "resources", "geojson")
+    shutil.rmtree(gj, ignore_errors=True)
+    os.makedirs(gj, exist_ok=True)
+
+    def rect(x0, y0, w, h):
+        return [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+
+    geoms = []
+    for k in range(18):
+        x0, y0, w, h = k * 3.0, float(k), 2.0 + k % 3, 1.0 + k % 2
+        rings = [rect(x0, y0, w, h)]
+        if k == 5:  # 0.5x0.5 hole, CW
+            rings.append([[x0 + 0.5, y0 + 0.25], [x0 + 0.5, y0 + 0.75],
+                          [x0 + 1.0, y0 + 0.75], [x0 + 1.0, y0 + 0.25],
+                          [x0 + 0.5, y0 + 0.25]])
+        geoms.append({"type": "Polygon", "coordinates": rings})
+    write_json(os.path.join(gj, "gc.json"),
+               {"type": "GeometryCollection", "geometries": geoms})
+
+    feats = [{"type": "Feature", "properties": {},
+              "geometry": {"type": "Point",
+                           "coordinates": [k * 2.5, k + 0.5]}}
+             for k in range(10)]
+    write_json(os.path.join(gj, "points.json"),
+               {"type": "FeatureCollection", "features": feats})
+
+    with open(os.path.join(gj, "features.ndjson"), "w") as f:
+        for k in range(12):
+            f.write(json.dumps({"type": "Feature", "properties": {},
+                                "geometry": {"type": "Polygon",
+                                             "coordinates": [rect(k * 4.0, 0.0, 2.0, 3.0)]}})
+                    + "\n")
+
+    print(f"wrote {ROOT} and {gj}")
 
 
 if __name__ == "__main__":
