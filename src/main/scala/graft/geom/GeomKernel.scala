@@ -605,6 +605,50 @@ object GeomKernel {
     math.max(total, 0.0)
   }
 
+  /** Clip a geometry by an ARBITRARY simple (hole-free) polygon — reflex
+    * vertices allowed. The clip ring decomposes into convex pieces (ear
+    * triangles); the subject clips against each piece with the existing
+    * Sutherland-Hodgman kernel; non-empty pieces concatenate into a
+    * multipolygon PARTITION of the true intersection. Seams along
+    * triangulation diagonals are interior edges: area, containment,
+    * intersection and rasterization semantics are exact; the representation
+    * is a partition rather than a GEOS-style dissolved overlay. Convex
+    * clips take the single-pass path unchanged. Returns null when the
+    * intersection is empty.
+    */
+  def clipGeneral(wkb: Array[Byte], clipWkb: Array[Byte]): Array[Byte] = {
+    val clipG = WKB.read(clipWkb) match {
+      case p: GPolygon => p
+      case _ => sys.error("clip geometry must be a polygon")
+    }
+    require(clipG.rings.length == 1,
+      "clip polygons with holes are not supported (clip against the exterior " +
+        "ring, then subtract hole intersections via intersectionArea)")
+    if (isConvexRing(clipG.rings(0))) return clipByConvex(wkb, clipWkb)
+    val tris = earTriangulate(clipG.rings(0))
+    WKB.read(wkb) match {
+      case GPoint(x, y) =>
+        if (tris.exists(t => ringContains(t, x, y))) WKB.write(GPoint(x, y)) else null
+      case _ =>
+        val pieces = scala.collection.mutable.ArrayBuffer[GPolygon]()
+        var i = 0
+        while (i < tris.length) {
+          if (math.abs(ringSignedArea(tris(i))) > 0.0) {
+            val clipped = clipByConvex(wkb, WKB.write(GPolygon(Array(tris(i)))))
+            if (clipped != null) WKB.read(clipped) match {
+              case p: GPolygon => pieces += p
+              case GMultiPolygon(ps) => pieces ++= ps
+              case _: GPoint => ()
+            }
+          }
+          i += 1
+        }
+        if (pieces.isEmpty) null
+        else if (pieces.length == 1) WKB.write(pieces.head)
+        else WKB.write(GMultiPolygon(pieces.toArray))
+    }
+  }
+
   /** Axis-aligned L-shape polygon: the union of [x0, x0+w] x [y0, y0+h1]
     * and [x0, x0+w2] x [y0, y0+h2] with w2 < w, h1 < h2 (a canonical
     * non-convex test/fixture shape).

@@ -76,6 +76,13 @@ object st {
   def st_clip_convex(geom: Column, clip: Column): Column =
     inv(B, "clipByConvex", Seq(B, B), nullable = true, geom, clip)
 
+  /** Clip by an arbitrary simple polygon (reflex allowed): convex clips
+    * single-pass, non-convex via convex decomposition — the result is a
+    * multipolygon partition of the intersection. Null when empty.
+    */
+  def st_clip(geom: Column, clip: Column): Column =
+    inv(B, "clipGeneral", Seq(B, B), nullable = true, geom, clip)
+
   /** Area of (geom ∩ convex clip) — the fractions=True weight. */
   def st_intersection_area_convex(geom: Column, clip: Column): Column =
     inv(D, "intersectionAreaConvex", Seq(B, B), nullable = false, geom, clip)

@@ -176,6 +176,18 @@ object AggregatePack extends QueryPack {
         .orderBy(col("region_id"), col("value_id"))
     }),
 
+    // polygon_query(clip=True) with a REFLEX clip polygon: the clipped
+    // geometry comes from convex decomposition (st_clip) and its areas must
+    // reproduce exact union-of-rectangles algebra (spatial_query.py:958-963)
+    "q84_nonconvex_clip" -> ((s, d) => {
+      // L-shape clip: [10,40]x[5,17] U [10,26]x[5,29] (reflex at (26,17))
+      val lWkb = graft.geom.GeomKernel.makeLShape(10.0, 5.0, 30.0, 12.0, 16.0, 24.0)
+      graft.query.SpatialQuery.polygonQueryShapes(
+          valBoxes(s, d), graft.model.IdentityT, lWkb, clip = true)
+        .select(col("index"), round(st_area(col("geometry")), 6).as("clip_area"))
+        .orderBy("index")
+    }),
+
     // fractions=True: value weighted by intersection_area / value_area
     // through the convex-clip kernel (aggregate.py:429-450), grid path.
     "q27_shapes_fractions" -> ((s, d) => {
@@ -263,6 +275,23 @@ object AggregatePack extends QueryPack {
            |SELECT region_id, value_id, ROUND(inter, 6) AS inter_area
            |FROM pairs WHERE inter > 0
            |ORDER BY region_id, value_id""".stripMargin
+      },
+      // L = A [10,40]x[5,17] U B [10,26]x[5,29]; area(L ∩ box) =
+      // iA + iB - i(A∩B) with A∩B = [10,26]x[5,17]
+      "q84_nonconvex_clip" -> {
+        def ibox(rx0: String, ry0: String, rx1: String, ry1: String) =
+          s"""GREATEST(0.0, LEAST($rx1, v.x0 + 4.0) - GREATEST($rx0, v.x0)) *
+             |GREATEST(0.0, LEAST($ry1, v.y0 + 4.0) - GREATEST($ry0, v.y0))""".stripMargin
+        s"""WITH v AS ($valBoxesSql),
+           |pairs AS (
+           |  SELECT v.index,
+           |    ${ibox("10.0", "5.0", "40.0", "17.0")} +
+           |    ${ibox("10.0", "5.0", "26.0", "29.0")} -
+           |    ${ibox("10.0", "5.0", "26.0", "17.0")} AS inter
+           |  FROM v)
+           |SELECT index, ROUND(inter, 6) AS clip_area
+           |FROM pairs WHERE inter > 0
+           |ORDER BY index""".stripMargin
       },
       "q27_shapes_fractions" ->
         s"""SELECT b.index AS region_id,

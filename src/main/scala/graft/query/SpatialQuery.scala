@@ -265,22 +265,27 @@ object SpatialQuery {
     val filtered = df.filter(coarse && st_intersects(col("geometry"), lit(intrinsicPoly)))
     if (!clip) filtered
     else {
-      // Sutherland-Hodgman is only correct for convex clips: validate ONCE
-      // on the driver and fail loudly for reflex or holed clip polygons —
-      // the reference's stance for unsupported query geometry
-      // (spatial_query.py:297-321). No silent unclipped fallback: a null
-      // clip result means a zero-area (boundary-touching) intersection and
-      // the row is dropped, never returned unclipped.
+      // Clip kind decided ONCE on the driver: convex rings take the
+      // single-pass Sutherland-Hodgman path; reflex rings the convex-
+      // decomposition path (st_clip — partition-of-intersection output,
+      // exact area/containment, spatial_query.py:958-963); holed clip
+      // polygons still fail loudly (the reference's stance for unsupported
+      // query geometry, spatial_query.py:297-321). No silent unclipped
+      // fallback: a null clip result means a zero-area (boundary-touching)
+      // intersection and the row is dropped, never returned unclipped.
       val clipGeom = WKB.read(intrinsicPoly) match {
         case p: graft.geom.GPolygon => p
         case _ => sys.error("polygon_query(clip=True) requires a polygon clip geometry")
       }
-      require(clipGeom.rings.length == 1 &&
-        graft.geom.GeomKernel.isConvexRing(clipGeom.rings(0)),
-        "polygon_query(clip=True) supports convex, hole-free clip polygons only; " +
-          "for non-convex overlap weights use intersectionArea (q71 path)")
+      require(clipGeom.rings.length == 1,
+        "polygon_query(clip=True) supports hole-free clip polygons only; " +
+          "for holed overlap weights use intersectionArea (q71 path)")
+      val clipExpr =
+        if (graft.geom.GeomKernel.isConvexRing(clipGeom.rings(0)))
+          st_clip_convex(col("geometry"), lit(intrinsicPoly))
+        else st_clip(col("geometry"), lit(intrinsicPoly))
       val clipped = filtered
-        .withColumn("geometry", st_clip_convex(col("geometry"), lit(intrinsicPoly)))
+        .withColumn("geometry", clipExpr)
         .filter(col("geometry").isNotNull)
       // geometry changed -> recompute the coarse-index envelope columns
       Models.ShapesModel.parse(clipped)

@@ -95,6 +95,24 @@ class GeomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("clipGeneral area equals intersectionArea for reflex clips") {
+    forAll(convexPoly, staircase) { (c, s) =>
+      val subject = wkb(c); val clip = wkb(s)
+      val clipped = GeomKernel.clipGeneral(subject, clip)
+      val got = if (clipped == null) 0.0 else GeomKernel.area(clipped)
+      val want = GeomKernel.intersectionArea(subject, clip)
+      assert(math.abs(got - want) < 1e-6, s"clip area $got vs kernel $want")
+    }
+    // and for convex clips it is bit-identical to the single-pass path
+    forAll(convexPoly, convexPoly) { (c1, c2) =>
+      val a = wkb(c1); val b = wkb(c2)
+      val g = GeomKernel.clipGeneral(a, b)
+      val v = GeomKernel.clipByConvex(a, b)
+      assert((g == null) == (v == null))
+      if (g != null) assert(java.util.Arrays.equals(g, v))
+    }
+  }
+
   test("self-intersection equals own area; convex kernel agrees on convex pairs") {
     forAll(convexPoly) { c =>
       val a = wkb(c)

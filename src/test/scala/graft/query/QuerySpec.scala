@@ -94,7 +94,7 @@ class SpatialQuerySpec extends SparkTestBase {
     graft.geom.WKB.write(graft.geom.GPolygon(Array(
       Array(x0, y0, x1, y0, x1, y1, x0, y1))))
 
-  test("polygonQueryShapes clip=true: clips, drops boundary-touchers, rejects reflex clips") {
+  test("polygonQueryShapes clip=true: clips, drops boundary-touchers") {
     val shapes = Models.ShapesModel.parse(Seq(
       (1L, rectWkb(0, 0, 2, 2)),   // half inside -> clipped to 1x2
       (2L, rectWkb(1, -3, 2, 0)),  // touches the clip boundary -> zero area, dropped
@@ -107,13 +107,37 @@ class SpatialQuerySpec extends SparkTestBase {
       col("minx"), col("maxx")).as[(Long, Double, Double, Double)].collect()
     assert(rows.toSeq == Seq((1L, 2.0, 1.0, 2.0)),
       s"expected shape 1 clipped to 1x2 with recomputed envelope, got ${rows.toSeq}")
-    // reflex (L-shaped) clip polygon must fail loudly, not clip silently
+  }
+
+  test("polygonQueryShapes clip=true: reflex clips produce exact partitioned " +
+      "geometry; holed clips fail loudly") {
+    val shapes = Models.ShapesModel.parse(Seq(
+      (1L, rectWkb(0, 0, 2, 2)),   // fully inside the L -> area 4
+      (2L, rectWkb(1, 1, 3, 3)),   // straddles the notch -> [1,3]x[1,2] + [1,2]x[2,3] = 3
+      (3L, rectWkb(3, 3, 5, 5)),   // only touches the notch corner region -> dropped
+      (4L, rectWkb(5, 5, 6, 6)))   // disjoint -> filtered before clip
+      .toDF("index", "geometry")
+      .withColumn("geom_type", lit("polygon")))
+    // L-shape: [0,4]x[0,2] U [0,2]x[0,4] (reflex vertex at (2,2))
     val reflex = graft.geom.WKB.write(graft.geom.GPolygon(Array(
       Array(0.0, 0, 4, 0, 4, 2, 2, 2, 2, 4, 0, 4))))
+    val got = SpatialQuery.polygonQueryShapes(shapes, IdentityT, reflex, clip = true)
+    val areas = got.select(col("index"), graft.geom.st.st_area(col("geometry")))
+      .as[(Long, Double)].collect().toMap
+    assert(areas == Map(1L -> 4.0, 2L -> 3.0), s"got $areas")
+    // clipped output must agree with the independent intersection-area kernel
+    val viaArea = shapes.select(col("index"),
+      graft.geom.st.st_intersection_area(col("geometry"), lit(reflex)))
+      .as[(Long, Double)].collect().toMap
+    areas.foreach { case (i, a) => assert(a == viaArea(i), s"shape $i") }
+    // holes in the clip polygon remain unsupported, loudly
+    val holed = graft.geom.WKB.write(graft.geom.GPolygon(Array(
+      Array(0.0, 0, 4, 0, 4, 4, 0, 4),
+      Array(1.0, 1, 1, 2, 2, 2, 2, 1))))
     val e = intercept[IllegalArgumentException] {
-      SpatialQuery.polygonQueryShapes(shapes, IdentityT, reflex, clip = true)
+      SpatialQuery.polygonQueryShapes(shapes, IdentityT, holed, clip = true)
     }
-    assert(e.getMessage.contains("convex"))
+    assert(e.getMessage.contains("hole"))
   }
 
   private def pts = Seq(
