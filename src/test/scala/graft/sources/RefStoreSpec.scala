@@ -116,6 +116,18 @@ class RefStoreSpec extends SparkTestBase {
     assert(viaGet.count() == 50)
   }
 
+  test("obsm rows in an ABSENT chunk resolve to fill_value, not missing rows") {
+    val el = sd.element("t_dense")
+    val rows = el.aux("obsm:pcs")
+      .select(col("instance_id").cast("long"), col("pcs_0"), col("pcs_1"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 50, "every instance must keep a row")
+    rows.foreach { case (i, a, b) =>
+      if (i >= 32 && i < 48) assert(a == 0.0 && b == 0.0, s"instance $i")
+      else assert(a == i + 0.5 && b == i * 3.0, s"instance $i")
+    }
+  }
+
   test("AnnData CSR X reconstructs exact COO triples") {
     val x = sd.element("t_csr").x
     val want = (for (i <- 0 until 30; e <- Seq((i % 3, i + 0.5), ((i + 1) % 3, 2.0 * i + 0.25)))

@@ -53,8 +53,10 @@ def write_group(path, attrs=None):
         write_json(os.path.join(path, ".zattrs"), attrs)
 
 
-def write_array(path, arr, chunks=None):
-    """Numeric zarr v2 array, zlib level 1, C order."""
+def write_array(path, arr, chunks=None, skip_chunks=()):
+    """Numeric zarr v2 array, zlib level 1, C order. `skip_chunks` chunk
+    indices are left absent (zarr semantics: those cells read as fill_value).
+    """
     arr = np.ascontiguousarray(arr)
     if chunks is None:
         chunks = list(arr.shape)
@@ -66,6 +68,8 @@ def write_array(path, arr, chunks=None):
     write_json(os.path.join(path, ".zarray"), meta)
     grid = [(s + c - 1) // c for s, c in zip(arr.shape, chunks)]
     for idx in np.ndindex(*grid):
+        if tuple(idx) in set(map(tuple, skip_chunks)):
+            continue
         sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
         block = arr[sl]
         full = np.zeros(chunks, dtype=arr.dtype)
@@ -269,6 +273,12 @@ def main():
     write_group(md)
     spatial = np.stack([i * 2.0, i + 0.25], axis=1).astype(np.float64)
     write_array(os.path.join(md, "spatial"), spatial, chunks=[16, 2])
+    # pcs: chunk (2,0) (rows 32-47) deliberately ABSENT — instances must
+    # still resolve to fill_value 0.0, not vanish from the wide frame
+    pcs = np.where((i[:, None] // 16 == 2), 0.0,
+                   np.stack([i + 0.5, i * 3.0], axis=1)).astype(np.float64)
+    write_array(os.path.join(md, "pcs"), pcs, chunks=[16, 2],
+                skip_chunks=[(2, 0)])
 
     # ---- tables/t_csr: AnnData zarr, CSR X ----
     no, nv = 30, 3
