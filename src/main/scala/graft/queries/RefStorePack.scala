@@ -167,6 +167,23 @@ object RefStorePack extends QueryPack {
         .orderBy("grp", "flag")
     }),
 
+    // AnnData layers: per-name matrices beside X, served through the
+    // get_values table_layer surface (relational_query.py:1078-1086)
+    "q85_ref_table_layer" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot,
+        selection = Some(Seq("polys_v01", "t_dense")))
+      val viaLayer = graft.query.RelationalQuery.getValues(
+        sd, "g1", "polys_v01", tableLayer = Some("counts"))
+        .agg(count(lit(1)).as("n"), dsum(col("g1")).as("total"))
+        .withColumn("k", lit("get_values:g1"))
+      val totals = sd.element("t_dense").aux("layer:counts")
+        .groupBy(col("var_name").as("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      viaLayer.select("k", "n", "total")
+        .unionByName(totals.select("k", "n", "total"))
+        .orderBy("k")
+    }),
+
     // GeoJSON ingest (reference ShapesModel.parse(path): GeometryCollection /
     // FeatureCollection docs + the ndjson scale path), values exact
     "q83_geojson_shapes" -> ((s, _) => {
@@ -254,6 +271,18 @@ object RefStorePack extends QueryPack {
         |  (s_suppkey % 2 = 0) AS flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM supplier GROUP BY 1, 2 ORDER BY grp, flag""".stripMargin,
+    "q85_ref_table_layer" ->
+      """WITH e AS (
+        |  SELECT i, j, CAST((i + 2 * j) % 4 AS DOUBLE) AS v
+        |  FROM range(50) t(i), range(4) u(j))
+        |SELECT 'get_values:g1' AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM e WHERE j = 1 AND v <> 0
+        |UNION ALL
+        |SELECT 'g' || CAST(j AS VARCHAR), COUNT(*),
+        |  CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM e WHERE v <> 0 GROUP BY j
+        |ORDER BY k""".stripMargin,
     "q83_geojson_shapes" ->
       """SELECT 'gc' AS element, COUNT(*) AS n,
         |  CAST(SUM(CAST((2.0 + i % 3) * (1.0 + i % 2)

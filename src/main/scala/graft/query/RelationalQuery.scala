@@ -146,15 +146,22 @@ object RelationalQuery {
 
   /** Resolve a value key against element columns, obs columns, or X vars
     * (`get_values`, relational_query.py:981-1109). Returns a DataFrame of
-    * (instance id, value).
+    * (instance id, value). `tableLayer` redirects the var lookup to an
+    * AnnData layer instead of X (`table_layer`,
+    * relational_query.py:1078-1086); an unknown layer fails loudly, matching
+    * the reference's ValueError.
     */
-  def getValues(sd: SpatialDataset, key: String, elementName: String): DataFrame = {
+  def getValues(sd: SpatialDataset, key: String, elementName: String,
+      tableLayer: Option[String] = None): DataFrame = {
     val el = sd.element(elementName)
+    val matKey = tableLayer.map(l => s"layer:$l").getOrElse("X")
     if (el.data.columns.contains(key)) {
       el.data
     } else {
-      // search annotating tables: obs column, then X var
+      // search annotating tables: obs column, then X/layer var
       val annotators = sd.tables.values.filter(_.meta.table.exists(_.region.contains(elementName)))
+      if (tableLayer.isDefined && !annotators.exists(_.aux.contains(matKey)))
+        sys.error(s"Layer ${tableLayer.get} was not found.")
       annotators.collectFirst {
         case t if t.obs.columns.contains(key) =>
           val ann = t.meta.table.get
@@ -162,8 +169,9 @@ object RelationalQuery {
             .select(col(ann.instanceKey).as("instance_id"), col(key))
       }.orElse {
         annotators.collectFirst {
-          case t if t.aux.contains("X") && !t.x.filter(col("var_name") === key).isEmpty =>
-            t.x.filter(col("var_name") === key)
+          case t if t.aux.contains(matKey) &&
+              !t.aux(matKey).filter(col("var_name") === key).isEmpty =>
+            t.aux(matKey).filter(col("var_name") === key)
               .select(col("instance_id"), col("value").as(key))
         }
       }.orElse {

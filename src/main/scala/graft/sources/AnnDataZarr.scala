@@ -316,27 +316,28 @@ object AnnDataZarr {
 
     val xDir = s"$dir/X"
     val f = fs(spark, dir)
-    // var is only needed to name X columns; a table without X (annotation
-    // obs only) may legitimately lack the var group
+    // var is only needed to name X/layer columns; a table without matrices
+    // (annotation obs only) may legitimately lack the var group
     def varNames: DataFrame = {
       val varAttrs = groupAttrs(spark, s"$dir/var")
       val varIndexName = (varAttrs \ "_index").extractOrElse[String]("_index")
       readColumn(spark, s"$dir/var/$varIndexName", "var_name")
         .select(col("row").as("col"), col("var_name").cast("string").as("var_name"))
     }
-    val coo: Option[DataFrame] =
-      if (f.exists(new Path(s"$xDir/.zarray"))) Some(readDenseMatrix(spark, xDir))
-      else if (f.exists(new Path(s"$xDir/.zgroup"))) {
-        val enc = (groupAttrs(spark, xDir) \ "encoding-type").extractOrElse[String]("")
+    // X and layers share the matrix encodings (dense array / csr / csc)
+    def readMatrix(mDir: String): Option[DataFrame] =
+      if (f.exists(new Path(s"$mDir/.zarray"))) Some(readDenseMatrix(spark, mDir))
+      else if (f.exists(new Path(s"$mDir/.zgroup"))) {
+        val enc = (groupAttrs(spark, mDir) \ "encoding-type").extractOrElse[String]("")
         enc match {
-          case "csr_matrix" => Some(readCsrMatrix(spark, xDir))
-          case "csc_matrix" => Some(readCscMatrix(spark, xDir))
-          case other => sys.error(s"$xDir: unsupported X encoding '$other' " +
+          case "csr_matrix" => Some(readCsrMatrix(spark, mDir))
+          case "csc_matrix" => Some(readCscMatrix(spark, mDir))
+          case other => sys.error(s"$mDir: unsupported matrix encoding '$other' " +
             "(dense, csr_matrix and csc_matrix are supported)")
         }
       } else None
 
-    val xLong = coo.map { x =>
+    def longForm(x: DataFrame): DataFrame = {
       val instCol = instanceKey.filter(k => obs.columns.contains(k))
         .map(k => col(k)).getOrElse(col("__row"))
       val regCol = regionKey.filter(k => obs.columns.contains(k))
@@ -348,6 +349,21 @@ object AnnDataZarr {
         .join(varNames, "col")
         .select(col("instance_id"), col("region"), col("var_name"), col("value"))
     }
+
+    val xLong = readMatrix(xDir).map(longForm)
+
+    // layers: per-name matrices with X's shape and encodings, exposed as
+    // aux "layer:<name>" (the get_values table_layer surface,
+    // relational_query.py:1078-1086)
+    val layersDir = s"$dir/layers"
+    val layerAux: Map[String, DataFrame] =
+      if (!f.exists(new Path(s"$layersDir/.zgroup"))) Map.empty
+      else f.listStatus(new Path(layersDir)).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).sorted
+        .flatMap { name =>
+          readMatrix(s"$layersDir/$name").map(m => s"layer:$name" -> longForm(m))
+        }.toMap
 
     // obsm: per-key (n_obs x k) matrices -> wide aux DataFrames keyed
     // "obsm:<key>" with columns (instance_id, <key>_0 .. <key>_{k-1}) —
@@ -390,7 +406,7 @@ object AnnDataZarr {
       }
 
     SpatialElement(Models.TableModel.meta(name, ann),
-      obs.drop("__row"), xLong.map("X" -> _).toMap ++ obsmAux)
+      obs.drop("__row"), xLong.map("X" -> _).toMap ++ layerAux ++ obsmAux)
   }
 
   // ---- ShapesFormatV01 ragged shapes ----

@@ -413,10 +413,13 @@ object RefStoreWriter {
       }
     }
 
-    // ---- var + X ----
-    el.aux.get("X").foreach { x =>
-      val varNames = x.select("var_name").distinct()
-        .collect().map(_.getString(0)).sorted
+    // ---- var + X + layers (all matrices share the var space) ----
+    val mats: Seq[(String, DataFrame)] = el.aux.toSeq
+      .filter { case (k, _) => k == "X" || k.startsWith("layer:") }
+      .sortBy(_._1)
+    if (mats.nonEmpty) {
+      val varNames = mats.map(_._2.select("var_name")).reduce(_ union _)
+        .distinct().collect().map(_.getString(0)).sorted
       val varDir = s"$dir/var"
       fs.mkdirs(new Path(varDir))
       writeText(fs, s"$varDir/.zgroup", """{"zarr_format": 2}""")
@@ -432,10 +435,20 @@ object RefStoreWriter {
       val rowMap = withRow.select(col(ikCol).cast("long").as("__ik"), col("__row"))
       val varMap = spark.createDataFrame(varNames.zipWithIndex.toSeq
         .map { case (v, i) => (v, i) }).toDF("var_name", "__col")
-      val coo = x.join(rowMap, x("instance_id").cast("long") === col("__ik"))
-        .join(varMap, "var_name")
-        .select(col("__row").as("row"), col("__col").as("col"), col("value"))
-      writeDenseX(coo, n, varNames.length, s"$dir/X", fs, confB)
+      if (mats.exists(_._1.startsWith("layer:"))) {
+        fs.mkdirs(new Path(s"$dir/layers"))
+        writeText(fs, s"$dir/layers/.zgroup", """{"zarr_format": 2}""")
+        writeText(fs, s"$dir/layers/.zattrs", JsonMethods.compact(JsonMethods.render(
+          ("encoding-type" -> "dict") ~ ("encoding-version" -> "0.1.0"))))
+      }
+      mats.foreach { case (k, x) =>
+        val target =
+          if (k == "X") s"$dir/X" else s"$dir/layers/${k.stripPrefix("layer:")}"
+        val coo = x.join(rowMap, x("instance_id").cast("long") === col("__ik"))
+          .join(varMap, "var_name")
+          .select(col("__row").as("row"), col("__col").as("col"), col("value"))
+        writeDenseX(coo, n, varNames.length, target, fs, confB)
+      }
     }
     withRow.unpersist()
   }

@@ -27,6 +27,9 @@ class RefStoreWriterSpec extends SparkTestBase {
     val x = (for (i <- 0 until 12; j <- 0 until 3; v = (i + j) % 5 if v != 0)
       yield (i.toLong, "shp", s"v$j", v.toDouble))
       .toDF("instance_id", "region", "var_name", "value")
+    val lx = (for (i <- 0 until 12; j <- 0 until 3; v = (i + 2 * j) % 4 if v != 0)
+      yield (i.toLong, "shp", s"v$j", v.toDouble))
+      .toDF("instance_id", "region", "var_name", "value")
     val pts = Models.PointsModel.parse(
       (0 until 20).map(i => (i.toLong, i * 1.5, i * 0.25)).toDF("id", "x", "y"))
     SpatialDataset(spark, Seq(
@@ -35,7 +38,7 @@ class RefStoreWriterSpec extends SparkTestBase {
       SpatialElement(Models.PointsModel.meta("pts", instanceKey = Some("id")), pts),
       SpatialElement(Models.TableModel.meta("tab",
         Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs,
-        Map("X" -> x))))
+        Map("X" -> x, "layer:counts" -> lx))))
   }
 
   // fixed location so tools/check_ref_store.py can validate the same bytes
@@ -105,6 +108,23 @@ class RefStoreWriterSpec extends SparkTestBase {
     val want = (for (i <- 0 until 12; j <- 0 until 3; v = (i + j) % 5 if v != 0)
       yield (i.toLong, s"v$j", v.toDouble)).toSet
     assert(x == want)
+    // layers round-trip beside X and resolve through get_values(table_layer)
+    val lw = (for (i <- 0 until 12; j <- 0 until 3; v = (i + 2 * j) % 4 if v != 0)
+      yield (i.toLong, s"v$j", v.toDouble)).toSet
+    val lg = tab.aux("layer:counts")
+      .select(col("instance_id").cast("long"), col("var_name"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(lg == lw)
+    val viaGet = graft.query.RelationalQuery.getValues(back, "v1", "shp",
+      tableLayer = Some("counts"))
+      .select(col("instance_id").cast("long"), col("v1"))
+      .as[(Long, Double)].collect().toSet
+    assert(viaGet == lw.collect { case (i, "v1", v) => (i, v) })
+    val e = intercept[RuntimeException] {
+      graft.query.RelationalQuery.getValues(back, "v1", "shp",
+        tableLayer = Some("nope")).collect()
+    }
+    assert(e.getMessage.contains("Layer"))
   }
 
   test("above the row threshold shapes export becomes a task-parallel " +

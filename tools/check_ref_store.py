@@ -104,8 +104,13 @@ def main(root):
     X = read_array(os.path.join(tdir, "X"))
     want = np.array([[(i + j) % 5 for j in range(3)] for i in range(12)], dtype="<f8")
     assert np.array_equal(X, want), X
+    layers_attrs = jload(os.path.join(tdir, "layers", ".zattrs"))
+    assert layers_attrs["encoding-type"] == "dict", layers_attrs
+    L = read_array(os.path.join(tdir, "layers", "counts"))
+    lwant = np.array([[(i + 2 * j) % 4 for j in range(3)] for i in range(12)], dtype="<f8")
+    assert np.array_equal(L, lwant), L
     ok += 1
-    print("OK  tables/tab: anndata group decodes (obs aligned, X exact)")
+    print("OK  tables/tab: anndata group decodes (obs aligned, X + layer exact)")
 
     # ---- shapes: single-file GeoParquet ----
     sp = os.path.join(root, "shapes", "shp", "shapes.parquet")

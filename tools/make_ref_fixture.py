@@ -258,6 +258,10 @@ def main():
     })
     X = ((i[:, None] * nv + np.arange(nv)[None, :]) % 7).astype(np.float64)
     write_array(os.path.join(d, "X"), X, chunks=[16, 4])
+    ld = os.path.join(d, "layers")
+    write_group(ld, {"encoding-type": "dict", "encoding-version": "0.1.0"})
+    counts = ((i[:, None] + 2 * np.arange(nv)[None, :]) % 4).astype(np.float64)
+    write_array(os.path.join(ld, "counts"), counts, chunks=[16, 4])
     od = os.path.join(d, "obs")
     write_group(od, obs_attrs(["region", "instance_id", "score", "grp", "flag"]))
     write_str_array(os.path.join(od, "_index"), [f"cell_{k}" for k in i], chunks=[16])
