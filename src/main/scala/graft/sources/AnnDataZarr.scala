@@ -73,10 +73,12 @@ object AnnDataZarr {
     } finally in.close()
   }
 
+  // chunk ids land directly in range partitions — a repartition here would
+  // add a shuffle stage to EVERY zarr array read for no distribution gain
   private def chunkTasks(spark: SparkSession, nChunks: Int): DataFrame =
-    spark.range(nChunks).toDF("chunk")
-      .repartition(math.max(1, math.min(nChunks,
-        spark.sparkContext.defaultParallelism)))
+    spark.range(0, nChunks, 1,
+      math.max(1, math.min(nChunks, spark.sparkContext.defaultParallelism)))
+      .toDF("chunk")
 
   /** 1-D numeric array -> `(row LONG, value DOUBLE)`. Absent chunks emit
     * `fill_value` rows so alignment with sibling columns is preserved.

@@ -350,8 +350,11 @@ object NgffRaster {
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    val taskDf = spark.createDataFrame(tasks).toDF("scale", "path", "cc", "zz", "ty", "tx")
-      .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+    // parallelize with explicit slices: contiguous chunk runs per task (FS
+    // locality) and no repartition shuffle in front of every raster read
+    val taskRdd = spark.sparkContext.parallelize(tasks,
+      math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+    val taskDf = spark.createDataFrame(taskRdd).toDF("scale", "path", "cc", "zz", "ty", "tx")
     val rows = taskDf.rdd.mapPartitions { it =>
       val fsT = new Path(groupDirB).getFileSystem(confB.value.value)
       it.flatMap { r =>
