@@ -146,6 +146,22 @@ object Aggregate {
     shapes.agg(min(col("minx")).as("xmin"), min(col("miny")).as("ymin"),
       max(col("maxx")).as("xmax"), max(col("maxy")).as("ymax"))
 
+  /** Extents equal within `atol` (reference `are_extents_equal`,
+    * data_extent.py:362-385): both single-row extent frames must cover the
+    * same axes and agree per bound. The high default tolerance mirrors the
+    * reference's (its rasterize extent bug, scverse/spatialdata#165).
+    */
+  def areExtentsEqual(e0: DataFrame, e1: DataFrame, atol: Double = 0.1): Boolean = {
+    if (e0.columns.sorted.toSeq != e1.columns.sorted.toSeq) return false
+    val cols = e0.columns.toSeq
+    val r0 = e0.collect()(0)
+    val r1 = e1.select(cols.map(col): _*).collect()(0)
+    cols.indices.forall { i =>
+      math.abs(r0.getAs[Number](i).doubleValue() -
+        r1.getAs[Number](i).doubleValue()) <= atol
+    }
+  }
+
   /** Container extent in a target cs: per-element extents transformed by the
     * 4 bbox corners (approx path, data_extent.py:153-164) and unioned on the
     * driver (tiny).

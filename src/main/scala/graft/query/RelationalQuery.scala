@@ -93,6 +93,37 @@ object RelationalQuery {
       .drop("__instance")
   }
 
+  /** Filter elements to the instances present in a table — the reference's
+    * `match_element_to_table` (relational_query.py:752-787:
+    * `join_spatialelement_table(how="right", match_rows="right")`). Returns
+    * the masked element per name plus the table obs. Labels are not
+    * supported, matching the reference's contract.
+    */
+  def matchElementToTable(sd: SpatialDataset, elementNames: Seq[String],
+      tableName: String): (Map[String, DataFrame], DataFrame) = {
+    val tbl = sd.element(tableName)
+    val ann = tbl.meta.table.getOrElse(sys.error(s"table '$tableName' annotates nothing"))
+    val masked = elementNames.map { name =>
+      val el = sd.element(name)
+      val idCol = el.meta.kind match {
+        case ElementKind.Shapes => "index"
+        case ElementKind.Points =>
+          el.meta.attrs.getOrElse("instance_key",
+            ann.instanceKey match {
+              case k if el.data.columns.contains(k) => k
+              case _ => sys.error(s"points '$name': no instance key column")
+            })
+        case ElementKind.Labels =>
+          sys.error("match_element_to_table does not support Labels elements " +
+            "(reference relational_query.py:763)")
+        case other => sys.error(s"unsupported element kind $other")
+      }
+      val r = joinElementTable(el.data, idCol, name, tbl.obs, ann, "right")
+      name -> r.element.get
+    }.toMap
+    (masked, tbl.obs)
+  }
+
   /** Cascade: restrict each annotating table to instances that survive in
     * their region elements (`_filter_table_by_elements`,
     * relational_query.py:123-159).

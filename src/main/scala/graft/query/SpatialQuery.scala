@@ -292,6 +292,27 @@ object SpatialQuery {
     }
   }
 
+  /** Corners of a bounding box in the reference's vertex order
+    * (`get_bounding_box_corners`, query/_utils.py:18-82): 4 corners for 2D,
+    * 8 for 3D, each a coordinate Seq aligned with `axes`.
+    */
+  def boundingBoxCorners(axes: Seq[String], mins: Seq[Double],
+      maxs: Seq[Double]): Seq[Seq[Double]] = {
+    require(axes.length == mins.length && axes.length == maxs.length,
+      "axes/min/max lengths must match")
+    require(axes.length == 2 || axes.length == 3, "bounding box must be 2D or 3D")
+    if (axes.length == 2)
+      Seq(
+        Seq(mins(0), mins(1)), Seq(mins(0), maxs(1)),
+        Seq(maxs(0), maxs(1)), Seq(maxs(0), mins(1)))
+    else
+      Seq(
+        Seq(mins(0), mins(1), mins(2)), Seq(mins(0), mins(1), maxs(2)),
+        Seq(mins(0), maxs(1), maxs(2)), Seq(mins(0), maxs(1), mins(2)),
+        Seq(maxs(0), mins(1), mins(2)), Seq(maxs(0), mins(1), maxs(2)),
+        Seq(maxs(0), maxs(1), maxs(2)), Seq(maxs(0), maxs(1), mins(2)))
+  }
+
   /** Multi-box batch query (the reference's vectorized bounding_box_query,
     * spatial_query.py:458-505 with batched boxes): OR of per-box predicates
     * — one scan, all boxes (parquet pruning still applies to the OR of
