@@ -226,17 +226,16 @@ object RefStoreWriter {
     JsonMethods.compact(JsonMethods.render(
       ("encoding-type" -> encoding) ~ ("encoding-version" -> "0.2.0")))
 
-  /** Chunk-parallel 1-D zarr array write from `(row LONG, value)` rows.
-    * `n` rows, [[ChunkRows]] per chunk; numeric dtypes encode via
-    * [[Zarr.encodeChunk]], strings as vlen-utf8.
-    */
-  private def writeVector(df: DataFrame, n: Long, dir: String, dtype: String,
-      fs: org.apache.hadoop.fs.FileSystem,
-      confB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]): Unit = {
-    val isStr = dtype == "|O"
-    val m = Zarr.ArrayMeta(Seq(n.toInt), Seq(ChunkRows), dtype,
+  private def vectorMeta(n: Long, dtype: String): Zarr.ArrayMeta =
+    Zarr.ArrayMeta(Seq(n.toInt), Seq(ChunkRows), dtype,
       Some(Zarr.Compressor("zlib", clevel = 1)), 0.0, "C", ".",
-      filters = if (isStr) Seq("vlen-utf8") else Nil)
+      filters = if (dtype == "|O") Seq("vlen-utf8") else Nil)
+
+  /** Driver-side `.zarray`/`.zattrs` for a 1-D vector at `dir`. */
+  private def writeVectorMeta(dir: String, n: Long, dtype: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val isStr = dtype == "|O"
+    val m = vectorMeta(n, dtype)
     fs.mkdirs(new Path(dir))
     val metaJson =
       if (!isStr) Zarr.arrayMetaJson(m)
@@ -249,6 +248,76 @@ object RefStoreWriter {
           ("dimension_separator" -> ".")))
     writeText(fs, s"$dir/.zarray", metaJson)
     writeText(fs, s"$dir/.zattrs", arrayAttrs(if (isStr) "string-array" else "array"))
+  }
+
+  /** Encode one full-extent chunk for a 1-D vector. `entries` are
+    * `(i, value)` within-chunk positions; strings pad with "", numeric
+    * nulls become NaN (float) or 0 (int/bool) — zarr v2 stores edge chunks
+    * at full nominal extent (zarr-python reshapes to `chunks`).
+    */
+  private def encodeVectorChunk(dtype: String, n: Long,
+      entries: Seq[Row], j: Int): Array[Byte] =
+    if (dtype == "|O") {
+      val arr = Array.fill[String](ChunkRows)("")
+      entries.foreach { e =>
+        val vals = e.getStruct(1)
+        if (!vals.isNullAt(j)) arr(e.getInt(0)) = vals.getString(j)
+      }
+      Zarr.compress(Zarr.vlenUtf8Encode(arr), vectorMeta(n, dtype).compressor)
+    } else {
+      val isFloat = dtype.charAt(1) == 'f'
+      val arr = new Array[Double](ChunkRows)
+      entries.foreach { e =>
+        val vals = e.getStruct(1)
+        if (!vals.isNullAt(j)) arr(e.getInt(0)) = vals.getAs[Number](j).doubleValue()
+        else if (isFloat) arr(e.getInt(0)) = Double.NaN
+      }
+      Zarr.encodeChunk(arr, vectorMeta(n, dtype))
+    }
+
+  /** Write MANY 1-D obs vectors in ONE shuffle pass: chunk-group the rows
+    * once, carry every column's value in a struct, emit every column's
+    * chunk file from the same task. C columns cost one shuffle, not C.
+    * `specs` are `(dir, dtype, valueColumn)`.
+    */
+  private def writeVectorsOnePass(df: DataFrame,
+      specs: Seq[(String, String, org.apache.spark.sql.Column)], n: Long,
+      fs: org.apache.hadoop.fs.FileSystem,
+      confB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]): Unit = {
+    specs.foreach { case (d, dtype, _) => writeVectorMeta(d, n, dtype, fs) }
+    val dirsAndTypes = specs.map { case (d, t, _) => (d, t) }
+    val nB = n
+    df.select((col("__row") / ChunkRows).cast("int").as("__chunk"),
+        (col("__row") % ChunkRows).cast("int").as("i"),
+        struct(specs.zipWithIndex.map { case ((_, _, v), j) => v.as(s"v$j") }: _*).as("vals"))
+      .groupBy("__chunk")
+      .agg(collect_list(struct(col("i"), col("vals"))).as("entries"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val fsT = new Path(dirsAndTypes.head._1).getFileSystem(confB.value.value)
+        rows.foreach { r =>
+          val ci = r.getInt(0)
+          val entries = r.getSeq[Row](1)
+          dirsAndTypes.zipWithIndex.foreach { case ((d, dtype), j) =>
+            val bytes = encodeVectorChunk(dtype, nB, entries, j)
+            val out = fsT.create(new Path(s"$d/$ci"), true)
+            try out.write(bytes) finally out.close()
+          }
+        }
+      }
+  }
+
+  /** Chunk-parallel 1-D zarr array write from `(row LONG, value)` rows.
+    * `n` rows, [[ChunkRows]] per chunk; numeric dtypes encode via
+    * [[Zarr.encodeChunk]], strings as vlen-utf8. Used for the small
+    * side arrays (var `_index`, categorical `categories`); obs columns go
+    * through [[writeVectorsOnePass]].
+    */
+  private def writeVector(df: DataFrame, n: Long, dir: String, dtype: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      confB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]): Unit = {
+    val isStr = dtype == "|O"
+    val m = vectorMeta(n, dtype)
+    writeVectorMeta(dir, n, dtype, fs)
     val dirB = dir
     val nB = n
     df.withColumn("__chunk", (col("row") / ChunkRows).cast("int"))
@@ -289,30 +358,6 @@ object RefStoreWriter {
     * anndata `categorical` encoding rather than vlen-utf8.
     */
   private val MaxCategories = 128
-
-  /** anndata `categorical` group: int64 `codes` (null -> -1) + vlen-utf8
-    * `categories`, the encoding the reference emits for pandas categoricals.
-    */
-  private def writeCategorical(spark: SparkSession, withRow: DataFrame,
-      name: String, n: Long, dir: String, fs: org.apache.hadoop.fs.FileSystem,
-      confB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration]): Unit = {
-    val cats = withRow.select(col(name)).filter(col(name).isNotNull)
-      .distinct().collect().map(_.getString(0)).sorted
-    fs.mkdirs(new Path(dir))
-    writeText(fs, s"$dir/.zgroup", """{"zarr_format": 2}""")
-    writeText(fs, s"$dir/.zattrs", JsonMethods.compact(JsonMethods.render(
-      ("encoding-type" -> "categorical") ~ ("encoding-version" -> "0.2.0") ~
-        ("ordered" -> false))))
-    val catDf = spark.createDataFrame(cats.zipWithIndex.toSeq
-      .map { case (v, i) => (v, i.toLong) }).toDF("__cat", "__code")
-    val codes = withRow.select(col("__row").as("row"), col(name).as("__cat"))
-      .join(catDf, Seq("__cat"), "left")
-      .select(col("row"), coalesce(col("__code"), lit(-1L)).as("value"))
-    writeVector(codes, n, s"$dir/codes", "<i8", fs, confB)
-    writeVector(spark.createDataFrame(cats.zipWithIndex.toSeq
-      .map { case (v, i) => (i.toLong, v) }).toDF("row", "value"),
-      cats.length.toLong, s"$dir/categories", "|O", fs, confB)
-  }
 
   /** Dense X write: `(row, col, value)` -> chunks `(ChunkRows, nVar)`. */
   private def writeDenseX(coo: DataFrame, n: Long, nVar: Int, dir: String,
@@ -384,34 +429,50 @@ object RefStoreWriter {
     writeText(fs, s"$obsDir/.zattrs", JsonMethods.pretty(JsonMethods.render(
       ("encoding-type" -> "dataframe") ~ ("encoding-version" -> "0.2.0") ~
         ("_index" -> "_index") ~ ("column-order" -> schema0.fieldNames.toSeq))))
-    writeVector(withRow.select(col("__row").as("row"),
-      col(sortCol).cast("string").as("value")), n, s"$obsDir/_index", "|O", fs, confB)
+    // Every obs vector — _index, numeric/bool columns, categorical CODES —
+    // writes from ONE shuffle pass (writeVectorsOnePass); only the tiny
+    // per-column `categories` arrays get their own writes. Low-cardinality
+    // string columns round-trip as the anndata `categorical` encoding the
+    // reference emits for pandas categoricals; the probe collects at most
+    // MaxCategories+1 distinct values, never the full column.
+    var enriched = withRow
+    val specs = scala.collection.mutable.ArrayBuffer[
+      (String, String, org.apache.spark.sql.Column)]()
+    specs += ((s"$obsDir/_index", "|O", col(sortCol).cast("string")))
     schema0.fields.foreach { f =>
       f.dataType match {
         case StringType =>
-          // pandas-categorical round trip: low-cardinality string columns get
-          // the anndata `categorical` encoding (codes + categories) the
-          // reference emits; high-cardinality strings stay vlen-utf8. The
-          // cardinality probe is a countDistinct aggregate — the distinct
-          // values are only collected when they are provably few.
-          val nd = withRow.agg(countDistinct(col(f.name))).collect()(0).getLong(0)
-          if (nd <= MaxCategories && nd < n)
-            writeCategorical(spark, withRow, f.name, n, s"$obsDir/${f.name}", fs, confB)
-          else
-            writeVector(withRow.select(col("__row").as("row"), col(f.name).as("value")),
-              n, s"$obsDir/${f.name}", "|O", fs, confB)
+          val sample = withRow.select(col(f.name)).filter(col(f.name).isNotNull)
+            .distinct().limit(MaxCategories + 1).collect().map(_.getString(0))
+          if (sample.length <= MaxCategories && sample.length < n) {
+            val cats = sample.sorted
+            val cdir = s"$obsDir/${f.name}"
+            fs.mkdirs(new Path(cdir))
+            writeText(fs, s"$cdir/.zgroup", """{"zarr_format": 2}""")
+            writeText(fs, s"$cdir/.zattrs", JsonMethods.compact(JsonMethods.render(
+              ("encoding-type" -> "categorical") ~ ("encoding-version" -> "0.2.0") ~
+                ("ordered" -> false))))
+            writeVector(spark.createDataFrame(cats.zipWithIndex.toSeq
+              .map { case (v, i) => (i.toLong, v) }).toDF("row", "value"),
+              cats.length.toLong, s"$cdir/categories", "|O", fs, confB)
+            val catCol = s"__cat_${f.name}"; val codeCol = s"__code_${f.name}"
+            val catDf = spark.createDataFrame(cats.zipWithIndex.toSeq
+              .map { case (v, i) => (v, i.toLong) }).toDF(catCol, codeCol)
+            enriched = enriched.join(catDf,
+              enriched(f.name) === col(catCol), "left").drop(catCol)
+            specs += ((s"$cdir/codes", "<i8",
+              coalesce(col(codeCol), lit(-1L)).cast("double")))
+          } else specs += ((s"$obsDir/${f.name}", "|O", col(f.name)))
         case BooleanType =>
-          writeVector(withRow.select(col("__row").as("row"),
-            col(f.name).cast("double").as("value")), n, s"$obsDir/${f.name}", "|b1", fs, confB)
+          specs += ((s"$obsDir/${f.name}", "|b1", col(f.name).cast("double")))
         case IntegerType | LongType =>
-          writeVector(withRow.select(col("__row").as("row"),
-            col(f.name).cast("double").as("value")), n, s"$obsDir/${f.name}", "<i8", fs, confB)
+          specs += ((s"$obsDir/${f.name}", "<i8", col(f.name).cast("double")))
         case FloatType | DoubleType =>
-          writeVector(withRow.select(col("__row").as("row"),
-            col(f.name).cast("double").as("value")), n, s"$obsDir/${f.name}", "<f8", fs, confB)
+          specs += ((s"$obsDir/${f.name}", "<f8", col(f.name).cast("double")))
         case other => sys.error(s"obs column '${f.name}': unsupported type $other")
       }
     }
+    writeVectorsOnePass(enriched, specs.toSeq, n, fs, confB)
 
     // ---- var + X + layers (all matrices share the var space) ----
     val mats: Seq[(String, DataFrame)] = el.aux.toSeq
