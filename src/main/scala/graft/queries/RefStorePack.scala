@@ -167,6 +167,16 @@ object RefStorePack extends QueryPack {
         .orderBy("grp", "flag")
     }),
 
+    // pandas extension dtypes: nullable-integer / nullable-boolean obs
+    // columns (values+mask groups) resolve with true nulls
+    "q86_ref_nullable_obs" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("t_csc")))
+      sd.element("t_csc").obs.agg(
+        count(lit(1)).as("n"), count(col("nn")).as("n_nn"),
+        dsum(coalesce(col("nn"), lit(0L))).as("sum_nn"),
+        count(when(col("nb"), 1)).as("n_nb_true"))
+    }),
+
     // AnnData layers: per-name matrices beside X, served through the
     // get_values table_layer surface (relational_query.py:1078-1086)
     "q85_ref_table_layer" -> ((s, _) => {
@@ -271,6 +281,16 @@ object RefStorePack extends QueryPack {
         |  (s_suppkey % 2 = 0) AS flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM supplier GROUP BY 1, 2 ORDER BY grp, flag""".stripMargin,
+    "q86_ref_nullable_obs" ->
+      """WITH o AS (
+        |  SELECT i,
+        |    CASE WHEN i % 5 = 0 THEN NULL ELSE i * 2 END AS nn,
+        |    CASE WHEN i % 7 = 0 THEN NULL ELSE (i % 2 = 1) END AS nb
+        |  FROM range(24) t(i))
+        |SELECT COUNT(*) AS n, COUNT(nn) AS n_nn,
+        |  CAST(SUM(CAST(COALESCE(nn, 0) AS DECIMAL(28,6))) AS DOUBLE) AS sum_nn,
+        |  COUNT(CASE WHEN nb THEN 1 END) AS n_nb_true
+        |FROM o""".stripMargin,
     "q85_ref_table_layer" ->
       """WITH e AS (
         |  SELECT i, j, CAST((i + 2 * j) % 4 AS DOUBLE) AS v

@@ -262,6 +262,18 @@ object AnnDataZarr {
             else readNumericVector(spark, s"$dir/categories")
           val catDf = cats.select(col("row").as("__code"), col("value").as(name))
           codes.join(catDf, Seq("__code"), "left").drop("__code")
+        // pandas extension dtypes (Int64/boolean): `values` + `mask` arrays,
+        // mask true = missing (anndata nullable encodings)
+        case enc @ ("nullable-integer" | "nullable-boolean") =>
+          val vals = readNumericVector(spark, s"$dir/values")
+          val mask = readNumericVector(spark, s"$dir/mask")
+            .select(col("row"), (col("value") =!= 0.0).as("__mask"))
+          val typed =
+            if (enc == "nullable-boolean") (col("value") =!= 0.0).cast("boolean")
+            else col("value").cast("long")
+          vals.join(mask, "row")
+            .select(col("row"),
+              when(col("__mask"), lit(null)).otherwise(typed).as(name))
         case other => sys.error(s"$dir: unsupported column encoding '$other'")
       }
     }

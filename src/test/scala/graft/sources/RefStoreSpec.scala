@@ -147,6 +147,21 @@ class RefStoreSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("nullable-integer/boolean obs columns (values+mask) keep true nulls") {
+    val obs = sd.element("t_csc").obs
+    assert(obs.schema("nn").dataType == org.apache.spark.sql.types.LongType)
+    assert(obs.schema("nb").dataType == org.apache.spark.sql.types.BooleanType)
+    val rows = obs.select(col("instance_id").cast("long"), col("nn"), col("nb"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+    assert(rows.length == 24)
+    rows.foreach { case (i, nn, nb) =>
+      assert(nn == (if (i % 5 == 0) None else Some(i * 2)), s"nn at $i")
+      assert(nb == (if (i % 7 == 0) None else Some(i % 2 == 1)), s"nb at $i")
+    }
+  }
+
   test("numpy bool obs columns read as BooleanType") {
     val obs = sd.element("t_csc").obs
     assert(obs.schema("ok").dataType == org.apache.spark.sql.types.BooleanType)

@@ -341,11 +341,22 @@ def main():
     write_array(os.path.join(xd, "indices"), np.array(indices, dtype=np.int32), chunks=[16])
     write_array(os.path.join(xd, "indptr"), np.array(indptr, dtype=np.int64), chunks=[2])
     od = os.path.join(d, "obs")
-    write_group(od, obs_attrs(["region", "instance_id", "ok"]))
+    write_group(od, obs_attrs(["region", "instance_id", "ok", "nn", "nb"]))
     write_str_array(os.path.join(od, "_index"), [f"c_{k}" for k in i])
     write_str_array(os.path.join(od, "region"), ["polys_v01"] * no)
     write_array(os.path.join(od, "instance_id"), i.astype(np.int64))
     write_array(os.path.join(od, "ok"), (i % 3 == 0))
+    # pandas extension dtypes: values + mask groups (mask true = missing)
+    nnd = os.path.join(od, "nn")
+    write_group(nnd, {"encoding-type": "nullable-integer",
+                      "encoding-version": "0.1.0"})
+    write_array(os.path.join(nnd, "values"), (i * 2).astype(np.int64))
+    write_array(os.path.join(nnd, "mask"), (i % 5 == 0))
+    nbd = os.path.join(od, "nb")
+    write_group(nbd, {"encoding-type": "nullable-boolean",
+                      "encoding-version": "0.1.0"})
+    write_array(os.path.join(nbd, "values"), (i % 2 == 1))
+    write_array(os.path.join(nbd, "mask"), (i % 7 == 0))
     vd = os.path.join(d, "var")
     write_group(vd, obs_attrs([]))
     write_str_array(os.path.join(vd, "_index"), [f"v{j}" for j in range(nv)])
