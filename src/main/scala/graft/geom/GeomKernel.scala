@@ -616,7 +616,17 @@ object GeomKernel {
     * clips take the single-pass path unchanged. Returns null when the
     * intersection is empty.
     */
-  def clipGeneral(wkb: Array[Byte], clipWkb: Array[Byte]): Array[Byte] = {
+  // polygon_query(clip=True) evaluates clipGeneral with a CONSTANT clip
+  // literal across millions of rows — memoize the last clip's parse +
+  // triangulation per thread (tasks are single-threaded; byte-equality
+  // keyed, so a changing clip column still computes correctly)
+  private val lastClipDecomp =
+    new ThreadLocal[(Array[Byte], Boolean, Array[Array[Double]])]
+
+  private def clipDecomposition(clipWkb: Array[Byte]): (Boolean, Array[Array[Double]]) = {
+    val cached = lastClipDecomp.get()
+    if (cached != null && java.util.Arrays.equals(cached._1, clipWkb))
+      return (cached._2, cached._3)
     val clipG = WKB.read(clipWkb) match {
       case p: GPolygon => p
       case _ => sys.error("clip geometry must be a polygon")
@@ -624,8 +634,15 @@ object GeomKernel {
     require(clipG.rings.length == 1,
       "clip polygons with holes are not supported (clip against the exterior " +
         "ring, then subtract hole intersections via intersectionArea)")
-    if (isConvexRing(clipG.rings(0))) return clipByConvex(wkb, clipWkb)
-    val tris = earTriangulate(clipG.rings(0))
+    val convex = isConvexRing(clipG.rings(0))
+    val tris = if (convex) Array.empty[Array[Double]] else earTriangulate(clipG.rings(0))
+    lastClipDecomp.set((clipWkb.clone(), convex, tris))
+    (convex, tris)
+  }
+
+  def clipGeneral(wkb: Array[Byte], clipWkb: Array[Byte]): Array[Byte] = {
+    val (convex, tris) = clipDecomposition(clipWkb)
+    if (convex) return clipByConvex(wkb, clipWkb)
     WKB.read(wkb) match {
       case GPoint(x, y) =>
         if (tris.exists(t => ringContains(t, x, y))) WKB.write(GPoint(x, y)) else null
