@@ -107,17 +107,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val norm = docs.select(col(idCol),
       concat_ws(" ", Dedup.words(col(textCol))).as("__norm"))
+    // gram count is a pure function of the normalized length — carrying it
+    // as a column avoids a second (unordered, full-buffer) window pass
     val grams = norm
       .select(col(idCol), col("__norm"),
+        greatest(length(col("__norm")) - (k - 1), lit(1)).as("__n"),
         explode(sequence(lit(1), greatest(length(col("__norm")) - (k - 1), lit(1)))).as("__i"))
-      .select(col(idCol), col("__i"),
+      .select(col(idCol), col("__i"), col("__n"),
         md5(col("__norm").substr(col("__i"), lit(k))).as("__h"))
     val wMin = Window.partitionBy(col(idCol)).orderBy(col("__i"))
       .rowsBetween(Window.currentRow, window - 1)
-    val wCnt = Window.partitionBy(col(idCol))
     grams
       .withColumn("__min", min(col("__h")).over(wMin))
-      .withColumn("__n", count(lit(1)).over(wCnt))
       .filter(col("__i") - 1 <= greatest(col("__n") - window, lit(0)))
       .select(col(idCol), col("__min").as("h"))
       .distinct()
