@@ -176,6 +176,17 @@ object AggregatePack extends QueryPack {
         .orderBy(col("region_id"), col("value_id"))
     }),
 
+    // bounding_box_query on shapes through a scale transform: coarse
+    // envelope prefilter + exact box intersects (spatial_query.py:746-800)
+    "q87_bbox_shapes" -> ((s, d) => {
+      // target box (20,10)-(68,50) under Scale(2,2) = intrinsic (10,5)-(34,25)
+      graft.query.SpatialQuery.boundingBoxShapes(byBoxes(s, d),
+          graft.model.ScaleT(Seq(2.0, 2.0), Seq("x", "y")),
+          Seq(20.0, 10.0), Seq(68.0, 50.0))
+        .select(col("index"))
+        .orderBy("index")
+    }),
+
     // polygon_query(clip=True) with a REFLEX clip polygon: the clipped
     // geometry comes from convex decomposition (st_clip) and its areas must
     // reproduce exact union-of-rectangles algebra (spatial_query.py:958-963)
@@ -276,6 +287,13 @@ object AggregatePack extends QueryPack {
            |FROM pairs WHERE inter > 0
            |ORDER BY region_id, value_id""".stripMargin
       },
+      // boxes are [x0,x0+8]x[y0,y0+6]; inclusive interval overlap with
+      // the intrinsic box (10,5)-(34,25)
+      "q87_bbox_shapes" ->
+        s"""SELECT index FROM ($byBoxesSql) b
+           |WHERE b.x0 <= 34.0 AND b.x0 + 8.0 >= 10.0
+           |  AND b.y0 <= 25.0 AND b.y0 + 6.0 >= 5.0
+           |ORDER BY index""".stripMargin,
       // L = A [10,40]x[5,17] U B [10,26]x[5,29]; area(L ∩ box) =
       // iA + iB - i(A∩B) with A∩B = [10,26]x[5,17]
       "q84_nonconvex_clip" -> {

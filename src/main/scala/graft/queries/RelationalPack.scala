@@ -84,6 +84,35 @@ object RelationalPack extends QueryPack {
 
     // get_element_instances: distinct instance ids, background dropped
     // (relational_query.py:62-120: labels drop id 0).
+    // filter_by_table_query: obs predicate pushdown re-masks the annotated
+    // element through left-semi instance joins (relational_query.py:835-910)
+    "q88_filter_table_query" -> ((s, d) => {
+      import graft.geom.st._
+      import graft.model._
+      val shp = Models.ShapesModel.parse(Tables.supplier(s, d).select(
+        col("s_suppkey").as("index"),
+        ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y0"))
+        .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+          col("x0") + 4.0, col("y0") + 2.0))
+        .withColumn("geom_type", lit("polygon")).drop("x0", "y0"))
+      val obs = Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"), lit("shp").as("region"),
+        (col("s_suppkey") * 0.25).as("score"))
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.ShapesModel.meta("shp"), shp),
+        SpatialElement(Models.TableModel.meta("tab",
+          Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs)))
+      val out = graft.query.RelationalQuery.filterByTableQuery(
+        sd, "tab", col("score") > 12.5)
+      val a = out("shp").agg(count(lit(1)).as("n"),
+        dsum(st_area(col("geometry"))).as("total")).withColumn("k", lit("shapes"))
+      val b = out.element("tab").obs.agg(count(lit(1)).as("n"),
+        dsum(col("score")).as("total")).withColumn("k", lit("obs"))
+      a.select("k", "n", "total").unionByName(b.select("k", "n", "total"))
+        .orderBy("k")
+    }),
+
     "q06_distinct_instances" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(col("l_suppkey").as("instance_id"))
@@ -119,6 +148,14 @@ object RelationalPack extends QueryPack {
     "q05_extent_points" ->
       """SELECT min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
         |  min(l_quantity) AS ymin, max(l_quantity) AS ymax FROM lineitem""".stripMargin,
+    "q88_filter_table_query" ->
+      """SELECT 'obs' AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM supplier WHERE s_suppkey * 0.25 > 12.5
+        |UNION ALL SELECT 'shapes', COUNT(*),
+        |  CAST(SUM(CAST(8.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM supplier WHERE s_suppkey * 0.25 > 12.5
+        |ORDER BY k""".stripMargin,
     "q06_distinct_instances" ->
       """SELECT DISTINCT l_suppkey AS instance_id FROM lineitem
         |WHERE l_suppkey <> 0 ORDER BY instance_id""".stripMargin
