@@ -176,6 +176,30 @@ object AggregatePack extends QueryPack {
         .orderBy(col("region_id"), col("value_id"))
     }),
 
+    // landmark alignment: the similarity fit over exactly-corresponding
+    // landmark pairs recovers the generating transform to float precision
+    // (operations.py:347-445); applied coordinates match the ground truth
+    "q89_landmark_alignment" -> ((s, d) => {
+      val mov = Tables.supplier(s, d).filter(col("s_suppkey") <= 10).select(
+        ((col("s_suppkey") * 3) % 17).cast("double").as("x"),
+        ((col("s_suppkey") * 5) % 13).cast("double").as("y"))
+      val (c0, s0) = (math.cos(0.5), math.sin(0.5))
+      val refs = mov.select(
+        (lit(1.5) * (lit(c0) * col("x") - lit(s0) * col("y")) + 3.0).as("x"),
+        (lit(1.5) * (lit(s0) * col("x") + lit(c0) * col("y")) - 2.0).as("y"))
+      val t = graft.ops.Landmarks.transformationBetweenLandmarks(refs, mov)
+      val m = t.matrix
+      val pts = Tables.supplier(s, d).select(
+        ((col("s_suppkey") * 7) % 50).cast("double").as("x"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y"))
+      pts.select(
+        round(lit(m(0, 0)) * col("x") + lit(m(0, 1)) * col("y") + lit(m(0, 2)), 6).as("tx"),
+        round(lit(m(1, 0)) * col("x") + lit(m(1, 1)) * col("y") + lit(m(1, 2)), 6).as("ty"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("tx").cast("decimal(28,6)")).cast("double").as("sum_x"),
+          sum(col("ty").cast("decimal(28,6)")).cast("double").as("sum_y"))
+    }),
+
     // bounding_box_query on shapes through a scale transform: coarse
     // envelope prefilter + exact box intersects (spatial_query.py:746-800)
     "q87_bbox_shapes" -> ((s, d) => {
@@ -287,6 +311,18 @@ object AggregatePack extends QueryPack {
            |FROM pairs WHERE inter > 0
            |ORDER BY region_id, value_id""".stripMargin
       },
+      // ground-truth transform: scale 1.5, rotation 0.5 rad, shift (3,-2)
+      "q89_landmark_alignment" ->
+        """WITH p AS (
+          |  SELECT CAST((s_suppkey * 7) % 50 AS DOUBLE) AS x,
+          |         CAST((s_suppkey * 3) % 40 AS DOUBLE) AS y
+          |  FROM supplier)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(CAST(ROUND(1.5 * (COS(0.5) * x - SIN(0.5) * y) + 3.0, 6)
+          |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_x,
+          |  CAST(SUM(CAST(ROUND(1.5 * (SIN(0.5) * x + COS(0.5) * y) - 2.0, 6)
+          |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_y
+          |FROM p""".stripMargin,
       // boxes are [x0,x0+8]x[y0,y0+6]; inclusive interval overlap with
       // the intrinsic box (10,5)-(34,25)
       "q87_bbox_shapes" ->
