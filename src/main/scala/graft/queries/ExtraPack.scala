@@ -34,6 +34,30 @@ object ExtraPack extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // cs-graph path solving + transform algebra: pts reaches "global" only
+    // THROUGH the anchor element (pts --Scale--> stage --inv(Translation)-->
+    // anchor --Affine--> global); the composed matrix entries are exact
+    // multiples of 0.25 so the lowered one-affine application is bit-equal
+    // to the closed form (transformations.py:626-699 Sequence composition)
+    "q91_cs_graph_transform" -> ((s, d) => {
+      val axes = Seq("x", "y")
+      val ptsEl = SpatialElement(
+        Models.PointsModel.meta("pts",
+          transforms = Map("stage" -> ScaleT(Seq(2.0, 3.0), axes))),
+        Models.PointsModel.parse(points(s, d)))
+      val anchorEl = SpatialElement(
+        Models.PointsModel.meta("anchor", transforms = Map(
+          "stage" -> TranslationT(Seq(5.0, -1.0), axes),
+          "global" -> AffineT(Matrix(3, 3,
+            Array(0.5, -0.25, 3.0, 0.25, 2.0, -1.0, 0, 0, 1)), axes, axes))),
+        Models.PointsModel.parse(s.range(1)
+          .select(lit(0.0).as("x"), lit(0.0).as("y"))))
+      val sd = SpatialDataset(s, Seq(ptsEl, anchorEl))
+      val t = sd.transformTo("pts", "global")
+      TransformOps.transformPoints(sd("pts"), t)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // match_rows row-aligned annotation (relational_query.py:482-504)
     "q19_match_rows" -> ((s, d) => {
       val elem = points(s, d)
@@ -144,6 +168,12 @@ object ExtraPack extends QueryPack {
     "q18_transform_points" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  (0.5 * x + -0.25 * y) + 3.0 AS x, (0.25 * x + 2.0 * y) + -1.0 AS y
+         |FROM ($pointsSql) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // composed: A(Tinv(S(v))) with S=(2x,3y), Tinv=v-(5,-1), A=q18's affine
+    // -> x' = 1.0 x - 0.75 y + 0.25, y' = 0.5 x + 6.0 y - 0.25 (exact)
+    "q91_cs_graph_transform" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  (1.0 * x + -0.75 * y) + 0.25 AS x, (0.5 * x + 6.0 * y) + -0.25 AS y
          |FROM ($pointsSql) ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q19_match_rows" ->
       s"""SELECT p.l_orderkey, p.l_linenumber, o.o_totalprice

@@ -113,6 +113,50 @@ object RelationalPack extends QueryPack {
         .orderBy("k")
     }),
 
+    // engine-layout container round trip (parquet-per-element + manifest,
+    // spatialdata.py:1108-1203) + subset with table cascade
+    "q90_container_roundtrip" -> ((s, d) => {
+      import graft.geom.st._
+      import graft.model._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ctr_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val shp = Models.ShapesModel.parse(Tables.supplier(s, d).select(
+        col("s_suppkey").as("index"),
+        ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y0"))
+        .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+          col("x0") + 4.0, col("y0") + 2.0))
+        .withColumn("geom_type", lit("polygon")).drop("x0", "y0"))
+      val pts = Models.PointsModel.parse(Tables.supplier(s, d).select(
+        (((col("s_suppkey") * 7) % 50) + 0.5).cast("double").as("x"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y")))
+      val obs = Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"), lit("shp").as("region"),
+        (col("s_suppkey") * 0.25).as("score"))
+      SpatialDataset(s, Seq(
+        SpatialElement(Models.ShapesModel.meta("shp"), shp),
+        SpatialElement(Models.PointsModel.meta("pts"), pts),
+        SpatialElement(Models.TableModel.meta("tab",
+          Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs)))
+        .write(dir)
+      val back = SpatialDataset.read(s, dir)
+      val a = back("shp").agg(count(lit(1)).as("n"),
+        dsum(st_area(col("geometry"))).as("total")).withColumn("k", lit("shapes"))
+      val b = back.element("tab").obs.agg(count(lit(1)).as("n"),
+        dsum(col("score")).as("total")).withColumn("k", lit("obs"))
+      val c = back("pts").agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("total")).withColumn("k", lit("pts"))
+      // subset to pts only: the shp-annotating table cascades away
+      val sub = back.subset(Seq("pts"))
+      val e = s.range(1).select(
+        lit(sub.manifest.elements.size.toLong).as("n"),
+        lit(0.0).as("total"), lit("subset_size").as("k"))
+      a.select("k", "n", "total").unionByName(b.select("k", "n", "total"))
+        .unionByName(c.select("k", "n", "total"))
+        .unionByName(e.select("k", "n", "total"))
+        .orderBy("k")
+    }),
+
     "q06_distinct_instances" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(col("l_suppkey").as("instance_id"))
@@ -148,6 +192,17 @@ object RelationalPack extends QueryPack {
     "q05_extent_points" ->
       """SELECT min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
         |  min(l_quantity) AS ymin, max(l_quantity) AS ymax FROM lineitem""".stripMargin,
+    "q90_container_roundtrip" ->
+      """SELECT 'obs' AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM supplier
+        |UNION ALL SELECT 'pts', COUNT(*),
+        |  CAST(SUM(CAST((s_suppkey * 7) % 50 + 0.5 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM supplier
+        |UNION ALL SELECT 'shapes', COUNT(*),
+        |  CAST(SUM(CAST(8.0 AS DECIMAL(28,6))) AS DOUBLE) FROM supplier
+        |UNION ALL SELECT 'subset_size', 1, 0.0
+        |ORDER BY k""".stripMargin,
     "q88_filter_table_query" ->
       """SELECT 'obs' AS k, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
