@@ -58,6 +58,30 @@ object ExtraPack extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // filter_by_coordinate_system: keep only elements registered in the cs,
+    // cascading annotating tables (spatialdata.py filter path)
+    "q92_filter_by_cs" -> ((s, d) => {
+      val axes = Seq("x", "y")
+      def ptsFrom(mult: Int) = Models.PointsModel.parse(
+        Tables.supplier(s, d).select(
+          (col("s_suppkey") * mult).cast("double").as("x"),
+          col("s_suppkey").cast("double").as("y")))
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.PointsModel.meta("both", transforms = Map(
+          "global" -> IdentityT, "stage" -> ScaleT(Seq(2.0, 2.0), axes))), ptsFrom(1)),
+        SpatialElement(Models.PointsModel.meta("global_only"), ptsFrom(2)),
+        SpatialElement(Models.PointsModel.meta("stage_only", transforms = Map(
+          "stage" -> TranslationT(Seq(1.0, 1.0), axes))), ptsFrom(3))))
+      val filtered = sd.filterByCoordinateSystem("stage")
+      val names = filtered.manifest.elements.map(_.name).sorted
+      val rows = names.map { nm =>
+        filtered(nm).agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(28,6)")).cast("double").as("sum_x"))
+          .withColumn("element", lit(nm))
+      }
+      rows.reduce(_ unionByName _).select("element", "n", "sum_x").orderBy("element")
+    }),
+
     // match_rows row-aligned annotation (relational_query.py:482-504)
     "q19_match_rows" -> ((s, d) => {
       val elem = points(s, d)
@@ -169,6 +193,14 @@ object ExtraPack extends QueryPack {
       s"""SELECT l_orderkey, l_linenumber,
          |  (0.5 * x + -0.25 * y) + 3.0 AS x, (0.25 * x + 2.0 * y) + -1.0 AS y
          |FROM ($pointsSql) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q92_filter_by_cs" ->
+      """SELECT 'both' AS element, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_suppkey AS DECIMAL(28,6))) AS DOUBLE) AS sum_x
+        |FROM supplier
+        |UNION ALL SELECT 'stage_only', COUNT(*),
+        |  CAST(SUM(CAST(s_suppkey * 3 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM supplier
+        |ORDER BY element""".stripMargin,
     // composed: A(Tinv(S(v))) with S=(2x,3y), Tinv=v-(5,-1), A=q18's affine
     // -> x' = 1.0 x - 0.75 y + 0.25, y' = 0.5 x + 6.0 y - 0.25 (exact)
     "q91_cs_graph_transform" ->
