@@ -53,9 +53,10 @@ def write_group(path, attrs=None):
         write_json(os.path.join(path, ".zattrs"), attrs)
 
 
-def write_array(path, arr, chunks=None, skip_chunks=()):
+def write_array(path, arr, chunks=None, skip_chunks=(), sep="."):
     """Numeric zarr v2 array, zlib level 1, C order. `skip_chunks` chunk
-    indices are left absent (zarr semantics: those cells read as fill_value).
+    indices are left absent (zarr semantics: those cells read as fill_value);
+    `sep="/"` writes the nested chunk layout (dimension_separator "/").
     """
     arr = np.ascontiguousarray(arr)
     if chunks is None:
@@ -64,6 +65,7 @@ def write_array(path, arr, chunks=None, skip_chunks=()):
         "zarr_format": 2, "shape": list(arr.shape), "chunks": list(chunks),
         "dtype": DT[arr.dtype], "compressor": {"id": "zlib", "level": 1},
         "fill_value": 0, "order": "C", "filters": None,
+        "dimension_separator": sep,
     }
     write_json(os.path.join(path, ".zarray"), meta)
     grid = [(s + c - 1) // c for s, c in zip(arr.shape, chunks)]
@@ -74,7 +76,9 @@ def write_array(path, arr, chunks=None, skip_chunks=()):
         block = arr[sl]
         full = np.zeros(chunks, dtype=arr.dtype)
         full[tuple(slice(0, s) for s in block.shape)] = block
-        with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
+        fp = os.path.join(path, sep.join(map(str, idx)))
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, "wb") as f:
             f.write(zlib.compress(full.tobytes(), 1))
 
 
@@ -275,8 +279,10 @@ def main():
     write_str_array(os.path.join(vd, "_index"), [f"g{j}" for j in range(nv)])
     md = os.path.join(d, "obsm")
     write_group(md)
+    # nested chunk layout ("/" dimension_separator, OME-zarr v0.4 style) —
+    # the existing obsm assertions + q74 gates prove the reader handles it
     spatial = np.stack([i * 2.0, i + 0.25], axis=1).astype(np.float64)
-    write_array(os.path.join(md, "spatial"), spatial, chunks=[16, 2])
+    write_array(os.path.join(md, "spatial"), spatial, chunks=[16, 2], sep="/")
     # pcs: chunk (2,0) (rows 32-47) deliberately ABSENT — instances must
     # still resolve to fill_value 0.0, not vanish from the wide frame
     pcs = np.where((i[:, None] // 16 == 2), 0.0,
