@@ -207,14 +207,21 @@ object Models {
 
     /** Newline-delimited GeoJSON (one Feature or geometry object per line):
       * a distributed text scan + per-line parse — the scale path for GeoJSON
-      * ingest. Row index is the line's file position order.
+      * ingest. Row index is the dense 0..n-1 line position (zipWithIndex —
+      * one extra partition-count pass, no shuffle), matching the dense row
+      * index tables key on; monotonically_increasing_id would emit sparse
+      * partition-encoded ids that never line up with table instance ids.
       */
     def parseGeoJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
         radius: Option[Double] = None): DataFrame = {
       val wkbUdf = udf((s: String) => geoJsonGeomToWkb(s))
-      val lines = spark.read.text(path)
+      val indexed = spark.read.text(path)
         .filter(length(trim(col("value"))) > 0)
-        .withColumn("index", monotonically_increasing_id())
+        .select("value").rdd.map(_.getString(0)).zipWithIndex()
+      val lines = spark.createDataFrame(
+        indexed.map { case (v, i) => org.apache.spark.sql.Row(i, v) },
+        StructType(Seq(StructField("index", LongType, nullable = false),
+          StructField("value", StringType, nullable = false))))
       finishGeoJson(lines.withColumn("geometry", wkbUdf(col("value")))
         .drop("value"), radius)
     }

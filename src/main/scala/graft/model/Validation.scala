@@ -25,12 +25,19 @@ object Validation {
   }
 
   /** Replace forbidden characters so an arbitrary string becomes a valid
-    * element name (reference `_core/_utils.py` sanitize_name).
+    * element name (reference `_core/_utils.py:34-91` sanitize_name):
+    * non-alphanumeric characters outside `_-.` become `_`, a `__` prefix
+    * sheds one underscore at a time, and for dataframe columns the reserved
+    * `_index` maps to `index`.
     */
-  def sanitizeName(raw: String): String = {
-    val cleaned = raw.map(c => if (c == '/' || c == '\\') '_' else c)
-    val noPrefix = if (cleaned.startsWith("__")) cleaned.drop(2) else cleaned
-    if (noPrefix.isEmpty || noPrefix == "." || noPrefix == "..") "unnamed" else noPrefix
+  def sanitizeName(raw: String, isDataframeColumn: Boolean = false): String = {
+    if (raw.isEmpty || raw == "." || raw == "..") return "unnamed"
+    var s = raw.map(c =>
+      if (Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.') c else '_')
+    while (s.startsWith("__")) s = s.drop(1)
+    if (isDataframeColumn && s == "_index") "index"
+    else if (s.isEmpty) "unnamed"
+    else s
   }
 
   /** Sanitize every key of a table element — obs columns, obsm keys, layer
@@ -41,10 +48,10 @@ object Validation {
     */
   def sanitizeTable(el: SpatialElement): SpatialElement = {
     require(el.meta.kind == ElementKind.Tables, "sanitizeTable expects a table element")
-    def uniquifier(): String => String = {
+    def uniquifier(isDataframeColumn: Boolean = false): String => String = {
       val used = scala.collection.mutable.Set[String]()
       raw => {
-        val base = sanitizeName(raw)
+        val base = sanitizeName(raw, isDataframeColumn)
         val name =
           if (!used.contains(base.toLowerCase)) base
           else {
@@ -56,8 +63,16 @@ object Validation {
         name
       }
     }
-    val obsNamer = uniquifier()
-    val newObs = el.obs.toDF(el.obs.columns.map(obsNamer).toIndexedSeq: _*)
+    val obsNamer = uniquifier(isDataframeColumn = true)
+    val obsRename: Map[String, String] =
+      el.obs.columns.map(c => c -> obsNamer(c)).toMap
+    val newObs = el.obs.toDF(el.obs.columns.map(obsRename).toIndexedSeq: _*)
+    // the annotation linkage names obs columns — remap it through the same
+    // renamer, or a sanitized/uniquified region/instance key silently breaks
+    // every join that resolves through meta.table
+    val newTable = el.meta.table.map(t => t.copy(
+      regionKey = obsRename.getOrElse(t.regionKey, t.regionKey),
+      instanceKey = obsRename.getOrElse(t.instanceKey, t.instanceKey)))
     val obsmNamer = uniquifier()
     val layerNamer = uniquifier()
     val newAux = el.aux.map {
@@ -73,6 +88,6 @@ object Validation {
         s"layer:${layerNamer(k.stripPrefix("layer:"))}" -> df
       case other => other
     }
-    el.copy(data = newObs, aux = newAux)
+    el.copy(meta = el.meta.copy(table = newTable), data = newObs, aux = newAux)
   }
 }

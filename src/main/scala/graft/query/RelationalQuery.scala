@@ -191,14 +191,17 @@ object RelationalQuery {
     } else {
       // search annotating tables: obs column, then X/layer var
       val annotators = sd.tables.values.filter(_.meta.table.exists(_.region.contains(elementName)))
-      if (tableLayer.isDefined && !annotators.exists(_.aux.contains(matKey)))
-        sys.error(s"Layer ${tableLayer.get} was not found.")
       annotators.collectFirst {
         case t if t.obs.columns.contains(key) =>
           val ann = t.meta.table.get
           t.obs.filter(col(ann.regionKey) === elementName)
             .select(col(ann.instanceKey).as("instance_id"), col(key))
       }.orElse {
+        // the reference only raises its layer-not-found ValueError when
+        // resolution reaches X/layers (relational_query.py:1078-1086) — an
+        // obs-column hit with a bogus table_layer still returns obs values
+        if (tableLayer.isDefined && !annotators.exists(_.aux.contains(matKey)))
+          sys.error(s"Layer ${tableLayer.get} was not found.")
         annotators.collectFirst {
           case t if t.aux.contains(matKey) &&
               !t.aux(matKey).filter(col("var_name") === key).isEmpty =>

@@ -397,18 +397,27 @@ object AnnDataZarr {
             val m = arrayMeta(spark, s"$obsmDir/$key")
             require(m.shape.length == 2, s"obsm/$key: expected a 2-D array")
             val k = m.shape(1)
-            // the wide pivot builds k aggregate expressions; beyond spatial/
-            // PCA-sized k that is the wrong plan shape — fail loudly rather
-            // than compile a quadratic-ish expression tree
-            require(k <= MaxObsmWidth,
-              s"obsm/$key: width $k exceeds $MaxObsmWidth; wide-frame get_values " +
-                "resolution supports spatial/PCA-sized obsm only")
-            val wide = readDenseMatrix(spark, s"$obsmDir/$key")
-              .groupBy("row")
-              .agg((0 until k).map(j =>
-                max(when(col("col") === j, col("value"))).as(s"${key}_$j")).head,
-                (1 until k).map(j =>
-                  max(when(col("col") === j, col("value"))).as(s"${key}_$j")): _*)
+            // narrow (spatial/PCA-sized) keys pivot with k conditional
+            // aggregates; beyond MaxObsmWidth that expression tree gets
+            // quadratic-ish to compile, so embedding-sized keys aggregate
+            // once into a map and project k element_at lookups instead —
+            // the reference reads stores with 100+-dim obsm fine, so a
+            // width cap must not fail the table read
+            val wide =
+              if (k <= MaxObsmWidth)
+                readDenseMatrix(spark, s"$obsmDir/$key")
+                  .groupBy("row")
+                  .agg((0 until k).map(j =>
+                    max(when(col("col") === j, col("value"))).as(s"${key}_$j")).head,
+                    (1 until k).map(j =>
+                      max(when(col("col") === j, col("value"))).as(s"${key}_$j")): _*)
+              else
+                readDenseMatrix(spark, s"$obsmDir/$key")
+                  .groupBy("row")
+                  .agg(map_from_entries(collect_list(struct(col("col"), col("value"))))
+                    .as("__m"))
+                  .select(col("row") +: (0 until k).map(j =>
+                    element_at(col("__m"), lit(j.toLong)).as(s"${key}_$j")): _*)
             // left-join from obsKeyed (all instances): a fully-absent chunk
             // row emits no long-form rows when fill_value==0, but the dense
             // array semantics resolve it to fill_value, not a missing row

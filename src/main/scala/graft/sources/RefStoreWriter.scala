@@ -176,6 +176,13 @@ object RefStoreWriter {
       if (kinds.forall(k => k == "circle" || k == "point")) "point"
       else if (kinds.contains("multipolygon")) "multipolygon"
       else "polygon"
+    // geoarrow is a single-kind physical layout (points can't promote into
+    // a polygon list column) — reject mixed elements on the driver, before
+    // any part file exists, instead of erroring mid-job on executors
+    if (encoding != "WKB" && kinds.exists(k => k == "circle" || k == "point") &&
+        kinds.exists(k => k == "polygon" || k == "multipolygon"))
+      sys.error(s"geoarrow encoding needs a homogeneous geometry kind, " +
+        s"got ${kinds.mkString(", ")}; write this element as WKB instead")
     val schemaStr = geoParquetSchemaString(encoding, geoarrowKind, hasRadius)
     val geoMeta = geoMetaJson(encoding, geoarrowKind, geomTypes)
     val cols = Seq(col("index").cast("long"), col("geometry")) ++

@@ -47,6 +47,10 @@ class GeoJsonSpec extends SparkTestBase {
     assert(df.count() == 12)
     val areas = df.select(st_area(col("geometry"))).as[Double].collect()
     assert(areas.forall(_ == 6.0))
+    // index is the dense 0..n-1 line order, like the driver-side path — not
+    // sparse partition-encoded ids that can't key against table instances
+    val idx = df.select("index").as[Long].collect().sorted.toSeq
+    assert(idx == (0L until 12L))
   }
 
   test("a non-collection document fails loudly") {

@@ -19,16 +19,41 @@ class ApiParitySpec extends SparkTestBase {
     val el = SpatialElement(Models.TableModel.meta("t", None), obs,
       Map("obsm:sp@t" -> obsm, "layer:my/layer" -> layer))
     val out = Validation.sanitizeTable(el)
-    // '/' -> '_', then case-insensitive collision with bad_name -> counter
-    assert(out.obs.columns.toSeq == Seq("instance_id", "@Bad_Name", "bad_name"))
-    assert(out.aux.keySet == Set("obsm:sp@t", "layer:my_layer"))
-    // unchanged obsm key keeps its wide columns aligned
-    assert(out.aux("obsm:sp@t").columns.toSet ==
-      Set("instance_id", "sp@t_0", "sp@t_1"))
+    // non-alnum (incl '@') -> '_' (reference sanitize_name, _utils.py:82),
+    // then case-insensitive collision with bad_name -> counter
+    assert(out.obs.columns.toSeq == Seq("instance_id", "_Bad_Name", "bad_name"))
+    assert(out.aux.keySet == Set("obsm:sp_t", "layer:my_layer"))
+    // renamed obsm key keeps its wide columns aligned
+    assert(out.aux("obsm:sp_t").columns.toSet ==
+      Set("instance_id", "sp_t_0", "sp_t_1"))
     // collision path: two columns sanitizing to the same name get _1
     val clash = Seq((1L, "x", "y")).toDF("a/b", "a\\b", "c")
     val el2 = SpatialElement(Models.TableModel.meta("t2", None), clash, Map.empty)
     assert(Validation.sanitizeTable(el2).obs.columns.toSeq == Seq("a_b", "a_b_1", "c"))
+  }
+
+  test("sanitizeName matches the reference's character rules") {
+    assert(Validation.sanitizeName("my@invalid#name") == "my_invalid_name")
+    // the reference loop sheds ONE underscore per pass while the '__'
+    // prefix remains (_utils.py:84-86) — its docstring example 'private'
+    // disagrees with its own code, which yields '_private'
+    assert(Validation.sanitizeName("__private") == "_private")
+    assert(Validation.sanitizeName("____x") == "_x")
+    assert(Validation.sanitizeName("") == "unnamed")
+    assert(Validation.sanitizeName("..") == "unnamed")
+    // the reserved pandas index name maps to 'index' for dataframe columns
+    assert(Validation.sanitizeName("_index", isDataframeColumn = true) == "index")
+    assert(Validation.sanitizeName("_index") == "_index")
+  }
+
+  test("sanitizeTable remaps the annotation linkage through the obs renamer") {
+    val obs = Seq((1L, "r", 0.5)).toDF("instance@id", "region#key", "score")
+    val el = SpatialElement(Models.TableModel.meta("t",
+      Some(TableAnnotation(Seq("shp"), "region#key", "instance@id"))), obs, Map.empty)
+    val out = Validation.sanitizeTable(el)
+    assert(out.obs.columns.toSeq == Seq("instance_id", "region_key", "score"))
+    assert(out.meta.table.contains(
+      TableAnnotation(Seq("shp"), "region_key", "instance_id")))
   }
 
   test("areExtentsEqual compares per-bound within atol over matching axes") {

@@ -128,6 +128,21 @@ class RefStoreSpec extends SparkTestBase {
     }
   }
 
+  test("obsm wider than MaxObsmWidth reads through the map-aggregate path " +
+      "instead of failing the table read") {
+    val el = sd.element("t_dense")
+    assert(el.aux.contains("obsm:emb"))
+    val df = el.aux("obsm:emb")
+    assert(df.columns.length == 1 + 80)
+    val rows = df.select(col("instance_id").cast("long"), col("emb_0"),
+        col("emb_39"), col("emb_79"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length == 50)
+    rows.foreach { case (i, a, b, c) =>
+      assert(a == i * 0.5 && b == i * 0.5 + 39 * 0.125 && c == i * 0.5 + 79 * 0.125)
+    }
+  }
+
   test("AnnData CSR X reconstructs exact COO triples") {
     val x = sd.element("t_csr").x
     val want = (for (i <- 0 until 30; e <- Seq((i % 3, i + 0.5), ((i + 1) % 3, 2.0 * i + 0.25)))

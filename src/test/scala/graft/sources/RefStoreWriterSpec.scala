@@ -125,6 +125,29 @@ class RefStoreWriterSpec extends SparkTestBase {
         tableLayer = Some("nope")).collect()
     }
     assert(e.getMessage.contains("Layer"))
+    // but an obs-column key resolves through obs BEFORE the layer lookup —
+    // the reference only raises its ValueError at var-origin resolution
+    val obsVals = graft.query.RelationalQuery.getValues(back, "score", "shp",
+      tableLayer = Some("nope"))
+    assert(obsVals.count() == 12)
+  }
+
+  test("geoarrow encoding rejects mixed point+polygon elements on the driver") {
+    val mixed = Models.ShapesModel.parse(Seq(
+      (0L, graft.geom.WKB.write(graft.geom.GPoint(1.0, 1.0)), "circle", Some(1.0)),
+      (1L, graft.geom.WKB.write(graft.geom.GPolygon(Array(
+        Array(0.0, 0.0, 2.0, 0.0, 2.0, 1.0, 0.0, 1.0)))), "polygon", None))
+      .toDF("index", "geometry", "geom_type", "radius")
+      .withColumn("radius", col("radius").cast("double")))
+    val sd = SpatialDataset(spark, Seq(
+      SpatialElement(Models.ShapesModel.meta("mix"), mixed)))
+    val r = new java.io.File("target/ref-demo-mixed.zarr").getAbsolutePath
+    val e = intercept[RuntimeException] {
+      RefStoreWriter.write(sd, r, geometryEncoding = "geoarrow")
+    }
+    assert(e.getMessage.contains("homogeneous"), e.getMessage)
+    // failed on the driver: no part files were started
+    assert(!new java.io.File(s"$r/shapes/mix/shapes.parquet").exists())
   }
 
   test("above the row threshold shapes export becomes a task-parallel " +

@@ -289,6 +289,12 @@ def main():
                    np.stack([i + 0.5, i * 3.0], axis=1)).astype(np.float64)
     write_array(os.path.join(md, "pcs"), pcs, chunks=[16, 2],
                 skip_chunks=[(2, 0)])
+    # emb: 80 columns — wider than the pivot threshold (MaxObsmWidth=64);
+    # the reference reads embedding-sized obsm fine, so the reader must take
+    # the map-aggregate wide path instead of failing the table read
+    ke = 80
+    emb = (i[:, None] * 0.5 + np.arange(ke)[None, :] * 0.125).astype(np.float64)
+    write_array(os.path.join(md, "emb"), emb, chunks=[16, 40])
 
     # ---- tables/t_csr: AnnData zarr, CSR X ----
     no, nv = 30, 3
