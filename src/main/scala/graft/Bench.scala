@@ -44,6 +44,10 @@ object Bench {
       }
       val a = once()
       val b = if (a < 0) -1.0 else once()
+      // drop caches a query persisted (LSH band tables etc.) so they don't
+      // accumulate across the run — unevicted leftovers from earlier
+      // queries were causing ±80% run-to-run swings on the later ones
+      spark.catalog.clearCache()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

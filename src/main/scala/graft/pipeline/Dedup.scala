@@ -221,6 +221,51 @@ object Dedup {
     perBand.reduce(_ unionAll _).distinct()
   }
 
+  /** Near-duplicate clusters from a candidate-pair table: connected
+    * components labeled by the minimum doc id in each component — the stage
+    * after LSH + verify that picks ONE canonical document per duplicate
+    * group.
+    *
+    * Iterative min-label propagation ("hash-to-min"): each round every node
+    * takes the minimum of its own label and its neighbors' labels — one
+    * equi-join + one partial aggregation per round, shuffled by node id.
+    * Rounds needed = the component diameter; dedup clusters are shallow
+    * (stars/cliques around a few near-identical docs), so convergence is
+    * 2-3 rounds in practice. The driver only ever sees a 1-row convergence
+    * count per round; labels stay distributed. Fails loudly if `maxIter`
+    * rounds don't converge (a pathological chain — raise maxIter or
+    * pre-split the graph) rather than returning half-merged clusters.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist(lvl)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("__nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__m"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("__m"), col("lbl"))).as("lbl"))
+        .persist(lvl)
+      val changed = next
+        .join(labels.select(col("id"), col("lbl").as("__old")), "id")
+        .filter(col("lbl") < col("__old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Exact cosine for a caller-supplied candidate pair table (the verify
     * stage when candidates come from elsewhere — LSH bands, ANN, sampling).
     * Two id-equi-joins against the vector table; no product.

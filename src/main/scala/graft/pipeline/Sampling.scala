@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing.
+  *
+  * Random `df.sample` is neither reproducible across runs/partitionings nor
+  * oracle-verifiable; these operators derive the sampling decision from a
+  * salted md5 of the row key, so the same row is selected on every engine,
+  * every partitioning, every rerun — the property a 100 TB curation
+  * pipeline needs for resumable, auditable mixes.
+  */
+object Sampling {
+
+  /** uint32 from the first 8 hex digits of md5(salt:key) — a uniform
+    * [0, 2^32) value identical in any md5-bearing engine.
+    */
+  def keyHash32(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Uniform deterministic sample: keep a row iff hash32(key) < fraction *
+    * 2^32. A pure filter — predicate-pushdown friendly, no shuffle, no
+    * state; changing `salt` draws an independent sample.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = "s"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    val cut = math.round(fraction * 4294967296.0)
+    df.filter(keyHash32(col(keyCol), salt) < lit(cut))
+  }
+
+  /** Per-stratum quota: the `n` rows of each stratum with the smallest key
+    * hashes (hash order = a deterministic shuffle, so this is a reproducible
+    * uniform-without-replacement draw per stratum). One shuffle by stratum;
+    * a hot stratum streams through a single reducer's window, but only its
+    * first `n` rows are retained, so the state is O(n) — for quotas large
+    * enough to matter, pre-filter with [[hashSample]] at ~2x the target rate
+    * first to cut the sort input.
+    */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, keyCol: String,
+      n: Int, salt: String = "s"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(keyHash32(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Per-stratum sampling at stratum-specific rates (the "mixture weights"
+    * surface: {lang -> fraction}). Rows of unlisted strata are dropped.
+    * Broadcast map join in expression form — still a pure filter.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+      fractions: Map[String, Double], salt: String = "s"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val cut = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(math.round(f * 4294967296.0))).otherwise(acc)
+    }
+    df.filter(keyHash32(col(keyCol), salt) < cut)
+  }
+}

@@ -92,35 +92,94 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", Dedup.words(text)))
 
+  /** Gopher-style repetition signals — the duplicate-content quality
+    * filters large-scale corpus cleaning applies per document (Rae et al.
+    * 2021, "Scaling Language Models", table A1):
+    *
+    *  - `dup_line_frac`: fraction of (trimmed, non-empty) line occurrences
+    *    beyond the first of each distinct line, `(total - distinct)/total`.
+    *  - `dup_line_char_frac`: fraction of line characters inside those
+    *    repeated occurrences.
+    *  - `top_2gram_char_frac`: characters covered by the most frequent
+    *    word 2-gram over the normalized text, `count * len(gram) /
+    *    len(norm)`; ties break to the lexicographically greatest gram.
+    *  - `dup_5gram_frac`: fraction of word 5-gram occurrences whose gram
+    *    appears more than once.
+    *
+    * Shape at scale: three per-(doc, unit) count aggregations re-aggregated
+    * per doc and joined back on doc_id — shuffles are keyed by doc id (plus
+    * the unit string), partial aggregation everywhere, no windows, no
+    * products. Docs with no lines/grams resolve to 0.0.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol),
+      length(concat_ws(" ", Dedup.words(col(textCol)))).as("__norm_len"))
+
+    val lineCounts = docs
+      .select(col(idCol), explode(filter(
+        transform(split(col(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0)).as("__line"))
+      .groupBy(col(idCol), col("__line"))
+      .agg(count(lit(1)).as("__c"))
+    val lineAgg = lineCounts.groupBy(col(idCol)).agg(
+      ((sum(col("__c")) - count(lit(1))).cast("double") / sum(col("__c")))
+        .as("dup_line_frac"),
+      (sum((col("__c") - 1) * length(col("__line"))).cast("double") /
+        sum(col("__c") * length(col("__line")))).as("dup_line_char_frac"))
+
+    val g2 = Dedup.shingleRows(docs, textCol, idCol, 2)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
+    val topG2 = g2.groupBy(col(idCol)).agg(
+      max(struct(col("__c"), col("shingle"))).as("__top"))
+      .select(col(idCol),
+        (col("__top.__c") * length(col("__top.shingle"))).as("__top_chars"))
+
+    val g5 = Dedup.shingleRows(docs, textCol, idCol, 5)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
+    val dup5 = g5.groupBy(col(idCol)).agg(
+      (sum(when(col("__c") > 1, col("__c")).otherwise(0)).cast("double") /
+        sum(col("__c"))).as("dup_5gram_frac"))
+
+    base
+      .join(lineAgg, Seq(idCol), "left")
+      .join(topG2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("dup_line_frac"), lit(0.0)), 6).as("dup_line_frac"),
+        round(coalesce(col("dup_line_char_frac"), lit(0.0)), 6).as("dup_line_char_frac"),
+        round(coalesce(col("__top_chars").cast("double") /
+          greatest(col("__norm_len"), lit(1)), lit(0.0)), 6).as("top_2gram_char_frac"),
+        round(coalesce(col("dup_5gram_frac"), lit(0.0)), 6).as("dup_5gram_frac"))
+  }
+
   /** Winnowing document sketch: k-char gram rolling hashes, keep the
     * per-window minimum; the distinct minima rows are the sketch — the
     * standard local fingerprinting scheme for near-dup detection at
     * character level.
     *
-    * Row-wise on purpose: grams explode to rows and the window minimum is a
-    * `Window.rowsBetween` — the nested-array form would re-evaluate the
-    * normalization regex once per gram (Catalyst inlines single-reference
-    * expressions into lambdas; O(n^2) per document).
+    * Fully per-document: the gram hashes build as an array and the sliding
+    * minima come from `array_min(slice(...))` lambdas, so nothing shuffles
+    * until the (much smaller) sketch rows hit the final distinct. The
+    * `__norm`/`__gh` intermediates are each referenced twice by non-cheap
+    * consumers, which keeps CollapseProject from inlining the normalization
+    * regex into the per-element lambdas (that inlining is O(n^2)/doc — the
+    * reason an earlier version exploded grams to rows and paid a window
+    * shuffle instead).
     */
   def winnowing(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 8, window: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = docs.select(col(idCol),
       concat_ws(" ", Dedup.words(col(textCol))).as("__norm"))
-    // gram count is a pure function of the normalized length — carrying it
-    // as a column avoids a second (unordered, full-buffer) window pass
-    val grams = norm
-      .select(col(idCol), col("__norm"),
-        greatest(length(col("__norm")) - (k - 1), lit(1)).as("__n"),
-        explode(sequence(lit(1), greatest(length(col("__norm")) - (k - 1), lit(1)))).as("__i"))
-      .select(col(idCol), col("__i"), col("__n"),
-        md5(col("__norm").substr(col("__i"), lit(k))).as("__h"))
-    val wMin = Window.partitionBy(col(idCol)).orderBy(col("__i"))
-      .rowsBetween(Window.currentRow, window - 1)
-    grams
-      .withColumn("__min", min(col("__h")).over(wMin))
-      .filter(col("__i") - 1 <= greatest(col("__n") - window, lit(0)))
-      .select(col(idCol), col("__min").as("h"))
+    val hashed = norm.select(col(idCol),
+      transform(
+        sequence(lit(1), greatest(length(col("__norm")) - (k - 1), lit(1))),
+        i => md5(col("__norm").substr(i, lit(k)))).as("__gh"))
+    hashed
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__gh")) - window, lit(0))),
+          w => array_min(slice(col("__gh"), w + 1, lit(window)))))).as("h"))
       .distinct()
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -164,8 +164,48 @@ object PipelinePack extends QueryPack {
         Tables.documents(s, d).filter(col("doc_id") % 25 === 0), "doc_id", "text", "video")
       Multimodal.frameSamplePlan(media, nFrames = 4, stride = 3)
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Gopher-style repetition/duplication quality signals
+    "q93_repetition_signals" -> ((s, d) => {
+      TextAnalysis.repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }),
+
+    // deterministic md5 sample — reproducible uniform filter, no shuffle
+    "q94_hash_sample" -> ((s, d) => {
+      Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-language deterministic quota (hash-ordered top-n per stratum)
+    "q95_stratified_sample" -> ((s, d) => {
+      Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
+    // mixture-weight sampling: per-language rates (the data-mixing surface)
+    "q96_mixture_sample" -> ((s, d) => {
+      Sampling.mixtureSample(Tables.documents(s, d), "lang", "doc_id", MixRates)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
+    // connected-component cluster ids over the LSH candidate-pair graph
+    // (min-id label propagation; the canonical-doc-per-duplicate-group stage)
+    "q97_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(Tables.documents(s, d),
+        maxBucketSize = Some(50), persistBands = true).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     })
   )
+
+  /** Mixture rates for q96 — the oracle derives its cutoffs from the same map. */
+  private val MixRates: Map[String, Double] =
+    Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
+
+  /** uint32 from the first 8 md5 hex digits — mirrors [[Sampling.keyHash32]]. */
+  private def hex32Sql(s: String) =
+    s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = {
     // SimHash: 16 generated terms, bit j = parity of hex digit j of md5(word)
@@ -355,7 +395,73 @@ object PipelinePack extends QueryPack {
       "q53_frame_plan" ->
         """SELECT doc_id AS media_id, f.i AS frame_idx
           |FROM documents, (SELECT unnest([0, 3, 6, 9]) AS i) f
-          |WHERE doc_id % 25 = 0 ORDER BY media_id, frame_idx""".stripMargin
+          |WHERE doc_id % 25 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+      "q93_repetition_signals" ->
+        s"""WITH lines AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    list_transform(string_split(text, chr(10)), x -> trim(x)),
+           |    x -> length(x) > 0)) AS line
+           |  FROM documents),
+           |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+           |la AS (SELECT doc_id,
+           |  CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_line_frac,
+           |  CAST(SUM((c - 1) * length(line)) AS DOUBLE) / SUM(c * length(line)) AS dup_line_char_frac
+           |  FROM lc GROUP BY 1),
+           |g2c AS (SELECT doc_id, sh, COUNT(*) AS c FROM (
+           |  SELECT doc_id, unnest(${shinglesSql(wordsSql, 2)}) AS sh FROM documents) GROUP BY 1, 2),
+           |top2 AS (SELECT doc_id, c * length(sh) AS top_chars FROM (
+           |  SELECT doc_id, sh, c,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, sh DESC) AS rn
+           |  FROM g2c) WHERE rn = 1),
+           |g5c AS (SELECT doc_id, sh, COUNT(*) AS c FROM (
+           |  SELECT doc_id, unnest(${shinglesSql(wordsSql, 5)}) AS sh FROM documents) GROUP BY 1, 2),
+           |d5 AS (SELECT doc_id,
+           |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_5gram_frac
+           |  FROM g5c GROUP BY 1),
+           |base AS (SELECT doc_id, length(array_to_string($wordsSql, ' ')) AS norm_len FROM documents)
+           |SELECT b.doc_id AS doc_id,
+           |  ROUND(COALESCE(dup_line_frac, 0.0), 6) AS dup_line_frac,
+           |  ROUND(COALESCE(dup_line_char_frac, 0.0), 6) AS dup_line_char_frac,
+           |  ROUND(COALESCE(CAST(top_chars AS DOUBLE) / GREATEST(norm_len, 1), 0.0), 6) AS top_2gram_char_frac,
+           |  ROUND(COALESCE(dup_5gram_frac, 0.0), 6) AS dup_5gram_frac
+           |FROM base b
+           |LEFT JOIN la USING (doc_id) LEFT JOIN top2 USING (doc_id)
+           |LEFT JOIN d5 USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+      "q94_hash_sample" ->
+        s"""SELECT doc_id, lang, n_chars FROM documents
+           |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}
+           |ORDER BY doc_id""".stripMargin,
+      "q95_stratified_sample" ->
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+           |    ORDER BY ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+      "q96_mixture_sample" -> {
+        val cases = MixRates.toSeq.sortBy(_._1).map { case (l, f) =>
+          s"WHEN lang = '$l' THEN ${math.round(f * 4294967296.0)}"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} <
+           |  CASE $cases ELSE -1 END
+           |ORDER BY doc_id""".stripMargin
+      },
+      "q97_dedup_clusters" ->
+        s"""${bandsSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |      FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
+           |      WHERE l.doc_id < r.doc_id),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+           |nodes AS (SELECT DISTINCT a AS id FROM e),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.b, reach.lbl FROM reach JOIN e ON e.a = reach.id)
+           |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+           |ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -121,6 +121,67 @@ class PipelineSpec extends SparkTestBase {
     assert(fps.distinct.length == 1)
   }
 
+  test("repetition signals: dup-line and top-2gram fractions") {
+    val t = Seq(
+      (1L, "aa bb\naa bb\ncc dd"),          // one dup line of 2 distinct
+      (2L, "x y x y x y"),                   // top 2-gram 'x y' x3
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(t)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    // doc 1: 3 line occurrences, 2 distinct -> dup_line_frac = 1/3; the
+    // duplicated occurrence holds 5 of 15 line chars
+    assert(got(0)._2 == 0.333333 && got(0)._3 == 0.333333)
+    // doc 2: norm 'x y x y x y' (11 chars); top 2-gram 'x y' occurs 3x,
+    // len 3 -> 9/11
+    assert(got(1)._4 == 0.818182)
+    // empty doc: all-zero signals, still present
+    assert(got(2) == ((3L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("hash sampling is deterministic, uniform-ish, and composable") {
+    val ids = (0L until 2000L).toDF("doc_id").withColumn("lang",
+      when(col("doc_id") % 3 === 0, "en").otherwise("fr"))
+    val s1 = Sampling.hashSample(ids, "doc_id", 0.25).as[(Long, String)].collect().toSet
+    val s2 = Sampling.hashSample(ids, "doc_id", 0.25).as[(Long, String)].collect().toSet
+    assert(s1 == s2, "same salt -> same sample")
+    assert(math.abs(s1.size - 500) < 100, s"got ${s1.size}, expected ~500")
+    // a smaller fraction with the same salt is a SUBSET (nested samples)
+    val s3 = Sampling.hashSample(ids, "doc_id", 0.1).as[(Long, String)].collect().toSet
+    assert(s3.subsetOf(s1))
+    // a different salt draws an independent sample
+    val s4 = Sampling.hashSample(ids, "doc_id", 0.25, salt = "t")
+      .as[(Long, String)].collect().toSet
+    assert(s4 != s1)
+  }
+
+  test("stratified quota takes exactly n per stratum; mixture rates filter per stratum") {
+    val ids = (0L until 300L).toDF("doc_id").withColumn("lang",
+      when(col("doc_id") % 3 === 0, "en")
+        .when(col("doc_id") % 3 === 1, "fr").otherwise("de"))
+    val q = Sampling.stratifiedQuota(ids, "lang", "doc_id", 7)
+    val perLang = q.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang == Map("en" -> 7L, "fr" -> 7L, "de" -> 7L))
+    val m = Sampling.mixtureSample(ids, "lang", "doc_id", Map("en" -> 1.0, "fr" -> 0.0))
+      .select("lang").distinct().as[String].collect().toSeq
+    assert(m == Seq("en"), "rate-1.0 keeps all en; rate-0 and unlisted drop")
+  }
+
+  test("connected components label every node with its component minimum") {
+    // two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // pathological chain deeper than maxIter fails loudly, not half-merged
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
   test("multimodal decode batch + resize plan + features") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
     val dec = Multimodal.decodeBatch(media)
