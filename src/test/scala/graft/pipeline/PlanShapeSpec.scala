@@ -67,6 +67,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(self.getLong(1) == 1L && self.getDouble(2) == 0.0)
   }
 
+  test("connectedComponents rounds are equi-joins: no product in any iteration") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // the result plan only shows the last round; products in EARLIER rounds
+    // would also surface there through the persisted lineage boundary, so
+    // asserting on the returned frame covers the loop
+    assertNoProduct(Dedup.connectedComponents(pairs))
+  }
+
+  test("repetitionSignals aggregates by doc id: no product, no global window") {
+    val docs = Seq((1L, "a b a b\nc d"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs)
+    assertNoProduct(out)
+    val plan = out.queryExecution.executedPlan.toString
+    // shingleRows' per-doc lead window is the only allowed window; a global
+    // (unpartitioned) window would serialize the corpus through one task
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      s"unpartitioned window in:\n$plan")
+  }
+
+  test("hashSample is a pure filter: no shuffle in the plan") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val plan = Sampling.hashSample(docs, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("relabelSequential has no unpartitioned window in the plan") {
     val lbl = Seq((0, 0, 10L), (0, 1, 20L), (1, 0, 0L), (1, 1, 10L))
       .toDF("y", "x", "label")
