@@ -32,6 +32,21 @@ object Tables {
     s.read.schema(
       "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$d/events.parquet")
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** Spread a CPU-bound corpus scan across the session's cores when the
+    * file layout under-parallelizes it. A single small parquet file (one
+    * row group) scans as ONE task, serializing every md5/regex-heavy text
+    * kernel downstream; a repartition of a few MB is the correct plan then.
+    * At production scale the scan already has >= cores splits, the
+    * condition is false, and NO shuffle is added — this must never turn
+    * into an unconditional repartition of a 100 TB corpus.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= want) df.repartition(want) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, t(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, t(s, d, "embeddings"))
 }

@@ -241,24 +241,29 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().persist(lvl)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist(lvl)
+    // round 1 folds into initialization: lbl = min(own id, nearest neighbor)
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("lbl"))
+      .select(col("a").as("id"), col("lbl")).persist(lvl)
     var converged = false
-    var it = 0
+    var it = 1
     while (!converged && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("__nl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__m"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("__m"), col("lbl"))).as("lbl"))
+        .groupBy(col("a")).agg(min(col("__nl")).as("__m"))
+        .select(col("a").as("id"), col("__m"))
+      // one merged frame carries old + new label, so change detection is a
+      // filter over the same persisted result, not a second join; the full
+      // count (not limit-1) materializes every partition into the cache the
+      // next round reads from
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("__old"),
+          least(col("lbl"), coalesce(col("__m"), col("lbl"))).as("lbl"))
         .persist(lvl)
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("__old")), "id")
-        .filter(col("lbl") < col("__old"))
-        .limit(1).count()
+      val nChanged = merged.filter(col("lbl") < col("__old")).count()
       labels.unpersist()
-      labels = next
-      converged = changed == 0
+      labels = merged.select("id", "lbl")
+      converged = nChanged == 0
       it += 1
     }
     edges.unpersist()
