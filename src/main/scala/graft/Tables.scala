@@ -40,13 +40,29 @@ object Tables {
     * condition is false, and NO shuffle is added — this must never turn
     * into an unconditional repartition of a 100 TB corpus.
     */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val want = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= want) df.repartition(want) else df
+    // hash-partition on the downstream group key (not round-robin): per-doc
+    // windows and groupBys then REUSE this partitioning instead of adding
+    // their own exchange on top
+    if (df.rdd.getNumPartitions * 4 <= want)
+      df.repartition(want, org.apache.spark.sql.functions.col(key))
+    else df
   }
 
-  def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "documents"))
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "embeddings"))
+    spread(s, t(s, d, "embeddings"), "vec_id")
+
+  /** [[documents]], spread across the session's cores when the file layout
+    * under-parallelizes the scan (a single small parquet file = ONE task,
+    * serializing md5/regex-heavy per-doc kernels onto one core; at
+    * production scale the scan already has >= cores splits and no shuffle
+    * is added). Use for embarrassingly-parallel per-document compute; for
+    * join-heavy pipelines (LSH banding and friends) use the plain scan —
+    * measured at sf0.1, the pre-shuffle costs those MORE than the extra
+    * parallelism returns, while per-doc kernels speed up 4-5x.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, t(s, d, "documents"), "doc_id")
 }

@@ -135,6 +135,19 @@ object ExtraPack extends QueryPack {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // exactly-once ingestion dedup, batch form: first event per key by
+    // (ts, event_id); streaming form = dropDuplicatesWithinWatermark.
+    // Gate output carries ts at MICROSECONDS — DuckDB reads the parquet
+    // TIMESTAMP(NANOS) column at us precision, the engine keeps ns
+    "q98_dedup_first_by_key" -> ((s, d) => {
+      EventStream.dedupByKey(Tables.eventsWithTs(s, d),
+        Seq("user_id", "event_type"))
+        .withColumn("ts_us", org.apache.spark.sql.graftbridge.Bridge
+          .integralDivide(col("ts"), lit(1000L)))
+        .drop("ts")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // shapes -> raster via scanline fill, min-index labels
     // (rasterize.py:616-743)
     "q58_rasterize_shapes" -> ((s, d) => {
@@ -259,6 +272,13 @@ object ExtraPack extends QueryPack {
         |SELECT user_id, session_seq, min(event_time) AS session_start,
         |  max(event_time) AS session_end, COUNT(*) AS n_events
         |FROM seq GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    "q98_dedup_first_by_key" ->
+      """SELECT user_id, event_type, event_id, value, props, ts_us FROM (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    value, props,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     // cell center (x+0.5, y+0.5) inside box [x0, x0+8] x [y0, y0+6]
     "q58_rasterize_shapes" ->
       """WITH b AS (

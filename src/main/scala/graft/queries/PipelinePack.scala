@@ -48,7 +48,7 @@ object PipelinePack extends QueryPack {
 
     // token count + quality features + composite score
     "q41_text_quality" -> ((s, d) => {
-      TextAnalysis.qualityScore(Tables.documents(s, d))
+      TextAnalysis.qualityScore(Tables.documentsSpread(s, d))
         .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
           "mean_word_len", "quality_score")
         .orderBy(col("doc_id"))
@@ -75,7 +75,7 @@ object PipelinePack extends QueryPack {
 
     // SimHash 16-bit fingerprints
     "q44_simhash" -> ((s, d) => {
-      Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+      Dedup.simhash(Tables.documentsSpread(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -132,14 +132,14 @@ object PipelinePack extends QueryPack {
 
     // language-ID heuristic (stopword argmax)
     "q50_language_id" -> ((s, d) => {
-      TextAnalysis.languageId(Tables.documents(s, d))
+      TextAnalysis.languageId(Tables.documentsSpread(s, d))
         .select("doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "lang_pred")
         .orderBy(col("doc_id"))
     }),
 
     // token + subword-estimate counting (the training-budget estimator)
     "q72_token_counts" -> ((s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
+      Tables.documentsSpread(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))
         .orderBy(col("doc_id"))
@@ -147,14 +147,14 @@ object PipelinePack extends QueryPack {
 
     // normalized-content fingerprint
     "q51_fingerprint" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documentsSpread(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
     // winnowing sketch (k-gram rolling hash, per-window minimum)
     "q52_winnowing" -> ((s, d) => {
-      TextAnalysis.winnowing(Tables.documents(s, d))
+      TextAnalysis.winnowing(Tables.documentsSpread(s, d))
         .orderBy(col("doc_id"), col("h"))
     }),
 
@@ -168,7 +168,7 @@ object PipelinePack extends QueryPack {
 
     // Gopher-style repetition/duplication quality signals
     "q93_repetition_signals" -> ((s, d) => {
-      TextAnalysis.repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))
+      TextAnalysis.repetitionSignals(Tables.documentsSpread(s, d)).orderBy(col("doc_id"))
     }),
 
     // deterministic md5 sample — reproducible uniform filter, no shuffle

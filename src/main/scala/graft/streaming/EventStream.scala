@@ -106,6 +106,34 @@ object EventStream {
       }
   }
 
+  /** Exactly-once ingestion dedup, batch form: keep the FIRST occurrence
+    * (by event time, then event_id) of each key — the at-least-once ->
+    * exactly-once repair every training-data ingest needs. A struct-min
+    * aggregate per key: partial aggregation, no window.
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String] = Seq("event_id")): DataFrame = {
+    val others = events.columns.filterNot(keyCols.contains)
+    events
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col("ts") +: col("event_id") +:
+        others.filterNot(Set("ts", "event_id")).map(col): _*)).as("__first"))
+      .select(keyCols.map(col) ++
+        others.map(c => col(s"__first.$c").as(c)): _*)
+  }
+
+  /** The streaming form: `dropDuplicatesWithinWatermark` keeps one row per
+    * key and expires its hash state once the watermark passes — bounded
+    * state at unbounded stream length, the property a driver-side `Set`
+    * or an un-watermarked dropDuplicates does not have.
+    */
+  def streamingDedupByKey(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, keyCols: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    spark.readStream.schema(schemaDDL).parquet(sourceDir)
+      .withColumn("event_time", tsFromNanos(col("ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Sessionization per user: events within `gapMinutes` of each other chain
     * into one session (classic gaps-and-islands — batch form; the streaming
     * form is [[streamingSessionize]]).

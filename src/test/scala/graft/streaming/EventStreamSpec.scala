@@ -82,4 +82,32 @@ class EventStreamSpec extends SparkTestBase {
         (9L, us(1005), us(1005), 1L)))
     } finally q.stop()
   }
+
+  test("streaming dedup-by-key keeps one row per key, matching the batch form") {
+    import spark.implicits._
+    val ns = (m: Long) => m * 60L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    // at-least-once delivery: event 1 and 3 arrive twice (once across files)
+    Seq((1L, ns(1000), 7L, "a", 1.0, ""), (1L, ns(1000), 7L, "a", 1.0, ""),
+      (2L, ns(1001), 7L, "b", 2.0, ""), (3L, ns(1002), 9L, "a", 3.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, ns(1002), 9L, "a", 3.0, ""), (4L, ns(1003), 9L, "b", 4.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val batch = EventStream.dedupByKey(spark.read.schema(schemaDDL).parquet(dir))
+      .select("event_id", "user_id", "value").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(batch == Set((1L, 7L, 1.0), (2L, 7L, 2.0), (3L, 9L, 3.0), (4L, 9L, 4.0)))
+
+    val q = EventStream.streamingDedupByKey(spark, dir, schemaDDL)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_out")
+      .select("event_id", "user_id", "value").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(streamed == batch)
+  }
 }

@@ -382,13 +382,20 @@ def main():
         "coordinateTransformations": [ngff_identity()],
         "spatialdata_attrs": {"instance_key": "instance", "version": "0.1"},
     })
+    # dask to_parquet layout: a DIRECTORY of part.N.parquet files plus
+    # _metadata/_common_metadata sidecars (readers must skip '_'-prefixed
+    # files, which Spark's parquet source does by default)
     pdir = os.path.join(d, "points.parquet")
     os.makedirs(pdir, exist_ok=True)
-    pq.write_table(pa.table({
+    tbl = pa.table({
         "x": pa.array((i * 1.5).astype(np.float64)),
         "y": pa.array((i * 0.5).astype(np.float64)),
         "instance": pa.array(i.astype(np.int64)),
-    }), os.path.join(pdir, "part.0.parquet"))
+    })
+    pq.write_table(tbl.slice(0, 15), os.path.join(pdir, "part.0.parquet"))
+    pq.write_table(tbl.slice(15), os.path.join(pdir, "part.1.parquet"))
+    pq.write_metadata(tbl.schema, os.path.join(pdir, "_common_metadata"))
+    pq.write_metadata(tbl.schema, os.path.join(pdir, "_metadata"))
 
     # ---- GeoJSON ingest fixtures (reference ShapesModel.parse(path),
     # models.py:624-649; tests/data/*.json are GeometryCollections) ----
