@@ -221,6 +221,38 @@ object Dedup {
     perBand.reduce(_ unionAll _).distinct()
   }
 
+  /** Corpus-wide paragraph-level dedup (the C4/RefinedWeb repair for
+    * boilerplate shared across documents): explode non-empty trimmed
+    * paragraphs with their in-doc position, keep each distinct paragraph
+    * text only for the doc where it FIRST occurs (min (doc_id, pos) per
+    * md5 — one shuffle keyed by the hash), and reassemble the surviving
+    * paragraphs in document order. Docs whose every paragraph was seen
+    * earlier come back with empty `clean_text` (callers usually drop them).
+    * Shape at scale: groupBy(hash) + join back on (hash) + groupBy(doc) —
+    * all keyed shuffles with partial aggregation, no window over the corpus.
+    */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "__p")))
+      .withColumn("__p", trim(col("__p")))
+      .filter(length(col("__p")) > 0)
+      .withColumn("__h", md5(col("__p")))
+    val firstOwner = paras
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__h"), col(s"__first.$idCol").as("__keep_id"),
+        col("__first.pos").as("__keep_pos"))
+    val kept = paras.join(firstOwner, Seq("__h"))
+      .filter(col(idCol) === col("__keep_id") && col("pos") === col("__keep_pos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__p")))).as("__ps"))
+      .select(col(idCol),
+        array_join(transform(col("__ps"), x => x.getField("__p")), sep).as("clean_text"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Near-duplicate clusters from a candidate-pair table: connected
     * components labeled by the minimum doc id in each component — the stage
     * after LSH + verify that picks ONE canonical document per duplicate

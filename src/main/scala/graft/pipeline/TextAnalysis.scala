@@ -92,6 +92,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", Dedup.words(text)))
 
+  /** PII-pattern counts per document — the signals a curation pipeline
+    * uses to route documents to scrubbing or drop them (counting only;
+    * redaction policy is the caller's). RE2-expressible regexes so SQL
+    * oracles mirror them exactly: emails, international-ish phone numbers,
+    * dotted-quad IPs. Pure column expressions — codegen'd, shuffle-free.
+    */
+  def piiSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumns(Map(
+      "n_emails" -> regexp_count(t, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")),
+      "n_phones" -> regexp_count(t, lit("\\+?[0-9][0-9()\\- ]{7,}[0-9]")),
+      "n_ips" -> regexp_count(t, lit("([0-9]{1,3}\\.){3}[0-9]{1,3}"))))
+  }
+
   /** Gopher-style repetition signals — the duplicate-content quality
     * filters large-scale corpus cleaning applies per document (Rae et al.
     * 2021, "Scaling Language Models", table A1):

@@ -196,6 +196,30 @@ object PipelinePack extends QueryPack {
       val pairs = Dedup.lshCandidatePairs(Tables.documents(s, d),
         maxBucketSize = Some(50), persistBands = true).select("id_a", "id_b")
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
+    // corpus-wide paragraph dedup (C4/RefinedWeb-style boilerplate removal:
+    // a paragraph survives only in the doc where it first occurs). The
+    // synthetic corpus has no cross-doc duplicate paragraphs, so the gate
+    // prepends a shared boilerplate header — only the first doc keeps it
+    "q99_paragraph_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("SHARED BOILERPLATE HEADER\n"), col("text")).as("text"))
+      Dedup.paragraphDedup(docs).orderBy(col("doc_id"))
+    }),
+
+    // PII-pattern counts (email / phone / IP regex signals); the corpus is
+    // PII-free, so the gate plants deterministic markers on id-derived rows
+    "q100_pii_signals" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" from 10.1.2.3")).otherwise(lit(""))))
+      TextAnalysis.piiSignals(docs)
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -447,6 +471,32 @@ object PipelinePack extends QueryPack {
            |  CASE $cases ELSE -1 END
            |ORDER BY doc_id""".stripMargin
       },
+      "q99_paragraph_dedup" ->
+        """WITH docs AS (
+          |  SELECT doc_id, 'SHARED BOILERPLATE HEADER' || chr(10) || text AS text
+          |  FROM documents),
+          |p0 AS (
+          |  SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+          |    (x, i) -> struct_pack(pos := i, p := trim(x)))) AS s
+          |  FROM docs),
+          |q AS (SELECT doc_id, s.pos AS pos, s.p AS p FROM p0 WHERE length(s.p) > 0),
+          |k AS (SELECT doc_id, pos, p,
+          |  ROW_NUMBER() OVER (PARTITION BY md5(p) ORDER BY doc_id, pos) AS rn FROM q),
+          |r AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS clean_text
+          |      FROM k WHERE rn = 1 GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+          |FROM docs d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "q100_pii_signals" ->
+        """WITH docs AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+          |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.1.2.3' ELSE '' END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones,
+          |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips
+          |FROM docs ORDER BY doc_id""".stripMargin,
       "q97_dedup_clusters" ->
         s"""${bandsSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
            |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),

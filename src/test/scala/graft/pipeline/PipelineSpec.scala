@@ -167,6 +167,30 @@ class PipelineSpec extends SparkTestBase {
     assert(m == Seq("en"), "rate-1.0 keeps all en; rate-0 and unlisted drop")
   }
 
+  test("paragraph dedup keeps each paragraph only where it first occurs") {
+    val t = Seq(
+      (1L, "shared header\nunique one"),
+      (2L, "shared header\nunique two\n  \nshared header"),
+      (3L, "shared header")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(t).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "shared header\nunique one"),   // first owner keeps it
+      (2L, "unique two"),                  // dup + blank + repeat dropped
+      (3L, "")))                           // nothing left
+  }
+
+  test("pii signals count emails, phones and IPs") {
+    val t = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (415) 555-0100 now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiSignals(t)
+      .select("doc_id", "n_emails", "n_phones", "n_ips")
+      .orderBy("doc_id").as[(Long, Int, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 2, 1, 0), (2L, 0, 0, 2), (3L, 0, 0, 0)))
+  }
+
   test("connected components label every node with its component minimum") {
     // two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
