@@ -117,4 +117,47 @@ object Similarity {
       .select(col(idCol), col("__best")(centroidIdCol).as(centroidIdCol),
         col("__best")("__d").as("dist2"))
   }
+
+  /** The IVF QUERY path: each query probes its `nprobe` nearest cells and
+    * searches only the corpus vectors [[ivfAssign]] put there — the classic
+    * inverted-file ANN. The per-query cell shortlist expands to `nprobe`
+    * rows (a tiny explode on the query batch), then ONE equi-join on
+    * cell id against the partitioned corpus lists; exact cosine + top-k
+    * inside the probed union. At 100 TB the corpus shuffles once by cell
+    * id (or is bucketed by it at rest) and each query touches
+    * nprobe/|cells| of the data — no product anywhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val lists = ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(idCol), col(centroidIdCol))
+      .join(corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv")), idCol)
+      .withColumn("__cn", norm2(col("__cv")))
+    val cent = centroids.select(col(centroidIdCol), col(vecCol).cast("array<double>").as("__c"))
+    val qDist2 = aggregate(zip_with(col("__qv"), col("__c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val probes = queries
+      .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__d", qDist2)
+      // nprobe nearest cells per query: sort the tiny per-query cell list
+      // in an aggregate (K entries), no window over the corpus
+      .groupBy(col(queryIdCol))
+      .agg(first(col("__qv")).as("__qv"),
+        slice(array_sort(collect_list(struct(col("__d"), col(centroidIdCol)))),
+          1, nprobe).as("__cells"))
+      .select(col(queryIdCol), col("__qv"),
+        explode(col("__cells")).as("__cell"))
+      .select(col(queryIdCol), col("__qv"),
+        col(s"__cell.$centroidIdCol").as(centroidIdCol))
+      .withColumn("__qn", norm2(col("__qv")))
+    val scored = probes.join(lists, Seq(centroidIdCol))
+      .withColumn("cosine", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
 }

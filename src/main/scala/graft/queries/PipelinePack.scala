@@ -105,6 +105,18 @@ object PipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF query path: probe the 2 nearest cells per query, search only
+    // their inverted lists (equi-join on cell id — no product)
+    "q101_ivf_topk" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val centroids = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(corpus, queries, centroids, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF coarse quantization: nearest of 5 broadcast centroids per vector
     "q54_ivf_assign" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
@@ -349,6 +361,35 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "q101_ivf_topk" -> {
+        def d2(l: String, r: String) =
+          s"""list_sum(list_transform(range(0, 64), i ->
+             |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE)) *
+             |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE))))""".stripMargin
+        s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e", "c")}, c.centroid_id) AS rn
+           |    FROM embeddings e, cent c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT query_id, centroid_id FROM (
+           |    SELECT q.query_id, c.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${d2("q", "c")}, c.centroid_id) AS rn
+           |    FROM q, cent c) WHERE rn <= 2),
+           |scored AS (
+           |  SELECT p.query_id, a2.vec_id,
+           |    ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) AS cosine
+           |  FROM probes p
+           |  JOIN assign a2 USING (centroid_id)
+           |  JOIN embeddings b ON b.vec_id = a2.vec_id
+           |  JOIN q a ON a.query_id = p.query_id)
+           |SELECT query_id, vec_id, cosine, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
       "q54_ivf_assign" ->
         """WITH cent AS (
           |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),

@@ -52,6 +52,22 @@ class PushdownSpec extends SparkTestBase {
       s"expected pruned read schema, got:\n$plan")
   }
 
+  test("hash sampling a projection prunes the text column from the scan") {
+    // at 100 TB the text column IS the table — a sample that only needs ids
+    // and metadata must never read it. Write a docs-shaped parquet and
+    // assert the scan schema stays narrow through the sampling filter.
+    val d = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq.tabulate(100)(i => (i.toLong, "x" * 1000, "en", i.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(d)
+    val q = graft.pipeline.Sampling.hashSample(
+        spark.read.parquet(d), "doc_id", 0.5)
+      .select("doc_id", "lang", "n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"expected text-free read schema, got:\n$plan")
+  }
+
   test("whole-stage codegen covers the spatial predicate stage") {
     val sd = SpatialDataset.read(spark, dir)
     val poly = graft.geom.WKB.write(graft.geom.GPolygon(
