@@ -96,6 +96,55 @@ final class SpatialDataset(
   def transformTo(element: String, cs: String): Transform =
     CsGraph.elementToCs(manifest, element, cs)
 
+  private def withTransforms(name: String,
+      f: Map[String, Transform] => Map[String, Transform]): SpatialDataset = {
+    val el = element(name)
+    val newMeta = el.meta.copy(transforms = f(el.meta.transforms))
+    new SpatialDataset(spark,
+      manifest.copy(elements = manifest.elements.map(e =>
+        if (e.name == name) newMeta else e)),
+      elementData + (name -> el.copy(meta = newMeta)))
+  }
+
+  /** Set/replace the transform of `element` into `cs` (reference
+    * `set_transformation`, transformations/operations.py:21-88; default
+    * coordinate system "global").
+    */
+  def setTransformation(element: String, t: Transform,
+      cs: String = "global"): SpatialDataset =
+    withTransforms(element, _ + (cs -> t))
+
+  /** The STORED transform of `element` into `cs` — no graph traversal
+    * (reference `get_transformation`, operations.py:91-131; missing cs
+    * raises like the reference's ValueError). For cross-cs resolution use
+    * [[transformTo]].
+    */
+  def getTransformation(element: String, cs: String = "global"): Transform = {
+    val ts = this.element(element).meta.transforms
+    ts.getOrElse(cs, sys.error(
+      s"Transformation to '$cs' not found in element '$element'"))
+  }
+
+  /** Remove the transform of `element` into `cs` (reference
+    * `remove_transformation`, operations.py:134-171).
+    */
+  def removeTransformation(element: String, cs: String = "global"): SpatialDataset = {
+    require(this.element(element).meta.transforms.contains(cs),
+      s"Transformation to '$cs' not found in element '$element'")
+    withTransforms(element, _ - cs)
+  }
+
+  /** Drop every element's transform into `cs` (reference
+    * `remove_transformations_to_coordinate_system`, operations.py:174-197).
+    */
+  def removeTransformationsToCoordinateSystem(cs: String): SpatialDataset = {
+    val newEls = manifest.elements.map(e => e.copy(transforms = e.transforms - cs))
+    new SpatialDataset(spark, manifest.copy(elements = newEls),
+      elementData.map { case (n, el) =>
+        n -> el.copy(meta = newEls.find(_.name == n).get)
+      })
+  }
+
   /** Rename coordinate systems (collision-safe two-phase rename,
     * reference spatialdata.py:721-778).
     */

@@ -88,6 +88,30 @@ class SpatialDatasetSpec extends SparkTestBase {
     assert(hit.select("row_id").as[Long].collect().toSet == Set(0L))
   }
 
+  test("transformation bookkeeping: set / get / remove / remove-to-cs") {
+    val sd = fixture
+    val t = TranslationT(Seq(3.0, 4.0), Seq("x", "y"))
+    val sd2 = sd.setTransformation("cells", t, "aligned")
+    assert(sd2.getTransformation("cells", "aligned") == t)
+    assert(sd.element("cells").meta.transforms.get("aligned").isEmpty,
+      "setTransformation must not mutate the source container")
+    // replace keeps the other entries
+    val sd3 = sd2.setTransformation("cells", IdentityT, "aligned")
+    assert(sd3.getTransformation("cells", "aligned") == IdentityT &&
+      sd3.getTransformation("cells") == sd.getTransformation("cells"))
+    // missing cs raises like the reference's ValueError
+    val e = intercept[RuntimeException] { sd.getTransformation("cells", "nope") }
+    assert(e.getMessage.contains("not found"))
+    intercept[IllegalArgumentException] { sd.removeTransformation("cells", "nope") }
+    val sd4 = sd3.removeTransformation("cells", "aligned")
+    assert(sd4.element("cells").meta.transforms.get("aligned").isEmpty)
+    // remove-to-cs drops the cs from EVERY element
+    val sd5 = sd2.setTransformation("pts", t, "aligned")
+      .removeTransformationsToCoordinateSystem("aligned")
+    assert(sd5.manifest.elements.forall(!_.transforms.contains("aligned")))
+    assert(sd5.getTransformation("pts") == sd.getTransformation("pts"))
+  }
+
   test("validation helpers") {
     val bad = Models.ShapesModel.invalidRows(fixture("cells"))
     assert(bad.count() == 0)
