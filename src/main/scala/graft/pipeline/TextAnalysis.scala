@@ -92,6 +92,53 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", Dedup.words(text)))
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window preparation step of a training pipeline. Chunk i
+    * covers whitespace tokens [i*step, i*step + maxTokens) with
+    * step = maxTokens - overlap; every token index below n starts at most
+    * one chunk, so coverage is total and deterministic. Per-doc array
+    * compute + one explode — no window, no shuffle beyond the caller's.
+    * Empty/whitespace-only docs produce no chunks.
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int = 128, overlap: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(step))).as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens), size(col("__toks")) - col("__start")).as("n_tokens"))
+  }
+
+  /** Benchmark decontamination signal: for each document, how many of its
+    * distinct word `k`-grams appear in the `benchmark` corpus (eval sets,
+    * test splits). The join is a distinct-gram equi-join — the benchmark
+    * side is the small one and broadcasts; at 100 TB the doc-gram side
+    * streams through it without ever collecting. Output:
+    * (id, n_hit_grams, contaminated).
+    */
+  def contaminationFlags(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchIdCol: String = "doc_id"): DataFrame = {
+    val bGrams = Dedup.shingleRows(benchmark, textCol, benchIdCol, k)
+      .select(col("shingle")).distinct()
+    val dGrams = Dedup.shingleRows(docs, textCol, idCol, k)
+      .select(col(idCol), col("shingle")).distinct()
+    val hits = dGrams.join(bGrams, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_grams"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
   /** PII-pattern counts per document — the signals a curation pipeline
     * uses to route documents to scrubbing or drop them (counting only;
     * redaction policy is the caller's). RE2-expressible regexes so SQL

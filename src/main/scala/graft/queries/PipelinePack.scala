@@ -220,6 +220,24 @@ object PipelinePack extends QueryPack {
       Dedup.paragraphDedup(docs).orderBy(col("doc_id"))
     }),
 
+    // fixed-size token chunking with overlap (context-window prep)
+    "q102_chunk_documents" -> ((s, d) => {
+      TextAnalysis.chunkDocuments(Tables.documentsSpread(s, d),
+        maxTokens = 64, overlap = 8)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // benchmark decontamination: docs sharing any word 8-gram with the
+    // "eval set" (every 50th doc) get flagged
+    "q103_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      TextAnalysis.contaminationFlags(docs, bench)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII-pattern counts (email / phone / IP regex signals); the corpus is
     // PII-free, so the gate plants deterministic markers on id-derived rows
     "q100_pii_signals" -> ((s, d) => {
@@ -527,6 +545,30 @@ object PipelinePack extends QueryPack {
           |      FROM k WHERE rn = 1 GROUP BY 1)
           |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
           |FROM docs d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "q102_chunk_documents" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |c AS (
+          |  SELECT doc_id, toks, unnest(range(0, len(toks), 56)) AS start
+          |  FROM t)
+          |SELECT doc_id, start // 56 AS chunk_idx,
+          |  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+          |  LEAST(64, len(toks) - start) AS n_tokens
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "q103_contamination" -> {
+        val w8 = shinglesSql(wordsSql, 8)
+        s"""WITH bg AS (
+           |  SELECT DISTINCT unnest($w8) AS shingle FROM documents WHERE doc_id % 50 = 0),
+           |dg AS (
+           |  SELECT DISTINCT doc_id, unnest($w8) AS shingle FROM documents),
+           |h AS (
+           |  SELECT doc_id, COUNT(*) AS n_hit_grams
+           |  FROM dg JOIN bg USING (shingle) GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+           |  COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+           |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      },
       "q100_pii_signals" ->
         """WITH docs AS (
           |  SELECT doc_id, text ||

@@ -180,6 +180,31 @@ class PipelineSpec extends SparkTestBase {
       (3L, "")))                           // nothing left
   }
 
+  test("chunking covers every token with the right overlap") {
+    val t = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "  "), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(t, maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    // step 3: starts 0,3,6,9 over 10 tokens
+    assert(got == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4), (1L, 1, "w4 w5 w6 w7", 4),
+      (1L, 2, "w7 w8 w9 w10", 4), (1L, 3, "w10", 1),
+      (3L, 0, "solo", 1)))
+  }
+
+  test("contamination flags docs sharing k-grams with the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // contains the bench 3-gram
+      (2L, "totally different words here now"),
+      (3L, "beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val bench = Seq((100L, "beta gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationFlags(docs, bench, k = 3)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
   test("pii signals count emails, phones and IPs") {
     val t = Seq(
       (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (415) 555-0100 now"),
