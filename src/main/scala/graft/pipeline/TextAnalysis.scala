@@ -30,6 +30,14 @@ object TextAnalysis {
           regexp_count(text, lit("[a-zA-Z][0-9]")) +
           regexp_count(text, lit("[0-9][a-zA-Z]")))
 
+  /** 6-decimal rounding as pure IEEE arithmetic (`floor(x*1e6 + 0.5)/1e6`)
+    * — bit-identical on every engine that evaluates the same double ops,
+    * unlike engine-native `round`, whose half-way decisions differ between
+    * Spark (BigDecimal HALF_UP on the decimal repr) and e.g. DuckDB
+    * (scaled-double rounding) exactly at .5 boundaries.
+    */
+  def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
   /** Quality-score components (length/punct/stopword ratios — the usual
     * heuristic filters in large-scale corpus cleaning).
     */
@@ -42,10 +50,10 @@ object TextAnalysis {
     docs
       .withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTok)
-      .withColumn("alpha_ratio", round(nAlpha.cast("double") / nChars, 6))
-      .withColumn("punct_ratio", round(nPunct.cast("double") / nChars, 6))
+      .withColumn("alpha_ratio", round6(nAlpha.cast("double") / nChars))
+      .withColumn("punct_ratio", round6(nPunct.cast("double") / nChars))
       .withColumn("mean_word_len",
-        round(nAlpha.cast("double") / greatest(nTok, lit(1)), 6))
+        round6(nAlpha.cast("double") / greatest(nTok, lit(1))))
   }
 
   /** Composite quality score in [0,1]: penalize too-short docs, extreme
@@ -53,10 +61,10 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
     qualityFeatures(docs, textCol).withColumn("quality_score",
-      round(
+      round6(
         least(col("n_tokens").cast("double") / 64.0, lit(1.0)) *
           (lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0)) * 0.5) *
-          least(col("mean_word_len") / 4.0, lit(1.5)) / 1.5, 6))
+          least(col("mean_word_len") / 4.0, lit(1.5)) / 1.5))
 
   /** Tiny per-language stopword lists for the language-ID heuristic. */
   val StopWords: Map[String, Seq[String]] = Map(
@@ -207,11 +215,11 @@ object TextAnalysis {
       .join(topG2, Seq(idCol), "left")
       .join(dup5, Seq(idCol), "left")
       .select(col(idCol),
-        round(coalesce(col("dup_line_frac"), lit(0.0)), 6).as("dup_line_frac"),
-        round(coalesce(col("dup_line_char_frac"), lit(0.0)), 6).as("dup_line_char_frac"),
-        round(coalesce(col("__top_chars").cast("double") /
-          greatest(col("__norm_len"), lit(1)), lit(0.0)), 6).as("top_2gram_char_frac"),
-        round(coalesce(col("dup_5gram_frac"), lit(0.0)), 6).as("dup_5gram_frac"))
+        round6(coalesce(col("dup_line_frac"), lit(0.0))).as("dup_line_frac"),
+        round6(coalesce(col("dup_line_char_frac"), lit(0.0))).as("dup_line_char_frac"),
+        round6(coalesce(col("__top_chars").cast("double") /
+          greatest(col("__norm_len"), lit(1)), lit(0.0))).as("top_2gram_char_frac"),
+        round6(coalesce(col("dup_5gram_frac"), lit(0.0))).as("dup_5gram_frac"))
   }
 
   /** Winnowing document sketch: k-char gram rolling hashes, keep the

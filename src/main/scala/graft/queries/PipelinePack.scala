@@ -287,21 +287,23 @@ object PipelinePack extends QueryPack {
       "q40_exact_dedup" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+      // FLOOR(x*1e6 + 0.5)/1e6, not ROUND: half-way cases must take the
+      // same IEEE path both engines (mirrors TextAnalysis.round6)
       "q41_text_quality" ->
         """WITH f AS (
           |  SELECT doc_id, length(text) AS n_chars,
           |    CASE WHEN length(trim(text)) = 0 THEN 0
           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-          |    ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
-          |    ROUND(CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
-          |    ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+          |    FLOOR(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) * 1e6 + 0.5) / 1e6 AS alpha_ratio,
+          |    FLOOR(CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+          |    FLOOR(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
           |      GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
-          |                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6) AS mean_word_len
+          |                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1) * 1e6 + 0.5) / 1e6 AS mean_word_len
           |  FROM documents)
           |SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, mean_word_len,
-          |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) *
+          |  FLOOR(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) *
           |        (1.0 - LEAST(punct_ratio * 4.0, 1.0) * 0.5) *
-          |        LEAST(mean_word_len / 4.0, 1.5) / 1.5, 6) AS quality_score
+          |        LEAST(mean_word_len / 4.0, 1.5) / 1.5 * 1e6 + 0.5) / 1e6 AS quality_score
           |FROM f ORDER BY doc_id""".stripMargin,
       "q42_lsh_candidates" ->
         s"""$bandsSqlCte,
@@ -503,10 +505,10 @@ object PipelinePack extends QueryPack {
            |  FROM g5c GROUP BY 1),
            |base AS (SELECT doc_id, length(array_to_string($wordsSql, ' ')) AS norm_len FROM documents)
            |SELECT b.doc_id AS doc_id,
-           |  ROUND(COALESCE(dup_line_frac, 0.0), 6) AS dup_line_frac,
-           |  ROUND(COALESCE(dup_line_char_frac, 0.0), 6) AS dup_line_char_frac,
-           |  ROUND(COALESCE(CAST(top_chars AS DOUBLE) / GREATEST(norm_len, 1), 0.0), 6) AS top_2gram_char_frac,
-           |  ROUND(COALESCE(dup_5gram_frac, 0.0), 6) AS dup_5gram_frac
+           |  FLOOR(COALESCE(dup_line_frac, 0.0) * 1e6 + 0.5) / 1e6 AS dup_line_frac,
+           |  FLOOR(COALESCE(dup_line_char_frac, 0.0) * 1e6 + 0.5) / 1e6 AS dup_line_char_frac,
+           |  FLOOR(COALESCE(CAST(top_chars AS DOUBLE) / GREATEST(norm_len, 1), 0.0) * 1e6 + 0.5) / 1e6 AS top_2gram_char_frac,
+           |  FLOOR(COALESCE(dup_5gram_frac, 0.0) * 1e6 + 0.5) / 1e6 AS dup_5gram_frac
            |FROM base b
            |LEFT JOIN la USING (doc_id) LEFT JOIN top2 USING (doc_id)
            |LEFT JOIN d5 USING (doc_id)

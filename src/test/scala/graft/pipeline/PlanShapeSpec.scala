@@ -93,6 +93,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("paragraphDedup, contaminationFlags and ivfTopK stay product-free") {
+    val docs = Seq((1L, "a b c d e f g h i j\nk l"), (2L, "a b c d e f g h x y"))
+      .toDF("doc_id", "text")
+    assertNoProduct(Dedup.paragraphDedup(docs))
+    assertNoProduct(TextAnalysis.contaminationFlags(docs, docs.limit(1), k = 3))
+    // ivfTopK's centroid comparisons are broadcast product by design (tiny
+    // K side); the corpus-vs-query join must be the cell-id equi-join
+    val cent = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val plan = Similarity.ivfTopK(emb, q, cent, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+  }
+
   test("relabelSequential has no unpartitioned window in the plan") {
     val lbl = Seq((0, 0, 10L), (0, 1, 20L), (1, 0, 0L), (1, 1, 10L))
       .toDF("y", "x", "label")
