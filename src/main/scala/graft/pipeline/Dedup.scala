@@ -212,9 +212,9 @@ object Dedup {
       val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
         col("__v").as("__vb"), col("__norm").as("__nb"))
       a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", round(
+        .withColumn("cosine", TextAnalysis.round6(
           aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
-            (col("__na") * col("__nb")), 6))
+            (col("__na") * col("__nb"))))
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
     }
@@ -316,9 +316,9 @@ object Dedup {
         col("__norm").as("__na")), Seq("id_a"))
       .join(withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"),
         col("__norm").as("__nb")), Seq("id_b"))
-      .withColumn("cosine", round(
+      .withColumn("cosine", TextAnalysis.round6(
         aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
-          (col("__na") * col("__nb")), 6))
+          (col("__na") * col("__nb"))))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

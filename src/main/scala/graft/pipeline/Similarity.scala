@@ -31,7 +31,7 @@ object Similarity {
     val q = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm2(col("__qv")))
     val scored = q.crossJoin(c)
-      .withColumn("cosine", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -88,7 +88,7 @@ object Similarity {
       .withColumn("__bucket", lshBucket(col("__qv"), numPlanes))
       .withColumn("__qn", norm2(col("__qv")))
     val scored = q.join(c, Seq("__bucket"))
-      .withColumn("cosine", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -154,7 +154,7 @@ object Similarity {
         col(s"__cell.$centroidIdCol").as(centroidIdCol))
       .withColumn("__qn", norm2(col("__qv")))
     val scored = probes.join(lists, Seq(centroidIdCol))
-      .withColumn("cosine", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -123,7 +123,7 @@ object PipelinePack extends QueryPack {
       val centroids = corpus.filter(col("vec_id") % 100 === 1)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       Similarity.ivfAssign(corpus, centroids)
-        .select(col("vec_id"), col("centroid_id"), round(col("dist2"), 6).as("dist2"))
+        .select(col("vec_id"), col("centroid_id"), TextAnalysis.round6(col("dist2")).as("dist2"))
         .orderBy(col("vec_id"))
     }),
 
@@ -349,7 +349,7 @@ object PipelinePack extends QueryPack {
            |  ${bandSql(1, "embedding")} AS b1 FROM e),
            |scored AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |    ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) AS cosine
+           |    FLOOR(($dotSql) / (${normSql("a")} * ${normSql("b")}) * 1e6 + 0.5) / 1e6 AS cosine
            |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
            |SELECT DISTINCT id_a, id_b, cosine FROM scored
            |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
@@ -358,10 +358,10 @@ object PipelinePack extends QueryPack {
         s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
            |scored AS (
            |  SELECT q.query_id, c.vec_id,
-           |    ROUND((list_sum(list_transform(range(0, 64), i ->
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
            |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
            |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
-           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))), 6) AS cosine
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
            |  FROM q, embeddings c)
            |SELECT query_id, vec_id, cosine, rank FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
@@ -372,10 +372,10 @@ object PipelinePack extends QueryPack {
            |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),
            |scored AS (
            |  SELECT q.query_id, c.vec_id,
-           |    ROUND((list_sum(list_transform(range(0, 64), i ->
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
            |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
            |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
-           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))), 6) AS cosine
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
            |  FROM q JOIN c ON q.bucket = c.bucket)
            |SELECT query_id, vec_id, cosine, rank FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
@@ -400,7 +400,7 @@ object PipelinePack extends QueryPack {
            |    FROM q, cent c) WHERE rn <= 2),
            |scored AS (
            |  SELECT p.query_id, a2.vec_id,
-           |    ROUND(($dotSql) / (${normSql("a")} * ${normSql("b")}), 6) AS cosine
+           |    FLOOR(($dotSql) / (${normSql("a")} * ${normSql("b")}) * 1e6 + 0.5) / 1e6 AS cosine
            |  FROM probes p
            |  JOIN assign a2 USING (centroid_id)
            |  JOIN embeddings b ON b.vec_id = a2.vec_id
@@ -419,7 +419,7 @@ object PipelinePack extends QueryPack {
           |      (CAST(e.embedding[i + 1] AS DOUBLE) - CAST(c.embedding[i + 1] AS DOUBLE)) *
           |      (CAST(e.embedding[i + 1] AS DOUBLE) - CAST(c.embedding[i + 1] AS DOUBLE)))) AS d2
           |  FROM embeddings e, cent c)
-          |SELECT vec_id, centroid_id, ROUND(d2, 6) AS dist2 FROM (
+          |SELECT vec_id, centroid_id, FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2 FROM (
           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
           |  FROM scored)
           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
