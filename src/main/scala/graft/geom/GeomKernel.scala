@@ -560,14 +560,54 @@ object GeomKernel {
     out.toArray
   }
 
+  /** Parsed geometry + per-ring triangulation memo, shared by the pair
+    * kernels through [[cachedGeom]]. Grid-join pair tables repeat the same
+    * geometry in many rows (every cell/partner it touches), so parsing the
+    * WKB and ear-triangulating its rings per PAIR is pure repeated work —
+    * a bounded per-thread LRU turns both into per-distinct-geometry work.
+    * Ring keys are identity references, valid exactly because the rings
+    * come from the cached parse.
+    */
+  private final class CachedGeom(val g: Geom) {
+    private var tris: java.util.IdentityHashMap[Array[Double], Array[Array[Double]]] = null
+    def tri(r: Array[Double]): Array[Array[Double]] = {
+      if (tris == null)
+        tris = new java.util.IdentityHashMap[Array[Double], Array[Array[Double]]](4)
+      var t = tris.get(r)
+      if (t == null) { t = earTriangulate(r); tris.put(r, t) }
+      t
+    }
+  }
+
+  private val geomCacheTL =
+    new ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, CachedGeom]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[java.nio.ByteBuffer, CachedGeom](256, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.nio.ByteBuffer, CachedGeom]): Boolean = size > 192
+        }
+    }
+
+  private def cachedGeom(wkb: Array[Byte]): CachedGeom = {
+    val cache = geomCacheTL.get()
+    var c = cache.get(java.nio.ByteBuffer.wrap(wkb)) // content equals/hashCode
+    if (c == null) {
+      c = new CachedGeom(WKB.read(wkb))
+      // own the key bytes: the caller's array may be a reused row buffer
+      cache.put(java.nio.ByteBuffer.wrap(wkb.clone()), c)
+    }
+    c
+  }
+
   /** Area of ringA ∩ ringB for arbitrary simple rings: triangulate the
     * smaller ring, sum convex-clip areas of the other against each
     * triangle (Sutherland-Hodgman with a convex clip is area-exact even
     * for non-convex subjects — degenerate bridges are zero-width).
     */
-  private def ringIntersectionArea(ra: Array[Double], rb: Array[Double]): Double = {
+  private def ringIntersectionArea(ra: Array[Double], ca: CachedGeom,
+      rb: Array[Double], cb: CachedGeom): Double = {
     val (tri, subject) =
-      if (ra.length <= rb.length) (earTriangulate(ra), rb) else (earTriangulate(rb), ra)
+      if (ra.length <= rb.length) (ca.tri(ra), rb) else (cb.tri(rb), ra)
     var a = 0.0
     var i = 0
     while (i < tri.length) {
@@ -590,14 +630,15 @@ object GeomKernel {
     * assumption). Envelope-disjoint pairs short-circuit to 0.
     */
   def intersectionArea(wkbA: Array[Byte], wkbB: Array[Byte]): Double = {
-    val a = WKB.read(wkbA); val b = WKB.read(wkbB)
+    val ca = cachedGeom(wkbA); val cb = cachedGeom(wkbB)
+    val a = ca.g; val b = cb.g
     val ea = a.envelope; val eb = b.envelope
     if (ea(2) < eb(0) || eb(2) < ea(0) || ea(3) < eb(1) || eb(3) < ea(1)) return 0.0
     var total = 0.0
     ringsWithSigns(a).foreach { case (ra, sa) =>
       ringsWithSigns(b).foreach { case (rb, sb) =>
         if (sa * sb != 0.0) {
-          val area = ringIntersectionArea(ra, rb)
+          val area = ringIntersectionArea(ra, ca, rb, cb)
           if (area != 0.0) total += sa * sb * area
         }
       }
