@@ -59,7 +59,8 @@ final case class ElementMeta(
 final case class GraftManifest(
     version: String,
     elements: Seq[ElementMeta],
-    attrs: Map[String, String] = Map.empty) {
+    attrs: Map[String, String] = Map.empty,
+    freeAttrs: JObject = JObject()) {
   Validation.validateUniqueNames(elements.map(_.name))
 
   def element(name: String): ElementMeta =
@@ -128,7 +129,8 @@ object GraftManifest {
         ("attrs" -> e.attrs)
     }
     val root: JValue =
-      ("version" -> m.version) ~ ("elements" -> els) ~ ("attrs" -> m.attrs)
+      ("version" -> m.version) ~ ("elements" -> els) ~ ("attrs" -> m.attrs) ~
+        ("freeAttrs" -> (m.freeAttrs: JValue))
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
@@ -160,6 +162,10 @@ object GraftManifest {
     GraftManifest(
       version = (j \ "version").extract[String],
       elements = els,
-      attrs = (j \ "attrs").extract[Map[String, String]])
+      attrs = (j \ "attrs").extract[Map[String, String]],
+      freeAttrs = (j \ "freeAttrs") match {
+        case o: JObject => o
+        case _ => JObject()
+      })
   }
 }

@@ -96,6 +96,50 @@ final class SpatialDataset(
   def transformTo(element: String, cs: String): Transform =
     CsGraph.elementToCs(manifest, element, cs)
 
+  /** Container-level freeform attrs (the reference's `sdata.attrs`,
+    * persisted in the manifest). Returns a new container.
+    */
+  def withAttr(key: String, value: org.json4s.JValue): SpatialDataset =
+    new SpatialDataset(spark, manifest.copy(freeAttrs = org.json4s.JObject(
+      manifest.freeAttrs.obj.filterNot(_._1 == key) :+
+        org.json4s.JField(key, value))), elementData)
+
+  /** `get_attrs(key, flatten, sep)` (reference spatialdata.py:1755-1830):
+    * the attrs entry under `key`, with nested mappings optionally flattened
+    * to `parent<sep>child` keys. Missing keys raise (the reference's
+    * KeyError). Use `org.json4s.jackson.JsonMethods.compact` for the
+    * `return_as="json"` form and [[getAttrsDf]] for the dataframe form.
+    */
+  def getAttrs(key: String, flatten: Boolean = true,
+      sep: String = "_"): org.json4s.JValue = {
+    import org.json4s._
+    val v = manifest.freeAttrs.obj.collectFirst { case JField(`key`, x) => x }
+      .getOrElse(sys.error(s"The key '$key' was not found in sdata.attrs."))
+    def flat(o: JObject, prefix: String): List[JField] =
+      o.obj.flatMap { case JField(k, x) =>
+        val nk = if (prefix.isEmpty) k else s"$prefix$sep$k"
+        x match {
+          case nested: JObject => flat(nested, nk)
+          case leaf => List(JField(nk, leaf))
+        }
+      }
+    v match {
+      case o: JObject if flatten => JObject(flat(o, ""))
+      case other => other
+    }
+  }
+
+  /** The `return_as="df"` form: one row whose columns are the (optionally
+    * flattened) mapping keys.
+    */
+  def getAttrsDf(key: String, flatten: Boolean = true,
+      sep: String = "_"): DataFrame = {
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.compact(JsonMethods.render(getAttrs(key, flatten, sep)))
+    val ds = spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING)
+    spark.read.json(ds)
+  }
+
   private def withTransforms(name: String,
       f: Map[String, Transform] => Map[String, Transform]): SpatialDataset = {
     val el = element(name)

@@ -112,6 +112,26 @@ class SpatialDatasetSpec extends SparkTestBase {
     assert(sd5.getTransformation("pts") == sd.getTransformation("pts"))
   }
 
+  test("container attrs: nested get_attrs with flattening and manifest round-trip") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    val sd = fixture.withAttr("test", ("a" -> ("b" -> 12)) ~ ("c" -> 8))
+    // as-is (flatten=false) keeps nesting
+    assert(sd.getAttrs("test", flatten = false) ==
+      (("a" -> ("b" -> 12)) ~ ("c" -> 8): JValue))
+    // flatten joins nested keys with sep
+    assert(sd.getAttrs("test") == (("a_b" -> 12) ~ ("c" -> 8): JValue))
+    assert(sd.getAttrs("test", sep = ".") == (("a.b" -> 12) ~ ("c" -> 8): JValue))
+    val e = intercept[RuntimeException] { sd.getAttrs("nope") }
+    assert(e.getMessage.contains("was not found in sdata.attrs"))
+    // df form: one row, flattened columns
+    val df = sd.getAttrsDf("test")
+    assert(df.columns.toSet == Set("a_b", "c") && df.count() == 1)
+    // attrs survive the manifest JSON round-trip
+    val back = GraftManifest.fromJson(GraftManifest.toJson(sd.manifest))
+    assert(back.freeAttrs == sd.manifest.freeAttrs)
+  }
+
   test("validation helpers") {
     val bad = Models.ShapesModel.invalidRows(fixture("cells"))
     assert(bad.count() == 0)
