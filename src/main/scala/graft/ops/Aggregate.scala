@@ -214,22 +214,72 @@ object Aggregate {
     SpatialElement(Models.TableModel.meta(name, mergedAnn), obs, aux)
   }
 
-  /** Container union with name-collision policy (concatenate.py:81-275):
-    * error on collision unless a suffix map is provided.
+  /** Container union (reference concatenate.py:81-275). With `suffixes`
+    * (the dict form), every element renames to `name-{suffix}` and the
+    * WHOLE linkage renames with it, like `_fix_ensure_unique_element_names`
+    * (concatenate.py:225-276): coordinate systems gain the suffix (unless
+    * `mergeCoordinateSystemsOnName`), table annotation regions rename, and
+    * the obs region-key column VALUES — plus the long-form X/layer region
+    * columns — are rewritten so rows still resolve to their element.
+    * `concatenateTables=false` keeps same-named tables apart with `_N`
+    * integer suffixes (the reference warns + renames); `true` merges them
+    * through [[concatTables]].
     */
   def concatenate(sds: Seq[SpatialDataset],
-      suffixes: Option[Seq[String]] = None): SpatialDataset = {
+      suffixes: Option[Seq[String]] = None,
+      concatenateTables: Boolean = false,
+      mergeCoordinateSystemsOnName: Boolean = false): SpatialDataset = {
     require(sds.nonEmpty)
+    require(suffixes.isDefined || !mergeCoordinateSystemsOnName,
+      "mergeCoordinateSystemsOnName needs the suffix form (reference ValueError)")
     val spark = sds.head.spark
-    val renamed = suffixes match {
+    val fixed: Seq[Seq[SpatialElement]] = suffixes match {
       case Some(sfx) =>
         require(sfx.size == sds.size, "one suffix per dataset")
         sds.zip(sfx).map { case (sd, s) =>
-          sd.elementData.values.map(el =>
-            el.copy(meta = el.meta.copy(name = s"${el.meta.name}$s"))).toSeq
+          sd.elementData.values.toSeq.map { el =>
+            val newTransforms =
+              if (mergeCoordinateSystemsOnName) el.meta.transforms
+              else el.meta.transforms.map { case (cs, t) => s"$cs-$s" -> t }
+            val newTable = el.meta.table.map(t =>
+              t.copy(region = t.region.map(r => s"$r-$s")))
+            val suffixRegion = (df: DataFrame, c: String) =>
+              df.withColumn(c, concat(col(c).cast("string"), lit(s"-$s")))
+            val newData = (el.meta.kind, el.meta.table) match {
+              case (ElementKind.Tables, Some(ann)) => suffixRegion(el.data, ann.regionKey)
+              case _ => el.data
+            }
+            val newAux =
+              if (el.meta.table.isEmpty) el.aux
+              else el.aux.map { case (k, df) =>
+                if ((k == "X" || k.startsWith("layer:")) && df.columns.contains("region"))
+                  k -> suffixRegion(df, "region")
+                else k -> df
+              }
+            el.copy(meta = el.meta.copy(name = s"${el.meta.name}-$s",
+              transforms = newTransforms, table = newTable),
+              data = newData, aux = newAux)
+          }
         }
       case None => sds.map(_.elementData.values.toSeq)
     }
-    SpatialDataset(spark, renamed.flatten)
+    val all = fixed.flatten
+    val (tables, others) = all.partition(_.meta.kind == ElementKind.Tables)
+    val finalTables =
+      if (concatenateTables)
+        tables.groupBy(_.meta.name).toSeq.sortBy(_._1).map { case (n, ts) =>
+          if (ts.size == 1) ts.head else concatTables(ts, n)
+        }
+      else {
+        val dup = tables.groupBy(_.meta.name).view.mapValues(_.size).toMap
+        val counters = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+        tables.map { el =>
+          if (dup(el.meta.name) > 1) {
+            val c = counters(el.meta.name); counters(el.meta.name) = c + 1
+            el.copy(meta = el.meta.copy(name = s"${el.meta.name}_$c"))
+          } else el
+        }
+      }
+    SpatialDataset(spark, others ++ finalTables)
   }
 }

@@ -120,4 +120,49 @@ class AggregateSpec extends SparkTestBase {
       assert(gridPairs == broadcastPairs, s"cell=$cell mismatch")
     }
   }
+
+  test("concatenate with suffixes renames the WHOLE table linkage; " +
+      "concatenateTables merges same-named tables") {
+    import graft.model._
+    def mkSd(tag: String): SpatialDataset = {
+      val shp = Models.ShapesModel.parse(Seq(
+        (0L, graft.geom.WKB.write(graft.geom.GPoint(1, 1)), "circle", 1.0))
+        .toDF("index", "geometry", "geom_type", "radius"))
+      val obs = Seq((0L, "cells", s"v_$tag")).toDF("instance_id", "region", "grp")
+      val x = Seq((0L, "cells", "g1", 2.0)).toDF("instance_id", "region", "var_name", "value")
+      SpatialDataset(spark, Seq(
+        SpatialElement(Models.ShapesModel.meta("cells"), shp),
+        SpatialElement(Models.TableModel.meta("tbl",
+          Some(TableAnnotation(Seq("cells"), "region", "instance_id"))), obs,
+          Map("X" -> x))))
+    }
+    val out = Aggregate.concatenate(Seq(mkSd("a"), mkSd("b")),
+      suffixes = Some(Seq("s1", "s2")))
+    assert(out.manifest.elements.map(_.name).toSet ==
+      Set("cells-s1", "cells-s2", "tbl-s1", "tbl-s2"))
+    // annotation region, obs region values, X region values all renamed
+    val t1 = out.element("tbl-s1")
+    assert(t1.meta.table.get.region == Seq("cells-s1"))
+    assert(t1.obs.select("region").as[String].collect().toSeq == Seq("cells-s1"))
+    assert(t1.aux("X").select("region").as[String].collect().toSeq == Seq("cells-s1"))
+    // coordinate systems gain the suffix unless merging on name
+    assert(out.element("cells-s1").meta.transforms.keySet == Set("global-s1"))
+    val merged = Aggregate.concatenate(Seq(mkSd("a"), mkSd("b")),
+      suffixes = Some(Seq("s1", "s2")), concatenateTables = true,
+      mergeCoordinateSystemsOnName = true)
+    // same-named tables differ after suffixing, so both remain; without
+    // suffixes they merge into ONE table annotating both
+    assert(merged.element("cells-s1").meta.transforms.keySet == Set("global"))
+    val noSfx = Aggregate.concatenate(
+      Seq(mkSd("a").subset(Seq("tbl"), filterTables = false),
+        mkSd("b").subset(Seq("tbl"), filterTables = false)),
+      concatenateTables = true)
+    assert(noSfx.manifest.elements.map(_.name) == Seq("tbl"))
+    assert(noSfx.element("tbl").obs.count() == 2)
+    // and without concatenateTables, duplicate names get _N counters
+    val kept = Aggregate.concatenate(
+      Seq(mkSd("a").subset(Seq("tbl"), filterTables = false),
+        mkSd("b").subset(Seq("tbl"), filterTables = false)))
+    assert(kept.manifest.elements.map(_.name).toSet == Set("tbl_0", "tbl_1"))
+  }
 }
