@@ -96,6 +96,39 @@ final class SpatialDataset(
   def transformTo(element: String, cs: String): Transform =
     CsGraph.elementToCs(manifest, element, cs)
 
+  /** Validate a table's annotation linkage against the container
+    * (reference `validate_table_in_spatialdata`, spatialdata.py:173-214):
+    * every annotated region must exist, and the instance-key dtype must
+    * match the target element's id dtype. Returns the warning messages
+    * (the reference warns, it does not raise); empty = valid.
+    */
+  def validateTableInSpatialData(tableName: String): Seq[String] = {
+    val tbl = element(tableName)
+    tbl.meta.table.toSeq.flatMap { ann =>
+      ann.region.flatMap { r =>
+        elementData.get(r) match {
+          case None => Seq(s"The table is annotating '$r', which is not " +
+            "present in the SpatialData object.")
+          case Some(el) =>
+            val instDt = tbl.data.schema(ann.instanceKey).dataType
+            val targetDt = el.meta.kind match {
+              case ElementKind.Shapes => Some(el.data.schema("index").dataType)
+              case ElementKind.Labels => Some(el.data.schema("label").dataType)
+              case ElementKind.Points => el.meta.attrs.get("instance_key")
+                .filter(el.data.columns.contains).map(k => el.data.schema(k).dataType)
+              case _ => None
+            }
+            targetDt match {
+              case Some(dt) if dt != instDt =>
+                Seq(s"instance_key column dtype ($instDt) of table " +
+                  s"'$tableName' and id dtype ($dt) of element '$r' do not match.")
+              case _ => Nil
+            }
+        }
+      }
+    }
+  }
+
   /** Container-level freeform attrs (the reference's `sdata.attrs`,
     * persisted in the manifest). Returns a new container.
     */

@@ -139,4 +139,20 @@ class SpatialDatasetSpec extends SparkTestBase {
       fixture.element("tbl").obs, TableAnnotation(Seq("cells"), "region", "instance_id"))
     assert(dup.count() == 0)
   }
+
+  test("validateTableInSpatialData flags missing targets and dtype mismatches") {
+    val sd = fixture
+    assert(sd.validateTableInSpatialData("tbl").isEmpty)
+    // annotating a missing element warns (reference UserWarning)
+    val broken = sd.subset(Seq("tbl"), filterTables = false)
+    val w1 = broken.validateTableInSpatialData("tbl")
+    assert(w1.exists(_.contains("not present")))
+    // instance-key dtype != target id dtype warns
+    val tbl = sd.element("tbl")
+    val narrowed = new SpatialDataset(spark, sd.manifest,
+      sd.elementData + ("tbl" -> tbl.copy(
+        data = tbl.data.withColumn("instance_id", col("instance_id").cast("int")))))
+    val w2 = narrowed.validateTableInSpatialData("tbl")
+    assert(w2.exists(_.contains("do not match")))
+  }
 }
