@@ -64,12 +64,17 @@ object Validation {
       }
     }
     val obsNamer = uniquifier(isDataframeColumn = true)
-    val obsRename: Map[String, String] =
-      el.obs.columns.map(c => c -> obsNamer(c)).toMap
-    val newObs = el.obs.toDF(el.obs.columns.map(obsRename).toIndexedSeq: _*)
+    // rename POSITIONALLY (one namer call per occurrence): duplicate source
+    // column names are legal in Spark and must land on distinct outputs,
+    // which a name-keyed map would collapse
+    val newNames = el.obs.columns.map(obsNamer)
+    val newObs = el.obs.toDF(newNames.toIndexedSeq: _*)
     // the annotation linkage names obs columns — remap it through the same
-    // renamer, or a sanitized/uniquified region/instance key silently breaks
-    // every join that resolves through meta.table
+    // renamer (first occurrence wins, like column resolution), or a
+    // sanitized/uniquified region/instance key silently breaks every join
+    // that resolves through meta.table
+    val obsRename: Map[String, String] =
+      el.obs.columns.zip(newNames).reverse.toMap
     val newTable = el.meta.table.map(t => t.copy(
       regionKey = obsRename.getOrElse(t.regionKey, t.regionKey),
       instanceKey = obsRename.getOrElse(t.instanceKey, t.instanceKey)))

@@ -249,6 +249,10 @@ object Aggregate {
               case (ElementKind.Tables, Some(ann)) => suffixRegion(el.data, ann.regionKey)
               case _ => el.data
             }
+            // aux X/layer frames use the engine's FIXED long-form schema
+            // (instance_id, region, var_name, value) — the literal "region"
+            // here is that layout contract, unlike obs whose region column
+            // is named by the annotation's regionKey
             val newAux =
               if (el.meta.table.isEmpty) el.aux
               else el.aux.map { case (k, df) =>

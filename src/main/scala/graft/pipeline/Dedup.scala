@@ -233,8 +233,11 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", sep: String = "\n"): DataFrame = {
+    // split() takes a REGEX but array_join() a literal — quote so both use
+    // the literal separator (sep="|" or "." would otherwise shred the text)
     val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "__p")))
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "__p")))
       .withColumn("__p", trim(col("__p")))
       .filter(length(col("__p")) > 0)
       .withColumn("__h", md5(col("__p")))
@@ -279,6 +282,9 @@ object Dedup {
       .select(col("a").as("id"), col("lbl")).persist(lvl)
     var converged = false
     var it = 1
+    // labels is a PROJECTION over the persisted frame from round 2 on, so
+    // unpersisting it would be a no-op — track the persisted handle itself
+    var persisted: DataFrame = labels
     while (!converged && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("__nl")), "b")
@@ -293,7 +299,8 @@ object Dedup {
           least(col("lbl"), coalesce(col("__m"), col("lbl"))).as("lbl"))
         .persist(lvl)
       val nChanged = merged.filter(col("lbl") < col("__old")).count()
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = merged
       labels = merged.select("id", "lbl")
       converged = nChanged == 0
       it += 1

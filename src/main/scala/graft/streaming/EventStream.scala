@@ -107,16 +107,21 @@ object EventStream {
   }
 
   /** Exactly-once ingestion dedup, batch form: keep the FIRST occurrence
-    * (by event time, then event_id) of each key — the at-least-once ->
-    * exactly-once repair every training-data ingest needs. A struct-min
-    * aggregate per key: partial aggregation, no window.
+    * of each key, ordered by `orderCols` (event time, then event_id by
+    * default) — the at-least-once -> exactly-once repair every
+    * training-data ingest needs. A struct-min aggregate per key: partial
+    * aggregation, no window.
     */
-  def dedupByKey(events: DataFrame, keyCols: Seq[String] = Seq("event_id")): DataFrame = {
+  def dedupByKey(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+      orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
+    (keyCols ++ orderCols).foreach(c => require(events.columns.contains(c),
+      s"dedupByKey: column '$c' not found in ${events.columns.mkString(", ")}"))
     val others = events.columns.filterNot(keyCols.contains)
+    val structCols = orderCols.filterNot(keyCols.contains) ++
+      others.filterNot(orderCols.contains)
     events
       .groupBy(keyCols.map(col): _*)
-      .agg(min(struct(col("ts") +: col("event_id") +:
-        others.filterNot(Set("ts", "event_id")).map(col): _*)).as("__first"))
+      .agg(min(struct(structCols.map(col): _*)).as("__first"))
       .select(keyCols.map(col) ++
         others.map(c => col(s"__first.$c").as(c)): _*)
   }
@@ -124,7 +129,11 @@ object EventStream {
   /** The streaming form: `dropDuplicatesWithinWatermark` keeps one row per
     * key and expires its hash state once the watermark passes — bounded
     * state at unbounded stream length, the property a driver-side `Set`
-    * or an un-watermarked dropDuplicates does not have.
+    * or an un-watermarked dropDuplicates does not have. Kept row: the
+    * FIRST-ARRIVING one — identical to [[dedupByKey]]'s event-time-first
+    * pick exactly when duplicate payloads are identical (the ingestion
+    * retry case both forms exist for); duplicates with differing payloads
+    * can keep different representatives across the two forms.
     */
   def streamingDedupByKey(spark: SparkSession, sourceDir: String,
       schemaDDL: String, keyCols: Seq[String] = Seq("event_id"),

@@ -79,11 +79,13 @@ class PlanShapeSpec extends SparkTestBase {
     val docs = Seq((1L, "a b a b\nc d"), (2L, "x y z")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionSignals(docs)
     assertNoProduct(out)
-    val plan = out.queryExecution.executedPlan.toString
     // shingleRows' per-doc lead window is the only allowed window; a global
     // (unpartitioned) window would serialize the corpus through one task
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
-      s"unpartitioned window in:\n$plan")
+    val windows = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in:\n${out.queryExecution.executedPlan}")
   }
 
   test("hashSample is a pure filter: no shuffle in the plan") {
