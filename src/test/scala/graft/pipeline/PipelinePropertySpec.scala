@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the pipeline operators: invariants that must hold on
+  * ANY input, checked over generated graphs, documents, and corpora.
+  */
+class PipelinePropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until (n * 3)).iterator
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .take(n).toSeq
+
+  // ---- connected components vs a reference union-find ----
+
+  private val edgeList: Gen[Seq[(Long, Long)]] =
+    Gen.chooseNum(1, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 25L)
+        b <- Gen.chooseNum(0L, 25L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    }
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents equals union-find on random graphs") {
+    samples(edgeList, 12).foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"edges: $edges")
+      spark.catalog.clearCache()
+    }
+  }
+
+  // ---- chunking coverage ----
+
+  private val doc: Gen[(Int, Int, String)] = for {
+    n <- Gen.chooseNum(0, 60)
+    maxTokens <- Gen.chooseNum(2, 12)
+    overlap <- Gen.chooseNum(0, maxTokens - 1)
+  } yield (maxTokens, overlap, (1 to n).map(i => s"t$i").mkString(" "))
+
+  test("chunking: concatenating chunks minus overlaps reproduces the token stream") {
+    samples(doc, 25).foreach { case (maxTokens, overlap, text) =>
+      val step = maxTokens - overlap
+      val chunks = TextAnalysis.chunkDocuments(
+        Seq((1L, text)).toDF("doc_id", "text"), maxTokens, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "chunk_text", "n_tokens")
+        .as[(Int, String, Int)].collect().toSeq
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) assert(chunks.isEmpty)
+      else {
+        // chunk i must be exactly tokens [i*step, i*step + maxTokens)
+        chunks.foreach { case (i, ct, n) =>
+          val want = toks.slice(i * step, i * step + maxTokens)
+          assert(ct.split(" ").filter(_.nonEmpty).toSeq == want.toSeq, s"chunk $i of '$text'")
+          assert(n == want.length)
+        }
+        // every token index is covered and the last chunk reaches the end
+        val starts = chunks.map(_._1 * step)
+        assert(starts.head == 0 && starts.last < toks.length &&
+          starts.last + maxTokens >= toks.length)
+        assert(starts == (0 until toks.length by step).toSeq)
+      }
+    }
+  }
+
+  // ---- sampling laws ----
+
+  test("hashSample: nested fractions and determinism over random id sets") {
+    val idsGen = Gen.chooseNum(50, 400).map(n => (0L until n.toLong))
+    samples(idsGen, 6).foreach { ids =>
+      val df = ids.toDF("doc_id")
+      val half = Sampling.hashSample(df, "doc_id", 0.5).as[Long].collect().toSet
+      val quarter = Sampling.hashSample(df, "doc_id", 0.25).as[Long].collect().toSet
+      assert(quarter.subsetOf(half), "smaller fraction must be nested")
+      assert(Sampling.hashSample(df, "doc_id", 0.5).as[Long].collect().toSet == half)
+      // complements partition the set: fraction 1.0 keeps everything
+      assert(Sampling.hashSample(df, "doc_id", 1.0).count() == ids.size)
+      assert(Sampling.hashSample(df, "doc_id", 0.0).count() == 0)
+    }
+  }
+}
