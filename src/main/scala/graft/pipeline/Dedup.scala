@@ -78,11 +78,23 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
     val sh = shingleRows(docs, textCol, idCol, k)
+    // all numHashes seeded digests in ONE static call per shingle row
+    // (TextKernel reuses the MessageDigest; the per-column md5(concat(...))
+    // form paid a fresh digest + concat buffer per hash per row), then the
+    // same single partial aggregation of per-column minima
+    val sig = Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(StringType, containsNull = false), "minhashRow",
+      Seq(col("shingle"), lit(numHashes)),
+      Seq(StringType, IntegerType), returnNullable = false)
     val aggs = (0 until numHashes).map { j =>
-      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"mh$j")
+      min(element_at(col("__sig"), j + 1)).as(s"mh$j")
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    sh.select(col(idCol), sig.as("__sig"))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: docs -> (band_id, band_key) rows; docs sharing a band key

@@ -227,28 +227,25 @@ object TextAnalysis {
     * standard local fingerprinting scheme for near-dup detection at
     * character level.
     *
-    * Fully per-document: the gram hashes build as an array and the sliding
-    * minima come from `array_min(slice(...))` lambdas, so nothing shuffles
-    * until the (much smaller) sketch rows hit the final distinct. The
-    * `__norm`/`__gh` intermediates are each referenced twice by non-cheap
-    * consumers, which keeps CollapseProject from inlining the normalization
-    * regex into the per-element lambdas (that inlining is O(n^2)/doc — the
-    * reason an earlier version exploded grams to rows and paid a window
-    * shuffle instead).
+    * Fully per-document and shuffle-free until the (much smaller) sketch
+    * rows hit the final distinct. The gram-hash/window-min pass is
+    * [[TextKernel.winnowing]] — one codegen'd static call per document
+    * with a reused digest instance, replacing an interpreted
+    * sequence/transform/md5/slice/array_min lambda chain that allocated a
+    * digest and a hex string per gram (that chain was the slowest query in
+    * the whole bench; the values are bit-identical, see TextKernelSpec).
     */
   def winnowing(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 8, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
     val norm = docs.select(col(idCol),
       concat_ws(" ", Dedup.words(col(textCol))).as("__norm"))
-    val hashed = norm.select(col(idCol),
-      transform(
-        sequence(lit(1), greatest(length(col("__norm")) - (k - 1), lit(1))),
-        i => md5(col("__norm").substr(i, lit(k)))).as("__gh"))
-    hashed
-      .select(col(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(0), greatest(size(col("__gh")) - window, lit(0))),
-          w => array_min(slice(col("__gh"), w + 1, lit(window)))))).as("h"))
-      .distinct()
+    val sketch = Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(StringType, containsNull = false), "winnowing",
+      Seq(col("__norm"), lit(k), lit(window)),
+      Seq(StringType, IntegerType, IntegerType), returnNullable = false)
+    norm.select(col(idCol), explode(sketch).as("h")).distinct()
   }
 }

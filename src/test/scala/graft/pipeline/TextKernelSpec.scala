@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins [[TextKernel]] (single-pass StaticInvoke sketches) bit-identical to
+  * the composed-expression forms it replaced — the DuckDB oracles for q42
+  * and q52 still describe the expression forms, so equivalence here is what
+  * keeps those gates meaningful.
+  */
+class TextKernelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, ""),
+    (3L, "a"),
+    (4L, "ab"),
+    (5L, "exactly8"),
+    (6L, "two words"),
+    (7L, "Punctuation, CASE; and 123 digits!"),
+    (8L, ("repeat me " * 40).trim),
+    (9L, "x" * 7), // one char short of a full gram
+    (10L, "y" * 8) // exactly one gram
+  ).toDF("doc_id", "text")
+
+  private def legacyWinnowing(k: Int, window: Int) = {
+    val norm = docs.select(col("doc_id"),
+      concat_ws(" ", Dedup.words(col("text"))).as("__norm"))
+    val hashed = norm.select(col("doc_id"),
+      transform(
+        sequence(lit(1), greatest(length(col("__norm")) - (k - 1), lit(1))),
+        i => md5(col("__norm").substr(i, lit(k)))).as("__gh"))
+    hashed
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__gh")) - window, lit(0))),
+          w => array_min(slice(col("__gh"), w + 1, lit(window)))))).as("h"))
+      .distinct()
+  }
+
+  test("winnowing kernel == expression form (k=8 w=4 and k=5 w=3)") {
+    for ((k, w) <- Seq((8, 4), (5, 3))) {
+      val got = TextAnalysis.winnowing(docs, k = k, window = w)
+        .orderBy("doc_id", "h").collect().map(r => (r.getLong(0), r.getString(1)))
+      val want = legacyWinnowing(k, w)
+        .orderBy("doc_id", "h").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == want.toSeq, s"k=$k window=$w")
+    }
+  }
+
+  test("minhashRow kernel == per-column md5(j + ':' + shingle) form") {
+    val numHashes = 12
+    val sh = Dedup.shingleRows(docs, "text", "doc_id", 3)
+    val legacyAggs = (0 until numHashes).map { j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"mh$j")
+    }
+    val want = sh.groupBy(col("doc_id")).agg(legacyAggs.head, legacyAggs.tail: _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val got = Dedup.minhashSignatures(docs, "text", "doc_id", 3, numHashes)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("empty document sketches to md5 of the empty string") {
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.winnowing(one).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("d41d8cd98f00b204e9800998ecf8427e"))
+  }
+}
