@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.NgffPack,
     graft.queries.DataloaderPack,
     graft.queries.ExtentPack,
-    graft.queries.RefStorePack
+    graft.queries.RefStorePack,
+    graft.queries.CorpusPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -153,6 +153,32 @@ object Dedup {
       .agg(countDistinct(col("band")).as("n_bands"))
   }
 
+  /** The end-to-end corpus dedup pipeline, composed from the staged
+    * operators: (1) exact dedup keeps the min-id copy per content hash;
+    * (2) MinHash-LSH candidates over the survivors; (3) connected
+    * components over the candidate graph; (4) every non-canonical cluster
+    * member (doc_id != cluster min) is dropped. Returns the surviving
+    * rows with their original columns — the "documents in, clean
+    * documents out" entry point a curation pipeline calls.
+    *
+    * Every stage is a bucketed shuffle (content hash / band key / label
+    * propagation) — no stage widens beyond the candidate graph, so the
+    * composition scales exactly as its parts do.
+    */
+  def dedupCorpus(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxBucketSize: Option[Int] = Some(50)): DataFrame = {
+    val exactSurvivors = docs.join(
+      exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = lshCandidatePairs(exactSurvivors, textCol, idCol,
+      maxBucketSize = maxBucketSize, persistBands = true)
+      .select("id_a", "id_b")
+    val nonCanonical = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    exactSurvivors.join(nonCanonical, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for a pair table (the verify stage
     * after LSH candidates): |A ∩ B| / |A ∪ B| over distinct k-shingles.
     */

@@ -118,6 +118,102 @@ object Similarity {
         col("__best")("__d").as("dist2"))
   }
 
+  /** Lloyd's k-means over the embedding column — trains the coarse
+    * quantizer [[ivfAssign]]/[[ivfTopK]] probe (the reference's ANN story
+    * stops at brute force; a 100 TB corpus needs a trained IVF index).
+    *
+    * Scale design: the centroid set is k x dims doubles — driver-resident
+    * BY DEFINITION (the one structure k-means keeps globally); the corpus
+    * never leaves executors. Each iteration is one broadcast nearest-cell
+    * assign (struct-min aggregate, no window) plus one per-dimension mean
+    * (posexplode + partial-aggregating groupBy), i.e. two shuffle-light
+    * passes over the data regardless of corpus size.
+    *
+    * Determinism contract (what makes the training trace reproducible
+    * bit-for-bit on any engine): squared distances and centroid
+    * components are rounded to 6 decimals at every step, and all
+    * cross-row sums run in DECIMAL(28,6) — exact, order-independent —
+    * so no IEEE fold-order noise accumulates across iterations.
+    *
+    * Returns the final assignment summary `(centroid_id, n_members,
+    * inertia)` where inertia = exact sum of the rounded member distances.
+    * Clusters that lose all members drop out (both their mean and their
+    * output row), mirroring the standard Lloyd behavior.
+    */
+  def kmeansTrain(corpus: DataFrame, initCentroids: DataFrame, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(iters >= 1, s"kmeansTrain: iters must be >= 1, got $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+
+    // nearest-centroid assignment against the CURRENT centroid table:
+    // (vec_id, centroid_id, d2) with d2 pre-rounded so the argmin tiebreak
+    // (centroid_id) is engine-independent even at near-ties
+    def assign(cent: DataFrame): DataFrame = {
+      val dist2 = aggregate(zip_with(col("__v"), col("__c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, t) => s + t)
+      c.crossJoin(broadcast(cent))
+        .withColumn("__d", TextAnalysis.round6(dist2))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__d"), col(centroidIdCol))).as("__best"))
+        .select(col(idCol), col("__best")(centroidIdCol).as(centroidIdCol),
+          col("__best")("__d").as("__d"))
+    }
+
+    var cent = initCentroids
+      .select(col(centroidIdCol).cast("long").as(centroidIdCol),
+        transform(col(vecCol).cast("array<double>"), x => TextAnalysis.round6(x)).as("__c"))
+    var lastAssign: DataFrame = null
+    for (it <- 0 until iters) {
+      lastAssign = assign(cent)
+      if (it < iters - 1) {
+        // per-dimension mean in exact decimal arithmetic, re-rounded to the
+        // 6-decimal grid; k x dims rows — the one legitimate collect
+        val means = lastAssign.select(col(idCol), col(centroidIdCol))
+          .join(c, idCol)
+          .select(col(centroidIdCol), posexplode(col("__v")).as(Seq("__i", "__x")))
+          .groupBy(col(centroidIdCol), col("__i"))
+          .agg((sum(TextAnalysis.round6(col("__x")).cast("decimal(28,6)"))
+            .cast("double") / count(lit(1))).as("__m"))
+          .select(col(centroidIdCol), col("__i"), TextAnalysis.round6(col("__m")).as("__m"))
+          .collect()
+        val next = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          (cid, vec)
+        }.toSeq.sortBy(_._1)
+        cent = next.toDF(centroidIdCol, "__c")
+      }
+    }
+    lastAssign
+      .groupBy(col(centroidIdCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__d").cast("decimal(28,6)")).cast("double").as("inertia"))
+  }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * storage/bandwidth side of ANN at 100 TB (4x smaller vectors, exact
+    * integer arithmetic downstream). One global (min, max) pass, then a
+    * stateless per-row map: q = floor((v - min) * 255/(max - min) + 0.5) - 128.
+    * The range row stays IN the plan (single-row broadcast join — no
+    * driver round trip), so the op composes lazily like everything else.
+    * Output: (id, qvec: array<int>, q_min_v, q_max_v) with the range
+    * columns carried for dequantization.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val range = v.agg(min(array_min(col("__v"))).as("__mn"),
+      max(array_max(col("__v"))).as("__mx"))
+    v.crossJoin(broadcast(range))
+      .select(col(idCol),
+        transform(col("__v"), x =>
+          (floor((x - col("__mn")) * (lit(255.0) / (col("__mx") - col("__mn"))) + 0.5))
+            .cast("int") - 128).as("qvec"),
+        col("__mn").as("q_min_v"), col("__mx").as("q_max_v"))
+  }
+
   /** The IVF QUERY path: each query probes its `nprobe` nearest cells and
     * searches only the corpus vectors [[ivfAssign]] put there — the classic
     * inverted-file ANN. The per-query cell shortlist expands to `nprobe`

@@ -38,6 +38,24 @@ object TextAnalysis {
     */
   def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 
+  /** Corpus-wide document frequency: how many documents contain each
+    * normalized token at least once (the DF half of TF-IDF, and the vocab
+    * statistic every tokenizer/filter pipeline starts from). Distinct
+    * within doc (array_distinct, no per-doc shuffle) then one hash
+    * aggregation keyed by token — partial aggregation makes the shuffle
+    * carry per-partition token counts, not token occurrences; `minDf`
+    * prunes the long singleton tail at the aggregate, which is where a
+    * 100 TB vocabulary would otherwise explode.
+    */
+  def documentFrequency(docs: DataFrame, minDf: Long = 1,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(array_distinct(Dedup.words(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   /** Quality-score components (length/punct/stopword ratios — the usual
     * heuristic filters in large-scale corpus cleaning).
     */

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale pipeline gates, round 5: distributed k-means training (the
+  * IVF index builder), int8 embedding quantization, vocabulary/document-
+  * frequency stats, exact-percentile corpus stats, stream-static dimension
+  * enrichment, and the composed end-to-end dedup pipeline.
+  *
+  * Determinism notes (same conventions as [[PipelinePack]]): every
+  * cross-row double sum runs in DECIMAL(28,6) (exact, order-free); every
+  * derived double is 6-decimal-rounded via the IEEE floor form; k-means
+  * distances/centroids are rounded at every step so the full training
+  * trace is engine-independent.
+  */
+object CorpusPack extends QueryPack {
+
+  // mirrors Dedup.words
+  private val wordsSql =
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+  private def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Lloyd's k-means, 2 iterations from every-100th-vector seeds: the
+    // trained-coarse-quantizer stage in front of ivfAssign/ivfTopK
+    "q104_kmeans_train" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val init = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.kmeansTrain(corpus, init, iters = 2)
+        .orderBy(col("centroid_id"))
+    }),
+
+    // corpus-wide document frequency (the DF half of TF-IDF)
+    "q105_doc_frequency" -> ((s, d) => {
+      TextAnalysis.documentFrequency(Tables.documents(s, d), minDf = 50)
+        .orderBy(col("token"))
+    }),
+
+    // per-(lang, source) corpus stats with exact interpolated percentiles
+    "q106_corpus_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          TextAnalysis.round6(expr("percentile(n_chars, 0.5D)")).as("median_chars"),
+          TextAnalysis.round6(expr("percentile(n_chars, 0.9D)")).as("p90_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // stream-static enrichment rollup (batch form; the streaming form is
+    // EventStream.streamingEnrichWithDim — parity pinned in EventStreamSpec)
+    "q107_stream_enrich" -> ((s, d) => {
+      EventStream.enrichWithDim(Tables.events(s, d), Tables.customer(s, d),
+        "user_id", "c_custkey", "c_mktsegment")
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
+    // symmetric int8 scalar quantization (global range), summarized per
+    // vector with exact integer stats
+    "q108_quantize_int8" -> ((s, d) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("qvec")).cast("long").as("q_min"),
+          array_max(col("qvec")).cast("long").as("q_max"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // the composed end-to-end dedup pipeline: exact -> LSH -> connected
+    // components -> canonical survivors
+    "q109_dedup_corpus" -> ((s, d) => {
+      Dedup.dedupCorpus(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = {
+    // ordered squared distance between a data list and a centroid list,
+    // rounded to the 6-decimal grid (same fold order as the Spark
+    // zip_with/aggregate form — the convention every ANN oracle here uses)
+    def d2Sql(e: String, c: String) = r6(
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |  ($e[i + 1] - $c[i + 1]) * ($e[i + 1] - $c[i + 1])))""".stripMargin)
+
+    Map(
+      "q104_kmeans_train" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> ${r6("CAST(x AS DOUBLE)")}) AS cv
+           |  FROM embeddings WHERE vec_id % 100 = 1),
+           |s1 AS (
+           |  SELECT e.vec_id, c0.cid, ${d2Sql("e.v", "c0.cv")} AS d2 FROM e, c0),
+           |a1 AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM s1) WHERE rn = 1),
+           |m1 AS (
+           |  SELECT a1.cid, t.i,
+           |    ${r6(s"CAST(SUM(CAST(${r6("e.v[t.i + 1]")} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS mv
+           |  FROM a1 JOIN e USING (vec_id), (SELECT unnest(range(0, 64)) AS i) t
+           |  GROUP BY 1, 2),
+           |c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid),
+           |s2 AS (
+           |  SELECT e.vec_id, c1.cid, ${d2Sql("e.v", "c1.cv")} AS d2 FROM e, c1),
+           |a2 AS (
+           |  SELECT vec_id, cid, d2 FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM s2) WHERE rn = 1)
+           |SELECT cid AS centroid_id, COUNT(*) AS n_members,
+           |  CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+           |FROM a2 GROUP BY 1 ORDER BY centroid_id""".stripMargin,
+      "q105_doc_frequency" ->
+        s"""SELECT token, COUNT(*) AS df FROM (
+           |  SELECT DISTINCT doc_id, unnest($wordsSql) AS token FROM documents)
+           |WHERE length(token) > 0
+           |GROUP BY token HAVING COUNT(*) >= 50 ORDER BY token""".stripMargin,
+      "q106_corpus_stats" ->
+        s"""SELECT lang, source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  ${r6("quantile_cont(n_chars, 0.5)")} AS median_chars,
+           |  ${r6("quantile_cont(n_chars, 0.9)")} AS p90_chars
+           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q107_stream_enrich" ->
+        """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q108_quantize_int8" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |s AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e),
+          |q AS (
+          |  SELECT vec_id, list_transform(v, x ->
+          |    CAST(FLOOR((x - s.mn) * (255.0 / (s.mx - s.mn)) + 0.5) AS BIGINT) - 128) AS qv
+          |  FROM e, s)
+          |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+          |  CAST(list_min(qv) AS BIGINT) AS q_min,
+          |  CAST(list_max(qv) AS BIGINT) AS q_max
+          |FROM q ORDER BY vec_id""".stripMargin,
+      "q109_dedup_corpus" -> {
+        // same banding pipeline as PipelinePack's bandsSqlCte, but over the
+        // exact-dedup survivors
+        val shSql =
+          s"""CASE WHEN len(w) >= 3
+             |  THEN list_transform(range(1, len(w) - 3 + 2),
+             |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
+             |  ELSE [] END""".stripMargin
+        val sigSql = (0 until 12).map(j =>
+          s"list_min(list_transform(sh, s -> md5('$j:' || s)))").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE keep AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |docs2 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+           |w AS (SELECT doc_id, $wordsSql AS w FROM docs2),
+           |wsh AS (SELECT doc_id, $shSql AS sh FROM w),
+           |sig AS (SELECT doc_id, $sigSql AS sig FROM wsh WHERE len(sh) > 0),
+           |bands AS (
+           |  SELECT doc_id, b.band,
+           |    md5(array_to_string(list_slice(sig, b.band * 3 + 1, b.band * 3 + 3), '|')) AS band_key
+           |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |      FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
+           |      WHERE l.doc_id < r.doc_id),
+           |ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+           |nodes AS (SELECT DISTINCT a AS id FROM ed),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+           |cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+           |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM docs2 d
+           |LEFT JOIN drop USING (doc_id) WHERE drop.doc_id IS NULL
+           |ORDER BY d.doc_id""".stripMargin
+      }
+    )
+  }
+}

@@ -143,6 +143,38 @@ object EventStream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment + rollup, batch form: join the event stream
+    * against a slowly-changing dimension table on `eventKey = dimKey`
+    * (inner — unmatched events carry no dimension context), then aggregate
+    * counts and an exact decimal value sum per (dimension attribute,
+    * event_type). At scale the dimension side broadcasts (AQE picks it —
+    * dims are small by definition) so the event scan never shuffles before
+    * the partial aggregate.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, dimAttr: String): DataFrame =
+    events.join(dim.select(col(dimKey), col(dimAttr)),
+        col(eventKey) === col(dimKey))
+      .groupBy(col(dimAttr), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+
+  /** The streaming form of [[enrichWithDim]]: the classic stream-static
+    * join — the static side is planned per micro-batch (so dimension
+    * updates are picked up between batches, no restart), the stream side
+    * is incremental. The aggregate after the join makes this a stateful
+    * query; run it with complete/update output (or add a watermark +
+    * append for event-time rollups).
+    */
+  def streamingEnrichWithDim(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, dim: DataFrame, eventKey: String, dimKey: String,
+      dimAttr: String): DataFrame =
+    spark.readStream.schema(schemaDDL).parquet(sourceDir)
+      .join(dim.select(col(dimKey), col(dimAttr)), col(eventKey) === col(dimKey))
+      .groupBy(col(dimAttr), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+
   /** Sessionization per user: events within `gapMinutes` of each other chain
     * into one session (classic gaps-and-islands — batch form; the streaming
     * form is [[streamingSessionize]]).

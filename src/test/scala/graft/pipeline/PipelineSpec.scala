@@ -231,6 +231,54 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("kmeansTrain separates obvious clusters and converges inertia") {
+    // two tight blobs around (0,0,...) and (10,10,...); seeds start badly
+    // (both near the origin blob) so the update step has to do real work
+    val vecs = (Seq.tabulate(6)(i => (i.toLong, Seq.fill(4)(0.0f + i * 0.01f))) ++
+      Seq.tabulate(6)(i => (i + 10L, Seq.fill(4)(10.0f + i * 0.01f))))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0L, Seq.fill(4)(0.0f)), (1L, Seq.fill(4)(2.0f)))
+      .toDF("centroid_id", "embedding")
+    val out = Similarity.kmeansTrain(vecs, init, iters = 3)
+      .orderBy("centroid_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2).sum == 12L) // every vector assigned exactly once
+    assert(out.size == 2 && out.map(_._2).toSet == Set(6L))
+    // trained inertia is far below one-iteration inertia (centroids moved)
+    val first = Similarity.kmeansTrain(vecs, init, iters = 1)
+      .agg(sum("inertia")).as[Double].collect()(0)
+    assert(out.map(_._3).sum < first / 10)
+  }
+
+  test("quantizeInt8 maps the global range onto [-128, 127]") {
+    val vecs = Seq((1L, Seq(0.0f, 5.0f)), (2L, Seq(10.0f, 2.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs).orderBy("vec_id")
+      .select("qvec").as[Seq[Int]].collect()
+    assert(q(0) == Seq(-128, 0)) // 0 -> -128; 5 = midpoint -> round(127.5)-128 = 0
+    assert(q(1) == Seq(127, -64)) // 10 -> 127; 2.5 -> quarter point
+    assert(q.flatten.forall(v => v >= -128 && v <= 127))
+  }
+
+  test("documentFrequency counts docs (not occurrences) and applies minDf") {
+    val t = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma"), (3L, "beta!"))
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.documentFrequency(t)
+      .as[(String, Long)].collect().toMap
+    assert(df == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+    val filtered = TextAnalysis.documentFrequency(t, minDf = 2)
+      .as[(String, Long)].collect().toMap
+    assert(filtered == Map("alpha" -> 2L, "beta" -> 2L))
+  }
+
+  test("dedupCorpus drops exact and near duplicates, keeps canonicals") {
+    // docs: 4 = exact dup of 1 (exact stage), 2 = near-dup of 1 (LSH+CC
+    // stage), 3 and 5 unique -> survivors {1, 3, 5}
+    val out = Dedup.dedupCorpus(docs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 5L))
+  }
+
   test("multimodal decode batch + resize plan + features") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
     val dec = Multimodal.decodeBatch(media)

@@ -28,6 +28,28 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming stream-static enrichment equals the batch plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Tables.customer(spark, "/root/testdata/sf0.001")
+
+    val batch = EventStream.enrichWithDim(
+      spark.read.schema(schemaDDL).parquet(dir), dim,
+      "user_id", "c_custkey", "c_mktsegment")
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+
+    val q = EventStream.streamingEnrichWithDim(spark, dir, schemaDDL, dim,
+      "user_id", "c_custkey", "c_mktsegment")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_out")
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     import spark.implicits._
     val ns = (m: Long) => m * 60L * 1000000000L
