@@ -76,25 +76,40 @@ object Dedup {
     * (Catalyst has no cross-lambda CSE), and row-wise + map-side combine is
     * also the right shape at scale.
     */
+  /** Per-document distinct k-word shingle ARRAY via one codegen'd static
+    * call ([[TextKernel.distinctShingles]]) — a shuffle-free projection,
+    * where the row form (explode + window leads + global DISTINCT) costs a
+    * per-doc sort plus a full (id, shingle) exchange.
+    */
+  private[pipeline] def distinctShingleArray(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(StringType, containsNull = false), "distinctShingles",
+      Seq(concat_ws(" ", words(text)), lit(k)),
+      Seq(StringType, IntegerType), returnNullable = false)
+  }
+
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int, numHashes: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types._
-    val sh = shingleRows(docs, textCol, idCol, k)
-    // all numHashes seeded digests in ONE static call per shingle row
-    // (TextKernel reuses the MessageDigest; the per-column md5(concat(...))
-    // form paid a fresh digest + concat buffer per hash per row), then the
-    // same single partial aggregation of per-column minima
+    // the WHOLE signature in one static call per document
+    // ([[TextKernel.minhashDoc]]): shuffle-free projection — the previous
+    // shape (shingle rows via per-doc window, seeded digests per row, one
+    // partial aggregation of per-column minima) paid a per-doc sort plus a
+    // signature-wide shuffle; values are identical (the min over the
+    // shingle multiset is the min over its distinct set)
     val sig = Bridge.staticInvoke(
       Class.forName("graft.pipeline.TextKernel"),
-      ArrayType(StringType, containsNull = false), "minhashRow",
-      Seq(col("shingle"), lit(numHashes)),
-      Seq(StringType, IntegerType), returnNullable = false)
-    val aggs = (0 until numHashes).map { j =>
-      min(element_at(col("__sig"), j + 1)).as(s"mh$j")
-    }
-    sh.select(col(idCol), sig.as("__sig"))
-      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      ArrayType(StringType, containsNull = false), "minhashDoc",
+      Seq(concat_ws(" ", words(col(textCol))), lit(k), lit(numHashes)),
+      Seq(StringType, IntegerType, IntegerType), returnNullable = true)
+    docs.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** LSH banding: docs -> (band_id, band_key) rows; docs sharing a band key
@@ -184,9 +199,17 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, textCol, idCol, k)
-      .withColumnRenamed(idCol, "__id").distinct()
-    val counts = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    // shingle only the docs the pair table references (pairs << corpus
+    // after LSH), with per-doc distinct arrays from the kernel — no
+    // global (id, shingle) DISTINCT exchange, and counts are a size()
+    // projection instead of an aggregation
+    val ids = pairs.select(col("id_a").as("__id"))
+      .unionAll(pairs.select(col("id_b").as("__id"))).distinct()
+    val withSh = docs.join(ids, docs(idCol) === ids("__id"), "left_semi")
+      .select(col(idCol).as("__id"), distinctShingleArray(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sh = withSh.select(col("__id"), explode(col("__sh")).as("shingle"))
+    val counts = withSh.select(col("__id"), size(col("__sh")).cast("long").as("__n"))
     // intersection via self-join on shingle
     val shA = sh.select(col("__id").as("id_a"), col("shingle"))
     val shB = sh.select(col("__id").as("id_b"), col("shingle"))

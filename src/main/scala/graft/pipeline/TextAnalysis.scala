@@ -152,10 +152,14 @@ object TextAnalysis {
   def contaminationFlags(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
       benchIdCol: String = "doc_id"): DataFrame = {
-    val bGrams = Dedup.shingleRows(benchmark, textCol, benchIdCol, k)
-      .select(col("shingle")).distinct()
-    val dGrams = Dedup.shingleRows(docs, textCol, idCol, k)
-      .select(col(idCol), col("shingle")).distinct()
+    // per-doc distinct gram arrays from the kernel: the only remaining
+    // exchanges are the (small) benchmark-side DISTINCT and the hit-count
+    // aggregation — the corpus side never shuffles its grams
+    val bGrams = benchmark
+      .select(explode(Dedup.distinctShingleArray(col(textCol), k)).as("shingle"))
+      .distinct()
+    val dGrams = docs.select(col(idCol),
+      explode(Dedup.distinctShingleArray(col(textCol), k)).as("shingle"))
     val hits = dGrams.join(bGrams, "shingle")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_grams"))
     docs.select(col(idCol))

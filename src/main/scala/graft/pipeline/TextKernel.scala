@@ -117,4 +117,85 @@ object TextKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** Distinct k-word shingles of a pre-normalized document (single-space
+    * separated words, the output of `Dedup.words` re-joined): shingle i =
+    * words[i..i+k-1] joined by spaces, first occurrence order, duplicates
+    * dropped. One pass per document — replaces the explode + window-lead +
+    * global DISTINCT pipeline (a full (id, shingle) exchange) with a
+    * shuffle-free projection. Fewer than k words -> empty array.
+    */
+  def distinctShingles(norm: UTF8String, k: Int): ArrayData = {
+    val words = norm.toString.split(' ')
+    val n = words.length - k + 1
+    if (n <= 0) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Whole-document MinHash signature: the per-position minimum of
+    * `md5(j + ":" + shingle)` over every k-word shingle — identical values
+    * to aggregating [[minhashRow]] over shingle rows (the min over the
+    * shingle MULTISET equals the min over its distinct set, so hashing
+    * each distinct shingle once is a pure saving). Computed in one static
+    * call per document: minhash goes from explode + window + groupBy (two
+    * wide stages) to a shuffle-free projection. Returns null when the
+    * document has no shingles (< k words) — the same docs the row form
+    * drops at the aggregate.
+    */
+  def minhashDoc(norm: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val words = norm.toString.split(' ')
+    val n = words.length - k + 1
+    if (n <= 0) return null
+    val seen = new java.util.HashSet[String]()
+    val md = mdLocal.get()
+    val best = new Array[Array[Byte]](numHashes)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val shingle = sb.toString
+      if (seen.add(shingle)) {
+        val body = shingle.getBytes("UTF-8")
+        var h = 0
+        while (h < numHashes) {
+          md.reset()
+          md.update(String.valueOf(h).getBytes)
+          md.update(':'.toByte)
+          md.update(body)
+          val dig = md.digest()
+          if (best(h) == null || less(dig, best(h))) best(h) = dig
+          h += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var h = 0
+    while (h < numHashes) { out(h) = hex(best(h)); h += 1 }
+    new GenericArrayData(out)
+  }
 }

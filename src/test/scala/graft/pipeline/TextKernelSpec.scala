@@ -62,6 +62,25 @@ class TextKernelSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("distinctShingles kernel == distinct of the window-lead row form") {
+    for (k <- Seq(2, 3, 5)) {
+      val got = docs
+        .select(col("doc_id"),
+          explode(Dedup.distinctShingleArray(col("text"), k)).as("shingle"))
+        .orderBy("doc_id", "shingle").as[(Long, String)].collect().toSeq
+      val want = Dedup.shingleRows(docs, "text", "doc_id", k).distinct()
+        .orderBy("doc_id", "shingle").as[(Long, String)].collect().toSeq
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("minhash signatures are a shuffle-free projection over the scan") {
+    val plan = Dedup.minhashSignatures(docs, "text", "doc_id", 3, 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"minhashDoc path must not shuffle or sort:\n$plan")
+  }
+
   test("empty document sketches to md5 of the empty string") {
     val one = Seq((1L, "")).toDF("doc_id", "text")
     val rows = TextAnalysis.winnowing(one).collect()
