@@ -56,6 +56,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Per-document TF-IDF-style keyword extraction: score = tf * N / df
+    * (term frequency times inverse document frequency as a pure rational —
+    * no log, so the doubles are an exact IEEE division both engines
+    * compute identically), top `topK` tokens per doc, score-desc then
+    * token-asc. Shape at scale: one tf aggregation keyed by (doc, token),
+    * one df aggregation keyed by token, a token-keyed join back, then a
+    * per-doc top-k via sorted-slice aggregation (the buffer holds one
+    * doc's distinct tokens — bounded by document size, no window over the
+    * corpus).
+    */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(Dedup.words(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val df = tok.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__score", col("__tf").cast("double") * col("__n") / col("__df"))
+      .groupBy(col(idCol))
+      .agg(slice(array_sort(collect_list(struct((-col("__score")).as("__neg"),
+        col("token"), col("__score").as("__s")))), 1, topK).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__pos", "__kw")))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__kw.token").as("token"), round6(col("__kw.__s")).as("score"))
+  }
+
   /** Quality-score components (length/punct/stopword ratios — the usual
     * heuristic filters in large-scale corpus cleaning).
     */

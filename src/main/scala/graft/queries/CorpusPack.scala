@@ -78,6 +78,22 @@ object CorpusPack extends QueryPack {
       Dedup.dedupCorpus(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // click -> purchase attribution within 30 minutes (batch form; the
+    // streaming form is the stream-stream join in
+    // EventStream.streamingAttributionPairs — parity pinned in
+    // EventStreamSpec)
+    "q110_attribution" -> ((s, d) => {
+      EventStream.attributeWithin(Tables.eventsWithTs(s, d),
+        "click", "purchase", withinMinutes = 30)
+        .orderBy(col("src_event_id"))
+    }),
+
+    // TF-IDF keyword extraction: top-3 tokens per doc by tf * N / df
+    "q111_tfidf_keywords" -> ((s, d) => {
+      TextAnalysis.tfidfKeywords(Tables.documentsSpread(s, d), topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
     })
   )
 
@@ -184,7 +200,33 @@ object CorpusPack extends QueryPack {
            |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM docs2 d
            |LEFT JOIN drop USING (doc_id) WHERE drop.doc_id IS NULL
            |ORDER BY d.doc_id""".stripMargin
-      }
+      },
+      "q110_attribution" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+          |  FROM events),
+          |a AS (SELECT * FROM e WHERE event_type = 'click'),
+          |b AS (SELECT * FROM e WHERE event_type = 'purchase')
+          |SELECT a.event_id AS src_event_id, a.user_id AS user_id,
+          |  COUNT(*) AS n_conversions, MIN(b.ts_us) AS first_conv_us
+          |FROM a JOIN b ON a.user_id = b.user_id
+          |  AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 1800000000
+          |GROUP BY 1, 2 ORDER BY src_event_id""".stripMargin,
+      "q111_tfidf_keywords" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($wordsSql) AS token FROM documents),
+           |tok2 AS (SELECT * FROM tok WHERE length(token) > 0),
+           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+           |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.token, CAST(tf.tf AS DOUBLE) * n.n / df.df AS score
+           |  FROM tf JOIN df USING (token), n),
+           |ranked AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, token) AS rank FROM scored)
+           |SELECT doc_id, rank, token, ${r6("score")} AS score
+           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
     )
   }
 }

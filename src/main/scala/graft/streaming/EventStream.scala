@@ -175,6 +175,66 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
 
+  /** Event attribution, batch form: every `dstType` event that follows a
+    * same-user `srcType` event within `withinMinutes` (exclusive start,
+    * inclusive end) is attributed to it — the click→purchase join every
+    * funnel/conversion pipeline runs. One equi-join on user_id with a
+    * time-range residual: partitions by user, no product, no window.
+    * Output: matched pairs in integer microseconds.
+    */
+  def attributionPairs(events: DataFrame, srcType: String, dstType: String,
+      withinMinutes: Int): DataFrame = {
+    val us = org.apache.spark.sql.graftbridge.Bridge
+      .integralDivide(col("ts"), lit(1000L))
+    val a = events.filter(col("event_type") === srcType)
+      .select(col("event_id").as("src_event_id"), col("user_id"),
+        us.as("src_ts_us"))
+    val b = events.filter(col("event_type") === dstType)
+      .select(col("event_id").as("dst_event_id"),
+        col("user_id").as("__dst_user"), us.as("dst_ts_us"))
+    a.join(b, col("user_id") === col("__dst_user") &&
+        col("dst_ts_us") > col("src_ts_us") &&
+        col("dst_ts_us") <= col("src_ts_us") + withinMinutes * 60L * 1000000L)
+      .select(col("src_event_id"), col("user_id"), col("dst_event_id"),
+        col("src_ts_us"), col("dst_ts_us"))
+  }
+
+  /** [[attributionPairs]] rolled up per source event: conversion count +
+    * time of the first conversion. Partial-aggregating groupBy on the
+    * source event id.
+    */
+  def attributeWithin(events: DataFrame, srcType: String, dstType: String,
+      withinMinutes: Int): DataFrame =
+    attributionPairs(events, srcType, dstType, withinMinutes)
+      .groupBy(col("src_event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        min(col("dst_ts_us")).as("first_conv_us"))
+
+  /** The streaming form of [[attributionPairs]]: a stream-stream inner
+    * join — the flagship stateful op. Both sides carry a watermark and the
+    * join condition bounds each side's event time against the other
+    * (same-user equi-join + the attribution window), so Spark can expire
+    * join state: a src event leaves state once the dst watermark passes
+    * its window end, which is what makes the join runnable forever at
+    * 100 TB/day rates. Emits matched pairs in append mode.
+    */
+  def streamingAttributionPairs(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, srcType: String, dstType: String, withinMinutes: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    def side(t: String, prefix: String): DataFrame =
+      spark.readStream.schema(schemaDDL).parquet(sourceDir)
+        .filter(col("event_type") === t)
+        .withColumn(s"${prefix}_time", tsFromNanos(col("ts")))
+        .withWatermark(s"${prefix}_time", watermark)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("user_id").as(s"${prefix}_user"), col(s"${prefix}_time"))
+    side(srcType, "src").join(side(dstType, "dst"),
+      expr(s"""src_user = dst_user AND dst_time > src_time
+              |AND dst_time <= src_time + interval $withinMinutes minutes""".stripMargin))
+      .select(col("src_event_id"), col("src_user").as("user_id"),
+        col("dst_event_id"), col("src_time"), col("dst_time"))
+  }
+
   /** Sessionization per user: events within `gapMinutes` of each other chain
     * into one session (classic gaps-and-islands — batch form; the streaming
     * form is [[streamingSessionize]]).

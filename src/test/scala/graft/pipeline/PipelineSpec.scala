@@ -271,6 +271,23 @@ class PipelineSpec extends SparkTestBase {
     assert(filtered == Map("alpha" -> 2L, "beta" -> 2L))
   }
 
+  test("tfidfKeywords ranks rare-but-frequent tokens first") {
+    val t = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common words only here"),
+      (3L, "common words again")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfKeywords(t, topK = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // doc 1: zebra (tf=3, df=1) beats common (tf=2, df=3)
+    assert(top(1L) == "zebra")
+    // doc 3 "common words again": tf=1 each, df common=3/words=2/again=1
+    // -> scores N/df = 1, 1.5, 3 -> top-2 is (again, words)
+    val d3 = TextAnalysis.tfidfKeywords(t, topK = 2)
+      .filter(col("doc_id") === 3L).orderBy("rank")
+      .select("token", "score").as[(String, Double)].collect().toSeq
+    assert(d3 == Seq(("again", 3.0), ("words", 1.5)))
+  }
+
   test("dedupCorpus drops exact and near duplicates, keeps canonicals") {
     // docs: 4 = exact dup of 1 (exact stage), 2 = near-dup of 1 (LSH+CC
     // stage), 3 and 5 unique -> survivors {1, 3, 5}

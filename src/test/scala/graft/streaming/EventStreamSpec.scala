@@ -50,6 +50,44 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stream-stream attribution join emits the batch pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+
+    val batch = EventStream.attributionPairs(
+      spark.read.schema(schemaDDL).parquet(dir), "click", "purchase", 30)
+      .select("src_event_id", "dst_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val q = EventStream.streamingAttributionPairs(spark, dir, schemaDDL,
+      "click", "purchase", 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_out")
+      .select("src_event_id", "dst_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("attribution pairs respect the window bounds (exclusive start, inclusive end)") {
+    import spark.implicits._
+    val ns = (m: Long) => m * 60L * 1000000000L
+    val events = Seq(
+      (1L, ns(0), 7L, "click", 1.0, ""),
+      (2L, ns(0), 7L, "purchase", 1.0, ""),  // simultaneous: NOT attributed
+      (3L, ns(30), 7L, "purchase", 1.0, ""), // at the bound: attributed
+      (4L, ns(31), 7L, "purchase", 1.0, ""), // past the bound: not
+      (5L, ns(10), 9L, "purchase", 1.0, "")) // other user: not
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStream.attributionPairs(events, "click", "purchase", 30)
+      .select("src_event_id", "dst_event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)))
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     import spark.implicits._
     val ns = (m: Long) => m * 60L * 1000000000L
