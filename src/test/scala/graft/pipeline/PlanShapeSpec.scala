@@ -67,6 +67,49 @@ class PlanShapeSpec extends SparkTestBase {
     assert(self.getLong(1) == 1L && self.getDouble(2) == 0.0)
   }
 
+  test("kmeansTrain: window-free assignment, broadcast centroids each round") {
+    val init = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val out = Similarity.kmeansTrain(emb, init, iters = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"kmeans assignment must be a struct-min aggregate, not a window:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast, the corpus must not shuffle for assignment:\n$plan")
+  }
+
+  test("quantizeInt8: the range row broadcasts; no window, no wide shuffle") {
+    val out = Similarity.quantizeInt8(emb)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"quantize must not window:\n$plan")
+    // the only exchanges allowed are the single-row range aggregate + its
+    // broadcast back — the vector side itself must not repartition
+    assert(!plan.contains("SortMergeJoin"),
+      s"range join must broadcast, not sort-merge:\n$plan")
+  }
+
+  test("tfidfKeywords: per-doc sorted-slice aggregation, no corpus window") {
+    val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, topK = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the one allowed product is the broadcast of the single-row corpus
+    // count; a CartesianProduct (non-broadcast) would mean the N join
+    // shuffled the token table
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    assert(!plan.contains("Window"),
+      "top-k per doc must aggregate, not rank the corpus through a window")
+  }
+
+  test("attributionPairs joins on user id: no product") {
+    val events = Seq(
+      (1L, 1000000000L, 7L, "click", 1.0, ""),
+      (2L, 2000000000L, 7L, "purchase", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assertNoProduct(graft.streaming.EventStream
+      .attributionPairs(events, "click", "purchase", 30))
+  }
+
   test("connectedComponents rounds are equi-joins: no product in any iteration") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     // the result plan only shows the last round; products in EARLIER rounds
