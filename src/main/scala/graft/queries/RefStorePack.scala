@@ -167,6 +167,40 @@ object RefStorePack extends QueryPack {
         .orderBy("grp", "flag")
     }),
 
+    // obsm write-side round trip: spatial coordinates written as an
+    // (n x 2) dense zarr array under obsm/ come back through the wide
+    // aux frame with exact values
+    "q112_ref_write_obsm" -> ((s, d) => {
+      import graft.model._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_refobsm_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val shp = Models.ShapesModel.parse(graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("index"),
+        ((col("s_suppkey") * 7) % 50).cast("double").as("x0"),
+        ((col("s_suppkey") * 3) % 40).cast("double").as("y0"))
+        .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+          col("x0") + 4.0, col("y0") + 2.0))
+        .withColumn("geom_type", lit("polygon")).drop("x0", "y0"))
+      val obs = graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"), lit("shp").as("region"))
+      val spatial = graft.Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"),
+        (col("s_suppkey") * 2.0).as("spatial_0"),
+        (col("s_suppkey") % 13 + 0.25).as("spatial_1"))
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.ShapesModel.meta("shp"), shp),
+        SpatialElement(Models.TableModel.meta("tab",
+          Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs,
+          Map("obsm:spatial" -> spatial))))
+      graft.sources.RefStoreWriter.write(sd, dir)
+      val back = graft.sources.ZarrStore.read(s, dir)
+      back.element("tab").aux("obsm:spatial")
+        .groupBy((col("instance_id") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("spatial_0")).as("sum_x"),
+          dsum(col("spatial_1")).as("sum_y"))
+        .orderBy("bucket")
+    }),
+
     // pandas extension dtypes: nullable-integer / nullable-boolean obs
     // columns (values+mask groups) resolve with true nulls
     "q86_ref_nullable_obs" -> ((s, _) => {
@@ -281,6 +315,11 @@ object RefStorePack extends QueryPack {
         |  (s_suppkey % 2 = 0) AS flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM supplier GROUP BY 1, 2 ORDER BY grp, flag""".stripMargin,
+    "q112_ref_write_obsm" ->
+      """SELECT s_suppkey % 4 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_suppkey * 2.0 AS DECIMAL(28,6))) AS DOUBLE) AS sum_x,
+        |  CAST(SUM(CAST(s_suppkey % 13 + 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS sum_y
+        |FROM supplier GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q86_ref_nullable_obs" ->
       """WITH o AS (
         |  SELECT i,

@@ -518,6 +518,36 @@ object RefStoreWriter {
         writeDenseX(coo, n, varNames.length, target, fs, confB)
       }
     }
+
+    // ---- obsm: per-key (n x k) dense arrays from the wide aux frames the
+    // reader produces ((instance_id, <key>_0 .. <key>_{k-1}) — dropping
+    // them would silently lose spatial/PCA/embedding matrices on a
+    // write round-trip) ----
+    val obsms: Seq[(String, DataFrame)] = el.aux.toSeq
+      .filter(_._1.startsWith("obsm:")).sortBy(_._1)
+    if (obsms.nonEmpty) {
+      val obsmDir = s"$dir/obsm"
+      fs.mkdirs(new Path(obsmDir))
+      writeText(fs, s"$obsmDir/.zgroup", """{"zarr_format": 2}""")
+      writeText(fs, s"$obsmDir/.zattrs", JsonMethods.compact(JsonMethods.render(
+        ("encoding-type" -> "dict") ~ ("encoding-version" -> "0.1.0"))))
+      val ikCol = ik.getOrElse(sortCol)
+      val rowMap = withRow.select(col(ikCol).cast("long").as("__ik"), col("__row"))
+      obsms.foreach { case (auxKey, wide) =>
+        val key = auxKey.stripPrefix("obsm:")
+        val valueCols = wide.columns.filter(_.startsWith(s"${key}_"))
+          .sortBy(_.stripPrefix(s"${key}_").toInt)
+        require(valueCols.nonEmpty,
+          s"obsm '$key': no ${key}_<j> columns in ${wide.columns.mkString(", ")}")
+        val coo = wide
+          .join(rowMap, wide("instance_id").cast("long") === col("__ik"))
+          .select(col("__row"), posexplode(
+            array(valueCols.map(c => col(c).cast("double")): _*))
+            .as(Seq("col", "value")))
+          .select(col("__row").as("row"), col("col"), col("value"))
+        writeDenseX(coo, n, valueCols.length, s"$obsmDir/$key", fs, confB)
+      }
+    }
     withRow.unpersist()
   }
 

@@ -32,13 +32,15 @@ class RefStoreWriterSpec extends SparkTestBase {
       .toDF("instance_id", "region", "var_name", "value")
     val pts = Models.PointsModel.parse(
       (0 until 20).map(i => (i.toLong, i * 1.5, i * 0.25)).toDF("id", "x", "y"))
+    val spatialWide = (0 until 12).map(i => (i.toLong, i * 2.0, i + 0.25))
+      .toDF("instance_id", "spatial_0", "spatial_1")
     SpatialDataset(spark, Seq(
       SpatialElement(Models.ShapesModel.meta("shp",
         transforms = Map("global" -> ScaleT(Seq(2.0, 2.0), Seq("x", "y")))), shp),
       SpatialElement(Models.PointsModel.meta("pts", instanceKey = Some("id")), pts),
       SpatialElement(Models.TableModel.meta("tab",
         Some(TableAnnotation(Seq("shp"), "region", "instance_id"))), obs,
-        Map("X" -> x, "layer:counts" -> lx))))
+        Map("X" -> x, "layer:counts" -> lx, "obsm:spatial" -> spatialWide))))
   }
 
   // fixed location so tools/check_ref_store.py can validate the same bytes
@@ -130,6 +132,13 @@ class RefStoreWriterSpec extends SparkTestBase {
     val obsVals = graft.query.RelationalQuery.getValues(back, "score", "shp",
       tableLayer = Some("nope"))
     assert(obsVals.count() == 12)
+    // obsm matrices round-trip as (n x k) dense zarr arrays beside X —
+    // dropping them would silently lose spatial/PCA coordinates
+    val sp = tab.aux("obsm:spatial")
+      .select(col("instance_id").cast("long"), col("spatial_0"), col("spatial_1"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(sp.length == 12)
+    sp.foreach { case (i, a, b) => assert(a == i * 2.0 && b == i + 0.25) }
   }
 
   test("geoarrow encoding rejects mixed point+polygon elements on the driver") {

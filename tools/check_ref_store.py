@@ -109,8 +109,13 @@ def main(root):
     L = read_array(os.path.join(tdir, "layers", "counts"))
     lwant = np.array([[(i + 2 * j) % 4 for j in range(3)] for i in range(12)], dtype="<f8")
     assert np.array_equal(L, lwant), L
+    obsm_attrs = jload(os.path.join(tdir, "obsm", ".zattrs"))
+    assert obsm_attrs["encoding-type"] == "dict", obsm_attrs
+    S = read_array(os.path.join(tdir, "obsm", "spatial"))
+    swant = np.array([[i * 2.0, i + 0.25] for i in range(12)], dtype="<f8")
+    assert np.array_equal(S, swant), S
     ok += 1
-    print("OK  tables/tab: anndata group decodes (obs aligned, X + layer exact)")
+    print("OK  tables/tab: anndata group decodes (obs aligned, X + layer + obsm exact)")
 
     # ---- shapes: single-file GeoParquet ----
     sp = os.path.join(root, "shapes", "shp", "shapes.parquet")
