@@ -201,6 +201,19 @@ object RefStorePack extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // obsp pairwise graphs: the CSR (n_obs x n_obs) neighbor matrix under
+    // obsp/ resolves to long-form (instance_a, instance_b, weight) with
+    // both axes mapped through the obs row index
+    "q113_ref_obsp" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("t_dense")))
+      sd.element("t_dense").aux("obsp:knn")
+        .groupBy((col("instance_id_a").cast("long") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_w"),
+          sum(col("instance_id_b").cast("long")).as("sum_b"))
+        .orderBy("bucket")
+    }),
+
     // pandas extension dtypes: nullable-integer / nullable-boolean obs
     // columns (values+mask groups) resolve with true nulls
     "q86_ref_nullable_obs" -> ((s, _) => {
@@ -315,6 +328,15 @@ object RefStorePack extends QueryPack {
         |  (s_suppkey % 2 = 0) AS flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM supplier GROUP BY 1, 2 ORDER BY grp, flag""".stripMargin,
+    "q113_ref_obsp" ->
+      """WITH e AS (
+        |  SELECT k, (k + 1) % 50 AS b, k + 0.5 AS w FROM range(50) t(k)
+        |  UNION ALL
+        |  SELECT k, (k + 7) % 50 AS b, k * 0.25 + 1.0 AS w FROM range(50) t(k))
+        |SELECT k % 5 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS sum_w,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q112_ref_write_obsm" ->
       """SELECT s_suppkey % 4 AS bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 2.0 AS DECIMAL(28,6))) AS DOUBLE) AS sum_x,

@@ -428,8 +428,36 @@ object AnnDataZarr {
           }.toMap
       }
 
+    // obsp: per-key (n_obs x n_obs) pairwise matrices (neighbor/distance
+    // graphs anndata stores here; the reference reads them through anndata,
+    // io_table.py:22-49) -> long-form aux "obsp:<key>"
+    // (instance_id_a, instance_id_b, value) with BOTH axes resolved
+    // through the obs row index. Stored entries are kept as-is (the
+    // sparsity pattern IS the graph — no zero-filter like X long form).
+    val obspDir = s"$dir/obsp"
+    val obspAux: Map[String, DataFrame] =
+      if (!f.exists(new Path(s"$obspDir/.zgroup"))) Map.empty
+      else {
+        val instCol = instanceKey.filter(k => obs.columns.contains(k))
+          .map(k => col(k)).getOrElse(col("__row"))
+        val obsKeyed = obs.select(col("__row"), instCol.as("__inst"))
+        f.listStatus(new Path(obspDir)).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+          .map(_.getPath.getName).sorted
+          .map { key =>
+            val m = readMatrix(s"$obspDir/$key").getOrElse(
+              sys.error(s"$obspDir/$key: expected a matrix group or array"))
+            s"obsp:$key" -> m
+              .join(obsKeyed.select(col("__row").as("row"),
+                col("__inst").as("instance_id_a")), "row")
+              .join(obsKeyed.select(col("__row").as("col"),
+                col("__inst").as("instance_id_b")), "col")
+              .select(col("instance_id_a"), col("instance_id_b"), col("value"))
+          }.toMap
+      }
+
     SpatialElement(Models.TableModel.meta(name, ann),
-      obs.drop("__row"), xLong.map("X" -> _).toMap ++ layerAux ++ obsmAux)
+      obs.drop("__row"), xLong.map("X" -> _).toMap ++ layerAux ++ obsmAux ++ obspAux)
   }
 
   // ---- ShapesFormatV01 ragged shapes ----

@@ -295,6 +295,25 @@ def main():
     ke = 80
     emb = (i[:, None] * 0.5 + np.arange(ke)[None, :] * 0.125).astype(np.float64)
     write_array(os.path.join(md, "emb"), emb, chunks=[16, 40])
+    # obsp/knn: pairwise (n_obs x n_obs) CSR neighbor graph — row k links to
+    # (k+1)%50 with weight k+0.5 and (k+7)%50 with weight k*0.25+1.0
+    # (anndata stores neighbor/distance graphs here; the reference reads
+    # them through anndata, io_table.py:22-49)
+    pd_ = os.path.join(d, "obsp")
+    write_group(pd_, {"encoding-type": "dict", "encoding-version": "0.1.0"})
+    data, indices, indptr = [], [], [0]
+    for k in range(no):
+        ents = sorted([((k + 1) % no, k + 0.5), ((k + 7) % no, k * 0.25 + 1.0)])
+        for c, v in ents:
+            indices.append(c)
+            data.append(v)
+        indptr.append(len(data))
+    kd = os.path.join(pd_, "knn")
+    write_group(kd, {"encoding-type": "csr_matrix", "encoding-version": "0.1.0",
+                     "shape": [no, no]})
+    write_array(os.path.join(kd, "data"), np.array(data, dtype=np.float64), chunks=[32])
+    write_array(os.path.join(kd, "indices"), np.array(indices, dtype=np.int32), chunks=[32])
+    write_array(os.path.join(kd, "indptr"), np.array(indptr, dtype=np.int64), chunks=[16])
 
     # ---- tables/t_csr: AnnData zarr, CSR X ----
     no, nv = 30, 3
