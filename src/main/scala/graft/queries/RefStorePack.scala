@@ -214,6 +214,15 @@ object RefStorePack extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // varm matrices (PCA loadings): exact values keyed by var name
+    "q114_ref_varm" -> ((s, _) => {
+      val sd = ZarrStore.read(s, fixtureRoot, selection = Some(Seq("t_dense")))
+      sd.element("t_dense").aux("varm:loadings")
+        .select(col("var_name"), col("loadings_0"), col("loadings_1"),
+          col("loadings_2"))
+        .orderBy("var_name")
+    }),
+
     // pandas extension dtypes: nullable-integer / nullable-boolean obs
     // columns (values+mask groups) resolve with true nulls
     "q86_ref_nullable_obs" -> ((s, _) => {
@@ -328,6 +337,12 @@ object RefStorePack extends QueryPack {
         |  (s_suppkey % 2 = 0) AS flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM supplier GROUP BY 1, 2 ORDER BY grp, flag""".stripMargin,
+    "q114_ref_varm" ->
+      """SELECT 'g' || CAST(j AS VARCHAR) AS var_name,
+        |  j * 1.5 + 0.5 AS loadings_0,
+        |  CAST(10 - j AS DOUBLE) AS loadings_1,
+        |  j * j * 0.25 AS loadings_2
+        |FROM range(4) t(j) ORDER BY var_name""".stripMargin,
     "q113_ref_obsp" ->
       """WITH e AS (
         |  SELECT k, (k + 1) % 50 AS b, k + 0.5 AS w FROM range(50) t(k)

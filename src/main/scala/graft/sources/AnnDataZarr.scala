@@ -456,8 +456,39 @@ object AnnDataZarr {
           }.toMap
       }
 
+    // varm: per-key (n_var x k) matrices (PCA loadings etc.) -> wide aux
+    // "varm:<key>" (var_name, <key>_0 .. <key>_{k-1}); var-sized, so the
+    // conditional-aggregate pivot is always safe
+    val varmDir = s"$dir/varm"
+    val varmAux: Map[String, DataFrame] =
+      if (!f.exists(new Path(s"$varmDir/.zgroup"))) Map.empty
+      else
+        f.listStatus(new Path(varmDir)).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+          .map(_.getPath.getName).sorted
+          .filter(key => f.exists(new Path(s"$varmDir/$key/.zarray")))
+          .map { key =>
+            val m = arrayMeta(spark, s"$varmDir/$key")
+            require(m.shape.length == 2, s"varm/$key: expected a 2-D array")
+            val k = m.shape(1)
+            val wide = readDenseMatrix(spark, s"$varmDir/$key")
+              .groupBy("row")
+              .agg((0 until k).map(j =>
+                max(when(col("col") === j, col("value"))).as(s"${key}_$j")).head,
+                (1 until k).map(j =>
+                  max(when(col("col") === j, col("value"))).as(s"${key}_$j")): _*)
+            // bind the def ONCE — a second varNames call would be a new plan
+            // with fresh attribute ids, making the join condition ambiguous
+            val vn = varNames.select(col("col").as("row"), col("var_name"))
+            val named = vn.join(wide, Seq("row"), "left")
+            val cols = col("var_name") +: (0 until k).map(j =>
+              coalesce(col(s"${key}_$j"), lit(m.fillValue)).as(s"${key}_$j"))
+            s"varm:$key" -> named.select(cols: _*)
+          }.toMap
+
     SpatialElement(Models.TableModel.meta(name, ann),
-      obs.drop("__row"), xLong.map("X" -> _).toMap ++ layerAux ++ obsmAux ++ obspAux)
+      obs.drop("__row"), xLong.map("X" -> _).toMap ++ layerAux ++ obsmAux ++
+        obspAux ++ varmAux)
   }
 
   // ---- ShapesFormatV01 ragged shapes ----

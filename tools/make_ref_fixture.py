@@ -314,6 +314,12 @@ def main():
     write_array(os.path.join(kd, "data"), np.array(data, dtype=np.float64), chunks=[32])
     write_array(os.path.join(kd, "indices"), np.array(indices, dtype=np.int32), chunks=[32])
     write_array(os.path.join(kd, "indptr"), np.array(indptr, dtype=np.int64), chunks=[16])
+    # varm/loadings: per-var (n_var x k) matrix (PCA loadings live here)
+    vmd = os.path.join(d, "varm")
+    write_group(vmd, {"encoding-type": "dict", "encoding-version": "0.1.0"})
+    j = np.arange(nv)
+    loadings = np.stack([j * 1.5 + 0.5, 10.0 - j, j * j * 0.25], axis=1).astype(np.float64)
+    write_array(os.path.join(vmd, "loadings"), loadings, chunks=[2, 3])
 
     # ---- tables/t_csr: AnnData zarr, CSR X ----
     no, nv = 30, 3
