@@ -202,20 +202,29 @@ object Dedup {
     // shingle only the docs the pair table references (pairs << corpus
     // after LSH), with per-doc distinct arrays from the kernel — no
     // global (id, shingle) DISTINCT exchange, and counts are a size()
-    // projection instead of an aggregation
-    val ids = pairs.select(col("id_a").as("__id"))
-      .unionAll(pairs.select(col("id_b").as("__id"))).distinct()
+    // projection instead of an aggregation.
+    //
+    // BOTH intermediates are persisted: the plan references pairs/withSh
+    // through a chain (ids -> withSh -> sh -> shA/shB -> interCount ->
+    // final joins) that MULTIPLIES subtree copies — unpersisted, the
+    // upstream candidate-generation pipeline replays ~20x in one action
+    // (measured: 17s vs 2s at sf0.1)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.persist(lvl)
+    val ids = p.select(col("id_a").as("__id"))
+      .unionAll(p.select(col("id_b").as("__id"))).distinct()
     val withSh = docs.join(ids, docs(idCol) === ids("__id"), "left_semi")
       .select(col(idCol).as("__id"), distinctShingleArray(col(textCol), k).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .persist(lvl)
     val sh = withSh.select(col("__id"), explode(col("__sh")).as("shingle"))
     val counts = withSh.select(col("__id"), size(col("__sh")).cast("long").as("__n"))
     // intersection via self-join on shingle
     val shA = sh.select(col("__id").as("id_a"), col("shingle"))
     val shB = sh.select(col("__id").as("id_b"), col("shingle"))
-    val interCount = pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
+    val interCount = p.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    pairs
+    p
       .join(interCount, Seq("id_a", "id_b"), "left")
       .join(counts.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), Seq("id_a"))
       .join(counts.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), Seq("id_b"))

@@ -23,6 +23,9 @@ object Profile {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // emulate Bench's cache hygiene: persisted intermediates from one rep
+      // must not subsidize the next (set PROFILE_KEEPCACHE to disable)
+      if (!sys.env.contains("PROFILE_KEEPCACHE")) spark.catalog.clearCache()
     }
     if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     spark.stop()

@@ -83,6 +83,53 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  // ---- shingle kernels vs naive reference implementations ----
+
+  private val rawText: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(
+        6 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.numChar,
+        1 -> Gen.oneOf('!', ',', 'X', '\n', '-'))).map(_.mkString))
+
+  private def naiveWords(text: String): Seq[String] =
+    text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSeq
+
+  test("distinctShingles kernel == naive shingling on random text") {
+    samples(rawText, 40).zipWithIndex.foreach { case (text, id) =>
+      for (k <- Seq(2, 3)) {
+        val got = Seq((id.toLong, text)).toDF("doc_id", "text")
+          .select(Dedup.distinctShingleArray(col("text"), k))
+          .as[Seq[String]].collect()(0)
+        val w = naiveWords(text)
+        val want = if (w.length < k) Seq.empty
+          else w.sliding(k).map(_.mkString(" ")).toSeq.distinct
+        assert(got == want, s"k=$k text='$text' words=$w")
+      }
+    }
+  }
+
+  test("minhashDoc == per-shingle md5 minima on random text") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    samples(rawText, 25).zipWithIndex.foreach { case (text, id) =>
+      val w = naiveWords(text)
+      val sh = if (w.length < 3) Seq.empty
+        else w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      val got = Dedup.minhashSignatures(
+        Seq((id.toLong, text)).toDF("doc_id", "text"), "text", "doc_id", 3, 4)
+        .collect()
+      if (sh.isEmpty) assert(got.isEmpty, s"text='$text'")
+      else {
+        val want = (0 until 4).map(j => sh.map(s => md5hex(s"$j:$s")).min)
+        assert(got.length == 1 &&
+          (1 to 4).map(got(0).getString) == want, s"text='$text'")
+      }
+    }
+  }
+
   // ---- sampling laws ----
 
   test("hashSample: nested fractions and determinism over random id sets") {
