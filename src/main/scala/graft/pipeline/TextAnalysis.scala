@@ -234,44 +234,25 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol),
-      length(concat_ws(" ", Dedup.words(col(textCol)))).as("__norm_len"))
-
-    val lineCounts = docs
-      .select(col(idCol), explode(filter(
-        transform(split(col(textCol), "\n"), l => trim(l)),
-        l => length(l) > 0)).as("__line"))
-      .groupBy(col(idCol), col("__line"))
-      .agg(count(lit(1)).as("__c"))
-    val lineAgg = lineCounts.groupBy(col(idCol)).agg(
-      ((sum(col("__c")) - count(lit(1))).cast("double") / sum(col("__c")))
-        .as("dup_line_frac"),
-      (sum((col("__c") - 1) * length(col("__line"))).cast("double") /
-        sum(col("__c") * length(col("__line")))).as("dup_line_char_frac"))
-
-    val g2 = Dedup.shingleRows(docs, textCol, idCol, 2)
-      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
-    val topG2 = g2.groupBy(col(idCol)).agg(
-      max(struct(col("__c"), col("shingle"))).as("__top"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    // all four signals in one static call per document
+    // ([[TextKernel.repetitionSignals]]) — the aggregate form (line counts
+    // + 2-gram counts + 5-gram counts, each a per-(doc, unit) then per-doc
+    // double aggregation re-joined on doc id) paid three shuffle pipelines
+    // for what is a pure per-document function; values are identical
+    // (pinned by TextKernelSpec + the random-text property test)
+    val sig = Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(DoubleType, containsNull = false), "repetitionSignals",
+      Seq(col(textCol), concat_ws(" ", Dedup.words(col(textCol)))),
+      Seq(StringType, StringType), returnNullable = false)
+    docs.select(col(idCol), sig.as("__s"))
       .select(col(idCol),
-        (col("__top.__c") * length(col("__top.shingle"))).as("__top_chars"))
-
-    val g5 = Dedup.shingleRows(docs, textCol, idCol, 5)
-      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
-    val dup5 = g5.groupBy(col(idCol)).agg(
-      (sum(when(col("__c") > 1, col("__c")).otherwise(0)).cast("double") /
-        sum(col("__c"))).as("dup_5gram_frac"))
-
-    base
-      .join(lineAgg, Seq(idCol), "left")
-      .join(topG2, Seq(idCol), "left")
-      .join(dup5, Seq(idCol), "left")
-      .select(col(idCol),
-        round6(coalesce(col("dup_line_frac"), lit(0.0))).as("dup_line_frac"),
-        round6(coalesce(col("dup_line_char_frac"), lit(0.0))).as("dup_line_char_frac"),
-        round6(coalesce(col("__top_chars").cast("double") /
-          greatest(col("__norm_len"), lit(1)), lit(0.0))).as("top_2gram_char_frac"),
-        round6(coalesce(col("dup_5gram_frac"), lit(0.0))).as("dup_5gram_frac"))
+        round6(col("__s")(0)).as("dup_line_frac"),
+        round6(col("__s")(1)).as("dup_line_char_frac"),
+        round6(col("__s")(2)).as("top_2gram_char_frac"),
+        round6(col("__s")(3)).as("dup_5gram_frac"))
   }
 
   /** Winnowing document sketch: k-char gram rolling hashes, keep the

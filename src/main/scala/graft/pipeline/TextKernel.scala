@@ -118,6 +118,91 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
+  /** All four Gopher-style repetition signals of one document in a single
+    * pass: (dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+    * dup_5gram_frac), unrounded. Replaces three explode + double-aggregate
+    * pipelines (line counts, 2-gram counts, 5-gram counts) re-joined on
+    * doc id with a shuffle-free projection.
+    *
+    * Semantics mirror the aggregate form exactly: lines = java-regex split
+    * on \n, UTF8String.trim, code-point lengths, empty lines dropped;
+    * grams from the pre-normalized word string; the top 2-gram ties break
+    * on (count, shingle) max — binary string order, identical to the
+    * max(struct(c, shingle)) aggregate for the ASCII-only normalized
+    * vocabulary; ratios are integer-exact longs divided as doubles, the
+    * same promotion SQL's CAST(... AS DOUBLE)/BIGINT performs. Documents
+    * without lines/grams yield 0.0, matching the left-join + coalesce.
+    */
+  def repetitionSignals(text: UTF8String, norm: UTF8String): ArrayData = {
+    // ---- line multiset ----
+    val lineCounts = new java.util.HashMap[UTF8String, Array[Long]]()
+    text.toString.split("\n", -1).foreach { raw =>
+      val u = UTF8String.fromString(raw).trim()
+      if (u.numChars > 0) {
+        val e = lineCounts.get(u)
+        if (e == null) lineCounts.put(u, Array(1L, u.numChars.toLong))
+        else e(0) += 1
+      }
+    }
+    var sumC = 0L; var nDistinct = 0L; var dupChars = 0L; var allChars = 0L
+    val it = lineCounts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next(); val c = e(0); val len = e(1)
+      sumC += c; nDistinct += 1
+      dupChars += (c - 1) * len
+      allChars += c * len
+    }
+    val dupLineFrac = if (sumC == 0) 0.0 else (sumC - nDistinct).toDouble / sumC
+    val dupLineCharFrac = if (allChars == 0) 0.0 else dupChars.toDouble / allChars
+
+    // ---- word grams ----
+    val words = norm.toString.split(' ')
+    def gramCounts(k: Int): java.util.HashMap[String, Array[Long]] = {
+      val m = new java.util.HashMap[String, Array[Long]]()
+      val n = words.length - k + 1
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val s = sb.toString
+        val e = m.get(s)
+        if (e == null) m.put(s, Array(1L)) else e(0) += 1
+        i += 1
+      }
+      m
+    }
+    val g2 = gramCounts(2)
+    var topC = 0L; var topSh: String = null
+    val it2 = g2.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next(); val c = e.getValue()(0)
+      if (c > topC || (c == topC && (topSh == null || e.getKey.compareTo(topSh) > 0))) {
+        topC = c; topSh = e.getKey
+      }
+    }
+    val normLen = norm.numChars.toLong
+    val top2Frac = if (topSh == null) 0.0
+      else (topC * topSh.length).toDouble / math.max(normLen, 1L)
+
+    val g5 = gramCounts(5)
+    var dup5 = 0L; var sum5 = 0L
+    val it5 = g5.values().iterator()
+    while (it5.hasNext) {
+      val c = it5.next()(0)
+      sum5 += c
+      if (c > 1) dup5 += c
+    }
+    val dup5Frac = if (sum5 == 0) 0.0 else dup5.toDouble / sum5
+
+    new GenericArrayData(Array[Any](dupLineFrac, dupLineCharFrac, top2Frac, dup5Frac))
+  }
+
   /** Distinct k-word shingles of a pre-normalized document (single-space
     * separated words, the output of `Dedup.words` re-joined): shingle i =
     * words[i..i+k-1] joined by spaces, first occurrence order, duplicates

@@ -81,6 +81,68 @@ class TextKernelSpec extends SparkTestBase {
       s"minhashDoc path must not shuffle or sort:\n$plan")
   }
 
+  private def legacyRepetitionSignals(docs: org.apache.spark.sql.DataFrame) = {
+    import TextAnalysis.round6
+    val base = docs.select(col("doc_id"),
+      length(concat_ws(" ", Dedup.words(col("text")))).as("__norm_len"))
+    val lineCounts = docs
+      .select(col("doc_id"), explode(filter(
+        transform(split(col("text"), "\n"), l => trim(l)),
+        l => length(l) > 0)).as("__line"))
+      .groupBy(col("doc_id"), col("__line"))
+      .agg(count(lit(1)).as("__c"))
+    val lineAgg = lineCounts.groupBy(col("doc_id")).agg(
+      ((sum(col("__c")) - count(lit(1))).cast("double") / sum(col("__c")))
+        .as("dup_line_frac"),
+      (sum((col("__c") - 1) * length(col("__line"))).cast("double") /
+        sum(col("__c") * length(col("__line")))).as("dup_line_char_frac"))
+    val g2 = Dedup.shingleRows(docs, "text", "doc_id", 2)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("__c"))
+    val topG2 = g2.groupBy(col("doc_id")).agg(
+      max(struct(col("__c"), col("shingle"))).as("__top"))
+      .select(col("doc_id"),
+        (col("__top.__c") * length(col("__top.shingle"))).as("__top_chars"))
+    val g5 = Dedup.shingleRows(docs, "text", "doc_id", 5)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("__c"))
+    val dup5 = g5.groupBy(col("doc_id")).agg(
+      (sum(when(col("__c") > 1, col("__c")).otherwise(0)).cast("double") /
+        sum(col("__c"))).as("dup_5gram_frac"))
+    base
+      .join(lineAgg, Seq("doc_id"), "left")
+      .join(topG2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round6(coalesce(col("dup_line_frac"), lit(0.0))).as("dup_line_frac"),
+        round6(coalesce(col("dup_line_char_frac"), lit(0.0))).as("dup_line_char_frac"),
+        round6(coalesce(col("__top_chars").cast("double") /
+          greatest(col("__norm_len"), lit(1)), lit(0.0))).as("top_2gram_char_frac"),
+        round6(coalesce(col("dup_5gram_frac"), lit(0.0))).as("dup_5gram_frac"))
+  }
+
+  test("repetitionSignals kernel == the aggregate form (incl. line and gram edges)") {
+    val reps = Seq(
+      (21L, "dup line\ndup line\nunique\n\n  \nx y x y x y x y x y"),
+      (22L, "a b c d e a b c d e a b c d e a b c d e a b c d e"),
+      (23L, "no newlines just words here"),
+      (24L, ""),
+      (25L, "one\ntwo\nthree"),
+      (26L, "  padded line  \n  padded line  \ntail")
+    ).toDF("doc_id", "text")
+    val all = docs.unionByName(reps)
+    val got = TextAnalysis.repetitionSignals(all)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val want = legacyRepetitionSignals(all)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("repetitionSignals is a shuffle-free projection") {
+    val plan = TextAnalysis.repetitionSignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"repetition signals must not shuffle:\n$plan")
+  }
+
   test("empty document sketches to md5 of the empty string") {
     val one = Seq((1L, "")).toDF("doc_id", "text")
     val rows = TextAnalysis.winnowing(one).collect()
