@@ -142,7 +142,37 @@ object Similarity {
     */
   def kmeansTrain(corpus: DataFrame, initCentroids: DataFrame, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidIdCol: String = "centroid_id"): DataFrame = {
+      centroidIdCol: String = "centroid_id"): DataFrame =
+    kmeansAssignments(corpus, initCentroids, iters, idCol, vecCol, centroidIdCol)
+      .groupBy(col(centroidIdCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__d").cast("decimal(28,6)")).cast("double").as("inertia"))
+
+  /** Per-dimension cluster means in exact decimal arithmetic, re-rounded
+    * to the 6-decimal grid, collected to the driver (k x dims rows — the
+    * one legitimate collect; centroids ARE the model).
+    */
+  private def collectMeans(assign: DataFrame, c: DataFrame, idCol: String,
+      centroidIdCol: String): Seq[(Long, Seq[Double])] =
+    assign.select(col(idCol), col(centroidIdCol))
+      .join(c, idCol)
+      .select(col(centroidIdCol), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col(centroidIdCol), col("__i"))
+      .agg((sum(TextAnalysis.round6(col("__x")).cast("decimal(28,6)"))
+        .cast("double") / count(lit(1))).as("__m"))
+      .select(col(centroidIdCol), col("__i"), TextAnalysis.round6(col("__m")).as("__m"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
+
+  /** The Lloyd loop itself: final-iteration assignment
+    * (id, centroid_id, __d) — shared by [[kmeansTrain]] (summary) and
+    * [[pqTrain]] (per-subspace codebooks).
+    */
+  private[pipeline] def kmeansAssignments(corpus: DataFrame,
+      initCentroids: DataFrame, iters: Int, idCol: String, vecCol: String,
+      centroidIdCol: String): DataFrame = {
     require(iters >= 1, s"kmeansTrain: iters must be >= 1, got $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -168,28 +198,67 @@ object Similarity {
     var lastAssign: DataFrame = null
     for (it <- 0 until iters) {
       lastAssign = assign(cent)
-      if (it < iters - 1) {
-        // per-dimension mean in exact decimal arithmetic, re-rounded to the
-        // 6-decimal grid; k x dims rows — the one legitimate collect
-        val means = lastAssign.select(col(idCol), col(centroidIdCol))
-          .join(c, idCol)
-          .select(col(centroidIdCol), posexplode(col("__v")).as(Seq("__i", "__x")))
-          .groupBy(col(centroidIdCol), col("__i"))
-          .agg((sum(TextAnalysis.round6(col("__x")).cast("decimal(28,6)"))
-            .cast("double") / count(lit(1))).as("__m"))
-          .select(col(centroidIdCol), col("__i"), TextAnalysis.round6(col("__m")).as("__m"))
-          .collect()
-        val next = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
-          val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          (cid, vec)
-        }.toSeq.sortBy(_._1)
-        cent = next.toDF(centroidIdCol, "__c")
-      }
+      if (it < iters - 1)
+        cent = collectMeans(lastAssign, c, idCol, centroidIdCol)
+          .toDF(centroidIdCol, "__c")
     }
     lastAssign
-      .groupBy(col(centroidIdCol))
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("__d").cast("decimal(28,6)")).cast("double").as("inertia"))
+  }
+
+  /** Product-quantization ENCODE: split each vector into `m` contiguous
+    * `subDim`-wide subvectors and assign each to its nearest codebook
+    * entry — the compression step of PQ-based ANN (a 64-dim float vector
+    * becomes m bytes; the standard way a 100 TB vector corpus fits an
+    * index). `codebooks` is the small trained table
+    * (sub, code_id, subvec); it broadcasts, the corpus explodes to
+    * (id, sub, subvec) rows, and the argmin is the same window-free
+    * struct-min aggregate as [[ivfAssign]], keyed by (id, sub). Distances
+    * are 6-decimal-rounded before the argmin so ties break identically on
+    * any engine. Output: (id, sub, code_id, dist2), one row per subspace.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, subDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val slices = transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col(vecCol).cast("array<double>"), s * subDim + 1, lit(subDim)))
+    val subRows = corpus.select(col(idCol), posexplode(slices).as(Seq("sub", "__sv")))
+    val cb = codebooks.select(col("sub"), col("code_id"),
+      col("subvec").cast("array<double>").as("__cv"))
+    val dist2 = aggregate(zip_with(col("__sv"), col("__cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    subRows.join(broadcast(cb), Seq("sub"))
+      .withColumn("__d", TextAnalysis.round6(dist2))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__d"), col("code_id"))).as("__best"))
+      .select(col(idCol), col("sub"),
+        col("__best")("code_id").as("code_id"),
+        col("__best")("__d").as("dist2"))
+  }
+
+  /** Product-quantization TRAIN: an independent Lloyd run per subspace
+    * over the sliced corpus. Returns the codebook table [[pqEncode]]
+    * consumes: (sub, code_id, subvec) — m * k rows, driver-sized by
+    * definition (codebooks ARE the model). The m trainings run
+    * sequentially; each is the broadcast-assign loop of [[kmeansTrain]],
+    * so the corpus is scanned per iteration but never shuffled by more
+    * than (id, dim). Codebook entries are the final-assignment cluster
+    * means on the same 6-decimal grid as every other training step.
+    */
+  def pqTrain(corpus: DataFrame, initCodebooks: DataFrame, m: Int, subDim: Int,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val all = (0 until m).flatMap { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as(vecCol))
+      val init = initCodebooks.filter(col("sub") === s)
+        .select(col("code_id").as("centroid_id"), col("subvec").as(vecCol))
+      val assign = kmeansAssignments(sliced, init, iters, idCol, vecCol, "centroid_id")
+      val c = sliced.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      collectMeans(assign, c, idCol, "centroid_id")
+        .map { case (cid, vec) => (s, cid, vec) }
+    }
+    all.toSeq.sortBy(t => (t._1, t._2)).toDF("sub", "code_id", "subvec")
   }
 
   /** Symmetric int8 scalar quantization of the embedding column — the

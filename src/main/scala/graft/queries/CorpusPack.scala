@@ -94,6 +94,19 @@ object CorpusPack extends QueryPack {
     "q111_tfidf_keywords" -> ((s, d) => {
       TextAnalysis.tfidfKeywords(Tables.documentsSpread(s, d), topK = 3)
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // product-quantization encode: 4 subspaces x 16 dims, codebooks =
+    // sliced every-50th vectors (the compression step of PQ ANN)
+    "q115_pq_encode" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val cb = corpus.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      Similarity.pqEncode(corpus, cb, m = 4, subDim = 16)
+        .orderBy(col("vec_id"), col("sub"))
     })
   )
 
@@ -200,6 +213,21 @@ object CorpusPack extends QueryPack {
            |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM docs2 d
            |LEFT JOIN drop USING (doc_id) WHERE drop.doc_id IS NULL
            |ORDER BY d.doc_id""".stripMargin
+      },
+      "q115_pq_encode" -> {
+        def subD2(sub: String) = r6(
+          s"""list_sum(list_transform(range(0, 16), i ->
+             |  (CAST(e.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE)) *
+             |  (CAST(e.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE))))""".stripMargin)
+        s"""WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id % 50 = 2),
+           |subs AS (SELECT unnest(range(0, 4)) AS sub),
+           |d AS (
+           |  SELECT e.vec_id, s.sub, c.code_id, ${subD2("s.sub")} AS d2
+           |  FROM embeddings e, subs s, cb c)
+           |SELECT vec_id, CAST(sub AS INT) AS sub, code_id, d2 AS dist2 FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
+           |  FROM d) WHERE rn = 1
+           |ORDER BY vec_id, sub""".stripMargin
       },
       "q110_attribution" ->
         """WITH e AS (

@@ -250,6 +250,35 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(_._3).sum < first / 10)
   }
 
+  test("pqTrain + pqEncode: codebooks converge per subspace, codes compress") {
+    // 8-dim vectors = 2 subspaces x 4 dims; subspace 0 clusters around
+    // 0 vs 10, subspace 1 around 5 vs -5 (independent structure per sub)
+    val vecs = (0 until 12).map { i =>
+      val a = if (i % 2 == 0) 0.0f else 10.0f
+      val b = if (i < 6) 5.0f else -5.0f
+      (i.toLong, Seq.fill(4)(a) ++ Seq.fill(4)(b))
+    }.toDF("vec_id", "embedding")
+    val init = Seq(
+      (0, 0L, Seq.fill(4)(1.0)), (0, 1L, Seq.fill(4)(8.0)),
+      (1, 0L, Seq.fill(4)(1.0)), (1, 1L, Seq.fill(4)(-1.0)))
+      .toDF("sub", "code_id", "subvec")
+    val cb = Similarity.pqTrain(vecs, init, m = 2, subDim = 4, iters = 3)
+    val entries = cb.as[(Int, Long, Seq[Double])].collect()
+    assert(entries.length == 4)
+    // trained centroids land on the blob means
+    val bySub = entries.groupBy(_._1)
+    assert(bySub(0).map(_._3.head).sorted.sameElements(Seq(0.0, 10.0)))
+    assert(bySub(1).map(_._3.head).sorted.sameElements(Seq(-5.0, 5.0)))
+    // encode: every subvector lands on its blob's code at distance 0
+    val codes = Similarity.pqEncode(vecs, cb, m = 2, subDim = 4)
+    assert(codes.count() == 24)
+    assert(codes.filter(col("dist2") =!= 0.0).count() == 0)
+    // vectors sharing a blob per subspace share that subspace's code
+    val c0 = codes.filter(col("sub") === 0)
+      .select("vec_id", "code_id").as[(Long, Long)].collect().toMap
+    assert((0 until 12).forall(i => c0(i.toLong) == c0(((i % 2) + 2).toLong)))
+  }
+
   test("quantizeInt8 maps the global range onto [-128, 127]") {
     val vecs = Seq((1L, Seq(0.0f, 5.0f)), (2L, Seq(10.0f, 2.5f)))
       .toDF("vec_id", "embedding")
