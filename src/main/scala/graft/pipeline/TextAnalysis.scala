@@ -199,6 +199,25 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** The composed C4-style curation pipeline: quality gate (token count +
+    * composite score) → language filter (stopword-argmax language ID) →
+    * full dedup ([[Dedup.dedupCorpus]]: exact → LSH → connected
+    * components → canonical survivors). "Raw corpus in, training corpus
+    * out" — each stage is the already-gated operator, so the composition
+    * inherits their plan shapes: per-doc projections for the filters, the
+    * bucketed dedup shuffles, nothing corpus-quadratic.
+    */
+  def curateCorpus(docs: DataFrame, lang: String = "en", minTokens: Long = 16,
+      minQuality: Double = 0.3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val origCols = docs.columns.toSeq.map(col)
+    val kept = languageId(qualityScore(docs, textCol), textCol)
+      .filter(col("lang_pred") === lang &&
+        col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+      .select(origCols: _*)
+    Dedup.dedupCorpus(kept, textCol, idCol)
+  }
+
   /** PII-pattern counts per document — the signals a curation pipeline
     * uses to route documents to scrubbing or drop them (counting only;
     * redaction policy is the caller's). RE2-expressible regexes so SQL

@@ -107,6 +107,14 @@ object CorpusPack extends QueryPack {
             .as(Seq("sub", "subvec")))
       Similarity.pqEncode(corpus, cb, m = 4, subDim = 16)
         .orderBy(col("vec_id"), col("sub"))
+    }),
+
+    // the full curation pipeline: quality gate -> language filter ->
+    // end-to-end dedup ("raw corpus in, training corpus out")
+    "q116_curate_corpus" -> ((s, d) => {
+      TextAnalysis.curateCorpus(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -254,7 +262,71 @@ object CorpusPack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
            |    ORDER BY score DESC, token) AS rank FROM scored)
            |SELECT doc_id, rank, token, ${r6("score")} AS score
-           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      "q116_curate_corpus" -> {
+        val nTokensSql =
+          """CASE WHEN length(trim(text)) = 0 THEN 0
+            |     ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+        val shSql =
+          s"""CASE WHEN len(w) >= 3
+             |  THEN list_transform(range(1, len(w) - 3 + 2),
+             |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
+             |  ELSE [] END""".stripMargin
+        val sigSql = (0 until 12).map(j =>
+          s"list_min(list_transform(sh, s -> md5('$j:' || s)))").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE fq AS (
+           |  SELECT doc_id, $nTokensSql AS n_tokens,
+           |    ${r6("CAST(length(regexp_replace(text, '[^.,;:!?''\"()]', '', 'g')) AS DOUBLE) / length(text)")} AS punct_ratio,
+           |    ${r6(s"CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / GREATEST($nTokensSql, 1)")} AS mean_word_len
+           |  FROM documents),
+           |qs AS (
+           |  SELECT doc_id, n_tokens,
+           |    ${r6("LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * (1.0 - LEAST(punct_ratio * 4.0, 1.0) * 0.5) * LEAST(mean_word_len / 4.0, 1.5) / 1.5")} AS quality_score
+           |  FROM fq),
+           |hl AS (
+           |  SELECT doc_id,
+           |    len(list_filter($wordsSql, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS hits_de,
+           |    len(list_filter($wordsSql, t -> t IN ('the','and','of','to','is','in','that','it','for','with'))) AS hits_en,
+           |    len(list_filter($wordsSql, t -> t IN ('el','la','los','de','que','es','en','una','por','con'))) AS hits_es,
+           |    len(list_filter($wordsSql, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS hits_fr
+           |  FROM documents),
+           |ll AS (
+           |  SELECT doc_id,
+           |    CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+           |         ELSE list_sort([
+           |           {'nh': -hits_de, 'o': 1, 'l': 'de'}, {'nh': -hits_en, 'o': 2, 'l': 'en'},
+           |           {'nh': -hits_es, 'o': 3, 'l': 'es'}, {'nh': -hits_fr, 'o': 4, 'l': 'fr'}])[1].l
+           |    END AS lang_pred
+           |  FROM hl),
+           |kept AS (
+           |  SELECT d.* FROM documents d JOIN qs USING (doc_id) JOIN ll USING (doc_id)
+           |  WHERE ll.lang_pred = 'en' AND qs.n_tokens >= 16 AND qs.quality_score >= 0.3),
+           |keep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+           |docs2 AS (SELECT k.* FROM kept k JOIN keep USING (doc_id)),
+           |w AS (SELECT doc_id, $wordsSql AS w FROM docs2),
+           |wsh AS (SELECT doc_id, $shSql AS sh FROM w),
+           |sig AS (SELECT doc_id, $sigSql AS sig FROM wsh WHERE len(sh) > 0),
+           |bands AS (
+           |  SELECT doc_id, b.band,
+           |    md5(array_to_string(list_slice(sig, b.band * 3 + 1, b.band * 3 + 3), '|')) AS band_key
+           |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |      FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
+           |      WHERE l.doc_id < r.doc_id),
+           |ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+           |nodes AS (SELECT DISTINCT a AS id FROM ed),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
+           |cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+           |SELECT d.doc_id, d.lang, d.n_chars FROM docs2 d
+           |LEFT JOIN drop USING (doc_id) WHERE drop.doc_id IS NULL
+           |ORDER BY d.doc_id""".stripMargin
+      }
     )
   }
 }

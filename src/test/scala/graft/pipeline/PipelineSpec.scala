@@ -317,6 +317,30 @@ class PipelineSpec extends SparkTestBase {
     assert(d3 == Seq(("again", 3.0), ("words", 1.5)))
   }
 
+  test("curateCorpus gates on quality, language, and duplication together") {
+    // both survivors need quality_score >= 0.3: with clean prose that is
+    // roughly >= 29 whitespace tokens (29/64 * (mwl/4)/1.5 ~ 0.30)
+    val textA = "the meaning of the word is that it stands for the thing " +
+      "and the thing is in the world with all of the other things that " +
+      "we can name when we speak about the world"
+    val textB = "distributed engines shuffle partitions across executors " +
+      "while broadcast relations avoid moving large tables and adaptive " +
+      "execution picks join strategies from runtime statistics for the " +
+      "queries that people actually run in production today"
+    val t = Seq(
+      (1L, textA), // passes everything
+      (2L, textA), // exact dup of 1 -> dropped by dedup
+      (3L, "der hund und die katze sind mit dem ball auf der wiese und " +
+        "das ist nicht ein problem mit dem zaun zu haben und der hund " +
+        "ist mit der katze auf der wiese und das ist auf der wiese gut"), // German
+      (4L, "short text"), // too few tokens -> dropped
+      (5L, textB)) // different content, passes
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.curateCorpus(t).select("doc_id")
+      .as[Long].collect().toSet
+    assert(out == Set(1L, 5L))
+  }
+
   test("dedupCorpus drops exact and near duplicates, keeps canonicals") {
     // docs: 4 = exact dup of 1 (exact stage), 2 = near-dup of 1 (LSH+CC
     // stage), 3 and 5 unique -> survivors {1, 3, 5}
