@@ -211,10 +211,14 @@ object TextAnalysis {
       minQuality: Double = 0.3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val origCols = docs.columns.toSeq.map(col)
+    // persisted: the dedup stage references its input from several plan
+    // branches (exact hash, band table, final anti-join), which would
+    // replay the regex-heavy quality/language projections per branch
     val kept = languageId(qualityScore(docs, textCol), textCol)
       .filter(col("lang_pred") === lang &&
         col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
       .select(origCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.dedupCorpus(kept, textCol, idCol)
   }
 
