@@ -266,7 +266,8 @@ object Dedup {
   def cosinePairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.0,
       numPlanes: Int = 2, bands: Int = 2,
-      persistVectors: Boolean = false): DataFrame = {
+      persistVectors: Boolean = false,
+      dims: Int = Similarity.MaxDims): DataFrame = {
     val withNorm0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
     // the normalized table feeds 2 branches per band; persisting skips the
@@ -276,7 +277,8 @@ object Dedup {
     else withNorm0
     val perBand = (0 until bands).map { band =>
       val bucketed = withNorm.withColumn("__bucket",
-        Similarity.lshBucket(col("__v"), numPlanes, planeOffset = band * numPlanes))
+        Similarity.lshBucket(col("__v"), numPlanes,
+          planeOffset = band * numPlanes, dims = dims))
       val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
         col("__v").as("__va"), col("__norm").as("__na"))
       val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"),

@@ -53,19 +53,37 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0 - 0.5
   }
 
-  private val MaxDims = 64
+  /** Widest plane matrix [[lshBucket]] will generate — covers real corpus
+    * embedding widths (256-1024). Wider vectors need a wider matrix, so the
+    * bucketer REFUSES them loudly instead of degenerating.
+    */
+  private[graft] val MaxDims = 1024
 
   /** Sign-bit bucket id from `numPlanes` hyperplanes, plane indices starting
     * at `planeOffset` (for banded amplification). The plane matrix is baked
-    * into the plan as array literals; the projection is a pure zip_with-sum
-    * inside whole-stage codegen. Vectors up to [[MaxDims]] dims supported
-    * (weights are sliced to the row's length, so mixed-length inputs work).
+    * into the plan as array literals of width `dims`; the projection is a
+    * pure zip_with-sum inside whole-stage codegen (weights are sliced to the
+    * row's length, so mixed-length inputs up to `dims` work).
+    *
+    * A vector WIDER than `dims` raises at run time. Silently accepting it
+    * would null-pad the weight side of the zip_with, null the projection,
+    * zero every sign bit, and put ALL wide vectors in one bucket — correct
+    * output, quadratic bucket join: the worst possible failure mode at
+    * scale. Narrow `dims` below the [[MaxDims]] default only to slim the
+    * plan for known-narrow embeddings.
     */
   def lshBucket(vecCol: org.apache.spark.sql.Column, numPlanes: Int,
-      planeOffset: Int = 0): org.apache.spark.sql.Column = {
-    val v = vecCol.cast("array<double>")
+      planeOffset: Int = 0, dims: Int = MaxDims): org.apache.spark.sql.Column = {
+    require(dims >= 1 && dims <= MaxDims,
+      s"lshBucket: dims must be in [1, $MaxDims], got $dims")
+    require(numPlanes >= 1 && numPlanes <= 30,
+      s"lshBucket: numPlanes must be in [1, 30], got $numPlanes")
+    val v0 = vecCol.cast("array<double>")
+    val v = when(size(v0) <= lit(dims), v0).otherwise(raise_error(format_string(
+      s"lshBucket: vector has %d dims but the plane matrix is $dims wide; " +
+        s"pass dims= explicitly (max $MaxDims)", size(v0))))
     val bits = (0 until numPlanes).map { p =>
-      val w = typedlit((0 until MaxDims).map(i => planeWeight(planeOffset + p, i)))
+      val w = typedlit((0 until dims).map(i => planeWeight(planeOffset + p, i)))
       val proj = aggregate(
         zip_with(v, slice(w, lit(1), size(v)), (x, c) => x * c),
         lit(0.0), (s, t) => s + t)
@@ -80,12 +98,12 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id", dims: Int = MaxDims): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__bucket", lshBucket(col("__cv"), numPlanes))
+      .withColumn("__bucket", lshBucket(col("__cv"), numPlanes, dims = dims))
       .withColumn("__cn", norm2(col("__cv")))
     val q = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__bucket", lshBucket(col("__qv"), numPlanes))
+      .withColumn("__bucket", lshBucket(col("__qv"), numPlanes, dims = dims))
       .withColumn("__qn", norm2(col("__qv")))
     val scored = q.join(c, Seq("__bucket"))
       .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))

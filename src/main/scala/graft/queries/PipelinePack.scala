@@ -87,6 +87,19 @@ object PipelinePack extends QueryPack {
       Dedup.cosinePairs(emb, threshold = 0.2).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // wide-embedding (128-dim) cosine near-dup pairs: the fixture is
+    // widened deterministically by appending the negated vector (dot and
+    // both norms scale by exactly 2, so cosines are preserved). Pins the
+    // >64-dim plane-matrix path: bucket bits at dims 64..127 come from
+    // real projections — a too-narrow matrix would silently zero every
+    // bit and turn the bucket join quadratic (see Similarity.lshBucket)
+    "q117_cosine_pairs_wide" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), concat(v, transform(v, x => -x)).as("embedding"))
+      Dedup.cosinePairs(emb, threshold = 0.2).orderBy(col("id_a"), col("id_b"))
+    }),
+
     // brute-force cosine top-k ANN baseline
     "q46_ann_topk" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
@@ -269,11 +282,12 @@ object PipelinePack extends QueryPack {
          |       THEN 1 ELSE -1 END)) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
     }.mkString(" + ")
 
-    // plane projection SQL for plane p over a 64-dim embedding e
-    def projSql(p: Int, e: String) =
-      s"""list_sum(list_transform(range(0, 64), i ->
+    // plane projection SQL for plane p over a `dims`-dim embedding e
+    def projSqlD(p: Int, e: String, dims: Int) =
+      s"""list_sum(list_transform(range(0, $dims), i ->
          |  CAST($e[i + 1] AS DOUBLE) *
          |  ((CAST('0x' || substr(md5('plane$p:' || i), 1, 6) AS BIGINT) / 16777216.0) - 0.5)))""".stripMargin
+    def projSql(p: Int, e: String) = projSqlD(p, e, 64)
     def bucketSql(e: String) = (0 until 8).map(p =>
       s"CASE WHEN ${projSql(p, e)} >= 0 THEN ${1 << p} ELSE 0 END").mkString(" + ")
 
@@ -350,6 +364,30 @@ object PipelinePack extends QueryPack {
            |scored AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |    FLOOR(($dotSql) / (${normSql("a")} * ${normSql("b")}) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+           |SELECT DISTINCT id_a, id_b, cosine FROM scored
+           |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
+      },
+      "q117_cosine_pairs_wide" -> {
+        // same banding as q45 but over the 128-dim widened embedding
+        // (v || -v); elements are already DOUBLE after the widening CTE
+        def bandSql(band: Int, e: String) = (0 until 2).map(p =>
+          s"CASE WHEN ${projSqlD(band * 2 + p, e, 128)} >= 0 THEN ${1 << p} ELSE 0 END")
+          .mkString(" + ")
+        val dot128 =
+          """list_sum(list_transform(range(0, 128), i ->
+            |  a.embedding[i + 1] * b.embedding[i + 1]))""".stripMargin
+        def norm128(t: String) =
+          s"sqrt(list_sum(list_transform(range(0, 128), i -> $t.embedding[i + 1] * $t.embedding[i + 1])))"
+        s"""WITH e0 AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE vec_id % 5 = 0),
+           |e AS (SELECT vec_id, v || list_transform(v, x -> -x) AS embedding FROM e0),
+           |bk AS (SELECT vec_id, embedding, ${bandSql(0, "embedding")} AS b0,
+           |  ${bandSql(1, "embedding")} AS b1 FROM e),
+           |scored AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    FLOOR(($dot128) / (${norm128("a")} * ${norm128("b")}) * 1e6 + 0.5) / 1e6 AS cosine
            |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
            |SELECT DISTINCT id_a, id_b, cosine FROM scored
            |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin

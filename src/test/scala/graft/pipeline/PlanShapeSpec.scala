@@ -36,6 +36,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(got.contains((7L, 1001L)), s"identical pair not found: $got")
   }
 
+  test("lshBucket spreads WIDE (>64-dim) vectors over >1 bucket") {
+    // the round-5 latent defect: a 64-wide plane matrix silently zeroed
+    // every sign bit for wider vectors, putting ALL of them in bucket 0
+    // (correct output, quadratic bucket join). Pin the fix: 128-dim
+    // vectors must land in multiple buckets.
+    val wide = (1 to 100).map(i =>
+      (i.toLong, Array.tabulate(128)(d => math.sin(i * 0.37 + d * 1.7))))
+      .toDF("vec_id", "embedding")
+    val nBuckets = wide
+      .select(Similarity.lshBucket(col("embedding"), numPlanes = 8).as("b"))
+      .distinct().count()
+    assert(nBuckets > 1, s"128-dim vectors all collapsed into $nBuckets bucket(s)")
+  }
+
+  test("lshBucket refuses vectors wider than the declared plane matrix") {
+    val tooWide = Seq((1L, Array.tabulate(40)(_.toDouble)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      tooWide.select(Similarity.lshBucket(col("embedding"), 4, dims = 32)).collect()
+    }
+    assert(ex.getMessage.contains("lshBucket") ||
+      Option(ex.getCause).exists(_.getMessage.contains("lshBucket")),
+      s"expected a loud lshBucket width error, got: ${ex.getMessage}")
+    // and the plan-build require for dims beyond MaxDims
+    intercept[IllegalArgumentException] {
+      Similarity.lshBucket(col("embedding"), 4, dims = Similarity.MaxDims + 1)
+    }
+  }
+
   test("cosineForPairs computes exact cosine over supplied pairs only") {
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
     val got = Dedup.cosineForPairs(emb, pairs)
