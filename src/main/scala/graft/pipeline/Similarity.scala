@@ -257,26 +257,48 @@ object Similarity {
     * consumes: (sub, code_id, subvec) — m * k rows, driver-sized by
     * definition (codebooks ARE the model). The m trainings run
     * sequentially; each is the broadcast-assign loop of [[kmeansTrain]],
-    * so the corpus is scanned per iteration but never shuffled by more
-    * than (id, dim). Codebook entries are the final-assignment cluster
-    * means on the same 6-decimal grid as every other training step.
+    * shuffled by no more than (id, dim). Codebook entries are the
+    * final-assignment cluster means on the same 6-decimal grid as every
+    * other training step.
+    *
+    * Scale design: PQ codebooks are standardly trained on a bounded
+    * SAMPLE — the model is k*m*subDim floats, and the m * iters Lloyd
+    * passes would otherwise rescan the full corpus each time. Pass
+    * `sampleFraction` < 1 to train on a deterministic
+    * [[Sampling.hashSample]] draw (salted md5 of `idCol` — reproducible
+    * on any engine, so the trained codebooks are oracle-mirrorable).
+    * The training set (sampled or not) is persisted for the duration of
+    * the run, so the SOURCE is scanned exactly once no matter how many
+    * subspaces/iterations follow; [[pqEncode]] then compresses the full
+    * corpus against the result.
     */
   def pqTrain(corpus: DataFrame, initCodebooks: DataFrame, m: Int, subDim: Int,
       iters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", sampleFraction: Double = 1.0,
+      sampleSalt: String = "pq"): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"pqTrain: sampleFraction must be in (0, 1], got $sampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val all = (0 until m).flatMap { s =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as(vecCol))
-      val init = initCodebooks.filter(col("sub") === s)
-        .select(col("code_id").as("centroid_id"), col("subvec").as(vecCol))
-      val assign = kmeansAssignments(sliced, init, iters, idCol, vecCol, "centroid_id")
-      val c = sliced.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      collectMeans(assign, c, idCol, "centroid_id")
-        .map { case (cid, vec) => (s, cid, vec) }
-    }
-    all.toSeq.sortBy(t => (t._1, t._2)).toDF("sub", "code_id", "subvec")
+    val base0 = corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    val base =
+      (if (sampleFraction < 1.0) Sampling.hashSample(base0, idCol, sampleFraction, sampleSalt)
+       else base0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val all = (0 until m).flatMap { s =>
+        val sliced = base.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+        val init = initCodebooks.filter(col("sub") === s)
+          .select(col("code_id").as("centroid_id"), col("subvec").as(vecCol))
+        val assign = kmeansAssignments(sliced, init, iters, idCol, vecCol, "centroid_id")
+        val c = sliced.select(col(idCol), col(vecCol).as("__v"))
+        collectMeans(assign, c, idCol, "centroid_id")
+          .map { case (cid, vec) => (s, cid, vec) }
+      }
+      // the flatMap above fully materializes (collectMeans collects), so the
+      // cache's lifetime ends here — nothing lazy escapes with a reference
+      all.toSeq.sortBy(t => (t._1, t._2)).toDF("sub", "code_id", "subvec")
+    } finally base.unpersist(blocking = false)
   }
 
   /** Symmetric int8 scalar quantization of the embedding column — the

@@ -115,6 +115,23 @@ object CorpusPack extends QueryPack {
       TextAnalysis.curateCorpus(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // product-quantization TRAIN on a deterministic half-corpus sample
+    // (hashSample salt "pq") — codebooks are the final-assignment means;
+    // exploded to scalar rows for hashing
+    "q118_pq_train" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val cb = corpus.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      Similarity.pqTrain(corpus, cb, m = 4, subDim = 16, iters = 1,
+        sampleFraction = 0.5)
+        .select(col("sub"), col("code_id"),
+          posexplode(col("subvec")).as(Seq("dim_i", "cb_val")))
+        .orderBy(col("sub"), col("code_id"), col("dim_i"))
     })
   )
 
@@ -236,6 +253,38 @@ object CorpusPack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
            |  FROM d) WHERE rn = 1
            |ORDER BY vec_id, sub""".stripMargin
+      },
+      "q118_pq_train" -> {
+        // mirrors pqTrain iters=1 over the salt-"pq" half sample: rounded
+        // init codebooks, rounded per-subspace d2 argmin (tiebreak code_id),
+        // then exact-decimal per-dimension member means on the 6-dec grid
+        val d2 = r6(
+          """list_sum(list_transform(range(0, 16), i ->
+            |  (e.v[s.sub * 16 + i + 1] - c.cv[s.sub * 16 + i + 1]) *
+            |  (e.v[s.sub * 16 + i + 1] - c.cv[s.sub * 16 + i + 1])))""".stripMargin)
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |  WHERE CAST('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) < 2147483648),
+           |cb AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> ${r6("CAST(x AS DOUBLE)")}) AS cv
+           |  FROM embeddings WHERE vec_id % 50 = 2),
+           |subs AS (SELECT unnest(range(0, 4)) AS sub),
+           |d AS (
+           |  SELECT e.vec_id, s.sub, c.cid, $d2 AS d2
+           |  FROM e, subs s, cb c),
+           |a AS (
+           |  SELECT vec_id, sub, cid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+           |    FROM d) WHERE rn = 1),
+           |mn AS (
+           |  SELECT a.sub, a.cid, t.i,
+           |    ${r6(s"CAST(SUM(CAST(${r6("e.v[a.sub * 16 + t.i + 1]")} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS mv
+           |  FROM a JOIN e USING (vec_id), (SELECT unnest(range(0, 16)) AS i) t
+           |  GROUP BY 1, 2, 3)
+           |SELECT CAST(sub AS INT) AS sub, cid AS code_id, CAST(i AS INT) AS dim_i, mv AS cb_val
+           |FROM mn ORDER BY sub, code_id, dim_i""".stripMargin
       },
       "q110_attribution" ->
         """WITH e AS (

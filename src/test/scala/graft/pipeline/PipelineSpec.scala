@@ -279,6 +279,36 @@ class PipelineSpec extends SparkTestBase {
     assert((0 until 12).forall(i => c0(i.toLong) == c0(((i % 2) + 2).toLong)))
   }
 
+  test("pqTrain sampled: one source scan, same codebooks as a pre-filtered corpus") {
+    val scans = spark.sparkContext.longAccumulator("pq-train-scans")
+    // non-deterministic marker: evaluated exactly once per source row per
+    // scan (never duplicated into the sample filter by CollapseProject)
+    val mark = udf((id: Long) => { scans.add(1); id }).asNondeterministic()
+    val raw = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(d => (i % 4) * 10.0 + d * 0.1))
+    }.toDF("vec_id", "embedding")
+    val init = Seq(
+      (0, 0L, Seq.fill(4)(5.0)), (0, 1L, Seq.fill(4)(25.0)),
+      (1, 0L, Seq.fill(4)(5.0)), (1, 1L, Seq.fill(4)(25.0)))
+      .toDF("sub", "code_id", "subvec")
+    val marked = raw.withColumn("vec_id", mark(col("vec_id")))
+    val cb = Similarity.pqTrain(marked, init, m = 2, subDim = 4, iters = 3,
+      sampleFraction = 0.5, sampleSalt = "t")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(cb.nonEmpty)
+    // the persisted training set means the marked source evaluates at most
+    // once per row; unpersisted, the m x iters Lloyd passes would rescan
+    assert(scans.value <= 40L, s"source scanned ${scans.value} marker evals for 40 rows")
+    // the sample IS the hashSample draw: pre-filtering by hand is identical
+    val manual = Sampling.hashSample(raw, "vec_id", 0.5, "t")
+    assert(manual.count() < 40) // the draw actually subsets
+    val cb2 = Similarity.pqTrain(manual, init, m = 2, subDim = 4, iters = 3)
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(cb == cb2)
+    // cache hygiene: pqTrain unpersists its training set on exit
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("quantizeInt8 maps the global range onto [-128, 127]") {
     val vecs = Seq((1L, Seq(0.0f, 5.0f)), (2L, Seq(10.0f, 2.5f)))
       .toDF("vec_id", "embedding")
