@@ -162,10 +162,11 @@ object Dedup {
     }
     val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key"))
+    val out = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(countDistinct(col("band")).as("n_bands"))
+    CacheScope.releaseAfterFirstUse(out, if (persistBands) Seq(b0) else Nil)
   }
 
   /** The end-to-end corpus dedup pipeline, composed from the staged
@@ -181,13 +182,24 @@ object Dedup {
     * composition scales exactly as its parts do.
     */
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxBucketSize: Option[Int] = Some(50)): DataFrame = {
+      idCol: String = "doc_id", maxBucketSize: Option[Int] = Some(50),
+      jaccardThreshold: Option[Double] = None): DataFrame = {
     val exactSurvivors = docs.join(
       exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
-    val pairs = lshCandidatePairs(exactSurvivors, textCol, idCol,
+    val candidates = lshCandidatePairs(exactSurvivors, textCol, idCol,
       maxBucketSize = maxBucketSize, persistBands = true)
       .select("id_a", "id_b")
+    // optional verify stage: a band collision is only a CANDIDATE — without
+    // it, LSH false positives permanently delete distinct documents. The
+    // default skips it (band-collision = duplicate, the aggressive C4-style
+    // setting and the oracle-mirrored behavior); pass a threshold to keep
+    // only pairs whose exact n-gram Jaccard clears it.
+    val pairs = jaccardThreshold match {
+      case Some(t) => ngramJaccard(exactSurvivors, candidates, textCol, idCol)
+        .filter(col("jaccard") >= t).select("id_a", "id_b")
+      case None => candidates
+    }
     val nonCanonical = connectedComponents(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
@@ -209,6 +221,8 @@ object Dedup {
     // final joins) that MULTIPLIES subtree copies — unpersisted, the
     // upstream candidate-generation pipeline replays ~20x in one action
     // (measured: 17s vs 2s at sf0.1)
+    // (both are released by the CacheScope wrapper at pipeline exit — the
+    // first caller action that consumes the result drops them)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = pairs.persist(lvl)
     val ids = p.select(col("id_a").as("__id"))
@@ -224,7 +238,7 @@ object Dedup {
     val shB = sh.select(col("__id").as("id_b"), col("shingle"))
     val interCount = p.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    p
+    val out = p
       .join(interCount, Seq("id_a", "id_b"), "left")
       .join(counts.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), Seq("id_a"))
       .join(counts.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), Seq("id_b"))
@@ -232,6 +246,7 @@ object Dedup {
         coalesce(col("__inter"), lit(0L)).cast("double") /
           (col("__na") + col("__nb") - coalesce(col("__inter"), lit(0L))))
       .drop("__inter", "__na", "__nb")
+    CacheScope.releaseAfterFirstUse(out, Seq(p, withSh))
   }
 
   /** SimHash fingerprint (16-bit, md5-derived): bit j of the fingerprint is
@@ -290,7 +305,8 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
     }
-    perBand.reduce(_ unionAll _).distinct()
+    CacheScope.releaseAfterFirstUse(perBand.reduce(_ unionAll _).distinct(),
+      if (persistVectors) Seq(withNorm) else Nil)
   }
 
   /** Corpus-wide paragraph-level dedup (the C4/RefinedWeb repair for
@@ -378,8 +394,15 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // failure path must not strand the per-round cache
+    if (!converged) persisted.unpersist(blocking = false)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    // the final merged frame backs the returned labels; scope it to the
+    // caller's first consuming action (reusers must persist the result —
+    // the iterative lineage is expensive to replay)
+    CacheScope.releaseAfterFirstUse(
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")),
+      Seq(persisted))
   }
 
   /** Exact cosine for a caller-supplied candidate pair table (the verify

@@ -318,8 +318,10 @@ object Similarity {
     v.crossJoin(broadcast(range))
       .select(col(idCol),
         transform(col("__v"), x =>
-          (floor((x - col("__mn")) * (lit(255.0) / (col("__mx") - col("__mn"))) + 0.5))
-            .cast("int") - 128).as("qvec"),
+          // degenerate range (constant-valued corpus) maps to 0, not NaN
+          when(col("__mx") === col("__mn"), lit(0))
+            .otherwise((floor((x - col("__mn")) * (lit(255.0) / (col("__mx") - col("__mn"))) + 0.5))
+              .cast("int") - 128)).as("qvec"),
         col("__mn").as("q_min_v"), col("__mx").as("q_max_v"))
   }
 

@@ -219,7 +219,7 @@ object TextAnalysis {
         col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
       .select(origCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.dedupCorpus(kept, textCol, idCol)
+    CacheScope.releaseAfterFirstUse(Dedup.dedupCorpus(kept, textCol, idCol), Seq(kept))
   }
 
   /** PII-pattern counts per document — the signals a curation pipeline
@@ -265,10 +265,13 @@ object TextAnalysis {
     // double aggregation re-joined on doc id) paid three shuffle pipelines
     // for what is a pure per-document function; values are identical
     // (pinned by TextKernelSpec + the random-text property test)
+    // NULL text folds to "" (not a null-propagated NULL signal row) — the
+    // documented "docs with no lines/grams resolve to 0.0" contract
+    val t = coalesce(col(textCol), lit(""))
     val sig = Bridge.staticInvoke(
       Class.forName("graft.pipeline.TextKernel"),
       ArrayType(DoubleType, containsNull = false), "repetitionSignals",
-      Seq(col(textCol), concat_ws(" ", Dedup.words(col(textCol)))),
+      Seq(t, concat_ws(" ", Dedup.words(t))),
       Seq(StringType, StringType), returnNullable = false)
     docs.select(col(idCol), sig.as("__s"))
       .select(col(idCol),

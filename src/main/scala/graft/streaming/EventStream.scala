@@ -153,8 +153,10 @@ object EventStream {
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String, dimAttr: String): DataFrame =
-    events.join(dim.select(col(dimKey), col(dimAttr)),
-        col(eventKey) === col(dimKey))
+    // the dim key is aliased so eventKey == dimKey (the common modeling
+    // convention) doesn't produce an ambiguous self-reference condition
+    events.join(dim.select(col(dimKey).as("__dk"), col(dimAttr)),
+        col(eventKey) === col("__dk"))
       .groupBy(col(dimAttr), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
@@ -170,7 +172,7 @@ object EventStream {
       schemaDDL: String, dim: DataFrame, eventKey: String, dimKey: String,
       dimAttr: String): DataFrame =
     spark.readStream.schema(schemaDDL).parquet(sourceDir)
-      .join(dim.select(col(dimKey), col(dimAttr)), col(eventKey) === col(dimKey))
+      .join(dim.select(col(dimKey).as("__dk"), col(dimAttr)), col(eventKey) === col("__dk"))
       .groupBy(col(dimAttr), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))

@@ -125,7 +125,8 @@ class PipelineSpec extends SparkTestBase {
     val t = Seq(
       (1L, "aa bb\naa bb\ncc dd"),          // one dup line of 2 distinct
       (2L, "x y x y x y"),                   // top 2-gram 'x y' x3
-      (3L, "")).toDF("doc_id", "text")
+      (3L, ""),
+      (4L, null)).toDF("doc_id", "text")       // NULL folds to "" (0.0 signals)
     val got = TextAnalysis.repetitionSignals(t)
       .orderBy("doc_id")
       .as[(Long, Double, Double, Double, Double)].collect()
@@ -137,6 +138,8 @@ class PipelineSpec extends SparkTestBase {
     assert(got(1)._4 == 0.818182)
     // empty doc: all-zero signals, still present
     assert(got(2) == ((3L, 0.0, 0.0, 0.0, 0.0)))
+    // NULL doc: same contract as empty, not a null-propagated row
+    assert(got(3) == ((4L, 0.0, 0.0, 0.0, 0.0)))
   }
 
   test("hash sampling is deterministic, uniform-ish, and composable") {
@@ -305,8 +308,9 @@ class PipelineSpec extends SparkTestBase {
     val cb2 = Similarity.pqTrain(manual, init, m = 2, subDim = 4, iters = 3)
       .as[(Int, Long, Seq[Double])].collect().toSeq
     assert(cb == cb2)
-    // cache hygiene: pqTrain unpersists its training set on exit
-    assert(spark.sharedState.cacheManager.isEmpty)
+    // cache hygiene: pqTrain unpersists its training set on exit (poll —
+    // earlier suites' CacheScope releases land via the async listener bus)
+    awaitEmptyCache("pqTrain")
   }
 
   test("quantizeInt8 maps the global range onto [-128, 127]") {
@@ -317,6 +321,11 @@ class PipelineSpec extends SparkTestBase {
     assert(q(0) == Seq(-128, 0)) // 0 -> -128; 5 = midpoint -> round(127.5)-128 = 0
     assert(q(1) == Seq(127, -64)) // 10 -> 127; 2.5 -> quarter point
     assert(q.flatten.forall(v => v >= -128 && v <= 127))
+    // degenerate range (constant corpus): everything maps to 0, never NaN
+    val const = Seq((1L, Seq(3.0f, 3.0f)), (2L, Seq(3.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val qc = Similarity.quantizeInt8(const).select("qvec").as[Seq[Int]].collect()
+    assert(qc.flatten.forall(_ == 0))
   }
 
   test("documentFrequency counts docs (not occurrences) and applies minDf") {
@@ -377,6 +386,46 @@ class PipelineSpec extends SparkTestBase {
     val out = Dedup.dedupCorpus(docs).select("doc_id")
       .as[Long].collect().toSet
     assert(out == Set(1L, 3L, 5L))
+  }
+
+  test("dedupCorpus jaccardThreshold verifies candidates before dropping") {
+    // at threshold 1.0 only the EXACT pair survives the verify stage, so
+    // the near-dup doc 2 is kept (doc 4 already fell to the exact stage)
+    val out = Dedup.dedupCorpus(docs, jaccardThreshold = Some(1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 5L))
+    // a permissive threshold matches the default behavior on this corpus
+    val out2 = Dedup.dedupCorpus(docs, jaccardThreshold = Some(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(1L, 3L, 5L))
+  }
+
+  private def awaitEmptyCache(what: String): Unit = {
+    // CacheScope releases via the (async) execution-listener bus
+    val deadline = System.currentTimeMillis + 15000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      s"$what leaked cache entries past pipeline exit")
+  }
+
+  test("composed pipelines release internal caches after the consuming action") {
+    spark.catalog.clearCache()
+    assert(Dedup.dedupCorpus(docs).count() == 3)
+    awaitEmptyCache("dedupCorpus") // bands + CC labels
+    val pairs = Seq((1L, 4L), (1L, 2L)).toDF("id_a", "id_b")
+    assert(Dedup.ngramJaccard(docs, pairs).count() == 2)
+    awaitEmptyCache("ngramJaccard") // pair + shingle hubs
+    assert(TextAnalysis.curateCorpus(docs).count() >= 0)
+    awaitEmptyCache("curateCorpus") // survivor set + dedup internals
+    // an UNRELATED action must not release a pipeline's caches early
+    val lazyPairs = Dedup.lshCandidatePairs(docs, persistBands = true)
+    assert(docs.count() == 5) // unrelated
+    Thread.sleep(500) // give a (wrongly) triggered release time to land
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "unrelated action released the band cache early")
+    assert(lazyPairs.count() >= 1) // the pipeline's own action releases it
+    awaitEmptyCache("lshCandidatePairs")
   }
 
   test("multimodal decode batch + resize plan + features") {

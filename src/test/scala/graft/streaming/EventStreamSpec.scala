@@ -50,6 +50,18 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("enrichWithDim works when the event and dim key share a name") {
+    import spark.implicits._
+    val events = Seq((1L, "click", 2.0), (2L, "click", 3.0))
+      .toDF("user_id", "event_type", "value")
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("user_id", "segment")
+    val out = EventStream.enrichWithDim(events, dim, "user_id", "user_id", "segment")
+      .orderBy("segment")
+      .select("segment", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("A", 1L, 2.0), ("B", 1L, 3.0)))
+  }
+
   test("stream-stream attribution join emits the batch pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
     Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
