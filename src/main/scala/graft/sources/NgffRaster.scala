@@ -256,8 +256,14 @@ object NgffRaster {
 
   // ---- read ----
 
-  /** Parse the group metadata (driver-side, JSON only). */
-  def readMeta(spark: SparkSession, groupDir: String): NgffMeta = {
+  /** Parse the group metadata (driver-side, JSON only). `metaReader`
+    * overrides how group-relative metadata documents are fetched —
+    * [[ZarrStore.read]] passes the store's consolidated `.zmetadata`
+    * index through it, so a container read does no per-element metadata
+    * round trips.
+    */
+  def readMeta(spark: SparkSession, groupDir: String,
+      metaReader: Option[String => String] = None): NgffMeta = {
     implicit val fmt: Formats = DefaultFormats
     val gd = new Path(groupDir)
     val fs = gd.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -271,14 +277,18 @@ object NgffRaster {
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
     }
-    val attrs = JsonMethods.parse(readText(s"$groupDir/.zattrs"))
+    def metaText(rel: String): String = metaReader match {
+      case Some(f) => f(rel)
+      case None => readText(s"$groupDir/$rel")
+    }
+    val attrs = JsonMethods.parse(metaText(".zattrs"))
     val ms = (attrs \ "multiscales").asInstanceOf[JArray].arr.head
     val axes = (ms \ "axes").asInstanceOf[JArray].arr
       .map(a => (a \ "name").extract[String])
     val spatialAxes = axes.filterNot(_ == "c")
     val scales = (ms \ "datasets").asInstanceOf[JArray].arr.map { d =>
       val path = (d \ "path").extract[String]
-      val meta = Zarr.parseArrayMeta(readText(s"$groupDir/$path/.zarray"))
+      val meta = Zarr.parseArrayMeta(metaText(s"$path/.zarray"))
       val factors = (d \ "coordinateTransformations") match {
         case JArray(ts) => ts.collectFirst {
           case t if (t \ "type") == JString("scale") => (t \ "scale").extract[Seq[Double]]
@@ -319,8 +329,9 @@ object NgffRaster {
     * per-level access).
     */
   def read(spark: SparkSession, groupDir: String,
-      scaleSelection: Option[Seq[Int]] = None): (DataFrame, NgffMeta) = {
-    val meta = readMeta(spark, groupDir)
+      scaleSelection: Option[Seq[Int]] = None,
+      metaReader: Option[String => String] = None): (DataFrame, NgffMeta) = {
+    val meta = readMeta(spark, groupDir, metaReader)
     require(SupportedAxes.contains(meta.axes), s"unsupported axes ${meta.axes}")
     val hasZ = meta.axes.contains("z")
     val axB = meta.axes

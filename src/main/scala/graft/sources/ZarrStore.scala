@@ -197,7 +197,13 @@ object ZarrStore {
     * long-form layout (background/zero pixels are not materialized).
     * `onBadFiles = "warn"` skips elements whose metadata fails to parse
     * instead of failing the whole read (the reference's
-    * `BadFileHandleMethod.WARN`, io_zarr.py:44-48).
+    * `BadFileHandleMethod.WARN`, io_zarr.py:44-48); each skip is recorded
+    * in the container's `read_warnings` attr as well as on stderr.
+    *
+    * Metadata (element discovery, `.zattrs`, NGFF `.zarray`) is served
+    * from consolidated `.zmetadata` when the store has one — one metadata
+    * round trip for the whole container, the property that matters on
+    * high-latency remote stores.
     */
   def read(spark: SparkSession, root: String,
       selection: Option[Seq[String]] = None,
@@ -207,27 +213,27 @@ object ZarrStore {
     import org.apache.spark.sql.functions._
     val rp = new Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val view = ZarrMetaView.load(fs, root)
+    val warnings = scala.collection.mutable.ListBuffer.empty[String]
     val wanted: String => Boolean = selection match {
       case Some(names) => names.toSet
       case None => _ => true
     }
     val elements = ElementKind.all.flatMap { kind =>
-      val kindDir = new Path(s"$root/${kind.dirName}")
-      if (!fs.exists(kindDir)) Nil
-      else fs.listStatus(kindDir).toSeq
-        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
-        .map(_.getPath.getName).sorted.filter(wanted).flatMap { name =>
+      view.childDirs(kind.dirName).filter(wanted).flatMap { name =>
           val dir = s"$root/${kind.dirName}/$name"
+          val rel = s"${kind.dirName}/$name"
+          val ngffReader = Some((p: String) => view.textOrFail(s"$rel/$p"))
           try Some(kind match {
             case ElementKind.Images =>
-              val (tiles, nm) = NgffRaster.read(spark, dir)
+              val (tiles, nm) = NgffRaster.read(spark, dir, metaReader = ngffReader)
               // record the STORE's chunk extent as the element's tile size so
               // downstream tile->pixel decodes use it, not the global default
               val ts = nm.scales.head.meta.chunks(nm.axes.indexOf("y"))
               SpatialElement(ElementMeta(name, kind, nm.axes, nm.transforms,
                 nm.channels, attrs = Map("tile_size" -> ts.toString)), tiles)
             case ElementKind.Labels =>
-              val (tiles, nm) = NgffRaster.read(spark, dir)
+              val (tiles, nm) = NgffRaster.read(spark, dir, metaReader = ngffReader)
               // tile coordinates decode against the STORE's chunk size
               // (the y-axis chunk extent; leading c/z chunk extents are 1)
               val ts = nm.scales.head.meta.chunks(nm.axes.indexOf("y"))
@@ -246,10 +252,10 @@ object ZarrStore {
                   nm.transforms), longForm)
               }
             case ElementKind.Points =>
-              val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
+              val meta = parseElementAttrs(view.textOrFail(s"$rel/.zattrs"), name, kind)
               SpatialElement(meta, spark.read.parquet(s"$dir/points.parquet"))
             case ElementKind.Shapes =>
-              val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
+              val meta = parseElementAttrs(view.textOrFail(s"$rel/.zattrs"), name, kind)
               if (fs.exists(new Path(s"$dir/shapes.parquet"))) {
                 // engine layout (parsed columns) or reference ShapesFormatV02+
                 // GeoParquet (raw WKB / geoarrow). The engine marker is the
@@ -262,14 +268,14 @@ object ZarrStore {
                 if (engineCols.subsetOf(df.columns.toSet)) SpatialElement(meta, df)
                 else SpatialElement(meta,
                   Models.ShapesModel.readGeoParquet(spark, s"$dir/shapes.parquet"))
-              } else if (fs.exists(new Path(s"$dir/coords/.zarray"))) {
+              } else if (view.hasMeta(s"$rel/coords/.zarray")) {
                 // reference ShapesFormatV01 ragged arrays (io_shapes.py:42-56)
                 SpatialElement(meta, AnnDataZarr.readRaggedShapes(spark, dir))
               } else sys.error(s"shapes '$name': no shapes.parquet or ragged coords")
             case ElementKind.Tables =>
               if (fs.exists(new Path(s"$dir/obs.parquet"))) {
                 // engine layout: obs + optional long-form X parquet
-                val meta = parseElementAttrs(readText(fs, s"$dir/.zattrs"), name, kind)
+                val meta = parseElementAttrs(view.textOrFail(s"$rel/.zattrs"), name, kind)
                 val aux =
                   if (fs.exists(new Path(s"$dir/X.parquet")))
                     Map("X" -> spark.read.parquet(s"$dir/X.parquet"))
@@ -282,12 +288,19 @@ object ZarrStore {
           })
           catch {
             case e: Exception if onBadFiles == "warn" =>
-              System.err.println(s"[ZarrStore] skipping corrupted element " +
-                s"'${kind.dirName}/$name': ${e.getMessage}")
+              val msg = s"skipping corrupted element '$rel': ${e.getMessage}"
+              System.err.println(s"[ZarrStore] $msg")
+              warnings += msg
               None
           }
         }
     }
-    SpatialDataset(spark, elements)
+    val sd = SpatialDataset(spark, elements)
+    // surface the per-element failures in the manifest (the reference's
+    // handle_read_errors collects warnings the same way) so a caller can
+    // inspect what a lenient read dropped without scraping stderr
+    if (warnings.isEmpty) sd
+    else sd.withAttr("read_warnings",
+      org.json4s.JArray(warnings.toList.map(org.json4s.JString(_))))
   }
 }

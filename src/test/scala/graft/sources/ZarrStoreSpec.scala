@@ -115,6 +115,9 @@ class ZarrStoreSpec extends SparkTestBase {
   test("onBadFiles=warn skips a corrupted element; error mode throws") {
     val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/bad.zarr"
     ZarrStore.write(container(), root, tileSize = 8)
+    // remove .zmetadata so the per-file path is what gets exercised (with
+    // consolidated metadata present the good copy would mask the corruption)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/.zmetadata"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/points/pts/.zattrs"),
       "NOT JSON {".getBytes("UTF-8"))
@@ -123,5 +126,36 @@ class ZarrStoreSpec extends SparkTestBase {
     assert(!lenient.manifest.elements.map(_.name).contains("pts"))
     assert(lenient.manifest.elements.map(_.name).sorted ==
       Seq("img", "lab", "shp", "tab"))
+    // the skip is surfaced in the manifest, not only on stderr
+    val w = lenient.getAttrs("read_warnings") match {
+      case org.json4s.JArray(xs) => xs.collect { case org.json4s.JString(s) => s }
+      case other => fail(s"unexpected read_warnings shape: $other")
+    }
+    assert(w.size == 1 && w.head.contains("points/pts"))
+  }
+
+  test("consolidated .zmetadata alone reconstructs the container") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString + "/cmo.zarr"
+    val sd = container()
+    ZarrStore.write(sd, root, tileSize = 8)
+    // delete EVERY per-file JSON metadata document; only .zmetadata (plus
+    // data payloads) remains — the one-round-trip remote-store scenario
+    import scala.jdk.CollectionConverters._
+    val metaFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .filter(p => Set(".zattrs", ".zarray", ".zgroup")(p.getFileName.toString))
+      .toList
+    assert(metaFiles.nonEmpty)
+    metaFiles.foreach(java.nio.file.Files.delete)
+    val back = ZarrStore.read(spark, root)
+    assert(back.manifest.elements.map(_.name).sorted ==
+      Seq("img", "lab", "pts", "shp", "tab"))
+    assert(back.manifest.element("img").channelNames == Seq("c0", "c1"))
+    assert(back.manifest.element("tab").table ==
+      Some(TableAnnotation(Seq("shp"), "region", "instance_id")))
+    // raster payload decodes (chunk files + .zmetadata-served .zarray)
+    assert(back("lab").orderBy("y", "x").as[(Int, Int, Long)].collect().toSeq ==
+      Seq((0, 0, 5L), (3, 4, 9L), (9, 9, 2L)))
+    assert(back("pts").count() == 2 && back("tab").count() == 2)
   }
 }
