@@ -646,20 +646,73 @@ object GeomKernel {
     math.max(total, 0.0)
   }
 
-  /** Clip a geometry by an ARBITRARY simple (hole-free) polygon — reflex
-    * vertices allowed. The clip ring decomposes into convex pieces (ear
-    * triangles); the subject clips against each piece with the existing
-    * Sutherland-Hodgman kernel; non-empty pieces concatenate into a
-    * multipolygon PARTITION of the true intersection. Seams along
-    * triangulation diagonals are interior edges: area, containment,
-    * intersection and rasterization semantics are exact; the representation
-    * is a partition rather than a GEOS-style dissolved overlay. Convex
-    * clips take the single-pass path unchanged. Returns null when the
-    * intersection is empty.
+  /** Partition a simple polygon WITH HOLES into convex, hole-free
+    * trapezoids: vertical slabs between consecutive distinct vertex
+    * x-coordinates (exterior + holes); within a slab every non-vertical
+    * edge either spans it fully or misses it (all vertices sit on slab
+    * boundaries), so sorting the spanning edges by y and pairing them
+    * even-odd yields the interior bands — each a convex quad (or
+    * triangle) between two edges. Exact scanline-fill reasoning: for a
+    * valid polygon (simple rings, holes inside and disjoint) the interior
+    * at any x is the odd bands between edge crossings. Hole interiors
+    * fall BETWEEN pairs and are excluded by construction.
+    */
+  private[geom] def trapezoidDecompose(rings: Array[Array[Double]]): Array[Array[Double]] = {
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    val cuts = scala.collection.mutable.SortedSet.empty[Double]
+    rings.foreach { r =>
+      var n = r.length / 2
+      if (n >= 2 && r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)) n -= 1
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val (x1, y1, x2, y2) = (r(2 * i), r(2 * i + 1), r(2 * j), r(2 * j + 1))
+        cuts += x1
+        if (x1 != x2) edges += ((x1, y1, x2, y2))
+        i += 1
+      }
+    }
+    val xs = cuts.toArray
+    def yAt(e: (Double, Double, Double, Double), x: Double): Double =
+      if (x == e._1) e._2 else if (x == e._3) e._4
+      else e._2 + (e._4 - e._2) * ((x - e._1) / (e._3 - e._1))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var s = 0
+    while (s + 1 < xs.length) {
+      val xl = xs(s); val xr = xs(s + 1); val xm = (xl + xr) / 2
+      val span = edges.filter(e =>
+        math.min(e._1, e._3) <= xl && math.max(e._1, e._3) >= xr)
+      val sorted = span.sortBy(e => yAt(e, xm)).toArray
+      require(sorted.length % 2 == 0,
+        s"trapezoidDecompose: odd edge parity in slab [$xl, $xr] — invalid polygon")
+      var k = 0
+      while (k + 1 < sorted.length) {
+        val lo = sorted(k); val hi = sorted(k + 1)
+        val ring = Array(
+          xl, yAt(lo, xl), xr, yAt(lo, xr), xr, yAt(hi, xr), xl, yAt(hi, xl))
+        if (math.abs(ringSignedArea(ring)) > 0.0) out += ring
+        k += 2
+      }
+      s += 1
+    }
+    out.toArray
+  }
+
+  /** Clip a geometry by an ARBITRARY simple polygon — reflex vertices and
+    * interior rings (holes) allowed. The clip polygon decomposes into
+    * convex pieces (ear triangles for a hole-free ring,
+    * [[trapezoidDecompose]] bands when it has holes); the subject clips
+    * against each piece with the existing Sutherland-Hodgman kernel;
+    * non-empty pieces concatenate into a multipolygon PARTITION of the
+    * true intersection. Seams along decomposition edges are interior
+    * edges: area, containment, intersection and rasterization semantics
+    * are exact; the representation is a partition rather than a
+    * GEOS-style dissolved overlay. Convex clips take the single-pass
+    * path unchanged. Returns null when the intersection is empty.
     */
   // polygon_query(clip=True) evaluates clipGeneral with a CONSTANT clip
   // literal across millions of rows — memoize the last clip's parse +
-  // triangulation per thread (tasks are single-threaded; byte-equality
+  // decomposition per thread (tasks are single-threaded; byte-equality
   // keyed, so a changing clip column still computes correctly)
   private val lastClipDecomp =
     new ThreadLocal[(Array[Byte], Boolean, Array[Array[Double]])]
@@ -672,13 +725,13 @@ object GeomKernel {
       case p: GPolygon => p
       case _ => sys.error("clip geometry must be a polygon")
     }
-    require(clipG.rings.length == 1,
-      "clip polygons with holes are not supported (clip against the exterior " +
-        "ring, then subtract hole intersections via intersectionArea)")
-    val convex = isConvexRing(clipG.rings(0))
-    val tris = if (convex) Array.empty[Array[Double]] else earTriangulate(clipG.rings(0))
-    lastClipDecomp.set((clipWkb.clone(), convex, tris))
-    (convex, tris)
+    val convex = clipG.rings.length == 1 && isConvexRing(clipG.rings(0))
+    val pieces =
+      if (convex) Array.empty[Array[Double]]
+      else if (clipG.rings.length == 1) earTriangulate(clipG.rings(0))
+      else trapezoidDecompose(clipG.rings)
+    lastClipDecomp.set((clipWkb.clone(), convex, pieces))
+    (convex, pieces)
   }
 
   def clipGeneral(wkb: Array[Byte], clipWkb: Array[Byte]): Array[Byte] = {

@@ -223,6 +223,21 @@ object AggregatePack extends QueryPack {
         .orderBy("index")
     }),
 
+    // polygon_query(clip=True) with a HOLED clip polygon (donut): clipped
+    // geometry comes from the trapezoid-band decomposition (st_clip) and
+    // its areas must reproduce exact rectangle algebra ext - hole — the
+    // reference clips by arbitrary shapely geometry (spatial_query.py:958-963)
+    "q119_donut_clip" -> ((s, d) => {
+      // donut: exterior [10,40]x[5,29] minus hole [18,30]x[12,22]
+      val donut = graft.geom.WKB.write(graft.geom.GPolygon(Array(
+        Array(10.0, 5.0, 40.0, 5.0, 40.0, 29.0, 10.0, 29.0),
+        Array(18.0, 12.0, 30.0, 12.0, 30.0, 22.0, 18.0, 22.0))))
+      graft.query.SpatialQuery.polygonQueryShapes(
+          valBoxes(s, d), graft.model.IdentityT, donut, clip = true)
+        .select(col("index"), round(st_area(col("geometry")), 6).as("clip_area"))
+        .orderBy("index")
+    }),
+
     // fractions=True: value weighted by intersection_area / value_area
     // through the convex-clip kernel (aggregate.py:429-450), grid path.
     "q27_shapes_fractions" -> ((s, d) => {
@@ -342,6 +357,22 @@ object AggregatePack extends QueryPack {
            |    ${ibox("10.0", "5.0", "40.0", "17.0")} +
            |    ${ibox("10.0", "5.0", "26.0", "29.0")} -
            |    ${ibox("10.0", "5.0", "26.0", "17.0")} AS inter
+           |  FROM v)
+           |SELECT index, ROUND(inter, 6) AS clip_area
+           |FROM pairs WHERE inter > 0
+           |ORDER BY index""".stripMargin
+      },
+      // donut = ext [10,40]x[5,29] minus hole [18,30]x[12,22];
+      // area(donut ∩ box) = ibox(ext) - ibox(hole) (hole lies inside ext)
+      "q119_donut_clip" -> {
+        def ibox(rx0: String, ry0: String, rx1: String, ry1: String) =
+          s"""GREATEST(0.0, LEAST($rx1, v.x0 + 4.0) - GREATEST($rx0, v.x0)) *
+             |GREATEST(0.0, LEAST($ry1, v.y0 + 4.0) - GREATEST($ry0, v.y0))""".stripMargin
+        s"""WITH v AS ($valBoxesSql),
+           |pairs AS (
+           |  SELECT v.index,
+           |    ${ibox("10.0", "5.0", "40.0", "29.0")} -
+           |    ${ibox("18.0", "12.0", "30.0", "22.0")} AS inter
            |  FROM v)
            |SELECT index, ROUND(inter, 6) AS clip_area
            |FROM pairs WHERE inter > 0

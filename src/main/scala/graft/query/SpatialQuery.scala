@@ -265,23 +265,21 @@ object SpatialQuery {
     val filtered = df.filter(coarse && st_intersects(col("geometry"), lit(intrinsicPoly)))
     if (!clip) filtered
     else {
-      // Clip kind decided ONCE on the driver: convex rings take the
-      // single-pass Sutherland-Hodgman path; reflex rings the convex-
-      // decomposition path (st_clip — partition-of-intersection output,
-      // exact area/containment, spatial_query.py:958-963); holed clip
-      // polygons still fail loudly (the reference's stance for unsupported
-      // query geometry, spatial_query.py:297-321). No silent unclipped
+      // Clip kind decided ONCE on the driver: convex hole-free rings take
+      // the single-pass Sutherland-Hodgman path; reflex and HOLED clip
+      // polygons the convex-decomposition path (st_clip — ear triangles /
+      // trapezoid bands, partition-of-intersection output, exact
+      // area/containment, matching the reference's arbitrary-geometry
+      // shapely clip, spatial_query.py:958-963). No silent unclipped
       // fallback: a null clip result means a zero-area (boundary-touching)
       // intersection and the row is dropped, never returned unclipped.
       val clipGeom = WKB.read(intrinsicPoly) match {
         case p: graft.geom.GPolygon => p
         case _ => sys.error("polygon_query(clip=True) requires a polygon clip geometry")
       }
-      require(clipGeom.rings.length == 1,
-        "polygon_query(clip=True) supports hole-free clip polygons only; " +
-          "for holed overlap weights use intersectionArea (q71 path)")
       val clipExpr =
-        if (graft.geom.GeomKernel.isConvexRing(clipGeom.rings(0)))
+        if (clipGeom.rings.length == 1 &&
+          graft.geom.GeomKernel.isConvexRing(clipGeom.rings(0)))
           st_clip_convex(col("geometry"), lit(intrinsicPoly))
         else st_clip(col("geometry"), lit(intrinsicPoly))
       val clipped = filtered

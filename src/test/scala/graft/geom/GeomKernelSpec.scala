@@ -153,4 +153,40 @@ class GeomKernelSpec extends AnyFunSuite {
     val mout = GeomKernel.clipByConvex(mp, clip)
     assert(GeomKernel.area(mout) == 3.0)
   }
+
+  test("trapezoidDecompose partitions a holed polygon exactly") {
+    val traps = GeomKernel.trapezoidDecompose(donut.rings)
+    // every band is convex, their areas sum to the donut area (16 - 4)
+    assert(traps.forall(GeomKernel.isConvexRing))
+    val total = traps.map(r => GeomKernel.area(WKB.write(GPolygon(Array(r))))).sum
+    assert(math.abs(total - 12.0) < 1e-12)
+    // no band overlaps the hole: band ∩ hole has zero area for each band
+    val holeWkb = WKB.write(GPolygon(Array(donut.rings(1))))
+    traps.foreach { r =>
+      val a = GeomKernel.intersectionArea(WKB.write(GPolygon(Array(r))), holeWkb)
+      assert(a < 1e-12, s"band overlaps the hole by $a")
+    }
+  }
+
+  test("clipGeneral with a HOLED clip polygon (donut)") {
+    val donutWkb = WKB.write(donut) // ext [0,4]^2, hole [1,3]^2
+    // subject covering everything: clipped area = 16 - 4
+    val big = WKB.write(GPolygon(Array(Array(-5.0, -5, 9, -5, 9, 9, -5, 9))))
+    val all = GeomKernel.clipGeneral(big, donutWkb)
+    assert(all != null && math.abs(GeomKernel.area(all) - 12.0) < 1e-12)
+    // subject strictly inside the hole: empty intersection
+    val inHole = WKB.write(GPolygon(Array(Array(1.5, 1.5, 2.5, 1.5, 2.5, 2.5, 1.5, 2.5))))
+    assert(GeomKernel.clipGeneral(inHole, donutWkb) == null)
+    // subject straddling the hole boundary: only the outside-the-hole part
+    // survives: [2,3.5]x[2,3.5] minus hole-part [2,3]x[2,3] -> 2.25 - 1
+    val straddle = WKB.write(GPolygon(Array(Array(2.0, 2, 3.5, 2, 3.5, 3.5, 2, 3.5))))
+    val s = GeomKernel.clipGeneral(straddle, donutWkb)
+    assert(s != null && math.abs(GeomKernel.area(s) - 1.25) < 1e-12)
+    // agreement with the inclusion-exclusion area kernel (different path)
+    assert(math.abs(GeomKernel.area(s) -
+      GeomKernel.intersectionArea(straddle, donutWkb)) < 1e-12)
+    // points: ring body kept, hole interior dropped
+    assert(GeomKernel.clipGeneral(WKB.write(GPoint(0.5, 0.5)), donutWkb) != null)
+    assert(GeomKernel.clipGeneral(WKB.write(GPoint(2.0, 2.0)), donutWkb) == null)
+  }
 }

@@ -113,6 +113,23 @@ class GeomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("holed-clip partition area equals inclusion-exclusion intersectionArea") {
+    // the two kernels compute the same quantity through disjoint machinery:
+    // clipGeneral = trapezoid-band partition, intersectionArea = per-ring
+    // triangulation with hole sign inclusion-exclusion
+    val donut = WKB.write(GPolygon(Array(
+      Array(0.0, 0.0, 12.0, 0.0, 12.0, 9.0, 0.0, 9.0),
+      Array(4.0, 3.0, 8.0, 3.0, 8.0, 6.0, 4.0, 6.0))))
+    forAll(convexPoly, staircase) { (c, s) =>
+      for (subject <- Seq(wkb(c), wkb(s))) {
+        val clipped = GeomKernel.clipGeneral(subject, donut)
+        val got = if (clipped == null) 0.0 else GeomKernel.area(clipped)
+        val want = GeomKernel.intersectionArea(subject, donut)
+        assert(math.abs(got - want) < 1e-6, s"holed clip area $got vs kernel $want")
+      }
+    }
+  }
+
   test("self-intersection equals own area; convex kernel agrees on convex pairs") {
     forAll(convexPoly) { c =>
       val a = wkb(c)
