@@ -3,14 +3,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every gate query on SPARK_GRAFT_SF_DIR and prints
-  * ONE JSON line. Per query: two runs, report the minimum (asv-style — the
-  * first run pays JVM/codegen warm-up that a resident service never sees;
-  * the session itself is warmed once before timing).
+  * ONE JSON line. Per query: three runs, report the minimum (asv-style —
+  * the first run pays JVM/codegen warm-up that a resident service never
+  * sees; the session itself is warmed once before timing). Three reps
+  * instead of two because a host-level throttle window can span two
+  * back-to-back runs — and a fixed CPU-spin sentinel is timed before and
+  * after the suite (`spin_ms_before`/`spin_ms_after` in the JSON): if the
+  * sentinel is slow, the absolute numbers are environment noise, not code.
   */
 object Bench {
+
+  /** Fixed single-thread CPU workload (~100 ms unthrottled): 50M xorshift
+    * steps. Pure ALU, no allocation — its wall time moves only with the
+    * machine, never with the code under test.
+    */
+  private def cpuSpinMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 42L) System.err.println("") // keep the loop live
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,6 +39,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: one tiny job to start executor pools + codegen stack
     spark.range(1000).selectExpr("sum(id)").collect()
+    val spinBefore = cpuSpinMs()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -42,18 +62,26 @@ object Bench {
         catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once()
-      val b = if (a < 0) -1.0 else once()
+      var best = -1.0
+      var i = 0
+      var failed = false
+      while (i < reps && !failed) {
+        val t = once()
+        if (t < 0) failed = true
+        else best = if (best < 0) t else math.min(best, t)
+        i += 1
+      }
       // drop caches a query persisted (LSH band tables etc.) so they don't
       // accumulate across the run — unevicted leftovers from earlier
       // queries were causing ±80% run-to-run swings on the later ones
       spark.catalog.clearCache()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (if (failed) -1.0 else best)
     }
+    val spinAfter = cpuSpinMs()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spin_ms_before":$spinBefore,"spin_ms_after":$spinAfter}""")
     spark.stop()
   }
 }

@@ -93,6 +93,65 @@ object Datasets {
         Some(TableAnnotation(Seq("blobs_labels"), "region", "instance_id"))), obs)))
   }
 
+  /** Raccoon-style demo container (reference `datasets.py:77-101`): a
+    * photo-sized 3-channel image, a ~`nSegments`-segment segmentation
+    * labels element, and 4 fixed circles. The reference uses the scipy
+    * raccoon photo + SLIC superpixels; with no image data bundled, the
+    * engine generates a deterministic procedural texture (smooth channel
+    * gradients + hash noise) and nearest-seed Voronoi segments — same
+    * element structure, names, and circle coordinates/radii
+    * (`datasets.py:96-97`), generated lazily from `spark.range` like
+    * [[blobs]].
+    */
+  def raccoon(spark: SparkSession, height: Int = 768, width: Int = 1024,
+      nSegments: Int = 100, seed: Int = 7): SpatialDataset = {
+    import org.apache.spark.sql.functions.broadcast
+    val pixels = spark.range(height.toLong * width).select(
+      (col("id") / width).cast("int").as("y"),
+      (col("id") % width).cast("int").as("x"))
+    val pid = col("y").cast("long") * width + col("x")
+    val image = pixels.select(col("y"), col("x"),
+        posexplode(array(
+          col("x").cast("double") / width * 0.6 + u("c0", pid, seed) * 0.4,
+          col("y").cast("double") / height * 0.6 + u("c1", pid, seed) * 0.4,
+          (col("x") + col("y")).cast("double") / (width + height) * 0.6 +
+            u("c2", pid, seed) * 0.4))
+          .as(Seq("c", "value")))
+      .select(col("c").cast("int").as("c"), col("y"), col("x"), col("value"))
+
+    // SLIC stand-in: nearest of nSegments hash-placed seeds (labels are
+    // 1-based like blobs); struct-min argmin — broadcast seeds, partial
+    // aggregation, no window
+    val seeds = spark.range(nSegments.toLong).select(
+      col("id").as("seg"),
+      (u("sx", col("id"), seed) * width).as("sx"),
+      (u("sy", col("id"), seed) * height).as("sy"))
+    val d2 = (col("x") - col("sx")) * (col("x") - col("sx")) +
+      (col("y") - col("sy")) * (col("y") - col("sy"))
+    val labels = pixels.crossJoin(broadcast(seeds))
+      .withColumn("__d", d2)
+      .groupBy("y", "x")
+      .agg(min(struct(col("__d"), col("seg"))).as("__best"))
+      .select(col("y"), col("x"), (col("__best")("seg") + 1).as("label"))
+
+    // the reference's fixed markers (datasets.py:96-97)
+    val circleRows = Seq(
+      (0L, 610.0, 450.0, 30.0), (1L, 730.0, 325.0, 30.0),
+      (2L, 575.0, 300.0, 30.0), (3L, 480.0, 90.0, 50.0))
+    import spark.implicits._
+    val circles = Models.ShapesModel.parse(
+      circleRows.toDF("index", "cx", "cy", "radius")
+        .withColumn("geometry", graft.geom.st.st_point(col("cx"), col("cy")))
+        .withColumn("geom_type", lit("circle")).drop("cx", "cy"),
+      radiusCol = Some("radius"))
+
+    SpatialDataset(spark, Seq(
+      SpatialElement(Models.ImageModel.meta("raccoon", Seq("c", "y", "x")),
+        RasterOps_pixelsToTiles(image)),
+      SpatialElement(Models.LabelsModel.meta("segmentation"), labels),
+      SpatialElement(Models.ShapesModel.meta("circles"), circles)))
+  }
+
   // avoid a hard model->ops dependency: local alias
   private def RasterOps_pixelsToTiles(pixels: DataFrame): DataFrame =
     graft.ops.RasterOps.pixelsToTiles(pixels)

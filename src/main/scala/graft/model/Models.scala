@@ -239,7 +239,17 @@ object Models {
       val withIdx = indexCol match {
         case Some(c) => df.withColumn("index", col(c).cast(LongType))
         case None if df.columns.contains("index") => df
-        case None => df.withColumn("index", monotonically_increasing_id())
+        case None =>
+          // dense 0..n-1 row ids (the reference GeoDataFrame's RangeIndex,
+          // which annotation tables key on) — monotonically_increasing_id
+          // would emit sparse partition-encoded ids that never line up;
+          // same zipWithIndex trade as parseGeoJsonLines (one extra
+          // partition-count pass, no shuffle)
+          val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+          }
+          df.sparkSession.createDataFrame(rdd,
+            StructType(df.schema.fields :+ StructField("index", LongType, nullable = false)))
       }
       val withRadius = radiusCol match {
         case Some(c) => withIdx.withColumn("radius", col(c).cast(DoubleType))

@@ -25,6 +25,31 @@ class DatasetsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("raccoon demo: image + segmentation + fixed circles, deterministic") {
+    val sd = Datasets.raccoon(spark, height = 64, width = 96, nSegments = 12)
+    assert(sd.manifest.elements.map(_.name).sorted ==
+      Seq("circles", "raccoon", "segmentation"))
+    // the reference's marker circles survive exactly (datasets.py:96-97)
+    val c = sd("circles").orderBy("index")
+      .select("index", "radius").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(c.toSeq == Seq((0L, 30.0), (1L, 30.0), (2L, 30.0), (3L, 50.0)))
+    // every pixel is labeled with one of the 1-based segment ids
+    val segs = sd("segmentation").select("label").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(segs.nonEmpty && segs.subsetOf((1L to 12L).toSet))
+    assert(sd("segmentation").count() == 64L * 96L)
+    // 3 channels, deterministic content
+    val img = graft.ops.RasterOps.tilesToPixels(sd("raccoon"),
+      sd.manifest.element("raccoon").attrs.get("tile_size").map(_.toInt)
+        .getOrElse(Models.ImageModel.TileSize))
+    assert(img.select("c").distinct().count() == 3)
+    val s1 = img.agg(sum("value")).collect()(0).getDouble(0)
+    val s2 = graft.ops.RasterOps.tilesToPixels(
+      Datasets.raccoon(spark, 64, 96, 12)("raccoon"),
+      Models.ImageModel.TileSize).agg(sum("value")).collect()(0).getDouble(0)
+    assert(s1 == s2)
+  }
+
   test("blobs container answers the flagship query end-to-end") {
     val sd = Datasets.blobs(spark, length = 64, nCells = 8, pointsPerCell = 10)
     // bbox query + table cascade + per-gene counts (SURVEY.md §7.2 slice)

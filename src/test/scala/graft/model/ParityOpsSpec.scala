@@ -51,6 +51,17 @@ class ParityOpsSpec extends SparkTestBase {
     assert(byIdx(3L)._2 == "circle")
   }
 
+  test("shapes parse without an index column assigns dense 0..n-1 row ids") {
+    // reference GeoDataFrame RangeIndex parity: across many partitions the
+    // fallback must stay dense (monotonically_increasing_id would be sparse)
+    val df = spark.range(0, 500, 1, 8)
+      .select(graft.geom.st.st_point(col("id").cast("double"), lit(0.0)).as("geometry"),
+        lit("point").as("geom_type"))
+    val ids = Models.ShapesModel.parse(df)
+      .select("index").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 500L))
+  }
+
   test("deleteElementFromDisk removes the dir and the manifest entry") {
     val root = java.nio.file.Files.createTempDirectory("graft-del").toString
     val pts = Models.PointsModel.parse(Seq((1L, 0.0, 0.0)).toDF("id", "x", "y"))
