@@ -37,17 +37,26 @@ private[graft] object CacheScope {
     * `sameResult` on the canonicalized subtree, and detaches after one
     * shot. Unpersisting is non-blocking.
     */
+  /** Actions an unconsumed pipeline's listener observes before giving up:
+    * it then releases the caches anyway (abandoned pipeline — losing the
+    * cache benefit is safe, correctness is lineage-backed) and detaches,
+    * so dangling listeners never accumulate plan-matching work forever.
+    */
+  private val AbandonAfterActions = 512
+
   def releaseAfterFirstUse(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
     if (cached.isEmpty) return result
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
+      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private def fire(qe: QueryExecution): Unit = {
         val consumed =
           try qe.analyzed.find(_.sameResult(target)).isDefined
           catch { case _: Throwable => false }
-        if (consumed && done.compareAndSet(false, true)) {
+        val expired = !consumed && misses.incrementAndGet() >= AbandonAfterActions
+        if ((consumed || expired) && done.compareAndSet(false, true)) {
           cached.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)
         }

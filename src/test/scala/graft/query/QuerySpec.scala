@@ -110,7 +110,7 @@ class SpatialQuerySpec extends SparkTestBase {
   }
 
   test("polygonQueryShapes clip=true: reflex clips produce exact partitioned " +
-      "geometry; holed clips fail loudly") {
+      "geometry; holed clips clip exactly too") {
     val shapes = Models.ShapesModel.parse(Seq(
       (1L, rectWkb(0, 0, 2, 2)),   // fully inside the L -> area 4
       (2L, rectWkb(1, 1, 3, 3)),   // straddles the notch -> [1,3]x[1,2] + [1,2]x[2,3] = 3
@@ -130,14 +130,22 @@ class SpatialQuerySpec extends SparkTestBase {
       graft.geom.st.st_intersection_area(col("geometry"), lit(reflex)))
       .as[(Long, Double)].collect().toMap
     areas.foreach { case (i, a) => assert(a == viaArea(i), s"shape $i") }
-    // holes in the clip polygon remain unsupported, loudly
+    // holed clip polygon: the trapezoid-band decomposition clips exactly
+    // (reference parity — shapely clips by arbitrary geometry,
+    // spatial_query.py:958-963); agreement with the area kernel again
     val holed = graft.geom.WKB.write(graft.geom.GPolygon(Array(
       Array(0.0, 0, 4, 0, 4, 4, 0, 4),
       Array(1.0, 1, 1, 2, 2, 2, 2, 1))))
-    val e = intercept[IllegalArgumentException] {
-      SpatialQuery.polygonQueryShapes(shapes, IdentityT, holed, clip = true)
-    }
-    assert(e.getMessage.contains("hole"))
+    val holedAreas = SpatialQuery.polygonQueryShapes(shapes, IdentityT, holed, clip = true)
+      .select(col("index"), graft.geom.st.st_area(col("geometry")))
+      .as[(Long, Double)].collect().toMap
+    val holedViaArea = shapes.select(col("index"),
+      graft.geom.st.st_intersection_area(col("geometry"), lit(holed)))
+      .as[(Long, Double)].collect().toMap
+    // shape 1 [0,2]^2 ∩ donut = 4 - hole(1) = 3; shape 2 [1,3]^2 ∩ = 4-1 = 3;
+    // shape 3 [3,4]^2 corner = 1
+    assert(holedAreas == Map(1L -> 3.0, 2L -> 3.0, 3L -> 1.0), s"got $holedAreas")
+    holedAreas.foreach { case (i, a) => assert(a == holedViaArea(i), s"shape $i") }
   }
 
   private def pts = Seq(
