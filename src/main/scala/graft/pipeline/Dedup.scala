@@ -282,7 +282,8 @@ object Dedup {
       vecCol: String = "embedding", threshold: Double = 0.0,
       numPlanes: Int = 2, bands: Int = 2,
       persistVectors: Boolean = false,
-      dims: Int = Similarity.MaxDims): DataFrame = {
+      dims: Int = Similarity.MaxDims,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val withNorm0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
     // the normalized table feeds 2 branches per band; persisting skips the
@@ -291,14 +292,29 @@ object Dedup {
       withNorm0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else withNorm0
     val perBand = (0 until bands).map { band =>
-      val bucketed = withNorm.withColumn("__bucket",
+      val bucketed0 = withNorm.withColumn("__bucket",
         Similarity.lshBucket(col("__v"), numPlanes,
           planeOffset = band * numPlanes, dims = dims))
+      // same skew guard as [[lshCandidatePairs]]: a hot bucket (duplicated
+      // boilerplate embeddings, degenerate all-zero vectors) makes the
+      // self-join |bucket|^2 — drop oversize buckets BEFORE the join; the
+      // aggregation shuffles by the same key the join uses
+      val bucketed = maxBucketSize match {
+        case Some(cap) =>
+          val small = bucketed0.groupBy(col("__bucket"))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+            .select(col("__bucket"))
+          bucketed0.join(small, Seq("__bucket"))
+        case None => bucketed0
+      }
       val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
         col("__v").as("__va"), col("__norm").as("__na"))
       val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
         col("__v").as("__vb"), col("__norm").as("__nb"))
       a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+        // a mixed-width corpus would null-pad the zip_with and silently
+        // drop pairs at the threshold filter — refuse loudly instead
+        .filter(Similarity.sameWidth(col("__va"), col("__vb"), "cosinePairs"))
         .withColumn("cosine", TextAnalysis.round6(
           aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
             (col("__na") * col("__nb"))))
@@ -418,6 +434,7 @@ object Dedup {
         col("__norm").as("__na")), Seq("id_a"))
       .join(withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"),
         col("__norm").as("__nb")), Seq("id_b"))
+      .filter(Similarity.sameWidth(col("__va"), col("__vb"), "cosineForPairs"))
       .withColumn("cosine", TextAnalysis.round6(
         aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
           (col("__na") * col("__nb"))))

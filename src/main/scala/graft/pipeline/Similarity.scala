@@ -20,6 +20,18 @@ object Similarity {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
 
+  /** Always-true predicate that RAISES on mismatched vector widths.
+    * `zip_with` silently null-pads the shorter array, so a wrong-width
+    * query/centroid table would turn scores/distances NULL — and a
+    * struct-min argmin orders NULL first, silently electing garbage. Same
+    * loud-refusal stance as [[lshBucket]]'s plane-matrix check; one
+    * integer compare per row, noise next to the O(dims) fold it guards.
+    */
+  private[pipeline] def sameWidth(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, op: String): org.apache.spark.sql.Column =
+    when(size(a) === size(b), lit(true)).otherwise(raise_error(format_string(
+      s"$op: vector width mismatch (%d vs %d dims)", size(a), size(b))))
+
   /** Exact top-k by cosine for each query vector. Ties break on corpus id
     * (deterministic). Output: (query_id, vec_id, cosine, rank).
     */
@@ -31,6 +43,7 @@ object Similarity {
     val q = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm2(col("__qv")))
     val scored = q.crossJoin(c)
+      .filter(sameWidth(col("__qv"), col("__cv"), "bruteForceTopK"))
       .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -106,6 +119,7 @@ object Similarity {
       .withColumn("__bucket", lshBucket(col("__qv"), numPlanes, dims = dims))
       .withColumn("__qn", norm2(col("__qv")))
     val scored = q.join(c, Seq("__bucket"))
+      .filter(sameWidth(col("__qv"), col("__cv"), "lshTopK"))
       .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -129,6 +143,7 @@ object Similarity {
     // the shuffle carries one row per vec_id instead of the full corpus x K
     // expansion a row_number window would reshuffle.
     c.crossJoin(broadcast(cent))
+      .filter(sameWidth(col("__v"), col("__c"), "ivfAssign"))
       .withColumn("__d", dist2)
       .groupBy(col(idCol))
       .agg(min(struct(col("__d"), col(centroidIdCol))).as("__best"))
@@ -203,6 +218,7 @@ object Similarity {
       val dist2 = aggregate(zip_with(col("__v"), col("__c"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (s, t) => s + t)
       c.crossJoin(broadcast(cent))
+        .filter(sameWidth(col("__v"), col("__c"), "kmeansTrain"))
         .withColumn("__d", TextAnalysis.round6(dist2))
         .groupBy(col(idCol))
         .agg(min(struct(col("__d"), col(centroidIdCol))).as("__best"))
@@ -244,6 +260,7 @@ object Similarity {
     val dist2 = aggregate(zip_with(col("__sv"), col("__cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, t) => s + t)
     subRows.join(broadcast(cb), Seq("sub"))
+      .filter(sameWidth(col("__sv"), col("__cv"), "pqEncode"))
       .withColumn("__d", TextAnalysis.round6(dist2))
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("__d"), col("code_id"))).as("__best"))
@@ -348,6 +365,7 @@ object Similarity {
     val probes = queries
       .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
       .crossJoin(broadcast(cent))
+      .filter(sameWidth(col("__qv"), col("__c"), "ivfTopK"))
       .withColumn("__d", qDist2)
       // nprobe nearest cells per query: sort the tiny per-query cell list
       // in an aggregate (K entries), no window over the corpus
@@ -361,6 +379,7 @@ object Similarity {
         col(s"__cell.$centroidIdCol").as(centroidIdCol))
       .withColumn("__qn", norm2(col("__qv")))
     val scored = probes.join(lists, Seq(centroidIdCol))
+      .filter(sameWidth(col("__qv"), col("__cv"), "ivfTopK"))
       .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))

@@ -313,6 +313,44 @@ class PipelineSpec extends SparkTestBase {
     awaitEmptyCache("pqTrain")
   }
 
+  test("vector ops refuse mismatched widths loudly (no silent null-pad)") {
+    val corpus = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val wideQueries = Seq((10L, Seq(1.0f, 0.0f, 0.0f))).toDF("query_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.bruteForceTopK(corpus, wideQueries, k = 1).collect()
+    }
+    assert(e1.toString.contains("width mismatch") ||
+      Option(e1.getCause).exists(_.toString.contains("width mismatch")))
+    // mismatched centroids: a null distance would win the struct-min argmin
+    val badCent = Seq((0L, Seq(0.0f, 0.0f, 0.0f))).toDF("centroid_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.ivfAssign(corpus, badCent).collect()
+    }
+    assert(e2.toString.contains("width mismatch") ||
+      Option(e2.getCause).exists(_.toString.contains("width mismatch")))
+    // mixed-width corpus through the pair pipeline
+    val mixed = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Dedup.cosineForPairs(mixed, Seq((1L, 2L)).toDF("id_a", "id_b")).collect()
+    }
+    assert(e3.toString.contains("width mismatch") ||
+      Option(e3.getCause).exists(_.toString.contains("width mismatch")))
+    // matched widths unaffected
+    val ok = Similarity.bruteForceTopK(corpus,
+      Seq((10L, Seq(1.0f, 0.0f))).toDF("query_id", "embedding"), k = 2)
+    assert(ok.count() == 2)
+  }
+
+  test("cosinePairs hot-bucket cap drops oversize buckets before the join") {
+    // identical vectors collide in one bucket in every band -> 6 choose 2
+    val vecs = (1L to 6L).map(i => (i, Seq(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    assert(Dedup.cosinePairs(vecs).count() == 15)
+    assert(Dedup.cosinePairs(vecs, maxBucketSize = Some(3)).count() == 0)
+    assert(Dedup.cosinePairs(vecs, maxBucketSize = Some(6)).count() == 15)
+  }
+
   test("quantizeInt8 maps the global range onto [-128, 127]") {
     val vecs = Seq((1L, Seq(0.0f, 5.0f)), (2L, Seq(10.0f, 2.5f)))
       .toDF("vec_id", "embedding")
