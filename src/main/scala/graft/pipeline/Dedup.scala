@@ -66,15 +66,13 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature columns `mh0..mh{n-1}`: lexicographic-min md5 over
-    * seeded shingle hashes, h_j(s) = md5(j + ':' + s). The hex ordering is a
-    * valid random permutation family and portable across engines.
-    *
-    * Shingles are exploded to rows first and the minima are ONE partial
-    * aggregation — computing the signature as nested array expressions would
-    * inline the shingle expression numHashes x bands times in the plan
-    * (Catalyst has no cross-lambda CSE), and row-wise + map-side combine is
-    * also the right shape at scale.
+  /** MinHash signature columns `mh0..mh{n-1}` under the one-digest
+    * double-hashing family ([[TextKernel.minhashRow]]): md5 each distinct
+    * shingle once, h_j(s) = (w1(s) + j * w2(s)) mod 2^32 over the digest's
+    * first two 32-bit words (Kirsch & Mitzenmacher 2006) — a valid
+    * minwise permutation family at 1/numHashes the digest cost of seeded
+    * per-permutation hashing, portable across engines as exact BIGINT
+    * arithmetic over md5 hex substrings.
     */
   /** Per-document distinct k-word shingle ARRAY via one codegen'd static
     * call ([[TextKernel.distinctShingles]]) — a shuffle-free projection,
@@ -103,7 +101,7 @@ object Dedup {
     // shingle multiset is the min over its distinct set)
     val sig = Bridge.staticInvoke(
       Class.forName("graft.pipeline.TextKernel"),
-      ArrayType(StringType, containsNull = false), "minhashDoc",
+      ArrayType(LongType, containsNull = false), "minhashDoc",
       Seq(concat_ws(" ", words(col(textCol))), lit(k), lit(numHashes)),
       Seq(StringType, IntegerType, IntegerType), returnNullable = true)
     docs.select(col(idCol), sig.as("__sig"))

@@ -97,22 +97,33 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
-  /** MinHash signature of one shingle: `numHashes` seeded digests
-    * `md5(j + ":" + shingle)` hex-encoded — identical values to the
-    * expression form, one reused digest instance, one call per row
-    * instead of `numHashes` HOF evaluations.
+  /** Big-endian 32-bit word at `off` of a digest, as a non-negative long —
+    * numerically identical to `CAST('0x' || substr(md5hex, 2*off+1, 8) AS
+    * BIGINT)`, the SQL mirror the oracles use.
+    */
+  private def word32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+
+  /** MinHash values of one shingle under the one-digest double-hashing
+    * family (Kirsch & Mitzenmacher, ESA 2006 — the standard way to get k
+    * hash functions from one): md5 the shingle ONCE, take the digest's
+    * first two 32-bit words (w1, w2), and h_j = (w1 + j*w2) mod 2^32.
+    * One digest instead of `numHashes` seeded digests per shingle — the
+    * digest loop was the dominant cost of the whole LSH pipeline — and
+    * exactly mirrorable in SQL via hex substrings of md5(s) in BIGINT
+    * arithmetic (all values < 2^36, exact).
     */
   def minhashRow(shingle: UTF8String, numHashes: Int): ArrayData = {
-    val body = shingle.getBytes
     val md = mdLocal.get()
+    md.reset()
+    val dig = md.digest(shingle.getBytes)
+    val w1 = word32(dig, 0)
+    val w2 = word32(dig, 4)
     val out = new Array[Any](numHashes)
     var j = 0
     while (j < numHashes) {
-      md.reset()
-      md.update(String.valueOf(j).getBytes)
-      md.update(':'.toByte)
-      md.update(body)
-      out(j) = hex(md.digest())
+      out(j) = (w1 + j * w2) % 4294967296L
       j += 1
     }
     new GenericArrayData(out)
@@ -251,7 +262,10 @@ object TextKernel {
     if (n <= 0) return null
     val seen = new java.util.HashSet[String]()
     val md = mdLocal.get()
-    val best = new Array[Array[Byte]](numHashes)
+    // per-permutation minima under the [[minhashRow]] double-hashing
+    // family: ONE digest per distinct shingle, h_j = (w1 + j*w2) mod 2^32
+    val best = new Array[Long](numHashes)
+    java.util.Arrays.fill(best, Long.MaxValue)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < n) {
@@ -264,15 +278,14 @@ object TextKernel {
       }
       val shingle = sb.toString
       if (seen.add(shingle)) {
-        val body = shingle.getBytes("UTF-8")
+        md.reset()
+        val dig = md.digest(shingle.getBytes("UTF-8"))
+        val w1 = word32(dig, 0)
+        val w2 = word32(dig, 4)
         var h = 0
         while (h < numHashes) {
-          md.reset()
-          md.update(String.valueOf(h).getBytes)
-          md.update(':'.toByte)
-          md.update(body)
-          val dig = md.digest()
-          if (best(h) == null || less(dig, best(h))) best(h) = dig
+          val v = (w1 + h * w2) % 4294967296L
+          if (v < best(h)) best(h) = v
           h += 1
         }
       }
@@ -280,7 +293,7 @@ object TextKernel {
     }
     val out = new Array[Any](numHashes)
     var h = 0
-    while (h < numHashes) { out(h) = hex(best(h)); h += 1 }
+    while (h < numHashes) { out(h) = best(h); h += 1 }
     new GenericArrayData(out)
   }
 }

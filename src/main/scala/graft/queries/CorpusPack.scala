@@ -211,7 +211,10 @@ object CorpusPack extends QueryPack {
              |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
              |  ELSE [] END""".stripMargin
         val sigSql = (0 until 12).map(j =>
-          s"list_min(list_transform(sh, s -> md5('$j:' || s)))").mkString("[", ", ", "]")
+          s"""list_min(list_transform(sh, s ->
+             |  (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) +
+             |   $j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))""".stripMargin)
+          .mkString("[", ", ", "]")
         s"""WITH RECURSIVE keep AS (
            |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
            |docs2 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
@@ -322,7 +325,10 @@ object CorpusPack extends QueryPack {
              |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
              |  ELSE [] END""".stripMargin
         val sigSql = (0 until 12).map(j =>
-          s"list_min(list_transform(sh, s -> md5('$j:' || s)))").mkString("[", ", ", "]")
+          s"""list_min(list_transform(sh, s ->
+             |  (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) +
+             |   $j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))""".stripMargin)
+          .mkString("[", ", ", "]")
         s"""WITH RECURSIVE fq AS (
            |  SELECT doc_id, $nTokensSql AS n_tokens,
            |    ${r6("CAST(length(regexp_replace(text, '[^.,;:!?''\"()]', '', 'g')) AS DOUBLE) / length(text)")} AS punct_ratio,

@@ -24,10 +24,15 @@ object PipelinePack extends QueryPack {
        |         i -> array_to_string(list_slice($w, i, i + $k - 1), ' '))
        |  ELSE [] END""".stripMargin
 
-  // signature SQL: 12 lexicographic-min seeded md5 minhashes
+  // signature SQL: 12 integer-min minhashes under the one-digest
+  // double-hashing family — h_j(s) = (w1 + j*w2) mod 2^32 over the first
+  // two 32-bit words of md5(s), mirroring TextKernel.minhashRow exactly
   private def sigSql(sh: String) =
     (0 until 12).map(j =>
-      s"list_min(list_transform($sh, s -> md5('$j:' || s)))").mkString("[", ", ", "]")
+      s"""list_min(list_transform($sh, s ->
+         |  (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) +
+         |   $j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))""".stripMargin)
+      .mkString("[", ", ", "]")
 
   private val bandsSqlCte =
     s"""WITH w AS (

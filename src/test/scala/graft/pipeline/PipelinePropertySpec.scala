@@ -108,11 +108,14 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
-  test("minhashDoc == per-shingle md5 minima on random text") {
+  test("minhashDoc == per-shingle double-hashing minima on random text") {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String = {
+    def words32(s: String): (Long, Long) = {
       md.reset()
-      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val d = md.digest(s.getBytes("UTF-8"))
+      def w(off: Int) = ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+        ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+      (w(0), w(4))
     }
     samples(rawText, 25).zipWithIndex.foreach { case (text, id) =>
       val w = naiveWords(text)
@@ -123,9 +126,11 @@ class PipelinePropertySpec extends SparkTestBase {
         .collect()
       if (sh.isEmpty) assert(got.isEmpty, s"text='$text'")
       else {
-        val want = (0 until 4).map(j => sh.map(s => md5hex(s"$j:$s")).min)
+        val want = (0 until 4).map { j =>
+          sh.map { s => val (w1, w2) = words32(s); (w1 + j * w2) % 4294967296L }.min
+        }
         assert(got.length == 1 &&
-          (1 to 4).map(got(0).getString) == want, s"text='$text'")
+          (1 to 4).map(got(0).getLong) == want, s"text='$text'")
       }
     }
   }

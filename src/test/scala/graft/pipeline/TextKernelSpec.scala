@@ -49,11 +49,15 @@ class TextKernelSpec extends SparkTestBase {
     }
   }
 
-  test("minhashRow kernel == per-column md5(j + ':' + shingle) form") {
+  test("minhashRow kernel == (w1 + j*w2) mod 2^32 expression form") {
     val numHashes = 12
     val sh = Dedup.shingleRows(docs, "text", "doc_id", 3)
+    // the double-hashing family over md5 hex substrings, in plain
+    // expressions (the exact SQL the oracles mirror)
+    def word(off: Int) =
+      conv(substring(md5(col("shingle")), off, 8), 16, 10).cast("long")
     val legacyAggs = (0 until numHashes).map { j =>
-      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"mh$j")
+      min((word(1) + lit(j.toLong) * word(9)) % 4294967296L).as(s"mh$j")
     }
     val want = sh.groupBy(col("doc_id")).agg(legacyAggs.head, legacyAggs.tail: _*)
       .orderBy("doc_id").collect().map(_.toSeq)
