@@ -39,49 +39,84 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: one tiny job to start executor pools + codegen stack
     spark.range(1000).selectExpr("sum(id)").collect()
-    val spinBefore = cpuSpinMs()
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // noop write materializes EVERY row and column — `.count()` would let
-        // Catalyst prune all projection columns, under-measuring
-        // projection-heavy queries. The gate queries' TOP-LEVEL orderBy is
-        // oracle plumbing (deterministic compare), not operator semantics —
-        // the reference's asv bench returns unsorted results too — so a
-        // top-level global Sort is stripped before timing.
-        try {
-          val df = fn(spark, sfDir)
-          val plan = df.queryExecution.analyzed match {
-            case org.apache.spark.sql.catalyst.plans.logical.Sort(_, true, child, _) => child
-            case p => p
-          }
-          org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
-            .write.mode("overwrite").format("noop").save()
-        }
-        catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      var best = -1.0
-      var i = 0
-      var failed = false
-      while (i < reps && !failed) {
-        val t = once()
-        if (t < 0) failed = true
-        else best = if (best < 0) t else math.min(best, t)
-        i += 1
-      }
-      // drop caches a query persisted (LSH band tables etc.) so they don't
-      // accumulate across the run — unevicted leftovers from earlier
-      // queries were causing ±80% run-to-run swings on the later ones
-      spark.catalog.clearCache()
-      name -> (if (failed) -1.0 else best)
+    // Throttle gate: if the sentinel says the host is slow RIGHT NOW, wait
+    // (up to ~2 min) for the throttle window to pass before burning a full
+    // suite run on numbers that would be environment noise.
+    var spinBefore = cpuSpinMs()
+    var waited = 0
+    while (spinBefore > 120 && waited < 24) {
+      Thread.sleep(5000)
+      spinBefore = cpuSpinMs()
+      waited += 1
     }
-    val spinAfter = cpuSpinMs()
+
+    def runSuite(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          // noop write materializes EVERY row and column — `.count()` would let
+          // Catalyst prune all projection columns, under-measuring
+          // projection-heavy queries. The gate queries' TOP-LEVEL orderBy is
+          // oracle plumbing (deterministic compare), not operator semantics —
+          // the reference's asv bench returns unsorted results too — so a
+          // top-level global Sort is stripped before timing.
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.analyzed match {
+              case org.apache.spark.sql.catalyst.plans.logical.Sort(_, true, child, _) => child
+              case p => p
+            }
+            org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
+              .write.mode("overwrite").format("noop").save()
+          }
+          catch { case _: Throwable => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        var best = -1.0
+        var i = 0
+        var failed = false
+        while (i < reps && !failed) {
+          val t = once()
+          if (t < 0) failed = true
+          else best = if (best < 0) t else math.min(best, t)
+          i += 1
+        }
+        // drop caches a query persisted (LSH band tables etc.) so they don't
+        // accumulate across the run — unevicted leftovers from earlier
+        // queries were causing ±80% run-to-run swings on the later ones
+        spark.catalog.clearCache()
+        name -> (if (failed) -1.0 else best)
+      }
+
+    var results = runSuite()
+    var spinAfter = cpuSpinMs()
+    var reran = false
+    // Auto-rerun ONCE if the suite ran under throttle (sentinel slow at
+    // either end): the second pass's per-query minimum replaces noise with
+    // signal whenever any part of either pass ran unthrottled.
+    if ((spinBefore > 120 || spinAfter > 120) &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN", "1") == "1") {
+      reran = true
+      val second = runSuite()
+      val byName = second.toMap
+      results = results.map { case (name, v) =>
+        val w = byName.getOrElse(name, -1.0)
+        val best = if (v < 0) w else if (w < 0) v else math.min(v, w)
+        name -> best
+      }
+      spinAfter = cpuSpinMs()
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spin_ms_before":$spinBefore,"spin_ms_after":$spinAfter}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spin_ms_before":$spinBefore,"spin_ms_after":$spinAfter,"throttle_rerun":$reran}"""
+    println(json)
+    // Self-persist: stdout tail-truncation cost round 6 its q01-q41 numbers;
+    // the file copy survives regardless of how the driver captures output.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        json.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

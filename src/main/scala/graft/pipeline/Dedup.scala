@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default hot-bucket cap for the LSH self-joins ([[lshCandidatePairs]],
+    * [[cosinePairs]]): buckets larger than this are dropped before the
+    * join. 1000 keeps per-bucket work under ~10^6 pairs — large enough
+    * that real near-duplicate clusters pass, small enough that one
+    * boilerplate key cannot go quadratic. Unbounded requires an explicit
+    * `maxBucketSize = None`.
+    */
+  val DefaultMaxBucketSize: Int = 1000
+
   /** Normalized word array: lowercase, non-alphanumerics collapsed to
     * single spaces, whitespace-split. The shared tokenizer for
     * shingling/minhash/quality.
@@ -138,10 +147,15 @@ object Dedup {
     * trade: such buckets are near-useless for dedup anyway because their
     * members collide with everything in them. Deterministic, so the oracle
     * can mirror it with a HAVING.
+    *
+    * The cap is ON by default ([[Dedup.DefaultMaxBucketSize]]): hot buckets
+    * are real at scale, and the naive unguarded default was exactly the
+    * quadratic failure mode this guard documents. Pass `None` explicitly to
+    * opt out (and accept |bucket|^2 joins).
     */
   def lshCandidatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 12,
-      bands: Int = 4, maxBucketSize: Option[Int] = None,
+      bands: Int = 4, maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize),
       persistBands: Boolean = false): DataFrame = {
     // the band table feeds 2-4 plan branches (cap aggregation + both join
     // sides); persisting it skips recomputing the shingle->minhash pipeline
@@ -153,7 +167,7 @@ object Dedup {
     val b = maxBucketSize match {
       case Some(cap) =>
         val small = b0.groupBy(col("band"), col("band_key"))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= lit(cap.toLong))
           .select(col("band"), col("band_key"))
         b0.join(small, Seq("band", "band_key"))
       case None => b0
@@ -251,20 +265,21 @@ object Dedup {
     * the majority vote over words of bit j of the word hash, where word-hash
     * bit j = parity of hex digit j of md5(word). Near-duplicates differ in
     * few bits (compare with hamming distance).
+    *
+    * One codegen'd static call per document ([[TextKernel.simhashDoc]]) —
+    * a shuffle-free projection; the previous shape (explode words + one
+    * 16-column partial aggregation per doc) paid a per-doc exchange for
+    * identical values.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // words exploded once, md5 hashed once per word; 16 bit-majority sums in
-    // one partial aggregation (nested-lambda form would hash each word 16x).
-    val wordRows = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))
-      .withColumn("__h", md5(col("__w")))
-    val aggs = (0 until 16).map { j =>
-      sum(when(conv(substring(col("__h"), j + 1, 1), 16, 10).cast("int") % 2 === 1, 1)
-        .otherwise(-1)).as(s"__b$j")
-    }
-    val sums = wordRows.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val fp = (0 until 16).map(j =>
-      when(col(s"__b$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
-    sums.select(col(idCol), fp.as("simhash"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    val fp = Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      IntegerType, "simhashDoc",
+      Seq(concat_ws(" ", words(col(textCol)))),
+      Seq(StringType), returnNullable = false)
+    docs.select(col(idCol), fp.as("simhash"))
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucket gated: candidate
@@ -281,7 +296,7 @@ object Dedup {
       numPlanes: Int = 2, bands: Int = 2,
       persistVectors: Boolean = false,
       dims: Int = Similarity.MaxDims,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
     val withNorm0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
     // the normalized table feeds 2 branches per band; persisting skips the
@@ -300,7 +315,7 @@ object Dedup {
       val bucketed = maxBucketSize match {
         case Some(cap) =>
           val small = bucketed0.groupBy(col("__bucket"))
-            .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") <= lit(cap.toLong))
             .select(col("__bucket"))
           bucketed0.join(small, Seq("__bucket"))
         case None => bucketed0

@@ -1,6 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,12 +13,23 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed batch-wise with
   * `mapPartitions` (the Scala analog of `mapInPandas`).
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB — the real codec
-  * libraries are not in this container. Everything around it (schema,
-  * batching, partitioning, output shape) is real and tested: swapping
-  * `decodeStub` for a JNI/FFI decoder changes no plumbing.
+  * Image decode is REAL: `javax.imageio.ImageIO` ships with the JDK and
+  * reads PNG/JPEG/BMP/GIF with no external dependency, so [[decodeBatch]]
+  * parses actual image bytes and reports true dimensions + pixel
+  * statistics. Payloads no reader recognizes fall back to the documented
+  * deterministic stub (the FFI boundary where an exotic codec would plug
+  * in) — the `decoder` output column says which path each row took.
+  *
+  * Scale shape: decode runs inside `mapPartitions`, so codec setup
+  * amortizes per partition, nothing touches the driver, and the pattern
+  * ("prune and plan on metadata columns, decode late and batched") is the
+  * same one a 100 TB multimodal table needs.
   */
 object Multimodal {
+
+  // In-memory payloads must not round-trip through java.io.tmpdir on
+  // executors (ImageIO's default stream cache is a temp FILE per read).
+  ImageIO.setUseCache(false)
 
   /** Metadata-typed media schema: what a 100 TB multimodal table looks like
     * on disk — payload stays opaque binary; metadata columns drive pruning.
@@ -37,20 +53,95 @@ object Multimodal {
       length(col(payloadStrCol)).cast("int").as("byte_size"),
       map(lit("src"), lit("synthetic")).as("meta"))
 
-  // ================= DETERMINISTIC DECODE STUB =================
-  // Real implementation would FFI into an image/audio codec. The stub
-  // derives "decoded" dimensions and features purely from the payload
-  // bytes so results are reproducible and oracle-checkable.
-  // =============================================================
+  // ================= REAL DECODE (JDK ImageIO) =================
 
-  /** STUB "decode": width/height from byte statistics. */
+  /** Encode a grayscale image whose pixel (x, y) is `gray(x, y) & 0xff`,
+    * as real PNG bytes via `ImageIO.write` — the deterministic fixture
+    * generator for decode gates (PNG is lossless, so the decoded raster
+    * returns exactly these values).
+    */
+  def encodePng(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodePng: bad dims ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic test pattern: gray(x, y) = (x + 3*y) % 256 — uses both
+    * coordinates, mirrorable in SQL with integer arithmetic.
+    */
+  def syntheticPng(width: Int, height: Int): Array[Byte] =
+    encodePng(width, height, (x, y) => (x + 3 * y) % 256)
+
+  /** Deterministic fixture dims for a media id: width in [16, 63] from the
+    * id, height in [16, 63] from id/7 — both mirrorable as integer SQL.
+    */
+  def fixtureDims(id: Long): (Int, Int) =
+    ((id % 48 + 16).toInt, ((id / 7) % 48 + 16).toInt)
+
+  /** A real-PNG media table keyed by the ids of `docs`: each row's payload
+    * is `ImageIO.write`-encoded with [[fixtureDims]] and the
+    * [[syntheticPng]] pattern. Generated inside `mapPartitions` — the
+    * fixture path exercises the exact write→read codec round trip.
+    */
+  def pngMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = fixtureDims(id)
+        val payload = syntheticPng(w, h)
+        (id, "image", payload, payload.length)
+      })
+      .toDF("media_id", "media_type", "payload", "byte_size")
+      .withColumn("meta", map(lit("src"), lit("synthetic-png")))
+  }
+
+  /** Decode one payload with ImageIO: Some((width, height, hist256)) where
+    * hist256 is the 256-bin histogram of band 0 (gray channel for
+    * grayscale; red for RGB), or None when no installed reader recognizes
+    * the bytes.
+    */
+  private[pipeline] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Long])] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](256)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { hist(raster.getSample(x, y, 0) & 0xff) += 1; x += 1 }
+          y += 1
+        }
+        Some((w, h, hist))
+      }
+    } catch { case _: Throwable => None }
+
+  // ============ DETERMINISTIC FALLBACK STUB (unknown formats) ============
+
+  /** STUB "decode" for payloads no ImageIO reader accepts (exotic codecs —
+    * the FFI boundary): width/height from byte statistics, deterministic
+    * and oracle-checkable.
+    */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val n = payload.length
     (n % 512 + 1, (n / 7) % 512 + 1)
   }
 
   /** STUB "feature extraction": fixed-size float vector from byte histogram
-    * moments.
+    * moments (generic featurizer for undecodable payloads).
     */
   def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -62,8 +153,10 @@ object Multimodal {
     out
   }
 
-  /** Batch decode over binary payloads: schema/batching real, decode
-    * stubbed. Output: (media_id, width, height, n_bytes).
+  /** Batch decode over binary payloads: ImageIO for real images, the stub
+    * for unknown formats. Output: (media_id, width, height, n_bytes,
+    * px_sum, px_sumsq, decoder) — pixel sums are exact longs over the gray
+    * channel (null on the stub path); `decoder` ∈ {imageio, stub}.
     */
   def decodeBatch(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -71,24 +164,74 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition batch loop — the real decoder would amortize codec
-        // init across the partition exactly here
+        // per-partition batch loop — codec init amortizes across the
+        // partition exactly here
         it.map { case (id, payload) =>
-          val (w, h) = decodeStub(payload)
-          (id, w, h, payload.length)
+          decodeImage(payload) match {
+            case Some((w, h, hist)) =>
+              var sum = 0L
+              var sumSq = 0L
+              var v = 0
+              while (v < 256) {
+                sum += v.toLong * hist(v)
+                sumSq += v.toLong * v * hist(v)
+                v += 1
+              }
+              (id, w, h, payload.length, Some(sum), Some(sumSq), "imageio")
+            case None =>
+              val (w, h) = decodeStub(payload)
+              (id, w, h, payload.length, None: Option[Long], None: Option[Long], "stub")
+          }
         }
       }
-      .toDF("media_id", "width", "height", "n_bytes")
+      .toDF("media_id", "width", "height", "n_bytes", "px_sum", "px_sumsq", "decoder")
   }
 
-  /** Batch feature extraction: fixed-dim embedding per payload. */
+  /** Binned gray-channel histogram per image (256/bins-wide buckets over
+    * the REAL decoded raster): (media_id, bucket, n_px) rows, empty
+    * buckets omitted; undecodable payloads contribute no rows.
+    */
+  def grayHistogram(media: DataFrame, bins: Int = 8): DataFrame = {
+    require(bins >= 1 && 256 % bins == 0, s"grayHistogram: 256 % bins != 0 ($bins)")
+    val width = 256 / bins
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeImage(payload).toSeq.flatMap { case (_, _, hist) =>
+            (0 until bins).flatMap { b =>
+              var n = 0L
+              var v = b * width
+              while (v < (b + 1) * width) { n += hist(v); v += 1 }
+              if (n > 0) Some((id, b.toLong, n)) else None
+            }
+          }
+        }
+      }
+      .toDF("media_id", "bucket", "n_px")
+  }
+
+  /** Batch feature extraction: real 8-bin gray histogram (as floats) for
+    * decodable images, [[featureStub]] byte moments otherwise — fixed-dim
+    * either way, so the embedding column is uniform downstream.
+    */
   def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        (id, featureStub(payload, dim))
+        decodeImage(payload) match {
+          case Some((_, _, hist)) if 256 % dim == 0 =>
+            val w = 256 / dim
+            val out = new Array[Float](dim)
+            var v = 0
+            while (v < 256) { out(v / w) += hist(v); v += 1 }
+            (id, out)
+          case _ => (id, featureStub(payload, dim))
+        }
       })
       .toDF("media_id", "features")
   }

@@ -26,11 +26,19 @@ object Similarity {
     * struct-min argmin orders NULL first, silently electing garbage. Same
     * loud-refusal stance as [[lshBucket]]'s plane-matrix check; one
     * integer compare per row, noise next to the O(dims) fold it guards.
+    *
+    * NULL vectors get their own dedicated message (instead of the
+    * misleading "null vs N dims" that `size(NULL)` would format): a null
+    * embedding in a similarity pipeline is a data-quality bug the caller
+    * should see by name and filter upstream, not a width mismatch.
     */
   private[pipeline] def sameWidth(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, op: String): org.apache.spark.sql.Column =
-    when(size(a) === size(b), lit(true)).otherwise(raise_error(format_string(
-      s"$op: vector width mismatch (%d vs %d dims)", size(a), size(b))))
+    when(a.isNull || b.isNull, raise_error(lit(
+      s"$op: null embedding vector — filter null embeddings upstream")))
+      .when(size(a) === size(b), lit(true))
+      .otherwise(raise_error(format_string(
+        s"$op: vector width mismatch (%d vs %d dims)", size(a), size(b))))
 
   /** Exact top-k by cosine for each query vector. Ties break on corpus id
     * (deterministic). Output: (query_id, vec_id, cosine, rank).

@@ -119,6 +119,12 @@ object TextKernel {
     md.reset()
     val dig = md.digest(shingle.getBytes)
     val w1 = word32(dig, 0)
+    // Known trade-off: when w2 == 0 (probability 2^-32 per distinct
+    // shingle) all h_j collapse to w1 for that shingle, slightly
+    // correlating bands. The standard mitigation forces w2 odd (w2 | 1),
+    // but the family is oracle-pinned (exact BIGINT mirrors in the DuckDB
+    // SQL) — at realistic corpus sizes the collision risk is negligible,
+    // so we keep the plain form rather than break every mirror.
     val w2 = word32(dig, 4)
     val out = new Array[Any](numHashes)
     var j = 0
@@ -246,15 +252,54 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
-  /** Whole-document MinHash signature: the per-position minimum of
-    * `md5(j + ":" + shingle)` over every k-word shingle — identical values
-    * to aggregating [[minhashRow]] over shingle rows (the min over the
-    * shingle MULTISET equals the min over its distinct set, so hashing
-    * each distinct shingle once is a pure saving). Computed in one static
-    * call per document: minhash goes from explode + window + groupBy (two
-    * wide stages) to a shuffle-free projection. Returns null when the
-    * document has no shingles (< k words) — the same docs the row form
-    * drops at the aggregate.
+  /** SimHash 16-bit fingerprint of a pre-normalized document (single-space
+    * separated words, the output of `Dedup.words` re-joined): bit j is the
+    * majority vote over word OCCURRENCES of the parity of hex digit j of
+    * md5(word) — +1 when odd, -1 when even; ties and negative sums leave
+    * the bit 0. Value-identical to the explode + 16-column aggregate form
+    * (including the empty-document case, where the normalized text is ""
+    * and the single empty-string "word" is hashed), but one static call
+    * per document: a shuffle-free projection instead of explode + one
+    * partial aggregation per doc. Hex digit j is nibble j of the digest;
+    * its parity is the nibble's low bit.
+    */
+  def simhashDoc(norm: UTF8String): Int = {
+    val words = norm.toString.split(' ')
+    val votes = new Array[Int](16)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val dig = md.digest(words(i).getBytes("UTF-8"))
+      var j = 0
+      while (j < 16) {
+        val nib = if ((j & 1) == 0) (dig(j >> 1) >> 4) & 0xf else dig(j >> 1) & 0xf
+        if ((nib & 1) == 1) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) fp |= 1 << j; j += 1 }
+    fp
+  }
+
+  /** Whole-document MinHash signature under the one-digest double-hashing
+    * family (see [[minhashRow]]): per distinct k-word shingle, md5 ONCE,
+    * take the digest's first two 32-bit words (w1, w2), and fold
+    * h_j = (w1 + j*w2) mod 2^32 into the per-permutation minima —
+    * identical values to aggregating [[minhashRow]] over shingle rows
+    * (the min over the shingle MULTISET equals the min over its distinct
+    * set, so hashing each distinct shingle once is a pure saving).
+    * Computed in one static call per document: minhash goes from explode +
+    * window + groupBy (two wide stages) to a shuffle-free projection.
+    * Returns null when the document has no shingles (< k words) — the same
+    * docs the row form drops at the aggregate.
+    *
+    * CAUTION: the family is oracle-pinned — the DuckDB mirrors in
+    * PipelinePack/CorpusPack implement the same hex-substring BIGINT
+    * arithmetic; any change here must change them in lockstep.
     */
   def minhashDoc(norm: UTF8String, k: Int, numHashes: Int): ArrayData = {
     val words = norm.toString.split(' ')
@@ -281,7 +326,7 @@ object TextKernel {
         md.reset()
         val dig = md.digest(shingle.getBytes("UTF-8"))
         val w1 = word32(dig, 0)
-        val w2 = word32(dig, 4)
+        val w2 = word32(dig, 4) // w2 == 0 degeneracy: see note in minhashRow
         var h = 0
         while (h < numHashes) {
           val v = (w1 + h * w2) % 4294967296L

@@ -148,16 +148,30 @@ object PipelinePack extends QueryPack {
     // multimodal: batch "decode" of binary payloads (stubbed codec,
     // real schema/batching)
     "q48_multimodal_decode" -> ((s, d) => {
-      val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text", "image")
-      Multimodal.decodeBatch(media).orderBy(col("media_id"))
+      // REAL image decode: the fixture writes one PNG per doc
+      // (ImageIO.write, dims + pixel pattern derived from doc_id),
+      // decodeBatch parses it back with ImageIO.read; the oracle recomputes
+      // dims and exact pixel sums from the pattern arithmetic
+      val media = Multimodal.pngMediaTable(Tables.documents(s, d))
+      Multimodal.decodeBatch(media)
+        .select("media_id", "width", "height", "px_sum", "px_sumsq")
+        .orderBy(col("media_id"))
     }),
 
-    // metadata-only resize planning on decoded dims
+    // metadata-only resize planning on REAL decoded dims (maxEdge below the
+    // fixture dim range so scaling actually engages)
     "q49_resize_plan" -> ((s, d) => {
-      val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text", "image")
-      Multimodal.resizePlan(Multimodal.decodeBatch(media), maxEdge = 256)
+      val media = Multimodal.pngMediaTable(Tables.documents(s, d))
+      Multimodal.resizePlan(Multimodal.decodeBatch(media), maxEdge = 32)
         .select("media_id", "width", "height", "target_w", "target_h")
         .orderBy(col("media_id"))
+    }),
+
+    // binned gray-channel histogram over the real decoded raster
+    "q120_image_histogram" -> ((s, d) => {
+      val media = Multimodal.pngMediaTable(Tables.documents(s, d))
+      Multimodal.grayHistogram(media, bins = 8)
+        .orderBy(col("media_id"), col("bucket"))
     }),
 
     // language-ID heuristic (stopword argmax)
@@ -334,9 +348,11 @@ object PipelinePack extends QueryPack {
            |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
       "q43_ngram_jaccard" ->
         s"""$bandsSqlCte,
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
            |pairs AS (
            |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-           |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+           |  FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
            |  WHERE l.doc_id < r.doc_id),
            |sh AS (
            |  SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM w),
@@ -366,10 +382,14 @@ object PipelinePack extends QueryPack {
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
            |bk AS (SELECT vec_id, embedding, ${bandSql(0, "embedding")} AS b0,
            |  ${bandSql(1, "embedding")} AS b1 FROM e),
+           |ok0 AS (SELECT b0 FROM bk GROUP BY b0 HAVING COUNT(*) <= 1000),
+           |ok1 AS (SELECT b1 FROM bk GROUP BY b1 HAVING COUNT(*) <= 1000),
            |scored AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |    FLOOR(($dotSql) / (${normSql("a")} * ${normSql("b")}) * 1e6 + 0.5) / 1e6 AS cosine
-           |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+           |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND
+           |    ((a.b0 = b.b0 AND a.b0 IN (SELECT b0 FROM ok0)) OR
+           |     (a.b1 = b.b1 AND a.b1 IN (SELECT b1 FROM ok1))))
            |SELECT DISTINCT id_a, id_b, cosine FROM scored
            |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
       },
@@ -390,10 +410,14 @@ object PipelinePack extends QueryPack {
            |e AS (SELECT vec_id, v || list_transform(v, x -> -x) AS embedding FROM e0),
            |bk AS (SELECT vec_id, embedding, ${bandSql(0, "embedding")} AS b0,
            |  ${bandSql(1, "embedding")} AS b1 FROM e),
+           |ok0 AS (SELECT b0 FROM bk GROUP BY b0 HAVING COUNT(*) <= 1000),
+           |ok1 AS (SELECT b1 FROM bk GROUP BY b1 HAVING COUNT(*) <= 1000),
            |scored AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |    FLOOR(($dot128) / (${norm128("a")} * ${norm128("b")}) * 1e6 + 0.5) / 1e6 AS cosine
-           |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+           |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND
+           |    ((a.b0 = b.b0 AND a.b0 IN (SELECT b0 FROM ok0)) OR
+           |     (a.b1 = b.b1 AND a.b1 IN (SELECT b1 FROM ok1))))
            |SELECT DISTINCT id_a, id_b, cosine FROM scored
            |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
       },
@@ -466,22 +490,42 @@ object PipelinePack extends QueryPack {
           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
           |  FROM scored)
           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // the fixture pattern: gray(x, y) = (x + 3y) % 256 over a
+      // width x height grid with width = id % 48 + 16, height = (id/7) % 48
+      // + 16 (see Multimodal.fixtureDims/syntheticPng) — the oracle
+      // recomputes the decoded stats from the arithmetic, so a decode that
+      // returned anything but the true raster would hash-mismatch
       "q48_multimodal_decode" ->
-        """SELECT doc_id AS media_id,
-          |  octet_length(encode(text)) % 512 + 1 AS width,
-          |  (octet_length(encode(text)) // 7) % 512 + 1 AS height,
-          |  octet_length(encode(text)) AS n_bytes
-          |FROM documents ORDER BY media_id""".stripMargin,
-      "q49_resize_plan" ->
         """WITH d AS (
-          |  SELECT doc_id AS media_id,
-          |    octet_length(encode(text)) % 512 + 1 AS width,
-          |    (octet_length(encode(text)) // 7) % 512 + 1 AS height
+          |  SELECT doc_id AS media_id, CAST(doc_id % 48 + 16 AS INT) AS width,
+          |    CAST((doc_id // 7) % 48 + 16 AS INT) AS height
           |  FROM documents)
           |SELECT media_id, width, height,
-          |  CAST(CEIL(width * LEAST(256.0 / width, 256.0 / height, 1.0)) AS INT) AS target_w,
-          |  CAST(CEIL(height * LEAST(256.0 / width, 256.0 / height, 1.0)) AS INT) AS target_h
+          |  CAST(list_sum(list_transform(range(0, width * height), i ->
+          |    (i % width + 3 * (i // width)) % 256)) AS BIGINT) AS px_sum,
+          |  CAST(list_sum(list_transform(range(0, width * height), i ->
+          |    ((i % width + 3 * (i // width)) % 256) * ((i % width + 3 * (i // width)) % 256))) AS BIGINT) AS px_sumsq
           |FROM d ORDER BY media_id""".stripMargin,
+      "q49_resize_plan" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id, CAST(doc_id % 48 + 16 AS INT) AS width,
+          |    CAST((doc_id // 7) % 48 + 16 AS INT) AS height
+          |  FROM documents)
+          |SELECT media_id, width, height,
+          |  CAST(CEIL(width * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INT) AS target_w,
+          |  CAST(CEIL(height * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INT) AS target_h
+          |FROM d ORDER BY media_id""".stripMargin,
+      "q120_image_histogram" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id, CAST(doc_id % 48 + 16 AS INT) AS width,
+          |    CAST((doc_id // 7) % 48 + 16 AS INT) AS height
+          |  FROM documents),
+          |g AS (
+          |  SELECT media_id, unnest(list_transform(range(0, width * height), i ->
+          |    ((i % width + 3 * (i // width)) % 256) // 32)) AS bucket
+          |  FROM d)
+          |SELECT media_id, bucket, COUNT(*) AS n_px FROM g
+          |GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin,
       "q50_language_id" ->
         s"""WITH h AS (
            |  SELECT doc_id,

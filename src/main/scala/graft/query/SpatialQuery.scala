@@ -192,9 +192,14 @@ object SpatialQuery {
   }
 
   /** Bounding-box query on tiled images: keep tiles whose pixel extent
-    * overlaps the (intrinsic-cs) box; finest scale only. Within-tile crop is
-    * the consumer's job (RasterOps.cropTiles) — tile pruning is the
-    * scan-level win (spatial_query.py:537-615).
+    * overlaps the (intrinsic-cs) box, at EVERY pyramid level — a bbox crop
+    * of a multiscale image returns a cropped pyramid, like the reference's
+    * per-DataTree-scale slicing (spatial_query.py:537-615). A tile at
+    * pyramid level `s` covers level-0 range `[tile*T*2^s, (tile*T + wh)*2^s)`
+    * (the dyadic factor of `RasterOps.buildPyramid`/`selectPyramidLevel`),
+    * so the box is compared against each level through its own scale
+    * transform. Within-tile crop is the consumer's job
+    * (RasterOps.cropTiles) — tile pruning is the scan-level win.
     */
   def boundingBoxImageTiles(df: DataFrame, t: Transform,
       mins: Seq[Double], maxs: Seq[Double], tileSize: Int = Models.ImageModel.TileSize): DataFrame = {
@@ -204,9 +209,10 @@ object SpatialQuery {
         val e = WKB.read(boxWkb).envelope
         (Array(e(0), e(1)), Array(e(2), e(3)))
     }
-    df.filter(col("scale") === 0 &&
-      (col("tile_x") * tileSize) <= hi(0) && (col("tile_x") * tileSize + col("w")) >= lo(0) &&
-      (col("tile_y") * tileSize) <= hi(1) && (col("tile_y") * tileSize + col("h")) >= lo(1))
+    val f = pow(lit(2.0), col("scale").cast("double"))
+    df.filter(
+      (col("tile_x") * tileSize) * f <= hi(0) && (col("tile_x") * tileSize + col("w")) * f >= lo(0) &&
+      (col("tile_y") * tileSize) * f <= hi(1) && (col("tile_y") * tileSize + col("h")) * f >= lo(1))
   }
 
   // ---- polygon query (spatial_query.py:803-975) ----

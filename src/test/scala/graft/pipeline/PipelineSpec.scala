@@ -341,6 +341,15 @@ class PipelineSpec extends SparkTestBase {
     val ok = Similarity.bruteForceTopK(corpus,
       Seq((10L, Seq(1.0f, 0.0f))).toDF("query_id", "embedding"), k = 2)
     assert(ok.count() == 2)
+    // a NULL embedding gets its own diagnosable message, not a confusing
+    // "null vs N dims" width rendering (and not a silent drop)
+    val withNull = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val e4 = intercept[Exception] {
+      Dedup.cosineForPairs(withNull, Seq((1L, 2L)).toDF("id_a", "id_b")).collect()
+    }
+    assert(e4.toString.contains("null embedding") ||
+      Option(e4.getCause).exists(_.toString.contains("null embedding")))
   }
 
   test("cosinePairs hot-bucket cap drops oversize buckets before the join") {
@@ -467,9 +476,13 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("multimodal decode batch + resize plan + features") {
+    // non-image payloads (UTF-8 text bytes) fall back to the stub, loudly
+    // labeled in the decoder column
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
     val dec = Multimodal.decodeBatch(media)
     assert(dec.count() == 5)
+    assert(dec.filter(col("decoder") =!= "stub").count() == 0)
+    assert(dec.filter(col("px_sum").isNotNull).count() == 0)
     val plan = Multimodal.resizePlan(dec, maxEdge = 16)
     val r = plan.filter(col("media_id") === 1).select("target_w", "target_h")
       .as[(Int, Int)].collect()(0)
@@ -481,5 +494,41 @@ class PipelineSpec extends SparkTestBase {
     val f = Multimodal.extractFeatures(media, dim = 4)
       .orderBy("media_id").select("features").as[Array[Float]].collect()
     assert(f(0).toSeq == f(3).toSeq) // docs 1 and 4 have identical text
+  }
+
+  test("multimodal REAL decode: ImageIO round-trips dims and exact pixel stats") {
+    val media = Multimodal.pngMediaTable(docs, "doc_id")
+    val dec = Multimodal.decodeBatch(media)
+    assert(dec.filter(col("decoder") =!= "imageio").count() == 0,
+      "every fixture PNG must decode through the real ImageIO path")
+    val rows = dec.orderBy("media_id")
+      .select("media_id", "width", "height", "px_sum", "px_sumsq")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (id, w, h, sum, sumSq) =>
+      val (ew, eh) = Multimodal.fixtureDims(id)
+      assert((w, h) == (ew, eh), s"decoded dims for $id: ${(w, h)} != ${(ew, eh)}")
+      // exact sums from the generator pattern, independently recomputed
+      var es = 0L; var esq = 0L
+      for (y <- 0 until eh; x <- 0 until ew) {
+        val v = (x + 3 * y) % 256; es += v; esq += v.toLong * v
+      }
+      assert(sum == es && sumSq == esq, s"pixel stats for $id off")
+    }
+    // histogram buckets cover the full raster exactly
+    val histTotal = Multimodal.grayHistogram(media, bins = 8)
+      .groupBy("media_id").agg(sum("n_px").as("n"))
+      .orderBy("media_id").select("n").as[Long].collect()
+    assert(histTotal.toSeq == rows.map { case (_, w, h, _, _) => w.toLong * h }.toSeq)
+    // real features: histogram counts as a fixed-dim vector summing to w*h
+    val f = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").select("features").as[Array[Float]].collect()
+    assert(f.zip(rows).forall { case (v, (_, w, h, _, _)) =>
+      v.length == 8 && v.sum == w * h })
+    // a corrupted payload degrades to the stub, not an exception
+    val broken = media.withColumn("payload",
+      expr("substring(payload, 1, 10)").cast("binary"))
+    assert(Multimodal.decodeBatch(broken)
+      .filter(col("decoder") === "stub").count() == 5)
   }
 }

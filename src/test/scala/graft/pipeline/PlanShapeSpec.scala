@@ -85,6 +85,31 @@ class PlanShapeSpec extends SparkTestBase {
     assertNoProduct(Dedup.lshCandidatePairs(docs))
   }
 
+  test("skew caps are ON by default: the cap aggregation is in the default plan") {
+    // the unguarded |bucket|^2 self-join is opt-in now — the DEFAULT plan
+    // must contain the bucket-size aggregation + <= cap filter
+    val docs = (1 to 20).map(i => (i.toLong, s"some text number $i of the corpus"))
+      .toDF("doc_id", "text")
+    val lshPlan = Dedup.lshCandidatePairs(docs).queryExecution.analyzed.toString
+    assert(lshPlan.contains(s"<= ${Dedup.DefaultMaxBucketSize}"),
+      s"default lshCandidatePairs plan lacks the bucket cap:\n$lshPlan")
+    val cosPlan = Dedup.cosinePairs(emb).queryExecution.analyzed.toString
+    assert(cosPlan.contains(s"<= ${Dedup.DefaultMaxBucketSize}"),
+      s"default cosinePairs plan lacks the bucket cap:\n$cosPlan")
+    // explicit opt-out removes it
+    val unb = Dedup.lshCandidatePairs(docs, maxBucketSize = None)
+      .queryExecution.analyzed.toString
+    assert(!unb.contains(s"<= ${Dedup.DefaultMaxBucketSize}"))
+  }
+
+  test("simhash is a per-doc kernel: no explode, no exchange in the plan") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("doc_id", "text")
+    val plan = Dedup.simhash(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"explode in simhash plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"shuffle in simhash plan:\n$plan")
+  }
+
   test("ivfAssign is a struct-min aggregate: no window in the plan") {
     val cent = emb.filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("centroid_id"), col("embedding"))

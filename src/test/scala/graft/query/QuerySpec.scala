@@ -208,4 +208,32 @@ class SpatialQuerySpec extends SparkTestBase {
       Seq(0.0, 0.0), Seq(2.0, 2.0))
     assert(r.select("label").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("image tile bbox crops EVERY pyramid level through its scale transform") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // dense 64x64 grid, 3 levels (scales 0..2), tileSize 16
+    val px = spark.range(64 * 64).select(
+      (col("id") / 64).cast("int").as("y"), (col("id") % 64).cast("int").as("x"),
+      (col("id") % 7).cast("double").as("value")).withColumn("c", lit(0))
+    val pyr = graft.ops.RasterOps.buildPyramid(px, levels = 2)
+    val tiles = (0 to 2).map { lvl =>
+      graft.ops.RasterOps.pixelsToTiles(
+        pyr.filter(col("scale") === lvl).drop("scale"), tileSize = 16, scale = lvl)
+    }.reduce(_ unionByName _)
+    val out = SpatialQuery.boundingBoxImageTiles(tiles, IdentityT,
+      Seq(20.0, 20.0), Seq(40.0, 40.0), tileSize = 16)
+      .select("scale", "tile_y", "tile_x")
+      .as[(Int, Int, Int)].collect().toSet
+    // scale 0: level-0 box [20,40] -> tiles 1..2 on both axes
+    // scale 1: box halves to [10,20] over a 32x32 grid -> tiles 0..1
+    // scale 2: box quarters to [5,10] over 16x16 -> tile 0 only
+    val expected =
+      (for (ty <- 1 to 2; tx <- 1 to 2) yield (0, ty, tx)).toSet ++
+      (for (ty <- 0 to 1; tx <- 0 to 1) yield (1, ty, tx)).toSet ++
+      Set((2, 0, 0))
+    assert(out == expected, s"got $out")
+    // a box outside the image keeps nothing at any scale
+    assert(SpatialQuery.boundingBoxImageTiles(tiles, IdentityT,
+      Seq(200.0, 200.0), Seq(300.0, 300.0), tileSize = 16).count() == 0)
+  }
 }
