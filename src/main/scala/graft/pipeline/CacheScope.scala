@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -17,56 +18,106 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * composing many corpora would accumulate MEMORY_AND_DISK entries
   * forever.
   *
-  * [[releaseAfterFirstUse]] closes that hole: it registers a one-shot
-  * [[QueryExecutionListener]] that waits for the first completed action
-  * whose analyzed plan CONTAINS the pipeline's result plan (an unrelated
-  * query must not release the cache early), unpersists every registered
-  * intermediate, and unregisters itself.
+  * [[releaseAfterFirstUse]] closes that hole with ONE shared
+  * [[QueryExecutionListener]] per session holding a bounded registry of
+  * pending scopes: after any completed action whose analyzed plan CONTAINS
+  * a pending scope's result plan (an unrelated query must not release a
+  * cache early), that scope's intermediates are unpersisted and the scope
+  * is dropped. The single listener means N unconsumed pipelines cost one
+  * listener (not N), and the registry bounds both memory and the
+  * per-action plan-matching work: a scope is abandoned after
+  * [[AbandonAfterActions]] non-matching actions, and registering beyond
+  * [[MaxPending]] releases the OLDEST pending scope immediately.
+  * Correctness is never at risk — releasing early only trades the cache
+  * benefit for a lineage recompute.
   *
   * Contract for callers that run MULTIPLE actions over a composed result:
   * persist the result (or write it out) — after the first action the
   * internal caches are gone and a second action recomputes the full
-  * lineage. Bench/Verify and the one-shot curation flow run exactly one
-  * action per composed query, which is the shape this is scoped for.
+  * lineage:
+  * {{{
+  *   val deduped = Dedup.dedupCorpus(docs).persist()  // <- reuse? persist!
+  *   deduped.count(); deduped.write.parquet(...)      // no recompute
+  * }}}
+  * Bench/Verify and the one-shot curation flow run exactly one action per
+  * composed query, which is the shape this is scoped for. Note the
+  * listener only observes Dataset/SQL actions — a result consumed through
+  * `df.rdd` never matches and its scope lives until the abandon window
+  * expires (still bounded).
   */
 private[graft] object CacheScope {
 
-  /** Unpersist `cached` after the first action that consumes `result`.
-    * No-op wrapper when `cached` is empty. The listener fires on success
-    * AND failure (a failed job must not strand the cache), matches by
-    * `sameResult` on the canonicalized subtree, and detaches after one
-    * shot. Unpersisting is non-blocking.
-    */
-  /** Actions an unconsumed pipeline's listener observes before giving up:
-    * it then releases the caches anyway (abandoned pipeline — losing the
-    * cache benefit is safe, correctness is lineage-backed) and detaches,
-    * so dangling listeners never accumulate plan-matching work forever.
+  /** Actions a pending scope observes before giving up: it then releases
+    * the caches anyway (abandoned pipeline — losing the cache benefit is
+    * safe, correctness is lineage-backed), so dangling scopes never
+    * accumulate plan-matching work forever.
     */
   private val AbandonAfterActions = 512
 
-  def releaseAfterFirstUse(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
-    if (cached.isEmpty) return result
-    val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
-    val listener = new QueryExecutionListener {
-      private val done = new AtomicBoolean(false)
-      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
-      private def fire(qe: QueryExecution): Unit = {
+  /** Max concurrently-pending scopes per session: registering beyond this
+    * releases the oldest immediately, so a session composing many
+    * pipelines it never executes stays O(MaxPending) in both cache entries
+    * and per-action matching work.
+    */
+  private val MaxPending = 64
+
+  private final class Pending(val target: LogicalPlan, cached: Seq[DataFrame]) {
+    val misses = new AtomicInteger(0)
+    private val done = new AtomicBoolean(false)
+    def release(): Unit =
+      if (done.compareAndSet(false, true)) cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private final class Scoper extends QueryExecutionListener {
+    val pending = new java.util.concurrent.ConcurrentLinkedQueue[Pending]()
+    private def fire(qe: QueryExecution): Unit = {
+      val it = pending.iterator()
+      while (it.hasNext) {
+        val p = it.next()
         val consumed =
-          try qe.analyzed.find(_.sameResult(target)).isDefined
+          try qe.analyzed.find(_.sameResult(p.target)).isDefined
           catch { case _: Throwable => false }
-        val expired = !consumed && misses.incrementAndGet() >= AbandonAfterActions
-        if ((consumed || expired) && done.compareAndSet(false, true)) {
-          cached.foreach(_.unpersist(blocking = false))
-          spark.listenerManager.unregister(this)
+        if (consumed || p.misses.incrementAndGet() >= AbandonAfterActions) {
+          p.release()
+          it.remove()
         }
       }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        fire(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        fire(qe)
     }
-    spark.listenerManager.register(listener)
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      fire(qe)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      fire(qe)
+  }
+
+  // one Scoper per session; sessions are few and long-lived, so the map
+  // itself is not a growth vector
+  private val scopers =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Scoper]()
+
+  private def scoperFor(spark: SparkSession): Scoper =
+    scopers.computeIfAbsent(spark, s => {
+      val sc = new Scoper
+      s.listenerManager.register(sc)
+      sc
+    })
+
+  /** Unpersist `cached` after the first action that consumes `result`.
+    * No-op wrapper when `cached` is empty. Fires on success AND failure (a
+    * failed job must not strand the cache); matches by `sameResult` on the
+    * canonicalized subtree. Unpersisting is non-blocking.
+    */
+  def releaseAfterFirstUse(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
+    if (cached.isEmpty) return result
+    val sc = scoperFor(result.sparkSession)
+    sc.pending.add(new Pending(result.queryExecution.analyzed, cached))
+    while (sc.pending.size > MaxPending) {
+      val oldest = sc.pending.poll()
+      if (oldest != null) oldest.release()
+    }
     result
   }
+
+  /** Pending-scope count for a session (spec observability). */
+  private[graft] def pendingCount(spark: SparkSession): Int =
+    Option(scopers.get(spark)).map(_.pending.size).getOrElse(0)
 }

@@ -29,11 +29,30 @@ import org.json4s.jackson.JsonMethods
   *
   * Supported: `(c, y, x)` / `(c, z, y, x)` images and `(y, x)` / `(z, y, x)`
   * labels (the reference's Image2D/3D and Labels2D/3D dims,
-  * models.py:409-447), any zarr numeric dtype, zlib/zstd write compression,
-  * blosc/zlib/gzip/zstd read compression. 3D stores add a `z` plane column
-  * to the tile rows.
+  * models.py:409-447), any zarr numeric dtype, blosc (reference default) /
+  * zlib / zstd write compression, blosc/zlib/gzip/zstd read compression.
+  * 3D stores add a `z` plane column to the tile rows.
   */
 object NgffRaster {
+
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** models.py:357-399 parity (`_check_chunk_size_not_too_large`): a chunk
+    * bigger than [[graft.model.Settings.largeChunkThresholdBytes]] returns
+    * a warning message (and [[write]] logs it loudly) — oversized chunks
+    * mean low performance, memory pressure, and int32 compression-frame
+    * overflows. None when the chunk is fine.
+    */
+  private[graft] def chunkSizeWarning(chunks: Seq[Int], dtype: String): Option[String] = {
+    val usage = chunks.map(_.toLong).product * Zarr.bytesPerElement(dtype)
+    val threshold = graft.model.Settings.largeChunkThresholdBytes
+    if (usage > threshold)
+      Some(s"Detected chunks larger than: $usage > $threshold bytes. This can lead to low " +
+        "performance and memory issues downstream, and compression errors when writing " +
+        "(int32 frame limits). Consider 1) smaller tiles (tileSize) and/or 2) a multiscale " +
+        "representation; raise graft.model.Settings.largeChunkThresholdBytes to suppress.")
+    else None
+  }
 
   /** Per-scale store info surfaced to callers. */
   final case class ScaleInfo(path: String, meta: Zarr.ArrayMeta, scaleFactors: Seq[Double])
@@ -145,7 +164,7 @@ object NgffRaster {
       tileSize: Int, axes: Seq[String] = Seq("c", "y", "x"),
       transforms: Map[String, Transform] = Map("global" -> IdentityT),
       channels: Seq[String] = Nil, dtype: String = "<f8",
-      compressorId: String = "zstd", isLabels: Boolean = false): Unit = {
+      compressorId: String = "blosc", isLabels: Boolean = false): Unit = {
     require(SupportedAxes.contains(axes), s"unsupported axes $axes")
     val hasC = axes.contains("c")
     val hasZ = axes.contains("z")
@@ -170,13 +189,20 @@ object NgffRaster {
     val scaleIds = stats.keys.toSeq.sorted
     require(scaleIds == (0 until stats.size), s"scales must be 0..n, got $scaleIds")
 
-    val comp = Some(Zarr.Compressor(compressorId, clevel = 3))
+    // default matches the reference writers: numcodecs Blosc with zstd
+    // inner codec + byte-shuffle (io_raster.py:383-393)
+    val comp = Some(compressorId match {
+      case "blosc" => Zarr.Compressor("blosc", cname = "zstd", clevel = 5, shuffle = 1)
+      case id => Zarr.Compressor(id, clevel = 3)
+    })
     val metas: Seq[Zarr.ArrayMeta] = scaleIds.map { s =>
       val (maxc, maxz, maxy, maxx) = stats(s)
       val extent = Map("c" -> (maxc + 1), "z" -> (maxz + 1), "y" -> maxy, "x" -> maxx)
       val chunk = Map("c" -> 1, "z" -> 1, "y" -> tileSize, "x" -> tileSize)
       Zarr.ArrayMeta(axes.map(extent), axes.map(chunk), dtype, comp, 0.0, "C", ".")
     }
+    metas.headOption.foreach(m =>
+      chunkSizeWarning(m.chunks, dtype).foreach(logger.warn(_)))
 
     // task-parallel chunk writes: one file per tile, no two tasks share a file
     val metasB = spark.sparkContext.broadcast(metas)

@@ -554,11 +554,13 @@ object RefStoreWriter {
   // ---- container ----
 
   /** Write the container in reference-compatible layouts. Raster elements
-    * reuse the NGFF writer (already compatible).
+    * reuse the NGFF writer (already compatible). The geometry-encoding
+    * default follows [[graft.model.Settings.shapesGeometryEncoding]]
+    * (config.py:23 parity — "WKB" or "geoarrow").
     */
   def write(sd: SpatialDataset, root: String,
       tileSize: Int = Models.ImageModel.TileSize,
-      geometryEncoding: String = "WKB",
+      geometryEncoding: String = graft.model.Settings.shapesGeometryEncoding,
       maxSingleFileRows: Long = SingleFileMaxRows): Unit = {
     val spark = sd.spark
     val rp = new Path(root)

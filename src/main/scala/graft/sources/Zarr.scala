@@ -15,9 +15,11 @@ import org.json4s.jackson.JsonMethods
   * `reference/src/spatialdata/_io/io_raster.py:383-393` writes via
   * `numcodecs.Blosc`).
   *
-  * Write path uses `zlib` (java.util.zip) or `zstd` (zstd-jni, already on
-  * Spark's classpath for parquet); read path additionally understands raw,
-  * gzip, and blosc1 frames with byte-shuffle and lz4/zstd/zlib inner codecs.
+  * Write path emits `zlib` (java.util.zip), `zstd` (zstd-jni, already on
+  * Spark's classpath for parquet), or `blosc` frames (zstd/zlib inner
+  * codec + byte-shuffle — the reference writers' numcodecs default); read
+  * path additionally understands raw, gzip, and blosc1 frames with
+  * lz4/zstd/zlib inner codecs.
   */
 object Zarr {
 
@@ -166,17 +168,14 @@ object Zarr {
 
   // ---- compression ----
 
-  def compress(raw: Array[Byte], compressor: Option[Compressor]): Array[Byte] =
+  /** `typesize` matters only for blosc (byte-shuffle plane width); other
+    * codecs ignore it.
+    */
+  def compress(raw: Array[Byte], compressor: Option[Compressor],
+      typesize: Int = 1): Array[Byte] =
     compressor match {
       case None => raw
-      case Some(Compressor("zlib", _, level, _)) =>
-        val d = new java.util.zip.Deflater(level)
-        d.setInput(raw); d.finish()
-        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-        d.end()
-        out.toByteArray
+      case Some(Compressor("zlib", _, level, _)) => deflate(raw, level)
       case Some(Compressor("gzip", _, level, _)) =>
         val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
         val gz = new java.util.zip.GZIPOutputStream(bos) {
@@ -186,8 +185,20 @@ object Zarr {
         bos.toByteArray
       case Some(Compressor("zstd", _, level, _)) =>
         com.github.luben.zstd.Zstd.compress(raw, level)
+      case Some(Compressor("blosc", cname, level, shuffle)) =>
+        bloscEncode(raw, typesize, cname, level, shuffle)
       case Some(c) => sys.error(s"unsupported write compressor '${c.id}'")
     }
+
+  private def deflate(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
 
   def decompress(bytes: Array[Byte], compressor: Option[Compressor],
       nbytes: Int, typesize: Int): Array[Byte] =
@@ -289,7 +300,7 @@ object Zarr {
     out
   }
 
-  // ---- blosc1 container (read-only) ----
+  // ---- blosc1 container ----
   //
   // Layout (c-blosc README_HEADER, public):
   //   byte 0: format version; 1: codec-format version; 2: flags; 3: typesize
@@ -352,6 +363,102 @@ object Zarr {
     out
   }
 
+  /** Encode a c-blosc1 frame (the inverse of [[bloscDecode]], same public
+    * header layout): optional byte-shuffle, then per-block inner codec —
+    * `zstd` (id 5) or `zlib` (id 3). Blocks carry an int32-LE compressed
+    * length; a block that doesn't compress is stored raw
+    * (clen == neblock), and a frame that doesn't beat raw+overhead falls
+    * back to the pure-memcpy form — both per the c-blosc spec, so
+    * numcodecs' Blosc (what the reference's writers default to,
+    * io_raster.py:383-393) reads these frames back unchanged.
+    */
+  private[sources] def bloscEncode(raw: Array[Byte], typesize: Int,
+      cname: String, clevel: Int, shuffle: Int): Array[Byte] = {
+    val codecId = cname match {
+      case "zstd" => 5
+      case "zlib" => 3
+      case other => sys.error(s"unsupported blosc write cname '$other'")
+    }
+    require(shuffle == 0 || shuffle == 1,
+      s"only byte-shuffle (1) or none (0) supported on write, got $shuffle")
+    val nbytes = raw.length
+    require(nbytes > 0, "cannot blosc-encode an empty chunk")
+    val ts = if (typesize >= 1 && typesize <= 255) typesize else 1
+    val doShuffle = shuffle == 1 && ts > 1 && nbytes % ts == 0
+    // bounded blocks (c-blosc style), kept a multiple of typesize so every
+    // block byte-shuffles cleanly
+    val maxBlock = 1 << 18
+    var blocksize = math.min(nbytes, maxBlock)
+    if (doShuffle && blocksize % ts != 0)
+      blocksize = math.max(blocksize - blocksize % ts, ts)
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val payloads = new Array[Array[Byte]](nblocks)
+    var b = 0
+    while (b < nblocks) {
+      val neblock = math.min(blocksize, nbytes - b * blocksize)
+      val src = java.util.Arrays.copyOfRange(raw, b * blocksize, b * blocksize + neblock)
+      val shuffled =
+        if (doShuffle && neblock % ts == 0) byteShuffle(src, ts) else src
+      val comp = codecId match {
+        case 5 => com.github.luben.zstd.Zstd.compress(shuffled, clevel)
+        case 3 => deflate(shuffled, clevel)
+      }
+      // incompressible block -> stored raw, signalled by clen == neblock
+      payloads(b) = if (comp.length < neblock) comp else src
+      b += 1
+    }
+    val headerLen = 16 + 4 * nblocks
+    val total = headerLen + payloads.map(4 + _.length).sum
+    val bb =
+      if (total >= nbytes + 16) {
+        // frame doesn't beat raw: pure-memcpy form (flags bit1), payload
+        // unshuffled
+        val out = java.nio.ByteBuffer.allocate(nbytes + 16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put(0, 2.toByte).put(1, 1.toByte)
+          .put(2, (0x2 | (codecId << 5)).toByte).put(3, ts.toByte)
+        out.putInt(4, nbytes).putInt(8, blocksize).putInt(12, nbytes + 16)
+        out.position(16)
+        out.put(raw)
+        out
+      } else {
+        val out = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val flags = (if (doShuffle) 0x1 else 0x0) | (codecId << 5)
+        out.put(0, 2.toByte).put(1, 1.toByte)
+          .put(2, flags.toByte).put(3, ts.toByte)
+        out.putInt(4, nbytes).putInt(8, blocksize).putInt(12, total)
+        var off = headerLen
+        var i = 0
+        while (i < nblocks) {
+          out.putInt(16 + 4 * i, off)
+          // clen: compressed length, or == neblock when the block is raw
+          out.putInt(off, payloads(i).length)
+          out.position(off + 4)
+          out.put(payloads(i))
+          off += 4 + payloads(i).length
+          i += 1
+        }
+        out
+      }
+    bb.array()
+  }
+
+  private[sources] def byteShuffle(block: Array[Byte], typesize: Int): Array[Byte] = {
+    val nelem = block.length / typesize
+    val out = new Array[Byte](block.length)
+    var k = 0
+    while (k < typesize) {
+      var j = 0
+      while (j < nelem) {
+        out(k * nelem + j) = block(j * typesize + k)
+        j += 1
+      }
+      k += 1
+    }
+    out
+  }
+
   private[sources] def byteUnshuffle(block: Array[Byte], typesize: Int): Array[Byte] = {
     val nelem = block.length / typesize
     val out = new Array[Byte](block.length)
@@ -383,6 +490,6 @@ object Zarr {
   def encodeChunk(values: Array[Double], m: ArrayMeta): Array[Byte] = {
     require(values.length == m.chunks.product,
       s"chunk payload ${values.length} != ${m.chunks.product}")
-    compress(encodeValues(values, m.dtype), m.compressor)
+    compress(encodeValues(values, m.dtype), m.compressor, bytesPerElement(m.dtype))
   }
 }

@@ -475,6 +475,34 @@ class PipelineSpec extends SparkTestBase {
     awaitEmptyCache("lshCandidatePairs")
   }
 
+  test("abandoned pipelines stay bounded: one shared listener, capped registry") {
+    spark.catalog.clearCache()
+    // build MANY composed pipelines and never consume them: the pending
+    // registry must cap (oldest scopes released eagerly), and the
+    // persisted band caches must not accumulate past the cap
+    val n = 80
+    (0 until n).foreach { i =>
+      Dedup.lshCandidatePairs(docs, persistBands = true, numHashes = 12,
+        bands = if (i % 2 == 0) 4 else 3) // vary the plan a little
+    }
+    assert(CacheScope.pendingCount(spark) <= 64,
+      s"pending scopes not capped: ${CacheScope.pendingCount(spark)}")
+    // consuming a fresh pipeline still releases ITS caches promptly, with
+    // all the stale scopes around
+    val live = Dedup.lshCandidatePairs(docs, persistBands = true)
+    assert(live.count() >= 0)
+    // fire unrelated actions until the stale scopes expire or get evicted;
+    // the cap + abandon window guarantee this terminates
+    val deadline = System.currentTimeMillis + 30000
+    while (CacheScope.pendingCount(spark) > 0 &&
+      System.currentTimeMillis < deadline) {
+      (0 until 50).foreach(_ => docs.count())
+    }
+    assert(CacheScope.pendingCount(spark) == 0,
+      s"stale scopes never expired: ${CacheScope.pendingCount(spark)}")
+    awaitEmptyCache("abandoned pipelines")
+  }
+
   test("multimodal decode batch + resize plan + features") {
     // non-image payloads (UTF-8 text bytes) fall back to the stub, loudly
     // labeled in the decoder column

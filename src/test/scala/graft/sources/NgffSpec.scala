@@ -70,6 +70,71 @@ class NgffSpec extends SparkTestBase {
     assert(Zarr.bloscDecode(frame, 64).toSeq == payload.toSeq)
   }
 
+  test("large-chunk guardrail warns above the settings threshold (models.py:357)") {
+    // default threshold (2^31-1): a 256x256 f8 tile is fine
+    assert(NgffRaster.chunkSizeWarning(Seq(1, 256, 256), "<f8").isEmpty)
+    // a hypothetical 20000x20000 f8 chunk (3.2 GB) crosses it
+    val w = NgffRaster.chunkSizeWarning(Seq(1, 20000, 20000), "<f8")
+    assert(w.exists(_.contains("larger than")), s"expected a warning, got $w")
+    // settings are the reference's mutable knob: lowering the threshold
+    // flags smaller chunks; restoring it un-flags them
+    val old = graft.model.Settings.largeChunkThresholdBytes
+    try {
+      graft.model.Settings.largeChunkThresholdBytes = 1024
+      assert(NgffRaster.chunkSizeWarning(Seq(1, 64, 64), "<f8").isDefined)
+    } finally graft.model.Settings.largeChunkThresholdBytes = old
+    assert(NgffRaster.chunkSizeWarning(Seq(1, 64, 64), "<f8").isEmpty)
+  }
+
+  test("bloscEncode frames decode exactly: shuffle, multi-block, zlib inner, memcpy") {
+    val rnd = new scala.util.Random(7)
+    // compressible doubles; size forces multiple 256 KiB blocks
+    val n = (1 << 18) / 8 + 1234
+    val vals = Array.tabulate(n)(i => (i % 17).toDouble)
+    val raw = Zarr.encodeValues(vals, "<f8")
+    for (shuffle <- Seq(0, 1); cname <- Seq("zstd", "zlib")) {
+      val frame = Zarr.bloscEncode(raw, 8, cname, 5, shuffle)
+      assert(frame.length < raw.length, s"$cname/$shuffle did not compress")
+      assert(Zarr.bloscDecode(frame, raw.length).toSeq == raw.toSeq,
+        s"$cname/$shuffle round trip")
+    }
+    // shuffle actually helps on striding doubles (sanity that the planes
+    // are really transposed, not a no-op)
+    val plain = Zarr.bloscEncode(raw, 8, "zstd", 5, 0)
+    val shuf = Zarr.bloscEncode(raw, 8, "zstd", 5, 1)
+    assert(shuf.length < plain.length,
+      s"byte-shuffle should shrink striding doubles: ${shuf.length} vs ${plain.length}")
+    // incompressible payload falls back to the pure-memcpy frame
+    val noise = Array.fill[Byte](4096)(rnd.nextInt().toByte)
+    val f2 = Zarr.bloscEncode(noise, 8, "zstd", 5, 1)
+    assert(f2.length == noise.length + 16)
+    assert(Zarr.bloscDecode(f2, noise.length).toSeq == noise.toSeq)
+  }
+
+  test("blosc write (reference numcodecs default) round-trips; python fixture") {
+    // fixed location so tools/check_ref_store.py can decode the same bytes
+    // with its pure-python blosc reader after `sbt test`
+    val dir = new java.io.File("target/ngff-blosc.zarr").getAbsolutePath
+    val pixels = (for (y <- 0 until 20; x <- 0 until 12)
+      yield (0, y, x, (y * 100 + x + 1).toDouble))
+      .toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 8)
+    NgffRaster.write(tiles, dir, "img", tileSize = 8) // default: blosc/zstd/shuffle
+    val zarray = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/0/.zarray")), "UTF-8").replaceAll("\\s", "")
+    assert(zarray.contains("\"id\":\"blosc\"") && zarray.contains("\"cname\":\"zstd\"") &&
+      zarray.contains("\"shuffle\":1"), s"zarray must advertise blosc: $zarray")
+    val (got, meta) = NgffRaster.read(spark, dir)
+    assert(meta.scales.head.meta.compressor.exists(c =>
+      c.id == "blosc" && c.cname == "zstd" && c.shuffle == 1))
+    val back = RasterOps.tilesToPixels(got, tileSize = 8)
+      .filter(col("value") =!= 0.0)
+      .select("y", "x", "value").as[(Int, Int, Double)].collect().toSet
+    val want = (for (y <- 0 until 20; x <- 0 until 12)
+      yield (y, x, (y * 100 + x + 1).toDouble)).toSet
+    assert(back == want)
+  }
+
   test("ngff write -> read round-trips tiles, transforms and channels") {
     val dir = tmpDir()
     val pixels = Seq.tabulate(500)(i =>

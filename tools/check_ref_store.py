@@ -27,18 +27,61 @@ def jload(p):
         return json.load(f)
 
 
+def blosc_decompress(frame):
+    """Pure-python c-blosc1 frame decoder (public README_HEADER layout):
+    16-byte header, int32-LE block starts, per-block int32-LE compressed
+    length + codec payload; inner codecs zlib (stdlib) / zstd (pyarrow);
+    optional byte-shuffle undone with a numpy transpose."""
+    version, versionlz, flags, typesize = struct.unpack_from("<BBBB", frame, 0)
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", frame, 4)
+    if flags & 0x2:  # pure memcpy
+        return bytes(frame[16:16 + nbytes])
+    assert not (flags & 0x4), "bit-shuffle unsupported"
+    codec = (flags >> 5) & 0x7
+    out = bytearray(nbytes)
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    for b in range(nblocks):
+        (bstart,) = struct.unpack_from("<i", frame, 16 + 4 * b)
+        neblock = min(blocksize, nbytes - b * blocksize)
+        (clen,) = struct.unpack_from("<i", frame, bstart)
+        payload = frame[bstart + 4:bstart + 4 + clen]
+        if clen == neblock:
+            block = bytes(payload)
+        elif codec == 3:
+            block = zlib.decompress(payload)
+        elif codec == 5:
+            import pyarrow as pa
+            block = pa.Codec("zstd").decompress(payload, neblock).to_pybytes()
+        else:
+            raise AssertionError(f"unsupported blosc inner codec {codec}")
+        if (flags & 0x1) and typesize > 1 and neblock % typesize == 0:
+            arr = np.frombuffer(block, dtype="u1")
+            block = arr.reshape(typesize, neblock // typesize).T.tobytes()
+        out[b * blocksize:b * blocksize + neblock] = block
+    return bytes(out)
+
+
+def decompress_chunk(raw, comp):
+    cid = comp.get("id")
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    if cid == "blosc":
+        return blosc_decompress(raw)
+    raise AssertionError(f"unsupported compressor {comp}")
+
+
 def read_array(path):
     meta = jload(os.path.join(path, ".zarray"))
     shape, chunks = meta["shape"], meta["chunks"]
     comp = meta.get("compressor") or {}
-    assert comp.get("id") == "zlib", f"{path}: expected zlib, got {comp}"
+    assert comp.get("id") in ("zlib", "blosc"), f"{path}: {comp}"
     filters = meta.get("filters") or []
     is_str = any(f.get("id") == "vlen-utf8" for f in filters)
     if is_str:
         assert len(shape) == 1
         out = []
         for ci in range((shape[0] + chunks[0] - 1) // chunks[0]):
-            raw = zlib.decompress(open(os.path.join(path, str(ci)), "rb").read())
+            raw = decompress_chunk(open(os.path.join(path, str(ci)), "rb").read(), comp)
             (n,) = struct.unpack_from("<I", raw, 0)
             # zarr v2 edge chunks are stored at FULL nominal extent — this is
             # what zarr-python's reshape(chunks) enforces on read
@@ -58,7 +101,7 @@ def read_array(path):
         p = os.path.join(path, key)
         if not os.path.exists(p):
             continue
-        raw = zlib.decompress(open(p, "rb").read())
+        raw = decompress_chunk(open(p, "rb").read(), comp)
         block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
         sl = tuple(slice(i * c, min((i + 1) * c, s))
                    for i, c, s in zip(idx, chunks, shape))
@@ -179,6 +222,23 @@ def main(root):
             assert rings[0][0] == {"x": i * 3.0, "y": float(i)}, rings[0][0]
         ok += 1
         print("OK  shapes (geoarrow): nested list<list<struct{x,y}>> decodes in pyarrow")
+
+    # ---- optional sibling root: blosc-compressed NGFF raster ----
+    blosc_root = root.replace("ref-demo.zarr", "ngff-blosc.zarr")
+    if blosc_root != root and os.path.isdir(blosc_root):
+        zmeta = jload(os.path.join(blosc_root, "0", ".zarray"))
+        comp = zmeta["compressor"]
+        assert comp["id"] == "blosc" and comp["cname"] == "zstd" \
+            and comp["shuffle"] == 1, comp
+        img = read_array(os.path.join(blosc_root, "0"))
+        assert img.shape == (1, 24, 16), img.shape
+        want = np.zeros((1, 24, 16), dtype="<f8")
+        for y in range(20):
+            for x in range(12):
+                want[0, y, x] = y * 100 + x + 1
+        assert np.array_equal(img, want), "blosc NGFF array mismatch"
+        ok += 1
+        print("OK  ngff-blosc: blosc/zstd+shuffle chunks decode in pure python")
 
     print(f"\n{ok} element families validated by the pure-python reader")
 
