@@ -3,12 +3,12 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc profiler: run one gate query repeatedly, print timings + plan.
-  * Usage: runMain graft.tools.Profile <queryName> <sfDir> [reps]
+/** Ad-hoc profiler: run gate queries repeatedly, print timings + plan.
+  * Usage: runMain graft.tools.Profile <name[,name2,...]> <sfDir> [reps]
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
@@ -18,16 +18,18 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-      // emulate Bench's cache hygiene: persisted intermediates from one rep
-      // must not subsidize the next (set PROFILE_KEEPCACHE to disable)
-      if (!sys.env.contains("PROFILE_KEEPCACHE")) spark.catalog.clearCache()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        // emulate Bench's cache hygiene: persisted intermediates from one rep
+        // must not subsidize the next (set PROFILE_KEEPCACHE to disable)
+        if (!sys.env.contains("PROFILE_KEEPCACHE")) spark.catalog.clearCache()
+      }
+      if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     }
-    if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }
