@@ -282,6 +282,48 @@ object Dedup {
     docs.select(col(idCol), fp.as("simhash"))
   }
 
+  /** SimHash near-duplicate candidate pairs: LSH-band the 16-bit
+    * fingerprint into four 4-bit nibbles — any pair within hamming
+    * distance 3 shares at least one EXACT nibble (pigeonhole over 4 bands),
+    * so candidate generation is a bucket equi-join per band, never a
+    * product; an exact `bit_count(xor)` verify then keeps pairs at
+    * `<= maxHamming`. Same hot-bucket cap discipline as the other LSH
+    * self-joins (a popular nibble value is the hot-key failure mode here).
+    * Output: (id_a < id_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: 4-band nibble LSH guarantees recall only for hamming <= 3, got $maxHamming")
+    val fp = simhash(docs, textCol, idCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15)).as("key"))
+    }
+    val bands0 = fp
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = maxBucketSize match {
+      case Some(cap) =>
+        val small = bands0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= lit(cap.toLong))
+          .select(col("band"), col("key"))
+        bands0.join(small, Seq("band", "key"))
+      case None => bands0
+    }
+    val l = bands.select(col(idCol).as("id_a"), col("simhash").as("__fa"),
+      col("band"), col("key"))
+    val r = bands.select(col(idCol).as("id_b"), col("simhash").as("__fb"),
+      col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucket gated: candidate
     * pairs come from `bands` independent random-hyperplane sign buckets
     * (`numPlanes` planes each — OR-amplification, the classic recall knob),

@@ -326,6 +326,45 @@ object Similarity {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Product-quantization SEARCH via ADC (asymmetric distance
+    * computation) — the query path that completes the PQ story
+    * ([[pqTrain]] -> [[pqEncode]] -> here): per query, the m x k lookup
+    * table of exact subspace distances to every codebook entry is tiny
+    * (queries x m x k rows) and BROADCASTS; every encoded vector is then
+    * scored with ONE equi-join on (sub, code_id) plus a keyed partial-
+    * aggregating sum. The corpus is touched only through its m-code rows,
+    * never its raw vectors — the read-bandwidth win that makes PQ the
+    * standard 100 TB ANN index format. LUT entries are 6-decimal-rounded
+    * and summed in exact DECIMAL, so ranking is engine-independent; ties
+    * break on corpus id. Output: (query_id, vec_id, adist, rank <= k).
+    */
+  def pqSearch(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, m: Int, subDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    val slices = transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col(vecCol).cast("array<double>"), s * subDim + 1, lit(subDim)))
+    val qsub = queries.select(col(queryIdCol), posexplode(slices).as(Seq("sub", "__qv")))
+    val cb = codebooks.select(col("sub"), col("code_id"),
+      col("subvec").cast("array<double>").as("__cv"))
+    val dist2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val lut = qsub.join(cb, Seq("sub"))
+      .filter(sameWidth(col("__qv"), col("__cv"), "pqSearch"))
+      .select(col(queryIdCol), col("sub"), col("code_id"),
+        TextAnalysis.round6(dist2).as("__d"))
+    val scored = codes.select(col(idCol), col("sub"), col("code_id"))
+      .join(broadcast(lut), Seq("sub", "code_id"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__d").cast("decimal(28,6)")).cast("double").as("adist"),
+        count(lit(1)).as("__n"))
+      // a vector with missing subspace codes must not win on a partial sum
+      .filter(col("__n") === m).drop("__n")
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("adist"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * storage/bandwidth side of ANN at 100 TB (4x smaller vectors, exact
     * integer arithmetic downstream). One global (min, max) pass, then a

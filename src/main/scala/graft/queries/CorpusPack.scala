@@ -109,6 +109,24 @@ object CorpusPack extends QueryPack {
         .orderBy(col("vec_id"), col("sub"))
     }),
 
+    // PQ ADC search: per-query LUT over the q115 codebooks (broadcast),
+    // corpus scored through its m-code rows only — one (sub, code)
+    // equi-join + keyed exact-decimal sum, top-5 per query
+    "q123_pq_search" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val cb = corpus.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val codes = Similarity.pqEncode(corpus, cb, m = 4, subDim = 16)
+        .select("vec_id", "sub", "code_id")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqSearch(codes, cb, queries, k = 5, m = 4, subDim = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the full curation pipeline: quality gate -> language filter ->
     // end-to-end dedup ("raw corpus in, training corpus out")
     "q116_curate_corpus" -> ((s, d) => {
@@ -256,6 +274,33 @@ object CorpusPack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
            |  FROM d) WHERE rn = 1
            |ORDER BY vec_id, sub""".stripMargin
+      },
+      "q123_pq_search" -> {
+        def subD2(a: String, sub: String) = r6(
+          s"""list_sum(list_transform(range(0, 16), i ->
+             |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE)) *
+             |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE))))""".stripMargin)
+        s"""WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id % 50 = 2),
+           |subs AS (SELECT unnest(range(0, 4)) AS sub),
+           |d AS (
+           |  SELECT e.vec_id, s.sub, c.code_id, ${subD2("e", "s.sub")} AS d2
+           |  FROM embeddings e, subs s, cb c),
+           |codes AS (
+           |  SELECT vec_id, sub, code_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
+           |    FROM d) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |lut AS (
+           |  SELECT q.query_id, s.sub, c.code_id, ${subD2("q", "s.sub")} AS dd
+           |  FROM q, subs s, cb c),
+           |scored AS (
+           |  SELECT l.query_id, co.vec_id,
+           |    CAST(SUM(CAST(l.dd AS DECIMAL(28,6))) AS DOUBLE) AS adist
+           |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code_id = co.code_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) = 4)
+           |SELECT query_id, vec_id, adist, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+           |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       },
       "q118_pq_train" -> {
         // mirrors pqTrain iters=1 over the salt-"pq" half sample: rounded

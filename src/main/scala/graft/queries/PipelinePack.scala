@@ -84,6 +84,19 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-dup pairs: nibble-band LSH + exact hamming verify. The
+    // synthetic corpus has no exact duplicates, so the gate unions in a
+    // lightly-perturbed copy of every 10th doc (one appended token flips
+    // few fingerprint bits) — those pairs must surface at hamming <= 3
+    "q122_simhash_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val perturbed = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.simhashPairs(base.unionAll(perturbed), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // embedding-cosine near-duplicate pairs on a deterministic sample,
     // candidate-gated by 2 bands of 2-plane LSH sign buckets (no all-pairs
     // product anywhere in the plan — see PlanShapeSpec)
@@ -373,6 +386,27 @@ object PipelinePack extends QueryPack {
         s"""SELECT doc_id, $simhashTerms AS simhash
            |FROM (SELECT doc_id, $wordsSql AS w FROM documents)
            |ORDER BY doc_id""".stripMargin,
+      "q122_simhash_pairs" ->
+        s"""WITH docs2 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |fp AS (SELECT doc_id, $simhashTerms AS simhash
+           |       FROM (SELECT doc_id, $wordsSql AS w FROM docs2)),
+           |bands AS (
+           |  SELECT doc_id, simhash, b.band, (simhash >> (4 * b.band)) & 15 AS key
+           |  FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+           |ok AS (SELECT band, key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |capped AS (SELECT bd.* FROM bands bd JOIN ok USING (band, key)),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           |    l.simhash AS fa, r.simhash AS fb
+           |  FROM capped l JOIN capped r ON l.band = r.band AND l.key = r.key
+           |  WHERE l.doc_id < r.doc_id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+           |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
       "q45_cosine_pairs" -> {
         // band b = 2 planes at global indices (2b, 2b+1) — mirrors
         // Dedup.cosinePairs(numPlanes = 2, bands = 2)

@@ -313,6 +313,61 @@ class PipelineSpec extends SparkTestBase {
     awaitEmptyCache("pqTrain")
   }
 
+  test("simhashPairs == brute-force hamming pairs (pigeonhole recall is exact)") {
+    // 4-band nibble LSH guarantees every pair within hamming 3 shares a
+    // band, and the exact verify drops everything above — so the operator
+    // must return EXACTLY the brute-force pair set
+    val corp = (0 until 20).map { i =>
+      val base = s"shared vocabulary across documents with topic ${i % 5} and more shared filler words"
+      val text = if (i >= 15) base + " lightly edited" else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(corp)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val fps = Dedup.simhash(corp, "text", "doc_id")
+      .as[(Long, Int)].collect().toMap
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = Integer.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.exists(_._3 == 0), "fixture must contain identical-fingerprint pairs")
+    // the hot-bucket cap drops oversize nibble buckets before the join
+    assert(Dedup.simhashPairs(corp, maxBucketSize = Some(1)).count() == 0)
+  }
+
+  test("pqSearch ADC: zero-distance codes rank first, ties break on vec_id") {
+    val vecs = (0 until 12).map { i =>
+      val a = if (i % 2 == 0) 0.0 else 10.0
+      val b = if (i % 3 == 0) 5.0 else -5.0
+      (i.toLong, Seq.fill(4)(a) ++ Seq.fill(4)(b))
+    }.toDF("vec_id", "embedding")
+    val cb = Seq(
+      (0, 0L, Seq.fill(4)(0.0)), (0, 1L, Seq.fill(4)(10.0)),
+      (1, 0L, Seq.fill(4)(5.0)), (1, 1L, Seq.fill(4)(-5.0)))
+      .toDF("sub", "code_id", "subvec")
+    val codes = Similarity.pqEncode(vecs, cb, m = 2, subDim = 4)
+      .select("vec_id", "sub", "code_id")
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Similarity.pqSearch(codes, cb, queries, k = 3, m = 2, subDim = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 6) // 2 queries x k=3
+    val byQ = out.groupBy(_._1)
+    // query 0 codes (0,0): same-cell vectors {0, 6} -> rank1 = id 0, adist 0
+    val q0r1 = byQ(0L).find(_._4 == 1).get
+    assert(q0r1._2 == 0L && q0r1._3 == 0.0)
+    assert(byQ(0L).find(_._4 == 2).get._2 == 6L)
+    // query 1 codes (1,1): same-cell vectors {1, 5, 7, 11} -> rank1 = id 1
+    val q1r1 = byQ(1L).find(_._4 == 1).get
+    assert(q1r1._2 == 1L && q1r1._3 == 0.0)
+    // adist is monotone in rank within each query
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted))
+    }
+  }
+
   test("vector ops refuse mismatched widths loudly (no silent null-pad)") {
     val corpus = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")

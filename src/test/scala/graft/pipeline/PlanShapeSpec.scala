@@ -110,6 +110,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"shuffle in simhash plan:\n$plan")
   }
 
+  test("simhashPairs joins on nibble band only; pqSearch broadcasts the LUT") {
+    val docs = (1 to 30).map(i => (i.toLong, s"document body number $i with shared words"))
+      .toDF("doc_id", "text")
+    assertNoProduct(Dedup.simhashPairs(docs))
+    val cb = Seq((0, 0L, Seq(0.0, 0.0)), (1, 0L, Seq(0.0, 0.0)))
+      .toDF("sub", "code_id", "subvec")
+    val codes = Seq((1L, 0, 0L), (1L, 1, 0L)).toDF("vec_id", "sub", "code_id")
+    val q = Seq((9L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("query_id", "embedding")
+    val search = Similarity.pqSearch(codes, cb, q, k = 1, m = 2, subDim = 2)
+    assertNoProduct(search)
+    assert(search.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "the per-query LUT must broadcast to the code table")
+  }
+
   test("ivfAssign is a struct-min aggregate: no window in the plan") {
     val cent = emb.filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
