@@ -181,6 +181,64 @@ object Dedup {
     CacheScope.releaseAfterFirstUse(out, if (persistBands) Seq(b0) else Nil)
   }
 
+  /** Cross-corpus MinHash-LSH near-duplicate candidates — the scale path
+    * for benchmark decontamination and incremental-corpus dedup. Both
+    * sides are banded under the SAME minhash family ([[lshBands]]), so a
+    * single (band, band_key) equi-join yields candidates: never a product,
+    * and unlike exact k-gram overlap
+    * ([[TextAnalysis.contaminationFlags]]) it catches NEAR duplicates
+    * (lightly edited eval leaks) from a constant number of band keys per
+    * document regardless of length. The join cost is |A_bucket| x
+    * |B_bucket| per hot key, so the cap applies to EACH side's buckets
+    * independently (dropped before the join, oracle-mirrorable with a
+    * HAVING per side). Output: (idCol, refOutCol, n_bands), id columns
+    * taken from each corpus's own id space.
+    */
+  def crossCorpusCandidates(docs: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      refIdCol: String = "doc_id", refOutCol: String = "eval_id",
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    require(refOutCol != idCol,
+      s"crossCorpusCandidates: refOutCol must differ from idCol ($idCol)")
+    def capped(b: DataFrame): DataFrame = maxBucketSize match {
+      case Some(cap) =>
+        val small = b.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= lit(cap.toLong))
+          .select(col("band"), col("band_key"))
+        b.join(small, Seq("band", "band_key"))
+      case None => b
+    }
+    val l = capped(lshBands(docs, textCol, idCol, k, numHashes, bands))
+      .select(col(idCol), col("band"), col("band_key"))
+    val r = capped(lshBands(ref, textCol, refIdCol, k, numHashes, bands))
+      .select(col(refIdCol).as(refOutCol), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .groupBy(col(idCol), col(refOutCol))
+      .agg(countDistinct(col("band")).as("n_bands"))
+  }
+
+  /** Fuzzy benchmark decontamination over [[crossCorpusCandidates]]:
+    * per corpus document, how many benchmark documents it near-duplicates
+    * (>= 1 shared LSH band) and a boolean flag. Every input document keeps
+    * a row (`n_eval_matches = 0` when clean) so the output is a drop/keep
+    * routing table for the whole corpus. The benchmark side is typically
+    * tiny, but the band join stays keyed either way.
+    */
+  def fuzzyContaminationFlags(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchIdCol: String = "doc_id", k: Int = 3, numHashes: Int = 12,
+      bands: Int = 4,
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    val matches = crossCorpusCandidates(docs, benchmark, textCol, idCol,
+      benchIdCol, "__eval_id", k, numHashes, bands, maxBucketSize)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__m"))
+    docs.select(col(idCol))
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__m"), lit(0L)).as("n_eval_matches"))
+      .withColumn("contaminated", col("n_eval_matches") > 0)
+  }
+
   /** The end-to-end corpus dedup pipeline, composed from the staged
     * operators: (1) exact dedup keeps the min-id copy per content hash;
     * (2) MinHash-LSH candidates over the survivors; (3) connected

@@ -34,6 +34,18 @@ object PipelinePack extends QueryPack {
          |   $j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))""".stripMargin)
       .mkString("[", ", ", "]")
 
+  // parameterized band CTE chain over an arbitrary (doc_id, text) source —
+  // mirrors lshBands + the per-side hot-bucket cap of crossCorpusCandidates
+  private def cappedBandCtes(src: String, p: String, cap: Int) =
+    s"""${p}w AS (SELECT doc_id, ${shinglesSql(wordsSql, 3)} AS sh FROM $src x),
+       |${p}sig AS (SELECT doc_id, ${sigSql("sh")} AS sig FROM ${p}w WHERE len(sh) > 0),
+       |${p}bands AS (
+       |  SELECT doc_id, b.band,
+       |    md5(array_to_string(list_slice(sig, b.band * 3 + 1, b.band * 3 + 3), '|')) AS band_key
+       |  FROM ${p}sig, (SELECT unnest(range(0, 4)) AS band) b),
+       |${p}ok AS (SELECT band, band_key FROM ${p}bands GROUP BY 1, 2 HAVING COUNT(*) <= $cap),
+       |${p}cb AS (SELECT b.* FROM ${p}bands b JOIN ${p}ok USING (band, band_key))""".stripMargin
+
   private val bandsSqlCte =
     s"""WITH w AS (
        |  SELECT doc_id, ${shinglesSql(wordsSql, 3)} AS sh FROM documents),
@@ -95,6 +107,16 @@ object PipelinePack extends QueryPack {
           concat(col("text"), lit(" extra token")).as("text"))
       Dedup.simhashPairs(base.unionAll(perturbed), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
+    // plays the leaked benchmark; LSH band join (per-side capped) counts
+    // near-dup eval matches per corpus doc — every doc keeps a row
+    "q124_fuzzy_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 37 === 5)
+        .select(col("doc_id"), concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.fuzzyContaminationFlags(docs, bench).orderBy(col("doc_id"))
     }),
 
     // embedding-cosine near-duplicate pairs on a deterministic sample,
@@ -407,6 +429,19 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      "q124_fuzzy_decontam" ->
+        s"""WITH ${cappedBandCtes("documents", "l", 1000)},
+           |${cappedBandCtes(
+             "(SELECT doc_id, text || ' extra token' AS text FROM documents WHERE doc_id % 37 = 5)",
+             "r", 1000)},
+           |m AS (
+           |  SELECT DISTINCT l.doc_id, r.doc_id AS eval_id
+           |  FROM lcb l JOIN rcb r ON l.band = r.band AND l.band_key = r.band_key),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM m GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(cnt.n, 0) AS n_eval_matches,
+           |  COALESCE(cnt.n, 0) > 0 AS contaminated
+           |FROM documents d LEFT JOIN cnt USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "q45_cosine_pairs" -> {
         // band b = 2 planes at global indices (2b, 2b+1) — mirrors
         // Dedup.cosinePairs(numPlanes = 2, bands = 2)

@@ -336,6 +336,26 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.simhashPairs(corp, maxBucketSize = Some(1)).count() == 0)
   }
 
+  test("fuzzyContaminationFlags: near-dup eval leaks flagged, clean docs keep a 0 row") {
+    val mkText = (i: Int) =>
+      s"completely unique document number $i " + (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+    val docs = (0 until 10).map(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    // benchmark: lightly edited copies of docs 2 and 7 (near-dups, not exact)
+    val bench = Seq((100L, mkText(2) + " tail"), (101L, mkText(7) + " tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyContaminationFlags(docs, bench)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 10, "every corpus doc keeps a row")
+    val flagged = out.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(2L, 7L), s"expected docs 2 and 7 flagged, got $flagged")
+    assert(out.filter(r => !r._3).forall(_._2 == 0L))
+    // candidates carry both id spaces and the band-agreement count
+    val cand = Dedup.crossCorpusCandidates(docs, bench)
+      .as[(Long, Long, Long)].collect()
+    assert(cand.map(c => (c._1, c._2)).toSet == Set((2L, 100L), (7L, 101L)))
+    assert(cand.forall(_._3 >= 1))
+  }
+
   test("pqSearch ADC: zero-distance codes rank first, ties break on vec_id") {
     val vecs = (0 until 12).map { i =>
       val a = if (i % 2 == 0) 0.0 else 10.0

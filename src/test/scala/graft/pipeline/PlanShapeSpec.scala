@@ -124,6 +124,14 @@ class PlanShapeSpec extends SparkTestBase {
       "the per-query LUT must broadcast to the code table")
   }
 
+  test("fuzzyContaminationFlags joins on band key only: no product") {
+    val docs = (1 to 20).map(i => (i.toLong, s"document body number $i with shared words"))
+      .toDF("doc_id", "text")
+    val bench = (1 to 3).map(i => (i.toLong, s"benchmark item $i held out"))
+      .toDF("doc_id", "text")
+    assertNoProduct(Dedup.fuzzyContaminationFlags(docs, bench))
+  }
+
   test("ivfAssign is a struct-min aggregate: no window in the plan") {
     val cent = emb.filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
