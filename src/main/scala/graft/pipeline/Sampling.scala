@@ -49,6 +49,57 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic global shuffle into `numShards` ordered shards — the
+    * training-export ordering primitive ("shuffle the corpus, write N
+    * shard files"). `shard = hash32 % numShards`; within a shard, rows
+    * order by `(hash32, key)`. One keyed shuffle plus a per-shard sort —
+    * never a global sort — and the uniform hash keeps shards balanced.
+    * The same salt reproduces a byte-identical epoch order on any engine
+    * or partitioning; a new salt is a fresh epoch permutation. Output:
+    * input columns + (`shard` int, `pos` long, 0-based within shard).
+    */
+  def shardShuffle(df: DataFrame, keyCol: String, numShards: Int,
+      salt: String = "epoch0"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", keyHash32(col(keyCol), salt))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
+
+  /** Pack documents into fixed-token-budget training sequences:
+    * next-fit-by-offset packing over the [[shardShuffle]] order. A doc
+    * starts at the running token offset of its shard predecessors and is
+    * assigned `seq_in_shard = floor(start / budget)` — so a sequence's
+    * token total stays under `budget + (longest member - 1)` (a doc that
+    * straddles a boundary joins the later sequence; docs longer than the
+    * budget span one on their own, so sequence ids may skip after them).
+    * Deterministic, one shuffle: the
+    * running sum, the sequence id, and the position all ride the same
+    * shard partitioning (the (shard, seq) window re-sorts locally, no
+    * second exchange — pinned in PlanShapeSpec). Output: input columns +
+    * (`shard` int, `seq_in_shard` long, `pos_in_seq` long).
+    */
+  def packSequences(df: DataFrame, tokensCol: String, budget: Long,
+      numShards: Int, keyCol: String, salt: String = "epoch0"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val sharded = df
+      .withColumn("__h", keyHash32(col(keyCol), salt))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+    val wRun = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSeq = Window.partitionBy(col("shard"), col("seq_in_shard"))
+      .orderBy(col("__h"), col(keyCol))
+    sharded
+      .withColumn("__start",
+        coalesce(sum(col(tokensCol).cast("long")).over(wRun), lit(0L)))
+      .withColumn("seq_in_shard", floor(col("__start") / lit(budget.toDouble)))
+      .withColumn("pos_in_seq", row_number().over(wSeq).cast("long") - 1)
+      .drop("__h", "__start")
+  }
+
   /** Per-stratum sampling at stratum-specific rates (the "mixture weights"
     * surface: {lang -> fraction}). Rows of unlisted strata are dropped.
     * Broadcast map join in expression form — still a pure filter.

@@ -269,6 +269,23 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
 
+    // deterministic epoch shuffle into 8 ordered shards (training export
+    // order: one keyed shuffle + per-shard sort, no global sort)
+    "q125_shard_shuffle" -> ((s, d) => {
+      Sampling.shardShuffle(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang")), "doc_id", 8)
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // next-fit-by-offset sequence packing to a 2000-char budget over the
+    // epoch-shuffle order (context-window packing for training)
+    "q126_pack_sequences" -> ((s, d) => {
+      Sampling.packSequences(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")),
+        "n_chars", budget = 2000L, numShards = 8, keyCol = "doc_id")
+        .orderBy(col("shard"), col("seq_in_shard"), col("pos_in_seq"))
+    }),
+
     // connected-component cluster ids over the LSH candidate-pair graph
     // (min-id label propagation; the canonical-doc-per-duplicate-group stage)
     "q97_dedup_clusters" -> ((s, d) => {
@@ -688,6 +705,31 @@ object PipelinePack extends QueryPack {
            |  CASE $cases ELSE -1 END
            |ORDER BY doc_id""".stripMargin
       },
+      "q125_shard_shuffle" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, lang,
+           |    ${hex32Sql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
+           |  FROM documents)
+           |SELECT doc_id, lang, CAST(hv % 8 AS INT) AS shard,
+           |  ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS pos
+           |FROM h ORDER BY shard, pos""".stripMargin,
+      "q126_pack_sequences" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, n_chars,
+           |    ${hex32Sql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
+           |  FROM documents),
+           |o AS (
+           |  SELECT doc_id, n_chars, hv, CAST(hv % 8 AS INT) AS shard,
+           |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+           |  FROM h),
+           |q AS (
+           |  SELECT doc_id, n_chars, hv, shard,
+           |    CAST(FLOOR(CAST(start AS DOUBLE) / 2000) AS BIGINT) AS seq_in_shard
+           |  FROM o)
+           |SELECT doc_id, n_chars, shard, seq_in_shard,
+           |  ROW_NUMBER() OVER (PARTITION BY shard, seq_in_shard ORDER BY hv, doc_id) - 1 AS pos_in_seq
+           |FROM q ORDER BY shard, seq_in_shard, pos_in_seq""".stripMargin,
       "q99_paragraph_dedup" ->
         """WITH docs AS (
           |  SELECT doc_id, 'SHARED BOILERPLATE HEADER' || chr(10) || text AS text

@@ -336,6 +336,52 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.simhashPairs(corp, maxBucketSize = Some(1)).count() == 0)
   }
 
+  test("shardShuffle: a reproducible epoch permutation in balanced ordered shards") {
+    val docs = (0 until 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val out = Sampling.shardShuffle(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200)
+    // per-shard positions are 0-based and contiguous
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)))
+    }
+    // uniform hash keeps shards balanced (no shard under 1/2 or over 2x par)
+    val sizes = out.groupBy(_._2).values.map(_.size)
+    assert(sizes.size == 4 && sizes.min > 25 && sizes.max < 100, s"sizes $sizes")
+    // same salt = identical epoch; new salt = a different permutation
+    val again = Sampling.shardShuffle(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val epoch1 = Sampling.shardShuffle(docs, "doc_id", 4, salt = "epoch1")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(!out.sortBy(_._1).sameElements(epoch1.sortBy(_._1)))
+  }
+
+  test("packSequences: every doc packed once, sequence totals bounded by budget + max member") {
+    val docs = (0 until 150).map(i => (i.toLong, 10L + (i % 37) * 7L))
+      .toDF("doc_id", "n_tokens")
+    val budget = 100L
+    val out = Sampling.packSequences(docs, "n_tokens", budget, numShards = 3,
+        keyCol = "doc_id")
+      .select("doc_id", "n_tokens", "shard", "seq_in_shard", "pos_in_seq")
+      .as[(Long, Long, Int, Long, Long)].collect()
+    assert(out.length == 150 && out.map(_._1).distinct.length == 150)
+    out.groupBy(r => (r._3, r._4)).foreach { case ((shard, seq), rows) =>
+      val total = rows.map(_._2).sum
+      val maxDoc = rows.map(_._2).max
+      // next-fit-by-offset bound: only the boundary-straddling doc overflows
+      assert(total < budget + maxDoc,
+        s"shard $shard seq $seq total $total exceeds budget+$maxDoc")
+      assert(rows.map(_._5).sorted.sameElements(rows.indices.map(_.toLong)))
+    }
+    // first sequence of every shard is 0; ids may skip after docs longer
+    // than the budget (floor-offset semantics), but never repeat out of
+    // order — already implied by the grouping above
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).min == 0L)
+    }
+  }
+
   test("fuzzyContaminationFlags: near-dup eval leaks flagged, clean docs keep a 0 row") {
     val mkText = (i: Int) =>
       s"completely unique document number $i " + (0 until 30).map(j => s"w${i}x$j").mkString(" ")

@@ -124,6 +124,18 @@ class PlanShapeSpec extends SparkTestBase {
       "the per-query LUT must broadcast to the code table")
   }
 
+  test("packSequences rides ONE shard exchange: the (shard, seq) window re-sorts locally") {
+    val docs = (0 until 50).map(i => (i.toLong, 10L)).toDF("doc_id", "n_tokens")
+    val out = Sampling.packSequences(docs, "n_tokens", 100L, numShards = 4,
+      keyCol = "doc_id")
+    out.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // the final plan only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nHash == 1, s"expected exactly one hash exchange, got $nHash:\n$plan")
+  }
+
   test("fuzzyContaminationFlags joins on band key only: no product") {
     val docs = (1 to 20).map(i => (i.toLong, s"document body number $i with shared words"))
       .toDF("doc_id", "text")
