@@ -222,6 +222,23 @@ object TextAnalysis {
     CacheScope.releaseAfterFirstUse(Dedup.dedupCorpus(kept, textCol, idCol), Seq(kept))
   }
 
+  /** The full training-export pipeline: [[curateCorpus]] (quality gate →
+    * language filter → end-to-end dedup) → token counting →
+    * [[Sampling.packSequences]] (epoch shuffle + next-fit packing to the
+    * context budget). "Raw corpus in, packed training shards out" — the
+    * complete 100 TB path from crawl dump to dataloader-ready sequences,
+    * inheriting the plan shapes of its stages (per-doc projections,
+    * bucketed dedup shuffles, one shard exchange for the packing).
+    */
+  def trainingExport(docs: DataFrame, budget: Long, numShards: Int,
+      lang: String = "en", minTokens: Long = 16, minQuality: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id",
+      salt: String = "epoch0"): DataFrame = {
+    val curated = curateCorpus(docs, lang, minTokens, minQuality, textCol, idCol)
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+    Sampling.packSequences(curated, "n_tokens", budget, numShards, idCol, salt)
+  }
+
   /** PII-pattern counts per document — the signals a curation pipeline
     * uses to route documents to scrubbing or drop them (counting only;
     * redaction policy is the caller's). RE2-expressible regexes so SQL

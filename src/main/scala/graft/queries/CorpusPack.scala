@@ -135,6 +135,17 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // the full training-export pipeline: curate -> token counts -> epoch
+    // shuffle -> pack to a 512-token budget in 4 shards ("crawl dump in,
+    // dataloader-ready sequences out")
+    "q127_training_export" -> ((s, d) => {
+      TextAnalysis.trainingExport(Tables.documents(s, d), budget = 512L,
+        numShards = 4)
+        .select(col("doc_id"), col("n_tokens"), col("shard"),
+          col("seq_in_shard"), col("pos_in_seq"))
+        .orderBy(col("shard"), col("seq_in_shard"), col("pos_in_seq"))
+    }),
+
     // product-quantization TRAIN on a deterministic half-corpus sample
     // (hashSample salt "pq") — codebooks are the final-assignment means;
     // exploded to scalar rows for hashing
@@ -360,11 +371,48 @@ object CorpusPack extends QueryPack {
            |    ORDER BY score DESC, token) AS rank FROM scored)
            |SELECT doc_id, rank, token, ${r6("score")} AS score
            |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-      "q116_curate_corpus" -> {
-        val nTokensSql =
-          """CASE WHEN length(trim(text)) = 0 THEN 0
-            |     ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
-        val shSql =
+      "q116_curate_corpus" ->
+        s"""$curateCtes
+           |SELECT d.doc_id, d.lang, d.n_chars FROM docs2 d
+           |LEFT JOIN drop USING (doc_id) WHERE drop.doc_id IS NULL
+           |ORDER BY d.doc_id""".stripMargin,
+      "q127_training_export" ->
+        s"""$curateCtes,
+           |surv AS (
+           |  SELECT d.doc_id, $nTokensSql AS n_tokens FROM docs2 d
+           |  LEFT JOIN drop USING (doc_id) WHERE drop.doc_id IS NULL),
+           |h AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+           |  FROM surv),
+           |o AS (
+           |  SELECT doc_id, n_tokens, hv, CAST(hv % 4 AS INT) AS shard,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+           |  FROM h),
+           |sq AS (
+           |  SELECT doc_id, n_tokens, hv, shard,
+           |    CAST(FLOOR(CAST(start AS DOUBLE) / 512) AS BIGINT) AS seq_in_shard
+           |  FROM o)
+           |SELECT doc_id, n_tokens, shard, seq_in_shard,
+           |  ROW_NUMBER() OVER (PARTITION BY shard, seq_in_shard ORDER BY hv, doc_id) - 1 AS pos_in_seq
+           |FROM sq ORDER BY shard, seq_in_shard, pos_in_seq""".stripMargin
+    )
+  }
+
+  // mirrors TextAnalysis.tokenCount
+  private val nTokensSql =
+    """CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+
+  /** The shared curation CTE chain (quality gate -> language filter ->
+    * exact dedup -> LSH -> recursive connected components): ends at
+    * `docs2` (exact survivors) and `drop` (non-canonical cluster members).
+    * q116 selects the survivors directly; q127 packs them into training
+    * sequences.
+    */
+  private lazy val curateCtes: String = {
+    val shSql =
           s"""CASE WHEN len(w) >= 3
              |  THEN list_transform(range(1, len(w) - 3 + 2),
              |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
@@ -422,11 +470,6 @@ object CorpusPack extends QueryPack {
            |  UNION
            |  SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.id),
            |cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
-           |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
-           |SELECT d.doc_id, d.lang, d.n_chars FROM docs2 d
-           |LEFT JOIN drop USING (doc_id) WHERE drop.doc_id IS NULL
-           |ORDER BY d.doc_id""".stripMargin
-      }
-    )
+           |drop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin
   }
 }
