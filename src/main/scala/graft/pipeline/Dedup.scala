@@ -359,6 +359,52 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15)).as("key"))
     }
+    bandedHammingPairs(fp, idCol, bandStructs, maxHamming, maxBucketSize)
+  }
+
+  /** 64-bit SimHash fingerprints ([[TextKernel.simhash64Doc]]) — the
+    * production width: 2^16 fingerprint values collide constantly at
+    * corpus scale, 2^64 makes hamming distance a meaningful signal. Same
+    * shuffle-free one-static-call-per-document plan shape as [[simhash]].
+    */
+  def simhash64(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    val fp = Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      LongType, "simhash64Doc",
+      Seq(concat_ws(" ", words(col(textCol)))),
+      Seq(StringType), returnNullable = false)
+    docs.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Near-duplicate pairs over the 64-bit fingerprint: four 16-bit bands
+    * (pigeonhole-exact recall at hamming <= 3, like [[simhashPairs]] but
+    * with 2^16 bucket values per band instead of 2^4 — buckets stay tiny
+    * at scale) + exact `bit_count(xor)` verify and the same hot-bucket
+    * cap. Output: (id_a < id_b, hamming).
+    */
+  def simhashPairs64(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs64: 4-band LSH guarantees recall only for hamming <= 3, got $maxHamming")
+    val fp = simhash64(docs, textCol, idCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
+    }
+    bandedHammingPairs(fp, idCol, bandStructs, maxHamming, maxBucketSize)
+  }
+
+  /** Shared candidate machinery for the fingerprint families: explode the
+    * band structs, drop hot buckets before the self-join, equi-join on
+    * (band, key), exact hamming verify. `fp` must carry (idCol, simhash).
+    */
+  private def bandedHammingPairs(fp: DataFrame, idCol: String,
+      bandStructs: Seq[Column], maxHamming: Int,
+      maxBucketSize: Option[Int]): DataFrame = {
     val bands0 = fp
       .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -285,6 +285,37 @@ object TextKernel {
     fp
   }
 
+  /** 64-bit SimHash fingerprint — the production fingerprint width (the
+    * 16-bit form above keeps its oracle-pinned gate; at corpus scale 2^16
+    * distinct values collide constantly, while 2^64 makes hamming distance
+    * a meaningful near-dup signal). Bit j is the majority vote over word
+    * OCCURRENCES of bit (j mod 4) of hex digit (j div 4) of md5(word) —
+    * +1 when set, -1 when clear; ties and negative sums leave the bit 0.
+    * Same per-doc single-static-call contract as [[simhashDoc]].
+    */
+  def simhash64Doc(norm: UTF8String): Long = {
+    val words = norm.toString.split(' ')
+    val votes = new Array[Int](64)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val dig = md.digest(words(i).getBytes("UTF-8"))
+      var j = 0
+      while (j < 64) {
+        val nibIdx = j >> 2
+        val nib = if ((nibIdx & 1) == 0) (dig(nibIdx >> 1) >> 4) & 0xf else dig(nibIdx >> 1) & 0xf
+        if (((nib >> (j & 3)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
   /** Whole-document MinHash signature under the one-digest double-hashing
     * family (see [[minhashRow]]): per distinct k-word shingle, md5 ONCE,
     * take the digest's first two 32-bit words (w1, w2), and fold

@@ -109,6 +109,25 @@ object PipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // 64-bit SimHash fingerprints (production width)
+    "q128_simhash64" -> ((s, d) => {
+      Dedup.simhash64(Tables.documentsSpread(s, d)).orderBy(col("doc_id"))
+    }),
+
+    // 64-bit SimHash near-dup pairs over four 16-bit bands; exact copies
+    // (id+1000000) guarantee hamming-0 pairs, lightly-edited copies
+    // (id+2000000) exercise the 1..3 range
+    "q129_simhash64_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val edited = base.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.simhashPairs64(base.unionAll(copies).unionAll(edited))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
@@ -353,6 +372,15 @@ object PipelinePack extends QueryPack {
          |       THEN 1 ELSE -1 END)) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
     }.mkString(" + ")
 
+    // SimHash64: 64 terms over pre-computed word digests `dm`; bit j =
+    // bit (j mod 4) of hex digit (j div 4). Terms ascend so the negative
+    // bit-63 addend lands last (positive partial sums stay inside BIGINT)
+    val simhash64Terms = (0 until 64).map { j =>
+      s"""CASE WHEN list_sum(list_transform(dm, m ->
+         |  CASE WHEN ((strpos('0123456789abcdef', substr(m, ${(j >> 2) + 1}, 1)) - 1) // ${1 << (j & 3)}) % 2 = 1
+         |       THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
     // plane projection SQL for plane p over a `dims`-dim embedding e
     def projSqlD(p: Int, e: String, dims: Int) =
       s"""list_sum(list_transform(range(0, $dims), i ->
@@ -425,6 +453,33 @@ object PipelinePack extends QueryPack {
         s"""SELECT doc_id, $simhashTerms AS simhash
            |FROM (SELECT doc_id, $wordsSql AS w FROM documents)
            |ORDER BY doc_id""".stripMargin,
+      "q128_simhash64" ->
+        s"""SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS simhash
+           |FROM (SELECT doc_id, list_transform($wordsSql, t -> md5(t)) AS dm FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "q129_simhash64_pairs" ->
+        s"""WITH docs2 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id, text || ' extra token' AS text
+           |  FROM documents WHERE doc_id % 10 = 5),
+           |fp AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS simhash
+           |       FROM (SELECT doc_id, list_transform($wordsSql, t -> md5(t)) AS dm FROM docs2)),
+           |bands AS (
+           |  SELECT doc_id, simhash, b.band, (simhash >> (16 * b.band)) & 65535 AS key
+           |  FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+           |ok AS (SELECT band, key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |capped AS (SELECT bd.* FROM bands bd JOIN ok USING (band, key)),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           |    l.simhash AS fa, r.simhash AS fb
+           |  FROM capped l JOIN capped r ON l.band = r.band AND l.key = r.key
+           |  WHERE l.doc_id < r.doc_id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+           |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
       "q122_simhash_pairs" ->
         s"""WITH docs2 AS (
            |  SELECT doc_id, text FROM documents

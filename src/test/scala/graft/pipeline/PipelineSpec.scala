@@ -402,6 +402,42 @@ class PipelineSpec extends SparkTestBase {
     assert(cand.forall(_._3 >= 1))
   }
 
+  test("simhash64 matches an independent bit-vote recomputation; pairs64 == brute force") {
+    val corp = (0 until 24).map { i =>
+      val base = s"shared vocabulary across documents with topic ${i % 6} and more shared filler words"
+      val text = if (i >= 18) base + " lightly edited" else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhash64(corp).as[(Long, Long)].collect().toMap
+    // independent reference: normalize, md5 per word, 64 bit votes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ref(text: String): Long = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val votes = new Array[Int](64)
+      norm.split(' ').foreach { word =>
+        md.reset()
+        val hex = md.digest(word.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (j <- 0 until 64) {
+          val nib = Integer.parseInt(hex((j >> 2)).toString, 16)
+          if (((nib >> (j & 3)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((fp, j) => if (votes(j) > 0) fp | (1L << j) else fp)
+    }
+    corp.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(got(id) == ref(text), s"fingerprint mismatch for doc $id")
+    }
+    // pairs: pigeonhole recall is exact at hamming <= 3
+    val pairsGot = Dedup.simhashPairs64(corp)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      a <- got.keys; b <- got.keys if a < b
+      h = java.lang.Long.bitCount(got(a) ^ got(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairsGot == want, s"got ${pairsGot.size} pairs, want ${want.size}")
+    assert(want.exists(_._3 == 0), "fixture must contain identical-fingerprint pairs")
+  }
+
   test("pqSearch ADC: zero-distance codes rank first, ties break on vec_id") {
     val vecs = (0 until 12).map { i =>
       val a = if (i % 2 == 0) 0.0 else 10.0

@@ -110,6 +110,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"shuffle in simhash plan:\n$plan")
   }
 
+  test("simhash64 is a per-doc kernel; simhashPairs64 joins on band key only") {
+    val docs = (1 to 30).map(i => (i.toLong, s"document body number $i with shared words"))
+      .toDF("doc_id", "text")
+    val fpPlan = Dedup.simhash64(docs).queryExecution.executedPlan.toString
+    assert(!fpPlan.contains("Generate"), s"explode in simhash64 plan:\n$fpPlan")
+    assert(!fpPlan.contains("Exchange"), s"shuffle in simhash64 plan:\n$fpPlan")
+    assertNoProduct(Dedup.simhashPairs64(docs))
+  }
+
   test("simhashPairs joins on nibble band only; pqSearch broadcasts the LUT") {
     val docs = (1 to 30).map(i => (i.toLong, s"document body number $i with shared words"))
       .toDF("doc_id", "text")
