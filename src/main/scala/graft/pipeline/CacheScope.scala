@@ -40,10 +40,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   deduped.count(); deduped.write.parquet(...)      // no recompute
   * }}}
   * Bench/Verify and the one-shot curation flow run exactly one action per
-  * composed query, which is the shape this is scoped for. Note the
-  * listener only observes Dataset/SQL actions — a result consumed through
-  * `df.rdd` never matches and its scope lives until the abandon window
-  * expires (still bounded).
+  * composed query, which is the shape this is scoped for. The listener
+  * observes Dataset/SQL actions, `df.rdd` included (Spark 4 posts the
+  * execution event for it) — only raw physical execution
+  * (`queryExecution.toRdd` and friends) is invisible; such callers use
+  * [[Caches.release]] explicitly, or the abandon window bounds the scope.
   */
 private[graft] object CacheScope {
 
@@ -117,7 +118,39 @@ private[graft] object CacheScope {
     result
   }
 
+  /** Explicitly release every pending scope whose result `result`
+    * contains — the escape hatch for consumption paths the listener
+    * cannot observe (`df.rdd`, custom physical execution): call it right
+    * after the non-Dataset action. Returns true if any scope released.
+    */
+  def releaseNow(result: DataFrame): Boolean =
+    Option(scopers.get(result.sparkSession)).exists { sc =>
+      val target = result.queryExecution.analyzed
+      var released = false
+      val it = sc.pending.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val m =
+          try target.find(_.sameResult(p.target)).isDefined
+          catch { case _: Throwable => false }
+        if (m) { p.release(); it.remove(); released = true }
+      }
+      released
+    }
+
   /** Pending-scope count for a session (spec observability). */
   private[graft] def pendingCount(spark: SparkSession): Int =
     Option(scopers.get(spark)).map(_.pending.size).getOrElse(0)
+}
+
+/** Public cache-release handle for composed pipeline results
+  * ([[Dedup.dedupCorpus]], [[TextAnalysis.curateCorpus]], …): their
+  * internal hub caches normally release at the caller's first
+  * Dataset/SQL action, but a result consumed through `df.rdd` or other
+  * non-Dataset execution is invisible to that listener — call
+  * `Caches.release(result)` right after such an action to free them
+  * immediately instead of waiting out the bounded abandon window.
+  */
+object Caches {
+  def release(result: DataFrame): Boolean = CacheScope.releaseNow(result)
 }

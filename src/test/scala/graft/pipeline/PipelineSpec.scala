@@ -632,6 +632,22 @@ class PipelineSpec extends SparkTestBase {
     awaitEmptyCache("lshCandidatePairs")
   }
 
+  test("Caches.release frees scopes after a non-Dataset consumption (toRdd)") {
+    spark.catalog.clearCache()
+    val result = Dedup.lshCandidatePairs(docs, persistBands = true)
+    // consume through raw physical execution — no SQL-execution event, so
+    // the listener never observes it (df.rdd DOES fire the listener in
+    // Spark 4; custom physical execution is the remaining blind spot)
+    assert(result.queryExecution.toRdd.count() >= 1)
+    assert(CacheScope.pendingCount(spark) > 0,
+      "raw execution should NOT have released the scope (that's the gap)")
+    assert(graft.pipeline.Caches.release(result), "explicit release found no scope")
+    assert(CacheScope.pendingCount(spark) == 0)
+    awaitEmptyCache("explicit release")
+    // releasing again is a harmless no-op
+    assert(!graft.pipeline.Caches.release(result))
+  }
+
   test("abandoned pipelines stay bounded: one shared listener, capped registry") {
     spark.catalog.clearCache()
     // build MANY composed pipelines and never consume them: the pending
