@@ -105,6 +105,116 @@ object Multimodal {
       .withColumn("meta", map(lit("src"), lit("synthetic-png")))
   }
 
+  // ================= REAL AUDIO DECODE (JDK javax.sound) =================
+
+  /** Encode 16-bit signed little-endian mono PCM samples as real WAV bytes
+    * via `AudioSystem.write` — the audio analog of [[encodePng]]. WAV/PCM
+    * support ships with the JDK, so decode needs no external codec.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic fixture: frame count in [100, 499] from the id; sample
+    * i = ((i * 37 + id * 11) mod 4001) - 2000 — integer arithmetic a SQL
+    * oracle can replay exactly.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (id % 400 + 100).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (((i.toLong * 37 + id * 11) % 4001) - 2000).toShort
+      i += 1
+    }
+    encodeWav(samples)
+  }
+
+  /** A real-WAV media table keyed by the ids of `docs` (the audio analog
+    * of [[pngMediaTable]]): each payload is `AudioSystem.write`-encoded
+    * PCM with the [[syntheticWav]] pattern.
+    */
+  def wavMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = syntheticWav(id)
+        (id, "audio", payload, payload.length)
+      })
+      .toDF("media_id", "media_type", "payload", "byte_size")
+      .withColumn("meta", map(lit("src"), lit("synthetic-wav")))
+  }
+
+  /** Decode one payload with javax.sound: Some((sampleRate, channels,
+    * nFrames, sum, absSum)) over all 16-bit PCM samples (all channels),
+    * or None when the bytes aren't a recognized 16-bit PCM audio file.
+    */
+  private[pipeline] def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          var sum = 0L
+          var absSum = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            sum += s
+            absSum += math.abs(s.toLong)
+            i += 2
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength, sum, absSum))
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+
+  /** Batch audio stats over binary payloads: real javax.sound decode for
+    * WAV/PCM (exact sample sums), stub byte stats otherwise — the audio
+    * counterpart of [[decodeBatch]], same mapPartitions batching.
+    * Output: (media_id, sample_rate, channels, n_frames, pcm_sum,
+    * pcm_abs_sum, decoder ∈ {javasound, stub}).
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeAudio(payload) match {
+          case Some((rate, ch, frames, sum, absSum)) =>
+            (id, rate, ch, frames, Some(sum), Some(absSum), "javasound")
+          case None =>
+            val (w, h) = decodeStub(payload)
+            (id, w, h, payload.length.toLong,
+              None: Option[Long], None: Option[Long], "stub")
+        }
+      })
+      .toDF("media_id", "sample_rate", "channels", "n_frames",
+        "pcm_sum", "pcm_abs_sum", "decoder")
+  }
+
   /** Decode one payload with ImageIO: Some((width, height, hist256)) where
     * hist256 is the 256-bin histogram of band 0 (gray channel for
     * grayscale; red for RGB), or None when no installed reader recognizes

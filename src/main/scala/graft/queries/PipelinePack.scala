@@ -228,6 +228,14 @@ object PipelinePack extends QueryPack {
         .orderBy(col("media_id"), col("bucket"))
     }),
 
+    // REAL audio decode: fixture WAVs (AudioSystem.write, PCM pattern
+    // derived from doc_id), audioStats parses them back with javax.sound;
+    // the oracle replays the integer sample pattern
+    "q130_audio_decode" -> ((s, d) => {
+      val media = Multimodal.wavMediaTable(Tables.documents(s, d))
+      Multimodal.audioStats(media).orderBy(col("media_id"))
+    }),
+
     // language-ID heuristic (stopword argmax)
     "q50_language_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documentsSpread(s, d))
@@ -656,6 +664,15 @@ object PipelinePack extends QueryPack {
           |  CAST(CEIL(width * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INT) AS target_w,
           |  CAST(CEIL(height * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INT) AS target_h
           |FROM d ORDER BY media_id""".stripMargin,
+      "q130_audio_decode" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id, doc_id % 400 + 100 AS n FROM documents),
+          |s AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM d),
+          |v AS (SELECT media_id, n, ((i * 37 + media_id * 11) % 4001) - 2000 AS smp FROM s)
+          |SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+          |  CAST(n AS BIGINT) AS n_frames, CAST(SUM(smp) AS BIGINT) AS pcm_sum,
+          |  CAST(SUM(ABS(smp)) AS BIGINT) AS pcm_abs_sum, 'javasound' AS decoder
+          |FROM v GROUP BY media_id, n ORDER BY media_id""".stripMargin,
       "q120_image_histogram" ->
         """WITH d AS (
           |  SELECT doc_id AS media_id, CAST(doc_id % 48 + 16 AS INT) AS width,

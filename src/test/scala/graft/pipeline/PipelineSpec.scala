@@ -732,4 +732,31 @@ class PipelineSpec extends SparkTestBase {
     assert(Multimodal.decodeBatch(broken)
       .filter(col("decoder") === "stub").count() == 5)
   }
+
+  test("multimodal REAL audio decode: javax.sound round-trips frames and exact PCM sums") {
+    val media = Multimodal.wavMediaTable(docs, "doc_id")
+    val dec = Multimodal.audioStats(media)
+    assert(dec.filter(col("decoder") =!= "javasound").count() == 0,
+      "every fixture WAV must decode through the real javax.sound path")
+    val rows = dec.orderBy("media_id")
+      .select("media_id", "sample_rate", "channels", "n_frames", "pcm_sum", "pcm_abs_sum")
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (id, rate, ch, frames, sum, absSum) =>
+      assert(rate == 8000 && ch == 1)
+      val en = id % 400 + 100
+      assert(frames == en, s"frame count for $id: $frames != $en")
+      var es = 0L; var ea = 0L
+      for (i <- 0L until en) {
+        val s = (i * 37 + id * 11) % 4001 - 2000
+        es += s; ea += math.abs(s)
+      }
+      assert(sum == es && absSum == ea, s"PCM sums for $id off")
+    }
+    // a corrupted payload degrades to the stub, not an exception
+    val broken = media.withColumn("payload",
+      expr("substring(payload, 1, 10)").cast("binary"))
+    assert(Multimodal.audioStats(broken)
+      .filter(col("decoder") === "stub").count() == 5)
+  }
 }
