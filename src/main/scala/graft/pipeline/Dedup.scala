@@ -388,14 +388,27 @@ object Dedup {
   def simhashPairs64(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
       maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    fingerprintPairs64(simhash64(docs, textCol, idCol), idCol,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+  }
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column (text simhash,
+    * image perceptual hash, …): four 16-bit bands (pigeonhole-exact recall
+    * at hamming <= 3) + exact `bit_count(xor)` verify + the standard
+    * hot-bucket cap. `fp` carries one row per item (idCol, fpCol: long).
+    * Output: (id_a < id_b, hamming).
+    */
+  def fingerprintPairs64(fp: DataFrame, idCol: String,
+      fpCol: String = "simhash", maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhashPairs64: 4-band LSH guarantees recall only for hamming <= 3, got $maxHamming")
-    val fp = simhash64(docs, textCol, idCol)
+      s"fingerprintPairs64: 4-band LSH guarantees recall only for hamming <= 3, got $maxHamming")
+    val f = fp.select(col(idCol), col(fpCol).cast("long").as("simhash"))
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
     }
-    bandedHammingPairs(fp, idCol, bandStructs, maxHamming, maxBucketSize)
+    bandedHammingPairs(f, idCol, bandStructs, maxHamming, maxBucketSize)
   }
 
   /** Shared candidate machinery for the fingerprint families: explode the

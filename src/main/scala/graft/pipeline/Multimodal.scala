@@ -239,6 +239,97 @@ object Multimodal {
       }
     } catch { case _: Throwable => None }
 
+  /** Near-dup PNG fixture: ids in the same group of `groupSize` share
+    * dims and a group-keyed sawtooth base pattern
+    * `(7x + 13y + 31g) % 256` (the `%256` wraps, unlike the smooth
+    * [[syntheticPng]] gradient, so different groups hash far apart);
+    * each variant `v = id % groupSize` additionally offsets the 2x2
+    * top-left corner by `96v % 256` — exactly one sample point of the
+    * 8x8 aHash grid — making within-group pairs land a small Hamming
+    * distance apart. Every pixel is integer-replayable in SQL.
+    */
+  def variedPngMediaTable(docs: DataFrame, idCol: String = "doc_id",
+      groupSize: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / groupSize
+        val v = (id % groupSize).toInt
+        val w = (g % 48 + 16).toInt
+        val h = ((g / 7) % 48 + 16).toInt
+        val payload = encodePng(w, h, (x, y) =>
+          ((7 * x + 13 * y + 31 * g + (if (x < 2 && y < 2) 96L * v else 0L)) % 256).toInt)
+        (id, "image", payload, payload.length)
+      })
+      .toDF("media_id", "media_type", "payload", "byte_size")
+      .withColumn("meta", map(lit("src"), lit("synthetic-png-varied")))
+  }
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint over the REAL
+    * decoded raster: nearest-neighbor downsample band 0 to an 8x8 grid
+    * (sample at `x_i = i*w/8`, `y_j = j*h/8`, integer division), then bit
+    * `j*8+i` is set iff `64 * p(x_i, y_j) > sum` of the 64 samples
+    * (strict — ties clear; the integer cross-multiply avoids a float
+    * mean). Identical images hash identically; small edits flip a few
+    * bits, so Hamming distance is the near-dup signal — the image
+    * counterpart of text SimHash, and the standard first pass of image
+    * dedup over a crawl. One mapPartitions projection, no shuffle;
+    * payloads no ImageIO reader accepts are dropped (a perceptual hash of
+    * undecoded bytes would be noise). Output: (media_id, ahash, width,
+    * height).
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(payload))
+            if (img == null) None
+            else {
+              val raster = img.getRaster
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = new Array[Int](64)
+              var sum = 0L
+              var j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 8) {
+                  val p = raster.getSample(i * w / 8, j * h / 8, 0) & 0xff
+                  px(j * 8 + i) = p
+                  sum += p
+                  i += 1
+                }
+                j += 1
+              }
+              var hash = 0L
+              var b = 0
+              while (b < 64) {
+                if (64L * px(b) > sum) hash |= (1L << b)
+                b += 1
+              }
+              Some((id, hash, w, h))
+            }
+          } catch { case _: Throwable => None }
+        }
+      }
+      .toDF("media_id", "ahash", "width", "height")
+  }
+
+  /** Image near-duplicate candidate pairs: [[imageAHash]] fingerprints
+    * through the shared 64-bit banded-Hamming machinery
+    * ([[Dedup.fingerprintPairs64]] — four 16-bit bands, exact recall at
+    * hamming <= 3, hot-bucket cap). Output: (id_a < id_b, hamming).
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = Some(Dedup.DefaultMaxBucketSize)): DataFrame =
+    Dedup.fingerprintPairs64(imageAHash(media), "media_id", "ahash",
+      maxHamming, maxBucketSize)
+
   // ============ DETERMINISTIC FALLBACK STUB (unknown formats) ============
 
   /** STUB "decode" for payloads no ImageIO reader accepts (exotic codecs —

@@ -49,6 +49,36 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic train/val/test assignment: the salted key hash lands in
+    * `[0, 2^32)` and each split owns a contiguous range sized by its
+    * weight (cumulative cuts rounded at 2^32 granularity). A pure
+    * projection — no shuffle, no state, pushdown-friendly — and the same
+    * row lands in the same split on every engine, partitioning, and rerun,
+    * which is what makes a 100 TB holdout auditable: membership is a
+    * function of the key alone, so late-arriving data or a re-run never
+    * moves a document across the train/eval boundary (the classic
+    * leakage bug with `randomSplit`). Weights must be positive and sum to
+    * ~1 (±1e-9); the last split absorbs the rounding tail. Output: input
+    * columns + `split`.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"splitAssign: weights must be positive, got $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: weights must sum to 1, got ${weights.map(_._2).sum}")
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 4294967296.0))
+    val h = keyHash32(col(keyCol), salt)
+    // last cut is forced to 2^32 so the tail absorbs rounding
+    val expr0 = weights.init.zip(cuts.init).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), cut), rest) =>
+      when(h < lit(cut), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr0)
+  }
+
   /** Deterministic global shuffle into `numShards` ordered shards — the
     * training-export ordering primitive ("shuffle the corpus, write N
     * shard files"). `shard = hash32 % numShards`; within a shard, rows

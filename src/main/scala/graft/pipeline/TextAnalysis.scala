@@ -56,6 +56,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Per-document bigram novelty: the fraction of a document's DISTINCT
+    * word bigrams that appear in no other document (corpus bigram-DF
+    * == 1). High novelty separates original prose from boilerplate /
+    * template / near-duplicate text, complementing hash dedup: a page
+    * that is 90% shared bigrams survives exact AND MinHash dedup yet
+    * carries little new signal. Scores are exact rationals
+    * (`novel/distinct`, 6-dec-rounded) so the result is engine-portable.
+    *
+    * Shape at scale: linear bigram assembly ([[Dedup.shingleRows]], one
+    * shuffle by doc id), per-doc distinct, one DF aggregation keyed by
+    * bigram (partial aggregation — the shuffle carries per-partition
+    * counts), a bigram-keyed join back, one final count keyed by doc.
+    * No window over the corpus, no product. Documents with < 2 words
+    * have no bigrams and are omitted (nothing to score).
+    * Output: (doc_id, n_bigrams, n_novel, novelty).
+    */
+  def bigramNovelty(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bi = Dedup.shingleRows(docs, textCol, idCol, 2)
+      .select(col(idCol), col("shingle")).distinct()
+    val df = bi.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    bi.join(df, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round6(col("n_novel").cast("double") / col("n_bigrams")))
+  }
+
   /** Per-document TF-IDF-style keyword extraction: score = tf * N / df
     * (term frequency times inverse document frequency as a pure rational —
     * no log, so the doubles are an exact IEEE division both engines

@@ -236,6 +236,44 @@ object PipelinePack extends QueryPack {
       Multimodal.audioStats(media).orderBy(col("media_id"))
     }),
 
+    // deterministic train/val/test assignment — membership is a pure
+    // function of the salted key hash (auditable 100 TB holdouts)
+    "q131_split_assign" -> ((s, d) => {
+      Sampling.splitAssign(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-doc corpus-unique-bigram fraction (novelty/boilerplate signal)
+    "q132_bigram_novelty" -> ((s, d) => {
+      TextAnalysis.bigramNovelty(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 64-bit perceptual hash over REAL ImageIO-decoded fixture PNGs; the
+    // oracle replays the 8x8 NN-downsample + mean threshold from the
+    // integer pixel pattern
+    "q133_image_ahash" -> ((s, d) => {
+      val media = Multimodal.pngMediaTable(Tables.documents(s, d))
+      Multimodal.imageAHash(media)
+        .select(col("media_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(4294967295L)).as("ahash_lo"),
+          col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // image near-dup pairs via banded Hamming over the perceptual hash of
+    // the varied fixture (grouped duplicates + corner perturbation).
+    // Uncapped here because the oracle replays exact pigeonhole recall
+    // (every pair at hamming <= 3); the default capped path is pinned in
+    // PipelineSpec
+    "q134_image_neardup" -> ((s, d) => {
+      val media = Multimodal.variedPngMediaTable(Tables.documents(s, d))
+      Multimodal.imageNearDupPairs(media, maxBucketSize = None)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // language-ID heuristic (stopword argmax)
     "q50_language_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documentsSpread(s, d))
@@ -664,6 +702,75 @@ object PipelinePack extends QueryPack {
           |  CAST(CEIL(width * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INT) AS target_w,
           |  CAST(CEIL(height * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INT) AS target_h
           |FROM d ORDER BY media_id""".stripMargin,
+      "q131_split_assign" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, ${hex32Sql("'split:' || CAST(doc_id AS VARCHAR)")} AS hv
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN hv < ${math.round(0.8 * 4294967296.0)} THEN 'train'
+           |       WHEN hv < ${math.round(0.9 * 4294967296.0)} THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM h ORDER BY doc_id""".stripMargin,
+      "q132_bigram_novelty" ->
+        s"""WITH bi AS (
+           |  SELECT DISTINCT doc_id, unnest(${shinglesSql(wordsSql, 2)}) AS sh
+           |  FROM documents),
+           |bdf AS (SELECT sh, COUNT(*) AS bdf FROM bi GROUP BY 1),
+           |j AS (SELECT bi.doc_id, bdf.bdf FROM bi JOIN bdf USING (sh)),
+           |agg AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |    CAST(SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           |  FROM j GROUP BY 1)
+           |SELECT doc_id, n_bigrams, n_novel,
+           |  FLOOR((CAST(n_novel AS DOUBLE) / n_bigrams) * 1e6 + 0.5) / 1e6 AS novelty
+           |FROM agg ORDER BY doc_id""".stripMargin,
+      "q133_image_ahash" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id, CAST(doc_id % 48 + 16 AS INT) AS width,
+          |    CAST((doc_id // 7) % 48 + 16 AS INT) AS height FROM documents),
+          |g AS (SELECT media_id, width, height, unnest(range(0, 64)) AS b FROM d),
+          |p AS (SELECT media_id, width, height, b,
+          |    ((((b % 8) * width) // 8) + 3 * (((b // 8) * height) // 8)) % 256 AS px
+          |  FROM g),
+          |s AS (SELECT media_id, SUM(px) AS tot FROM p GROUP BY 1),
+          |bits AS (
+          |  SELECT p.media_id, p.width, p.height, p.b,
+          |    CASE WHEN 64 * p.px > s.tot THEN 1 ELSE 0 END AS bit
+          |  FROM p JOIN s USING (media_id))
+          |SELECT media_id,
+          |  CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+          |  CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS ahash_lo,
+          |  ANY_VALUE(width) AS width, ANY_VALUE(height) AS height
+          |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+      "q134_image_neardup" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id, doc_id // 8 AS grp, doc_id % 8 AS v,
+          |    (doc_id // 8) % 48 + 16 AS width,
+          |    ((doc_id // 8) // 7) % 48 + 16 AS height FROM documents),
+          |g AS (SELECT media_id, grp, v, width, height,
+          |    unnest(range(0, 64)) AS b FROM d),
+          |c AS (SELECT media_id, grp, v, b,
+          |    ((b % 8) * width) // 8 AS xi, ((b // 8) * height) // 8 AS yj
+          |  FROM g),
+          |p AS (SELECT media_id, b,
+          |    (7 * xi + 13 * yj + 31 * grp +
+          |     CASE WHEN xi < 2 AND yj < 2 THEN 96 * v ELSE 0 END) % 256 AS px
+          |  FROM c),
+          |s AS (SELECT media_id, SUM(px) AS tot FROM p GROUP BY 1),
+          |hu AS (
+          |  SELECT p.media_id,
+          |    SUM(CASE WHEN 64 * p.px > s.tot
+          |        THEN CAST(1 AS HUGEINT) << CAST(b AS INT) ELSE 0 END) AS h
+          |  FROM p JOIN s USING (media_id) GROUP BY p.media_id),
+          |hs AS (
+          |  SELECT media_id, CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+          |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS h
+          |  FROM hu)
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+          |FROM hs a JOIN hs b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.h, b.h)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
       "q130_audio_decode" ->
         """WITH d AS (
           |  SELECT doc_id AS media_id, doc_id % 400 + 100 AS n FROM documents),
