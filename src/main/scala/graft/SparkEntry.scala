@@ -21,7 +21,9 @@ object SparkEntry {
     graft.queries.DataloaderPack,
     graft.queries.ExtentPack,
     graft.queries.RefStorePack,
-    graft.queries.CorpusPack
+    graft.queries.CorpusPack,
+    graft.queries.SqlPack,
+    graft.queries.CurationPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -329,15 +329,34 @@ object Dedup {
     * 16-column partial aggregation per doc) paid a per-doc exchange for
     * identical values.
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), simhashCol(col(textCol)).as("simhash"))
+
+  /** Column form of [[simhash]] — one static call per value; also the
+    * `graft_simhash(text)` SQL function.
+    */
+  def simhashCol(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types._
-    val fp = Bridge.staticInvoke(
+    Bridge.staticInvoke(
       Class.forName("graft.pipeline.TextKernel"),
       IntegerType, "simhashDoc",
-      Seq(concat_ws(" ", words(col(textCol)))),
+      Seq(concat_ws(" ", words(text))),
       Seq(StringType), returnNullable = false)
-    docs.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Column form of [[minhashSignatures]]'s kernel (the whole signature
+    * array in one static call); also the `graft_minhash(text, k, n)` SQL
+    * function. Null when the document has fewer than `k` words.
+    */
+  def minhashCol(text: Column, k: Column, numHashes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(LongType, containsNull = false), "minhashDoc",
+      Seq(concat_ws(" ", words(text)), k.cast("int"), numHashes.cast("int")),
+      Seq(StringType, IntegerType, IntegerType), returnNullable = true)
   }
 
   /** SimHash near-duplicate candidate pairs: LSH-band the 16-bit
@@ -368,15 +387,20 @@ object Dedup {
     * shuffle-free one-static-call-per-document plan shape as [[simhash]].
     */
   def simhash64(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), simhash64Col(col(textCol)).as("simhash"))
+
+  /** Column form of [[simhash64]] — also the `graft_simhash64(text)` SQL
+    * function.
+    */
+  def simhash64Col(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types._
-    val fp = Bridge.staticInvoke(
+    Bridge.staticInvoke(
       Class.forName("graft.pipeline.TextKernel"),
       LongType, "simhash64Doc",
-      Seq(concat_ws(" ", words(col(textCol)))),
+      Seq(concat_ws(" ", words(text))),
       Seq(StringType), returnNullable = false)
-    docs.select(col(idCol), fp.as("simhash"))
   }
 
   /** Near-duplicate pairs over the 64-bit fingerprint: four 16-bit bands
@@ -597,6 +621,48 @@ object Dedup {
     * stage when candidates come from elsewhere — LSH bands, ANN, sampling).
     * Two id-equi-joins against the vector table; no product.
     */
+  /** SemDeDup-style semantic dedup (cluster-then-prune over embeddings,
+    * after Abbas et al. 2023, arXiv:2303.09540): assign every vector to
+    * its nearest centroid ([[Similarity.ivfAssign]] — broadcast centroids,
+    * one keyed aggregate), generate WITHIN-CELL candidate pairs only, and
+    * drop every vector that has a lower-id clustermate at
+    * `cosine >= threshold` (cosine 6-decimal-rounded, so the keep set is
+    * engine-exact). Never corpus-quadratic: pair generation is an
+    * equi-join on the cell id, and cells above `maxCellSize` are excluded
+    * from pruning (kept whole, same loud-in-scaladoc skew policy as the
+    * LSH buckets — at scale the real control is training enough
+    * centroids that cells stay small). The greedy lower-id rule is
+    * deterministic and local to a pair: a vector is dropped iff ANY
+    * lower-id neighbor clears the threshold, regardless of whether that
+    * neighbor is itself dropped — the standard streaming-order greedy.
+    *
+    * Output: surviving (idCol, centroid_id) rows.
+    */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, threshold: Double,
+      maxCellSize: Option[Int] = Some(DefaultMaxBucketSize),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semanticDedup: threshold must be in (0,1], got $threshold")
+    val assigned = Similarity.ivfAssign(emb, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+    val pairSide = maxCellSize match {
+      case Some(cap) =>
+        val ok = assigned.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+          .select(col("centroid_id"))
+        assigned.join(ok, Seq("centroid_id"))
+      case None => assigned
+    }
+    val pairs = pairSide.select(col("centroid_id"), col(idCol).as("id_a"))
+      .join(pairSide.select(col("centroid_id"), col(idCol).as("id_b")), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val dropped = cosineForPairs(emb, pairs, idCol, vecCol)
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+  }
+
   def cosineForPairs(emb: DataFrame, pairs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val withNorm = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))

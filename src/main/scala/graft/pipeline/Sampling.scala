@@ -18,7 +18,11 @@ object Sampling {
     * [0, 2^32) value identical in any md5-bearing engine.
     */
   def keyHash32(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 8), 16, 10)
+    keyHash32(key, lit(salt))
+
+  /** Column-salt form (also the `graft_hash32(key, salt)` SQL function). */
+  def keyHash32(key: Column, salt: Column): Column =
+    conv(substring(md5(concat(salt, lit(":"), key.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
   /** Uniform deterministic sample: keep a row iff hash32(key) < fraction *
@@ -141,5 +145,64 @@ object Sampling {
       when(col(stratumCol) === k, lit(math.round(f * 4294967296.0))).otherwise(acc)
     }
     df.filter(keyHash32(col(keyCol), salt) < cut)
+  }
+
+  /** Per-domain document cap: keep the `n` best rows of each domain by
+    * `(orderCol DESC, keyCol ASC)` — the "no single site dominates the
+    * corpus" rule of web-scale curation (CCNet/RefinedWeb-style per-domain
+    * quotas), selecting the highest-quality survivors rather than a random
+    * draw ([[stratifiedQuota]] is the uniform-draw form). One shuffle keyed
+    * by domain; a hot domain streams through one reducer's rank but
+    * retains only `n` rows of state. For caps large enough to matter,
+    * pre-filter cheap obvious losers first to cut the sort input.
+    */
+  def domainCap(df: DataFrame, domainCol: String, keyCol: String,
+      orderCol: String, n: Int): DataFrame = {
+    require(n > 0, s"domainCap: n must be positive, got $n")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Per-domain temperature-sampling rates: weight each domain
+    * `w_d = n_d^alpha` (alpha < 1 flattens the head, upweighting small
+    * domains — the multilingual/data-mixing temperature rule), then size
+    * the per-domain keep rate so the expected total is
+    * `targetFraction * N`:
+    * `rate_d = min(1, targetFraction * N * w_d / (sum_w * n_d))`,
+    * 6-decimal-rounded (IEEE floor form) so the rate is engine-exact.
+    * Two tiny aggregates (domain counts + their sum); the corpus itself is
+    * never shuffled. Output: (domain, n_docs, rate).
+    */
+  def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
+      targetFraction: Double): DataFrame = {
+    require(alpha > 0, s"temperatureRates: alpha must be positive, got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"temperatureRates: targetFraction must be in (0,1], got $targetFraction")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", pow(col("n_docs").cast("double"), lit(alpha)))
+    val totals = counts.agg(sum(col("__w")).as("__tw"),
+      sum(col("n_docs")).as("__tn"))
+    val rate6 = floor(
+      least(lit(targetFraction) * col("__tn").cast("double") * col("__w") /
+        (col("__tw") * col("n_docs").cast("double")), lit(1.0)) * 1e6 + 0.5) / 1e6
+    counts.crossJoin(broadcast(totals))
+      .select(col(domainCol), col("n_docs"), rate6.as("rate"))
+  }
+
+  /** Filter `df` by the deterministic hash draw at its domain's
+    * [[temperatureRates]] rate. The rates table is domain-cardinality
+    * small — broadcast — so the corpus sees one scan + one broadcast hash
+    * join, no shuffle. Same-salt reproducibility as [[hashSample]].
+    * Output: input columns + the domain's `rate`.
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+      alpha: Double, targetFraction: Double, salt: String = "temp"): DataFrame = {
+    val rates = temperatureRates(df, domainCol, alpha, targetFraction)
+    df.join(broadcast(rates.select(col(domainCol), col("rate"))), Seq(domainCol))
+      .filter(keyHash32(col(keyCol), salt) <
+        floor(col("rate") * 4294967296.0).cast("long"))
   }
 }

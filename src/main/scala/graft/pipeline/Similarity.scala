@@ -17,6 +17,18 @@ object Similarity {
   private def norm2(v: org.apache.spark.sql.Column) =
     sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
 
+  /** Cosine similarity of two equal-width double-array columns (width
+    * checked loudly via [[sameWidth]]); also the `graft_cosine(a, b)` SQL
+    * function. NaN when either vector is all-zero.
+    */
+  def cosineCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    when(sameWidth(ad, bd, "cosineCol"),
+      dot(ad, bd) / (norm2(ad) * norm2(bd)))
+  }
+
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
 

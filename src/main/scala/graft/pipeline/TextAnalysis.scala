@@ -227,6 +227,63 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** Bloom-filter decontamination: the constant-memory form of
+    * [[contaminationFlags]]. The benchmark's k-gram set is folded into a
+    * `bits`-wide bit array (double-hashing family over the gram's md5 —
+    * `pos_j = (w1 + j*w2) mod bits`, the same construction as
+    * [[TextKernel.minhashRow]]); each corpus document then tests its own
+    * grams against the broadcast bitmap locally. NO join touches the
+    * corpus: at 100 TB the gram-join of [[contaminationFlags]] shuffles
+    * corpus-side gram rows, while this is one scan with a fixed
+    * `bits/8`-byte broadcast — the standard trade (tunable false-positive
+    * rate, zero false negatives; FP decisions are deterministic, so the
+    * flags are still engine-exact for a given `bits`/`numHashes`).
+    *
+    * The bitmap is built in-plan (positions → per-word `bit_or` → one
+    * packed `array<long>` row) and reaches the corpus via a broadcast
+    * nested-loop join of a single row — no driver-side collect.
+    */
+  def bloomContaminationFlags(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 8, numHashes: Int = 3, bits: Int = 1 << 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bloomContaminationFlags: bits must be a power of two >= 64, got $bits")
+    require(numHashes >= 1 && numHashes <= 8,
+      s"bloomContaminationFlags: numHashes must be in [1,8], got $numHashes")
+    val nWords = bits / 64
+    def w1(g: Column) = conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+    def w2(g: Column) = conv(substring(md5(g), 9, 8), 16, 10).cast("long")
+    def posJ(g: Column, j: Column) = pmod(w1(g) + j * w2(g), lit(bits.toLong))
+    // benchmark side: distinct grams -> distinct bit positions -> packed words
+    val bPos = benchmark
+      .select(explode(Dedup.distinctShingleArray(col(textCol), k)).as("g"))
+      .distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(numHashes - 1L))).as("j"))
+      .select(posJ(col("g"), col("j")).as("p"))
+      .distinct()
+    val words = bPos
+      .select(shiftright(col("p"), 6).cast("int").as("widx"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int")).as("bit"))
+      .groupBy(col("widx")).agg(call_function("bit_or", col("bit")).as("word"))
+    val bitmap = words
+      .agg(map_from_entries(collect_list(struct(col("widx"), col("word")))).as("__m"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__bm"))
+    // corpus side: per-doc gram array tested against the broadcast bitmap
+    val grams = Dedup.distinctShingleArray(col(textCol), k)
+    val gramHit = (g: Column) =>
+      forall(sequence(lit(0L), lit(numHashes - 1L)), j => {
+        val p = posJ(g, j)
+        val word = element_at(col("__bm"), shiftright(p, 6).cast("int") + 1)
+        call_function("shiftright", word, pmod(p, lit(64L)).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L
+      })
+    docs.crossJoin(broadcast(bitmap))
+      .select(col(idCol),
+        size(filter(grams, gramHit)).cast("long").as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
   /** The composed C4-style curation pipeline: quality gate (token count +
     * composite score) → language filter (stopword-argmax language ID) →
     * full dedup ([[Dedup.dedupCorpus]]: exact → LSH → connected

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.pipeline.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation gates: per-domain caps, temperature mixing,
+  * Bloom-filter decontamination, and SemDeDup-style semantic dedup.
+  *
+  * Determinism conventions as elsewhere: derived doubles 6-decimal-rounded
+  * via the IEEE floor form; hash draws mirror `Sampling.keyHash32` as
+  * md5-hex arithmetic; cosine mirrors are sequential `list_sum` folds.
+  */
+object CurationPack extends QueryPack {
+
+  private val wordsSql =
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+  private def shinglesSql(w: String, k: Int) =
+    s"""CASE WHEN len($w) >= $k
+       |  THEN list_transform(range(1, len($w) - $k + 2),
+       |         i -> array_to_string(list_slice($w, i, i + $k - 1), ' '))
+       |  ELSE [] END""".stripMargin
+  private def hex32Sql(s: String) =
+    s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // per-domain cap: best 10 docs of each source by (n_chars desc, doc_id)
+    "q137_domain_cap" -> ((s, d) => {
+      Sampling.domainCap(Tables.documents(s, d), "source", "doc_id", "n_chars", 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // temperature-weighted mixture over lang (alpha flattens the en-heavy
+    // head): per-kept-row listing with the domain rate
+    "q138_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureSample(Tables.documents(s, d), "lang", "doc_id",
+        alpha = 0.6, targetFraction = 0.4, salt = "q138")
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-filter decontamination (constant-memory form of q103; same
+    // benchmark derivation — every 50th doc)
+    "q139_bloom_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      TextAnalysis.bloomContaminationFlags(docs, bench,
+        k = 8, numHashes = 3, bits = 1 << 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup: the corpus is unioned with a scaled copy of every 20th
+    // vector (cosine(v, 1.001*v) rounds to 1) — those copies must be
+    // dropped when they share their original's cell; everything else
+    // survives (max organic within-cell cosine is ~0.48 on this fixture)
+    "q140_semantic_dedup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val dup = base.filter(col("vec_id") % 20 === 3)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * 1.001).as("embedding"))
+      val emb = base.union(dup)
+      val cent = base.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Dedup.semanticDedup(emb, cent, threshold = 0.95)
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "q137_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    "q138_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    pow(CAST(COUNT(*) AS DOUBLE), 0.6) AS w
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT SUM(w) AS tw, SUM(n_docs) AS tn FROM c),
+         |r AS (
+         |  SELECT lang,
+         |    FLOOR(LEAST(0.4 * CAST(tn AS DOUBLE) * w / (tw * CAST(n_docs AS DOUBLE)), 1.0)
+         |      * 1e6 + 0.5) / 1e6 AS rate
+         |  FROM c, t)
+         |SELECT d.doc_id, d.lang, r.rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${hex32Sql("'q138:' || CAST(doc_id AS VARCHAR)")} <
+         |  CAST(FLOOR(rate * 4294967296.0) AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q139_bloom_decontam" -> {
+      val w8 = shinglesSql(wordsSql, 8)
+      // position membership mirrors the bloom bitmap exactly: a gram hits
+      // iff ALL numHashes of its positions were set by some benchmark gram
+      s"""WITH bg AS (
+         |  SELECT DISTINCT unnest($w8) AS g FROM documents WHERE doc_id % 50 = 0),
+         |js AS (SELECT unnest(range(0, 3)) AS j),
+         |bpos AS (
+         |  SELECT DISTINCT (${hex32Sql("g")} + j * CAST('0x' || substr(md5(g), 9, 8) AS BIGINT)) % 65536 AS p
+         |  FROM bg, js),
+         |dg AS (
+         |  SELECT DISTINCT doc_id, unnest($w8) AS g FROM documents),
+         |dp AS (
+         |  SELECT doc_id, g,
+         |    (${hex32Sql("g")} + j * CAST('0x' || substr(md5(g), 9, 8) AS BIGINT)) % 65536 AS p
+         |  FROM dg, js),
+         |hitg AS (
+         |  SELECT doc_id, g FROM dp
+         |  WHERE p IN (SELECT p FROM bpos)
+         |  GROUP BY doc_id, g HAVING COUNT(*) = 3),
+         |h AS (SELECT doc_id, COUNT(*) AS n_hit_grams FROM hitg GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+         |  COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q140_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+        |  FROM base WHERE vec_id % 20 = 3),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 100 = 1),
+        |s AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      (e.v[i + 1] - c.cv[i + 1]) * (e.v[i + 1] - c.cv[i + 1]))) AS d2
+        |  FROM e, c),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM s) WHERE rn = 1),
+        |p AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |sc AS (
+        |  SELECT p.id_a, p.id_b,
+        |    FLOOR(list_sum(list_transform(range(0, 64), i -> ea.v[i + 1] * eb.v[i + 1])) /
+        |      (sqrt(list_sum(list_transform(range(0, 64), i -> ea.v[i + 1] * ea.v[i + 1]))) *
+        |       sqrt(list_sum(list_transform(range(0, 64), i -> eb.v[i + 1] * eb.v[i + 1]))))
+        |      * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b),
+        |dropped AS (SELECT DISTINCT id_b FROM sc WHERE cosine >= 0.95)
+        |SELECT a.vec_id, a.cid AS centroid_id FROM a
+        |WHERE a.vec_id NOT IN (SELECT id_b FROM dropped)
+        |ORDER BY a.vec_id""".stripMargin
+  )
+}

@@ -39,6 +39,26 @@ object NgffPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // DataSourceV2 path: the same store read through
+    // spark.read.format("ngff") with a pushed tile filter — Catalyst
+    // prunes chunk reads at planning time (NgffScanBuilder pushdown);
+    // content must equal the direct SQL raster over the same tile row
+    "q141_dsv2_ngff" -> ((s, d) => {
+      val dir = tmp("dsv2", d)
+      val tiles = RasterOps.pixelsToTiles(eventPixels(s, d), tileSize = 16)
+      NgffRaster.write(tiles, dir, "events_img", tileSize = 16)
+      val back = s.read.format("ngff").load(dir)
+        .filter(col("scale") === 0 && col("tile_y") === 1)
+      RasterOps.tilesToPixels(back, tileSize = 16)
+        .filter(col("value") =!= 0.0)
+        .groupBy("c")
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("total"),
+          sum((col("y") * 64 + col("x")) * col("value").cast("decimal(28,6)"))
+            .cast("double").as("pos_weighted"))
+        .orderBy("c")
+    }),
+
     // write multiscale NGFF (zstd chunks) -> read back -> bbox crop ->
     // per-channel aggregate. Tiles are dense within present 16x16 chunks,
     // so zero-filled cells are excluded to compare against the sparse SQL
@@ -189,6 +209,14 @@ object NgffPack extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q141_dsv2_ngff" ->
+      s"""WITH px AS ($eventPixelsSql)
+         |SELECT c, COUNT(*) AS n_px,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+         |  CAST(SUM((y * 64 + x) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS pos_weighted
+         |FROM px
+         |WHERE y >= 16 AND y < 32
+         |GROUP BY c ORDER BY c""".stripMargin,
     "q61_ngff_roundtrip" ->
       s"""WITH px AS ($eventPixelsSql)
          |SELECT c, COUNT(*) AS n_px,

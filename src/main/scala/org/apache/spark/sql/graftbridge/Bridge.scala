@@ -31,6 +31,47 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A `FunctionRegistry` entry for a Column-DSL function: SQL arguments
+    * arrive as resolved child expressions, flow through the same Column
+    * builder the Scala DSL uses, and lower back to the identical expression
+    * tree — `spark.sql("st_area(geom)")` and `st.st_area(col)` produce the
+    * same `StaticInvoke`, so the SQL surface inherits codegen for free.
+    */
+  def functionDescription(name: String, arity: Int,
+      builder: Seq[Column] => Column): (
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = {
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      "graft.functions.GraftFunctions", name)
+    val fb = (children: Seq[Expression]) => {
+      if (children.length != arity)
+        throw new IllegalArgumentException(
+          s"$name expects $arity arguments, got ${children.length}")
+      // Eagerly lower the ColumnNode tree to catalyst expressions:
+      // ExpressionUtils.expression defers via a ColumnNodeExpression
+      // wrapper that the analyzer won't look into when returned from a
+      // FunctionBuilder (it reaches codegen unresolved). The converter
+      // emits real (possibly Unresolved*) catalyst nodes, which the
+      // surrounding analysis then resolves normally.
+      org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(
+        builder(children.map(column)).node)
+    }
+    (ident, info, fb)
+  }
+
+  /** Register a Column-DSL function into an EXISTING session's registry
+    * (the no-config path; `GraftSqlExtensions` is the spark.sql.extensions
+    * path for sessions built with the config).
+    */
+  def registerColumnFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String, arity: Int, builder: Seq[Column] => Column): Unit = {
+    val (ident, info, fb) = functionDescription(name, arity, builder)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, fb)
+  }
+
   /** Codegen-friendly static method call: `clazz.fn(args...)`. */
   def staticInvoke(
       clazz: Class[_],

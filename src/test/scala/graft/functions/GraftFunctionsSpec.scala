@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.pipeline.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL surface: every registered function evaluates identically to its
+  * Column-DSL form, wrong arity fails analysis, and the
+  * `spark.sql.extensions` injection path works on a fresh session sharing
+  * the test SparkContext.
+  */
+class GraftFunctionsSpec extends SparkTestBase {
+
+  private lazy val sql: SparkSession = { GraftFunctions.register(spark); spark }
+
+  test("geometry functions evaluate in SQL") {
+    val r = sql.sql(
+      """SELECT st_area(st_make_box(0.0D, 0.0D, 2.0D, 3.0D)) AS a,
+        |       st_contains_point(st_make_box(0.0D, 0.0D, 2.0D, 3.0D), 1.0D, 1.0D) AS inside,
+        |       st_contains_point(st_make_box(0.0D, 0.0D, 2.0D, 3.0D), 5.0D, 1.0D) AS outside,
+        |       st_geom_type(st_point(1.0D, 2.0D)) AS t
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 6.0)
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getString(3) === "point")
+  }
+
+  test("SQL text kernels match the Column DSL") {
+    import sql.implicits._
+    val docs = Seq((1L, "The quick brown fox jumps over the lazy dog again"),
+      (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gf_docs")
+    val viaSql = sql.sql(
+      """SELECT doc_id, graft_token_count(text) AS n,
+        |       graft_fingerprint(text) AS fp,
+        |       graft_simhash64(text) AS sh,
+        |       graft_minhash(text, 3, 4) AS mh,
+        |       graft_hash32(CAST(doc_id AS STRING), 'salt') AS h
+        |FROM gf_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaDsl = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      Dedup.simhash64Col(col("text")).as("sh"),
+      Dedup.minhashCol(col("text"), lit(3), lit(4)).as("mh"),
+      Sampling.keyHash32(col("doc_id").cast("string"), "salt").as("h"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq === viaDsl.toSeq)
+  }
+
+  test("graft_cosine in SQL") {
+    val r = sql.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same, " +
+        "graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("wrong arity fails analysis loudly") {
+    val e = intercept[Exception](sql.sql("SELECT st_area()").collect())
+    assert(e.getMessage.contains("st_area expects 1 arguments"))
+  }
+
+  test("SQL plan stays codegen'd StaticInvoke (no UDF)") {
+    val plan = sql.sql(
+      "SELECT st_area(st_make_box(0.0D, 0.0D, 2.0D, 3.0D)) AS a").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+  }
+
+  test("spark.sql.extensions injection path registers on a fresh session") {
+    val orig = SparkTestBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions drives the same injectFunction path the
+      // spark.sql.extensions config string does (applyExtensions
+      // instantiates the class and calls apply) — the config string
+      // itself is only read from the SparkContext conf at context
+      // creation, which a shared test context predates.
+      val fresh = SparkSession.builder()
+        .withExtensions(new GraftSqlExtensions()(_))
+        .getOrCreate() // reuses the JVM's SparkContext, fresh session state
+      assert(fresh ne orig)
+      val r = fresh.sql(
+        "SELECT st_area(st_make_box(0.0D, 0.0D, 4.0D, 2.5D)) AS a").head()
+      assert(r.getDouble(0) === 10.0)
+      // the original session is untouched unless register() was called on it
+      assert(fresh.sessionState ne orig.sessionState)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation operators: per-domain caps, temperature mixing,
+  * Bloom decontamination, SemDeDup semantic dedup.
+  */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = (0 until 300).map { i =>
+    val dom = if (i % 10 < 7) "big" else if (i % 10 < 9) "mid" else "small"
+    (i.toLong, dom, (i * 37 % 100 + 20).toLong,
+      s"the quick brown fox number $i jumps over the lazy dog ${i * 7} end of line")
+  }.toDF("doc_id", "domain", "score", "text")
+
+  test("domainCap keeps the n best rows per domain by (score desc, key)") {
+    val out = Sampling.domainCap(docs, "domain", "doc_id", "score", 5)
+      .select("domain", "doc_id", "score").collect()
+    val byDom = out.groupBy(_.getString(0))
+    assert(byDom.keySet === Set("big", "mid", "small"))
+    byDom.foreach { case (dom, rows) =>
+      assert(rows.length === 5, s"$dom kept ${rows.length}")
+      val kept = rows.map(_.getLong(2)).toSet
+      val all = docs.filter(col("domain") === dom)
+        .select("score", "doc_id").as[(Long, Long)].collect()
+        .sortBy { case (sc, id) => (-sc, id) }
+      // the kept multiset is exactly the top-5 of the (desc score, id) order
+      assert(rows.map(r => (r.getLong(2), r.getLong(1))).sortBy(t => (-t._1, t._2))
+        === all.take(5).toSeq, s"$dom kept wrong rows: ${kept.toSeq.sorted}")
+    }
+  }
+
+  test("temperature rates/sample: small-domain rate exceeds big-domain rate; draw is deterministic") {
+    val rates = Sampling.temperatureRates(docs, "domain", alpha = 0.5, targetFraction = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates("small")._2 > rates("big")._2,
+      s"alpha<1 must upweight small domains: $rates")
+    // expected kept = sum(rate * n) ~= targetFraction * N (within rounding + clipping)
+    val expected = rates.values.map { case (n, r) => r * n }.sum
+    assert(math.abs(expected - 150.0) < 1.0, s"expected kept $expected, want ~150")
+    val s1 = Sampling.temperatureSample(docs, "domain", "doc_id", 0.5, 0.5, "t")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.temperatureSample(docs, "domain", "doc_id", 0.5, 0.5, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    val s3 = Sampling.temperatureSample(docs, "domain", "doc_id", 0.5, 0.5, "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 !== s3, "independent salts should draw different samples")
+  }
+
+  test("bloom flags are a superset of the exact join flags (no false negatives)") {
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = TextAnalysis.contaminationFlags(docs, bench, k = 8)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    val bloom = TextAnalysis.bloomContaminationFlags(docs, bench, k = 8,
+      numHashes = 3, bits = 1 << 16)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(bloom),
+      s"false negatives: ${exact.diff(bloom)}")
+    // every benchmark doc contains its own grams -> must be flagged
+    assert(docs.filter(col("doc_id") % 20 === 0).select("doc_id").as[Long]
+      .collect().toSet.subsetOf(bloom))
+    // tiny bitmap -> everything collides -> still no false negatives, all flagged
+    val tiny = TextAnalysis.bloomContaminationFlags(docs, bench, k = 8,
+      numHashes = 2, bits = 64)
+      .filter(col("contaminated")).count()
+    assert(tiny === 300L)
+  }
+
+  test("bloom hit counts never undercount the exact hit counts") {
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = TextAnalysis.contaminationFlags(docs, bench, k = 8)
+      .select("doc_id", "n_hit_grams").as[(Long, Long)].collect().toMap
+    val bloom = TextAnalysis.bloomContaminationFlags(docs, bench, k = 8)
+      .select("doc_id", "n_hit_grams").as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n")
+    }
+  }
+
+  // seeded-Gaussian vectors: pairwise cosines concentrate near 0 (sd ~ 1/4
+  // at 16 dims), so no organic pair clears a 0.95 threshold — unlike
+  // sin-grid fixtures, whose angular periodicity creates real near-dups
+  private def gauss(id: Int, dims: Int): Array[Double] = {
+    val rng = new scala.util.Random(id)
+    Array.fill(dims)(rng.nextGaussian())
+  }
+
+  test("semanticDedup drops in-cell near-duplicates, keeps the lower id") {
+    val base = (1 to 120).map(i => (i.toLong, gauss(i, 16))).toDF("vec_id", "embedding")
+    val dup = base.filter(col("vec_id") % 10 === 4)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001).as("embedding"))
+    val emb = base.union(dup)
+    val cent = base.filter(col("vec_id") % 40 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val kept = Dedup.semanticDedup(emb, cent, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // every original survives; every scaled copy is in its original's cell
+    // (same argmin direction) and must be dropped
+    assert((1 to 120).forall(i => kept.contains(i.toLong)))
+    assert(!kept.exists(_ > 1000L), s"copies survived: ${kept.filter(_ > 1000L)}")
+  }
+
+  test("semanticDedup cell cap excludes hot cells from pruning (kept whole)") {
+    val base = (1 to 60).map(i => (i.toLong, gauss(i, 16))).toDF("vec_id", "embedding")
+    val dup = base.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val emb = base.union(dup)
+    val cent = base.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    // one cell of 120 vectors; cap below that -> nothing pruned
+    val kept = Dedup.semanticDedup(emb, cent, threshold = 0.95,
+      maxCellSize = Some(10)).count()
+    assert(kept === 120L)
+    // uncapped -> the 60 exact copies drop
+    val keptUncapped = Dedup.semanticDedup(emb, cent, threshold = 0.95,
+      maxCellSize = None).count()
+    assert(keptUncapped === 60L)
+  }
+}

@@ -251,6 +251,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
   }
 
+  test("semanticDedup pair generation is a cell-id equi-join: no CartesianProduct") {
+    val cent = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val plan = Dedup.semanticDedup(emb, cent, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    // the broadcast-centroid assign is the one allowed nested-loop; the
+    // within-cell pair join must never be an unkeyed product
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+  }
+
+  test("bloomContaminationFlags: the corpus never joins on grams") {
+    val docs = Seq((1L, "a b c d e f g h i j k l"), (2L, "m n o p q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1)
+    val plan = TextAnalysis.bloomContaminationFlags(docs, bench, k = 8)
+      .queryExecution.executedPlan.toString
+    // the only join is the single-row bitmap broadcast; a SortMergeJoin
+    // would mean corpus gram rows are being shuffled (the q103 shape this
+    // operator exists to avoid)
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side gram join in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bitmap must reach the corpus as a broadcast:\n$plan")
+  }
+
+  test("temperatureSample: rates reach the corpus as a broadcast hash join") {
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang")
+    val plan = Sampling.temperatureSample(docs, "lang", "doc_id", 0.7, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$plan")
+  }
+
   test("relabelSequential has no unpartitioned window in the plan") {
     val lbl = Seq((0, 0, 10L), (0, 1, 20L), (1, 0, 0L), (1, 1, 10L))
       .toDF("y", "x", "label")
