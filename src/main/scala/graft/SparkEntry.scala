@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.RefStorePack,
     graft.queries.CorpusPack,
     graft.queries.SqlPack,
-    graft.queries.CurationPack
+    graft.queries.CurationPack,
+    graft.queries.ScalePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

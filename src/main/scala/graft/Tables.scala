@@ -27,11 +27,55 @@ object Tables {
       "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$d/events.parquet")
 
-  /** events incl. `ts` read as LONG nanoseconds (legacy nanosAsLong). */
-  def eventsWithTs(s: SparkSession, d: String): DataFrame =
-    s.read.schema(
+  /** events incl. `ts` read as LONG nanoseconds-since-epoch regardless of
+    * the file's physical timestamp unit. Reading an int64 timestamp column
+    * through an explicit LONG schema yields the RAW stored integer, so the
+    * footer's logical-type unit (the driver has generated both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) fixtures across rounds)
+    * decides the scale factor to normalize back to the ns contract every
+    * event-time consumer assumes. One driver-side footer read per call.
+    */
+  def eventsWithTs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = s.read.schema(
       "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$d/events.parquet")
+    val toNs = tsUnit(s, s"$d/events.parquet") match {
+      case "NANOS" => 1L
+      case "MICROS" => 1000L
+      case "MILLIS" => 1000000L
+      case u => throw new IllegalStateException(s"unsupported events.ts unit $u")
+    }
+    if (toNs == 1L) raw else raw.withColumn("ts", col("ts") * toNs)
+  }
+
+  /** Timestamp unit ("NANOS"/"MICROS"/"MILLIS") of the `ts` column from the
+    * parquet footer's logical-type annotation.
+    */
+  private def tsUnit(s: SparkSession, path: String): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.getType(schema.getFieldIndex("ts"))
+        .asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit.toString
+        case other => throw new IllegalStateException(
+          s"events.ts is not a timestamp column (logical type $other)")
+      }
+    } finally reader.close()
+  }
   /** Spread a CPU-bound corpus scan across the session's cores when the
     * file layout under-parallelizes it. A single small parquet file (one
     * row group) scans as ONE task, serializing every md5/regex-heavy text

@@ -556,6 +556,73 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact duplicated-substring spans (the distributed form of
+    * suffix-array substring dedup — Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every k-token window
+    * whose exact text occurs more than once in the corpus marks its token
+    * range duplicated, and overlapping/adjacent marked windows merge into
+    * maximal spans. A span of `n >= k` duplicated tokens is exactly a
+    * substring of `n` tokens repeated somewhere in the corpus — the same
+    * signal the suffix array yields, built from a window groupBy instead
+    * of a global sort.
+    *
+    * Output: one row per maximal span, `(id, span_start, span_tokens)`
+    * (token offsets into the whitespace tokenization of the raw text).
+    *
+    * Scale shape: tokenize once per doc (per-doc window for the gram
+    * assembly), one shuffle on the gram text for the duplicate gate, a
+    * pair-scoped semi-join back, and a per-doc window for the island
+    * merge. The gram-text shuffle is the honest cost of EXACT substring
+    * matching; at 100 TB, shuffle 64-bit gram hashes instead and accept
+    * the ~2^-64 collision odds (swap `__gram` for `xxhash64(__gram)` at
+    * the groupBy/join — same plan shape, 6-8x narrower shuffle).
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = col("__w") +: (1 until k).map(o => lead(col("__w"), o).over(wDoc))
+    // raw whitespace tokens (not the normalized words()): exact substring
+    // dedup is about verbatim repetition, so case/punctuation must count
+    val wins = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__w")))
+      .withColumn("__last", lead(col("__w"), k - 1).over(wDoc))
+      .withColumn("__gram", concat_ws(" ", parts: _*))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__pos").as("__s"), col("__gram"))
+    val dup = wins.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select("__gram")
+    val marked = wins.join(dup, Seq("__gram")).select(col(idCol), col("__s"))
+    // gaps-and-islands: window at __s covers tokens [__s, __s + k); a new
+    // span starts when __s clears the running max end of everything before
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"))
+    val prevEnd = max(col("__s") + k)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new",
+        when(prevEnd.isNull || col("__s") > prevEnd, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(wOrd))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__s")).as("span_start"),
+        (max(col("__s")) + k - min(col("__s"))).as("span_tokens"))
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
+
+  /** Per-document rollup of [[duplicateSpans]]: span count and duplicated
+    * token total — the "fraction of the doc that is corpus-repeated
+    * boilerplate" quality signal, join-ready against the doc table.
+    */
+  def duplicateSpanSignals(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    duplicateSpans(docs, k, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+
   /** Near-duplicate clusters from a candidate-pair table: connected
     * components labeled by the minimum doc id in each component — the stage
     * after LSH + verify that picks ONE canonical document per duplicate

@@ -67,6 +67,13 @@ object CurationPack extends QueryPack {
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       Dedup.semanticDedup(emb, cent, threshold = 0.95)
         .orderBy(col("vec_id"))
+    }),
+
+    // exact duplicated-substring spans (Lee et al.-style substring dedup):
+    // per-doc rollup of maximal spans of corpus-repeated 8-token windows
+    "q145_dup_spans" -> ((s, d) => {
+      Dedup.duplicateSpanSignals(Tables.documentsSpread(s, d), k = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -154,6 +161,33 @@ object CurationPack extends QueryPack {
         |dropped AS (SELECT DISTINCT id_b FROM sc WHERE cosine >= 0.95)
         |SELECT a.vec_id, a.cid AS centroid_id FROM a
         |WHERE a.vec_id NOT IN (SELECT id_b FROM dropped)
-        |ORDER BY a.vec_id""".stripMargin
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q145_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS INT) AS s, array_to_string(t[i+1:i+8], ' ') AS gram
+        |  FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) > 1),
+        |marked AS (SELECT doc_id, s FROM wins JOIN dup USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN s > COALESCE(MAX(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM marked),
+        |isl AS (
+        |  SELECT doc_id, s,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, island, MAX(s) + 8 - MIN(s) AS span_tokens
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

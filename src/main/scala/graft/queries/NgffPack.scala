@@ -59,6 +59,27 @@ object NgffPack extends QueryPack {
         .orderBy("c")
     }),
 
+    // DataSourceV2 WRITE path: tiles written through df.write
+    // .format("ngff") — task-parallel chunk files, array extents folded
+    // from task commit messages, group metadata written only at commit —
+    // then read back with the v1 reader; content must equal the direct
+    // SQL raster over events
+    "q142_dsv2_ngff_write" -> ((s, d) => {
+      val dir = tmp("dsv2w", d)
+      val tiles = RasterOps.pixelsToTiles(eventPixels(s, d), tileSize = 16)
+      tiles.write.format("ngff").option("tileSize", 16)
+        .option("name", "events_img").mode("overwrite").save(dir)
+      val (back, _) = NgffRaster.read(s, dir)
+      RasterOps.tilesToPixels(back, tileSize = 16)
+        .filter(col("value") =!= 0.0)
+        .groupBy("c")
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("total"),
+          sum((col("y") * 64 + col("x")) * col("value").cast("decimal(28,6)"))
+            .cast("double").as("pos_weighted"))
+        .orderBy("c")
+    }),
+
     // write multiscale NGFF (zstd chunks) -> read back -> bbox crop ->
     // per-channel aggregate. Tiles are dense within present 16x16 chunks,
     // so zero-filled cells are excluded to compare against the sparse SQL
@@ -216,6 +237,13 @@ object NgffPack extends QueryPack {
          |  CAST(SUM((y * 64 + x) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS pos_weighted
          |FROM px
          |WHERE y >= 16 AND y < 32
+         |GROUP BY c ORDER BY c""".stripMargin,
+    "q142_dsv2_ngff_write" ->
+      s"""WITH px AS ($eventPixelsSql)
+         |SELECT c, COUNT(*) AS n_px,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+         |  CAST(SUM((y * 64 + x) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS pos_weighted
+         |FROM px
          |GROUP BY c ORDER BY c""".stripMargin,
     "q61_ngff_roundtrip" ->
       s"""WITH px AS ($eventPixelsSql)

@@ -243,7 +243,20 @@ object NgffRaster {
         }
       }
 
-    // driver-side metadata: .zgroup, per-scale .zarray, group .zattrs
+    writeGroupMetadata(fs, groupDir, name, axes, metas, transforms,
+      channels, isLabels)
+  }
+
+  /** Driver-side group metadata: .zgroup, per-scale .zarray, group .zattrs
+    * (multiscales + transforms + omero/image-label). Shared by the v1
+    * writer and the DataSourceV2 commit (which learns the array extents
+    * from task commit messages).
+    */
+  private[sources] def writeGroupMetadata(fs: org.apache.hadoop.fs.FileSystem,
+      groupDir: String, name: String, axes: Seq[String],
+      metas: Seq[Zarr.ArrayMeta], transforms: Map[String, Transform],
+      channels: Seq[String], isLabels: Boolean): Unit = {
+    val scaleIds = metas.indices
     def writeText(p: String, text: String): Unit = {
       val out = fs.create(new Path(p), true)
       try out.write(text.getBytes("UTF-8")) finally out.close()

@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,7 +47,9 @@ class NgffDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "ngff"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes hand the dataframe's schema straight to getTable, so a write
+  // to a not-yet-existing store never needs inferSchema
+  override def supportsExternalMetadata(): Boolean = true
 
   private def dirOf(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).orElse(Option(options.get("group")))
@@ -64,22 +67,168 @@ class NgffDataSource extends TableProvider with DataSourceRegister {
     new NgffTable(properties.get("path") match {
       case null => properties.get("group")
       case p => p
-    })
+    }, Option(schema))
 }
 
-final class NgffTable(dir: String) extends Table with SupportsRead {
+final class NgffTable(dir: String, providedSchema: Option[StructType] = None)
+    extends Table with SupportsRead with SupportsWrite {
   private lazy val meta = NgffRaster.readMeta(SparkSession.active, dir)
 
   override def name(): String = s"ngff(`$dir`)"
 
-  override def schema(): StructType =
+  override def schema(): StructType = providedSchema.getOrElse {
     if (meta.axes.contains("z")) NgffRaster.Tile3DSchema else NgffRaster.TileSchema
+  }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NgffScanBuilder(dir, meta, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NgffWriteBuilder(dir, info)
+}
+
+/** Write side: each task encodes its own chunk files (same wire layout as
+  * [[NgffRaster.write]]) and reports the extents it saw; the driver-side
+  * `commit` folds the per-task extents into the array shapes and writes
+  * the group metadata LAST — so the standard DSv2 contract (no readable
+  * store until commit, abort leaves no metadata) falls out naturally.
+  * `mode("overwrite")` maps to truncate (clear the group dir up front);
+  * v2 path writes reject ErrorIfExists/Ignore by Spark's own rules.
+  *
+  * Options: `tileSize` (required, the y/x chunk extent tiles were built
+  * with), `name` (multiscale name, default "image"), `channels`
+  * (comma-separated omero labels), `labels` (boolean, image-label store).
+  */
+final class NgffWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new NgffWrite(dir, info, doTruncate)
+}
+
+final class NgffWrite(dir: String, info: LogicalWriteInfo, doTruncate: Boolean)
+    extends Write with BatchWrite {
+
+  private val schema = info.schema()
+  private val expected2d = NgffRaster.TileSchema.fieldNames.toSeq
+  private val expected3d = NgffRaster.Tile3DSchema.fieldNames.toSeq
+  require(schema.fieldNames.toSeq == expected2d ||
+    schema.fieldNames.toSeq == expected3d,
+    s"ngff write expects the tile schema ${expected2d.mkString("(", ", ", ")")} " +
+      s"or its 3D form; got ${schema.fieldNames.mkString("(", ", ", ")")}")
+  private val hasZ = schema.fieldNames.contains("z")
+  private val axes = if (hasZ) Seq("c", "z", "y", "x") else Seq("c", "y", "x")
+  private val tileSize = {
+    val t = info.options.get("tilesize")
+    require(t != null, "ngff write: .option(\"tileSize\", n) is required")
+    t.toInt
+  }
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gd = new Path(dir)
+    if (doTruncate && fs.exists(gd)) fs.delete(gd, true)
+    fs.mkdirs(gd)
+    NgffWriterFactory(dir, tileSize, hasZ,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val perScale = messages.collect { case m: NgffExtentsMessage => m.extents }
+      .flatten
+      .groupBy(_._1)
+      .map { case (s, es) =>
+        val vs = es.map(_._2)
+        s -> ((vs.map(_._1).max, vs.map(_._2).max, vs.map(_._3).max, vs.map(_._4).max))
+      }
+    require(perScale.nonEmpty, "ngff write: no tiles were written")
+    val scaleIds = perScale.keys.toSeq.sorted
+    require(scaleIds == (0 until perScale.size),
+      s"ngff write: scales must be 0..n, got $scaleIds")
+    val comp = Some(Zarr.Compressor("blosc", cname = "zstd", clevel = 5, shuffle = 1))
+    val metas = scaleIds.map { s =>
+      val (maxc, maxz, maxy, maxx) = perScale(s)
+      val extent = Map("c" -> (maxc + 1), "z" -> (maxz + 1), "y" -> maxy, "x" -> maxx)
+      val chunk = Map("c" -> 1, "z" -> 1, "y" -> tileSize, "x" -> tileSize)
+      Zarr.ArrayMeta(axes.map(extent), axes.map(chunk), "<f8", comp, 0.0, "C", ".")
+    }
+    val opts = info.options
+    val name = Option(opts.get("name")).getOrElse("image")
+    val channels = Option(opts.get("channels"))
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val isLabels = Option(opts.get("labels")).exists(_.toBoolean)
+    val spark = SparkSession.active
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    NgffRaster.writeGroupMetadata(fs, dir, name, axes, metas,
+      Map("global" -> graft.model.IdentityT), channels, isLabels)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // no metadata was written, so the store never became readable; leave
+    // partial chunk files for the caller to inspect or truncate on retry
+  }
+}
+
+final case class NgffWriterFactory(dir: String, tileSize: Int, hasZ: Boolean,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NgffDataWriter(dir, tileSize, hasZ, conf)
+}
+
+/** scale -> (maxc, maxz, maxY, maxX) extents this task observed. */
+final case class NgffExtentsMessage(
+    extents: Seq[(Int, (Int, Int, Int, Int))]) extends WriterCommitMessage
+
+final class NgffDataWriter(dir: String, tileSize: Int, hasZ: Boolean,
+    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+
+  private lazy val fs = new Path(dir).getFileSystem(conf.value)
+  private val extents = scala.collection.mutable.Map.empty[Int, (Int, Int, Int, Int)]
+  // chunk wire meta: only dtype/compressor/order matter for encode
+  private val enc = Zarr.ArrayMeta(Seq(1, tileSize, tileSize),
+    Seq(1, tileSize, tileSize), "<f8",
+    Some(Zarr.Compressor("blosc", cname = "zstd", clevel = 5, shuffle = 1)),
+    0.0, "C", ".")
+
+  override def write(row: InternalRow): Unit = {
+    // field order is pinned by NgffWrite's schema check
+    var i = 0
+    val s = row.getInt(i); i += 1
+    val c = row.getInt(i); i += 1
+    val z = if (hasZ) { val v = row.getInt(i); i += 1; v } else 0
+    val ty = row.getInt(i); i += 1
+    val tx = row.getInt(i); i += 1
+    val h = row.getInt(i); i += 1
+    val w = row.getInt(i); i += 1
+    val px = row.getArray(i).toDoubleArray()
+    require(h <= tileSize && w <= tileSize,
+      s"tile ${h}x$w exceeds the chunk extent $tileSize")
+    val full = new Array[Double](tileSize * tileSize)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) { full(yy * tileSize + xx) = px(yy * w + xx); xx += 1 }
+      yy += 1
+    }
+    val lead = Seq(c) ++ (if (hasZ) Seq(z) else Nil)
+    val key = (lead ++ Seq(ty, tx)).mkString(".")
+    val p = new Path(s"$dir/$s/$key")
+    val out = fs.create(p, true)
+    try out.write(Zarr.encodeChunk(full, enc)) finally out.close()
+    val (mc, mz, my, mx) = extents.getOrElse(s, (0, 0, 0, 0))
+    extents(s) = (mc max c, mz max z, my max (ty * tileSize + h), mx max (tx * tileSize + w))
+  }
+
+  override def commit(): WriterCommitMessage = NgffExtentsMessage(extents.toSeq)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 final class NgffScanBuilder(dir: String, meta: NgffRaster.NgffMeta,

@@ -119,4 +119,51 @@ class CurationOpsSpec extends SparkTestBase {
       maxCellSize = None).count()
     assert(keptUncapped === 60L)
   }
+
+  test("duplicateSpans finds a planted repeated sentence at exact offsets") {
+    val boiler = "one two three four five six seven eight"  // exactly k=8 tokens
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"unique prefix here $boiler and a unique suffix tail"),
+      (3L, s"$boiler totally different continuation follows afterwards here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 2: boiler starts at token 3; doc 3: at token 0; doc 1: clean
+    assert(spans === Array((2L, 3, 8), (3L, 0, 8)))
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    // 10 shared tokens -> three overlapping 8-windows -> ONE span of 10
+    val shared = "a b c d e f g h i j"
+    val corpus = Seq(
+      (1L, s"$shared left tail distinct one"),
+      (2L, s"right head distinct two $shared")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans === Array((1L, 0, 10), (2L, 4, 10)))
+  }
+
+  test("duplicateSpans counts within-document repetition too") {
+    val eight = "p q r s t u v w"
+    val corpus = Seq((1L, s"$eight filler middle words go here $eight")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, k = 8).collect()
+    assert(spans.length === 2, "the same window repeated inside one doc is a duplicate")
+  }
+
+  test("duplicateSpanSignals rolls spans up per document") {
+    val boiler = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"$boiler mid filler words $boiler"),
+      (2L, s"prefix $boiler suffix"),
+      (3L, "entirely novel content with no repeats at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.duplicateSpanSignals(corpus, k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sig === Array((1L, 2L, 16L), (2L, 1L, 8L)))
+  }
 }

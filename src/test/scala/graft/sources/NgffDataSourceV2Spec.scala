@@ -80,4 +80,60 @@ class NgffDataSourceV2Spec extends SparkTestBase {
       .select(explode(col("px")).as("v")).agg(sum("v")).head().getDouble(0)
     assert(v2sum === v1sum)
   }
+
+  private def tileKey = Seq("scale", "c", "tile_y", "tile_x")
+
+  test("write.format(\"ngff\") round-trips through both readers") {
+    val dir = s"${tmpDir()}/out"
+    val src = NgffRaster.read(spark, storeDir)._1
+    src.write.format("ngff").option("tileSize", 8)
+      .option("channels", "ch0,ch1").mode("overwrite").save(dir)
+    val (back, meta) = NgffRaster.read(spark, dir)
+    assert(meta.channels === Seq("ch0", "ch1"))
+    val a = src.orderBy(tileKey.map(col): _*).collect().map(_.toString).toSeq
+    val b = back.orderBy(tileKey.map(col): _*).collect().map(_.toString).toSeq
+    assert(a === b)
+    // and the v2 reader agrees with itself
+    val v2 = spark.read.format("ngff").load(dir)
+      .orderBy(tileKey.map(col): _*).collect().map(_.toString).toSeq
+    assert(v2 === a)
+  }
+
+  test("v2 write: 3D tiles round-trip with a z axis") {
+    val dir = s"${tmpDir()}/vol"
+    import spark.implicits._
+    val pixels = Seq.tabulate(400)(i =>
+      (0, i % 3, i % 11, (i * 3) % 13, (i % 17 + 1).toDouble))
+      .toDF("c", "z", "y", "x", "value")
+      .groupBy("c", "z", "y", "x").agg(sum("value").as("value"))
+    val tiles = RasterOps.pixelsToTiles3d(pixels, tileSize = 8)
+    tiles.write.format("ngff").option("tileSize", 8).mode("overwrite").save(dir)
+    val (back, meta) = NgffRaster.read(spark, dir)
+    assert(meta.axes === Seq("c", "z", "y", "x"))
+    val key = Seq("scale", "c", "z", "tile_y", "tile_x")
+    val a = tiles.orderBy(key.map(col): _*).collect().map(_.toString).toSeq
+    val b = back.orderBy(key.map(col): _*).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("v2 write: overwrite truncates stale chunks from a prior larger write") {
+    val dir = s"${tmpDir()}/trunc"
+    val src = NgffRaster.read(spark, storeDir)._1
+    src.write.format("ngff").option("tileSize", 8).mode("overwrite").save(dir)
+    val small = src.filter(col("tile_y") === 0 && col("tile_x") === 0)
+    small.write.format("ngff").option("tileSize", 8).mode("overwrite").save(dir)
+    val (back, _) = NgffRaster.read(spark, dir)
+    assert(back.count() === small.count(),
+      "stale chunks from the first write must not survive overwrite")
+  }
+
+  test("v2 write: missing tileSize option fails loudly") {
+    val dir = s"${tmpDir()}/bad"
+    val src = NgffRaster.read(spark, storeDir)._1
+    val e = intercept[Exception] {
+      src.write.format("ngff").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("tileSize") ||
+      Option(e.getCause).exists(_.getMessage.contains("tileSize")))
+  }
 }
