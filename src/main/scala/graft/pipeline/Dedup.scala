@@ -68,6 +68,23 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Normalization-invariant exact dedup: hash the NORMALIZED text
+    * (lowercase, punctuation/whitespace runs collapsed — [[words]]
+    * re-joined by single spaces) and keep the smallest id per hash. This
+    * catches the trivially-edited copies byte-exact dedup misses (case
+    * changes, reflowed whitespace, punctuation swaps) without any
+    * similarity machinery — the standard first escalation between exact
+    * and MinHash dedup. Same scale shape as [[exact]]: a stateless
+    * codegen'd projection, then one shuffle keyed by the 32-char hash.
+    * Output: one row per survivor with its duplicate-group size.
+    */
+  def normalizedExact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("__h", md5(concat_ws(" ", words(col(textCol)))))
+      .groupBy(col("__h").as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Exact-dedup filter: keep one representative row per content hash. */
   def exactFiltered(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))

@@ -377,6 +377,84 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
   }
 
+  /** The composed IVF + PQ query path — the full 100 TB ANN index in one
+    * operator: [[ivfAssign]] partitions the corpus into inverted lists,
+    * [[pqEncode]] compresses every vector to m codes, and a query (a) probes
+    * its `nprobe` nearest cells and (b) scores ONLY those cells' members
+    * through their codes via the broadcast ADC lookup table of [[pqSearch]].
+    * The corpus is touched once for the cell join (ids only) and once
+    * through its m-code rows — raw vectors never ship to the query side.
+    * Every join is an equi-join (cell id; then (query, sub, code) against
+    * the broadcast LUT); distances are 6-decimal-rounded and summed in
+    * exact DECIMAL so ranking is engine-independent, ties on corpus id.
+    * Output: (query_id, vec_id, adist, rank <= k).
+    */
+  def ivfPqSearch(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, k: Int, m: Int, subDim: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(idCol), col(centroidIdCol))
+    val codes = pqEncode(corpus, codebooks, m, subDim, idCol, vecCol)
+      .select(col(idCol), col("sub"), col("code_id"))
+    // nprobe nearest cells per query — the tiny per-query K-entry sort of
+    // ivfTopK, carrying only ids into the big join
+    val cent = centroids.select(col(centroidIdCol), col(vecCol).cast("array<double>").as("__c"))
+    val qDist2 = aggregate(zip_with(col("__qv"), col("__c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val probes = queries
+      .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .crossJoin(broadcast(cent))
+      .filter(sameWidth(col("__qv"), col("__c"), "ivfPqSearch"))
+      .withColumn("__d", qDist2)
+      .groupBy(col(queryIdCol))
+      .agg(slice(array_sort(collect_list(struct(col("__d"), col(centroidIdCol)))),
+        1, nprobe).as("__cells"))
+      .select(col(queryIdCol), explode(col("__cells")).as("__cell"))
+      .select(col(queryIdCol), col(s"__cell.$centroidIdCol").as(centroidIdCol))
+    // per-query ADC lookup table: queries x m x k_codebook rows — broadcasts
+    val slices = transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col(vecCol).cast("array<double>"), s * subDim + 1, lit(subDim)))
+    val qsub = queries.select(col(queryIdCol), posexplode(slices).as(Seq("sub", "__qv")))
+    val cb = codebooks.select(col("sub"), col("code_id"),
+      col("subvec").cast("array<double>").as("__cv"))
+    val dist2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val lut = qsub.join(cb, Seq("sub"))
+      .filter(sameWidth(col("__qv"), col("__cv"), "ivfPqSearch"))
+      .select(col(queryIdCol), col("sub"), col("code_id"),
+        TextAnalysis.round6(dist2).as("__d"))
+    // candidate pairs: probed cells' inverted lists, ids only
+    val cand = probes.join(cells, Seq(centroidIdCol))
+      .select(col(queryIdCol), col(idCol))
+    val scored = cand.join(codes, Seq(idCol))
+      .join(broadcast(lut), Seq(queryIdCol, "sub", "code_id"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__d").cast("decimal(28,6)")).cast("double").as("adist"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") === m).drop("__n")
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("adist"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+  }
+
+  /** Distance-to-assigned-centroid outlier pruning — the embedding-space
+    * quality gate a curation pipeline runs after clustering (vectors far
+    * from every cluster center are junk/noise candidates). One
+    * [[ivfAssign]] pass (broadcast centroids, struct-min argmin), then a
+    * stateless threshold on the rounded squared distance. Output: every
+    * vector with its cell, rounded dist2, and the outlier flag — callers
+    * filter on `is_outlier` to drop or audit.
+    */
+  def outlierFlags(corpus: DataFrame, centroids: DataFrame, maxDist2: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame =
+    ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(idCol), col(centroidIdCol),
+        TextAnalysis.round6(col("dist2")).as("dist2"))
+      .withColumn("is_outlier", col("dist2") > maxDist2)
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * storage/bandwidth side of ANN at 100 TB (4x smaller vectors, exact
     * integer arithmetic downstream). One global (min, max) pass, then a

@@ -114,6 +114,191 @@ object TextAnalysis {
         col("__kw.token").as("token"), round6(col("__kw.__s")).as("score"))
   }
 
+  /** CCNet-style n-gram language-model scoring: train add-one-smoothed
+    * bigram statistics on a deterministic [[Sampling.hashSample]] slice of
+    * the corpus, then score EVERY document's average bigram log-probability
+    * against them. Low scores mark text unlike the (presumed-clean)
+    * training slice — the classic KenLM-perplexity quality filter of
+    * CCNet/ RedPajama, here with counts instead of a trained LM binary.
+    *
+    * p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) where c(w1 ·) counts
+    * bigram OCCURRENCES with prefix w1 (so the conditional normalizes) and
+    * V is the training vocabulary size. Determinism: counts and V are
+    * exact integers, the probability is one exact IEEE division, and each
+    * term's natural log is snapped to a 1e-4 fixed-point grid BEFORE the
+    * per-document sum runs as exact BIGINT arithmetic — so the aggregate
+    * is fold-order-free and the final average an exact-rational division
+    * on the 6-decimal grid.
+    *
+    * Shape at scale: one sampled pass builds the two count tables (keyed
+    * hash aggregations, partial map-side); scoring is a linear bigram
+    * assembly ([[Dedup.shingleRows]]) plus two equi-joins keyed by bigram
+    * and prefix (never a product; the single-row vocab total broadcasts),
+    * then one keyed per-doc aggregation. Documents with < 2 tokens have no
+    * bigrams and are omitted (nothing to score).
+    * Output: (doc_id, n_bigrams, sum_lp4, avg_logprob).
+    */
+  def lmScore(docs: DataFrame, trainFraction: Double = 0.25,
+      salt: String = "lm", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val train = Sampling.hashSample(docs.select(col(idCol), col(textCol)),
+      idCol, trainFraction, salt)
+    val trainBi = Dedup.shingleRows(train, textCol, idCol, 2).select(col("shingle"))
+    val big = trainBi.groupBy(col("shingle")).agg(count(lit(1)).as("__c2"))
+    val pre = trainBi
+      .select(split(col("shingle"), " ").getItem(0).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = train
+      .select(explode(array_distinct(Dedup.words(col(textCol)))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .agg(count_distinct(col("__t")).as("__v"))
+    Dedup.shingleRows(docs, textCol, idCol, 2)
+      .select(col(idCol), col("shingle"),
+        split(col("shingle"), " ").getItem(0).as("__w1"))
+      .join(big, Seq("shingle"), "left")
+      .join(pre, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__p",
+        (coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double"))
+      .withColumn("__lp4", floor(log(col("__p")) * 1e4 + 0.5).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp4")).as("sum_lp4"))
+      .withColumn("avg_logprob",
+        round6(col("sum_lp4").cast("double") / (col("n_bigrams") * 1e4)))
+  }
+
+  /** Corpus-wide heavy-hitter n-grams: the `topK` most-repeated k-token
+    * shingles — the boilerplate-mining pass that feeds template/footer
+    * removal (what [[Dedup.paragraphDedup]] does for whole paragraphs,
+    * surfaced as an auditable ranked list). At 100 TB the gram explosion
+    * runs on a deterministic [[Sampling.hashSample]] draw
+    * (`sampleFraction` < 1) — heavy hitters by definition survive
+    * sampling — and the count is one keyed hash aggregation (partial
+    * map-side: the shuffle carries per-partition gram counts), followed
+    * by `orderBy(...).limit(topK)` — Spark plans that as
+    * TakeOrderedAndProject, the true distributed top-k (each partition
+    * keeps its topK, the driver merges topK * partitions rows; no
+    * corpus-wide window, no full sort). Ties break gram-ascending.
+    * Output: (rank, gram, n_occurrences).
+    */
+  def heavyHitterGrams(docs: DataFrame, k: Int = 5, topK: Int = 20,
+      sampleFraction: Double = 1.0, salt: String = "hh",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base =
+      if (sampleFraction < 1.0)
+        Sampling.hashSample(docs.select(col(idCol), col(textCol)), idCol,
+          sampleFraction, salt)
+      else docs.select(col(idCol), col(textCol))
+    val top = Dedup.shingleRows(base, textCol, idCol, k)
+      .groupBy(col("shingle").as("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+    // rank the tiny (<= topK rows) result; the unpartitioned window runs
+    // over the already-reduced limit output, never the corpus
+    val w = Window.orderBy(col("n_occurrences").desc, col("gram"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("gram"), col("n_occurrences"))
+  }
+
+  /** One greedy left-to-right BPE merge pass over a symbol array: fold the
+    * array, replacing each adjacent (a, b) with the fused symbol. The
+    * lookback fold is exactly the non-overlapping left-to-right scan of
+    * classic BPE (a just-fused symbol can't re-match as `a` because its
+    * value is `a+b`), and it stays a codegen'd lambda — no UDF.
+    */
+  private[pipeline] def bpeMergePass(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, s) =>
+        // `get` (not element_at): out-of-range yields NULL, not an ANSI
+        // error, so the empty-accumulator case falls through to otherwise
+        when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  private def bpeInitSymbols(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Byte-pair-encoding MERGE TRAINING, distributed: learn `numMerges`
+    * merge rules from the corpus — the tokenizer-induction step of every
+    * LLM data pipeline. Classic BPE works on the word-frequency table, not
+    * the corpus: one pass builds (word, freq) — at 100 TB the only
+    * corpus-sized shuffle, keyed by word with map-side partial counts —
+    * and that vocabulary-sized table (persisted once) is all the merge
+    * loop ever touches. Each round counts adjacent symbol pairs weighted
+    * by word frequency (explode + one keyed aggregation), takes the global
+    * argmax (count desc, then pair ascending — deterministic ties), and
+    * collects ONE row: the merge rules ARE the model, driver-resident by
+    * definition, like k-means centroids. The merge itself is the
+    * [[bpeMergePass]] fold applied lazily on top of the previous round's
+    * symbol expression — no second materialized copy of the vocabulary.
+    *
+    * All arithmetic is exact integer counts — engine-portable with no
+    * rounding conventions. Output: (rank, lhs, rhs, pair_count), one row
+    * per learned merge, rank in training order. Stops early (fewer rows)
+    * if the vocabulary runs out of adjacent pairs.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"bpeTrain: numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(Dedup.words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var symCol: Column = bpeInitSymbols(col("word"))
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var exhausted = false
+      for (r <- 1 to numMerges if !exhausted) {
+        val top = wf.select(col("freq"), symCol.as("__sym"))
+          .filter(size(col("__sym")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(0), size(col("__sym")) - 2),
+              i => struct(get(col("__sym"), i).as("a"),
+                get(col("__sym"), i + 1).as("b")))).as("__p"))
+          .groupBy(col("__p")("a").as("a"), col("__p")("b").as("b"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r.toLong, a, b, c))
+          symCol = bpeMergePass(symCol, a, b)
+        }
+      }
+      merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+    } finally wf.unpersist(blocking = false)
+  }
+
+  /** Apply trained BPE merges ([[bpeTrain]] output, in rank order) to every
+    * document: per-doc word pieces after the full merge chain, as counts.
+    * A stateless per-row projection — the merge rules are literals baked
+    * into one nested codegen'd expression (chars -> fold per merge ->
+    * size), summed across the doc's words with an `aggregate` fold. No
+    * shuffle, no join: the classic "tokenize the corpus" map step.
+    * Output: (id, n_words, n_pieces).
+    */
+  def bpeSegment(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def pieces(word: Column): Column = {
+      var s = bpeInitSymbols(word)
+      merges.foreach { case (a, b) => s = bpeMergePass(s, a, b) }
+      size(s)
+    }
+    docs
+      .select(col(idCol),
+        filter(Dedup.words(col(textCol)), w => length(w) > 0).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        aggregate(col("__w"), lit(0L),
+          (acc, w) => acc + pieces(w).cast("long")).as("n_pieces"))
+  }
+
   /** Quality-score components (length/punct/stopword ratios — the usual
     * heuristic filters in large-scale corpus cleaning).
     */

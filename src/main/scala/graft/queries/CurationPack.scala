@@ -24,6 +24,38 @@ object CurationPack extends QueryPack {
   private def hex32Sql(s: String) =
     s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
 
+  /** Unrolled BPE training CTEs (3 merges): wf = corpus word frequencies;
+    * wR = padded double-space symbol strings after merge R (replace is the
+    * same greedy left-to-right non-overlapping pass as the Spark fold);
+    * mR = round-R winner by (count desc, pair asc).
+    */
+  private lazy val bpeCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wf AS (
+              |  SELECT word, COUNT(*) AS freq FROM (
+              |    SELECT unnest($wordsSql) AS word FROM documents)
+              |  WHERE length(word) > 0 GROUP BY word),
+              |w0 AS (
+              |  SELECT word, freq,
+              |    ' ' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i:i]), '  ') || ' ' AS s
+              |  FROM wf)""".stripMargin
+    for (r <- 1 to 3) {
+      sb ++= s""",
+                |p$r AS (
+                |  SELECT l[i + 1] AS a, l[i + 2] AS b, SUM(freq) AS c
+                |  FROM (SELECT string_split(trim(s), '  ') AS l, freq FROM w${r - 1}),
+                |    UNNEST(range(len(l) - 1)) AS t(i)
+                |  GROUP BY 1, 2),
+                |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+                |w$r AS (
+                |  SELECT word, freq,
+                |    replace(s, ' ' || (SELECT a FROM m$r) || '  ' || (SELECT b FROM m$r) || ' ',
+                |      ' ' || (SELECT a FROM m$r) || (SELECT b FROM m$r) || ' ') AS s
+                |  FROM w${r - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // per-domain cap: best 10 docs of each source by (n_chars desc, doc_id)
@@ -74,6 +106,46 @@ object CurationPack extends QueryPack {
     "q145_dup_spans" -> ((s, d) => {
       Dedup.duplicateSpanSignals(Tables.documentsSpread(s, d), k = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style bigram-LM quality scoring: add-one-smoothed counts from
+    // the salt-"lm" quarter sample, every doc scored by average bigram
+    // log-probability (1e-4 fixed-point log terms -> exact BIGINT sums)
+    "q147_lm_score" -> ((s, d) => {
+      TextAnalysis.lmScore(Tables.documents(s, d), trainFraction = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // normalization-invariant exact dedup: case/punctuation/whitespace-
+    // insensitive content hash, smallest id survives
+    "q148_norm_dedup" -> ((s, d) => {
+      Dedup.normalizedExact(Tables.documents(s, d))
+        .orderBy(col("keep_id"))
+    }),
+
+    // corpus-wide heavy-hitter 5-grams on the salt-"hh" half sample: the
+    // boilerplate-mining list (TakeOrderedAndProject top-k, no full sort)
+    "q149_heavy_hitters" -> ((s, d) => {
+      TextAnalysis.heavyHitterGrams(Tables.documents(s, d), k = 5,
+        topK = 20, sampleFraction = 0.5)
+        .orderBy(col("rank"))
+    }),
+
+    // BPE merge training: 3 merges learned from the corpus word-frequency
+    // table (exact integer counts; ties pair-ascending)
+    "q151_bpe_train" -> ((s, d) => {
+      TextAnalysis.bpeTrain(Tables.documents(s, d), numMerges = 3)
+        .orderBy(col("rank"))
+    }),
+
+    // tokenize the corpus with the freshly-trained merges: per-doc word
+    // and piece counts (the merge rules are the collected 3-row model)
+    "q152_bpe_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, numMerges = 3)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegment(docs, merges).orderBy(col("doc_id"))
     })
   )
 
@@ -162,6 +234,78 @@ object CurationPack extends QueryPack {
         |SELECT a.vec_id, a.cid AS centroid_id FROM a
         |WHERE a.vec_id NOT IN (SELECT id_b FROM dropped)
         |ORDER BY a.vec_id""".stripMargin,
+
+    "q147_lm_score" -> {
+      val bi2 = shinglesSql("w", 2)
+      s"""WITH tr AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hex32Sql("'lm:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}),
+         |trw AS (SELECT doc_id, $wordsSql AS w FROM tr),
+         |trbi AS (SELECT unnest($bi2) AS g FROM trw),
+         |big AS (SELECT g, COUNT(*) AS c2 FROM trbi GROUP BY g),
+         |pre AS (SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS c1 FROM trbi GROUP BY 1),
+         |voc AS (
+         |  SELECT COUNT(DISTINCT t) AS v FROM (
+         |    SELECT unnest($wordsSql) AS t FROM tr) WHERE length(t) > 0),
+         |dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |db AS (SELECT doc_id, unnest($bi2) AS g FROM dw),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    CAST(FLOOR(ln((COALESCE(b.c2, 0) + 1.0) /
+         |      (COALESCE(p.c1, 0) + voc.v)) * 1e4 + 0.5) AS BIGINT) AS lp4
+         |  FROM db d
+         |  LEFT JOIN big b ON d.g = b.g
+         |  LEFT JOIN pre p ON string_split(d.g, ' ')[1] = p.w1, voc)
+         |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp4) AS BIGINT) AS sum_lp4,
+         |  FLOOR(CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 1e4) * 1e6 + 0.5) / 1e6 AS avg_logprob
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q148_norm_dedup" ->
+      s"""SELECT md5(array_to_string($wordsSql, ' ')) AS norm_hash,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q149_heavy_hitters" -> {
+      val g5 = shinglesSql("w", 5)
+      s"""WITH tr AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hex32Sql("'hh:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.5 * 4294967296.0)}),
+         |w AS (SELECT doc_id, $wordsSql AS w FROM tr),
+         |g AS (SELECT unnest($g5) AS gram FROM w),
+         |c AS (SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1)
+         |SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, gram) AS rank,
+         |  gram, n_occurrences
+         |FROM c ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin
+    },
+
+    "q151_bpe_train" ->
+      s"""$bpeCtes
+         |SELECT * FROM (${(1 to 3).map(r =>
+             s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_count FROM m$r")
+             .mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin,
+
+    "q152_bpe_segment" -> {
+      // the full merge chain as one nested replace over the padded
+      // double-space symbol string; merge literals come from the same
+      // m1..m3 CTEs (one scalar row cross-joined in)
+      val charsOf =
+        "' ' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i:i]), '  ') || ' '"
+      val chain = (1 to 3).foldLeft(charsOf) { (acc, r) =>
+        s"replace($acc, ' ' || mm.a$r || '  ' || mm.b$r || ' ', ' ' || mm.a$r || mm.b$r || ' ')"
+      }
+      s"""$bpeCtes,
+         |mm AS (SELECT ${(1 to 3).map(r =>
+             s"(SELECT a FROM m$r) AS a$r, (SELECT b FROM m$r) AS b$r").mkString(", ")}),
+         |sel AS (
+         |  SELECT doc_id, list_filter($wordsSql, w -> length(w) > 0) AS wl
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(list_sum(list_transform(wl, word ->
+         |    len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_pieces
+         |FROM sel, mm ORDER BY doc_id""".stripMargin
+    },
 
     "q145_dup_spans" ->
       """WITH toks AS (

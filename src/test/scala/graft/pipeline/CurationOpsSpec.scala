@@ -166,4 +166,72 @@ class CurationOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sig === Array((1L, 2L, 16L), (2L, 1L, 8L)))
   }
+
+  test("lmScore: in-distribution text outscores gibberish; n_bigrams = tokens - 1") {
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .unionAll(Seq((100L, "zxqv wkjh qpzm vbnx lkjs dfgh")).toDF("doc_id", "text"))
+    val out = TextAnalysis.lmScore(corpus, trainFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(0L)._1 === 8L, "9 tokens -> 8 bigrams")
+    assert(out(100L)._1 === 5L)
+    assert(out(0L)._2 > out(100L)._2,
+      s"common text must outscore gibberish: ${out(0L)._2} vs ${out(100L)._2}")
+    // every copy of the same text scores identically (fixed-point exactness)
+    assert(out(1L) === out(0L))
+  }
+
+  test("normalizedExact collapses case/punct/whitespace variants, keeps distinct texts") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO   world."),
+      (4L, "a different document")).toDF("doc_id", "text")
+    val out = Dedup.normalizedExact(docs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 3L, 4L -> 1L),
+      s"expected {1 -> 3 copies, 4 -> 1 copy}, got $out")
+  }
+
+  test("heavyHitterGrams ranks the planted boilerplate footer windows first") {
+    val footer = "subscribe to our newsletter for more updates today"
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, s"unique prose piece number $i about topic ${i * 3} . $footer"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitterGrams(corpus, k = 5, topK = 6)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the 8-word footer yields 4 distinct 5-gram windows, each 30x;
+    // ties at the same count break gram-ascending
+    assert(out.take(4).forall(_._3 === 30L), s"top-4 must be the footer windows: ${out.toSeq}")
+    assert(out.head._2 === "newsletter for more updates today")
+    assert(out(4)._3 < 30L, "rank 5 must fall back to organic grams")
+    assert(out.map(_._1).toSeq === (1L to 6L), "ranks are dense from 1")
+  }
+
+  test("bpeTrain learns the classic abab merges in order; counts are exact") {
+    // 10x "abab", 5x "abcd": pair counts round 1: (a,b)=25, (b,a)=10,
+    // (b,c)=5, (c,d)=5 -> merge ab. Round 2 symbols: ab|ab (10x), ab|c|d
+    // (5x): (ab,ab)=10, (ab,c)=5, (c,d)=5 -> merge abab. Round 3: (ab,c)=5
+    // beats (c,d)=5 on pair-ascending tiebreak.
+    val corpus = ((0 until 10).map(i => (i.toLong, "abab")) ++
+      (10 until 15).map(i => (i.toLong, "abcd"))).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(corpus, numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m === Array((1L, "a", "b", 25L), (2L, "ab", "ab", 10L),
+      (3L, "ab", "c", 5L)))
+    // segmentation with those merges: "abab" -> 1 piece, "abcd" -> abc|d = 2
+    val seg = TextAnalysis.bpeSegment(corpus,
+      m.map(t => (t._2, t._3)).toSeq)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(seg(0L) === ((1L, 1L)))
+    assert(seg(14L) === ((1L, 2L)))
+  }
+
+  test("bpeTrain stops early when the vocabulary runs out of pairs") {
+    val corpus = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(corpus, numMerges = 5).collect()
+    // round 1 merges (a,b) count 3; afterwards every word is one symbol
+    assert(m.length === 1)
+    assert(m(0).getString(1) === "a" && m(0).getString(2) === "b")
+  }
 }

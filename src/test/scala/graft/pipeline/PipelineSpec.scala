@@ -438,6 +438,45 @@ class PipelineSpec extends SparkTestBase {
     assert(want.exists(_._3 == 0), "fixture must contain identical-fingerprint pairs")
   }
 
+  test("ivfPqSearch: nprobe=1 searches only the query's cell; nprobe=2 reaches both") {
+    // two exact clusters at 0^8 and 10^8; centroids and codebooks sit on them,
+    // so ADC distances are exact: in-cell adist 0, cross-cell 2 * 4 * 100
+    val corpus = (0 until 6).map(i =>
+      (i.toLong, Seq.fill(8)(if (i % 2 == 0) 0.0 else 10.0)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq.fill(8)(0.0)), (1L, Seq.fill(8)(10.0)))
+      .toDF("centroid_id", "embedding")
+    val cb = Seq(
+      (0, 0L, Seq.fill(4)(0.0)), (0, 1L, Seq.fill(4)(10.0)),
+      (1, 0L, Seq.fill(4)(0.0)), (1, 1L, Seq.fill(4)(10.0)))
+      .toDF("sub", "code_id", "subvec")
+    val q = Seq((0L, Seq.fill(8)(0.0))).toDF("query_id", "embedding")
+    val near = Similarity.ivfPqSearch(corpus, cent, cb, q,
+      k = 6, m = 2, subDim = 4, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(near.map(_._2).toSet === Set(0L, 2L, 4L),
+      s"nprobe=1 must stay in the query's cell: ${near.toSeq}")
+    assert(near.forall(_._3 == 0.0))
+    val both = Similarity.ivfPqSearch(corpus, cent, cb, q,
+      k = 6, m = 2, subDim = 4, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(both.length === 6)
+    val far = both.filter(r => r._2 % 2 == 1)
+    assert(far.forall(_._3 == 800.0), s"cross-cell adist must be 800: ${far.toSeq}")
+    // ranks: all in-cell (adist 0, id-asc) before all cross-cell
+    assert(both.sortBy(_._4).map(_._2).toSeq === Seq(0L, 2L, 4L, 1L, 3L, 5L))
+  }
+
+  test("outlierFlags: far-from-every-centroid vectors flag, cluster members don't") {
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.1)), (2L, Seq(0.1, 0.0)), (3L, Seq(5.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(0.0, 0.0))).toDF("centroid_id", "embedding")
+    val out = Similarity.outlierFlags(corpus, cent, maxDist2 = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
   test("pqSearch ADC: zero-distance codes rank first, ties break on vec_id") {
     val vecs = (0 until 12).map { i =>
       val a = if (i % 2 == 0) 0.0 else 10.0

@@ -251,6 +251,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
   }
 
+  test("ivfPqSearch: LUT broadcasts, corpus joins stay keyed (no CartesianProduct)") {
+    val cent = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val cb = emb.filter(col("vec_id") % 40 === 2)
+      .select(col("vec_id").as("code_id"),
+        posexplode(transform(sequence(lit(0), lit(1)),
+          x => slice(col("embedding").cast("array<double>"), x * 8 + 1, lit(8))))
+          .as(Seq("sub", "subvec")))
+    val q = emb.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val plan = Similarity.ivfPqSearch(emb, cent, cb, q,
+      k = 3, m = 2, subDim = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"ADC LUT must broadcast:\n$plan")
+  }
+
+  test("heavyHitterGrams plans the top-k as TakeOrderedAndProject (no full sort)") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e x y z"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.heavyHitterGrams(docs, k = 5, topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+  }
+
   test("semanticDedup pair generation is a cell-id equi-join: no CartesianProduct") {
     val cent = emb.filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
