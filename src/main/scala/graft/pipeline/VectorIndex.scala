@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The IVF-PQ ANN index AT REST: [[Similarity.ivfPqSearch]] recomputes cell
+  * assignments and PQ codes per query batch; a real 100 TB deployment
+  * builds them ONCE and stores the index so query cost is independent of
+  * the raw corpus. The layout is deliberately plain Spark:
+  *
+  *   - one parquet dataset of (vec_id, sub, code_id), PARTITIONED BY
+  *     centroid_id — each inverted list is a partition directory, so a
+  *     query that probes `nprobe` cells reads only those directories
+  *     (Spark's dynamic partition pruning fires on the cell equi-join:
+  *     partition-column join key + broadcastable probe side);
+  *   - centroids and codebooks ride along as small side tables (they are
+  *     the model — k x dims and m x k x subDim doubles).
+  *
+  * Search then never touches a raw corpus vector: candidates stream out of
+  * the probed partitions as m-code rows and are scored against the
+  * per-query broadcast ADC LUT, exactly the [[Similarity.pqSearch]]
+  * arithmetic (6-decimal-rounded LUT entries, exact DECIMAL sums,
+  * id-ascending ties) — so at-rest results match the recompute path
+  * bit-for-bit.
+  */
+object VectorIndex {
+
+  /** The index rows: every corpus vector's cell assignment joined with its
+    * m PQ codes — (vec_id, centroid_id, sub, code_id). One ivfAssign pass
+    * (broadcast centroids) + one pqEncode pass (broadcast codebooks) and a
+    * single id-keyed equi-join.
+    */
+  def buildIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      m: Int, subDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cells = Similarity.ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(idCol), col(centroidIdCol))
+    val codes = Similarity.pqEncode(corpus, codebooks, m, subDim, idCol, vecCol)
+      .select(col(idCol), col("sub"), col("code_id"))
+    cells.join(codes, Seq(idCol))
+      .select(col(idCol), col(centroidIdCol), col("sub"), col("code_id"))
+  }
+
+  /** Persist the index partitioned by cell: one directory per inverted
+    * list. Overwrite semantics (rebuilds replace the index atomically at
+    * the path level).
+    */
+  def writeIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      m: Int, subDim: Int, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): Unit =
+    buildIndex(corpus, centroids, codebooks, m, subDim, idCol, vecCol, centroidIdCol)
+      .write.mode("overwrite").partitionBy(centroidIdCol).parquet(path)
+
+  /** Read the at-rest index back. The partition column comes back typed by
+    * directory-name inference (int); it is cast back to long so the probe
+    * join key matches the centroid table exactly.
+    */
+  def readIndex(spark: SparkSession, path: String,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn(centroidIdCol, col(centroidIdCol).cast("long"))
+  }
+
+  /** ANN search against the stored index: nprobe nearest cells per query
+    * (tiny broadcast-centroid argsort), ONE equi-join of the probe list
+    * against the partitioned index on the PARTITION column — only the
+    * probed directories are scanned — then ADC scoring through the
+    * broadcast per-query LUT and a per-query top-k. Identical semantics
+    * (and oracle) to [[Similarity.ivfPqSearch]].
+    */
+  def searchIndex(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, k: Int, m: Int, subDim: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cent = centroids.select(col(centroidIdCol),
+      col(vecCol).cast("array<double>").as("__c"))
+    val qDist2 = aggregate(zip_with(col("__qv"), col("__c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val probes = queries
+      .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .crossJoin(broadcast(cent))
+      .filter(Similarity.sameWidth(col("__qv"), col("__c"), "searchIndex"))
+      .withColumn("__d", qDist2)
+      .groupBy(col(queryIdCol))
+      .agg(slice(array_sort(collect_list(struct(col("__d"), col(centroidIdCol)))),
+        1, nprobe).as("__cells"))
+      .select(col(queryIdCol), explode(col("__cells")).as("__cell"))
+      .select(col(queryIdCol), col(s"__cell.$centroidIdCol").as(centroidIdCol))
+    val slices = transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col(vecCol).cast("array<double>"), s * subDim + 1, lit(subDim)))
+    val qsub = queries.select(col(queryIdCol), posexplode(slices).as(Seq("sub", "__qv")))
+    val cb = codebooks.select(col("sub"), col("code_id"),
+      col("subvec").cast("array<double>").as("__cv"))
+    val dist2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val lut = qsub.join(cb, Seq("sub"))
+      .filter(Similarity.sameWidth(col("__qv"), col("__cv"), "searchIndex"))
+      .select(col(queryIdCol), col("sub"), col("code_id"),
+        TextAnalysis.round6(dist2).as("__d"))
+    val scored = index.join(broadcast(probes), Seq(centroidIdCol))
+      .join(broadcast(lut), Seq(queryIdCol, "sub", "code_id"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__d").cast("decimal(28,6)")).cast("double").as("adist"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") === m).drop("__n")
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("adist"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, VectorIndex}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -175,6 +175,28 @@ object CorpusPack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // the same IVF+PQ search AT REST: build the index once, persist it
+    // partitioned by cell (one dir per inverted list), read back, search —
+    // must match q146's recompute path bit-for-bit (same oracle algebra)
+    "q153_ivf_pq_at_rest" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val centroids = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = corpus.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        math.abs(d.hashCode).toString
+      VectorIndex.writeIndex(corpus, centroids, cb, m = 4, subDim = 16, path)
+      VectorIndex.searchIndex(VectorIndex.readIndex(s, path), centroids, cb,
+        queries, k = 5, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // product-quantization TRAIN on a deterministic half-corpus sample
     // (hashSample salt "pq") — codebooks are the final-assignment means;
     // exploded to scalar rows for hashing
@@ -342,52 +364,10 @@ object CorpusPack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
            |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       },
-      "q146_ivf_pq_search" -> {
-        def subD2(a: String, sub: String) = r6(
-          s"""list_sum(list_transform(range(0, 16), i ->
-             |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE)) *
-             |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE))))""".stripMargin)
-        def d2(l: String, r: String) =
-          s"""list_sum(list_transform(range(0, 64), i ->
-             |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE)) *
-             |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE))))""".stripMargin
-        s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
-           |assign AS (
-           |  SELECT vec_id, centroid_id FROM (
-           |    SELECT e.vec_id, cc.centroid_id,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e", "cc")}, cc.centroid_id) AS rn
-           |    FROM embeddings e, cent cc) WHERE rn = 1),
-           |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
-           |probes AS (
-           |  SELECT query_id, centroid_id FROM (
-           |    SELECT q.query_id, cc.centroid_id,
-           |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${d2("q", "cc")}, cc.centroid_id) AS rn
-           |    FROM q, cent cc) WHERE rn <= 2),
-           |cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id % 50 = 2),
-           |subs AS (SELECT unnest(range(0, 4)) AS sub),
-           |d AS (
-           |  SELECT e.vec_id, s.sub, c.code_id, ${subD2("e", "s.sub")} AS d2
-           |  FROM embeddings e, subs s, cb c),
-           |codes AS (
-           |  SELECT vec_id, sub, code_id FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
-           |    FROM d) WHERE rn = 1),
-           |lut AS (
-           |  SELECT q.query_id, s.sub, c.code_id, ${subD2("q", "s.sub")} AS dd
-           |  FROM q, subs s, cb c),
-           |cand AS (
-           |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
-           |scored AS (
-           |  SELECT ca.query_id, co.vec_id,
-           |    CAST(SUM(CAST(l.dd AS DECIMAL(28,6))) AS DOUBLE) AS adist
-           |  FROM cand ca
-           |  JOIN codes co ON co.vec_id = ca.vec_id
-           |  JOIN lut l ON l.query_id = ca.query_id AND l.sub = co.sub AND l.code_id = co.code_id
-           |  GROUP BY 1, 2 HAVING COUNT(*) = 4)
-           |SELECT query_id, vec_id, adist, rank FROM (
-           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
-           |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      },
+      "q146_ivf_pq_search" -> ivfPqOracle,
+      // the at-rest index stores exactly what the recompute path derives,
+      // so the oracle is identical
+      "q153_ivf_pq_at_rest" -> ivfPqOracle,
       "q150_outlier_flags" ->
         """WITH cent AS (
           |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
@@ -488,6 +468,57 @@ object CorpusPack extends QueryPack {
            |  ROW_NUMBER() OVER (PARTITION BY shard, seq_in_shard ORDER BY hv, doc_id) - 1 AS pos_in_seq
            |FROM sq ORDER BY shard, seq_in_shard, pos_in_seq""".stripMargin
     )
+  }
+
+  /** The IVF+PQ search mirror, shared by q146 (recompute) and q153 (at
+    * rest): probe the 2 nearest cells per query, score their members
+    * through the every-50th-vector codebooks' ADC LUT.
+    */
+  private lazy val ivfPqOracle: String = {
+    def subD2(a: String, sub: String) = r6(
+      s"""list_sum(list_transform(range(0, 16), i ->
+         |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE)) *
+         |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE))))""".stripMargin)
+    def d2(l: String, r: String) =
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE)) *
+         |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE))))""".stripMargin
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, cc.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e", "cc")}, cc.centroid_id) AS rn
+       |    FROM embeddings e, cent cc) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, cc.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${d2("q", "cc")}, cc.centroid_id) AS rn
+       |    FROM q, cent cc) WHERE rn <= 2),
+       |cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id % 50 = 2),
+       |subs AS (SELECT unnest(range(0, 4)) AS sub),
+       |d AS (
+       |  SELECT e.vec_id, s.sub, c.code_id, ${subD2("e", "s.sub")} AS d2
+       |  FROM embeddings e, subs s, cb c),
+       |codes AS (
+       |  SELECT vec_id, sub, code_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
+       |    FROM d) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.query_id, s.sub, c.code_id, ${subD2("q", "s.sub")} AS dd
+       |  FROM q, subs s, cb c),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+       |scored AS (
+       |  SELECT ca.query_id, co.vec_id,
+       |    CAST(SUM(CAST(l.dd AS DECIMAL(28,6))) AS DOUBLE) AS adist
+       |  FROM cand ca
+       |  JOIN codes co ON co.vec_id = ca.vec_id
+       |  JOIN lut l ON l.query_id = ca.query_id AND l.sub = co.sub AND l.code_id = co.code_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) = 4)
+       |SELECT query_id, vec_id, adist, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   // mirrors TextAnalysis.tokenCount

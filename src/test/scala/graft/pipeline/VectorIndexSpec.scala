@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF-PQ index: layout round-trip, bit-for-bit parity with
+  * the recompute path, and the partition-pruned probe join.
+  */
+class VectorIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = (1 to 200).map(i =>
+    (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.37 + d * 1.7))))
+    .toDF("vec_id", "embedding")
+  private lazy val cent = emb.filter(col("vec_id") % 40 === 1)
+    .select(col("vec_id").as("centroid_id"), col("embedding"))
+  private lazy val cb = emb.filter(col("vec_id") % 25 === 2)
+    .select(col("vec_id").as("code_id"),
+      posexplode(transform(sequence(lit(0), lit(1)),
+        x => slice(col("embedding").cast("array<double>"), x * 8 + 1, lit(8))))
+        .as(Seq("sub", "subvec")))
+  private lazy val queries = emb.filter(col("vec_id") % 50 === 0)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  private def tmpPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"vidx_$tag").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  test("at-rest search matches the recompute path bit-for-bit") {
+    val path = tmpPath("parity")
+    VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
+    val atRest = VectorIndex.searchIndex(VectorIndex.readIndex(spark, path),
+      cent, cb, queries, k = 4, m = 2, subDim = 8, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val recompute = Similarity.ivfPqSearch(emb, cent, cb, queries,
+      k = 4, m = 2, subDim = 8, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(atRest === recompute)
+    assert(atRest.nonEmpty)
+  }
+
+  test("index layout: one partition directory per cell; codes only, no raw vectors") {
+    val path = tmpPath("layout")
+    VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(dirs.nonEmpty, "expected centroid_id= partition directories")
+    val idx = VectorIndex.readIndex(spark, path)
+    assert(idx.columns.sorted.toSeq === Seq("centroid_id", "code_id", "sub", "vec_id"),
+      s"index must store codes only, got ${idx.columns.toSeq}")
+    // m code rows per vector
+    assert(idx.count() === emb.count() * 2)
+  }
+
+  test("probe join prunes to the probed cells (runtime or static partition filter)") {
+    val path = tmpPath("prune")
+    VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
+    val idx = VectorIndex.readIndex(spark, path)
+    // a static one-cell filter must prune the file scan to one directory
+    val oneCell = cent.limit(1).select("centroid_id").as[Long].head()
+    val scan = idx.filter(col("centroid_id") === oneCell)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("centroid_id"),
+      s"static cell filter must reach PartitionFilters:\n$scan")
+    // the search plan joins the index on the partition column with a
+    // broadcast probe side — no shuffle of the index, no cartesian product
+    val plan = VectorIndex.searchIndex(idx, cent, cb, queries,
+      k = 3, m = 2, subDim = 8, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$plan")
+  }
+}
