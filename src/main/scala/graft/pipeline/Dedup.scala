@@ -594,22 +594,38 @@ object Dedup {
     * the ~2^-64 collision odds (swap `__gram` for `xxhash64(__gram)` at
     * the groupBy/join — same plan shape, 6-8x narrower shuffle).
     */
-  def duplicateSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    require(k >= 2, s"window must be at least 2 tokens, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val parts = col("__w") +: (1 until k).map(o => lead(col("__w"), o).over(wDoc))
-    // raw whitespace tokens (not the normalized words()): exact substring
-    // dedup is about verbatim repetition, so case/punctuation must count
-    val wins = docs
+  /** Raw whitespace-token rows (id, __pos, __w) — verbatim tokens, not the
+    * normalized [[words]]: exact substring dedup is about verbatim
+    * repetition, so case/punctuation must count.
+    */
+  private def rawTokenRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__w")))
+
+  /** k-token window rows (id, __s, __gram) over the raw tokens — the
+    * shared window assembly of [[duplicateSpans]] and
+    * [[removeDuplicateSpans]] (lead-composed, linear work, one per-doc
+    * window sort).
+    */
+  private def windowRows(docs: DataFrame, k: Int, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = col("__w") +: (1 until k).map(o => lead(col("__w"), o).over(wDoc))
+    rawTokenRows(docs, textCol, idCol)
       .withColumn("__last", lead(col("__w"), k - 1).over(wDoc))
       .withColumn("__gram", concat_ws(" ", parts: _*))
       .filter(col("__last").isNotNull)
       .select(col(idCol), col("__pos").as("__s"), col("__gram"))
+  }
+
+  def duplicateSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowRows(docs, k, textCol, idCol)
     val dup = wins.groupBy(col("__gram"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select("__gram")
@@ -639,6 +655,66 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_tokens")).as("dup_tokens"))
+
+  /** The REWRITE half of substring dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): remove every
+    * corpus-repeated k-token window from every document EXCEPT its
+    * globally-first occurrence, and rebuild the text. The canonical
+    * occurrence of a window is the minimum (doc_id, position) — a
+    * deterministic, engine-portable choice — and a token survives if it is
+    * outside every duplicated window, or covered by a KEPT (canonical)
+    * window (keep wins over remove on overlap, so the canonical copy is
+    * never mutilated by a neighboring span).
+    *
+    * Shape at scale: window assembly is [[windowRows]] (linear, one
+    * per-doc sort); the duplicate gate + canonical pick is ONE keyed
+    * aggregation on the gram (count + struct-min, partial map-side); the
+    * k-fold position explode is bounded by k x windows; removal is a
+    * keyed anti-join on (doc, position); reassembly sorts only within a
+    * document (array_sort over the doc's surviving tokens — bounded by
+    * document length, no corpus-wide window). Same 64-bit-hash note as
+    * [[duplicateSpans]] for the gram shuffle at 100 TB.
+    * Output: every input doc as (id, clean_text, n_removed_tokens);
+    * clean_text = '' when everything was removed or the doc was empty.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    val wins = windowRows(docs, k, textCol, idCol)
+    val g = wins.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("__s"))).as("__first"))
+      .filter(col("__n") > 1)
+      .select(col("__gram"), col("__first"))
+    val marked = wins.join(g, Seq("__gram"))
+      .select(col(idCol), col("__s"),
+        (col(idCol) === col("__first")(idCol) &&
+          col("__s") === col("__first")("__s")).as("__keep"))
+    // token positions covered by a duplicated window, net of keep-priority
+    val rm = marked
+      .select(col(idCol), col("__keep"),
+        explode(sequence(col("__s"), col("__s") + k - 1)).as("__p"))
+      .groupBy(col(idCol), col("__p"))
+      .agg(max(col("__keep").cast("int")).as("__anyKeep"))
+      .filter(col("__anyKeep") === 0)
+      .select(col(idCol), col("__p"))
+    val toks = rawTokenRows(docs, textCol, idCol)
+    val kept = toks.join(rm,
+      toks(idCol) === rm(idCol) && toks("__pos") === rm("__p"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s("__w"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val totals = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__total"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .cast("long").as("n_removed_tokens"))
+  }
 
   /** Near-duplicate clusters from a candidate-pair table: connected
     * components labeled by the minimum doc id in each component — the stage

@@ -138,6 +138,13 @@ object CurationPack extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // substring-dedup REWRITE: strip every corpus-repeated 8-token window
+    // except its globally-first occurrence, rebuild the text
+    "q154_remove_dup_spans" -> ((s, d) => {
+      Dedup.removeDuplicateSpans(Tables.documentsSpread(s, d), k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // tokenize the corpus with the freshly-trained merges: per-doc word
     // and piece counts (the merge rules are the collected 3-row model)
     "q152_bpe_segment" -> ((s, d) => {
@@ -306,6 +313,44 @@ object CurationPack extends QueryPack {
          |    len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_pieces
          |FROM sel, mm ORDER BY doc_id""".stripMargin
     },
+
+    "q154_remove_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS INT) AS s, array_to_string(t[i+1:i+8], ' ') AS gram
+        |  FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |mk AS (
+        |  SELECT doc_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gram) AS n
+        |  FROM wins),
+        |marked AS (SELECT doc_id, s, rn = 1 AS keep FROM mk WHERE n > 1),
+        |pos AS (
+        |  SELECT doc_id, s + j AS p, keep
+        |  FROM marked, UNNEST(range(8)) AS t2(j)),
+        |rm AS (
+        |  SELECT doc_id, p FROM pos GROUP BY doc_id, p
+        |  HAVING MAX(CASE WHEN keep THEN 1 ELSE 0 END) = 0),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS INT) AS p, t[i + 1] AS w
+        |  FROM toks, UNNEST(range(len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |  LEFT JOIN rm ON rm.doc_id = tok.doc_id AND rm.p = tok.p
+        |  WHERE rm.p IS NULL),
+        |reb AS (
+        |  SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS clean_text,
+        |    COUNT(*) AS kept_n
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(t) AS total FROM toks)
+        |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(tot.total, 0) - COALESCE(reb.kept_n, 0) AS BIGINT) AS n_removed_tokens
+        |FROM documents d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q145_dup_spans" ->
       """WITH toks AS (

@@ -227,6 +227,40 @@ class CurationOpsSpec extends SparkTestBase {
     assert(seg(14L) === ((1L, 2L)))
   }
 
+  test("removeDuplicateSpans keeps the globally-first occurrence, strips the rest") {
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"$shared alpha beta gamma"),
+      (2L, s"prefix word list here $shared"),
+      (3L, "no repeats in this document at all today friends")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, s"$shared alpha beta gamma", 0L)),
+      "doc 1 is canonical — untouched")
+    assert(out(1) === ((2L, "prefix word list here", 8L)),
+      "doc 2 loses the repeated sentence")
+    assert(out(2) === ((3L, "no repeats in this document at all today friends", 0L)))
+  }
+
+  test("removeDuplicateSpans: a fully-duplicated doc empties; within-doc repeats keep first") {
+    val eight = "a b c d e f g h"
+    val corpus = Seq(
+      (1L, eight),
+      (2L, eight),
+      (3L, s"$eight $eight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, eight, 0L)), "canonical copy survives")
+    assert(out(1) === ((2L, "", 8L)), "exact later copy empties")
+    // doc 3: every window (incl. those spanning the seam) is duplicated or
+    // repeated; nothing in doc 3 is the global first, so it empties too
+    assert(out(2) === ((3L, "", 16L)))
+  }
+
   test("bpeTrain stops early when the vocabulary runs out of pairs") {
     val corpus = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
     val m = TextAnalysis.bpeTrain(corpus, numMerges = 5).collect()
