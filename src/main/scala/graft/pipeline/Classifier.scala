@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training of a linear quality classifier — the
+  * fastText-style model gate (CCNet / RedPajama / FineWeb pipelines score
+  * documents with a small trained classifier, not just hand rules). Full-
+  * batch logistic regression: the corpus never leaves executors; each
+  * iteration is ONE aggregation job (k+1 gradient sums + the row count,
+  * partial map-side), and the weight vector — the model, k+1 doubles — is
+  * the only thing the driver ever holds, exactly like k-means centroids.
+  *
+  * Determinism contract (same conventions as [[Similarity.kmeansTrain]]):
+  * features are 6-decimal-snapped on entry; the sigmoid is snapped to the
+  * 6-decimal grid BEFORE the gradient product; per-row gradient terms are
+  * snapped and then summed in exact DECIMAL(28,6) (fold-order-free); the
+  * weight update runs the identical IEEE expression driver-side. The whole
+  * training trace is therefore reproducible bit-for-bit on any engine —
+  * and oracle-mirrorable as unrolled SQL.
+  */
+object Classifier {
+
+  private def round6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Train logistic-regression weights over `featureCols` (+ an implicit
+    * bias term) against the 0/1 `labelCol`. Full-batch gradient descent:
+    * w_j <- round6(w_j - lr * g_j / n) with
+    * g_j = Σ_rows round6((σ(w·x) - y) * x_j) summed in exact decimal.
+    * Output: (feature_idx, feature, weight), bias last.
+    */
+  def logisticTrain(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      iters: Int = 2, lr: Double = 1.0): DataFrame = {
+    require(iters >= 1, s"logisticTrain: iters must be >= 1, got $iters")
+    require(featureCols.nonEmpty, "logisticTrain: need at least one feature")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df.select(
+      featureCols.map(c => TextAnalysis.round6(col(c).cast("double")).as(c)) ++
+        Seq(lit(1.0).as("__bias"), col(labelCol).cast("double").as("__y")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val names = featureCols :+ "__bias"
+    try {
+      var w = Array.fill(names.size)(0.0)
+      for (_ <- 1 to iters) {
+        val z = names.zipWithIndex
+          .map { case (c, j) => col(c) * lit(w(j)) }
+          .reduceLeft(_ + _) // fixed left-to-right fold — mirrored in SQL
+        val sigma = TextAnalysis.round6(lit(1.0) / (lit(1.0) + exp(-z)))
+        val gradCols = names.zipWithIndex.map { case (c, j) =>
+          sum(TextAnalysis.round6((sigma - col("__y")) * col(c))
+            .cast("decimal(28,6)")).cast("double").as(s"__g$j")
+        }
+        val row = feats.agg(count(lit(1)).as("__n"), gradCols: _*).collect()(0)
+        val n = row.getLong(0)
+        require(n > 0, "logisticTrain: empty training frame")
+        w = w.indices.map(j =>
+          round6d(w(j) - lr * row.getDouble(j + 1) / n)).toArray
+      }
+      names.zipWithIndex
+        .map { case (c, j) => (j.toLong, c, w(j)) }
+        .toDF("feature_idx", "feature", "weight")
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** Apply trained weights: per-row 6-decimal-snapped sigmoid score — a
+    * stateless codegen'd projection (the inference half; weights are
+    * literals, no join). `weights` must cover every feature plus
+    * `__bias`, in the training order.
+    */
+  def logisticScore(df: DataFrame, weights: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "logisticScore: empty weight vector")
+    val z = weights.map { case (c, wj) =>
+      (if (c == "__bias") lit(1.0)
+       else TextAnalysis.round6(col(c).cast("double"))) * lit(wj)
+    }.reduceLeft(_ + _)
+    df.select(col(idCol),
+      TextAnalysis.round6(lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, Sampling, TextAnalysis}
+import graft.pipeline.{Classifier, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,62 @@ object CurationPack extends QueryPack {
        |  ELSE [] END""".stripMargin
   private def hex32Sql(s: String) =
     s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
+
+  /** The q155/q156 training frame: doc shape features (6-dec-snapped by
+    * qualityFeatures / here) + the is-English label.
+    */
+  private def classifierFeatures(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(s, d))
+      .withColumn("f_len",
+        TextAnalysis.round6(col("n_chars").cast("double") / 1000.0))
+      .withColumn("is_en", (col("lang") === "en").cast("double"))
+
+  // mirrors TextAnalysis.tokenCount (same string as CorpusPack)
+  private val nTokensSql =
+    """CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+
+  /** Unrolled 2-iteration logistic-GD CTEs over the q155 features: f =
+    * snapped features + label; iteration 1 has sigma exactly 0.5 (w = 0);
+    * w1/w2 = single-row weight tables after each update. Every double op
+    * mirrors the Spark trace operator-for-operator (left-assoc z fold,
+    * snapped sigma, snapped per-row gradient terms, exact DECIMAL sums,
+    * snapped update).
+    */
+  private lazy val logisticCtes: String = {
+    def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+    val fLen = r6("CAST(length(text) AS DOUBLE) / 1000.0")
+    val punct = r6("CAST(length(regexp_replace(text, '[^.,;:!?''\"()]', '', 'g')) AS DOUBLE) / length(text)")
+    val mwl = r6(s"CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / GREATEST($nTokensSql, 1)")
+    def gsum(sg: String, x: String) =
+      s"CAST(SUM(CAST(${r6(s"($sg - y) * $x")} AS DECIMAL(28,6))) AS DOUBLE)"
+    val z2 = "x0 * w1.w0 + x1 * w1.w1 + x2 * w1.w2 + x3 * w1.w3"
+    s"""WITH f AS (
+       |  SELECT doc_id, $fLen AS x0, $punct AS x1, $mwl AS x2, 1.0 AS x3,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |g1 AS (
+       |  SELECT COUNT(*) AS n, ${gsum("0.5", "x0")} AS g0, ${gsum("0.5", "x1")} AS g1,
+       |    ${gsum("0.5", "x2")} AS g2, ${gsum("0.5", "x3")} AS g3
+       |  FROM f),
+       |w1 AS (
+       |  SELECT ${r6("0.0 - 1.0 * g0 / n")} AS w0, ${r6("0.0 - 1.0 * g1 / n")} AS w1,
+       |    ${r6("0.0 - 1.0 * g2 / n")} AS w2, ${r6("0.0 - 1.0 * g3 / n")} AS w3
+       |  FROM g1),
+       |s2 AS (
+       |  SELECT f.*, ${r6(s"1.0 / (1.0 + exp(-($z2)))")} AS sg
+       |  FROM f, w1),
+       |g2t AS (
+       |  SELECT COUNT(*) AS n, ${gsum("sg", "x0")} AS g0, ${gsum("sg", "x1")} AS g1,
+       |    ${gsum("sg", "x2")} AS g2, ${gsum("sg", "x3")} AS g3
+       |  FROM s2),
+       |w2 AS (
+       |  SELECT ${r6("w1.w0 - 1.0 * g2t.g0 / g2t.n")} AS w0,
+       |    ${r6("w1.w1 - 1.0 * g2t.g1 / g2t.n")} AS w1,
+       |    ${r6("w1.w2 - 1.0 * g2t.g2 / g2t.n")} AS w2,
+       |    ${r6("w1.w3 - 1.0 * g2t.g3 / g2t.n")} AS w3
+       |  FROM w1, g2t)""".stripMargin
+  }
 
   /** Unrolled BPE training CTEs (3 merges): wf = corpus word frequencies;
     * wR = padded double-space symbol strings after merge R (replace is the
@@ -136,6 +192,27 @@ object CurationPack extends QueryPack {
     "q151_bpe_train" -> ((s, d) => {
       TextAnalysis.bpeTrain(Tables.documents(s, d), numMerges = 3)
         .orderBy(col("rank"))
+    }),
+
+    // distributed logistic-regression training (the fastText-style quality
+    // classifier gate): 2 full-batch GD iterations over shape features,
+    // label = is-English; exact fixed-point trace
+    "q155_logistic_train" -> ((s, d) => {
+      Classifier.logisticTrain(classifierFeatures(s, d),
+        Seq("f_len", "punct_ratio", "mean_word_len"), "is_en",
+        iters = 2, lr = 1.0)
+        .orderBy(col("feature_idx"))
+    }),
+
+    // inference with the freshly-trained weights: per-doc snapped sigmoid
+    "q156_logistic_score" -> ((s, d) => {
+      val f = classifierFeatures(s, d)
+      val wts = Classifier.logisticTrain(f,
+        Seq("f_len", "punct_ratio", "mean_word_len"), "is_en",
+        iters = 2, lr = 1.0)
+        .orderBy(col("feature_idx")).collect()
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq
+      Classifier.logisticScore(f, wts).orderBy(col("doc_id"))
     }),
 
     // substring-dedup REWRITE: strip every corpus-repeated 8-token window
@@ -313,6 +390,21 @@ object CurationPack extends QueryPack {
          |    len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_pieces
          |FROM sel, mm ORDER BY doc_id""".stripMargin
     },
+
+    "q155_logistic_train" ->
+      s"""$logisticCtes
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS feature_idx, 'f_len' AS feature, w0 AS weight FROM w2
+         |  UNION ALL SELECT 1, 'punct_ratio', w1 FROM w2
+         |  UNION ALL SELECT 2, 'mean_word_len', w2.w2 FROM w2
+         |  UNION ALL SELECT 3, '__bias', w3 FROM w2)
+         |ORDER BY feature_idx""".stripMargin,
+
+    "q156_logistic_score" ->
+      s"""$logisticCtes
+         |SELECT f.doc_id,
+         |  FLOOR((1.0 / (1.0 + exp(-(x0 * w2.w0 + x1 * w2.w1 + x2 * w2.w2 + x3 * w2.w3)))) * 1e6 + 0.5) / 1e6 AS score
+         |FROM f, w2 ORDER BY f.doc_id""".stripMargin,
 
     "q154_remove_dup_spans" ->
       """WITH toks AS (

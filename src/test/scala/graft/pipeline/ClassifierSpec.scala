@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // linearly separable: label = x > 0
+  private lazy val toy = (-50 until 50).map(i =>
+    (i.toLong, i / 10.0, if (i >= 0) 1.0 else 0.0)).toDF("doc_id", "x", "y")
+
+  test("logisticTrain learns a positive slope on separable data; trace is deterministic") {
+    val w = Classifier.logisticTrain(toy, Seq("x"), "y", iters = 5, lr = 1.0)
+      .orderBy("feature_idx").collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(w("x") > 0.0, s"slope must be positive: $w")
+    val w2 = Classifier.logisticTrain(toy, Seq("x"), "y", iters = 5, lr = 1.0)
+      .orderBy("feature_idx").collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(w === w2, "training must be bit-for-bit reproducible")
+  }
+
+  test("logisticScore is monotone in the learned direction and separates the classes") {
+    val wts = Classifier.logisticTrain(toy, Seq("x"), "y", iters = 10, lr = 2.0)
+      .orderBy("feature_idx").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val scores = Classifier.logisticScore(toy, wts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scores ordered by x must be non-decreasing (positive slope)
+    val ordered = (-50 until 50).map(i => scores(i.toLong))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+      "sigmoid of a positive-slope model must be monotone in x")
+    // mean score of positives above mean of negatives
+    val (pos, neg) = ((0 until 50).map(i => scores(i.toLong)),
+      (-50 until 0).map(i => scores(i.toLong)))
+    assert(pos.sum / pos.size > neg.sum / neg.size + 0.1)
+  }
+
+  test("gradient pass is one aggregation job over executors (no per-row collect)") {
+    // structural sanity: the training frame plan has no corpus-wide window
+    // and training leaves no cached frame behind
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Classifier.logisticTrain(toy, Seq("x"), "y", iters = 2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "training must unpersist its feature cache")
+  }
+}
