@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for every left row, the single right row with the largest
+  * right timestamp <= the left timestamp, per key (pandas `merge_asof`,
+  * kdb `aj`, DuckDB `ASOF JOIN`): the canonical point-in-time enrichment
+  * (trades->quotes, purchases->latest click, reading->latest calibration).
+  *
+  * Spark has no native as-of join; the scale-correct distributed form is
+  * the union-and-window trick, composed entirely from built-in operators
+  * (preference (a) of the custom-operator ladder): tag both inputs with a
+  * side bit, union them, and run ONE per-key ordered window in which each
+  * left row picks up `last(right payload, ignoreNulls)` over rows
+  * unbounded-preceding..current. Ordering by (ts, side) with right = 0
+  * makes an equal-timestamp right row visible to the left row (backward
+  * INCLUSIVE). Cost: one hash shuffle of |L| + |R| rows keyed by the join
+  * key plus a per-key sort — the same lower bound any merge-based as-of
+  * algorithm pays — with no product, no range-explode, no driver state.
+  *
+  * The right payload travels as ONE struct (its ts + the value columns),
+  * so a legitimately-NULL right value column can never mix rows: the
+  * window resolves the whole struct atomically.
+  *
+  * `toleranceNs`: matches older than the tolerance are nulled out (pandas
+  * `tolerance=`) — the match columns become NULL, the left row survives
+  * (left-join semantics).
+  *
+  * Determinism: multiple right rows sharing one (key, ts) are ambiguous by
+  * the as-of definition; pre-reduce the right side to one row per
+  * (key, ts) (e.g. struct-max by a sequence column) before joining —
+  * [[asOfJoin]] itself is deterministic whenever that uniqueness holds.
+  *
+  * Output: every left column, then `asof_ts` (matched right timestamp)
+  * and the requested right value columns (NULL when unmatched / out of
+  * tolerance).
+  */
+object AsOfJoin {
+
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, rightValueCols: Seq[String],
+      toleranceNs: Option[Long] = None): DataFrame = {
+    require(rightValueCols.nonEmpty, "asOfJoin: need at least one right value column")
+    val clash = rightValueCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty, s"asOfJoin: right value columns clash with left: $clash")
+
+    val leftCols = left.columns.toSeq
+    val rvStruct = struct(col(rightTsCol).as("__rts") +: rightValueCols.map(col): _*)
+    val rvType = right.select(rvStruct.as("__rv")).schema.head.dataType
+
+    val l = left.select(
+      leftCols.map(col) ++ Seq(col(leftTsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rvType).as("__rv")): _*)
+    val r = right.select(
+      leftCols.map(c =>
+        if (c == keyCol) col(keyCol)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"), rvStruct.as("__rv")): _*)
+
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched0 = last(col("__rv"), ignoreNulls = true).over(w)
+    val matched = toleranceNs match {
+      case Some(tol) =>
+        when(col("__ts").cast("long") - matched0("__rts").cast("long") <= tol, matched0)
+      case None => matched0
+    }
+    l.unionAll(r)
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        (col("__m")("__rts").as("asof_ts") +:
+          rightValueCols.map(c => col("__m")(c).as(c))): _*)
+  }
+}

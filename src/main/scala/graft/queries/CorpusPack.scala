@@ -127,6 +127,23 @@ object CorpusPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // AS-OF join (pandas merge_asof / kdb aj): every purchase matched to
+    // the user's latest click at-or-before it — union-and-window form, one
+    // keyed shuffle, no product (right side pre-reduced to one row per
+    // (user, ts) for determinism)
+    "q157_asof_join" -> ((s, d) => {
+      val e = Tables.eventsWithTs(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumnRenamed("ts", "click_ts")
+      graft.ops.AsOfJoin.asOfJoin(purchases, clicks, "user_id",
+        "ts", "click_ts", Seq("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // the full curation pipeline: quality gate -> language filter ->
     // end-to-end dedup ("raw corpus in, training corpus out")
     "q116_curate_corpus" -> ((s, d) => {
@@ -415,6 +432,17 @@ object CorpusPack extends QueryPack {
            |SELECT CAST(sub AS INT) AS sub, cid AS code_id, CAST(i AS INT) AS dim_i, mv AS cb_val
            |FROM mn ORDER BY sub, code_id, dim_i""".stripMargin
       },
+      "q157_asof_join" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+          |p AS (SELECT event_id, user_id, tsn AS ts FROM e WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, tsn AS click_ts, MAX(event_id) AS click_id
+          |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+          |SELECT p.event_id, p.user_id, p.ts, c.click_ts AS asof_ts, c.click_id
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+          |ORDER BY p.event_id""".stripMargin,
       "q110_attribution" ->
         """WITH e AS (
           |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L),
+    (4L, 20L, 50L), (5L, 20L, 400L)
+  ).toDF("event_id", "key", "ts")
+  private lazy val right = Seq(
+    (10L, 100L, "a"), (10L, 200L, "b"), (10L, 290L, "c"),
+    (20L, 399L, "x")
+  ).toDF("key", "rts", "tag")
+
+  test("backward inclusive: equal ts matches; latest at-or-before wins; no-match is NULL") {
+    val out = AsOfJoin.asOfJoin(left, right, "key", "ts", "rts", Seq("tag"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4))))
+    assert(out(0) === ((1L, Some(100L), Some("a"))), "equal timestamp is inclusive")
+    assert(out(1) === ((2L, Some(200L), Some("b"))))
+    assert(out(2) === ((3L, Some(290L), Some("c"))))
+    assert(out(3) === ((4L, None, None)), "left row before every right row")
+    assert(out(4) === ((5L, Some(399L), Some("x"))))
+  }
+
+  test("tolerance nulls out matches older than the window, keeps the left row") {
+    val out = AsOfJoin.asOfJoin(left, right, "key", "ts", "rts", Seq("tag"),
+      toleranceNs = Some(5L))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(out(0)._2 === Some(100L), "gap 0 is inside tolerance 5")
+    assert(out(1)._2 === Some(200L), "gap 5 is inside tolerance 5 (inclusive)")
+    assert(out(2)._2 === None, "gap 10 exceeds tolerance 5")
+    assert(out.length === 5, "left rows survive with NULL matches")
+  }
+
+  test("a NULL right value column cannot mix rows (struct travels atomically)") {
+    val r2 = Seq((10L, 100L, Some("a"), 1L), (10L, 200L, None, 2L))
+      .toDF("key", "rts", "tag", "seq")
+    val out = AsOfJoin.asOfJoin(
+      left.filter(col("event_id") === 2L), r2, "key", "ts", "rts",
+      Seq("tag", "seq"))
+      .collect()(0)
+    // ts=205 matches rts=200 whose tag is legitimately NULL — seq must be
+    // 2 (same row), never 1 (older row's value bleeding through)
+    assert(out.getLong(3) === 200L)
+    assert(out.isNullAt(4))
+    assert(out.getLong(5) === 2L)
+  }
+
+  test("plan: one keyed shuffle + per-key sort, no product") {
+    val plan = AsOfJoin.asOfJoin(left, right, "key", "ts", "rts", Seq("tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected union inputs to shuffle once by key:\n$plan")
+  }
+}
