@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Interval overlap join (the "range join"): all (left, right) pairs whose
+  * CLOSED intervals overlap — `l.start <= r.end && r.start <= l.end` —
+  * optionally per key. Spark's built-in answer to a range predicate is a
+  * product + filter (BroadcastNestedLoopJoin / CartesianProduct), which is
+  * the classic big-big scale killer; the standard distributed form bins
+  * the number line:
+  *
+  *   - each interval explodes to the bins it covers (`binSize`-wide,
+  *     integral division — bounded by interval length / binSize);
+  *   - candidate pairs meet through an EQUI-join on (key..., bin);
+  *   - the exact predicate filters, and each surviving pair is kept only
+  *     in the bin containing `greatest(l.start, r.start)` (the overlap
+  *     start) — that bin lies in both intervals' bin ranges and is unique,
+  *     so every pair is emitted EXACTLY once with no distinct pass.
+  *
+  * Pick `binSize` near the typical interval length: too small explodes
+  * rows, too large degrades selectivity (same tuning as the spatial grid
+  * join in [[SpatialJoin]], which is this operator in 2D).
+  *
+  * Output: every left column plus every non-key right column prefixed
+  * `rightPrefix`. Inner-join semantics (non-overlapping rows drop).
+  */
+object RangeJoin {
+
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binSize: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(binSize > 0, s"overlapJoin: binSize must be positive, got $binSize")
+    val r = right.columns.foldLeft(right)((df, c) =>
+      if (keyCols.contains(c)) df else df.withColumnRenamed(c, rightPrefix + c))
+    val rS = rightPrefix + rStart
+    val rE = rightPrefix + rEnd
+    def bins(s: String, e: String) =
+      explode(sequence(Bridge.integralDivide(col(s), lit(binSize)),
+        Bridge.integralDivide(col(e), lit(binSize))))
+    // degenerate (end < start) intervals can never overlap anything — and
+    // would make the bin sequence descend — so they drop here
+    val lBinned = left.filter(col(lEnd) >= col(lStart))
+      .withColumn("__bin", bins(lStart, lEnd))
+    val rBinned = r.filter(col(rE) >= col(rS))
+      .withColumn("__bin", bins(rS, rE))
+    lBinned.join(rBinned, keyCols :+ "__bin")
+      .filter(col(lStart) <= col(rE) && col(rS) <= col(lEnd))
+      .filter(col("__bin") ===
+        Bridge.integralDivide(greatest(col(lStart), col(rS)), lit(binSize)))
+      .drop("__bin")
+  }
+}

@@ -144,6 +144,22 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // binned interval overlap join (the range join): per-user click
+    // activity windows [ts, ts+2h] x view windows [ts, ts+2h] — co-active
+    // pairs meet through an equi-join on (user, 1-h bin), exact predicate,
+    // pair-once emission; no product
+    "q158_range_join" -> ((s, d) => {
+      val e = Tables.eventsWithTs(s, d)
+      val twoH = 7200L * 1000000000L
+      def windows(t: String) = e.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("start_ts"), (col("ts") + twoH).as("end_ts"))
+      graft.ops.RangeJoin.overlapJoin(windows("click"), windows("view"),
+        Seq("user_id"), "start_ts", "end_ts", "start_ts", "end_ts",
+        binSize = 3600L * 1000000000L)
+        .orderBy(col("event_id"), col("r_event_id"))
+    }),
+
     // the full curation pipeline: quality gate -> language filter ->
     // end-to-end dedup ("raw corpus in, training corpus out")
     "q116_curate_corpus" -> ((s, d) => {
@@ -432,6 +448,20 @@ object CorpusPack extends QueryPack {
            |SELECT CAST(sub AS INT) AS sub, cid AS code_id, CAST(i AS INT) AS dim_i, mv AS cb_val
            |FROM mn ORDER BY sub, code_id, dim_i""".stripMargin
       },
+      "q158_range_join" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+          |ci AS (
+          |  SELECT event_id, user_id, tsn AS start_ts, tsn + 7200000000000 AS end_ts
+          |  FROM e WHERE event_type = 'click'),
+          |vi AS (
+          |  SELECT event_id, user_id, tsn AS start_ts, tsn + 7200000000000 AS end_ts
+          |  FROM e WHERE event_type = 'view')
+          |SELECT ci.event_id, ci.user_id, ci.start_ts, ci.end_ts,
+          |  vi.event_id AS r_event_id, vi.start_ts AS r_start_ts, vi.end_ts AS r_end_ts
+          |FROM ci JOIN vi ON ci.user_id = vi.user_id
+          |  AND ci.start_ts <= vi.end_ts AND vi.start_ts <= ci.end_ts
+          |ORDER BY ci.event_id, r_event_id""".stripMargin,
       "q157_asof_join" ->
         """WITH e AS (
           |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
