@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Classifier, Dedup, Sampling, TextAnalysis}
+import graft.pipeline.{Classifier, Dedup, Sampling, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,17 @@ object CurationPack extends QueryPack {
     "q151_bpe_train" -> ((s, d) => {
       TextAnalysis.bpeTrain(Tables.documents(s, d), numMerges = 3)
         .orderBy(col("rank"))
+    }),
+
+    // bottom-theta distinct sketch: per-lang vocabulary size estimated
+    // from the 1/16 bottom-hash slice (the filter prunes 15/16 of token
+    // rows BEFORE the shuffle — sub-linear where exact distinct is not)
+    "q159_theta_distinct" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(Dedup.words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      Sketches.thetaDistinct(tok, Seq("lang"), "token", thetaInverse = 16)
+        .orderBy(col("lang"))
     }),
 
     // distributed logistic-regression training (the fastText-style quality
@@ -390,6 +401,17 @@ object CurationPack extends QueryPack {
          |    len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_pieces
          |FROM sel, mm ORDER BY doc_id""".stripMargin
     },
+
+    "q159_theta_distinct" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest($wordsSql) AS token FROM documents),
+         |t2 AS (
+         |  SELECT lang, token FROM tok
+         |  WHERE length(token) > 0
+         |    AND ${hex32Sql("'theta:' || token")} < ${math.round(4294967296.0 / 16)})
+         |SELECT lang, COUNT(DISTINCT token) AS sampled_distinct,
+         |  COUNT(DISTINCT token) * 16 AS estimated_distinct
+         |FROM t2 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q155_logistic_train" ->
       s"""$logisticCtes

@@ -261,6 +261,39 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out(2) === ((3L, "", 16L)))
   }
 
+  test("thetaDistinct: estimate lands near the exact distinct count, trace is deterministic") {
+    val keys = (0 until 20000).map(i => (i % 4, s"key_$i")).toDF("g", "k")
+    val est = Sketches.thetaDistinct(keys, Seq("g"), "k", thetaInverse = 16)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // each group holds 5000 distinct keys; theta^-1=16 -> stderr ~5.7%
+    est.foreach { case (g, e) =>
+      assert(math.abs(e - 5000L) < 1000, s"group $g estimate $e too far from 5000")
+    }
+    val est2 = Sketches.thetaDistinct(keys, Seq("g"), "k", thetaInverse = 16)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(est === est2)
+    // sketches merge: the union's estimate equals the sketch of the union
+    val half1 = keys.filter(col("k") < "key_5")
+    val half2 = keys.filter(col("k") >= "key_5")
+    val merged = Sketches.thetaDistinct(half1.unionAll(half2), Seq("g"), "k", 16)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(merged === est)
+  }
+
+  test("thetaDistinct prunes with the hash filter BEFORE the distinct shuffle") {
+    // spark.range keeps a real plan (a local Seq constant-folds away)
+    val keys = spark.range(1000).select((col("id") % 4).cast("int").as("g"),
+      concat(lit("key_"), col("id")).as("k"))
+    val plan = Sketches.thetaDistinct(keys, Seq("g"), "k", 16)
+      .queryExecution.executedPlan.toString
+    // the Filter must sit below the first Exchange in the plan text
+    // (executed plans print root-first, so below = later index)
+    val fi = plan.indexOf("Filter")
+    val ei = plan.indexOf("Exchange")
+    assert(fi > 0 && ei > 0 && fi > ei,
+      s"hash filter must be under the exchange (map-side prune):\n$plan")
+  }
+
   test("bpeTrain stops early when the vocabulary runs out of pairs") {
     val corpus = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
     val m = TextAnalysis.bpeTrain(corpus, numMerges = 5).collect()
