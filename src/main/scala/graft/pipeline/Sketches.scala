@@ -37,4 +37,57 @@ object Sketches {
       .withColumn("estimated_distinct",
         col("sampled_distinct") * thetaInverse.toLong)
   }
+
+  /** The two 32-bit md5 words of `salt:key` — the same Kirsch–Mitzenmacher
+    * double-hashing family as the MinHash/Bloom kernels: row j hashes to
+    * (w1 + j * w2) mod width.
+    */
+  private def hashWords(keyCol: String, salt: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val k = md5(concat(lit(salt + ":"), col(keyCol).cast("string")))
+    (conv(substring(k, 1, 8), 16, 10).cast("long"),
+      conv(substring(k, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Count-Min sketch BUILD: a depth x width grid of occurrence counts —
+    * the bounded-memory frequency summary (heavy-hitter estimation,
+    * per-key rate limiting) whose state is depth*width longs no matter
+    * how many distinct keys stream through. Each occurrence increments
+    * one bucket per row (bucket_j = (w1 + j*w2) mod width); the build is
+    * one keyed aggregation whose shuffle carries at most depth*width
+    * partial counts per map task, NOT the key stream. Deterministic:
+    * md5-derived buckets, integer counts — exactly mirrorable in SQL.
+    * Output: (j, bucket, c).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 3,
+      width: Int = 1024, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cmsBuild: bad grid ${depth}x$width")
+    val (w1, w2) = hashWords(keyCol, salt)
+    df.select(w1.as("__w1"), w2.as("__w2"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("__w1"), col("__w2"))
+      .select(col("j"), pmod(col("__w1") + col("j") * col("__w2"), lit(width.toLong)).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Count-Min PROBE: estimated occurrence count for each item = the
+    * minimum of its depth bucket counters (never an undercount; overcounts
+    * only by collisions, bounded by total/width per row w.h.p.). The
+    * sketch side is at most depth*width rows — it broadcasts; probing any
+    * number of items is a stateless equi-join + keyed min.
+    * Output: (key, est_count).
+    */
+  def cmsEstimate(cms: DataFrame, items: DataFrame, keyCol: String,
+      depth: Int = 3, width: Int = 1024, salt: String = "cms"): DataFrame = {
+    val (w1, w2) = hashWords(keyCol, salt)
+    items.select(col(keyCol), w1.as("__w1"), w2.as("__w2"))
+      .select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("__w1"), col("__w2"))
+      .select(col(keyCol), col("j"),
+        pmod(col("__w1") + col("j") * col("__w2"), lit(width.toLong)).as("bucket"))
+      .join(broadcast(cms), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
 }

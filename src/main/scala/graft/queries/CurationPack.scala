@@ -205,6 +205,19 @@ object CurationPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Count-Min frequency estimates for the df>=50 vocabulary over a
+    // 3 x 4096 grid: state bounded by the grid no matter the key stream
+    "q160_cms_counts" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(explode(Dedup.words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val cms = Sketches.cmsBuild(occ, "token", depth = 3, width = 4096)
+      val probe = TextAnalysis.documentFrequency(Tables.documents(s, d), minDf = 50)
+        .select(col("token"))
+      Sketches.cmsEstimate(cms, probe, "token", depth = 3, width = 4096)
+        .orderBy(col("token"))
+    }),
+
     // distributed logistic-regression training (the fastText-style quality
     // classifier gate): 2 full-batch GD iterations over shape features,
     // label = is-English; exact fixed-point trace
@@ -400,6 +413,30 @@ object CurationPack extends QueryPack {
          |  CAST(COALESCE(list_sum(list_transform(wl, word ->
          |    len(string_split(trim($chain), '  ')))), 0) AS BIGINT) AS n_pieces
          |FROM sel, mm ORDER BY doc_id""".stripMargin
+    },
+
+    "q160_cms_counts" -> {
+      def w1(e: String) = s"CAST('0x' || substr(md5('cms:' || $e), 1, 8) AS BIGINT)"
+      def w2(e: String) = s"CAST('0x' || substr(md5('cms:' || $e), 9, 8) AS BIGINT)"
+      s"""WITH occ AS (
+         |  SELECT unnest($wordsSql) AS token FROM documents),
+         |occ2 AS (SELECT token FROM occ WHERE length(token) > 0),
+         |js AS (SELECT unnest(range(0, 3)) AS j),
+         |cms AS (
+         |  SELECT j, (${w1("token")} + j * ${w2("token")}) % 4096 AS bucket, COUNT(*) AS c
+         |  FROM occ2, js GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT token FROM (
+         |    SELECT DISTINCT doc_id, unnest($wordsSql) AS token FROM documents)
+         |  WHERE length(token) > 0
+         |  GROUP BY token HAVING COUNT(*) >= 50),
+         |pj AS (
+         |  SELECT p.token, js.j,
+         |    (${w1("p.token")} + js.j * ${w2("p.token")}) % 4096 AS bucket
+         |  FROM probe p, js)
+         |SELECT pj.token, MIN(COALESCE(cms.c, 0)) AS est_count
+         |FROM pj LEFT JOIN cms USING (j, bucket)
+         |GROUP BY pj.token ORDER BY pj.token""".stripMargin
     },
 
     "q159_theta_distinct" ->
