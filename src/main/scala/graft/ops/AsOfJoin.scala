@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** AS-OF join — for every left row, the single right row with the largest
   * right timestamp <= the left timestamp, per key (pandas `merge_asof`,
@@ -26,7 +27,17 @@ import org.apache.spark.sql.functions._
   *
   * `toleranceNs`: matches older than the tolerance are nulled out (pandas
   * `tolerance=`) — the match columns become NULL, the left row survives
-  * (left-join semantics).
+  * (left-join semantics). Units: for INTEGRAL ts columns the values pass
+  * through untouched, so the tolerance is in whatever unit the caller's
+  * columns use (epoch-ns, epoch-ms, a sequence number — caller's choice);
+  * for TIMESTAMP ts columns both sides are converted to epoch-nanoseconds
+  * internally (`unix_micros * 1000`), so the tolerance is nanoseconds.
+  * Mixing a TIMESTAMP side with an integral side is rejected loudly — the
+  * silent 1e9x unit mismatch is exactly the footgun this guard removes.
+  *
+  * NULL join keys never match (SQL equality semantics, pandas `merge_asof`,
+  * DuckDB ASOF JOIN): NULL-key right rows are dropped before the union, so
+  * a NULL-key left row always comes back with NULL match columns.
   *
   * Determinism: multiple right rows sharing one (key, ts) are ambiguous by
   * the as-of definition; pre-reduce the right side to one row per
@@ -46,25 +57,50 @@ object AsOfJoin {
     val clash = rightValueCols.toSet intersect left.columns.toSet
     require(clash.isEmpty, s"asOfJoin: right value columns clash with left: $clash")
 
+    // Canonicalize both ts columns to one comparable long: integral columns
+    // pass through (caller-owned unit), TIMESTAMP becomes epoch-nanoseconds.
+    // A mixed pair is a unit bug waiting to happen — reject it.
+    def tsKind(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case TimestampType => "timestamp"
+      case other => throw new IllegalArgumentException(
+        s"asOfJoin: ts column must be integral or TIMESTAMP, got $other")
+    }
+    def tsLong(dt: DataType, c: Column): Column = tsKind(dt) match {
+      case "integral" => c.cast("long")
+      case _ => unix_micros(c) * lit(1000L)
+    }
+    val lTsType = left.schema(leftTsCol).dataType
+    val rTsType = right.schema(rightTsCol).dataType
+    require(tsKind(lTsType) == tsKind(rTsType),
+      s"asOfJoin: ts column kinds differ (left $lTsType vs right $rTsType) — " +
+        "convert one side so both are integral or both TIMESTAMP")
+
     val leftCols = left.columns.toSeq
-    val rvStruct = struct(col(rightTsCol).as("__rts") +: rightValueCols.map(col): _*)
+    val rvStruct = struct(
+      col(rightTsCol).as("__rts") +:
+        tsLong(rTsType, col(rightTsCol)).as("__rtsN") +:
+        rightValueCols.map(col): _*)
     val rvType = right.select(rvStruct.as("__rv")).schema.head.dataType
 
     val l = left.select(
-      leftCols.map(col) ++ Seq(col(leftTsCol).as("__ts"), lit(1).as("__side"),
-        lit(null).cast(rvType).as("__rv")): _*)
-    val r = right.select(
+      leftCols.map(col) ++ Seq(tsLong(lTsType, col(leftTsCol)).as("__ts"),
+        lit(1).as("__side"), lit(null).cast(rvType).as("__rv")): _*)
+    // NULL-key right rows can never match anything — drop them up front so
+    // the null window partition holds only left rows (which then get NULL).
+    val r = right.filter(col(keyCol).isNotNull).select(
       leftCols.map(c =>
         if (c == keyCol) col(keyCol)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"), rvStruct.as("__rv")): _*)
+        Seq(tsLong(rTsType, col(rightTsCol)).as("__ts"), lit(0).as("__side"),
+          rvStruct.as("__rv")): _*)
 
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched0 = last(col("__rv"), ignoreNulls = true).over(w)
     val matched = toleranceNs match {
       case Some(tol) =>
-        when(col("__ts").cast("long") - matched0("__rts").cast("long") <= tol, matched0)
+        when(col("__ts") - matched0("__rtsN") <= tol, matched0)
       case None => matched0
     }
     l.unionAll(r)

@@ -32,6 +32,11 @@ object RangeJoin {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binSize: Long, rightPrefix: String = "r_"): DataFrame = {
     require(binSize > 0, s"overlapJoin: binSize must be positive, got $binSize")
+    val prefixed = right.columns.filterNot(keyCols.contains).map(rightPrefix + _)
+    val clash = prefixed.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"overlapJoin: prefixed right columns clash with left columns: $clash — " +
+        "pick a different rightPrefix")
     val r = right.columns.foldLeft(right)((df, c) =>
       if (keyCols.contains(c)) df else df.withColumnRenamed(c, rightPrefix + c))
     val rS = rightPrefix + rStart

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *  - [[saltedJoin]]: scatter a hot key's rows across `salts` reduce tasks
   *    when the dim side is too large to broadcast and AQE's skew split
   *    cannot kick in (e.g. skew introduced by an upstream agg in the same
-  *    stage). Deterministic (content-hash salt, no `rand()`), so results
-  *    are reproducible and oracle-checkable.
+  *    stage). The join RESULT is salt-invariant (the dim side carries every
+  *    salt value, so each big row matches the same dim rows whatever its
+  *    salt) — reproducible and oracle-checkable regardless of placement.
   *  - [[writeBucketed]] / [[bucketedJoin]]: persist both join sides
   *    bucketed+sorted on the join key so repeated joins on that key plan
   *    with NO shuffle exchange on either side — the "pre-shuffled on disk"
@@ -26,18 +27,22 @@ object ScaleJoins {
     * lands in, splitting a hot key across `salts` tasks instead of one
     * straggler.
     *
-    * The salt hashes the big row's full content (not the key — all rows of
-    * a key sharing one salt would defeat the point). Cost: dim is shuffled
-    * `salts`× larger; size `salts` to the observed straggler factor, not
-    * the partition count.
+    * The salt mixes the big row's full content with a per-row position
+    * disambiguator (`monotonically_increasing_id`, i.e. partition id +
+    * in-partition index). Content alone is NOT enough: the duplicate-heavy
+    * corpora this engine targets have hot keys whose rows are
+    * byte-identical, and a pure content hash would put ALL of them in one
+    * salt bucket — the straggler returns. The position term spreads
+    * identical rows uniformly; it never affects WHICH rows join, only
+    * where they meet. Cost: dim is shuffled `salts`× larger; size `salts`
+    * to the observed straggler factor, not the partition count.
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     require(!big.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "__salt column name collides with an input column")
-    val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(salts)))
+    val bigS = big.withColumn("__salt", saltOf(big, salts))
     val dimS = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(dimS, Seq(key, "__salt")).drop("__salt")
@@ -72,8 +77,10 @@ object ScaleJoins {
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 
   /** The big-side salt expression, exposed for tests asserting that a hot
-    * key's rows actually spread across buckets.
+    * key's rows actually spread across buckets — content hash mixed with
+    * the row's physical position so byte-identical rows still scatter.
     */
   private[graft] def saltOf(df: DataFrame, salts: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(salts))
+    pmod(hash(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(salts))
 }

@@ -52,6 +52,46 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.getLong(5) === 2L)
   }
 
+  test("TIMESTAMP ts columns: converted to epoch-ns, toleranceNs means nanoseconds") {
+    val lts = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+      (2L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00")))
+      .toDF("event_id", "key", "ts")
+    val rts = Seq((10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), "a"))
+      .toDF("key", "rts", "tag")
+    // gap from rts for event 1 is 5s, for event 2 is 55s; 10s tolerance in ns
+    val out = AsOfJoin.asOfJoin(lts, rts, "key", "ts", "rts", Seq("tag"),
+      toleranceNs = Some(10L * 1000000000L))
+      .orderBy("event_id").collect()
+    assert(out(0).getString(4) === "a", "5s gap inside 10s tolerance")
+    assert(out(1).isNullAt(4), "55s gap outside 10s tolerance — a seconds " +
+      "misinterpretation (cast-to-long) would wrongly match here")
+    // without tolerance both match
+    val all = AsOfJoin.asOfJoin(lts, rts, "key", "ts", "rts", Seq("tag"))
+      .orderBy("event_id").collect()
+    assert(all(0).getString(4) === "a" && all(1).getString(4) === "a")
+  }
+
+  test("mixed ts kinds (TIMESTAMP vs long) are rejected loudly") {
+    val lts = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")))
+      .toDF("event_id", "key", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(lts, right, "key", "ts", "rts", Seq("tag"))
+    }
+    assert(e.getMessage.contains("kinds differ"))
+  }
+
+  test("NULL join keys never match: NULL-key left rows get NULL payload") {
+    val lNull = Seq((1L, Some(10L), 100L), (2L, None, 100L))
+      .toDF("event_id", "key", "ts")
+    val rNull = Seq((Some(10L), 50L, "a"), (None, 50L, "ghost"))
+      .toDF("key", "rts", "tag")
+    val out = AsOfJoin.asOfJoin(lNull, rNull, "key", "ts", "rts", Seq("tag"))
+      .orderBy("event_id").collect()
+    assert(out(0).getString(4) === "a")
+    assert(out(1).isNullAt(4), "NULL-key left row must not match NULL-key right row")
+    assert(out.length === 2, "NULL-key left rows survive (left-join semantics)")
+  }
+
   test("plan: one keyed shuffle + per-key sort, no product") {
     val plan = AsOfJoin.asOfJoin(left, right, "key", "ts", "rts", Seq("tag"))
       .queryExecution.executedPlan.toString

@@ -39,6 +39,14 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 10L)))
   }
 
+  test("prefixed right columns clashing with left columns are rejected") {
+    val lClash = left.withColumn("r_rid", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.overlapJoin(lClash, right, Seq("key"), "s", "e", "s", "e", 64L)
+    }
+    assert(e.getMessage.contains("r_rid"))
+  }
+
   test("plan: equi-join on (key, bin) — no CartesianProduct / BNLJ") {
     val plan = RangeJoin.overlapJoin(left, right, Seq("key"),
       "s", "e", "s", "e", 64L)

@@ -34,6 +34,25 @@ class ScaleJoinsSpec extends SparkTestBase {
     assert(spread > 4, s"hot key landed in only $spread of 8 salt buckets")
   }
 
+  test("byte-identical rows of a hot key still spread (salt degeneracy fix)") {
+    // 75% of rows are ONE verbatim-duplicate row — a pure content-hash salt
+    // would put them all in a single bucket and the straggler returns
+    val dupHeavy = Seq.tabulate(4000)(i =>
+      if (i % 4 != 0) (1L, 42.0) else ((i % 97).toLong, i.toDouble))
+      .toDF("k", "v")
+    val spread = dupHeavy.withColumn("salt", ScaleJoins.saltOf(dupHeavy, 8))
+      .filter($"k" === 1L && $"v" === 42.0).select("salt").distinct().count()
+    assert(spread >= 4, s"identical hot rows landed in only $spread of 8 buckets")
+    // and the join result is still exactly the plain join
+    val plain = dupHeavy.join(dim, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum($"v" * $"w").as("s"))
+      .orderBy("k").collect().toSeq
+    val salted = ScaleJoins.saltedJoin(dupHeavy, dim, "k", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum($"v" * $"w").as("s"))
+      .orderBy("k").collect().toSeq
+    assert(salted === plain)
+  }
+
   test("saltedJoin refuses a __salt column collision") {
     val bad = bigSkewed.withColumn("__salt", lit(0))
     val e = intercept[IllegalArgumentException] {
