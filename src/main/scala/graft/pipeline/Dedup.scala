@@ -77,13 +77,24 @@ object Dedup {
     * and MinHash dedup. Same scale shape as [[exact]]: a stateless
     * codegen'd projection, then one shuffle keyed by the 32-char hash.
     * Output: one row per survivor with its duplicate-group size.
+    *
+    * Documents whose normalization is EMPTY (whitespace-only,
+    * punctuation-only, emoji-only) fall back to hashing their RAW text —
+    * otherwise every such document would collapse into one group and a
+    * downstream keep-one filter would silently drop distinct documents.
+    * The `"raw:"` prefix cannot collide with a normalized key (normalized
+    * text is `[a-z0-9 ]` only, so it never contains `:`).
     */
   def normalizedExact(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id"): DataFrame = {
+    val norm = concat_ws(" ", words(col(textCol)))
     docs
-      .withColumn("__h", md5(concat_ws(" ", words(col(textCol)))))
+      .withColumn("__h",
+        when(norm === "", md5(concat(lit("raw:"), col(textCol))))
+          .otherwise(md5(norm)))
       .groupBy(col("__h").as("norm_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
 
   /** Exact-dedup filter: keep one representative row per content hash. */
   def exactFiltered(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -587,12 +598,15 @@ object Dedup {
     * (token offsets into the whitespace tokenization of the raw text).
     *
     * Scale shape: tokenize once per doc (per-doc window for the gram
-    * assembly), one shuffle on the gram text for the duplicate gate, a
-    * pair-scoped semi-join back, and a per-doc window for the island
-    * merge. The gram-text shuffle is the honest cost of EXACT substring
-    * matching; at 100 TB, shuffle 64-bit gram hashes instead and accept
-    * the ~2^-64 collision odds (swap `__gram` for `xxhash64(__gram)` at
-    * the groupBy/join — same plan shape, 6-8x narrower shuffle).
+    * assembly), ONE shuffle on the gram's 64-bit `xxhash64` for the
+    * duplicate gate (the gram TEXT never leaves its map task — the hash is
+    * computed before the exchange, a 6-8x narrower shuffle than shipping
+    * k-token strings, the dominant byte volume of this operator at
+    * 100 TB), a pair-scoped semi-join back, and a per-doc window for the
+    * island merge. The ~n^2/2^65 collision odds of treating hash-equal
+    * grams as text-equal are far below the noise floor of the dedup
+    * decision itself; the canonical-occurrence pick stays exact (struct-min
+    * over (doc, pos), independent of the key representation).
     */
   /** Raw whitespace-token rows (id, __pos, __w) — verbatim tokens, not the
     * normalized [[words]]: exact substring dedup is about verbatim
@@ -604,10 +618,11 @@ object Dedup {
       .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__w")))
 
-  /** k-token window rows (id, __s, __gram) over the raw tokens — the
-    * shared window assembly of [[duplicateSpans]] and
-    * [[removeDuplicateSpans]] (lead-composed, linear work, one per-doc
-    * window sort).
+  /** k-token window rows (id, __s, __gh) over the raw tokens — the shared
+    * window assembly of [[duplicateSpans]] and [[removeDuplicateSpans]]
+    * (lead-composed, linear work, one per-doc window sort). `__gh` is the
+    * gram's `xxhash64`, computed BEFORE any exchange so only 8 bytes per
+    * window ever shuffle — the gram text itself dies inside the map task.
     */
   private def windowRows(docs: DataFrame, k: Int, textCol: String,
       idCol: String): DataFrame = {
@@ -616,9 +631,9 @@ object Dedup {
     val parts = col("__w") +: (1 until k).map(o => lead(col("__w"), o).over(wDoc))
     rawTokenRows(docs, textCol, idCol)
       .withColumn("__last", lead(col("__w"), k - 1).over(wDoc))
-      .withColumn("__gram", concat_ws(" ", parts: _*))
+      .withColumn("__gh", xxhash64(concat_ws(" ", parts: _*)))
       .filter(col("__last").isNotNull)
-      .select(col(idCol), col("__pos").as("__s"), col("__gram"))
+      .select(col(idCol), col("__pos").as("__s"), col("__gh"))
   }
 
   def duplicateSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
@@ -626,10 +641,10 @@ object Dedup {
     require(k >= 2, s"window must be at least 2 tokens, got $k")
     import org.apache.spark.sql.expressions.Window
     val wins = windowRows(docs, k, textCol, idCol)
-    val dup = wins.groupBy(col("__gram"))
+    val dup = wins.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select("__gram")
-    val marked = wins.join(dup, Seq("__gram")).select(col(idCol), col("__s"))
+      .select("__gh")
+    val marked = wins.join(dup, Seq("__gh")).select(col(idCol), col("__s"))
     // gaps-and-islands: window at __s covers tokens [__s, __s + k); a new
     // span starts when __s clears the running max end of everything before
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"))
@@ -672,8 +687,8 @@ object Dedup {
     * k-fold position explode is bounded by k x windows; removal is a
     * keyed anti-join on (doc, position); reassembly sorts only within a
     * document (array_sort over the doc's surviving tokens — bounded by
-    * document length, no corpus-wide window). Same 64-bit-hash note as
-    * [[duplicateSpans]] for the gram shuffle at 100 TB.
+    * document length, no corpus-wide window). The gram gate shuffles
+    * 64-bit `xxhash64` keys, never gram text — see [[duplicateSpans]].
     * Output: every input doc as (id, clean_text, n_removed_tokens);
     * clean_text = '' when everything was removed or the doc was empty.
     */
@@ -681,12 +696,12 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"window must be at least 2 tokens, got $k")
     val wins = windowRows(docs, k, textCol, idCol)
-    val g = wins.groupBy(col("__gram"))
+    val g = wins.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol), col("__s"))).as("__first"))
       .filter(col("__n") > 1)
-      .select(col("__gram"), col("__first"))
-    val marked = wins.join(g, Seq("__gram"))
+      .select(col("__gh"), col("__first"))
+    val marked = wins.join(g, Seq("__gh"))
       .select(col(idCol), col("__s"),
         (col(idCol) === col("__first")(idCol) &&
           col("__s") === col("__first")("__s")).as("__keep"))

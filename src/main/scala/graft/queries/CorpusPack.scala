@@ -222,12 +222,22 @@ object CorpusPack extends QueryPack {
             .as(Seq("sub", "subvec")))
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-        math.abs(d.hashCode).toString
-      VectorIndex.writeIndex(corpus, centroids, cb, m = 4, subDim = 16, path)
-      VectorIndex.searchIndex(VectorIndex.readIndex(s, path), centroids, cb,
-        queries, k = 5, m = 4, subDim = 16, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+      // unique per-invocation dir (no hashCode collisions, no overwrite-
+      // while-read race between concurrent runs), removed once the search
+      // result is materialized off the index files via localCheckpoint
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+      val path = tmp.resolve("index").toString
+      try {
+        VectorIndex.writeIndex(corpus, centroids, cb, m = 4, subDim = 16, path)
+        VectorIndex.searchIndex(VectorIndex.readIndex(s, path), centroids, cb,
+          queries, k = 5, m = 4, subDim = 16, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
 
     // product-quantization TRAIN on a deterministic half-corpus sample

@@ -370,7 +370,9 @@ object CurationPack extends QueryPack {
     },
 
     "q148_norm_dedup" ->
-      s"""SELECT md5(array_to_string($wordsSql, ' ')) AS norm_hash,
+      s"""SELECT CASE WHEN array_to_string($wordsSql, ' ') = ''
+         |    THEN md5('raw:' || text)
+         |    ELSE md5(array_to_string($wordsSql, ' ')) END AS norm_hash,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 

@@ -27,6 +27,12 @@ class JourneySpec extends SparkTestBase {
       sd0.manifest.elements.map(_.name).sorted)
     val nPoints = sd0("blobs_points").count()
     assert(sd("blobs_points").count() == nPoints)
+    // a second round-trip through the parquet container layout must be a
+    // fixed point — the graft.testing comparator checks the full contract
+    val root2 = java.nio.file.Files.createTempDirectory("graft-journey2").toString
+    sd.write(root2)
+    graft.testing.Comparators.assertContainersIdentical(
+      sd, SpatialDataset.read(spark, root2))
 
     // 3. bounding-box query with table cascade
     val boxed = sd.query.boundingBox(Seq("x", "y"), Seq(8.0, 8.0), Seq(56.0, 56.0), "global")

@@ -39,19 +39,13 @@ class SpatialDatasetSpec extends SparkTestBase {
     val sd = fixture
     sd.write(dir)
     val back = SpatialDataset.read(spark, dir)
-    assert(back.manifest.elements.map(_.name).sorted == Seq("cells", "lbl", "pts", "tbl"))
+    // the full golden-output contract: names, kinds, transforms, table
+    // annotation, attrs, data multisets, aux frames
+    graft.testing.Comparators.assertContainersIdentical(sd, back)
     assert(back.points.keySet == Set("pts") && back.shapes.keySet == Set("cells"))
-    // transform survived
     val t = back.manifest.element("pts").transforms("global")
     assert(t.toAffineMatrix(Seq("x", "y"), Seq("x", "y"))
       .sameAs(Matrix(3, 3, Array(2, 0, 0, 0, 2, 0, 0, 0, 1))))
-    // data identical
-    assert(back("pts").orderBy("row_id").collect().toSeq ==
-      sd("pts").orderBy("row_id").collect().toSeq)
-    assert(back.element("tbl").x.count() == 3)
-    // table annotation survived
-    assert(back.manifest.element("tbl").table.contains(
-      TableAnnotation(Seq("cells"), "region", "instance_id")))
   }
 
   test("partial read by selection") {
