@@ -181,10 +181,16 @@ object Dedup {
     * quadratic failure mode this guard documents. Pass `None` explicitly to
     * opt out (and accept |bucket|^2 joins).
     */
+  /** `withBandCounts = false` skips the `n_bands` countDistinct rollup and
+    * returns the raw band-collision pairs (id_a < id_b, possibly repeated
+    * once per agreeing band — consumers that dedupe anyway, like
+    * [[connectedComponents]]' symmetric distinct, save a full
+    * expand+aggregate pass over the pair set).
+    */
   def lshCandidatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 12,
       bands: Int = 4, maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize),
-      persistBands: Boolean = false): DataFrame = {
+      persistBands: Boolean = false, withBandCounts: Boolean = true): DataFrame = {
     // the band table feeds 2-4 plan branches (cap aggregation + both join
     // sides); persisting it skips recomputing the shingle->minhash pipeline
     // per branch (Spark's ReuseExchange catches some but not all)
@@ -202,10 +208,13 @@ object Dedup {
     }
     val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    val out = l.join(r, Seq("band", "band_key"))
+    val matched = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(countDistinct(col("band")).as("n_bands"))
+    val out =
+      if (withBandCounts)
+        matched.groupBy(col("id_a"), col("id_b"))
+          .agg(countDistinct(col("band")).as("n_bands"))
+      else matched.select(col("id_a"), col("id_b"))
     CacheScope.releaseAfterFirstUse(out, if (persistBands) Seq(b0) else Nil)
   }
 
@@ -282,19 +291,28 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxBucketSize: Option[Int] = Some(50),
       jaccardThreshold: Option[Double] = None): DataFrame = {
+    // NOTE on what is deliberately NOT cached: the survivor set feeds both
+    // the LSH pipeline and the final anti-join, but persisting it means
+    // materializing the full text corpus into executor storage — at the
+    // 100 TB design point a columnar re-scan + hash semi-join is cheaper
+    // than that write (and measured no faster at sf0.1)
     val exactSurvivors = docs.join(
       exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
+    // raw band-collision pairs: the n_bands rollup is skipped because both
+    // consumers dedupe — CC's symmetric distinct, and the verify branch's
+    // explicit dropDuplicates — saving an expand+aggregate over the pairs
     val candidates = lshCandidatePairs(exactSurvivors, textCol, idCol,
-      maxBucketSize = maxBucketSize, persistBands = true)
-      .select("id_a", "id_b")
+      maxBucketSize = maxBucketSize, persistBands = true,
+      withBandCounts = false)
     // optional verify stage: a band collision is only a CANDIDATE — without
     // it, LSH false positives permanently delete distinct documents. The
     // default skips it (band-collision = duplicate, the aggressive C4-style
     // setting and the oracle-mirrored behavior); pass a threshold to keep
     // only pairs whose exact n-gram Jaccard clears it.
     val pairs = jaccardThreshold match {
-      case Some(t) => ngramJaccard(exactSurvivors, candidates, textCol, idCol)
+      case Some(t) => ngramJaccard(exactSurvivors,
+        candidates.dropDuplicates("id_a", "id_b"), textCol, idCol)
         .filter(col("jaccard") >= t).select("id_a", "id_b")
       case None => candidates
     }
@@ -745,11 +763,26 @@ object Dedup {
     * count per round; labels stay distributed. Fails loudly if `maxIter`
     * rounds don't converge (a pathological chain — raise maxIter or
     * pre-split the graph) rather than returning half-merged clusters.
+    *
+    * Why not alternating large-star/small-star (Kiveris et al. 2014):
+    * that scheme halves ROUNDS on deep chains, but each round costs TWO
+    * join+aggregate phases instead of one. Measured on the LSH candidate
+    * graph at sf0.1, hash-to-min already converges in 2 propagation
+    * rounds (+1 verification) — star alternation would do 2 phases x 2
+    * rounds = the same four keyed shuffles with more plan overhead. It
+    * becomes the right trade only when duplicate chains run deep
+    * (diameter >> 4), which near-duplicate clusters, by construction
+    * (band collision = high similarity), do not.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // the symmetric union references `pairs` TWICE — unpersisted, the whole
+    // upstream candidate pipeline (band build + self-join) replays once per
+    // branch at edge materialization (measured ~2x the candidate cost at
+    // sf0.1); one small cache collapses that to a single pass
+    val p0 = pairs.select(col("id_a"), col("id_b")).persist(lvl)
+    val edges = p0.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(p0.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().persist(lvl)
     // round 1 folds into initialization: lbl = min(own id, nearest neighbor)
     var labels = edges.groupBy(col("a"))
@@ -781,6 +814,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    p0.unpersist(blocking = false)
     // failure path must not strand the per-round cache
     if (!converged) persisted.unpersist(blocking = false)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
