@@ -86,12 +86,35 @@ object RasterOps {
   def mapRaster(tiles: DataFrame)(fn: Column => Column): DataFrame =
     tiles.withColumn("px", transform(col("px"), fn))
 
+  /** Edge policy for [[mapRasterWithHalo]] when a neighbor tile is absent
+    * (`map_overlap(boundary=...)`, map.py:110-126 / dask.array.overlap):
+    *  - [[Boundary.NoPad]]: absent neighbors simply lack a map entry — the
+    *    kernel handles borders itself (the pre-round-8 behavior);
+    *  - [[Boundary.Reflect]]: a synthetic neighbor is materialized by
+    *    mirroring the CENTER tile across the shared edge/corner (numpy
+    *    "symmetric": the border pixel repeats), so an edge-tile kernel
+    *    sees the same neighborhood structure as an interior one;
+    *  - [[Boundary.Constant]]: a synthetic neighbor filled with `v`.
+    * Synthetic neighbors take the center tile's (h, w); on the uniform
+    * interior grid that is exactly the real neighbor shape. Any missing
+    * neighbor counts as "outside the raster" — sparse stores that omit
+    * all-zero interior tiles should use `Constant(0)` or `NoPad`.
+    */
+  sealed trait Boundary
+  object Boundary {
+    case object NoPad extends Boundary
+    case object Reflect extends Boundary
+    final case class Constant(v: Double) extends Boundary
+  }
+
   /** Neighborhood kernel with halo: assembles each tile with its 8
     * neighbors' payloads (`map_overlap(depth)`, map.py:110-126) via an
     * adjacency self-join, then hands `(h, w, center, Map[(dy,dx) -> px])`
-    * to `fn` per tile. depth must be <= tileSize.
+    * to `fn` per tile. depth must be <= tileSize. `boundary` fills in
+    * missing neighbors (raster edges) before `fn` runs — see [[Boundary]].
     */
-  def mapRasterWithHalo(tiles: DataFrame, tileSize: Int = TS)(
+  def mapRasterWithHalo(tiles: DataFrame, tileSize: Int = TS,
+      boundary: Boundary = Boundary.NoPad)(
       fn: (Int, Int, Array[Double], Map[(Int, Int), Array[Double]]) => Array[Double]): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = tiles.sparkSession
@@ -115,10 +138,30 @@ object RasterOps {
       .as[(Int, Int, Int, Int, Int, Int, Array[Double],
         Seq[(Option[Int], Option[Int], Option[Seq[Double]])])]
       .map { case (scale, c, ty, tx, h, w, px, halo) =>
-        val m = halo.collect { case (Some(dy), Some(dx), Some(npx)) =>
+        val real = halo.collect { case (Some(dy), Some(dx), Some(npx)) =>
           // sender offset (dy,dx) seen from the receiver is (-dy,-dx)
           ((-dy, -dx), npx.toArray)
         }.toMap
+        val m = boundary match {
+          case Boundary.NoPad => real
+          case b =>
+            val synth = for {
+              off <- Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                (1, -1), (1, 0), (1, 1))
+              if !real.contains(off)
+            } yield off -> (b match {
+              case Boundary.Constant(v) => Array.fill(h * w)(v)
+              case _ => // Reflect: mirror the center across the shared edge
+                val (dy, dx) = off
+                Array.tabulate(h * w) { i =>
+                  val r = i / w; val cc = i % w
+                  val sr = if (dy != 0) h - 1 - r else r
+                  val sc = if (dx != 0) w - 1 - cc else cc
+                  px(sr * w + sc)
+                }
+            })
+            real ++ synth
+        }
         (scale, c, ty, tx, h, w, fn(h, w, px, m))
       }.toDF("scale", "c", "tile_y", "tile_x", "h", "w", "px")
   }

@@ -123,6 +123,31 @@ object RasterPack extends QueryPack {
         .orderBy(col("scale"), col("tile_y"), col("tile_x"))
     }),
 
+    // multiscale POLYGON query: the reference lowers polygon-on-raster to
+    // the polygon's bounding box (spatial_query.py:874-892); same 3-level
+    // pyramid as q121, cropped by a triangle's envelope through each
+    // level's dyadic transform
+    "q161_multiscale_polygon" -> ((s, d) => {
+      val pixels = s.range(64 * 64).select(
+        (col("id") / 64).cast("int").as("y"),
+        (col("id") % 64).cast("int").as("x"),
+        (col("id") * 37 % 100 + 1).cast("double").as("value"))
+        .withColumn("c", lit(0))
+      val pyramid = RasterOps.buildPyramid(pixels, levels = 2) // scales 0..2
+      val tiles = (0 to 2).map { lvl =>
+        RasterOps.pixelsToTiles(pyramid.filter(col("scale") === lvl).drop("scale"),
+          tileSize = 16, scale = lvl)
+      }.reduce(_ unionByName _)
+      val tri = graft.geom.WKB.write(graft.geom.GPolygon(
+        Array(Array(20.0, 10, 44, 18, 28, 42))))
+      val cropped = graft.query.SpatialQuery.polygonQueryImageTiles(
+        tiles, graft.model.IdentityT, tri, tileSize = 16)
+      cropped.select(col("scale"), col("tile_y"), col("tile_x"),
+        aggregate(col("px"), lit(0.0), (a, x) => a + x).as("px_sum"),
+        size(filter(col("px"), x => x =!= 0.0)).cast("long").as("n_filled"))
+        .orderBy(col("scale"), col("tile_y"), col("tile_x"))
+    }),
+
     // unpad (reference _utils.py:71-160): strip zero margins, shift to origin.
     "q37_unpad" -> ((s, d) => {
       val pixels = Tables.events(s, d).select(
@@ -198,6 +223,30 @@ object RasterPack extends QueryPack {
         |SELECT scale, tile_y, tile_x, px_sum, n_filled FROM tiles
         |WHERE tile_x * 16 * POWER(2, scale) <= 40 AND (tile_x * 16 + 16) * POWER(2, scale) >= 20
         |  AND tile_y * 16 * POWER(2, scale) <= 40 AND (tile_y * 16 + 16) * POWER(2, scale) >= 20
+        |ORDER BY scale, tile_y, tile_x""".stripMargin,
+    // the triangle (20,10)-(44,18)-(28,42) has envelope [20,10]..[44,42];
+    // the oracle recomputes that envelope by hand — independent of the
+    // WKB/transform machinery the Spark side routes through
+    "q161_multiscale_polygon" ->
+      """WITH p0 AS (
+        |  SELECT CAST(id // 64 AS INT) AS y, CAST(id % 64 AS INT) AS x,
+        |         CAST(id * 37 % 100 + 1 AS DOUBLE) AS value
+        |  FROM range(4096) t(id)),
+        |p1 AS (SELECT CAST(y // 2 AS INT) AS y, CAST(x // 2 AS INT) AS x, AVG(value) AS value
+        |       FROM p0 GROUP BY 1, 2),
+        |p2 AS (SELECT CAST(y // 2 AS INT) AS y, CAST(x // 2 AS INT) AS x, AVG(value) AS value
+        |       FROM p1 GROUP BY 1, 2),
+        |pyr AS (
+        |  SELECT 0 AS scale, y, x, value FROM p0
+        |  UNION ALL SELECT 1, y, x, value FROM p1
+        |  UNION ALL SELECT 2, y, x, value FROM p2),
+        |tiles AS (
+        |  SELECT scale, CAST(y // 16 AS INT) AS tile_y, CAST(x // 16 AS INT) AS tile_x,
+        |         SUM(value) AS px_sum, COUNT(*) AS n_filled
+        |  FROM pyr GROUP BY 1, 2, 3)
+        |SELECT scale, tile_y, tile_x, px_sum, n_filled FROM tiles
+        |WHERE tile_x * 16 * POWER(2, scale) <= 44 AND (tile_x * 16 + 16) * POWER(2, scale) >= 20
+        |  AND tile_y * 16 * POWER(2, scale) <= 42 AND (tile_y * 16 + 16) * POWER(2, scale) >= 10
         |ORDER BY scale, tile_y, tile_x""".stripMargin,
     "q37_unpad" ->
       """WITH px AS (

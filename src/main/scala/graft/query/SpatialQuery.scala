@@ -215,6 +215,43 @@ object SpatialQuery {
       (col("tile_y") * tileSize) * f <= hi(1) && (col("tile_y") * tileSize + col("h")) * f >= lo(1))
   }
 
+  /** Polygon query on a tiled (multiscale) raster. The reference lowers a
+    * polygon query on images/labels to the BOUNDING BOX of the polygon
+    * (spatial_query.py:874-892), so the default here prunes tiles by the
+    * polygon's envelope tested through each pyramid level's dyadic scale
+    * transform — reference-identical semantics, every scale cropped, same
+    * per-level algebra as [[boundingBoxImageTiles]]. `exact = true`
+    * additionally tests each tile's level-0 rectangle against the polygon
+    * itself (`st_intersects_box` kernel): a strictly tighter scan prune
+    * that drops envelope-corner tiles the reference would keep — leave it
+    * off when mirroring reference outputs.
+    */
+  def polygonQueryImageTiles(df: DataFrame, t: Transform, polyWkb: Array[Byte],
+      tileSize: Int = Models.ImageModel.TileSize,
+      exact: Boolean = false): DataFrame = {
+    val intrinsicPoly = classify(t, Seq("x", "y")) match {
+      case IdentityCase => polyWkb
+      case DiagonalCase(scale, shift) =>
+        graft.geom.GeomKernel.affine(polyWkb,
+          1.0 / scale(0), 0.0, -shift(0) / scale(0),
+          0.0, 1.0 / scale(1), -shift(1) / scale(1))
+      case AffineCase(m) =>
+        val inv = m.inverseMatrix
+        graft.geom.GeomKernel.affine(polyWkb,
+          inv(0, 0), inv(0, 1), inv(0, 2), inv(1, 0), inv(1, 1), inv(1, 2))
+    }
+    val env = WKB.read(intrinsicPoly).envelope
+    val f = pow(lit(2.0), col("scale").cast("double"))
+    val x0 = (col("tile_x") * tileSize) * f
+    val x1 = (col("tile_x") * tileSize + col("w")) * f
+    val y0 = (col("tile_y") * tileSize) * f
+    val y1 = (col("tile_y") * tileSize + col("h")) * f
+    val coarse = x0 <= env(2) && x1 >= env(0) && y0 <= env(3) && y1 >= env(1)
+    df.filter(
+      if (exact) coarse && st_intersects_box(lit(intrinsicPoly), x0, y0, x1, y1)
+      else coarse)
+  }
+
   // ---- polygon query (spatial_query.py:803-975) ----
 
   /** Points in polygon: coarse bbox range (pushdown) + exact ray-cast

@@ -43,6 +43,59 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(tile0 == Seq(41.0, 41.0, 41.0, 41.0)) // 1 + sum(right tile)=40
   }
 
+  test("halo boundary modes: Reflect mirrors the center, Constant fills, NoPad omits") {
+    // one lone 2x2 tile, px row-major [1,2,3,4] — every neighbor is missing
+    val pixels = Seq((0, 0, 0, 1.0), (0, 0, 1, 2.0), (0, 1, 0, 3.0), (0, 1, 1, 4.0))
+      .toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 2)
+    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    // the kernel runs on executors — surface the halo AS the output array
+    // ([present, v...] per offset in fixed order) instead of closure state
+    def haloOf(b: RasterOps.Boundary): Map[(Int, Int), Seq[Double]] = {
+      val enc = RasterOps.mapRasterWithHalo(tiles, tileSize = 2, boundary = b) {
+        (h, w, px, halo) =>
+          offsets.toArray.flatMap(off =>
+            halo.get(off).map(1.0 +: _).getOrElse(Array(0.0)))
+      }.select("px").as[Seq[Double]].collect()(0)
+      var rest = enc
+      offsets.flatMap { off =>
+        if (rest.head == 0.0) { rest = rest.tail; None }
+        else { val v = rest.slice(1, 5); rest = rest.drop(5); Some(off -> v) }
+      }.toMap
+    }
+    val refl = haloOf(RasterOps.Boundary.Reflect)
+    assert(refl.size == 8)
+    assert(refl((0, 1)) == Seq(2.0, 1.0, 4.0, 3.0), "right = horizontal mirror")
+    assert(refl((-1, 0)) == Seq(3.0, 4.0, 1.0, 2.0), "above = vertical mirror")
+    assert(refl((-1, -1)) == Seq(4.0, 3.0, 2.0, 1.0), "corner = both mirrors")
+    val const = haloOf(RasterOps.Boundary.Constant(7.0))
+    assert(const.size == 8 && const.values.forall(_ == Seq(7.0, 7.0, 7.0, 7.0)))
+    assert(haloOf(RasterOps.Boundary.NoPad).isEmpty)
+  }
+
+  test("edge-tile kernel under Reflect runs the interior code path (vertical 3-tap mean)") {
+    // 4x1 ramp column in two 2x2 tiles; value = y
+    val pixels = Seq.tabulate(4)(y => (0, y, 0, y.toDouble)).toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 2)
+    val out = RasterOps.mapRasterWithHalo(tiles, tileSize = 2,
+      boundary = RasterOps.Boundary.Reflect) { (h, w, px, halo) =>
+      // the kernel NEVER branches on missing neighbors — reflect guarantees
+      // both vertical neighbors exist for every tile
+      val above = halo((-1, 0)); val below = halo((1, 0))
+      Array.tabulate(h * w) { i =>
+        val r = i / w; val c = i % w
+        val up = if (r == 0) above((h - 1) * w + c) else px((r - 1) * w + c)
+        val dn = if (r == h - 1) below(c) else px((r + 1) * w + c)
+        (up + px(i) + dn) / 3.0
+      }
+    }
+    val vals = RasterOps.tilesToPixels(out, tileSize = 2)
+      .filter(col("x") === 0).orderBy("y").select("value").as[Double].collect().toSeq
+    // symmetric padding: [0,0,1,2,3,3] -> means (1/3, 1, 2, 8/3)
+    assert(vals.map(v => math.round(v * 1e9) / 1e9) ==
+      Seq(1.0 / 3, 1.0, 2.0, 8.0 / 3).map(v => math.round(v * 1e9) / 1e9))
+  }
+
   test("coarsen + subsample") {
     val pixels = Seq((0, 0, 0, 1.0), (0, 0, 1, 3.0), (0, 1, 0, 5.0), (0, 1, 1, 7.0))
       .toDF("c", "y", "x", "value")

@@ -236,4 +236,33 @@ class SpatialQuerySpec extends SparkTestBase {
     assert(SpatialQuery.boundingBoxImageTiles(tiles, IdentityT,
       Seq(200.0, 200.0), Seq(300.0, 300.0), tileSize = 16).count() == 0)
   }
+
+  test("polygon query on tiles: envelope default (reference), exact prunes corner tiles") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val px = spark.range(64 * 64).select(
+      (col("id") / 64).cast("int").as("y"), (col("id") % 64).cast("int").as("x"),
+      (col("id") % 7).cast("double").as("value")).withColumn("c", lit(0))
+    val pyr = graft.ops.RasterOps.buildPyramid(px, levels = 2)
+    val tiles = (0 to 2).map { lvl =>
+      graft.ops.RasterOps.pixelsToTiles(
+        pyr.filter(col("scale") === lvl).drop("scale"), tileSize = 16, scale = lvl)
+    }.reduce(_ unionByName _)
+    // right triangle (20,10)-(44,10)-(20,42): envelope [20,44]x[10,42]; the
+    // hypotenuse leaves the envelope's bottom-right corner region empty
+    val tri = WKB.write(GPolygon(Array(Array(20.0, 10, 44, 10, 20, 42))))
+    val envSet = SpatialQuery.polygonQueryImageTiles(tiles, IdentityT, tri,
+      tileSize = 16).select("scale", "tile_y", "tile_x")
+      .as[(Int, Int, Int)].collect().toSet
+    val expectedEnv =
+      (for (ty <- 0 to 2; tx <- 1 to 2) yield (0, ty, tx)).toSet ++
+      (for (ty <- 0 to 1; tx <- 0 to 1) yield (1, ty, tx)).toSet ++
+      Set((2, 0, 0))
+    assert(envSet == expectedEnv, s"got $envSet")
+    // exact mode drops exactly the tiles the triangle itself never touches:
+    // level-0 (2,2) and level-1 (1,1) — beyond the hypotenuse (x<=27.5 at y=32)
+    val exactSet = SpatialQuery.polygonQueryImageTiles(tiles, IdentityT, tri,
+      tileSize = 16, exact = true).select("scale", "tile_y", "tile_x")
+      .as[(Int, Int, Int)].collect().toSet
+    assert(exactSet == expectedEnv -- Set((0, 2, 2), (1, 1, 1)), s"got $exactSet")
+  }
 }
