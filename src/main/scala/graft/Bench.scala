@@ -118,5 +118,13 @@ object Bench {
         json.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+    // The driver keeps only a ~2000-char stdout tail and json-parses what it
+    // finds there; the full per-query line above (~6 KB for 154 queries)
+    // overflows that window, which left BENCH "parsed" null two rounds
+    // running. Emit a compact summary as the FINAL stdout line — it always
+    // fits the tail; the per-query map lives in the full line + bench_out
+    // .json.
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_failed":$nFailed,"spin_ms_before":$spinBefore,"spin_ms_after":$spinAfter,"throttle_rerun":$reran,"queries_file":"bench_out.json"}""")
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,6 +136,28 @@ object PipelinePack extends QueryPack {
       val bench = docs.filter(col("doc_id") % 37 === 5)
         .select(col("doc_id"), concat(col("text"), lit(" extra token")).as("text"))
       Dedup.fuzzyContaminationFlags(docs, bench).orderBy(col("doc_id"))
+    }),
+
+    // the LSH band index AT REST: build the corpus band table once
+    // (bucketed+sorted parquet table), probe a new batch against it —
+    // must match the recompute band algebra row-for-row (same oracle CTEs)
+    "q162_band_index_probe" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 5 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bandidx_")
+      val table = "graft_band_index_q162"
+      try {
+        TextIndex.writeBandIndex(corpus, table, tmp.resolve("idx").toString)
+        TextIndex.probe(TextIndex.readBandIndex(s, table), batch)
+          .filter(col("doc_id") =!= col("corpus_id"))
+          .orderBy(col("doc_id"), col("corpus_id"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
 
     // embedding-cosine near-duplicate pairs on a deterministic sample,
@@ -472,6 +494,22 @@ object PipelinePack extends QueryPack {
            |FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
            |WHERE l.doc_id < r.doc_id
            |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+      // at-rest probe == recompute: corpus bands capped over the corpus,
+      // probe bands capped over the batch alone (the batch's band table is
+      // the corpus band table restricted to its ids — same text, same sig)
+      "q162_band_index_probe" ->
+        s"""$bandsSqlCte,
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |pb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+           |pok AS (SELECT band, band_key FROM pb GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |pcapped AS (SELECT p.* FROM pb p JOIN pok USING (band, band_key))
+           |SELECT p.doc_id AS doc_id, c.doc_id AS corpus_id,
+           |  COUNT(DISTINCT p.band) AS n_bands
+           |FROM pcapped p JOIN capped c
+           |  ON p.band = c.band AND p.band_key = c.band_key
+           |WHERE p.doc_id <> c.doc_id
+           |GROUP BY 1, 2 ORDER BY doc_id, corpus_id""".stripMargin,
       "q43_ngram_jaccard" ->
         s"""$bandsSqlCte,
            |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),

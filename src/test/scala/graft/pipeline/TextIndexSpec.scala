@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The at-rest LSH band index: parity with the recompute cross-corpus
+  * path, and the exchange-free index side (the point of bucketing).
+  */
+class TextIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // duplicate-heavy corpus: every 7th doc repeats one of 5 templates with
+  // small edits, the rest are distinct
+  private lazy val corpus = (1 to 300).map { i =>
+    val text =
+      if (i % 7 == 0) s"the quick brown fox jumps over the lazy dog variant ${i % 5}"
+      else s"unique document number $i with its own words ${i * 31} and ${i * 17}"
+    (i.toLong, text)
+  }.toDF("doc_id", "text")
+
+  private lazy val batch = corpus.filter($"doc_id" % 4 === 0)
+
+  private def withIndex[A](tag: String)(f: org.apache.spark.sql.DataFrame => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"tidx_$tag")
+    val table = s"graft_tidx_$tag"
+    try {
+      TextIndex.writeBandIndex(corpus, table, tmp.resolve("idx").toString)
+      f(TextIndex.readBandIndex(spark, table))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("at-rest probe matches the recompute cross-corpus path row-for-row") {
+    withIndex("parity") { idx =>
+      val atRest = TextIndex.probe(idx, batch)
+        .as[(Long, Long, Long)].collect().toSet
+      val recompute = Dedup.crossCorpusCandidates(batch, corpus,
+        refOutCol = "corpus_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(atRest === recompute)
+      assert(atRest.exists { case (a, b, _) => a != b },
+        "fixture must produce at least one non-self candidate")
+    }
+  }
+
+  test("probe plans with NO exchange on the index side (bucketed scan)") {
+    withIndex("plan") { idx =>
+      // force SMJ so the exchange-free shape is visible (AQE would
+      // broadcast this tiny probe side, hiding the property under test)
+      val l = Dedup.lshBands(batch, "text", "doc_id")
+        .select(col("doc_id"), col("band"), col("band_key"))
+      val joined = l.hint("merge")
+        .join(idx.select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+      joined.collect()
+      // AQE renders the initial plan below the final one — count only the
+      // final section or every exchange appears twice
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      // exactly one exchange: the probe side; the bucketed index side has none
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"index side should not shuffle:\n$plan")
+    }
+  }
+
+  test("hot-bucket cap applies to each side independently") {
+    withIndex("cap") { idx =>
+      // cap of 1 drops every bucket shared by >1 doc on either side ->
+      // only singleton-bucket collisions survive; with templates repeated
+      // ~8x, the capped result must be a strict subset of the uncapped one
+      val uncapped = TextIndex.probe(idx, batch, maxBucketSize = None)
+        .filter($"doc_id" =!= $"corpus_id").count()
+      val capped = TextIndex.probe(idx, batch, maxBucketSize = Some(1))
+        .filter($"doc_id" =!= $"corpus_id").count()
+      assert(capped < uncapped, s"cap=1 ($capped) must drop pairs vs uncapped ($uncapped)")
+    }
+  }
+}
