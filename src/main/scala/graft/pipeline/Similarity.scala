@@ -71,6 +71,35 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** recall@k — the standard ANN quality metric, as a first-class
+    * distributed evaluation: for each query, the fraction of the EXACT
+    * top-k (e.g. [[bruteForceTopK]] on a held-out slice) that the
+    * approximate index ([[ivfTopK]], [[lshTopK]], [[VectorIndex]]) also
+    * returned. This is how an index's (nprobe, numPlanes, centroids)
+    * knobs get tuned before committing a 100 TB build.
+    *
+    * Scale shape: one (query, id)-keyed semi-join + one keyed count — no
+    * product, no window; both inputs are already <= |queries| x k rows.
+    * Deterministic as long as both rankings are (they are: cosine rounded
+    * to 6 decimals, ties on ascending id). Output:
+    * (queryIdCol, n_hits, recall), one row per query present in `exact`
+    * (recall 0 when the approximate path returned nothing for a query).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val a = approx.select(col(queryIdCol), col(idCol))
+    val e = exact.select(col(queryIdCol), col(idCol))
+    val hits = e.join(a, Seq(queryIdCol, idCol), "left_semi")
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_hits"))
+    e.select(col(queryIdCol)).distinct()
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        TextAnalysis.round6(
+          coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: md5-seeded value in
     * [-0.5, 0.5) for (plane, dimension). Computed ON THE DRIVER — the weights
     * are row-independent constants, so hashing them per input row (the naive

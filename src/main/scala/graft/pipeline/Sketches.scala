@@ -70,6 +70,73 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Mergeable fixed-grid histogram — the primitive under
+    * [[histogramQuantiles]], exposed because histograms over the SAME
+    * (lo, hi, bins) grid merge by per-bin addition (union the frames,
+    * re-aggregate): the property that lets per-shard/per-day sketches
+    * roll up without touching raw data. Output: (bin, c), at most `bins`
+    * rows. One stateless codegen'd projection + one keyed aggregation
+    * whose shuffle carries at most `bins` partial counts per map task.
+    */
+  def histogramBins(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"histogramBins: need >= 2 bins, got $bins")
+    require(hi > lo, s"histogramBins: need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / bins
+    df.select(least(
+        floor((col(valueCol).cast("double") - lo) / width).cast("long"),
+        lit(bins.toLong - 1)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Deterministic quantile estimates from the fixed-grid histogram — the
+    * third classic sketch next to bottom-θ distinct and Count-Min: t-digest
+    * / KLL give tighter bounds but are engine-specific float soups no SQL
+    * oracle can mirror; a fixed grid over the observed [min, max] is exact
+    * integer+IEEE arithmetic on any engine, with error bounded by one bin
+    * width ((max-min)/bins).
+    *
+    * Algebra (every step engine-portable): rank(p) = max(ceil(p*n), 1);
+    * the estimate for p is the UPPER edge `lo + (bin+1)*width` of the
+    * first bin whose cumulative count reaches rank(p), rounded to 6
+    * decimals. Scale shape: one O(1) driver range fact (min/max/count —
+    * same planning-fact contract as the extent queries), one histogram
+    * aggregation (shuffle <= bins partials per task), then cumulative +
+    * probe joins over <= bins rows (the unpartitioned window is bounded by
+    * `bins`, never by data — same justification as the heavy-hitter top-k).
+    * Output: one row per prob: (prob, est).
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      bins: Int = 1024): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"histogramQuantiles: probs must be in [0, 1], got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = df.agg(min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi"),
+      count(col(valueCol)).as("n")).head()
+    require(!row.isNullAt(2) && row.getLong(2) > 0,
+      "histogramQuantiles: no non-null values")
+    val (lo, hi, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    val probsDf = probs.toDF("prob")
+    if (hi == lo)
+      return probsDf.select(col("prob"),
+        lit(math.floor(lo * 1e6 + 0.5) / 1e6).as("est"))
+    val width = (hi - lo) / bins
+    val cum = histogramBins(df, valueCol, lo, hi, bins)
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+    probsDf
+      .withColumn("__rank", greatest(ceil(col("prob") * n), lit(1L)))
+      .join(broadcast(cum), col("cum") >= col("__rank"))
+      .groupBy(col("prob"))
+      .agg(min(col("bin")).as("__bin"))
+      .select(col("prob"),
+        TextAnalysis.round6(lit(lo) + (col("__bin") + 1) * width).as("est"))
+  }
+
   /** Count-Min PROBE: estimated occurrence count for each item = the
     * minimum of its depth bucket counters (never an undercount; overcounts
     * only by collisions, bounded by total/width per row w.h.p.). The

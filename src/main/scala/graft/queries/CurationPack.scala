@@ -218,6 +218,15 @@ object CurationPack extends QueryPack {
         .orderBy(col("token"))
     }),
 
+    // fixed-grid histogram quantile sketch over event values: engine-exact
+    // quantile estimates (error <= one bin width) from one histogram
+    // aggregation — the deterministic stand-in for t-digest/KLL
+    "q163_quantile_sketch" -> ((s, d) => {
+      Sketches.histogramQuantiles(Tables.events(s, d), "value",
+        probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), bins = 256)
+        .orderBy(col("prob"))
+    }),
+
     // distributed logistic-regression training (the fastText-style quality
     // classifier gate): 2 full-batch GD iterations over shape features,
     // label = is-English; exact fixed-point trace
@@ -451,6 +460,28 @@ object CurationPack extends QueryPack {
          |SELECT lang, COUNT(DISTINCT token) AS sampled_distinct,
          |  COUNT(DISTINCT token) * 16 AS estimated_distinct
          |FROM t2 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical IEEE algebra: lo/hi/n from the data, width = (hi-lo)/256,
+    // bin = least(floor((v-lo)/width), 255), est = upper edge of the first
+    // bin whose cumulative count reaches max(ceil(p*n), 1), rounded 1e-6
+    "q163_quantile_sketch" ->
+      """WITH s AS (
+        |  SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi,
+        |         COUNT(value) AS n
+        |  FROM events),
+        |h AS (
+        |  SELECT LEAST(CAST(FLOOR((CAST(e.value AS DOUBLE) - s.lo) /
+        |           ((s.hi - s.lo) / 256)) AS BIGINT), 255) AS bin,
+        |         COUNT(*) AS c
+        |  FROM events e, s GROUP BY 1),
+        |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
+        |p AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS prob)
+        |SELECT p.prob,
+        |  FLOOR((s.lo + (MIN(cum.bin) + 1) * ((s.hi - s.lo) / 256)) * 1e6 + 0.5) / 1e6 AS est
+        |FROM p, s, cum
+        |WHERE cum.cum >= GREATEST(CAST(CEIL(p.prob * s.n) AS BIGINT), 1)
+        |GROUP BY p.prob, s.lo, s.hi
+        |ORDER BY prob""".stripMargin,
 
     "q155_logistic_train" ->
       s"""$logisticCtes

@@ -211,6 +211,20 @@ object PipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN evaluation harness: recall@5 of the IVF path vs the brute-force
+    // exact top-5, per query — the metric that tunes nprobe/centroids
+    // before a full index build
+    "q164_ann_recall" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val centroids = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val approx = Similarity.ivfTopK(corpus, queries, centroids, k = 5, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      Similarity.recallAtK(approx, exact, k = 5).orderBy(col("query_id"))
+    }),
+
     // IVF coarse quantization: nearest of 5 broadcast centroids per vector
     "q54_ivf_assign" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
@@ -673,6 +687,58 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // IVF top-5 (q101's CTEs) intersected with brute-force top-5 (q46's
+      // scoring) — recall@5 per query; both rankings deterministic
+      // (1e-6-rounded cosine, id-ascending ties) so the intersection is too
+      "q164_ann_recall" -> {
+        def d2(l: String, r: String) =
+          s"""list_sum(list_transform(range(0, 64), i ->
+             |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE)) *
+             |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE))))""".stripMargin
+        s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e", "c")}, c.centroid_id) AS rn
+           |    FROM embeddings e, cent c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT query_id, centroid_id FROM (
+           |    SELECT q.query_id, c.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${d2("q", "c")}, c.centroid_id) AS rn
+           |    FROM q, cent c) WHERE rn <= 2),
+           |iscored AS (
+           |  SELECT p.query_id, a2.vec_id,
+           |    FLOOR(($dotSql) / (${normSql("a")} * ${normSql("b")}) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM probes p
+           |  JOIN assign a2 USING (centroid_id)
+           |  JOIN embeddings b ON b.vec_id = a2.vec_id
+           |  JOIN q a ON a.query_id = p.query_id),
+           |ivf AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM iscored) WHERE rank <= 5),
+           |bscored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q, embeddings c),
+           |bf AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM bscored) WHERE rank <= 5),
+           |hits AS (
+           |  SELECT b.query_id, COUNT(*) AS n_hits
+           |  FROM bf b JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+           |  GROUP BY 1)
+           |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+           |  FLOOR(COALESCE(h.n_hits, 0) / 5.0 * 1e6 + 0.5) / 1e6 AS recall
+           |FROM (SELECT DISTINCT query_id FROM bf) qq
+           |LEFT JOIN hits h USING (query_id)
+           |ORDER BY query_id""".stripMargin
+      },
       "q101_ivf_topk" -> {
         def d2(l: String, r: String) =
           s"""list_sum(list_transform(range(0, 64), i ->

@@ -294,6 +294,39 @@ class CurationOpsSpec extends SparkTestBase {
       s"hash filter must be under the exchange (map-side prune):\n$plan")
   }
 
+  test("histogramQuantiles: estimates within one bin width; fine grid is exact on uniform data") {
+    // uniform 0..9999: true quantile(p) = p * 10000
+    val vals = spark.range(10000).select(col("id").cast("double").as("v"))
+    val probs = Seq(0.1, 0.5, 0.9)
+    val est = Sketches.histogramQuantiles(vals, "v", probs, bins = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val binWidth = 9999.0 / 100
+    probs.foreach { p =>
+      assert(math.abs(est(p) - p * 10000) <= binWidth + 1e-6,
+        s"p=$p est=${est(p)} off by more than a bin width")
+    }
+    // determinism
+    val est2 = Sketches.histogramQuantiles(vals, "v", probs, bins = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est === est2)
+    // degenerate all-equal column: every quantile = the value
+    val const = spark.range(50).select(lit(7.25).as("v"))
+    val ec = Sketches.histogramQuantiles(const, "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(ec === Seq(7.25, 7.25, 7.25))
+  }
+
+  test("histogramBins over the same grid merge by per-bin addition") {
+    val vals = spark.range(1000).select((col("id") % 97).cast("double").as("v"))
+    val whole = Sketches.histogramBins(vals, "v", 0.0, 96.0, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h1 = Sketches.histogramBins(vals.filter(col("v") < 50), "v", 0.0, 96.0, 32)
+    val h2 = Sketches.histogramBins(vals.filter(col("v") >= 50), "v", 0.0, 96.0, 32)
+    val merged = h1.unionAll(h2).groupBy("bin").agg(sum("c").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+  }
+
   test("bpeTrain stops early when the vocabulary runs out of pairs") {
     val corpus = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
     val m = TextAnalysis.bpeTrain(corpus, numMerges = 5).collect()

@@ -93,6 +93,22 @@ class PipelineSpec extends SparkTestBase {
     assert(lsh.exists { case (qid, vid, _) => qid == vid })
   }
 
+  test("recallAtK: perfect, partial and empty approximate results") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "vec_id")
+    // q1 perfect, q2 half right (one hit + one miss), q3 absent entirely
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "vec_id")
+    val out = Similarity.recallAtK(approx, exact, k = 2)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
+    // approximate-only junk pairs never inflate recall
+    val noisy = approx.unionAll(Seq((1L, 77L), (9L, 1L)).toDF("query_id", "vec_id"))
+    val out2 = Similarity.recallAtK(noisy, exact, k = 2)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out2 == out, "extra approx rows for unknown/other queries must not change recall")
+  }
+
   test("token counting and subword estimate") {
     val t = Seq((1L, "Hello world, this is GPT4 speaking"), (2L, "  "), (3L, "one"))
       .toDF("doc_id", "text")
