@@ -269,6 +269,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"ADC LUT must broadcast:\n$plan")
   }
 
+  test("recallAtK: keyed semi-join + keyed count, no product, no window") {
+    val approx = emb.filter(col("vec_id") <= 20)
+      .select((col("vec_id") % 4).as("query_id"), col("vec_id"))
+    val exact = emb.filter(col("vec_id") <= 24)
+      .select((col("vec_id") % 4).as("query_id"), col("vec_id"))
+    val plan = Similarity.recallAtK(approx, exact, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    assert(!plan.contains("Window"), s"no window needed for recall:\n$plan")
+  }
+
   test("heavyHitterGrams plans the top-k as TakeOrderedAndProject (no full sort)") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e x y z"))
       .toDF("doc_id", "text")
