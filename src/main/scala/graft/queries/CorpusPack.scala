@@ -144,6 +144,35 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // the TIMESTAMP-typed as-of path WITH tolerance: ts columns arrive as
+    // TIMESTAMP (converted to epoch-ns internally, tolerance means
+    // nanoseconds) — matches older than 1h are nulled, left rows survive;
+    // DuckDB's native ASOF JOIN + epoch_ns gate is the independent oracle.
+    // The fixture's raw ts is an epoch-ns LONG (Spark cannot read
+    // TIMESTAMP(NANOS) parquet), so both engines build the TIMESTAMP via
+    // the same integral ns->us division — `ts div 1000`, never a double
+    // divide (ns epochs exceed the 53-bit double mantissa)
+    "q165_asof_timestamp" -> ((s, d) => {
+      val e = Tables.eventsWithTs(s, d)
+        .withColumn("tst", timestamp_micros(expr("ts div 1000")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tst").as("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("tst").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      // join runs on TIMESTAMP columns (the path under test); outputs
+      // convert back to epoch-ns longs — the driver compare normalizes
+      // timestamp columns to different pandas units per engine (ns vs us)
+      graft.ops.AsOfJoin.asOfJoin(purchases, clicks, "user_id",
+        "ts", "click_ts", Seq("click_id"),
+        toleranceNs = Some(3600L * 1000000000L))
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) * 1000).as("ts_ns"),
+          (unix_micros(col("asof_ts")) * 1000).as("asof_ns"),
+          col("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // binned interval overlap join (the range join): per-user click
     // activity windows [ts, ts+2h] x view windows [ts, ts+2h] — co-active
     // pairs meet through an equi-join on (user, 1-h bin), exact predicate,
@@ -483,6 +512,25 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      "q165_asof_timestamp" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type,
+          |         make_timestamp(epoch_ns(ts) // 1000) AS tst
+          |  FROM events),
+          |p AS (SELECT event_id, user_id, tst AS ts FROM e WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, tst AS click_ts, MAX(event_id) AS click_id
+          |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+          |j AS (
+          |  SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_id
+          |  FROM p ASOF LEFT JOIN c
+          |    ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+          |SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+          |  CASE WHEN epoch_ns(ts) - epoch_ns(click_ts) <= 3600000000000
+          |       THEN epoch_ns(click_ts) END AS asof_ns,
+          |  CASE WHEN epoch_ns(ts) - epoch_ns(click_ts) <= 3600000000000
+          |       THEN click_id END AS click_id
+          |FROM j ORDER BY event_id""".stripMargin,
       "q110_attribution" ->
         """WITH e AS (
           |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
