@@ -523,6 +523,33 @@ object TextAnalysis {
       "n_ips" -> regexp_count(t, lit("([0-9]{1,3}\\.){3}[0-9]{1,3}"))))
   }
 
+  /** PII REDACTION — the rewrite half of [[piiSignals]]: replace every
+    * email / phone / IP match with a fixed placeholder token (the standard
+    * pre-training scrub, e.g. C4/RefinedWeb-style). Same three public
+    * regexes as the detector, applied in a fixed order (emails first —
+    * the phone pattern could otherwise eat digit runs inside an address's
+    * local part... it cannot, but fixed order makes the output
+    * deterministic by construction and oracle-mirrorable via three nested
+    * `regexp_replace`s). A stateless codegen'd projection: no shuffle, no
+    * UDF; `n_redactions` counts matches BEFORE rewriting so the count is
+    * independent of placeholder collisions.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    docs.withColumn("n_redactions",
+        regexp_count(t, lit(email)) + regexp_count(t, lit(phone)) +
+          regexp_count(t, lit(ip)))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ip, "<IP>"))
+  }
+
   /** Gopher-style repetition signals — the duplicate-content quality
     * filters large-scale corpus cleaning applies per document (Rae et al.
     * 2021, "Scaling Language Models", table A1):

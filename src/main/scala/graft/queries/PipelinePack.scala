@@ -435,6 +435,20 @@ object PipelinePack extends QueryPack {
           col("n_phones").cast("long").as("n_phones"),
           col("n_ips").cast("long").as("n_ips"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction (the rewrite half of q100): same planted markers,
+    // every match replaced by a placeholder token — a stateless codegen
+    // projection; compared by md5 of the redacted text + match count
+    "q166_pii_redact" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" from 10.1.2.3")).otherwise(lit(""))))
+      TextAnalysis.redactPii(docs)
+        .select(col("doc_id"), md5(col("text")).as("clean_hash"),
+          col("n_redactions").cast("long").as("n_redactions"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1062,6 +1076,21 @@ object PipelinePack extends QueryPack {
           |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
           |  len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones,
           |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips
+          |FROM docs ORDER BY doc_id""".stripMargin,
+      "q166_pii_redact" ->
+        """WITH docs AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+          |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.1.2.3' ELSE '' END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+          |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS clean_hash,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+          |  len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) +
+          |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_redactions
           |FROM docs ORDER BY doc_id""".stripMargin,
       "q97_dedup_clusters" ->
         s"""${bandsSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -93,6 +93,17 @@ class PipelineSpec extends SparkTestBase {
     assert(lsh.exists { case (qid, vid, _) => qid == vid })
   }
 
+  test("redactPii replaces every marker, counts before rewriting") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e.org, call +1 (555) 123-4567, from 10.1.2.3"),
+      (2L, "clean text with no personal data at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).orderBy("doc_id")
+      .select("text", "n_redactions").as[(String, Long)].collect()
+    assert(out(0)._1 == "mail <EMAIL> and <EMAIL>, call <PHONE>, from <IP>")
+    assert(out(0)._2 == 4L)
+    assert(out(1) == (("clean text with no personal data at all", 0L)))
+  }
+
   test("recallAtK: perfect, partial and empty approximate results") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
       .toDF("query_id", "vec_id")
