@@ -151,13 +151,28 @@ object RasterOps {
               if !real.contains(off)
             } yield off -> (b match {
               case Boundary.Constant(v) => Array.fill(h * w)(v)
-              case _ => // Reflect: mirror the center across the shared edge
+              case _ =>
+                // Reflect = numpy "symmetric" padding of the GLOBAL raster.
+                // A missing EDGE neighbor mirrors the center across the
+                // shared edge. A missing DIAGONAL neighbor sits past the
+                // raster on one or both axes: past only the vertical axis
+                // (the horizontal edge-neighbor exists) it is the vertical
+                // mirror OF THAT NEIGHBOR — mirroring the center there
+                // would fabricate the wrong column block; symmetrically
+                // for the horizontal axis; past both (a raster corner, or
+                // a sparse store) it is the double mirror of the center.
                 val (dy, dx) = off
+                val (src, mirY, mirX) =
+                  if (dy != 0 && dx != 0 && !real.contains((dy, 0)) && real.contains((0, dx)))
+                    (real((0, dx)), true, false)
+                  else if (dy != 0 && dx != 0 && real.contains((dy, 0)) && !real.contains((0, dx)))
+                    (real((dy, 0)), false, true)
+                  else (px, dy != 0, dx != 0)
                 Array.tabulate(h * w) { i =>
                   val r = i / w; val cc = i % w
-                  val sr = if (dy != 0) h - 1 - r else r
-                  val sc = if (dx != 0) w - 1 - cc else cc
-                  px(sr * w + sc)
+                  val sr = if (mirY) h - 1 - r else r
+                  val sc = if (mirX) w - 1 - cc else cc
+                  src(sr * w + sc)
                 }
             })
             real ++ synth
@@ -165,6 +180,42 @@ object RasterOps {
         (scale, c, ty, tx, h, w, fn(h, w, px, m))
       }.toDF("scale", "c", "tile_y", "tile_x", "h", "w", "px")
   }
+
+  /** 3x3 mean blur over the tiled layout — the canonical `map_overlap`
+    * consumer (`map.py:110-126` uses exactly this shape of kernel as its
+    * doc example): every output pixel is the mean of its 3x3 neighborhood,
+    * with tile seams stitched through the depth-1 halo and raster borders
+    * filled by `boundary` (default Reflect = numpy "symmetric": the border
+    * pixel repeats, so for depth 1 the sampled coordinate is simply
+    * clamped to the raster). Integer-valued rasters stay engine-exact: 9
+    * small-int doubles sum exactly in any order, then one division.
+    *
+    * Scale shape: one tile->neighbor equi-join (keyed by tile coords) and
+    * a per-tile kernel — no corpus-wide shuffle beyond the halo exchange,
+    * which ships each tile at most 8 times (the same cost dask's
+    * map_overlap pays in ghost cells).
+    */
+  def meanBlur3x3(tiles: DataFrame, tileSize: Int = TS,
+      boundary: Boundary = Boundary.Reflect): DataFrame =
+    mapRasterWithHalo(tiles, tileSize, boundary) { (h, w, px, halo) =>
+      def at(r: Int, c: Int): Double = {
+        val (dy, ry) = if (r < 0) (-1, r + h) else if (r >= h) (1, r - h) else (0, r)
+        val (dx, rx) = if (c < 0) (-1, c + w) else if (c >= w) (1, c - w) else (0, c)
+        if (dy == 0 && dx == 0) px(ry * w + rx)
+        else halo.get((dy, dx)).map(_(ry * w + rx)).getOrElse(px(r.max(0).min(h - 1) * w + c.max(0).min(w - 1)))
+      }
+      Array.tabulate(h * w) { i =>
+        val r = i / w; val c = i % w
+        var s = 0.0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) { s += at(r + dy, c + dx); dx += 1 }
+          dy += 1
+        }
+        s / 9.0
+      }
+    }
 
   // ---- pyramid (models.py:234-263 multiscale; coarsen/subsample) ----
 

@@ -621,4 +621,85 @@ object TextAnalysis {
       Seq(StringType, IntegerType, IntegerType), returnNullable = false)
     norm.select(col(idCol), explode(sketch).as("h")).distinct()
   }
+
+  /** Gopher's English stopword-presence list (Rae et al. 2021, table A1):
+    * a document must contain at least `minStopwordsPresent` DISTINCT words
+    * from this list to pass the stop-word rule.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality RULES (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1) — the published rule battery big corpus pipelines apply
+    * before model training, as per-document measurements + boolean rule
+    * flags + one composite `gopher_pass`:
+    *
+    *  - `n_words` in [minWords, maxWords] (whitespace tokens of the
+    *    trimmed text; empty text = 0 words),
+    *  - `mean_word_len` in [minMeanWordLen, maxMeanWordLen],
+    *  - `symbol_ratio` = (# of `#` + # of `...`) / words <= maxSymbolRatio,
+    *  - `bullet_ratio` = fraction of lines starting with a bullet
+    *    (`-`, `*`, `•` after ltrim) <= maxBulletRatio,
+    *  - `ellipsis_ratio` = fraction of lines ending with `...`/`…`
+    *    (after rtrim) <= maxEllipsisRatio,
+    *  - `alpha_word_frac` = fraction of words containing at least one
+    *    alphabetic character >= minAlphaWordFrac,
+    *  - at least `minStopwordsPresent` distinct [[GopherStopWords]] present
+    *    in the normalized word stream.
+    *
+    * Every signal is a stateless per-document projection over built-in
+    * string/array functions — no shuffle, no join, no UDF; at 100 TB this
+    * is a pure map stage that fuses into whatever scan feeds it. Ratios
+    * are 6-decimal-snapped ([[round6]]) so the flags are engine-exact and
+    * oracle-mirrorable.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopwordsPresent: Int = 2): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val w = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+    val lines = split(t, "\n")
+    val nWords = size(w)
+    val wDen = greatest(nWords, lit(1)).cast("double")
+    val lDen = greatest(size(lines), lit(1)).cast("double")
+    val meanWordLen = round6(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / wDen)
+    val symbolRatio = round6(
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("double") / wDen)
+    val bulletRatio = round6(
+      size(filter(lines, x => ltrim(x).rlike("^[-*•]"))).cast("double") / lDen)
+    val ellipsisRatio = round6(
+      size(filter(lines, x => rtrim(x).rlike("(\\.\\.\\.|…)$"))).cast("double") / lDen)
+    val alphaWordFrac = round6(
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / wDen)
+    val nw = Dedup.words(t)
+    val nStopPresent =
+      size(filter(array(GopherStopWords.map(lit): _*), s => array_contains(nw, s)))
+    val passes = Seq(
+      "pass_word_count" -> nWords.between(minWords, maxWords),
+      "pass_mean_word_len" -> col("mean_word_len").between(minMeanWordLen, maxMeanWordLen),
+      "pass_symbol" -> (col("symbol_ratio") <= maxSymbolRatio),
+      "pass_bullet" -> (col("bullet_ratio") <= maxBulletRatio),
+      "pass_ellipsis" -> (col("ellipsis_ratio") <= maxEllipsisRatio),
+      "pass_alpha" -> (col("alpha_word_frac") >= minAlphaWordFrac),
+      "pass_stopwords" -> (col("n_stop_present") >= minStopwordsPresent))
+    val withSignals = docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("bullet_ratio", bulletRatio)
+      .withColumn("ellipsis_ratio", ellipsisRatio)
+      .withColumn("alpha_word_frac", alphaWordFrac)
+      .withColumn("n_stop_present", nStopPresent)
+    val withFlags = passes.foldLeft(withSignals) {
+      case (df, (name, cond)) => df.withColumn(name, cond)
+    }
+    withFlags.withColumn("gopher_pass",
+      passes.map(p => col(p._1)).reduce(_ && _))
+  }
 }

@@ -263,6 +263,29 @@ object CurationPack extends QueryPack {
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeSegment(docs, merges).orderBy(col("doc_id"))
+    }),
+
+    // Gopher rule battery on marker-injected docs (bullets/ellipsis lines
+    // on %13, # symbols on %17 exercise the line- and symbol-rules the
+    // plain word-salad corpus never trips); minStopwordsPresent=1 because
+    // the fixture vocabulary carries only 'the' from the Gopher list
+    "q167_gopher_rules" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 17 === 0, lit(" ### #")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\n- bullet item\ntrailing thought...")).otherwise(lit(""))))
+      TextAnalysis.gopherRules(docs, minStopwordsPresent = 1)
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+          col("alpha_word_frac"), col("n_stop_present").cast("long").as("n_stop_present"),
+          col("pass_word_count").cast("int").as("pass_word_count"),
+          col("pass_symbol").cast("int").as("pass_symbol"),
+          col("pass_bullet").cast("int").as("pass_bullet"),
+          col("pass_ellipsis").cast("int").as("pass_ellipsis"),
+          col("gopher_pass").cast("int").as("gopher_pass"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -561,6 +584,52 @@ object CurationPack extends QueryPack {
         |  FROM isl GROUP BY 1, 2)
         |SELECT doc_id, COUNT(*) AS n_spans,
         |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
-        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same marker injection; every ratio snapped with the IEEE floor form
+    // and every denominator guarded exactly like the Spark side
+    "q167_gopher_rules" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' ### #' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN chr(10) || '- bullet item' || chr(10) || 'trailing thought...'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS w,
+        |    string_split(text, chr(10)) AS l,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS nw
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    FLOOR(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) * 1.0
+        |      / GREATEST(len(w), 1) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+        |    FLOOR((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) * 1.0
+        |      / GREATEST(len(w), 1) * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+        |    FLOOR(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]'))) * 1.0
+        |      / GREATEST(len(l), 1) * 1e6 + 0.5) / 1e6 AS bullet_ratio,
+        |    FLOOR(len(list_filter(l, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) * 1.0
+        |      / GREATEST(len(l), 1) * 1e6 + 0.5) / 1e6 AS ellipsis_ratio,
+        |    FLOOR(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        |      / GREATEST(len(w), 1) * 1e6 + 0.5) / 1e6 AS alpha_word_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(nw, s))) AS BIGINT) AS n_stop_present
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_word_frac, n_stop_present,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS pass_word_count,
+        |  CAST(symbol_ratio <= 0.1 AS INT) AS pass_symbol,
+        |  CAST(bullet_ratio <= 0.9 AS INT) AS pass_bullet,
+        |  CAST(ellipsis_ratio <= 0.3 AS INT) AS pass_ellipsis,
+        |  CAST(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3 AND 10
+        |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |    AND ellipsis_ratio <= 0.3 AND alpha_word_frac >= 0.8
+        |    AND n_stop_present >= 1 AS INT) AS gopher_pass
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }

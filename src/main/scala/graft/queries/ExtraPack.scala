@@ -109,6 +109,30 @@ object ExtraPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // map_overlap with Reflect boundary (map.py:110-126): a dense 64x64
+    // count raster blurred 3x3 through the depth-1 halo join; border
+    // pixels sample the symmetric reflection = clamped coordinate, which
+    // the oracle mirrors with LEAST/GREATEST. Counts are small ints, so
+    // the 9-term sum is IEEE-exact in any order and value needs no snap.
+    "q168_halo_blur" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(64L * 64)
+        .select(lit(0).as("c"), (col("id") / 64).cast("int").as("y"),
+          (col("id") % 64).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 16)
+      val blurred = RasterOps.meanBlur3x3(tiles, tileSize = 16,
+        boundary = RasterOps.Boundary.Reflect)
+      RasterOps.tilesToPixels(blurred, tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
     // rasterize_bins (rasterize_bins.py:31-237): grid-binned obs -> pixels
     "q39_rasterize_bins" -> ((s, d) => {
       val obs = Tables.orders(s, d).select(
@@ -313,6 +337,29 @@ object ExtraPack extends QueryPack {
       """SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
         |  CASE WHEN event_id % 50 IN (SELECT s_suppkey FROM supplier)
         |       THEN event_id % 50 ELSE 0 END AS label
-        |FROM events ORDER BY y, x, label""".stripMargin
+        |FROM events ORDER BY y, x, label""".stripMargin,
+    // 3x3 mean with symmetric (clamp-at-depth-1) borders over the dense grid
+    "q168_halo_blur" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 64 AS INT) AS y, CAST(i % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x, COALESCE(px.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |offs AS (
+        |  SELECT dy, dx
+        |  FROM (SELECT unnest(range(-1, 2)) AS dy), (SELECT unnest(range(-1, 2)) AS dx))
+        |SELECT d.y, d.x, SUM(n.v) / 9.0 AS value
+        |FROM dense d
+        |JOIN offs o ON TRUE
+        |JOIN dense n
+        |  ON n.y = LEAST(GREATEST(d.y + o.dy, 0), 63)
+        | AND n.x = LEAST(GREATEST(d.x + o.dx, 0), 63)
+        |GROUP BY d.y, d.x
+        |ORDER BY d.y, d.x""".stripMargin
   )
 }

@@ -334,4 +334,49 @@ class CurationOpsSpec extends SparkTestBase {
     assert(m.length === 1)
     assert(m(0).getString(1) === "a" && m(0).getString(2) === "b")
   }
+
+  test("gopherRules: each rule measures and flags its own failure mode") {
+    // 72 words, mean word length exactly 3.0, five Gopher stopwords present
+    val good = ("the cat sat with the dog and that was all of it " * 6).trim
+    val bullets = Seq.fill(10)("- bullet point item").mkString("\n")
+    val fixtures = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "the of and that"),                        // too few words
+      (3L, good + " ... ... #### ###"),               // symbol-heavy
+      (4L, good + "\n" + bullets),                    // bullet lines 10/11
+      (5L, good + "\nwait...\nmore...\nhmm..."),      // ellipsis lines 3/4
+      (6L, good + " " + Seq.fill(80)("4217 7391 9042").mkString(" ")), // digit words
+      (7L, "zz qq ww " * 30)                          // no Gopher stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(fixtures).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"))
+    assert(!out(2L).getAs[Boolean]("pass_word_count"))
+    assert(out(4L).getAs[Double]("bullet_ratio") === 0.909091)
+    assert(out(5L).getAs[Double]("ellipsis_ratio") === 0.75)
+    assert(!out(7L).getAs[Boolean]("pass_stopwords"))
+    assert(out(7L).getAs[Int]("n_stop_present") === 0)
+    // the rule under test is the ONLY rule that fails on its fixture
+    for ((id, failCol) <- Seq(3L -> "pass_symbol", 4L -> "pass_bullet",
+        5L -> "pass_ellipsis", 6L -> "pass_alpha")) {
+      val r = out(id)
+      assert(!r.getAs[Boolean]("gopher_pass"))
+      assert(!r.getAs[Boolean](failCol), s"doc $id should fail $failCol")
+      for (c <- Seq("pass_word_count", "pass_mean_word_len", "pass_symbol",
+          "pass_bullet", "pass_ellipsis", "pass_alpha", "pass_stopwords")
+          if c != failCol)
+        assert(r.getAs[Boolean](c), s"doc $id unexpectedly failed $c")
+    }
+  }
+
+  test("gopherRules: empty and NULL text yield zero words and fail word count") {
+    val f = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(f).collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_words") === 0)
+      assert(!r.getAs[Boolean]("pass_word_count"))
+      assert(r.getAs[Double]("mean_word_len") === 0.0)
+    }
+  }
 }
