@@ -109,6 +109,36 @@ object ExtraPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // RQ decomposition (transformations.py:837-966): the q18 affine split
+    // into inversion/rotation/shear/scale/translation; the oracle rebuilds
+    // the same Givens closed form (phi = atan2(a10, a11)) in SQL. Driver
+    // math like the reference's numpy path; 6-dec snap absorbs the <=1-ulp
+    // libm-vs-JVM transcendental drift.
+    "q169_rq_decompose" -> ((s, d) => {
+      import s.implicits._
+      // touch the sf dir so the gate participates in the standard contract
+      val nRows = Tables.supplier(s, d).count()
+      val t = AffineT(Matrix(3, 3, Array(0.5, -0.25, 3.0, 0.25, 2.0, -1.0, 0, 0, 1)),
+        Seq("x", "y"), Seq("x", "y"))
+      val seq = Decompose.decompose(t, Seq("x", "y"), simple = false)
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      // decompose(simple = false) contract: exactly this chain, in order
+      val (inv, rot, shear, scale, trans) = seq.transforms match {
+        case List(i: ScaleT, r: AffineT, sh: AffineT, sc: ScaleT, tr: TranslationT) =>
+          (i, r, sh, sc, tr)
+        case other => throw new IllegalStateException(s"unexpected chain $other")
+      }
+      val rows =
+        inv.scale.zipWithIndex.map { case (v, i) => ("a_inversion", i, r6(v)) } ++
+        Seq(0, 1, 3, 4).zipWithIndex.map { case (di, i) => ("b_rotation", i, r6(rot.matrix.data(di))) } ++
+        Seq(("c_shear", 0, r6(shear.matrix.data(1)))) ++
+        scale.scale.zipWithIndex.map { case (v, i) => ("d_scale", i, r6(v)) } ++
+        trans.translation.zipWithIndex.map { case (v, i) => ("e_translation", i, r6(v)) }
+      rows.toDF("part", "idx", "value")
+        .withColumn("n_rows", lit(nRows))
+        .orderBy(col("part"), col("idx"))
+    }),
+
     // map_overlap with Reflect boundary (map.py:110-126): a dense 64x64
     // count raster blurred 3x3 through the depth-1 halo join; border
     // pixels sample the symmetric reflection = clamped coordinate, which
@@ -338,6 +368,34 @@ object ExtraPack extends QueryPack {
         |  CASE WHEN event_id % 50 IN (SELECT s_suppkey FROM supplier)
         |       THEN event_id % 50 ELSE 0 END AS label
         |FROM events ORDER BY y, x, label""".stripMargin,
+    // the same Givens closed form: phi zeroes R(1,0); signs fold into the
+    // inversion; the 6-dec snap absorbs libm-vs-JVM ulp drift
+    "q169_rq_decompose" ->
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM supplier),
+        |t AS (SELECT atan2(0.25, 2.0) AS phi),
+        |v AS (SELECT cos(phi) AS c, sin(phi) AS s FROM t),
+        |r AS (SELECT c, s,
+        |        0.5 * c - (-0.25) * s AS r00,
+        |        0.5 * s + (-0.25) * c AS r01,
+        |        0.25 * s + 2.0 * c AS r11 FROM v),
+        |w AS (SELECT c, s, r01,
+        |        abs(r00) AS sc0, abs(r11) AS sc1,
+        |        CASE WHEN r00 >= 0 THEN 1.0 ELSE -1.0 END AS d0,
+        |        CASE WHEN r11 >= 0 THEN 1.0 ELSE -1.0 END AS d1 FROM r),
+        |parts AS (
+        |  SELECT 'a_inversion' AS part, 0 AS idx, d0 AS value FROM w
+        |  UNION ALL SELECT 'a_inversion', 1, d1 FROM w
+        |  UNION ALL SELECT 'b_rotation', 0, c * d0 * d0 FROM w
+        |  UNION ALL SELECT 'b_rotation', 1, -s * d0 * d1 FROM w
+        |  UNION ALL SELECT 'b_rotation', 2, s * d1 * d0 FROM w
+        |  UNION ALL SELECT 'b_rotation', 3, c * d1 * d1 FROM w
+        |  UNION ALL SELECT 'c_shear', 0, (r01 / sc0) * d1 FROM w
+        |  UNION ALL SELECT 'd_scale', 0, sc0 FROM w
+        |  UNION ALL SELECT 'd_scale', 1, sc1 FROM w
+        |  UNION ALL SELECT 'e_translation', 0, 3.0 FROM w
+        |  UNION ALL SELECT 'e_translation', 1, -1.0 FROM w)
+        |SELECT part, idx, FLOOR(value * 1e6 + 0.5) / 1e6 AS value, nn.n_rows
+        |FROM parts, nn ORDER BY part, idx""".stripMargin,
     // 3x3 mean with symmetric (clamp-at-depth-1) borders over the dense grid
     "q168_halo_blur" ->
       """WITH px AS (

@@ -163,6 +163,39 @@ object RelationalPack extends QueryPack {
         .filter(col("instance_id") =!= 0)
         .distinct()
         .orderBy(col("instance_id"))
+    }),
+
+    // get_element_annotators (relational_query.py:38-59): which tables
+    // annotate which element — tabX annotates both points elements (split
+    // by supplier key parity), tabY only ptsB; per (element, annotator)
+    // the count of obs rows actually targeting that element binds the
+    // manifest lookup to real data
+    "q170_element_annotators" -> ((s, d) => {
+      import graft.model._
+      def pts(mult: Int) = Models.PointsModel.parse(
+        Tables.supplier(s, d).select(
+          (col("s_suppkey") * mult).cast("double").as("x"),
+          col("s_suppkey").cast("double").as("y")))
+      val obsX = Tables.supplier(s, d).select(
+        col("s_suppkey").as("instance_id"),
+        when(col("s_suppkey") % 2 === 0, "ptsA").otherwise("ptsB").as("region"))
+      val obsY = Tables.customer(s, d).select(
+        col("c_custkey").as("instance_id"), lit("ptsB").as("region"))
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.PointsModel.meta("ptsA"), pts(1)),
+        SpatialElement(Models.PointsModel.meta("ptsB"), pts(2)),
+        SpatialElement(Models.TableModel.meta("tabX",
+          Some(TableAnnotation(Seq("ptsA", "ptsB"), "region", "instance_id"))), obsX),
+        SpatialElement(Models.TableModel.meta("tabY",
+          Some(TableAnnotation(Seq("ptsB"), "region", "instance_id"))), obsY)))
+      val pairs = for {
+        el <- Seq("ptsA", "ptsB")
+        ann <- graft.query.RelationalQuery.elementAnnotators(sd, el)
+      } yield sd.element(ann).obs
+        .filter(col("region") === el)
+        .agg(count(lit(1)).as("n_obs"))
+        .select(lit(el).as("element"), lit(ann).as("annotator"), col("n_obs"))
+      pairs.reduce(_.unionByName(_)).orderBy(col("element"), col("annotator"))
     })
   )
 
@@ -213,6 +246,13 @@ object RelationalPack extends QueryPack {
         |ORDER BY k""".stripMargin,
     "q06_distinct_instances" ->
       """SELECT DISTINCT l_suppkey AS instance_id FROM lineitem
-        |WHERE l_suppkey <> 0 ORDER BY instance_id""".stripMargin
+        |WHERE l_suppkey <> 0 ORDER BY instance_id""".stripMargin,
+    "q170_element_annotators" ->
+      """SELECT 'ptsA' AS element, 'tabX' AS annotator,
+        |  (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 2 = 0) AS n_obs
+        |UNION ALL SELECT 'ptsB', 'tabX',
+        |  (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 2 <> 0)
+        |UNION ALL SELECT 'ptsB', 'tabY', (SELECT COUNT(*) FROM customer)
+        |ORDER BY element, annotator""".stripMargin
   )
 }
