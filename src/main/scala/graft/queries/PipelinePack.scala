@@ -160,6 +160,40 @@ object PipelinePack extends QueryPack {
       }
     }),
 
+    // the STREAMING form of the at-rest probe: the same new-batch docs
+    // arrive as 3 parquet files -> 3 micro-batches, each screened
+    // independently against the band index via foreachBatch; with no
+    // hot-bucket cap binding, the union of per-batch outputs equals the
+    // one-shot probe, so the q162 oracle algebra gates a real
+    // Structured Streaming run end-to-end
+    "q171_streaming_probe" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val newDocs = corpus.filter(col("doc_id") % 5 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_streamprobe_")
+      val table = "graft_band_index_q171"
+      try {
+        TextIndex.writeBandIndex(corpus, table, tmp.resolve("idx").toString)
+        val srcDir = tmp.resolve("src").toString
+        newDocs.repartition(3).write.parquet(srcDir)
+        val outDir = tmp.resolve("out").toString
+        val q = graft.streaming.DocStream.streamingNearDupProbe(
+          s, srcDir, "doc_id LONG, text STRING",
+          TextIndex.readBandIndex(s, table), outDir,
+          maxFilesPerTrigger = Some(1))
+        q.awaitTermination(180000)
+        s.read.parquet(outDir)
+          .filter(col("doc_id") =!= col("corpus_id"))
+          .select(col("doc_id"), col("corpus_id"), col("n_bands"))
+          .orderBy(col("doc_id"), col("corpus_id"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // embedding-cosine near-duplicate pairs on a deterministic sample,
     // candidate-gated by 2 bands of 2-plane LSH sign buckets (no all-pairs
     // product anywhere in the plan — see PlanShapeSpec)
@@ -526,6 +560,21 @@ object PipelinePack extends QueryPack {
       // probe bands capped over the batch alone (the batch's band table is
       // the corpus band table restricted to its ids — same text, same sig)
       "q162_band_index_probe" ->
+        s"""$bandsSqlCte,
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |pb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+           |pok AS (SELECT band, band_key FROM pb GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |pcapped AS (SELECT p.* FROM pb p JOIN pok USING (band, band_key))
+           |SELECT p.doc_id AS doc_id, c.doc_id AS corpus_id,
+           |  COUNT(DISTINCT p.band) AS n_bands
+           |FROM pcapped p JOIN capped c
+           |  ON p.band = c.band AND p.band_key = c.band_key
+           |WHERE p.doc_id <> c.doc_id
+           |GROUP BY 1, 2 ORDER BY doc_id, corpus_id""".stripMargin,
+      // identical algebra to q162 — the streaming run must not change the
+      // candidate set (per-batch screening, caps not binding)
+      "q171_streaming_probe" ->
         s"""$bandsSqlCte,
            |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
            |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.pipeline.{Dedup, TextIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming document-pipeline operators — the incremental form of the
+  * corpus-curation ops in `graft.pipeline`. The reference has no streaming
+  * surface (SURVEY.md §2.9 extension); this is how a production ingest
+  * actually runs dedup: the corpus index is built ONCE at rest
+  * ([[graft.pipeline.TextIndex]]), and every arriving micro-batch of new
+  * documents is screened against it without ever re-scanning the corpus.
+  */
+object DocStream {
+
+  /** Incremental near-duplicate screening: stream new documents from a
+    * parquet directory, and per micro-batch run the SAME banded probe as
+    * the batch path ([[TextIndex.probe]]) against the at-rest corpus band
+    * index — `foreachBatch` is the right vehicle because the probe needs a
+    * per-batch aggregation (the hot-bucket cap) that append-mode streaming
+    * aggregation cannot express, and gives exactly-once parquet appends of
+    * the candidate pairs to `outDir`.
+    *
+    * Semantics: each batch is screened INDEPENDENTLY (per-batch hot-bucket
+    * caps on the new side; the corpus-side cap is fixed at index scope) —
+    * the natural incremental contract: a document's verdict never depends
+    * on what arrives after it. With no cap binding, the union of per-batch
+    * outputs equals the one-shot batch probe of all new docs
+    * (DocStreamSpec pins this).
+    *
+    * Scale shape per batch: the corpus side plans with NO exchange (the
+    * index is bucketed+sorted on the band join key); only the new batch —
+    * orders of magnitude smaller — is shuffled or broadcast. State: none
+    * beyond the file-source log; the stream can run forever.
+    *
+    * Output rows in `outDir`: (doc_id, corpus_id, n_bands, batch_id).
+    */
+  def streamingNearDupProbe(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, index: DataFrame, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxBucketSize: Option[Int] = Some(Dedup.DefaultMaxBucketSize),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextIndex.probe(index, batch, textCol, idCol,
+            k = k, numHashes = numHashes, bands = bands,
+            maxBucketSize = maxBucketSize)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
