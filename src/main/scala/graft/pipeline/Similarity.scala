@@ -552,4 +552,85 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
+
+  /** Distributed covariance matrix of an embedding column — the PCA /
+    * whitening / ZCA preparation step every embedding-pipeline runs before
+    * dimensionality reduction. Output: one row per upper-triangle entry
+    * `(i, j, cov)` with `cov = (E[x_i x_j] - E[x_i] E[x_j])`, 6-dec
+    * snapped.
+    *
+    * Scale shape — the d^2-wide outer-product accumulation: exploding to
+    * `(vec_id, i, x_i)` and self-joining on vec_id would shuffle
+    * `corpus x d` rows (the naive SQL form, quadratic in d per row); the
+    * distributed-correct form accumulates the d(d+1)/2 partial products
+    * PER PARTITION and ships only `partitions x d^2/2` tiny rows into one
+    * keyed sum — mapPartitions is warranted here because no built-in
+    * aggregate can hold a d^2-wide buffer without per-row explosion (the
+    * same judgment call as a TypedImperativeAggregate, minus the
+    * boilerplate). Determinism: every per-row term is snapped to 1e-6
+    * fixed-point and accumulated in LONGs, so partial sums are exact and
+    * order-free — bit-identical across partitionings and engines
+    * (the q147/q155 fixed-point discipline).
+    */
+  def covarianceMatrix(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(vecCol).cast("array<float>")).as[Array[Float]]
+    val d = vecs.head().length // 1-row planning probe, like extent lookups
+    val parts: org.apache.spark.sql.Dataset[(Int, Int, Long)] =
+      vecs.mapPartitions { it =>
+        val nPairs = d * (d + 1) / 2
+        val accXY = new Array[Long](nPairs)
+        val accX = new Array[Long](d)
+        var n = 0L
+        it.foreach { v =>
+          require(v.length == d,
+            s"covarianceMatrix: vector width ${v.length} != $d")
+          var k = 0
+          var i = 0
+          while (i < d) {
+            val xi = v(i).toDouble
+            accX(i) += math.floor(xi * 1e6 + 0.5).toLong
+            var j = i
+            while (j < d) {
+              accXY(k) += math.floor(xi * v(j) * 1e6 + 0.5).toLong
+              k += 1; j += 1
+            }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+          var k = 0
+          var i = 0
+          while (i < d) {
+            out += ((i, -1, accX(i)))
+            var j = i
+            while (j < d) { out += ((i, j, accXY(k))); k += 1; j += 1 }
+            i += 1
+          }
+          out += ((-1, -1, n))
+          out.iterator
+        }
+      }
+    val sums = parts.toDF("i", "j", "v")
+      .groupBy(col("i"), col("j")).agg(sum(col("v")).as("v"))
+    val m2 = sums.filter(col("j") >= 0)
+      .select(col("i"), col("j"), col("v").as("sxy"))
+    val m1 = sums.filter(col("j") === -1 && col("i") >= 0)
+      .select(col("i"), col("v").as("sx"))
+    val nTot = sums.filter(col("i") === -1)
+      .select(col("v").cast("double").as("__n"))
+    m2.join(m1.select(col("i"), col("sx").as("__sxi")), Seq("i"))
+      .join(m1.select(col("i").as("j"), col("sx").as("__sxj")), Seq("j"))
+      .crossJoin(broadcast(nTot)) // 1-row total, same pattern as corpus stats
+      .select(col("i"), col("j"),
+        TextAnalysis.round6(
+          (col("sxy").cast("double") / 1e6 -
+            (col("__sxi").cast("double") / 1e6) *
+              (col("__sxj").cast("double") / 1e6) / col("__n")) / col("__n"))
+          .as("cov"))
+  }
 }

@@ -36,6 +36,14 @@ object CorpusPack extends QueryPack {
         .orderBy(col("centroid_id"))
     }),
 
+    // distributed covariance of the embedding corpus (PCA/whitening prep):
+    // per-partition d^2 outer-product accumulation in 1e-6 fixed-point
+    // LONGs, one tiny keyed sum — no corpus x d explode-join anywhere
+    "q172_covariance" -> ((s, d) => {
+      Similarity.covarianceMatrix(Tables.embeddings(s, d))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // corpus-wide document frequency (the DF half of TF-IDF)
     "q105_doc_frequency" -> ((s, d) => {
       TextAnalysis.documentFrequency(Tables.documents(s, d), minDf = 50)
@@ -296,6 +304,32 @@ object CorpusPack extends QueryPack {
          |  ($e[i + 1] - $c[i + 1]) * ($e[i + 1] - $c[i + 1])))""".stripMargin)
 
     Map(
+      // naive SQL form (corpus x idx product) of the same 1e-6 fixed-point
+      // moment algebra — exact BIGINT sums make engine order irrelevant
+      "q172_covariance" ->
+        """WITH e AS (
+          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |idx AS (
+          |  SELECT a.i AS i, b.i AS j
+          |  FROM (SELECT unnest(range(0, 64)) AS i) a,
+          |       (SELECT unnest(range(0, 64)) AS i) b
+          |  WHERE a.i <= b.i),
+          |m2 AS (
+          |  SELECT idx.i, idx.j,
+          |    SUM(CAST(FLOOR(e.v[idx.i + 1] * e.v[idx.j + 1] * 1e6 + 0.5) AS BIGINT)) AS sxy
+          |  FROM e, idx GROUP BY 1, 2),
+          |m1 AS (
+          |  SELECT t.i,
+          |    SUM(CAST(FLOOR(e.v[t.i + 1] * 1e6 + 0.5) AS BIGINT)) AS sx
+          |  FROM e, (SELECT unnest(range(0, 64)) AS i) t GROUP BY 1),
+          |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+          |SELECT m2.i, m2.j,
+          |  FLOOR(((CAST(m2.sxy AS DOUBLE) / 1e6 -
+          |    (CAST(a.sx AS DOUBLE) / 1e6) * (CAST(b.sx AS DOUBLE) / 1e6) / n.n) / n.n)
+          |    * 1e6 + 0.5) / 1e6 AS cov
+          |FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j, n
+          |ORDER BY m2.i, m2.j""".stripMargin,
       "q104_kmeans_train" ->
         s"""WITH e AS (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

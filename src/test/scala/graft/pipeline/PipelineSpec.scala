@@ -825,4 +825,27 @@ class PipelineSpec extends SparkTestBase {
     assert(Multimodal.audioStats(broken)
       .filter(col("decoder") === "stub").count() == 5)
   }
+
+  test("covarianceMatrix: known 2-dim fixture; partitioning-invariant") {
+    import spark.implicits._
+    val emb = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 6.0f))
+      .toDF("embedding")
+    def covOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.covarianceMatrix(df).collect()
+        .map(r => (r.getInt(1), r.getInt(0), r.getDouble(2))).toSet
+    val out = covOf(emb)
+    // x=[1,3,5], y=[2,4,6]: var(x)=var(y)=cov(x,y)=8/3 -> 2.666667 snapped
+    assert(out === Set((0, 0, 2.666667), (1, 0, 2.666667), (1, 1, 2.666667)))
+    // fixed-point long accumulation: exact under any partitioning
+    assert(covOf(emb.repartition(7)) === out)
+  }
+
+  test("covarianceMatrix rejects ragged vector widths loudly") {
+    import spark.implicits._
+    val bad = Seq(Array(1.0f, 2.0f), Array(3.0f)).toDF("embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.covarianceMatrix(bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
