@@ -168,6 +168,45 @@ object TextAnalysis {
         round6(col("sum_lp4").cast("double") / (col("n_bigrams") * 1e4)))
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every document with the bigram LM ([[lmScore]]), derive the
+    * tercile cutoffs, and label each document `head` / `middle` / `tail`
+    * — the standard quality-tiering step before per-tier sampling rates.
+    *
+    * The cutoffs come from the mergeable fixed-grid quantile sketch
+    * ([[Sketches.histogramQuantiles]] at p = 0.333333 / 0.666667), not an
+    * exact corpus-wide sort: CCNet itself computes cutoffs once and
+    * applies them as constants, and the sketch is the 100 TB-correct way
+    * to get them (one histogram aggregation; no full sort, no corpus
+    * window). The two cutoff doubles become literals in a stateless
+    * bucket projection — the same driver-resident-model pattern as
+    * k-means centroids and the trained classifier. Higher avg log-prob =
+    * more fluent = `head` (strictly above the upper cutoff); `middle`
+    * strictly above the lower; else `tail`.
+    *
+    * Output: (idCol, n_bigrams, sum_lp4, avg_logprob, ccnet_bucket).
+    */
+  def perplexityPartition(docs: DataFrame, trainFraction: Double = 0.25,
+      bins: Int = 256, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // scored feeds three actions (range fact, histogram, final labeling) —
+    // uncached, the whole shingle->join LM pipeline would replay each time
+    val scored = lmScore(docs, trainFraction, textCol = textCol, idCol = idCol)
+      .persist(lvl)
+    val cuts = Sketches.histogramQuantiles(
+        scored, "avg_logprob", Seq(0.333333, 0.666667), bins)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val (c1, c2) = (cuts(0.333333), cuts(0.666667))
+    CacheScope.releaseAfterFirstUse(
+      scored.withColumn("ccnet_bucket",
+        when(col("avg_logprob") > c2, "head")
+          .when(col("avg_logprob") > c1, "middle")
+          .otherwise("tail")),
+      Seq(scored))
+  }
+
   /** Corpus-wide heavy-hitter n-grams: the `topK` most-repeated k-token
     * shingles — the boilerplate-mining pass that feeds template/footer
     * removal (what [[Dedup.paragraphDedup]] does for whole paragraphs,

@@ -335,6 +335,23 @@ class CurationOpsSpec extends SparkTestBase {
     assert(m(0).getString(1) === "a" && m(0).getString(2) === "b")
   }
 
+  test("perplexityPartition: terciles are ordered and roughly balanced") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.perplexityPartition(corpus)
+      .select("avg_logprob", "ccnet_bucket").collect()
+      .map(r => r.getDouble(0) -> r.getString(1))
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // strict ordering: every head score > every middle score > every tail
+    assert(byBucket("head").min > byBucket("middle").max)
+    assert(byBucket("middle").min > byBucket("tail").max)
+    // tercile balance within sketch-bin tolerance
+    val n = out.length
+    byBucket.values.foreach(v =>
+      assert(v.length > n / 5 && v.length < n / 2,
+        s"bucket sizes skewed: ${byBucket.view.mapValues(_.length).toMap}"))
+  }
+
   test("gopherRules: each rule measures and flags its own failure mode") {
     // 72 words, mean word length exactly 3.0, five Gopher stopwords present
     val good = ("the cat sat with the dog and that was all of it " * 6).trim
