@@ -331,4 +331,23 @@ class PlanShapeSpec extends SparkTestBase {
     val got = out.orderBy("y", "x").select("label").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L, 0L, 1L))
   }
+
+  test("gopherRules is a stateless projection: no shuffle, no join") {
+    val docs = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val plan = TextAnalysis.gopherRules(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRules shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"gopherRules joined:\n$plan")
+  }
+
+  test("covarianceMatrix: no corpus-side product, moment sums stay keyed") {
+    val plan = Similarity.covarianceMatrix(emb)
+      .queryExecution.executedPlan.toString
+    // the only non-equi join is the documented 1-row total broadcast; a
+    // CartesianProduct (corpus x index explode-join) must never appear
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    // the corpus is consumed once by the mapPartitions accumulator
+    assert(plan.contains("MapPartitions") || plan.contains("mapPartitions"),
+      s"accumulator stage missing:\n$plan")
+  }
 }
