@@ -168,6 +168,33 @@ object TextAnalysis {
         round6(col("sum_lp4").cast("double") / (col("n_bigrams") * 1e4)))
   }
 
+  /** Top-k most frequent tokens PER GROUP (per language, per source, per
+    * domain — the per-slice vocabulary audit next to the corpus-wide
+    * [[heavyHitterGrams]]). Two stages: one keyed hash aggregation to
+    * (group, token, count) — partial map-side combine, the only shuffle
+    * that sees corpus-scale data — then a rank window over the AGGREGATED
+    * counts. The window partitions by group over at most
+    * |vocabulary-per-group| rows, never corpus rows, so a hot group costs
+    * its vocab size, not its token count (same bounded-window argument as
+    * the quantile sketch). Ties break token-ascending. Output:
+    * (groupCol, rank, token, n_occurrences).
+    */
+  def topTermsPerGroup(docs: DataFrame, groupCol: String, topK: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol), explode(Dedup.words(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("token"), col("n_occurrences"))
+  }
+
   /** CCNet-style perplexity partition (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * score every document with the bigram LM ([[lmScore]]), derive the

@@ -265,6 +265,13 @@ object CurationPack extends QueryPack {
       TextAnalysis.bpeSegment(docs, merges).orderBy(col("doc_id"))
     }),
 
+    // per-language top-5 tokens: keyed count then a vocab-bounded rank
+    // window — the per-slice vocabulary audit
+    "q174_top_terms_per_lang" -> ((s, d) => {
+      TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", topK = 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // CCNet-style perplexity partition: bigram-LM score + sketch-derived
     // tercile cutoffs -> head/middle/tail labels
     "q173_ccnet_partition" -> ((s, d) => {
@@ -407,6 +414,20 @@ object CurationPack extends QueryPack {
          |  FLOOR(CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 1e4) * 1e6 + 0.5) / 1e6 AS avg_logprob
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q174_top_terms_per_lang" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest($wordsSql) AS token FROM documents),
+         |c AS (
+         |  SELECT lang, token, COUNT(*) AS n_occurrences
+         |  FROM tok WHERE length(token) > 0 GROUP BY 1, 2),
+         |r AS (
+         |  SELECT lang, token, n_occurrences,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY n_occurrences DESC, token) AS rank
+         |  FROM c)
+         |SELECT lang, rank, token, n_occurrences
+         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q173_ccnet_partition" -> {
       val bi2 = shinglesSql("w", 2)

@@ -165,6 +165,40 @@ object RelationalPack extends QueryPack {
         .orderBy(col("instance_id"))
     }),
 
+    // write_element + delete_element_from_disk (spatialdata.py:1286-1753):
+    // write a 2-element container, delete one element from disk, add and
+    // write a NEW element into the live store, re-read — the returned
+    // inventory proves the manifest and the data dirs stayed consistent
+    // through the in-place mutations
+    "q175_element_lifecycle" -> ((s, d) => {
+      import graft.model._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lifecycle_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      def pts(df: DataFrame) = Models.PointsModel.parse(df)
+      val sd = SpatialDataset(s, Seq(
+        SpatialElement(Models.PointsModel.meta("ptsA"), pts(
+          Tables.supplier(s, d).select(col("s_suppkey").cast("double").as("x"),
+            (col("s_suppkey") * 2).cast("double").as("y")))),
+        SpatialElement(Models.PointsModel.meta("ptsB"), pts(
+          Tables.customer(s, d).select(col("c_custkey").cast("double").as("x"),
+            (col("c_custkey") * 3).cast("double").as("y"))))))
+      sd.write(dir)
+      val afterDel = SpatialDataset.read(s, dir)
+        .deleteElementFromDisk("ptsB", dir)
+      val withNew = afterDel.withElement(
+        SpatialElement(Models.PointsModel.meta("ptsC"), pts(
+          Tables.nation(s, d).select(col("n_nationkey").cast("double").as("x"),
+            (col("n_nationkey") * 5).cast("double").as("y")))))
+      withNew.writeElement("ptsC", dir)
+      val back = SpatialDataset.read(s, dir)
+      val perElement = back.manifest.elements.map(_.name).sorted.map { n =>
+        back(n).agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(28,6)")).cast("double").as("total_x"))
+          .select(lit(n).as("k"), col("n"), col("total_x"))
+      }.reduce(_.unionByName(_))
+      perElement.orderBy(col("k"))
+    }),
+
     // get_element_annotators (relational_query.py:38-59): which tables
     // annotate which element — tabX annotates both points elements (split
     // by supplier key parity), tabY only ptsB; per (element, annotator)
@@ -247,6 +281,14 @@ object RelationalPack extends QueryPack {
     "q06_distinct_instances" ->
       """SELECT DISTINCT l_suppkey AS instance_id FROM lineitem
         |WHERE l_suppkey <> 0 ORDER BY instance_id""".stripMargin,
+    "q175_element_lifecycle" ->
+      """SELECT 'ptsA' AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_suppkey AS DECIMAL(28,6))) AS DOUBLE) AS total_x
+        |FROM supplier
+        |UNION ALL SELECT 'ptsC', COUNT(*),
+        |  CAST(SUM(CAST(n_nationkey AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM nation
+        |ORDER BY k""".stripMargin,
     "q170_element_annotators" ->
       """SELECT 'ptsA' AS element, 'tabX' AS annotator,
         |  (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 2 = 0) AS n_obs
