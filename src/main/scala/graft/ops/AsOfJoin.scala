@@ -44,6 +44,13 @@ import org.apache.spark.sql.types._
   * (key, ts) (e.g. struct-max by a sequence column) before joining —
   * [[asOfJoin]] itself is deterministic whenever that uniqueness holds.
   *
+  * `direction` (pandas merge_asof parity): `"backward"` (default) takes
+  * the largest right ts <= left ts; `"forward"` the smallest right ts >=
+  * left ts (the mirror window over the same keyed exchange, one extra
+  * sort); `"nearest"` whichever of the two is closer, exact ties going
+  * backward. Tolerance applies per direction (backward distance
+  * `ts - rts`, forward `rts - ts`) BEFORE the nearest pick.
+  *
   * Output: every left column, then `asof_ts` (matched right timestamp)
   * and the requested right value columns (NULL when unmatched / out of
   * tolerance).
@@ -52,7 +59,10 @@ object AsOfJoin {
 
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, rightValueCols: Seq[String],
-      toleranceNs: Option[Long] = None): DataFrame = {
+      toleranceNs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asOfJoin: direction must be backward|forward|nearest, got $direction")
     require(rightValueCols.nonEmpty, "asOfJoin: need at least one right value column")
     val clash = rightValueCols.toSet intersect left.columns.toSet
     require(clash.isEmpty, s"asOfJoin: right value columns clash with left: $clash")
@@ -95,13 +105,35 @@ object AsOfJoin {
         Seq(tsLong(rTsType, col(rightTsCol)).as("__ts"), lit(0).as("__side"),
           rvStruct.as("__rv")): _*)
 
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+    // Backward: right rows (side 0) sort BEFORE an equal-ts left row, so
+    // `last(..) over (..preceding, current)` sees them (inclusive <=).
+    // Forward: the mirror image — right rows must sort AFTER the left row
+    // (ordering key `1 - side`), and `first(..) over (current, following..)`
+    // picks the earliest right ts >= the left ts (inclusive >=). Both
+    // windows share one keyed exchange; forward adds a second sort.
+    val wB = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched0 = last(col("__rv"), ignoreNulls = true).over(w)
-    val matched = toleranceNs match {
-      case Some(tol) =>
-        when(col("__ts") - matched0("__rtsN") <= tol, matched0)
-      case None => matched0
+    val wF = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), lit(1) - col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val mB = last(col("__rv"), ignoreNulls = true).over(wB)
+    val mF = first(col("__rv"), ignoreNulls = true).over(wF)
+    def withTol(m: Column, dist: Column => Column): Column = toleranceNs match {
+      case Some(tol) => when(dist(m) <= tol, m)
+      case None => m
+    }
+    val b = withTol(mB, m => col("__ts") - m("__rtsN"))
+    val f = withTol(mF, m => m("__rtsN") - col("__ts"))
+    val matched = direction match {
+      case "backward" => b
+      case "forward" => f
+      // nearest: smaller absolute distance wins; exact ties go backward
+      // (the pandas merge_asof direction="nearest" contract)
+      case _ =>
+        when(b.isNull, f).when(f.isNull, b)
+          .when(col("__ts") - b.getField("__rtsN") <=
+            f.getField("__rtsN") - col("__ts"), b)
+          .otherwise(f)
     }
     l.unionAll(r)
       .withColumn("__m", matched)

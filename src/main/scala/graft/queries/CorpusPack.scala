@@ -152,6 +152,38 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // direction="forward": first click AT or AFTER each purchase —
+    // DuckDB's native ASOF LEFT JOIN with <= is the independent oracle
+    "q176_asof_forward" -> ((s, d) => {
+      val e = Tables.eventsWithTs(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumnRenamed("ts", "click_ts")
+      graft.ops.AsOfJoin.asOfJoin(purchases, clicks, "user_id",
+        "ts", "click_ts", Seq("click_id"), direction = "forward")
+        .orderBy(col("event_id"))
+    }),
+
+    // direction="nearest" with a 1h tolerance: closer of the two
+    // directions, exact ties backward; oracle = two native ASOF CTEs +
+    // the distance CASE
+    "q177_asof_nearest" -> ((s, d) => {
+      val e = Tables.eventsWithTs(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumnRenamed("ts", "click_ts")
+      graft.ops.AsOfJoin.asOfJoin(purchases, clicks, "user_id",
+        "ts", "click_ts", Seq("click_id"),
+        toleranceNs = Some(3600L * 1000000000L), direction = "nearest")
+        .orderBy(col("event_id"))
+    }),
+
     // the TIMESTAMP-typed as-of path WITH tolerance: ts columns arrive as
     // TIMESTAMP (converted to epoch-ns internally, tolerance means
     // nanoseconds) — matches older than 1h are nulled, left rows survive;
@@ -545,6 +577,49 @@ object CorpusPack extends QueryPack {
           |SELECT p.event_id, p.user_id, p.ts, c.click_ts AS asof_ts, c.click_id
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+          |ORDER BY p.event_id""".stripMargin,
+      "q176_asof_forward" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+          |p AS (SELECT event_id, user_id, tsn AS ts FROM e WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, tsn AS click_ts, MAX(event_id) AS click_id
+          |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+          |SELECT p.event_id, p.user_id, p.ts, c.click_ts AS asof_ts, c.click_id
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND p.ts <= c.click_ts
+          |ORDER BY p.event_id""".stripMargin,
+      // nearest = closer of the backward/forward native ASOF matches,
+      // each nulled beyond the 1h (3.6e12 ns) tolerance, ties backward
+      "q177_asof_nearest" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+          |p AS (SELECT event_id, user_id, tsn AS ts FROM e WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, tsn AS click_ts, MAX(event_id) AS click_id
+          |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+          |bwd AS (
+          |  SELECT p.event_id,
+          |    CASE WHEN p.ts - c.click_ts <= 3600000000000 THEN c.click_ts END AS b_ts,
+          |    CASE WHEN p.ts - c.click_ts <= 3600000000000 THEN c.click_id END AS b_id
+          |  FROM p ASOF LEFT JOIN c
+          |    ON p.user_id = c.user_id AND p.ts >= c.click_ts),
+          |fwd AS (
+          |  SELECT p.event_id,
+          |    CASE WHEN c.click_ts - p.ts <= 3600000000000 THEN c.click_ts END AS f_ts,
+          |    CASE WHEN c.click_ts - p.ts <= 3600000000000 THEN c.click_id END AS f_id
+          |  FROM p ASOF LEFT JOIN c
+          |    ON p.user_id = c.user_id AND p.ts <= c.click_ts)
+          |SELECT p.event_id, p.user_id, p.ts,
+          |  CASE WHEN b_ts IS NULL THEN f_ts
+          |       WHEN f_ts IS NULL THEN b_ts
+          |       WHEN p.ts - b_ts <= f_ts - p.ts THEN b_ts ELSE f_ts END AS asof_ts,
+          |  CASE WHEN b_ts IS NULL THEN f_id
+          |       WHEN f_ts IS NULL THEN b_id
+          |       WHEN p.ts - b_ts <= f_ts - p.ts THEN b_id ELSE f_id END AS click_id
+          |FROM p
+          |LEFT JOIN bwd USING (event_id)
+          |LEFT JOIN fwd USING (event_id)
           |ORDER BY p.event_id""".stripMargin,
       "q165_asof_timestamp" ->
         """WITH e AS (

@@ -100,4 +100,45 @@ class AsOfJoinSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected union inputs to shuffle once by key:\n$plan")
   }
+
+  test("forward: smallest right ts at-or-after; inclusive; no-match is NULL") {
+    val out = AsOfJoin.asOfJoin(left, right, "key", "ts", "rts", Seq("tag"),
+      direction = "forward")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out(0)._2 === Some(100L), "equal ts is inclusive going forward")
+    assert(out(1)._2 === Some(290L), "205 -> next right at 290")
+    assert(out(2)._2 === None, "300 has no later right row")
+    assert(out(3)._2 === Some(399L), "50 -> first right at 399")
+    assert(out(4)._2 === None, "400 is after the last right row (399)")
+  }
+
+  test("forward distance vs backward distance on the same row") {
+    // left ts 400, right only at 399: backward matches, forward does not
+    val l1 = Seq((5L, 20L, 400L)).toDF("event_id", "key", "ts")
+    val r1 = Seq((20L, 399L, "x")).toDF("key", "rts", "tag")
+    val fwd = AsOfJoin.asOfJoin(l1, r1, "key", "ts", "rts", Seq("tag"),
+      direction = "forward").collect()(0)
+    assert(fwd.get(3) == null, "399 is before 400 — no forward match")
+    val bwd = AsOfJoin.asOfJoin(l1, r1, "key", "ts", "rts", Seq("tag")).collect()(0)
+    assert(bwd.getLong(3) === 399L)
+  }
+
+  test("nearest: closer side wins, exact ties go backward, tolerance applies per side") {
+    // left at 205: backward 200 (d=5), forward 290 (d=85) -> backward
+    // left at 250: backward 200 (d=50), forward 290 (d=40) -> forward
+    // left at 245: d=45 both ways -> tie goes backward (200)
+    val l2 = Seq((1L, 10L, 205L), (2L, 10L, 250L), (3L, 10L, 245L))
+      .toDF("event_id", "key", "ts")
+    val out = AsOfJoin.asOfJoin(l2, right, "key", "ts", "rts", Seq("tag"),
+      direction = "nearest")
+      .orderBy("event_id").collect().map(_.getLong(3))
+    assert(out.toSeq === Seq(200L, 290L, 200L))
+    // tolerance 40: at 250 forward (40) stays, at 205 backward (5) stays,
+    // at 245 BOTH exceed? backward 45 > 40 and forward 45 > 40 -> NULL
+    val tol = AsOfJoin.asOfJoin(l2, right, "key", "ts", "rts", Seq("tag"),
+      direction = "nearest", toleranceNs = Some(40L))
+      .orderBy("event_id").collect().map(r => Option(r.get(3)))
+    assert(tol.toSeq === Seq(Some(200L), Some(290L), None))
+  }
 }
