@@ -152,6 +152,13 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // leak-free rolling 30-minute per-user features (velocity count +
+    // exact decimal value sum) — one keyed RANGE window, no self-join
+    "q178_rolling_features" -> ((s, d) => {
+      graft.streaming.EventStream.rollingFeatures(Tables.eventsWithTs(s, d), 30)
+        .orderBy(col("event_id"))
+    }),
+
     // direction="forward": first click AT or AFTER each purchase —
     // DuckDB's native ASOF LEFT JOIN with <= is the independent oracle
     "q176_asof_forward" -> ((s, d) => {
@@ -578,6 +585,14 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      "q178_rolling_features" ->
+        """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+          |  COUNT(*) OVER w AS n_events_w,
+          |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_value_w
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+          |  RANGE BETWEEN 1799999999 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
       "q176_asof_forward" ->
         """WITH e AS (
           |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),

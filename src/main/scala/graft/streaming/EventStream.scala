@@ -237,6 +237,34 @@ object EventStream {
         col("dst_event_id"), col("src_time"), col("dst_time"))
   }
 
+  /** Rolling event-time features per key: for EVERY event, the count and
+    * exact-decimal value sum of same-user events in the trailing window
+    * `(ts - windowMinutes, ts]` — the standard point-in-time feature
+    * backfill (fraud velocity counts, engagement rates) that must be
+    * leak-free: a row only ever sees events at or before itself, the
+    * offline mirror of what a streaming job computes incrementally.
+    *
+    * One keyed RANGE window over integer microseconds (a half-open lower
+    * bound via `-(W_us - 1)`): Spark shuffles by user and sorts by time —
+    * the same lower bound any per-key rolling computation pays; no
+    * self-join, no explode. Equal-timestamp peers all enter each other's
+    * frames (RANGE semantics — deterministic regardless of tie order,
+    * which is also why the value sum runs through exact decimals).
+    */
+  def rollingFeatures(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__ts_us"))
+      .rangeBetween(-(windowMinutes * 60L * 1000000L - 1), 0)
+    events
+      .withColumn("__ts_us",
+        org.apache.spark.sql.graftbridge.Bridge.integralDivide(col("ts"), lit(1000L)))
+      .withColumn("n_events_w", count(lit(1)).over(w))
+      .withColumn("sum_value_w",
+        sum(col("value").cast("decimal(28,6)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("__ts_us").as("ts_us"),
+        col("n_events_w"), col("sum_value_w"))
+  }
+
   /** Sessionization per user: events within `gapMinutes` of each other chain
     * into one session (classic gaps-and-islands — batch form; the streaming
     * form is [[streamingSessionize]]).
