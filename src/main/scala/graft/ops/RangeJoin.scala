@@ -56,4 +56,42 @@ object RangeJoin {
         Bridge.integralDivide(greatest(col(lStart), col(rS)), lit(binSize)))
       .drop("__bin")
   }
+
+  /** Point-in-interval join — the degenerate-but-dominant special case of
+    * [[overlapJoin]] (IP→geo range lookup, timestamp→price epoch,
+    * value→bucket assignment): every point row joined to the interval rows
+    * whose CLOSED interval `[start, end]` contains it, optionally per key.
+    *
+    * Same binning scheme, but the POINT side explodes to exactly ONE bin,
+    * so a (point, interval) pair can meet in only one bin and pair-once
+    * emission is automatic — no overlap-start dedup filter needed. The
+    * interval side still explodes to its covered bins (bounded by interval
+    * length / binSize). Inner semantics; degenerate intervals drop.
+    *
+    * Output: every point column plus every non-key interval column
+    * prefixed `rightPrefix`.
+    */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], pCol: String, rStart: String, rEnd: String,
+      binSize: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(binSize > 0, s"pointInIntervalJoin: binSize must be positive, got $binSize")
+    val prefixed = intervals.columns.filterNot(keyCols.contains).map(rightPrefix + _)
+    val clash = prefixed.toSet intersect points.columns.toSet
+    require(clash.isEmpty,
+      s"pointInIntervalJoin: prefixed interval columns clash with point columns: " +
+        s"$clash — pick a different rightPrefix")
+    val r = intervals.columns.foldLeft(intervals)((df, c) =>
+      if (keyCols.contains(c)) df else df.withColumnRenamed(c, rightPrefix + c))
+    val rS = rightPrefix + rStart
+    val rE = rightPrefix + rEnd
+    val pBinned = points
+      .withColumn("__bin", Bridge.integralDivide(col(pCol), lit(binSize)))
+    val rBinned = r.filter(col(rE) >= col(rS))
+      .withColumn("__bin", explode(sequence(
+        Bridge.integralDivide(col(rS), lit(binSize)),
+        Bridge.integralDivide(col(rE), lit(binSize)))))
+    pBinned.join(rBinned, keyCols :+ "__bin")
+      .filter(col(pCol) >= col(rS) && col(pCol) <= col(rE))
+      .drop("__bin")
+  }
 }

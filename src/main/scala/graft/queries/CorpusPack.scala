@@ -236,6 +236,20 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"), col("r_event_id"))
     }),
 
+    // point-in-interval join (IP->geo-style range lookup): event points
+    // against overlapping supplier ranges; the point side binning is
+    // single-bin so pair-once emission is automatic
+    "q179_point_in_interval" -> ((s, d) => {
+      val points = Tables.events(s, d)
+        .select(col("event_id"), (col("event_id") % 1000).as("p"))
+      val intervals = Tables.supplier(s, d)
+        .select(col("s_suppkey"), ((col("s_suppkey") * 13) % 900).as("lo"))
+        .withColumn("hi", col("lo") + 20)
+      graft.ops.RangeJoin.pointInIntervalJoin(points, intervals,
+        Seq.empty, "p", "lo", "hi", binSize = 32)
+        .orderBy(col("event_id"), col("r_s_suppkey"))
+    }),
+
     // the full curation pipeline: quality gate -> language filter ->
     // end-to-end dedup ("raw corpus in, training corpus out")
     "q116_curate_corpus" -> ((s, d) => {
@@ -585,6 +599,15 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      "q179_point_in_interval" ->
+        """SELECT e.event_id, e.event_id % 1000 AS p,
+          |  s.s_suppkey AS r_s_suppkey,
+          |  (s.s_suppkey * 13) % 900 AS r_lo,
+          |  (s.s_suppkey * 13) % 900 + 20 AS r_hi
+          |FROM events e JOIN supplier s
+          |  ON e.event_id % 1000 BETWEEN (s.s_suppkey * 13) % 900
+          |     AND (s.s_suppkey * 13) % 900 + 20
+          |ORDER BY e.event_id, r_s_suppkey""".stripMargin,
       "q178_rolling_features" ->
         """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
           |  COUNT(*) OVER w AS n_events_w,

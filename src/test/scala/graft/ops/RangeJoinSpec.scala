@@ -54,4 +54,21 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
   }
+
+  test("pointInIntervalJoin: closed containment, exactly once at any bin size") {
+    val pts = Seq((1L, 1L, 95L), (2L, 1L, 100L), (3L, 1L, 121L), (4L, 2L, 65L))
+      .toDF("pid", "key", "p")
+    val want = Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 13L))
+    for (bin <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInIntervalJoin(pts, right, Seq("key"),
+        "p", "s", "e", bin)
+        .select("pid", "r_rid").as[(Long, Long)].collect()
+      assert(got.toSet === want, s"binSize=$bin")
+      assert(got.length === want.size, s"binSize=$bin duplicates: ${got.toSeq}")
+    }
+    val plan = RangeJoin.pointInIntervalJoin(pts, right, Seq("key"),
+      "p", "s", "e", 64L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
+  }
 }
