@@ -54,6 +54,24 @@ object VectorIndex {
     buildIndex(corpus, centroids, codebooks, m, subDim, idCol, vecCol, centroidIdCol)
       .write.mode("overwrite").partitionBy(centroidIdCol).parquet(path)
 
+  /** INCREMENTAL index maintenance: encode a NEW batch of vectors with the
+    * SAME frozen model (centroids + codebooks) and append its rows to the
+    * partitioned layout — dynamic-partition parquet append, touching only
+    * the directories the batch lands in. Because cell assignment and PQ
+    * codes depend only on the model, `write(old) + append(new)` is
+    * row-identical to `write(old ∪ new)` — search results after an append
+    * match a full rebuild bit-for-bit (the q180 gate pins this against the
+    * full-build oracle). This is how a production vector index absorbs a
+    * daily embedding batch without re-encoding the corpus; re-TRAINING the
+    * model (centroid drift) is a rebuild, by design.
+    */
+  def appendToIndex(newVectors: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, m: Int, subDim: Int, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): Unit =
+    buildIndex(newVectors, centroids, codebooks, m, subDim, idCol, vecCol, centroidIdCol)
+      .write.mode("append").partitionBy(centroidIdCol).parquet(path)
+
   /** Read the at-rest index back. The partition column comes back typed by
     * directory-name inference (int); it is cast back to long so the probe
     * join key matches the centroid table exactly.

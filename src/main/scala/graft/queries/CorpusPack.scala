@@ -330,6 +330,38 @@ object CorpusPack extends QueryPack {
       }
     }),
 
+    // incremental index maintenance: build on 80% of the corpus, APPEND
+    // the remaining 20% with the same frozen model, search — must equal
+    // the full-build search bit-for-bit (same oracle as q153)
+    "q180_index_append" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val centroids = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = corpus.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_")
+      val path = tmp.resolve("index").toString
+      try {
+        VectorIndex.writeIndex(corpus.filter(col("vec_id") % 5 =!= 0),
+          centroids, cb, m = 4, subDim = 16, path)
+        VectorIndex.appendToIndex(corpus.filter(col("vec_id") % 5 === 0),
+          centroids, cb, m = 4, subDim = 16, path)
+        VectorIndex.searchIndex(VectorIndex.readIndex(s, path), centroids, cb,
+          queries, k = 5, m = 4, subDim = 16, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // product-quantization TRAIN on a deterministic half-corpus sample
     // (hashSample salt "pq") — codebooks are the final-assignment means;
     // exploded to scalar rows for hashing
@@ -527,6 +559,8 @@ object CorpusPack extends QueryPack {
       // the at-rest index stores exactly what the recompute path derives,
       // so the oracle is identical
       "q153_ivf_pq_at_rest" -> ivfPqOracle,
+      // append == full rebuild when the model is frozen — same oracle
+      "q180_index_append" -> ivfPqOracle,
       "q150_outlier_flags" ->
         """WITH cent AS (
           |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
