@@ -231,6 +231,33 @@ object Dedup {
     * HAVING per side). Output: (idCol, refOutCol, n_bands), id columns
     * taken from each corpus's own id space.
     */
+  /** Train/eval LEAKAGE AUDIT: assign splits deterministically
+    * ([[Sampling.splitAssign]]) and surface every near-duplicate pair that
+    * crosses the train/eval boundary — the check every benchmark-honest
+    * training pipeline runs before export, because a test document with a
+    * near-copy in train is silent contamination no exact-dedup catches.
+    * Pure composition: split filter -> [[crossCorpusCandidates]] (banded
+    * MinHash join, per-side caps); no new shuffle shapes. Output:
+    * (idCol = the train doc, eval_id, n_bands) — an empty result is the
+    * clean bill of health.
+    */
+  def splitLeakage(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text",
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      trainName: String = "train", salt: String = "split",
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    require(weights.exists(_._1 == trainName),
+      s"splitLeakage: no split named '$trainName' in $weights")
+    val assigned = Sampling.splitAssign(docs, keyCol, weights, salt)
+    crossCorpusCandidates(
+      assigned.filter(col("split") === trainName),
+      assigned.filter(col("split") =!= trainName),
+      textCol, keyCol, refIdCol = keyCol, refOutCol = "eval_id",
+      k = k, numHashes = numHashes, bands = bands,
+      maxBucketSize = maxBucketSize)
+  }
+
   def crossCorpusCandidates(docs: DataFrame, ref: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       refIdCol: String = "doc_id", refOutCol: String = "eval_id",

@@ -131,6 +131,17 @@ object PipelinePack extends QueryPack {
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
+    // train/eval leakage audit: deterministic split + cross-boundary
+    // near-dup pairs; planted copies (same text, id+10000) guarantee the
+    // fixture has real leakage to surface
+    "q181_split_leakage" -> ((s, d) => {
+      val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.splitLeakage(base.unionByName(planted))
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
     "q124_fuzzy_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 37 === 5)
@@ -662,6 +673,26 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      "q181_split_leakage" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 25 = 0),
+           |sp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ${hex32Sql("'split:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.8 * 4294967296.0)} THEN 'train'
+           |         WHEN ${hex32Sql("'split:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.9 * 4294967296.0)} THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM docs),
+           |${cappedBandCtes(
+             "(SELECT d.doc_id, d.text FROM docs d JOIN sp USING (doc_id) WHERE sp.split = 'train')",
+             "t", 1000)},
+           |${cappedBandCtes(
+             "(SELECT d.doc_id, d.text FROM docs d JOIN sp USING (doc_id) WHERE sp.split <> 'train')",
+             "e", 1000)}
+           |SELECT t.doc_id, e.doc_id AS eval_id, COUNT(DISTINCT t.band) AS n_bands
+           |FROM tcb t JOIN ecb e ON t.band = e.band AND t.band_key = e.band_key
+           |GROUP BY 1, 2 ORDER BY t.doc_id, eval_id""".stripMargin,
       "q124_fuzzy_decontam" ->
         s"""WITH ${cappedBandCtes("documents", "l", 1000)},
            |${cappedBandCtes(
