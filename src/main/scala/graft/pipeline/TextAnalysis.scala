@@ -168,6 +168,52 @@ object TextAnalysis {
         round6(col("sum_lp4").cast("double") / (col("n_bigrams") * 1e4)))
   }
 
+  /** Sparse TF-IDF cosine similarity over k-token shingles — the
+    * token-space complement to embedding cosine ([[Dedup.cosinePairs]]):
+    * each document is a sparse vector of df-pruned shingle TF-IDF weights,
+    * candidate pairs meet through the shingles they share, and the cosine
+    * is exact over the pruned vocabulary.
+    *
+    * The df prune (`2 <= df <= maxDf`) is the scale gate: df = 1 shingles
+    * cannot produce a cross-document pair (drop them), and df > maxDf
+    * shingles are boilerplate whose join bucket would be |df|^2 — the same
+    * hot-bucket cap as the LSH band join, here doubling as stop-shingle
+    * removal (their idf weight is near zero anyway). Every join is keyed
+    * by shingle or doc id; no product. Determinism: idf weights and
+    * per-term products are 6-dec snapped, sums run through exact decimals.
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    */
+  def tfidfSimilarPairs(docs: DataFrame, threshold: Double = 0.3,
+      k: Int = 3, maxDf: Long = 50, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = Dedup.shingleRows(docs, textCol, idCol, k)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val w = tf.join(dfreq, Seq("shingle"))
+      .crossJoin(broadcast(total)) // 1-row corpus size, the usual pattern
+      .withColumn("w",
+        round6(col("tf").cast("double") *
+          log(col("__n").cast("double") / col("df").cast("double"))))
+    val norms = w.groupBy(col(idCol))
+      .agg(sqrt(sum(round6(col("w") * col("w")).cast("decimal(28,6)"))
+        .cast("double")).as("__norm"))
+    val pairs = w.select(col(idCol).as("id_a"), col("shingle"), col("w").as("__wa"))
+      .join(w.select(col(idCol).as("id_b"), col("shingle"), col("w").as("__wb")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(round6(col("__wa") * col("__wb")).cast("decimal(28,6)"))
+        .cast("double").as("__dot"))
+    pairs
+      .join(norms.select(col(idCol).as("id_a"), col("__norm").as("__na")), Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("__norm").as("__nb")), Seq("id_b"))
+      .withColumn("cosine", round6(col("__dot") / (col("__na") * col("__nb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Top-k most frequent tokens PER GROUP (per language, per source, per
     * domain — the per-slice vocabulary audit next to the corpus-wide
     * [[heavyHitterGrams]]). Two stages: one keyed hash aggregation to

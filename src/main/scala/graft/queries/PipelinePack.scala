@@ -131,6 +131,17 @@ object PipelinePack extends QueryPack {
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
+    // sparse shingle TF-IDF cosine pairs (token-space near-dup scoring;
+    // df-pruned vocabulary, keyed joins only)
+    "q182_tfidf_pairs" -> ((s, d) => {
+      val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      TextAnalysis.tfidfSimilarPairs(base.unionByName(planted), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // train/eval leakage audit: deterministic split + cross-boundary
     // near-dup pairs; planted copies (same text, id+10000) guarantee the
     // fixture has real leakage to surface
@@ -673,6 +684,40 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      "q182_tfidf_pairs" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text || ' extra token'
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (
+           |  SELECT doc_id, unnest(${shinglesSql(wordsSql, 3)}) AS shingle FROM docs),
+           |tf AS (SELECT doc_id, shingle, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+           |dfq AS (
+           |  SELECT shingle, COUNT(*) AS df FROM tf
+           |  GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 50),
+           |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs),
+           |w AS (
+           |  SELECT tf.doc_id, tf.shingle,
+           |    FLOOR(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(dfq.df AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS w
+           |  FROM tf JOIN dfq USING (shingle), n),
+           |norms AS (
+           |  SELECT doc_id,
+           |    sqrt(CAST(SUM(CAST(FLOOR(w * w * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)) AS nrm
+           |  FROM w GROUP BY 1),
+           |dots AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(SUM(CAST(FLOOR(a.w * b.w * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS dot
+           |  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |cosd AS (
+           |  SELECT id_a, id_b,
+           |    FLOOR(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM dots
+           |  JOIN norms na ON na.doc_id = id_a
+           |  JOIN norms nb ON nb.doc_id = id_b)
+           |SELECT id_a, id_b, cosine FROM cosd
+           |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
       "q181_split_leakage" ->
         s"""WITH docs AS (
            |  SELECT doc_id, text FROM documents
