@@ -335,6 +335,52 @@ class CurationOpsSpec extends SparkTestBase {
     assert(m(0).getString(1) === "a" && m(0).getString(2) === "b")
   }
 
+  test("tfidfSimilarPairs: near-copies score high, disjoint docs never pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val f = Seq(
+      (1L, base),
+      (2L, base + "iota"),                       // near-copy of 1
+      (3L, "one two three four five six " * 5),  // shares nothing with 1/2
+      (4L, "one two three four five six " * 5 + "seven")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfSimilarPairs(f, threshold = 0.5, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set((1L, 2L), (3L, 4L)), s"pairs: $got")
+    assert(got.values.forall(c => c > 0.9 && c <= 1.0), s"cosines: $got")
+  }
+
+  test("splitLeakage surfaces planted cross-boundary near-copies and only those") {
+    // 60 distinct docs + same-text copies of every 10th under shifted ids;
+    // a copy that lands in a different split than its original must appear
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"unique document number $i talking about topic ${i * 31} " * 6))
+    val copies = docs.filter(_._1 % 10 == 0).map { case (id, t) => (id + 1000, t) }
+    val all = (docs ++ copies).toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair is an original/copy pair (ids differ by 1000)
+    out.foreach { case (a, b) =>
+      assert((a % 1000) == (b % 1000), s"unexpected pair ($a, $b)")
+    }
+    // at least one copy crossed the split boundary in this fixture
+    assert(out.nonEmpty, "no cross-split pair found — fixture degenerate")
+  }
+
+  test("topTermsPerGroup: rank by count desc then token asc, within each group") {
+    val f = Seq(
+      (1L, "g1", "apple apple banana cherry"),
+      (2L, "g1", "apple banana banana"),
+      (3L, "g2", "dog dog dog cat")
+    ).toDF("doc_id", "grp", "text")
+    val out = TextAnalysis.topTermsPerGroup(f, "grp", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val g1 = out.filter(_._1 == "g1").sortBy(_._2)
+    // apple 3, banana 3 -> tie broken token-ascending
+    assert(g1.map(t => (t._3, t._4)).toSeq === Seq(("apple", 3L), ("banana", 3L)))
+    val g2 = out.filter(_._1 == "g2").sortBy(_._2)
+    assert(g2.map(t => (t._3, t._4)).toSeq === Seq(("dog", 3L), ("cat", 1L)))
+  }
+
   test("perplexityPartition: terciles are ordered and roughly balanced") {
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextAnalysis.perplexityPartition(corpus)

@@ -40,6 +40,26 @@ class VectorIndexSpec extends SparkTestBase {
     assert(atRest.nonEmpty)
   }
 
+  test("frozen-model append equals a full rebuild, row-for-row and in search") {
+    val full = tmpPath("full")
+    VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, full)
+    val incr = tmpPath("incr")
+    VectorIndex.writeIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      cent, cb, m = 2, subDim = 8, incr)
+    VectorIndex.appendToIndex(emb.filter(col("vec_id") % 3 === 0),
+      cent, cb, m = 2, subDim = 8, incr)
+    def rows(p: String) = VectorIndex.readIndex(spark, p)
+      .select("vec_id", "centroid_id", "sub", "code_id")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(rows(incr) === rows(full))
+    def search(p: String) = VectorIndex.searchIndex(
+      VectorIndex.readIndex(spark, p), cent, cb, queries,
+      k = 4, m = 2, subDim = 8, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = search(incr)
+    assert(got === search(full) && got.nonEmpty)
+  }
+
   test("index layout: one partition directory per cell; codes only, no raw vectors") {
     val path = tmpPath("layout")
     VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
