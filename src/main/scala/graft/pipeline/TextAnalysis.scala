@@ -280,6 +280,34 @@ object TextAnalysis {
       Seq(scored))
   }
 
+  /** The full CCNet curation step: [[perplexityPartition]] tiers the
+    * corpus, then each tier keeps a deterministic hash-drawn fraction —
+    * head kept (nearly) whole, tail heavily downsampled — which is exactly
+    * how CCNet composes its quality tiers into a training mix. The draw is
+    * [[Sampling.keyHash32]] on the doc id (salted), so membership is a
+    * pure function of the key: reruns, repartitions, and engines agree
+    * row-for-row. Output: the kept rows of [[perplexityPartition]]'s
+    * frame, plus the applied `keep_rate`.
+    */
+  def ccnetCurate(docs: DataFrame,
+      rates: Map[String, Double] =
+        Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
+      trainFraction: Double = 0.25, bins: Int = 256,
+      salt: String = "ccnet", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(Set("head", "middle", "tail").subsetOf(rates.keySet),
+      s"ccnetCurate: rates must cover head/middle/tail, got ${rates.keySet}")
+    rates.values.foreach(r => require(r >= 0.0 && r <= 1.0,
+      s"ccnetCurate: rates must be in [0, 1], got $rates"))
+    val parts = perplexityPartition(docs, trainFraction, bins, textCol, idCol)
+    val rate = when(col("ccnet_bucket") === "head", rates("head"))
+      .when(col("ccnet_bucket") === "middle", rates("middle"))
+      .otherwise(rates("tail"))
+    parts.withColumn("keep_rate", rate)
+      .filter(Sampling.keyHash32(col(idCol), salt) <
+        floor(col("keep_rate") * 4294967296.0).cast("long"))
+  }
+
   /** Corpus-wide heavy-hitter n-grams: the `topK` most-repeated k-token
     * shingles — the boilerplate-mining pass that feeds template/footer
     * removal (what [[Dedup.paragraphDedup]] does for whole paragraphs,

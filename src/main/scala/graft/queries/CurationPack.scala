@@ -112,7 +112,71 @@ object CurationPack extends QueryPack {
     sb.toString
   }
 
+  /** q147's LM-score CTEs verbatim, then the q163 histogram-quantile
+    * algebra (256 bins over [min, max] of avg_logprob) for the two tercile
+    * cutoffs — shared by the q173 partition and q183 curate oracles.
+    */
+  private lazy val ccnetLabeledCtes: String = {
+    val bi2 = shinglesSql("w", 2)
+    s"""WITH tr AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${hex32Sql("'lm:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}),
+       |trw AS (SELECT doc_id, $wordsSql AS w FROM tr),
+       |trbi AS (SELECT unnest($bi2) AS g FROM trw),
+       |big AS (SELECT g, COUNT(*) AS c2 FROM trbi GROUP BY g),
+       |pre AS (SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS c1 FROM trbi GROUP BY 1),
+       |voc AS (
+       |  SELECT COUNT(DISTINCT t) AS v FROM (
+       |    SELECT unnest($wordsSql) AS t FROM tr) WHERE length(t) > 0),
+       |dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |db AS (SELECT doc_id, unnest($bi2) AS g FROM dw),
+       |sc AS (
+       |  SELECT d.doc_id,
+       |    CAST(FLOOR(ln((COALESCE(b.c2, 0) + 1.0) /
+       |      (COALESCE(p.c1, 0) + voc.v)) * 1e4 + 0.5) AS BIGINT) AS lp4
+       |  FROM db d
+       |  LEFT JOIN big b ON d.g = b.g
+       |  LEFT JOIN pre p ON string_split(d.g, ' ')[1] = p.w1, voc),
+       |scores AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp4) AS BIGINT) AS sum_lp4,
+       |    FLOOR(CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 1e4) * 1e6 + 0.5) / 1e6 AS avg_logprob
+       |  FROM sc GROUP BY doc_id),
+       |st AS (
+       |  SELECT MIN(avg_logprob) AS lo, MAX(avg_logprob) AS hi,
+       |         COUNT(avg_logprob) AS n
+       |  FROM scores),
+       |h AS (
+       |  SELECT LEAST(CAST(FLOOR((s.avg_logprob - st.lo) /
+       |           ((st.hi - st.lo) / 256)) AS BIGINT), 255) AS bin,
+       |         COUNT(*) AS c
+       |  FROM scores s, st GROUP BY 1),
+       |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
+       |p AS (SELECT unnest([0.333333, 0.666667]) AS prob),
+       |q AS (
+       |  SELECT p.prob,
+       |    FLOOR((st.lo + (MIN(cum.bin) + 1) * ((st.hi - st.lo) / 256)) * 1e6 + 0.5) / 1e6 AS est
+       |  FROM p, st, cum
+       |  WHERE cum.cum >= GREATEST(CAST(CEIL(p.prob * st.n) AS BIGINT), 1)
+       |  GROUP BY p.prob, st.lo, st.hi),
+       |cut AS (SELECT MIN(est) AS c1, MAX(est) AS c2 FROM q)""".stripMargin
+  }
+
+  private val ccnetLabeledSelect: String =
+    """SELECT s.doc_id, s.n_bigrams, s.sum_lp4, s.avg_logprob,
+      |  CASE WHEN s.avg_logprob > cut.c2 THEN 'head'
+      |       WHEN s.avg_logprob > cut.c1 THEN 'middle'
+      |       ELSE 'tail' END AS ccnet_bucket
+      |FROM scores s, cut""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the composed CCNet mix: tier labels + per-tier deterministic draw
+    "q183_ccnet_curate" -> ((s, d) => {
+      TextAnalysis.ccnetCurate(Tables.documentsSpread(s, d))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_lp4"),
+          col("avg_logprob"), col("ccnet_bucket"), col("keep_rate"))
+        .orderBy(col("doc_id"))
+    }),
 
     // per-domain cap: best 10 docs of each source by (n_chars desc, doc_id)
     "q137_domain_cap" -> ((s, d) => {
@@ -429,58 +493,23 @@ object CurationPack extends QueryPack {
          |SELECT lang, rank, token, n_occurrences
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
-    "q173_ccnet_partition" -> {
-      val bi2 = shinglesSql("w", 2)
-      // q147's LM-score CTEs verbatim, then the q163 histogram-quantile
-      // algebra (256 bins over [min, max] of avg_logprob) for the two
-      // tercile cutoffs, then the strict-> bucket CASE
-      s"""WITH tr AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE ${hex32Sql("'lm:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}),
-         |trw AS (SELECT doc_id, $wordsSql AS w FROM tr),
-         |trbi AS (SELECT unnest($bi2) AS g FROM trw),
-         |big AS (SELECT g, COUNT(*) AS c2 FROM trbi GROUP BY g),
-         |pre AS (SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS c1 FROM trbi GROUP BY 1),
-         |voc AS (
-         |  SELECT COUNT(DISTINCT t) AS v FROM (
-         |    SELECT unnest($wordsSql) AS t FROM tr) WHERE length(t) > 0),
-         |dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
-         |db AS (SELECT doc_id, unnest($bi2) AS g FROM dw),
-         |sc AS (
-         |  SELECT d.doc_id,
-         |    CAST(FLOOR(ln((COALESCE(b.c2, 0) + 1.0) /
-         |      (COALESCE(p.c1, 0) + voc.v)) * 1e4 + 0.5) AS BIGINT) AS lp4
-         |  FROM db d
-         |  LEFT JOIN big b ON d.g = b.g
-         |  LEFT JOIN pre p ON string_split(d.g, ' ')[1] = p.w1, voc),
-         |scores AS (
-         |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp4) AS BIGINT) AS sum_lp4,
-         |    FLOOR(CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 1e4) * 1e6 + 0.5) / 1e6 AS avg_logprob
-         |  FROM sc GROUP BY doc_id),
-         |st AS (
-         |  SELECT MIN(avg_logprob) AS lo, MAX(avg_logprob) AS hi,
-         |         COUNT(avg_logprob) AS n
-         |  FROM scores),
-         |h AS (
-         |  SELECT LEAST(CAST(FLOOR((s.avg_logprob - st.lo) /
-         |           ((st.hi - st.lo) / 256)) AS BIGINT), 255) AS bin,
-         |         COUNT(*) AS c
-         |  FROM scores s, st GROUP BY 1),
-         |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
-         |p AS (SELECT unnest([0.333333, 0.666667]) AS prob),
-         |q AS (
-         |  SELECT p.prob,
-         |    FLOOR((st.lo + (MIN(cum.bin) + 1) * ((st.hi - st.lo) / 256)) * 1e6 + 0.5) / 1e6 AS est
-         |  FROM p, st, cum
-         |  WHERE cum.cum >= GREATEST(CAST(CEIL(p.prob * st.n) AS BIGINT), 1)
-         |  GROUP BY p.prob, st.lo, st.hi),
-         |cut AS (SELECT MIN(est) AS c1, MAX(est) AS c2 FROM q)
-         |SELECT s.doc_id, s.n_bigrams, s.sum_lp4, s.avg_logprob,
-         |  CASE WHEN s.avg_logprob > cut.c2 THEN 'head'
-         |       WHEN s.avg_logprob > cut.c1 THEN 'middle'
-         |       ELSE 'tail' END AS ccnet_bucket
-         |FROM scores s, cut ORDER BY s.doc_id""".stripMargin
-    },
+    "q173_ccnet_partition" -> s"$ccnetLabeledCtes\n$ccnetLabeledSelect\nORDER BY s.doc_id",
+
+    // the composed curation mix: tier labels + per-tier hash draw
+    "q183_ccnet_curate" ->
+      s"""$ccnetLabeledCtes,
+         |lab AS ($ccnetLabeledSelect),
+         |rated AS (
+         |  SELECT *,
+         |    CASE ccnet_bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+         |         ELSE 0.1 END AS keep_rate
+         |  FROM lab)
+         |SELECT doc_id, n_bigrams, sum_lp4, avg_logprob, ccnet_bucket, keep_rate
+         |FROM rated
+         |WHERE ${hex32Sql("'ccnet:' || CAST(doc_id AS VARCHAR)")} <
+         |  CAST(FLOOR(keep_rate * 4294967296.0) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+
 
     "q148_norm_dedup" ->
       s"""SELECT CASE WHEN array_to_string($wordsSql, ' ') = ''
