@@ -152,6 +152,19 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // semi-structured payload extraction: pinned-schema from_json over the
+    // props column, rolled up per event_type with exact decimal stats
+    "q184_json_extract" -> ((s, d) => {
+      graft.streaming.EventStream.parseJsonCol(
+          Tables.events(s, d), "props", "k INT")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("j_k")).as("n_parsed"),
+          sum(col("j_k").cast("decimal(28,6)")).cast("double").as("sum_k"),
+          min(col("j_k")).as("min_k"), max(col("j_k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // leak-free rolling 30-minute per-user features (velocity count +
     // exact decimal value sum) — one keyed RANGE window, no self-join
     "q178_rolling_features" -> ((s, d) => {
@@ -633,6 +646,13 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      "q184_json_extract" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  COUNT(CAST(props->>'k' AS INT)) AS n_parsed,
+          |  CAST(SUM(CAST(CAST(props->>'k' AS INT) AS DECIMAL(28,6))) AS DOUBLE) AS sum_k,
+          |  MIN(CAST(props->>'k' AS INT)) AS min_k,
+          |  MAX(CAST(props->>'k' AS INT)) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q179_point_in_interval" ->
         """SELECT e.event_id, e.event_id % 1000 AS p,
           |  s.s_suppkey AS r_s_suppkey,

@@ -237,6 +237,24 @@ object EventStream {
         col("dst_event_id"), col("src_time"), col("dst_time"))
   }
 
+  /** Semi-structured payload parsing: a JSON string column lowered through
+    * `from_json` with an EXPLICIT schema — the codegen'd `JsonToStructs`
+    * path, no UDF, no schema inference pass (inference = an extra full
+    * scan at 100 TB and a nondeterministic schema under drift; production
+    * pipelines pin the schema and route parse failures, which `from_json`
+    * surfaces as NULL structs, to a quarantine filter). Parsed fields
+    * land as top-level columns prefixed `prefix`.
+    */
+  def parseJsonCol(df: DataFrame, jsonCol: String, schemaDDL: String,
+      prefix: String = "j_"): DataFrame = {
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), schemaDDL,
+      Map.empty[String, String]))
+    val fields = parsed.select(col("__j.*")).columns
+    fields.foldLeft(parsed) { (d, f) =>
+      d.withColumn(s"$prefix$f", col(s"__j.$f"))
+    }.drop("__j")
+  }
+
   /** Rolling event-time features per key: for EVERY event, the count and
     * exact-decimal value sum of same-user events in the trailing window
     * `(ts - windowMinutes, ts]` — the standard point-in-time feature
