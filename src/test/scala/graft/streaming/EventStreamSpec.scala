@@ -182,4 +182,40 @@ class EventStreamSpec extends SparkTestBase {
       .collect().toSet
     assert(streamed == batch)
   }
+
+  test("parseJsonCol: pinned schema; malformed and NULL rows parse to NULL fields") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 5, "extra": "ignored"}"""),
+      (2L, "not json at all"),
+      (3L, null.asInstanceOf[String]),
+      (4L, """{"other": 9}""")              // field absent -> NULL
+    ).toDF("id", "props")
+    val out = EventStream.parseJsonCol(df, "props", "k INT")
+      .select("id", "j_k").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(5))
+    assert(out(2L) === None, "malformed JSON must quarantine as NULL")
+    assert(out(3L) === None)
+    assert(out(4L) === None, "absent field is NULL, not an error")
+  }
+
+  test("rollingFeatures: trailing window is half-open and leak-free") {
+    import spark.implicits._
+    // user 1: events at 0, 10, 30, and exactly W later (30 + W)
+    val wUs = 30L * 60 * 1000000
+    val ns = (us: Long) => us * 1000
+    val ev = Seq(
+      (1L, ns(0L), 1L, "e", 1.0, ""),
+      (2L, ns(10L), 1L, "e", 2.0, ""),
+      (3L, ns(30L), 1L, "e", 4.0, ""),
+      (4L, ns(30L + wUs), 1L, "e", 8.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.rollingFeatures(ev, 30)
+      .orderBy("event_id")
+      .select("n_events_w", "sum_value_w").as[(Long, Double)].collect().toSeq
+    // event 4 sits at ts(3) + W exactly: the window is (ts-W, ts]
+    // (lower bound -(W-1)), so event 3 at distance exactly W is EXCLUDED
+    assert(out === Seq((1L, 1.0), (2L, 3.0), (3L, 7.0), (1L, 8.0)))
+  }
 }
