@@ -137,6 +137,61 @@ object Sketches {
         TextAnalysis.round6(lit(lo) + (col("__bin") + 1) * width).as("est"))
   }
 
+  /** PER-GROUP quantile estimates — the grouped form of
+    * [[histogramQuantiles]] (per-language score quantiles, per-label zonal
+    * intensity quantiles, per-source length quantiles), and the fully
+    * distributed one: the global version collects (lo, hi, n) as a driver
+    * planning fact; here every group's range fact stays in a DataFrame and
+    * rides a keyed join back onto the rows (the range frame has one row
+    * per group — AQE broadcasts it when small). Same algebra per group as
+    * the global sketch: fixed grid over the group's [min, max], rank(p) =
+    * max(ceil(p*n), 1), estimate = 6-dec-snapped upper edge of the first
+    * bin whose cumulative count reaches the rank; a degenerate group
+    * (hi == lo) estimates its constant for every prob. The cumulative
+    * window partitions BY GROUP over at most `bins` rows per group.
+    * Output: (groupCol, prob, est), groups x probs rows.
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, probs: Seq[Double], bins: Int = 256): DataFrame = {
+    require(bins >= 2, s"groupedHistogramQuantiles: need >= 2 bins, got $bins")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupedHistogramQuantiles: probs must be in [0, 1], got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val st = df.groupBy(col(groupCol))
+      .agg(min(v).as("__lo"), max(v).as("__hi"), count(v).as("__n"))
+      .filter(col("__n") > 0)
+    val probsDf = probs.toDF("prob")
+    val width = (col("__hi") - col("__lo")) / bins
+    val binned = df.join(st, Seq(groupCol))
+      .filter(col("__hi") > col("__lo"))
+      .select(col(groupCol), col("__lo"), col("__hi"), col("__n"),
+        least(floor((v - col("__lo")) / width).cast("long"),
+          lit(bins.toLong - 1)).as("bin"))
+    val cum = binned
+      .groupBy(col(groupCol), col("__lo"), col("__hi"), col("__n"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val est = cum.join(broadcast(probsDf),
+        col("cum") >= greatest(ceil(col("prob") * col("__n")), lit(1L)))
+      .groupBy(col(groupCol), col("prob"))
+      .agg(min(col("bin")).as("__bin"),
+        first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+      .select(col(groupCol), col("prob"),
+        TextAnalysis.round6(
+          col("__lo") + (col("__bin") + 1) * ((col("__hi") - col("__lo")) / bins))
+          .as("est"))
+    val degenerate = st.filter(col("__hi") === col("__lo"))
+      .crossJoin(broadcast(probsDf))
+      .select(col(groupCol), col("prob"),
+        TextAnalysis.round6(col("__lo")).as("est"))
+    est.unionByName(degenerate)
+  }
+
   /** Count-Min PROBE: estimated occurrence count for each item = the
     * minimum of its depth bucket counters (never an undercount; overcounts
     * only by collisions, bounded by total/width per row w.h.p.). The

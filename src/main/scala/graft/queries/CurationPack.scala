@@ -170,6 +170,14 @@ object CurationPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // per-group quantile sketch: event value quantiles per event_type,
+    // range facts distributed (no driver lo/hi collect)
+    "q185_grouped_quantiles" -> ((s, d) => {
+      Sketches.groupedHistogramQuantiles(Tables.events(s, d), "event_type",
+        "value", Seq(0.25, 0.5, 0.9), bins = 256)
+        .orderBy(col("event_type"), col("prob"))
+    }),
+
     // the composed CCNet mix: tier labels + per-tier deterministic draw
     "q183_ccnet_curate" -> ((s, d) => {
       TextAnalysis.ccnetCurate(Tables.documentsSpread(s, d))
@@ -494,6 +502,29 @@ object CurationPack extends QueryPack {
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q173_ccnet_partition" -> s"$ccnetLabeledCtes\n$ccnetLabeledSelect\nORDER BY s.doc_id",
+
+    "q185_grouped_quantiles" ->
+      """WITH st AS (
+        |  SELECT event_type, MIN(CAST(value AS DOUBLE)) AS lo,
+        |         MAX(CAST(value AS DOUBLE)) AS hi, COUNT(value) AS n
+        |  FROM events GROUP BY 1),
+        |hh AS (
+        |  SELECT e.event_type,
+        |    LEAST(CAST(FLOOR((CAST(e.value AS DOUBLE) - st.lo) /
+        |      ((st.hi - st.lo) / 256)) AS BIGINT), 255) AS bin,
+        |    st.lo, st.hi, st.n, COUNT(*) AS c
+        |  FROM events e JOIN st USING (event_type)
+        |  WHERE st.hi > st.lo
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |cum AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM hh),
+        |p AS (SELECT unnest([0.25, 0.5, 0.9]) AS prob)
+        |SELECT c.event_type, p.prob,
+        |  FLOOR((c.lo + (MIN(c.bin) + 1) * ((c.hi - c.lo) / 256)) * 1e6 + 0.5) / 1e6 AS est
+        |FROM cum c JOIN p ON c.cum >= GREATEST(CAST(CEIL(p.prob * c.n) AS BIGINT), 1)
+        |GROUP BY c.event_type, p.prob, c.lo, c.hi
+        |ORDER BY event_type, prob""".stripMargin,
 
     // the composed curation mix: tier labels + per-tier hash draw
     "q183_ccnet_curate" ->

@@ -335,6 +335,27 @@ class CurationOpsSpec extends SparkTestBase {
     assert(m(0).getString(1) === "a" && m(0).getString(2) === "b")
   }
 
+  test("groupedHistogramQuantiles: per-group == global on that group; degenerate group") {
+    val vals = (0 until 100).map(i => ("a", i.toDouble)) ++
+      (0 until 50).map(i => ("b", (i * 3).toDouble)) ++
+      Seq(("c", 7.0), ("c", 7.0))
+    val df = vals.toDF("grp", "v")
+    val probs = Seq(0.25, 0.5, 0.9)
+    val grouped = Sketches.groupedHistogramQuantiles(df, "grp", "v", probs, bins = 32)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("a", "b")) {
+      val global = Sketches.histogramQuantiles(
+        df.filter(col("grp") === g), "v", probs, bins = 32)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      probs.foreach(p =>
+        assert(grouped((g, p)) === global(p), s"group $g prob $p"))
+    }
+    // constant-valued group: every prob estimates the constant
+    probs.foreach(p => assert(grouped(("c", p)) === 7.0))
+    // error bound: estimate within one bin width of the true quantile
+    assert(math.abs(grouped(("a", 0.5)) - 49.5) <= 100.0 / 32 + 1)
+  }
+
   test("tfidfSimilarPairs: near-copies score high, disjoint docs never pair") {
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     val f = Seq(
