@@ -152,6 +152,16 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // per-group z-score anomaly flags over event values (exact-decimal
+    // moments -> broadcastable join back; zero-variance groups score 0)
+    "q186_zscore_flags" -> ((s, d) => {
+      graft.streaming.EventStream.zScoreFlags(
+          Tables.events(s, d), "event_type", "value", zThreshold = 2.0)
+        .select(col("event_id"), col("event_type"), col("z"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+        .orderBy(col("event_id"))
+    }),
+
     // semi-structured payload extraction: pinned-schema from_json over the
     // props column, rolled up per event_type with exact decimal stats
     "q184_json_extract" -> ((s, d) => {
@@ -646,6 +656,25 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      "q186_zscore_flags" ->
+        """WITH m AS (
+          |  SELECT event_type, COUNT(value) AS n,
+          |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+          |    CAST(SUM(CAST(FLOOR(value * value * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS s2
+          |  FROM events GROUP BY 1),
+          |mm AS (
+          |  SELECT event_type, s / n AS mean,
+          |    sqrt(s2 / n - (s / n) * (s / n)) AS sd
+          |  FROM m),
+          |zz AS (
+          |  SELECT e.event_id, e.event_type,
+          |    FLOOR((CASE WHEN mm.sd > 0
+          |      THEN (CAST(e.value AS DOUBLE) - mm.mean) / mm.sd
+          |      ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z
+          |  FROM events e JOIN mm USING (event_type))
+          |SELECT event_id, event_type, z,
+          |  CAST(abs(z) > 2.0 AS INT) AS is_anomaly
+          |FROM zz ORDER BY event_id""".stripMargin,
       "q184_json_extract" ->
         """SELECT event_type, COUNT(*) AS n,
           |  COUNT(CAST(props->>'k' AS INT)) AS n_parsed,

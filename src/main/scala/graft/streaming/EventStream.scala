@@ -283,6 +283,38 @@ object EventStream {
         col("n_events_w"), col("sum_value_w"))
   }
 
+  /** Per-group z-score anomaly flags — the monitoring staple over a metric
+    * stream: each row scored against ITS GROUP's mean/stddev (population
+    * form), flagged beyond `zThreshold`. Two keyed passes: one aggregate
+    * for the per-group moments (exact decimal sums, so mean and variance
+    * are engine-deterministic regardless of partial-agg order), one keyed
+    * join back (the moments frame has one row per group — AQE broadcasts
+    * it). Degenerate groups (zero variance) z-score to 0 rather than
+    * dividing by zero. z is 6-dec snapped. Output: input columns +
+    * (group mean, stddev, z, is_anomaly).
+    */
+  def zScoreFlags(df: DataFrame, groupCol: String, valueCol: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    import graft.pipeline.TextAnalysis.round6
+    val v = col(valueCol).cast("double")
+    // v*v carries more decimals than the exact-decimal width — snap it
+    // with the IEEE floor form FIRST (engine-identical), then sum exactly
+    val moments = df.groupBy(col(groupCol))
+      .agg(count(v).as("__n"),
+        sum(v.cast("decimal(28,6)")).cast("double").as("__s"),
+        sum(round6(v * v).cast("decimal(28,6)")).cast("double").as("__s2"))
+      .select(col(groupCol), (col("__s") / col("__n")).as("__mean"),
+        sqrt(col("__s2") / col("__n") -
+          (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("__sd"))
+    df.join(moments, Seq(groupCol))
+      .withColumn("z", round6(
+        when(col("__sd") > 0.0, (v - col("__mean")) / col("__sd"))
+          .otherwise(lit(0.0))))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+      .withColumnRenamed("__mean", "group_mean")
+      .withColumnRenamed("__sd", "group_stddev")
+  }
+
   /** Sessionization per user: events within `gapMinutes` of each other chain
     * into one session (classic gaps-and-islands — batch form; the streaming
     * form is [[streamingSessionize]]).
