@@ -152,6 +152,14 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // ordered conversion funnel click -> view -> purchase: greedy-earliest
+    // witness per user via cascading keyed min-joins
+    "q187_funnel" -> ((s, d) => {
+      graft.streaming.EventStream.funnel(Tables.eventsWithTs(s, d),
+        Seq("click", "view", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // per-group z-score anomaly flags over event values (exact-decimal
     // moments -> broadcastable join back; zero-variance groups score 0)
     "q186_zscore_flags" -> ((s, d) => {
@@ -656,6 +664,24 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      "q187_funnel" ->
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+          |s1 AS (
+          |  SELECT user_id, MIN(us) AS step1_us FROM e
+          |  WHERE event_type = 'click' GROUP BY 1),
+          |f2 AS (
+          |  SELECT s1.user_id, s1.step1_us, MIN(e.us) AS step2_us
+          |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+          |    AND e.event_type = 'view' AND e.us > s1.step1_us
+          |  GROUP BY 1, 2),
+          |f3 AS (
+          |  SELECT f2.user_id, f2.step1_us, f2.step2_us, MIN(e.us) AS step3_us
+          |  FROM f2 LEFT JOIN e ON e.user_id = f2.user_id
+          |    AND e.event_type = 'purchase' AND e.us > f2.step2_us
+          |  GROUP BY 1, 2, 3)
+          |SELECT user_id, step1_us, step2_us, step3_us
+          |FROM f3 ORDER BY user_id""".stripMargin,
       "q186_zscore_flags" ->
         """WITH m AS (
           |  SELECT event_type, COUNT(value) AS n,

@@ -283,6 +283,41 @@ object EventStream {
         col("n_events_w"), col("sum_value_w"))
   }
 
+  /** Ordered FUNNEL analysis: for each user, the earliest time they
+    * completed each step of `steps` IN ORDER (step i+1 strictly after
+    * step i) — the conversion-funnel query every product-analytics
+    * pipeline runs. Greedy-earliest semantics: step 1 anchors at the
+    * user's first step-1 event; each later step at its first qualifying
+    * event after the previous step. (Greedy-earliest is a valid witness
+    * whenever ANY ordered witness exists, so reach counts are exact.)
+    *
+    * Shape: one keyed (user) min-aggregate per step, joined back on
+    * user_id with a strictly-greater residual — k steps = k keyed
+    * shuffles of the (small) per-step event slices, never a per-user
+    * window over full histories or a collect of event sequences. Output:
+    * one row per user who completed step 1, with `step{i}_us` micro-epoch
+    * columns (NULL once the funnel breaks).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val us = org.apache.spark.sql.graftbridge.Bridge
+      .integralDivide(col("ts"), lit(1000L))
+    def slice(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), us.as("__us"))
+    var acc = slice(steps.head).groupBy(col("user_id"))
+      .agg(min(col("__us")).as("step1_us"))
+    for (i <- 2 to steps.length) {
+      val prev = s"step${i - 1}_us"
+      val next = slice(steps(i - 1))
+      acc = acc.join(
+        next.select(col("user_id").as("__u"), col("__us")),
+        col("user_id") === col("__u") && col("__us") > col(prev), "left")
+        .groupBy(acc.columns.map(col): _*)
+        .agg(min(col("__us")).as(s"step${i}_us"))
+    }
+    acc
+  }
+
   /** Per-group z-score anomaly flags — the monitoring staple over a metric
     * stream: each row scored against ITS GROUP's mean/stddev (population
     * form), flagged beyond `zThreshold`. Two keyed passes: one aggregate
