@@ -102,6 +102,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Write the frame as JSONL TRAINING SHARDS — the interchange format
+    * every training stack ingests: one `shard=N/` directory per
+    * [[shardShuffle]] shard, holding newline-delimited JSON rows in the
+    * deterministic epoch order (lines sorted by the shard-shuffle `pos`).
+    * `to_json(struct(...))` is the codegen'd JacksonGenerator path — no
+    * UDF; the text sink writes one string column under dynamic partition
+    * folders. Read back with `spark.read.json(path)` (the `shard` column
+    * returns via partition discovery) — the q188 gate round-trips exactly
+    * that.
+    */
+  def writeJsonlShards(df: DataFrame, keyCol: String, numShards: Int,
+      path: String, salt: String = "epoch0"): Unit = {
+    val cols = df.columns
+    shardShuffle(df, keyCol, numShards, salt)
+      .select(col("shard"), col("pos"),
+        to_json(struct(cols.map(col): _*)).as("value"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .select(col("shard"), col("value"))
+      .write.mode("overwrite").partitionBy("shard").text(path)
+  }
+
   /** Pack documents into fixed-token-budget training sequences:
     * next-fit-by-offset packing over the [[shardShuffle]] order. A doc
     * starts at the running token offset of its shard predecessors and is

@@ -131,6 +131,33 @@ object PipelinePack extends QueryPack {
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
+    // JSONL training-shard export round trip: write shard=N/ dirs of
+    // newline-delimited JSON, read them back with spark.read.json, roll
+    // up per shard — the counts/sums prove assignment AND payload
+    // integrity through the text round trip
+    "q188_jsonl_export" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      try {
+        Sampling.writeJsonlShards(docs, "doc_id", numShards = 4,
+          tmp.toString)
+        s.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+          .json(tmp.toString)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(col("n_chars")).as("sum_chars"),
+            count(col("lang")).as("n_lang"))
+          .orderBy(col("shard"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // sparse shingle TF-IDF cosine pairs (token-space near-dup scoring;
     // df-pruned vocabulary, keyed joins only)
     "q182_tfidf_pairs" -> ((s, d) => {
@@ -684,6 +711,16 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      "q188_jsonl_export" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, n_chars,
+           |    ${hex32Sql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
+           |  FROM documents)
+           |SELECT CAST(hv % 4 AS INT) AS shard, COUNT(*) AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  COUNT(*) AS n_lang
+           |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
       "q182_tfidf_pairs" ->
         s"""WITH docs AS (
            |  SELECT doc_id, text FROM documents
