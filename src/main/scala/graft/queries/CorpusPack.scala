@@ -152,6 +152,12 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // retention cohort matrix over integer epoch weeks
+    "q189_retention" -> ((s, d) => {
+      graft.streaming.EventStream.retentionCohorts(Tables.eventsWithTs(s, d))
+        .orderBy(col("cohort_week"), col("activity_week"))
+    }),
+
     // ordered conversion funnel click -> view -> purchase: greedy-earliest
     // witness per user via cascading keyed min-joins
     "q187_funnel" -> ((s, d) => {
@@ -664,6 +670,16 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      "q189_retention" ->
+        """WITH a AS (
+          |  SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS activity_week
+          |  FROM events),
+          |c AS (SELECT user_id, MIN(activity_week) AS cohort_week FROM a GROUP BY 1)
+          |SELECT c.cohort_week, a.activity_week,
+          |  a.activity_week - c.cohort_week AS week_offset,
+          |  COUNT(DISTINCT a.user_id) AS n_active_users
+          |FROM a JOIN c USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort_week, activity_week""".stripMargin,
       "q187_funnel" ->
         """WITH e AS (
           |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),

@@ -283,6 +283,35 @@ object EventStream {
         col("n_events_w"), col("sum_value_w"))
   }
 
+  /** Retention COHORT matrix: users bucketed by the epoch-week of their
+    * FIRST event (the cohort), then for every (cohort week, activity week)
+    * cell the count of distinct cohort members active that week — the
+    * standard retention triangle. Weeks are INTEGER epoch weeks
+    * (`us div 7*86400e6`), not calendar weeks: integer arithmetic is
+    * engine-portable where week-of-year calendars are not, and the cohort
+    * analysis only needs relative offsets. Shape: one keyed min-aggregate
+    * (first event per user), one join back on user_id (broadcastable when
+    * the user dimension is small; keyed otherwise), one distinct-count
+    * aggregate per cell. Output: (cohort_week, activity_week, week_offset,
+    * n_active_users).
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val us = org.apache.spark.sql.graftbridge.Bridge
+      .integralDivide(col("ts"), lit(1000L))
+    val weekUs = 7L * 86400L * 1000000L
+    def week(c: org.apache.spark.sql.Column) = org.apache.spark.sql.graftbridge.Bridge
+      .integralDivide(c, lit(weekUs))
+    val act = events.select(col("user_id"), week(us).as("activity_week"))
+    val cohort = act.groupBy(col("user_id"))
+      .agg(min(col("activity_week")).as("cohort_week"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), col("activity_week"))
+      .agg(count_distinct(col("user_id")).as("n_active_users"))
+      .withColumn("week_offset", col("activity_week") - col("cohort_week"))
+      .select(col("cohort_week"), col("activity_week"), col("week_offset"),
+        col("n_active_users"))
+  }
+
   /** Ordered FUNNEL analysis: for each user, the earliest time they
     * completed each step of `steps` IN ORDER (step i+1 strictly after
     * step i) — the conversion-funnel query every product-analytics
