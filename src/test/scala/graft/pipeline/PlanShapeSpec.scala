@@ -340,6 +340,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"gopherRules joined:\n$plan")
   }
 
+  test("event analytics (funnel/retention/zscore/rolling) plan product-free") {
+    val ev = Seq(
+      (1L, 1000000L, 1L, "click", 1.0, ""),
+      (2L, 2000000L, 1L, "view", 2.0, ""),
+      (3L, 3000000L, 1L, "purchase", 3.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    import graft.streaming.EventStream
+    for ((name, df) <- Seq(
+        "funnel" -> EventStream.funnel(ev, Seq("click", "view", "purchase")),
+        "retention" -> EventStream.retentionCohorts(ev),
+        "zscore" -> EventStream.zScoreFlags(ev, "event_type", "value"),
+        "rolling" -> EventStream.rollingFeatures(ev))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
+
   test("covarianceMatrix: no corpus-side product, moment sums stay keyed") {
     val plan = Similarity.covarianceMatrix(emb)
       .queryExecution.executedPlan.toString
