@@ -366,6 +366,23 @@ object Dedup {
     // (measured: 17s vs 2s at sf0.1)
     // (both are released by the CacheScope wrapper at pipeline exit — the
     // first caller action that consumes the result drops them)
+    val (base, cached) = pairOverlapCounts(docs, pairs, textCol, idCol, k)
+    val out = base
+      .withColumn("jaccard",
+        coalesce(col("__inter"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__inter"), lit(0L))))
+      .drop("__inter", "__na", "__nb")
+    CacheScope.releaseAfterFirstUse(out, cached)
+  }
+
+  /** Shared verify-stage machinery for [[ngramJaccard]] /
+    * [[ngramContainment]]: per candidate pair, the distinct-shingle
+    * intersection count plus each side's distinct-shingle count
+    * (`__inter`, `__na`, `__nb`). Returns the frame and the persisted
+    * intermediates the caller must release after its first action.
+    */
+  private def pairOverlapCounts(docs: DataFrame, pairs: DataFrame,
+      textCol: String, idCol: String, k: Int): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = pairs.persist(lvl)
     val ids = p.select(col("id_a").as("__id"))
@@ -381,15 +398,34 @@ object Dedup {
     val shB = sh.select(col("__id").as("id_b"), col("shingle"))
     val interCount = p.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    val out = p
+    val base = p
       .join(interCount, Seq("id_a", "id_b"), "left")
       .join(counts.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), Seq("id_a"))
       .join(counts.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), Seq("id_b"))
-      .withColumn("jaccard",
-        coalesce(col("__inter"), lit(0L)).cast("double") /
-          (col("__na") + col("__nb") - coalesce(col("__inter"), lit(0L))))
+    (base, Seq(p, withSh))
+  }
+
+  /** Asymmetric shingle CONTAINMENT for candidate pairs — the
+    * partial-copy detector symmetric Jaccard misses: a short document
+    * fully quoted inside a long one has low Jaccard (the union is big)
+    * but containment ~1 on the short side. `containment_a` =
+    * |A∩B| / |A| (how much of A lives in B), `containment_b` the mirror,
+    * `containment` = the max — the drop signal for quote/wrapper
+    * duplicates. Same verify-stage shape as [[ngramJaccard]]: pair-scoped
+    * semi-join + shingle equi-join, no product. Ratios 6-dec snapped.
+    */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val (base, cached) = pairOverlapCounts(docs, pairs, textCol, idCol, k)
+    val inter = coalesce(col("__inter"), lit(0L)).cast("double")
+    val out = base
+      .withColumn("containment_a", TextAnalysis.round6(inter / col("__na")))
+      .withColumn("containment_b", TextAnalysis.round6(inter / col("__nb")))
+      .withColumn("containment",
+        greatest(col("containment_a"), col("containment_b")))
       .drop("__inter", "__na", "__nb")
-    CacheScope.releaseAfterFirstUse(out, Seq(p, withSh))
+    CacheScope.releaseAfterFirstUse(out, cached)
   }
 
   /** SimHash fingerprint (16-bit, md5-derived): bit j of the fingerprint is

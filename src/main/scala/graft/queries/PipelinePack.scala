@@ -131,6 +131,22 @@ object PipelinePack extends QueryPack {
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
+    // asymmetric containment on planted prefix-excerpts: the excerpt's
+    // shingles are a strict subset of its base's, so containment_b == 1.0
+    // while Jaccard would stay low — the partial-copy detector
+    "q190_containment" -> ((s, d) => {
+      val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val w = Dedup.words(col("text"))
+      val excerpts = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          array_join(slice(w, lit(1),
+            greatest(floor(size(w) / 2), lit(1)).cast("int")), " ").as("text"))
+      val pairs = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+      Dedup.ngramContainment(base.unionByName(excerpts), pairs)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // JSONL training-shard export round trip: write shard=N/ dirs of
     // newline-delimited JSON, read them back with spark.read.json, roll
     // up per shard — the counts/sums prove assignment AND payload
@@ -711,6 +727,38 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      "q190_containment" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        s"""WITH w0 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+           |ex AS (
+           |  SELECT doc_id + 10000 AS doc_id,
+           |    array_to_string(list_slice(ws, 1, GREATEST(len(ws) // 2, 1)), ' ') AS text
+           |  FROM w0 WHERE doc_id % 20 = 0),
+           |docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM ex),
+           |pairs AS (
+           |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, unnest(${shinglesSql(wordsSql, 3)}) AS shingle
+           |  FROM docs),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, COUNT(*) AS i
+           |  FROM pairs p
+           |  JOIN sh a ON a.doc_id = p.id_a
+           |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2)
+           |SELECT p.id_a, p.id_b,
+           |  ${r6("CAST(COALESCE(i.i, 0) AS DOUBLE) / ca.n")} AS containment_a,
+           |  ${r6("CAST(COALESCE(i.i, 0) AS DOUBLE) / cb.n")} AS containment_b,
+           |  GREATEST(${r6("CAST(COALESCE(i.i, 0) AS DOUBLE) / ca.n")},
+           |           ${r6("CAST(COALESCE(i.i, 0) AS DOUBLE) / cb.n")}) AS containment
+           |FROM pairs p
+           |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+           |JOIN cnt ca ON ca.doc_id = p.id_a
+           |JOIN cnt cb ON cb.doc_id = p.id_b
+           |ORDER BY p.id_a, p.id_b""".stripMargin
+      },
       "q188_jsonl_export" ->
         s"""WITH h AS (
            |  SELECT doc_id, n_chars,
