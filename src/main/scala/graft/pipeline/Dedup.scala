@@ -68,6 +68,28 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Exact dedup with a KEEP-BEST policy: one representative per content
+    * hash chosen by the highest `scoreCol` (quality score, length,
+    * freshness — whatever ranks duplicates), id-ascending on ties — the
+    * production policy when duplicates differ in metadata even though
+    * their text matches (keep the best-sourced copy, not the
+    * lowest-numbered one). A struct-max aggregate: partial map-side
+    * combine, no window, same one-keyed-shuffle shape as [[exact]].
+    */
+  def exactKeepBest(docs: DataFrame, scoreCol: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // max over (score, -id): highest score wins, smallest id breaks ties
+    docs.withColumn("__h", md5(col(textCol)))
+      .groupBy(col("__h").as("content_hash"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId")))
+          .as("__best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"),
+        (-col("__best.negId")).cast("long").as("keep_id"),
+        col("__best.s").as("keep_score"), col("n_copies"))
+  }
+
   /** Normalization-invariant exact dedup: hash the NORMALIZED text
     * (lowercase, punctuation/whitespace runs collapsed — [[words]]
     * re-joined by single spaces) and keep the smallest id per hash. This

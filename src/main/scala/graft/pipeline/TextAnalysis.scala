@@ -663,6 +663,28 @@ object TextAnalysis {
       "n_ips" -> regexp_count(t, lit("([0-9]{1,3}\\.){3}[0-9]{1,3}"))))
   }
 
+  /** HTML boilerplate strip — the first pass of every web-corpus
+    * pipeline: drop script/style blocks WITH their content, drop all
+    * remaining tags, unescape the five standard entities, collapse
+    * whitespace runs. A fixed chain of `regexp_replace`s — stateless,
+    * codegen'd, no UDF, oracle-mirrorable; it is a cleaner, not a parser
+    * (malformed nesting degrades gracefully — exactly how the C4/CCNet
+    * lineage treats tag soup). `&amp;` unescapes LAST so `&amp;lt;` does
+    * not double-decode.
+    */
+  def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val noBlocks = regexp_replace(t,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    docs.withColumn(textCol,
+      trim(regexp_replace(unescaped, "\\s+", " ")))
+  }
+
   /** PII REDACTION — the rewrite half of [[piiSignals]]: replace every
     * email / phone / IP match with a fixed placeholder token (the standard
     * pre-training scrub, e.g. C4/RefinedWeb-style). Same three public

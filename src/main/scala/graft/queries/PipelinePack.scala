@@ -131,6 +131,37 @@ object PipelinePack extends QueryPack {
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
+    // HTML boilerplate strip on marker-injected docs: script/style blocks
+    // die with their content, tags drop, entities unescape, whitespace
+    // collapses — md5 of the cleaned text gates the whole chain
+    "q191_strip_html" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" <b>bold</b> &amp; more")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" <script>var x = 1;</script><p class=\"a\">para</p>"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" &lt;tag&gt; &quot;q&#39;")).otherwise(lit(""))))
+      TextAnalysis.stripHtml(docs)
+        .select(col("doc_id"), md5(col("text")).as("clean_hash"),
+          length(col("text")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup with keep-best policy: planted copies share text but
+    // carry different scores — the highest-scored copy must survive
+    "q192_keep_best" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), (col("doc_id") % 97).as("score"))
+      val copies = base.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          ((col("doc_id") + 10000) % 97).as("score"))
+      Dedup.exactKeepBest(base.unionByName(copies), "score")
+        .orderBy(col("keep_id"))
+    }),
+
     // asymmetric containment on planted prefix-excerpts: the excerpt's
     // shingles are a strict subset of its base's, so containment_b == 1.0
     // while Jaccard would stay low — the partial-copy detector
@@ -727,6 +758,40 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      "q191_strip_html" ->
+        """WITH docs AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 7 = 0 THEN ' <b>bold</b> &amp; more' ELSE '' END ||
+          |    CASE WHEN doc_id % 11 = 0 THEN ' <script>var x = 1;</script><p class="a">para</p>' ELSE '' END ||
+          |    CASE WHEN doc_id % 13 = 0 THEN ' &lt;tag&gt; &quot;q&#39;' ELSE '' END AS text
+          |  FROM documents),
+          |cleaned AS (
+          |  SELECT doc_id,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(
+          |        regexp_replace(
+          |          regexp_replace(text, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+          |          '<[^>]+>', ' ', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS text
+          |  FROM docs)
+          |SELECT doc_id, md5(text) AS clean_hash,
+          |  CAST(length(text) AS BIGINT) AS clean_len
+          |FROM cleaned ORDER BY doc_id""".stripMargin,
+      "q192_keep_best" ->
+        """WITH base AS (
+          |  SELECT doc_id, text, doc_id % 97 AS score FROM documents),
+          |copies AS (
+          |  SELECT doc_id + 10000 AS doc_id, text, (doc_id + 10000) % 97 AS score
+          |  FROM documents WHERE doc_id % 15 = 0),
+          |docs AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+          |r AS (
+          |  SELECT md5(text) AS content_hash, doc_id, score,
+          |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY score DESC, doc_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+          |  FROM docs)
+          |SELECT content_hash, doc_id AS keep_id, score AS keep_score, n_copies
+          |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
       "q190_containment" -> {
         def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
         s"""WITH w0 AS (SELECT doc_id, $wordsSql AS ws FROM documents),

@@ -335,6 +335,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(m(0).getString(1) === "a" && m(0).getString(2) === "b")
   }
 
+  test("stripHtml: blocks die with content, entities decode exactly once") {
+    val f = Seq(
+      (1L, "a <script type=\"x\">var s = '<b>kept?</b>';</script> b"),
+      (2L, "x &amp;lt; y"), // must yield "x &lt; y", never double-decode
+      (3L, "<p>hi</p>\n\n<div>there</div>"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripHtml(f).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b", "script content must vanish entirely")
+    assert(out(2L) === "x &lt; y")
+    assert(out(3L) === "hi there")
+    assert(out(4L) === "")
+  }
+
+  test("exactKeepBest keeps the highest-scored duplicate, min id on ties") {
+    val f = Seq(
+      (1L, "same", 5L), (2L, "same", 9L), (3L, "same", 9L),
+      (4L, "only", 1L)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(f, "score").collect()
+      .map(r => r.getAs[Long]("keep_id") ->
+        (r.getAs[Long]("keep_score"), r.getAs[Long]("n_copies"))).toMap
+    assert(out === Map(2L -> ((9L, 3L)), 4L -> ((1L, 1L))))
+  }
+
   test("groupedHistogramQuantiles: per-group == global on that group; degenerate group") {
     val vals = (0 until 100).map(i => ("a", i.toDouble)) ++
       (0 until 50).map(i => ("b", (i * 3).toDouble)) ++
