@@ -663,6 +663,47 @@ object TextAnalysis {
       "n_ips" -> regexp_count(t, lit("([0-9]{1,3}\\.){3}[0-9]{1,3}"))))
   }
 
+  /** URL extraction: every http(s) URL in the text as one row
+    * (doc_id, url, domain) — the raw material for link analysis, source
+    * attribution, and [[domainBlocklistFlags]]. One regexp_extract_all +
+    * explode (stateless until the explode, which is bounded by URLs per
+    * doc); the domain is the lowercased authority with any port and
+    * leading `www.` stripped.
+    */
+  val UrlRegex = "https?://[^\\s\"'<>]+"
+
+  def extractUrls(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol),
+        explode(regexp_extract_all(t, lit(UrlRegex), lit(0))).as("url"))
+      .withColumn("domain",
+        regexp_replace(
+          lower(regexp_extract(col("url"), "https?://([^/\\s:]+)", 1)),
+          "^www\\.", ""))
+  }
+
+  /** Domain blocklist flags: per document, how many of its URLs hit a
+    * blocklisted domain and the drop flag — the adult/spam/malware domain
+    * filter every web corpus applies. The blocklist is a broadcast-sized
+    * table (millions of rows at most) joined against the exploded URL
+    * rows; every input document keeps a row, so the output is a keep/drop
+    * routing table like the decontamination flags.
+    */
+  def domainBlocklistFlags(docs: DataFrame, blocklist: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      domainCol: String = "domain"): DataFrame = {
+    val hits = extractUrls(docs, textCol, idCol)
+      .join(broadcast(blocklist.select(col(domainCol).as("domain")).distinct()),
+        Seq("domain"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_blocked_urls"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocked_urls"), lit(0L)).as("n_blocked_urls"))
+      .withColumn("blocked", col("n_blocked_urls") > 0)
+  }
+
   /** HTML boilerplate strip — the first pass of every web-corpus
     * pipeline: drop script/style blocks WITH their content, drop all
     * remaining tags, unescape the five standard entities, collapse

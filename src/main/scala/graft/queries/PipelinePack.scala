@@ -131,6 +131,40 @@ object PipelinePack extends QueryPack {
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
+    // URL extraction + domain counts on marker-injected docs; domains
+    // derived per doc_id so the explode is data-driven
+    "q193_extract_urls" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.com/page?x=1 and http://cdn"),
+            (col("doc_id") % 3).cast("string"),
+            lit(".example.net:8080/a.js"))).otherwise(lit(""))))
+      TextAnalysis.extractUrls(docs)
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
+    // blocklist routing table: docs whose URLs hit blocked domains flag
+    "q194_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.com/page?x=1 and http://cdn"),
+            (col("doc_id") % 3).cast("string"),
+            lit(".example.net:8080/a.js"))).otherwise(lit(""))))
+      val blocklist = Seq("site3.example.com", "cdn1.example.net",
+        "unused.example.org").toDF("domain")
+      TextAnalysis.domainBlocklistFlags(docs, blocklist)
+        .select(col("doc_id"), col("n_blocked_urls"),
+          col("blocked").cast("int").as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML boilerplate strip on marker-injected docs: script/style blocks
     // die with their content, tags drop, entities unescape, whitespace
     // collapses — md5 of the cleaned text gates the whole chain
@@ -758,6 +792,31 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      // independent ground-truth oracle: the injected domains are derived
+      // straight from doc_id arithmetic, never from the regex pipeline
+      "q193_extract_urls" ->
+        """WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+          |d1 AS (
+          |  SELECT doc_id,
+          |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
+          |  FROM m
+          |  UNION ALL
+          |  SELECT doc_id,
+          |    'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net'
+          |  FROM m)
+          |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+          |FROM d1 GROUP BY 1 ORDER BY domain""".stripMargin,
+      "q194_domain_blocklist" ->
+        """WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+          |hits AS (
+          |  SELECT doc_id,
+          |    CAST(doc_id % 7 = 3 AS INT) + CAST(doc_id % 3 = 1 AS INT) AS n
+          |  FROM m)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_blocked_urls,
+          |  CAST(COALESCE(h.n, 0) > 0 AS INT) AS blocked
+          |FROM documents d LEFT JOIN hits h USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
       "q191_strip_html" ->
         """WITH docs AS (
           |  SELECT doc_id, text ||
