@@ -199,6 +199,26 @@ object RelationalPack extends QueryPack {
       perElement.orderBy(col("k"))
     }),
 
+    // blobs synthetic dataset (datasets.py:37-101): the deterministic
+    // generator's per-element inventory, pinned against golden counts
+    // (constants are legitimate here — the generator is seed-fixed by
+    // contract, so any drift IS the regression); the nation row binds the
+    // gate to the sf dir like every other query
+    "q195_blobs_inventory" -> ((s, d) => {
+      import graft.model._
+      val sd = Datasets.blobs(s)
+      val rows = sd.manifest.elements.map(_.name).sorted.map { n =>
+        val df = if (sd.element(n).meta.kind == ElementKind.Tables)
+          sd.element(n).obs else sd(n)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("element"), col("n_rows"))
+      }.reduce(_.unionByName(_))
+      rows.unionByName(Tables.nation(s, d)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("nation").as("element"), col("n_rows")))
+        .orderBy(col("element"))
+    }),
+
     // get_element_annotators (relational_query.py:38-59): which tables
     // annotate which element — tabX annotates both points elements (split
     // by supplier key parity), tabY only ptsB; per (element, annotator)
@@ -281,6 +301,15 @@ object RelationalPack extends QueryPack {
     "q06_distinct_instances" ->
       """SELECT DISTINCT l_suppkey AS instance_id FROM lineitem
         |WHERE l_suppkey <> 0 ORDER BY instance_id""".stripMargin,
+    "q195_blobs_inventory" ->
+      """SELECT * FROM (
+        |  SELECT 'blobs_circles' AS element, CAST(32 AS BIGINT) AS n_rows
+        |  UNION ALL SELECT 'blobs_image', 1
+        |  UNION ALL SELECT 'blobs_labels', 65536
+        |  UNION ALL SELECT 'blobs_points', 1600
+        |  UNION ALL SELECT 'blobs_table', 32
+        |  UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation))
+        |ORDER BY element""".stripMargin,
     "q175_element_lifecycle" ->
       """SELECT 'ptsA' AS k, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_suppkey AS DECIMAL(28,6))) AS DOUBLE) AS total_x
