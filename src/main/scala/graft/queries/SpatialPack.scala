@@ -61,6 +61,26 @@ object SpatialPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // get_bounding_box_corners (query/_utils.py:18-91): the reference's
+    // exact 2D/3D vertex ORDER is the contract (polygon clipping and
+    // box-transform math both consume it); region count binds the sf dir
+    "q196_bbox_corners" -> ((s, d) => {
+      import s.implicits._
+      val nRegion = Tables.region(s, d).count()
+      val c2 = SpatialQuery.boundingBoxCorners(
+        Seq("x", "y"), Seq(2.0, 3.0), Seq(10.0, 7.0))
+      val c3 = SpatialQuery.boundingBoxCorners(
+        Seq("x", "y", "z"), Seq(0.0, 1.0, 2.0), Seq(4.0, 5.0, 6.0))
+      val rows =
+        c2.zipWithIndex.map { case (c, i) =>
+          (2, i, c(0), c(1), Option.empty[Double]) } ++
+        c3.zipWithIndex.map { case (c, i) =>
+          (3, i, c(0), c(1), Some(c(2))) }
+      rows.toDF("dim", "idx", "x", "y", "z")
+        .withColumn("n_region", lit(nRegion))
+        .orderBy(col("dim"), col("idx"))
+    }),
+
     // Identity-cs bounding box on points: exclusive bounds, range predicate
     // pushed to the parquet scan (spatial_query.py:668-701 fast path).
     "q10_bbox_points_identity" -> ((s, d) => {
@@ -155,6 +175,23 @@ object SpatialPack extends QueryPack {
   override def oracleSql: Map[String, String] = {
     val pts = pointsSql
     Map(
+      "q196_bbox_corners" ->
+        """WITH nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_region FROM region),
+          |c AS (
+          |  SELECT 2 AS dim, 0 AS idx, 2.0 AS x, 3.0 AS y, CAST(NULL AS DOUBLE) AS z
+          |  UNION ALL SELECT 2, 1, 2.0, 7.0, NULL
+          |  UNION ALL SELECT 2, 2, 10.0, 7.0, NULL
+          |  UNION ALL SELECT 2, 3, 10.0, 3.0, NULL
+          |  UNION ALL SELECT 3, 0, 0.0, 1.0, 2.0
+          |  UNION ALL SELECT 3, 1, 0.0, 1.0, 6.0
+          |  UNION ALL SELECT 3, 2, 0.0, 5.0, 6.0
+          |  UNION ALL SELECT 3, 3, 0.0, 5.0, 2.0
+          |  UNION ALL SELECT 3, 4, 4.0, 1.0, 2.0
+          |  UNION ALL SELECT 3, 5, 4.0, 1.0, 6.0
+          |  UNION ALL SELECT 3, 6, 4.0, 5.0, 6.0
+          |  UNION ALL SELECT 3, 7, 4.0, 5.0, 2.0)
+          |SELECT c.dim, c.idx, c.x, c.y, c.z, nr.n_region
+          |FROM c, nr ORDER BY dim, idx""".stripMargin,
       "q10_bbox_points_identity" ->
         s"""SELECT * FROM ($pts)
            |WHERE x > 10.0 AND x < 40.0 AND y > 10.0 AND y < 40.0
