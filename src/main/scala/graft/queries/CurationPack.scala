@@ -5,8 +5,10 @@ import graft.pipeline.{Classifier, Dedup, Sampling, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 curation gates: per-domain caps, temperature mixing,
-  * Bloom-filter decontamination, and SemDeDup-style semantic dedup.
+/** Corpus-curation gates: per-domain caps, temperature mixing,
+  * Bloom-filter decontamination, SemDeDup-style semantic dedup, the
+  * CCNet perplexity partition/curate pair, the Gopher rule battery,
+  * per-group top terms, and the per-group quantile sketch.
   *
   * Determinism conventions as elsewhere: derived doubles 6-decimal-rounded
   * via the IEEE floor form; hash draws mirror `Sampling.keyHash32` as
