@@ -169,6 +169,40 @@ object Dedup {
         (0 until numHashes).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** MinHash Jaccard ESTIMATE vs EXACT for candidate pairs — the sketch-
+    * quality evaluation next to [[graft.pipeline.Similarity.recallAtK]]:
+    * the estimator is the fraction of agreeing signature components
+    * (unbiased, stderr ~ 1/sqrt(numHashes)); the exact value comes from
+    * [[ngramJaccard]]'s shingle-set machinery. Per pair:
+    * (n_agree, jaccard_est, jaccard) plus the absolute error — the number
+    * that tells you whether `numHashes` is big enough for your threshold.
+    * Two id-equi-joins against the signature table; no product.
+    */
+  def minhashJaccardEval(docs: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3, numHashes: Int = 12): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k, numHashes)
+    def side(suffix: String) = sigs.select(
+      col(idCol).as(s"id_$suffix") +:
+        (0 until numHashes).map(j => col(s"mh$j").as(s"__${suffix}$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val withEst = pairs
+      .join(side("a"), Seq("id_a"))
+      .join(side("b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), agree.as("n_agree"))
+      .withColumn("jaccard_est",
+        TextAnalysis.round6(col("n_agree").cast("double") / numHashes))
+    ngramJaccard(docs, withEst.select("id_a", "id_b"), textCol, idCol, k)
+      .join(withEst, Seq("id_a", "id_b"))
+      .withColumn("jaccard", TextAnalysis.round6(col("jaccard")))
+      .withColumn("abs_err",
+        TextAnalysis.round6(abs(col("jaccard_est") - col("jaccard"))))
+      .select(col("id_a"), col("id_b"), col("n_agree").cast("long").as("n_agree"),
+        col("jaccard_est"), col("jaccard"), col("abs_err"))
+  }
+
   /** LSH banding: docs -> (band_id, band_key) rows; docs sharing a band key
     * in any band are candidate near-duplicates
     * (shingle->minhash->band->bucket-join).

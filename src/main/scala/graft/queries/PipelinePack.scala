@@ -131,6 +131,16 @@ object PipelinePack extends QueryPack {
     // cross-corpus fuzzy decontamination: every 37th doc, lightly edited,
     // plays the leaked benchmark; LSH band join (per-side capped) counts
     // near-dup eval matches per corpus doc — every doc keeps a row
+    // MinHash estimator quality: per candidate pair, signature-agreement
+    // estimate vs exact shingle Jaccard + absolute error
+    "q197_minhash_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshCandidatePairs(docs, persistBands = true)
+        .select("id_a", "id_b")
+      Dedup.minhashJaccardEval(docs, pairs)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // URL extraction + domain counts on marker-injected docs; domains
     // derived per doc_id so the explode is data-driven
     "q193_extract_urls" -> ((s, d) => {
@@ -792,6 +802,42 @@ object PipelinePack extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+      "q197_minhash_eval" ->
+        s"""$bandsSqlCte,
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
+           |  WHERE l.doc_id < r.doc_id),
+           |ag AS (
+           |  SELECT p.id_a, p.id_b,
+           |    (${(1 to 12).map(j =>
+                 s"CASE WHEN sa.sig[$j] = sb.sig[$j] THEN 1 ELSE 0 END")
+                 .mkString(" + ")}) AS n_agree
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.id_a
+           |  JOIN sig sb ON sb.doc_id = p.id_b),
+           |sh2 AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM w),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, COUNT(*) AS i
+           |  FROM pairs p JOIN sh2 a ON a.doc_id = p.id_a
+           |               JOIN sh2 b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT ag.id_a, ag.id_b, ag.n_agree,
+           |    FLOOR((CAST(ag.n_agree AS DOUBLE) / 12) * 1e6 + 0.5) / 1e6 AS est,
+           |    FLOOR((CAST(COALESCE(i.i, 0) AS DOUBLE) /
+           |      (ca.n + cb.n - COALESCE(i.i, 0))) * 1e6 + 0.5) / 1e6 AS jc
+           |  FROM ag
+           |  LEFT JOIN inter i ON i.id_a = ag.id_a AND i.id_b = ag.id_b
+           |  JOIN cnt ca ON ca.doc_id = ag.id_a
+           |  JOIN cnt cb ON cb.doc_id = ag.id_b)
+           |SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+           |  est AS jaccard_est, jc AS jaccard,
+           |  FLOOR(abs(est - jc) * 1e6 + 0.5) / 1e6 AS abs_err
+           |FROM j ORDER BY id_a, id_b""".stripMargin,
       // independent ground-truth oracle: the injected domains are derived
       // straight from doc_id arithmetic, never from the regex pipeline
       "q193_extract_urls" ->
