@@ -137,6 +137,40 @@ object Sketches {
         TextAnalysis.round6(lit(lo) + (col("__bin") + 1) * width).as("est"))
   }
 
+  /** Column PROFILING — the ingest-QA pass every pipeline runs on a new
+    * drop before trusting it: one row per requested numeric column with
+    * count / nulls / min / max / exact-decimal mean (6-dec snapped). ALL
+    * columns profile in ONE aggregation pass over the scan (the naive
+    * per-column loop rescans the table per column); the unpivot to rows
+    * happens on the single aggregated row. Non-numeric columns are
+    * rejected loudly rather than silently cast.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: need at least one column")
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[NumericType],
+        s"profileColumns: column '$c' is $dt, not numeric")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(count(lit(1)).as(s"__t_$c"), count(v).as(s"__n_$c"),
+        min(v).as(s"__min_$c"), max(v).as(s"__max_$c"),
+        sum(v.cast("decimal(28,6)")).cast("double").as(s"__s_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      one.select(lit(c).as("column"),
+        col(s"__n_$c").as("n"),
+        (col(s"__t_$c") - col(s"__n_$c")).as("n_null"),
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"),
+        TextAnalysis.round6(col(s"__s_$c") / col(s"__n_$c")).as("mean"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** PER-GROUP quantile estimates — the grouped form of
     * [[histogramQuantiles]] (per-language score quantiles, per-label zonal
     * intensity quantiles, per-source length quantiles), and the fully

@@ -172,6 +172,13 @@ object CurationPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // one-pass multi-column profiling over lineitem (ingest QA)
+    "q198_profile_columns" -> ((s, d) => {
+      Sketches.profileColumns(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("column"))
+    }),
+
     // per-group quantile sketch: event value quantiles per event_type,
     // range facts distributed (no driver lo/hi collect)
     "q185_grouped_quantiles" -> ((s, d) => {
@@ -504,6 +511,18 @@ object CurationPack extends QueryPack {
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q173_ccnet_partition" -> s"$ccnetLabeledCtes\n$ccnetLabeledSelect\nORDER BY s.doc_id",
+
+    "q198_profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT($c) AS n,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  MIN(CAST($c AS DOUBLE)) AS min, MAX(CAST($c AS DOUBLE)) AS max,
+           |  FLOOR(CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+           |    / COUNT($c) * 1e6 + 0.5) / 1e6 AS mean
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    },
 
     "q185_grouped_quantiles" ->
       """WITH st AS (
