@@ -19,8 +19,11 @@ object DocStream {
     * the batch path ([[TextIndex.probe]]) against the at-rest corpus band
     * index — `foreachBatch` is the right vehicle because the probe needs a
     * per-batch aggregation (the hot-bucket cap) that append-mode streaming
-    * aggregation cannot express, and gives exactly-once parquet appends of
-    * the candidate pairs to `outDir`.
+    * aggregation cannot express. Candidate pairs append to `outDir` tagged
+    * with `batch_id`; foreachBatch is at-least-once on failure/retry
+    * (standard contract), so a checkpointed production run should dedup
+    * downstream by (batch_id, doc_id, corpus_id) — trivial because the
+    * tag makes replays idempotent to filter.
     *
     * Semantics: each batch is screened INDEPENDENTLY (per-batch hot-bucket
     * caps on the new side; the corpus-side cap is fixed at index scope) —
