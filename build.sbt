@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver json-parses the LAST stdout line. sbt's default
+// outputStrategy for forked runs is LoggedOutput, which prefixes every
+// program line with "[info] " and appends "[success] Total time ..." —
+// both defeat the tail parse. StdoutOutput inherits the parent's stdout
+// (no prefix); showSuccess drops the trailing [success] line, so the
+// program's own final println IS the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
