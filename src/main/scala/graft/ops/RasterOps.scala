@@ -38,6 +38,37 @@ object RasterOps {
           i => coalesce(element_at(col("__m"), i), lit(0.0))).as("px"))
   }
 
+  /** Long-form pixels -> tiles with EXACT edge tiles: a raster whose
+    * shape is not a tile multiple gets partial tiles
+    * (h = min(tileSize, height - ty*tileSize)) exactly as the NGFF chunk
+    * reader emits them — whereas [[pixelsToTiles]] zero-pads every tile
+    * to tileSize² (adequate for interior math, but the pad pixels would
+    * leak into halo kernels and round-trips). Needs the raster dims,
+    * which callers know from metadata (never a scan).
+    */
+  def pixelsToTilesExact(pixels: DataFrame, heightPx: Int, widthPx: Int,
+      tileSize: Int = TS, channelCol: Option[String] = Some("c"),
+      scale: Int = 0): DataFrame = {
+    require(heightPx >= 1 && widthPx >= 1,
+      s"pixelsToTilesExact: bad raster dims ${heightPx}x$widthPx")
+    val c = channelCol.map(col).getOrElse(lit(0))
+    val tyC = (col("y") / tileSize).cast("int")
+    val txC = (col("x") / tileSize).cast("int")
+    val hC = least(lit(tileSize), lit(heightPx) - tyC * tileSize).cast("int")
+    val wC = least(lit(tileSize), lit(widthPx) - txC * tileSize).cast("int")
+    pixels
+      .withColumn("tile_y", tyC).withColumn("tile_x", txC)
+      .withColumn("h", hC).withColumn("w", wC)
+      .withColumn("__pos", ((col("y") % tileSize) * col("w") + col("x") % tileSize).cast("int"))
+      .groupBy(c.as("c"), col("tile_y"), col("tile_x"), col("h"), col("w"))
+      .agg(map_from_arrays(collect_list(col("__pos")),
+        collect_list(col("value"))).as("__m"))
+      .select(lit(scale).as("scale"), col("c"), col("tile_y"), col("tile_x"),
+        col("h"), col("w"),
+        transform(sequence(lit(0), col("h") * col("w") - 1),
+          i => coalesce(element_at(col("__m"), i), lit(0.0))).as("px"))
+  }
+
   /** 3D long-form `(c?, z, y, x, value)` -> z-stacked tiles (the 2D tile
     * layout plus a `z` plane column; one tile per (c, z, tile_y, tile_x)).
     * The plane count multiplies the tile count, not the tile extent — the
@@ -107,40 +138,55 @@ object RasterOps {
     final case class Constant(v: Double) extends Boundary
   }
 
+  /** One neighbor tile as the halo kernel sees it: the NEIGHBOR'S OWN
+    * dims plus its row-major payload. Edge tiles of a raster whose shape
+    * is not a chunk multiple are PARTIAL (`NgffRaster` emits
+    * h = min(chunk, shape - offset)), so a neighbor's stride can differ
+    * from the center tile's — kernels must index `px(r * w + c)` with
+    * THIS struct's `w`/`h`, never the center's.
+    */
+  final case class HaloTile(h: Int, w: Int, px: Array[Double])
+
   /** Neighborhood kernel with halo: assembles each tile with its 8
     * neighbors' payloads (`map_overlap(depth)`, map.py:110-126) via an
-    * adjacency self-join, then hands `(h, w, center, Map[(dy,dx) -> px])`
-    * to `fn` per tile. depth must be <= tileSize. `boundary` fills in
-    * missing neighbors (raster edges) before `fn` runs — see [[Boundary]].
+    * adjacency self-join, then hands `(h, w, center,
+    * Map[(dy,dx) -> HaloTile])` to `fn` per tile. Whole neighbor tiles
+    * ship (not depth-clipped), so any kernel depth up to the tile size is
+    * supported by the same exchange. `boundary` fills in missing
+    * neighbors (raster edges) before `fn` runs — see [[Boundary]].
     */
   def mapRasterWithHalo(tiles: DataFrame, tileSize: Int = TS,
       boundary: Boundary = Boundary.NoPad)(
-      fn: (Int, Int, Array[Double], Map[(Int, Int), Array[Double]]) => Array[Double]): DataFrame = {
+      fn: (Int, Int, Array[Double], Map[(Int, Int), HaloTile]) => Array[Double]): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = tiles.sparkSession
     import spark.implicits._
-    // neighbor copies keyed by the receiving tile
+    // neighbor copies keyed by the receiving tile, carrying the SENDER'S
+    // dims: partial edge tiles have their own (h, w) and the kernel must
+    // index them with their own stride
     val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
     val neighborCols = offsets.map { case (dy, dx) =>
       struct(lit(dy).as("dy"), lit(dx).as("dx"),
         (col("tile_y") + dy).as("to_y"), (col("tile_x") + dx).as("to_x"))
     }
     val sent = tiles.select(col("scale"), col("c"), col("px").as("n_px"),
+        col("h").as("n_h"), col("w").as("n_w"),
         explode(array(neighborCols: _*)).as("o"))
-      .select(col("scale"), col("c"), col("n_px"),
+      .select(col("scale"), col("c"), col("n_px"), col("n_h"), col("n_w"),
         col("o.dy").as("dy"), col("o.dx").as("dx"),
         col("o.to_y").as("tile_y"), col("o.to_x").as("tile_x"))
     val joined = tiles.join(sent, Seq("scale", "c", "tile_y", "tile_x"), "left")
       .groupBy(col("scale"), col("c"), col("tile_y"), col("tile_x"),
         col("h"), col("w"), col("px"))
-      .agg(collect_list(struct(col("dy"), col("dx"), col("n_px"))).as("halo"))
+      .agg(collect_list(struct(col("dy"), col("dx"), col("n_h"), col("n_w"),
+        col("n_px"))).as("halo"))
     joined
       .as[(Int, Int, Int, Int, Int, Int, Array[Double],
-        Seq[(Option[Int], Option[Int], Option[Seq[Double]])])]
+        Seq[(Option[Int], Option[Int], Option[Int], Option[Int], Option[Seq[Double]])])]
       .map { case (scale, c, ty, tx, h, w, px, halo) =>
-        val real = halo.collect { case (Some(dy), Some(dx), Some(npx)) =>
+        val real = halo.collect { case (Some(dy), Some(dx), Some(nh), Some(nw), Some(npx)) =>
           // sender offset (dy,dx) seen from the receiver is (-dy,-dx)
-          ((-dy, -dx), npx.toArray)
+          ((-dy, -dx), HaloTile(nh, nw, npx.toArray))
         }.toMap
         val m = boundary match {
           case Boundary.NoPad => real
@@ -150,7 +196,7 @@ object RasterOps {
                 (1, -1), (1, 0), (1, 1))
               if !real.contains(off)
             } yield off -> (b match {
-              case Boundary.Constant(v) => Array.fill(h * w)(v)
+              case Boundary.Constant(v) => HaloTile(h, w, Array.fill(h * w)(v))
               case _ =>
                 // Reflect = numpy "symmetric" padding of the GLOBAL raster.
                 // A missing EDGE neighbor mirrors the center across the
@@ -161,19 +207,20 @@ object RasterOps {
                 // would fabricate the wrong column block; symmetrically
                 // for the horizontal axis; past both (a raster corner, or
                 // a sparse store) it is the double mirror of the center.
+                // Each mirror keeps its SOURCE's dims and stride.
                 val (dy, dx) = off
                 val (src, mirY, mirX) =
                   if (dy != 0 && dx != 0 && !real.contains((dy, 0)) && real.contains((0, dx)))
                     (real((0, dx)), true, false)
                   else if (dy != 0 && dx != 0 && real.contains((dy, 0)) && !real.contains((0, dx)))
                     (real((dy, 0)), false, true)
-                  else (px, dy != 0, dx != 0)
-                Array.tabulate(h * w) { i =>
-                  val r = i / w; val cc = i % w
-                  val sr = if (mirY) h - 1 - r else r
-                  val sc = if (mirX) w - 1 - cc else cc
-                  src(sr * w + sc)
-                }
+                  else (HaloTile(h, w, px), dy != 0, dx != 0)
+                HaloTile(src.h, src.w, Array.tabulate(src.h * src.w) { i =>
+                  val r = i / src.w; val cc = i % src.w
+                  val sr = if (mirY) src.h - 1 - r else r
+                  val sc = if (mirX) src.w - 1 - cc else cc
+                  src.px(sr * src.w + sc)
+                })
             })
             real ++ synth
         }
@@ -197,25 +244,55 @@ object RasterOps {
     */
   def meanBlur3x3(tiles: DataFrame, tileSize: Int = TS,
       boundary: Boundary = Boundary.Reflect): DataFrame =
+    meanBlurBox(tiles, depth = 1, tileSize, boundary)
+
+  /** (2*depth+1)-square mean blur — the arbitrary-depth `map_overlap`
+    * consumer (the reference's map.py:110-126 takes any depth, not just
+    * 1). Whole neighbor tiles already ship in the halo exchange, so depth
+    * only changes the kernel arithmetic, not the shuffle. Neighbor pixels
+    * are indexed with EACH NEIGHBOR'S OWN stride ([[HaloTile]]), so
+    * partial edge tiles (raster shape not a chunk multiple) read
+    * correctly; a tile thinner than `depth` would need pixels beyond the
+    * 8-neighbor ring and raises a clear error instead of reading garbage.
+    */
+  def meanBlurBox(tiles: DataFrame, depth: Int, tileSize: Int = TS,
+      boundary: Boundary = Boundary.Reflect): DataFrame = {
+    require(depth >= 1 && depth <= tileSize,
+      s"meanBlurBox: depth must be in [1, tileSize=$tileSize], got $depth")
+    val n = (2 * depth + 1) * (2 * depth + 1)
     mapRasterWithHalo(tiles, tileSize, boundary) { (h, w, px, halo) =>
       def at(r: Int, c: Int): Double = {
-        val (dy, ry) = if (r < 0) (-1, r + h) else if (r >= h) (1, r - h) else (0, r)
-        val (dx, rx) = if (c < 0) (-1, c + w) else if (c >= w) (1, c - w) else (0, c)
-        if (dy == 0 && dx == 0) px(ry * w + rx)
-        else halo.get((dy, dx)).map(_(ry * w + rx)).getOrElse(px(r.max(0).min(h - 1) * w + c.max(0).min(w - 1)))
+        val dy = if (r < 0) -1 else if (r >= h) 1 else 0
+        val dx = if (c < 0) -1 else if (c >= w) 1 else 0
+        if (dy == 0 && dx == 0) px(r * w + c)
+        else halo.get((dy, dx)) match {
+          case Some(t) =>
+            val rr = if (dy < 0) t.h + r else if (dy > 0) r - h else r
+            val cc = if (dx < 0) t.w + c else if (dx > 0) c - w else c
+            if (rr < 0 || rr >= t.h || cc < 0 || cc >= t.w)
+              throw new IllegalStateException(
+                s"meanBlurBox: neighbor tile ${t.h}x${t.w} is thinner than " +
+                  s"kernel depth $depth — pixels beyond the 8-neighbor ring " +
+                  "are not shipped; re-tile with tiles >= depth in each dim")
+            t.px(rr * t.w + cc)
+          // NoPad with a genuinely absent neighbor: clamp to the raster
+          // border (numpy "edge" fallback) — Reflect/Constant never miss
+          case None => px(r.max(0).min(h - 1) * w + c.max(0).min(w - 1))
+        }
       }
       Array.tabulate(h * w) { i =>
         val r = i / w; val c = i % w
         var s = 0.0
-        var dy = -1
-        while (dy <= 1) {
-          var dx = -1
-          while (dx <= 1) { s += at(r + dy, c + dx); dx += 1 }
+        var dy = -depth
+        while (dy <= depth) {
+          var dx = -depth
+          while (dx <= depth) { s += at(r + dy, c + dx); dx += 1 }
           dy += 1
         }
-        s / 9.0
+        s / n
       }
     }
+  }
 
   // ---- pyramid (models.py:234-263 multiscale; coarsen/subsample) ----
 

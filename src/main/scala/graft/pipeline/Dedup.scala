@@ -274,19 +274,6 @@ object Dedup {
     CacheScope.releaseAfterFirstUse(out, if (persistBands) Seq(b0) else Nil)
   }
 
-  /** Cross-corpus MinHash-LSH near-duplicate candidates — the scale path
-    * for benchmark decontamination and incremental-corpus dedup. Both
-    * sides are banded under the SAME minhash family ([[lshBands]]), so a
-    * single (band, band_key) equi-join yields candidates: never a product,
-    * and unlike exact k-gram overlap
-    * ([[TextAnalysis.contaminationFlags]]) it catches NEAR duplicates
-    * (lightly edited eval leaks) from a constant number of band keys per
-    * document regardless of length. The join cost is |A_bucket| x
-    * |B_bucket| per hot key, so the cap applies to EACH side's buckets
-    * independently (dropped before the join, oracle-mirrorable with a
-    * HAVING per side). Output: (idCol, refOutCol, n_bands), id columns
-    * taken from each corpus's own id space.
-    */
   /** Train/eval LEAKAGE AUDIT: assign splits deterministically
     * ([[Sampling.splitAssign]]) and surface every near-duplicate pair that
     * crosses the train/eval boundary — the check every benchmark-honest
@@ -314,6 +301,19 @@ object Dedup {
       maxBucketSize = maxBucketSize)
   }
 
+  /** Cross-corpus MinHash-LSH near-duplicate candidates — the scale path
+    * for benchmark decontamination and incremental-corpus dedup. Both
+    * sides are banded under the SAME minhash family ([[lshBands]]), so a
+    * single (band, band_key) equi-join yields candidates: never a product,
+    * and unlike exact k-gram overlap
+    * ([[TextAnalysis.contaminationFlags]]) it catches NEAR duplicates
+    * (lightly edited eval leaks) from a constant number of band keys per
+    * document regardless of length. The join cost is |A_bucket| x
+    * |B_bucket| per hot key, so the cap applies to EACH side's buckets
+    * independently (dropped before the join, oracle-mirrorable with a
+    * HAVING per side). Output: (idCol, refOutCol, n_bands), id columns
+    * taken from each corpus's own id space.
+    */
   def crossCorpusCandidates(docs: DataFrame, ref: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       refIdCol: String = "doc_id", refOutCol: String = "eval_id",

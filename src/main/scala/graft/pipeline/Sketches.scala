@@ -83,7 +83,11 @@ object Sketches {
     require(bins >= 2, s"histogramBins: need >= 2 bins, got $bins")
     require(hi > lo, s"histogramBins: need hi > lo, got [$lo, $hi]")
     val width = (hi - lo) / bins
-    df.select(least(
+    // nulls must not bin: a NULL value floors to a NULL bin row, and the
+    // nulls-first cumulative window downstream would count it before bin 0
+    // while n counts only non-nulls — shifting every quantile low
+    df.filter(col(valueCol).isNotNull)
+      .select(least(
         floor((col(valueCol).cast("double") - lo) / width).cast("long"),
         lit(bins.toLong - 1)).as("bin"))
       .groupBy(col("bin"))
@@ -199,7 +203,8 @@ object Sketches {
       .filter(col("__n") > 0)
     val probsDf = probs.toDF("prob")
     val width = (col("__hi") - col("__lo")) / bins
-    val binned = df.join(st, Seq(groupCol))
+    val binned = df.filter(v.isNotNull) // __n counts non-nulls; a NULL bin
+      .join(st, Seq(groupCol))           // would cum-count ahead of bin 0
       .filter(col("__hi") > col("__lo"))
       .select(col(groupCol), col("__lo"), col("__hi"), col("__n"),
         least(floor((v - col("__lo")) / width).cast("long"),

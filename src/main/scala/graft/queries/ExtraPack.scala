@@ -163,6 +163,29 @@ object ExtraPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // map_overlap at depth 2 (the reference's map.py:110-126 takes any
+    // depth): 5x5 mean with numpy-"symmetric" borders over a 64x60 raster
+    // whose width is NOT a tile multiple — the x-edge tiles are partial
+    // (16,16,16,12), so the gate also pins neighbor-stride correctness
+    "q199_halo_blur5" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 60).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(64L * 60)
+        .select(lit(0).as("c"), (col("id") / 60).cast("int").as("y"),
+          (col("id") % 60).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTilesExact(pixels, 64, 60, tileSize = 16)
+      val blurred = RasterOps.meanBlurBox(tiles, depth = 2, tileSize = 16,
+        boundary = RasterOps.Boundary.Reflect)
+      RasterOps.tilesToPixels(blurred, tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
     // rasterize_bins (rasterize_bins.py:31-237): grid-binned obs -> pixels
     "q39_rasterize_bins" -> ((s, d) => {
       val obs = Tables.orders(s, d).select(
@@ -417,6 +440,34 @@ object ExtraPack extends QueryPack {
         |JOIN dense n
         |  ON n.y = LEAST(GREATEST(d.y + o.dy, 0), 63)
         | AND n.x = LEAST(GREATEST(d.x + o.dx, 0), 63)
+        |GROUP BY d.y, d.x
+        |ORDER BY d.y, d.x""".stripMargin,
+    // 5x5 mean with true numpy-"symmetric" mirroring (depth 2: -2 -> 1,
+    // dim+1 -> dim-2 — NOT a clamp) over the 64x60 dense grid
+    "q199_halo_blur5" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 60 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 60 AS INT) AS y, CAST(i % 60 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 3840)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x, COALESCE(px.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |offs AS (
+        |  SELECT dy, dx
+        |  FROM (SELECT unnest(range(-2, 3)) AS dy), (SELECT unnest(range(-2, 3)) AS dx))
+        |SELECT d.y, d.x, SUM(n.v) / 25.0 AS value
+        |FROM dense d
+        |JOIN offs o ON TRUE
+        |JOIN dense n
+        |  ON n.y = CASE WHEN d.y + o.dy < 0 THEN -(d.y + o.dy) - 1
+        |                WHEN d.y + o.dy >= 64 THEN 127 - (d.y + o.dy)
+        |                ELSE d.y + o.dy END
+        | AND n.x = CASE WHEN d.x + o.dx < 0 THEN -(d.x + o.dx) - 1
+        |                WHEN d.x + o.dx >= 60 THEN 119 - (d.x + o.dx)
+        |                ELSE d.x + o.dx END
         |GROUP BY d.y, d.x
         |ORDER BY d.y, d.x""".stripMargin
   )

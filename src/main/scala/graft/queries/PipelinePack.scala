@@ -320,7 +320,12 @@ object PipelinePack extends QueryPack {
           s, srcDir, "doc_id LONG, text STRING",
           TextIndex.readBandIndex(s, table), outDir,
           maxFilesPerTrigger = Some(1))
-        q.awaitTermination(180000)
+        // awaitTermination returns false on timeout — a silent partial
+        // output would hash-mismatch confusingly, and the finally block
+        // would delete the temp dir under the still-live query
+        try assert(q.awaitTermination(180000),
+          "q171: streaming probe did not terminate within 180 s")
+        finally q.stop()
         s.read.parquet(outDir)
           .filter(col("doc_id") =!= col("corpus_id"))
           .select(col("doc_id"), col("corpus_id"), col("n_bands"))

@@ -35,7 +35,7 @@ class RasterVectorizeSpec extends SparkTestBase {
       Seq.tabulate(4)(i => (0, i / 2, 2 + i % 2, 10.0))).toDF("c", "y", "x", "value")
     val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 2)
     val out = RasterOps.mapRasterWithHalo(tiles, tileSize = 2) { (h, w, px, halo) =>
-      val right = halo.get((0, 1)).map(_.sum).getOrElse(0.0)
+      val right = halo.get((0, 1)).map(_.px.sum).getOrElse(0.0)
       px.map(_ + right)
     }
     val tile0 = RasterOps.tilesToPixels(out, tileSize = 2)
@@ -55,7 +55,7 @@ class RasterVectorizeSpec extends SparkTestBase {
       val enc = RasterOps.mapRasterWithHalo(tiles, tileSize = 2, boundary = b) {
         (h, w, px, halo) =>
           offsets.toArray.flatMap(off =>
-            halo.get(off).map(1.0 +: _).getOrElse(Array(0.0)))
+            halo.get(off).map(t => 1.0 +: t.px).getOrElse(Array(0.0)))
       }.select("px").as[Seq[Double]].collect()(0)
       var rest = enc
       offsets.flatMap { off =>
@@ -84,8 +84,8 @@ class RasterVectorizeSpec extends SparkTestBase {
       val above = halo((-1, 0)); val below = halo((1, 0))
       Array.tabulate(h * w) { i =>
         val r = i / w; val c = i % w
-        val up = if (r == 0) above((h - 1) * w + c) else px((r - 1) * w + c)
-        val dn = if (r == h - 1) below(c) else px((r + 1) * w + c)
+        val up = if (r == 0) above.px((above.h - 1) * above.w + c) else px((r - 1) * w + c)
+        val dn = if (r == h - 1) below.px(c) else px((r + 1) * w + c)
         (up + px(i) + dn) / 3.0
       }
     }
@@ -94,6 +94,62 @@ class RasterVectorizeSpec extends SparkTestBase {
     // symmetric padding: [0,0,1,2,3,3] -> means (1/3, 1, 2, 8/3)
     assert(vals.map(v => math.round(v * 1e9) / 1e9) ==
       Seq(1.0 / 3, 1.0, 2.0, 8.0 / 3).map(v => math.round(v * 1e9) / 1e9))
+  }
+
+  // tiles with PARTIAL edge tiles, exactly as NgffRaster emits them
+  // (h = min(ts, shape - ty*ts)) — pixelsToTiles zero-pads to full tiles,
+  // so it cannot produce this layout
+  private def partialTiles(dense: Array[Double], hh: Int, ww: Int, ts: Int) = {
+    val rows = for {
+      ty <- 0 until (hh + ts - 1) / ts
+      tx <- 0 until (ww + ts - 1) / ts
+    } yield {
+      val h = math.min(ts, hh - ty * ts); val w = math.min(ts, ww - tx * ts)
+      val px = Seq.tabulate(h * w) { i =>
+        dense((ty * ts + i / w) * ww + (tx * ts + i % w))
+      }
+      (0, 0, ty, tx, h, w, px)
+    }
+    rows.toDF("scale", "c", "tile_y", "tile_x", "h", "w", "px")
+  }
+
+  // numpy "symmetric" index mirror: -1 -> 0, -2 -> 1; n -> n-1, n+1 -> n-2
+  private def mir(i: Int, n: Int) =
+    if (i < 0) -i - 1 else if (i >= n) 2 * n - 1 - i else i
+
+  test("meanBlur3x3 is exact on a raster that is NOT a tile multiple (partial edge tiles)") {
+    // 3x5 raster, tileSize 2 -> tiles of shapes 2x2, 2x2, 2x1, 1x2, 1x2, 1x1:
+    // every neighbor-stride combination appears
+    val hh = 3; val ww = 5
+    val dense = Array.tabulate(hh * ww)(i => (i * 7 % 11).toDouble)
+    val out = RasterOps.tilesToPixels(
+      RasterOps.meanBlur3x3(partialTiles(dense, hh, ww, 2), tileSize = 2),
+      tileSize = 2)
+      .orderBy("y", "x").select("value").as[Double].collect().toSeq
+    val expect = for (r <- 0 until hh; c <- 0 until ww) yield {
+      var s = 0.0
+      for (dy <- -1 to 1; dx <- -1 to 1)
+        s += dense(mir(r + dy, hh) * ww + mir(c + dx, ww))
+      s / 9.0
+    }
+    assert(out.map(v => math.round(v * 1e9)) == expect.map(v => math.round(v * 1e9)))
+  }
+
+  test("meanBlurBox depth 2 (5x5) matches a dense symmetric-padded reference") {
+    // 6x7 raster, tileSize 4 -> partial edge tiles 4x3, 2x4, 2x3
+    val hh = 6; val ww = 7
+    val dense = Array.tabulate(hh * ww)(i => (i * 5 % 13).toDouble)
+    val out = RasterOps.tilesToPixels(
+      RasterOps.meanBlurBox(partialTiles(dense, hh, ww, 4), depth = 2, tileSize = 4),
+      tileSize = 4)
+      .orderBy("y", "x").select("value").as[Double].collect().toSeq
+    val expect = for (r <- 0 until hh; c <- 0 until ww) yield {
+      var s = 0.0
+      for (dy <- -2 to 2; dx <- -2 to 2)
+        s += dense(mir(r + dy, hh) * ww + mir(c + dx, ww))
+      s / 25.0
+    }
+    assert(out.map(v => math.round(v * 1e9)) == expect.map(v => math.round(v * 1e9)))
   }
 
   test("coarsen + subsample") {

@@ -30,7 +30,9 @@ class DocStreamSpec extends SparkTestBase {
       val outDir = tmp.resolve("out").toString
       val q = DocStream.streamingNearDupProbe(spark, srcDir, schemaDDL,
         index, outDir, maxFilesPerTrigger = Some(1))
-      q.awaitTermination(120000)
+      try assert(q.awaitTermination(120000),
+        "streaming probe did not terminate within 120 s")
+      finally q.stop()
 
       val streamed = spark.read.parquet(outDir)
       val nBatches = streamed.select("batch_id").distinct().count()

@@ -22,7 +22,9 @@ class EventStreamSpec extends SparkTestBase {
       .writeStream.outputMode("complete")
       .format("memory").queryName("win_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    try assert(q.awaitTermination(120000),
+      "stream did not terminate within 120 s")
+    finally q.stop()
     val streamed = spark.table("win_out")
       .orderBy("window_start", "event_type").collect().toSeq
     assert(streamed == batch && batch.nonEmpty)
@@ -44,7 +46,9 @@ class EventStreamSpec extends SparkTestBase {
       .writeStream.outputMode("complete")
       .format("memory").queryName("enrich_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    try assert(q.awaitTermination(120000),
+      "stream did not terminate within 120 s")
+    finally q.stop()
     val streamed = spark.table("enrich_out")
       .orderBy("c_mktsegment", "event_type").collect().toSeq
     assert(streamed == batch && batch.nonEmpty)
@@ -77,7 +81,9 @@ class EventStreamSpec extends SparkTestBase {
       .writeStream.outputMode("append")
       .format("memory").queryName("attr_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    try assert(q.awaitTermination(120000),
+      "stream did not terminate within 120 s")
+    finally q.stop()
     val streamed = spark.table("attr_out")
       .select("src_event_id", "dst_event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -176,7 +182,9 @@ class EventStreamSpec extends SparkTestBase {
     val q = EventStream.streamingDedupByKey(spark, dir, schemaDDL)
       .writeStream.outputMode("append").format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    try assert(q.awaitTermination(120000),
+      "stream did not terminate within 120 s")
+    finally q.stop()
     val streamed = spark.table("dedup_out")
       .select("event_id", "user_id", "value").as[(Long, Long, Double)]
       .collect().toSet
