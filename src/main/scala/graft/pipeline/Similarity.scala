@@ -318,25 +318,34 @@ object Similarity {
         col("__best")("__d").as("dist2"))
   }
 
-  /** Product-quantization TRAIN: an independent Lloyd run per subspace
-    * over the sliced corpus. Returns the codebook table [[pqEncode]]
-    * consumes: (sub, code_id, subvec) — m * k rows, driver-sized by
-    * definition (codebooks ARE the model). The m trainings run
-    * sequentially; each is the broadcast-assign loop of [[kmeansTrain]],
-    * shuffled by no more than (id, dim). Codebook entries are the
+  /** Product-quantization TRAIN: Lloyd over every subspace AT ONCE.
+    * Returns the codebook table [[pqEncode]] consumes:
+    * (sub, code_id, subvec) — m * k rows, driver-sized by definition
+    * (codebooks ARE the model). Codebook entries are the
     * final-assignment cluster means on the same 6-decimal grid as every
     * other training step.
     *
-    * Scale design: PQ codebooks are standardly trained on a bounded
-    * SAMPLE — the model is k*m*subDim floats, and the m * iters Lloyd
-    * passes would otherwise rescan the full corpus each time. Pass
+    * Scale design — ONE PLAN PER LLOYD ITERATION, independent of m: the
+    * corpus explodes once to (id, sub, subvec) rows and the centroid
+    * table is keyed by (sub, code_id), so each iteration is a single
+    * broadcast nearest-cell assign (struct-min aggregate keyed by
+    * (id, sub)) feeding a single per-(sub, code, dim) mean aggregation —
+    * one scheduled job per iteration. (A per-subspace loop would plan,
+    * schedule, and collect ~3m separate jobs per train, each rescanning
+    * the cached sample: pure orchestration latency at small scale and m×
+    * wasted scans at large.) Between iterations the m*k*subDim means
+    * collect to the driver — the model — and rebroadcast.
+    *
+    * PQ codebooks are standardly trained on a bounded SAMPLE — pass
     * `sampleFraction` < 1 to train on a deterministic
     * [[Sampling.hashSample]] draw (salted md5 of `idCol` — reproducible
     * on any engine, so the trained codebooks are oracle-mirrorable).
     * The training set (sampled or not) is persisted for the duration of
-    * the run, so the SOURCE is scanned exactly once no matter how many
-    * subspaces/iterations follow; [[pqEncode]] then compresses the full
-    * corpus against the result.
+    * the run, so the SOURCE is scanned once per iteration at most;
+    * [[pqEncode]] then compresses the full corpus against the result.
+    * All arithmetic matches [[kmeansTrain]]'s determinism contract:
+    * distances and means 6-decimal-rounded, cross-row sums in exact
+    * DECIMAL(28,6), argmin ties broken on code_id.
     */
   def pqTrain(corpus: DataFrame, initCodebooks: DataFrame, m: Int, subDim: Int,
       iters: Int = 2, idCol: String = "vec_id",
@@ -344,6 +353,7 @@ object Similarity {
       sampleSalt: String = "pq"): DataFrame = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"pqTrain: sampleFraction must be in (0, 1], got $sampleFraction")
+    require(iters >= 1, s"pqTrain: iters must be >= 1, got $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
     val base0 = corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
@@ -351,19 +361,52 @@ object Similarity {
       (if (sampleFraction < 1.0) Sampling.hashSample(base0, idCol, sampleFraction, sampleSalt)
        else base0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val all = (0 until m).flatMap { s =>
-        val sliced = base.select(col(idCol),
-          slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
-        val init = initCodebooks.filter(col("sub") === s)
-          .select(col("code_id").as("centroid_id"), col("subvec").as(vecCol))
-        val assign = kmeansAssignments(sliced, init, iters, idCol, vecCol, "centroid_id")
-        val c = sliced.select(col(idCol), col(vecCol).as("__v"))
-        collectMeans(assign, c, idCol, "centroid_id")
-          .map { case (cid, vec) => (s, cid, vec) }
+      // one explode: every subspace of every sampled vector as a row
+      val slices = transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * subDim + 1, lit(subDim)))
+      val subRows = base.select(col(idCol), posexplode(slices).as(Seq("sub", "__sv")))
+
+      // (id, sub) -> nearest code of the CURRENT codebooks, carrying the
+      // row's own subvector for the means step (constant per group, so it
+      // rides the struct-min without affecting the (d, code_id) order)
+      def assign(cent: DataFrame): DataFrame = {
+        val dist2 = aggregate(zip_with(col("__sv"), col("__cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, t) => s + t)
+        subRows.join(broadcast(cent), Seq("sub"))
+          .filter(sameWidth(col("__sv"), col("__cv"), "pqTrain"))
+          .withColumn("__d", TextAnalysis.round6(dist2))
+          .groupBy(col(idCol), col("sub"))
+          .agg(min(struct(col("__d"), col("code_id"), col("__sv"))).as("__best"))
+          .select(col("sub"), col("__best")("code_id").as("code_id"),
+            col("__best")("__sv").as("__sv"))
       }
-      // the flatMap above fully materializes (collectMeans collects), so the
-      // cache's lifetime ends here — nothing lazy escapes with a reference
-      all.toSeq.sortBy(t => (t._1, t._2)).toDF("sub", "code_id", "subvec")
+      // exact-decimal per-dimension member means on the 6-decimal grid;
+      // clusters that lose all members drop out (standard Lloyd)
+      def meansOf(a: DataFrame): DataFrame =
+        a.select(col("sub"), col("code_id"), posexplode(col("__sv")).as(Seq("__i", "__x")))
+          .groupBy(col("sub"), col("code_id"), col("__i"))
+          .agg((sum(TextAnalysis.round6(col("__x")).cast("decimal(28,6)"))
+            .cast("double") / count(lit(1))).as("__m"))
+          .select(col("sub"), col("code_id"), col("__i"),
+            TextAnalysis.round6(col("__m")).as("__m"))
+      // m*k*subDim mean rows -> driver-side codebook rows
+      def collectCodebooks(means: DataFrame): Seq[(Int, Long, Seq[Double])] =
+        means.collect()
+          .groupBy(r => (r.getInt(0), r.getLong(1))).map { case ((s, cid), rows) =>
+            (s, cid, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }.toSeq.sortBy(t => (t._1, t._2))
+
+      var cent = initCodebooks.select(col("sub").cast("int").as("sub"),
+        col("code_id").cast("long").as("code_id"),
+        transform(col("subvec").cast("array<double>"),
+          x => TextAnalysis.round6(x)).as("__cv"))
+      var out: Seq[(Int, Long, Seq[Double])] = null
+      for (it <- 0 until iters) {
+        out = collectCodebooks(meansOf(assign(cent)))
+        if (it < iters - 1)
+          cent = out.toDF("sub", "code_id", "__cv")
+      }
+      out.toDF("sub", "code_id", "subvec")
     } finally base.unpersist(blocking = false)
   }
 

@@ -401,10 +401,12 @@ object CorpusPack extends QueryPack {
 
     // product-quantization TRAIN on a deterministic half-corpus sample
     // (hashSample salt "pq") — codebooks are the final-assignment means;
-    // exploded to scalar rows for hashing
+    // exploded to scalar rows for hashing. The codebook count is PINNED
+    // (vec_id < 500 -> k = 10 at any SF): real PQ uses a fixed k (256),
+    // and a corpus-scaled k would make the assign cost n^2/50
     "q118_pq_train" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
-      val cb = corpus.filter(col("vec_id") % 50 === 2)
+      val cb = corpus.filter(col("vec_id") % 50 === 2 && col("vec_id") < 500)
         .select(col("vec_id").as("code_id"),
           posexplode(transform(sequence(lit(0), lit(3)),
             x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
@@ -628,7 +630,7 @@ object CorpusPack extends QueryPack {
            |cb AS (
            |  SELECT vec_id AS cid,
            |    list_transform(embedding, x -> ${r6("CAST(x AS DOUBLE)")}) AS cv
-           |  FROM embeddings WHERE vec_id % 50 = 2),
+           |  FROM embeddings WHERE vec_id % 50 = 2 AND vec_id < 500),
            |subs AS (SELECT unnest(range(0, 4)) AS sub),
            |d AS (
            |  SELECT e.vec_id, s.sub, c.cid, $d2 AS d2

@@ -176,6 +176,36 @@ class PlanShapeSpec extends SparkTestBase {
       s"centroids must broadcast, the corpus must not shuffle for assignment:\n$plan")
   }
 
+  test("pqTrain runs ONE action (planned query) per Lloyd iteration, independent of m") {
+    // the per-subspace loop it replaces planned/collected ~3m separate
+    // queries per train — pure orchestration latency (round-8 q118: 40 s
+    // on 780 KB). Count ACTIONS, not Spark jobs: AQE legitimately splits
+    // one action's shuffle stages into several jobs.
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val init = emb.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("code_id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          x => slice(col("embedding").cast("array<double>"), x * 4 + 1, lit(4))))
+          .as(Seq("sub", "subvec")))
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.pqTrain(emb, init, m = 4, subDim = 4, iters = 2)
+      // the execution-listener bus is asynchronous — poll until stable
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (actions.get() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      assert(actions.get() == 2,
+        s"pqTrain(iters=2, m=4) ran ${actions.get()} actions; expected one per iteration")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("quantizeInt8: the range row broadcasts; no window, no wide shuffle") {
     val out = Similarity.quantizeInt8(emb)
     val plan = out.queryExecution.executedPlan.toString
