@@ -524,20 +524,33 @@ object Dedup {
       Seq(StringType, IntegerType, IntegerType), returnNullable = true)
   }
 
-  /** SimHash near-duplicate candidate pairs: LSH-band the 16-bit
-    * fingerprint into four 4-bit nibbles — any pair within hamming
-    * distance 3 shares at least one EXACT nibble (pigeonhole over 4 bands),
-    * so candidate generation is a bucket equi-join per band, never a
-    * product; an exact `bit_count(xor)` verify then keeps pairs at
-    * `<= maxHamming`. Same hot-bucket cap discipline as the other LSH
-    * self-joins (a popular nibble value is the hot-key failure mode here).
-    * Output: (id_a < id_b, hamming).
+  /** SimHash near-duplicate candidate pairs over the 16-bit TEACHING
+    * fingerprint: LSH-band into four 4-bit nibbles — any pair within
+    * hamming distance 3 shares at least one EXACT nibble (pigeonhole over
+    * 4 bands) — then exact `bit_count(xor)` verify at `<= maxHamming`.
+    *
+    * SMALL-N ONLY, enforced loudly: 4-bit bands have 16 key values each —
+    * 64 buckets total, EVER — so bucket size grows O(n) and candidate
+    * pairs O(n²/64) no matter how the corpus is distributed; worse, past
+    * the hot-bucket cap ALL 64 buckets would drop and recall silently
+    * collapses to zero. The input is counted and refused above `maxDocs`
+    * (one cheap id-only scan — this is the didactic form, not a scale
+    * path). Corpus-scale near-dup belongs to [[simhashPairs64]] /
+    * [[fingerprintPairs64]], whose four 16-bit bands keep buckets tiny at
+    * any n. Output: (id_a < id_b, hamming).
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize),
+      maxDocs: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashPairs: 4-band nibble LSH guarantees recall only for hamming <= 3, got $maxHamming")
+    val n = docs.select(col(idCol)).count()
+    require(n <= maxDocs,
+      s"simhashPairs: $n docs exceed maxDocs=$maxDocs. The 16-bit fingerprint " +
+        "has only 64 band buckets, so candidate pairs grow O(n^2/64) and the " +
+        "hot-bucket cap would drop every bucket at scale (zero recall). Use " +
+        "simhashPairs64/fingerprintPairs64 (2^16-value bands) for corpus-scale near-dup.")
     val fp = simhash(docs, textCol, idCol)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),

@@ -99,9 +99,13 @@ object PipelinePack extends QueryPack {
     // SimHash near-dup pairs: nibble-band LSH + exact hamming verify. The
     // synthetic corpus has no exact duplicates, so the gate unions in a
     // lightly-perturbed copy of every 10th doc (one appended token flips
-    // few fingerprint bits) — those pairs must surface at hamming <= 3
+    // few fingerprint bits) — those pairs must surface at hamming <= 3.
+    // BOUNDED input (doc_id < 2000, a no-op at sf<=0.01): the 16-bit form
+    // is the small-n teaching path — simhashPairs itself now refuses
+    // corpus-scale inputs and q129 gates the 64-bit scale path
     "q122_simhash_pairs" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 2000)
       val perturbed = base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
@@ -788,10 +792,10 @@ object PipelinePack extends QueryPack {
            |ORDER BY id_a, id_b""".stripMargin,
       "q122_simhash_pairs" ->
         s"""WITH docs2 AS (
-           |  SELECT doc_id, text FROM documents
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
            |  UNION ALL
            |  SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text
-           |  FROM documents WHERE doc_id % 10 = 0),
+           |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 2000),
            |fp AS (SELECT doc_id, $simhashTerms AS simhash
            |       FROM (SELECT doc_id, $wordsSql AS w FROM docs2)),
            |bands AS (

@@ -363,6 +363,19 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.simhashPairs(corp, maxBucketSize = Some(1)).count() == 0)
   }
 
+  test("simhashPairs refuses corpus-scale inputs and points to the 64-bit form") {
+    // 64 buckets ever -> O(n^2/64) candidates; the teaching form must be
+    // loud above its bound, not silently quadratic (or silently empty
+    // once the hot-bucket cap drops all 64 buckets)
+    val docs = (1 to 30).map(i => (i.toLong, s"document number $i"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxDocs = 10)
+    }
+    assert(ex.getMessage.contains("fingerprintPairs64"),
+      s"refusal must name the scale path: ${ex.getMessage}")
+  }
+
   test("shardShuffle: a reproducible epoch permutation in balanced ordered shards") {
     val docs = (0 until 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
     val out = Sampling.shardShuffle(docs, "doc_id", 4)
