@@ -408,6 +408,18 @@ object PipelinePack extends QueryPack {
       Similarity.recallAtK(approx, exact, k = 5).orderBy(col("query_id"))
     }),
 
+    // semantically-INDEPENDENT ANN oracle: the same brute-force top-k
+    // operator, but the DuckDB side ranks via list_sort over per-query
+    // struct lists (array sort + slice) instead of mirroring the window
+    // row_number — two genuinely different top-k machineries must agree
+    "q200_topk_list_sorted" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF coarse quantization: nearest of 5 broadcast centroids per vector
     "q54_ivf_assign" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
@@ -1093,6 +1105,25 @@ object PipelinePack extends QueryPack {
       // IVF top-5 (q101's CTEs) intersected with brute-force top-5 (q46's
       // scoring) — recall@5 per query; both rankings deterministic
       // (1e-6-rounded cosine, id-ascending ties) so the intersection is too
+      // top-k via DuckDB's list machinery, NOT a mirrored window: cosines
+      // snap to the 1e-6 integer grid, each query's candidates collect
+      // into one list of {-cosine_int, vec_id} structs, list_sort ranks
+      // them (struct order = field order: score desc, id asc), and a
+      // range join slices ranks 1..5. Integer negation avoids the -0.0
+      // sort hazard a float key would have.
+      "q200_topk_list_sorted" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |s AS (
+           |  SELECT a.query_id, b.vec_id,
+           |    CAST(FLOOR(($dotSql) / (${normSql("a")} * ${normSql("b")}) * 1e6 + 0.5) AS BIGINT) AS ci
+           |  FROM q a, embeddings b),
+           |l AS (
+           |  SELECT query_id, list_sort(list({'nk': -ci, 'v': vec_id})) AS srt
+           |  FROM s GROUP BY query_id)
+           |SELECT l.query_id, srt[r.r].v AS vec_id,
+           |  CAST(-srt[r.r].nk AS DOUBLE) / 1e6 AS cosine, CAST(r.r AS INT) AS rank
+           |FROM l, (SELECT unnest(range(1, 6)) AS r) r
+           |ORDER BY query_id, rank""".stripMargin,
       "q164_ann_recall" -> {
         def d2(l: String, r: String) =
           s"""list_sum(list_transform(range(0, 64), i ->
