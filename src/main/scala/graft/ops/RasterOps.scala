@@ -261,25 +261,7 @@ object RasterOps {
       s"meanBlurBox: depth must be in [1, tileSize=$tileSize], got $depth")
     val n = (2 * depth + 1) * (2 * depth + 1)
     mapRasterWithHalo(tiles, tileSize, boundary) { (h, w, px, halo) =>
-      def at(r: Int, c: Int): Double = {
-        val dy = if (r < 0) -1 else if (r >= h) 1 else 0
-        val dx = if (c < 0) -1 else if (c >= w) 1 else 0
-        if (dy == 0 && dx == 0) px(r * w + c)
-        else halo.get((dy, dx)) match {
-          case Some(t) =>
-            val rr = if (dy < 0) t.h + r else if (dy > 0) r - h else r
-            val cc = if (dx < 0) t.w + c else if (dx > 0) c - w else c
-            if (rr < 0 || rr >= t.h || cc < 0 || cc >= t.w)
-              throw new IllegalStateException(
-                s"meanBlurBox: neighbor tile ${t.h}x${t.w} is thinner than " +
-                  s"kernel depth $depth — pixels beyond the 8-neighbor ring " +
-                  "are not shipped; re-tile with tiles >= depth in each dim")
-            t.px(rr * t.w + cc)
-          // NoPad with a genuinely absent neighbor: clamp to the raster
-          // border (numpy "edge" fallback) — Reflect/Constant never miss
-          case None => px(r.max(0).min(h - 1) * w + c.max(0).min(w - 1))
-        }
-      }
+      val at = haloReader(h, w, px, halo, depth, "meanBlurBox")
       Array.tabulate(h * w) { i =>
         val r = i / w; val c = i % w
         var s = 0.0
@@ -291,6 +273,62 @@ object RasterOps {
         }
         s / n
       }
+    }
+  }
+
+  /** (2*depth+1)-square MEDIAN filter — the order-statistic twin of
+    * [[meanBlurBox]] (salt-and-pepper denoise; dask's map_overlap doc
+    * example family). The window has an odd count ((2d+1)^2), so the
+    * median is an exact element of the input — engine-portable with no
+    * float accumulation at all. Same halo exchange and boundary policy.
+    */
+  def medianFilterBox(tiles: DataFrame, depth: Int, tileSize: Int = TS,
+      boundary: Boundary = Boundary.Reflect): DataFrame = {
+    require(depth >= 1 && depth <= tileSize,
+      s"medianFilterBox: depth must be in [1, tileSize=$tileSize], got $depth")
+    val n = (2 * depth + 1) * (2 * depth + 1)
+    mapRasterWithHalo(tiles, tileSize, boundary) { (h, w, px, halo) =>
+      val at = haloReader(h, w, px, halo, depth, "medianFilterBox")
+      val buf = new Array[Double](n)
+      Array.tabulate(h * w) { i =>
+        val r = i / w; val c = i % w
+        var j = 0
+        var dy = -depth
+        while (dy <= depth) {
+          var dx = -depth
+          while (dx <= depth) { buf(j) = at(r + dy, c + dx); j += 1; dx += 1 }
+          dy += 1
+        }
+        java.util.Arrays.sort(buf)
+        buf(n / 2)
+      }
+    }
+  }
+
+  /** Shared neighborhood accessor for the box kernels: resolves (r, c)
+    * offsets that fall outside the center tile into the neighbor ring,
+    * indexing each neighbor with ITS OWN dims/stride (partial edge
+    * tiles). Raises if a tile is thinner than the kernel depth (the
+    * pixel would live beyond the 8-neighbor ring); clamps to the border
+    * only for NoPad's genuinely-absent neighbors.
+    */
+  private def haloReader(h: Int, w: Int, px: Array[Double],
+      halo: Map[(Int, Int), HaloTile], depth: Int,
+      op: String): (Int, Int) => Double = { (r, c) =>
+    val dy = if (r < 0) -1 else if (r >= h) 1 else 0
+    val dx = if (c < 0) -1 else if (c >= w) 1 else 0
+    if (dy == 0 && dx == 0) px(r * w + c)
+    else halo.get((dy, dx)) match {
+      case Some(t) =>
+        val rr = if (dy < 0) t.h + r else if (dy > 0) r - h else r
+        val cc = if (dx < 0) t.w + c else if (dx > 0) c - w else c
+        if (rr < 0 || rr >= t.h || cc < 0 || cc >= t.w)
+          throw new IllegalStateException(
+            s"$op: neighbor tile ${t.h}x${t.w} is thinner than " +
+              s"kernel depth $depth — pixels beyond the 8-neighbor ring " +
+              "are not shipped; re-tile with tiles >= depth in each dim")
+        t.px(rr * t.w + cc)
+      case None => px(r.max(0).min(h - 1) * w + c.max(0).min(w - 1))
     }
   }
 

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering for spatial data at rest — the data-layout
+  * lever that makes 100 TB bounding-box queries cheap: interleaving the
+  * quantized x/y bits gives a 1-D sort key under which spatially-near
+  * points land in the same parquet row groups, so a bbox query prunes to
+  * a handful of key ranges (row-group min/max + pushed filters) instead
+  * of scanning the world. The reference keeps points in spatially-naive
+  * parquet (io_points.py) and relies on in-memory dask masks; a
+  * cluster-scale engine needs the at-rest layout itself to be spatial.
+  *
+  * Everything here is integer bit arithmetic on the 2^bits quantization
+  * grid — deterministic on any engine (the q201 oracle recomputes keys in
+  * SQL), and the key column is a plain LONG: no custom file format, no
+  * index sidecar, any parquet reader benefits.
+  */
+object ZOrder {
+
+  /** Quantize a coordinate to a `bits`-bit cell index over [lo, hi):
+    * floor((v - lo) / cellWidth), clamped to [0, 2^bits - 1]. NULL-safe
+    * (NULL coordinate -> NULL cell -> NULL key; filter upstream).
+    */
+  def quantize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"quantize: bits must be in [1, 31], got $bits")
+    require(hi > lo, s"quantize: need hi > lo, got [$lo, $hi]")
+    val cells = (1L << bits) - 1
+    val width = (hi - lo) / (1L << bits).toDouble
+    least(greatest(floor((v.cast("double") - lo) / width).cast("long"), lit(0L)),
+      lit(cells))
+  }
+
+  /** Interleave two `bits`-bit cell indices into the Morton key:
+    * bit i of qx -> key bit 2i, bit i of qy -> key bit 2i+1. Pure
+    * shift/mask algebra — whole-stage codegen, one expression tree, and
+    * exactly mirrorable in SQL (the q201 oracle's list_sum form).
+    */
+  def interleave(qx: Column, qy: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"interleave: bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(qx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** [[quantize]] + [[interleave]] in one call over raw coordinates. */
+  def zorderKey(x: Column, y: Column, xmin: Double, xmax: Double,
+      ymin: Double, ymax: Double, bits: Int = 16): Column =
+    interleave(quantize(x, xmin, xmax, bits), quantize(y, ymin, ymax, bits), bits)
+
+  /** Driver-side Morton key for range planning (same algebra as
+    * [[interleave]], on longs).
+    */
+  private[graft] def morton(qx: Long, qy: Long, bits: Int): Long = {
+    var k = 0L; var i = 0
+    while (i < bits) {
+      k |= ((qx >> i) & 1L) << (2 * i)
+      k |= ((qy >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    k
+  }
+
+  /** Write `df` clustered by Morton key: range-partition on the key (so
+    * file N holds a contiguous key band) and sort within partitions (so
+    * row-group min/max stats are tight). The key column persists in the
+    * output — the handle every later range prune filters on. `extent`
+    * is the quantization frame; pass the known data extent (metadata, a
+    * prior [[graft.ops.Aggregate]] extent, or a domain constant) — it
+    * must match what queries use.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double,
+      bits: Int = 16, keyCol: String = "zkey",
+      numPartitions: Option[Int] = None): Unit = {
+    require(!df.columns.contains(keyCol),
+      s"writeZOrdered: key column '$keyCol' collides with an input column")
+    val keyed = df.withColumn(keyCol,
+      zorderKey(col(xCol), col(yCol), xmin, xmax, ymin, ymax, bits))
+    val parted = numPartitions match {
+      case Some(n) => keyed.repartitionByRange(n, col(keyCol))
+      case None => keyed.repartitionByRange(col(keyCol))
+    }
+    parted.sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Covering Morton-key ranges for a bbox, planned at a coarser
+    * `level` <= `bits`: the box's cell rectangle at `level` decomposes
+    * into at most (2^level)^2 cells, each owning the contiguous key band
+    * [morton(cell) << 2(bits-level), +4^(bits-level)); adjacent bands
+    * merge. `level` trades range count (driver memory / filter width)
+    * against prune tightness — 6-8 covers most boxes with a handful of
+    * ranges. The ranges OVER-approximate the box (Z-curve cells at the
+    * box edge contain outside points), so callers refine with the exact
+    * coordinate predicate — the standard two-phase spatial scan.
+    */
+  def zRangesForBox(qx0: Long, qx1: Long, qy0: Long, qy1: Long,
+      bits: Int, level: Int, maxCells: Int = 4096): Seq[(Long, Long)] = {
+    require(level >= 1 && level <= bits,
+      s"zRangesForBox: level must be in [1, bits=$bits], got $level")
+    require(qx0 <= qx1 && qy0 <= qy1, "zRangesForBox: empty box")
+    val drop = bits - level
+    val (cx0, cx1) = (qx0 >> drop, qx1 >> drop)
+    val (cy0, cy1) = (qy0 >> drop, qy1 >> drop)
+    val nCells = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    require(nCells <= maxCells,
+      s"zRangesForBox: $nCells cover cells at level $level exceed $maxCells — lower the level")
+    val span = 1L << (2 * drop)
+    val bands = (for {
+      cx <- cx0 to cx1
+      cy <- cy0 to cy1
+    } yield {
+      val base = morton(cx, cy, level) << (2 * drop)
+      (base, base + span - 1)
+    }).sortBy(_._1)
+    // merge adjacent/contiguous bands so the pushed filter stays narrow
+    bands.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (l, h)) if l <= hi + 1 => (lo, math.max(hi, h)) :: rest
+      case (acc, b) => b :: acc
+    }.reverse
+  }
+
+  /** The two-phase bbox read over a [[writeZOrdered]] layout: coarse
+    * Morton-range prune (pushes to the parquet scan's row-group stats)
+    * then exact coordinate refine. Row-for-row equal to the plain bbox
+    * filter over the full table — the ranges only change what gets READ.
+    */
+  def readBox(spark: SparkSession, path: String, xCol: String, yCol: String,
+      x0: Double, x1: Double, y0: Double, y1: Double,
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double,
+      bits: Int = 16, level: Int = 8, keyCol: String = "zkey"): DataFrame = {
+    def q(v: Double, lo: Double, hi: Double): Long = {
+      val cells = (1L << bits) - 1
+      val width = (hi - lo) / (1L << bits).toDouble
+      math.min(math.max(math.floor((v - lo) / width).toLong, 0L), cells)
+    }
+    val ranges = zRangesForBox(q(x0, xmin, xmax), q(x1, xmin, xmax),
+      q(y0, ymin, ymax), q(y1, ymin, ymax), bits, level)
+    val prune = ranges.map { case (lo, hi) => col(keyCol).between(lo, hi) }
+      .reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(prune)
+      .filter(col(xCol) >= x0 && col(xCol) <= x1 &&
+        col(yCol) >= y0 && col(yCol) <= y1)
+  }
+}

@@ -186,6 +186,40 @@ object ExtraPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // Morton (Z-order) key — the at-rest spatial clustering key
+    // (ZOrder.writeZOrdered / readBox): pure bit-interleave algebra the
+    // oracle recomputes independently; range-prune equivalence is pinned
+    // in ZOrderSpec
+    "q201_zorder_key" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 1024).cast("long").as("qx"),
+        (col("user_id") % 1024).cast("long").as("qy"))
+      pts.select(col("event_id"),
+          graft.ops.ZOrder.interleave(col("qx"), col("qy"), 10).as("zkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // order-statistic twin of q168: 3x3 MEDIAN over the same dense grid
+    // (odd window -> the median is an exact input element, no float sums)
+    "q202_halo_median" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(64L * 64)
+        .select(lit(0).as("c"), (col("id") / 64).cast("int").as("y"),
+          (col("id") % 64).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 16)
+      val filtered = RasterOps.medianFilterBox(tiles, depth = 1, tileSize = 16,
+        boundary = RasterOps.Boundary.Reflect)
+      RasterOps.tilesToPixels(filtered, tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
     // rasterize_bins (rasterize_bins.py:31-237): grid-binned obs -> pixels
     "q39_rasterize_bins" -> ((s, d) => {
       val obs = Tables.orders(s, d).select(
@@ -435,6 +469,37 @@ object ExtraPack extends QueryPack {
         |  SELECT dy, dx
         |  FROM (SELECT unnest(range(-1, 2)) AS dy), (SELECT unnest(range(-1, 2)) AS dx))
         |SELECT d.y, d.x, SUM(n.v) / 9.0 AS value
+        |FROM dense d
+        |JOIN offs o ON TRUE
+        |JOIN dense n
+        |  ON n.y = LEAST(GREATEST(d.y + o.dy, 0), 63)
+        | AND n.x = LEAST(GREATEST(d.x + o.dx, 0), 63)
+        |GROUP BY d.y, d.x
+        |ORDER BY d.y, d.x""".stripMargin,
+    // independent bit-interleave recomputation of the Morton key
+    "q201_zorder_key" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    ((((event_id % 1024) >> i) & 1) << (2 * i)) +
+        |    ((((user_id % 1024) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+        |FROM events ORDER BY event_id""".stripMargin,
+    // 3x3 median with symmetric (clamp-at-depth-1) borders; 9-element
+    // window -> median is an exact element, no interpolation
+    "q202_halo_median" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 64 AS INT) AS y, CAST(i % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x, COALESCE(px.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |offs AS (
+        |  SELECT dy, dx
+        |  FROM (SELECT unnest(range(-1, 2)) AS dy), (SELECT unnest(range(-1, 2)) AS dx))
+        |SELECT d.y, d.x, MEDIAN(n.v) AS value
         |FROM dense d
         |JOIN offs o ON TRUE
         |JOIN dense n

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interleave column == driver-side morton on a value sweep") {
+    val rows = (0 until 500).map(i => (i.toLong, (i * 7 % 64).toLong, (i * 13 % 64).toLong))
+    val got = rows.toDF("id", "qx", "qy")
+      .select(col("id"), ZOrder.interleave(col("qx"), col("qy"), 6).as("z"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, qx, qy) =>
+      assert(got(id) == ZOrder.morton(qx, qy, 6), s"id=$id qx=$qx qy=$qy")
+    }
+    // the curve is a bijection on the grid
+    assert(rows.map { case (_, qx, qy) => ZOrder.morton(qx, qy, 6) }.distinct.size ==
+      rows.map(r => (r._2, r._3)).distinct.size)
+  }
+
+  test("zRangesForBox: sorted, disjoint, merged, and covering") {
+    val bits = 8
+    val (qx0, qx1, qy0, qy1) = (37L, 90L, 12L, 55L)
+    val ranges = ZOrder.zRangesForBox(qx0, qx1, qy0, qy1, bits, level = 5)
+    // sorted + disjoint + no two adjacent ranges left unmerged
+    ranges.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, s"unmerged/overlap: $ranges")
+      case _ =>
+    }
+    // covering: every cell in the box maps into some range
+    for (qx <- qx0 to qx1; qy <- qy0 to qy1) {
+      val k = ZOrder.morton(qx, qy, bits)
+      assert(ranges.exists { case (lo, hi) => k >= lo && k <= hi },
+        s"cell ($qx,$qy) key $k not covered")
+    }
+    // cell-count guardrail is loud
+    intercept[IllegalArgumentException] {
+      ZOrder.zRangesForBox(0, 255, 0, 255, bits, level = 8, maxCells = 16)
+    }
+  }
+
+  test("writeZOrdered + readBox == plain bbox filter; prune pushes to the scan") {
+    val pts = (0 until 4000).map { i =>
+      (i.toLong, (i * 131 % 997).toDouble / 10.0, (i * 379 % 991).toDouble / 10.0)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    ZOrder.writeZOrdered(pts, "x", "y", dir, 0.0, 100.0, 0.0, 100.0,
+      bits = 10, numPartitions = Some(4))
+    val got = ZOrder.readBox(spark, dir, "x", "y", 20.0, 40.0, 30.0, 60.0,
+      0.0, 100.0, 0.0, 100.0, bits = 10, level = 4)
+    val want = pts.filter(col("x") >= 20.0 && col("x") <= 40.0 &&
+      col("y") >= 30.0 && col("y") <= 60.0)
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got.select("id", "x", "y").as[(Long, Double, Double)].collect().toSet == want)
+    assert(want.nonEmpty, "fixture box must be non-empty")
+    // the Morton range predicate must reach the parquet scan as a pushed
+    // filter — that is the whole point of the layout
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("zkey"),
+      s"zkey ranges not pushed to the scan:\n$plan")
+  }
+}
