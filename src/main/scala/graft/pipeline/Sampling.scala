@@ -36,6 +36,30 @@ object Sampling {
     df.filter(keyHash32(col(keyCol), salt) < lit(cut))
   }
 
+  /** Per-ROW weighted Bernoulli sample: keep a row iff
+    * hash32(key) < floor(min(rate * weight, 1) * 2^32) — the
+    * quality-weighted subsampling every curation pipeline runs (keep
+    * high-quality documents at a higher rate without a shuffle or a
+    * per-stratum pass; cf. CCNet/Gopher quality buckets, but continuous).
+    * Like [[hashSample]] it is a pure deterministic filter — pushdown
+    * friendly, stateless, independent draws per `salt` — and the per-row
+    * cut lands on the 2^32 integer grid via one IEEE multiply + floor,
+    * so any engine reproduces membership bit-for-bit. Weights < 0 or
+    * NULL drop the row (a NULL weight is a data bug to surface upstream,
+    * not a coin to flip); weights above 1/rate cap at certain keep.
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+      rate: Double, salt: String = "wq"): DataFrame = {
+    require(rate >= 0.0, s"weightedHashSample: rate must be >= 0, got $rate")
+    val w = col(weightCol).cast("double")
+    // least() SKIPS nulls (least(null, 1.0) = 1.0), which would silently
+    // keep every null-weight row at full rate — gate on non-null first so
+    // a null weight yields a null cut and the filter drops the row
+    val cut = when(w.isNotNull,
+      floor(least(w * rate, lit(1.0)) * 4294967296.0))
+    df.filter(keyHash32(col(keyCol), salt) < cut)
+  }
+
   /** Per-stratum quota: the `n` rows of each stratum with the smallest key
     * hashes (hash order = a deterministic shuffle, so this is a reproducible
     * uniform-without-replacement draw per stratum). One shuffle by stratum;

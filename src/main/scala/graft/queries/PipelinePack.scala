@@ -553,6 +553,17 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // per-row weighted Bernoulli: keep rate scales with a quality-ish
+    // weight ((doc_id % 100)/100 here), membership = one md5 compare on
+    // the 2^32 grid — deterministic, shuffle-free, engine-exact
+    "q203_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("w", (col("doc_id") % 100) / 100.0)
+      Sampling.weightedHashSample(docs, "doc_id", "w", rate = 0.8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language deterministic quota (hash-ordered top-n per stratum)
     "q95_stratified_sample" -> ((s, d) => {
       Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", 20)
@@ -1406,6 +1417,11 @@ object PipelinePack extends QueryPack {
       "q94_hash_sample" ->
         s"""SELECT doc_id, lang, n_chars FROM documents
            |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}
+           |ORDER BY doc_id""".stripMargin,
+      "q203_weighted_sample" ->
+        s"""SELECT doc_id, lang, n_chars FROM documents
+           |WHERE ${hex32Sql("'wq:' || CAST(doc_id AS VARCHAR)")} <
+           |  FLOOR(LEAST(((doc_id % 100) / 100.0) * 0.8, 1.0) * 4294967296.0)
            |ORDER BY doc_id""".stripMargin,
       "q95_stratified_sample" ->
         s"""SELECT doc_id, lang FROM (

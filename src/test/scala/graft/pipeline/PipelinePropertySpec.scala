@@ -150,4 +150,30 @@ class PipelinePropertySpec extends SparkTestBase {
       assert(Sampling.hashSample(df, "doc_id", 0.0).count() == 0)
     }
   }
+
+  test("weightedHashSample laws: rate monotone, weight-1 == hashSample, bad weights drop") {
+    val ids = (0L until 300L)
+    val df = ids.toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 10) / 10.0)
+    val lo = Sampling.weightedHashSample(df, "doc_id", "w", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.weightedHashSample(df, "doc_id", "w", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "higher rate must be a superset (same hash draw)")
+    // weight 0 rows can never be kept
+    assert(!hi.exists(_ % 10 == 0), "zero-weight rows must be dropped")
+    // constant weight 1 at rate f == uniform hashSample at f (same salt)
+    val ones = ids.toDF("doc_id").withColumn("w", lit(1.0))
+    val viaW = Sampling.weightedHashSample(ones, "doc_id", "w", 0.4, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    val viaU = Sampling.hashSample(ids.toDF("doc_id"), "doc_id", 0.4, salt = "s")
+      .as[Long].collect().toSet
+    assert(viaW == viaU)
+    // NULL / negative weights drop the row instead of sampling on garbage
+    val dirty = Seq((1L, Some(-0.5)), (2L, None), (3L, Some(2.0)))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedHashSample(dirty, "doc_id", "w", 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L), s"got $kept")
+  }
 }
