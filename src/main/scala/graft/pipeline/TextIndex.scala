@@ -82,4 +82,49 @@ object TextIndex {
       .groupBy(col(idCol), col(corpusOutCol))
       .agg(countDistinct(col("band")).as("n_bands"))
   }
+
+  /** BM25 ranking of the corpus against a bag of query terms (Robertson/
+    * Sparck Jones idf with the Lucene +1 floor; k1/b the standard knobs) —
+    * the lexical-retrieval scorer that pairs with the ANN path for hybrid
+    * search over a training corpus.
+    *
+    * Scale shape: the corpus explodes to words but is FILTERED TO THE
+    * QUERY TERMS inside the same stage, so the (id, term) aggregation
+    * shuffles |query| terms' worth of rows, not the corpus vocabulary;
+    * document frequencies (|query| rows) and the 1-row (N, avgdl) stats
+    * broadcast back. Top-k plans as TakeOrderedAndProject — no global
+    * sort. Determinism: idf and per-term scores snap to the 1e-6 grid,
+    * the doc score sums them in exact decimal, ties break on id.
+    * Output: (idCol, score, n_terms_hit), the k best documents.
+    */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank: need at least one query term")
+    require(k >= 1, s"bm25Rank: k must be >= 1, got $k")
+    val base = docs.select(col(idCol), Dedup.words(col(textCol)).as("__w"))
+      .withColumn("__dl", size(col("__w")).cast("double"))
+    // 1-row corpus stats (N, avgdl) — the usual broadcast planning fact;
+    // avgdl goes exact-decimal-sum -> one double division
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl").cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("__avgdl"))
+    val tf = base.select(col(idCol), col("__dl"), explode(col("__w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", TextAnalysis.round6(log(
+        (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)))
+      .withColumn("__s", TextAnalysis.round6(
+        col("__idf") * (col("__tf") * (k1 + 1.0)) /
+          (col("__tf") + (lit(1.0 - b) + col("__dl") * b / col("__avgdl")) * k1)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s").cast("decimal(28,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

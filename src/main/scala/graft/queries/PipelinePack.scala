@@ -564,6 +564,16 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 lexical retrieval over the corpus for a 3-term query — the
+    // hybrid-search twin of the ANN gates; corpus explodes to words but
+    // filters to the query terms in-stage, so the shuffle carries only
+    // query-term rows
+    "q204_bm25" -> ((s, d) => {
+      TextIndex.bm25Rank(Tables.documents(s, d),
+        Seq("spark", "join", "vector"), k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // per-language deterministic quota (hash-ordered top-n per stratum)
     "q95_stratified_sample" -> ((s, d) => {
       Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", 20)
@@ -1418,6 +1428,28 @@ object PipelinePack extends QueryPack {
         s"""SELECT doc_id, lang, n_chars FROM documents
            |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}
            |ORDER BY doc_id""".stripMargin,
+      "q204_bm25" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        val idf = r6("ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)")
+        s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |stats AS (SELECT COUNT(*) AS n,
+           |  CAST(SUM(CAST(len(w) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+           |  FROM w),
+           |tf AS (
+           |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w)
+           |  WHERE term IN ('spark', 'join', 'vector')
+           |  GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |s AS (
+           |  SELECT tf.doc_id,
+           |    ${r6(s"($idf) * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))")} AS s
+           |  FROM tf JOIN dfreq USING (term), stats),
+           |sc AS (SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score,
+           |       COUNT(*) AS n_terms_hit FROM s GROUP BY 1)
+           |SELECT doc_id, score, n_terms_hit FROM sc
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      },
       "q203_weighted_sample" ->
         s"""SELECT doc_id, lang, n_chars FROM documents
            |WHERE ${hex32Sql("'wq:' || CAST(doc_id AS VARCHAR)")} <

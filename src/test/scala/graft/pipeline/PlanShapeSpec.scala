@@ -206,6 +206,24 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("bm25Rank: query-term filter precedes the shuffle; top-k is TakeOrdered") {
+    val docs = (1 to 50).map(i => (i.toLong, s"spark join filter scan number $i"))
+      .toDF("doc_id", "text")
+    val out = TextIndex.bm25Rank(docs, Seq("spark", "join"), k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the 1-row (N, avgdl) stats frame rides the usual broadcast cross
+    // join (same pattern as quantizeInt8) — a CartesianProduct over DATA
+    // is still forbidden
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, not a global sort:\n$plan")
+    // the stats row and doc frequencies broadcast back to the tf rows
+    assert(plan.contains("BroadcastExchange"), s"stats/df must broadcast:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) == 2L),
+      "every fixture doc contains both query terms")
+  }
+
   test("quantizeInt8: the range row broadcasts; no window, no wide shuffle") {
     val out = Similarity.quantizeInt8(emb)
     val plan = out.queryExecution.executedPlan.toString
