@@ -100,6 +100,35 @@ object Similarity {
           coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
+  /** Reciprocal-rank FUSION (Cormack/Clarke/Buettcher 2009): fuse any
+    * number of per-query rankings into one — fused(d) = Σ_r 1/(k0 +
+    * rank_r(d)) — the standard way hybrid search combines a lexical
+    * ranking ([[graft.pipeline.TextIndex.bm25Rank]]) with a vector one
+    * ([[ivfTopK]]/[[lshTopK]]/[[bruteForceTopK]]) without calibrating
+    * their incomparable scores. Rank-based, so it needs only each
+    * ranker's (query, id, rank) rows — at most |queries| x k per ranker:
+    * a union + one keyed aggregation + a per-query top-k window over
+    * <= rankers x k rows per query. Terms snap to the 1e-6 grid and sum
+    * in exact decimal; ties break on id. Output: (queryIdCol, idCol,
+    * rrf_score, n_rankers, rank <= k).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 1 && k0 >= 0, s"rrfFuse: bad k=$k / k0=$k0")
+    val terms = rankings.map(_.select(col(queryIdCol), col(idCol),
+      TextAnalysis.round6(lit(1.0) / (col(rankCol) + k0)).as("__t")))
+    val scored = terms.reduce(_.unionAll(_))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__t").cast("decimal(28,6)")).cast("double").as("rrf_score"),
+        count(lit(1)).as("n_rankers"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("rrf_score").desc, col(idCol))
+    scored.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component: md5-seeded value in
     * [-0.5, 0.5) for (plane, dimension). Computed ON THE DRIVER — the weights
     * are row-independent constants, so hashing them per input row (the naive

@@ -382,6 +382,19 @@ object PipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hybrid-search fusion: RRF over two rankers (bucket-gated LSH +
+    // exact brute force) — rank-only inputs, so incomparable scores fuse
+    // without calibration; ties on id, terms on the 1e-6 grid
+    "q205_hybrid_rrf" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val lsh = Similarity.lshTopK(corpus, queries, k = 5, numPlanes = 8)
+      val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      Similarity.rrfFuse(Seq(lsh, bf), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF query path: probe the 2 nearest cells per query, search only
     // their inverted lists (equi-join on cell id — no product)
     "q101_ivf_topk" -> ((s, d) => {
@@ -1123,6 +1136,46 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // RRF fusion of the q47 LSH ranking and the q46 brute-force ranking:
+      // per-ranker term 1/(rank+60) snapped to 1e-6, exact-decimal sum,
+      // re-rank by fused score with id ties
+      "q205_hybrid_rrf" ->
+        s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),
+           |lscored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q JOIN c ON q.bucket = c.bucket),
+           |lsh AS (
+           |  SELECT query_id, vec_id, rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM lscored) WHERE rank <= 5),
+           |bscored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q, c),
+           |bf AS (
+           |  SELECT query_id, vec_id, rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM bscored) WHERE rank <= 5),
+           |terms AS (
+           |  SELECT query_id, vec_id, FLOOR(1.0 / (rank + 60) * 1e6 + 0.5) / 1e6 AS t FROM lsh
+           |  UNION ALL
+           |  SELECT query_id, vec_id, FLOOR(1.0 / (rank + 60) * 1e6 + 0.5) / 1e6 AS t FROM bf),
+           |sc AS (
+           |  SELECT query_id, vec_id,
+           |    CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS rrf_score,
+           |    COUNT(*) AS n_rankers
+           |  FROM terms GROUP BY 1, 2)
+           |SELECT query_id, vec_id, rrf_score, n_rankers, CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, vec_id) AS rank
+           |  FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       // IVF top-5 (q101's CTEs) intersected with brute-force top-5 (q46's
       // scoring) — recall@5 per query; both rankings deterministic
       // (1e-6-rounded cosine, id-ascending ties) so the intersection is too
