@@ -44,12 +44,13 @@ object DocStream {
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 3, numHashes: Int = 12, bands: Int = 4,
       maxBucketSize: Option[Int] = Some(Dedup.DefaultMaxBucketSize),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val reader = spark.readStream.schema(schemaDDL)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
-    src.writeStream
+    val writer = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         TextIndex.probe(index, batch, textCol, idCol,
             k = k, numHashes = numHashes, bands = bands,
@@ -58,6 +59,12 @@ object DocStream {
           .write.mode("append").parquet(outDir)
       }
       .trigger(Trigger.AvailableNow())
+    // a real deployment passes checkpointDir: the file-source log +
+    // committed batch ids live there, so a RESTART resumes exactly after
+    // the last committed batch instead of re-screening the whole source
+    // directory (DocStreamSpec pins restart-resume). Omitted = Spark's
+    // session temp checkpoint (test convenience; not restartable).
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
 }

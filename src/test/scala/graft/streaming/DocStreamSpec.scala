@@ -49,4 +49,54 @@ class DocStreamSpec extends SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("checkpointed probe RESTARTS after the last committed batch (no re-screening)") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_docstream_ckpt_")
+    val table = "graft_band_index_ckpt"
+    try {
+      TextIndex.writeBandIndex(corpus, table, tmp.resolve("idx").toString)
+      val index = TextIndex.readBandIndex(spark, table)
+      val srcDir = tmp.resolve("src").toString
+      val outDir = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+
+      def stage(pred: org.apache.spark.sql.Column): Unit =
+        corpus.filter(pred).coalesce(1).write.mode("append").parquet(srcDir)
+      def runOnce(): Unit = {
+        val q = DocStream.streamingNearDupProbe(spark, srcDir, schemaDDL,
+          index, outDir, checkpointDir = Some(ckpt))
+        try assert(q.awaitTermination(120000), "probe run did not terminate")
+        finally q.stop()
+      }
+
+      // run 1 drains only the first slice; run 2 must resume AFTER it —
+      // the first slice's docs are never screened again
+      stage(col("doc_id") % 10 === 0)
+      runOnce()
+      val run1 = spark.read.parquet(outDir)
+        .agg(max("batch_id"), count(lit(1))).head()
+      stage(col("doc_id") % 10 === 5)
+      runOnce()
+      val all = spark.read.parquet(outDir)
+      // resumed batch ids continue past run 1's
+      assert(all.agg(max("batch_id")).head().getLong(0) > run1.getLong(0))
+      // every (doc, corpus, batch) row exactly once — nothing re-emitted
+      assert(all.count() ==
+        all.select("doc_id", "corpus_id", "batch_id").distinct().count())
+      // union across the restart equals the one-shot probe of everything
+      val oneShot = TextIndex.probe(index,
+        corpus.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamed = all.select("doc_id", "corpus_id", "n_bands")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == oneShot && oneShot.nonEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
