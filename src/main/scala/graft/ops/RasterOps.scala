@@ -56,10 +56,18 @@ object RasterOps {
     val txC = (col("x") / tileSize).cast("int")
     val hC = least(lit(tileSize), lit(heightPx) - tyC * tileSize).cast("int")
     val wC = least(lit(tileSize), lit(widthPx) - txC * tileSize).cast("int")
+    // out-of-range coordinates would otherwise yield non-positive tile
+    // dims and negative positions — corrupt tiles instead of an error
+    val inRange = col("y") >= 0 && col("y") < lit(heightPx) &&
+      col("x") >= 0 && col("x") < lit(widthPx)
     pixels
       .withColumn("tile_y", tyC).withColumn("tile_x", txC)
       .withColumn("h", hC).withColumn("w", wC)
-      .withColumn("__pos", ((col("y") % tileSize) * col("w") + col("x") % tileSize).cast("int"))
+      .withColumn("__pos", when(inRange,
+          ((col("y") % tileSize) * col("w") + col("x") % tileSize).cast("int"))
+        .otherwise(raise_error(format_string(
+          "pixelsToTilesExact: pixel (%s,%s) outside declared %sx%s raster",
+          col("y"), col("x"), lit(heightPx), lit(widthPx))).cast("int")))
       .groupBy(c.as("c"), col("tile_y"), col("tile_x"), col("h"), col("w"))
       .agg(map_from_arrays(collect_list(col("__pos")),
         collect_list(col("value"))).as("__m"))
@@ -126,10 +134,11 @@ object RasterOps {
     *    "symmetric": the border pixel repeats), so an edge-tile kernel
     *    sees the same neighborhood structure as an interior one;
     *  - [[Boundary.Constant]]: a synthetic neighbor filled with `v`.
-    * Synthetic neighbors take the center tile's (h, w); on the uniform
-    * interior grid that is exactly the real neighbor shape. Any missing
-    * neighbor counts as "outside the raster" — sparse stores that omit
-    * all-zero interior tiles should use `Constant(0)` or `NoPad`.
+    * Synthetic neighbors are built at the source tile's dims and then
+    * clipped to the same depth-wide margin slab a real neighbor would
+    * have shipped. Any missing neighbor counts as "outside the raster" —
+    * sparse stores that omit all-zero interior tiles should use
+    * `Constant(0)` or `NoPad`.
     */
   sealed trait Boundary
   object Boundary {
@@ -138,43 +147,102 @@ object RasterOps {
     final case class Constant(v: Double) extends Boundary
   }
 
-  /** One neighbor tile as the halo kernel sees it: the NEIGHBOR'S OWN
-    * dims plus its row-major payload. Edge tiles of a raster whose shape
-    * is not a chunk multiple are PARTIAL (`NgffRaster` emits
-    * h = min(chunk, shape - offset)), so a neighbor's stride can differ
-    * from the center tile's — kernels must index `px(r * w + c)` with
-    * THIS struct's `w`/`h`, never the center's.
+  /** One neighbor slab as the halo kernel sees it: the SHIPPED payload's
+    * OWN dims plus its row-major pixels. Two things shape a slab:
+    * (1) edge tiles of a raster whose shape is not a chunk multiple are
+    * PARTIAL (`NgffRaster` emits h = min(chunk, shape - offset)); (2) the
+    * exchange ships only the `depth`-wide margin strip facing the
+    * receiver (a depth x depth block for corner neighbors). Kernels must
+    * index `px(r * w + c)` with THIS struct's `w`/`h`, never the
+    * center's, and must not reach more than `depth` pixels into a
+    * neighbor (the rest was never shipped).
     */
   final case class HaloTile(h: Int, w: Int, px: Array[Double])
 
-  /** Neighborhood kernel with halo: assembles each tile with its 8
-    * neighbors' payloads (`map_overlap(depth)`, map.py:110-126) via an
-    * adjacency self-join, then hands `(h, w, center,
-    * Map[(dy,dx) -> HaloTile])` to `fn` per tile. Whole neighbor tiles
-    * ship (not depth-clipped), so any kernel depth up to the tile size is
-    * supported by the same exchange. `boundary` fills in missing
-    * neighbors (raster edges) before `fn` runs — see [[Boundary]].
+  private val haloOffsets =
+    Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+  /** The halo exchange: each tile, exploded into its 8 neighbor copies,
+    * keyed by the RECEIVING tile and clipped to the `depth`-wide margin
+    * facing that receiver. A copy to the tile below ships the sender's
+    * bottom `depth` rows; to the right, the rightmost `depth` columns; a
+    * diagonal copy ships a depth x depth corner block — so the exchange
+    * moves ~(4*depth*TS + 4*depth^2) pixels per tile instead of 8 full
+    * tiles (at depth 1, TS 64: ~1.06x the raster bytes vs the 9x
+    * whole-tile shipping would cost). This mirrors dask `map_overlap`'s
+    * ghost cells (map.py:110-126), which ships margins, not chunks.
+    * Package-visible so specs can pin the shipped payload sizes.
     */
-  def mapRasterWithHalo(tiles: DataFrame, tileSize: Int = TS,
-      boundary: Boundary = Boundary.NoPad)(
-      fn: (Int, Int, Array[Double], Map[(Int, Int), HaloTile]) => Array[Double]): DataFrame = {
-    import org.apache.spark.sql.Row
-    val spark = tiles.sparkSession
-    import spark.implicits._
-    // neighbor copies keyed by the receiving tile, carrying the SENDER'S
-    // dims: partial edge tiles have their own (h, w) and the kernel must
-    // index them with their own stride
-    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
-    val neighborCols = offsets.map { case (dy, dx) =>
+  private[graft] def haloSent(tiles: DataFrame, depth: Int): DataFrame = {
+    val neighborCols = haloOffsets.map { case (dy, dx) =>
+      // slab the sender ships toward a receiver at (dy, dx): the margin
+      // facing it, at most `depth` wide on each clipped axis
+      val sh = if (dy == 0) col("h") else least(lit(depth), col("h"))
+      val sw = if (dx == 0) col("w") else least(lit(depth), col("w"))
+      val r0 = if (dy == 1) col("h") - sh else lit(0)
+      val c0 = if (dx == 1) col("w") - sw else lit(0)
+      val pay =
+        if (dy == 0 && dx == 0) col("px")
+        else filter(col("px"), (_, i) => {
+          val r = floor(i / col("w")).cast("int")
+          val cc = i % col("w")
+          val rowOk = if (dy == 0) lit(true) else r >= r0 && r < r0 + sh
+          val colOk = if (dx == 0) lit(true) else cc >= c0 && cc < c0 + sw
+          rowOk && colOk
+        })
       struct(lit(dy).as("dy"), lit(dx).as("dx"),
-        (col("tile_y") + dy).as("to_y"), (col("tile_x") + dx).as("to_x"))
+        (col("tile_y") + dy).as("to_y"), (col("tile_x") + dx).as("to_x"),
+        sh.cast("int").as("n_h"), sw.cast("int").as("n_w"), pay.as("n_px"))
     }
-    val sent = tiles.select(col("scale"), col("c"), col("px").as("n_px"),
-        col("h").as("n_h"), col("w").as("n_w"),
-        explode(array(neighborCols: _*)).as("o"))
-      .select(col("scale"), col("c"), col("n_px"), col("n_h"), col("n_w"),
+    tiles.select(col("scale"), col("c"), explode(array(neighborCols: _*)).as("o"))
+      .select(col("scale"), col("c"), col("o.n_px").as("n_px"),
+        col("o.n_h").as("n_h"), col("o.n_w").as("n_w"),
         col("o.dy").as("dy"), col("o.dx").as("dx"),
         col("o.to_y").as("tile_y"), col("o.to_x").as("tile_x"))
+  }
+
+  /** Clip a (possibly synthetic) neighbor tile to the margin the receiver
+    * may legally read from key (kdy, kdx): the slab ADJACENT to the
+    * center — bottom rows of an above-neighbor, top rows of a
+    * below-neighbor, etc. Keeps synthetic boundary tiles byte-identical
+    * to what a real neighbor would have shipped.
+    */
+  private def clipHalo(t: HaloTile, kdy: Int, kdx: Int, depth: Int): HaloTile = {
+    val sh = if (kdy == 0) t.h else math.min(depth, t.h)
+    val sw = if (kdx == 0) t.w else math.min(depth, t.w)
+    if (sh == t.h && sw == t.w) t
+    else {
+      val r0 = if (kdy == -1) t.h - sh else 0
+      val c0 = if (kdx == -1) t.w - sw else 0
+      HaloTile(sh, sw, Array.tabulate(sh * sw) { i =>
+        t.px((r0 + i / sw) * t.w + (c0 + i % sw))
+      })
+    }
+  }
+
+  /** Neighborhood kernel with halo: assembles each tile with its 8
+    * neighbors' margin slabs (`map_overlap(depth)`, map.py:110-126) via
+    * an adjacency self-join, then hands `(h, w, center,
+    * Map[(dy,dx) -> HaloTile])` to `fn` per tile. Only the `depth`-wide
+    * strip facing each receiver ships (see [[haloSent]]) — pass the
+    * kernel's true depth; the default `depth = tileSize` ships whole
+    * tiles, supporting any kernel depth up to the tile size at ~9x the
+    * shuffle bytes. `boundary` fills in missing neighbors (raster edges)
+    * before `fn` runs — see [[Boundary]].
+    */
+  def mapRasterWithHalo(tiles: DataFrame, tileSize: Int = TS,
+      boundary: Boundary = Boundary.NoPad, depth: Int = -1)(
+      fn: (Int, Int, Array[Double], Map[(Int, Int), HaloTile]) => Array[Double]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val d = if (depth <= 0) tileSize else depth
+    require(d <= tileSize,
+      s"mapRasterWithHalo: depth $d exceeds tileSize $tileSize — pixels " +
+        "beyond the 8-neighbor ring are never shipped; re-tile first")
+    // neighbor margin slabs keyed by the receiving tile, carrying the
+    // SLAB'S dims: partial edge tiles and depth clipping both mean a
+    // neighbor's stride can differ from the center tile's
+    val sent = haloSent(tiles, d)
     val joined = tiles.join(sent, Seq("scale", "c", "tile_y", "tile_x"), "left")
       .groupBy(col("scale"), col("c"), col("tile_y"), col("tile_x"),
         col("h"), col("w"), col("px"))
@@ -192,10 +260,9 @@ object RasterOps {
           case Boundary.NoPad => real
           case b =>
             val synth = for {
-              off <- Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-                (1, -1), (1, 0), (1, 1))
+              off <- haloOffsets
               if !real.contains(off)
-            } yield off -> (b match {
+            } yield off -> clipHalo(b match {
               case Boundary.Constant(v) => HaloTile(h, w, Array.fill(h * w)(v))
               case _ =>
                 // Reflect = numpy "symmetric" padding of the GLOBAL raster.
@@ -221,7 +288,7 @@ object RasterOps {
                   val sc = if (mirX) src.w - 1 - cc else cc
                   src.px(sr * src.w + sc)
                 })
-            })
+            }, off._1, off._2, d)
             real ++ synth
         }
         (scale, c, ty, tx, h, w, fn(h, w, px, m))
@@ -239,8 +306,8 @@ object RasterOps {
     *
     * Scale shape: one tile->neighbor equi-join (keyed by tile coords) and
     * a per-tile kernel — no corpus-wide shuffle beyond the halo exchange,
-    * which ships each tile at most 8 times (the same cost dask's
-    * map_overlap pays in ghost cells).
+    * which ships only the depth-1 margin strips (~(1 + 2/TS)^2 ≈ 1.03x
+    * the raster bytes at TS 64 — dask map_overlap's ghost-cell cost).
     */
   def meanBlur3x3(tiles: DataFrame, tileSize: Int = TS,
       boundary: Boundary = Boundary.Reflect): DataFrame =
@@ -248,8 +315,9 @@ object RasterOps {
 
   /** (2*depth+1)-square mean blur — the arbitrary-depth `map_overlap`
     * consumer (the reference's map.py:110-126 takes any depth, not just
-    * 1). Whole neighbor tiles already ship in the halo exchange, so depth
-    * only changes the kernel arithmetic, not the shuffle. Neighbor pixels
+    * 1). The halo exchange ships only the `depth`-wide margin facing each
+    * receiver, so the shuffle scales with depth*perimeter, not tile
+    * count x tile area ([[haloSent]]). Neighbor pixels
     * are indexed with EACH NEIGHBOR'S OWN stride ([[HaloTile]]), so
     * partial edge tiles (raster shape not a chunk multiple) read
     * correctly; a tile thinner than `depth` would need pixels beyond the
@@ -260,7 +328,7 @@ object RasterOps {
     require(depth >= 1 && depth <= tileSize,
       s"meanBlurBox: depth must be in [1, tileSize=$tileSize], got $depth")
     val n = (2 * depth + 1) * (2 * depth + 1)
-    mapRasterWithHalo(tiles, tileSize, boundary) { (h, w, px, halo) =>
+    mapRasterWithHalo(tiles, tileSize, boundary, depth) { (h, w, px, halo) =>
       val at = haloReader(h, w, px, halo, depth, "meanBlurBox")
       Array.tabulate(h * w) { i =>
         val r = i / w; val c = i % w
@@ -287,7 +355,7 @@ object RasterOps {
     require(depth >= 1 && depth <= tileSize,
       s"medianFilterBox: depth must be in [1, tileSize=$tileSize], got $depth")
     val n = (2 * depth + 1) * (2 * depth + 1)
-    mapRasterWithHalo(tiles, tileSize, boundary) { (h, w, px, halo) =>
+    mapRasterWithHalo(tiles, tileSize, boundary, depth) { (h, w, px, halo) =>
       val at = haloReader(h, w, px, halo, depth, "medianFilterBox")
       val buf = new Array[Double](n)
       Array.tabulate(h * w) { i =>

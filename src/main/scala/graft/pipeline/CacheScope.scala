@@ -141,6 +141,17 @@ private[graft] object CacheScope {
   /** Pending-scope count for a session (spec observability). */
   private[graft] def pendingCount(spark: SparkSession): Int =
     Option(scopers.get(spark)).map(_.pending.size).getOrElse(0)
+
+  /** Release EVERY pending scope for `spark` immediately. Test hygiene:
+    * suites that only inspect plans still register scopes (persist() is
+    * eager in the CacheManager even if nothing materializes), and a later
+    * suite asserting an empty cache would otherwise inherit them.
+    */
+  private[graft] def drainAll(spark: SparkSession): Unit =
+    Option(scopers.get(spark)).foreach { sc =>
+      var p = sc.pending.poll()
+      while (p != null) { p.release(); p = sc.pending.poll() }
+    }
 }
 
 /** Public cache-release handle for composed pipeline results

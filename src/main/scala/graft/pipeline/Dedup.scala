@@ -533,9 +533,12 @@ object Dedup {
     * 64 buckets total, EVER — so bucket size grows O(n) and candidate
     * pairs O(n²/64) no matter how the corpus is distributed; worse, past
     * the hot-bucket cap ALL 64 buckets would drop and recall silently
-    * collapses to zero. The input is counted and refused above `maxDocs`
-    * (one cheap id-only scan — this is the didactic form, not a scale
-    * path). Corpus-scale near-dup belongs to [[simhashPairs64]] /
+    * collapses to zero. The guard RUNS AN EAGER ACTION at call time: an
+    * id-only `limit(maxDocs + 1).count()` — bounded at maxDocs+1 rows,
+    * early-exits the scan — and THROWS above `maxDocs` (this is the
+    * didactic form, not a scale path; callers that held a lazy frame
+    * before round 9 now pay one bounded scan and may see the failure at
+    * construction). Corpus-scale near-dup belongs to [[simhashPairs64]] /
     * [[fingerprintPairs64]], whose four 16-bit bands keep buckets tiny at
     * any n. Output: (id_a < id_b, hamming).
     */
@@ -545,9 +548,11 @@ object Dedup {
       maxDocs: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashPairs: 4-band nibble LSH guarantees recall only for hamming <= 3, got $maxHamming")
-    val n = docs.select(col(idCol)).count()
+    // bounded guard: scanning maxDocs+1 rows is enough to prove the
+    // violation — never a full corpus pass just to refuse
+    val n = docs.select(col(idCol)).limit(maxDocs + 1).count()
     require(n <= maxDocs,
-      s"simhashPairs: $n docs exceed maxDocs=$maxDocs. The 16-bit fingerprint " +
+      s"simhashPairs: > $maxDocs docs (guard scan stops at maxDocs+1). The 16-bit fingerprint " +
         "has only 64 band buckets, so candidate pairs grow O(n^2/64) and the " +
         "hot-bucket cap would drop every bucket at scale (zero recall). Use " +
         "simhashPairs64/fingerprintPairs64 (2^16-value bands) for corpus-scale near-dup.")

@@ -83,6 +83,85 @@ object TextIndex {
       .agg(countDistinct(col("band")).as("n_bands"))
   }
 
+  /** Build + persist the BM25 index AT REST: ONE corpus pass producing
+    * (a) the postings table `table` — one row per (term, doc):
+    * (term, idCol, tf, dl) — bucketed+sorted by term, and (b) the 1-row
+    * corpus stats table `table`_stats (n_docs, avgdl). [[bm25Rank]]
+    * re-aggregates (N, avgdl) and per-term df from the full corpus on
+    * EVERY query — fine for one-shot batch scoring, wrong for repeated
+    * retrieval: at 100 TB the corpus tokenization pass must happen once,
+    * at build time (the lexical twin of [[writeBandIndex]] /
+    * [[VectorIndex.writeIndex]]).
+    *
+    * dl is denormalized onto every posting row so the probe touches
+    * nothing but the postings for ITS OWN terms plus the broadcast stats
+    * row: term `IN` pushes to the parquet scan and prunes buckets, df is
+    * a count over those same pruned rows, and no doc-length side table
+    * needs joining. The vocabulary-wide explode+shuffle happens here,
+    * once — exactly what an index build is for.
+    */
+  def writeBm25Index(docs: DataFrame, table: String, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+    val base = docs.select(col(idCol), Dedup.words(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("double"))
+    base.select(col(idCol), col("dl"), explode(col("__w")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/postings")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(table)
+    // stats over ALL docs (empty docs count toward N and avgdl even
+    // though they have no postings) — identical algebra to bm25Rank's
+    base.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("avgdl"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/stats")
+      .format("parquet")
+      .saveAsTable(s"${table}_stats")
+  }
+
+  /** (postings, stats) frames of a stored BM25 index. */
+  def readBm25Index(spark: SparkSession, table: String): (DataFrame, DataFrame) =
+    (spark.table(table), spark.table(s"${table}_stats"))
+
+  /** BM25 top-k against the AT-REST index: identical arithmetic (and so
+    * identical doubles) to [[bm25Rank]], but the corpus is never scanned —
+    * the term `IN` filter pushes into the postings scan (bucket + row-
+    * group pruning on the sorted term column), df re-counts only those
+    * pruned rows, and the 1-row stats table broadcasts. Per query the
+    * work is O(postings of the query's terms), independent of corpus
+    * size. Output: (idCol, score, n_terms_hit), the k best documents.
+    */
+  def bm25RankIndexed(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25RankIndexed: need at least one query term")
+    require(k >= 1, s"bm25RankIndexed: k must be >= 1, got $k")
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", TextAnalysis.round6(log(
+        (col("n_docs") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)))
+      .withColumn("__s", TextAnalysis.round6(
+        col("__idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s").cast("decimal(28,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BM25 ranking of the corpus against a bag of query terms (Robertson/
     * Sparck Jones idf with the Lucene +1 floor; k1/b the standard knobs) —
     * the lexical-retrieval scorer that pairs with the ANN path for hybrid

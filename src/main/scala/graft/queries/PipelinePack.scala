@@ -56,6 +56,79 @@ object PipelinePack extends QueryPack {
        |    md5(array_to_string(list_slice(sig, b.band * 3 + 1, b.band * 3 + 3), '|')) AS band_key
        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
 
+  // BM25 CTE chain for query terms ('spark','join','vector'), k1=1.2
+  // b=0.75: ends at `sc` (doc_id, score, n_terms_hit). Shared verbatim by
+  // q204 (recompute), q206 (at-rest index — the index must be a pure
+  // layout change), and q207 (hybrid fusion).
+  private lazy val bm25Ctes: String = {
+    def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+    val idf = r6("ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)")
+    s"""w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |stats AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(CAST(len(w) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM w),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w)
+       |  WHERE term IN ('spark', 'join', 'vector')
+       |  GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id,
+       |    ${r6(s"($idf) * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))")} AS s
+       |  FROM tf JOIN dfreq USING (term), stats),
+       |sc AS (SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score,
+       |       COUNT(*) AS n_terms_hit FROM s GROUP BY 1)""".stripMargin
+  }
+
+  // single-query (vec 100) IVF+PQ chain — the q153/q146 oracle algebra
+  // (CorpusPack.ivfPqOracle) restricted to one probe query; ends at
+  // `pqscored` (query_id, vec_id, adist)
+  private lazy val ivfPq1Ctes: String = {
+    def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+    def subD2(a: String, sub: String) = r6(
+      s"""list_sum(list_transform(range(0, 16), i ->
+         |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE)) *
+         |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE))))""".stripMargin)
+    def d2(l: String, r: String) =
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE)) *
+         |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE))))""".stripMargin
+    s"""cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, cc.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e", "cc")}, cc.centroid_id) AS rn
+       |    FROM embeddings e, cent cc) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id = 100),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, cc.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${d2("q", "cc")}, cc.centroid_id) AS rn
+       |    FROM q, cent cc) WHERE rn <= 2),
+       |cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id % 50 = 2),
+       |subs AS (SELECT unnest(range(0, 4)) AS sub),
+       |d AS (
+       |  SELECT e.vec_id, s.sub, c.code_id, ${subD2("e", "s.sub")} AS d2
+       |  FROM embeddings e, subs s, cb c),
+       |codes AS (
+       |  SELECT vec_id, sub, code_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
+       |    FROM d) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.query_id, s.sub, c.code_id, ${subD2("q", "s.sub")} AS dd
+       |  FROM q, subs s, cb c),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+       |pqscored AS (
+       |  SELECT ca.query_id, co.vec_id,
+       |    CAST(SUM(CAST(l.dd AS DECIMAL(28,6))) AS DOUBLE) AS adist
+       |  FROM cand ca
+       |  JOIN codes co ON co.vec_id = ca.vec_id
+       |  JOIN lut l ON l.query_id = ca.query_id AND l.sub = co.sub AND l.code_id = co.code_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) = 4)""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: content-hash groupBy (keep min id, count copies)
@@ -393,6 +466,80 @@ object PipelinePack extends QueryPack {
       val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
       Similarity.rrfFuse(Seq(lsh, bf), k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // BM25 AT REST: one corpus tokenization pass builds the postings
+    // (bucketed+sorted by term) + 1-row stats tables; ranking then reads
+    // only the query terms' postings (term IN pushed to the scan) — must
+    // match q204's full-recompute algebra bit-for-bit (same oracle)
+    "q206_bm25_at_rest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25idx_")
+      val table = "graft_bm25_index_q206"
+      try {
+        TextIndex.writeBm25Index(docs, table, tmp.resolve("idx").toString)
+        val (postings, stats) = TextIndex.readBm25Index(s, table)
+        TextIndex.bm25RankIndexed(postings, stats,
+          Seq("spark", "join", "vector"), k = 10)
+          .orderBy(col("score").desc, col("doc_id"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        s.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
+    // the PRODUCTION hybrid-search shape, previously gated only as parts
+    // (q204 lexical, q153 at-rest ANN, q205 fusion): BM25 over the
+    // at-rest postings + IVF-PQ search over the at-rest cell-partitioned
+    // index, fused per-query by reciprocal-rank — one composed gate
+    // against a fully-mirrored oracle. documents.doc_id and
+    // embeddings.vec_id share the id space in the test corpus, standing
+    // in for text+embedding rows of one training table.
+    "q207_hybrid_at_rest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = emb.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val queries = emb.filter(col("vec_id") === 100)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_")
+      val table = "graft_bm25_index_q207"
+      try {
+        TextIndex.writeBm25Index(docs, table, tmp.resolve("bm25").toString)
+        val (postings, stats) = TextIndex.readBm25Index(s, table)
+        val lex = TextIndex.bm25RankIndexed(postings, stats,
+            Seq("spark", "join", "vector"), k = 10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(lit(100L).as("query_id"), col("doc_id").as("vec_id"),
+            col("rank"))
+        val ivfPath = tmp.resolve("ivfpq").toString
+        graft.pipeline.VectorIndex.writeIndex(emb, centroids, cb,
+          m = 4, subDim = 16, ivfPath)
+        val vec = graft.pipeline.VectorIndex.searchIndex(
+            graft.pipeline.VectorIndex.readIndex(s, ivfPath), centroids, cb,
+            queries, k = 5, m = 4, subDim = 16, nprobe = 2)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+        Similarity.rrfFuse(Seq(lex, vec), k = 10)
+          .orderBy(col("rank"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        s.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
 
     // IVF query path: probe the 2 nearest cells per query, search only
@@ -1481,27 +1628,42 @@ object PipelinePack extends QueryPack {
         s"""SELECT doc_id, lang, n_chars FROM documents
            |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}
            |ORDER BY doc_id""".stripMargin,
-      "q204_bm25" -> {
-        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
-        val idf = r6("ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)")
-        s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
-           |stats AS (SELECT COUNT(*) AS n,
-           |  CAST(SUM(CAST(len(w) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
-           |  FROM w),
-           |tf AS (
-           |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
-           |  FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w)
-           |  WHERE term IN ('spark', 'join', 'vector')
-           |  GROUP BY 1, 2, 3),
-           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-           |s AS (
-           |  SELECT tf.doc_id,
-           |    ${r6(s"($idf) * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))")} AS s
-           |  FROM tf JOIN dfreq USING (term), stats),
-           |sc AS (SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score,
-           |       COUNT(*) AS n_terms_hit FROM s GROUP BY 1)
+      "q204_bm25" ->
+        s"""WITH $bm25Ctes
            |SELECT doc_id, score, n_terms_hit FROM sc
-           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // same algebra through the at-rest postings/stats tables: the index
+      // must be a pure layout change, so the oracle is q204's verbatim
+      "q206_bm25_at_rest" ->
+        s"""WITH $bm25Ctes
+           |SELECT doc_id, score, n_terms_hit FROM sc
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // hybrid search: the q204 BM25 top-10 (ranked) fused with the q153
+      // IVF-PQ top-5 for query vec 100 by RRF (1/(rank+60) on the 1e-6
+      // grid, exact-decimal sum, id ties)
+      "q207_hybrid_at_rest" -> {
+        s"""WITH $bm25Ctes,
+           |bmr AS (
+           |  SELECT doc_id AS vec_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10)),
+           |$ivfPq1Ctes,
+           |vr AS (
+           |  SELECT vec_id, CAST(rank AS INT) AS rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+           |    FROM pqscored) WHERE rank <= 5),
+           |rterms AS (
+           |  SELECT vec_id, FLOOR(1.0 / (rank + 60) * 1e6 + 0.5) / 1e6 AS t FROM bmr
+           |  UNION ALL
+           |  SELECT vec_id, FLOOR(1.0 / (rank + 60) * 1e6 + 0.5) / 1e6 AS t FROM vr),
+           |fused AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS rrf_score,
+           |    COUNT(*) AS n_rankers
+           |  FROM rterms GROUP BY 1)
+           |SELECT CAST(100 AS BIGINT) AS query_id, vec_id, rrf_score, n_rankers,
+           |  CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, vec_id) AS rank
+           |  FROM fused) WHERE rank <= 10 ORDER BY rank""".stripMargin
       },
       "q203_weighted_sample" ->
         s"""SELECT doc_id, lang, n_chars FROM documents

@@ -117,6 +117,28 @@ class RasterVectorizeSpec extends SparkTestBase {
   private def mir(i: Int, n: Int) =
     if (i < 0) -i - 1 else if (i >= n) 2 * n - 1 - i else i
 
+  test("halo exchange ships depth-clipped margin slabs, not whole tiles") {
+    // 10x12 raster in 4x4 tiles (partial edges). At depth d, an edge
+    // neighbor ships at most d*TS pixels and a corner neighbor d*d —
+    // never the full tile (the pre-round-10 9x-bytes behavior).
+    val hh = 10; val ww = 12; val ts = 4
+    val dense = Array.tabulate(hh * ww)(_.toDouble)
+    val tiles = partialTiles(dense, hh, ww, ts)
+    for (d <- Seq(1, 2)) {
+      val sent = RasterOps.haloSent(tiles, d)
+        .select("dy", "dx", "n_h", "n_w", "n_px")
+        .as[(Int, Int, Int, Int, Seq[Double])].collect()
+      assert(sent.nonEmpty)
+      sent.foreach { case (dy, dx, nh, nw, px) =>
+        assert(px.length == nh * nw, s"slab dims disagree with payload at ($dy,$dx)")
+        if (dy != 0) assert(nh <= d, s"row-clipped slab taller than depth: $nh > $d")
+        if (dx != 0) assert(nw <= d, s"col-clipped slab wider than depth: $nw > $d")
+        assert(px.length <= (if (dy != 0 && dx != 0) d * d else d * ts),
+          s"slab at ($dy,$dx) ships ${px.length} px — not margin-clipped")
+      }
+    }
+  }
+
   test("meanBlur3x3 is exact on a raster that is NOT a tile multiple (partial edge tiles)") {
     // 3x5 raster, tileSize 2 -> tiles of shapes 2x2, 2x2, 2x1, 1x2, 1x2, 1x1:
     // every neighbor-stride combination appears

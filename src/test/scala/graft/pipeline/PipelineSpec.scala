@@ -310,6 +310,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("pqTrain sampled: one source scan, same codebooks as a pre-filtered corpus") {
+    CacheScope.drainAll(spark); spark.catalog.clearCache()
     val scans = spark.sparkContext.longAccumulator("pq-train-scans")
     // non-deterministic marker: evaluated exactly once per source row per
     // scan (never duplicated into the sample filter by CollapseProject)
@@ -693,7 +694,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("composed pipelines release internal caches after the consuming action") {
-    spark.catalog.clearCache()
+    CacheScope.drainAll(spark); spark.catalog.clearCache()
     assert(Dedup.dedupCorpus(docs).count() == 3)
     awaitEmptyCache("dedupCorpus") // bands + CC labels
     val pairs = Seq((1L, 4L), (1L, 2L)).toDF("id_a", "id_b")
@@ -712,7 +713,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("Caches.release frees scopes after a non-Dataset consumption (toRdd)") {
-    spark.catalog.clearCache()
+    CacheScope.drainAll(spark); spark.catalog.clearCache()
     val result = Dedup.lshCandidatePairs(docs, persistBands = true)
     // consume through raw physical execution — no SQL-execution event, so
     // the listener never observes it (df.rdd DOES fire the listener in
@@ -728,7 +729,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("abandoned pipelines stay bounded: one shared listener, capped registry") {
-    spark.catalog.clearCache()
+    CacheScope.drainAll(spark); spark.catalog.clearCache()
     // build MANY composed pipelines and never consume them: the pending
     // registry must cap (oldest scopes released eagerly), and the
     // persisted band caches must not accumulate past the cap

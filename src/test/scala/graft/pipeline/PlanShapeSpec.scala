@@ -197,12 +197,46 @@ class PlanShapeSpec extends SparkTestBase {
     spark.listenerManager.register(listener)
     try {
       Similarity.pqTrain(emb, init, m = 4, subDim = 4, iters = 2)
-      // the execution-listener bus is asynchronous — poll until stable
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (actions.get() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
-      Thread.sleep(300)
+      // the execution-listener bus is asynchronous — poll until the count
+      // has reached the expected floor AND been quiet for several
+      // consecutive polls (a fixed post-sleep flaked on loaded machines
+      // when a late event landed after it)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var prev = -1
+      var quiet = 0
+      while (quiet < 5 && System.nanoTime() < deadline) {
+        val cur = actions.get()
+        if (cur == prev && cur >= 2) quiet += 1 else quiet = 0
+        prev = cur
+        Thread.sleep(100)
+      }
       assert(actions.get() == 2,
         s"pqTrain(iters=2, m=4) ran ${actions.get()} actions; expected one per iteration")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("simhashPairs guard scan is limit-bounded: refusal costs <= maxDocs+1 rows") {
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        // analyzed, not executed: over a LocalRelation the optimizer folds
+        // the limit into the relation itself, but the analyzed tree proves
+        // the guard CONSTRUCTED one (file-backed inputs keep it physical)
+        plans.add(qe.analyzed.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val docs = (1 to 30).map(i => (i.toLong, s"document number $i"))
+      .toDF("doc_id", "text")
+    spark.listenerManager.register(listener)
+    try {
+      intercept[IllegalArgumentException] { Dedup.simhashPairs(docs, maxDocs = 10) }
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      assert(plans.asScala.exists(p => p.contains("GlobalLimit")),
+        s"guard count must run under a limit, not a full scan:\n${plans.asScala.mkString("\n---\n")}")
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -222,6 +256,38 @@ class PlanShapeSpec extends SparkTestBase {
     val rows = out.collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(2) == 2L),
       "every fixture doc contains both query terms")
+  }
+
+  test("bm25RankIndexed: term IN pushes to the postings scan; stats broadcast; top-k TakeOrdered") {
+    val docs = (1 to 50).map(i => (i.toLong, s"spark join filter scan number $i"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25spec_")
+    val table = "graft_bm25_spec_idx"
+    try {
+      TextIndex.writeBm25Index(docs, table, tmp.resolve("idx").toString)
+      val (postings, stats) = TextIndex.readBm25Index(spark, table)
+      val out = TextIndex.bm25RankIndexed(postings, stats, Seq("spark", "join"), k = 5)
+      val plan = out.queryExecution.executedPlan.toString
+      // the whole point of the index: the probe reads postings for ITS
+      // terms only — the IN filter must reach the parquet scan
+      assert(plan.contains("PushedFilters: [In(term"),
+        s"term IN not pushed to the postings scan:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k must plan as TakeOrderedAndProject:\n$plan")
+      assert(plan.contains("BroadcastExchange"), s"stats/df must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+      // and the ranking itself agrees with the recompute path exactly
+      val got = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val want = TextIndex.bm25Rank(docs, Seq("spark", "join"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(got.sameElements(want), s"indexed != recompute:\n${got.toSeq}\n${want.toSeq}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("quantizeInt8: the range row broadcasts; no window, no wide shuffle") {
