@@ -26,11 +26,24 @@ object ZOrder {
   def quantize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"quantize: bits must be in [1, 31], got $bits")
     require(hi > lo, s"quantize: need hi > lo, got [$lo, $hi]")
-    val cells = (1L << bits) - 1
-    val width = (hi - lo) / (1L << bits).toDouble
-    least(greatest(floor((v.cast("double") - lo) / width).cast("long"), lit(0L)),
-      lit(cells))
+    least(greatest(floor((v.cast("double") - lo) / cellWidth(lo, hi, bits))
+      .cast("long"), lit(0L)), lit(maxCell(bits)))
   }
+
+  // the ONE definition of the grid: both the Column quantizer above and
+  // the scalar planner below derive from these, so write- and read-side
+  // cell math cannot drift
+  private def maxCell(bits: Int): Long = (1L << bits) - 1
+  private def cellWidth(lo: Double, hi: Double, bits: Int): Double =
+    (hi - lo) / (1L << bits).toDouble
+
+  /** Driver-side [[quantize]] — same floor/clamp algebra on scalars
+    * (range planning in [[readBox]]/[[zRangesForBoxes]]).
+    */
+  private[graft] def quantizeScalar(v: Double, lo: Double, hi: Double,
+      bits: Int): Long =
+    math.min(math.max(math.floor((v - lo) / cellWidth(lo, hi, bits)).toLong, 0L),
+      maxCell(bits))
 
   /** Interleave two `bits`-bit cell indices into the Morton key:
     * bit i of qx -> key bit 2i, bit i of qy -> key bit 2i+1. Pure
@@ -85,7 +98,31 @@ object ZOrder {
     }
     parted.sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").parquet(path)
+    // persist the layout parameters next to the data (underscore-prefixed
+    // subdir — invisible to parquet readers of `path`) so readers can
+    // validate or self-configure instead of silently assuming the write-
+    // time (bits, extent)
+    df.sparkSession.createDataFrame(Seq(
+        (xCol, yCol, keyCol, bits, xmin, xmax, ymin, ymax)))
+      .toDF("xCol", "yCol", "keyCol", "bits", "xmin", "xmax", "ymin", "ymax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zorder_meta")
   }
+
+  /** Layout parameters of a [[writeZOrdered]] dataset. */
+  final case class ZOrderMeta(xCol: String, yCol: String, keyCol: String,
+    bits: Int, xmin: Double, xmax: Double, ymin: Double, ymax: Double)
+
+  /** Read the persisted layout parameters (None for pre-metadata layouts
+    * or foreign z-ordered data).
+    */
+  def readMeta(spark: SparkSession, path: String): Option[ZOrderMeta] =
+    try {
+      val r = spark.read.parquet(s"$path/_zorder_meta")
+        .select("xCol", "yCol", "keyCol", "bits", "xmin", "xmax", "ymin", "ymax")
+        .collect().head
+      Some(ZOrderMeta(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    } catch { case _: Throwable => None }
 
   /** Covering Morton-key ranges for a bbox, planned at a coarser
     * `level` <= `bits`: the box's cell rectangle at `level` decomposes
@@ -132,18 +169,55 @@ object ZOrder {
       x0: Double, x1: Double, y0: Double, y1: Double,
       xmin: Double, xmax: Double, ymin: Double, ymax: Double,
       bits: Int = 16, level: Int = 8, keyCol: String = "zkey"): DataFrame = {
-    def q(v: Double, lo: Double, hi: Double): Long = {
-      val cells = (1L << bits) - 1
-      val width = (hi - lo) / (1L << bits).toDouble
-      math.min(math.max(math.floor((v - lo) / width).toLong, 0L), cells)
+    // refuse a silently-wrong prune: if the layout recorded its write-time
+    // parameters, the caller's must agree (a bits/extent mismatch makes
+    // the key math prune REAL rows)
+    readMeta(spark, path).foreach { m =>
+      require(m.bits == bits && m.keyCol == keyCol &&
+        m.xmin == xmin && m.xmax == xmax && m.ymin == ymin && m.ymax == ymax,
+        s"readBox: layout was written with $m but query assumes " +
+          s"(bits=$bits, keyCol=$keyCol, extent=[$xmin,$xmax]x[$ymin,$ymax])")
     }
-    val ranges = zRangesForBox(q(x0, xmin, xmax), q(x1, xmin, xmax),
-      q(y0, ymin, ymax), q(y1, ymin, ymax), bits, level)
-    val prune = ranges.map { case (lo, hi) => col(keyCol).between(lo, hi) }
-      .reduce(_ || _)
-    spark.read.parquet(path)
-      .filter(prune)
+    coarseBoxPrune(spark, path, Seq((x0, x1, y0, y1)),
+      xmin, xmax, ymin, ymax, bits, level, keyCol)
       .filter(col(xCol) >= x0 && col(xCol) <= x1 &&
         col(yCol) >= y0 && col(yCol) <= y1)
+  }
+
+  /** [[readBox]] with every layout parameter taken from the persisted
+    * metadata — the call that CANNOT mismatch the write.
+    */
+  def readBox(spark: SparkSession, path: String,
+      x0: Double, x1: Double, y0: Double, y1: Double, level: Int): DataFrame = {
+    val m = readMeta(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"readBox: no _zorder_meta under $path — pass the layout parameters explicitly"))
+    readBox(spark, path, m.xCol, m.yCol, x0, x1, y0, y1,
+      m.xmin, m.xmax, m.ymin, m.ymax, m.bits, level, m.keyCol)
+  }
+
+  /** COARSE phase shared by the single- and multi-box reads: the union of
+    * every box's covering Morton bands (re-merged across boxes), pushed
+    * as one between-OR filter. Exact refinement is the caller's — the
+    * spatial query path supplies its own transform-aware predicate
+    * ([[graft.query.SpatialQuery.boundingBoxPointsMultiZ]]).
+    */
+  private[graft] def coarseBoxPrune(spark: SparkSession, path: String,
+      boxes: Seq[(Double, Double, Double, Double)],
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double,
+      bits: Int, level: Int, keyCol: String): DataFrame = {
+    require(boxes.nonEmpty, "coarseBoxPrune: need at least one box")
+    val bands = boxes.flatMap { case (x0, x1, y0, y1) =>
+      zRangesForBox(
+        quantizeScalar(x0, xmin, xmax, bits), quantizeScalar(x1, xmin, xmax, bits),
+        quantizeScalar(y0, ymin, ymax, bits), quantizeScalar(y1, ymin, ymax, bits),
+        bits, level)
+    }.sortBy(_._1)
+    val merged = bands.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (l, h)) if l <= hi + 1 => (lo, math.max(hi, h)) :: rest
+      case (acc, b) => b :: acc
+    }.reverse
+    val prune = merged.map { case (lo, hi) => col(keyCol).between(lo, hi) }
+      .reduce(_ || _)
+    spark.read.parquet(path).filter(prune)
   }
 }

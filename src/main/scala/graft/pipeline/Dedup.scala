@@ -374,14 +374,19 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxBucketSize: Option[Int] = Some(50),
       jaccardThreshold: Option[Double] = None): DataFrame = {
-    // NOTE on what is deliberately NOT cached: the survivor set feeds both
-    // the LSH pipeline and the final anti-join, but persisting it means
-    // materializing the full text corpus into executor storage — at the
-    // 100 TB design point a columnar re-scan + hash semi-join is cheaper
-    // than that write (and measured no faster at sf0.1)
-    val exactSurvivors = docs.join(
-      exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
-      Seq(idCol), "left_semi")
+    // NOTE on what is deliberately NOT cached: the survivor FRAME feeds
+    // both the LSH pipeline and the final anti-join, but persisting it
+    // means materializing the full text corpus into executor storage — at
+    // the 100 TB design point a columnar re-scan + hash semi-join is
+    // cheaper than that write (and measured no faster at sf0.1). The
+    // keep-ID SET is cached instead: ids only (8 bytes/doc at any scale),
+    // so the final action — which runs AFTER the CC rounds already forced
+    // the band chain and filled this cache — skips the md5-the-whole-
+    // corpus exact aggregation and pays only the cached-id semi-join.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val keepIds = exact(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol)).persist(lvl)
+    val exactSurvivors = docs.join(keepIds, Seq(idCol), "left_semi")
     // raw band-collision pairs: the n_bands rollup is skipped because both
     // consumers dedupe — CC's symmetric distinct, and the verify branch's
     // explicit dropDuplicates — saving an expand+aggregate over the pairs
@@ -402,7 +407,9 @@ object Dedup {
     val nonCanonical = connectedComponents(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
-    exactSurvivors.join(nonCanonical, Seq(idCol), "left_anti")
+    CacheScope.releaseAfterFirstUse(
+      exactSurvivors.join(nonCanonical, Seq(idCol), "left_anti"),
+      Seq(keepIds))
   }
 
   /** Exact n-gram Jaccard similarity for a pair table (the verify stage

@@ -199,6 +199,39 @@ object ExtraPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // the Z-layout SERVING the spatial query path (SURVEY §2.3 at rest):
+    // derived points written Morton-clustered to a temp layout, then a
+    // TWO-box bbox query through a diagonal transform runs coarse
+    // key-range prune + the exact transform predicate — row-identical to
+    // the raw-table predicate (the oracle never sees the layout; q11's
+    // constant-folded intrinsic bounds pattern)
+    "q208_zorder_multibox" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("event_id"),
+        ((col("event_id") * 131) % 997).cast("double") / 10.0,
+        ((col("user_id") * 379) % 991).cast("double") / 10.0)
+        .toDF("event_id", "x", "y")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zmb_")
+      val path = tmp.resolve("pts").toString
+      try {
+        graft.ops.ZOrder.writeZOrdered(pts, "x", "y", path,
+          0.0, 100.0, 0.0, 100.0, bits = 10, numPartitions = Some(4))
+        val t = SequenceT(List(
+          ScaleT(Seq(2.0, 2.0), Seq("x", "y")),
+          TranslationT(Seq(5.0, -3.0), Seq("x", "y"))))
+        graft.query.SpatialQuery.boundingBoxPointsMultiZ(s, path, t,
+            Seq("x", "y"),
+            Seq((Seq(40.0, 25.0), Seq(80.0, 65.0)),
+              (Seq(150.0, 100.0), Seq(190.0, 140.0))), level = 5)
+          .select(col("event_id"), col("x"), col("y"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // order-statistic twin of q168: 3x3 MEDIAN over the same dense grid
     // (odd window -> the median is an exact input element, no float sums)
     "q202_halo_median" -> ((s, d) => {
@@ -483,6 +516,19 @@ object ExtraPack extends QueryPack {
         |    ((((event_id % 1024) >> i) & 1) << (2 * i)) +
         |    ((((user_id % 1024) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
         |FROM events ORDER BY event_id""".stripMargin,
+    // the raw-table recompute of q208's two-box query: target boxes
+    // (40,25)-(80,65) and (150,100)-(190,140) under target = 2*v + (5,-3)
+    // fold to the intrinsic bounds below; the Z layout must be invisible
+    "q208_zorder_multibox" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    CAST((event_id * 131) % 997 AS DOUBLE) / 10.0 AS x,
+        |    CAST((user_id * 379) % 991 AS DOUBLE) / 10.0 AS y
+        |  FROM events)
+        |SELECT event_id, x, y FROM pts
+        |WHERE (x > 17.5 AND x < 37.5 AND y > 14.0 AND y < 34.0)
+        |   OR (x > 72.5 AND x < 92.5 AND y > 51.5 AND y < 71.5)
+        |ORDER BY event_id""".stripMargin,
     // 3x3 median with symmetric (clamp-at-depth-1) borders; 9-element
     // window -> median is an exact element, no interpolation
     "q202_halo_median" ->

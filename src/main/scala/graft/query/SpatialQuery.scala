@@ -367,6 +367,44 @@ object SpatialQuery {
     }.reduce(_ || _))
   }
 
+  /** [[boundingBoxPointsMulti]] over a Z-ORDERED at-rest points layout
+    * ([[graft.ops.ZOrder.writeZOrdered]]): each target-cs box is lowered
+    * to its intrinsic-cs envelope (inverse corner transform — rotated
+    * boxes take the envelope of the back-mapped polygon), the envelopes'
+    * covering Morton bands prune the parquet scan (row-group min/max on
+    * the key column), and the SAME exact transform-aware predicate as the
+    * plain path refines — so the result is row-identical to
+    * [[boundingBoxPointsMulti]] on the raw table, but the scan reads only
+    * the curve segments the boxes touch. This is the 100 TB form of
+    * SURVEY §2.3's query family: layout-pruned at rest, exact on read.
+    */
+  def boundingBoxPointsMultiZ(spark: org.apache.spark.sql.SparkSession,
+      path: String, t: Transform, axes: Seq[String],
+      boxes: Seq[(Seq[Double], Seq[Double])], level: Int = 8): DataFrame = {
+    require(boxes.nonEmpty, "need at least one box")
+    require(axes.toSet == Set("x", "y"),
+      s"boundingBoxPointsMultiZ: 2D x/y layouts only, got $axes")
+    val m = graft.ops.ZOrder.readMeta(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"boundingBoxPointsMultiZ: no _zorder_meta under $path"))
+    require(m.xCol == "x" && m.yCol == "y",
+      s"boundingBoxPointsMultiZ: layout clusters (${m.xCol}, ${m.yCol}), expected (x, y)")
+    val xi = axes.indexOf("x"); val yi = axes.indexOf("y")
+    val envs = boxes.map { case (mins, maxs) =>
+      intrinsicBoxPolygon(t, axes, mins, maxs) match {
+        case Left((lo, hi)) => (lo(xi), hi(xi), lo(yi), hi(yi))
+        case Right(wkb) =>
+          val e = WKB.read(wkb).envelope
+          (e(0), e(2), e(1), e(3))
+      }
+    }
+    graft.ops.ZOrder.coarseBoxPrune(spark, path, envs,
+        m.xmin, m.xmax, m.ymin, m.ymax, m.bits, level, m.keyCol)
+      .filter(boxes.map { case (mins, maxs) =>
+        boundingBoxPredicate(t, axes, mins, maxs)
+      }.reduce(_ || _))
+  }
+
   /** Polygon query on rasters = bounding-box query on the polygon envelope
     * (reference spatial_query.py:874-892).
     */

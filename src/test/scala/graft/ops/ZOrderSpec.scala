@@ -59,5 +59,44 @@ class ZOrderSpec extends SparkTestBase {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("zkey"),
       s"zkey ranges not pushed to the scan:\n$plan")
+    // the write persisted its layout parameters; mismatched query params
+    // refuse instead of silently pruning real rows
+    val m = ZOrder.readMeta(spark, dir)
+    assert(m.contains(ZOrder.ZOrderMeta("x", "y", "zkey", 10, 0.0, 100.0, 0.0, 100.0)))
+    intercept[IllegalArgumentException] {
+      ZOrder.readBox(spark, dir, "x", "y", 20.0, 40.0, 30.0, 60.0,
+        0.0, 100.0, 0.0, 100.0, bits = 12, level = 4)
+    }
+    // the self-configuring overload needs nothing but the box
+    val got2 = ZOrder.readBox(spark, dir, 20.0, 40.0, 30.0, 60.0, level = 4)
+      .select("id", "x", "y").as[(Long, Double, Double)].collect().toSet
+    assert(got2 == want)
+  }
+
+  test("boundingBoxPointsMultiZ == plain multi-box path under an affine transform") {
+    import graft.model.{AffineT, Matrix}
+    import graft.query.SpatialQuery
+    val pts = (0 until 4000).map { i =>
+      (i.toLong, (i * 131 % 997).toDouble / 10.0, (i * 379 % 991).toDouble / 10.0)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmbspec_").toString
+    ZOrder.writeZOrdered(pts, "x", "y", dir, 0.0, 100.0, 0.0, 100.0,
+      bits = 10, numPartitions = Some(4))
+    // 30-degree-ish rotation + shift: the intrinsic box is ROTATED, so
+    // the coarse prune uses the back-mapped polygon's envelope
+    val t = AffineT(Matrix(3, 3, Array(
+      0.866, -0.5, 3.0,
+      0.5, 0.866, -2.0,
+      0.0, 0.0, 1.0)), Seq("x", "y"), Seq("x", "y"))
+    val boxes = Seq(
+      (Seq(10.0, 20.0), Seq(50.0, 60.0)),
+      (Seq(-30.0, 70.0), Seq(10.0, 95.0)))
+    val got = SpatialQuery.boundingBoxPointsMultiZ(spark, dir, t,
+        Seq("x", "y"), boxes, level = 5)
+      .select("id", "x", "y").as[(Long, Double, Double)].collect().toSet
+    val want = SpatialQuery.boundingBoxPointsMulti(pts, t, Seq("x", "y"), boxes)
+      .as[(Long, Double, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture boxes must be non-empty under the transform")
+    assert(got == want, s"Z path diverged: ${got.size} vs ${want.size} rows")
   }
 }
