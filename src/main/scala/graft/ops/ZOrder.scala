@@ -124,6 +124,56 @@ object ZOrder {
         r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
     } catch { case _: Throwable => None }
 
+  /** APPEND a batch into an existing [[writeZOrdered]] layout: key the
+    * rows with the layout's persisted grid parameters and add key-sorted
+    * files. Appended files are Morton-sorted internally but their key
+    * bands OVERLAP the resident files', so row-group pruning degrades as
+    * appends accumulate — run [[compact]] periodically to restore the
+    * global clustering (the streaming ingest loop does this every N
+    * batches). Correctness never degrades: [[readBox]]'s exact refine
+    * doesn't care which file a row lives in.
+    */
+  def appendZOrdered(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val m = readMeta(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"appendZOrdered: no _zorder_meta under $path — initialize with writeZOrdered"))
+    require(!df.columns.contains(m.keyCol),
+      s"appendZOrdered: key column '${m.keyCol}' collides with an input column")
+    df.withColumn(m.keyCol, zorderKey(col(m.xCol), col(m.yCol),
+        m.xmin, m.xmax, m.ymin, m.ymax, m.bits))
+      .sortWithinPartitions(col(m.keyCol))
+      .write.mode("append").parquet(path)
+  }
+
+  /** COMPACT a layout that has absorbed appends: re-range-partition the
+    * whole dataset on the key and rewrite, restoring one contiguous key
+    * band per file (tight row-group min/max again). The rewrite goes to a
+    * sibling temp directory first and swaps in with delete+rename — a
+    * brief unavailability window a production deployment would close with
+    * a table format's atomic manifest; the layout itself needs none.
+    */
+  def compact(spark: SparkSession, path: String,
+      numPartitions: Option[Int] = None): Unit = {
+    val m = readMeta(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"compact: no _zorder_meta under $path"))
+    val tmp = s"${path}__compacting"
+    val data = spark.read.parquet(path)
+    val parted = numPartitions match {
+      case Some(n) => data.repartitionByRange(n, col(m.keyCol))
+      case None => data.repartitionByRange(col(m.keyCol))
+    }
+    parted.sortWithinPartitions(col(m.keyCol))
+      .write.mode("overwrite").parquet(tmp)
+    spark.createDataFrame(Seq(
+        (m.xCol, m.yCol, m.keyCol, m.bits, m.xmin, m.xmax, m.ymin, m.ymax)))
+      .toDF("xCol", "yCol", "keyCol", "bits", "xmin", "xmax", "ymin", "ymax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_zorder_meta")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
   /** Covering Morton-key ranges for a bbox, planned at a coarser
     * `level` <= `bits`: the box's cell rectangle at `level` decomposes
     * into at most (2^level)^2 cells, each owning the contiguous key band

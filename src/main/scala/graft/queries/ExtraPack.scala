@@ -232,6 +232,37 @@ object ExtraPack extends QueryPack {
       }
     }),
 
+    // polygon query over the same Z layout: the target-cs triangle is
+    // inverse-mapped, its envelope's Morton bands prune the scan, and the
+    // plain path's exact ray-cast (in target space) refines — again the
+    // oracle recomputes from the raw table only
+    "q209_zorder_polygon" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("event_id"),
+        ((col("event_id") * 131) % 997).cast("double") / 10.0,
+        ((col("user_id") * 379) % 991).cast("double") / 10.0)
+        .toDF("event_id", "x", "y")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zpoly_")
+      val path = tmp.resolve("pts").toString
+      try {
+        graft.ops.ZOrder.writeZOrdered(pts, "x", "y", path,
+          0.0, 100.0, 0.0, 100.0, bits = 10, numPartitions = Some(4))
+        val t = SequenceT(List(
+          ScaleT(Seq(2.0, 2.0), Seq("x", "y")),
+          TranslationT(Seq(5.0, -3.0), Seq("x", "y"))))
+        val poly = graft.geom.WKB.write(graft.geom.GPolygon(Array(Array(
+          45.26, 17.14, 165.42, 58.26, 85.34, 139.98))))
+        graft.query.SpatialQuery.polygonQueryPointsZ(s, path, t, poly,
+            level = 5)
+          .select(col("event_id"), col("x"), col("y"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // order-statistic twin of q168: 3x3 MEDIAN over the same dense grid
     // (odd window -> the median is an exact input element, no float sums)
     "q202_halo_median" -> ((s, d) => {
@@ -528,6 +559,26 @@ object ExtraPack extends QueryPack {
         |SELECT event_id, x, y FROM pts
         |WHERE (x > 17.5 AND x < 37.5 AND y > 14.0 AND y < 34.0)
         |   OR (x > 72.5 AND x < 92.5 AND y > 51.5 AND y < 71.5)
+        |ORDER BY event_id""".stripMargin,
+    // q209's raw recompute: coarse intrinsic bbox (the engine's
+    // interval-inverse formulas, written as the same arithmetic) + CCW
+    // half-plane containment of the TARGET-projected point against the
+    // target triangle — array/ray machinery never mirrored
+    "q209_zorder_polygon" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    CAST((event_id * 131) % 997 AS DOUBLE) / 10.0 AS x,
+        |    CAST((user_id * 379) % 991 AS DOUBLE) / 10.0 AS y
+        |  FROM events),
+        |proj AS (
+        |  SELECT event_id, x, y, 2.0 * x + 5.0 AS px, 2.0 * y - 3.0 AS py
+        |  FROM pts)
+        |SELECT event_id, x, y FROM proj
+        |WHERE x >= (45.26 - 5.0) / 2.0 AND x <= (165.42 - 5.0) / 2.0
+        |  AND y >= (17.14 + 3.0) / 2.0 AND y <= (139.98 + 3.0) / 2.0
+        |  AND (165.42 - 45.26) * (py - 17.14) - (58.26 - 17.14) * (px - 45.26) >= 0
+        |  AND (85.34 - 165.42) * (py - 58.26) - (139.98 - 58.26) * (px - 165.42) >= 0
+        |  AND (45.26 - 85.34) * (py - 139.98) - (17.14 - 139.98) * (px - 85.34) >= 0
         |ORDER BY event_id""".stripMargin,
     // 3x3 median with symmetric (clamp-at-depth-1) borders; 9-element
     // window -> median is an exact element, no interpolation

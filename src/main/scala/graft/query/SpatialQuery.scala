@@ -405,6 +405,39 @@ object SpatialQuery {
       }.reduce(_ || _))
   }
 
+  /** [[polygonQueryPoints]] over a Z-ORDERED at-rest points layout: the
+    * polygon is inverse-mapped into the layout's intrinsic cs, its
+    * envelope's covering Morton bands prune the scan, and the plain
+    * path's exact predicate (coarse bbox + ray-cast through the
+    * transform) refines — row-identical to [[polygonQueryPoints]] on the
+    * raw table.
+    */
+  def polygonQueryPointsZ(spark: org.apache.spark.sql.SparkSession,
+      path: String, t: Transform, polyWkb: Array[Byte],
+      level: Int = 8): DataFrame = {
+    val m = graft.ops.ZOrder.readMeta(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"polygonQueryPointsZ: no _zorder_meta under $path"))
+    require(m.xCol == "x" && m.yCol == "y",
+      s"polygonQueryPointsZ: layout clusters (${m.xCol}, ${m.yCol}), expected (x, y)")
+    val intrinsicPoly = classify(t, Seq("x", "y")) match {
+      case IdentityCase => polyWkb
+      case DiagonalCase(scale, shift) =>
+        graft.geom.GeomKernel.affine(polyWkb,
+          1.0 / scale(0), 0.0, -shift(0) / scale(0),
+          0.0, 1.0 / scale(1), -shift(1) / scale(1))
+      case AffineCase(mm) =>
+        val inv = mm.inverseMatrix
+        graft.geom.GeomKernel.affine(polyWkb,
+          inv(0, 0), inv(0, 1), inv(0, 2), inv(1, 0), inv(1, 1), inv(1, 2))
+    }
+    val env = WKB.read(intrinsicPoly).envelope
+    val pruned = graft.ops.ZOrder.coarseBoxPrune(spark, path,
+      Seq((env(0), env(2), env(1), env(3))),
+      m.xmin, m.xmax, m.ymin, m.ymax, m.bits, level, m.keyCol)
+    polygonQueryPoints(pruned, t, polyWkb)
+  }
+
   /** Polygon query on rasters = bounding-box query on the polygon envelope
     * (reference spatial_query.py:874-892).
     */

@@ -48,6 +48,45 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming ingest into a Z-ORDERED at-rest layout
+    * ([[graft.ops.ZOrder]]): each micro-batch of points is keyed with the
+    * layout's persisted grid parameters and APPENDED as key-sorted files;
+    * every `compactEvery` batches the layout is re-range-partitioned and
+    * rewritten so row-group pruning stays tight ([[graft.ops.ZOrder
+    * .compact]]). This is the streaming half of the at-rest spatial
+    * story: the batch query path ([[graft.query.SpatialQuery
+    * .boundingBoxPointsMultiZ]], `ZOrder.readBox`) reads the same layout
+    * unchanged — appended-but-not-yet-compacted rows are still found (the
+    * exact refine is layout-blind), compaction only restores prune
+    * tightness. foreachBatch because the append+swap is a table
+    * maintenance action, not a row transform; at-least-once on retry,
+    * idempotent downstream via the usual batch_id tagging if appends must
+    * be exactly-once (a table format's manifest would close that too).
+    * The layout at `path` must exist ([[graft.ops.ZOrder.writeZOrdered]]
+    * — possibly of an empty frame) so the grid parameters are fixed
+    * before data flows.
+    */
+  def streamingZOrderedIngest(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, path: String, compactEvery: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.ZOrder.appendZOrdered(batch, path)
+        if (batchId % compactEvery == compactEvery - 1)
+          graft.ops.ZOrder.compact(spark, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Per-user session state for [[streamingSessionize]] (micros epoch). */
   final case class SessionAgg(startUs: Long, endUs: Long, n: Long)
 

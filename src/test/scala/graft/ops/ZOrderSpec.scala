@@ -98,5 +98,16 @@ class ZOrderSpec extends SparkTestBase {
       .as[(Long, Double, Double)].collect().toSet
     assert(want.nonEmpty, "fixture boxes must be non-empty under the transform")
     assert(got == want, s"Z path diverged: ${got.size} vs ${want.size} rows")
+
+    // the polygon query rides the same coarse prune + plain-path refine
+    val poly = graft.geom.WKB.write(graft.geom.GPolygon(Array(Array(
+      20.13, 10.07, 80.21, 30.63, 40.17, 71.49))))
+    val gotP = SpatialQuery.polygonQueryPointsZ(spark, dir,
+        graft.model.IdentityT, poly, level = 5)
+      .select("id", "x", "y").as[(Long, Double, Double)].collect().toSet
+    val wantP = SpatialQuery.polygonQueryPoints(pts, graft.model.IdentityT, poly)
+      .as[(Long, Double, Double)].collect().toSet
+    assert(wantP.nonEmpty && gotP == wantP,
+      s"polygon Z path diverged: ${gotP.size} vs ${wantP.size} rows")
   }
 }

@@ -50,6 +50,56 @@ class DocStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming Z-ordered ingest: post-compaction readBox equals the batch path") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    val all = (0 until 4000).map { i =>
+      (i.toLong, (i * 131 % 997).toDouble / 10.0, (i * 379 % 991).toDouble / 10.0)
+    }.toDF("id", "x", "y")
+    val base = all.filter(col("id") < 2000)
+    val arriving = all.filter(col("id") >= 2000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zstream_")
+    val path = tmp.resolve("pts").toString
+    try {
+      ZOrder.writeZOrdered(base, "x", "y", path, 0.0, 100.0, 0.0, 100.0,
+        bits = 10, numPartitions = Some(4))
+      val srcDir = tmp.resolve("src").toString
+      arriving.repartition(3).write.parquet(srcDir)
+      // 3 files -> 3 micro-batches; compactEvery=3 fires the compaction
+      // on the last batch (batchId 2)
+      val q = EventStream.streamingZOrderedIngest(spark, srcDir,
+        "id LONG, x DOUBLE, y DOUBLE", path, compactEvery = 3,
+        maxFilesPerTrigger = Some(1))
+      try assert(q.awaitTermination(120000),
+        "streaming ingest did not terminate within 120 s")
+      finally q.stop()
+      // the batch query path reads the streamed-into layout unchanged
+      val got = ZOrder.readBox(spark, path, 20.0, 40.0, 30.0, 60.0, level = 4)
+        .select("id", "x", "y").as[(Long, Double, Double)].collect().toSet
+      val want = all.filter(col("x") >= 20.0 && col("x") <= 40.0 &&
+          col("y") >= 30.0 && col("y") <= 60.0)
+        .as[(Long, Double, Double)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        s"Z ingest diverged: ${got.size} vs ${want.size} rows")
+      // the compaction swap preserved the layout metadata
+      assert(ZOrder.readMeta(spark, path).exists(m => m.bits == 10 && m.xCol == "x"))
+      // and restored GLOBAL clustering: data files hold disjoint key bands
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("zkey").as("lo"), max("zkey").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      perFile.sliding(2).foreach {
+        case Array((_, h1), (l2, _)) =>
+          assert(l2 > h1, s"overlapping key bands after compaction: ${perFile.toSeq}")
+        case _ =>
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("checkpointed probe RESTARTS after the last committed batch (no re-screening)") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.documents(spark, sf).select("doc_id", "text")
