@@ -60,6 +60,40 @@ object Sampling {
     df.filter(keyHash32(col(keyCol), salt) < cut)
   }
 
+  /** TEMPERATURE-scaled mixture sampling — the multilingual/multi-source
+    * rebalancing rule (sample group g with probability ∝ n_g^α, α < 1
+    * upweights small groups): draw ~`budget` rows total with per-group
+    * keep-rate r_g = min(1, budget·w_g / (Σw · n_g)) where w_g = √n_g
+    * (α fixed at 1/2 — IEEE sqrt is correctly rounded where pow is not,
+    * so the rates reproduce on any engine; w_g and the per-group rates
+    * snap to the 1e-6 grid and Σw sums in exact decimal). The draw
+    * itself is the [[mixtureSample]] hash-cut filter.
+    *
+    * Shape at scale: one keyed count (partial agg) over strata, a 1-row
+    * ΣW broadcast, and a broadcast join of the O(groups) rate table onto
+    * the corpus — then a stateless pushdown-friendly filter. No window,
+    * no driver collect.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      budget: Long, salt: String = "s"): DataFrame = {
+    require(budget >= 0, s"temperatureMixture: budget must be >= 0, got $budget")
+    val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", r6(sqrt(col("__n"))))
+    val sumW = counts.agg(
+      sum(col("__w").cast("decimal(28,6)")).cast("double").as("__sw"))
+    val rates = counts.crossJoin(broadcast(sumW))
+      .select(col(stratumCol),
+        r6(least(lit(1.0),
+          lit(budget.toDouble) * col("__w") / (col("__sw") * col("__n"))))
+          .as("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(keyHash32(col(keyCol), salt) <
+        floor(col("__rate") * 4294967296.0))
+      .drop("__rate")
+  }
+
   /** Per-stratum quota: the `n` rows of each stratum with the smallest key
     * hashes (hash order = a deterministic shuffle, so this is a reproducible
     * uniform-without-replacement draw per stratum). One shuffle by stratum;

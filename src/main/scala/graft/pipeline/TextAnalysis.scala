@@ -56,6 +56,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Corpus bigram PMI (pointwise mutual information) — the association
+    * statistic under collocation mining, tokenizer-merge scoring, and
+    * phrase detection: pmi(a,b) = ln( (c_ab/M) / ((c_a/N)·(c_b/N)) )
+    * over adjacent-word-pair counts c_ab (M total bigrams) and unigram
+    * counts c_a (N total tokens). Division order is fixed and the result
+    * snaps to the 1e-6 grid, so the doubles reproduce on any engine.
+    *
+    * Shape at scale: one zip_with projection assembles adjacent pairs
+    * inside codegen (explode of a NULL array for sub-2-word docs emits
+    * no rows), then two keyed count aggregations (partial map-side
+    * combine) and two token-keyed equi-joins of the bigram table against
+    * the unigram table — vocabulary-sized sides shuffle on their keys,
+    * nothing is corpus-quadratic; the 1-row (N, M) totals broadcast.
+    * `minCount` prunes the long tail BEFORE the joins.
+    */
+  def bigramPmi(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, s"bigramPmi: minCount must be >= 1, got $minCount")
+    val w = Dedup.words(col(textCol))
+    val pairsArr = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2"))))
+    val bigrams = docs.select(explode(pairsArr).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_ab"))
+    val unigrams = docs.select(explode(w).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = unigrams.agg(sum(col("c")).as("n_tokens"))
+      .crossJoin(bigrams.agg(sum(col("c_ab")).as("n_bigrams")))
+    bigrams.filter(col("c_ab") >= minCount)
+      .join(unigrams.select(col("t").as("t1"), col("c").as("c_a")), Seq("t1"))
+      .join(unigrams.select(col("t").as("t2"), col("c").as("c_b")), Seq("t2"))
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("c_ab"),
+        round6(log(
+          (col("c_ab").cast("double") / col("n_bigrams")) /
+            ((col("c_a").cast("double") / col("n_tokens")) *
+              (col("c_b").cast("double") / col("n_tokens"))))).as("pmi"))
+  }
+
   /** Per-document bigram novelty: the fraction of a document's DISTINCT
     * word bigrams that appear in no other document (corpus bigram-DF
     * == 1). High novelty separates original prose from boilerplate /

@@ -746,6 +746,22 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled mixture (α = 1/2): per-language keep-rates
+    // derived from √n_g group weights entirely in-plan (keyed count +
+    // 1-row Σw broadcast + broadcast rate join + hash-cut filter)
+    "q211_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMixture(Tables.documents(s, d), "lang", "doc_id",
+        budget = 150)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
+    // corpus bigram PMI (collocation/phrase statistic): adjacent-pair
+    // zip_with assembly, two keyed counts, token-keyed joins, 1e-6 grid
+    "q210_bigram_pmi" -> ((s, d) => {
+      TextAnalysis.bigramPmi(Tables.documents(s, d), minCount = 3)
+        .orderBy(col("t1"), col("t2"))
+    }),
+
     // deterministic epoch shuffle into 8 ordered shards (training export
     // order: one keyed shuffle + per-shard sort, no global sort)
     "q125_shard_shuffle" -> ((s, d) => {
@@ -1685,6 +1701,44 @@ object PipelinePack extends QueryPack {
            |  CASE $cases ELSE -1 END
            |ORDER BY doc_id""".stripMargin
       },
+      // √n_g weights on the 1e-6 grid, exact-decimal Σw, per-group rate
+      // re-derived and re-snapped — then the same hash cut as q96
+      "q211_temperature_mix" ->
+        s"""WITH counts AS (
+           |  SELECT lang, COUNT(*) AS n,
+           |    FLOOR(sqrt(COUNT(*)) * 1e6 + 0.5) / 1e6 AS w
+           |  FROM documents GROUP BY 1),
+           |sw AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS sw FROM counts),
+           |rates AS (
+           |  SELECT lang,
+           |    FLOOR(LEAST(1.0, 150.0 * w / (sw * n)) * 1e6 + 0.5) / 1e6 AS rate
+           |  FROM counts, sw)
+           |SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+           |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} <
+           |  FLOOR(rate * 4294967296.0)
+           |ORDER BY doc_id""".stripMargin,
+      // independent recomputation over unnested word lists; division
+      // order fixed to the engine's (c_ab/M) / ((c_a/N)*(c_b/N))
+      "q210_bigram_pmi" ->
+        s"""WITH w0 AS (SELECT $wordsSql AS w FROM documents),
+           |bg0 AS (
+           |  SELECT unnest(list_transform(range(1, len(w)),
+           |    i -> struct_pack(t1 := w[i], t2 := w[i + 1]))) AS bg
+           |  FROM w0 WHERE len(w) >= 2),
+           |bg AS (SELECT bg.t1 AS t1, bg.t2 AS t2, COUNT(*) AS c_ab
+           |       FROM bg0 GROUP BY 1, 2),
+           |uc AS (SELECT t, COUNT(*) AS c
+           |       FROM (SELECT unnest(w) AS t FROM w0) GROUP BY 1),
+           |tot AS (SELECT (SELECT SUM(c) FROM uc) AS n_tokens,
+           |               (SELECT SUM(c_ab) FROM bg) AS n_bigrams)
+           |SELECT t1, t2, c_ab,
+           |  FLOOR(ln((CAST(c_ab AS DOUBLE) / n_bigrams) /
+           |    ((CAST(u1.c AS DOUBLE) / n_tokens) * (CAST(u2.c AS DOUBLE) / n_tokens)))
+           |    * 1e6 + 0.5) / 1e6 AS pmi
+           |FROM bg JOIN uc u1 ON u1.t = bg.t1
+           |        JOIN uc u2 ON u2.t = bg.t2, tot
+           |WHERE c_ab >= 3
+           |ORDER BY t1, t2""".stripMargin,
       "q125_shard_shuffle" ->
         s"""WITH h AS (
            |  SELECT doc_id, lang,

@@ -169,6 +169,39 @@ class PipelineSpec extends SparkTestBase {
     assert(got(3) == ((4L, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("bigramPmi: hand-computed fixture; sub-2-word docs emit nothing") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPmi(docs, minCount = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap // (t1, t2) -> (c_ab, pmi)
+    // corpus: bigrams (a,b)x3, (b,a)x1, (b,c)x1 -> M=5; unigrams a3 b3 c1
+    // x1 ""(doc 4) -> N=9
+    def pmi(cab: Double, ca: Double, cb: Double) =
+      math.floor(math.log((cab / 5.0) / ((ca / 9.0) * (cb / 9.0))) * 1e6 + 0.5) / 1e6
+    assert(got(("a", "b")) == ((3L, pmi(3, 3, 3))), s"got $got")
+    assert(got(("b", "a")) == ((1L, pmi(1, 3, 3))))
+    assert(got(("b", "c")) == ((1L, pmi(1, 3, 1))))
+    assert(got.size == 3, s"single-word/empty docs leaked bigrams: $got")
+    // minCount prunes before the joins
+    assert(TextAnalysis.bigramPmi(docs, minCount = 2).count() == 1)
+  }
+
+  test("temperatureMixture == mixtureSample at the derived sqrt rates; small strata upweight") {
+    val docs = ((0 until 100).map(i => (i.toLong, "en")) ++
+      (100 until 104).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureMixture(docs, "lang", "doc_id", budget = 24)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // n_en=100 (w 10), n_de=4 (w 2), sumW 12: r_en = 24*10/(12*100) = 0.2,
+    // r_de = min(1, 24*2/(12*4)) = 1.0 — the whole small stratum survives
+    assert(out.count(_._2 == "de") == 4, "temperature must keep all of the small stratum")
+    val expect = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 0.2, "de" -> 1.0)).select("doc_id", "lang")
+      .as[(Long, String)].collect().toSet
+    assert(out == expect, "derived rates must equal the explicit-rate draw")
+    assert(out.count(_._2 == "en") > 0, "fixture should keep some en rows")
+  }
+
   test("hash sampling is deterministic, uniform-ish, and composable") {
     val ids = (0L until 2000L).toDF("doc_id").withColumn("lang",
       when(col("doc_id") % 3 === 0, "en").otherwise("fr"))
