@@ -162,6 +162,47 @@ object TextIndex {
       .limit(k)
   }
 
+  /** BATCH BM25 against the at-rest index: many queries at once, given as
+    * (queryIdCol, termCol) rows — the production retrieval shape (a batch
+    * of user queries, an eval set, hard-negative mining). The queries
+    * frame BROADCASTS onto the postings (its size is queries x terms,
+    * never corpus-scale); df stays per-TERM (corpus statistic, shared by
+    * every query, one aggregation over the pruned postings); scoring is
+    * the same grid-snapped arithmetic as [[bm25Rank]]; top-k is a
+    * per-query window over candidates (≤ postings of that query's
+    * terms). Distinct (query, term) pairs are deduplicated first so a
+    * repeated term contributes once, matching `bm25Rank(terms.distinct)`
+    * semantics per query. Output: (queryIdCol, idCol, score,
+    * n_terms_hit, rank ≤ k).
+    */
+  def bm25RankIndexedBatch(postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", queryIdCol: String = "query_id",
+      termCol: String = "term"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"bm25RankIndexedBatch: k must be >= 1, got $k")
+    val q = queries.select(col(queryIdCol), col(termCol)).distinct()
+    val tf = postings.join(broadcast(q), Seq(termCol))
+    // df is a per-term corpus statistic: count each doc once per term,
+    // not once per (query, term)
+    val dfreq = tf.select(col(termCol), col(idCol)).distinct()
+      .groupBy(col(termCol)).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(dfreq), Seq(termCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", TextAnalysis.round6(log(
+        (col("n_docs") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)))
+      .withColumn("__s", TextAnalysis.round6(
+        col("__idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1)))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__s").cast("decimal(28,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** BM25 ranking of the corpus against a bag of query terms (Robertson/
     * Sparck Jones idf with the Lucene +1 floor; k1/b the standard knobs) —
     * the lexical-retrieval scorer that pairs with the ANN path for hybrid

@@ -56,10 +56,24 @@ object PipelinePack extends QueryPack {
        |    md5(array_to_string(list_slice(sig, b.band * 3 + 1, b.band * 3 + 3), '|')) AS band_key
        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
 
-  // q207's at-rest indexes (BM25 postings table name + IVF-PQ path),
-  // memoized per (JVM, sf dir) — see the q207 comment
+  // q207/q212's at-rest indexes (BM25 postings table name + IVF-PQ
+  // path), memoized per (JVM, sf dir) — see the q207 comment
   private val hybridIndexCache =
     scala.collection.mutable.Map[String, (String, String)]()
+
+  private def hybridIndexes(s: SparkSession, d: String, docs: DataFrame,
+      emb: DataFrame, centroids: DataFrame, cb: DataFrame): (String, String) =
+    hybridIndexCache.synchronized {
+      hybridIndexCache.getOrElseUpdate(d, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_")
+        val t = s"graft_bm25_index_q207_${Integer.toHexString(d.hashCode)}"
+        TextIndex.writeBm25Index(docs, t, tmp.resolve("bm25").toString)
+        val ivf = tmp.resolve("ivfpq").toString
+        graft.pipeline.VectorIndex.writeIndex(emb, centroids, cb,
+          m = 4, subDim = 16, ivf)
+        (t, ivf)
+      })
+    }
 
   // BM25 CTE chain for query terms ('spark','join','vector'), k1=1.2
   // b=0.75: ends at `sc` (doc_id, score, n_terms_hit). Shared verbatim by
@@ -521,17 +535,7 @@ object PipelinePack extends QueryPack {
             .as(Seq("sub", "subvec")))
       val queries = emb.filter(col("vec_id") === 100)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val (table, ivfPath) = hybridIndexCache.synchronized {
-        hybridIndexCache.getOrElseUpdate(d, {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_")
-          val t = s"graft_bm25_index_q207_${Integer.toHexString(d.hashCode)}"
-          TextIndex.writeBm25Index(docs, t, tmp.resolve("bm25").toString)
-          val ivf = tmp.resolve("ivfpq").toString
-          graft.pipeline.VectorIndex.writeIndex(emb, centroids, cb,
-            m = 4, subDim = 16, ivf)
-          (t, ivf)
-        })
-      }
+      val (table, ivfPath) = hybridIndexes(s, d, docs, emb, centroids, cb)
       val (postings, stats) = TextIndex.readBm25Index(s, table)
       val lex = TextIndex.bm25RankIndexed(postings, stats,
           Seq("spark", "join", "vector"), k = 10)
@@ -758,6 +762,30 @@ object PipelinePack extends QueryPack {
       Sampling.temperatureMixture(Tables.documents(s, d), "lang", "doc_id",
         budget = 150)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
+    // BATCH retrieval against the at-rest BM25 index: two queries at
+    // once as (query_id, term) rows — broadcast query join instead of a
+    // term IN literal, per-TERM df shared across queries, per-query
+    // windowed top-k
+    "q212_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = emb.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val (table, _) = hybridIndexes(s, d, docs, emb, centroids, cb)
+      val (postings, stats) = TextIndex.readBm25Index(s, table)
+      val qs = Seq((1L, "spark"), (1L, "join"),
+        (2L, "vector"), (2L, "scan"), (2L, "filter"))
+        .toDF("query_id", "term")
+      TextIndex.bm25RankIndexedBatch(postings, stats, qs, k = 5)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // corpus bigram PMI (collocation/phrase statistic): adjacent-pair
@@ -1722,6 +1750,37 @@ object PipelinePack extends QueryPack {
            |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} <
            |  FLOOR(rate * 4294967296.0)
            |ORDER BY doc_id""".stripMargin,
+      // the q204 algebra per (query, term) row: shared per-term df, the
+      // same grid-snapped scoring, per-query ranked top-5
+      "q212_bm25_batch" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        val idf = r6("ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)")
+        s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |stats AS (SELECT COUNT(*) AS n,
+           |  CAST(SUM(CAST(len(w) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+           |  FROM w),
+           |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+           |  (1, 'spark'), (1, 'join'), (2, 'vector'), (2, 'scan'), (2, 'filter'))
+           |  AS t(query_id, term)),
+           |tf AS (
+           |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w)
+           |  WHERE term IN (SELECT term FROM q)
+           |  GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |s AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    ${r6(s"($idf) * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))")} AS s
+           |  FROM q JOIN tf USING (term) JOIN dfreq ON dfreq.term = q.term, stats),
+           |sc AS (SELECT query_id, doc_id,
+           |         CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score,
+           |         COUNT(*) AS n_terms_hit
+           |       FROM s GROUP BY 1, 2)
+           |SELECT query_id, doc_id, score, n_terms_hit, CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           |  FROM sc) WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      },
       // independent recomputation over unnested word lists; division
       // order fixed to the engine's (c_ab/M) / ((c_a/N)*(c_b/N))
       "q210_bigram_pmi" ->
