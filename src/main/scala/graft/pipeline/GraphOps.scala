@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph statistics over edge tables — the web-graph half of
+  * corpus curation. Common Crawl-lineage pipelines rank domains by link
+  * centrality (PageRank / harmonic centrality) and use the rank as a
+  * crawl-priority and quality prior; the reference engine has no graph
+  * surface, so this sits beside [[Dedup.connectedComponents]] (the other
+  * iterative graph op) in the LLM-pipeline layer.
+  *
+  * Everything is keyed joins + keyed aggregations — no adjacency lists on
+  * the driver, no per-node windows — so the shape survives a billion-edge
+  * graph: each iteration is one (src-keyed) join of the rank frame against
+  * the out-degree-annotated edges plus one dst-keyed sum.
+  */
+object GraphOps {
+
+  /** PageRank (Brin/Page 1998) with fixed iteration count and
+    * deterministic fixed-point arithmetic, so two engines (and two
+    * cluster topologies) produce bit-identical ranks:
+    *
+    *   pr_0(v)   = round6(1 / N)
+    *   pr_i+1(v) = round6((1-d)/N + d · Σ_{u→v} round6(pr_i(u)/out(u)))
+    *
+    * with the Σ accumulated as exact DECIMAL(28,6) (order-independent) and
+    * every stored rank snapped to the 1e-6 grid. Dangling nodes (out-degree
+    * 0) contribute no mass — the "weak" PageRank variant most batch
+    * implementations use; with damping the ranks stay bounded, they just
+    * no longer sum to exactly 1. Duplicate edge rows are collapsed first
+    * (an unweighted simple digraph); self-loops count like any edge.
+    *
+    * The edge table is persisted across iterations (out-degree is joined
+    * on once, not per iteration) and released when the result is first
+    * consumed. `iters` is small by design (production PageRank converges
+    * in tens of iterations; each is one keyed shuffle pair), so the plan
+    * stays linear in `iters` with no checkpointing needed.
+    *
+    * Output: (node, pr) for every node appearing as a source or target.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1,
+      s"pageRank: damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__out"))
+    // out-degree rides on every edge row so iterations never re-join it
+    val eo = e.join(outdeg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // N stays a (broadcast) 1-row frame — no driver-side count action
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    def snap(c: org.apache.spark.sql.Column) = TextAnalysis.round6(c)
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), snap(lit(1.0) / col("__n")).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = pr.join(eo, pr("node") === eo("src"))
+        .select(col("dst").as("node"),
+          snap(col("pr") / col("__out")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c").cast("decimal(28,6)")).cast("double").as("__sum"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          snap((lit(1.0) - damping) / col("__n") +
+            lit(damping) * coalesce(col("__sum"), lit(0.0))).as("pr"))
+    }
+    CacheScope.releaseAfterFirstUse(pr, Seq(eo, nodes))
+  }
+
+  /** Undirected co-occurrence edges from an item table: every unordered
+    * pair of distinct values sharing a group becomes an edge in BOTH
+    * directions — the standard construction for a co-citation /
+    * co-occurrence graph (domains cited by the same document, tokens in
+    * the same context). The self-join is keyed on the group column, so
+    * its cost is Σ per-group-degree², bounded by the caller's group
+    * fan-out (URLs per document), never corpus².
+    */
+  def coOccurrenceEdges(items: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = items.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .distinct()
+    val l = g.select(col("__g"), col("__v").as("src"))
+    val r = g.select(col("__g"), col("__v").as("dst"))
+    l.join(r, Seq("__g"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+}

@@ -118,14 +118,66 @@ object TextIndex {
       .format("parquet")
       .saveAsTable(table)
     // stats over ALL docs (empty docs count toward N and avgdl even
-    // though they have no postings) — identical algebra to bm25Rank's
+    // though they have no postings) — identical algebra to bm25Rank's.
+    // sum_dl rides along as an EXACT decimal so stats stay mergeable:
+    // an append adds (n, sum_dl) and re-derives avgdl — decimal addition
+    // is associative, so append == rebuild bit-for-bit (the q213 gate).
     base.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl").cast("decimal(28,6)")).cast("double") /
-          count(lit(1))).as("avgdl"))
+        coalesce(sum(col("dl").cast("decimal(28,6)")),
+          lit(0).cast("decimal(28,6)")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+        col("sum_dl"))
       .write.mode(SaveMode.Overwrite)
       .option("path", s"$path/stats")
       .format("parquet")
       .saveAsTable(s"${table}_stats")
+  }
+
+  /** INCREMENTAL BM25 index maintenance — the lexical twin of
+    * [[VectorIndex.appendToIndex]]: tokenize ONLY the new batch, append
+    * its (term, doc, tf, dl) rows into the bucketed postings table (the
+    * same bucket spec, so the no-exchange probe property is preserved),
+    * and merge the stats row arithmetically — n adds, the exact DECIMAL
+    * sum_dl adds, avgdl re-derives. Because postings are per-doc-local
+    * and the decimal sum is associative, `write(old); append(new)` is
+    * row-identical to `write(old ∪ new)` — ranking after an append
+    * matches a full rebuild bit-for-bit (the q213 gate pins this against
+    * the full-corpus oracle). This is how a production lexical index
+    * absorbs a daily crawl batch without re-tokenizing the corpus.
+    *
+    * The old stats row is collected first (a 1-row O(model) handoff) so
+    * the overwrite never reads the table it replaces.
+    */
+  def appendToBm25Index(newDocs: DataFrame, table: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 16): Unit = {
+    val spark = newDocs.sparkSession
+    val base = newDocs.select(col(idCol), Dedup.words(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("double"))
+    base.select(col(idCol), col("dl"), explode(col("__w")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .select(col("term"), col(idCol), col("dl"), col("tf"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(table)
+    val old = spark.table(s"${table}_stats")
+      .select(col("n_docs"), col("sum_dl")).head()
+    val batch = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl").cast("decimal(28,6)")),
+        lit(0).cast("decimal(28,6)")).as("s")).head()
+    val n = old.getLong(0) + batch.getLong(0)
+    val sumDl = old.getDecimal(1).add(batch.getDecimal(1))
+    spark.sql(
+      s"""SELECT CAST($n AS BIGINT) AS n_docs,
+         |  CAST(CAST('${sumDl.toPlainString}' AS DECIMAL(28,6)) AS DOUBLE)
+         |    / $n AS avgdl,
+         |  CAST('${sumDl.toPlainString}' AS DECIMAL(28,6)) AS sum_dl
+         |""".stripMargin)
+      .write.mode(SaveMode.Overwrite).insertInto(s"${table}_stats")
   }
 
   /** (postings, stats) frames of a stored BM25 index. */

@@ -130,4 +130,43 @@ object VectorIndex {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
   }
+
+  /** TWO-STAGE ANN search: ADC shortlist → EXACT re-rank — the standard
+    * production recall fix for product quantization (Jégou et al. 2011
+    * §IV-D: PQ distances are approximations; the final ordering should
+    * come from true distances over a small shortlist). Stage 1 is
+    * [[searchIndex]] with k = `shortlist` (ADC top-R per query, raw
+    * vectors never touched); stage 2 joins ONLY those R ids per query
+    * back to the raw corpus — the shortlist is queries×R rows, so it
+    * BROADCASTS onto the corpus scan (at 100 TB this is one
+    * semi-join-filtered pass over the vector store, and with the corpus
+    * at rest partitioned/bucketed by id it prunes further) — and
+    * re-scores with the exact squared L2 distance (1e-6 grid), re-ranking
+    * the top-k. Output: (queryIdCol, idCol, edist, rank ≤ k).
+    */
+  def searchRerank(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int, m: Int,
+      subDim: Int, nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(shortlist >= k,
+      s"searchRerank: shortlist ($shortlist) must be >= k ($k)")
+    val short = searchIndex(index, centroids, codebooks, queries, shortlist,
+        m, subDim, nprobe, idCol, vecCol, queryIdCol, centroidIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val cand = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(short), Seq(idCol))
+    val qv = queries.select(col(queryIdCol),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val d2 = aggregate(zip_with(col("__qv"), col("__v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("edist"), col(idCol))
+    cand.join(broadcast(qv), Seq(queryIdCol))
+      .filter(Similarity.sameWidth(col("__qv"), col("__v"), "searchRerank"))
+      .withColumn("edist", TextAnalysis.round6(d2))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("edist"), col("rank"))
+  }
 }

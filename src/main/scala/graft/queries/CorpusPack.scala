@@ -428,6 +428,37 @@ object CorpusPack extends QueryPack {
       }
     }),
 
+    // TWO-STAGE ANN: ADC top-20 shortlist from the at-rest index, exact
+    // full-dimension re-rank of just those 20 ids per query — the
+    // standard PQ recall fix; raw vectors are touched only for the
+    // broadcast-joined shortlist
+    "q214_ann_rerank" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val centroids = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = corpus.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_rr_")
+      val path = tmp.resolve("index").toString
+      try {
+        VectorIndex.writeIndex(corpus, centroids, cb, m = 4, subDim = 16, path)
+        VectorIndex.searchRerank(VectorIndex.readIndex(s, path), centroids,
+          cb, corpus, queries, k = 5, shortlist = 20, m = 4, subDim = 16,
+          nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // product-quantization TRAIN on a deterministic half-corpus sample
     // (hashSample salt "pq") — codebooks are the final-assignment means;
     // exploded to scalar rows for hashing. The codebook count is PINNED
@@ -629,6 +660,7 @@ object CorpusPack extends QueryPack {
       "q153_ivf_pq_at_rest" -> ivfPqOracle,
       // append == full rebuild when the model is frozen — same oracle
       "q180_index_append" -> ivfPqOracle,
+      "q214_ann_rerank" -> ivfPqRerankOracle,
       "q150_outlier_flags" ->
         """WITH cent AS (
           |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
@@ -893,7 +925,36 @@ object CorpusPack extends QueryPack {
     * rest): probe the 2 nearest cells per query, score their members
     * through the every-50th-vector codebooks' ADC LUT.
     */
-  private lazy val ivfPqOracle: String = {
+  private lazy val ivfPqOracle: String =
+    s"""WITH $ivfPqCtes
+       |SELECT query_id, vec_id, adist, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ADC top-20 shortlist re-scored with the exact full-dimension L2 on
+  // the raw vectors (1e-6 grid), re-ranked top-5 — mirrors
+  // VectorIndex.searchRerank's two stages
+  private lazy val ivfPqRerankOracle: String = {
+    def d2(l: String, r: String) =
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE)) *
+         |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE))))""".stripMargin
+    s"""WITH $ivfPqCtes,
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 20),
+       |rer AS (
+       |  SELECT s.query_id, s.vec_id, ${r6(d2("e", "q"))} AS edist
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.query_id = s.query_id)
+       |SELECT query_id, vec_id, edist, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY edist, vec_id) AS rank
+       |  FROM rer) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private lazy val ivfPqCtes: String = {
     def subD2(a: String, sub: String) = r6(
       s"""list_sum(list_transform(range(0, 16), i ->
          |  (CAST($a.embedding[$sub * 16 + i + 1] AS DOUBLE) - CAST(c.embedding[$sub * 16 + i + 1] AS DOUBLE)) *
@@ -902,7 +963,7 @@ object CorpusPack extends QueryPack {
       s"""list_sum(list_transform(range(0, 64), i ->
          |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE)) *
          |  (CAST($l.embedding[i + 1] AS DOUBLE) - CAST($r.embedding[i + 1] AS DOUBLE))))""".stripMargin
-    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
+    s"""cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),
        |assign AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT e.vec_id, cc.centroid_id,
@@ -934,10 +995,7 @@ object CorpusPack extends QueryPack {
        |  FROM cand ca
        |  JOIN codes co ON co.vec_id = ca.vec_id
        |  JOIN lut l ON l.query_id = ca.query_id AND l.sub = co.sub AND l.code_id = co.code_id
-       |  GROUP BY 1, 2 HAVING COUNT(*) = 4)
-       |SELECT query_id, vec_id, adist, rank FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
-       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |  GROUP BY 1, 2 HAVING COUNT(*) = 4)""".stripMargin
   }
 
   // mirrors TextAnalysis.tokenCount

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextIndex}
+import graft.pipeline.{Dedup, GraphOps, Multimodal, Sampling, Similarity, TextAnalysis, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -253,6 +253,23 @@ object PipelinePack extends QueryPack {
         .orderBy(col("domain"))
     }),
 
+    // domain PageRank over the URL co-citation graph: injected URLs →
+    // extract → per-doc domain co-occurrence edges → 3 snapped
+    // iterations; keyed joins only, N stays a broadcast 1-row frame
+    "q215_domain_pagerank" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val edges = GraphOps.coOccurrenceEdges(urls, "doc_id", "domain")
+      GraphOps.pageRank(edges, iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // blocklist routing table: docs whose URLs hit blocked domains flag
     "q194_domain_blocklist" -> ((s, d) => {
       import s.implicits._
@@ -497,6 +514,32 @@ object PipelinePack extends QueryPack {
       val table = "graft_bm25_index_q206"
       try {
         TextIndex.writeBm25Index(docs, table, tmp.resolve("idx").toString)
+        val (postings, stats) = TextIndex.readBm25Index(s, table)
+        TextIndex.bm25RankIndexed(postings, stats,
+          Seq("spark", "join", "vector"), k = 10)
+          .orderBy(col("score").desc, col("doc_id"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        s.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
+    // INCREMENTAL BM25 maintenance: build the index on 80% of the
+    // corpus, APPEND the remaining 20% (postings append into the same
+    // bucketed table + exact-decimal stats merge), rank — must equal the
+    // full-corpus build bit-for-bit (q204's oracle verbatim)
+    "q213_bm25_index_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25app_")
+      val table = "graft_bm25_index_q213"
+      try {
+        TextIndex.writeBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+          table, tmp.resolve("idx").toString)
+        TextIndex.appendToBm25Index(docs.filter(col("doc_id") % 5 === 0), table)
         val (postings, stats) = TextIndex.readBm25Index(s, table)
         TextIndex.bm25RankIndexed(postings, stats,
           Seq("spark", "join", "vector"), k = 10)
@@ -1103,6 +1146,43 @@ object PipelinePack extends QueryPack {
           |  FROM m)
           |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
           |FROM d1 GROUP BY 1 ORDER BY domain""".stripMargin,
+      // edges re-derived arithmetically from the injection rule (the
+      // q193 pattern), then 3 PageRank iterations unrolled: snapped
+      // per-edge contributions, exact DECIMAL sums, (1.0 - 0.85) kept
+      // as the engine's exact IEEE expression
+      "q215_domain_pagerank" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        def iter(prev: String, cN: String, prN: String) =
+          s"""$cN AS (
+             |  SELECT e.dst AS node,
+             |    CAST(SUM(CAST(${r6(s"$prev.pr / od.outdeg")} AS DECIMAL(28,6))) AS DOUBLE) AS s
+             |  FROM $prev JOIN e ON e.src = $prev.node JOIN od ON od.src = e.src
+             |  GROUP BY 1),
+             |$prN AS (
+             |  SELECT nodes.node,
+             |    ${r6(s"(1.0 - 0.85) / n.n + 0.85 * COALESCE($cN.s, 0.0)")} AS pr
+             |  FROM nodes LEFT JOIN $cN USING (node), n)""".stripMargin
+        s"""WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |dom AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+           |  FROM m
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           |  FROM m),
+           |e AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+           |      FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+           |nodes AS (SELECT DISTINCT src AS node FROM e
+           |          UNION SELECT DISTINCT dst FROM e),
+           |n AS (SELECT COUNT(*) AS n FROM nodes),
+           |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+           |pr0 AS (SELECT node, ${r6("1.0 / n.n")} AS pr FROM nodes, n),
+           |${iter("pr0", "c1", "pr1")},
+           |${iter("pr1", "c2", "pr2")},
+           |${iter("pr2", "c3", "pr3")}
+           |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      },
       "q194_domain_blocklist" ->
         """WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
           |hits AS (
@@ -1684,6 +1764,12 @@ object PipelinePack extends QueryPack {
       // same algebra through the at-rest postings/stats tables: the index
       // must be a pure layout change, so the oracle is q204's verbatim
       "q206_bm25_at_rest" ->
+        s"""WITH $bm25Ctes
+           |SELECT doc_id, score, n_terms_hit FROM sc
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // build-on-80% + append-20% must equal the full-corpus build, so
+      // the oracle is again q204's verbatim
+      "q213_bm25_index_append" ->
         s"""WITH $bm25Ctes
            |SELECT doc_id, score, n_terms_hit FROM sc
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,

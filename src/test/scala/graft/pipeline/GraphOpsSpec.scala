@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** PageRank + co-occurrence edge construction: hand-derived fixed-point
+  * values on tiny graphs, symmetry/conservation laws, edge collapsing.
+  */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("two-node cycle stays uniform at 0.5 each") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(pr === Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("star graph: one snapped iteration matches the hand-derived values") {
+    // a -> b, c -> b; b dangles. pr0 = round6(1/3) = 0.333333
+    // pr1(b) = round6((1-0.85)/3 + 0.85 * (0.333333 + 0.333333)) = 0.616666
+    // pr1(a) = pr1(c) = round6((1-0.85)/3) = 0.05
+    val edges = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(pr === Map("a" -> 0.05, "b" -> 0.616666, "c" -> 0.05))
+  }
+
+  test("iters = 0 returns the uniform initialization over all endpoint nodes") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "b")).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 0)
+      .as[(String, Double)].collect().toMap
+    assert(pr === Map("a" -> 0.333333, "b" -> 0.333333, "c" -> 0.333333))
+  }
+
+  test("dangling-free graph conserves total rank to within the snap grid") {
+    // 4-cycle: every node has out-degree 1, no dangling mass is lost
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 5)
+      .as[(String, Double)].collect()
+    assert(pr.length === 4)
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-4)
+    // symmetric graph -> equal ranks
+    assert(pr.map(_._2).distinct.length === 1)
+  }
+
+  test("duplicate edges collapse: rank equals the simple-graph run") {
+    val simple = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"))
+    val dup = simple ++ simple ++ simple
+    val prS = GraphOps.pageRank(simple.toDF("src", "dst"), iters = 3)
+      .as[(String, Double)].collect().toMap
+    val prD = GraphOps.pageRank(dup.toDF("src", "dst"), iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(prS === prD)
+  }
+
+  test("coOccurrenceEdges: all ordered pairs within a group, deduped across rows") {
+    val items = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"),
+      (2L, "x"), (2L, "y"), (3L, "q")).toDF("g", "v")
+    val edges = GraphOps.coOccurrenceEdges(items, "g", "v")
+      .as[(String, String)].collect().toSet
+    val expected = Set(("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"),
+      ("y", "z"), ("z", "y"))
+    assert(edges === expected)
+    // no self-loops, symmetric by construction
+    assert(edges.forall { case (s, d) => s != d && edges.contains((d, s)) })
+  }
+}

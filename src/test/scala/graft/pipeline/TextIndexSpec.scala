@@ -69,6 +69,43 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("BM25 append equals a full rebuild: postings, merged stats, and ranking") {
+    // empty-text doc in the APPENDED batch: contributes to N/avgdl but
+    // has no postings — the stats merge must still be exact
+    val docs = corpus.union(Seq((9999L, "")).toDF("doc_id", "text"))
+    val tmpF = java.nio.file.Files.createTempDirectory("tidx_bm25_full")
+    val tmpI = java.nio.file.Files.createTempDirectory("tidx_bm25_incr")
+    val (tf, ti) = ("graft_tidx_bm25_full", "graft_tidx_bm25_incr")
+    try {
+      TextIndex.writeBm25Index(docs, tf, tmpF.resolve("idx").toString)
+      TextIndex.writeBm25Index(docs.filter($"doc_id" % 4 =!= 0),
+        ti, tmpI.resolve("idx").toString)
+      TextIndex.appendToBm25Index(docs.filter($"doc_id" % 4 === 0), ti)
+      val (pF, sF) = TextIndex.readBm25Index(spark, tf)
+      val (pI, sI) = TextIndex.readBm25Index(spark, ti)
+      assert(pI.as[(String, Long, Double, Double)].collect().toSet ===
+        pF.as[(String, Long, Double, Double)].collect().toSet)
+      // stats merge is EXACT: n adds, decimal sum_dl adds, avgdl is the
+      // same double as the rebuild's
+      assert(sI.select("n_docs", "avgdl").as[(Long, Double)].head() ===
+        sF.select("n_docs", "avgdl").as[(Long, Double)].head())
+      val rF = TextIndex.bm25RankIndexed(pF, sF, Seq("quick", "unique"), k = 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      val rI = TextIndex.bm25RankIndexed(pI, sI, Seq("quick", "unique"), k = 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(rI === rF && rI.nonEmpty)
+    } finally {
+      Seq(tf, ti).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}_stats`")
+      }
+      import scala.jdk.CollectionConverters._
+      Seq(tmpF, tmpI).foreach(tmp =>
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
   test("hot-bucket cap applies to each side independently") {
     withIndex("cap") { idx =>
       // cap of 1 drops every bucket shared by >1 doc on either side ->

@@ -73,6 +73,50 @@ class VectorIndexSpec extends SparkTestBase {
     assert(idx.count() === emb.count() * 2)
   }
 
+  test("two-stage rerank: with full probe + corpus-wide shortlist it equals exact L2 top-k") {
+    val path = tmpPath("rerank_full")
+    VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
+    val got = VectorIndex.searchRerank(VectorIndex.readIndex(spark, path),
+      cent, cb, emb, queries, k = 4, shortlist = 200, m = 2, subDim = 8,
+      nprobe = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // exact top-k by true squared L2, same snap + tie rule, computed
+    // independently of the index machinery
+    val d2 = aggregate(zip_with(col("__qv"), col("__v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, t) => s + t)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("edist"), col("vec_id"))
+    val want = queries.select(col("query_id"), col("embedding").cast("array<double>").as("__qv"))
+      .crossJoin(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("__v")))
+      .withColumn("edist", TextAnalysis.round6(d2))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("query_id"), col("vec_id"), col("edist"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("rerank draws only from the ADC shortlist and orders by exact distance") {
+    val path = tmpPath("rerank_sub")
+    VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
+    val idx = VectorIndex.readIndex(spark, path)
+    val short = VectorIndex.searchIndex(idx, cent, cb, queries,
+      k = 8, m = 2, subDim = 8, nprobe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rer = VectorIndex.searchRerank(idx, cent, cb, emb, queries,
+      k = 4, shortlist = 8, m = 2, subDim = 8, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rer.nonEmpty)
+    assert(rer.forall { case (q, v, _, _) => short.contains((q, v)) },
+      "rerank candidates must come from the ADC shortlist")
+    rer.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._3).toSeq === byRank.map(_._3).sorted.toSeq,
+        "rank order must follow exact distance")
+    }
+  }
+
   test("probe join prunes to the probed cells (runtime or static partition filter)") {
     val path = tmpPath("prune")
     VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
