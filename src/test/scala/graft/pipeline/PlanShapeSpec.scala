@@ -27,6 +27,46 @@ class PlanShapeSpec extends SparkTestBase {
     assertNoProduct(Dedup.cosinePairs(emb, threshold = 0.5))
   }
 
+  test("pageRank: edges only ever meet rank frames through equi-joins") {
+    val edges = (1 to 50).map(i => (s"n${i % 10}", s"n${(i * 3) % 10}"))
+      .toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 2)
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    // the ONLY nested-loop joins are the broadcast 1-row N frame — one per
+    // rank projection (init + one per iteration), never an edge product
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 3, s"expected <= 3 one-row-N BNLJs, got $bnlj:\n$plan")
+  }
+
+  test("searchRerank: shortlist and query vectors broadcast — no product join") {
+    val embD = (1 to 120).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.29 + d * 1.3))))
+      .toDF("vec_id", "embedding")
+    val cent = embD.filter(col("vec_id") % 30 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val cb = embD.filter(col("vec_id") % 20 === 2)
+      .select(col("vec_id").as("code_id"),
+        posexplode(transform(sequence(lit(0), lit(1)),
+          x => slice(col("embedding").cast("array<double>"), x * 8 + 1, lit(8))))
+          .as(Seq("sub", "subvec")))
+    val queries = embD.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = VectorIndex.buildIndex(embD, cent, cb, m = 2, subDim = 8)
+    val plan = VectorIndex.searchRerank(idx, cent, cb, embD, queries,
+      k = 3, shortlist = 10, m = 2, subDim = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    // the only nested-loop joins are stage 1's broadcast MODEL crossJoins
+    // (queries/vectors x centroids, identifiable by their width-check
+    // condition); the rerank stage itself must add none — its corpus and
+    // query joins are keyed and broadcast-hash
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("vector width mismatch")),
+      s"unexpected product join outside the centroid-model crossJoins:\n$plan")
+  }
+
   test("cosinePairs finds near-identical vectors through the bucket gate") {
     val nearDup = Seq(
       (1001L, Array.tabulate(16)(d => math.sin(7 * 0.37 + d * 1.7).toFloat)))
