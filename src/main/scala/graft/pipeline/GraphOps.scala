@@ -73,6 +73,60 @@ object GraphOps {
     CacheScope.releaseAfterFirstUse(pr, Seq(eo, nodes))
   }
 
+  /** PERSONALIZED PageRank: the teleport lands uniformly on a SEED set
+    * instead of all nodes — the seed-based trust/quality propagation used
+    * over web graphs (TrustRank, Gyöngyi et al. 2004: start from vetted
+    * good domains, damping-decay their mass along links; a page's score
+    * is its link-proximity to the seeds). Same snapped fixed-point
+    * arithmetic as [[pageRank]]:
+    *
+    *   t(v)      = round6(1 / |S|) if v ∈ S else 0
+    *   pr_0      = t
+    *   pr_i+1(v) = round6((1-d)·t(v) + d · Σ_{u→v} round6(pr_i(u)/out(u)))
+    *
+    * Nodes unreachable from the seeds decay to 0 — that asymmetry is the
+    * point. Seeds not present in the edge set still teleport (they are
+    * added to the node set), so a vetted-but-unlinked seed keeps its base
+    * mass. Output: (node, pr) over edge-endpoint nodes ∪ seeds.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", seedCol: String = "node"): DataFrame = {
+    require(iters >= 0, s"personalizedPageRank: iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1,
+      s"personalizedPageRank: damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__out"))
+    val eo = e.join(outdeg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col(seedCol).as("node")).distinct()
+    val sRow = s.agg(count(lit(1)).as("__s"))
+    def snap(c: org.apache.spark.sql.Column) = TextAnalysis.round6(c)
+    // teleport rides on the node frame — computed once, reused per iteration
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(s.select(col("node"))).distinct()
+      .join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(sRow))
+      .select(col("node"),
+        when(col("__seed").isNotNull, snap(lit(1.0) / col("__s")))
+          .otherwise(lit(0.0)).as("__t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.select(col("node"), col("__t").as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = pr.join(eo, pr("node") === eo("src"))
+        .select(col("dst").as("node"),
+          snap(col("pr") / col("__out")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c").cast("decimal(28,6)")).cast("double").as("__sum"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          snap((lit(1.0) - damping) * col("__t") +
+            lit(damping) * coalesce(col("__sum"), lit(0.0))).as("pr"))
+    }
+    CacheScope.releaseAfterFirstUse(pr, Seq(eo, nodes))
+  }
+
   /** Undirected co-occurrence edges from an item table: every unordered
     * pair of distinct values sharing a group becomes an edge in BOTH
     * directions — the standard construction for a co-citation /

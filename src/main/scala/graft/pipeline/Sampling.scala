@@ -111,6 +111,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** CLUSTER-BALANCED sampling — diversity sampling over embedding space
+    * (the D4/SemDeDup-lineage selection step: cluster the corpus, then
+    * draw evenly per cluster so no dense region dominates the training
+    * mix): assign every vector to its nearest centroid
+    * ([[Similarity.ivfAssign]] — broadcast centroids, struct-min argmin,
+    * no window) and keep a deterministic per-cell quota
+    * ([[stratifiedQuota]] — salted-hash order, so the draw is
+    * reproducible and engine-portable). The per-cell window is bounded by
+    * cell population, the only corpus-wide work is the argmin scan.
+    * Output: (idCol, centroidIdCol) of the kept vectors.
+    */
+  def clusterBalancedSample(vecs: DataFrame, centroids: DataFrame,
+      perCell: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id",
+      salt: String = "cb"): DataFrame = {
+    require(perCell >= 1,
+      s"clusterBalancedSample: perCell must be >= 1, got $perCell")
+    val assigned = Similarity.ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+      .select(col(idCol), col(centroidIdCol))
+    stratifiedQuota(assigned, centroidIdCol, idCol, perCell, salt)
+  }
+
   /** Deterministic train/val/test assignment: the salted key hash lands in
     * `[0, 2^32)` and each split owns a contiguous range sized by its
     * weight (cumulative cuts rounded at 2^32 granularity). A pure

@@ -180,9 +180,20 @@ object TextAnalysis {
     */
   def lmScore(docs: DataFrame, trainFraction: Double = 0.25,
       salt: String = "lm", textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val train = Sampling.hashSample(docs.select(col(idCol), col(textCol)),
-      idCol, trainFraction, salt)
+      idCol: String = "doc_id"): DataFrame =
+    lmScoreAgainst(docs,
+      Sampling.hashSample(docs.select(col(idCol), col(textCol)),
+        idCol, trainFraction, salt),
+      textCol, idCol)
+
+  /** Score every doc under an add-one-smoothed bigram LM trained on an
+    * ARBITRARY training frame (same algebra as [[lmScore]], which is the
+    * train-on-a-hash-sample special case). Separating the two is what
+    * importance-style data selection needs: the same corpus scored under
+    * two different LMs ([[dsirWeights]]).
+    */
+  def lmScoreAgainst(docs: DataFrame, train: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val trainBi = Dedup.shingleRows(train, textCol, idCol, 2).select(col("shingle"))
     val big = trainBi.groupBy(col("shingle")).agg(count(lit(1)).as("__c2"))
     val pre = trainBi
@@ -207,6 +218,55 @@ object TextAnalysis {
       .withColumn("avg_logprob",
         round6(col("sum_lp4").cast("double") / (col("n_bigrams") * 1e4)))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus doc
+    * under a TARGET-domain bigram LM and under a corpus-background bigram
+    * LM (a hash-sampled slice), and weight it by the likelihood ratio
+    * w = exp(avg_logprob_target − avg_logprob_corpus) — docs that look
+    * more like the target than like the background get w > 1. Both LMs
+    * are the [[lmScore]] add-one-smoothed bigram model (hashed feature
+    * LMs in the paper; bigram-over-words here, matching the CCNet-lineage
+    * scorer the engine already gates). The log-ratio and the weight snap
+    * to the 1e-6 grid. Output: (idCol, lp_target, lp_corpus, log_ratio,
+    * weight).
+    *
+    * Scale shape: two LM scoring passes (each one keyed join against
+    * broadcast-sized count tables) and an id-keyed join — nothing
+    * corpus-quadratic, no driver state beyond the LM count tables.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+      corpusTrainFraction: Double = 0.25, salt: String = "dsir",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tgt = lmScoreAgainst(docs, target.select(col(idCol), col(textCol)),
+        textCol, idCol)
+      .select(col(idCol), col("avg_logprob").as("lp_target"))
+    val cor = lmScore(docs, corpusTrainFraction, salt, textCol, idCol)
+      .select(col(idCol), col("avg_logprob").as("lp_corpus"))
+    tgt.join(cor, Seq(idCol))
+      .withColumn("log_ratio", round6(col("lp_target") - col("lp_corpus")))
+      .withColumn("weight", round6(exp(col("log_ratio"))))
+  }
+
+  /** DSIR importance RESAMPLING: keep each doc with probability
+    * min(1, rate·w) via the stateless salted hash cut
+    * ([[Sampling.weightedHashSample]]) — deterministic, engine-portable,
+    * pushdown-friendly; the target-vs-background likelihood ratio from
+    * [[dsirWeights]] is the weight. This is the data-selection step that
+    * turns a raw crawl into a target-domain-shaped training mix. Output:
+    * the kept docs' (idCol, weight).
+    */
+  def dsirResample(docs: DataFrame, target: DataFrame, rate: Double,
+      corpusTrainFraction: Double = 0.25, salt: String = "dsir",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // the keep draw salts differently from the background-LM train draw —
+    // with a shared salt, LM-train membership (hash < trainFraction·2^32)
+    // and the keep cut (hash < w·rate·2^32) would be the SAME hash, so
+    // training docs would be kept preferentially
+    Sampling.weightedHashSample(
+      dsirWeights(docs, target, corpusTrainFraction, salt, textCol, idCol)
+        .select(col(idCol), col("weight")),
+      idCol, "weight", rate, s"$salt:keep")
 
   /** Sparse TF-IDF cosine similarity over k-token shingles — the
     * token-space complement to embedding cosine ([[Dedup.cosinePairs]]):

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, VectorIndex}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis, VectorIndex}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -459,6 +459,17 @@ object CorpusPack extends QueryPack {
       }
     }),
 
+    // cluster-balanced (diversity) sampling: nearest-centroid assign +
+    // deterministic per-cell quota — dense embedding regions can't
+    // dominate the sampled mix
+    "q217_cluster_balanced" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val centroids = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Sampling.clusterBalancedSample(corpus, centroids, perCell = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     // product-quantization TRAIN on a deterministic half-corpus sample
     // (hashSample salt "pq") — codebooks are the final-assignment means;
     // exploded to scalar rows for hashing. The codebook count is PINNED
@@ -661,6 +672,16 @@ object CorpusPack extends QueryPack {
       // append == full rebuild when the model is frozen — same oracle
       "q180_index_append" -> ivfPqOracle,
       "q214_ann_rerank" -> ivfPqRerankOracle,
+      // nearest-centroid assignment (the ivfPq `assign` CTE) + the q95
+      // salted-hash quota per cell, salt 'cb'
+      "q217_cluster_balanced" ->
+        s"""WITH $ivfPqCtes
+           |SELECT vec_id, centroid_id FROM (
+           |  SELECT vec_id, centroid_id, ROW_NUMBER() OVER (PARTITION BY centroid_id
+           |    ORDER BY CAST('0x' || substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           |      vec_id) AS rn
+           |  FROM assign)
+           |WHERE rn <= 5 ORDER BY vec_id""".stripMargin,
       "q150_outlier_flags" ->
         """WITH cent AS (
           |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 1),

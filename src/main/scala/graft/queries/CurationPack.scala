@@ -258,6 +258,17 @@ object CurationPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance resampling: every doc scored under a TARGET bigram
+    // LM (English docs) and the corpus-background LM; likelihood-ratio
+    // weight w = exp(lp_t - lp_c), kept iff hash < min(1, 0.5·w)·2^32 —
+    // the data-selection step that shapes a crawl toward a target domain
+    "q218_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val target = docs.filter(col("lang") === "en")
+      TextAnalysis.dsirResample(docs, target, rate = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // normalization-invariant exact dedup: case/punctuation/whitespace-
     // insensitive content hash, smallest id survives
     "q148_norm_dedup" -> ((s, d) => {
@@ -505,6 +516,50 @@ object CurationPack extends QueryPack {
          |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp4) AS BIGINT) AS sum_lp4,
          |  FLOOR(CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 1e4) * 1e6 + 0.5) / 1e6 AS avg_logprob
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // two q147-algebra bigram LMs (prefix-disambiguated CTEs): target =
+    // English docs, background = the salt-'dsir' quarter sample; weight =
+    // r6(exp(r6(lp_t - lp_c))); keep iff hash('dsir:keep:' || id) <
+    // floor(min(w·0.5, 1)·2^32) — the weightedHashSample cut verbatim
+    "q218_dsir_resample" -> {
+      def lmCtes(p: String, trainSel: String): String = {
+        val bi2 = shinglesSql("w", 2)
+        s"""${p}tr AS ($trainSel),
+           |${p}trw AS (SELECT doc_id, $wordsSql AS w FROM ${p}tr),
+           |${p}trbi AS (SELECT unnest($bi2) AS g FROM ${p}trw),
+           |${p}big AS (SELECT g, COUNT(*) AS c2 FROM ${p}trbi GROUP BY g),
+           |${p}pre AS (SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS c1
+           |            FROM ${p}trbi GROUP BY 1),
+           |${p}voc AS (
+           |  SELECT COUNT(DISTINCT t) AS v FROM (
+           |    SELECT unnest($wordsSql) AS t FROM ${p}tr) WHERE length(t) > 0),
+           |${p}db AS (SELECT doc_id, unnest($bi2) AS g FROM
+           |  (SELECT doc_id, $wordsSql AS w FROM documents)),
+           |${p}sc AS (
+           |  SELECT d.doc_id,
+           |    CAST(FLOOR(ln((COALESCE(b.c2, 0) + 1.0) /
+           |      (COALESCE(p2.c1, 0) + ${p}voc.v)) * 1e4 + 0.5) AS BIGINT) AS lp4
+           |  FROM ${p}db d
+           |  LEFT JOIN ${p}big b ON d.g = b.g
+           |  LEFT JOIN ${p}pre p2 ON string_split(d.g, ' ')[1] = p2.w1, ${p}voc),
+           |${p}res AS (
+           |  SELECT doc_id,
+           |    FLOOR(CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 1e4) * 1e6 + 0.5) / 1e6 AS avg_logprob
+           |  FROM ${p}sc GROUP BY doc_id)""".stripMargin
+      }
+      def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+      s"""WITH ${lmCtes("t_", "SELECT doc_id, text FROM documents WHERE lang = 'en'")},
+         |${lmCtes("c_",
+            s"""SELECT doc_id, text FROM documents
+               |  WHERE ${hex32Sql("'dsir:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}""".stripMargin)},
+         |wts AS (
+         |  SELECT t.doc_id, ${r6(s"exp(${r6("t.avg_logprob - c.avg_logprob")})")} AS weight
+         |  FROM t_res t JOIN c_res c USING (doc_id))
+         |SELECT doc_id, weight FROM wts
+         |WHERE ${hex32Sql("'dsir:keep:' || CAST(doc_id AS VARCHAR)")} <
+         |  FLOOR(LEAST(weight * 0.5, 1.0) * 4294967296.0)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q174_top_terms_per_lang" ->

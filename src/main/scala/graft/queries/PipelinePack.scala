@@ -270,6 +270,26 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // TrustRank over the same co-citation graph: teleport restricted to
+    // a vetted seed set — link-proximity to the seeds becomes the score,
+    // unreachable domains decay to zero
+    "q216_trust_rank" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val edges = GraphOps.coOccurrenceEdges(urls, "doc_id", "domain")
+      val seeds = Seq("site0.example.com", "site1.example.com",
+        "cdn0.example.net").toDF("node")
+      GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // blocklist routing table: docs whose URLs hit blocked domains flag
     "q194_domain_blocklist" -> ((s, d) => {
       import s.implicits._
@@ -1178,6 +1198,49 @@ object PipelinePack extends QueryPack {
            |n AS (SELECT COUNT(*) AS n FROM nodes),
            |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
            |pr0 AS (SELECT node, ${r6("1.0 / n.n")} AS pr FROM nodes, n),
+           |${iter("pr0", "c1", "pr1")},
+           |${iter("pr1", "c2", "pr2")},
+           |${iter("pr2", "c3", "pr3")}
+           |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      },
+      // q215's graph with the teleport restricted to the 3-domain seed
+      // set: t = round6(1/|S|) on seeds, 0 elsewhere; 3 unrolled
+      // iterations of r6((1-d)·t + d·Σ)
+      "q216_trust_rank" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        def iter(prev: String, cN: String, prN: String) =
+          s"""$cN AS (
+             |  SELECT e.dst AS node,
+             |    CAST(SUM(CAST(${r6(s"$prev.pr / od.outdeg")} AS DECIMAL(28,6))) AS DOUBLE) AS s
+             |  FROM $prev JOIN e ON e.src = $prev.node JOIN od ON od.src = e.src
+             |  GROUP BY 1),
+             |$prN AS (
+             |  SELECT nt.node,
+             |    ${r6(s"(1.0 - 0.85) * nt.t + 0.85 * COALESCE($cN.s, 0.0)")} AS pr
+             |  FROM nt LEFT JOIN $cN USING (node))""".stripMargin
+        s"""WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |dom AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+           |  FROM m
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           |  FROM m),
+           |e AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+           |      FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+           |seeds AS (SELECT unnest(['site0.example.com', 'site1.example.com',
+           |  'cdn0.example.net']) AS node),
+           |ns AS (SELECT COUNT(*) AS s FROM seeds),
+           |nodes AS (SELECT DISTINCT src AS node FROM e
+           |          UNION SELECT DISTINCT dst FROM e
+           |          UNION SELECT node FROM seeds),
+           |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+           |nt AS (SELECT nodes.node,
+           |         CASE WHEN sd.node IS NOT NULL THEN ${r6("1.0 / ns.s")}
+           |              ELSE 0.0 END AS t
+           |       FROM nodes LEFT JOIN seeds sd USING (node), ns),
+           |pr0 AS (SELECT node, t AS pr FROM nt),
            |${iter("pr0", "c1", "pr1")},
            |${iter("pr1", "c2", "pr2")},
            |${iter("pr2", "c3", "pr3")}

@@ -489,4 +489,52 @@ class CurationOpsSpec extends SparkTestBase {
       assert(r.getAs[Double]("mean_word_len") === 0.0)
     }
   }
+
+  test("clusterBalancedSample: at most perCell rows per cell, all cells drawn, deterministic") {
+    val emb = (1 to 100).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.31 + d * 1.1))))
+      .toDF("vec_id", "embedding")
+    val cent = emb.filter($"vec_id" % 25 === 1)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    def draw() = Sampling.clusterBalancedSample(emb, cent, perCell = 7)
+      .as[(Long, Long)].collect().toSet
+    val got = draw()
+    assert(got === draw(), "draw must be deterministic")
+    val perCell = got.groupBy(_._2).view.mapValues(_.size)
+    assert(perCell.values.forall(_ <= 7))
+    assert(perCell.keys.toSet === Set(1L, 26L, 51L, 76L),
+      s"every populated cell must contribute: ${perCell.toMap}")
+  }
+
+  test("dsirWeights identity law: target == background training sample -> every weight is exactly 1") {
+    // when the target LM IS the background LM, lp_target == lp_corpus for
+    // every doc, so weight = round6(exp(round6(0))) = 1.0 with no
+    // floating tolerance
+    val sample = Sampling.hashSample(
+      docs.select($"doc_id", $"text"), "doc_id", 0.25, "dsir")
+    val w = TextAnalysis.dsirWeights(docs, sample)
+      .select("weight").as[Double].collect()
+    assert(w.nonEmpty)
+    assert(w.forall(_ === 1.0), s"non-unit weights: ${w.distinct.take(5).toSeq}")
+  }
+
+  test("dsirWeights separates target-like docs from alien-vocabulary docs") {
+    val mixed = (0 until 200).map { i =>
+      val text =
+        if (i % 2 == 0) s"the quick brown fox jumps over the lazy dog again and again ${i % 3}"
+        else s"zzq qqz zqz xqx qxq wvw vwv uvu vuv tut ${i % 3}"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val target = mixed.filter($"doc_id" % 2 === 0)
+    val w = TextAnalysis.dsirWeights(mixed, target)
+      .select($"doc_id", $"weight").as[(Long, Double)].collect()
+    val (tgt, alien) = w.partition(_._1 % 2 == 0)
+    assert(tgt.nonEmpty && alien.nonEmpty)
+    assert(tgt.map(_._2).min > alien.map(_._2).max,
+      s"target-like docs must outweigh alien docs: min(target)=${tgt.map(_._2).min}, max(alien)=${alien.map(_._2).max}")
+    val kept = TextAnalysis.dsirResample(mixed, target, rate = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // alien docs' weights are tiny -> the keep cut should favor target docs
+    assert(kept.count(_ % 2 == 0) > kept.count(_ % 2 == 1))
+  }
 }

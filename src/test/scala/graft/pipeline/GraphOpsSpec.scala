@@ -55,6 +55,38 @@ class GraphOpsSpec extends SparkTestBase {
     assert(prS === prD)
   }
 
+  test("personalized: one iteration on a -> b with seed {a} gives 0.15 / 0.85") {
+    // t(a)=1, t(b)=0; pr1(b) = round6(0.85 * round6(1/1)) = 0.85,
+    // pr1(a) = round6((1-0.85) * 1) = 0.15
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val pr = GraphOps.personalizedPageRank(edges, seeds, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(pr === Map("a" -> 0.15, "b" -> 0.85))
+  }
+
+  test("personalized: an unlinked seed keeps its teleport mass; unreachable nodes decay to 0") {
+    val edges = Seq(("c", "d")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val pr = GraphOps.personalizedPageRank(edges, seeds, iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(pr === Map("a" -> 0.15, "c" -> 0.0, "d" -> 0.0))
+  }
+
+  test("personalized with the full node set as seeds matches plain pageRank") {
+    // N = 2 keeps 1/N exactly on the 1e-6 snap grid, so (1-d)/N (plain)
+    // and (1-d)·round6(1/N) (personalized) are the same double; the
+    // self-loop makes the dynamics non-uniform
+    val edges = Seq(("a", "a"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    val all = Seq("a", "b").toDF("node")
+    val plain = GraphOps.pageRank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    val pers = GraphOps.personalizedPageRank(edges, all, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(pers === plain)
+    assert(plain("a") !== plain("b"))
+  }
+
   test("coOccurrenceEdges: all ordered pairs within a group, deduped across rows") {
     val items = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"),
       (2L, "x"), (2L, "y"), (3L, "q")).toDF("g", "v")
