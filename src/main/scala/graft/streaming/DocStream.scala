@@ -67,4 +67,36 @@ object DocStream {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
+
+  /** STREAMING lexical-index maintenance: every arriving micro-batch of
+    * documents is tokenized and appended into the at-rest BM25 index
+    * ([[TextIndex.appendToBm25Index]] — postings append into the bucketed
+    * table, exact-decimal stats merge). Because the append is
+    * batch-associative (postings are per-doc-local, the decimal sum_dl
+    * is order-free), the index after the stream drains is bit-identical
+    * to a one-shot build over base ∪ streamed docs — DocStreamSpec pins
+    * ranking parity against the full rebuild. foreachBatch because the
+    * append touches two tables transactionally-ish (postings, then
+    * stats); at-least-once on retry, so a production run keys replays by
+    * checkpointed batch id (same contract as [[streamingNearDupProbe]]).
+    * Per batch the work is O(batch postings) + a 1-row stats read —
+    * corpus cost stays at build time.
+    */
+  def streamingBm25Append(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, table: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextIndex.appendToBm25Index(batch, table, textCol, idCol)
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
 }

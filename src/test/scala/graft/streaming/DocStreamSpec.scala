@@ -50,6 +50,45 @@ class DocStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming BM25 append: drained stream equals the one-shot full build") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 0)
+    val arriving = corpus.filter(col("doc_id") % 5 === 0)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25stream_")
+    val (tFull, tStream) = ("graft_bm25_ds_full", "graft_bm25_ds_stream")
+    try {
+      TextIndex.writeBm25Index(corpus, tFull, tmp.resolve("full").toString)
+      TextIndex.writeBm25Index(base, tStream, tmp.resolve("incr").toString)
+      val srcDir = tmp.resolve("src").toString
+      arriving.repartition(3).write.parquet(srcDir)
+      val q = DocStream.streamingBm25Append(spark, srcDir, schemaDDL,
+        tStream, maxFilesPerTrigger = Some(1))
+      try assert(q.awaitTermination(120000),
+        "streaming BM25 append did not terminate within 120 s")
+      finally q.stop()
+
+      val (pF, sF) = TextIndex.readBm25Index(spark, tFull)
+      val (pS, sS) = TextIndex.readBm25Index(spark, tStream)
+      assert(sS.select("n_docs", "avgdl").collect().toSeq ===
+        sF.select("n_docs", "avgdl").collect().toSeq)
+      def rank(p: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) =
+        TextIndex.bm25RankIndexed(p, s, Seq("spark", "join", "vector"), k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val got = rank(pS, sS)
+      assert(got === rank(pF, sF) && got.nonEmpty)
+    } finally {
+      Seq(tFull, tStream).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}_stats`")
+      }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming Z-ordered ingest: post-compaction readBox equals the batch path") {
     import spark.implicits._
     import graft.ops.ZOrder
