@@ -146,4 +146,82 @@ object SpatialJoin {
     out.drop("__lg", "__rg", "__lminx", "__lminy", "__lmaxx", "__lmaxy",
       "minx", "miny", "maxx", "maxy")
   }
+
+  // ---------------------------------------------------------------- KNN join
+
+  /** Bounded-radius k-nearest-neighbor join: for every query point, the k
+    * nearest corpus points with squared distance <= radius², ranked by
+    * (dist2, point id) so ties are deterministic. This is the spatial twin
+    * of the ANN top-k family — "nearest cells/transcripts to each probe" —
+    * and the standard distance-join-then-top-k form every distributed
+    * spatial engine lowers KNN to (a true unbounded KNN needs an expanding
+    * search; at pipeline scale the caller always has a physically-motivated
+    * radius, e.g. a cell diameter).
+    *
+    * `dist2` stays in exact IEEE algebra ((qx-px)² + (qy-py)² — products
+    * and sums of doubles are correctly rounded), so two engines rank
+    * identically; no sqrt is taken (sqrt is monotone, ranking needs only
+    * dist2, and emitting the square keeps the oracle exact).
+    *
+    * Broadcast path: the query side is small (probes), the corpus is one
+    * pruned scan + a per-query window bounded by density·πr² candidates.
+    */
+  def knnWithinRadiusBroadcast(queries: DataFrame, points: DataFrame,
+      k: Int, radius: Double,
+      qid: String = "qid", qx: String = "qx", qy: String = "qy",
+      pid: String = "pid", px: String = "x", py: String = "y"): DataFrame = {
+    require(k >= 1, s"knnWithinRadius: k must be >= 1, got $k")
+    require(radius > 0, s"knnWithinRadius: radius must be > 0, got $radius")
+    val q = queries.select(col(qid), col(qx), col(qy))
+    val coarse = col(px) >= col(qx) - radius && col(px) <= col(qx) + radius &&
+      col(py) >= col(qy) - radius && col(py) <= col(qy) + radius
+    rankCandidates(points.join(broadcast(q), coarse, "inner"),
+      k, radius, qid, qx, qy, pid, px, py)
+  }
+
+  /** Grid form of [[knnWithinRadiusBroadcast]] for big-by-big: cell size =
+    * radius, the QUERY side explodes to its 3x3 neighbor cells, corpus
+    * points stay in exactly their own cell — a candidate pair meets once
+    * (in the point's cell), so no dedup pass is needed and the join is a
+    * plain shuffle equi-join on the cell id. Any point within `radius` of
+    * a query is inside the query's 3x3 stencil, so recall is exact.
+    */
+  def knnWithinRadiusGrid(queries: DataFrame, points: DataFrame,
+      k: Int, radius: Double,
+      qid: String = "qid", qx: String = "qx", qy: String = "qy",
+      pid: String = "pid", px: String = "x", py: String = "y"): DataFrame = {
+    require(k >= 1, s"knnWithinRadius: k must be >= 1, got $k")
+    require(radius > 0, s"knnWithinRadius: radius must be > 0, got $radius")
+    val q = queries.select(col(qid), col(qx), col(qy))
+      .withColumn("__cellx", explode(sequence(
+        floor(col(qx) / radius).cast("long") - 1,
+        floor(col(qx) / radius).cast("long") + 1)))
+      .withColumn("__celly", explode(sequence(
+        floor(col(qy) / radius).cast("long") - 1,
+        floor(col(qy) / radius).cast("long") + 1)))
+    val p = points
+      .withColumn("__cellx", floor(col(px) / radius).cast("long"))
+      .withColumn("__celly", floor(col(py) / radius).cast("long"))
+    rankCandidates(p.join(q, Seq("__cellx", "__celly"), "inner")
+        .drop("__cellx", "__celly"),
+      k, radius, qid, qx, qy, pid, px, py)
+  }
+
+  /** Shared refine + rank: exact radius filter, then a per-QUERY window
+    * (partitioned on the query id — candidate count per query is bounded
+    * by point density times the stencil area, never the corpus).
+    */
+  private def rankCandidates(cand: DataFrame, k: Int, radius: Double,
+      qid: String, qx: String, qy: String,
+      pid: String, px: String, py: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dx = col(qx) - col(px)
+    val dy = col(qy) - col(py)
+    val w = Window.partitionBy(col(qid)).orderBy(col("dist2"), col(pid))
+    cand.withColumn("dist2", dx * dx + dy * dy)
+      .filter(col("dist2") <= lit(radius * radius))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col(qid), col(pid), col("dist2"), col("knn_rank"))
+  }
 }

@@ -3,11 +3,12 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Deterministic cardinality sketching. The classic streaming sketches
-  * (HLL, CPC) trade exactness for memory but are engine-specific bit
-  * soups no SQL oracle can mirror; the bottom-θ (fixed-threshold KMV /
-  * theta) sketch gives the same sub-linear behavior with EXACT
-  * reproducibility on any md5-bearing engine: keep only keys whose
+/** Deterministic cardinality sketching. Off-the-shelf streaming sketches
+  * (engine-native HLL, CPC) are engine-private bit soups no SQL oracle can
+  * mirror; the two forms here are built so an oracle CAN: the bottom-θ
+  * (fixed-threshold KMV / theta) sketch, and an md5-derived HyperLogLog
+  * ([[hllRegisters]]/[[hllDistinct]]) whose register math is plain integer
+  * algebra. The theta sketch keeps only keys whose
   * uniform 32-bit hash falls below 2^32/θ⁻¹, count them distinct, scale
   * by θ⁻¹. Every step is integer arithmetic over md5 — the estimate is a
   * deterministic function of the key set.
@@ -250,5 +251,79 @@ object Sketches {
       .join(broadcast(cms), Seq("j", "bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** HyperLogLog REGISTERS (Flajolet et al. 2007) from the md5 hash — the
+    * constant-memory distinct sketch whose state is 2^p max-rank registers
+    * per group no matter how many keys stream through, and whose sketches
+    * MERGE by per-register max (union frames, re-aggregate — see
+    * [[hllMerge]]). Unlike the usual engine-private HLL bit soup, every
+    * step here is integer algebra over md5 an oracle can mirror: bucket =
+    * top p bits of hash32, rho = leading-zero count of the remaining
+    * (32-p)-bit word + 1 via `bin()` string length (identical minimal
+    * binary strings in any engine), register = max rho. Only NON-EMPTY
+    * buckets materialize as rows (sparse form — merge and estimate both
+    * treat absent buckets as rho 0).
+    * Output: group columns + (bucket, rho).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      p: Int = 9, salt: String = "hll"): DataFrame = {
+    require(p >= 2 && p <= 16, s"hllRegisters: p must be in [2, 16], got $p")
+    val wbits = 32 - p
+    val h = Sampling.keyHash32(col(keyCol), salt)
+    val w = h.bitwiseAND(lit((1L << wbits) - 1))
+    val rho = when(w > 0, lit(wbits + 1) - length(bin(w))).otherwise(lit(wbits + 1))
+    df.select(groupCols.map(col) :+ shiftright(h, wbits).as("bucket") :+
+        rho.cast("int").as("__rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("__rho")).as("rho"))
+  }
+
+  /** Merge HLL register frames built with the SAME (p, salt): union, then
+    * per-(group, bucket) max. Absent buckets stay absent (rho 0).
+    */
+  def hllMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge: need at least one sketch")
+    sketches.reduce(_.unionByName(_))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** HLL distinct-count estimate from [[hllRegisters]]: the raw HLL
+    * estimator E = alpha_m · m² / Σ_j 2^(-rho_j) over ALL m buckets
+    * (absent = rho 0), kept deterministic by exact-integer harmonic
+    * arithmetic: the sum is scaled by 2^(wbits+1) so every term
+    * 2^(wbits+1-rho) is a BIGINT (shiftleft — no float pow), and the one
+    * float step is a single division of driver-exact constants snapped to
+    * the 1e-6 grid. The small-range (linear-counting) and large-range
+    * corrections are the CONSUMER's choice — they need `ln`, whose last
+    * ulp is not engine-portable; the raw estimator + `empty_buckets` give
+    * a consumer everything those corrections need. Standard error ≈
+    * 1.04/√m (p=9 → ~4.6%).
+    * Output: group columns + (hit_buckets, empty_buckets, harmonic_scaled,
+    * est_distinct).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      p: Int = 9, salt: String = "hll"): DataFrame = {
+    val m = 1L << p
+    val wbits = 32 - p
+    val shift = wbits + 1 // >= max rho, so every harmonic term is integral
+    // alpha_m · m² · 2^shift: exact-integer product times the standard bias
+    // constant, computed ONCE on the driver — both engines divide the same
+    // literal by the same exact-integer sum
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val numerator = alpha * m.toDouble * m.toDouble * (1L << shift).toDouble
+    hllRegisters(df, groupCols, keyCol, p, salt)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("hit_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $shift - rho)")).as("__s_hit"))
+      .select(groupCols.map(col) :+ col("hit_buckets") :+
+        (lit(m) - col("hit_buckets")).as("empty_buckets") :+
+        (col("__s_hit") +
+          (lit(m) - col("hit_buckets")) * lit(1L << shift)).as("harmonic_scaled"): _*)
+      .withColumn("est_distinct",
+        TextAnalysis.round6(lit(numerator) / col("harmonic_scaled")))
   }
 }

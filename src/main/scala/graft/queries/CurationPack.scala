@@ -302,6 +302,17 @@ object CurationPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // md5-derived HyperLogLog per-lang vocabulary estimate: 512 max-rank
+    // registers per group no matter the token stream; harmonic sum stays
+    // exact-integer (2^24-scaled shiftleft terms), one snapped division
+    "q220_hll_distinct" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(Dedup.words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      Sketches.hllDistinct(tok, Seq("lang"), "token", p = 9)
+        .orderBy(col("lang"))
+    }),
+
     // Count-Min frequency estimates for the df>=50 vocabulary over a
     // 3 x 4096 grid: state bounded by the grid no matter the key stream
     "q160_cms_counts" -> ((s, d) => {
@@ -699,6 +710,32 @@ object CurationPack extends QueryPack {
          |SELECT pj.token, MIN(COALESCE(cms.c, 0)) AS est_count
          |FROM pj LEFT JOIN cms USING (j, bucket)
          |GROUP BY pj.token ORDER BY pj.token""".stripMargin
+    },
+
+    // p=9 HLL mirror: same md5 hash32, bucket = top 9 bits, rho from the
+    // minimal bin() string, registers = MAX rho, exact-integer harmonic
+    // sum; the numerator constant is the driver-computed alpha*m^2*2^24
+    "q220_hll_distinct" -> {
+      val num = 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 * 16777216.0
+      s"""WITH tok AS (
+         |  SELECT lang, unnest($wordsSql) AS token FROM documents),
+         |h AS (
+         |  SELECT lang, ${hex32Sql("'hll:' || token")} AS h
+         |  FROM tok WHERE length(token) > 0),
+         |r AS (
+         |  SELECT lang, h >> 23 AS bucket,
+         |    MAX(CASE WHEN (h & 8388607) > 0
+         |        THEN 24 - length(bin(h & 8388607)) ELSE 24 END) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT lang, COUNT(*) AS hit_buckets,
+         |    CAST(SUM((1::BIGINT) << (24 - rho)) AS BIGINT) AS s_hit
+         |  FROM r GROUP BY 1)
+         |SELECT lang, hit_buckets, 512 - hit_buckets AS empty_buckets,
+         |  s_hit + (512 - hit_buckets) * 16777216 AS harmonic_scaled,
+         |  FLOOR($num / (s_hit + (512 - hit_buckets) * 16777216) * 1e6 + 0.5) / 1e6
+         |    AS est_distinct
+         |FROM agg ORDER BY lang""".stripMargin
     },
 
     "q159_theta_distinct" ->

@@ -81,6 +81,20 @@ object SpatialPack extends QueryPack {
         .orderBy(col("dim"), col("idx"))
     }),
 
+    // Bounded-radius KNN join (grid form): ~1/401 of the points probe the
+    // full point set for their 5 nearest neighbors within radius 1 —
+    // candidates meet in the probe's 3x3 cell stencil (plain equi-join on
+    // the cell id, no product), exact IEEE dist2 + (dist2, pid) ranking.
+    "q219_knn_join" -> ((s, d) => {
+      val pts = points(s, d)
+        .withColumn("pid", col("l_orderkey") * 8 + col("l_linenumber"))
+        .select(col("pid"), col("x"), col("y"))
+      val q = pts.filter(col("pid") % 401 === 1)
+        .select(col("pid").as("qid"), col("x").as("qx"), col("y").as("qy"))
+      graft.ops.SpatialJoin.knnWithinRadiusGrid(q, pts, k = 5, radius = 1.0)
+        .orderBy(col("qid"), col("knn_rank"))
+    }),
+
     // Identity-cs bounding box on points: exclusive bounds, range predicate
     // pushed to the parquet scan (spatial_query.py:668-701 fast path).
     "q10_bbox_points_identity" -> ((s, d) => {
@@ -196,6 +210,18 @@ object SpatialPack extends QueryPack {
         s"""SELECT * FROM ($pts)
            |WHERE x > 10.0 AND x < 40.0 AND y > 10.0 AND y < 40.0
            |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      // brute-force KNN ground truth: the oracle never sees the grid
+      "q219_knn_join" ->
+        s"""WITH p AS (SELECT l_orderkey * 8 + l_linenumber AS pid,
+           |    l_extendedprice / 1000.0 AS x, l_quantity AS y FROM lineitem),
+           |q AS (SELECT pid AS qid, x AS qx, y AS qy FROM p WHERE pid % 401 = 1),
+           |cand AS (
+           |  SELECT qid, pid, (qx - x) * (qx - x) + (qy - y) * (qy - y) AS dist2
+           |  FROM q JOIN p ON (qx - x) * (qx - x) + (qy - y) * (qy - y) <= 1.0)
+           |SELECT qid, pid, dist2, CAST(rnk AS INT) AS knn_rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rnk
+           |  FROM cand)
+           |WHERE rnk <= 5 ORDER BY qid, knn_rank""".stripMargin,
       // target = 2x+5 in (20,80) -> x in (7.5, 37.5); y: 4y-3 in (20,80) -> (5.75, 20.75)
       "q11_bbox_points_scale" ->
         s"""SELECT * FROM ($pts)

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-radius KNN join: grid == broadcast == brute force, exact-k
+  * bound, deterministic tie ranking, product-free grid plan.
+  */
+class KnnJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic pseudo-random point cloud: 400 points in [0, 20)^2
+  private lazy val pts: DataFrame = (0 until 400).map { i =>
+    val x = (i * 37 % 200) / 10.0
+    val y = (i * 53 % 200) / 10.0
+    (i.toLong, x, y)
+  }.toDF("pid", "x", "y").cache()
+
+  private lazy val probes: DataFrame =
+    pts.filter($"pid" % 17 === 3)
+      .select($"pid".as("qid"), $"x".as("qx"), $"y".as("qy"))
+
+  private def brute(k: Int, r: Double): DataFrame = {
+    val cand = probes.crossJoin(pts)
+      .withColumn("dist2", ($"qx" - $"x") * ($"qx" - $"x") +
+        ($"qy" - $"y") * ($"qy" - $"y"))
+      .filter($"dist2" <= r * r)
+    cand.withColumn("knn_rank",
+        row_number().over(Window.partitionBy($"qid").orderBy($"dist2", $"pid")))
+      .filter($"knn_rank" <= k)
+      .select($"qid", $"pid", $"dist2", $"knn_rank")
+  }
+
+  test("grid path matches brute force exactly") {
+    val got = SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 4, radius = 1.5)
+    assert(got.exceptAll(brute(4, 1.5)).isEmpty && brute(4, 1.5).exceptAll(got).isEmpty)
+  }
+
+  test("broadcast path matches the grid path") {
+    val g = SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 3, radius = 2.0)
+    val b = SpatialJoin.knnWithinRadiusBroadcast(probes, pts, k = 3, radius = 2.0)
+    assert(g.exceptAll(b).isEmpty && b.exceptAll(g).isEmpty)
+  }
+
+  test("at most k neighbors per probe, all within the radius") {
+    val got = SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 5, radius = 1.0)
+      .cache()
+    val per = got.groupBy($"qid").agg(count(lit(1)).as("n"),
+      max($"dist2").as("maxd")).collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getLong(1) <= 5)
+      assert(r.getDouble(2) <= 1.0)
+    }
+    got.unpersist()
+  }
+
+  test("rank 1 of a probe drawn from the point set is itself at dist2 0") {
+    val got = SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 1, radius = 0.5)
+      .filter($"knn_rank" === 1).collect()
+    // probes are corpus points: each probe's nearest neighbor is a point
+    // at distance zero, and the (dist2, pid) tiebreak picks the least pid
+    // among exact co-located duplicates
+    got.foreach { r => assert(r.getDouble(2) == 0.0) }
+    assert(got.nonEmpty)
+  }
+
+  test("grid plan has no cartesian product") {
+    val plan = SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 2, radius = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("guards reject non-positive k and radius") {
+    intercept[IllegalArgumentException] {
+      SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 0, radius = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      SpatialJoin.knnWithinRadiusBroadcast(probes, pts, k = 1, radius = 0.0)
+    }
+  }
+}

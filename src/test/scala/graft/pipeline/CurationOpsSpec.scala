@@ -280,6 +280,39 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged === est)
   }
 
+  test("hllDistinct: estimate within ~3 sigma of truth; registers merge by max") {
+    val keys = (0 until 20000).map(i => (i % 4, s"key_$i")).toDF("g", "k")
+    val est = Sketches.hllDistinct(keys, Seq("g"), "k", p = 9)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    // 5000 distinct keys per group, p=9 -> stderr ~1.04/sqrt(512) = 4.6%
+    est.foreach { case (g, e) =>
+      assert(math.abs(e - 5000.0) < 700, s"group $g estimate $e too far from 5000")
+    }
+    // merging the halves' register frames == sketching the whole
+    val half1 = keys.filter(col("k") < "key_5")
+    val half2 = keys.filter(col("k") >= "key_5")
+    val whole = Sketches.hllRegisters(keys, Seq("g"), "k", p = 9)
+    val merged = Sketches.hllMerge(Seq(
+      Sketches.hllRegisters(half1, Seq("g"), "k", p = 9),
+      Sketches.hllRegisters(half2, Seq("g"), "k", p = 9)), Seq("g"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("hllDistinct: harmonic bookkeeping is exact-integer and duplicate-insensitive") {
+    val once = (0 until 500).map(i => (0, s"k$i")).toDF("g", "k")
+    val thrice = (0 until 1500).map(i => (0, s"k${i % 500}")).toDF("g", "k")
+    val a = Sketches.hllDistinct(once, Seq("g"), "k", p = 6).collect().head
+    val b = Sketches.hllDistinct(thrice, Seq("g"), "k", p = 6).collect().head
+    // a distinct sketch must not move under repetition
+    assert(a === b)
+    // hit + empty = m; harmonic_scaled >= m (every register term >= 1)
+    assert(a.getLong(1) + a.getLong(2) === 64L)
+    assert(a.getLong(3) >= 64L)
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(once, Seq("g"), "k", p = 1)
+    }
+  }
+
   test("thetaDistinct prunes with the hash filter BEFORE the distinct shuffle") {
     // spark.range keeps a real plan (a local Seq constant-folds away)
     val keys = spark.range(1000).select((col("id") % 4).cast("int").as("g"),
