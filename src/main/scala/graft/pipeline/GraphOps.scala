@@ -146,4 +146,51 @@ object GraphOps {
       .select(col("src"), col("dst"))
       .distinct()
   }
+
+  /** Label-propagation community detection (Raghavan et al. 2007), the
+    * cheap large-graph community pass (domain clusters over link graphs,
+    * near-dup families over similarity graphs): every node starts as its
+    * own label; each SYNCHRONOUS iteration relabels a node to its
+    * neighbors' most frequent label. The classic algorithm breaks
+    * frequency ties randomly — here ties take the MINIMUM label, and
+    * iterations are synchronous with a fixed count, so the result is a
+    * deterministic function of the edge set (two engines and two
+    * partitionings agree; the price is the possible two-coloring
+    * oscillation on bipartite regions, which a fixed iteration count
+    * makes reproducible rather than divergent).
+    *
+    * Each iteration is one src-keyed join (labels onto edges) + one
+    * (node, label)-keyed count + one node-keyed argmax via struct-min
+    * ((-count, label) — no window, no collect). Isolated self-loop-only
+    * nodes keep their own label through the left join. `directed=false`
+    * (the default) symmetrizes the edge set first — community detection
+    * is an undirected notion; pass `directed=true` to propagate along arcs.
+    * Output: (node, label).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      directed: Boolean = false, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (directed) raw
+             else raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst"))))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 0 until iters) {
+      val best = labels.join(e, labels("node") === e("src"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l"))).as("__b"))
+        .select(col("node"), col("__b.l").as("label"))
+      labels = nodes.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    }
+    CacheScope.releaseAfterFirstUse(labels, Seq(e, nodes))
+  }
 }

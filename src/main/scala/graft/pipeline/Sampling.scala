@@ -307,4 +307,66 @@ object Sampling {
       .filter(keyHash32(col(keyCol), salt) <
         floor(col("rate") * 4294967296.0).cast("long"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023): distribute a row budget
+    * across groups (languages/sources) as UNIFORMLY as possible subject to
+    * a per-group capacity cap of `maxEpochs`·n_g — the multilingual mixing
+    * rule that replaced temperature scaling for mT5-class training mixes
+    * (small languages get their full capacity, large languages split the
+    * remaining budget evenly). The allocation is the classic waterfill:
+    * sort groups by capacity ascending, saturate while
+    * cap_i·(G-i+1) + Σ_{j<i} cap_j <= B, split what remains evenly as the
+    * water level L; alloc_g = min(cap_g, L).
+    *
+    * Every step is engine-exact: capacities snap to the 1e-6 grid, prefix
+    * sums accumulate in DECIMAL(28,6), the saturation test is pure decimal
+    * arithmetic, and the two float divisions (level, rate) snap round6.
+    * The waterfill windows run over the G-row counts frame (G = number of
+    * groups — bounded, never the corpus). `rate` may exceed 1 when
+    * maxEpochs > 1: that is the group's allocated EPOCH count (a repeat
+    * plan for the loader); the row filter in [[unimaxSample]] caps at 1.
+    * Output: (group, n_rows, cap_rows, rate).
+    */
+  def unimaxRates(df: DataFrame, groupCol: String, budget: Long,
+      maxEpochs: Double = 1.0): DataFrame = {
+    require(budget >= 0, s"unimaxRates: budget must be >= 0, got $budget")
+    require(maxEpochs > 0, s"unimaxRates: maxEpochs must be > 0, got $maxEpochs")
+    val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val dec = (c: Column) => c.cast("decimal(28,6)")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+      .withColumn("cap_rows", r6(col("n_rows") * lit(maxEpochs)))
+    val w = Window.orderBy(col("cap_rows"), col(groupCol))
+    val ann = counts
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__s", sum(dec(col("cap_rows"))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("__g"))))
+    val sat = ann.filter(
+      dec(col("cap_rows")) * (col("__g") - col("__i") + lit(1)) +
+        (col("__s") - dec(col("cap_rows"))) <= dec(lit(budget)))
+    val kRow = sat.agg(coalesce(max(col("__i")), lit(0)).as("__k"),
+      coalesce(max(col("__s")), dec(lit(0))).as("__sk"))
+    // water level: evenly split what the saturated prefix leaves over the
+    // G-k unsaturated groups; all-saturated -> alloc = cap everywhere
+    ann.crossJoin(broadcast(kRow))
+      .select(col(groupCol), col("n_rows"), col("cap_rows"),
+        r6(when(col("__g") === col("__k"), col("cap_rows"))
+          .otherwise(least(col("cap_rows"),
+            r6((lit(budget.toDouble) - col("__sk").cast("double")) /
+              (col("__g") - col("__k")))))
+          / col("n_rows")).as("rate"))
+  }
+
+  /** Filter `df` by the deterministic hash draw at its group's capped
+    * [[unimaxRates]] rate — broadcast rates join + stateless hash-cut
+    * filter, same corpus shape as [[temperatureSample]]. Rates above 1
+    * (epoch plans) cap at certain keep; repetition is the loader's job.
+    */
+  def unimaxSample(df: DataFrame, groupCol: String, keyCol: String,
+      budget: Long, maxEpochs: Double = 1.0, salt: String = "s"): DataFrame = {
+    val rates = unimaxRates(df, groupCol, budget, maxEpochs)
+    df.join(broadcast(rates.select(col(groupCol), col("rate"))), Seq(groupCol))
+      .filter(keyHash32(col(keyCol), salt) <
+        floor(least(col("rate"), lit(1.0)) * 4294967296.0).cast("long"))
+  }
 }

@@ -290,6 +290,23 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // label-propagation communities over the same co-citation graph:
+    // 3 synchronous iterations, most-frequent-neighbor label with min-label
+    // ties — deterministic community ids with no window over the graph
+    "q221_lpa_communities" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val edges = GraphOps.coOccurrenceEdges(urls, "doc_id", "domain")
+      GraphOps.labelPropagation(edges, iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // blocklist routing table: docs whose URLs hit blocked domains flag
     "q194_domain_blocklist" -> ((s, d) => {
       import s.implicits._
@@ -827,6 +844,16 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
 
+    // UniMax budget allocation (maxEpochs=1): waterfill over per-lang
+    // capacities — small languages keep everything, large languages split
+    // the remaining budget evenly; decimal-exact saturation test, snapped
+    // level/rate, then the same hash cut as q96/q211
+    "q222_unimax_sample" -> ((s, d) => {
+      Sampling.unimaxSample(Tables.documents(s, d), "lang", "doc_id",
+        budget = 150)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
     // BATCH retrieval against the at-rest BM25 index: two queries at
     // once as (query_id, term) rows — broadcast query join instead of a
     // term IN literal, per-TERM df shared across queries, per-query
@@ -1202,6 +1229,41 @@ object PipelinePack extends QueryPack {
            |${iter("pr1", "c2", "pr2")},
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      },
+      // q215's graph through 3 unrolled label-propagation iterations:
+      // per-node neighbor-label counts, ROW_NUMBER (c DESC, label) pick —
+      // the mirror of the struct-min argmax
+      "q221_lpa_communities" -> {
+        def iter(prev: String, i: Int) =
+          s"""c$i AS (
+             |  SELECT e.dst AS node, l.label, COUNT(*) AS c
+             |  FROM $prev l JOIN e ON e.src = l.node GROUP BY 1, 2),
+             |b$i AS (
+             |  SELECT node, label FROM (
+             |    SELECT node, label,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |    FROM c$i) WHERE rn = 1),
+             |lbl$i AS (
+             |  SELECT nodes.node, COALESCE(b$i.label, nodes.node) AS label
+             |  FROM nodes LEFT JOIN b$i USING (node))""".stripMargin
+        s"""WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |dom AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+           |  FROM m
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           |  FROM m),
+           |e AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+           |      FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+           |nodes AS (SELECT DISTINCT src AS node FROM e
+           |          UNION SELECT DISTINCT dst FROM e),
+           |lbl0 AS (SELECT node, node AS label FROM nodes),
+           |${iter("lbl0", 1)},
+           |${iter("lbl1", 2)},
+           |${iter("lbl2", 3)}
+           |SELECT node, label FROM lbl3 ORDER BY node""".stripMargin
       },
       // q215's graph with the teleport restricted to the 3-domain seed
       // set: t = round6(1/|S|) on seeds, 0 elsewhere; 3 unrolled
@@ -1883,6 +1945,38 @@ object PipelinePack extends QueryPack {
            |  CASE $cases ELSE -1 END
            |ORDER BY doc_id""".stripMargin
       },
+      // waterfill mirror: capacities sorted asc with decimal prefix sums,
+      // saturation test in pure decimal, level + rate snapped round6,
+      // then the q96 hash cut
+      "q222_unimax_sample" ->
+        s"""WITH counts AS (
+           |  SELECT lang, COUNT(*) AS n,
+           |    FLOOR(COUNT(*) * 1.0 * 1e6 + 0.5) / 1e6 AS cap
+           |  FROM documents GROUP BY 1),
+           |g AS (SELECT COUNT(*) AS g FROM counts),
+           |ann AS (
+           |  SELECT lang, n, cap,
+           |    ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+           |    SUM(CAST(cap AS DECIMAL(28,6))) OVER (ORDER BY cap, lang
+           |      ROWS UNBOUNDED PRECEDING) AS s
+           |  FROM counts),
+           |sat AS (
+           |  SELECT i, s FROM ann, g
+           |  WHERE CAST(cap AS DECIMAL(28,6)) * (g.g - i + 1)
+           |      + (s - CAST(cap AS DECIMAL(28,6))) <= 150),
+           |k AS (SELECT COALESCE(MAX(i), 0) AS k,
+           |        CAST(COALESCE(MAX(s), 0) AS DOUBLE) AS sk FROM sat),
+           |rates AS (
+           |  SELECT lang,
+           |    FLOOR((CASE WHEN g.g = k.k THEN cap
+           |      ELSE LEAST(cap,
+           |        FLOOR((150.0 - sk) / (g.g - k.k) * 1e6 + 0.5) / 1e6)
+           |      END) / n * 1e6 + 0.5) / 1e6 AS rate
+           |  FROM ann, g, k)
+           |SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+           |WHERE ${hex32Sql("'s:' || CAST(doc_id AS VARCHAR)")} <
+           |  FLOOR(LEAST(rate, 1.0) * 4294967296.0)
+           |ORDER BY doc_id""".stripMargin,
       // √n_g weights on the 1e-6 grid, exact-decimal Σw, per-group rate
       // re-derived and re-snapped — then the same hash cut as q96
       "q211_temperature_mix" ->

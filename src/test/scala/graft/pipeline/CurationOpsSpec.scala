@@ -280,6 +280,42 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged === est)
   }
 
+  test("unimaxRates: waterfill saturates small groups, splits the rest evenly") {
+    // groups of 10 / 20 / 300 rows, budget 100, maxEpochs 1:
+    // caps sorted 10, 20, 300 -> 10 and 20 saturate (10*3=30<=100,
+    // 20*2+10=50<=100; 300+30>100), level = (100-30)/1 = 70
+    val rows = ((0 until 10).map(i => ("a", i.toLong)) ++
+      (0 until 20).map(i => ("b", i.toLong + 100)) ++
+      (0 until 300).map(i => ("c", i.toLong + 1000))).toDF("g", "k")
+    val rates = Sampling.unimaxRates(rows, "g", budget = 100)
+      .select("g", "rate").as[(String, Double)].collect().toMap
+    assert(rates === Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.233333))
+    // kept: small groups whole; big group ~70 rows (hash-binomial)
+    val kept = Sampling.unimaxSample(rows, "g", "k", budget = 100)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept("a") === 10L && kept("b") === 20L)
+    assert(math.abs(kept("c") - 70L) < 30, s"group c kept ${kept("c")}")
+  }
+
+  test("unimaxRates: maxEpochs > 1 reports epoch plans; budget >= capacity keeps all") {
+    val rows = ((0 until 10).map(i => ("a", i.toLong)) ++
+      (0 until 20).map(i => ("b", i.toLong + 100)) ++
+      (0 until 300).map(i => ("c", i.toLong + 1000))).toDF("g", "k")
+    // caps double to 20/40/600; budget 100: 20*3=60<=100, 40*2+20=100<=100,
+    // 600+60>100 -> level (100-60)/1 = 40 rows -> rates (alloc/n_rows)
+    // 20/10 = 2 epochs, 40/20 = 2 epochs, 40/300 = 0.133333
+    val rates = Sampling.unimaxRates(rows, "g", budget = 100, maxEpochs = 2.0)
+      .select("g", "rate").as[(String, Double)].collect().toMap
+    assert(rates === Map("a" -> 2.0, "b" -> 2.0, "c" -> 0.133333))
+    // budget above total capacity: every group at its full epoch cap
+    val full = Sampling.unimaxRates(rows, "g", budget = 10000)
+      .select("g", "rate").as[(String, Double)].collect().toMap
+    assert(full === Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    assert(Sampling.unimaxSample(rows, "g", "k", budget = 10000).count() === 330L)
+    // zero budget keeps nothing
+    assert(Sampling.unimaxSample(rows, "g", "k", budget = 0).count() === 0L)
+  }
+
   test("hllDistinct: estimate within ~3 sigma of truth; registers merge by max") {
     val keys = (0 until 20000).map(i => (i % 4, s"key_$i")).toDF("g", "k")
     val est = Sketches.hllDistinct(keys, Seq("g"), "k", p = 9)

@@ -98,4 +98,40 @@ class GraphOpsSpec extends SparkTestBase {
     // no self-loops, symmetric by construction
     assert(edges.forall { case (s, d) => s != d && edges.contains((d, s)) })
   }
+
+  test("labelPropagation: disjoint cliques converge to their min label in 2 iterations") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val lbl = GraphOps.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: hand-derived 2-iteration trace on two bridged triangles") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    // iter1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    val l1 = GraphOps.labelPropagation(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // iter2: 1: {1,1}->1; 2: {2,1} tie -> 1; 3: {2,1,3} tie -> 1;
+    //        4: {1,4,4}->4; 5: {3,4} tie -> 3; 6: {3,4} tie -> 3
+    val l2 = GraphOps.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: directed=true propagates along arcs only") {
+    // a -> b -> c chain, directed: b adopts a's label, c adopts b's OLD label
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val l1 = GraphOps.labelPropagation(edges, iters = 1, directed = true)
+      .as[(String, String)].collect().toMap
+    // a has no in-neighbors -> keeps itself through the left join
+    assert(l1 === Map("a" -> "a", "b" -> "a", "c" -> "b"))
+    val undirected = GraphOps.labelPropagation(edges, iters = 1)
+      .as[(String, String)].collect().toMap
+    assert(undirected === Map("a" -> "b", "b" -> "a", "c" -> "b"))
+  }
 }
