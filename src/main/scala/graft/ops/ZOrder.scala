@@ -63,6 +63,40 @@ object ZOrder {
       ymin: Double, ymax: Double, bits: Int = 16): Column =
     interleave(quantize(x, xmin, xmax, bits), quantize(y, ymin, ymax, bits), bits)
 
+  /** 3-D Morton key: bit i of qx -> key bit 3i, qy -> 3i+1, qz -> 3i+2
+    * (`bits` <= 21 keeps the 3·bits-wide key positive in a long) — the
+    * volumetric twin of [[interleave]] for z-stack rasters and 3-D point
+    * clouds (the container's (z, y, x) elements), or (x, y, t)
+    * spatiotemporal clustering. Same pure shift/mask algebra.
+    */
+  def interleave3(qx: Column, qy: Column, qz: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 21, s"interleave3: bits must be in [1, 21], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(qx, i).bitwiseAND(lit(1L)), 3 * i) +
+        shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 3 * i + 1) +
+        shiftleft(shiftright(qz, i).bitwiseAND(lit(1L)), 3 * i + 2)
+    }.reduce(_ + _)
+  }
+
+  /** [[quantize]] + [[interleave3]] over raw 3-D coordinates. */
+  def zorderKey3(x: Column, y: Column, z: Column,
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double,
+      zmin: Double, zmax: Double, bits: Int = 10): Column =
+    interleave3(quantize(x, xmin, xmax, bits), quantize(y, ymin, ymax, bits),
+      quantize(z, zmin, zmax, bits), bits)
+
+  /** Driver-side [[interleave3]] (planning / spec cross-check). */
+  private[graft] def morton3(qx: Long, qy: Long, qz: Long, bits: Int): Long = {
+    var k = 0L; var i = 0
+    while (i < bits) {
+      k |= ((qx >> i) & 1L) << (3 * i)
+      k |= ((qy >> i) & 1L) << (3 * i + 1)
+      k |= ((qz >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    k
+  }
+
   /** Driver-side Morton key for range planning (same algebra as
     * [[interleave]], on longs).
     */

@@ -783,6 +783,49 @@ object TextAnalysis {
           "^www\\.", ""))
   }
 
+  /** Canonical URL form — the URL-level dedup key (the same page crawled
+    * as `https://WWW.Host:443/a/?utm_source=x#frag` and `https://host/a`
+    * must collapse before page-level dedup even starts): drop the
+    * fragment, lowercase scheme + authority, strip a leading `www.`, strip
+    * the scheme's default port (:80 http / :443 https), remove tracking
+    * query params (utm_*, fbclid, gclid, msclkid) with separator repair,
+    * and strip trailing slashes. A fixed chain of regexp steps — stateless,
+    * codegen'd, no UDF, each step mirrorable in SQL. Approximations are
+    * the standard ones: query-param ORDER is preserved (not sorted), %XX
+    * escapes are left as-is, and a directory/`?` boundary slash survives
+    * (`/a/?id=1`). Non-URL input (no `scheme://`) passes through unchanged.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val pq0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    // tracking params go, their leading separator stays, then the
+    // separator debris collapses: "?&" -> "?", "&&" -> "&", trailing dies
+    val pq1 = regexp_replace(pq0,
+      "([?&])(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*", "$1")
+    val pq2 = regexp_replace(pq1, "\\?&+", "?")
+    val pq3 = regexp_replace(pq2, "&&+", "&")
+    val pq4 = regexp_replace(pq3, "[?&]+$", "")
+    when(scheme === "", u)
+      .otherwise(regexp_replace(
+        concat(scheme, lit("://"), auth, pq4), "/+$", ""))
+  }
+
+  /** [[extractUrls]] + [[canonicalUrl]]: one row per URL occurrence with
+    * its dedup key. `groupBy(canonical_url)` downstream is URL-level
+    * dedup; joining the canonical key back to documents is the crawl
+    * frontier's "have we seen this page" check.
+    */
+  def extractCanonicalUrls(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    extractUrls(docs, textCol, idCol)
+      .withColumn("canonical_url", canonicalUrl(col("url")))
+
   /** Domain blocklist flags: per document, how many of its URLs hit a
     * blocklisted domain and the drop flag — the adult/spam/malware domain
     * filter every web corpus applies. The blocklist is a broadcast-sized

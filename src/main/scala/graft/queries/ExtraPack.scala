@@ -199,6 +199,19 @@ object ExtraPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // 3-D Morton key (volumetric / spatiotemporal clustering): same
+    // independent bit-interleave oracle as q201, three source dims
+    "q224_zorder3_key" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 128).cast("long").as("qx"),
+        (col("user_id") % 128).cast("long").as("qy"),
+        ((col("event_id") + col("user_id")) % 128).cast("long").as("qz"))
+      pts.select(col("event_id"),
+          graft.ops.ZOrder.interleave3(col("qx"), col("qy"), col("qz"), 7)
+            .as("zkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // the Z-layout SERVING the spatial query path (SURVEY §2.3 at rest):
     // derived points written Morton-clustered to a temp layout, then a
     // TWO-box bbox query through a diagonal transform runs coarse
@@ -546,6 +559,15 @@ object ExtraPack extends QueryPack {
         |  CAST(list_sum(list_transform(range(0, 10), i ->
         |    ((((event_id % 1024) >> i) & 1) << (2 * i)) +
         |    ((((user_id % 1024) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+        |FROM events ORDER BY event_id""".stripMargin,
+    // independent 3-D bit-interleave recomputation
+    "q224_zorder3_key" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 7), i ->
+        |    ((((event_id % 128) >> i) & 1) << (3 * i)) +
+        |    ((((user_id % 128) >> i) & 1) << (3 * i + 1)) +
+        |    (((((event_id + user_id) % 128) >> i) & 1) << (3 * i + 2))))
+        |    AS BIGINT) AS zkey
         |FROM events ORDER BY event_id""".stripMargin,
     // the raw-table recompute of q208's two-box query: target boxes
     // (40,25)-(80,65) and (150,100)-(190,140) under target = 2*v + (5,-3)

@@ -290,6 +290,29 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // URL canonicalization: mixed-case hosts, default ports, tracking
+    // params, fragments and trailing slashes all collapse to the dedup
+    // key; the oracle builds raw AND canonical forms from doc_id
+    // arithmetic — it never sees the regex chain
+    "q223_canonical_urls" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, concat(lit(" see https://WWW.Site"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.com:443/p"), (col("doc_id") % 5).cast("string"),
+            lit("/?utm_source=feed&id="), (col("doc_id") % 13).cast("string"),
+            lit("#frag"))).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, concat(lit(" and http://cdn"),
+            (col("doc_id") % 3).cast("string"),
+            lit(".example.net:80/lib/a.js?utm_campaign=x&b=2")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 10 === 0,
+            lit(" ref https://Www.Host.example.org/dir/")).otherwise(lit(""))))
+      TextAnalysis.extractCanonicalUrls(docs)
+        .select(col("doc_id"), col("url"), col("canonical_url"))
+        .orderBy(col("doc_id"), col("url"))
+    }),
+
     // label-propagation communities over the same co-citation graph:
     // 3 synchronous iterations, most-frequent-neighbor label with min-label
     // ties — deterministic community ids with no window over the graph
@@ -1230,6 +1253,33 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // raw + canonical URL pairs rebuilt from doc_id arithmetic — the
+      // independent ground truth for the whole canonicalization chain
+      "q223_canonical_urls" ->
+        """WITH a AS (
+          |  SELECT doc_id,
+          |    'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+          |      '.example.com:443/p' || CAST(doc_id % 5 AS VARCHAR) ||
+          |      '/?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) ||
+          |      '#frag' AS url,
+          |    'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+          |      '.example.com/p' || CAST(doc_id % 5 AS VARCHAR) ||
+          |      '/?id=' || CAST(doc_id % 13 AS VARCHAR) AS canonical_url
+          |  FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id,
+          |    'http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+          |      '.example.net:80/lib/a.js?utm_campaign=x&b=2',
+          |    'http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+          |      '.example.net/lib/a.js?b=2'
+          |  FROM documents WHERE doc_id % 6 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 'https://Www.Host.example.org/dir/',
+          |    'https://host.example.org/dir'
+          |  FROM documents WHERE doc_id % 10 = 0)
+          |SELECT doc_id, url, canonical_url FROM a
+          |ORDER BY doc_id, url""".stripMargin,
+
       // q215's graph through 3 unrolled label-propagation iterations:
       // per-node neighbor-label counts, ROW_NUMBER (c DESC, label) pick —
       // the mirror of the struct-min argmax

@@ -19,6 +19,25 @@ class ZOrderSpec extends SparkTestBase {
       rows.map(r => (r._2, r._3)).distinct.size)
   }
 
+  test("interleave3 column == driver-side morton3; bijective on the grid") {
+    val rows = (0 until 500).map(i =>
+      (i.toLong, (i * 7 % 32).toLong, (i * 13 % 32).toLong, (i * 29 % 32).toLong))
+    val got = rows.toDF("id", "qx", "qy", "qz")
+      .select(col("id"),
+        ZOrder.interleave3(col("qx"), col("qy"), col("qz"), 5).as("z"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, qx, qy, qz) =>
+      assert(got(id) == ZOrder.morton3(qx, qy, qz, 5), s"id=$id")
+    }
+    assert(rows.map { case (_, qx, qy, qz) => ZOrder.morton3(qx, qy, qz, 5) }
+      .distinct.size == rows.map(r => (r._2, r._3, r._4)).distinct.size)
+    // full-grid bijection at 2 bits: 64 distinct keys covering [0, 64)
+    val all = for (x <- 0L until 4; y <- 0L until 4; z <- 0L until 4)
+      yield ZOrder.morton3(x, y, z, 2)
+    assert(all.toSet === (0L until 64L).toSet)
+    intercept[IllegalArgumentException] { ZOrder.interleave3(col("a"), col("b"), col("c"), 22) }
+  }
+
   test("zRangesForBox: sorted, disjoint, merged, and covering") {
     val bits = 8
     val (qx0, qx1, qy0, qy1) = (37L, 90L, 12L, 55L)

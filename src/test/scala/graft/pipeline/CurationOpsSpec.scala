@@ -280,6 +280,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged === est)
   }
 
+  test("canonicalUrl collapses the standard crawl-duplicate variants") {
+    val cases = Seq(
+      ("https://WWW.Example.com:443/a/?utm_source=x&q=1#f",
+        "https://example.com/a/?q=1"),
+      ("http://example.com:8080/x", "http://example.com:8080/x"), // non-default port stays
+      ("https://example.com/", "https://example.com"),
+      ("http://Example.COM:80", "http://example.com"),
+      ("https://e.com/p?utm_a=1&utm_b=2", "https://e.com/p"),
+      ("https://e.com/p?a=1&utm_x=2&b=3&gclid=z", "https://e.com/p?a=1&b=3"),
+      ("not a url", "not a url")) // non-URL passes through
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("unimaxRates: waterfill saturates small groups, splits the rest evenly") {
     // groups of 10 / 20 / 300 rows, budget 100, maxEpochs 1:
     // caps sorted 10, 20, 300 -> 10 and 20 saturate (10*3=30<=100,
