@@ -43,7 +43,7 @@ object Sketches {
     * double-hashing family as the MinHash/Bloom kernels: row j hashes to
     * (w1 + j * w2) mod width.
     */
-  private def hashWords(keyCol: String, salt: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+  private[pipeline] def hashWords(keyCol: String, salt: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val k = md5(concat(lit(salt + ":"), col(keyCol).cast("string")))
     (conv(substring(k, 1, 8), 16, 10).cast("long"),
       conv(substring(k, 9, 8), 16, 10).cast("long"))

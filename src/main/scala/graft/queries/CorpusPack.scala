@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis, VectorIndex}
+import graft.pipeline.{BloomIndex, Dedup, Sampling, Similarity, TextAnalysis, VectorIndex}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -385,6 +385,30 @@ object CorpusPack extends QueryPack {
       }
     }),
 
+    // at-rest Bloom sidecar point lookup: documents land partitioned by
+    // lang with a per-partition key bitmap; looking up 5 doc_ids plans
+    // candidate partitions from the sidecar and scans only those — the
+    // exact key predicate makes the result EXACT, so the oracle is the
+    // plain full-scan filter (it never sees the index)
+    "q225_bloom_lookup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val keys = Seq(3L, 17L, 42L, 77L, 96L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_")
+      val path = tmp.resolve("docs").toString
+      try {
+        BloomIndex.writeBloomIndexed(docs, path, "lang", "doc_id")
+        BloomIndex.lookupKeys(s, path, keys)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // incremental index maintenance: build on 80% of the corpus, APPEND
     // the remaining 20% with the same frozen model, search — must equal
     // the full-build search bit-for-bit (same oracle as q153). The BASE
@@ -669,6 +693,11 @@ object CorpusPack extends QueryPack {
       // the at-rest index stores exactly what the recompute path derives,
       // so the oracle is identical
       "q153_ivf_pq_at_rest" -> ivfPqOracle,
+      // plain full-scan filter — the Bloom layout must be invisible
+      "q225_bloom_lookup" ->
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id IN (3, 17, 42, 77, 96)
+          |ORDER BY doc_id""".stripMargin,
       // append == full rebuild when the model is frozen — same oracle
       "q180_index_append" -> ivfPqOracle,
       "q214_ann_rerank" -> ivfPqRerankOracle,
