@@ -207,6 +207,36 @@ object SpatialJoin {
       k, radius, qid, qx, qy, pid, px, py)
   }
 
+  /** KNN over a Z-ORDERED at-rest layout ([[ZOrder.writeZOrdered]]): the
+    * probes' r-stencil boxes become covering Morton key bands (merged
+    * across probes, pushed to the parquet row-group stats), then the
+    * broadcast refine ranks exactly — row-identical to
+    * [[knnWithinRadiusGrid]] over the raw table, but the scan touches only
+    * the files whose key bands intersect a probe neighborhood. The probe
+    * set is collected for range planning (probes are a query workload,
+    * not a corpus — the same O(queries) handoff as the multi-box reads).
+    */
+  def knnWithinRadiusZ(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, radius: Double, level: Int = 8,
+      qid: String = "qid", qx: String = "qx", qy: String = "qy",
+      pid: String = "pid"): DataFrame = {
+    require(radius > 0, s"knnWithinRadiusZ: radius must be > 0, got $radius")
+    val m = ZOrder.readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"knnWithinRadiusZ: no _zorder_meta under $path"))
+    val probes = queries.select(col(qx).cast("double"), col(qy).cast("double"))
+      .collect()
+    val boxes = probes.map { r =>
+      (r.getDouble(0) - radius, r.getDouble(0) + radius,
+        r.getDouble(1) - radius, r.getDouble(1) + radius)
+    }.toSeq
+    val pruned = ZOrder.coarseBoxPrune(spark, path, boxes,
+        m.xmin, m.xmax, m.ymin, m.ymax, m.bits, level, m.keyCol)
+      .drop(m.keyCol)
+    knnWithinRadiusBroadcast(queries, pruned, k, radius,
+      qid, qx, qy, pid, m.xCol, m.yCol)
+  }
+
   /** Shared refine + rank: exact radius filter, then a per-QUERY window
     * (partitioned on the query id — candidate count per query is bounded
     * by point density times the stencil area, never the corpus).

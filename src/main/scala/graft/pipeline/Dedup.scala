@@ -1083,4 +1083,49 @@ object Dedup {
           (col("__na") * col("__nb"))))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** The ≤`d`-deletion neighborhood of a string as an array column:
+    * the string itself plus every variant reachable by deleting up to `d`
+    * single characters (FastSS / SymSpell key set). Size is O(len^d).
+    */
+  private def deletionNeighborhood(s: Column, d: Int): Column = {
+    def dels(x: Column): Column = transform(
+      sequence(lit(0), length(x) - 1),
+      i => concat(x.substr(lit(1), i.cast("int")),
+        x.substr((i + lit(2)).cast("int"), length(x))))
+    var nb = array(s)
+    for (_ <- 0 until d)
+      nb = array_distinct(concat(nb, flatten(transform(nb, x => dels(x)))))
+    nb
+  }
+
+  /** All DISTINCT term pairs within Levenshtein distance `maxDist` —
+    * entity resolution / typo-variant mining (product codes, author
+    * names, vocabulary normalization) via FastSS/SymSpell deletion
+    * blocking (Bocek et al. 2007): two strings at edit distance <= d
+    * share a member of their <= d-deletion neighborhoods (pigeonhole on
+    * the edit script), so candidates meet in a plain equi-join on the
+    * deletion key — recall-EXACT, product-free — and `levenshtein()`
+    * refines. Neighborhood size is len^d per term: linear fan-out at
+    * d=1; d=2 squares it and short strings funnel into near-empty
+    * deletion keys (the hot-bucket shape — pre-filter minimum lengths
+    * upstream when mining short-token vocabularies at d=2).
+    * Output: (a, b, dist) with a < b, over the distinct term set.
+    */
+  def editDistancePairs(terms: DataFrame, termCol: String = "term",
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"editDistancePairs: maxDist must be 1 or 2, got $maxDist")
+    val t = terms.select(col(termCol).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) >= 1)
+      .distinct()
+    val keyed = t.select(col("__t"),
+      explode(deletionNeighborhood(col("__t"), maxDist)).as("__k"))
+    keyed.select(col("__t").as("a"), col("__k"))
+      .join(keyed.select(col("__t").as("b"), col("__k")), Seq("__k"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDist)
+  }
 }

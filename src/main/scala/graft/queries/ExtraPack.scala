@@ -199,6 +199,34 @@ object ExtraPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // KNN riding the Z layout: probe stencils -> merged Morton bands
+    // prune the at-rest scan, broadcast refine ranks exactly; the oracle
+    // is the brute-force distance join (it never sees the layout)
+    "q227_knn_zlayout" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("event_id"),
+        ((col("event_id") * 131) % 997).cast("double") / 10.0,
+        ((col("user_id") * 379) % 991).cast("double") / 10.0)
+        .toDF("event_id", "x", "y")
+      val probes = pts.filter(col("event_id") % 997 === 5)
+        .select(col("event_id").as("qid"), col("x").as("qx"), col("y").as("qy"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_knnz_")
+      val path = tmp.resolve("pts").toString
+      try {
+        graft.ops.ZOrder.writeZOrdered(pts, "x", "y", path,
+          0.0, 100.0, 0.0, 100.0, bits = 10, numPartitions = Some(4))
+        graft.ops.SpatialJoin.knnWithinRadiusZ(s, path, probes,
+            k = 5, radius = 2.0, level = 6, pid = "event_id")
+          .select(col("qid"), col("event_id").as("pid"),
+            col("dist2"), col("knn_rank"))
+          .orderBy(col("qid"), col("knn_rank"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // 3-D Morton key (volumetric / spatiotemporal clustering): same
     // independent bit-interleave oracle as q201, three source dims
     "q224_zorder3_key" -> ((s, d) => {
@@ -560,6 +588,25 @@ object ExtraPack extends QueryPack {
         |    ((((event_id % 1024) >> i) & 1) << (2 * i)) +
         |    ((((user_id % 1024) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
         |FROM events ORDER BY event_id""".stripMargin,
+    // brute-force KNN ground truth over the derived points — the Z
+    // layout must be invisible
+    "q227_knn_zlayout" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    CAST((event_id * 131) % 997 AS DOUBLE) / 10.0 AS x,
+        |    CAST((user_id * 379) % 991 AS DOUBLE) / 10.0 AS y
+        |  FROM events),
+        |q AS (SELECT event_id AS qid, x AS qx, y AS qy FROM pts
+        |      WHERE event_id % 997 = 5),
+        |cand AS (
+        |  SELECT qid, event_id AS pid,
+        |    (qx - x) * (qx - x) + (qy - y) * (qy - y) AS dist2
+        |  FROM q JOIN pts
+        |    ON (qx - x) * (qx - x) + (qy - y) * (qy - y) <= 4.0)
+        |SELECT qid, pid, dist2, CAST(rnk AS INT) AS knn_rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rnk
+        |  FROM cand)
+        |WHERE rnk <= 5 ORDER BY qid, knn_rank""".stripMargin,
     // independent 3-D bit-interleave recomputation
     "q224_zorder3_key" ->
       """SELECT event_id,

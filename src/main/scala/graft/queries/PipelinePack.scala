@@ -290,6 +290,16 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // edit-distance pair mining (FastSS deletion blocking): customer
+    // names differing in one digit meet in a deletion-key equi-join —
+    // recall-exact by pigeonhole, refined by levenshtein; the oracle is
+    // the brute-force all-pairs join (it never sees the blocking)
+    "q226_edit_pairs" -> ((s, d) => {
+      val terms = Tables.customer(s, d).select(col("c_name").as("term"))
+      Dedup.editDistancePairs(terms, "term", maxDist = 1)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // URL canonicalization: mixed-case hosts, default ports, tracking
     // params, fragments and trailing slashes all collapse to the dedup
     // key; the oracle builds raw AND canonical forms from doc_id
@@ -1253,6 +1263,15 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // brute-force levenshtein ground truth over the distinct name set
+      "q226_edit_pairs" ->
+        """WITH t AS (SELECT DISTINCT c_name AS term FROM customer)
+          |SELECT a.term AS a, b.term AS b,
+          |  CAST(levenshtein(a.term, b.term) AS INT) AS dist
+          |FROM t a JOIN t b
+          |  ON a.term < b.term AND levenshtein(a.term, b.term) <= 1
+          |ORDER BY a, b""".stripMargin,
+
       // raw + canonical URL pairs rebuilt from doc_id arithmetic — the
       // independent ground truth for the whole canonicalization chain
       "q223_canonical_urls" ->

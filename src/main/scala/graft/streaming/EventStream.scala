@@ -87,6 +87,51 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING cardinality maintenance: each micro-batch's HyperLogLog
+    * registers ([[graft.pipeline.Sketches.hllRegisters]]) merge into an
+    * at-rest register table by per-register MAX — the mergeability that
+    * makes distinct-count streamable with CONSTANT state: the table holds
+    * at most 2^p rows per group forever, not a key set, and reading it
+    * through the [[graft.pipeline.Sketches.hllDistinct]] estimator at any
+    * moment gives the running distinct count over everything ingested.
+    * The merge rewrites to a sibling temp dir and swaps (same brief
+    * unavailability note as `ZOrder.compact`); `foreachBatch` gives
+    * effectively-once per batch — re-running a batch after a crash
+    * re-merges the same registers, and MAX is idempotent, so replays
+    * cannot corrupt the sketch (the property counters lack).
+    */
+  def streamingHllRegisters(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, groupCols: Seq[String], keyCol: String,
+      path: String, p: Int = 9, salt: String = "hll",
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Sketches
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = Sketches.hllRegisters(batch, groupCols, keyCol, p, salt)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(conf)
+        val merged =
+          if (fs.exists(target))
+            Sketches.hllMerge(Seq(spark.read.parquet(path), b), groupCols)
+          else b
+        val tmp = s"${path}__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(target, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Per-user session state for [[streamingSessionize]] (micros epoch). */
   final case class SessionAgg(startUs: Long, endUs: Long, n: Long)
 

@@ -73,6 +73,25 @@ class KnnJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("knnWithinRadiusZ over a Z layout == the grid path; bands reach the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knnz_spec_")
+    val path = tmp.resolve("pts").toString
+    try {
+      ZOrder.writeZOrdered(pts, "x", "y", path, 0.0, 20.0, 0.0, 20.0,
+        bits = 8, numPartitions = Some(3))
+      val viaZ = SpatialJoin.knnWithinRadiusZ(spark, path, probes,
+        k = 4, radius = 1.5, level = 5, pid = "pid")
+      val plain = SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 4, radius = 1.5)
+      assert(viaZ.exceptAll(plain).isEmpty && plain.exceptAll(viaZ).isEmpty)
+      val plan = viaZ.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("zkey"), plan)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("guards reject non-positive k and radius") {
     intercept[IllegalArgumentException] {
       SpatialJoin.knnWithinRadiusGrid(probes, pts, k = 0, radius = 1.0)

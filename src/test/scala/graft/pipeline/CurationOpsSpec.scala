@@ -280,6 +280,34 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged === est)
   }
 
+  test("editDistancePairs: blocking matches brute force at d=1 and d=2") {
+    val terms = Seq("color", "colour", "colr", "dolor", "moon", "mon", "mono",
+      "sparks", "spark", "shark", "entirely", "different").toDF("term")
+    def brute(d: Int) = terms.as("l").crossJoin(terms.as("r"))
+      .select(col("l.term").as("a"), col("r.term").as("b"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= d)
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(terms, "term", maxDist = d)
+      assert(got.exceptAll(brute(d)).isEmpty && brute(d).exceptAll(got).isEmpty,
+        s"d=$d mismatch")
+    }
+    // the d=1 pair set is the expected hand list
+    val d1 = Dedup.editDistancePairs(terms, "term", maxDist = 1)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(d1 === Set(("color", "colour"), ("color", "colr"), ("color", "dolor"),
+      ("mon", "moon"), ("mon", "mono"), ("spark", "sparks"), ("shark", "spark")))
+    // duplicate input terms collapse; the plan stays product-free
+    val dup = Dedup.editDistancePairs(terms.unionAll(terms), "term")
+    assert(dup.count() === 7L)
+    val plan = dup.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(terms, "term", maxDist = 3)
+    }
+  }
+
   test("canonicalUrl collapses the standard crawl-duplicate variants") {
     val cases = Seq(
       ("https://WWW.Example.com:443/a/?utm_source=x&q=1#f",

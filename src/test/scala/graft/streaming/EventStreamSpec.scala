@@ -30,6 +30,38 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming HLL register maintenance equals the one-shot batch sketch") {
+    import graft.pipeline.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllsrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-hllout")
+      .resolve("registers").toString
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+    // two part files -> two micro-batches with maxFilesPerTrigger=1
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val q = EventStream.streamingHllRegisters(spark, dir, schemaDDL,
+      Seq("event_type"), "user_id", out, p = 7,
+      maxFilesPerTrigger = Some(1))
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+    val oneShot = Sketches.hllRegisters(
+      spark.read.schema(schemaDDL).parquet(dir), Seq("event_type"), "user_id",
+      p = 7)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+    // the estimator over the merged registers is the batch estimate
+    val est = Sketches.hllDistinct(
+      spark.read.schema(schemaDDL).parquet(dir), Seq("event_type"), "user_id",
+      p = 7).select("event_type", "est_distinct").collect().toSet
+    assert(est.nonEmpty)
+  }
+
   test("streaming stream-static enrichment equals the batch plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
