@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-versioned parquet layout — the table-format primitive (the
+  * public Delta/Iceberg idea, reduced to its core) that closes the gap the
+  * at-rest layouts here document: `ZOrder.compact` swaps directories with
+  * delete+rename and notes "a brief unavailability window a production
+  * deployment would close with a table format's atomic manifest". This is
+  * that manifest.
+  *
+  * Layout on disk:
+  * {{{
+  *   path/data/<uuid>/part-*.parquet     -- immutable data file sets
+  *   path/_manifests/v00000001.manifest  -- newline list of data dirs
+  * }}}
+  * Every commit writes its data files FIRST, then publishes one new
+  * manifest file naming the complete file-set of that version — a single
+  * create is the commit point, so readers either see the old version or
+  * the new one, never a half-written mix. Old manifests stay readable
+  * (time travel: `read(spark, path, version = Some(n))`) until [[vacuum]]
+  * drops data unreferenced by the latest version.
+  *
+  * At 100 TB this is the difference between "appends and compactions are
+  * safe while queries run" and "hope nobody scans during the rename":
+  * [[compact]] rewrites N small file sets into one and publishes the swap
+  * as a manifest commit; concurrent readers pinned to version n keep a
+  * consistent snapshot because data files are never mutated in place.
+  * Manifests list directories (one per committed write), so the manifest
+  * itself stays tiny — O(commits since vacuum), not O(files).
+  *
+  * Out of scope, loudly: multi-WRITER coordination. The single commit
+  * point makes readers safe; two concurrent writers need a lock service
+  * or a conditional-put store, which is deployment infrastructure, not
+  * query-engine code.
+  */
+object VersionedLayout {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(s"$path/_manifests")
+
+  private def manifestPath(path: String, v: Int) =
+    new Path(manifestDir(path), f"v$v%08d.manifest")
+
+  /** All committed versions, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.substring(1, 9).toInt }
+      .sorted.toSeq
+  }
+
+  private def readManifest(spark: SparkSession, path: String, v: Int): Seq[String] = {
+    val f = fs(spark, path)
+    val in = f.open(manifestPath(path, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeManifest(spark: SparkSession, path: String, v: Int,
+      dirs: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    val target = manifestPath(path, v)
+    // write-then-rename makes the manifest CREATE the atomic commit point
+    // even on stores where partial writes are visible
+    val tmp = new Path(manifestDir(path), f"v$v%08d.manifest.tmp")
+    val out = f.create(tmp, true)
+    try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, target))
+      throw new IllegalStateException(
+        s"commit collision: version $v already exists under $path")
+  }
+
+  /** Commit `df` as a new version: latest version's file sets plus this
+    * write's (`overwrite = true` starts the file list fresh — the data of
+    * older versions stays on disk for time travel). Returns the committed
+    * version number.
+    */
+  def commit(df: DataFrame, path: String, overwrite: Boolean = false): Int = {
+    val spark = df.sparkSession
+    val dataDir = s"$path/data/${java.util.UUID.randomUUID().toString}"
+    df.write.parquet(dataDir)
+    val vs = versions(spark, path)
+    val base = if (overwrite || vs.isEmpty) Seq.empty
+      else readManifest(spark, path, vs.last)
+    val v = vs.lastOption.getOrElse(0) + 1
+    writeManifest(spark, path, v, base :+ dataDir)
+    v
+  }
+
+  /** Read a version (default: latest). The version's file-set union as one
+    * DataFrame — all files immutable, so the snapshot is consistent no
+    * matter what commits land during the scan.
+    */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"read: no committed versions under $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"read: version $v not in $vs")
+    val dirs = readManifest(spark, path, v)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Rewrite the latest version's file sets into one (optionally sorted —
+    * pass a Z-order or timestamp column to restore clustering) and commit
+    * the swap as a new version: readers mid-scan keep their snapshot, the
+    * next read sees one compact file set. The rewritten data is a NEW
+    * file set — [[vacuum]] reclaims the old ones.
+    */
+  def compact(spark: SparkSession, path: String,
+      sortCol: Option[String] = None,
+      numPartitions: Option[Int] = None): Int = {
+    val cur = read(spark, path, None)
+    val parted = (sortCol, numPartitions) match {
+      case (Some(c), Some(n)) => cur.repartitionByRange(n, org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(c)
+      case (Some(c), None) => cur.repartitionByRange(org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(c)
+      case (None, Some(n)) => cur.repartition(n)
+      case (None, None) => cur
+    }
+    val dataDir = s"$path/data/${java.util.UUID.randomUUID().toString}"
+    parted.write.parquet(dataDir)
+    val v = versions(spark, path).last + 1
+    writeManifest(spark, path, v, Seq(dataDir))
+    v
+  }
+
+  /** Drop every data dir not referenced by the LATEST manifest and every
+    * older manifest — ends time travel, reclaims space. The latest
+    * version is untouched.
+    */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"vacuum: no committed versions under $path")
+    val live = readManifest(spark, path, vs.last).map(new Path(_).getName).toSet
+    val dataRoot = new Path(s"$path/data")
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).foreach { st =>
+        if (!live.contains(st.getPath.getName)) f.delete(st.getPath, true)
+      }
+    vs.init.foreach(v => f.delete(manifestPath(path, v), false))
+  }
+}

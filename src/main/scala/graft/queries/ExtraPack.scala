@@ -199,6 +199,34 @@ object ExtraPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // manifest-versioned layout: v1 = 60% commit, v2 = +40% append,
+    // v3 = compaction — every version a consistent pinned snapshot; the
+    // oracle recomputes each version's totals from the raw table with the
+    // same split predicate (the layout machinery is invisible)
+    "q228_versioned_layout" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vlayout_")
+      val path = tmp.resolve("t").toString
+      try {
+        graft.ops.VersionedLayout.commit(docs.filter(col("doc_id") % 5 < 3), path)
+        graft.ops.VersionedLayout.commit(docs.filter(col("doc_id") % 5 >= 3), path)
+        graft.ops.VersionedLayout.compact(s, path, sortCol = Some("doc_id"))
+        Seq(1, 2, 3).map { v =>
+          graft.ops.VersionedLayout.read(s, path, Some(v))
+            .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"))
+            .withColumn("version", lit(v))
+        }.reduce(_.unionByName(_))
+          .select(col("version"), col("n_rows"), col("sum_id"))
+          .orderBy(col("version"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // KNN riding the Z layout: probe stencils -> merged Morton bands
     // prune the at-rest scan, broadcast refine ranks exactly; the oracle
     // is the brute-force distance join (it never sees the layout)
@@ -588,6 +616,19 @@ object ExtraPack extends QueryPack {
         |    ((((event_id % 1024) >> i) & 1) << (2 * i)) +
         |    ((((user_id % 1024) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
         |FROM events ORDER BY event_id""".stripMargin,
+    // per-version totals from the raw table: v1 = the 60% split, v2 and
+    // v3 (compaction rewrites, content unchanged) = the full table
+    "q228_versioned_layout" ->
+      """WITH v1 AS (
+        |  SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        |  FROM documents WHERE doc_id % 5 < 3),
+        |vall AS (
+        |  SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        |  FROM documents)
+        |SELECT 1 AS version, n_rows, sum_id FROM v1
+        |UNION ALL SELECT 2, n_rows, sum_id FROM vall
+        |UNION ALL SELECT 3, n_rows, sum_id FROM vall
+        |ORDER BY version""".stripMargin,
     // brute-force KNN ground truth over the derived points — the Z
     // layout must be invisible
     "q227_knn_zlayout" ->

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Manifest-versioned layout: atomic commits, time travel, compaction
+  * without a swap window, vacuum reclamation.
+  */
+class VersionedLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withDir[T](f: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vl_")
+    try f(tmp.resolve("t").toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private lazy val a = (0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+  private lazy val b = (100 until 150).map(i => (i.toLong, s"b$i")).toDF("id", "s")
+
+  test("commit/append/time-travel: old versions stay pinned snapshots") {
+    withDir { path =>
+      assert(VersionedLayout.commit(a, path) === 1)
+      assert(VersionedLayout.commit(b, path) === 2)
+      assert(VersionedLayout.versions(spark, path) === Seq(1, 2))
+      assert(VersionedLayout.read(spark, path, Some(1)).count() === 100L)
+      assert(VersionedLayout.read(spark, path).count() === 150L)
+      val v1 = VersionedLayout.read(spark, path, Some(1))
+      assert(v1.exceptAll(a).isEmpty && a.exceptAll(v1).isEmpty)
+    }
+  }
+
+  test("overwrite commit starts the file list fresh; history remains") {
+    withDir { path =>
+      VersionedLayout.commit(a, path)
+      VersionedLayout.commit(b, path, overwrite = true)
+      assert(VersionedLayout.read(spark, path).count() === 50L)
+      assert(VersionedLayout.read(spark, path, Some(1)).count() === 100L)
+    }
+  }
+
+  test("compact rewrites to one file set, content identical, history intact") {
+    withDir { path =>
+      VersionedLayout.commit(a, path)
+      VersionedLayout.commit(b, path)
+      val before = VersionedLayout.read(spark, path)
+      assert(VersionedLayout.compact(spark, path, sortCol = Some("id")) === 3)
+      val after = VersionedLayout.read(spark, path)
+      assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+      // compacted version reads ONE data dir; v2 still time-travels
+      assert(after.inputFiles.map(_.split("/data/")(1).split("/")(0)).distinct.length === 1)
+      assert(VersionedLayout.read(spark, path, Some(2)).count() === 150L)
+    }
+  }
+
+  test("vacuum reclaims unreferenced data and ends time travel; latest survives") {
+    withDir { path =>
+      VersionedLayout.commit(a, path)
+      VersionedLayout.commit(b, path)
+      VersionedLayout.compact(spark, path, sortCol = Some("id"))
+      VersionedLayout.vacuum(spark, path)
+      assert(VersionedLayout.versions(spark, path) === Seq(3))
+      assert(VersionedLayout.read(spark, path).count() === 150L)
+      // only the compacted file set remains under data/
+      val dataDirs = new java.io.File(s"$path/data").listFiles().filter(_.isDirectory)
+      assert(dataDirs.length === 1, dataDirs.mkString(","))
+      intercept[IllegalArgumentException] {
+        VersionedLayout.read(spark, path, Some(1))
+      }
+    }
+  }
+
+  test("reading an empty or unknown version refuses loudly") {
+    withDir { path =>
+      intercept[IllegalArgumentException] { VersionedLayout.read(spark, path) }
+      VersionedLayout.commit(a, path)
+      intercept[IllegalArgumentException] {
+        VersionedLayout.read(spark, path, Some(7))
+      }
+    }
+  }
+}
