@@ -193,4 +193,59 @@ object GraphOps {
     }
     CacheScope.releaseAfterFirstUse(labels, Seq(e, nodes))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected simple graph — the link-farm / tight-community signal
+    * (spam rings close triangles; organic link graphs are sparse in
+    * them). Exact counting via the DEGREE-ORDERED wedge join (Cohen
+    * 2009 / Suri-Vassilvitskii 2011): orient every edge from its lower
+    * (degree, node) endpoint to the higher, so wedges form only at a
+    * triangle's LOWEST-degree corner — total wedge volume drops from
+    * Σ deg² (quadratic at one hub) to O(m^1.5), the bound that survives
+    * a power-law web graph. Three keyed joins, no window, no driver
+    * state; the orientation comparison is a plain (deg, node) tuple
+    * predicate, not a rank window.
+    *
+    * Output: (node, degree, triangles, clustering) with clustering =
+    * round6(2·t / (deg·(deg−1))), 0 when deg < 2. Duplicate edges and
+    * self-loops are dropped first.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    // orient a -> b iff (deg(a), a) < (deg(b), b): a DAG whose out-
+    // neighborhoods are O(sqrt(m)) on any graph
+    val withDeg = und
+      .join(deg.select(col("node").as("src"), col("degree").as("__ds")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("degree").as("__dd")), Seq("dst"))
+    val directed = withDeg.filter(
+        col("__ds") < col("__dd") ||
+          (col("__ds") === col("__dd") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at u: (v, w) pairs of out-neighbors, emitted once (v before w
+    // in the same orientation order — enforced by joining the directed
+    // edge (v, w), which exists only in that direction)
+    val wedges = directed.join(
+        directed.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") =!= col("w"))
+    val tris = wedges.join(
+        directed.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2, TextAnalysis.round6(
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1))))
+          .otherwise(lit(0.0)))
+    CacheScope.releaseAfterFirstUse(out, Seq(und, directed))
+  }
 }

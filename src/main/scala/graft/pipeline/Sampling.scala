@@ -357,6 +357,30 @@ object Sampling {
           / col("n_rows")).as("rate"))
   }
 
+  /** Rendezvous / highest-random-weight shard assignment (Thaler &
+    * Ravishankar 1996): key -> argmax over shards of
+    * hash32("<salt>:<shard>:<key>"). THE stable routing rule for
+    * shard/cache/writer assignment at fleet scale: removing a shard
+    * reassigns ONLY the keys that lived on it (their runner-up wins;
+    * everyone else's argmax is untouched), adding one steals ~1/(n+1)
+    * of each — no remap tables, no ring maintenance, and any engine
+    * recomputes the same assignment from the shard list alone. A
+    * stateless codegen projection (shards are literals folded into the
+    * expression tree — keep the list broadcast-sized); hash ties break
+    * to the larger shard name, deterministically.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String, shards: Seq[String],
+      salt: String = "rv"): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign: empty shard list")
+    require(shards.distinct.size == shards.size,
+      s"rendezvousAssign: duplicate shard names in $shards")
+    val weighted = shards.map(sh =>
+      struct(keyHash32(col(keyCol), s"$salt:$sh").as("h"), lit(sh).as("s")))
+    val win = if (weighted.size == 1) weighted.head
+      else greatest(weighted: _*)
+    df.withColumn("shard", win.getField("s"))
+  }
+
   /** Filter `df` by the deterministic hash draw at its group's capped
     * [[unimaxRates]] rate — broadcast rates join + stateless hash-cut
     * filter, same corpus shape as [[temperatureSample]]. Rates above 1

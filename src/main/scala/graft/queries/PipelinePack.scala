@@ -340,6 +340,24 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // per-node triangle counts + clustering coefficient over the same
+    // co-citation graph, via the degree-ordered wedge join (O(m^1.5)
+    // wedge volume); the oracle uses the plain a<b<c closure — a
+    // different algorithm entirely
+    "q229_triangle_counts" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val edges = GraphOps.coOccurrenceEdges(urls, "doc_id", "domain")
+      GraphOps.triangleCounts(edges)
+        .orderBy(col("node"))
+    }),
+
     // blocklist routing table: docs whose URLs hit blocked domains flag
     "q194_domain_blocklist" -> ((s, d) => {
       import s.implicits._
@@ -887,6 +905,16 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
 
+    // rendezvous (HRW) shard routing: per-doc argmax of the per-shard
+    // hash — the stable assignment rule (drop a shard, only its keys
+    // move); the oracle re-derives the argmax with a rank window
+    "q230_rendezvous_shards" -> ((s, d) => {
+      Sampling.rendezvousAssign(Tables.documents(s, d), "doc_id",
+          Seq("s0", "s1", "s2", "s3"))
+        .select(col("doc_id"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BATCH retrieval against the at-rest BM25 index: two queries at
     // once as (query_id, term) rows — broadcast query join instead of a
     // term IN literal, per-TERM df shared across queries, per-query
@@ -1334,6 +1362,40 @@ object PipelinePack extends QueryPack {
            |${iter("lbl2", 3)}
            |SELECT node, label FROM lbl3 ORDER BY node""".stripMargin
       },
+      // q215's graph, triangles by the PLAIN a<b<c wedge closure (the
+      // degree ordering is the engine's concern, not the contract)
+      "q229_triangle_counts" ->
+        """WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+          |dom AS (
+          |  SELECT doc_id,
+          |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+          |  FROM m
+          |  UNION ALL
+          |  SELECT doc_id,
+          |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+          |  FROM m),
+          |e AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+          |      FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+          |canon AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+          |tri AS (
+          |  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+          |  FROM canon t1
+          |  JOIN canon t2 ON t2.a = t1.b
+          |  JOIN canon t3 ON t3.a = t1.a AND t3.b = t2.b),
+          |pern AS (
+          |  SELECT node, COUNT(*) AS triangles FROM (
+          |    SELECT x AS node FROM tri
+          |    UNION ALL SELECT y FROM tri
+          |    UNION ALL SELECT z FROM tri) GROUP BY 1),
+          |deg AS (SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY 1)
+          |SELECT d.node, d.degree,
+          |  CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+          |  CASE WHEN d.degree >= 2
+          |    THEN FLOOR(2.0 * COALESCE(p.triangles, 0) /
+          |      (d.degree * (d.degree - 1)) * 1e6 + 0.5) / 1e6
+          |    ELSE 0.0 END AS clustering
+          |FROM deg d LEFT JOIN pern p USING (node) ORDER BY d.node""".stripMargin,
+
       // q215's graph with the teleport restricted to the 3-domain seed
       // set: t = round6(1/|S|) on seeds, 0 elsewhere; 3 unrolled
       // iterations of r6((1-d)·t + d·Σ)
@@ -2014,6 +2076,20 @@ object PipelinePack extends QueryPack {
            |  CASE $cases ELSE -1 END
            |ORDER BY doc_id""".stripMargin
       },
+      // per-(key, shard) hash grid -> rank-window argmax (h DESC, shard
+      // DESC ties = the struct-greatest order)
+      "q230_rendezvous_shards" ->
+        s"""WITH s AS (SELECT unnest(['s0', 's1', 's2', 's3']) AS shard),
+           |h AS (
+           |  SELECT doc_id, shard,
+           |    ${hex32Sql("'rv:' || shard || ':' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents, s)
+           |SELECT doc_id, shard FROM (
+           |  SELECT doc_id, shard,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn
+           |  FROM h)
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
       // waterfill mirror: capacities sorted asc with decimal prefix sums,
       // saturation test in pure decimal, level + rate snapped round6,
       // then the q96 hash cut

@@ -280,6 +280,28 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged === est)
   }
 
+  test("rendezvousAssign: removing a shard moves ONLY its keys; balance is sane") {
+    val keys = (0 until 2000).map(i => Tuple1(i.toLong)).toDF("k")
+    val four = Sampling.rendezvousAssign(keys, "k", Seq("s0", "s1", "s2", "s3"))
+      .as[(Long, String)].collect().toMap
+    val three = Sampling.rendezvousAssign(keys, "k", Seq("s0", "s1", "s3"))
+      .as[(Long, String)].collect().toMap
+    // the HRW stability law: keys not on the dropped shard keep their home
+    four.foreach { case (k, sh) =>
+      if (sh != "s2") assert(three(k) === sh, s"key $k moved $sh -> ${three(k)}")
+      else assert(three(k) !== "s2")
+    }
+    // rough balance: each of 4 shards holds 500 +- 40%
+    val sizes = four.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size === 4 && sizes.forall(s => s > 300 && s < 700), sizes)
+    // single shard takes everything; duplicate shard names refuse
+    assert(Sampling.rendezvousAssign(keys, "k", Seq("only"))
+      .filter(col("shard") === "only").count() === 2000L)
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousAssign(keys, "k", Seq("a", "a"))
+    }
+  }
+
   test("editDistancePairs: blocking matches brute force at d=1 and d=2") {
     val terms = Seq("color", "colour", "colr", "dolor", "moon", "mon", "mono",
       "sparks", "spark", "shark", "entirely", "different").toDF("term")

@@ -99,6 +99,28 @@ class GraphOpsSpec extends SparkTestBase {
     assert(edges.forall { case (s, d) => s != d && edges.contains((d, s)) })
   }
 
+  test("triangleCounts: K4, pendant triangle, and a triangle-free path") {
+    // complete graph on 4 nodes: every node in 3 triangles, clustering 1
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleCounts(k4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === (1 to 4).map(n => n.toLong -> ((3L, 3L, 1.0))).toMap)
+    // triangle {1,2,3} + pendant 3-4; duplicate rows and a self-loop drop
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L), (4L, 4L))
+      .toDF("src", "dst")
+    val g2 = GraphOps.triangleCounts(tp)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(g2 === Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333)), 4L -> ((1L, 0L, 0.0))))
+    // path graph: no triangles anywhere
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(path)
+      .filter(col("triangles") > 0).count() === 0L)
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label in 2 iterations") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
