@@ -71,6 +71,28 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** HARD-NEGATIVE selection from any ranking frame — the contrastive /
+    * retrieval-training sampler: the top results a retriever scored HIGH
+    * but that are NOT labeled positives make the best training negatives.
+    * Works over any (query, id, rank) frame ([[bruteForceTopK]],
+    * [[ivfPqSearch]], BM25, RRF-fused) — anti-join the positives, then
+    * re-rank the survivors per query and keep the top k. Both inputs are
+    * <= |queries|·k' rows, so the anti-join and the per-query window cost
+    * O(queries·k') — the corpus is never touched here; run the retriever
+    * with k' >= k + max positives per query so the pool survives the
+    * anti-join.
+    */
+  def hardNegatives(ranked: DataFrame, positives: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col(rankCol))
+    ranked.join(positives.select(col(queryIdCol), col(idCol)),
+        Seq(queryIdCol, idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+  }
+
   /** recall@k — the standard ANN quality metric, as a first-class
     * distributed evaluation: for each query, the fraction of the EXACT
     * top-k (e.g. [[bruteForceTopK]] on a held-out slice) that the

@@ -253,6 +253,45 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
   }
 
+  /** Histogram-CDF PERCENTILE RANK — score calibration (the inverse of
+    * [[histogramQuantiles]]): each row gets the estimated fraction of the
+    * frame at or below its value's bin, `pct = round6(cum(bin(v)) / n)`,
+    * error bounded by one bin's mass. This is how heterogeneous quality
+    * signals become comparable before blending (rank-normalize each,
+    * then combine) WITHOUT a corpus-wide rank window: one stats
+    * aggregation, one <=`bins`-row cumulative table broadcast back onto
+    * the scan, and a stateless bin projection. `groupCols` calibrates
+    * within strata (per-language score norms); groups are calibration
+    * strata — bounded, broadcastable. NULL values drop (they have no
+    * rank); a degenerate group (hi == lo) puts every row at pct 1.
+    */
+  def percentileRank(df: DataFrame, valueCol: String, bins: Int = 256,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(bins >= 2, s"percentileRank: need >= 2 bins, got $bins")
+    val v = col(valueCol).cast("double")
+    val gcols = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val base0 = df.filter(v.isNotNull)
+    val base = if (groupCols.isEmpty) base0.withColumn("__g", lit(1)) else base0
+    val st = base.groupBy(gcols.map(col): _*)
+      .agg(min(v).as("__lo"), max(v).as("__hi"), count(v).as("__n"))
+    val binOf = when(col("__hi") > col("__lo"),
+      least(floor((v - col("__lo")) / ((col("__hi") - col("__lo")) / bins))
+        .cast("long"), lit(bins.toLong - 1))).otherwise(lit(0L))
+    val binned = base.join(broadcast(st), gcols)
+      .withColumn("__bin", binOf)
+    val cum = binned.groupBy((gcols :+ "__bin").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(gcols.map(col): _*).orderBy(col("__bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select((gcols :+ "__bin").map(col) :+ col("__cum"): _*)
+    binned.join(broadcast(cum), gcols :+ "__bin")
+      .withColumn("pct", TextAnalysis.round6(col("__cum") / col("__n")))
+      .drop((Seq("__bin", "__lo", "__hi", "__n", "__cum", "__c") ++
+        (if (groupCols.isEmpty) Seq("__g") else Nil)): _*)
+  }
+
   // ------------------------------------------------------------ HyperLogLog
 
   /** HyperLogLog REGISTERS (Flajolet et al. 2007) from the md5 hash — the

@@ -302,6 +302,17 @@ object CurationPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // histogram-CDF percentile rank (score calibration, the inverse of
+    // q163): per-event estimated CDF position from one 256-bin histogram
+    // broadcast back onto the scan — no corpus-wide rank window
+    "q231_percentile_rank" -> ((s, d) => {
+      Sketches.percentileRank(
+          Tables.events(s, d).select(col("event_id"), col("value")),
+          "value", bins = 256)
+        .select(col("event_id"), col("pct"))
+        .orderBy(col("event_id"))
+    }),
+
     // md5-derived HyperLogLog per-lang vocabulary estimate: 512 max-rank
     // registers per group no matter the token stream; harmonic sum stays
     // exact-integer (2^24-scaled shiftleft terms), one snapped division
@@ -711,6 +722,27 @@ object CurationPack extends QueryPack {
          |FROM pj LEFT JOIN cms USING (j, bucket)
          |GROUP BY pj.token ORDER BY pj.token""".stripMargin
     },
+
+    // identical bin/cum algebra to the q163 mirror, inverted: each event
+    // joins its bin's cumulative count, pct = round6(cum/n)
+    "q231_percentile_rank" ->
+      """WITH s AS (
+        |  SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi,
+        |         COUNT(value) AS n
+        |  FROM events),
+        |b AS (
+        |  SELECT e.event_id,
+        |    CASE WHEN s.hi > s.lo
+        |      THEN LEAST(CAST(FLOOR((CAST(e.value AS DOUBLE) - s.lo) /
+        |             ((s.hi - s.lo) / 256)) AS BIGINT), 255)
+        |      ELSE 0 END AS bin
+        |  FROM events e, s WHERE e.value IS NOT NULL),
+        |h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
+        |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM h)
+        |SELECT b.event_id, FLOOR(CAST(cum AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS pct
+        |FROM b JOIN cum USING (bin), s
+        |ORDER BY event_id""".stripMargin,
 
     // p=9 HLL mirror: same md5 hash32, bucket = top 9 bits, rho from the
     // minimal bin() string, registers = MAX rho, exact-integer harmonic

@@ -570,6 +570,22 @@ object PipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hard-negative mining: brute-force top-10 per query, anti-join the
+    // labeled positives (self + id+100), re-rank survivors, keep 5 — the
+    // contrastive-training sampler over any retriever's output
+    "q232_hard_negatives" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val ranked = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      val positives = queries.select(col("query_id"),
+          col("query_id").as("vec_id"))
+        .unionByName(queries.select(col("query_id"),
+          (col("query_id") + 100).as("vec_id")))
+      Similarity.hardNegatives(ranked, positives, k = 5)
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
+
     // LSH-bucketed ANN (random-hyperplane sign buckets)
     "q47_ann_lsh" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
@@ -1654,6 +1670,30 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // the q46 scoring CTE at k=10, positives anti-filtered, survivors
+      // re-ranked by their original rank
+      "q232_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q, embeddings c),
+           |topk AS (
+           |  SELECT query_id, vec_id, cosine, rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 10),
+           |neg AS (
+           |  SELECT * FROM topk
+           |  WHERE vec_id <> query_id AND vec_id <> query_id + 100)
+           |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank,
+           |  CAST(nr AS INT) AS neg_rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS nr
+           |  FROM neg)
+           |WHERE nr <= 5 ORDER BY query_id, neg_rank""".stripMargin,
       "q47_ann_lsh" ->
         s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),

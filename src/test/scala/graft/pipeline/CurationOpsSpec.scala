@@ -280,6 +280,47 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged === est)
   }
 
+  test("percentileRank: uniform data ranks linearly; groups calibrate independently") {
+    // uniform 0..999 with a fine grid: every bin holds one value, so
+    // pct(v) is exactly (v+1)/1000
+    val vals = spark.range(1000).select(col("id").cast("double").as("v"))
+    val got = Sketches.percentileRank(vals, "v", bins = 1000)
+      .select(col("v"), col("pct")).as[(Double, Double)].collect().toMap
+    Seq(0.0, 249.0, 499.0, 999.0).foreach { v =>
+      assert(math.abs(got(v) - (v + 1) / 1000.0) < 1e-9, s"v=$v got ${got(v)}")
+    }
+    // per-group calibration: shifting one group must not move the other's
+    val twoG = spark.range(1000).select(
+      when(col("id") < 500, lit("a")).otherwise(lit("b")).as("g"),
+      when(col("id") < 500, col("id")).otherwise(col("id") * 1000)
+        .cast("double").as("v"))
+    val grouped = Sketches.percentileRank(twoG, "v", bins = 500, groupCols = Seq("g"))
+      .filter(col("g") === "a").select(col("v"), col("pct"))
+      .as[(Double, Double)].collect().toMap
+    assert(math.abs(grouped(249.0) - 0.5) < 1e-9)
+    // degenerate group: one distinct value -> everyone at pct 1
+    val const = Seq(1.0, 1.0, 1.0).toDF("v")
+    assert(Sketches.percentileRank(const, "v")
+      .select("pct").as[Double].collect().forall(_ == 1.0))
+  }
+
+  test("hardNegatives: positives drop, survivors re-rank, pool shortage shrinks output") {
+    val ranked = Seq(
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2), (1L, 12L, 0.7, 3), (1L, 13L, 0.6, 4),
+      (2L, 20L, 0.9, 1), (2L, 21L, 0.8, 2))
+      .toDF("query_id", "vec_id", "cosine", "rank")
+    val pos = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "vec_id")
+    val got = Similarity.hardNegatives(ranked, pos, k = 2)
+      .select("query_id", "vec_id", "neg_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // query 1: 11 and 13 survive, re-ranked 1, 2; query 2: pool exhausted
+    assert(got === Set((1L, 11L, 1), (1L, 13L, 2)))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(ranked, pos, k = 0)
+    }
+  }
+
   test("rendezvousAssign: removing a shard moves ONLY its keys; balance is sane") {
     val keys = (0 until 2000).map(i => Tuple1(i.toLong)).toDF("k")
     val four = Sampling.rendezvousAssign(keys, "k", Seq("s0", "s1", "s2", "s3"))
