@@ -94,4 +94,37 @@ object RangeJoin {
       .filter(col(pCol) >= col(rS) && col(pCol) <= col(rE))
       .drop("__bin")
   }
+
+  /** Merge overlapping/touching intervals per key into maximal disjoint
+    * spans (gaps-and-islands) — coverage consolidation: activity windows,
+    * redacted spans, on-call shifts, genomic/region coverage. An interval
+    * starts a new island iff its start exceeds the running max end of
+    * everything before it (per key, start order); islands then aggregate
+    * to (min start, max end, n). Two per-KEY windows + one keyed
+    * aggregation — state is one running max per key, the window never
+    * spans keys, and a key's cost is its own interval count. Touching
+    * intervals ([1,3] and [3,5], or [1,2] and [3,4] with `gap = 1` on an
+    * integer domain) merge when their separation is <= `gap` (default 0 =
+    * strict overlap/touch only).
+    * Output: key columns + (start, end, n_merged).
+    */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String, gap: Long = 0L): DataFrame = {
+    require(gap >= 0, s"mergeIntervals: gap must be >= 0, got $gap")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val runMax = max(col(endCol)).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__new", when(runMax.isNull ||
+        col(startCol) > runMax + gap, lit(1)).otherwise(lit(0)))
+      .withColumn("__island", sum(col("__new")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy((keyCols :+ "__island").map(col): _*)
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
 }

@@ -170,6 +170,19 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // gaps-and-islands interval consolidation: per-user activity windows
+    // [ts, ts + (event_id%120+1)s] merged into maximal disjoint spans —
+    // two per-KEY windows + one keyed agg, never a global window
+    "q233_merge_intervals" -> ((s, d) => {
+      val iv = Tables.eventsWithTs(s, d).select(col("user_id"),
+        col("ts").as("s_ns"),
+        (col("ts") + (col("event_id") % 120 + 1) * 1000000000L).as("e_ns"))
+      graft.ops.RangeJoin.mergeIntervals(iv, Seq("user_id"), "s_ns", "e_ns")
+        .select(col("user_id"), col("start").as("start_ns"),
+          col("end").as("end_ns"), col("n_merged"))
+        .orderBy(col("user_id"), col("start_ns"))
+    }),
+
     // retention cohort matrix over integer epoch weeks
     "q189_retention" -> ((s, d) => {
       graft.streaming.EventStream.retentionCohorts(Tables.eventsWithTs(s, d))
@@ -783,6 +796,28 @@ object CorpusPack extends QueryPack {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin,
+      // the classic SQL gaps-and-islands: island flag from the running
+      // max end, island id from its running sum, then min/max/count
+      "q233_merge_intervals" ->
+        """WITH iv AS (
+          |  SELECT user_id, epoch_ns(ts) AS s_ns,
+          |    epoch_ns(ts) + (event_id % 120 + 1) * 1000000000 AS e_ns
+          |  FROM events),
+          |f AS (
+          |  SELECT user_id, s_ns, e_ns,
+          |    CASE WHEN s_ns > COALESCE(MAX(e_ns) OVER (
+          |        PARTITION BY user_id ORDER BY s_ns, e_ns
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      s_ns - 1) THEN 1 ELSE 0 END AS nf
+          |  FROM iv),
+          |g AS (
+          |  SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY s_ns, e_ns
+          |    ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM f)
+          |SELECT user_id, MIN(s_ns) AS start_ns, MAX(e_ns) AS end_ns,
+          |  COUNT(*) AS n_merged
+          |FROM g GROUP BY user_id, island
+          |ORDER BY user_id, start_ns""".stripMargin,
       "q189_retention" ->
         """WITH a AS (
           |  SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS activity_week

@@ -39,6 +39,18 @@ object RelationalPack extends QueryPack {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // OLAP ROLLUP (hierarchical subtotals: (priority, status), (priority),
+    // grand total — one pass, Expand under the hood, exact decimal sums;
+    // the report shape a 100 TB analytics user expects for free)
+    "q234_rollup_totals" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
     // Five-way join family seed: inner equi-join element(lineitem) x
     // obs(orders) + groupBy (reference relational_query.py:337-395).
     "q02_join_inner_agg" -> ((s, d) => {
@@ -263,6 +275,13 @@ object RelationalPack extends QueryPack {
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // native ROLLUP on both sides; NULL group rows are the subtotals
+    "q234_rollup_totals" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q02_join_inner_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price

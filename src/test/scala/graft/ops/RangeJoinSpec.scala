@@ -71,4 +71,26 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
   }
+
+  test("mergeIntervals: islands, touching edges, gap tolerance, per-key isolation") {
+    import spark.implicits._
+    val iv = Seq(
+      ("u", 1L, 3L), ("u", 2L, 5L), ("u", 7L, 8L),  // [1,5] and [7,8]
+      ("v", 1L, 3L), ("v", 3L, 4L),                  // touching -> [1,4]
+      ("v", 10L, 9L),                                // inverted: dropped
+      ("w", 1L, 2L), ("w", 4L, 5L))                  // gap 2 apart
+      .toDF("k", "s", "e")
+    val got = RangeJoin.mergeIntervals(iv, Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("u", 1L, 5L, 2L), ("u", 7L, 8L, 1L),
+      ("v", 1L, 4L, 2L), ("w", 1L, 2L, 1L), ("w", 4L, 5L, 1L)))
+    // gap = 2 bridges w's islands; containment collapses correctly
+    val gapped = RangeJoin.mergeIntervals(iv, Seq("k"), "s", "e", gap = 2L)
+      .filter($"k" === "w").as[(String, Long, Long, Long)].collect().toSet
+    assert(gapped === Set(("w", 1L, 5L, 2L)))
+    val contained = Seq(("u", 1L, 10L), ("u", 2L, 3L), ("u", 4L, 6L))
+      .toDF("k", "s", "e")
+    assert(RangeJoin.mergeIntervals(contained, Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet === Set(("u", 1L, 10L, 3L)))
+  }
 }
