@@ -136,6 +136,55 @@ object VersionedLayout {
     v
   }
 
+  /** Copy-on-write MERGE (upsert): rows of `df` replace same-key rows of
+    * the latest version, new keys append; committed as one new version,
+    * so readers see either the old table or the merged one. This is the
+    * honest small-table form — it rewrites the whole survivor set.
+    * Production MERGE at 100 TB prunes the rewrite to the files whose key
+    * ranges the update touches (pair the layout with the Bloom/zone
+    * sidecars to find them); the commit protocol — and therefore reader
+    * safety — is identical, so this is the semantics gate for that
+    * optimization, not a rival to it.
+    */
+  def upsert(df: DataFrame, path: String, keyCol: String): Int = {
+    val spark = df.sparkSession
+    val cur = read(spark, path, None)
+    require(cur.columns.contains(keyCol) && df.columns.contains(keyCol),
+      s"upsert: key column '$keyCol' must exist on both sides")
+    val merged = cur.join(df.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(df)
+    commit(merged, path, overwrite = true)
+  }
+
+  /** [[read]] with parquet schema merging across the version's file sets
+    * — SCHEMA EVOLUTION: a commit may add columns; older file sets fill
+    * them with NULL. Additive evolution only (parquet mergeSchema
+    * semantics: same-name columns must keep compatible types).
+    */
+  def readMerged(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"readMerged: no committed versions under $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"readMerged: version $v not in $vs")
+    val dirs = readManifest(spark, path, v)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Row-level CHANGES between two versions (CDC read): `added` rows are
+    * in `v2` but not `v1`, `removed` the reverse — multiset semantics via
+    * exceptAll, tagged in one frame. Both sides are manifest snapshots,
+    * so the diff is reproducible forever (until vacuum).
+    * Output: v2-schema columns + `change` ('added' / 'removed').
+    */
+  def diff(spark: SparkSession, path: String, v1: Int, v2: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = read(spark, path, Some(v1))
+    val b = read(spark, path, Some(v2))
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+  }
+
   /** Drop every data dir not referenced by the LATEST manifest and every
     * older manifest — ends time travel, reclaims space. The latest
     * version is untouched.

@@ -227,6 +227,54 @@ object ExtraPack extends QueryPack {
       }
     }),
 
+    // copy-on-write MERGE into the versioned layout: updates replace
+    // same-key rows, inserts append, all in one atomic commit; the
+    // oracle recomputes the merged table from the raw documents
+    "q235_layout_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val mods = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val news = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vup_")
+      val path = tmp.resolve("t").toString
+      try {
+        graft.ops.VersionedLayout.commit(docs, path)
+        graft.ops.VersionedLayout.upsert(mods.unionByName(news), path, "doc_id")
+        graft.ops.VersionedLayout.read(s, path)
+          .orderBy(col("doc_id")).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
+    // CDC read between two versions of the layout: the upsert's updates
+    // surface as (added new-value, removed old-value) pairs, inserts as
+    // added only — multiset exceptAll semantics, reproducible until vacuum
+    "q236_layout_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val mods = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val news = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vdiff_")
+      val path = tmp.resolve("t").toString
+      try {
+        graft.ops.VersionedLayout.commit(docs, path)
+        graft.ops.VersionedLayout.upsert(mods.unionByName(news), path, "doc_id")
+        graft.ops.VersionedLayout.diff(s, path, 1, 2)
+          .orderBy(col("doc_id"), col("change")).localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // KNN riding the Z layout: probe stencils -> merged Morton bands
     // prune the at-rest scan, broadcast refine ranks exactly; the oracle
     // is the brute-force distance join (it never sees the layout)
@@ -616,6 +664,29 @@ object ExtraPack extends QueryPack {
         |    ((((event_id % 1024) >> i) & 1) << (2 * i)) +
         |    ((((user_id % 1024) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
         |FROM events ORDER BY event_id""".stripMargin,
+    // merged table recomputed from the raw documents
+    "q235_layout_upsert" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars FROM base WHERE doc_id % 50 = 0)
+        |SELECT doc_id, lang, n_chars FROM merged ORDER BY doc_id""".stripMargin,
+    // updates -> (added new, removed old); inserts -> added only
+    "q236_layout_diff" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |changes AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'added' AS change
+        |  FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, 'added'
+        |  FROM base WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'removed' FROM base WHERE doc_id % 7 = 0)
+        |SELECT doc_id, lang, n_chars, change FROM changes
+        |ORDER BY doc_id, change""".stripMargin,
     // per-version totals from the raw table: v1 = the 60% split, v2 and
     // v3 (compaction rewrites, content unchanged) = the full table
     "q228_versioned_layout" ->

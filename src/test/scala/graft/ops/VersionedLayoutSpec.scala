@@ -74,6 +74,46 @@ class VersionedLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("upsert: updates replace, inserts append, one atomic new version") {
+    withDir { path =>
+      VersionedLayout.commit(a, path)
+      val up = Seq((5L, "UPDATED"), (999L, "NEW")).toDF("id", "s")
+      assert(VersionedLayout.upsert(up, path, "id") === 2)
+      val latest = VersionedLayout.read(spark, path)
+      assert(latest.count() === 101L)
+      assert(latest.filter($"id" === 5L).select("s").as[String].head() === "UPDATED")
+      assert(latest.filter($"id" === 999L).count() === 1L)
+      // v1 is untouched
+      assert(VersionedLayout.read(spark, path, Some(1))
+        .filter($"id" === 5L).select("s").as[String].head() === "a5")
+    }
+  }
+
+  test("diff surfaces updates as added+removed and inserts as added") {
+    withDir { path =>
+      VersionedLayout.commit(a, path)
+      VersionedLayout.upsert(Seq((5L, "UPDATED"), (999L, "NEW")).toDF("id", "s"),
+        path, "id")
+      val d = VersionedLayout.diff(spark, path, 1, 2)
+        .as[(Long, String, String)].collect().toSet
+      assert(d === Set((5L, "UPDATED", "added"), (999L, "NEW", "added"),
+        (5L, "a5", "removed")))
+    }
+  }
+
+  test("readMerged unifies additive schema evolution across commits") {
+    withDir { path =>
+      VersionedLayout.commit(a, path)
+      VersionedLayout.commit(
+        Seq((200L, "x200", 3.5)).toDF("id", "s", "score"), path)
+      val m = VersionedLayout.readMerged(spark, path)
+      assert(m.columns.toSet === Set("id", "s", "score"))
+      assert(m.count() === 101L)
+      assert(m.filter($"id" === 200L).select("score").as[Double].head() === 3.5)
+      assert(m.filter($"id" === 0L).select("score").as[java.lang.Double].head() === null)
+    }
+  }
+
   test("reading an empty or unknown version refuses loudly") {
     withDir { path =>
       intercept[IllegalArgumentException] { VersionedLayout.read(spark, path) }
