@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{BloomIndex, Dedup, Sampling, Similarity, TextAnalysis, VectorIndex}
+import graft.pipeline.{BloomIndex, Dedup, Sampling, Similarity, TextAnalysis, VectorIndex, ZoneMapIndex}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -398,6 +398,28 @@ object CorpusPack extends QueryPack {
       }
     }),
 
+    // zone-map sidecar range read: events land partitioned by event_type
+    // with per-partition (min, max) value stats; the [120, 180] range
+    // query plans candidate partitions from the sidecar and scans only
+    // those — the oracle is the plain full-scan BETWEEN (index invisible)
+    "q237_zonemap_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zm_")
+      val path = tmp.resolve("ev").toString
+      try {
+        ZoneMapIndex.writeZoneMapped(ev, path, "event_type", Seq("value"))
+        ZoneMapIndex.readRange(s, path, "value", 120.0, 180.0)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // at-rest Bloom sidecar point lookup: documents land partitioned by
     // lang with a per-partition key bitmap; looking up 5 doc_ids plans
     // candidate partitions from the sidecar and scans only those — the
@@ -706,6 +728,11 @@ object CorpusPack extends QueryPack {
       // the at-rest index stores exactly what the recompute path derives,
       // so the oracle is identical
       "q153_ivf_pq_at_rest" -> ivfPqOracle,
+      // plain full-scan range filter — the zone map must be invisible
+      "q237_zonemap_range" ->
+        """SELECT event_id, event_type, value FROM events
+          |WHERE value >= 120.0 AND value <= 180.0
+          |ORDER BY event_id""".stripMargin,
       // plain full-scan filter — the Bloom layout must be invisible
       "q225_bloom_lookup" ->
         """SELECT doc_id, lang, source, n_chars FROM documents
