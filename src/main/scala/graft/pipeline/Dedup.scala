@@ -1121,11 +1121,14 @@ object Dedup {
       .distinct()
     val keyed = t.select(col("__t"),
       explode(deletionNeighborhood(col("__t"), maxDist)).as("__k"))
+    // verify BEFORE dedup: levenshtein is a codegen'd scalar on the join
+    // output, so filtering first means the distinct exchange carries only
+    // TRUE pairs (a few per key) instead of every candidate co-occurrence
     keyed.select(col("__t").as("a"), col("__k"))
       .join(keyed.select(col("__t").as("b"), col("__k")), Seq("__k"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist")).distinct()
   }
 }

@@ -300,6 +300,24 @@ object PipelinePack extends QueryPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // entity resolution end-to-end: deletion-blocked edit-distance pairs
+    // -> connected components = typo/variant cluster ids (the
+    // canonical-entity stage); oracle = brute-force pairs + recursive
+    // reachability, neither the blocking nor the propagation mirrored
+    "q238_entity_clusters" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val base = substring(md5(concat(lit("e:"),
+        col("c_custkey").cast("string"))), 1, 8)
+      val terms = cust.select(base.as("term"))
+        .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+          .select(concat(lit("z"), substring(base, 2, 7)).as("term")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .select(concat(base, lit("q")).as("term")))
+      val pairs = Dedup.editDistancePairs(terms, "term", maxDist = 1)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization: mixed-case hosts, default ports, tracking
     // params, fragments and trailing slashes all collapse to the dedup
     // key; the oracle builds raw AND canonical forms from doc_id
@@ -1307,6 +1325,28 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // brute-force pairs + recursive reachability ground truth
+      "q238_entity_clusters" ->
+        """WITH RECURSIVE raw AS (
+          |  SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS term
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT 'z' || substr(substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8), 2, 7)
+          |  FROM customer WHERE c_custkey % 5 = 0
+          |  UNION ALL
+          |  SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) || 'q'
+          |  FROM customer WHERE c_custkey % 10 = 0),
+          |t AS (SELECT DISTINCT term FROM raw),
+          |p AS (SELECT a.term AS id_a, b.term AS id_b FROM t a JOIN t b
+          |      ON a.term < b.term AND levenshtein(a.term, b.term) <= 1),
+          |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+          |nodes AS (SELECT DISTINCT a AS id FROM e),
+          |reach(id, lbl) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.b, reach.lbl FROM reach JOIN e ON e.a = reach.id)
+          |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+          |ORDER BY doc_id""".stripMargin,
       // brute-force levenshtein ground truth over the distinct name set
       "q226_edit_pairs" ->
         """WITH t AS (SELECT DISTINCT c_name AS term FROM customer)

@@ -87,6 +87,39 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING ingest into the manifest-versioned layout
+    * ([[graft.ops.VersionedLayout]]): every micro-batch lands as one
+    * atomic version commit — concurrent readers see either the previous
+    * version or the whole batch, never a torn file set (the guarantee the
+    * plain parquet-append ingest cannot give) — and every `compactEvery`
+    * batches the accumulated small file sets rewrite into one, also as a
+    * plain commit, so compaction needs no pause. Version history doubles
+    * as a replay ledger: a crashed consumer resumes from the version it
+    * last processed via [[graft.ops.VersionedLayout.diff]].
+    */
+  def streamingVersionedIngest(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, path: String, compactEvery: Int = 8,
+      compactSortCol: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.VersionedLayout.commit(batch, path)
+        if (batchId % compactEvery == compactEvery - 1)
+          graft.ops.VersionedLayout.compact(spark, path, compactSortCol)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** STREAMING cardinality maintenance: each micro-batch's HyperLogLog
     * registers ([[graft.pipeline.Sketches.hllRegisters]]) merge into an
     * at-rest register table by per-register MAX — the mergeability that

@@ -30,6 +30,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming versioned ingest: per-batch atomic commits, compaction in-stream") {
+    import graft.ops.VersionedLayout
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-vout")
+      .resolve("table").toString
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val q = EventStream.streamingVersionedIngest(spark, dir, schemaDDL, out,
+      compactEvery = 2, compactSortCol = Some("event_id"),
+      maxFilesPerTrigger = Some(1))
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+    // two commits + one in-stream compaction = 3 versions; latest holds
+    // everything, version 1 still time-travels to the first batch alone
+    assert(VersionedLayout.versions(spark, out) === Seq(1, 2, 3))
+    assert(VersionedLayout.read(spark, out).count() === events.count())
+    assert(VersionedLayout.read(spark, out, Some(1)).count() ===
+      events.filter(col("event_id") % 2 === 0).count())
+    val latest = VersionedLayout.read(spark, out)
+      .select("event_id").as[Long].collect().toSet
+    val all = spark.read.schema(schemaDDL).parquet(dir)
+      .select("event_id").as[Long].collect().toSet
+    assert(latest === all)
+  }
+
   test("streaming HLL register maintenance equals the one-shot batch sketch") {
     import graft.pipeline.Sketches
     val dir = java.nio.file.Files.createTempDirectory("graft-hllsrc").toString
