@@ -194,6 +194,48 @@ object GraphOps {
     CacheScope.releaseAfterFirstUse(labels, Seq(e, nodes))
   }
 
+  /** k-CORE decomposition by iterative peeling: repeatedly remove nodes
+    * of degree < k (over the symmetrized simple graph) until stable or
+    * `maxRounds` — the surviving subgraph is the k-core, the standard
+    * dense-subgraph signal (spam/link-farm rings survive high-k cores;
+    * organic long-tail pages peel away early). Each round is one degree
+    * aggregation + two semi-joins restricting the edge set — keyed
+    * shuffles only, no window, rounds bounded by `maxRounds` (peeling
+    * converges in at most |V| rounds, in practice a handful; pass the
+    * round budget explicitly when mirroring against an unrolled oracle).
+    * Output: (node, degree) of the surviving core — empty when the graph
+    * has no k-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 10,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var e = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev = e
+    var rounds = 0
+    var stable = false
+    while (rounds < maxRounds && !stable) {
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).select(col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val e2 = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (before, after) = (e.count(), e2.count())
+      prev.unpersist(); keep.unpersist()
+      prev = e2
+      e = e2
+      stable = before == after
+      rounds += 1
+    }
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    CacheScope.releaseAfterFirstUse(out, Seq(prev))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected simple graph — the link-farm / tight-community signal
     * (spam rings close triangles; organic link graphs are sparse in

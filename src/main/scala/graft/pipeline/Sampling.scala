@@ -357,6 +357,36 @@ object Sampling {
           / col("n_rows")).as("rate"))
   }
 
+  /** LENGTH-BUCKETED inference batching: rows of similar length are
+    * chunked into fixed-size batches so in-batch padding waste is bounded
+    * by the bucket width — the dynamic-batching prep every batched
+    * inference/embedding pass runs (padding to the batch max costs
+    * (max-len)·batch tokens; random batching wastes ~50% on a skewed
+    * length distribution, bucketing caps it at bucketWidth/len).
+    * bucket = floor(len / bucketWidth); within a bucket rows order by
+    * (len, key) — deterministic — and chunk into `batchSize` rows:
+    * batch = (bucket, batch_in_bucket), batch_rank = position. The
+    * per-bucket window's state is one running count; a bucket streams
+    * through one task's sort, so buckets are the parallelism unit — at
+    * corpus scale prepend a [[hashSample]]-salted sub-bucket key to split
+    * hot buckets (the stratifiedQuota note, same trade).
+    * Output: input columns + (bucket, batch_in_bucket, batch_rank).
+    */
+  def lengthBucketedBatches(df: DataFrame, keyCol: String, lenCol: String,
+      bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1, s"lengthBucketedBatches: bucketWidth >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"lengthBucketedBatches: batchSize >= 1, got $batchSize")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(lenCol), col(keyCol))
+    df.filter(col(lenCol).isNotNull)
+      .withColumn("bucket", floor(col(lenCol) / bucketWidth).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_in_bucket",
+        floor((col("__rn") - 1) / batchSize).cast("long"))
+      .withColumn("batch_rank", pmod(col("__rn") - 1, lit(batchSize)).cast("int"))
+      .drop("__rn")
+  }
+
   /** Rendezvous / highest-random-weight shard assignment (Thaler &
     * Ravishankar 1996): key -> argmax over shards of
     * hash32("<salt>:<shard>:<key>"). THE stable routing rule for

@@ -300,6 +300,33 @@ object PipelinePack extends QueryPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // length-bucketed inference batching: similar-length docs chunk into
+    // batches of 8 within 200-char buckets (padding waste bounded by the
+    // bucket width); deterministic (len, key) order
+    "q239_length_batches" -> ((s, d) => {
+      Sampling.lengthBucketedBatches(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", bucketWidth = 200L, batchSize = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // k-core peeling over planted structure: arithmetic noise edges
+    // cascade away under k=4 while the planted K6 clique survives — the
+    // dense-subgraph (link-farm) detector; oracle unrolls 6 peel rounds
+    "q240_kcore" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val noise = ids.select(((col("doc_id") * 13) % 47).as("src"),
+          ((col("doc_id") * col("doc_id") + col("doc_id")) % 47).as("dst"))
+        .unionByName(ids.select(((col("doc_id") * 29) % 47).as("src"),
+          ((col("doc_id") * col("doc_id") * col("doc_id") +
+            col("doc_id") * 2) % 47).as("dst")))
+      val clique = (for (a <- 100L to 105L; b <- 100L to 105L if a < b)
+        yield (a, b)).toDF("src", "dst")
+      GraphOps.kCore(noise.unionByName(clique), k = 4, maxRounds = 6)
+        .orderBy(col("node"))
+    }),
+
     // entity resolution end-to-end: deletion-blocked edit-distance pairs
     // -> connected components = typo/variant cluster ids (the
     // canonical-entity stage); oracle = brute-force pairs + recursive
@@ -1325,6 +1352,53 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // buckets + rank windows mirror of the batching rule
+      "q239_length_batches" ->
+        """SELECT doc_id, n_chars,
+          |  CAST(FLOOR(n_chars / 200.0) AS BIGINT) AS bucket,
+          |  CAST(FLOOR((rn - 1) / 8.0) AS BIGINT) AS batch_in_bucket,
+          |  CAST((rn - 1) % 8 AS INT) AS batch_rank
+          |FROM (
+          |  SELECT doc_id, n_chars,
+          |    ROW_NUMBER() OVER (PARTITION BY FLOOR(n_chars / 200.0)
+          |      ORDER BY n_chars, doc_id) AS rn
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+
+      // 6 unrolled peel rounds over the same edge construction
+      "q240_kcore" -> {
+        val clique = (for (a <- 100 to 105; b <- 100 to 105 if a < b)
+          yield s"($a, $b)").mkString(", ")
+        def round(i: Int) =
+          s"""d$i AS (SELECT src, COUNT(*) AS d FROM e$i GROUP BY 1),
+             |k$i AS (SELECT src AS node FROM d$i WHERE d >= 4),
+             |e${i + 1} AS (
+             |  SELECT s.src, s.dst FROM e$i s
+             |  JOIN k$i x ON s.src = x.node JOIN k$i y ON s.dst = y.node)""".stripMargin
+        s"""WITH e0raw AS (
+           |  SELECT (doc_id * 13) % 47 AS a,
+           |    (doc_id * doc_id + doc_id) % 47 AS b FROM documents
+           |  UNION ALL
+           |  SELECT (doc_id * 29) % 47,
+           |    (doc_id * doc_id * doc_id + doc_id * 2) % 47 FROM documents
+           |  UNION ALL
+           |  SELECT CAST(a AS BIGINT), CAST(b AS BIGINT)
+           |  FROM (VALUES $clique) t(a, b)),
+           |e0 AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT a AS src, b AS dst FROM e0raw
+           |    UNION ALL SELECT b, a FROM e0raw)
+           |  WHERE src <> dst),
+           |${round(0)},
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |${round(4)},
+           |${round(5)}
+           |SELECT src AS node, COUNT(*) AS degree FROM e6 GROUP BY 1
+           |ORDER BY node""".stripMargin
+      },
+
       // brute-force pairs + recursive reachability ground truth
       "q238_entity_clusters" ->
         """WITH RECURSIVE raw AS (

@@ -280,6 +280,31 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged === est)
   }
 
+  test("lengthBucketedBatches: batches stay in-bucket, full except the last, ordered") {
+    val rows = (0 until 100).map(i => (i.toLong, (i * 7 % 45 + 10).toLong))
+      .toDF("k", "len")
+    val got = Sampling.lengthBucketedBatches(rows, "k", "len",
+        bucketWidth = 20L, batchSize = 4)
+      .select("k", "len", "bucket", "batch_in_bucket", "batch_rank")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(got.length === 100)
+    got.foreach { case (_, len, bucket, _, rank) =>
+      assert(bucket === len / 20)
+      assert(rank >= 0 && rank < 4)
+    }
+    // every batch is full (4 rows) except possibly the last per bucket,
+    // and lengths within a batch span at most the bucket width
+    got.groupBy(r => (r._3, r._4)).foreach { case ((bucket, bi), rs) =>
+      val maxBi = got.filter(_._3 == bucket).map(_._4).max
+      if (bi < maxBi) assert(rs.length === 4, s"bucket $bucket batch $bi")
+      val lens = rs.map(_._2)
+      assert(lens.max - lens.min <= 20)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.lengthBucketedBatches(rows, "k", "len", 0L, 4)
+    }
+  }
+
   test("percentileRank: uniform data ranks linearly; groups calibrate independently") {
     // uniform 0..999 with a fine grid: every bin holds one value, so
     // pct(v) is exactly (v+1)/1000

@@ -99,6 +99,21 @@ class GraphOpsSpec extends SparkTestBase {
     assert(edges.forall { case (s, d) => s != d && edges.contains((d, s)) })
   }
 
+  test("kCore: tails peel, the clique core survives, too-high k empties") {
+    // K4 on {1,2,3,4} with a pendant chain 4-5-6
+    val edges = ((for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core3 = GraphOps.kCore(edges, k = 3, maxRounds = 6)
+      .as[(Long, Long)].collect().toMap
+    // chain peels in two rounds (6 first, then 5); K4 keeps degree 3
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4: K4 nodes have degree 3 -> everything peels
+    assert(GraphOps.kCore(edges, k = 4, maxRounds = 6).count() === 0L)
+    // k=1 on the simple graph keeps everything
+    assert(GraphOps.kCore(edges, k = 1, maxRounds = 6).count() === 6L)
+    intercept[IllegalArgumentException] { GraphOps.kCore(edges, k = 0) }
+  }
+
   test("triangleCounts: K4, pendant triangle, and a triangle-free path") {
     // complete graph on 4 nodes: every node in 3 triangles, clustering 1
     val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
