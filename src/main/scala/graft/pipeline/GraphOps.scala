@@ -194,6 +194,80 @@ object GraphOps {
     CacheScope.releaseAfterFirstUse(labels, Seq(e, nodes))
   }
 
+  /** WEIGHTED co-occurrence edges: like [[coOccurrenceEdges]] but each
+    * ordered pair carries the number of groups it co-occurs in — the
+    * co-citation STRENGTH (two domains cited together once vs in 10k
+    * documents are different signals). Same keyed-join shape, one extra
+    * count aggregation.  Output: (src, dst, weight).
+    */
+  def coOccurrenceEdgesWeighted(items: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = items.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .distinct()
+    val l = g.select(col("__g"), col("__v").as("src"))
+    val r = g.select(col("__g"), col("__v").as("dst"))
+    l.join(r, Seq("__g"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** WEIGHTED PageRank: rank mass flows along edges in proportion to
+    * edge weight instead of splitting evenly — the form link analysis
+    * actually runs over co-citation/click graphs, where multiplicity IS
+    * the signal. Same snapped fixed-point discipline as [[pageRank]],
+    * with the per-edge SHARE precomputed once (share = round6(w / Σ_out w),
+    * exact-decimal Σ over integer weights) so iterations stay one keyed
+    * join + one keyed decimal sum:
+    *
+    *   pr_i+1(v) = round6((1-d)/N + d · Σ_{u→v} round6(pr_i(u) · share(u,v)))
+    *
+    * Duplicate (src, dst) rows collapse by SUMMING their weights;
+    * non-positive weights are rejected loudly. Output: (node, pr).
+    */
+  def weightedPageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "weight"): DataFrame = {
+    require(iters >= 0, s"weightedPageRank: iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1,
+      s"weightedPageRank: damping must be in (0,1), got $damping")
+    def snap(c: org.apache.spark.sql.Column) = TextAnalysis.round6(c)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // validate BEFORE the share division plans (a zero out-weight would
+    // otherwise surface as an ANSI arithmetic error mid-pipeline)
+    require(e.filter(col("w") <= 0).limit(1).count() == 0,
+      "weightedPageRank: weights must be positive")
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("__ow"))
+    // shares ride on every edge row, computed once — iterations never
+    // touch the weights again
+    val eo = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"),
+        snap(col("w").cast("double") / col("__ow").cast("double")).as("__share"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), snap(lit(1.0) / col("__n")).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = pr.join(eo, pr("node") === eo("src"))
+        .select(col("dst").as("node"),
+          snap(col("pr") * col("__share")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c").cast("decimal(28,6)")).cast("double").as("__sum"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          snap((lit(1.0) - damping) / col("__n") +
+            lit(damping) * coalesce(col("__sum"), lit(0.0))).as("pr"))
+    }
+    CacheScope.releaseAfterFirstUse(pr, Seq(e, eo, nodes))
+  }
+
   /** k-CORE decomposition by iterative peeling: repeatedly remove nodes
     * of degree < k (over the symmetrized simple graph) until stable or
     * `maxRounds` — the surviving subgraph is the k-core, the standard
@@ -214,26 +288,37 @@ object GraphOps {
     var e = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prev = e
+    var held: List[DataFrame] = List(e)
     var rounds = 0
     var stable = false
-    while (rounds < maxRounds && !stable) {
+    // ONE bounded action per round — "does any node sit below k" on the
+    // node-sized degree frame (limit(1), not an edge count) — and AQE off
+    // for the loop's own actions: re-optimizing the accumulating peeled
+    // lineage at every stage turned 6 rounds into ~18 s of driver work at
+    // sf0.1 (the connectedComponents finding, same fix)
+    val spark0 = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark0.conf.get(aqeKey, "true")
+    spark0.conf.set(aqeKey, "false")
+    try while (rounds < maxRounds && !stable) {
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
-      val keep = deg.filter(col("degree") >= k).select(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val e2 = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val (before, after) = (e.count(), e2.count())
-      prev.unpersist(); keep.unpersist()
-      prev = e2
-      e = e2
-      stable = before == after
+      if (deg.filter(col("degree") < k).limit(1).count() == 0) {
+        stable = true
+        deg.unpersist()
+      } else {
+        val keep = deg.filter(col("degree") >= k).select(col("node"))
+        val e2 = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        held = e2 :: deg :: held
+        e = e2
+      }
       rounds += 1
-    }
+    } finally spark0.conf.set(aqeKey, aqePrev)
     val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
-    CacheScope.releaseAfterFirstUse(out, Seq(prev))
+    CacheScope.releaseAfterFirstUse(out, held)
   }
 
   /** Per-node triangle counts + local clustering coefficient over an

@@ -270,6 +270,23 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // WEIGHTED PageRank over co-citation counts: mass flows by edge
+    // weight (share = round6(w/Σw) precomputed once), 3 snapped
+    // iterations — multiplicity as signal, not just adjacency
+    "q241_weighted_pagerank" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val ew = GraphOps.coOccurrenceEdgesWeighted(urls, "doc_id", "domain")
+      GraphOps.weightedPageRank(ew, iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // TrustRank over the same co-citation graph: teleport restricted to
     // a vetted seed set — link-proximity to the seeds becomes the score,
     // unreachable domains decay to zero
@@ -1492,6 +1509,46 @@ object PipelinePack extends QueryPack {
            |${iter("lbl2", 3)}
            |SELECT node, label FROM lbl3 ORDER BY node""".stripMargin
       },
+      // q215's graph with doc-count weights: per-edge share snapped once,
+      // then 3 unrolled iterations of r6((1-d)/N + d·Σ r6(pr·share))
+      "q241_weighted_pagerank" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        def iter(prev: String, cN: String, prN: String) =
+          s"""$cN AS (
+             |  SELECT sh.dst AS node,
+             |    CAST(SUM(CAST(${r6(s"$prev.pr * sh.share")} AS DECIMAL(28,6))) AS DOUBLE) AS s
+             |  FROM $prev JOIN sh ON sh.src = $prev.node
+             |  GROUP BY 1),
+             |$prN AS (
+             |  SELECT nodes.node,
+             |    ${r6(s"(1.0 - 0.85) / n.n + 0.85 * COALESCE($cN.s, 0.0)")} AS pr
+             |  FROM nodes LEFT JOIN $cN USING (node), n)""".stripMargin
+        s"""WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |dom AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+           |  FROM m
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           |  FROM m),
+           |ew AS (SELECT a.domain AS src, b.domain AS dst, COUNT(*) AS w
+           |       FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain
+           |       GROUP BY 1, 2),
+           |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+           |sh AS (SELECT ew.src, ew.dst,
+           |         ${r6("CAST(w AS DOUBLE) / CAST(ow AS DOUBLE)")} AS share
+           |       FROM ew JOIN ow USING (src)),
+           |nodes AS (SELECT DISTINCT src AS node FROM ew
+           |          UNION SELECT DISTINCT dst FROM ew),
+           |n AS (SELECT COUNT(*) AS n FROM nodes),
+           |pr0 AS (SELECT node, ${r6("1.0 / n.n")} AS pr FROM nodes, n),
+           |${iter("pr0", "c1", "pr1")},
+           |${iter("pr1", "c2", "pr2")},
+           |${iter("pr2", "c3", "pr3")}
+           |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      },
+
       // q215's graph, triangles by the PLAIN a<b<c wedge closure (the
       // degree ordering is the engine's concern, not the contract)
       "q229_triangle_counts" ->

@@ -99,6 +99,40 @@ class GraphOpsSpec extends SparkTestBase {
     assert(edges.forall { case (s, d) => s != d && edges.contains((d, s)) })
   }
 
+  test("weightedPageRank: hand-derived one-iteration trace; duplicates collapse by sum") {
+    // a ->(3) b, a ->(1) c: shares 0.75 / 0.25; b and c dangle
+    // pr0 = 0.333333; c(b) = r6(.333333*.75) = 0.25,
+    // c(c) = r6(.333333*.25) = 0.083333
+    // pr1(a) = r6(.15/3) = 0.05; pr1(b) = r6(.05 + .85*.25) = 0.2625;
+    // pr1(c) = r6(.05 + .85*.083333) = 0.120833
+    val w = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "weight")
+    val pr = GraphOps.weightedPageRank(w, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(pr === Map("a" -> 0.05, "b" -> 0.2625, "c" -> 0.120833))
+    // duplicate edge rows sum their weights -> identical trace
+    val dup = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "weight")
+    assert(GraphOps.weightedPageRank(dup, iters = 1)
+      .as[(String, Double)].collect().toMap === pr)
+    // uniform weights on a cycle keep the uniform fixpoint
+    val cyc = Seq(("a", "b", 5L), ("b", "a", 5L)).toDF("src", "dst", "weight")
+    assert(GraphOps.weightedPageRank(cyc, iters = 4)
+      .as[(String, Double)].collect().toMap === Map("a" -> 0.5, "b" -> 0.5))
+    intercept[IllegalArgumentException] {
+      GraphOps.weightedPageRank(
+        Seq(("a", "b", 0L)).toDF("src", "dst", "weight"), iters = 1)
+    }
+  }
+
+  test("coOccurrenceEdgesWeighted counts distinct co-occurring groups per pair") {
+    val items = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "x"),
+      (3L, "x"), (3L, "z")).toDF("g", "v")
+    val got = GraphOps.coOccurrenceEdgesWeighted(items, "g", "v")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("x", "y", 2L), ("y", "x", 2L),
+      ("x", "z", 1L), ("z", "x", 1L)))
+  }
+
   test("kCore: tails peel, the clique core survives, too-high k empties") {
     // K4 on {1,2,3,4} with a pendant chain 4-5-6
     val edges = ((for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
