@@ -70,6 +70,36 @@ object BloomIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_bloom_meta")
   }
 
+  /** INCREMENTAL append: new rows land in the partitioned layout and the
+    * bitmap sidecar merges by per-(partition, word) bit_or — Bloom
+    * bitmaps are OR-mergeable by construction, so append == rebuild with
+    * no rescan of resident data. Temp-dir + rename rewrite, same note as
+    * the zone-map merge. (Bitmaps only fill; deletes need a rebuild —
+    * the standard Bloom limitation.)
+    */
+  def appendBloomIndexed(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val m = readMeta(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"appendBloomIndexed: no _bloom_meta under $path"))
+    df.write.mode("append").partitionBy(m.partCol).parquet(path)
+    val fresh = probes(df.select(col(m.partCol).as("part"), col(m.keyCol)),
+        m.keyCol, m.bits, m.hashes, m.salt, Seq("part"))
+      .groupBy(col("part"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+    val merged = spark.read.parquet(s"$path/_bloom")
+      .unionByName(fresh)
+      .groupBy(col("part"), col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+    val tmp = s"$path/_bloom__merging"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_bloom"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/_bloom"))
+    ()
+  }
+
   /** Sidecar parameters of a [[writeBloomIndexed]] layout. */
   def readMeta(spark: SparkSession, path: String): Option[BloomMeta] =
     try {

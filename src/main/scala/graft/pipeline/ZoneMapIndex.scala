@@ -34,17 +34,55 @@ object ZoneMapIndex {
     require(!statCols.contains(partCol),
       s"writeZoneMapped: '$partCol' partitions the layout; zone stats on it are vacuous")
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
-    val stats = statCols.map { c =>
-      df.groupBy(col(partCol).as("part"))
-        .agg(min(col(c)).cast("string").as("lo"),
-          max(col(c)).cast("string").as("hi"),
-          count(col(c)).as("n_notnull"))
-        .withColumn("column", lit(c))
-    }.reduce(_.unionByName(_))
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+    sidecarStats(df, partCol, statCols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
     df.sparkSession.createDataFrame(Seq((partCol, statCols.mkString(","))))
       .toDF("partCol", "statCols")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap_meta")
+  }
+
+  /** Per-(partition, column) stats rows: string-ordered AND double-typed
+    * bounds both travel so merges stay type-correct (string min over
+    * numeric strings would order "10" < "9").
+    */
+  private def sidecarStats(df: DataFrame, partCol: String,
+      statCols: Seq[String]): DataFrame =
+    statCols.map { c =>
+      df.groupBy(col(partCol).as("part"))
+        .agg(min(col(c)).cast("string").as("lo"),
+          max(col(c)).cast("string").as("hi"),
+          min(expr(s"try_cast(`$c` AS DOUBLE)")).as("lo_d"),
+          max(expr(s"try_cast(`$c` AS DOUBLE)")).as("hi_d"),
+          count(col(c)).as("n_notnull"))
+        .withColumn("column", lit(c))
+    }.reduce(_.unionByName(_))
+
+  /** INCREMENTAL append: new data lands in the partitioned layout, the
+    * sidecar merges arithmetically — min/min, max/max, count-add per
+    * (partition, column) — so append == rebuild without rescanning the
+    * resident data (the mergeability zone maps exist for). The merged
+    * sidecar rewrites via a sibling temp dir + rename.
+    */
+  def appendZoneMapped(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val (partCol, statCols) = readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"appendZoneMapped: no _zonemap_meta under $path"))
+    df.write.mode("append").partitionBy(partCol).parquet(path)
+    val merged = spark.read.parquet(s"$path/_zonemap")
+      .unionByName(sidecarStats(df, partCol, statCols))
+      .groupBy(col("part"), col("column"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        min(col("lo_d")).as("lo_d"), max(col("hi_d")).as("hi_d"),
+        sum(col("n_notnull")).as("n_notnull"))
+    val tmp = s"$path/_zonemap__merging"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_zonemap"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/_zonemap"))
+    ()
   }
 
   /** Sidecar metadata (None for a plain layout). */
@@ -73,7 +111,7 @@ object ZoneMapIndex {
     val side = spark.read.parquet(s"$path/_zonemap")
       .filter(col("column") === valueCol && col("n_notnull") > 0)
     val (sLo, sHi) = if (numeric)
-      (col("lo").cast("double"), col("hi").cast("double")) else (col("lo"), col("hi"))
+      (col("lo_d"), col("hi_d")) else (col("lo"), col("hi"))
     val (qLo, qHi) = if (numeric)
       (lit(lo).cast("double"), lit(hi).cast("double")) else (lit(lo), lit(hi))
     val cand = side.filter(sLo <= qHi && sHi >= qLo)

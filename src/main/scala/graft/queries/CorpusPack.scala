@@ -420,6 +420,29 @@ object CorpusPack extends QueryPack {
       }
     }),
 
+    // incremental zone-map maintenance: write 60%, APPEND 40% (sidecar
+    // stats merge by min/max/count-add — no rescan of resident data),
+    // then the q237 range read; oracle = the same plain full-scan BETWEEN
+    "q242_zonemap_append" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zma_")
+      val path = tmp.resolve("ev").toString
+      try {
+        ZoneMapIndex.writeZoneMapped(ev.filter(col("event_id") % 5 < 3),
+          path, "event_type", Seq("value"))
+        ZoneMapIndex.appendZoneMapped(ev.filter(col("event_id") % 5 >= 3), path)
+        ZoneMapIndex.readRange(s, path, "value", 120.0, 180.0)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // at-rest Bloom sidecar point lookup: documents land partitioned by
     // lang with a per-partition key bitmap; looking up 5 doc_ids plans
     // candidate partitions from the sidecar and scans only those — the
@@ -728,6 +751,11 @@ object CorpusPack extends QueryPack {
       // the at-rest index stores exactly what the recompute path derives,
       // so the oracle is identical
       "q153_ivf_pq_at_rest" -> ivfPqOracle,
+      // same BETWEEN truth — the split + merged sidecar must be invisible
+      "q242_zonemap_append" ->
+        """SELECT event_id, event_type, value FROM events
+          |WHERE value >= 120.0 AND value <= 180.0
+          |ORDER BY event_id""".stripMargin,
       // plain full-scan range filter — the zone map must be invisible
       "q237_zonemap_range" ->
         """SELECT event_id, event_type, value FROM events

@@ -54,6 +54,25 @@ class BloomIndexSpec extends SparkTestBase {
     }
   }
 
+  test("append merges bitmaps by bit_or: append == rebuild, lookups agree") {
+    withLayout { path =>
+      BloomIndex.writeBloomIndexed(rows.filter(col("k") < 500), path, "p", "k")
+      BloomIndex.appendBloomIndexed(rows.filter(col("k") >= 500), path)
+      val rebuilt = path + "_rebuild"
+      BloomIndex.writeBloomIndexed(rows, rebuilt, "p", "k")
+      val a = spark.read.parquet(s"$path/_bloom")
+      val b = spark.read.parquet(s"$rebuilt/_bloom")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      val keys = Seq(10L, 499L, 500L, 900L)
+      val got = BloomIndex.lookupKeys(spark, path, keys)
+        .select("k").as[Long].collect().toSet
+      assert(got === keys.toSet)
+      intercept[IllegalArgumentException] {
+        BloomIndex.appendBloomIndexed(rows, path + "_nometa")
+      }
+    }
+  }
+
   test("metadata contract: meta persists; lookup without it refuses") {
     withLayout { path =>
       BloomIndex.writeBloomIndexed(rows, path, "p", "k", bits = 4096, hashes = 4,

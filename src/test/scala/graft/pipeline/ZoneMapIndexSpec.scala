@@ -48,6 +48,31 @@ class ZoneMapIndexSpec extends SparkTestBase {
     }
   }
 
+  test("append merges stats arithmetically: append == rebuild, reads agree") {
+    withLayout { path =>
+      val first = rows.filter($"id" < 150)
+      val second = rows.filter($"id" >= 150)
+      ZoneMapIndex.writeZoneMapped(first, path, "p", Seq("v"))
+      ZoneMapIndex.appendZoneMapped(second, path)
+      val rebuilt = path + "_rebuild"
+      ZoneMapIndex.writeZoneMapped(rows, rebuilt, "p", Seq("v"))
+      // align column order: the merged rewrite and the fresh build emit
+      // the same rows with different physical column order
+      val cols = Seq("part", "column", "lo", "hi", "lo_d", "hi_d", "n_notnull")
+      val a = spark.read.parquet(s"$path/_zonemap").select(cols.map(col): _*)
+      val b = spark.read.parquet(s"$rebuilt/_zonemap").select(cols.map(col): _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      val got = ZoneMapIndex.readRange(spark, path, "v", 120.0, 220.0)
+        .select("id").as[Long].collect().toSet
+      val want = rows.filter($"v" >= 120.0 && $"v" <= 220.0)
+        .select("id").as[Long].collect().toSet
+      assert(got === want)
+      intercept[IllegalArgumentException] {
+        ZoneMapIndex.appendZoneMapped(rows, path + "_nometa")
+      }
+    }
+  }
+
   test("metadata contract and refusals") {
     withLayout { path =>
       ZoneMapIndex.writeZoneMapped(rows, path, "p", Seq("v"))
