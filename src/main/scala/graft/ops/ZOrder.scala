@@ -208,6 +208,45 @@ object ZOrder {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
+  /** Per-FILE key bands of a Z-ordered layout: (file, min key, max key,
+    * rows) — the raw material for clustering-quality monitoring. One
+    * input_file_name() aggregation; O(files) rows.
+    */
+  def layoutStats(spark: SparkSession, path: String,
+      keyCol: String = "zkey"): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("rows"))
+
+  /** CLUSTERING DEPTH of the layout: the maximum number of files whose
+    * key bands overlap at any single key — the metric that schedules
+    * compaction. A freshly written/compacted range-partitioned layout
+    * has depth 1 (disjoint bands: every readBox range hits the minimum
+    * file set); each streamed append layers another band on top, and a
+    * probe may open up to `depth` files per range. Computed on the
+    * driver over the O(files) stats rows via a sweep over band
+    * endpoints (starts count +1, ends -1 after sort).
+    */
+  def clusteringDepth(spark: SparkSession, path: String,
+      keyCol: String = "zkey"): Int = {
+    val bands = layoutStats(spark, path, keyCol)
+      .select(col("min_key").cast("long"), col("max_key").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (bands.isEmpty) 0
+    else {
+      // sweep: at equal coordinates starts come before ends (closed
+      // intervals: [1,3] and [3,5] DO overlap at 3)
+      val events = bands.flatMap { case (lo, hi) => Seq((lo, +1), (hi, -1)) }
+        .sortBy { case (k, delta) => (k, -delta) }
+      var depth = 0; var maxDepth = 0
+      events.foreach { case (_, delta) =>
+        depth += delta; if (depth > maxDepth) maxDepth = depth
+      }
+      maxDepth
+    }
+  }
+
   /** Covering Morton-key ranges for a bbox, planned at a coarser
     * `level` <= `bits`: the box's cell rectangle at `level` decomposes
     * into at most (2^level)^2 cells, each owning the contiguous key band

@@ -48,6 +48,13 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(viaSql.toSeq === viaDsl.toSeq)
   }
 
+  test("graft_canonical_url in SQL matches the Column DSL") {
+    val r = sql.sql(
+      "SELECT graft_canonical_url('https://WWW.Example.com:443/a/?utm_source=x&q=1#f') AS c")
+      .head()
+    assert(r.getString(0) === "https://example.com/a/?q=1")
+  }
+
   test("graft_cosine in SQL") {
     val r = sql.sql(
       "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same, " +

@@ -38,6 +38,32 @@ class ZOrderSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { ZOrder.interleave3(col("a"), col("b"), col("c"), 22) }
   }
 
+  test("clusteringDepth: 1 after write and compact, layered after appends") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zdepth_")
+    val path = tmp.resolve("pts").toString
+    try {
+      val pts = (0 until 2000).map(i =>
+        (i.toLong, (i * 7 % 100).toDouble, (i * 13 % 100).toDouble))
+        .toDF("id", "x", "y")
+      ZOrder.writeZOrdered(pts, "x", "y", path, 0.0, 100.0, 0.0, 100.0,
+        bits = 8, numPartitions = Some(4))
+      assert(ZOrder.clusteringDepth(spark, path) === 1)
+      // two appends layer full-extent bands over the four disjoint ones
+      val more = (0 until 300).map(i =>
+        (10000L + i, (i * 11 % 100).toDouble, (i * 3 % 100).toDouble))
+        .toDF("id", "x", "y")
+      ZOrder.appendZOrdered(more, path)
+      ZOrder.appendZOrdered(more.withColumn("id", col("id") + 1000), path)
+      assert(ZOrder.clusteringDepth(spark, path) >= 3)
+      ZOrder.compact(spark, path, numPartitions = Some(4))
+      assert(ZOrder.clusteringDepth(spark, path) === 1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("zRangesForBox: sorted, disjoint, merged, and covering") {
     val bits = 8
     val (qx0, qx1, qy0, qy1) = (37L, 90L, 12L, 55L)

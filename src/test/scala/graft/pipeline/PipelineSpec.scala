@@ -778,8 +778,11 @@ class PipelineSpec extends SparkTestBase {
     val live = Dedup.lshCandidatePairs(docs, persistBands = true)
     assert(live.count() >= 0)
     // fire unrelated actions until the stale scopes expire or get evicted;
-    // the cap + abandon window guarantee this terminates
-    val deadline = System.currentTimeMillis + 30000
+    // the cap + abandon window guarantee this terminates. 90 s, not 30:
+    // the wall-clock abandon window still has to elapse when the host is
+    // sharing cores with other JVMs (observed flake at 30 s under a
+    // concurrent bench run)
+    val deadline = System.currentTimeMillis + 90000
     while (CacheScope.pendingCount(spark) > 0 &&
       System.currentTimeMillis < deadline) {
       (0 until 50).foreach(_ => docs.count())
