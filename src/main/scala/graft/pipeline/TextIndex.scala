@@ -299,4 +299,37 @@ object TextIndex {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Exact PHRASE occurrence counts per document — the query form bag-of-
+    * words BM25 cannot answer ("new york" is not new ∧ york) and the
+    * boilerplate-phrase / quote detector curation runs. The scan form:
+    * one stateless codegen projection over each doc's token array — a
+    * sliding window of |phrase| tokens compared per start position, no
+    * shuffle, no UDF, oracle-mirrorable as list algebra. (The indexed
+    * twin — positional postings — buys repeated phrase QUERIES; the scan
+    * form is the one-shot batch filter and the semantics gate for it.)
+    * Phrase terms normalize through the same tokenizer as the corpus.
+    * Output: (id, n_occurrences, has_phrase).
+    */
+  def phraseCount(docs: DataFrame, phrase: String, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = phrase.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, s"phraseCount: phrase '$phrase' has no tokens")
+    val k = terms.length
+    val w = Dedup.words(col(textCol))
+    // starts: 0-based positions i with words[i+j] == terms(j) for all j;
+    // element_at is 1-based, hence the +1
+    val matchAt = (i: org.apache.spark.sql.Column) =>
+      terms.zipWithIndex.map { case (t, j) =>
+        element_at(col("__w"), (i + lit(j + 1)).cast("int")) === lit(t)
+      }.reduce(_ && _)
+    docs.select(col(idCol), w.as("__w"))
+      .select(col(idCol),
+        when(size(col("__w")) >= k,
+          size(filter(sequence(lit(0), size(col("__w")) - k),
+            i => matchAt(i)))).otherwise(lit(0)).cast("long")
+          .as("n_occurrences"))
+      .withColumn("has_phrase", col("n_occurrences") > 0)
+  }
 }

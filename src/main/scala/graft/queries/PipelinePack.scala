@@ -317,6 +317,14 @@ object PipelinePack extends QueryPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // exact phrase occurrence counts (the query bag-of-words BM25 cannot
+    // answer): sliding-window compare over each doc's token array — one
+    // stateless codegen projection, mirrored as DuckDB list algebra
+    "q243_phrase_count" -> ((s, d) => {
+      TextIndex.phraseCount(Tables.documentsSpread(s, d), "part value")
+        .orderBy(col("doc_id"))
+    }),
+
     // length-bucketed inference batching: similar-length docs chunk into
     // batches of 8 within 200-char buckets (padding waste bounded by the
     // bucket width); deterministic (len, key) order
@@ -1369,6 +1377,24 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // the same sliding window as list algebra: starts i (1-based) with
+      // w[i]='part' and w[i+1]='value'
+      "q243_phrase_count" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN len(w) >= 2 THEN
+          |    len(list_filter(range(1, len(w)),
+          |      i -> w[i] = 'part' AND w[i + 1] = 'value'))
+          |  ELSE 0 END AS BIGINT) AS n_occurrences,
+          |  CASE WHEN len(w) >= 2 THEN
+          |    len(list_filter(range(1, len(w)),
+          |      i -> w[i] = 'part' AND w[i + 1] = 'value')) > 0
+          |  ELSE FALSE END AS has_phrase
+          |FROM t ORDER BY doc_id""".stripMargin,
+
       // buckets + rank windows mirror of the batching rule
       "q239_length_batches" ->
         """SELECT doc_id, n_chars,
