@@ -64,6 +64,7 @@ object GraftFunctions {
     ("graft_hash32", 2, (a: Seq[Column]) => Sampling.keyHash32(a(0), a(1))),
     ("graft_canonical_url", 1,
       (a: Seq[Column]) => TextAnalysis.canonicalUrl(a(0))),
+    ("graft_nfc", 1, (a: Seq[Column]) => TextAnalysis.nfcNormalize(a(0))),
     ("graft_cosine", 2, (a: Seq[Column]) => Similarity.cosineCol(a(0), a(1)))
   )
 

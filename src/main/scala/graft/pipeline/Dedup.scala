@@ -274,6 +274,61 @@ object Dedup {
     CacheScope.releaseAfterFirstUse(out, if (persistBands) Seq(b0) else Nil)
   }
 
+  /** CLUSTER-AWARE train/eval split — the CONSTRUCTIVE fix for what
+    * [[splitLeakage]] only audits: hash the split decision on a
+    * duplicate-CLUSTER representative instead of the document id, so
+    * every member of a near-dup cluster lands on the same side of the
+    * boundary BY CONSTRUCTION (a near-copy of a test document can never
+    * sit in train). `pairs` is any (id_a, id_b) duplicate-pair frame —
+    * exact content pairs, LSH candidates ([[lshCandidatePairs]]),
+    * semantic pairs — making this the split stage of whichever dedup
+    * notion the pipeline already runs; representatives come from
+    * [[connectedComponents]] (min-id per cluster), documents with no
+    * pair are their own representative. One keyed left join puts the
+    * representative on each doc; the split itself stays
+    * [[Sampling.splitAssign]]'s stateless hash cut on that key — split
+    * FRACTIONS now hold over clusters rather than documents (duplicates
+    * travel together; with bounded cluster sizes the document-level
+    * fractions converge to the weights). Output: input columns +
+    * (`cluster_key`, `split`).
+    */
+  def clusterAwareSplit(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id",
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "split"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val keyed = docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    Sampling.splitAssign(keyed, "cluster_key", weights, salt)
+  }
+
+  /** Near-dup dedup with a KEEP-BEST survivor policy — [[dedupCorpus]]
+    * keeps each cluster's MINIMUM id (the streaming-greedy canonical);
+    * this keeps its HIGHEST-QUALITY member (max over (score, -id):
+    * highest score wins, smallest id breaks ties — [[exactKeepBest]]'s
+    * policy lifted from exact-hash groups to near-dup clusters). `pairs`
+    * is any duplicate-pair frame; clusters come from
+    * [[connectedComponents]]; unpaired documents survive as their own
+    * cluster. One keyed join + one keyed max-struct aggregation after the
+    * CC labels — no window, no product. Output: (cluster_key, keep_id,
+    * best_score, n_members), one row per cluster.
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy(col("cluster_key"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_key"), (-col("__best.negId")).as("keep_id"),
+        col("__best.s").as("best_score"), col("n_members"))
+  }
+
   /** Train/eval LEAKAGE AUDIT: assign splits deterministically
     * ([[Sampling.splitAssign]]) and surface every near-duplicate pair that
     * crosses the train/eval boundary — the check every benchmark-honest

@@ -111,6 +111,70 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** PRIORITY SAMPLING (Duffield, Lund & Thorup 2007) — a FIXED-SIZE
+    * weighted sample without replacement, plus the threshold estimator
+    * that makes it a subset-sum sketch: each row draws priority
+    * q = w / u with u uniform on (0, 1], the sample is the n highest
+    * priorities, and every kept row carries `est_w = max(w, tau)` where
+    * tau is the (n+1)-th priority — so for ANY downstream subset S,
+    * E[Σ_{kept ∩ S} est_w] = Σ_S w (the estimator the one-pass "sample
+    * now, slice arbitrarily later" telemetry/corpus-audit pipelines
+    * need; [[weightedHashSample]] is its Bernoulli cousin with random
+    * size, [[stratifiedQuota]] its unweighted one).
+    *
+    * Deterministic and engine-portable by construction: u = (hash32+1) /
+    * 2^32 from the salted md5 draw, so the priority is
+    * `w * 2^32 / (hash32 + 1)` — one exact power-of-two scaling and one
+    * correctly-rounded IEEE division; every engine computes the
+    * bit-identical double (the non-portable transcendentals in the
+    * classic exp-key form u^(1/w) are exactly what this form avoids).
+    * Ties order by key. NULL and non-positive weights drop (never
+    * sampled — surface those upstream).
+    *
+    * Scale shape: global draws (strataCols empty) lower to
+    * TakeOrderedAndProject over n+1 rows — top-k machinery, no global
+    * sort, no corpus-wide window (the (n+1)-row tail window that derives
+    * tau is bounded by the sample size, same justification as the
+    * heavy-hitter top-k). Per-stratum draws use a per-stratum window
+    * bounded by stratum population — [[stratifiedQuota]]'s shape and the
+    * same pre-filter advice for very hot strata.
+    * Output: input columns + (priority, est_w).
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int, strataCols: Seq[String] = Nil, salt: String = "pri"): DataFrame = {
+    require(n >= 1, s"prioritySample: n must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    val u = keyHash32(col(keyCol), salt) + 1L // in [1, 2^32]
+    val base = df.filter(w.isNotNull && w > 0.0)
+      .withColumn("priority", w * lit(4294967296.0) / u)
+    if (strataCols.isEmpty) {
+      // top n+1 via TakeOrderedAndProject; the (n+1)-th is tau
+      val top = base.orderBy(col("priority").desc, col(keyCol)).limit(n + 1)
+      val wAll = Window.orderBy(col("priority").desc, col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // over <= n+1 rows: tau = min priority IFF n+1 rows survived the cut
+      top
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("priority").desc, col(keyCol))))
+        .withColumn("__tau",
+          when(count(lit(1)).over(wAll) === n + 1, min(col("priority")).over(wAll)))
+        .filter(col("__rn") <= n)
+        .withColumn("est_w", greatest(w, coalesce(col("__tau"), lit(0.0))))
+        .drop("__rn", "__tau")
+    } else {
+      val part = strataCols.map(col)
+      val wRank = Window.partitionBy(part: _*)
+        .orderBy(col("priority").desc, col(keyCol))
+      val ranked = base.withColumn("__rn", row_number().over(wRank))
+      val taus = ranked.filter(col("__rn") === n + 1)
+        .select(strataCols.map(col) :+ col("priority").as("__tau"): _*)
+      ranked.filter(col("__rn") <= n)
+        .join(taus, strataCols, "left")
+        .withColumn("est_w", greatest(w, coalesce(col("__tau"), lit(0.0))))
+        .drop("__rn", "__tau")
+    }
+  }
+
   /** CLUSTER-BALANCED sampling — diversity sampling over embedding space
     * (the D4/SemDeDup-lineage selection step: cluster the corpus, then
     * draw evenly per cluster so no dense region dominates the training

@@ -292,6 +292,33 @@ object Sketches {
         (if (groupCols.isEmpty) Seq("__g") else Nil)): _*)
   }
 
+  /** WINSORIZATION — clamp a value column to its [pLo, pHi] sketch
+    * quantiles (outlier capping before means/z-scores/feature scaling: a
+    * handful of corrupt extremes otherwise own the moments; capping beats
+    * dropping when row identity must survive). Cutoffs come from
+    * [[histogramQuantiles]] — 6-dec-snapped, error <= one bin width — and
+    * land as two driver literals (the same O(1) planning-fact handoff as
+    * the extent queries), so the rewrite itself is a stateless codegen'd
+    * `greatest(least(v, hi), lo)` projection: no second shuffle, pushdown
+    * unobstructed, NULL values pass through NULL. Clamping is pure
+    * comparison — interior values pass through bit-identical, only the
+    * tails meet the snapped cutoffs. Output: input columns +
+    * `<valueCol>_w`.
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.01,
+      pHi: Double = 0.99, bins: Int = 1024): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val cuts = histogramQuantiles(df, valueCol, Seq(pLo, pHi), bins)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val (lo, hi) = (cuts(pLo), cuts(pHi))
+    // greatest/least SKIP nulls (greatest(null, lo) = lo) — gate on
+    // non-null so a NULL value yields a NULL clamped value, not a cutoff
+    df.withColumn(s"${valueCol}_w",
+      when(col(valueCol).isNotNull,
+        greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))))
+  }
+
   // ------------------------------------------------------------ HyperLogLog
 
   /** HyperLogLog REGISTERS (Flajolet et al. 2007) from the md5 hash — the

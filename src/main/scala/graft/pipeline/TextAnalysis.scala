@@ -30,6 +30,23 @@ object TextAnalysis {
           regexp_count(text, lit("[a-zA-Z][0-9]")) +
           regexp_count(text, lit("[0-9][a-zA-Z]")))
 
+  /** Unicode NFC canonical normalization as a codegen'd `StaticInvoke` of
+    * [[TextKernel.nfc]] (never a UDF — same pattern as the sketch
+    * kernels): composes combining sequences to their canonical form so
+    * byte-level hashing (exact dedup, shingles, URL keys) treats
+    * canonically-equal text as equal. Compose with [[Dedup.normalizedExact]]
+    * or md5 content keys for normalization-invariant dedup over
+    * multilingual corpora; NULL passes through NULL. Mirrors DuckDB's
+    * `nfc_normalize` — the q246 gate compares the two over synthesized
+    * decomposed text.
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(Class.forName("graft.pipeline.TextKernel"),
+      StringType, "nfc", Seq(text), Seq(StringType), returnNullable = false)
+  }
+
   /** 6-decimal rounding as pure IEEE arithmetic (`floor(x*1e6 + 0.5)/1e6`)
     * — bit-identical on every engine that evaluates the same double ops,
     * unlike engine-native `round`, whose half-way decisions differ between
@@ -336,6 +353,42 @@ object TextAnalysis {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("n_occurrences").desc, col("token"))
     counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("token"), col("n_occurrences"))
+  }
+
+  /** [[topTermsPerGroup]]'s SKEW-SAFE twin: identical rows, but the rank
+    * runs TWO-PHASE so no single reducer ever sorts a hot group's whole
+    * vocabulary. Phase 1 ranks within (group, salt-bucket) — the salt is
+    * the term's own hash, so each of the `saltBuckets` windows holds
+    * ~vocab/saltBuckets rows — and keeps each bucket's local top-k; phase
+    * 2 re-ranks the surviving <= saltBuckets*k rows per group. Exact by
+    * the superset property (every global top-k term is top-k within its
+    * bucket — counts are already fully aggregated per term, so bucket
+    * membership cannot change a term's count). Use when single groups'
+    * vocabularies run to billions (a whole-web "en" slice); the plain
+    * one-window form is cheaper below that.
+    */
+  def topTermsPerGroupSalted(docs: DataFrame, groupCol: String, topK: Int = 5,
+      saltBuckets: Int = 32, textCol: String = "text"): DataFrame = {
+    require(saltBuckets >= 2,
+      s"topTermsPerGroupSalted: need >= 2 salt buckets, got $saltBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol), explode(Dedup.words(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("__salt",
+        pmod(Sampling.keyHash32(col("token"), "tts"), lit(saltBuckets.toLong)))
+    val wLocal = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    val survivors = counts.withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= topK)
+    val wFinal = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    survivors.withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= topK)
       .select(col(groupCol), col("rank").cast("long").as("rank"),
         col("token"), col("n_occurrences"))

@@ -372,4 +372,20 @@ object TextKernel {
     while (h < numHashes) { out(h) = best(h); h += 1 }
     new GenericArrayData(out)
   }
+
+  /** Unicode NFC canonical composition (UAX #15, via the JDK's
+    * `java.text.Normalizer` tables): "é" as e+U+0301 and as U+00E9 become
+    * the same bytes, so content hashes, shingles, and equality joins see
+    * one form — the normalization step multilingual web corpora need
+    * BEFORE any hash-keyed dedup (the two encodings of the same rendered
+    * text would otherwise never collide). The all-ASCII common case takes
+    * the `isNormalized` fast path: a scan, no allocation, input returned
+    * as-is.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -346,6 +346,24 @@ object CurationPack extends QueryPack {
         .orderBy(col("prob"))
     }),
 
+    // winsorization: clamp event values to the [p05, p95] sketch cutoffs
+    // (driver literals) — interior values pass through bit-identical,
+    // outliers meet the snapped quantile edges
+    "q245_winsorize" -> ((s, d) => {
+      Sketches.winsorize(Tables.events(s, d), "value",
+        pLo = 0.05, pHi = 0.95, bins = 256)
+        .select(col("event_id"), col("value"), col("value_w"))
+        .orderBy(col("event_id"))
+    }),
+
+    // the skew-safe two-phase top-k: must return q174's rows exactly —
+    // the salt buckets change the plan, never the answer
+    "q249_top_terms_salted" -> ((s, d) => {
+      TextAnalysis.topTermsPerGroupSalted(Tables.documents(s, d), "lang",
+        topK = 5, saltBuckets = 8)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // distributed logistic-regression training (the fastText-style quality
     // classifier gate): 2 full-batch GD iterations over shape features,
     // label = is-English; exact fixed-point trace
@@ -599,6 +617,51 @@ object CurationPack extends QueryPack {
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q173_ccnet_partition" -> s"$ccnetLabeledCtes\n$ccnetLabeledSelect\nORDER BY s.doc_id",
+
+    // q163's bin/cum algebra at p05/p95 -> two scalar cutoffs -> clamp;
+    // NULL values stay NULL (the engine side gates on non-null)
+    "q245_winsorize" ->
+      """WITH s AS (
+        |  SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi,
+        |         COUNT(value) AS n
+        |  FROM events),
+        |h AS (
+        |  SELECT LEAST(CAST(FLOOR((CAST(e.value AS DOUBLE) - s.lo) /
+        |           ((s.hi - s.lo) / 256)) AS BIGINT), 255) AS bin,
+        |         COUNT(*) AS c
+        |  FROM events e, s GROUP BY 1),
+        |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
+        |p AS (SELECT unnest([0.05, 0.95]) AS prob),
+        |cuts AS (
+        |  SELECT p.prob,
+        |    FLOOR((s.lo + (MIN(cum.bin) + 1) * ((s.hi - s.lo) / 256)) * 1e6 + 0.5) / 1e6 AS est
+        |  FROM p, s, cum
+        |  WHERE cum.cum >= GREATEST(CAST(CEIL(p.prob * s.n) AS BIGINT), 1)
+        |  GROUP BY p.prob, s.lo, s.hi),
+        |c2 AS (
+        |  SELECT MIN(CASE WHEN prob = 0.05 THEN est END) AS lo_c,
+        |         MIN(CASE WHEN prob = 0.95 THEN est END) AS hi_c
+        |  FROM cuts)
+        |SELECT event_id, value,
+        |  CASE WHEN value IS NOT NULL
+        |       THEN GREATEST(LEAST(CAST(value AS DOUBLE), c2.hi_c), c2.lo_c) END AS value_w
+        |FROM events, c2 ORDER BY event_id""".stripMargin,
+
+    // identical rows to q174 — the salted two-phase rank is a pure plan
+    // change, so the oracle IS q174's
+    "q249_top_terms_salted" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest($wordsSql) AS token FROM documents),
+         |c AS (
+         |  SELECT lang, token, COUNT(*) AS n_occurrences
+         |  FROM tok WHERE length(token) > 0 GROUP BY 1, 2),
+         |r AS (
+         |  SELECT lang, token, n_occurrences,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY n_occurrences DESC, token) AS rank
+         |  FROM c)
+         |SELECT lang, rank, token, n_occurrences
+         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q198_profile_columns" -> {
       def one(c: String) =

@@ -75,6 +75,22 @@ object PipelinePack extends QueryPack {
       })
     }
 
+  // planted-copy corpus + its exact-content duplicate pairs (id_a < id_b,
+  // keyed md5 self-join — no product): the shared fixture for the
+  // cluster-aware split / keep-best-survivor gates (q247/q248)
+  private def exactPairFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val docs = base.unionByName(planted)
+    val h = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+    val pairs = h.select(col("doc_id").as("id_a"), col("__h"))
+      .join(h.select(col("doc_id").as("id_b"), col("__h")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    (docs, pairs)
+  }
+
   // BM25 CTE chain for query terms ('spark','join','vector'), k1=1.2
   // b=0.75: ends at `sc` (doc_id, score, n_terms_hit). Shared verbatim by
   // q204 (recompute), q206 (at-rest index — the index must be a pure
@@ -323,6 +339,51 @@ object PipelinePack extends QueryPack {
     "q243_phrase_count" -> ((s, d) => {
       TextIndex.phraseCount(Tables.documentsSpread(s, d), "part value")
         .orderBy(col("doc_id"))
+    }),
+
+    // priority sampling (Duffield 2007): fixed-size weighted draw without
+    // replacement + the max(w, tau) threshold estimator; priority =
+    // w * 2^32 / (hash32+1) is one exact scaling + one correctly-rounded
+    // IEEE division, so both engines rank bit-identical doubles
+    "q244_priority_sample" -> ((s, d) => {
+      Sampling.prioritySample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 50)
+        .select(col("doc_id"), col("n_chars"), col("priority"), col("est_w"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC canonicalization (codegen StaticInvoke, never a UDF) vs
+    // DuckDB's nfc_normalize: decomposed e+U+0301 suffixes composed to é,
+    // one char shorter, byte-identical md5 content keys
+    "q246_nfc_normalize" -> ((s, d) => {
+      // decomposed "e" + U+0301 COMBINING ACUTE — what NFC composes
+      val decorated = concat(col("text"), lit(" caf"), lit("e" + 0x0301.toChar))
+      Tables.documentsSpread(s, d)
+        .select(col("doc_id"), length(decorated).as("raw_len"),
+          length(TextAnalysis.nfcNormalize(decorated)).as("nfc_len"),
+          md5(TextAnalysis.nfcNormalize(decorated)).as("nfc_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cluster-aware split: near-dup cluster members land on one side of
+    // the train/eval boundary BY CONSTRUCTION (the hash cut keys on the
+    // CC representative); planted same-text copies prove it
+    "q247_cluster_split" -> ((s, d) => {
+      val (docs, pairs) = exactPairFixture(s, d)
+      Dedup.clusterAwareSplit(docs, pairs)
+        .select(col("doc_id"), col("cluster_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // keep-best survivor policy over near-dup clusters: highest (score,
+    // -id) member survives, not the min id
+    "q248_keep_best_cluster" -> ((s, d) => {
+      val (docs, pairs) = exactPairFixture(s, d)
+      Dedup.keepBestPerCluster(
+        docs.withColumn("score", (col("doc_id") % 7).cast("double")),
+        pairs, "score")
+        .orderBy(col("cluster_key"))
     }),
 
     // length-bucketed inference batching: similar-length docs chunk into
@@ -1394,6 +1455,72 @@ object PipelinePack extends QueryPack {
           |      i -> w[i] = 'part' AND w[i + 1] = 'value')) > 0
           |  ELSE FALSE END AS has_phrase
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // priority = w * 2^32 / (hash32+1); top-50 by (priority DESC, id);
+      // tau = the 51st priority; est_w = max(w, tau) on kept rows
+      "q244_priority_sample" ->
+        s"""WITH p AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(n_chars AS DOUBLE) * 4294967296.0 /
+           |      (${hex32Sql("'pri:' || CAST(doc_id AS VARCHAR)")} + 1) AS priority
+           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
+           |tau AS (SELECT MIN(priority) AS t FROM r WHERE rn = 51)
+           |SELECT doc_id, n_chars, priority,
+           |  GREATEST(CAST(n_chars AS DOUBLE), COALESCE(tau.t, 0.0)) AS est_w
+           |FROM r, tau WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+      // the engine-independent NFC: DuckDB nfc_normalize over the same
+      // decomposed e + chr(769) suffix; md5 sees identical bytes
+      "q246_nfc_normalize" ->
+        """WITH t AS (
+          |  SELECT doc_id, text || ' caf' || chr(101) || chr(769) AS raw
+          |  FROM documents)
+          |SELECT doc_id, length(raw) AS raw_len,
+          |  length(nfc_normalize(raw)) AS nfc_len,
+          |  md5(nfc_normalize(raw)) AS nfc_hash
+          |FROM t ORDER BY doc_id""".stripMargin,
+
+      // exact-content clusters are md5(text) groups; the representative is
+      // the group MIN id; the split hashes the representative
+      "q247_cluster_split" -> {
+        val c1 = math.round(0.8 * 4294967296.0)
+        val c2 = math.round(0.9 * 4294967296.0)
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 25 = 0),
+           |rep AS (
+           |  SELECT doc_id,
+           |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_key
+           |  FROM docs)
+           |SELECT doc_id, cluster_key,
+           |  CASE WHEN ${hex32Sql("'split:' || CAST(cluster_key AS VARCHAR)")} < $c1 THEN 'train'
+           |       WHEN ${hex32Sql("'split:' || CAST(cluster_key AS VARCHAR)")} < $c2 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM rep ORDER BY doc_id""".stripMargin
+      },
+
+      // keep-best = first row per cluster under (score DESC, id ASC) —
+      // the max-struct (s, -id) order
+      "q248_keep_best_cluster" ->
+        """WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 25 = 0),
+          |rep AS (
+          |  SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) AS score,
+          |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_key
+          |  FROM docs),
+          |rk AS (
+          |  SELECT cluster_key, doc_id, score,
+          |    ROW_NUMBER() OVER (PARTITION BY cluster_key
+          |      ORDER BY score DESC, doc_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY cluster_key) AS nm
+          |  FROM rep)
+          |SELECT cluster_key, doc_id AS keep_id, score AS best_score,
+          |  nm AS n_members
+          |FROM rk WHERE rn = 1 ORDER BY cluster_key""".stripMargin,
 
       // buckets + rank windows mirror of the batching rule
       "q239_length_batches" ->

@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-10 selection/normalization operators: priority sampling,
+  * winsorization, NFC canonicalization, cluster-aware split, keep-best
+  * cluster survivors, and the skew-safe two-phase per-group top-k.
+  */
+class SelectionOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val weighted = (1 to 200).map { i =>
+    (i.toLong, (i % 13 + 1).toDouble, if (i % 2 == 0) "even" else "odd")
+  }.toDF("id", "w", "stratum")
+
+  // brute-force priority mirror: w * 2^32 / (hash32+1) under salt "pri"
+  private def bruteForce(rows: Seq[(Long, Double)]): Seq[(Long, Double, Double)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map { case (id, w) =>
+      val hex = md.digest(s"pri:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val u = java.lang.Long.parseLong(hex, 16) + 1L
+      (id, w, w * 4294967296.0 / u)
+    }.sortBy { case (id, _, pr) => (-pr, id) }
+  }
+
+  test("prioritySample global: top-n by priority, est_w = max(w, tau)") {
+    val n = 10
+    val out = Sampling.prioritySample(weighted, "id", "w", n)
+      .select("id", "w", "priority", "est_w")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.length === n)
+    val bf = bruteForce(weighted.select("id", "w").as[(Long, Double)].collect().toSeq)
+    val expectKept = bf.take(n)
+    val tau = bf(n)._3
+    assert(out.map(_._1).toSet === expectKept.map(_._1).toSet)
+    out.foreach { case (id, w, pr, est) =>
+      val exp = expectKept.find(_._1 == id).get
+      assert(pr === exp._3, s"priority mismatch for $id")
+      assert(est === math.max(w, tau), s"est_w mismatch for $id")
+    }
+  }
+
+  test("prioritySample: population <= n keeps everything with est_w = w") {
+    val tiny = weighted.filter(col("id") <= 5)
+    val out = Sampling.prioritySample(tiny, "id", "w", 50)
+      .select("id", "w", "est_w").as[(Long, Double, Double)].collect()
+    assert(out.length === 5)
+    out.foreach { case (_, w, est) => assert(est === w) }
+  }
+
+  test("prioritySample per-stratum equals the global algorithm run per stratum") {
+    val n = 7
+    val out = Sampling.prioritySample(weighted, "id", "w", n, Seq("stratum"))
+      .select("stratum", "id", "est_w").as[(String, Long, Double)].collect()
+    Seq("even", "odd").foreach { st =>
+      val mine = out.filter(_._1 == st).map(t => (t._2, t._3)).sortBy(_._1)
+      val solo = Sampling.prioritySample(
+        weighted.filter(col("stratum") === st), "id", "w", n)
+        .select("id", "est_w").as[(Long, Double)].collect().sortBy(_._1)
+      assert(mine.toSeq === solo.toSeq, s"stratum $st disagrees with solo run")
+    }
+  }
+
+  test("prioritySample drops NULL and non-positive weights") {
+    val dirty = Seq((1L, Some(2.0)), (2L, None), (3L, Some(0.0)), (4L, Some(-1.0)),
+      (5L, Some(1.0))).toDF("id", "w")
+    val kept = Sampling.prioritySample(dirty, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L))
+  }
+
+  test("winsorize clamps tails to snapped cutoffs and passes interiors bit-identically") {
+    val vals = ((1 to 98).map(_.toDouble) ++ Seq(-1e9, 1e9))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Sketches.winsorize(vals, "v", pLo = 0.05, pHi = 0.95, bins = 256)
+      .select("id", "v", "v_w").as[(Long, Double, Double)].collect()
+    val (lo, hi) = (out.map(_._3).min, out.map(_._3).max)
+    assert(lo > -1e9 && hi < 1e9, "outliers must be clamped")
+    out.filter(r => r._2 > lo && r._2 < hi).foreach { case (_, v, vw) =>
+      assert(vw === v, "interior values must pass through unchanged")
+    }
+    // every output inside [lo, hi]
+    out.foreach { case (_, _, vw) => assert(vw >= lo && vw <= hi) }
+  }
+
+  test("winsorize: NULL values stay NULL") {
+    val vals = Seq((1L, Some(1.0)), (2L, None), (3L, Some(100.0)), (4L, Some(50.0)))
+      .toDF("id", "v")
+    val out = Sketches.winsorize(vals, "v", 0.25, 0.75, bins = 16)
+    assert(out.filter(col("id") === 2 && col("v_w").isNull).count() === 1)
+  }
+
+  test("nfcNormalize composes decomposed sequences; ASCII and idempotency hold") {
+    val decomposed = "cafe" + 0x0301.toChar          // e + COMBINING ACUTE
+    val composed = "caf" + 0x00E9.toChar             // é precomposed
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.nfcNormalize(col("t")).as("n"))
+    val got = df.as[(Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === composed, "decomposed must compose")
+    assert(got(1)._2 === composed, "composed is a fixpoint")
+    assert(got(2)._2 === "plain ascii")
+    val dfNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextAnalysis.nfcNormalize(col("t")).as("n"))
+    assert(dfNull.filter(col("n").isNull).count() === 1)
+  }
+
+  test("clusterAwareSplit: every cluster lands on exactly one side; singletons match splitAssign") {
+    val docs = (1 to 100).map(i => (i.toLong, s"text ${i % 20}")).toDF("doc_id", "text")
+    // duplicate-pair frame: equal text
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val pairs = h.select(col("doc_id").as("id_a"), col("h"))
+      .join(h.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    val out = Dedup.clusterAwareSplit(docs, pairs)
+      .select("doc_id", "cluster_key", "split")
+      .as[(Long, Long, String)].collect()
+    out.groupBy(_._2).foreach { case (ck, rows) =>
+      assert(rows.map(_._3).toSet.size === 1,
+        s"cluster $ck straddles splits: ${rows.toSeq}")
+    }
+    // cluster_key is the min doc_id of the equal-text group
+    val expect = out.groupBy(_._2).map { case (ck, rows) => ck -> rows.map(_._1).min }
+    expect.foreach { case (ck, minId) => assert(ck === minId) }
+  }
+
+  test("keepBestPerCluster keeps the (score desc, id asc) argmax per cluster") {
+    val docs = Seq(
+      (1L, 1.0), (2L, 5.0), (3L, 5.0), // cluster {1,2,3}: best = id 2
+      (9L, 7.0)                        // singleton
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(docs, pairs, "score")
+      .select("cluster_key", "keep_id", "best_score", "n_members")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, 5.0, 3L), (9L, 9L, 7.0, 1L)))
+  }
+
+  test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
+    val docs = (1 to 120).map { i =>
+      (i.toLong, if (i % 3 == 0) "aa" else "bb",
+        s"alpha beta gamma delta ${"epsilon " * (i % 5)} zeta token$i")
+    }.toDF("doc_id", "g", "text")
+    val plain = TextAnalysis.topTermsPerGroup(docs, "g", topK = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = TextAnalysis.topTermsPerGroupSalted(docs, "g", topK = 4,
+      saltBuckets = 4).collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq === plain.toSeq)
+  }
+}
