@@ -727,4 +727,80 @@ object Similarity {
               (col("__sxj").cast("double") / 1e6) / col("__n")) / col("__n"))
           .as("cov"))
   }
+
+  /** PCA TOP COMPONENT via power iteration over [[covarianceMatrix]] —
+    * the dimensionality-reduction/whitening direction embedding pipelines
+    * extract before SemDeDup-style clustering or visualization. The
+    * corpus-scale work is exactly the covariance pass (one distributed
+    * fixed-point aggregation); the d x d eigen-iteration itself is an
+    * O(d^2)-per-step DRIVER-MODEL computation (d = 64 here; the same
+    * driver-resident-model pattern as k-means centroids and the logistic
+    * weights) kept bit-reproducible across engines the q155 way: every
+    * matvec term and every squared-norm term snaps to the 1e-6 grid and
+    * accumulates in exact LONGs, the one float step per iteration is a
+    * correctly-rounded IEEE sqrt + division, and the normalized vector
+    * re-snaps — so a SQL oracle unrolling the same iterations reproduces
+    * every intermediate bit-for-bit. Starts from the all-ones vector
+    * (deterministic; fails loudly on a zero matrix), fixed `iters` rounds
+    * (no convergence test — the trace, not the limit, is the contract,
+    * same stance as [[kmeansTrain]]). Output: one row per dimension
+    * `(i, component, eigenvalue)` — `eigenvalue` is the last iteration's
+    * ||y|| Rayleigh estimate, 6-dec snapped, repeated per row.
+    */
+  def pcaTopComponent(emb: DataFrame, vecCol: String = "embedding",
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"pcaTopComponent: iters must be in [1, 20], got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val tri = covarianceMatrix(emb, vecCol).collect() // O(d^2) model handoff
+    val d = tri.iterator.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) {
+          acc += math.floor(cov(i)(j) * v(j) * 1e6 + 0.5).toLong; j += 1
+        }
+        acc.toDouble / 1e6
+      }
+      var accN = 0L
+      y.foreach(yi => accN += math.floor(yi * yi * 1e6 + 0.5).toLong)
+      val norm = math.sqrt(accN.toDouble / 1e6)
+      require(norm > 0, "pcaTopComponent: zero covariance matrix")
+      lambda = math.floor(norm * 1e6 + 0.5) / 1e6
+      v = y.map(yi => math.floor(yi / norm * 1e6 + 0.5) / 1e6)
+    }
+    v.zipWithIndex
+      .map { case (c, i) => (i, c, lambda) }.toSeq
+      .toDF("i", "component", "eigenvalue")
+  }
+
+  /** Project every embedding onto a driver-resident direction (the
+    * [[pcaTopComponent]] consumer): per-vector score = Σ_i x_i·c_i with
+    * each product 1e-6-snapped and summed in exact LONGs inside ONE
+    * codegen'd `aggregate(zip_with(...))` fold — stateless projection, no
+    * join, no shuffle; the direction rides along as an array literal.
+    * Width mismatches raise loudly ([[sameWidth]] stance — `zip_with`
+    * would otherwise null-pad silently). Output: (idCol, score).
+    */
+  def pcaProject(emb: DataFrame, component: Seq[Double],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(component.nonEmpty, "pcaProject: empty component")
+    val pc = array(component.map(lit): _*)
+    val terms = zip_with(col(vecCol), pc,
+      (x, p) => floor(x.cast("double") * p * 1e6 + 0.5).cast("long"))
+    emb
+      .filter(sameWidth(col(vecCol), pc, "pcaProject"))
+      .select(col(idCol),
+        (aggregate(terms, lit(0L), (a, t) => a + t).cast("double") / 1e6)
+          .as("score"))
+  }
 }

@@ -24,6 +24,56 @@ object CorpusPack extends QueryPack {
     "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
   private def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
 
+  // q172's covariance algebra -> symmetric matrix -> 3 unrolled power
+  // iterations (matvec terms snapped + BIGINT-summed; norm = IEEE sqrt of
+  // an exact sum; normalized vector re-snapped). Ends at v3 (i, v) and
+  // n3 (nm) — shared by q250 (the component) and q251 (the projection).
+  private lazy val pcaCtes: String = {
+    def matvec(yn: String, vPrev: String) =
+      s"""$yn AS (
+         |  SELECT cm.i,
+         |    CAST(SUM(CAST(FLOOR(cm.cov * $vPrev.v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS y
+         |  FROM cm JOIN $vPrev ON $vPrev.i = cm.j GROUP BY cm.i)""".stripMargin
+    def normalize(nn: String, vn: String, yn: String) =
+      s"""$nn AS (
+         |  SELECT sqrt(CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS nm
+         |  FROM $yn),
+         |$vn AS (SELECT i, FLOOR(y / nm * 1e6 + 0.5) / 1e6 AS v FROM $yn, $nn)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |idx AS (
+       |  SELECT a.i AS i, b.i AS j
+       |  FROM (SELECT unnest(range(0, 64)) AS i) a,
+       |       (SELECT unnest(range(0, 64)) AS i) b
+       |  WHERE a.i <= b.i),
+       |m2 AS (
+       |  SELECT idx.i, idx.j,
+       |    SUM(CAST(FLOOR(e.v[idx.i + 1] * e.v[idx.j + 1] * 1e6 + 0.5) AS BIGINT)) AS sxy
+       |  FROM e, idx GROUP BY 1, 2),
+       |m1 AS (
+       |  SELECT t.i,
+       |    SUM(CAST(FLOOR(e.v[t.i + 1] * 1e6 + 0.5) AS BIGINT)) AS sx
+       |  FROM e, (SELECT unnest(range(0, 64)) AS i) t GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+       |cm0 AS (
+       |  SELECT m2.i, m2.j,
+       |    FLOOR(((CAST(m2.sxy AS DOUBLE) / 1e6 -
+       |      (CAST(a.sx AS DOUBLE) / 1e6) * (CAST(b.sx AS DOUBLE) / 1e6) / n.n) / n.n)
+       |      * 1e6 + 0.5) / 1e6 AS cov
+       |  FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j, n),
+       |cm AS (
+       |  SELECT i, j, cov FROM cm0
+       |  UNION ALL SELECT j, i, cov FROM cm0 WHERE i < j),
+       |v0 AS (SELECT unnest(range(0, 64)) AS i, 1.0 AS v),
+       |${matvec("y1", "v0")},
+       |${normalize("n1", "v1", "y1")},
+       |${matvec("y2", "v1")},
+       |${normalize("n2", "v2", "y2")},
+       |${matvec("y3", "v2")},
+       |${normalize("n3", "v3", "y3")}""".stripMargin
+  }
+
   // q180's base index, memoized per (JVM, sf dir) — deterministic
   // derivation of the test data with a frozen model, so reuse across
   // bench reps is safe; temp dirs die with the JVM's /tmp
@@ -60,6 +110,23 @@ object CorpusPack extends QueryPack {
     "q172_covariance" -> ((s, d) => {
       Similarity.covarianceMatrix(Tables.embeddings(s, d))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // PCA top component by power iteration: corpus work = the q172
+    // covariance pass; the d x d eigen-iteration is a driver model
+    // (snapped matvec terms + exact LONG sums -> bit-reproducible trace)
+    "q250_pca_component" -> ((s, d) => {
+      Similarity.pcaTopComponent(Tables.embeddings(s, d), iters = 3)
+        .orderBy(col("i"))
+    }),
+
+    // project the corpus onto the trained component: one codegen'd
+    // zip_with/aggregate fold per vector, direction as an array literal
+    "q251_pca_project" -> ((s, d) => {
+      val pc = Similarity.pcaTopComponent(Tables.embeddings(s, d), iters = 3)
+        .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
+      Similarity.pcaProject(Tables.embeddings(s, d), pc)
+        .orderBy(col("vec_id"))
     }),
 
     // corpus-wide document frequency (the DF half of TF-IDF)
@@ -581,6 +648,21 @@ object CorpusPack extends QueryPack {
          |  ($e[i + 1] - $c[i + 1]) * ($e[i + 1] - $c[i + 1])))""".stripMargin)
 
     Map(
+      // q172's covariance CTEs + 3 unrolled power iterations, every
+      // matvec/norm term snapped + BIGINT-summed exactly as the driver
+      // model computes them (v0 = all ones)
+      "q250_pca_component" ->
+        s"""$pcaCtes
+           |SELECT v3.i, v3.v AS component,
+           |  FLOOR(n3.nm * 1e6 + 0.5) / 1e6 AS eigenvalue
+           |FROM v3, n3 ORDER BY v3.i""".stripMargin,
+
+      "q251_pca_project" ->
+        s"""$pcaCtes
+           |SELECT em.vec_id,
+           |  CAST(SUM(CAST(FLOOR(CAST(em.embedding[v3.i + 1] AS DOUBLE) * v3.v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS score
+           |FROM embeddings em, v3 GROUP BY em.vec_id ORDER BY em.vec_id""".stripMargin,
+
       // naive SQL form (corpus x idx product) of the same 1e-6 fixed-point
       // moment algebra — exact BIGINT sums make engine order irrelevant
       "q172_covariance" ->

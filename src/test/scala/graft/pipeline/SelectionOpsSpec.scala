@@ -138,6 +138,43 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, 2L, 5.0, 3L), (9L, 9L, 7.0, 1L)))
   }
 
+  test("pcaTopComponent recovers a planted dominant direction; projection is exact") {
+    // x = t * u + small noise, u = (3,4)/5 — PC1 must align with u
+    val u = Seq(0.6, 0.8)
+    val vecs = (1 to 400).map { i =>
+      val t = (i % 21 - 10).toDouble        // spread along u
+      val e = (i % 7 - 3).toDouble * 0.01   // tiny off-axis noise
+      (i.toLong, Array((t * u(0) - e * u(1)).toFloat, (t * u(1) + e * u(0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pc = Similarity.pcaTopComponent(vecs, iters = 5)
+      .orderBy(col("i")).collect()
+    val comp = pc.map(_.getDouble(1))
+    val lambda = pc.head.getDouble(2)
+    assert(lambda > 0)
+    val cos = math.abs(comp(0) * u(0) + comp(1) * u(1)) /
+      math.sqrt(comp.map(c => c * c).sum)
+    assert(cos > 0.999, s"component $comp misaligned with planted direction")
+    // unit norm up to snapping
+    assert(math.abs(comp.map(c => c * c).sum - 1.0) < 1e-4)
+    // projection = snapped dot, checked by hand on one vector
+    val scores = Similarity.pcaProject(vecs, comp.toSeq)
+      .filter(col("vec_id") === 1L).as[(Long, Double)].collect()
+    val x = vecs.filter(col("vec_id") === 1L)
+      .select("embedding").as[Array[Float]].head()
+    val expect = x.zip(comp).map { case (xi, ci) =>
+      math.floor(xi.toDouble * ci * 1e6 + 0.5).toLong }.sum.toDouble / 1e6
+    assert(scores.head._2 === expect)
+  }
+
+  test("pcaProject raises loudly on width mismatch") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pcaProject(vecs, Seq(1.0, 0.0, 0.0)).collect()
+    }
+    assert(ex.getMessage.contains("width") || ex.getMessage.contains("pcaProject"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
     val docs = (1 to 120).map { i =>
       (i.toLong, if (i % 3 == 0) "aa" else "bb",
