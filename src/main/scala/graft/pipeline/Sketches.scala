@@ -253,6 +253,22 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
   }
 
+  /** Merge Count-Min grids built with the SAME (depth, width, salt):
+    * union, then per-(j, bucket) ADDITION — CMS is linear in its input,
+    * so per-shard/per-day/per-batch grids roll up without touching raw
+    * keys (the property [[EventStream.streamingCmsGrids]] leans on).
+    * Unlike the HLL's MAX, addition is NOT replay-idempotent — merge each
+    * source grid exactly once (the streaming form gets this from
+    * batch-id-keyed partition overwrites, not from the merge).
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge: need at least one sketch")
+    sketches.map(_.select(col("j"), col("bucket"), col("c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Histogram-CDF PERCENTILE RANK — score calibration (the inverse of
     * [[histogramQuantiles]]): each row gets the estimated fraction of the
     * frame at or below its value's bin, `pct = round6(cum(bin(v)) / n)`,

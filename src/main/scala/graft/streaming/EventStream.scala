@@ -165,6 +165,45 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING frequency-sketch maintenance — the Count-Min twin of
+    * [[streamingHllRegisters]], with the idempotency problem solved the
+    * OTHER way: CMS merges by ADDITION (linear sketch), so re-merging a
+    * replayed batch into a running grid would double-count where the
+    * HLL's MAX could not. Instead each micro-batch writes its OWN partial
+    * grid under `batch_id=<id>/` (an overwrite of that one directory —
+    * replaying batch N rewrites N's partition byte-identically, never
+    * double-counts), and the live sketch is
+    * [[graft.pipeline.Sketches.cmsMerge]] over the partitioned table: a
+    * <= batches x depth x width row aggregation, no raw keys retained.
+    * Reading mid-write sees either the old or the new version of one
+    * batch directory — same note as the HLL's tmp-and-swap. Estimate any
+    * key set with [[graft.pipeline.Sketches.cmsEstimate]] over the merged
+    * grid; compact by re-writing the merge as a single batch partition
+    * when batch count grows (the zone-map append pattern).
+    */
+  def streamingCmsGrids(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, keyCol: String, path: String, depth: Int = 3,
+      width: Int = 1024, salt: String = "cms",
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Sketches
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.cmsBuild(batch, keyCol, depth, width, salt)
+          .coalesce(1) // depth x width rows — one file per batch partition
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Per-user session state for [[streamingSessionize]] (micros epoch). */
   final case class SessionAgg(startUs: Long, endUs: Long, n: Long)
 

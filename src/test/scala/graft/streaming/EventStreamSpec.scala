@@ -91,6 +91,57 @@ class EventStreamSpec extends SparkTestBase {
     assert(est.nonEmpty)
   }
 
+  test("streaming CMS grid maintenance: merged batches equal the one-shot sketch; replay is idempotent") {
+    import graft.pipeline.Sketches
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmssrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cmsout")
+      .resolve("grids").toString
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val q = EventStream.streamingCmsGrids(spark, dir, schemaDDL,
+      "user_id", out, depth = 3, width = 256,
+      maxFilesPerTrigger = Some(1))
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+
+    val merged = Sketches.cmsMerge(Seq(spark.read.parquet(out)))
+    val oneShot = Sketches.cmsBuild(
+      spark.read.schema(schemaDDL).parquet(dir), "user_id",
+      depth = 3, width = 256)
+    assert(merged.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(merged).isEmpty, "merged grids != one-shot grid")
+
+    // the estimator over the merged grid never undercounts a key's truth
+    val truth = spark.read.schema(schemaDDL).parquet(dir)
+      .groupBy(col("user_id").cast("string").as("k")).count()
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.cmsEstimate(merged,
+      truth.keys.toSeq.toDF("k"), "k", depth = 3, width = 256)
+      .as[(String, Long)].collect()
+    assert(est.nonEmpty && est.forall { case (k, e) => e >= truth(k) },
+      "CMS must never undercount")
+
+    // replay idempotency: re-writing one batch partition (what a crash
+    // replay does) leaves the merged grid unchanged
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.toString).sorted
+    assert(batchDirs.length === 2, s"expected 2 batch partitions: ${batchDirs.toSeq}")
+    // recompute batch 0's grid from its rows and overwrite the partition
+    val b0Rows = spark.read.parquet(batchDirs.head).collect().toSeq
+    val b0Schema = spark.read.parquet(batchDirs.head).schema
+    spark.createDataFrame(spark.sparkContext.parallelize(b0Rows), b0Schema)
+      .coalesce(1).write.mode("overwrite").parquet(batchDirs.head)
+    spark.catalog.refreshByPath(out) // drop the stale file-listing cache
+    val afterReplay = Sketches.cmsMerge(Seq(spark.read.parquet(out)))
+    assert(afterReplay.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(afterReplay).isEmpty, "replay changed the sketch")
+  }
+
   test("streaming stream-static enrichment equals the batch plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
