@@ -280,6 +280,20 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("prioritySample global: candidate cut is TakeOrderedAndProject; the tail window sees n+1 rows") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 9 + 1).toDouble))
+      .toDF("id", "w")
+    val out = Sampling.prioritySample(df, "id", "w", n = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus-scale cut must be top-k machinery — a global Sort over
+    // the input would be the 100 TB failure mode; the only Window sits
+    // above the 11-row limit (bounded by the sample, never by data)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global draw must plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
+    assert(out.count() === 10)
+  }
+
   test("bm25Rank: query-term filter precedes the shuffle; top-k is TakeOrdered") {
     val docs = (1 to 50).map(i => (i.toLong, s"spark join filter scan number $i"))
       .toDF("doc_id", "text")
