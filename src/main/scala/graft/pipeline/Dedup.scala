@@ -274,6 +274,78 @@ object Dedup {
     CacheScope.releaseAfterFirstUse(out, if (persistBands) Seq(b0) else Nil)
   }
 
+  /** EXACT-RECALL set-similarity join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    * every pair of documents whose distinct-WORD-set Jaccard is >=
+    * `threshold`, with NO missed pairs — the deterministic-recall
+    * complement to [[lshCandidatePairs]] (LSH trades recall for speed;
+    * this trades a tunable candidate bound for a guarantee, the right
+    * tool when "we removed ALL near-dups above t" must be literally
+    * true).
+    *
+    * The pigeonhole: order the vocabulary rarest-first (by (df, token) —
+    * a total order needs no rank window, the tuple IS the rank) and take
+    * each doc's first `|x| - ceil(t*|x|) + 1` tokens as its prefix; any
+    * pair with J >= t must share a prefix token, so candidates come from
+    * one equi-join on prefix tokens. Rarity-first ordering makes prefixes
+    * rare by construction; the few genuinely hot prefix tokens are capped
+    * like LSH buckets (`maxTokenBucket`, loud policy — at the cap a
+    * token's candidates are dropped, which CAN cost recall; raise the cap
+    * or pre-dedup exactly first if the guarantee must be absolute).
+    * Verification is the exact rational |A∩B| / |A∪B| on the pair's two
+    * sorted token arrays (6-dec snapped for engine portability).
+    *
+    * Scale shape: tokenize + df-count (one keyed agg), per-doc token sort
+    * via sort_array over (df, token) structs (per-doc work, no window),
+    * prefix explode bounded by (1-t)|x|+1 per doc, one keyed self-join on
+    * the prefix token, distinct pairs, then a pair-scoped verify join —
+    * no product anywhere. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def jaccardPrefixPairs(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxTokenBucket: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccardPrefixPairs: threshold must be in (0, 1], got $threshold")
+    val toks = docs
+      .select(col(idCol), array_distinct(words(col(textCol))).as("__t"))
+      .select(col(idCol), filter(col("__t"), t => length(t) > 0).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val df0 = toks.select(col(idCol), explode(col("__t")).as("token"))
+    val dfreq = df0.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    // per-doc rarest-first order: sort_array over (df, token) structs —
+    // the global order is the tuple itself, no vocabulary-wide window
+    val ordered = df0.join(dfreq, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("token"))))
+        .as("__ord"))
+      .select(col(idCol),
+        transform(col("__ord"), s => s.getField("token")).as("toks"))
+    val prefixLen = (size(col("toks")) -
+      ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    val prefixes = ordered
+      .select(col(idCol), explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
+    val gated = maxTokenBucket match {
+      case Some(cap) =>
+        val ok = prefixes.groupBy(col("token"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+          .select(col("token"))
+        prefixes.join(ok, Seq("token"))
+      case None => prefixes
+    }
+    val cand = gated.select(col(idCol).as("id_a"), col("token"))
+      .join(gated.select(col(idCol).as("id_b"), col("token")), Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(ordered.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
+      .join(ordered.select(col(idCol).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .withColumn("jaccard", TextAnalysis.round6(
+        size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
+          size(array_union(col("__ta"), col("__tb")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** CLUSTER-AWARE train/eval split — the CONSTRUCTIVE fix for what
     * [[splitLeakage]] only audits: hash the split decision on a
     * duplicate-CLUSTER representative instead of the document id, so

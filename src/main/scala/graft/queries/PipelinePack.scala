@@ -341,6 +341,18 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT-RECALL similarity join (AllPairs/PPJoin prefix filtering):
+    // every pair with word-set Jaccard >= 0.95 — the oracle is brute-force
+    // all-pairs (a DIFFERENT algorithm; the prefix machinery is invisible)
+    "q252_prefix_jaccard" -> ((s, d) => {
+      val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val edited = base.filter(col("doc_id") % 33 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz1 zz2 zz3")).as("text"))
+      Dedup.jaccardPrefixPairs(base.unionByName(edited), threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // priority sampling (Duffield 2007): fixed-size weighted draw without
     // replacement + the max(w, tau) threshold estimator; priority =
     // w * 2^32 / (hash32+1) is one exact scaling + one correctly-rounded
@@ -1455,6 +1467,27 @@ object PipelinePack extends QueryPack {
           |      i -> w[i] = 'part' AND w[i + 1] = 'value')) > 0
           |  ELSE FALSE END AS has_phrase
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // brute-force all-pairs word-set Jaccard — an INDEPENDENT algorithm
+      // (no prefix/df machinery); exact rational intersection/union sizes
+      "q252_prefix_jaccard" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 20000, text || ' zz1 zz2 zz3'
+           |  FROM documents WHERE doc_id % 33 = 0),
+           |t AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_filter($wordsSql, w -> length(w) > 0)) AS toks
+           |  FROM docs),
+           |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |      len(list_distinct(list_concat(a.toks, b.toks))) * 1e6 + 0.5) / 1e6 AS jaccard
+           |  FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM p
+           |WHERE jaccard >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
       // priority = w * 2^32 / (hash32+1); top-50 by (priority DESC, id);
       // tau = the 51st priority; est_w = max(w, tau) on kept rows

@@ -175,6 +175,41 @@ class SelectionOpsSpec extends SparkTestBase {
       s"unexpected error: ${ex.getMessage}")
   }
 
+  test("jaccardPrefixPairs: exact recall vs brute force; plan stays product-free") {
+    // templated docs with shared vocab + planted near-copies
+    val docs = (1 to 80).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot word${i % 9} word${i % 7} tail$i"
+      (i.toLong, if (i % 10 == 0) base + " zz" else base)
+    }.toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over distinct word sets
+    val toks = docs.select(col("doc_id"),
+        array_distinct(Dedup.words(col("text"))).as("t"))
+      .as[(Long, Seq[String])].collect().map { case (id, t) =>
+        id -> t.filter(_.nonEmpty).toSet }
+    val want = (for {
+      (a, ta) <- toks; (b, tb) <- toks if a < b
+      j = (ta & tb).size.toDouble / (ta | tb).size
+      js = math.floor(j * 1e6 + 0.5) / 1e6
+      if js >= 0.5
+    } yield (a, b, js)).toSet
+    assert(got === want, s"recall/precision mismatch: missing=${want -- got}, extra=${got -- want}")
+    assert(want.nonEmpty, "fixture must produce pairs")
+    val plan = Dedup.jaccardPrefixPairs(docs, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
+  }
+
+  test("jaccardPrefixPairs honors the hot-token cap loudly-by-construction") {
+    // every doc shares one token; cap 2 kills that bucket -> no pairs
+    val docs = (1 to 10).map(i => (i.toLong, "shared shared2")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPrefixPairs(docs, 0.9, maxTokenBucket = Some(2))
+    assert(capped.count() === 0)
+    val uncapped = Dedup.jaccardPrefixPairs(docs, 0.9, maxTokenBucket = None)
+    assert(uncapped.count() === 45) // all C(10,2) identical pairs
+  }
+
   test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
     val docs = (1 to 120).map { i =>
       (i.toLong, if (i % 3 == 0) "aa" else "bb",
