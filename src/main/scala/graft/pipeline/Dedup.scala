@@ -346,6 +346,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT-RECALL asymmetric CONTAINMENT join — the corpus-scale QUOTE /
+    * partial-copy DETECTOR ([[ngramContainment]] scores caller-supplied
+    * pairs; this FINDS them): every ordered pair (a, b), a != b, with
+    * |A∩B| / |A| >= `threshold` over distinct word sets (A nearly
+    * contained in B — excerpts, quotes, boilerplate inclusions that
+    * symmetric Jaccard misses because the size ratio dilutes it).
+    *
+    * Same prefix-filtering pigeonhole as [[jaccardPrefixPairs]], applied
+    * one-sided: if |A∩B| >= ceil(t·|A|), A's rarest-first prefix of
+    * |A| - ceil(t·|A|) + 1 tokens must contain a common token — but the
+    * token may sit ANYWHERE in B, so the candidate join runs A-prefix
+    * against B's FULL token postings (the quote detector's honest cost:
+    * linear postings, keyed join, no product). Rarity-first prefixes keep
+    * the A side sparse; hot postings tokens are capped with the loud
+    * LSH-bucket policy (capping CAN cost recall — raise the cap when the
+    * guarantee must be absolute). `minTokens` drops documents with fewer
+    * distinct words than the floor FROM BOTH SIDES (trivial sets are
+    * contained in everything — noise, not signal).
+    * Output: (id_a, id_b, containment) — id_a is the contained side;
+    * both orders can appear when containment holds both ways.
+    */
+  def containmentPrefixPairs(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 1,
+      maxTokenBucket: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPrefixPairs: threshold must be in (0, 1], got $threshold")
+    require(minTokens >= 1,
+      s"containmentPrefixPairs: minTokens must be >= 1, got $minTokens")
+    val toks = docs
+      .select(col(idCol), array_distinct(words(col(textCol))).as("__t"))
+      .select(col(idCol), filter(col("__t"), t => length(t) > 0).as("__t"))
+      .filter(size(col("__t")) >= minTokens)
+    val df0 = toks.select(col(idCol), explode(col("__t")).as("token"))
+    val dfreq = df0.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val ordered = df0.join(dfreq, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("token"))))
+        .as("__ord"))
+      .select(col(idCol),
+        transform(col("__ord"), s => s.getField("token")).as("toks"))
+    val prefixLen = (size(col("toks")) -
+      ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    val prefixes = ordered
+      .select(col(idCol).as("id_a"),
+        explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
+    val postings0 = df0.select(col(idCol).as("id_b"), col("token"))
+    val postings = maxTokenBucket match {
+      case Some(cap) =>
+        val ok = postings0.groupBy(col("token"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+          .select(col("token"))
+        postings0.join(ok, Seq("token"))
+      case None => postings0
+    }
+    val cand = prefixes.join(postings, Seq("token"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(ordered.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
+      .join(ordered.select(col(idCol).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .withColumn("containment", TextAnalysis.round6(
+        size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
+          size(col("__ta"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** CLUSTER-AWARE train/eval split — the CONSTRUCTIVE fix for what
     * [[splitLeakage]] only audits: hash the split decision on a
     * duplicate-CLUSTER representative instead of the document id, so

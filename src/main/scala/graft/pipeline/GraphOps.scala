@@ -375,4 +375,67 @@ object GraphOps {
           .otherwise(lit(0.0)))
     CacheScope.releaseAfterFirstUse(out, Seq(und, directed))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the directional
+    * complement to [[pageRank]]: a good HUB links to good authorities, a
+    * good AUTHORITY is linked from good hubs (catalog/aggregator pages vs
+    * canonical sources — PageRank's single score cannot separate the two
+    * roles). Fixed iteration count, deterministic fixed-point trace (the
+    * [[pageRank]]/q155 discipline):
+    *
+    *   a'_i+1(v) = Σ_{u→v} h_i(u)        (exact DECIMAL sum of snapped h)
+    *   a_i+1     = round6(a' / ||a'||)   (L2 norm: snapped a'² terms →
+    *                                      exact LONG sum → one IEEE sqrt)
+    *   h'_i+1(u) = Σ_{u→v} a_i+1(v)      (with the JUST-normalized a)
+    *   h_i+1     = round6(h' / ||h'||)
+    *
+    * so every stored score lives on the 1e-6 grid and a SQL oracle
+    * unrolling the same rounds reproduces it bit-for-bit. Per iteration:
+    * two keyed join+sum pairs and two 1-row norm broadcasts — no window,
+    * no driver collect; duplicate edges collapse first. Nodes with no
+    * in-edges hold authority 0; no out-edges, hub 0. Output:
+    * (node, hub, auth).
+    */
+  def hits(edges: DataFrame, iters: Int = 2,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"hits: iters must be in [1, 20], got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def snap(c: org.apache.spark.sql.Column) = TextAnalysis.round6(c)
+    // raw score -> L2-normalized snapped score; the norm is a 1-row frame
+    // (snapped squared terms summed exactly, one sqrt), broadcast back
+    def normalized(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val nrm = raw.agg(
+        sqrt(sum(floor(col(rawCol) * col(rawCol) * 1e6 + 0.5).cast("long"))
+          .cast("double") / 1e6).as("__nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col("node"),
+          when(col("__nrm") > 0, snap(col(rawCol) / col("__nrm")))
+            .otherwise(lit(0.0)).as(outCol))
+    }
+    // renamed-column join frames sidestep self-join attribute ambiguity
+    // (scores derive from the SAME persisted edge frame each round)
+    val bySrc = e.select(col("src").as("__k"), col("dst").as("__t"))
+    val byDst = e.select(col("dst").as("__k"), col("src").as("__t"))
+    def spread(scores: DataFrame, scoreCol: String, edgesK: DataFrame): DataFrame =
+      nodes.join(
+        scores.select(col("node").as("__k"), col(scoreCol).as("__x"))
+          .join(edgesK, Seq("__k"))
+          .groupBy(col("__t").as("node"))
+          .agg(sum(col("__x").cast("decimal(28,6)")).cast("double").as("__s")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__raw"))
+    var h = nodes.select(col("node"), lit(1.0).as("hub"))
+    var a = nodes.select(col("node"), lit(1.0).as("auth"))
+    for (_ <- 0 until iters) {
+      a = normalized(spread(h, "hub", bySrc), "__raw", "auth")
+      h = normalized(spread(a, "auth", byDst), "__raw", "hub")
+    }
+    val out = h.join(a, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+    CacheScope.releaseAfterFirstUse(out, Seq(e, nodes))
+  }
 }

@@ -286,6 +286,23 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs & authorities over the same co-citation domain graph:
+    // two normalized snapped rounds — the directional scores PageRank's
+    // single rank cannot separate
+    "q254_domain_hits" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val edges = GraphOps.coOccurrenceEdges(urls, "doc_id", "domain")
+      GraphOps.hits(edges, iters = 2)
+        .orderBy(col("node"))
+    }),
+
     // WEIGHTED PageRank over co-citation counts: mass flows by edge
     // weight (share = round6(w/Σw) precomputed once), 3 snapped
     // iterations — multiplicity as signal, not just adjacency
@@ -350,6 +367,19 @@ object PipelinePack extends QueryPack {
         .select((col("doc_id") + 20000).as("doc_id"),
           concat(col("text"), lit(" zz1 zz2 zz3")).as("text"))
       Dedup.jaccardPrefixPairs(base.unionByName(edited), threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // asymmetric containment JOIN (the quote detector as a join, not a
+    // pair scorer): A-prefix x B-postings candidates, |A∩B|/|A| verify;
+    // planted 200-char excerpts must surface inside their parents
+    "q253_containment_join" -> ((s, d) => {
+      val base = Tables.documentsSpread(s, d)
+        .filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text"))
+      val excerpts = base.select((col("doc_id") + 30000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      Dedup.containmentPrefixPairs(base.unionByName(excerpts),
+        threshold = 0.9, minTokens = 10)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1450,6 +1480,56 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // two unrolled HITS rounds over the q215 graph CTEs: exact DECIMAL
+      // raw sums of snapped scores, snapped-square LONG norms, one sqrt
+      "q254_domain_hits" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        def round(hPrev: String, k: Int) =
+          s"""a${k}r AS (
+             |  SELECT nodes.node, COALESCE(s.s, 0.0) AS raw
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      CAST(SUM(CAST($hPrev.hub AS DECIMAL(28,6))) AS DOUBLE) AS s
+             |    FROM $hPrev JOIN e ON e.src = $hPrev.node GROUP BY 1) s USING (node)),
+             |an$k AS (
+             |  SELECT sqrt(CAST(SUM(CAST(FLOOR(raw * raw * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS nm
+             |  FROM a${k}r),
+             |a$k AS (
+             |  SELECT node, CASE WHEN nm > 0 THEN ${r6("raw / nm")} ELSE 0.0 END AS auth
+             |  FROM a${k}r, an$k),
+             |h${k}r AS (
+             |  SELECT nodes.node, COALESCE(s.s, 0.0) AS raw
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.src AS node,
+             |      CAST(SUM(CAST(a$k.auth AS DECIMAL(28,6))) AS DOUBLE) AS s
+             |    FROM a$k JOIN e ON e.dst = a$k.node GROUP BY 1) s USING (node)),
+             |hn$k AS (
+             |  SELECT sqrt(CAST(SUM(CAST(FLOOR(raw * raw * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS nm
+             |  FROM h${k}r),
+             |h$k AS (
+             |  SELECT node, CASE WHEN nm > 0 THEN ${r6("raw / nm")} ELSE 0.0 END AS hub
+             |  FROM h${k}r, hn$k)""".stripMargin
+        s"""WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |dom AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+           |  FROM m
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           |  FROM m),
+           |e AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+           |      FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+           |nodes AS (SELECT DISTINCT src AS node FROM e
+           |          UNION SELECT DISTINCT dst FROM e),
+           |h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+           |${round("h0", 1)},
+           |${round("h1", 2)}
+           |SELECT nodes.node, h2.hub, a2.auth
+           |FROM nodes JOIN h2 USING (node) JOIN a2 USING (node)
+           |ORDER BY node""".stripMargin
+      },
+
       // the same sliding window as list algebra: starts i (1-based) with
       // w[i]='part' and w[i+1]='value'
       "q243_phrase_count" ->
@@ -1467,6 +1547,27 @@ object PipelinePack extends QueryPack {
           |      i -> w[i] = 'part' AND w[i + 1] = 'value')) > 0
           |  ELSE FALSE END AS has_phrase
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // brute-force ordered-pairs containment — prefix/postings machinery
+      // invisible to the oracle
+      "q253_containment_join" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 30000, substr(text, 1, 200)
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |t AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_filter($wordsSql, w -> length(w) > 0)) AS toks
+           |  FROM docs),
+           |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 10),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |      len(a.toks) * 1e6 + 0.5) / 1e6 AS containment
+           |  FROM t2 a JOIN t2 b ON a.doc_id <> b.doc_id)
+           |SELECT id_a, id_b, containment FROM p
+           |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
       // brute-force all-pairs word-set Jaccard — an INDEPENDENT algorithm
       // (no prefix/df machinery); exact rational intersection/union sizes

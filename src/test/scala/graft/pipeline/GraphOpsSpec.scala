@@ -205,4 +205,26 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(String, String)].collect().toMap
     assert(undirected === Map("a" -> "b", "b" -> "a", "c" -> "b"))
   }
+
+  test("hits: two hubs pointing at one authority reach the hand-derived fixpoint") {
+    val edges = Seq(("h1", "a"), ("h2", "a")).toDF("src", "dst")
+    val out = GraphOps.hits(edges, iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // round 1: a'(a)=2 -> auth(a)=1; h' = 1 each -> hub = round6(1/sqrt 2)
+    // round 2 is the fixpoint of the same snapped algebra
+    assert(out("a") === ((0.0, 1.0)), s"authority: $out")
+    assert(out("h1") === ((0.707107, 0.0)) && out("h2") === ((0.707107, 0.0)),
+      s"hubs: $out")
+  }
+
+  test("hits: pure-source nodes hold auth 0, pure-sink nodes hold hub 0; dup edges collapse") {
+    val edges = Seq(("s", "m"), ("s", "m"), ("m", "t")).toDF("src", "dst")
+    val out = GraphOps.hits(edges, iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out("s")._2 === 0.0, "source has no in-edges -> auth 0")
+    assert(out("t")._1 === 0.0, "sink has no out-edges -> hub 0")
+    assert(out.values.forall { case (h, a) => h >= 0 && a >= 0 })
+  }
 }

@@ -210,6 +210,34 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(uncapped.count() === 45) // all C(10,2) identical pairs
   }
 
+  test("containmentPrefixPairs: exact recall vs brute force; asymmetry surfaces excerpts") {
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        s"kilo lima mike november word${i % 5} tail$i more$i filler$i")
+    }.toDF("doc_id", "text")
+    // planted excerpt of doc 1: strictly a word subset
+    val excerpt = Seq((900L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet tail1"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(excerpt)
+    val got = Dedup.containmentPrefixPairs(all, threshold = 0.9, minTokens = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force
+    val toks = all.select(col("doc_id"),
+        array_distinct(Dedup.words(col("text"))).as("t"))
+      .as[(Long, Seq[String])].collect().map { case (id, t) =>
+        id -> t.filter(_.nonEmpty).toSet }
+    val want = (for {
+      (a, ta) <- toks; (b, tb) <- toks if a != b && ta.size >= 5
+      c = (ta & tb).size.toDouble / ta.size
+      cs = math.floor(c * 1e6 + 0.5) / 1e6
+      if cs >= 0.9
+    } yield (a, b, cs)).toSet
+    assert(got === want, s"missing=${want -- got}, extra=${got -- want}")
+    // the excerpt is contained in its parent, never the reverse
+    assert(got.exists { case (a, b, c) => a == 900L && b == 1L && c == 1.0 })
+    assert(!got.exists { case (a, b, _) => a == 1L && b == 900L })
+  }
+
   test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
     val docs = (1 to 120).map { i =>
       (i.toLong, if (i % 3 == 0) "aa" else "bb",
