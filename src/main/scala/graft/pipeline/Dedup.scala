@@ -274,6 +274,44 @@ object Dedup {
     CacheScope.releaseAfterFirstUse(out, if (persistBands) Seq(b0) else Nil)
   }
 
+  /** BLOCKING-QUALITY evaluation — the recall/cost scorecard for ANY
+    * candidate-pair scheme (LSH bands, SimHash bands, deletion
+    * neighborhoods, prefix filters) against a ground-truth pair set:
+    * `pair_completeness` = |candidates ∩ truth| / |truth| (the recall the
+    * blocking keeps) and `reduction_ratio` = 1 − |candidates| / C(n, 2)
+    * (the fraction of the quadratic pair space it never generates) — the
+    * two numbers that justify a blocking choice in every record-linkage
+    * paper, sitting beside [[minhashJaccardEval]] (estimator quality) and
+    * [[Similarity.recallAtK]] (ANN quality) in the eval family. Pair
+    * orientation is normalized and duplicates collapse before counting,
+    * so band-multiplicity conventions don't skew the counts; `nDocs` is
+    * the evaluated corpus size (C(n,2) denominator — the caller states
+    * the universe rather than this op re-counting it). One keyed join +
+    * three 1-row aggregates; exact integer counts, snapped ratios.
+    * Output: one row (n_candidates, n_truth, n_hit, pair_completeness,
+    * reduction_ratio).
+    */
+  def blockingEval(candidates: DataFrame, truth: DataFrame,
+      nDocs: Long): DataFrame = {
+    require(nDocs >= 2, s"blockingEval: need >= 2 docs, got $nDocs")
+    def norm(df: DataFrame) = df.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    val c = norm(candidates)
+    val t = norm(truth)
+    val nc = c.agg(count(lit(1)).as("n_candidates"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nh = c.join(t, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+    val totalPairs = nDocs.toDouble * (nDocs - 1) / 2
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(nh))
+      .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+        TextAnalysis.round6(
+          col("n_hit").cast("double") / col("n_truth")).as("pair_completeness"),
+        TextAnalysis.round6(
+          lit(1.0) - col("n_candidates").cast("double") / totalPairs)
+          .as("reduction_ratio"))
+  }
+
   /** EXACT-RECALL set-similarity join via PREFIX FILTERING (the
     * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
     * every pair of documents whose distinct-WORD-set Jaccard is >=

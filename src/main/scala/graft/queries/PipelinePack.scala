@@ -383,6 +383,18 @@ object PipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // blocking-quality scorecard: the q42 LSH blocking evaluated against
+    // brute-force word-set-Jaccard >= 0.7 ground truth — pair
+    // completeness (recall kept) + reduction ratio (pair space pruned)
+    "q255_blocking_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cand = Dedup.lshCandidatePairs(docs, maxBucketSize = Some(50))
+        .select(col("id_a"), col("id_b"))
+      val truth = Dedup.jaccardPrefixPairs(docs, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      Dedup.blockingEval(cand, truth, docs.count())
+    }),
+
     // priority sampling (Duffield 2007): fixed-size weighted draw without
     // replacement + the max(w, tau) threshold estimator; priority =
     // w * 2^32 / (hash32+1) is one exact scaling + one correctly-rounded
@@ -1547,6 +1559,40 @@ object PipelinePack extends QueryPack {
           |      i -> w[i] = 'part' AND w[i + 1] = 'value')) > 0
           |  ELSE FALSE END AS has_phrase
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // LSH candidates from the q42 band algebra, truth from brute-force
+      // all-pairs Jaccard — the eval joins the two and counts
+      "q255_blocking_eval" ->
+        s"""$bandsSqlCte,
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM capped l JOIN capped r
+           |    ON l.band = r.band AND l.band_key = r.band_key
+           |  WHERE l.doc_id < r.doc_id),
+           |tk AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_filter($wordsSql, w -> length(w) > 0)) AS toks
+           |  FROM documents),
+           |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+           |truth AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM tk2 a JOIN tk2 b ON a.doc_id < b.doc_id
+           |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    len(list_distinct(list_concat(a.toks, b.toks))) * 1e6 + 0.5) / 1e6 >= 0.7),
+           |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+           |m AS (
+           |  SELECT
+           |    (SELECT COUNT(*) FROM cand) AS n_candidates,
+           |    (SELECT COUNT(*) FROM truth) AS n_truth,
+           |    (SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hit,
+           |    nd.n AS n
+           |  FROM nd)
+           |SELECT n_candidates, n_truth, n_hit,
+           |  FLOOR(CAST(n_hit AS DOUBLE) / n_truth * 1e6 + 0.5) / 1e6 AS pair_completeness,
+           |  FLOOR((1.0 - CAST(n_candidates AS DOUBLE) / (n * (n - 1) / 2)) * 1e6 + 0.5) / 1e6 AS reduction_ratio
+           |FROM m""".stripMargin,
 
       // brute-force ordered-pairs containment — prefix/postings machinery
       // invisible to the oracle

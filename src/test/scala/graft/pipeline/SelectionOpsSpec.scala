@@ -238,6 +238,15 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(!got.exists { case (a, b, _) => a == 1L && b == 900L })
   }
 
+  test("blockingEval: orientation-normalized counts and hand-derived ratios") {
+    val cand = Seq((1L, 2L), (3L, 4L), (9L, 8L), (2L, 1L)).toDF("id_a", "id_b")
+    val truth = Seq((2L, 1L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.blockingEval(cand, truth, nDocs = 6)
+      .as[(Long, Long, Long, Double, Double)].head()
+    // normalized distinct candidates: (1,2),(3,4),(8,9) -> 3; hit: (1,2)
+    assert(out === ((3L, 2L, 1L, 0.5, 1.0 - 3.0 / 15)))
+  }
+
   test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
     val docs = (1 to 120).map { i =>
       (i.toLong, if (i % 3 == 0) "aa" else "bb",
