@@ -358,6 +358,44 @@ object TextAnalysis {
         col("token"), col("n_occurrences"))
   }
 
+  /** Unicode SCRIPT PROFILE — the script-level language signal
+    * multilingual curation needs BEFORE any word-model language-ID can
+    * run ([[languageId]] assumes Latin tokens; a Cyrillic or CJK page
+    * must be routed by its script first). Per document: character counts
+    * for Latin letters, digits, Cyrillic, Greek, CJK ideographs and the
+    * dominant script among them — all via `length(x) -
+    * length(regexp_replace(x, [range], ''))` over explicit BMP codepoint
+    * ranges written as literal characters, so the same pattern bytes run
+    * on Java regex and RE2 (no engine-specific `\\p{Script=}` dialects).
+    * Stateless codegen'd projection, no shuffle. `dominant_script`
+    * resolves ties in the fixed order latin > cyrillic > greek > cjk >
+    * digit > none (an all-punctuation doc is `none`).
+    * Output: (idCol, n_latin, n_digit, n_cyrillic, n_greek, n_cjk,
+    * dominant_script).
+    */
+  def scriptProfile(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def countClass(range: String) =
+      (length(t) - length(regexp_replace(t, lit(range), lit("")))).cast("long")
+    val latin = countClass("[A-Za-z]")
+    val digit = countClass("[0-9]")
+    val cyr = countClass("[Ѐ-ӿ]")
+    val greek = countClass("[Ͱ-Ͽ]")
+    val cjk = countClass("[一-鿿]")
+    val dominant =
+      when(latin === 0 && cyr === 0 && greek === 0 && cjk === 0 && digit === 0,
+        lit("none"))
+        .when(latin >= cyr && latin >= greek && latin >= cjk && latin >= digit, lit("latin"))
+        .when(cyr >= greek && cyr >= cjk && cyr >= digit, lit("cyrillic"))
+        .when(greek >= cjk && greek >= digit, lit("greek"))
+        .when(cjk >= digit, lit("cjk"))
+        .otherwise(lit("digit"))
+    docs.select(col(idCol), latin.as("n_latin"), digit.as("n_digit"),
+      cyr.as("n_cyrillic"), greek.as("n_greek"), cjk.as("n_cjk"),
+      dominant.as("dominant_script"))
+  }
+
   /** [[topTermsPerGroup]]'s SKEW-SAFE twin: identical rows, but the rank
     * runs TWO-PHASE so no single reducer ever sorts a hot group's whole
     * vocabulary. Phase 1 ranks within (group, salt-bucket) — the salt is

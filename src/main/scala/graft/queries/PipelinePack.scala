@@ -395,6 +395,21 @@ object PipelinePack extends QueryPack {
       Dedup.blockingEval(cand, truth, docs.count())
     }),
 
+    // Unicode script profile over multi-script decorated text: literal
+    // BMP-range character classes run identically on Java regex and RE2
+    "q256_script_profile" -> ((s, d) => {
+      val dec = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" привет мир"))
+            .when(col("doc_id") % 4 === 1,
+              lit(" αβγ δε"))
+            .when(col("doc_id") % 4 === 2,
+              lit(" 中文测试"))
+            .otherwise(lit(""))))
+      TextAnalysis.scriptProfile(dec).orderBy(col("doc_id"))
+    }),
+
     // priority sampling (Duffield 2007): fixed-size weighted draw without
     // replacement + the max(w, tau) threshold estimator; priority =
     // w * 2^32 / (hash32+1) is one exact scaling + one correctly-rounded
@@ -1559,6 +1574,38 @@ object PipelinePack extends QueryPack {
           |      i -> w[i] = 'part' AND w[i + 1] = 'value')) > 0
           |  ELSE FALSE END AS has_phrase
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // same ranges via chr()-built RE2 classes; length diffs count chars
+      "q256_script_profile" -> {
+        def cnt(cls: String) =
+          s"CAST(length(x) - length(regexp_replace(x, '$cls', '', 'g')) AS BIGINT)"
+        val cyrCls = "[' || chr(1024) || '-' || chr(1279) || ']"
+        val grkCls = "[' || chr(880) || '-' || chr(1023) || ']"
+        val cjkCls = "[' || chr(19968) || '-' || chr(40959) || ']"
+        s"""WITH t AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(1087) || chr(1088) || chr(1080) || chr(1074) || chr(1077) || chr(1090) || ' ' || chr(1084) || chr(1080) || chr(1088)
+           |         WHEN doc_id % 4 = 1 THEN ' ' || chr(945) || chr(946) || chr(947) || ' ' || chr(948) || chr(949)
+           |         WHEN doc_id % 4 = 2 THEN ' ' || chr(20013) || chr(25991) || chr(27979) || chr(35797)
+           |         ELSE '' END AS x
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    ${cnt("[A-Za-z]")} AS n_latin,
+           |    ${cnt("[0-9]")} AS n_digit,
+           |    ${cnt(cyrCls)} AS n_cyrillic,
+           |    ${cnt(grkCls)} AS n_greek,
+           |    ${cnt(cjkCls)} AS n_cjk
+           |  FROM t)
+           |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_cjk,
+           |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_greek = 0 AND n_cjk = 0 AND n_digit = 0 THEN 'none'
+           |       WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk AND n_latin >= n_digit THEN 'latin'
+           |       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk AND n_cyrillic >= n_digit THEN 'cyrillic'
+           |       WHEN n_greek >= n_cjk AND n_greek >= n_digit THEN 'greek'
+           |       WHEN n_cjk >= n_digit THEN 'cjk'
+           |       ELSE 'digit' END AS dominant_script
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
 
       // LSH candidates from the q42 band algebra, truth from brute-force
       // all-pairs Jaccard — the eval joins the two and counts

@@ -204,6 +204,46 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING quantile-sketch maintenance — the fixed-grid histogram is
+    * ADDITION-mergeable like the Count-Min grid, so it streams the same
+    * way ([[streamingCmsGrids]]'s idempotency design): each micro-batch
+    * overwrites its own `batch_id=<id>/` partial-histogram partition
+    * (replays rewrite, never double-count), the live histogram is a
+    * per-bin SUM over the partitioned table (<= batches x bins rows), and
+    * quantile estimates read off its cumulative edges exactly as
+    * [[graft.pipeline.Sketches.histogramQuantiles]] does — running
+    * latency/size/score percentiles over an endless stream with
+    * `bins`-bounded state. The (lo, hi, bins) grid is FIXED at stream
+    * start (a mergeable histogram needs one grid; values outside clamp
+    * into the edge bins, same contract as the batch sketch's min/max
+    * clamp).
+    */
+  def streamingHistogramBins(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, valueCol: String, path: String, lo: Double,
+      hi: Double, bins: Int = 1024, maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Sketches
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.histogramBins(
+          // clamp into the fixed grid so every batch bins identically
+          batch.withColumn(valueCol,
+            greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))),
+          valueCol, lo, hi, bins)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Per-user session state for [[streamingSessionize]] (micros epoch). */
   final case class SessionAgg(startUs: Long, endUs: Long, n: Long)
 

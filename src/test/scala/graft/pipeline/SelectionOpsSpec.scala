@@ -247,6 +247,26 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(out === ((3L, 2L, 1L, 0.5, 1.0 - 3.0 / 15)))
   }
 
+  test("scriptProfile counts per script and resolves dominance deterministically") {
+    val docs = Seq(
+      (1L, "hello world 42"),                 // latin dominant
+      (2L, "привет мир ok"),                  // cyrillic dominant
+      (3L, "中文测试中文测试 ab"),              // cjk dominant
+      (4L, "!!! ... ???"),                    // none
+      (5L, "αβ ab"),                          // tie greek/latin -> latin
+      (6L, null.asInstanceOf[String])         // null -> none
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(out(1L)._7 === "latin" && out(1L)._2 === 10 && out(1L)._3 === 2)
+    assert(out(2L)._7 === "cyrillic" && out(2L)._5 === 0 && out(2L)._4 === 9)
+    assert(out(3L)._7 === "cjk" && out(3L)._6 === 8)
+    assert(out(4L)._7 === "none")
+    assert(out(5L)._7 === "latin", "ties resolve latin-first")
+    assert(out(6L)._7 === "none")
+  }
+
   test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
     val docs = (1 to 120).map { i =>
       (i.toLong, if (i % 3 == 0) "aa" else "bb",

@@ -142,6 +142,34 @@ class EventStreamSpec extends SparkTestBase {
       oneShot.exceptAll(afterReplay).isEmpty, "replay changed the sketch")
   }
 
+  test("streaming histogram maintenance: merged batch bins equal the one-shot histogram") {
+    import graft.pipeline.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft-histsrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-histout")
+      .resolve("bins").toString
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val (lo, hi) = (0.0, 1000.0)
+
+    val q = EventStream.streamingHistogramBins(spark, dir, schemaDDL,
+      "value", out, lo, hi, bins = 128, maxFilesPerTrigger = Some(1))
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+
+    val merged = spark.read.parquet(out)
+      .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+    val oneShot = Sketches.histogramBins(
+      spark.read.schema(schemaDDL).parquet(dir)
+        .withColumn("value", greatest(least(col("value"), lit(hi)), lit(lo))),
+      "value", lo, hi, bins = 128)
+    assert(merged.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(merged).isEmpty, "merged bins != one-shot bins")
+    assert(merged.count() > 0)
+  }
+
   test("streaming stream-static enrichment equals the batch plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
