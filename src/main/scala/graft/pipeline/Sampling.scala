@@ -148,19 +148,8 @@ object Sampling {
     val base = df.filter(w.isNotNull && w > 0.0)
       .withColumn("priority", w * lit(4294967296.0) / u)
     if (strataCols.isEmpty) {
-      // top n+1 via TakeOrderedAndProject; the (n+1)-th is tau
-      val top = base.orderBy(col("priority").desc, col(keyCol)).limit(n + 1)
-      val wAll = Window.orderBy(col("priority").desc, col(keyCol))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      // over <= n+1 rows: tau = min priority IFF n+1 rows survived the cut
-      top
-        .withColumn("__rn", row_number().over(
-          Window.orderBy(col("priority").desc, col(keyCol))))
-        .withColumn("__tau",
-          when(count(lit(1)).over(wAll) === n + 1, min(col("priority")).over(wAll)))
-        .filter(col("__rn") <= n)
-        .withColumn("est_w", greatest(w, coalesce(col("__tau"), lit(0.0))))
-        .drop("__rn", "__tau")
+      finishGlobal(base.orderBy(col("priority").desc, col(keyCol)).limit(n + 1),
+        n, keyCol, w)
     } else {
       val part = strataCols.map(col)
       val wRank = Window.partitionBy(part: _*)
@@ -173,6 +162,60 @@ object Sampling {
         .withColumn("est_w", greatest(w, coalesce(col("__tau"), lit(0.0))))
         .drop("__rn", "__tau")
     }
+  }
+
+  /** Shared tail of the global draw: from <= n+1 candidate rows (already
+    * the priority top-(n+1)), derive tau = the (n+1)-th priority (absent
+    * when the population is <= n) and emit the n kept rows with est_w.
+    * The window runs over <= n+1 rows — bounded by the sample, never by
+    * data.
+    */
+  private def finishGlobal(top: DataFrame, n: Int, keyCol: String,
+      w: Column): DataFrame = {
+    val wAll = Window.orderBy(col("priority").desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("priority").desc, col(keyCol))))
+      .withColumn("__tau",
+        when(count(lit(1)).over(wAll) === n + 1, min(col("priority")).over(wAll)))
+      .filter(col("__rn") <= n)
+      .withColumn("est_w", greatest(w, coalesce(col("__tau"), lit(0.0))))
+      .drop("__rn", "__tau")
+  }
+
+  /** [[prioritySample]]'s MERGEABLE STATE: the priority top-(n+1) rows
+    * (input columns + `priority`) — one more row than the sample, because
+    * the (n+1)-th priority is tau, the threshold the estimator needs.
+    * States over DISJOINT row sets merge exactly: the union's top-(n+1)
+    * is contained in the union of per-part top-(n+1)s (the superset
+    * property), so [[prioritySampleMerge]] over shard/day/batch states
+    * reproduces [[prioritySample]] over the union bit-for-bit — the
+    * distributed/streaming form of the weighted reservoir (a batch writes
+    * its state once; merging never touches raw rows again).
+    */
+  def prioritySampleState(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int, salt: String = "pri"): DataFrame = {
+    require(n >= 1, s"prioritySampleState: n must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    val u = keyHash32(col(keyCol), salt) + 1L
+    df.filter(w.isNotNull && w > 0.0)
+      .withColumn("priority", w * lit(4294967296.0) / u)
+      .orderBy(col("priority").desc, col(keyCol)).limit(n + 1)
+  }
+
+  /** Merge [[prioritySampleState]]s built with the SAME (n, salt) over
+    * disjoint inputs: union, re-top to n+1, then the standard tau/est_w
+    * tail — exactly [[prioritySample]] of the concatenated input.
+    * The union holds <= states*(n+1) rows; the re-top is the same
+    * TakeOrderedAndProject shape.
+    */
+  def prioritySampleMerge(states: Seq[DataFrame], keyCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(states.nonEmpty, "prioritySampleMerge: need at least one state")
+    val all = states.reduce(_.unionByName(_))
+    finishGlobal(all.orderBy(col("priority").desc, col(keyCol)).limit(n + 1),
+      n, keyCol, col(weightCol).cast("double"))
   }
 
   /** CLUSTER-BALANCED sampling — diversity sampling over embedding space

@@ -91,6 +91,21 @@ object PipelinePack extends QueryPack {
     (docs, pairs)
   }
 
+  // priority = w * 2^32 / (hash32+1); top-50 by (priority DESC, id);
+  // tau = the 51st priority; est_w = max(w, tau) on kept rows. Shared by
+  // q244 (one-shot) and q257 (merged shard states — must be invisible).
+  private lazy val prioritySampleOracle: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(n_chars AS DOUBLE) * 4294967296.0 /
+       |      (${hex32Sql("'pri:' || CAST(doc_id AS VARCHAR)")} + 1) AS priority
+       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
+       |tau AS (SELECT MIN(priority) AS t FROM r WHERE rn = 51)
+       |SELECT doc_id, n_chars, priority,
+       |  GREATEST(CAST(n_chars AS DOUBLE), COALESCE(tau.t, 0.0)) AS est_w
+       |FROM r, tau WHERE rn <= 50 ORDER BY doc_id""".stripMargin
+
   // BM25 CTE chain for query terms ('spark','join','vector'), k1=1.2
   // b=0.75: ends at `sc` (doc_id, score, n_terms_hit). Shared verbatim by
   // q204 (recompute), q206 (at-rest index — the index must be a pure
@@ -418,6 +433,18 @@ object PipelinePack extends QueryPack {
       Sampling.prioritySample(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", n = 50)
+        .select(col("doc_id"), col("n_chars"), col("priority"), col("est_w"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the mergeable-sketch law under the oracle: per-shard top-(n+1)
+    // states merged must equal the one-shot draw — q244's oracle verbatim
+    "q257_priority_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val states = Seq(0, 1).map(p =>
+        Sampling.prioritySampleState(
+          docs.filter(col("doc_id") % 2 === p), "doc_id", "n_chars", n = 50))
+      Sampling.prioritySampleMerge(states, "doc_id", "n_chars", n = 50)
         .select(col("doc_id"), col("n_chars"), col("priority"), col("est_w"))
         .orderBy(col("doc_id"))
     }),
@@ -1685,17 +1712,9 @@ object PipelinePack extends QueryPack {
 
       // priority = w * 2^32 / (hash32+1); top-50 by (priority DESC, id);
       // tau = the 51st priority; est_w = max(w, tau) on kept rows
-      "q244_priority_sample" ->
-        s"""WITH p AS (
-           |  SELECT doc_id, n_chars,
-           |    CAST(n_chars AS DOUBLE) * 4294967296.0 /
-           |      (${hex32Sql("'pri:' || CAST(doc_id AS VARCHAR)")} + 1) AS priority
-           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
-           |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
-           |tau AS (SELECT MIN(priority) AS t FROM r WHERE rn = 51)
-           |SELECT doc_id, n_chars, priority,
-           |  GREATEST(CAST(n_chars AS DOUBLE), COALESCE(tau.t, 0.0)) AS est_w
-           |FROM r, tau WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+      // merged shard states must be INVISIBLE: same oracle as q244
+      "q257_priority_merge" -> prioritySampleOracle,
+      "q244_priority_sample" -> prioritySampleOracle,
 
       // the engine-independent NFC: DuckDB nfc_normalize over the same
       // decomposed e + chr(769) suffix; md5 sees identical bytes

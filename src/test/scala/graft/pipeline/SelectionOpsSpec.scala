@@ -71,6 +71,22 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(kept === Set(1L, 5L))
   }
 
+  test("prioritySample is a mergeable sketch: merged shard states == the one-shot draw") {
+    val n = 12
+    val shardA = weighted.filter(col("id") % 3 === 0)
+    val shardB = weighted.filter(col("id") % 3 === 1)
+    val shardC = weighted.filter(col("id") % 3 === 2)
+    val merged = Sampling.prioritySampleMerge(
+      Seq(shardA, shardB, shardC).map(s =>
+        Sampling.prioritySampleState(s, "id", "w", n)), "id", "w", n)
+      .select("id", "w", "priority", "est_w")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    val oneShot = Sampling.prioritySample(weighted, "id", "w", n)
+      .select("id", "w", "priority", "est_w")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(merged.toSeq === oneShot.toSeq)
+  }
+
   test("winsorize clamps tails to snapped cutoffs and passes interiors bit-identically") {
     val vals = ((1 to 98).map(_.toDouble) ++ Seq(-1e9, 1e9))
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
