@@ -78,4 +78,71 @@ object Classifier {
     df.select(col(idCol),
       TextAnalysis.round6(lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
   }
+
+  /** CALIBRATION bins (the reliability diagram's table): bucket scores
+    * into `bins` equal-width cells over [0, 1] and report, per cell, the
+    * count, the mean predicted score (exact DECIMAL sum of the already-
+    * snapped scores) and the empirical positive rate — how a score
+    * becomes a trustworthy keep-probability before thresholding a corpus
+    * on it (an over-confident classifier silently shifts the data mix).
+    * One keyed aggregation; empty cells are absent rows. Score exactly
+    * 1.0 folds into the top bin.
+    * Output: (bin, n, mean_score, pos_rate), both ratios 6-dec snapped.
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins: need >= 2 bins, got $bins")
+    val s = col(scoreCol).cast("double")
+    scored
+      .select(least(floor(s * bins).cast("long"), lit(bins.toLong - 1)).as("bin"),
+        s.as("__s"), col(labelCol).cast("double").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        TextAnalysis.round6(
+          sum(col("__s").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("mean_score"),
+        TextAnalysis.round6(
+          sum(col("__y").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("pos_rate"))
+  }
+
+  /** THRESHOLD sweep metrics — precision / recall / F1 at each candidate
+    * cut, the table that picks a quality classifier's operating point
+    * before it filters a corpus. ONE pass: the row side is crossed with
+    * the tiny broadcast threshold list (corpus x |thresholds| rows, but
+    * partial map-side aggregation collapses them before the shuffle — the
+    * shuffle carries |thresholds| partials per task), counts are exact
+    * integers, ratios 6-dec snapped, and an undefined ratio (empty
+    * denominator) is NULL, not 0 — "no predictions" and "all wrong" must
+    * not collide. Predicted positive = score >= threshold.
+    * Output: (threshold, tp, fp, fn, tn, precision, recall, f1).
+    */
+  def thresholdMetrics(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdMetrics: need thresholds")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val t = broadcast(thresholds.toDF("threshold"))
+    val joined = scored.select(s.as("__s"), y.as("__y")).crossJoin(t)
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val m = joined.groupBy(col("threshold"))
+      .agg(cnt(col("__s") >= col("threshold") && col("__y") === 1).as("tp"),
+        cnt(col("__s") >= col("threshold") && col("__y") === 0).as("fp"),
+        cnt(col("__s") < col("threshold") && col("__y") === 1).as("fn"),
+        cnt(col("__s") < col("threshold") && col("__y") === 0).as("tn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      TextAnalysis.round6(col("tp").cast("double") / (col("tp") + col("fp"))))
+    val rec = when(col("tp") + col("fn") > 0,
+      TextAnalysis.round6(col("tp").cast("double") / (col("tp") + col("fn"))))
+    m.withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0,
+          TextAnalysis.round6(
+            lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall")))))
+  }
 }

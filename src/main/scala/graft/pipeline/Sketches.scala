@@ -335,6 +335,58 @@ object Sketches {
         greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))))
   }
 
+  /** TWO-SAMPLE CHI-SQUARE DRIFT over a shared fixed grid — the
+    * distribution-shift monitor between two corpus snapshots (yesterday's
+    * crawl vs today's, train vs eval, pre- vs post-filter): histogram
+    * both frames on the SAME (lo, hi, bins) grid (values outside clamp
+    * into the edge bins) and compute the classic two-sample statistic
+    * χ² = Σ_cells (o − e)² / e with e_cell = rowTotal · colTotal / N.
+    * Unlike PSI/KL this needs NO logarithm — every step is exact integer
+    * counts, correctly-rounded IEEE multiply/divide, 6-dec-snapped terms
+    * and one exact DECIMAL sum, so the statistic reproduces bit-for-bit
+    * on any engine. Degrees of freedom = (occupied bins − 1); the p-value
+    * lookup is the consumer's choice (it needs an incomplete-gamma no two
+    * engines round alike). Scale shape: two histogram aggregations
+    * (shuffle <= bins partials per task) + arithmetic over <= bins rows.
+    * Output: one row (chi2, dof, n_a, n_b).
+    */
+  def chiSquareDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    // greatest/least SKIP nulls — gate on non-null so NULL values stay
+    // NULL and histogramBins drops them instead of clamping to an edge
+    def clamped(df: DataFrame) = df.withColumn(valueCol,
+      when(col(valueCol).isNotNull,
+        greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))))
+    val ha = histogramBins(clamped(a), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("ca"))
+    val hb = histogramBins(clamped(b), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("cb"))
+    val cells = ha.join(hb, Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val r6 = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    cells.crossJoin(broadcast(tot)) // 1-row totals, the corpus-stats pattern
+      .select(col("bin"), col("ca"), col("cb"), col("na"), col("nb"),
+        ((col("ca") + col("cb")).cast("double") /
+          (col("na") + col("nb"))).as("__p"))
+      .select(col("bin"), col("na"), col("nb"),
+        r6(when(col("na") * col("__p") > 0,
+          (col("ca") - col("na") * col("__p")) * (col("ca") - col("na") * col("__p")) /
+            (col("na") * col("__p"))).otherwise(lit(0.0))).as("__ta"),
+        r6(when(col("nb") * col("__p") > 0,
+          (col("cb") - col("nb") * col("__p")) * (col("cb") - col("nb") * col("__p")) /
+            (col("nb") * col("__p"))).otherwise(lit(0.0))).as("__tb"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(
+        TextAnalysis.round6(
+          sum((col("__ta") + col("__tb")).cast("decimal(28,6)")).cast("double"))
+          .as("chi2"),
+        (count(lit(1)) - 1).as("dof"))
+      .select(col("chi2"), col("dof"), col("n_a"), col("n_b"))
+  }
+
   // ------------------------------------------------------------ HyperLogLog
 
   /** HyperLogLog REGISTERS (Flajolet et al. 2007) from the md5 hash — the

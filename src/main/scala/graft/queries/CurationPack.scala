@@ -364,6 +364,37 @@ object CurationPack extends QueryPack {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // calibration bins (the reliability diagram): synthetic snapped score
+    // grid vs empirical positive rate, one keyed aggregation
+    "q258_calibration" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.round6((col("doc_id") % 101) / 100.0).as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      Classifier.calibrationBins(scored, "score", "y", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // threshold sweep: precision/recall/F1 at 5 operating points in ONE
+    // pass (broadcast threshold list, partial-agg collapse)
+    "q259_threshold_metrics" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.round6((col("doc_id") % 101) / 100.0).as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      Classifier.thresholdMetrics(scored, "score", "y",
+        Seq(0.1, 0.3, 0.5, 0.7, 0.9))
+        .orderBy(col("threshold"))
+    }),
+
+    // two-sample chi-square drift between event halves on a shared grid:
+    // the logarithm-free distribution-shift monitor
+    "q260_chisq_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Sketches.chiSquareDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", lo = 0.0, hi = 1000.0, bins = 64)
+    }),
+
     // distributed logistic-regression training (the fastText-style quality
     // classifier gate): 2 full-batch GD iterations over shape features,
     // label = is-English; exact fixed-point trace
@@ -617,6 +648,68 @@ object CurationPack extends QueryPack {
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q173_ccnet_partition" -> s"$ccnetLabeledCtes\n$ccnetLabeledSelect\nORDER BY s.doc_id",
+
+    "q258_calibration" ->
+      """WITH s AS (
+        |  SELECT doc_id, FLOOR((doc_id % 101) / 100.0 * 1e6 + 0.5) / 1e6 AS score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents)
+        |SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, COUNT(*) AS n,
+        |  FLOOR(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_score,
+        |  FLOOR(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS pos_rate
+        |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q259_threshold_metrics" ->
+      """WITH s AS (
+        |  SELECT FLOOR((doc_id % 101) / 100.0 * 1e6 + 0.5) / 1e6 AS score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |t AS (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS threshold),
+        |m AS (
+        |  SELECT threshold,
+        |    CAST(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN score < threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM s, t GROUP BY 1),
+        |mm AS (
+        |  SELECT threshold, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp > 0 THEN FLOOR(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6 END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN FLOOR(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6 END AS recall
+        |  FROM m)
+        |SELECT threshold, tp, fp, fn, tn, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL AND precision + recall > 0
+        |       THEN FLOOR(2.0 * precision * recall / (precision + recall) * 1e6 + 0.5) / 1e6 END AS f1
+        |FROM mm ORDER BY threshold""".stripMargin,
+
+    "q260_chisq_drift" ->
+      """WITH av AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |ha AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS ca FROM av GROUP BY 1),
+        |hb AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS cb FROM bv GROUP BY 1),
+        |cells AS (
+        |  SELECT bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ha FULL JOIN hb USING (bin)),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cells),
+        |terms AS (
+        |  SELECT cells.bin, tot.na, tot.nb,
+        |    CAST(ca + cb AS DOUBLE) / (tot.na + tot.nb) AS p, ca, cb
+        |  FROM cells, tot),
+        |snapped AS (
+        |  SELECT na, nb,
+        |    FLOOR((CASE WHEN na * p > 0 THEN (ca - na * p) * (ca - na * p) / (na * p) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS ta,
+        |    FLOOR((CASE WHEN nb * p > 0 THEN (cb - nb * p) * (cb - nb * p) / (nb * p) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS tb
+        |  FROM terms)
+        |SELECT
+        |  FLOOR(CAST(SUM(CAST(ta + tb AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+        |  COUNT(*) - 1 AS dof, na AS n_a, nb AS n_b
+        |FROM snapped GROUP BY na, nb""".stripMargin,
 
     // q163's bin/cum algebra at p05/p95 -> two scalar cutoffs -> clamp;
     // NULL values stay NULL (the engine side gates on non-null)

@@ -231,11 +231,49 @@ object EventStream {
     val writer = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sketches.histogramBins(
-          // clamp into the fixed grid so every batch bins identically
+          // clamp into the fixed grid so every batch bins identically;
+          // gate on non-null (greatest/least SKIP nulls — a NULL value
+          // must stay NULL for histogramBins to drop, not clamp to hi)
           batch.withColumn(valueCol,
-            greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))),
+            when(col(valueCol).isNotNull,
+              greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo)))),
           valueCol, lo, hi, bins)
           .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** STREAMING weighted reservoir — priority sampling maintained over an
+    * endless stream with O(n) state per batch: each micro-batch writes
+    * its [[graft.pipeline.Sampling.prioritySampleState]] (the priority
+    * top-(n+1) rows) under `batch_id=<id>/` (idempotent overwrite, the
+    * [[streamingCmsGrids]] discipline), and the LIVE fixed-size weighted
+    * sample at any moment is
+    * [[graft.pipeline.Sampling.prioritySampleMerge]] over the partitioned
+    * state table — bit-identical to running [[Sampling.prioritySample]]
+    * over everything ingested (the merge law, oracle-pinned by q257).
+    * Batches are disjoint row sets by construction, which is exactly the
+    * precondition the merge needs.
+    */
+  def streamingPrioritySample(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, keyCol: String, weightCol: String, n: Int,
+      path: String, salt: String = "pri",
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Sampling
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n0 => reader.option("maxFilesPerTrigger", n0))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sampling.prioritySampleState(batch, keyCol, weightCol, n, salt)
+          .coalesce(1) // <= n+1 rows
           .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
         ()
       }

@@ -283,6 +283,41 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(out(6L)._7 === "none")
   }
 
+  test("calibrationBins: hand-derived reliability table, score 1.0 folds into the top bin") {
+    val scored = Seq((1L, 0.05, 0), (2L, 0.15, 1), (3L, 0.95, 1), (4L, 1.0, 1))
+      .toDF("id", "score", "y")
+    val out = Classifier.calibrationBins(scored, "score", "y", bins = 10)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 1L, 0.05, 0.0), (1L, 1L, 0.15, 1.0),
+      (9L, 2L, 0.975, 1.0)))
+  }
+
+  test("thresholdMetrics: hand-derived confusion counts; empty denominators are NULL") {
+    val scored = Seq((1L, 0.9, 1), (2L, 0.8, 0), (3L, 0.2, 1), (4L, 0.1, 0))
+      .toDF("id", "score", "y")
+    val rows = Classifier.thresholdMetrics(scored, "score", "y", Seq(0.5, 0.95))
+      .orderBy(col("threshold")).collect()
+    val at05 = rows(0)
+    assert((at05.getLong(1), at05.getLong(2), at05.getLong(3), at05.getLong(4))
+      === ((1L, 1L, 1L, 1L)))
+    assert(at05.getDouble(5) === 0.5 && at05.getDouble(6) === 0.5 &&
+      at05.getDouble(7) === 0.5)
+    val at95 = rows(1) // nothing predicted positive -> precision NULL
+    assert(at95.getLong(1) === 0L && at95.isNullAt(5) && at95.getDouble(6) === 0.0)
+    assert(at95.isNullAt(7), "f1 undefined when precision is NULL")
+  }
+
+  test("chiSquareDrift: identical samples score 0; disjoint samples score large") {
+    val a = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val same = Sketches.chiSquareDrift(a, a, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long, Long)].head()
+    assert(same._1 === 0.0 && same._3 === 200 && same._4 === 200)
+    val b = (1 to 200).map(i => (i.toLong, (i % 10).toDouble + 10.0)).toDF("id", "v")
+    val diff = Sketches.chiSquareDrift(a, b, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long, Long)].head()
+    assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
+  }
+
   test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
     val docs = (1 to 120).map { i =>
       (i.toLong, if (i % 3 == 0) "aa" else "bb",

@@ -163,11 +163,41 @@ class EventStreamSpec extends SparkTestBase {
       .groupBy(col("bin")).agg(sum(col("c")).as("c"))
     val oneShot = Sketches.histogramBins(
       spark.read.schema(schemaDDL).parquet(dir)
-        .withColumn("value", greatest(least(col("value"), lit(hi)), lit(lo))),
+        .withColumn("value", when(col("value").isNotNull,
+          greatest(least(col("value"), lit(hi)), lit(lo)))),
       "value", lo, hi, bins = 128)
     assert(merged.exceptAll(oneShot).isEmpty &&
       oneShot.exceptAll(merged).isEmpty, "merged bins != one-shot bins")
     assert(merged.count() > 0)
+  }
+
+  test("streaming priority sample: merged batch states equal the one-shot weighted draw") {
+    import graft.pipeline.Sampling
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prisrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-priout")
+      .resolve("state").toString
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .withColumn("value", abs(col("value")) + 1.0) // positive weights
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val q = EventStream.streamingPrioritySample(spark, dir, schemaDDL,
+      "event_id", "value", n = 25, out, maxFilesPerTrigger = Some(1))
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+
+    val live = Sampling.prioritySampleMerge(
+      Seq(spark.read.parquet(out).drop("batch_id")), "event_id", "value", 25)
+      .select("event_id", "priority", "est_w")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val oneShot = Sampling.prioritySample(
+      spark.read.schema(schemaDDL).parquet(dir), "event_id", "value", 25)
+      .select("event_id", "priority", "est_w")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(live.toSeq === oneShot.toSeq && live.length === 25)
   }
 
   test("streaming stream-static enrichment equals the batch plan") {
