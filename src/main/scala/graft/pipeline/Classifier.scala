@@ -79,6 +79,41 @@ object Classifier {
       TextAnalysis.round6(lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
   }
 
+  /** Exact ROC AUC — the threshold-free ranking quality of a classifier
+    * (the number quality-filter papers report next to F1): the
+    * probability a random positive outranks a random negative, ties at
+    * half credit. Computed WITHOUT a corpus-wide rank window: scores
+    * aggregate to per-DISTINCT-SCORE (pos, neg) counts first, and the
+    * cumulative walk runs over distinct scores only — snapped scores live
+    * on the 1e-6 grid, so that window is bounded by ~1e6 rows no matter
+    * the corpus (the histogram-cum argument). The numerator stays exact:
+    * AUC = Σ_s pos_s · (2·cumNegBelow_s + neg_s) / (2·P·N), integer
+    * arithmetic summed in DECIMAL, one snapped division at the end.
+    * Output: one row (auc, n_pos, n_neg).
+    */
+  def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val g = scored.select(s.as("score"), y.as("__y"))
+      .groupBy(col("score"))
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("__y") === 0, 1L).otherwise(0L)).as("neg"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("__cumneg",
+      coalesce(sum(col("neg")).over(w), lit(0L)))
+    cum.agg(
+        sum((col("pos") * (lit(2L) * col("__cumneg") + col("neg")))
+          .cast("decimal(38,0)")).as("__num2"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+      .select(
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          TextAnalysis.round6(col("__num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** CALIBRATION bins (the reliability diagram's table): bucket scores
     * into `bins` equal-width cells over [0, 1] and report, per cell, the
     * count, the mean predicted score (exact DECIMAL sum of the already-

@@ -385,6 +385,14 @@ object CurationPack extends QueryPack {
         .orderBy(col("threshold"))
     }),
 
+    // exact ROC AUC without a corpus rank window (distinct-score cum walk)
+    "q261_auc" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.round6((col("doc_id") % 101) / 100.0).as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      Classifier.aucRoc(scored, "score", "y")
+    }),
+
     // two-sample chi-square drift between event halves on a shared grid:
     // the logarithm-free distribution-shift monitor
     "q260_chisq_drift" -> ((s, d) => {
@@ -681,6 +689,31 @@ object CurationPack extends QueryPack {
         |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL AND precision + recall > 0
         |       THEN FLOOR(2.0 * precision * recall / (precision + recall) * 1e6 + 0.5) / 1e6 END AS f1
         |FROM mm ORDER BY threshold""".stripMargin,
+
+    // AUC = sum over distinct scores of pos*(2*cumNegBelow + neg) / (2PN)
+    "q261_auc" ->
+      """WITH s AS (
+        |  SELECT FLOOR((doc_id % 101) / 100.0 * 1e6 + 0.5) / 1e6 AS score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT score,
+        |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT score, pos, neg,
+        |    CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(SUM(pos * (2 * cumneg + neg)) AS DOUBLE) AS num2,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg
+        |  FROM c)
+        |SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+        |  THEN FLOOR(num2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5) / 1e6 END AS auc,
+        |  n_pos, n_neg
+        |FROM t""".stripMargin,
 
     "q260_chisq_drift" ->
       """WITH av AS (

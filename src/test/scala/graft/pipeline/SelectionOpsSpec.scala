@@ -307,6 +307,19 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(at95.isNullAt(7), "f1 undefined when precision is NULL")
   }
 
+  test("aucRoc: hand-derived pair probability, ties at half credit, degenerate NULL") {
+    val mixed = Seq((1L, 0.9, 1), (2L, 0.4, 1), (3L, 0.6, 0), (4L, 0.1, 0))
+      .toDF("id", "score", "y")
+    assert(Classifier.aucRoc(mixed, "score", "y").head().getDouble(0) === 0.75)
+    val perfect = Seq((1L, 0.9, 1), (2L, 0.8, 1), (3L, 0.2, 0))
+      .toDF("id", "score", "y")
+    assert(Classifier.aucRoc(perfect, "score", "y").head().getDouble(0) === 1.0)
+    val allTied = Seq((1L, 0.5, 1), (2L, 0.5, 0)).toDF("id", "score", "y")
+    assert(Classifier.aucRoc(allTied, "score", "y").head().getDouble(0) === 0.5)
+    val onlyPos = Seq((1L, 0.5, 1)).toDF("id", "score", "y")
+    assert(Classifier.aucRoc(onlyPos, "score", "y").head().isNullAt(0))
+  }
+
   test("chiSquareDrift: identical samples score 0; disjoint samples score large") {
     val a = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
     val same = Sketches.chiSquareDrift(a, a, "v", 0.0, 20.0, bins = 16)
