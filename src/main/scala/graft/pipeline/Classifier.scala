@@ -79,6 +79,58 @@ object Classifier {
       TextAnalysis.round6(lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
   }
 
+  /** MULTI-CLASS confusion matrix: (actual, predicted, n) counts — the
+    * raw table behind every language-ID / domain-router / tier-labeler
+    * audit. One keyed aggregation; absent combinations are absent rows.
+    */
+  def confusionMatrix(df: DataFrame, actualCol: String,
+      predictedCol: String): DataFrame =
+    df.groupBy(col(actualCol).cast("string").as("actual"),
+        col(predictedCol).cast("string").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-class precision / recall / F1 from the confusion counts — the
+    * multi-class audit table (macro-averaging is one AVG over it). All
+    * arithmetic runs on the aggregated matrix (|classes|² rows at most),
+    * never the corpus; a class that is never predicted has NULL
+    * precision (not 0 — "no predictions" and "all wrong" must not
+    * collide), a class absent from `actual` has NULL recall. The class
+    * universe is the union of actual and predicted labels.
+    * Output: (clazz, support, n_predicted, tp, precision, recall, f1).
+    */
+  def classMetrics(df: DataFrame, actualCol: String,
+      predictedCol: String): DataFrame = {
+    val cm = confusionMatrix(df, actualCol, predictedCol)
+    val classes = cm.select(col("actual").as("clazz"))
+      .union(cm.select(col("predicted").as("clazz"))).distinct()
+    val support = cm.groupBy(col("actual").as("clazz"))
+      .agg(sum(col("n")).as("support"))
+    val predTot = cm.groupBy(col("predicted").as("clazz"))
+      .agg(sum(col("n")).as("n_predicted"))
+    val tp = cm.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("clazz"), col("n").as("tp"))
+    val base = classes
+      .join(support, Seq("clazz"), "left")
+      .join(predTot, Seq("clazz"), "left")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prec = when(col("n_predicted") > 0,
+      TextAnalysis.round6(col("tp").cast("double") / col("n_predicted")))
+    val rec = when(col("support") > 0,
+      TextAnalysis.round6(col("tp").cast("double") / col("support")))
+    base.withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0,
+          TextAnalysis.round6(
+            lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall")))))
+  }
+
   /** Exact ROC AUC — the threshold-free ranking quality of a classifier
     * (the number quality-filter papers report next to F1): the
     * probability a random positive outranks a random negative, ties at

@@ -387,6 +387,56 @@ object Sketches {
       .select(col("chi2"), col("dof"), col("n_a"), col("n_b"))
   }
 
+  /** SPEARMAN rank correlation between two DISCRETE/snapped signal
+    * columns — do two quality scorers agree on ordering? (the monotone-
+    * agreement check before blending signals; Pearson would be fooled by
+    * nonlinear but order-preserving scales). Tie-aware: each column
+    * collapses to per-DISTINCT-value counts, average ranks come from a
+    * cumulative walk over distinct values (avgRank = cumBelow +
+    * (cnt+1)/2 — a .5-grid rational, exact in a double), ranks join back
+    * keyed, and rho is Pearson over the rank pairs with every sum exact
+    * in DECIMAL (ranks and rank products live on the .25 grid — DECIMAL
+    * holds them exactly, so fold order is irrelevant); the final
+    * combination is IEEE arithmetic over those exact sums, snapped.
+    * Like [[percentileRank]]/aucRoc this is built for signals with
+    * BOUNDED distinct values (snapped scores, counts, grades): the
+    * cumulative window runs over distinct values, not rows — on a
+    * continuous unsnapped column it would degrade to a corpus-wide walk;
+    * snap first. Rows with a NULL on either side drop. Zero variance on
+    * either side → NULL rho. Exactness bound: a rank product must stay
+    * on the .25 grid of an IEEE double, which holds to n ≈ 4·10⁷ rows —
+    * past that, draw a [[Sampling.prioritySample]]/hashSample first (a
+    * rank statistic on a uniform sample is its standard estimator).
+    * Output: one row (spearman, n).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def rankMap(c: String): DataFrame = {
+      val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cumb", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        .select(col(c), (col("__cumb") + (col("__cnt") + 1) / 2.0).as(s"__r$c"))
+    }
+    val ranked = base.join(rankMap("x"), Seq("x")).join(rankMap("y"), Seq("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,6)")).cast("double")
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      dsum(col("__rx")).as("__sa"), dsum(col("__ry")).as("__sb"),
+      dsum(col("__rx") * col("__rx")).as("__saa"),
+      dsum(col("__ry") * col("__ry")).as("__sbb"),
+      dsum(col("__rx") * col("__ry")).as("__sab"))
+    val num = col("n") * col("__sab") - col("__sa") * col("__sb")
+    val denx = col("n") * col("__saa") - col("__sa") * col("__sa")
+    val deny = col("n") * col("__sbb") - col("__sb") * col("__sb")
+    agg.select(
+      when(denx > 0 && deny > 0,
+        TextAnalysis.round6(num / sqrt(denx * deny))).as("spearman"),
+      col("n"))
+  }
+
   // ------------------------------------------------------------ HyperLogLog
 
   /** HyperLogLog REGISTERS (Flajolet et al. 2007) from the md5 hash — the

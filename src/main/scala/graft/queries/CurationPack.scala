@@ -385,6 +385,14 @@ object CurationPack extends QueryPack {
         .orderBy(col("threshold"))
     }),
 
+    // rank agreement between two length signals (chars vs tokens):
+    // tie-aware Spearman over distinct-value average ranks
+    "q264_spearman" -> ((s, d) => {
+      val sig = Tables.documents(s, d).select(col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sketches.spearman(sig, "n_chars", "n_tok")
+    }),
+
     // exact ROC AUC without a corpus rank window (distinct-score cum walk)
     "q261_auc" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("doc_id"),
@@ -689,6 +697,39 @@ object CurationPack extends QueryPack {
         |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL AND precision + recall > 0
         |       THEN FLOOR(2.0 * precision * recall / (precision + recall) * 1e6 + 0.5) / 1e6 END AS f1
         |FROM mm ORDER BY threshold""".stripMargin,
+
+    "q264_spearman" ->
+      s"""WITH base AS (
+         |  SELECT CAST(n_chars AS DOUBLE) AS x,
+         |    CAST(($nTokensSql) AS DOUBLE) AS y
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |gx AS (SELECT x, COUNT(*) AS cnt FROM base GROUP BY 1),
+         |rx AS (
+         |  SELECT x, COALESCE(SUM(cnt) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + (cnt + 1) / 2.0 AS rxv
+         |  FROM gx),
+         |gy AS (SELECT y, COUNT(*) AS cnt FROM base GROUP BY 1),
+         |ry AS (
+         |  SELECT y, COALESCE(SUM(cnt) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + (cnt + 1) / 2.0 AS ryv
+         |  FROM gy),
+         |r AS (SELECT rxv AS ra, ryv AS rb FROM base JOIN rx USING (x) JOIN ry USING (y)),
+         |a AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(ra AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+         |    CAST(SUM(CAST(rb AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+         |    CAST(SUM(CAST(ra * ra AS DECIMAL(38,6))) AS DOUBLE) AS saa,
+         |    CAST(SUM(CAST(rb * rb AS DECIMAL(38,6))) AS DOUBLE) AS sbb,
+         |    CAST(SUM(CAST(ra * rb AS DECIMAL(38,6))) AS DOUBLE) AS sab
+         |  FROM r)
+         |SELECT CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+         |  THEN FLOOR((n * sab - sa * sb) /
+         |    sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) * 1e6 + 0.5) / 1e6
+         |  END AS spearman, n
+         |FROM a""".stripMargin,
 
     // AUC = sum over distinct scores of pos*(2*cumNegBelow + neg) / (2PN)
     "q261_auc" ->

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.pipeline.{Dedup, GraphOps, Multimodal, Sampling, Similarity, TextAnalysis, TextIndex}
+import graft.pipeline.{Classifier, Dedup, GraphOps, Multimodal, Sampling, Similarity, TextAnalysis, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,25 @@ object PipelinePack extends QueryPack {
       .select(col("id_a"), col("id_b"))
     (docs, pairs)
   }
+
+  // q50's language-ID prediction as a reusable chain ending at
+  // h(doc_id, hits_*, lang_pred) — shared by q50/q262/q263
+  private lazy val langPredCtes: String =
+    s"""WITH h0 AS (
+       |  SELECT doc_id,
+       |    len(list_filter($wordsSql, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS hits_de,
+       |    len(list_filter($wordsSql, t -> t IN ('the','and','of','to','is','in','that','it','for','with'))) AS hits_en,
+       |    len(list_filter($wordsSql, t -> t IN ('el','la','los','de','que','es','en','una','por','con'))) AS hits_es,
+       |    len(list_filter($wordsSql, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS hits_fr
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+       |    CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+       |         ELSE list_sort([
+       |           {'nh': -hits_de, 'o': 1, 'l': 'de'}, {'nh': -hits_en, 'o': 2, 'l': 'en'},
+       |           {'nh': -hits_es, 'o': 3, 'l': 'es'}, {'nh': -hits_fr, 'o': 4, 'l': 'fr'}])[1].l
+       |    END AS lang_pred
+       |  FROM h0)""".stripMargin
 
   // priority = w * 2^32 / (hash32+1); top-50 by (priority DESC, id);
   // tau = the 51st priority; est_w = max(w, tau) on kept rows. Shared by
@@ -1049,6 +1068,21 @@ object PipelinePack extends QueryPack {
     }),
 
     // language-ID heuristic (stopword argmax)
+    // multi-class confusion of the stopword language-ID vs the labeled
+    // lang column — the router-audit table
+    "q262_lang_confusion" -> ((s, d) => {
+      val pred = TextAnalysis.languageId(Tables.documentsSpread(s, d))
+      Classifier.confusionMatrix(pred, "lang", "lang_pred")
+        .orderBy(col("actual"), col("predicted"))
+    }),
+
+    // per-class precision/recall/F1 over the same confusion counts
+    "q263_lang_class_metrics" -> ((s, d) => {
+      val pred = TextAnalysis.languageId(Tables.documentsSpread(s, d))
+      Classifier.classMetrics(pred, "lang", "lang_pred")
+        .orderBy(col("clazz"))
+    }),
+
     "q50_language_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documentsSpread(s, d))
         .select("doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "lang_pred")
@@ -2545,20 +2579,42 @@ object PipelinePack extends QueryPack {
           |  FROM d)
           |SELECT media_id, bucket, COUNT(*) AS n_px FROM g
           |GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin,
+      // q50's prediction CTE -> joint counts with the labeled lang
+      "q262_lang_confusion" ->
+        s"""$langPredCtes
+           |SELECT d.lang AS actual, h.lang_pred AS predicted,
+           |  COUNT(*) AS n
+           |FROM h JOIN documents d USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+
+      "q263_lang_class_metrics" ->
+        s"""$langPredCtes,
+           |cm AS (
+           |  SELECT d.lang AS actual, h.lang_pred AS predicted, COUNT(*) AS n
+           |  FROM h JOIN documents d USING (doc_id) GROUP BY 1, 2),
+           |cls AS (SELECT DISTINCT actual AS clazz FROM cm
+           |        UNION SELECT DISTINCT predicted FROM cm),
+           |sup AS (SELECT actual AS clazz, CAST(SUM(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+           |pt AS (SELECT predicted AS clazz, CAST(SUM(n) AS BIGINT) AS n_predicted FROM cm GROUP BY 1),
+           |tp AS (SELECT actual AS clazz, CAST(n AS BIGINT) AS tp FROM cm WHERE actual = predicted),
+           |b AS (
+           |  SELECT cls.clazz, COALESCE(sup.support, 0) AS support,
+           |    COALESCE(pt.n_predicted, 0) AS n_predicted, COALESCE(tp.tp, 0) AS tp
+           |  FROM cls LEFT JOIN sup USING (clazz) LEFT JOIN pt USING (clazz)
+           |    LEFT JOIN tp USING (clazz)),
+           |m AS (
+           |  SELECT clazz, support, n_predicted, tp,
+           |    CASE WHEN n_predicted > 0 THEN FLOOR(CAST(tp AS DOUBLE) / n_predicted * 1e6 + 0.5) / 1e6 END AS precision,
+           |    CASE WHEN support > 0 THEN FLOOR(CAST(tp AS DOUBLE) / support * 1e6 + 0.5) / 1e6 END AS recall
+           |  FROM b)
+           |SELECT clazz, support, n_predicted, tp, precision, recall,
+           |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL AND precision + recall > 0
+           |       THEN FLOOR(2.0 * precision * recall / (precision + recall) * 1e6 + 0.5) / 1e6 END AS f1
+           |FROM m ORDER BY clazz""".stripMargin,
+
       "q50_language_id" ->
-        s"""WITH h AS (
-           |  SELECT doc_id,
-           |    len(list_filter($wordsSql, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS hits_de,
-           |    len(list_filter($wordsSql, t -> t IN ('the','and','of','to','is','in','that','it','for','with'))) AS hits_en,
-           |    len(list_filter($wordsSql, t -> t IN ('el','la','los','de','que','es','en','una','por','con'))) AS hits_es,
-           |    len(list_filter($wordsSql, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS hits_fr
-           |  FROM documents)
-           |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
-           |  CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
-           |       ELSE list_sort([
-           |         {'nh': -hits_de, 'o': 1, 'l': 'de'}, {'nh': -hits_en, 'o': 2, 'l': 'en'},
-           |         {'nh': -hits_es, 'o': 3, 'l': 'es'}, {'nh': -hits_fr, 'o': 4, 'l': 'fr'}])[1].l
-           |  END AS lang_pred
+        s"""$langPredCtes
+           |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, lang_pred
            |FROM h ORDER BY doc_id""".stripMargin,
       "q72_token_counts" ->
         """SELECT doc_id,

@@ -320,6 +320,42 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(Classifier.aucRoc(onlyPos, "score", "y").head().isNullAt(0))
   }
 
+  test("classMetrics: hand-derived per-class table incl. never-predicted and absent classes") {
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "fr"), // en: support 3, tp 2
+      ("fr", "en"),                             // fr: support 1, tp 0
+      ("de", "de")                              // de: support 1, tp 1
+    ).toDF("actual", "predicted")
+    val out = Classifier.classMetrics(df, "actual", "predicted").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) === 3 && en.getLong(2) === 3 && en.getLong(3) === 2)
+    assert(en.getDouble(4) === 0.666667 && en.getDouble(5) === 0.666667 &&
+      en.getDouble(6) === 0.666667)
+    val fr = out("fr") // predicted once (by the en doc), tp 0
+    assert(fr.getLong(3) === 0 && fr.getDouble(4) === 0.0 && fr.getDouble(5) === 0.0)
+    assert(fr.isNullAt(6), "f1 undefined at precision = recall = 0")
+    val de = out("de")
+    assert(de.getDouble(4) === 1.0 && de.getDouble(5) === 1.0 && de.getDouble(6) === 1.0)
+  }
+
+  test("spearman: monotone 1, reversed -1, ties averaged, constant NULL") {
+    val mono = (1 to 50).map(i => (i.toLong, i.toDouble, (i * i).toDouble))
+      .toDF("id", "a", "b")
+    assert(Sketches.spearman(mono, "a", "b").head().getDouble(0) === 1.0)
+    val rev = (1 to 50).map(i => (i.toLong, i.toDouble, (100 - i).toDouble))
+      .toDF("id", "a", "b")
+    assert(Sketches.spearman(rev, "a", "b").head().getDouble(0) === -1.0)
+    val const = (1 to 10).map(i => (i.toLong, i.toDouble, 5.0)).toDF("id", "a", "b")
+    assert(Sketches.spearman(const, "a", "b").head().isNullAt(0))
+    // tie-averaging: hand case a=(1,2,2,3) b=(1,2,3,4): ra=(1,2.5,2.5,4)
+    val tied = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 2.0, 3.0), (4L, 3.0, 4.0))
+      .toDF("id", "a", "b")
+    val rho = Sketches.spearman(tied, "a", "b").head().getDouble(0)
+    // Pearson((1,2.5,2.5,4),(1,2,3,4)) = 4.5/sqrt(4.5*5) = 0.948683
+    assert(rho === 0.948683, s"got $rho")
+  }
+
   test("chiSquareDrift: identical samples score 0; disjoint samples score large") {
     val a = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
     val same = Sketches.chiSquareDrift(a, a, "v", 0.0, 20.0, bins = 16)
