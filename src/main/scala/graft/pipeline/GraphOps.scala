@@ -376,6 +376,81 @@ object GraphOps {
     CacheScope.releaseAfterFirstUse(out, Seq(und, directed))
   }
 
+  /** HARMONIC CENTRALITY by landmark BFS — the statistic Common Crawl's
+    * host ranking actually publishes (Boldi & Vigna 2014, "Axioms for
+    * centrality": harmonic = Σ_u 1/d(u, v) handles disconnected graphs
+    * where closeness breaks). Exact all-pairs is O(n·m) — the landmark
+    * form runs BFS from L deterministically-chosen sources (the L
+    * smallest salted node hashes, ties by node — any engine re-derives
+    * the set) and reports the PARTIAL sum Σ_{l ∈ landmarks, d(l→v) ≥ 1}
+    * round6(1/d(l→v)) plus `n_reached`; the (N-1)/L scale-up to the full
+    * estimate is the consumer's one multiply (the hllDistinct stance:
+    * ship the exact parts, not the engine-unportable garnish — here the
+    * parts ARE portable, the stance is about keeping the estimator
+    * choice visible). Distances follow edge direction (d(l→v) along
+    * src→dst paths; pass a symmetrized edge table for the undirected
+    * form).
+    *
+    * Scale shape: per hop one frontier-to-edges equi-join + one distinct
+    * + one anti-join against the settled set — state is O(L·n) rows,
+    * keyed shuffles only; each hop's frontier is persisted and forced
+    * with a count (≤ maxHops tiny driver actions — the CC loop cadence),
+    * which doubles as early termination when the frontier drains.
+    * Output: (node, h_sum, n_reached) for every node reached by ≥ 1
+    * landmark (BFS source rows at d=0 count as reached, contribute 0).
+    */
+  def harmonicCentrality(edges: DataFrame, landmarks: Int = 16,
+      maxHops: Int = 6, srcCol: String = "src", dstCol: String = "dst",
+      salt: String = "hc"): DataFrame = {
+    require(landmarks >= 1, s"harmonicCentrality: need >= 1 landmark")
+    require(maxHops >= 1 && maxHops <= 12,
+      s"harmonicCentrality: maxHops must be in [1, 12], got $maxHops")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // deterministic landmark set: L smallest (hash, node)
+    val lms = nodes
+      .orderBy(Sampling.keyHash32(col("node"), salt), col("node"))
+      .limit(landmarks)
+      .select(col("node").as("lm")).persist(lvl)
+    // renamed-column join frame sidesteps self-join ambiguity (each hop's
+    // frontier descends from the same persisted edge frame)
+    val eK = e.select(col("src").as("__fn"), col("dst").as("__to"))
+    val base = lms.select(col("lm"), col("lm").as("node"), lit(0).as("d"))
+      .persist(lvl)
+    base.count()
+    val hops = scala.collection.mutable.ArrayBuffer[DataFrame](base)
+    var dist = base
+    var frontier: DataFrame = base.select(col("lm"), col("node"))
+    var hop = 1
+    var drained = false
+    while (hop <= maxHops && !drained) {
+      val next = frontier.select(col("lm"), col("node").as("__fn"))
+        .join(eK, Seq("__fn"))
+        .select(col("lm"), col("__to").as("node")).distinct()
+        .join(dist.select(col("lm"), col("node")), Seq("lm", "node"),
+          "left_anti")
+        .select(col("lm"), col("node"), lit(hop).as("d"))
+        .persist(lvl)
+      drained = next.count() == 0 // forces the hop's cache; early stop
+      hops += next
+      dist = dist.unionByName(next) // union of CACHED frames: shallow
+      frontier = next.select(col("lm"), col("node"))
+      hop += 1
+    }
+    val out = dist
+      .groupBy(col("node"))
+      .agg(
+        TextAnalysis.round6(
+          sum(when(col("d") >= 1,
+            TextAnalysis.round6(lit(1.0) / col("d"))).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).cast("double")).as("h_sum"),
+        sum(when(col("d") >= 1, 1L).otherwise(0L)).as("n_reached"))
+    CacheScope.releaseAfterFirstUse(out, Seq(e, lms) ++ hops.toSeq)
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) — the directional
     * complement to [[pageRank]]: a good HUB links to good authorities, a
     * good AUTHORITY is linked from good hubs (catalog/aggregator pages vs

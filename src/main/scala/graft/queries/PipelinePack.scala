@@ -337,6 +337,22 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // landmark-BFS harmonic centrality over the co-citation graph — the
+    // Common Crawl host-ranking statistic; oracle = recursive-CTE BFS
+    "q265_harmonic_centrality" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val edges = GraphOps.coOccurrenceEdges(urls, "doc_id", "domain")
+      GraphOps.harmonicCentrality(edges, landmarks = 4, maxHops = 4)
+        .orderBy(col("node"))
+    }),
+
     // WEIGHTED PageRank over co-citation counts: mass flows by edge
     // weight (share = round6(w/Σw) precomputed once), 3 snapped
     // iterations — multiplicity as signal, not just adjacency
@@ -1568,6 +1584,40 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // recursive-CTE BFS (bounded depth) -> min dist per (landmark, node)
+      // -> snapped 1/d terms, exact DECIMAL sum — a DIFFERENT shortest-
+      // path algorithm than the engine's frontier/anti-join BFS
+      "q265_harmonic_centrality" ->
+        s"""WITH RECURSIVE m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |dom AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+           |  FROM m
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           |  FROM m),
+           |e AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+           |      FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+           |-- DISTINCT-over-UNION-ALL, not UNION: DuckDB 1.0's WITH
+           |-- RECURSIVE mishandles bare-UNION dedup in non-recursive CTEs
+           |nodes AS (SELECT DISTINCT node FROM
+           |          (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+           |lmr AS (SELECT node FROM nodes
+           |        ORDER BY ${hex32Sql("'hc:' || node")}, node LIMIT 4),
+           |bfs AS (
+           |  SELECT node AS lm, node, 0 AS d FROM lmr
+           |  UNION
+           |  SELECT b.lm, e.dst AS node, b.d + 1 AS d
+           |  FROM bfs b JOIN e ON e.src = b.node WHERE b.d < 4),
+           |md AS (SELECT lm, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+           |SELECT node,
+           |  FLOOR(CAST(SUM(CAST(CASE WHEN d >= 1
+           |    THEN FLOOR(1.0 / d * 1e6 + 0.5) / 1e6 ELSE 0.0 END
+           |    AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_sum,
+           |  CAST(SUM(CASE WHEN d >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+           |FROM md GROUP BY node ORDER BY node""".stripMargin,
+
       // two unrolled HITS rounds over the q215 graph CTEs: exact DECIMAL
       // raw sums of snapped scores, snapped-square LONG norms, one sqrt
       "q254_domain_hits" -> {

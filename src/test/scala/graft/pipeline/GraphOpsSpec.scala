@@ -206,6 +206,17 @@ class GraphOpsSpec extends SparkTestBase {
     assert(undirected === Map("a" -> "b", "b" -> "a", "c" -> "b"))
   }
 
+  test("harmonicCentrality: full-landmark path graph matches hand-derived sums") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val out = GraphOps.harmonicCentrality(edges, landmarks = 10, maxHops = 5)
+      .as[(String, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // all 4 nodes are landmarks (L >= n); d gets 1/1 + 1/2 + 1/3
+    assert(out("d") === ((1.833333, 3L)), s"got $out")
+    assert(out("c") === ((1.5, 2L)))
+    assert(out("b") === ((1.0, 1L)))
+    assert(out("a") === ((0.0, 0L)), "source of the chain is reached by nobody")
+  }
+
   test("hits: two hubs pointing at one authority reach the hand-derived fixpoint") {
     val edges = Seq(("h1", "a"), ("h2", "a")).toDF("src", "dst")
     val out = GraphOps.hits(edges, iters = 2)
