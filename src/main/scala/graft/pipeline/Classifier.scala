@@ -143,27 +143,31 @@ object Classifier {
     * arithmetic summed in DECIMAL, one snapped division at the end.
     * Output: one row (auc, n_pos, n_neg).
     */
-  def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+  def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("int")
-    val g = scored.select(s.as("score"), y.as("__y"))
-      .groupBy(col("score"))
+    val gc = groupCols.map(col)
+    val g = scored.select(gc :+ s.as("score") :+ y.as("__y"): _*)
+      .groupBy(gc :+ col("score"): _*)
       .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("pos"),
         sum(when(col("__y") === 0, 1L).otherwise(0L)).as("neg"))
-    val w = Window.orderBy(col("score"))
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(gc: _*))
+      .orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = g.withColumn("__cumneg",
       coalesce(sum(col("neg")).over(w), lit(0L)))
-    cum.agg(
-        sum((col("pos") * (lit(2L) * col("__cumneg") + col("neg")))
-          .cast("decimal(38,0)")).as("__num2"),
-        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
-      .select(
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          TextAnalysis.round6(col("__num2").cast("double") /
-            (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"),
-        col("n_pos"), col("n_neg"))
+    val agg = cum.groupBy(gc: _*).agg(
+      sum((col("pos") * (lit(2L) * col("__cumneg") + col("neg")))
+        .cast("decimal(38,0)")).as("__num2"),
+      sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    agg.select(gc ++ Seq(
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        TextAnalysis.round6(col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"),
+      col("n_pos"), col("n_neg")): _*)
   }
 
   /** CALIBRATION bins (the reliability diagram's table): bucket scores

@@ -258,6 +258,20 @@ object CorpusPack extends QueryPack {
 
     // ordered conversion funnel click -> view -> purchase: greedy-earliest
     // witness per user via cascading keyed min-joins
+    // first-order Markov transitions between event types (per-user lead
+    // window, (ts, id) tie order; per-from probabilities snapped)
+    "q268_event_transitions" -> ((s, d) => {
+      EventStream.eventTransitions(Tables.eventsWithTs(s, d))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // top-10 length-3 behavioral paths (one keyed sequence aggregation,
+    // codegen n-gram transform, TakeOrdered top-k)
+    "q269_event_paths" -> ((s, d) => {
+      EventStream.topEventPaths(Tables.eventsWithTs(s, d), n = 3, k = 10)
+        .orderBy(col("n_occurrences").desc, col("path"))
+    }),
+
     "q187_funnel" -> ((s, d) => {
       graft.streaming.EventStream.funnel(Tables.eventsWithTs(s, d),
         Seq("click", "view", "purchase"))
@@ -965,6 +979,32 @@ object CorpusPack extends QueryPack {
           |  COUNT(DISTINCT a.user_id) AS n_active_users
           |FROM a JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort_week, activity_week""".stripMargin,
+      "q268_event_transitions" ->
+        """WITH o AS (
+          |  SELECT user_id, event_type,
+          |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          |  FROM events),
+          |pr AS (
+          |  SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+          |  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, CAST(SUM(n) AS DOUBLE) AS tot FROM pr GROUP BY 1)
+          |SELECT pr.from_type, pr.to_type, CAST(pr.n AS BIGINT) AS n,
+          |  FLOOR(CAST(pr.n AS DOUBLE) / t.tot * 1e6 + 0.5) / 1e6 AS p
+          |FROM pr JOIN t USING (from_type)
+          |ORDER BY from_type, to_type""".stripMargin,
+
+      "q269_event_paths" ->
+        """WITH s AS (
+          |  SELECT user_id, array_agg(event_type ORDER BY ts, event_id) AS t
+          |  FROM events GROUP BY 1),
+          |g AS (
+          |  SELECT unnest(list_transform(range(1, len(t) - 1),
+          |    i -> array_to_string(t[i:i+2], '>'))) AS path
+          |  FROM s WHERE len(t) >= 3),
+          |c AS (SELECT path, COUNT(*) AS n_occurrences FROM g GROUP BY 1)
+          |SELECT path, n_occurrences FROM c
+          |ORDER BY n_occurrences DESC, path LIMIT 10""".stripMargin,
+
       "q187_funnel" ->
         """WITH e AS (
           |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),

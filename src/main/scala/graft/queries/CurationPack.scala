@@ -393,6 +393,15 @@ object CurationPack extends QueryPack {
       Sketches.spearman(sig, "n_chars", "n_tok")
     }),
 
+    // per-language AUC (the grouped form: per-stratum ranking quality)
+    "q267_auc_by_lang" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("lang"),
+        TextAnalysis.round6((col("doc_id") % 101) / 100.0).as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      Classifier.aucRoc(scored, "score", "y", groupCols = Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // exact ROC AUC without a corpus rank window (distinct-score cum walk)
     "q261_auc" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("doc_id"),
@@ -730,6 +739,30 @@ object CurationPack extends QueryPack {
          |    sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) * 1e6 + 0.5) / 1e6
          |  END AS spearman, n
          |FROM a""".stripMargin,
+
+    "q267_auc_by_lang" ->
+      """WITH s AS (
+        |  SELECT lang, FLOOR((doc_id % 101) / 100.0 * 1e6 + 0.5) / 1e6 AS score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, score,
+        |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM s GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, pos, neg,
+        |    CAST(COALESCE(SUM(neg) OVER (PARTITION BY lang ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
+        |  FROM g),
+        |t AS (
+        |  SELECT lang, CAST(SUM(pos * (2 * cumneg + neg)) AS DOUBLE) AS num2,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg
+        |  FROM c GROUP BY 1)
+        |SELECT lang, CASE WHEN n_pos > 0 AND n_neg > 0
+        |  THEN FLOOR(num2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5) / 1e6 END AS auc,
+        |  n_pos, n_neg
+        |FROM t ORDER BY lang""".stripMargin,
 
     // AUC = sum over distinct scores of pos*(2*cumNegBelow + neg) / (2PN)
     "q261_auc" ->

@@ -529,6 +529,66 @@ object EventStream {
     * aggregate per cell. Output: (cohort_week, activity_week, week_offset,
     * n_active_users).
     */
+  /** First-order MARKOV transition matrix between event types — the
+    * behavioral-model summary (what follows what, and how often): per
+    * user, order events by (ts, id) (the id breaks timestamp ties
+    * deterministically), pair each event with its successor via one
+    * per-user lead window, count (from, to) transitions, and attach
+    * per-FROM row probabilities p = round6(n / Σ_from n) through a keyed
+    * join of the tiny from-totals frame (broadcast — it is
+    * |event types| rows). A user's last event has no successor and drops.
+    * The window is per-user, bounded by that user's activity — never a
+    * corpus window. Output: (from_type, to_type, n, p).
+    */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.pipeline.TextAnalysis.round6(
+          col("n").cast("double") / col("__tot")).as("p"))
+  }
+
+  /** Top-k EVENT PATHS — the most common length-n behavioral sequences
+    * (the "screen flow" / funnel-discovery mining that [[funnel]] checks
+    * one hypothesis of): per user, the (ts, id)-ordered type sequence is
+    * assembled in ONE keyed aggregation (sort_array over (ts, id, type)
+    * structs — no window), its length-n windows become '>'-joined path
+    * strings by a codegen array transform, and the global top-k is
+    * TakeOrderedAndProject over the path counts (never a full sort). A
+    * user costs its own event count; paths cross no user boundary.
+    * Output: (path, n_occurrences), k rows, ties path-ascending.
+    */
+  def topEventPaths(events: DataFrame, n: Int = 3, k: Int = 10,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(n >= 2, s"topEventPaths: need path length >= 2, got $n")
+    require(k >= 1, s"topEventPaths: need k >= 1, got $k")
+    val seqs = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(idCol), col(typeCol).as("t")))).as("__e"))
+      .select(transform(col("__e"), e => e.getField("t")).as("__t"))
+    seqs
+      .filter(size(col("__t")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(">", slice(col("__t"), i + 1, lit(n))))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(k)
+  }
+
   def retentionCohorts(events: DataFrame): DataFrame = {
     val us = org.apache.spark.sql.graftbridge.Bridge
       .integralDivide(col("ts"), lit(1000L))

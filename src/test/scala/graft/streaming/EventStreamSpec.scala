@@ -200,6 +200,32 @@ class EventStreamSpec extends SparkTestBase {
     assert(live.toSeq === oneShot.toSeq && live.length === 25)
   }
 
+  test("eventTransitions: hand-derived counts; per-from probabilities sum to 1") {
+    import spark.implicits._
+    // user 1: a->b->a ; user 2: a->b ; ties impossible (distinct ts)
+    val ev = Seq((1L, 10L, 1L, "a"), (2L, 20L, 1L, "b"), (3L, 30L, 1L, "a"),
+      (4L, 10L, 2L, "a"), (5L, 20L, 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStream.eventTransitions(ev)
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(out === Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("topEventPaths: hand-derived top paths with deterministic ties") {
+    import spark.implicits._
+    val ev = (0 until 4).flatMap { u =>
+      Seq((u * 10 + 1L, 1L, u.toLong, "x"), (u * 10 + 2L, 2L, u.toLong, "y"),
+        (u * 10 + 3L, 3L, u.toLong, "z"))
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStream.topEventPaths(ev, n = 3, k = 2)
+      .as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("x>y>z", 4L)), "one path, repeated per user")
+    val two = EventStream.topEventPaths(ev, n = 2, k = 5)
+      .as[(String, Long)].collect().toMap
+    assert(two === Map("x>y" -> 4L, "y>z" -> 4L))
+  }
+
   test("streaming stream-static enrichment equals the batch plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
