@@ -437,6 +437,77 @@ object Sketches {
       col("n"))
   }
 
+  /** Declarative data-quality EXPECTATIONS (Great-Expectations-lite) —
+    * the contract a new data drop must pass before a pipeline trusts it,
+    * next to [[profileColumns]]'s descriptive stats. Every check reduces
+    * to exact counts gathered in ONE aggregation pass over the scan (the
+    * naive per-check loop rescans the table per check); observed rates
+    * snap to the 1e-6 grid so the report reproduces on any engine.
+    * Checks: [[Check.NotNull]] (non-null rate >= minRate), [[Check.Unique]]
+    * (distinct count == non-null count — the one check that costs a
+    * distinct aggregation, stated), [[Check.InRange]] (rate of non-null
+    * values inside [lo, hi] >= minRate), [[Check.InSet]] (rate of
+    * non-null values in the accepted set >= minRate).
+    * Output: (check, column, observed, threshold, pass) — one row per
+    * check, `observed` the snapped rate (or distinct ratio for Unique).
+    */
+  sealed trait Check { def column: String }
+  object Check {
+    final case class NotNull(column: String, minRate: Double = 1.0) extends Check
+    final case class Unique(column: String) extends Check
+    final case class InRange(column: String, lo: Double, hi: Double,
+        minRate: Double = 1.0) extends Check
+    final case class InSet(column: String, values: Seq[String],
+        minRate: Double = 1.0) extends Check
+  }
+
+  def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "expectations: need at least one check")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
+      count(lit(1)).as("__total"))
+    checks.zipWithIndex.foreach { case (c, i) =>
+      val v = col(c.column)
+      c match {
+        case Check.NotNull(_, _) =>
+          aggs += count(v).as(s"__c$i")
+        case Check.Unique(_) =>
+          aggs += count(v).as(s"__n$i")
+          aggs += count_distinct(v).as(s"__c$i")
+        case Check.InRange(_, lo, hi, _) =>
+          aggs += count(v).as(s"__n$i")
+          aggs += sum(when(v.cast("double") >= lo && v.cast("double") <= hi, 1L)
+            .otherwise(0L)).as(s"__c$i")
+        case Check.InSet(_, values, _) =>
+          aggs += count(v).as(s"__n$i")
+          aggs += sum(when(v.cast("string").isin(values: _*), 1L)
+            .otherwise(0L)).as(s"__c$i")
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      val (name, obs, thr) = c match {
+        case Check.NotNull(_, r) =>
+          ("not_null", col(s"__c$i").cast("double") / col("__total"), r)
+        case Check.Unique(_) =>
+          ("unique", when(col(s"__n$i") > 0,
+            col(s"__c$i").cast("double") / col(s"__n$i")).otherwise(lit(1.0)), 1.0)
+        case Check.InRange(_, _, _, r) =>
+          ("in_range", when(col(s"__n$i") > 0,
+            col(s"__c$i").cast("double") / col(s"__n$i")).otherwise(lit(1.0)), r)
+        case Check.InSet(_, _, r) =>
+          ("in_set", when(col(s"__n$i") > 0,
+            col(s"__c$i").cast("double") / col(s"__n$i")).otherwise(lit(1.0)), r)
+      }
+      val snapped = TextAnalysis.round6(obs)
+      one.select(lit(name).as("check"), lit(c.column).as("column"),
+        snapped.as("observed"), lit(thr).as("threshold"),
+        (snapped >= thr).as("pass"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
   // ------------------------------------------------------------ HyperLogLog
 
   /** HyperLogLog REGISTERS (Flajolet et al. 2007) from the md5 hash — the

@@ -393,6 +393,18 @@ object CurationPack extends QueryPack {
       Sketches.spearman(sig, "n_chars", "n_tok")
     }),
 
+    // declarative expectations battery: one aggregation pass evaluates
+    // the whole ingest contract (incl. a deliberately failing range check)
+    "q270_expectations" -> ((s, d) => {
+      import Sketches.Check._
+      Sketches.expectations(Tables.documents(s, d), Seq(
+        NotNull("text"),
+        Unique("doc_id"),
+        InRange("n_chars", 1, 400, minRate = 0.9), // fails: long tail past 400
+        InSet("lang", Seq("en", "de", "es", "fr"), minRate = 0.95))) // fails: zh
+        .orderBy(col("check"), col("column"))
+    }),
+
     // per-language AUC (the grouped form: per-stratum ranking quality)
     "q267_auc_by_lang" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("lang"),
@@ -739,6 +751,39 @@ object CurationPack extends QueryPack {
          |    sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) * 1e6 + 0.5) / 1e6
          |  END AS spearman, n
          |FROM a""".stripMargin,
+
+    // same exact counts + snapped rates as one UNION of scalar selects
+    "q270_expectations" ->
+      """WITH t AS (
+        |  SELECT COUNT(*) AS total, COUNT(text) AS nn_text,
+        |    COUNT(doc_id) AS n_id, COUNT(DISTINCT doc_id) AS d_id,
+        |    COUNT(n_chars) AS n_nc,
+        |    SUM(CASE WHEN CAST(n_chars AS DOUBLE) >= 1 AND CAST(n_chars AS DOUBLE) <= 400 THEN 1 ELSE 0 END) AS c_nc,
+        |    COUNT(lang) AS n_lang,
+        |    SUM(CASE WHEN lang IN ('en', 'de', 'es', 'fr') THEN 1 ELSE 0 END) AS c_lang
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS "check", 'text' AS "column",
+        |    FLOOR(CAST(nn_text AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS observed,
+        |    1.0 AS threshold,
+        |    FLOOR(CAST(nn_text AS DOUBLE) / total * 1e6 + 0.5) / 1e6 >= 1.0 AS pass
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'unique', 'doc_id',
+        |    FLOOR(CAST(d_id AS DOUBLE) / n_id * 1e6 + 0.5) / 1e6, 1.0,
+        |    FLOOR(CAST(d_id AS DOUBLE) / n_id * 1e6 + 0.5) / 1e6 >= 1.0
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'in_range', 'n_chars',
+        |    FLOOR(CAST(c_nc AS DOUBLE) / n_nc * 1e6 + 0.5) / 1e6, 0.9,
+        |    FLOOR(CAST(c_nc AS DOUBLE) / n_nc * 1e6 + 0.5) / 1e6 >= 0.9
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'in_set', 'lang',
+        |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6, 0.95,
+        |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
+        |  FROM t)
+        |ORDER BY "check", "column"""".stripMargin,
 
     "q267_auc_by_lang" ->
       """WITH s AS (

@@ -356,6 +356,28 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(rho === 0.948683, s"got $rho")
   }
 
+  test("expectations: one-pass battery evaluates all check kinds with correct verdicts") {
+    import Sketches.Check._
+    val df = Seq(
+      (1L, Some("a"), 10.0, "en"), (2L, Some("b"), 20.0, "en"),
+      (3L, None, 999.0, "xx"), (4L, Some("d"), 30.0, "de"),
+      (4L, Some("e"), 40.0, "en") // duplicate id
+    ).toDF("id", "t", "v", "lang")
+    val out = Sketches.expectations(df, Seq(
+      NotNull("t", minRate = 0.9),          // 4/5 = 0.8 -> fail
+      NotNull("lang"),                      // 1.0 -> pass
+      Unique("id"),                         // 4 distinct / 5 -> fail
+      InRange("v", 0, 100, minRate = 0.75), // 4/5 = 0.8 -> pass
+      InSet("lang", Seq("en", "de"), minRate = 0.5))) // 4/5 -> pass
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getBoolean(4))).toMap
+    assert(out(("not_null", "t")) === ((0.8, false)))
+    assert(out(("not_null", "lang")) === ((1.0, true)))
+    assert(out(("unique", "id")) === ((0.8, false)))
+    assert(out(("in_range", "v")) === ((0.8, true)))
+    assert(out(("in_set", "lang")) === ((0.8, true)))
+  }
+
   test("chiSquareDrift: identical samples score 0; disjoint samples score large") {
     val a = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
     val same = Sketches.chiSquareDrift(a, a, "v", 0.0, 20.0, bins = 16)
