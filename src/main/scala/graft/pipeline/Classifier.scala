@@ -131,6 +131,52 @@ object Classifier {
               (col("precision") + col("recall")))))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two labelers
+    * (annotator vs annotator, or classifier vs gold): the number that
+    * separates "94% raw agreement" on a 95%-majority-class corpus (kappa
+    * ~ 0) from genuine skill. Multi-class, from the same one-pass
+    * confusion counts as [[confusionMatrix]]; everything after that
+    * aggregation runs on the |classes|^2 matrix, never the corpus.
+    *
+    * Exact-arithmetic contract: kappa = (n*diag - S) / (n^2 - S) with
+    * S = sum over classes of rowTotal*colTotal — integer products summed
+    * in DECIMAL(38,0), ONE snapped division at the end (no intermediate
+    * p_o/p_e rounding error compounds). p_o and p_e are reported as their
+    * own snapped divisions of the same exact integers. Degenerate chance
+    * agreement of 1 (both sides constant) yields NULL kappa — "undefined"
+    * and "zero skill" must not collide.
+    * Output: one row (kappa, p_o, p_e, n).
+    */
+  def cohensKappa(df: DataFrame, actualCol: String,
+      predictedCol: String): DataFrame = {
+    // cm appears three times below; the three identical corpus exchanges
+    // collapse to one via ReuseExchange (same pattern as classMetrics)
+    val cm = confusionMatrix(df, actualCol, predictedCol)
+    val rowTot = cm.groupBy(col("actual").as("clazz"))
+      .agg(sum(col("n")).as("rt"))
+    val colTot = cm.groupBy(col("predicted").as("clazz"))
+      .agg(sum(col("n")).as("ct"))
+    // class universe = union of both margins; absent margin counts are 0
+    val s = rowTot.join(colTot, Seq("clazz"), "full_outer")
+      .agg(sum((coalesce(col("rt"), lit(0L)) * coalesce(col("ct"), lit(0L)))
+        .cast("decimal(38,0)")).as("S"))
+    val tot = cm.agg(
+      sum(col("n")).as("n"),
+      sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L))
+        .as("diag"))
+    tot.crossJoin(s).select(
+      when(col("n").cast("decimal(38,0)") * col("n") =!= col("S"),
+        TextAnalysis.round6(
+          (col("n").cast("decimal(38,0)") * col("diag") - col("S"))
+            .cast("double") /
+            (col("n").cast("decimal(38,0)") * col("n") - col("S"))
+              .cast("double"))).as("kappa"),
+      TextAnalysis.round6(col("diag").cast("double") / col("n")).as("p_o"),
+      TextAnalysis.round6(col("S").cast("double") /
+        (col("n").cast("decimal(38,0)") * col("n")).cast("double")).as("p_e"),
+      col("n"))
+  }
+
   /** Exact ROC AUC — the threshold-free ranking quality of a classifier
     * (the number quality-filter papers report next to F1): the
     * probability a random positive outranks a random negative, ties at

@@ -437,6 +437,36 @@ object Sketches {
       col("n"))
   }
 
+  /** Gini-Simpson diversity index per group — the probability two
+    * documents drawn from a group differ on `catCol` (1 − Σ pᵢ²): the
+    * corpus-mix health number behind "is this source all one language /
+    * one domain / one template?" checks before training-mix decisions.
+    * Unlike Shannon entropy it is LOGARITHM-FREE, so every step is
+    * engine-portable arithmetic: per-(group, category) exact counts, the
+    * index = round6(1 − Σ nᵢ² / n²) with the integer products summed in
+    * DECIMAL(38,0) and ONE snapped division. Two keyed aggregations, both
+    * with map-side partials — a group costs its category cardinality,
+    * never its row count. NULL categories count as their own category
+    * (an all-NULL column is maximally UNdiverse and must read 0, not be
+    * silently dropped).
+    * Output: (groupCols..., n, n_cats, gini).
+    */
+  def giniSimpson(df: DataFrame, groupCols: Seq[String],
+      catCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val counts = df
+      .groupBy(gc :+ col(catCol).cast("string").as("__cat"): _*)
+      .agg(count(lit(1)).as("__ni"))
+    counts.groupBy(gc: _*)
+      .agg(sum(col("__ni")).as("n"),
+        count(lit(1)).as("n_cats"),
+        TextAnalysis.round6(lit(1.0) -
+          sum((col("__ni") * col("__ni")).cast("decimal(38,0)"))
+            .cast("double") /
+          (sum(col("__ni")).cast("decimal(38,0)") * sum(col("__ni")))
+            .cast("double")).as("gini"))
+  }
+
   /** Declarative data-quality EXPECTATIONS (Great-Expectations-lite) —
     * the contract a new data drop must pass before a pipeline trusts it,
     * next to [[profileColumns]]'s descriptive stats. Every check reduces

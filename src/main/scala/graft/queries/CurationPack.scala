@@ -405,6 +405,24 @@ object CurationPack extends QueryPack {
         .orderBy(col("check"), col("column"))
     }),
 
+    // chance-corrected agreement between the gold lang label and a
+    // noisy labeler (every 7th doc mislabeled): one corpus agg, then
+    // exact integer algebra on the confusion matrix
+    "q271_kappa" -> ((s, d) => {
+      val labeled = Tables.documents(s, d).select(
+        col("lang").as("gold"),
+        when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang"))
+          .as("pred"))
+      Classifier.cohensKappa(labeled, "gold", "pred")
+    }),
+
+    // per-source Gini-Simpson language diversity (log-free corpus-mix
+    // health: P[two docs from the source differ in lang])
+    "q272_diversity" -> ((s, d) => {
+      Sketches.giniSimpson(Tables.documents(s, d), Seq("source"), "lang")
+        .orderBy(col("source"))
+    }),
+
     // per-language AUC (the grouped form: per-stratum ranking quality)
     "q267_auc_by_lang" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("lang"),
@@ -784,6 +802,45 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    // same exact-integer kappa algebra: one confusion agg, margins via
+    // full outer join over the class universe, single snapped division
+    "q271_kappa" ->
+      """WITH cm AS (
+        |  SELECT lang AS actual,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS predicted,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT actual AS clazz, SUM(n) AS rt FROM cm GROUP BY 1),
+        |ct AS (SELECT predicted AS clazz, SUM(n) AS ct FROM cm GROUP BY 1),
+        |s AS (
+        |  SELECT SUM(CAST(COALESCE(rt, 0) * COALESCE(ct, 0) AS DECIMAL(38,0))) AS S
+        |  FROM rt FULL OUTER JOIN ct USING (clazz)),
+        |t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cm)
+        |SELECT
+        |  CASE WHEN CAST(n AS DECIMAL(38,0)) * n <> S THEN
+        |    FLOOR(CAST(CAST(n AS DECIMAL(38,0)) * diag - S AS DOUBLE) /
+        |          CAST(CAST(n AS DECIMAL(38,0)) * n - S AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  END AS kappa,
+        |  FLOOR(CAST(diag AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS p_o,
+        |  FLOOR(CAST(S AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS p_e,
+        |  n
+        |FROM t, s""".stripMargin,
+
+    "q272_diversity" ->
+      """WITH c AS (
+        |  SELECT source, lang AS cat, COUNT(*) AS ni
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(ni) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |  FLOOR((1 - CAST(SUM(CAST(ni * ni AS DECIMAL(38,0))) AS DOUBLE) /
+        |    CAST(CAST(SUM(ni) AS DECIMAL(38,0)) * CAST(SUM(ni) AS DECIMAL(38,0))
+        |      AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q267_auc_by_lang" ->
       """WITH s AS (

@@ -389,6 +389,46 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("cohensKappa: textbook 2x2 table, perfect agreement 1, constant labeler NULL") {
+    // classic worked example: a=20 yes/yes, b=5 yes/no, c=10 no/yes, d=15 no/no
+    // p_o = 35/50 = 0.7; p_e = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.toDF("a", "p")
+    val r = Classifier.cohensKappa(df, "a", "p")
+      .as[(Option[Double], Double, Double, Long)].head()
+    assert(r === ((Some(0.4), 0.7, 0.5, 50L)))
+    // perfect agreement
+    val perfect = Classifier.cohensKappa(
+      Seq(("x", "x"), ("y", "y")).toDF("a", "p"), "a", "p")
+      .as[(Option[Double], Double, Double, Long)].head()
+    assert(perfect._1 === Some(1.0))
+    // both sides constant -> p_e = 1 -> undefined, NULL not 0
+    val degen = Classifier.cohensKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "p"), "a", "p")
+      .as[(Option[Double], Double, Double, Long)].head()
+    assert(degen._1 === None && degen._2 === 1.0 && degen._3 === 1.0)
+  }
+
+  test("giniSimpson: hand-derived index, NULL category counts, uniform maximizes") {
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", null),
+      ("s2", "en"), ("s2", "de"), ("s2", "fr"), ("s2", "zh")
+    ).toDF("src", "lang")
+    val out = Sketches.giniSimpson(df, Seq("src"), "lang")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // s1: counts 2,1,1 over n=4 -> 1 - (4+1+1)/16 = 0.625
+    assert(out("s1") === ((4L, 3L, 0.625)))
+    // s2: uniform 4 singletons -> 1 - 4/16 = 0.75 (max for 4 cats)
+    assert(out("s2") === ((4L, 4L, 0.75)))
+    // all-NULL column is maximally UNdiverse: gini 0, one category
+    val allNull = Sketches.giniSimpson(
+      Seq(("s", null: String), ("s", null: String)).toDF("src", "lang"),
+      Seq("src"), "lang").as[(String, Long, Long, Double)].head()
+    assert(allNull === (("s", 2L, 1L, 0.0)))
+  }
+
   test("topTermsPerGroupSalted returns exactly topTermsPerGroup's rows") {
     val docs = (1 to 120).map { i =>
       (i.toLong, if (i % 3 == 0) "aa" else "bb",
