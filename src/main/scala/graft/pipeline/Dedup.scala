@@ -1364,4 +1364,43 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist")).distinct()
   }
+
+  /** Sorted-neighborhood blocking (Hernández/Stolfo 1995 — the OTHER
+    * classic record-linkage candidate scheme next to key blocking): sort
+    * the corpus by a blocking key and pair every record with the `window-1`
+    * records that FOLLOW it in the order. Where deletion/LSH blocking
+    * needs a similarity structure on the key, SNM only needs an ORDER —
+    * near-duplicates with slightly different keys (typo'd names, close
+    * lengths, adjacent timestamps) still land within the window.
+    *
+    * Scale shape: the global order comes from [[graft.ops.Ranking.globalRank]]
+    * (range-partition + per-range offsets — NO corpus-wide window), and the
+    * windowed pairing is an equi-join on rank blocks of size `window-1`:
+    * a row joins only its own block and the next (each row ships exactly
+    * twice), so a window meets in a keyed join, never a cross product or a
+    * self-join on an inequality. Output is exactly
+    * { (a, b) : 0 < rank(b) − rank(a) < window } — every record pairs with
+    * its following w−1 neighbors, ~n·(window−1) rows total.
+    *
+    * Determinism: ties on `keyCol` are broken by `idCol` (must be unique).
+    * Output: (id_a, id_b, key_a, key_b) with rank(a) < rank(b).
+    */
+  def sortedNeighborPairs(df: DataFrame, keyCol: String, idCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2, s"sortedNeighborPairs: window must be >= 2, got $window")
+    val b = window - 1L // neighbor distance 1..window-1
+    val ranked = graft.ops.Ranking.globalRank(
+      df.select(col(idCol), col(keyCol)), Seq(keyCol, idCol), "__r")
+    // a-side rows also probe the NEXT block: partners of rank r live in
+    // blocks floor(r/b) and floor(r/b)+1
+    val aSide = ranked.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
+        col("__r").as("__ra"),
+        explode(array(floor(col("__r") / b), floor(col("__r") / b) + 1))
+          .as("__blk"))
+    val bSide = ranked.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
+      col("__r").as("__rb"), floor(col("__r") / b).as("__blk"))
+    aSide.join(bSide, Seq("__blk"))
+      .filter(col("__rb") - col("__ra") >= 1 && col("__rb") - col("__ra") <= b)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
 }

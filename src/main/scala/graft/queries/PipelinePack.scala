@@ -403,6 +403,26 @@ object PipelinePack extends QueryPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // global ordinal rank WITHOUT a corpus-wide window (range-partition +
+    // per-range offsets; the oracle is the single-reducer ROW_NUMBER the
+    // operator exists to avoid)
+    "q273_global_rank" -> ((s, d) => {
+      graft.ops.Ranking.globalRank(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("n_chars", "doc_id"), "rank")
+        .orderBy(col("rank"))
+    }),
+
+    // sorted-neighborhood blocking over the length order: every doc pairs
+    // with the 3 docs that follow it in (n_chars, doc_id) order — the
+    // oracle re-derives the pairs from a ROW_NUMBER band self-join
+    "q274_snm_pairs" -> ((s, d) => {
+      Dedup.sortedNeighborPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", window = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // exact phrase occurrence counts (the query bag-of-words BM25 cannot
     // answer): sliding-window compare over each doc's token array — one
     // stateless codegen projection, mirrored as DuckDB list algebra
@@ -1966,6 +1986,24 @@ object PipelinePack extends QueryPack {
           |FROM t a JOIN t b
           |  ON a.term < b.term AND levenshtein(a.term, b.term) <= 1
           |ORDER BY a, b""".stripMargin,
+
+      // the single-reducer window the operator avoids IS the ground truth
+      "q273_global_rank" ->
+        """SELECT doc_id, n_chars,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+          |    AS rank
+          |FROM documents ORDER BY rank""".stripMargin,
+
+      // pairs at rank distance 1..3 under the (n_chars, doc_id) order
+      "q274_snm_pairs" ->
+        """WITH r AS (
+          |  SELECT doc_id, n_chars,
+          |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+          |  FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  a.n_chars AS key_a, b.n_chars AS key_b
+          |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // raw + canonical URL pairs rebuilt from doc_id arithmetic — the
       // independent ground truth for the whole canonicalization chain
