@@ -65,6 +65,8 @@ object GraftFunctions {
     ("graft_canonical_url", 1,
       (a: Seq[Column]) => TextAnalysis.canonicalUrl(a(0))),
     ("graft_nfc", 1, (a: Seq[Column]) => TextAnalysis.nfcNormalize(a(0))),
+    ("graft_jaro_winkler", 2,
+      (a: Seq[Column]) => TextAnalysis.jaroWinklerCol(a(0), a(1))),
     ("graft_cosine", 2, (a: Seq[Column]) => Similarity.cosineCol(a(0), a(1)))
   )
 

@@ -47,6 +47,24 @@ object TextAnalysis {
       StringType, "nfc", Seq(text), Seq(StringType), returnNullable = false)
   }
 
+  /** Jaro-Winkler similarity as a codegen'd `StaticInvoke` of
+    * [[TextKernel.jaroWinkler]] (never a UDF): the record-linkage string
+    * score for the entity-resolution surface — transposition-tolerant and
+    * prefix-boosted where `levenshtein` counts raw edits. Pairs with
+    * [[Dedup.editDistancePairs]] / [[Dedup.sortedNeighborPairs]] as the
+    * REFINE step after blocking. NULL on either side propagates NULL.
+    * Conventions (empty → 0, boost iff jaro > 0.7) match DuckDB /
+    * RapidFuzz — the q275 gate compares against DuckDB's native
+    * `jaro_winkler_similarity` bit-for-bit after 1e-6 snapping.
+    */
+  def jaroWinklerCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(Class.forName("graft.pipeline.TextKernel"),
+      DoubleType, "jaroWinkler", Seq(a, b), Seq(StringType, StringType),
+      returnNullable = false)
+  }
+
   /** 6-decimal rounding as pure IEEE arithmetic (`floor(x*1e6 + 0.5)/1e6`)
     * — bit-identical on every engine that evaluates the same double ops,
     * unlike engine-native `round`, whose half-way decisions differ between

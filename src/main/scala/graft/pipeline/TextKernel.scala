@@ -388,4 +388,60 @@ object TextKernel {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Jaro-Winkler similarity (Winkler 1990) — the record-linkage string
+    * score `levenshtein` can't replace: transposition-tolerant, short-
+    * string-calibrated, prefix-boosted (names, usernames, addresses).
+    * Textbook Jaro: match window = max(len)/2 − 1, greedy left-to-right
+    * matching, transpositions = half the out-of-order matches,
+    * jaro = (m/|a| + m/|b| + (m−t)/m) / 3; Winkler boost
+    * jaro + ℓ·0.1·(1−jaro) with ℓ = common prefix ≤ 4, applied only when
+    * jaro > 0.7 (the RapidFuzz/DuckDB convention, which also returns 0
+    * when either string is empty — some libraries return 1 for two
+    * empties; the q275 gate pins the DuckDB convention). Compares UTF-16
+    * units: identical to codepoint comparison on BMP text; supplementary-
+    * plane text counts surrogate pairs as two units.
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString; val t = b.toString
+    val la = s.length; val lb = t.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val sMatch = new Array[Boolean](la)
+    val tMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true; tMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0; var trans = 0
+    i = 0
+    while (i < la) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - trans / 2) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val lmax = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < lmax && s.charAt(l) == t.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
 }

@@ -403,6 +403,23 @@ object PipelinePack extends QueryPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Jaro-Winkler as a codegen StaticInvoke (never a UDF) vs DuckDB's
+    // NATIVE jaro_winkler_similarity — an independent implementation of
+    // the same public definition; high-sim pairs exercise the prefix
+    // boost, name-vs-segment pairs the unboosted (<= 0.7) branch
+    "q275_jaro_winkler" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val near = c.as("x")
+        .join(c.as("y"), col("y.c_custkey") === col("x.c_custkey") + 1)
+        .select(col("x.c_custkey").as("id"), lit("near").as("kind"),
+          TextAnalysis.round6(TextAnalysis.jaroWinklerCol(
+            col("x.c_name"), col("y.c_name"))).as("jw"))
+      val far = c.select(col("c_custkey").as("id"), lit("far").as("kind"),
+        TextAnalysis.round6(TextAnalysis.jaroWinklerCol(
+          col("c_name"), col("c_mktsegment"))).as("jw"))
+      near.unionByName(far).orderBy(col("kind"), col("id"))
+    }),
+
     // global ordinal rank WITHOUT a corpus-wide window (range-partition +
     // per-range offsets; the oracle is the single-reducer ROW_NUMBER the
     // operator exists to avoid)
@@ -1986,6 +2003,21 @@ object PipelinePack extends QueryPack {
           |FROM t a JOIN t b
           |  ON a.term < b.term AND levenshtein(a.term, b.term) <= 1
           |ORDER BY a, b""".stripMargin,
+
+      // DuckDB's native implementation is the ground truth
+      "q275_jaro_winkler" ->
+        """WITH near AS (
+          |  SELECT x.c_custkey AS id, 'near' AS kind,
+          |    FLOOR(jaro_winkler_similarity(x.c_name, y.c_name) * 1e6 + 0.5)
+          |      / 1e6 AS jw
+          |  FROM customer x JOIN customer y ON y.c_custkey = x.c_custkey + 1),
+          |far AS (
+          |  SELECT c_custkey AS id, 'far' AS kind,
+          |    FLOOR(jaro_winkler_similarity(c_name, c_mktsegment) * 1e6 + 0.5)
+          |      / 1e6 AS jw
+          |  FROM customer)
+          |SELECT * FROM near UNION ALL SELECT * FROM far
+          |ORDER BY kind, id""".stripMargin,
 
       // the single-reducer window the operator avoids IS the ground truth
       "q273_global_rank" ->

@@ -63,6 +63,32 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("graft_jaro_winkler: textbook values, conventions, NULL propagation") {
+    val r = sql.sql(
+      """SELECT graft_jaro_winkler('martha', 'marhta') AS a,
+        |       graft_jaro_winkler('dixon', 'dicksonx') AS b,
+        |       graft_jaro_winkler('jellyfish', 'smellyfish') AS c,
+        |       graft_jaro_winkler('abc', 'abc') AS same,
+        |       graft_jaro_winkler('', 'abc') AS empty,
+        |       graft_jaro_winkler('', '') AS both_empty,
+        |       graft_jaro_winkler('xyz', 'abc') AS disjoint,
+        |       graft_jaro_winkler(CAST(NULL AS STRING), 'abc') AS nul""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(r.getDouble(1) - 0.8133333333333332) < 1e-15)
+    // prefix l=0: boost is a no-op, jw == jaro
+    assert(math.abs(r.getDouble(2) - 0.8962962962962964) < 1e-15)
+    assert(r.getDouble(3) === 1.0)
+    // DuckDB/RapidFuzz conventions: any empty side -> 0 (incl. both)
+    assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
+    assert(r.getDouble(6) === 0.0) // no matches
+    assert(r.isNullAt(7))
+    // boost applies only above jaro 0.7: shared 4-char prefix, low jaro
+    val low = sql.sql(
+      "SELECT graft_jaro_winkler('abcdxxxxxx', 'abcdyyyyyyyyyyyy') AS j").head()
+    assert(math.abs(low.getDouble(0) - 0.5499999999999999) < 1e-15)
+  }
+
   test("wrong arity fails analysis loudly") {
     val e = intercept[Exception](sql.sql("SELECT st_area()").collect())
     assert(e.getMessage.contains("st_area expects 1 arguments"))
