@@ -251,6 +251,68 @@ object Similarity {
         col("__best")("__d").as("dist2"))
   }
 
+  /** SIMPLIFIED SILHOUETTE (Hruschka et al. 2004) — the clustering-quality
+    * score for a centroid model ([[kmeansTrain]], [[ivfAssign]]'s cells,
+    * [[graft.pipeline.Sampling]]'s cluster-balanced cells): per point,
+    * a = distance to its own (nearest) centroid, b = distance to the
+    * second-nearest, s = (b − a) / max(a, b) ∈ [0, 1] here (a is the min
+    * by construction — the centroid form never goes negative); near-0
+    * means the point sits on a cell boundary (ambiguous cell, bad k),
+    * near-1 means tight cells. The full silhouette needs all pairwise
+    * point distances (quadratic — impossible at corpus scale); the
+    * simplified form is its standard centroid-model estimator.
+    *
+    * Scale shape: centroids are collected to a driver literal (k × dims
+    * doubles — the same O(model) handoff as [[kmeansTrain]]'s codebook),
+    * so the whole per-point computation is ONE stateless codegen
+    * projection (transform over the centroid literal + array_sort, no
+    * join, no corpus × k shuffle), followed by one keyed per-cluster
+    * aggregation. Distance folds run in index order (zip_with +
+    * left-to-right aggregate — the q54 mirror convention); the IEEE sqrt
+    * is correctly rounded, per-point s snaps to the 1e-6 grid, cluster
+    * means are exact DECIMAL sums of snapped values with one final
+    * snapped division.
+    * Output: (cluster_id, n, mean_sil), one row per non-empty cell.
+    */
+  def simplifiedSilhouette(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cents = centroids
+      .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    require(cents.size >= 2,
+      s"simplifiedSilhouette: need >= 2 centroids, got ${cents.size}")
+    val dim = cents.head._2.size
+    require(cents.forall(_._2.size == dim),
+      "simplifiedSilhouette: centroid width mismatch")
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(typedLit(v).as("vec"), lit(cid).as("cid"))
+    }: _*)
+    // (d, cid) struct sort = the (dist, id) tiebreak every ranked mirror uses
+    val ds = sort_array(transform(centArr, c =>
+      struct(sqrt(aggregate(
+        zip_with(col("__v"), c("vec"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, t) => s + t)).as("d"), c("cid").as("cid"))))
+    val perPoint = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .filter(sameWidth(col("__v"), typedLit(cents.head._2), "simplifiedSilhouette"))
+      .withColumn("__ds", ds)
+      .select(col(idCol),
+        col("__ds")(0)("cid").as("cluster_id"),
+        col("__ds")(0)("d").as("__a"),
+        col("__ds")(1)("d").as("__b"))
+    val sil = perPoint.withColumn("__s",
+      when(greatest(col("__a"), col("__b")) > 0,
+        TextAnalysis.round6(
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b"))))
+        .otherwise(lit(0.0)))
+    sil.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        TextAnalysis.round6(
+          sum(col("__s").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("mean_sil"))
+  }
+
   /** Lloyd's k-means over the embedding column — trains the coarse
     * quantizer [[ivfAssign]]/[[ivfTopK]] probe (the reference's ANN story
     * stops at brute force; a 100 TB corpus needs a trained IVF index).

@@ -1066,6 +1066,17 @@ object PipelinePack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // clustering-quality audit: simplified silhouette against the q54
+    // centroid set — centroids collapse to a driver literal, the whole
+    // per-point score is one codegen projection (no corpus x k shuffle)
+    "q276_silhouette" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val cents = corpus.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.simplifiedSilhouette(corpus, cents)
+        .orderBy(col("cluster_id"))
+    }),
+
     // multimodal: batch "decode" of binary payloads (stubbed codec,
     // real schema/batching)
     "q48_multimodal_decode" -> ((s, d) => {
@@ -2622,6 +2633,34 @@ object PipelinePack extends QueryPack {
           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
           |  FROM scored)
           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // full two-nearest-centroid algebra re-derived via a rank self-join
+      "q276_silhouette" ->
+        """WITH cent AS (
+          |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 100 = 1),
+          |scored AS (
+          |  SELECT e.vec_id, c.cid,
+          |    sqrt(list_sum(list_transform(range(0, 64), i ->
+          |      (CAST(e.embedding[i + 1] AS DOUBLE) - CAST(c.embedding[i + 1] AS DOUBLE)) *
+          |      (CAST(e.embedding[i + 1] AS DOUBLE) - CAST(c.embedding[i + 1] AS DOUBLE))))) AS d
+          |  FROM embeddings e, cent c),
+          |r AS (
+          |  SELECT vec_id, cid, d,
+          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |  FROM scored),
+          |pt AS (
+          |  SELECT a.vec_id, a.cid, a.d AS da, b.d AS db
+          |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND b.rn = 2
+          |  WHERE a.rn = 1),
+          |sil AS (
+          |  SELECT cid, CASE WHEN GREATEST(da, db) > 0
+          |    THEN FLOOR((db - da) / GREATEST(da, db) * 1e6 + 0.5) / 1e6
+          |    ELSE 0.0 END AS s
+          |  FROM pt)
+          |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+          |  FLOOR(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+          |    * 1e6 + 0.5) / 1e6 AS mean_sil
+          |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // the fixture pattern: gray(x, y) = (x + 3y) % 256 over a
       // width x height grid with width = id % 48 + 16, height = (id/7) % 48
       // + 16 (see Multimodal.fixtureDims/syntheticPng) — the oracle

@@ -583,6 +583,31 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("simplifiedSilhouette: hand geometry, boundary point scores 0, guards fire") {
+    // centroids at x=0 and x=10; points at 1 (tight to c0), 9 (tight to
+    // c1), and 5 (exactly on the boundary)
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(9.0f, 0.0f)),
+      (3L, Seq(5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 0.0f)))
+      .toDF("centroid_id", "embedding")
+    val out = Similarity.simplifiedSilhouette(corpus, cents)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // point 1: a=1, b=9 -> s=8/9=0.888889; point 5: a=b=5 -> s=0
+    // cluster 0 holds points 1 and 5 (tie at 5 breaks to lower cid)
+    assert(out(0L) === ((2L, 0.444445)))  // mean of 0.888889 and 0
+    assert(out(1L) === ((1L, 0.888889)))
+    intercept[IllegalArgumentException] { // < 2 centroids is undefined
+      Similarity.simplifiedSilhouette(corpus, cents.limit(1))
+    }
+    val e = intercept[Exception] {
+      Similarity.simplifiedSilhouette(
+        Seq((9L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding"),
+        cents).collect()
+    }
+    assert(e.toString.contains("width mismatch") ||
+      Option(e.getCause).exists(_.toString.contains("width mismatch")))
+  }
+
   test("vector ops refuse mismatched widths loudly (no silent null-pad)") {
     val corpus = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
