@@ -979,6 +979,61 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Per-domain boilerplate paragraph removal (the RefinedWeb/CCNet line
+    * filter, FREQUENCY form — the complement of [[paragraphDedup]]'s
+    * first-occurrence rule): a paragraph appearing in at least `threshold`
+    * of a DOMAIN's documents is template chrome (nav, cookie banners,
+    * footers) and is stripped from EVERY document of that domain —
+    * including the first; a genuinely shared quote across a few docs
+    * survives. Remaining paragraphs reassemble in document order; docs
+    * that were all boilerplate come back with empty `clean_text`.
+    *
+    * The threshold compare is exact integer arithmetic
+    * (n_docs·10⁶ ≥ round(threshold·10⁶)·domain_total — no float ratio),
+    * so verdicts reproduce on any engine. Shape at scale: paragraphs
+    * shuffle by (domain, md5) for the document-frequency count, the
+    * boilerplate key set (tiny by definition) anti-joins back, one
+    * per-doc group reassembles — all keyed, no window over the corpus;
+    * a domain costs its own paragraph count.
+    *
+    * Domains with fewer than `minDomainDocs` documents are left UNTOUCHED:
+    * in a 1-doc domain every unique paragraph is "100% of the domain" and
+    * the frequency rule would erase the document — the degenerate case the
+    * production pipelines guard with a crawl-size floor.
+    */
+  def domainBoilerplateStrip(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.5, sep: String = "\n",
+      minDomainDocs: Long = 2L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"domainBoilerplateStrip: threshold must be in (0, 1], got $threshold")
+    require(minDomainDocs >= 1,
+      s"domainBoilerplateStrip: minDomainDocs must be >= 1, got $minDomainDocs")
+    val thr = math.floor(threshold * 1e6 + 0.5).toLong
+    val paras = docs
+      .select(col(idCol), col(domainCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "__p")))
+      .withColumn("__p", trim(col("__p")))
+      .filter(length(col("__p")) > 0)
+      .withColumn("__h", md5(col("__p")))
+    val domTotals = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__total"))
+    val docFreq = paras.select(col(domainCol), col(idCol), col("__h")).distinct()
+      .groupBy(col(domainCol), col("__h")).agg(count(lit(1)).as("__nd"))
+    val boiler = docFreq.join(domTotals, Seq(domainCol))
+      .filter(col("__total") >= minDomainDocs &&
+        col("__nd") * lit(1000000L) >= lit(thr) * col("__total"))
+      .select(col(domainCol), col("__h"))
+    val kept = paras.join(boiler, Seq(domainCol, "__h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__p")))).as("__ps"))
+      .select(col(idCol),
+        array_join(transform(col("__ps"), x => x.getField("__p")), sep)
+          .as("clean_text"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact duplicated-substring spans (the distributed form of
     * suffix-array substring dedup — Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): every k-token window

@@ -1343,6 +1343,22 @@ object PipelinePack extends QueryPack {
       Dedup.paragraphDedup(docs).orderBy(col("doc_id"))
     }),
 
+    // per-domain boilerplate strip (frequency rule, vs q99's
+    // first-occurrence rule): the injected per-source PROMO header (100%
+    // of the domain) is stripped everywhere, the 50% FOOTER and unique
+    // body paragraphs survive the 0.6 threshold
+    "q277_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(lit("PROMO "), col("source"), lit("\n"), col("text"),
+          lit("\n"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("FOOTER "), col("source")))
+            .otherwise(concat(lit("rare line "), col("doc_id").cast("string"))))
+          .as("text"))
+      Dedup.domainBoilerplateStrip(docs, threshold = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
     // fixed-size token chunking with overlap (context-window prep)
     "q102_chunk_documents" -> ((s, d) => {
       TextAnalysis.chunkDocuments(Tables.documentsSpread(s, d),
@@ -3093,6 +3109,32 @@ object PipelinePack extends QueryPack {
           |      FROM k WHERE rn = 1 GROUP BY 1)
           |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
           |FROM docs d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // same integer threshold algebra; DISTINCT doc counts on raw
+      // paragraph text (the md5 key is invisible to the oracle)
+      "q277_boilerplate" ->
+        """WITH docs AS (
+          |  SELECT doc_id, source,
+          |    'PROMO ' || source || chr(10) || text || chr(10) ||
+          |    CASE WHEN doc_id % 2 = 0 THEN 'FOOTER ' || source
+          |         ELSE 'rare line ' || CAST(doc_id AS VARCHAR) END AS text
+          |  FROM documents),
+          |p0 AS (
+          |  SELECT doc_id, source, unnest(list_transform(string_split(text, chr(10)),
+          |    (x, i) -> struct_pack(pos := i, p := trim(x)))) AS s
+          |  FROM docs),
+          |q AS (SELECT doc_id, source, s.pos AS pos, s.p AS p
+          |      FROM p0 WHERE length(s.p) > 0),
+          |tot AS (SELECT source, COUNT(*) AS total FROM docs GROUP BY 1),
+          |nd AS (SELECT source, p, COUNT(DISTINCT doc_id) AS n FROM q GROUP BY 1, 2),
+          |boiler AS (
+          |  SELECT source, p FROM nd JOIN tot USING (source)
+          |  WHERE total >= 2 AND n * 1000000 >= 600000 * total),
+          |kept AS (SELECT doc_id, pos, p FROM q ANTI JOIN boiler USING (source, p)),
+          |r AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS clean_text
+          |      FROM kept GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+          |FROM docs d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
       "q102_chunk_documents" ->
         """WITH t AS (
           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -243,6 +243,36 @@ class PipelineSpec extends SparkTestBase {
       (3L, "")))                           // nothing left
   }
 
+  test("domainBoilerplateStrip: frequency rule per domain, first occurrence goes too") {
+    val t = Seq(
+      (1L, "a", "nav bar\nbody one"),
+      (2L, "a", "nav bar\nbody two\nshared quote"),
+      (3L, "a", "nav bar\nshared quote"),
+      (4L, "a", "nav bar"),
+      (5L, "b", "nav bar\nbody five")).toDF("doc_id", "source", "text")
+    // domain a: 4 docs — "nav bar" in 4/4 (>= 0.75, stripped EVERYWHERE,
+    // including doc 1); "shared quote" in 2/4 (< 0.75, survives).
+    // domain b: 1 doc < minDomainDocs — untouched (the frequency rule
+    // would otherwise erase every 1-doc domain wholesale).
+    val got = Dedup.domainBoilerplateStrip(t, threshold = 0.75)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "body one"),
+      (2L, "body two\nshared quote"),
+      (3L, "shared quote"),
+      (4L, ""),
+      (5L, "nav bar\nbody five")))
+    // the threshold boundary is >= and exact: at 0.5 the 2/4 quote is
+    // boilerplate too (integer compare 2*10^6 >= 5*10^5 * 4 holds)
+    val tight = Dedup.domainBoilerplateStrip(t, threshold = 0.5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(tight == Seq((1L, "body one"), (2L, "body two"), (3L, ""),
+      (4L, ""), (5L, "nav bar\nbody five")))
+    intercept[IllegalArgumentException] {
+      Dedup.domainBoilerplateStrip(t, threshold = 0.0)
+    }
+  }
+
   test("chunking covers every token with the right overlap") {
     val t = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "  "), (3L, "solo"))
       .toDF("doc_id", "text")
