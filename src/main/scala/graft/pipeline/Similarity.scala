@@ -151,6 +151,73 @@ object Similarity {
       .filter(col(rankCol) <= k)
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE diversified re-rank (Carbonell/Goldstein
+    * 1998) — the selection stage that keeps a retrieved context set from
+    * being k copies of the same passage: greedily pick, per query,
+    * argmax over remaining candidates of
+    * `λ·rel − (1−λ)·max_{p ∈ picked} sim(c, p)`. λ=1 is plain relevance
+    * ranking; λ→0 maximizes diversity. Runs over any bounded per-query
+    * SHORTLIST ([[bruteForceTopK]], [[ivfPqSearch]], BM25, RRF-fused —
+    * the two-stage q233 pattern: cheap recall first, this re-ranks).
+    *
+    * Scale shape: k driver-side rounds, each ONE keyed join + per-query
+    * struct-min argmax (the Lloyd-iteration cadence — each round is
+    * materialized so lineage stays linear, not 2^k; internal caches are
+    * CacheScope-released after the caller's first action). Per round a
+    * query costs |shortlist|·|picked| snapped cosines — never the corpus.
+    * Determinism: rel is snapped on entry; each pairwise sim snaps before
+    * the max; the marginal snaps before the argmax; ties break on id.
+    * Output: (queryCol, idCol, rank ∈ 1..k, score = the winning marginal);
+    * a query with fewer than k candidates yields fewer rows.
+    */
+  def mmrSelect(candidates: DataFrame, k: Int, lambda: Double,
+      queryCol: String = "query_id", idCol: String = "vec_id",
+      relCol: String = "rel", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrSelect: lambda must be in [0, 1], got $lambda")
+    val cand = candidates.select(col(queryCol), col(idCol),
+        TextAnalysis.round6(col(relCol).cast("double")).as("__rel"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](cand)
+    var picked: DataFrame = null // (queryCol, idCol, __v, rank, score)
+    for (step <- 1 to k) {
+      val rem =
+        if (picked == null) cand
+        else cand.join(picked.select(col(queryCol), col(idCol)),
+          Seq(queryCol, idCol), "left_anti")
+      val scored =
+        if (picked == null) rem.withColumn("__ms", lit(0.0))
+        else {
+          val p = picked.select(col(queryCol), col("__v").as("__pv"))
+          val ms = rem.select(col(queryCol), col(idCol), col("__v"))
+            .join(p, Seq(queryCol))
+            .select(col(queryCol), col(idCol),
+              TextAnalysis.round6(cosineCol(col("__v"), col("__pv"))).as("__s"))
+            .groupBy(col(queryCol), col(idCol))
+            .agg(max(col("__s")).as("__ms"))
+          rem.join(ms, Seq(queryCol, idCol))
+        }
+      val pick = scored
+        .withColumn("__m", TextAnalysis.round6(
+          lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms")))
+        .groupBy(col(queryCol))
+        .agg(min(struct((-col("__m")).as("nm"), col(idCol).as("id"),
+          col("__v").as("v"), col("__m").as("m"))).as("__best"))
+        .select(col(queryCol), col("__best")("id").as(idCol),
+          col("__best")("v").as("__v"), lit(step).as("rank"),
+          col("__best")("m").as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pick.count() // materialize the round: linear lineage, like kmeansTrain
+      cached += pick
+      picked = if (picked == null) pick else picked.unionByName(pick)
+    }
+    val out = picked.select(col(queryCol), col(idCol), col("rank"), col("score"))
+    CacheScope.releaseAfterFirstUse(out, cached.toSeq)
+    out
+  }
+
   /** Deterministic pseudo-random hyperplane component: md5-seeded value in
     * [-0.5, 0.5) for (plane, dimension). Computed ON THE DRIVER — the weights
     * are row-independent constants, so hashing them per input row (the naive

@@ -1066,6 +1066,21 @@ object PipelinePack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // MMR diversified re-rank over the q46 brute-force shortlist: 3
+    // greedy rounds at lambda=0.5 (exactly representable — the mirror's
+    // 0.5 literal is the same double), every sim/marginal snapped
+    "q278_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val shortlist = Similarity.bruteForceTopK(emb, queries, k = 10)
+      val cand = shortlist.join(emb, Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("cosine").as("rel"),
+          col("embedding"))
+      Similarity.mmrSelect(cand, k = 3, lambda = 0.5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // clustering-quality audit: simplified silhouette against the q54
     // centroid set — centroids collapse to a driver literal, the whole
     // per-point score is one codegen projection (no corpus x k shuffle)
@@ -2649,6 +2664,60 @@ object PipelinePack extends QueryPack {
           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
           |  FROM scored)
           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // the 3 greedy MMR rounds unrolled as CTE levels: all pairwise
+      // candidate sims once, per-round snapped marginal + rank-1 pick
+      "q278_mmr_rerank" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+          |scored AS (
+          |  SELECT q.query_id, c.vec_id,
+          |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+          |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+          |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS rel
+          |  FROM q, embeddings c),
+          |cand AS (
+          |  SELECT query_id, vec_id, rel FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rnk
+          |    FROM scored) WHERE rnk <= 10),
+          |cv AS (SELECT cand.query_id, cand.vec_id, cand.rel, e.embedding
+          |       FROM cand JOIN embeddings e USING (vec_id)),
+          |sims AS (
+          |  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+          |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+          |      CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)))) /
+          |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS s
+          |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+          |m1 AS (SELECT query_id, vec_id, FLOOR((0.5 * rel) * 1e6 + 0.5) / 1e6 AS m FROM cv),
+          |p1 AS (SELECT query_id, vec_id, m FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY m DESC, vec_id) AS rn
+          |  FROM m1) WHERE rn = 1),
+          |m2 AS (
+          |  SELECT c.query_id, c.vec_id, FLOOR((0.5 * c.rel - 0.5 * s.s) * 1e6 + 0.5) / 1e6 AS m
+          |  FROM cv c
+          |  JOIN p1 ON c.query_id = p1.query_id AND c.vec_id <> p1.vec_id
+          |  JOIN sims s ON s.query_id = c.query_id AND s.ca = c.vec_id AND s.cb = p1.vec_id),
+          |p2 AS (SELECT query_id, vec_id, m FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY m DESC, vec_id) AS rn
+          |  FROM m2) WHERE rn = 1),
+          |pk AS (SELECT query_id, vec_id FROM p1 UNION ALL SELECT query_id, vec_id FROM p2),
+          |ms3 AS (
+          |  SELECT s.query_id, s.ca AS vec_id, MAX(s.s) AS ms
+          |  FROM sims s JOIN pk ON s.query_id = pk.query_id AND s.cb = pk.vec_id
+          |  GROUP BY 1, 2),
+          |m3 AS (
+          |  SELECT c.query_id, c.vec_id, FLOOR((0.5 * c.rel - 0.5 * ms3.ms) * 1e6 + 0.5) / 1e6 AS m
+          |  FROM cv c JOIN ms3 ON c.query_id = ms3.query_id AND c.vec_id = ms3.vec_id
+          |  WHERE NOT EXISTS (SELECT 1 FROM pk
+          |                    WHERE pk.query_id = c.query_id AND pk.vec_id = c.vec_id)),
+          |p3 AS (SELECT query_id, vec_id, m FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY m DESC, vec_id) AS rn
+          |  FROM m3) WHERE rn = 1)
+          |SELECT query_id, vec_id, CAST(1 AS INT) AS rank, m AS score FROM p1
+          |UNION ALL SELECT query_id, vec_id, CAST(2 AS INT), m FROM p2
+          |UNION ALL SELECT query_id, vec_id, CAST(3 AS INT), m FROM p3
+          |ORDER BY query_id, rank""".stripMargin,
+
       // full two-nearest-centroid algebra re-derived via a rank self-join
       "q276_silhouette" ->
         """WITH cent AS (

@@ -613,6 +613,34 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("mmrSelect diversifies: the near-duplicate runner-up loses to the orthogonal doc") {
+    // A (1,0) rel .9; B (1,.01) rel .89 — a near-copy of A; C (0,1) rel .5
+    val cand = Seq(
+      (7L, 1L, 0.9, Seq(1.0f, 0.0f)),
+      (7L, 2L, 0.89, Seq(1.0f, 0.01f)),
+      (7L, 3L, 0.5, Seq(0.0f, 1.0f))
+    ).toDF("query_id", "vec_id", "rel", "embedding")
+    val got = Similarity.mmrSelect(cand, k = 3, lambda = 0.5)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect().toSeq
+    // rank 1 = A (top rel); rank 2 = C (B's marginal goes negative against
+    // its near-copy A); rank 3 = B
+    assert(got.map(r => (r._2, r._3)) === Seq((1L, 1), (3L, 2), (2L, 3)))
+    assert(got.head._4 === 0.45) // 0.5 * 0.9 snapped
+    assert(got(2)._4 < 0.0, "the near-copy's marginal must be negative")
+    // lambda = 1 is plain relevance order
+    val plain = Similarity.mmrSelect(cand, k = 3, lambda = 1.0)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect().toSeq
+    assert(plain.map(_._2) === Seq(1L, 2L, 3L))
+    // k beyond the shortlist yields only |shortlist| rows; bad args refuse
+    assert(Similarity.mmrSelect(cand, k = 5, lambda = 0.5).count() === 3)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cand, k = 0, lambda = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cand, k = 1, lambda = 1.5)
+    }
+  }
+
   test("simplifiedSilhouette: hand geometry, boundary point scores 0, guards fire") {
     // centroids at x=0 and x=10; points at 1 (tight to c0), 9 (tight to
     // c1), and 5 (exactly on the boundary)
