@@ -265,6 +265,14 @@ object CorpusPack extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // time-decayed counts as of 2024-01-31, 24h half-life: every weight
+    // a dyadic rational, the sum exact integers, ONE power-of-two divide
+    "q279_decayed_counts" -> ((s, d) => {
+      EventStream.decayedCounts(Tables.eventsWithTs(s, d),
+        asOfNs = 1706659200000000000L, halflifeNs = 86400000000000L)
+        .orderBy(col("event_type"))
+    }),
+
     // top-10 length-3 behavioral paths (one keyed sequence aggregation,
     // codegen n-gram transform, TakeOrdered top-k)
     "q269_event_paths" -> ((s, d) => {
@@ -992,6 +1000,22 @@ object CorpusPack extends QueryPack {
           |  FLOOR(CAST(pr.n AS DOUBLE) / t.tot * 1e6 + 0.5) / 1e6 AS p
           |FROM pr JOIN t USING (from_type)
           |ORDER BY from_type, to_type""".stripMargin,
+
+      "q279_decayed_counts" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |    (1706659200000000000 - epoch_ns(ts)) // 86400000000000 AS b
+          |  FROM events WHERE epoch_ns(ts) <= 1706659200000000000),
+          |w AS (
+          |  SELECT event_type,
+          |    CASE WHEN b <= 62
+          |      THEN CAST((1::BIGINT << CAST(62 - b AS INT)) AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END AS t
+          |  FROM e)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |  FLOOR(CAST(SUM(t) AS DOUBLE) / 4611686018427387904.0 * 1e6 + 0.5)
+          |    / 1e6 AS decayed_count
+          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q269_event_paths" ->
         """WITH s AS (

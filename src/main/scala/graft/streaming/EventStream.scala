@@ -621,6 +621,40 @@ object EventStream {
     * one row per user who completed step 1, with `step{i}_us` micro-epoch
     * columns (NULL once the funnel breaks).
     */
+  /** TIME-DECAYED counts per key — the recency-weighted frequency behind
+    * trending-topic / hot-domain / activity-score features: each event
+    * contributes 2^(−age/halflife) with the age bucketed to INTEGER
+    * half-lives. The integer bucketing is what makes the statistic
+    * ENGINE-EXACT where exponential decay normally isn't portable
+    * (`pow`/`exp` are not correctly rounded): every weight is a dyadic
+    * rational, so the sum is computed EXACTLY as Σ 2^(62−b) in
+    * DECIMAL(38,0) integers (b > 62 contributes 0 — under 2⁻⁶² an event
+    * is gone at any realistic count) and the single final division by 2⁶²
+    * is an exact power-of-two scale; one snap at the end. One keyed
+    * aggregation with map-side partials. Events after `asOfNs` drop
+    * (a decayed count is always "as of" a moment; future events have no
+    * defined age). Expects [[graft.Tables.eventsWithTs]]'s ns-LONG `ts`.
+    * Output: (keyCol, n, decayed_count).
+    */
+  def decayedCounts(events: DataFrame, asOfNs: Long, halflifeNs: Long,
+      keyCol: String = "event_type"): DataFrame = {
+    require(halflifeNs > 0, s"decayedCounts: halflife must be > 0, got $halflifeNs")
+    val b = org.apache.spark.sql.graftbridge.Bridge
+      .integralDivide(lit(asOfNs) - col("ts"), lit(halflifeNs))
+    events
+      .filter(col("ts") <= asOfNs)
+      .withColumn("__b", b)
+      .withColumn("__t",
+        when(col("__b") <= 62,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - __b AS INT))"))
+          .otherwise(lit(0L)).cast("decimal(38,0)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("__t")).cast("double") / lit(math.pow(2.0, 62)))
+          .as("decayed_count"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
     val us = org.apache.spark.sql.graftbridge.Bridge

@@ -200,6 +200,26 @@ class EventStreamSpec extends SparkTestBase {
     assert(live.toSeq === oneShot.toSeq && live.length === 25)
   }
 
+  test("decayedCounts: dyadic weights sum exactly; deep past and future drop") {
+    import spark.implicits._
+    val hl = 100L // ns half-life for the toy
+    // ages 0, 1, 2 half-lives -> 1 + 0.5 + 0.25; age 150 -> bucket 1 (0.5);
+    // one event 70 half-lives old -> weight 0 but still counted;
+    // one FUTURE event -> dropped entirely
+    val ev = Seq(
+      (1L, 1000L, "a"), (2L, 900L, "a"), (3L, 800L, "a"), (4L, 850L, "a"),
+      (5L, 1000L - 70L * hl, "a"),
+      (6L, 2000L, "a"),
+      (7L, 1000L, "b")).toDF("event_id", "ts", "event_type")
+    val out = EventStream.decayedCounts(ev, asOfNs = 1000L, halflifeNs = hl)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") === ((5L, 2.25)))  // 1 + .5 + .25 + .5 + 0
+    assert(out("b") === ((1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      EventStream.decayedCounts(ev, asOfNs = 1000L, halflifeNs = 0L)
+    }
+  }
+
   test("eventTransitions: hand-derived counts; per-from probabilities sum to 1") {
     import spark.implicits._
     // user 1: a->b->a ; user 2: a->b ; ties impossible (distinct ts)
