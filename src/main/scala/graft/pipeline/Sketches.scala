@@ -308,6 +308,59 @@ object Sketches {
         (if (groupCols.isEmpty) Seq("__g") else Nil)): _*)
   }
 
+  /** QUANTILE NORMALIZATION across groups — map each group's value
+    * distribution onto the GLOBAL distribution (the batch-effect
+    * correction scores need before one global threshold: a source whose
+    * quality scorer runs hot would otherwise dominate every top-p cut;
+    * after normalization "top 10% of source A" and "top 10% of source B"
+    * sit at the same value). v → global inverse-CDF(per-group CDF(v)),
+    * both CDFs histogram estimates with error ≤ one bin's mass.
+    *
+    * Shape at scale: the per-group percentile is [[percentileRank]]
+    * (groupCols form — cum walks bounded by `bins`, never a corpus
+    * window); the global inverse CDF collapses to a DRIVER LITERAL lookup
+    * table of ≤ `bins` (prevProb, cumProb, upperEdge] rows (the winsorize
+    * precedent: an O(bins) planning handoff), so the lookup itself is a
+    * stateless codegen `filter(lut, p ∈ (prev, cum])[0]` projection — no
+    * range join, no broadcast nested loop. All probabilities and edges
+    * snap to the 1e-6 grid with the same IEEE expressions on both
+    * engines. Empty bins make empty (prev, cum] intervals — unmatchable,
+    * so each pct lands in exactly one bin.
+    * Output: input columns + `pct` (within-group percentile) +
+    * `<valueCol>_qn` (the global-scale normalized value).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int = 256): DataFrame = {
+    require(bins >= 2, s"quantileNormalize: need >= 2 bins, got $bins")
+    val ranked = percentileRank(df, valueCol, bins, Seq(groupCol))
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+    val st = base.agg(min(v), max(v), count(v)).collect()(0)
+    require(!st.isNullAt(0), "quantileNormalize: no non-null values")
+    val (glo, ghi, gn) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
+    val binOf =
+      if (ghi > glo)
+        least(floor((v - glo) / ((ghi - glo) / bins)).cast("long"),
+          lit(bins.toLong - 1))
+      else lit(0L)
+    val counts = base.withColumn("__gb", binOf)
+      .groupBy(col("__gb")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var acc = 0L
+    val lut = counts.map { case (b, c) =>
+      val prev = acc; acc += c
+      (r6(prev.toDouble / gn), r6(acc.toDouble / gn),
+        r6(glo + (b + 1).toDouble * (ghi - glo) / bins))
+    }
+    val lutCol = array(lut.toSeq.map { case (p, c, e) =>
+      struct(lit(p).as("p"), lit(c).as("c"), lit(e).as("e"))
+    }: _*)
+    ranked.withColumn(s"${valueCol}_qn",
+      element_at(filter(lutCol,
+        s => col("pct") > s("p") && col("pct") <= s("c")), 1)("e"))
+  }
+
   /** WINSORIZATION — clamp a value column to its [pLo, pHi] sketch
     * quantiles (outlier capping before means/z-scores/feature scaling: a
     * handful of corrupt extremes otherwise own the moments; capping beats

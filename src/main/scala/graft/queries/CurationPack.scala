@@ -405,6 +405,19 @@ object CurationPack extends QueryPack {
         .orderBy(col("check"), col("column"))
     }),
 
+    // quantile normalization: per-source n_chars percentile mapped onto
+    // the global length distribution (64 bins both levels) — the oracle
+    // re-derives both CDFs and does the interval lookup as a range join
+    "q280_quantile_norm" -> ((s, d) => {
+      Sketches.quantileNormalize(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", bins = 64)
+        .select(col("doc_id"), col("source"), col("pct"),
+          col("n_chars_qn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // chance-corrected agreement between the gold lang label and a
     // noisy labeler (every 7th doc mislabeled): one corpus agg, then
     // exact integer algebra on the confusion matrix
@@ -802,6 +815,42 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q280_quantile_norm" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |gst AS (SELECT source, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+        |        FROM base GROUP BY 1),
+        |gb AS (
+        |  SELECT b.doc_id, b.source, b.v, s.n,
+        |    CASE WHEN s.hi > s.lo
+        |      THEN LEAST(CAST(FLOOR((b.v - s.lo) / ((s.hi - s.lo) / 64)) AS BIGINT), 63)
+        |      ELSE 0 END AS bin
+        |  FROM base b JOIN gst s USING (source)),
+        |gc AS (SELECT source, bin, COUNT(*) AS c FROM gb GROUP BY 1, 2),
+        |gc2 AS (SELECT source, bin,
+        |        SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum FROM gc),
+        |pct AS (
+        |  SELECT gb.doc_id, gb.source, FLOOR(g2.cum / gb.n * 1e6 + 0.5) / 1e6 AS pct
+        |  FROM gb JOIN gc2 g2 ON gb.source = g2.source AND gb.bin = g2.bin),
+        |gl AS (SELECT MIN(v) AS glo, MAX(v) AS ghi, COUNT(*) AS gn FROM base),
+        |bb AS (
+        |  SELECT v, CASE WHEN ghi > glo
+        |    THEN LEAST(CAST(FLOOR((v - glo) / ((ghi - glo) / 64)) AS BIGINT), 63)
+        |    ELSE 0 END AS gbin
+        |  FROM base, gl),
+        |bc AS (SELECT gbin, COUNT(*) AS c FROM bb GROUP BY 1),
+        |bc2 AS (SELECT gbin, c, SUM(c) OVER (ORDER BY gbin) AS cum FROM bc),
+        |lut AS (
+        |  SELECT gbin,
+        |    FLOOR((cum - c) / gn * 1e6 + 0.5) / 1e6 AS p,
+        |    FLOOR(cum / gn * 1e6 + 0.5) / 1e6 AS cm,
+        |    FLOOR((glo + (gbin + 1) * (ghi - glo) / 64) * 1e6 + 0.5) / 1e6 AS e
+        |  FROM bc2, gl)
+        |SELECT pct.doc_id, pct.source, pct.pct, l.e AS n_chars_qn
+        |FROM pct JOIN lut l ON pct.pct > l.p AND pct.pct <= l.cm
+        |ORDER BY doc_id""".stripMargin,
 
     // same exact-integer kappa algebra: one confusion agg, margins via
     // full outer join over the class universe, single snapped division

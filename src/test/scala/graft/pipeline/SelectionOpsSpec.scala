@@ -389,6 +389,30 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("quantileNormalize: rank-equal rows across shifted groups land on one value") {
+    // group a: 1..4, group b: 101..104 — same shape, shifted scale
+    val df = ((1 to 4).map(i => ("a", i.toLong)) ++
+      (1 to 4).map(i => ("b", 100L + i))).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val out = Sketches.quantileNormalize(df, "g", "v", bins = 8)
+      .select("g", "v", "pct", "v_qn")
+      .as[(String, Long, Double, Double)].collect()
+    val byGV = out.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // within-group percentiles are scale-free: i-th of 4 in both groups
+    (1 to 4).foreach { i =>
+      assert(byGV(("a", i.toLong)) === byGV(("b", 100L + i)),
+        s"rank-$i rows must normalize identically across groups")
+    }
+    // normalized values are monotone in within-group rank
+    val aVals = (1 to 4).map(i => byGV(("a", i.toLong))._2)
+    assert(aVals.zip(aVals.tail).forall { case (x, y) => x <= y })
+    // and live on the GLOBAL scale (top rank maps into the global top bin)
+    assert(aVals.last > 100.0, s"top of the global scale expected: $aVals")
+    intercept[IllegalArgumentException] {
+      Sketches.quantileNormalize(df, "g", "v", bins = 1)
+    }
+  }
+
   test("cohensKappa: textbook 2x2 table, perfect agreement 1, constant labeler NULL") {
     // classic worked example: a=20 yes/yes, b=5 yes/no, c=10 no/yes, d=15 no/no
     // p_o = 35/50 = 0.7; p_e = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
