@@ -71,6 +71,55 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Every vector's top-k neighbors among the OTHERS — the kNN-GRAPH
+    * builder (self-retrieval without the trivial self-hit). Brute-force
+    * like [[bruteForceTopK]]: the exact eval-side form; at corpus scale
+    * build the ranked frame from the at-rest index ([[VectorIndex]]) and
+    * feed it to [[mutualPairs]] instead.
+    * Output: (query_id, idCol, cosine, rank ∈ 1..k).
+    */
+  def selfTopK(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm2(col("__cv")))
+    val q = corpus.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm2(col("__qv")))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col(idCol))
+      .filter(sameWidth(col("__qv"), col("__cv"), "selfTopK"))
+      .withColumn("cosine", TextAnalysis.round6(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** MUTUAL-kNN pairs from ANY ranked neighbor frame — the symmetrized
+    * edge set SNN clustering and high-precision semantic dedup are built
+    * on: (a, b) survives only if b is in a's top-k AND a is in b's (the
+    * asymmetric hub problem — one popular vector in everyone's list —
+    * disappears, because the hub's own list is still only k long).
+    * Ranking-agnostic: feed [[selfTopK]], [[ivfPqSearch]],
+    * [[VectorIndex.searchIndex]] or BM25 output. One keyed self-join on
+    * the swapped pair, ≤ n·k rows a side, orientation deduped to a < b.
+    * Output: (id_a, id_b, rank_ab, rank_ba) with id_a < id_b.
+    */
+  def mutualPairs(ranked: DataFrame, queryIdCol: String = "query_id",
+      idCol: String = "vec_id", rankCol: String = "rank"): DataFrame = {
+    val a = ranked.select(col(queryIdCol).as("id_a"), col(idCol).as("id_b"),
+        col(rankCol).as("rank_ab"))
+      .filter(col("id_a") =!= col("id_b"))
+    val b = ranked.select(col(idCol).as("id_a"), col(queryIdCol).as("id_b"),
+        col(rankCol).as("rank_ba"))
+      .filter(col("id_a") =!= col("id_b"))
+    a.join(b, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"))
+  }
+
   /** HARD-NEGATIVE selection from any ranking frame — the contrastive /
     * retrieval-training sampler: the top results a retriever scored HIGH
     * but that are NOT labeled positives make the best training negatives.

@@ -1066,6 +1066,14 @@ object PipelinePack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // mutual-kNN pairs over a sampled universe: top-5-among-others both
+    // ways — the symmetrized edge set SNN clustering rides
+    "q281_mutual_knn" -> ((s, d) => {
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      Similarity.mutualPairs(Similarity.selfTopK(sub, k = 5))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MMR diversified re-rank over the q46 brute-force shortlist: 3
     // greedy rounds at lambda=0.5 (exactly representable — the mirror's
     // 0.5 literal is the same double), every sim/marginal snapped
@@ -2664,6 +2672,26 @@ object PipelinePack extends QueryPack {
           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
           |  FROM scored)
           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // both directions re-ranked independently, mutual = swapped self-join
+      "q281_mutual_knn" ->
+        """WITH u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+          |scored AS (
+          |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+          |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+          |      CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)))) /
+          |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+          |  FROM u a JOIN u b ON a.vec_id <> b.vec_id),
+          |r AS (
+          |  SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+          |  FROM scored),
+          |t AS (SELECT qid, nid, rnk FROM r WHERE rnk <= 5)
+          |SELECT a.qid AS id_a, a.nid AS id_b,
+          |  CAST(a.rnk AS INT) AS rank_ab, CAST(b.rnk AS INT) AS rank_ba
+          |FROM t a JOIN t b ON a.qid = b.nid AND a.nid = b.qid
+          |WHERE a.qid < a.nid ORDER BY id_a, id_b""".stripMargin,
+
       // the 3 greedy MMR rounds unrolled as CTE levels: all pairwise
       // candidate sims once, per-round snapped marginal + rank-1 pick
       "q278_mmr_rerank" ->

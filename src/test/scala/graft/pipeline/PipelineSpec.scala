@@ -613,6 +613,22 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("mutualPairs keeps only symmetric edges: the asymmetric hub drops out") {
+    // hand ranked frame with k=1: 1->2, 2->1 (mutual); 3->1 but 1's one
+    // slot is taken by 2, so (1,3) is one-directional and must drop
+    val ranked = Seq((1L, 2L, 1), (2L, 1L, 1), (3L, 1L, 1))
+      .toDF("query_id", "vec_id", "rank")
+    val got = Similarity.mutualPairs(ranked)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1, 1)))
+    // selfTopK never returns the self-hit and ranks among others
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val st = Similarity.selfTopK(corpus, k = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(st === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("mmrSelect diversifies: the near-duplicate runner-up loses to the orthogonal doc") {
     // A (1,0) rel .9; B (1,.01) rel .89 — a near-copy of A; C (0,1) rel .5
     val cand = Seq(
