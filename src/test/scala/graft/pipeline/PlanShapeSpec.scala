@@ -27,6 +27,29 @@ class PlanShapeSpec extends SparkTestBase {
     assertNoProduct(Dedup.cosinePairs(emb, threshold = 0.5))
   }
 
+  test("round-10 additions: SNM / mutualPairs / quantileNormalize / mmrSelect plan shapes") {
+    val docs = (1 to 40).map(i => (i.toLong, s"s${i % 3}", i.toLong * 7 % 100))
+      .toDF("doc_id", "source", "n_chars")
+    // sorted-neighborhood pairing is a rank-block equi-join, never an
+    // inequality self-join; its rank comes from the range-partition path
+    val snm = Dedup.sortedNeighborPairs(docs, "n_chars", "doc_id", window = 3)
+    assertNoProduct(snm)
+    assert(graft.tools.PlanLint.lint(snm).isEmpty,
+      s"SNM plan must be scale-safe: ${graft.tools.PlanLint.lint(snm)}")
+    // mutual-kNN filter is one keyed swapped self-join
+    val ranked = Seq((1L, 2L, 1), (2L, 1L, 1)).toDF("query_id", "vec_id", "rank")
+    assertNoProduct(Similarity.mutualPairs(ranked))
+    // quantile normalization's inverse CDF is a literal lookup — no range
+    // join, no broadcast nested loop anywhere
+    assertNoProduct(Sketches.quantileNormalize(docs, "source", "n_chars", bins = 8))
+    // each MMR round is keyed join + struct-min argmax (the only product
+    // is none at all; sims ride the query-keyed join)
+    val cand = (1 to 12).map(i => (i.toLong % 3, i.toLong,
+      (i % 7).toDouble / 10, Array.tabulate(4)(d => (i + d).toFloat)))
+      .toDF("query_id", "vec_id", "rel", "embedding")
+    assertNoProduct(Similarity.mmrSelect(cand, k = 2, lambda = 0.5))
+  }
+
   test("pageRank: edges only ever meet rank frames through equi-joins") {
     val edges = (1 to 50).map(i => (s"n${i % 10}", s"n${(i * 3) % 10}"))
       .toDF("src", "dst")
