@@ -343,6 +343,43 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** MULTI-PROBE LSH ANN (Lv et al. 2007): like [[lshTopK]] but each query
+    * also probes the `numPlanes` buckets at Hamming distance 1 from its
+    * own — the recall knob that does NOT cost another hash table or a
+    * bigger corpus shuffle. A vector near a hyperplane lands on either
+    * side with a coin-flip; flipping one sign bit reaches exactly those
+    * near-miss buckets. Only the QUERY side fans out (×(numPlanes+1) —
+    * queries are the small side by construction); the corpus keeps one
+    * bucket per row and the candidate gate stays a plain equi-join. The
+    * probe buckets are all distinct, so a (query, candidate) pair meets
+    * at most once — no post-join dedup.
+    * Output: (query_id, idCol, cosine, rank ∈ 1..k).
+    */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      dims: Int = MaxDims): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__bucket", lshBucket(col("__cv"), numPlanes, dims = dims))
+      .withColumn("__cn", norm2(col("__cv")))
+    val q = queries.select(col(queryIdCol),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__b0", lshBucket(col("__qv"), numPlanes, dims = dims))
+      .withColumn("__qn", norm2(col("__qv")))
+      .withColumn("__bucket", explode(array(
+        (0 until numPlanes).map(i => col("__b0").bitwiseXOR(lit(1 << i))) :+
+          col("__b0"): _*)))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(sameWidth(col("__qv"), col("__cv"), "lshMultiProbeTopK"))
+      .withColumn("cosine", TextAnalysis.round6(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, embedding)); ANN
     * probes only the closest cells. Returns corpus annotated with cell id.

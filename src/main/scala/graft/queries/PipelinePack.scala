@@ -1066,6 +1066,16 @@ object PipelinePack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // multi-probe LSH: the q47 frame with each query also probing its 8
+    // Hamming-1 buckets — the recall knob without another hash table
+    "q282_lsh_multiprobe" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshMultiProbeTopK(corpus, queries, k = 5, numPlanes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // mutual-kNN pairs over a sampled universe: top-5-among-others both
     // ways — the symmetrized edge set SNN clustering rides
     "q281_mutual_knn" -> ((s, d) => {
@@ -2519,6 +2529,29 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // q47's frame with the query side exploded to its 8 Hamming-1
+      // probe buckets (xor one plane bit) + its own
+      "q282_lsh_multiprobe" ->
+        s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q0 AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),
+           |q AS (
+           |  SELECT query_id, embedding,
+           |    unnest(list_append(list_transform(range(0, 8),
+           |      i -> xor(CAST(bucket AS BIGINT), CAST(1 << CAST(i AS INT) AS BIGINT))),
+           |      CAST(bucket AS BIGINT))) AS bucket
+           |  FROM q0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q JOIN c ON q.bucket = CAST(c.bucket AS BIGINT))
+           |SELECT query_id, vec_id, cosine, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
       // RRF fusion of the q47 LSH ranking and the q46 brute-force ranking:
       // per-ranker term 1/(rank+60) snapped to 1e-6, exact-decimal sum,
       // re-rank by fused score with id ties

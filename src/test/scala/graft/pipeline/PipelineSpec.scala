@@ -613,6 +613,28 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("lshMultiProbeTopK: candidate set is a strict superset of single-probe's") {
+    val corpus = (1 to 300).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.43 + d * 1.9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val single = Similarity.lshTopK(corpus, queries, k = 300, numPlanes = 8, dims = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshMultiProbeTopK(corpus, queries, k = 300,
+      numPlanes = 8, dims = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi),
+      "every same-bucket candidate must survive multi-probing")
+    assert(multi.size > single.size,
+      s"Hamming-1 probes must widen the candidate set (${multi.size} vs ${single.size})")
+    // no (query, candidate) pair is scored twice: distinct probe buckets
+    val raw = Similarity.lshMultiProbeTopK(corpus, queries, k = 300,
+      numPlanes = 8, dims = 16).select("query_id", "vec_id")
+      .as[(Long, Long)].collect()
+    assert(raw.length === raw.toSet.size, "pairs must meet exactly once")
+  }
+
   test("mutualPairs keeps only symmetric edges: the asymmetric hub drops out") {
     // hand ranked frame with k=1: 1->2, 2->1 (mutual); 3->1 but 1's one
     // slot is taken by 2, so (1,3) is one-directional and must drop
