@@ -47,6 +47,22 @@ object TextAnalysis {
       StringType, "nfc", Seq(text), Seq(StringType), returnNullable = false)
   }
 
+  /** Accent folding as a codegen'd `StaticInvoke` of
+    * [[TextKernel.foldAccents]]: NFD → strip marks (Mn/Mc/Me) → NFC — the
+    * match-key normalization above [[nfcNormalize]] for record linkage /
+    * search ("café" and "cafe" collide; Æ/ß/ligatures pass through —
+    * folding is not transliteration). Mirrors DuckDB's `strip_accents`
+    * (both follow utf8proc's STRIPMARK semantics) — the q283 gate compares
+    * the two. NULL passes through NULL.
+    */
+  def foldAccents(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(Class.forName("graft.pipeline.TextKernel"),
+      StringType, "foldAccents", Seq(text), Seq(StringType),
+      returnNullable = false)
+  }
+
   /** Jaro-Winkler similarity as a codegen'd `StaticInvoke` of
     * [[TextKernel.jaroWinkler]] (never a UDF): the record-linkage string
     * score for the entity-resolution surface — transposition-tolerant and

@@ -389,6 +389,37 @@ object TextKernel {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Accent folding — strip diacritical marks while keeping the base
+    * letters (café→cafe, Müller→Muller, łódź→łodz): the match-key
+    * normalization record linkage and search indexing need ABOVE [[nfc]]
+    * (NFC makes equal text hash equal; folding makes DIFFERENTLY-accented
+    * text match). Algorithm = NFD decomposition, drop all mark characters
+    * (Mn/Mc/Me — utf8proc's STRIPMARK set, which is what DuckDB's
+    * `strip_accents` uses), NFC recompose. Characters that are not
+    * base+mark sequences pass through UNCHANGED (Æ, ß, Đ, ligatures, CJK)
+    * — folding is not transliteration. ASCII takes a scan-only fast path.
+    */
+  def foldAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      if (str.charAt(i) >= 0x80) i = Int.MaxValue else i += 1
+    }
+    if (i != Int.MaxValue) return s // pure ASCII: nothing to fold
+    val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val ch = nfd.charAt(j)
+      val t = Character.getType(ch)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK) sb.append(ch)
+      j += 1
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** Jaro-Winkler similarity (Winkler 1990) — the record-linkage string
     * score `levenshtein` can't replace: transposition-tolerant, short-
     * string-calibrated, prefix-boosted (names, usernames, addresses).

@@ -500,6 +500,22 @@ object PipelinePack extends QueryPack {
       TextAnalysis.scriptProfile(dec).orderBy(col("doc_id"))
     }),
 
+    // accent folding (NFD -> strip marks -> NFC) vs DuckDB's NATIVE
+    // strip_accents — both follow utf8proc STRIPMARK semantics; the
+    // sample set covers combining marks, pass-through letters (Æ ß Đ),
+    // ligatures and CJK
+    "q283_fold_accents" -> ((s, d) => {
+      val samples = Seq("café au lait", "naïve approach", "Müller & Söhne",
+        "François Ångström", "Škoda Octavia", "señor ñandú",
+        "łódź ćma źrebię", "Ærøskøbing ß Đorđe 北京")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(element_at(typedlit(samples), (col("doc_id") % 8 + 1).cast("int")),
+          lit(" #"), col("doc_id").cast("string")).as("raw"))
+      docs.select(col("doc_id"),
+        TextAnalysis.foldAccents(col("raw")).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // phrase matching over the AT-REST positional postings index — the
     // indexed twin of q243 (pure layout change for the hit set; the scan
     // reads only the phrase's terms). Index memoized per (JVM, sf dir)
@@ -2529,6 +2545,19 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // DuckDB's native strip_accents is the ground truth
+      "q283_fold_accents" ->
+        """WITH s AS (
+          |  SELECT ['café au lait', 'naïve approach', 'Müller & Söhne',
+          |          'François Ångström', 'Škoda Octavia', 'señor ñandú',
+          |          'łódź ćma źrebię', 'Ærøskøbing ß Đorđe 北京'] AS l),
+          |d AS (
+          |  SELECT doc_id,
+          |    l[CAST(doc_id % 8 + 1 AS INT)] || ' #' || CAST(doc_id AS VARCHAR) AS raw
+          |  FROM documents, s)
+          |SELECT doc_id, strip_accents(raw) AS folded FROM d
+          |ORDER BY doc_id""".stripMargin,
+
       // q47's frame with the query side exploded to its 8 Hamming-1
       // probe buckets (xor one plane bit) + its own
       "q282_lsh_multiprobe" ->

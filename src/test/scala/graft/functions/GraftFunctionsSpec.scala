@@ -89,6 +89,21 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(math.abs(low.getDouble(0) - 0.5499999999999999) < 1e-15)
   }
 
+  test("graft_fold_accents: marks stripped, non-mark letters pass through") {
+    val r = sql.sql(
+      """SELECT graft_fold_accents('café naïve Müller François') AS a,
+        |       graft_fold_accents('łódź ćma źrebię Ångström') AS b,
+        |       graft_fold_accents('Ærøskøbing ß Đorđe 北京') AS c,
+        |       graft_fold_accents('plain ascii!') AS d,
+        |       graft_fold_accents(CAST(NULL AS STRING)) AS e""".stripMargin).head()
+    assert(r.getString(0) === "cafe naive Muller Francois")
+    assert(r.getString(1) === "łodz cma zrebie Angstrom")
+    // Æ/ß/Đ/CJK are single letters, not base+mark — folding leaves them
+    assert(r.getString(2) === "Ærøskøbing ß Đorđe 北京")
+    assert(r.getString(3) === "plain ascii!")
+    assert(r.isNullAt(4))
+  }
+
   test("wrong arity fails analysis loudly") {
     val e = intercept[Exception](sql.sql("SELECT st_area()").collect())
     assert(e.getMessage.contains("st_area expects 1 arguments"))
