@@ -505,6 +505,13 @@ object GraphOps {
         .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__raw"))
     var h = nodes.select(col("node"), lit(1.0).as("hub"))
     var a = nodes.select(col("node"), lit(1.0).as("auth"))
+    // NOT materialized per half-round: measured on the q254 graph, both a
+    // lazy persist (8-9 s warm) and persist+count (12-13 s warm) LOSE to
+    // the single-action lazy chain (2.6 s warm) — with `e`/`nodes` cached,
+    // re-deriving a tiny spread is cheaper than the extra action/cache
+    // round-trips. Bounded: the duplicated-subplan fan-out is 2^(2·iters)
+    // references to CACHED inputs, and iters is capped at 20 above (real
+    // HITS uses 2-5).
     for (_ <- 0 until iters) {
       a = normalized(spread(h, "hub", bySrc), "__raw", "auth")
       h = normalized(spread(a, "auth", byDst), "__raw", "hub")
