@@ -343,6 +343,47 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** LINEAR (convex-combination) score fusion — the calibrated twin of
+    * [[rrfFuse]]: per query, min-max normalize each ranker's scores over
+    * its OWN shortlist, then fuse `α·normA + (1−α)·normB` and re-rank.
+    * Use when the two score scales are trustworthy enough to interpolate
+    * (RRF ignores scores entirely; linear fusion preserves "how much
+    * better" #1 was). Docs present in only one shortlist take 0 from the
+    * missing side; a constant-score shortlist normalizes to 1.0 (its only
+    * information is membership). All normalized and fused values snap to
+    * the 1e-6 grid; ties break on id.
+    * Shape: two per-query min/max aggs + one keyed full-outer join +
+    * a per-query top-k window over ≤ |shortlistA|+|shortlistB| rows.
+    * Output: (queryIdCol, idCol, fused, rank ∈ 1..k).
+    */
+  def linearFuse(a: DataFrame, b: DataFrame, k: Int, alpha: Double = 0.5,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      scoreCol: String = "score"): DataFrame = {
+    require(k >= 1, s"linearFuse: k must be >= 1, got $k")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"linearFuse: alpha must be in [0, 1], got $alpha")
+    def normalize(r: DataFrame, out: String): DataFrame = {
+      val s = col(scoreCol).cast("double")
+      val st = r.groupBy(col(queryIdCol))
+        .agg(min(s).as("__lo"), max(s).as("__hi"))
+      r.join(st, Seq(queryIdCol))
+        .select(col(queryIdCol), col(idCol),
+          when(col("__hi") > col("__lo"),
+            TextAnalysis.round6((s - col("__lo")) / (col("__hi") - col("__lo"))))
+            .otherwise(lit(1.0)).as(out))
+    }
+    val na = normalize(a, "__na")
+    val nb = normalize(b, "__nb")
+    val fused = na.join(nb, Seq(queryIdCol, idCol), "full_outer")
+      .select(col(queryIdCol), col(idCol),
+        TextAnalysis.round6(lit(alpha) * coalesce(col("__na"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("__nb"), lit(0.0))).as("fused"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("fused").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** MULTI-PROBE LSH ANN (Lv et al. 2007): like [[lshTopK]] but each query
     * also probes the `numPlanes` buckets at Hamming distance 1 from its
     * own — the recall knob that does NOT cost another hash table or a

@@ -490,6 +490,50 @@ object Sketches {
       col("n"))
   }
 
+  /** CRAMÉR'S V — association strength between two CATEGORICAL columns
+    * (0 = independent, 1 = determined): the feature-redundancy /
+    * confounder check before using both signals ("is lang just a proxy
+    * for source?"), and — like [[chiSquareDrift]] and [[giniSimpson]] —
+    * LOGARITHM-FREE where mutual information would need engine-unportable
+    * ln. One corpus aggregation to the ≤ r·c contingency matrix; expected
+    * counts eᵢⱼ = rowᵢ·colⱼ/n from exact integer products, per-cell
+    * snapped (o−e)²/e terms summed in exact DECIMAL (the chiSquareDrift
+    * convention), then V = round6(√(χ² / (n·(min(r,c)−1)))) with one
+    * correctly-rounded sqrt. A constant column (min(r,c)=1) yields NULL —
+    * "no variation" is not "no association". NULLs count as a category.
+    * Output: one row (v, chi2, n, r, c).
+    */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cm = df.groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rt = cm.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+    val ct = cm.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
+    val tot = cm.agg(sum(col("__n")).as("__t"),
+      countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c"))
+    // the χ² sum runs over the FULL r×c grid — an absent combination is
+    // an observed 0 with a nonzero expectation, not a missing term (a
+    // perfectly-associated 2×2 would otherwise score V ≈ 0.707, not 1)
+    val grid = rt.crossJoin(ct)
+      .join(cm, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__n"), lit(0L)))
+    val terms = grid.crossJoin(tot)
+      .select(col("__t"), col("r"), col("c"),
+        TextAnalysis.round6 {
+          val e = (col("__ra") * col("__cb")).cast("decimal(38,0)")
+            .cast("double") / col("__t")
+          (col("__o") - e) * (col("__o") - e) / e
+        }.as("__term"))
+    terms.groupBy(col("__t"), col("r"), col("c"))
+      .agg(sum(col("__term").cast("decimal(28,6)")).cast("double").as("chi2"))
+      .select(
+        when(least(col("r"), col("c")) > 1,
+          TextAnalysis.round6(sqrt(col("chi2") /
+            (col("__t").cast("decimal(38,0)") *
+              (least(col("r"), col("c")) - 1)).cast("double")))).as("v"),
+        col("chi2"), col("__t").as("n"), col("r"), col("c"))
+  }
+
   /** Gini-Simpson diversity index per group — the probability two
     * documents drawn from a group differ on `catCol` (1 − Σ pᵢ²): the
     * corpus-mix health number behind "is this source all one language /

@@ -405,6 +405,12 @@ object CurationPack extends QueryPack {
         .orderBy(col("check"), col("column"))
     }),
 
+    // Cramér's V association between lang and source — the log-free
+    // confounder check (is one column a proxy for the other?)
+    "q285_cramers_v" -> ((s, d) => {
+      Sketches.cramersV(Tables.documents(s, d), "lang", "source")
+    }),
+
     // quantile normalization: per-source n_chars percentile mapped onto
     // the global length distribution (64 bins both levels) — the oracle
     // re-derives both CDFs and does the interval lookup as a range join
@@ -815,6 +821,38 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q285_cramers_v" ->
+      """WITH cm AS (
+        |  SELECT lang AS a, source AS b, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(n) AS ra FROM cm GROUP BY 1),
+        |ct AS (SELECT b, SUM(n) AS cb FROM cm GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+        |        CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+        |        CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM cm),
+        |grid AS (
+        |  SELECT rt.a, ct.b, rt.ra, ct.cb, COALESCE(cm.n, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN cm ON cm.a = rt.a AND cm.b = ct.b),
+        |terms AS (
+        |  SELECT t, r, c,
+        |    FLOOR((o - CAST(CAST(ra * cb AS DECIMAL(38,0)) AS DOUBLE) / t)
+        |      * (o - CAST(CAST(ra * cb AS DECIMAL(38,0)) AS DOUBLE) / t)
+        |      / (CAST(CAST(ra * cb AS DECIMAL(38,0)) AS DOUBLE) / t)
+        |      * 1e6 + 0.5) / 1e6 AS term
+        |  FROM grid, tot),
+        |agg AS (
+        |  SELECT t, r, c,
+        |    CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT
+        |  CASE WHEN LEAST(r, c) > 1 THEN
+        |    FLOOR(sqrt(chi2 /
+        |      CAST(CAST(t AS DECIMAL(38,0)) * (LEAST(r, c) - 1) AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6
+        |  END AS v,
+        |  chi2, t AS n, r, c
+        |FROM agg""".stripMargin,
 
     "q280_quantile_norm" ->
       """WITH base AS (

@@ -934,6 +934,19 @@ object PipelinePack extends QueryPack {
     // hybrid-search fusion: RRF over two rankers (bucket-gated LSH +
     // exact brute force) — rank-only inputs, so incomparable scores fuse
     // without calibration; ties on id, terms on the 1e-6 grid
+    // linear (convex-combination) fusion of the q47 LSH and q46
+    // brute-force shortlists at alpha=0.5 — the score-calibrated twin of
+    // q205's RRF; one-sided docs take 0 from the missing ranker
+    "q284_linear_fuse" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val lsh = Similarity.lshTopK(corpus, queries, k = 10, numPlanes = 8)
+      val bf = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      Similarity.linearFuse(lsh, bf, k = 5, alpha = 0.5, scoreCol = "cosine")
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q205_hybrid_rrf" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
       val queries = corpus.filter(col("vec_id") % 100 === 0)
@@ -2584,6 +2597,56 @@ object PipelinePack extends QueryPack {
       // RRF fusion of the q47 LSH ranking and the q46 brute-force ranking:
       // per-ranker term 1/(rank+60) snapped to 1e-6, exact-decimal sum,
       // re-rank by fused score with id ties
+      // q205's two shortlists at k=10, min-max normalized per query per
+      // ranker, convex-fused, re-ranked
+      "q284_linear_fuse" ->
+        s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),
+           |lscored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q JOIN c ON q.bucket = c.bucket),
+           |lt AS (SELECT query_id, vec_id, cosine FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+           |  FROM lscored) WHERE rnk <= 10),
+           |bscored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q, c),
+           |bt AS (SELECT query_id, vec_id, cosine FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+           |  FROM bscored) WHERE rnk <= 10),
+           |ln AS (SELECT query_id, MIN(cosine) AS lo, MAX(cosine) AS hi FROM lt GROUP BY 1),
+           |lnorm AS (
+           |  SELECT t.query_id, t.vec_id,
+           |    CASE WHEN n.hi > n.lo
+           |      THEN FLOOR((t.cosine - n.lo) / (n.hi - n.lo) * 1e6 + 0.5) / 1e6
+           |      ELSE 1.0 END AS na
+           |  FROM lt t JOIN ln n USING (query_id)),
+           |bn AS (SELECT query_id, MIN(cosine) AS lo, MAX(cosine) AS hi FROM bt GROUP BY 1),
+           |bnorm AS (
+           |  SELECT t.query_id, t.vec_id,
+           |    CASE WHEN n.hi > n.lo
+           |      THEN FLOOR((t.cosine - n.lo) / (n.hi - n.lo) * 1e6 + 0.5) / 1e6
+           |      ELSE 1.0 END AS nb
+           |  FROM bt t JOIN bn n USING (query_id)),
+           |f AS (
+           |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           |    COALESCE(a.vec_id, b.vec_id) AS vec_id,
+           |    FLOOR((0.5 * COALESCE(a.na, 0.0) + 0.5 * COALESCE(b.nb, 0.0))
+           |      * 1e6 + 0.5) / 1e6 AS fused
+           |  FROM lnorm a FULL OUTER JOIN bnorm b
+           |    ON a.query_id = b.query_id AND a.vec_id = b.vec_id)
+           |SELECT query_id, vec_id, fused, CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused DESC, vec_id) AS rank
+           |  FROM f) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
       "q205_hybrid_rrf" ->
         s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),

@@ -389,6 +389,39 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("cramersV: perfect association 1, independence 0, constant column NULL") {
+    val perfect = (Seq.fill(10)(("x", "1")) ++ Seq.fill(10)(("y", "2")))
+      .toDF("a", "b")
+    val p = Sketches.cramersV(perfect, "a", "b")
+      .as[(Option[Double], Double, Long, Long, Long)].head()
+    assert(p._1 === Some(1.0) && p._2 === 20.0 && p._3 === 20L)
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("1", "2"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val i = Sketches.cramersV(indep, "a", "b")
+      .as[(Option[Double], Double, Long, Long, Long)].head()
+    assert(i._1 === Some(0.0) && i._2 === 0.0)
+    val const = Seq(("x", "1"), ("x", "2")).toDF("a", "b")
+    val c = Sketches.cramersV(const, "a", "b")
+      .as[(Option[Double], Double, Long, Long, Long)].head()
+    assert(c._1 === None, "min(r,c)=1 must be NULL, not 0")
+  }
+
+  test("linearFuse: interpolated scores, one-sided docs take 0, constant list normalizes to 1") {
+    import graft.pipeline.Similarity
+    // ranker A: doc 1 score 10, doc 2 score 0; ranker B: doc 2 score 5 only
+    val a = Seq((7L, 1L, 10.0), (7L, 2L, 0.0)).toDF("query_id", "vec_id", "score")
+    val b = Seq((7L, 2L, 5.0)).toDF("query_id", "vec_id", "score")
+    val out = Similarity.linearFuse(a, b, k = 3, alpha = 0.5)
+      .select("vec_id", "fused", "rank")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 0.5*1.0 + 0.5*0 = 0.5 ; doc 2: 0.5*0.0 + 0.5*1.0 = 0.5
+    // (B is a single-score list -> normalizes to 1.0); tie breaks to doc 1
+    assert(out(1L) === ((0.5, 1)) && out(2L) === ((0.5, 2)))
+    intercept[IllegalArgumentException] {
+      Similarity.linearFuse(a, b, k = 1, alpha = 1.5)
+    }
+  }
+
   test("quantileNormalize: rank-equal rows across shifted groups land on one value") {
     // group a: 1..4, group b: 101..104 — same shape, shifted scale
     val df = ((1 to 4).map(i => ("a", i.toLong)) ++
