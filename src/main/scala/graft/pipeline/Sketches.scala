@@ -490,6 +490,36 @@ object Sketches {
       col("n"))
   }
 
+  /** MAD-based robust outlier flags per group — the heavy-tail-safe twin
+    * of the z-score flag (one corrupt extreme inflates a standard
+    * deviation until nothing else looks anomalous; the median absolute
+    * deviation barely moves). Flag = |v − median| > k·1.4826·MAD, the
+    * 1.4826 making k read in "σ-equivalents" under normality. Both
+    * medians are [[groupedHistogramQuantiles]] sketch estimates (error ≤
+    * one bin's width — the operator's documented contract; an EXACT
+    * per-group median would cost a per-group sort and is engine-unportable
+    * through interpolation anyway), so the whole statistic is snapped,
+    * engine-reproducible arithmetic. Two sketch passes + two broadcast-
+    * sized joins; a group costs its row count, never a sort.
+    * Output: input columns + (med, abs_dev, robust_cut, is_outlier).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0, bins: Int = 256): DataFrame = {
+    require(k > 0, s"madOutliers: k must be > 0, got $k")
+    val med = groupedHistogramQuantiles(df, groupCol, valueCol, Seq(0.5), bins)
+      .select(col(groupCol), col("est").as("med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("abs_dev",
+        TextAnalysis.round6(abs(col(valueCol).cast("double") - col("med"))))
+    val mad = groupedHistogramQuantiles(dev, groupCol, "abs_dev", Seq(0.5), bins)
+      .select(col(groupCol), col("est").as("mad"))
+    dev.join(mad, Seq(groupCol))
+      .withColumn("robust_cut",
+        TextAnalysis.round6(lit(k) * lit(1.4826) * col("mad")))
+      .withColumn("is_outlier", col("abs_dev") > col("robust_cut"))
+      .drop("mad")
+  }
+
   /** CRAMÉR'S V — association strength between two CATEGORICAL columns
     * (0 = independent, 1 = determined): the feature-redundancy /
     * confounder check before using both signals ("is lang just a proxy

@@ -405,6 +405,16 @@ object CurationPack extends QueryPack {
         .orderBy(col("check"), col("column"))
     }),
 
+    // MAD robust outliers per event type: both medians are the q185
+    // sketch estimate, everything snapped — the heavy-tail-safe twin of
+    // q186's z-score flags
+    "q286_mad_outliers" -> ((s, d) => {
+      Sketches.madOutliers(Tables.events(s, d), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("med"),
+          col("abs_dev"), col("robust_cut"), col("is_outlier"))
+        .orderBy(col("event_id"))
+    }),
+
     // Cramér's V association between lang and source — the log-free
     // confounder check (is one column a proxy for the other?)
     "q285_cramers_v" -> ((s, d) => {
@@ -821,6 +831,58 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    // the q185 sketch-median algebra applied twice (value, then |dev|)
+    "q286_mad_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, MIN(CAST(value AS DOUBLE)) AS lo,
+        |         MAX(CAST(value AS DOUBLE)) AS hi, COUNT(value) AS n
+        |  FROM events GROUP BY 1),
+        |hh AS (
+        |  SELECT e.event_type,
+        |    LEAST(CAST(FLOOR((CAST(e.value AS DOUBLE) - st.lo) /
+        |      ((st.hi - st.lo) / 256)) AS BIGINT), 255) AS bin,
+        |    st.lo, st.hi, st.n, COUNT(*) AS c
+        |  FROM events e JOIN st USING (event_type)
+        |  WHERE st.hi > st.lo GROUP BY 1, 2, 3, 4, 5),
+        |cum AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM hh),
+        |med AS (
+        |  SELECT c.event_type,
+        |    FLOOR((c.lo + (MIN(c.bin) + 1) * ((c.hi - c.lo) / 256)) * 1e6 + 0.5)
+        |      / 1e6 AS med
+        |  FROM cum c WHERE c.cum >= GREATEST(CAST(CEIL(0.5 * c.n) AS BIGINT), 1)
+        |  GROUP BY c.event_type, c.lo, c.hi),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, m.med,
+        |    FLOOR(ABS(CAST(e.value AS DOUBLE) - m.med) * 1e6 + 0.5) / 1e6 AS abs_dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |st2 AS (
+        |  SELECT event_type, MIN(abs_dev) AS lo, MAX(abs_dev) AS hi,
+        |         COUNT(abs_dev) AS n
+        |  FROM dev GROUP BY 1),
+        |hh2 AS (
+        |  SELECT d.event_type,
+        |    LEAST(CAST(FLOOR((d.abs_dev - s2.lo) / ((s2.hi - s2.lo) / 256)) AS BIGINT),
+        |      255) AS bin,
+        |    s2.lo, s2.hi, s2.n, COUNT(*) AS c
+        |  FROM dev d JOIN st2 s2 USING (event_type)
+        |  WHERE s2.hi > s2.lo GROUP BY 1, 2, 3, 4, 5),
+        |cum2 AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM hh2),
+        |mad AS (
+        |  SELECT c.event_type,
+        |    FLOOR((c.lo + (MIN(c.bin) + 1) * ((c.hi - c.lo) / 256)) * 1e6 + 0.5)
+        |      / 1e6 AS mad
+        |  FROM cum2 c WHERE c.cum >= GREATEST(CAST(CEIL(0.5 * c.n) AS BIGINT), 1)
+        |  GROUP BY c.event_type, c.lo, c.hi)
+        |SELECT d.event_id, d.event_type, d.med, d.abs_dev,
+        |  FLOOR((3.0 * 1.4826) * mad.mad * 1e6 + 0.5) / 1e6 AS robust_cut,
+        |  d.abs_dev > FLOOR((3.0 * 1.4826) * mad.mad * 1e6 + 0.5) / 1e6 AS is_outlier
+        |FROM dev d JOIN mad USING (event_type)
+        |ORDER BY d.event_id""".stripMargin,
 
     "q285_cramers_v" ->
       """WITH cm AS (

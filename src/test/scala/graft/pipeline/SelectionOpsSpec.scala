@@ -389,6 +389,20 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("madOutliers: the one extreme is flagged, the bulk is not, per group") {
+    val rows = (1 to 20).map(i => (i.toLong, "g", 100.0 + (i % 5))) :+
+      (99L, "g", 10000.0) :+ (100L, "h", 5.0) :+ (101L, "h", 6.0)
+    val df = rows.toDF("id", "grp", "v")
+    val out = Sketches.madOutliers(df, "grp", "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(99L), "the 100x extreme must be flagged")
+    assert((1 to 20).forall(i => !out(i.toLong)),
+      "the bulk must survive a MAD cut the extreme cannot inflate")
+    intercept[IllegalArgumentException] {
+      Sketches.madOutliers(df, "grp", "v", k = 0.0)
+    }
+  }
+
   test("cramersV: perfect association 1, independence 0, constant column NULL") {
     val perfect = (Seq.fill(10)(("x", "1")) ++ Seq.fill(10)(("y", "2")))
       .toDF("a", "b")
