@@ -636,6 +636,36 @@ object PipelinePack extends QueryPack {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // entity resolution v2, the SNM composition: MULTI-PASS sorted-
+    // neighborhood blocking (forward + REVERSED key — the classic fix for
+    // prefix-typo'd variants that sort far from their base) -> snapped
+    // Jaro-Winkler refine -> the same CC machinery as q238. An ORDER-based
+    // blocking pipeline next to q238's similarity-structure one.
+    "q287_er_snm_jw" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val base = substring(md5(concat(lit("e:"),
+        col("c_custkey").cast("string"))), 1, 8)
+      val terms = cust.select(base.as("term"))
+        .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+          .select(concat(lit("z"), substring(base, 2, 7)).as("term")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .select(concat(base, lit("q")).as("term")))
+        .distinct()
+      def pass(df: DataFrame) =
+        Dedup.sortedNeighborPairs(df, "key", "tid", window = 4)
+          .select(col("id_a").as("x"), col("id_b").as("y"))
+      val fwd = pass(terms.select(col("term").as("tid"), col("term").as("key")))
+      val rev = pass(terms.select(col("term").as("tid"),
+        reverse(col("term")).as("key")))
+      val cand = fwd.unionByName(rev)
+        .select(least(col("x"), col("y")).as("id_a"),
+          greatest(col("x"), col("y")).as("id_b"))
+        .distinct()
+      val matched = cand.filter(TextAnalysis.round6(
+        TextAnalysis.jaroWinklerCol(col("id_a"), col("id_b"))) >= 0.85)
+      Dedup.connectedComponents(matched).orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization: mixed-case hosts, default ports, tracking
     // params, fragments and trailing slashes all collapse to the dedup
     // key; the oracle builds raw AND canonical forms from doc_id
@@ -2084,6 +2114,40 @@ object PipelinePack extends QueryPack {
           |  SELECT e.b, reach.lbl FROM reach JOIN e ON e.a = reach.id)
           |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
           |ORDER BY doc_id""".stripMargin,
+      // both SNM passes as ROW_NUMBER band self-joins, DuckDB's native
+      // jaro_winkler refines, recursive reachability clusters
+      "q287_er_snm_jw" ->
+        """WITH RECURSIVE raw AS (
+          |  SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS term
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT 'z' || substr(substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8), 2, 7)
+          |  FROM customer WHERE c_custkey % 5 = 0
+          |  UNION ALL
+          |  SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) || 'q'
+          |  FROM customer WHERE c_custkey % 10 = 0),
+          |t AS (SELECT DISTINCT term FROM raw),
+          |r1 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS rk FROM t),
+          |p1 AS (SELECT a.term AS x, b.term AS y
+          |       FROM r1 a JOIN r1 b ON b.rk - a.rk BETWEEN 1 AND 3),
+          |r2 AS (SELECT term,
+          |       ROW_NUMBER() OVER (ORDER BY reverse(term), term) - 1 AS rk FROM t),
+          |p2 AS (SELECT a.term AS x, b.term AS y
+          |       FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND 3),
+          |cand AS (
+          |  SELECT DISTINCT LEAST(x, y) AS id_a, GREATEST(x, y) AS id_b
+          |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+          |p AS (SELECT id_a, id_b FROM cand
+          |      WHERE FLOOR(jaro_winkler_similarity(id_a, id_b) * 1e6 + 0.5) / 1e6 >= 0.85),
+          |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+          |nodes AS (SELECT DISTINCT a AS id FROM e),
+          |reach(id, lbl) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.b, reach.lbl FROM reach JOIN e ON e.a = reach.id)
+          |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+          |ORDER BY doc_id""".stripMargin,
+
       // brute-force levenshtein ground truth over the distinct name set
       "q226_edit_pairs" ->
         """WITH t AS (SELECT DISTINCT c_name AS term FROM customer)
