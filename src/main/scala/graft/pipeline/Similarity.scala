@@ -321,6 +321,40 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** RANDOM PROJECTION (Johnson-Lindenstrauss) dimensionality reduction —
+    * the cheap pre-step before clustering / LSH / brute-force eval when
+    * the embedding width itself is the cost: k pseudo-random hyperplane
+    * projections preserve pairwise distances within (1±ε) for
+    * k = O(ln n / ε²), and unlike PCA need no training pass. Reuses
+    * [[planeWeight]]'s md5-seeded deterministic plane matrix (driver-
+    * computed literals — the same engine-exact [-0.5, 0.5) weights the
+    * LSH buckets sign), so any engine reproduces the projection
+    * bit-for-bit; each output coordinate is one index-order fold, snapped.
+    * A stateless codegen projection — no shuffle, no model state.
+    * Output: (idCol, dim ∈ 0..outDims-1, value) long-form — the shape
+    * the oracle compare and downstream pivots both want.
+    */
+  def randomProject(corpus: DataFrame, outDims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planeOffset: Int = 0, dims: Int = MaxDims): DataFrame = {
+    require(outDims >= 1 && outDims <= 256,
+      s"randomProject: outDims must be in [1, 256], got $outDims")
+    val v0 = col(vecCol).cast("array<double>")
+    val v = when(size(v0) <= lit(dims), v0).otherwise(raise_error(format_string(
+      s"randomProject: vector has %d dims but the plane matrix is $dims " +
+        s"wide; pass dims= explicitly (max $MaxDims)", size(v0))))
+    val coords = (0 until outDims).map { p =>
+      val w = typedlit((0 until dims).map(i => planeWeight(planeOffset + p, i)))
+      struct(lit(p).as("dim"),
+        TextAnalysis.round6(aggregate(
+          zip_with(v, slice(w, lit(1), size(v)), (x, c) => x * c),
+          lit(0.0), (s, t) => s + t)).as("value"))
+    }
+    corpus.select(col(idCol), explode(array(coords: _*)).as("__c"))
+      .select(col(idCol), col("__c")("dim").as("dim"),
+        col("__c")("value").as("value"))
+  }
+
   /** LSH-bucketed ANN: candidates = same bucket; exact cosine + top-k inside
     * the bucket. Trades recall for a bucket-local join — the 100 TB path
     * (the corpus shuffle is by bucket id, queries broadcast per bucket).

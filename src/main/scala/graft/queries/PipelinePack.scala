@@ -952,6 +952,14 @@ object PipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("neg_rank"))
     }),
 
+    // Johnson-Lindenstrauss random projection to 8 dims: the q47 plane
+    // matrix used as coordinates instead of sign bits — deterministic,
+    // training-free dimensionality reduction, one codegen projection
+    "q288_random_project" -> ((s, d) => {
+      Similarity.randomProject(Tables.embeddings(s, d), outDims = 8)
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // LSH-bucketed ANN (random-hyperplane sign buckets)
     "q47_ann_lsh" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
@@ -2608,6 +2616,14 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS nr
            |  FROM neg)
            |WHERE nr <= 5 ORDER BY query_id, neg_rank""".stripMargin,
+      // each output coordinate is the same md5-seeded plane fold the
+      // bucket mirror signs — here kept as a snapped value
+      "q288_random_project" -> ((0 until 8).map(p =>
+        s"""SELECT vec_id, $p AS dim,
+           |  FLOOR((${projSql(p, "embedding")}) * 1e6 + 0.5) / 1e6 AS value
+           |FROM embeddings""".stripMargin)
+        .mkString("\nUNION ALL\n") + "\nORDER BY vec_id, dim"),
+
       "q47_ann_lsh" ->
         s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),

@@ -613,6 +613,34 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("randomProject: deterministic, linear, guards width") {
+    val corpus = (1 to 50).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.randomProject(corpus, outDims = 4, dims = 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Similarity.randomProject(corpus, outDims = 4, dims = 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq === b.toSeq, "plane matrix is deterministic")
+    assert(a.length === 200 && a.map(_._2).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+    // linearity: projecting 2v gives ~2*proj(v) (snapping-level tolerance)
+    val doubled = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x * 2).as("embedding"))
+    val d2 = Similarity.randomProject(doubled, outDims = 4, dims = 16)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    a.foreach { case (id, dim, v) =>
+      assert(math.abs(d2((id, dim)) - 2 * v) < 1e-5,
+        s"projection must be linear: $id/$dim")
+    }
+    val wide = Seq((1L, Array.fill(300)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProject(wide, outDims = 2, dims = 16).collect()
+    }
+    assert(e.toString.contains("plane matrix") ||
+      Option(e.getCause).exists(_.toString.contains("plane matrix")))
+  }
+
   test("lshMultiProbeTopK: candidate set is a strict superset of single-probe's") {
     val corpus = (1 to 300).map(i =>
       (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.43 + d * 1.9).toFloat)))
