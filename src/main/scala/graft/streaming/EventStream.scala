@@ -247,6 +247,72 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING decayed-count maintenance — [[decayedCounts]]' streaming
+    * twin, BUCKET-ALIGNED so the state is addition-mergeable: each event
+    * lands in its absolute half-life epoch `ts div halflifeNs`, so a
+    * micro-batch's contribution is a tiny (key, bucket, n) partial that
+    * overwrites its own `batch_id=<id>/` partition (the
+    * [[streamingCmsGrids]] idempotency discipline — replays rewrite, never
+    * double-count). The live statistic at any `asOf` is
+    * [[decayedFromBuckets]] over the state table — state stays
+    * O(keys × live buckets) forever, raw events are never retained, and
+    * asOf can move forward without touching old state (that is what the
+    * ABSOLUTE bucketing buys over q279's relative ages; the price is
+    * bucket-granular ages — an event decays by whole epochs).
+    */
+  def streamingDecayBuckets(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, path: String, halflifeNs: Long,
+      keyCol: String = "event_type", maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(halflifeNs > 0, s"streamingDecayBuckets: halflife must be > 0")
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("__bucket", org.apache.spark.sql.graftbridge.Bridge
+            .integralDivide(col("ts"), lit(halflifeNs)))
+          .groupBy(col(keyCol), col("__bucket"))
+          .agg(count(lit(1)).as("n"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** Decayed counts AS OF a moment from the [[streamingDecayBuckets]]
+    * state table: age in whole half-lives b = asOfBucket − eventBucket,
+    * weight 2⁻ᵇ — the same exact dyadic arithmetic as [[decayedCounts]]
+    * (Σ n·2^(62−b) integers, one power-of-two division, one snap).
+    * Buckets after asOf's drop; b > 62 contributes 0 but still counts in
+    * `n`. Reading is O(state), never O(events).
+    */
+  def decayedFromBuckets(spark: SparkSession, path: String, asOfNs: Long,
+      halflifeNs: Long, keyCol: String = "event_type"): DataFrame = {
+    require(halflifeNs > 0, s"decayedFromBuckets: halflife must be > 0")
+    val asOfBucket = java.lang.Math.floorDiv(asOfNs, halflifeNs)
+    spark.read.parquet(path)
+      .filter(col("__bucket") <= asOfBucket)
+      .withColumn("__b", lit(asOfBucket) - col("__bucket"))
+      .withColumn("__t", // n·2^(62−b) exceeds LONG at b=0 — multiply in DECIMAL
+        when(col("__b") <= 62,
+          col("n").cast("decimal(38,0)") *
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - __b AS INT))")
+              .cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("__t")).cast("double") / lit(math.pow(2.0, 62)))
+          .as("decayed_count"))
+  }
+
   /** STREAMING weighted reservoir — priority sampling maintained over an
     * endless stream with O(n) state per batch: each micro-batch writes
     * its [[graft.pipeline.Sampling.prioritySampleState]] (the priority

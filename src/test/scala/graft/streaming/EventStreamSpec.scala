@@ -200,6 +200,52 @@ class EventStreamSpec extends SparkTestBase {
     assert(live.toSeq === oneShot.toSeq && live.length === 25)
   }
 
+  test("streaming decay buckets: state-read equals the bucket-aligned one-shot; asOf moves without touching state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decsrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-decout")
+      .resolve("buckets").toString
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val hl = 86400000000000L // 24h
+    val asOf = 1706659200000000000L
+    val q = EventStream.streamingDecayBuckets(spark, dir, schemaDDL, out,
+      halflifeNs = hl, maxFilesPerTrigger = Some(1))
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+    // live read == bucket-aligned recompute over ALL raw events
+    val got = EventStream.decayedFromBuckets(spark, out, asOf, hl)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val aligned = spark.read.schema(schemaDDL).parquet(dir)
+      .withColumn("__b", lit(java.lang.Math.floorDiv(asOf, hl)) -
+        org.apache.spark.sql.graftbridge.Bridge
+          .integralDivide(col("ts"), lit(hl)))
+      .filter(col("__b") >= 0)
+      .withColumn("__t",
+        when(col("__b") <= 62, expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(62 - __b AS INT))"))
+          .otherwise(lit(0L)).cast("decimal(38,0)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("__t")).cast("double") / lit(math.pow(2.0, 62)))
+          .as("decayed_count"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === aligned, "state read must equal the aligned one-shot")
+    // moving asOf forward one half-life exactly halves every decayed count
+    val later = EventStream.decayedFromBuckets(spark, out, asOf + hl, hl)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    got.foreach { case (k, _, dc) =>
+      // both sides snap to the 1e-6 grid independently -> one-grid slack
+      assert(math.abs(later(k) - dc / 2) < 1.5e-6,
+        s"one extra half-life must halve $k: ${later(k)} vs ${dc / 2}")
+    }
+  }
+
   test("decayedCounts: dyadic weights sum exactly; deep past and future drop") {
     import spark.implicits._
     val hl = 100L // ns half-life for the toy
