@@ -420,6 +420,19 @@ object PipelinePack extends QueryPack {
       near.unionByName(far).orderBy(col("kind"), col("id"))
     }),
 
+    // curriculum export: global length-order rank -> 3 contiguous phases
+    // (the easy->hard schedule curriculum training wants); phase cut is
+    // exact integer arithmetic over the q273 rank
+    "q289_curriculum" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val n = docs.count()
+      graft.ops.Ranking.globalRank(docs, Seq("n_chars", "doc_id"), "rank")
+        .withColumn("phase",
+          least(floor(col("rank") * 3 / n).cast("int"), lit(2)))
+        .select(col("doc_id"), col("rank"), col("phase"))
+        .orderBy(col("rank"))
+    }),
+
     // global ordinal rank WITHOUT a corpus-wide window (range-partition +
     // per-range offsets; the oracle is the single-reducer ROW_NUMBER the
     // operator exists to avoid)
@@ -2179,6 +2192,17 @@ object PipelinePack extends QueryPack {
           |  FROM customer)
           |SELECT * FROM near UNION ALL SELECT * FROM far
           |ORDER BY kind, id""".stripMargin,
+
+      "q289_curriculum" ->
+        """WITH r AS (
+          |  SELECT doc_id,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+          |      AS rank,
+          |    COUNT(*) OVER () AS n
+          |  FROM documents)
+          |SELECT doc_id, rank,
+          |  LEAST(CAST(FLOOR(rank * 3 / n) AS INT), 2) AS phase
+          |FROM r ORDER BY rank""".stripMargin,
 
       // the single-reducer window the operator avoids IS the ground truth
       "q273_global_rank" ->
