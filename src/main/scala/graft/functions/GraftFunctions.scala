@@ -68,6 +68,7 @@ object GraftFunctions {
     ("graft_jaro_winkler", 2,
       (a: Seq[Column]) => TextAnalysis.jaroWinklerCol(a(0), a(1))),
     ("graft_fold_accents", 1, (a: Seq[Column]) => TextAnalysis.foldAccents(a(0))),
+    ("graft_luhn_valid", 1, (a: Seq[Column]) => TextAnalysis.luhnValidCol(a(0))),
     ("graft_cosine", 2, (a: Seq[Column]) => Similarity.cosineCol(a(0), a(1)))
   )
 

@@ -47,6 +47,40 @@ object TextAnalysis {
       StringType, "nfc", Seq(text), Seq(StringType), returnNullable = false)
   }
 
+  /** Luhn checksum validation as a codegen'd `StaticInvoke` of
+    * [[TextKernel.luhnValid]] — see [[cardSignals]] for the composed
+    * extraction. SQL surface: `graft_luhn_valid`.
+    */
+  def luhnValidCol(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(Class.forName("graft.pipeline.TextKernel"),
+      BooleanType, "luhnValid", Seq(s), Seq(StringType),
+      returnNullable = false)
+  }
+
+  /** Payment-card PII signals with CHECKSUM validation — the upgrade over
+    * the regex-only q100 signals: maximal digit runs of plausible card
+    * length are candidates, and only Luhn-valid ones count as card hits
+    * (the regex-only rule over-flags order ids and timestamps ~10:1 —
+    * over-redaction is corpus damage too). Runs-then-filter instead of a
+    * lookaround regex so the same pattern runs on Java regex and RE2.
+    * Stateless codegen projection; no shuffle.
+    * Output: (idCol, n_candidates, n_luhn_valid, has_card).
+    */
+  def cardSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cands = filter(
+      expr(s"regexp_extract_all($textCol, '[0-9]+', 0)"),
+      s => length(s) >= 13 && length(s) <= 19)
+    docs.select(col(idCol), cands.as("__c"))
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("n_candidates"),
+        size(filter(col("__c"), s => luhnValidCol(s))).cast("long")
+          .as("n_luhn_valid"))
+      .withColumn("has_card", col("n_luhn_valid") > 0)
+  }
+
   /** Accent folding as a codegen'd `StaticInvoke` of
     * [[TextKernel.foldAccents]]: NFD → strip marks (Mn/Mc/Me) → NFC — the
     * match-key normalization above [[nfcNormalize]] for record linkage /

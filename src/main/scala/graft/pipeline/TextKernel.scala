@@ -389,6 +389,32 @@ object TextKernel {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Luhn checksum validation (ISO/IEC 7812) — the arithmetic gate that
+    * separates a real payment-card number from the 13-19-digit noise a
+    * regex alone flags (phone numbers, order ids, timestamps): from the
+    * RIGHT, double every second digit, fold >9 back by subtracting 9, and
+    * the sum must divide by 10. A PII redaction pass keyed on regex hits
+    * alone over-redacts ~10x; Luhn keeps only the ~1-in-10 runs that
+    * could be cards. Returns false for anything not a pure 13-19-digit
+    * string.
+    */
+  def luhnValid(s: UTF8String): Boolean = {
+    val str = s.toString
+    val n = str.length
+    if (n < 13 || n > 19) return false
+    var sum = 0
+    var i = 0
+    while (i < n) {
+      val ch = str.charAt(n - 1 - i)
+      if (ch < '0' || ch > '9') return false
+      var d = ch - '0'
+      if (i % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      i += 1
+    }
+    sum % 10 == 0
+  }
+
   /** Accent folding — strip diacritical marks while keeping the base
     * letters (café→cafe, Müller→Muller, łódź→łodz): the match-key
     * normalization record linkage and search indexing need ABOVE [[nfc]]

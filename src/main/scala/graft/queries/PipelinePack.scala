@@ -965,6 +965,18 @@ object PipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("neg_rank"))
     }),
 
+    // Luhn-validated card PII signals: every doc carries a 13-digit
+    // arithmetic run (valid ~1-in-10 by checksum chance), every 10th a
+    // known-valid card number — the checksum separates them from ids
+    "q290_card_signals" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(" ref "),
+          (col("doc_id") * 81728312L + 1234567890123L).cast("string"),
+          when(col("doc_id") % 10 === 0, lit(" card 4111111111111111"))
+            .otherwise(lit(""))))
+      TextAnalysis.cardSignals(docs).orderBy(col("doc_id"))
+    }),
+
     // Johnson-Lindenstrauss random projection to 8 dims: the q47 plane
     // matrix used as coordinates instead of sign bits — deterministic,
     // training-free dimensionality reduction, one codegen projection
@@ -2640,6 +2652,32 @@ object PipelinePack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS nr
            |  FROM neg)
            |WHERE nr <= 5 ORDER BY query_id, neg_rank""".stripMargin,
+      // the Luhn fold written as right-indexed list arithmetic
+      "q290_card_signals" ->
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |    text || ' ref ' || CAST(doc_id * 81728312 + 1234567890123 AS VARCHAR) ||
+          |    CASE WHEN doc_id % 10 = 0 THEN ' card 4111111111111111' ELSE '' END AS text
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_extract_all(text, '[0-9]+'),
+          |      x -> length(x) BETWEEN 13 AND 19) AS cs
+          |  FROM docs),
+          |v AS (
+          |  SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_candidates,
+          |    CAST(len(list_filter(cs, s ->
+          |      list_sum(list_transform(range(1, length(s) + 1), i ->
+          |        CASE WHEN i % 2 = 0 THEN
+          |          CASE WHEN 2 * CAST(substr(s, CAST(length(s) - i + 1 AS INT), 1) AS INT) > 9
+          |               THEN 2 * CAST(substr(s, CAST(length(s) - i + 1 AS INT), 1) AS INT) - 9
+          |               ELSE 2 * CAST(substr(s, CAST(length(s) - i + 1 AS INT), 1) AS INT) END
+          |        ELSE CAST(substr(s, CAST(length(s) - i + 1 AS INT), 1) AS INT) END))
+          |        % 10 = 0)) AS BIGINT) AS n_luhn_valid
+          |  FROM c)
+          |SELECT doc_id, n_candidates, n_luhn_valid, n_luhn_valid > 0 AS has_card
+          |FROM v ORDER BY doc_id""".stripMargin,
+
       // each output coordinate is the same md5-seeded plane fold the
       // bucket mirror signs — here kept as a snapped value
       "q288_random_project" -> ((0 until 8).map(p =>

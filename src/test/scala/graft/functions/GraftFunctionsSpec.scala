@@ -104,6 +104,19 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(4))
   }
 
+  test("graft_luhn_valid: textbook cards pass, off-by-one fails, non-cards refuse") {
+    val r = sql.sql(
+      """SELECT graft_luhn_valid('4111111111111111') AS visa,
+        |       graft_luhn_valid('4111111111111112') AS bad_check,
+        |       graft_luhn_valid('5500005555555559') AS mc,
+        |       graft_luhn_valid('123456789012') AS too_short,
+        |       graft_luhn_valid('41111111111111x1') AS non_digit,
+        |       graft_luhn_valid(CAST(NULL AS STRING)) AS nul""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(2))
+    assert(!r.getBoolean(1) && !r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.isNullAt(5))
+  }
+
   test("wrong arity fails analysis loudly") {
     val e = intercept[Exception](sql.sql("SELECT st_area()").collect())
     assert(e.getMessage.contains("st_area expects 1 arguments"))
