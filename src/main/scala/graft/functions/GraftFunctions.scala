@@ -69,6 +69,7 @@ object GraftFunctions {
       (a: Seq[Column]) => TextAnalysis.jaroWinklerCol(a(0), a(1))),
     ("graft_fold_accents", 1, (a: Seq[Column]) => TextAnalysis.foldAccents(a(0))),
     ("graft_luhn_valid", 1, (a: Seq[Column]) => TextAnalysis.luhnValidCol(a(0))),
+    ("graft_deflate_ratio", 1, (a: Seq[Column]) => TextAnalysis.deflateRatio(a(0))),
     ("graft_cosine", 2, (a: Seq[Column]) => Similarity.cosineCol(a(0), a(1)))
   )
 

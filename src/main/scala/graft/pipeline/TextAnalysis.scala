@@ -47,6 +47,20 @@ object TextAnalysis {
       StringType, "nfc", Seq(text), Seq(StringType), returnNullable = false)
   }
 
+  /** Compression-ratio quality signal as a codegen'd `StaticInvoke` of
+    * [[TextKernel.deflateRatio]] — low ratio = repetitive/templated text
+    * (the filter cut usually lands near 0.3-0.4 for web prose). SQL
+    * surface: `graft_deflate_ratio`. Spec-verified (no cross-engine
+    * deflate oracle exists).
+    */
+  def deflateRatio(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(Class.forName("graft.pipeline.TextKernel"),
+      DoubleType, "deflateRatio", Seq(text), Seq(StringType),
+      returnNullable = false)
+  }
+
   /** Luhn checksum validation as a codegen'd `StaticInvoke` of
     * [[TextKernel.luhnValid]] — see [[cardSignals]] for the composed
     * extraction. SQL surface: `graft_luhn_valid`.

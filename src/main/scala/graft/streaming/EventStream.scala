@@ -313,6 +313,30 @@ object EventStream {
           .as("decayed_count"))
   }
 
+  /** DECLARATIVE streaming sessionization via Spark's built-in
+    * `session_window` — the Catalyst-native twin of [[streamingSessionize]]
+    * (which hand-rolls the state with `flatMapGroupsWithState`): merging
+    * session windows, watermark-driven state cleanup and append-mode
+    * emission all come from the engine, so prefer THIS form unless the
+    * session logic needs custom state (the hand-rolled one exists to gate
+    * that capability). Semantics difference worth knowing: a built-in
+    * session window's `end` is lastEvent + gap (the window), not the last
+    * event's time — `end_us` here reflects that.
+    * Output stream: (user_id, start_us, end_us, n_events), append mode.
+    */
+  def streamingSessionWindows(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schemaDDL).parquet(sourceDir)
+      .withColumn("event_time", tsFromNanos(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
   /** STREAMING weighted reservoir — priority sampling maintained over an
     * endless stream with O(n) state per batch: each micro-batch writes
     * its [[graft.pipeline.Sampling.prioritySampleState]] (the priority

@@ -117,6 +117,20 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(5))
   }
 
+  test("graft_deflate_ratio: repetition compresses, prose doesn't, empty is 0") {
+    val rep = "spam spam spam " * 100
+    val prose = (1 to 120).map(i => s"w${i * 7919 % 9973}x$i").mkString(" ")
+    val r = sql.sql(
+      s"""SELECT graft_deflate_ratio('$rep') AS rep,
+         |       graft_deflate_ratio('$prose') AS prose,
+         |       graft_deflate_ratio('') AS empty,
+         |       graft_deflate_ratio('$rep') AS again""".stripMargin).head()
+    assert(r.getDouble(0) < 0.05, s"pure repetition must compress hard: ${r.getDouble(0)}")
+    assert(r.getDouble(1) > 0.3, s"varied text must not: ${r.getDouble(1)}")
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === r.getDouble(0), "deterministic per input")
+  }
+
   test("wrong arity fails analysis loudly") {
     val e = intercept[Exception](sql.sql("SELECT st_area()").collect())
     assert(e.getMessage.contains("st_area expects 1 arguments"))

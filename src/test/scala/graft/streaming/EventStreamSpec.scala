@@ -423,6 +423,35 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window streaming emits the same sessions as the hand-rolled state") {
+    import spark.implicits._
+    val ns = (m: Long) => m * 60L * 1000000000L
+    val us = (m: Long) => m * 60L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessw").toString
+    Seq((1L, ns(1000), 7L, "a", 1.0, ""), (2L, ns(1010), 7L, "a", 1.0, ""),
+      (3L, ns(1060), 7L, "a", 1.0, ""), (4L, ns(1005), 9L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStream.streamingSessionWindows(spark, dir, schemaDDL)
+      .writeStream.outputMode("append").format("memory").queryName("sessw_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark past every open window
+      Seq((99L, ns(10000), 999L, "z", 1.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("sessw_out").filter(col("user_id") < 999)
+        .orderBy("user_id", "start_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // built-in window end = last event + 30-min gap
+      assert(got == Seq(
+        (7L, us(1000), us(1010 + 30), 2L), (7L, us(1060), us(1060 + 30), 1L),
+        (9L, us(1005), us(1005 + 30), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup-by-key keeps one row per key, matching the batch form") {
     import spark.implicits._
     val ns = (m: Long) => m * 60L * 1000000000L
