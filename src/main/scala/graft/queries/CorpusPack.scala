@@ -265,6 +265,17 @@ object CorpusPack extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // forward fill per user: every 5th reading nulled, LOCF repairs it
+    // from the user's own history; leading NULLs stay NULL
+    "q291_forward_fill" -> ((s, d) => {
+      val ev = Tables.eventsWithTs(s, d).withColumn("value",
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      EventStream.forwardFill(ev, "user_id", Seq("ts", "event_id"), "value")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("value_ff"))
+        .orderBy(col("event_id"))
+    }),
+
     // time-decayed counts as of 2024-01-31, 24h half-life: every weight
     // a dyadic rational, the sum exact integers, ONE power-of-two divide
     "q279_decayed_counts" -> ((s, d) => {
@@ -1000,6 +1011,17 @@ object CorpusPack extends QueryPack {
           |  FLOOR(CAST(pr.n AS DOUBLE) / t.tot * 1e6 + 0.5) / 1e6 AS p
           |FROM pr JOIN t USING (from_type)
           |ORDER BY from_type, to_type""".stripMargin,
+
+      "q291_forward_fill" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, ts,
+          |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+          |  FROM events)
+          |SELECT event_id, user_id, value,
+          |  last_value(value IGNORE NULLS) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+          |FROM ev ORDER BY event_id""".stripMargin,
 
       "q279_decayed_counts" ->
         """WITH e AS (

@@ -711,6 +711,26 @@ object EventStream {
     * one row per user who completed step 1, with `step{i}_us` micro-epoch
     * columns (NULL once the funnel breaks).
     */
+  /** Forward fill (LOCF — last observation carried forward) per key: the
+    * telemetry / slowly-changing-dimension gap repair — a NULL reading
+    * takes the key's most recent non-NULL value in event order; leading
+    * NULLs (nothing observed yet) stay NULL, never invent data. One
+    * per-KEY ordered window (`last(ignoreNulls)` over unbounded-preceding
+    * rows) — a key costs its own history, no corpus window. `orderCols`
+    * must reach a unique order (append the event id).
+    * Output: input columns + `<valueCol>_ff`.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "forwardFill: need at least one order column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_ff",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** TIME-DECAYED counts per key — the recency-weighted frequency behind
     * trending-topic / hot-domain / activity-score features: each event
     * contributes 2^(−age/halflife) with the age bucketed to INTEGER

@@ -246,6 +246,23 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("forwardFill: carries the last observation per key; leading NULLs stay NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 1L, Some(5.0)), (2L, 20L, 1L, None), (3L, 30L, 1L, None),
+      (4L, 40L, 1L, Some(7.0)), (5L, 50L, 1L, None),
+      (6L, 10L, 2L, None), (7L, 20L, 2L, Some(1.0))
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = EventStream.forwardFill(df, "user_id", Seq("ts", "event_id"), "value")
+      .select("event_id", "value_ff").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(1L -> Some(5.0), 2L -> Some(5.0), 3L -> Some(5.0),
+      4L -> Some(7.0), 5L -> Some(7.0), 6L -> None, 7L -> Some(1.0)))
+    intercept[IllegalArgumentException] {
+      EventStream.forwardFill(df, "user_id", Nil, "value")
+    }
+  }
+
   test("decayedCounts: dyadic weights sum exactly; deep past and future drop") {
     import spark.implicits._
     val hl = 100L // ns half-life for the toy
