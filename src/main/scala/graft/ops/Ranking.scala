@@ -63,4 +63,59 @@ object Ranking {
     CacheScope.releaseAfterFirstUse(out, Seq(sorted))
     out
   }
+
+  /** 2-D SKYLINE (Pareto frontier, maximize both axes) — the multi-
+    * criteria selection operator Spark has no word for: keep exactly the
+    * rows no other row dominates (≥ on both axes, > on at least one).
+    * The curation shape: "the quality-vs-brevity frontier", "best score
+    * at every recency level" — a top-k on any single blend misses corners
+    * the frontier keeps.
+    *
+    * NO corpus-wide window and NO pairwise dominance join: (1) one keyed
+    * agg collapses to the per-x maximum (only the per-x best y can be on
+    * the frontier; same-x duplicates of that y rejoin at the end — equal
+    * points don't dominate each other); (2) the classic sort-scan
+    * ("y must beat every y at strictly larger x") runs as the
+    * [[globalRank]] two-phase: range-partition the per-x maxima on x
+    * DESCENDING, cummax WITHIN each range, and the cross-range carry-in
+    * is an O(partitions) driver handoff of per-range maxima; (3) one
+    * equi-join back on x. Rows with NULL on either axis drop (NULL is
+    * unrankable). Internal sorted cache CacheScope-released.
+    * Output: the dominating input rows, schema unchanged.
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+    val mx = base.groupBy(x.as("__x")).agg(max(y).as("__ymax"))
+    val sorted = mx.repartitionByRange(p, col("__x").desc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-range maxima -> strict prefix carry-in per range (O(p) handoff)
+    val rangeMax = sorted.groupBy(col("__pid")).agg(max(col("__ymax")))
+      .as[(Int, Double)].collect().toMap
+    val carry = (0 until p).scanLeft(Double.NegativeInfinity) { (acc, pid) =>
+      math.max(acc, rangeMax.getOrElse(pid, Double.NegativeInfinity))
+    }
+    val carryDf = (0 until p).map(pid => (pid, carry(pid))).toDF("__pid", "__carry")
+    val wPrev = Window.partitionBy(col("__pid")).orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierX = sorted
+      .join(broadcast(carryDf), Seq("__pid"))
+      .withColumn("__before",
+        greatest(coalesce(max(col("__ymax")).over(wPrev),
+          lit(Double.NegativeInfinity)), col("__carry")))
+      .filter(col("__ymax") > col("__before"))
+      .select(col("__x"), col("__ymax"))
+    val out = base.join(frontierX,
+      x === col("__x") && y === col("__ymax"))
+      .drop("__x", "__ymax")
+    CacheScope.releaseAfterFirstUse(out, Seq(sorted))
+    out
+  }
 }

@@ -420,6 +420,16 @@ object PipelinePack extends QueryPack {
       near.unionByName(far).orderBy(col("kind"), col("id"))
     }),
 
+    // 2-D skyline: the (length, score) Pareto frontier — per-x max
+    // collapse + two-phase descending cummax; the oracle is brute-force
+    // NOT EXISTS dominance, a completely different algorithm
+    "q292_skyline" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.round6((col("doc_id") % 101) / 100.0).as("score"))
+      graft.ops.Ranking.skyline2D(docs, "n_chars", "score")
+        .orderBy(col("doc_id"))
+    }),
+
     // curriculum export: global length-order rank -> 3 contiguous phases
     // (the easy->hard schedule curriculum training wants); phase cut is
     // exact integer arithmetic over the q273 rank
@@ -2204,6 +2214,20 @@ object PipelinePack extends QueryPack {
           |  FROM customer)
           |SELECT * FROM near UNION ALL SELECT * FROM far
           |ORDER BY kind, id""".stripMargin,
+
+      "q292_skyline" ->
+        """WITH t AS (
+          |  SELECT doc_id, n_chars,
+          |    FLOOR((doc_id % 101) / 100.0 * 1e6 + 0.5) / 1e6 AS score
+          |  FROM documents)
+          |SELECT doc_id, n_chars, score FROM t a
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM t b
+          |  WHERE CAST(b.n_chars AS DOUBLE) >= CAST(a.n_chars AS DOUBLE)
+          |    AND b.score >= a.score
+          |    AND (CAST(b.n_chars AS DOUBLE) > CAST(a.n_chars AS DOUBLE)
+          |         OR b.score > a.score))
+          |ORDER BY doc_id""".stripMargin,
 
       "q289_curriculum" ->
         """WITH r AS (

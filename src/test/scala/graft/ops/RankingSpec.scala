@@ -57,6 +57,29 @@ class RankingSpec extends SparkTestBase {
     }
   }
 
+  test("skyline2D: hand frontier, duplicate frontier points kept, dominated rows gone") {
+    // frontier: (10,1), (5,5) and its duplicate, (1,9); dominated: rest
+    val pts = Seq(
+      (1L, 10.0, 1.0), (2L, 5.0, 5.0), (3L, 5.0, 5.0), (4L, 1.0, 9.0),
+      (5L, 4.0, 4.0),   // dominated by (5,5)
+      (6L, 10.0, 0.5),  // same x as (10,1), lower y
+      (7L, 0.5, 9.0),   // lower x than (1,9), same y
+      (8L, Double.NaN, 1.0)
+    ).toDF("id", "x", "y").filter(!isnan(col("x")))
+    val got = Ranking.skyline2D(pts, "x", "y", partitions = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L))
+    // NULLs on either axis drop rather than rank
+    val withNull = Seq((1L, Some(1.0), Some(1.0)), (2L, None, Some(9.0)))
+      .toDF("id", "x", "y")
+    assert(Ranking.skyline2D(withNull, "x", "y").select("id")
+      .as[Long].collect().toSeq === Seq(1L))
+    // plan stays scale-safe: no global window, no product
+    val lint = graft.tools.PlanLint.lint(
+      Ranking.skyline2D(pts, "x", "y", partitions = 3))
+    assert(lint.isEmpty, s"skyline must be scale-safe: $lint")
+  }
+
   test("sortedNeighborPairs: exact window semantics vs brute-force rank distance") {
     val got = Dedup.sortedNeighborPairs(toy, "key", "id", window = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
