@@ -490,6 +490,51 @@ object Sketches {
       col("n"))
   }
 
+  /** WELCH'S t statistic between two samples — the unequal-variance mean
+    * comparison behind every A/B readout and before/after drift check
+    * ("did the mean quality score actually move?"); the p-value lookup is
+    * left to the consumer exactly as [[chiSquareDrift]] leaves its
+    * chi-square quantile (it needs engine-unportable special functions;
+    * |t| > 2 is the usual eyeball line). Engine-exact arithmetic: inputs
+    * snap to the 1e-6 grid so squares live on the 1e-12 grid; Σx and Σx²
+    * accumulate in exact DECIMAL; sample variance
+    * (n·Σx² − (Σx)²)/(n·(n−1)) is computed from those exact sums with one
+    * double division; means snap; t = round6((mā − m̄b)/√(va/na + vb/nb)).
+    * One aggregation per side. n < 2 on either side or zero pooled
+    * standard error → NULL t.
+    * Output: one row (t, mean_a, mean_b, n_a, n_b).
+    */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val x = TextAnalysis.round6(col(valueCol).cast("double"))
+      df.filter(col(valueCol).isNotNull)
+        .select(x.as("__x"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("__x").cast("decimal(38,6)")).as(s"__sx_$tag"),
+          sum((col("__x") * col("__x")).cast("decimal(38,12)")).as(s"__sxx_$tag"))
+    }
+    def meanOf(tag: String) = TextAnalysis.round6(
+      col(s"__sx_$tag").cast("double") / col(s"n_$tag"))
+    // the sums are exact decimals; the n·Σx² − (Σx)² combination runs in
+    // DOUBLE with a fixed expression shape (a decimal product here would
+    // exceed DuckDB's strict 38-digit multiplication width) — identical
+    // inputs + identical IEEE ops = identical t on both engines
+    def varOf(tag: String) =
+      (col(s"n_$tag").cast("double") * col(s"__sxx_$tag").cast("double") -
+        col(s"__sx_$tag").cast("double") * col(s"__sx_$tag").cast("double")) /
+        (col(s"n_$tag").cast("double") * (col(s"n_$tag") - 1))
+    val joined = side(a, "a").crossJoin(side(b, "b"))
+      .withColumn("mean_a", meanOf("a"))
+      .withColumn("mean_b", meanOf("b"))
+      .withColumn("__se2",
+        when(col("n_a") >= 2 && col("n_b") >= 2,
+          varOf("a") / col("n_a") + varOf("b") / col("n_b")))
+    joined.select(
+      when(col("__se2") > 0, TextAnalysis.round6(
+        (col("mean_a") - col("mean_b")) / sqrt(col("__se2")))).as("t"),
+      col("mean_a"), col("mean_b"), col("n_a"), col("n_b"))
+  }
+
   /** MAD-based robust outlier flags per group — the heavy-tail-safe twin
     * of the z-score flag (one corrupt extreme inflates a standard
     * deviation until nothing else looks anomalous; the median absolute

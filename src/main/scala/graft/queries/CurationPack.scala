@@ -469,6 +469,15 @@ object CurationPack extends QueryPack {
       Classifier.aucRoc(scored, "score", "y")
     }),
 
+    // Welch's t between event halves: did the mean move? (the mean-shift
+    // companion to q260's distribution-shape drift)
+    "q293_welch_t" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Sketches.welchT(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value")
+    }),
+
     // two-sample chi-square drift between event halves on a shared grid:
     // the logarithm-free distribution-shift monitor
     "q260_chisq_drift" -> ((s, d) => {
@@ -831,6 +840,37 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q293_welch_t" ->
+      """WITH av AS (
+        |  SELECT FLOOR(CAST(value AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT FLOOR(CAST(value AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |  SUM(CAST(x AS DECIMAL(38,6))) AS sx_a,
+        |  SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx_a FROM av),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |  SUM(CAST(x AS DECIMAL(38,6))) AS sx_b,
+        |  SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx_b FROM bv),
+        |j AS (
+        |  SELECT n_a, n_b,
+        |    FLOOR(CAST(sx_a AS DOUBLE) / n_a * 1e6 + 0.5) / 1e6 AS mean_a,
+        |    FLOOR(CAST(sx_b AS DOUBLE) / n_b * 1e6 + 0.5) / 1e6 AS mean_b,
+        |    (CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE)
+        |      - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * (n_a - 1)) AS va,
+        |    (CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE)
+        |      - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) * (n_b - 1)) AS vb
+        |  FROM a, b)
+        |SELECT
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va / n_a + vb / n_b > 0 THEN
+        |    FLOOR((mean_a - mean_b) / sqrt(va / n_a + vb / n_b) * 1e6 + 0.5) / 1e6
+        |  END AS t,
+        |  mean_a, mean_b, n_a, n_b
+        |FROM j""".stripMargin,
 
     // the q185 sketch-median algebra applied twice (value, then |dev|)
     "q286_mad_outliers" ->

@@ -389,6 +389,26 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("welchT: shifted samples score large |t|, identical samples 0, tiny n NULL") {
+    val a = (1 to 100).map(i => i.toLong -> (10.0 + (i % 7) * 0.1)).toDF("id", "v")
+    val b = (1 to 100).map(i => i.toLong -> (12.0 + (i % 7) * 0.1)).toDF("id", "v")
+    val shifted = Sketches.welchT(a, b, "v")
+      .as[(Option[Double], Double, Double, Long, Long)].head()
+    assert(shifted._1.exists(_ < -20), s"a clear -2 shift must score hard: $shifted")
+    assert(shifted._4 === 100L && shifted._5 === 100L)
+    val same = Sketches.welchT(a, a, "v")
+      .as[(Option[Double], Double, Double, Long, Long)].head()
+    assert(same._1 === Some(0.0))
+    val tiny = Sketches.welchT(a.limit(1), b, "v")
+      .as[(Option[Double], Double, Double, Long, Long)].head()
+    assert(tiny._1 === None, "n=1 has no variance; t must be NULL")
+    // zero pooled variance (both sides constant) -> NULL, not a div-by-0
+    val ca = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v")
+    val z = Sketches.welchT(ca, ca, "v")
+      .as[(Option[Double], Double, Double, Long, Long)].head()
+    assert(z._1 === None)
+  }
+
   test("madOutliers: the one extreme is flagged, the bulk is not, per group") {
     val rows = (1 to 20).map(i => (i.toLong, "g", 100.0 + (i % 5))) :+
       (99L, "g", 10000.0) :+ (100L, "h", 5.0) :+ (101L, "h", 6.0)
