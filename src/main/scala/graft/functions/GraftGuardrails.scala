@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, OneRowRelation, Project, Window}
+import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Session-enforced scale guardrails — [[graft.tools.PlanLint]]'s CI
+  * pre-flight productized as an injected Catalyst OPTIMIZER RULE, so a
+  * shared-cluster session can refuse the two query shapes that melt down
+  * at 100 TB *at planning time*, before a single task launches:
+  *
+  *   - a WINDOW with an empty partition spec (every row through ONE
+  *     reducer — the shape [[graft.ops.Ranking.globalRank]] exists to
+  *     replace);
+  *   - a CROSS join (row-count product).
+  *
+  * Deploy with `spark.sql.extensions=graft.functions.GraftGuardrails`
+  * (composes with [[GraftSqlExtensions]] — the config takes a
+  * comma-separated list). Mode via `spark.graft.guardrails`:
+  * `fail` (default for an injected session — you asked for guardrails),
+  * `warn` (log and pass), `off`. The rule only INSPECTS — it never
+  * rewrites, so semantics are untouchable by construction.
+  *
+  * Engine note: a few graft operators use global windows that are BOUNDED
+  * by construction (the aucRoc/spearman distinct-value walks — ≤ 1e6 rows
+  * on the snapped grid regardless of corpus size; percentileRank's
+  * ≤-bins cum table). Sessions running those through SQL should use
+  * `warn`, or scope `off` around the call — the guardrail cannot see
+  * cardinality bounds, only shapes, and says so in its message.
+  */
+class GraftGuardrails extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => GuardrailRule)
+}
+
+object GuardrailRule extends Rule[LogicalPlan] with Logging {
+
+  private def mode: String =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.guardrails", "fail")
+
+  /** Provably ≤1-row at the plan level: a grouping-free Aggregate (the
+    * broadcast-stats idiom — cross-joining a 1-row frame is a projection,
+    * not a product), LIMIT 1, or the literal one-row relation; looking
+    * through row-preserving-or-shrinking wrappers.
+    */
+  private def boundedOne(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate => a.groupingExpressions.isEmpty
+    case _: OneRowRelation => true
+    // ConvertToLocalRelation folds LIMIT 1 over local data into the
+    // relation itself — the row count is right there
+    case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+      l.data.length <= 1
+    case g: GlobalLimit => g.limitExpr match {
+      case IntegerLiteral(n) => n <= 1
+      case _ => boundedOne(g.child)
+    }
+    case l: LocalLimit => l.limitExpr match {
+      case IntegerLiteral(n) => n <= 1
+      case _ => boundedOne(l.child)
+    }
+    case pr: Project => boundedOne(pr.child)
+    case f: Filter => boundedOne(f.child)
+    case other => other.children.size == 1 && boundedOne(other.children.head)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val m = mode
+    if (m == "off") return plan
+    val findings = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreach {
+      case w: Window if w.partitionSpec.isEmpty && w.windowExpressions.nonEmpty =>
+        findings += ("global-window: every row funnels through one reducer " +
+          s"(${w.windowExpressions.map(_.sql).mkString(", ")}); partition it, " +
+          "or use graft.ops.Ranking.globalRank for a global ordinal. If the " +
+          "input is bounded by construction, set spark.graft.guardrails=warn")
+      case j: Join if (j.joinType == Cross || j.condition.isEmpty) &&
+          !boundedOne(j.left) && !boundedOne(j.right) =>
+        findings += ("cross-join: row-count product " +
+          s"(${j.joinType}); add an equi-condition (a provably 1-row side " +
+          "— a grouping-free aggregate or LIMIT 1 — is exempt)")
+      case _ =>
+    }
+    if (findings.nonEmpty) {
+      val msg = s"graft guardrails: ${findings.mkString("; ")}"
+      if (m == "warn") logWarning(msg)
+      else throw new IllegalStateException(msg)
+    }
+    plan
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.{SparkTestBase, SparkTestBase => STB}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule refuses scale-melting plan shapes at
+  * PLANNING time, exempts provably-1-row cross sides, and stays inert in
+  * warn/off modes and on ordinary keyed plans.
+  */
+class GraftGuardrailsSpec extends SparkTestBase {
+
+  private def withGuarded(f: SparkSession => Unit): Unit = {
+    val orig = STB.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder()
+        .withExtensions(new GraftGuardrails()(_))
+        .getOrCreate()
+      assert(fresh ne orig)
+      try f(fresh)
+      finally fresh.conf.set("spark.graft.guardrails", "fail")
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  test("global windows and true cross joins fail at planning; keyed plans pass") {
+    withGuarded { s =>
+      import s.implicits._
+      val df = (1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "k")
+      // the melting shapes refuse before any task launches
+      val e1 = intercept[Exception] {
+        df.withColumn("rn",
+          row_number().over(Window.orderBy(col("id")))).collect()
+      }
+      assert(e1.getMessage.contains("global-window"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        df.crossJoin(df.select(col("id").as("id2"))).collect()
+      }
+      assert(e2.getMessage.contains("cross-join"), e2.getMessage)
+      // ordinary keyed work is untouched
+      assert(df.groupBy("k").count().collect().length === 3)
+      assert(df.as("a").join(df.as("b"), "id").count() === 10)
+      // a PARTITIONED window is not a global window
+      assert(df.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy("id")))
+        .count() === 10)
+    }
+  }
+
+  test("provably 1-row cross sides are exempt (the broadcast-stats idiom)") {
+    withGuarded { s =>
+      import s.implicits._
+      val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      val stats = df.agg(max(col("v")).as("mx")) // grouping-free: <= 1 row
+      assert(df.crossJoin(stats).count() === 10)
+      assert(df.crossJoin(broadcast(df.limit(1).select(col("id").as("one"))))
+        .count() === 10)
+      // and the engine's own stats-crossjoin operators keep working
+      val t = graft.pipeline.Sketches.welchT(df, df, "v").collect()
+      assert(t.length === 1)
+    }
+  }
+
+  test("warn and off modes let the shapes through") {
+    withGuarded { s =>
+      import s.implicits._
+      val df = (1 to 5).map(i => (i.toLong, i)).toDF("id", "k")
+      s.conf.set("spark.graft.guardrails", "warn")
+      assert(df.withColumn("rn",
+        row_number().over(Window.orderBy("id"))).count() === 5)
+      s.conf.set("spark.graft.guardrails", "off")
+      assert(df.crossJoin(df.select(col("id").as("id2"))).count() === 25)
+    }
+  }
+}
