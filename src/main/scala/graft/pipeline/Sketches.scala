@@ -490,6 +490,36 @@ object Sketches {
       col("n"))
   }
 
+  /** k-ANONYMITY / l-DIVERSITY privacy audit — the re-identification
+    * check a dataset needs before release or training-mix inclusion:
+    * rows whose quasi-identifier combination (zip+age+gender-style) is
+    * shared by fewer than k records are re-identifiable by linkage, and a
+    * group whose sensitive column holds fewer than l distinct values
+    * leaks the attribute even at size ≥ k (the homogeneity attack
+    * l-diversity exists for). ONE keyed aggregation to the group table,
+    * then one tiny rollup — exact integer counts throughout (the
+    * l-diversity distinct agg is the one that costs, same stance as
+    * expectations' Unique). NULL quasi values form their own group (NULL
+    * zip is a linkable value too).
+    * Output: one row (n_rows, n_groups, min_group_size, rows_below_k,
+    * min_sensitive_diversity, rows_below_l).
+    */
+  def privacyAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long = 5L, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "privacyAudit: need quasi-identifier columns")
+    require(k >= 1 && l >= 1, s"privacyAudit: k/l must be >= 1, got $k/$l")
+    val g = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    g.agg(
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("__n")).as("min_group_size"),
+      sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("rows_below_k"),
+      min(col("__l")).as("min_sensitive_diversity"),
+      sum(when(col("__l") < l, col("__n")).otherwise(0L)).as("rows_below_l"))
+  }
+
   /** WELCH'S t statistic between two samples — the unequal-variance mean
     * comparison behind every A/B readout and before/after drift check
     * ("did the mean quality score actually move?"); the p-value lookup is

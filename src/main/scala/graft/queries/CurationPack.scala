@@ -469,6 +469,15 @@ object CurationPack extends QueryPack {
       Classifier.aucRoc(scored, "score", "y")
     }),
 
+    // privacy audit: quasi-identifiers (event_type, value centile) vs the
+    // sensitive user_id — exact k-anonymity / l-diversity counts
+    "q294_privacy_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vband", floor(col("value") / 100).cast("long"))
+      Sketches.privacyAudit(ev, Seq("event_type", "vband"), "user_id",
+        k = 5L, l = 3L)
+    }),
+
     // Welch's t between event halves: did the mean move? (the mean-shift
     // companion to q260's distribution-shape drift)
     "q293_welch_t" -> ((s, d) => {
@@ -840,6 +849,21 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q294_privacy_audit" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(value / 100) AS BIGINT) AS vband,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  MIN(n) AS min_group_size,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+        |  MIN(l) AS min_sensitive_diversity,
+        |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_below_l
+        |FROM g""".stripMargin,
 
     "q293_welch_t" ->
       """WITH av AS (

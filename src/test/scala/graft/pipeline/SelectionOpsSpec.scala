@@ -389,6 +389,28 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("privacyAudit: hand-derived k-anonymity and l-diversity counts") {
+    // QI (z, a): group (1,1) has 5 rows / 3 sensitive values;
+    // group (1,2) has 2 rows / 1 value; group (2,1) has 1 row / 1 value
+    val df = Seq(
+      (1, 1, "s1"), (1, 1, "s1"), (1, 1, "s2"), (1, 1, "s3"), (1, 1, "s1"),
+      (1, 2, "x"), (1, 2, "x"),
+      (2, 1, "y")).toDF("z", "a", "sens")
+    val r = Sketches.privacyAudit(df, Seq("z", "a"), "sens", k = 3, l = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // below k=3: groups (1,2) and (2,1) -> 3 rows; below l=2: same -> 3
+    assert(r === ((8L, 3L, 1L, 3L, 1L, 3L)))
+    // NULL quasi values form their own group (a linkable value)
+    val withNull = Seq((Some(1), "a"), (None, "b"), (None, "c"))
+      .toDF("z", "sens")
+    val r2 = Sketches.privacyAudit(withNull, Seq("z"), "sens", k = 2, l = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r2._2 === 2L && r2._4 === 1L, s"NULL group must count: $r2")
+    intercept[IllegalArgumentException] {
+      Sketches.privacyAudit(df, Nil, "sens")
+    }
+  }
+
   test("welchT: shifted samples score large |t|, identical samples 0, tiny n NULL") {
     val a = (1 to 100).map(i => i.toLong -> (10.0 + (i % 7) * 0.1)).toDF("id", "v")
     val b = (1 to 100).map(i => i.toLong -> (12.0 + (i % 7) * 0.1)).toDF("id", "v")
