@@ -490,6 +490,45 @@ object Sketches {
       col("n"))
   }
 
+  /** BENFORD first-digit audit — the "does this numeric column look
+    * organically generated?" check (synthetic/fabricated/defaulted
+    * numbers rarely follow the log-law real growth processes produce):
+    * observed first-significant-digit shares vs Benford's expectation,
+    * with a per-digit chi-square term (sum them and eyeball against the
+    * 8-df quantile — the p-value lookup stays with the consumer, the
+    * chiSquareDrift stance). The nine expected probabilities
+    * log₁₀(1+1/d) are FIXED 1e-6-grid literals, so no engine ever
+    * computes a logarithm. Contract: an INTEGRAL column (first-digit
+    * extraction via integer-to-string is engine-identical; double
+    * formatting is not, stated) — non-positive values drop. One keyed
+    * agg; all nine digits always present (absent = 0).
+    * Output: (digit 1..9, n_obs, p_obs, p_expected, chi2_term).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val v = col(valueCol).cast("long")
+    val obs = df.filter(v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("__n"))
+    expected.toDF("digit", "p_expected")
+      .join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        TextAnalysis.round6(col("n_obs").cast("double") / col("__n"))
+          .as("p_obs"),
+        col("p_expected"),
+        TextAnalysis.round6(
+          (col("n_obs") - col("__n") * col("p_expected")) *
+            (col("n_obs") - col("__n") * col("p_expected")) /
+            (col("__n") * col("p_expected"))).as("chi2_term"))
+  }
+
   /** k-ANONYMITY / l-DIVERSITY privacy audit — the re-identification
     * check a dataset needs before release or training-mix inclusion:
     * rows whose quasi-identifier combination (zip+age+gender-style) is

@@ -469,6 +469,14 @@ object CurationPack extends QueryPack {
       Classifier.aucRoc(scored, "score", "y")
     }),
 
+    // Benford first-digit audit over integer cents (floor both sides —
+    // double->long CAST truncates in Spark but rounds in DuckDB)
+    "q295_benford" -> ((s, d) => {
+      val cents = Tables.events(s, d)
+        .select(floor(col("value") * 100).cast("long").as("cents"))
+      Sketches.benfordAudit(cents, "cents").orderBy(col("digit"))
+    }),
+
     // privacy audit: quasi-identifiers (event_type, value centile) vs the
     // sensitive user_id — exact k-anonymity / l-diversity counts
     "q294_privacy_audit" -> ((s, d) => {
@@ -849,6 +857,31 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q295_benford" ->
+      """WITH src AS (
+        |  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+        |obs AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM src WHERE v > 0 GROUP BY 1),
+        |exp AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), CAST(0.301030 AS DOUBLE)),
+        |  (2, CAST(0.176091 AS DOUBLE)), (3, CAST(0.124939 AS DOUBLE)),
+        |  (4, CAST(0.096910 AS DOUBLE)), (5, CAST(0.079181 AS DOUBLE)),
+        |  (6, CAST(0.066947 AS DOUBLE)), (7, CAST(0.057992 AS DOUBLE)),
+        |  (8, CAST(0.051153 AS DOUBLE)), (9, CAST(0.045757 AS DOUBLE)))
+        |  t(digit, p_expected)),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+        |SELECT exp.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+        |  FLOOR(CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+        |    AS p_obs,
+        |  exp.p_expected,
+        |  FLOOR((COALESCE(obs.n_obs, 0) - n * exp.p_expected)
+        |    * (COALESCE(obs.n_obs, 0) - n * exp.p_expected)
+        |    / (n * exp.p_expected) * 1e6 + 0.5) / 1e6 AS chi2_term
+        |FROM exp LEFT JOIN obs USING (digit), tot
+        |ORDER BY digit""".stripMargin,
 
     "q294_privacy_audit" ->
       """WITH g AS (

@@ -389,6 +389,26 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("benfordAudit: log-law data fits, uniform data drifts, absent digits are zero rows") {
+    // multiplicative growth series follows Benford closely
+    val growth = (1 to 2000).map(i =>
+      math.floor(math.pow(1.01, i) * 100).toLong).toDF("v")
+    val g = Sketches.benfordAudit(growth, "v")
+      .select("digit", "chi2_term").as[(Int, Double)].collect().toMap
+    assert(g.keySet === (1 to 9).toSet)
+    assert(g.values.sum < 20.0, s"growth data must fit Benford: $g")
+    // uniform ints 100..999 give p(d) ~ 1/9 everywhere -> large chi2
+    val uniform = (100 to 999).map(_.toLong).toDF("v")
+    val u = Sketches.benfordAudit(uniform, "v")
+      .select("chi2_term").as[Double].collect().sum
+    assert(u > 100.0, s"uniform digits must drift hard: $u")
+    // non-positive rows drop; missing digits surface as 0 rows
+    val tiny = Seq(1L, 1L, -5L, 0L).toDF("v")
+    val t = Sketches.benfordAudit(tiny, "v")
+      .select("digit", "n_obs").as[(Int, Long)].collect().toMap
+    assert(t(1) === 2L && (2 to 9).forall(d => t(d) === 0L))
+  }
+
   test("privacyAudit: hand-derived k-anonymity and l-diversity counts") {
     // QI (z, a): group (1,1) has 5 rows / 3 sensitive values;
     // group (1,2) has 2 rows / 1 value; group (2,1) has 1 row / 1 value
