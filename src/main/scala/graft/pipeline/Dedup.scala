@@ -701,6 +701,49 @@ object Dedup {
     (base, Seq(p, withSh))
   }
 
+  /** DEDUP-CLUSTER COHESION audit — the check on what connected
+    * components actually produced: CC merges by TRANSITIVITY, so a chain
+    * A~B~C yields one cluster even when A and C share nothing (the
+    * "chaining" failure every union-find dedup inherits). Per cluster:
+    * exact pairwise [[ngramJaccard]] over ALL member pairs (not just the
+    * band-candidate edges that built it), reporting min (the chain
+    * detector — a near-0 min in a "duplicate" cluster is a bad merge) and
+    * the snapped-decimal mean. Clusters larger than `maxClusterSize`
+    * skip the quadratic member join and report unaudited (size² pairs is
+    * the honest cost of auditing; a huge cluster is ITSELF the finding).
+    * Output: (cluster_id, size, n_pairs, min_jaccard, avg_jaccard,
+    * audited) — unaudited and singleton clusters carry NULL metrics.
+    */
+  def clusterCohesion(docs: DataFrame, clusters: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 3,
+      maxClusterSize: Long = 100L): DataFrame = {
+    require(maxClusterSize >= 2,
+      s"clusterCohesion: maxClusterSize must be >= 2, got $maxClusterSize")
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+    val mem = clusters
+      .join(sizes.filter(col("size") >= 2 && col("size") <= maxClusterSize)
+        .select(col("cluster_id")), Seq("cluster_id"))
+      .select(col("cluster_id"), col(idCol))
+    val p = mem.select(col("cluster_id"), col(idCol).as("id_a"))
+      .join(mem.select(col("cluster_id"), col(idCol).as("id_b")),
+        Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+    val jac = ngramJaccard(docs, p.select(col("id_a"), col("id_b")),
+      textCol, idCol, k)
+    val snapped = TextAnalysis.round6(col("jaccard"))
+    val agg = jac
+      .join(mem.select(col(idCol).as("id_a"), col("cluster_id")), Seq("id_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(snapped).as("min_jaccard"),
+        TextAnalysis.round6(
+          sum(snapped.cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("avg_jaccard"))
+    sizes.join(agg, Seq("cluster_id"), "left")
+      .withColumn("audited",
+        col("size") >= 2 && col("size") <= maxClusterSize)
+  }
+
   /** Asymmetric shingle CONTAINMENT for candidate pairs — the
     * partial-copy detector symmetric Jaccard misses: a short document
     * fully quoted inside a long one has low Jaccard (the union is big)

@@ -1468,6 +1468,18 @@ object PipelinePack extends QueryPack {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // cohesion audit over the q97 clusters: ALL member pairs re-scored
+    // with exact jaccard — the chain-merge detector (CC's transitivity
+    // can weld A~B~C with A and C sharing nothing)
+    "q296_cluster_cohesion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshCandidatePairs(docs,
+        maxBucketSize = Some(50), persistBands = true).select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(pairs)
+      Dedup.clusterCohesion(docs, clusters, maxClusterSize = 50)
+        .orderBy(col("cluster_id"))
+    }),
+
     // corpus-wide paragraph dedup (C4/RefinedWeb-style boilerplate removal:
     // a paragraph survives only in the doc where it first occurs). The
     // synthetic corpus has no cross-doc duplicate paragraphs, so the gate
@@ -3573,6 +3585,53 @@ object PipelinePack extends QueryPack {
           |  len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) +
           |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_redactions
           |FROM docs ORDER BY doc_id""".stripMargin,
+      // q97's clusters + q43's exact-jaccard algebra over ALL member pairs
+      "q296_cluster_cohesion" ->
+        s"""${bandsSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |p0 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |       FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
+           |       WHERE l.doc_id < r.doc_id),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p0 UNION SELECT id_b, id_a FROM p0),
+           |nodes AS (SELECT DISTINCT a AS id FROM e),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.b, reach.lbl FROM reach JOIN e ON e.a = reach.id),
+           |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM cl GROUP BY 1),
+           |mem AS (SELECT cl.* FROM cl JOIN sz USING (cluster_id)
+           |        WHERE size BETWEEN 2 AND 50),
+           |pp AS (SELECT a.cluster_id, a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM mem a JOIN mem b
+           |       ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+           |sh AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM w),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, COUNT(*) AS i
+           |  FROM pp p JOIN sh a ON a.doc_id = p.id_a
+           |            JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2),
+           |jac AS (
+           |  SELECT p.cluster_id,
+           |    FLOOR(CAST(COALESCE(i.i, 0) AS DOUBLE)
+           |      / (ca.n + cb.n - COALESCE(i.i, 0)) * 1e6 + 0.5) / 1e6 AS j
+           |  FROM pp p
+           |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+           |  JOIN cnt ca ON ca.doc_id = p.id_a
+           |  JOIN cnt cb ON cb.doc_id = p.id_b),
+           |agg AS (
+           |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    MIN(j) AS min_jaccard,
+           |    FLOOR(CAST(SUM(CAST(j AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           |      * 1e6 + 0.5) / 1e6 AS avg_jaccard
+           |  FROM jac GROUP BY 1)
+           |SELECT sz.cluster_id, sz.size, agg.n_pairs, agg.min_jaccard,
+           |  agg.avg_jaccard, sz.size BETWEEN 2 AND 50 AS audited
+           |FROM sz LEFT JOIN agg USING (cluster_id)
+           |ORDER BY cluster_id""".stripMargin,
+
       "q97_dedup_clusters" ->
         s"""${bandsSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
            |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 50),

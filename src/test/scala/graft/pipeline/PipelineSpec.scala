@@ -663,6 +663,33 @@ class PipelineSpec extends SparkTestBase {
     assert(raw.length === raw.toSet.size, "pairs must meet exactly once")
   }
 
+  test("clusterCohesion: a chained cluster shows a near-zero min; big clusters report unaudited") {
+    // A~B and B~C are near-dups but A and C share almost nothing
+    val t = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon QQQ"),
+      (3L, "QQQ RRR SSS TTT UUU VVV"),
+      (9L, "totally unrelated text here now")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.clusterCohesion(t, clusters, maxClusterSize = 10)
+      .as[(Long, Long, Option[Long], Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val c1 = out(1L)
+    assert(c1._2 === 3L && c1._3 === Some(3L) && c1._6)
+    assert(c1._4.exists(_ < 0.05), s"the A-C chain pair must score near 0: $c1")
+    assert(c1._5.exists(_ > c1._4.get), "mean above min")
+    // singleton: present, unaudited metrics NULL
+    val c9 = out(9L)
+    assert(c9._2 === 1L && c9._3 === None && !c9._6)
+    // over the cap: reported but unaudited
+    val big = Dedup.clusterCohesion(t, clusters, maxClusterSize = 2)
+      .as[(Long, Long, Option[Long], Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(big(1L)._3 === None && !big(1L)._6,
+      "a cluster past the cap must skip the quadratic audit")
+  }
+
   test("mutualPairs keeps only symmetric edges: the asymmetric hub drops out") {
     // hand ranked frame with k=1: 1->2, 2->1 (mutual); 3->1 but 1's one
     // slot is taken by 2, so (1,3) is one-directional and must drop
