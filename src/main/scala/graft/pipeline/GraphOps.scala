@@ -520,4 +520,156 @@ object GraphOps {
       .select(col("node"), col("hub"), col("auth"))
     CacheScope.releaseAfterFirstUse(out, Seq(e, nodes))
   }
+
+  /** Newman MODULARITY of a given community assignment — the "is this
+    * partition actually community-like?" audit for whatever produced it
+    * ([[labelPropagation]], an external clustering, a domain grouping):
+    * Q = Σ_c [ m_c/m − (D_c/2m)² ] over communities c, where m is the
+    * undirected edge count, m_c the edges with BOTH endpoints in c and
+    * D_c the total degree mass of c's nodes (Newman & Girvan 2004). Q > 0
+    * means denser-than-chance communities; Q ≈ 0 means the labels are
+    * noise — the go/no-go gate before a community column drives sampling
+    * or dedup decisions.
+    *
+    * Engine-exact: edges are canonicalized (a < b, self-loops dropped,
+    * duplicates collapsed), so m, m_c, D_c are exact integers; each
+    * community's contribution is the integer combination
+    * (4·m·m_c − D_c²) / (4m²) with ONE double division, snapped. The
+    * total is the exact DECIMAL sum of the integer numerators divided
+    * once — order-independent.
+    *
+    * Scale shape: two keyed joins (each edge endpoint → its community)
+    * plus keyed aggregations; nothing is per-node quadratic and no
+    * corpus-wide window appears. Nodes missing from `assign` form an
+    * implicit `null` community (flagged in the output so silent coverage
+    * gaps are visible rather than folded into Q).
+    *
+    * Output: one row per community, ordered columns
+    * (community, n_nodes, m_in, deg_sum, contribution) — `n_nodes`
+    * counting only nodes that appear in the graph — plus the scalar
+    * total via [[modularityTotal]].
+    */
+  def modularity(edges: DataFrame, assign: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", commCol: String = "community"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val asg = assign.select(col(nodeCol).as("__node"), col(commCol).as("community"))
+    // degree over the symmetric view of the canonical edge set
+    val deg = e.select(col("a").as("__node"))
+      .unionAll(e.select(col("b").as("__node")))
+      .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
+    val degC = deg.join(asg, Seq("__node"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("deg_sum"))
+    val mIn = e
+      .join(asg.select(col("__node").as("a"), col("community").as("__ca")), Seq("a"), "left")
+      .join(asg.select(col("__node").as("b"), col("community").as("__cb")), Seq("b"), "left")
+      .filter(col("__ca").isNotNull && col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("m_in"))
+    // m stays a broadcast 1-row frame — no driver action
+    val mRow = e.agg(count(lit(1)).as("__m"))
+    val out = degC.join(mIn, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_in"), lit(0L)).as("m_in"), col("deg_sum"),
+        TextAnalysis.round6(
+          (lit(4L) * col("__m") * coalesce(col("m_in"), lit(0L)) -
+            col("deg_sum") * col("deg_sum")).cast("double") /
+            (lit(4.0) * col("__m") * col("__m"))).as("contribution"))
+    CacheScope.releaseAfterFirstUse(out, Seq(e))
+  }
+
+  /** Scalar modularity Q: exact DECIMAL sum of the per-community integer
+    * numerators (4·m·m_c − D_c²), ONE double division, snapped — so the
+    * total does not accumulate per-community rounding.
+    * Output: one row (modularity, m, n_communities).
+    */
+  def modularityTotal(edges: DataFrame, assign: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", commCol: String = "community"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val asg = assign.select(col(nodeCol).as("__node"), col(commCol).as("community"))
+    val deg = e.select(col("a").as("__node"))
+      .unionAll(e.select(col("b").as("__node")))
+      .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
+    val degC = deg.join(asg, Seq("__node"), "left")
+      .groupBy(col("community")).agg(sum(col("__deg")).as("deg_sum"))
+    val mIn = e
+      .join(asg.select(col("__node").as("a"), col("community").as("__ca")), Seq("a"), "left")
+      .join(asg.select(col("__node").as("b"), col("community").as("__cb")), Seq("b"), "left")
+      .filter(col("__ca").isNotNull && col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community")).agg(count(lit(1)).as("m_in"))
+    val mRow = e.agg(count(lit(1)).as("__m"))
+    val out = degC.join(mIn, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .agg(
+        sum((lit(4L) * col("__m") * coalesce(col("m_in"), lit(0L)) -
+          col("deg_sum") * col("deg_sum")).cast("decimal(38,0)")).as("__num"),
+        first(col("__m")).as("m"),
+        count(lit(1)).as("n_communities"))
+      .select(
+        when(col("m") > 0, TextAnalysis.round6(
+          col("__num").cast("double") / (lit(4.0) * col("m") * col("m"))))
+          .as("modularity"),
+        col("m"), col("n_communities"))
+    CacheScope.releaseAfterFirstUse(out, Seq(e))
+  }
+
+  /** ADAMIC-ADAR link prediction (Adamic & Adar 2003) — score every
+    * non-adjacent pair that shares at least one neighbor by
+    * Σ_z 1/ln(deg z) over the common neighbors z: the classic
+    * "which edge is missing?" signal for graph densification, related-
+    * domain suggestion, and entity-graph completion, weighting rare
+    * shared neighbors above hubs (everything links the big hub — sharing
+    * it says nothing).
+    *
+    * Scale shape: candidate pairs come from ONE wedge self-join keyed by
+    * the shared center z, so the work is Σ_z deg(z)² — quadratic in HUB
+    * degree, not in graph size. `maxDegree` drops hubs AS WEDGE CENTERS
+    * before the join (their 1/ln(deg) weight is the smallest anyway),
+    * bounding the fan-out at maxDegree·|E|; hub-adjacent pairs can still
+    * surface through their other, informative common neighbors. This is
+    * the standard production trade (same cap family as
+    * [[Dedup.lshCandidatePairs]]'s hot-bucket cap) and is the documented
+    * recall contract, not a silent truncation. Per-center weights are
+    * snapped to the 1e-6 grid and summed as exact DECIMAL —
+    * order-independent, engine-reproducible. Existing edges are removed
+    * with one anti-join on the canonical (a < b) key.
+    *
+    * Output: (a, b, common_neighbors, adamic_adar), a < b.
+    */
+  def adamicAdar(edges: DataFrame, maxDegree: Int = 64,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxDegree >= 2, s"adamicAdar: maxDegree must be >= 2, got $maxDegree")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("__deg"))
+    // a center needs deg >= 2 to form a wedge, so ln(deg) > 0 always
+    val centers = sym.join(
+      deg.filter(col("__deg") >= 2 && col("__deg") <= maxDegree), Seq("z"))
+      .withColumn("__w", TextAnalysis.round6(lit(1.0) / log(col("__deg"))))
+    val wedges = centers.select(col("z"), col("n").as("x"), col("__w"))
+      .join(centers.select(col("z"), col("n").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+    val scored = wedges.groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__w").cast("decimal(38,6)")).cast("double").as("adamic_adar"))
+    val out = scored.join(e, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("common_neighbors"), col("adamic_adar"))
+    CacheScope.releaseAfterFirstUse(out, Seq(e))
+  }
 }

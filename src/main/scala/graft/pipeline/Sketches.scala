@@ -852,4 +852,123 @@ object Sketches {
       .withColumn("est_distinct",
         TextAnalysis.round6(lit(numerator) / col("harmonic_scaled")))
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic — the whole-shape drift
+    * detector next to [[chiSquareDrift]] (which needs a grid and loses
+    * within-bin movement) and [[welchT]] (which only sees the mean):
+    * D = max_x |F_a(x) − F_b(x)| over the empirical CDFs. The usual
+    * rejection line D > c(α)·√((n_a+n_b)/(n_a·n_b)) is left to the
+    * consumer like the other tests' quantile lookups; the output carries
+    * the √-scaled statistic so that comparison is one multiply.
+    *
+    * Engine-exact: values snap to the 1e-6 grid, per-DISTINCT-value
+    * counts come from one keyed aggregation, and the CDF gap is
+    * maximized as the exact INTEGER |ca·n_b − cb·n_a| (cumulative counts
+    * cross-scaled — no per-row double division to disagree across
+    * engines); D = that max divided once, snapped. The cumulative walk
+    * runs over DISTINCT values only (the [[Classifier.aucRoc]] pattern)
+    * — a single-partition window bounded by value cardinality, not row
+    * count; snapped doubles cap it at ~2·10⁹ cells and real drift
+    * monitors bin far coarser.
+    *
+    * Output: one row (d, d_scaled, n_a, n_b) — `d_scaled` =
+    * round6(D·√(n_a·n_b/(n_a+n_b))), the quantity compared against c(α).
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(TextAnalysis.round6(col(valueCol).cast("double")).as("__v"),
+          lit(tag).as("__side"))
+    val counts = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy().orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    // grand totals ride every row as a broadcast 1-row frame so the gap
+    // is the exact integer |ca·n_b − cb·n_a| with no per-row division
+    val tot = counts.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val gap = cum.crossJoin(broadcast(tot))
+      .select(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a"))
+        .as("__gap"), col("n_a"), col("n_b"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__gap")).as("__gapmax"))
+    gap.select(
+      when(col("n_a") > 0 && col("n_b") > 0, TextAnalysis.round6(
+        col("__gapmax").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))).as("d"),
+      when(col("n_a") > 0 && col("n_b") > 0, TextAnalysis.round6(
+        (col("__gapmax").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))) *
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double") /
+            (col("n_a") + col("n_b")).cast("double")))).as("d_scaled"),
+      col("n_a"), col("n_b"))
+  }
+
+  /** MANN–WHITNEY U / Wilcoxon rank-sum — the nonparametric "did the
+    * distribution shift?" test that [[welchT]]'s mean comparison misses
+    * when the data is heavy-tailed or ordinal (quality scores, ranks,
+    * latencies): U counts how often an `a` value beats a `b` value, ties
+    * counting half. Reported with the tie-corrected normal
+    * approximation z = (U − n_a·n_b/2)/σ, σ² = (n_a·n_b/12)·((n+1) −
+    * Σ(t³−t)/(n(n−1))) over tie-group sizes t (the standard correction;
+    * p-value lookup left to the consumer as in [[welchT]]).
+    *
+    * Engine-exact: values snap, per-distinct-value counts aggregate
+    * exactly, and 2U is assembled as an exact integer from midranks:
+    * 2·R_a = Σ cnt_a·(2·c_before + t + 1) in DECIMAL, 2U = 2R_a −
+    * n_a(n_a+1); U = that/2 is exact in IEEE (an integer halved). The
+    * tie term Σ(t³−t) is an exact DECIMAL integer too; only σ and z run
+    * in double, with a fixed expression shape both engines reproduce.
+    * Same distinct-value cumulative walk as [[ksTest]] — bounded by
+    * value cardinality, not rows.
+    *
+    * Output: one row (u_a, z, n_a, n_b); z is NULL when σ² ≤ 0 (all
+    * values tied) or either side is empty.
+    */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(TextAnalysis.round6(col(valueCol).cast("double")).as("__v"),
+          lit(tag).as("__side"))
+    val counts = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.partitionBy().orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts.withColumn("__cbefore",
+      coalesce(sum(col("__t")).over(w), lit(0L)))
+    val agg = cum.agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+      sum((col("__ca") * (lit(2L) * col("__cbefore") + col("__t") + 1L))
+        .cast("decimal(38,0)")).as("__r2a"),
+      sum((col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast("decimal(38,0)")).as("__ties"))
+    agg.select(
+      when(col("n_a") > 0 && col("n_b") > 0,
+        (col("__r2a").cast("double") -
+          col("n_a").cast("double") * (col("n_a") + 1L).cast("double")) / 2.0)
+        .as("u_a"),
+      col("n_a"), col("n_b"), col("__ties"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("__sigma2",
+        when(col("n_a") > 0 && col("n_b") > 0 && col("__n") > 1,
+          (col("n_a").cast("double") * col("n_b").cast("double") / 12.0) *
+            ((col("__n") + 1L).cast("double") -
+              col("__ties").cast("double") /
+                (col("__n").cast("double") * (col("__n") - 1L).cast("double")))))
+      .select(col("u_a"),
+        when(col("__sigma2") > 0, TextAnalysis.round6(
+          (col("u_a") - col("n_a").cast("double") * col("n_b").cast("double") / 2.0) /
+            sqrt(col("__sigma2")))).as("z"),
+        col("n_a"), col("n_b"))
+  }
+
 }

@@ -238,4 +238,59 @@ class GraphOpsSpec extends SparkTestBase {
     assert(out("t")._1 === 0.0, "sink has no out-edges -> hub 0")
     assert(out.values.forall { case (h, a) => h >= 0 && a >= 0 })
   }
+
+  test("modularity: two triangles + bridge, true split vs all-in-one vs cross split") {
+    // triangles {a,b,c}, {d,e,f}, bridge c-d: m=7, degrees 2,2,3,3,2,2
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "d", "e", "f")
+    def run(asg: Map[String, Long]): (Map[Long, (Long, Long, Long, Double)], Double) = {
+      val a = nodes.map(n => (n, asg(n))).toDF("node", "community")
+      val per = GraphOps.modularity(edges, a)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val tot = GraphOps.modularityTotal(edges, a)
+        .as[(Option[Double], Long, Long)].head()
+      assert(tot._2 === 7L)
+      (per, tot._1.get)
+    }
+    // true communities: m_c = 3, D_c = 7 each -> contribution
+    // (4*7*3 - 49)/196 = 35/196 = 0.178571..., Q = 70/196 = 0.357143
+    val (perTrue, qTrue) = run(Map("a" -> 0L, "b" -> 0L, "c" -> 0L,
+      "d" -> 1L, "e" -> 1L, "f" -> 1L))
+    assert(perTrue(0L) === ((3L, 3L, 7L, 0.178571)))
+    assert(perTrue(1L) === ((3L, 3L, 7L, 0.178571)))
+    assert(qTrue === 0.357143)
+    // everything in one community -> Q exactly 0 (4*7*7 - 14^2 = 0)
+    val (_, qOne) = run(nodes.map(_ -> 0L).toMap)
+    assert(qOne === 0.0)
+    // cross split {a,d},{b,e},{c,f}: no within edges, D = 5,4,5
+    // -> Q = (0-25 + 0-16 + 0-25)/196 = -66/196 = -0.336735
+    val (perX, qX) = run(Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "e" -> 1L,
+      "c" -> 2L, "f" -> 2L))
+    assert(perX(0L)._2 === 0L && qX === -0.336735)
+    // true split beats both, as modularity should rank them
+    assert(qTrue > qOne && qOne > qX)
+  }
+
+  test("adamicAdar: square scores the two diagonals; adjacency and hub caps filter") {
+    // 4-cycle a-b-c-d: non-adjacent pairs (a,c) and (b,d), each with two
+    // degree-2 common neighbors -> score 2 * round6(1/ln 2) = 2.88539
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val out = GraphOps.adamicAdar(square)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(("a", "c") -> ((2L, 2.88539)), ("b", "d") -> ((2L, 2.88539))))
+    // triangle: every wedge pair is already an edge -> empty
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    assert(GraphOps.adamicAdar(tri).count() === 0L)
+    // star with a 3-degree hub, maxDegree=2 drops it as a wedge center
+    val star = Seq(("z", "a"), ("z", "b"), ("z", "c")).toDF("src", "dst")
+    assert(GraphOps.adamicAdar(star, maxDegree = 2).count() === 0L)
+    val full = GraphOps.adamicAdar(star, maxDegree = 3)
+      .as[(String, String, Long, Double)].collect()
+    // 1/ln(3) = 0.910239 snapped, three leaf pairs
+    assert(full.length === 3 && full.forall(r => r._3 == 1L && r._4 == 0.910239))
+  }
 }

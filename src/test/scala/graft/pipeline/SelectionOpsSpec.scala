@@ -573,4 +573,75 @@ class SelectionOpsSpec extends SparkTestBase {
       saltBuckets = 4).collect().map(_.toSeq).sortBy(_.toString)
     assert(salted.toSeq === plain.toSeq)
   }
+
+  test("ksTest: identical samples D=0, disjoint samples D=1, hand-derived overlap") {
+    def df(xs: Double*) = xs.map(Tuple1(_)).toDF("v")
+    val same = Sketches.ksTest(df(1, 2, 3), df(1, 2, 3), "v")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(same === ((Some(0.0), Some(0.0), 3L, 3L)))
+    val disjoint = Sketches.ksTest(df(1, 2), df(3, 4), "v")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(disjoint === ((Some(1.0), Some(1.0), 2L, 2L)))
+    // a={1,1,2}, b={2,3}: max integer gap at v=1 is |2*2-0*3|=4
+    // -> D = 4/6 = 0.666667; scaled by sqrt(6/5) -> 0.730297
+    val mix = Sketches.ksTest(df(1, 1, 2), df(2, 3), "v")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(mix === ((Some(0.666667), Some(0.730297), 3L, 2L)))
+  }
+
+  test("mannWhitneyU: textbook separation and tie-corrected z") {
+    def df(xs: Double*) = xs.map(Tuple1(_)).toDF("v")
+    // a={1,2,3} all below b={4,5,6}: R_a=6, U_a=0, sigma^2=5.25,
+    // z = -4.5/sqrt(5.25) = -1.963961
+    val sep = Sketches.mannWhitneyU(df(1, 2, 3), df(4, 5, 6), "v")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(sep === ((Some(0.0), Some(-1.963961), 3L, 3L)))
+    // ties: a={1,2,2}, b={2,3}: midrank of the 2s is 3 -> R_a=7, U_a=1,
+    // T=24, sigma^2 = 0.5*(6 - 24/20) = 2.4, z = -2/sqrt(2.4) = -1.290994
+    val tied = Sketches.mannWhitneyU(df(1, 2, 2), df(2, 3), "v")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(tied === ((Some(1.0), Some(-1.290994), 3L, 2L)))
+    // all values tied on both sides -> sigma^2 = 0 -> z NULL, U = n_a*n_b/2
+    val flat = Sketches.mannWhitneyU(df(5, 5), df(5), "v")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(flat === ((Some(1.0), None, 2L, 1L)))
+  }
+
+  test("funnelSteps: strictly-after ordering, per-step counts and conversions") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      ("u1", t(10), "view"), ("u1", t(20), "click"), ("u1", t(30), "purchase"),
+      ("u2", t(10), "view"), ("u2", t(5), "click"), // click BEFORE view
+      ("u3", t(10), "view"),
+      ("u4", t(10), "view"), ("u4", t(10), "click") // same instant: not after
+    ).toDF("user_id", "ts", "event_type")
+    val out = Sketches.funnelSteps(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out === Array(
+      (1, "view", 4L, Some(1.0)),
+      (2, "click", 1L, Some(0.25)),
+      (3, "purchase", 1L, Some(0.25))))
+    // earliest-completion greedy: a later re-view does not reset the clock
+    val re = Seq(("u", t(10), "view"), ("u", t(50), "view"), ("u", t(20), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out2 = Sketches.funnelSteps(re, "user_id", "ts", "event_type",
+      Seq("view", "click")).as[(Int, String, Long, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out2.map(r => (r._1, r._3)) === Array((1, 1L), (2, 1L)))
+  }
+
+  test("retentionCohorts: epoch-week cohorts with hand-derived retention") {
+    def t(week: Long, off: Long = 7) = new java.sql.Timestamp((week * 604800L + off) * 1000L)
+    val ev = Seq(
+      ("u1", t(0)), ("u1", t(1)), ("u1", t(1, 100)), // dup week collapses
+      ("u2", t(0)),
+      ("u3", t(1)), ("u3", t(2))
+    ).toDF("user_id", "ts")
+    val out = Sketches.retentionCohorts(ev, "user_id", "ts")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0)))
+  }
 }
