@@ -971,4 +971,103 @@ object Sketches {
         col("n_a"), col("n_b"))
   }
 
+  /** FUNNEL STEP SUMMARY over arbitrary (user, ts, event) columns — the
+    * per-step report every conversion dashboard shows: how many users
+    * reached step k, and the rate vs step 1. Ordering is STRICT
+    * ("after", not "at or after") and greedy-earliest: step 1's witness
+    * is the user's earliest step-1 event; step k's witness is the
+    * earliest step-k event strictly after the step-(k-1) witness, so a
+    * later re-occurrence of an earlier step never resets the clock.
+    *
+    * Scale shape: one keyed min-aggregation per step over that step's
+    * OWN filtered slice of the events (the filter is a pushed codegen
+    * predicate — each pass shuffles only one step's events), chained by
+    * keyed left joins on the user; nothing is ordered globally and no
+    * per-user event list is materialized, so a power-law user is just a
+    * bigger min() group. The final counts fold in ONE global aggregation
+    * unpivoted through a literal-array explode.
+    *
+    * The fixed-schema ns-long twin for the gated events stream is
+    * [[graft.streaming.EventStream.funnel]] (per-user witness frame);
+    * this is the column-generalized summary over any orderable ts type.
+    * Output: (step: int, event_type, n_users, conversion); conversion =
+    * round6(n_k / n_1), NULL when nobody completes step 1.
+    */
+  def funnelSteps(ev: DataFrame, userCol: String, tsCol: String,
+      eventCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: need at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnelSteps: steps must be distinct, got $steps")
+    def slice(t: String) = ev.filter(col(eventCol) === lit(t))
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+    var acc = slice(steps.head).groupBy(col("__u"))
+      .agg(min(col("__ts")).as("__t1"))
+    for (i <- 2 to steps.length) {
+      val next = slice(steps(i - 1)).select(col("__u").as("__u2"), col("__ts"))
+      acc = acc.join(next,
+          col("__u") === col("__u2") && col("__ts") > col(s"__t${i - 1}"),
+          "left")
+        .groupBy(acc.columns.map(col): _*)
+        .agg(min(col("__ts")).as(s"__t$i"))
+    }
+    val agg = acc.agg(count(col("__t1")).as("__n1"),
+      (2 to steps.length).map(i => count(col(s"__t$i")).as(s"__n$i")): _*)
+    val rows = steps.indices.map(i =>
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+        col(s"__n${i + 1}").as("n_users")))
+    agg.select(col("__n1"), explode(array(rows: _*)).as("__s"))
+      .select(col("__s.step").as("step"),
+        col("__s.event_type").as("event_type"),
+        col("__s.n_users").as("n_users"),
+        when(col("__n1") > 0, TextAnalysis.round6(
+          col("__s.n_users").cast("double") / col("__n1"))).as("conversion"))
+  }
+
+  /** RETENTION CURVE over arbitrary (user, ts) columns — per (cohort
+    * week, week offset), the fraction of the cohort still active. A
+    * user's cohort is the epoch week (ts seconds integrally divided by
+    * 604800; pre-epoch timestamps would shift a bucket — same caveat as
+    * DuckDB's floor-dividing `//` only for negative epochs) of their
+    * FIRST event; offset-0 retention is 1.0 by construction.
+    *
+    * Scale shape: project to distinct (user, week) pairs first (the only
+    * state that matters — a user's duplicate events within a week
+    * collapse before any join), one keyed min for the cohort, one keyed
+    * join + count for the activity matrix, and the per-cohort sizes (one
+    * row per cohort) broadcast back for the ratio. The fixed-schema
+    * ns-long count-matrix twin is
+    * [[graft.streaming.EventStream.retentionCohorts]]. `tsCol` may be a
+    * TIMESTAMP (epoch seconds via unix_timestamp) or an integral column,
+    * which is read under the repo-wide ns-since-epoch contract
+    * ([[graft.Tables.eventsWithTs]]).
+    * Output: (cohort_week, week_offset, n_users, retention), retention
+    * 6-dec snapped.
+    */
+  def retentionCohorts(ev: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, IntegerType, TimestampType}
+    def idiv(a: org.apache.spark.sql.Column, b: Long) =
+      org.apache.spark.sql.graftbridge.Bridge.integralDivide(a, lit(b))
+    val secs = ev.schema(tsCol).dataType match {
+      case TimestampType => unix_timestamp(col(tsCol))
+      case LongType | IntegerType => idiv(col(tsCol), 1000000000L)
+      case dt => throw new IllegalArgumentException(
+        s"retentionCohorts: ts column $tsCol must be TIMESTAMP or integral ns, got $dt")
+    }
+    val weeks = ev.select(col(userCol).as("__u"),
+        idiv(secs, 604800L).as("__w"))
+      .distinct()
+    val cohort = weeks.groupBy(col("__u")).agg(min(col("__w")).as("cohort_week"))
+    val act = weeks.join(cohort, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1L)).as("n_users"))
+    val size = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1L)).as("__size"))
+    act.join(broadcast(size), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        TextAnalysis.round6(
+          col("n_users").cast("double") / col("__size")).as("retention"))
+  }
+
 }

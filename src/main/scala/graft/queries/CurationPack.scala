@@ -452,6 +452,21 @@ object CurationPack extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // conversion funnel summary view -> click -> purchase: strict-after
+    // greedy-earliest witnesses folded to per-step counts + rates
+    "q297_funnel_steps" -> ((s, d) => {
+      Sketches.funnelSteps(Tables.eventsWithTs(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    }),
+
+    // weekly retention curve: cohort = first-activity epoch week,
+    // fraction of the cohort still active at each week offset
+    "q298_retention_curve" -> ((s, d) => {
+      Sketches.retentionCohorts(Tables.eventsWithTs(s, d), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // per-language AUC (the grouped form: per-stratum ranking quality)
     "q267_auc_by_lang" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("lang"),
@@ -857,6 +872,52 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q297_funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |n AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3)
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN n1 > 0 THEN
+        |    FLOOR(CAST(n_users AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6
+        |  END AS conversion
+        |FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, n1 AS n_users, n1 FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', n2, n1 FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3, n1 FROM n)
+        |ORDER BY step""".stripMargin,
+
+    "q298_retention_curve" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 604800 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week, w.wk - c.cohort_week AS week_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM w JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT act.cohort_week, act.week_offset, act.n_users,
+        |  FLOOR(CAST(act.n_users AS DOUBLE) / sz.n * 1e6 + 0.5) / 1e6
+        |    AS retention
+        |FROM act JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q295_benford" ->
       """WITH src AS (

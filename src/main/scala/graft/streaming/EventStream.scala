@@ -696,24 +696,6 @@ object EventStream {
         col("n_active_users"))
   }
 
-  /** RETENTION RATES — [[retentionCohorts]]'s count matrix normalized into
-    * the curve every retention readout actually plots: per (cohort, week
-    * offset), the fraction of the cohort's week-0 users still active.
-    * One extra keyed join against the age-0 slice (one row per cohort —
-    * a broadcast dimension), ratio snapped to the 1e-6 grid; offset 0 is
-    * 1.0 by construction since week 0 defines the cohort.
-    * Output: (cohort_week, week_offset, n_active_users, retention).
-    */
-  def retentionRates(events: DataFrame): DataFrame = {
-    val m = retentionCohorts(events)
-    val base = m.filter(col("week_offset") === 0)
-      .select(col("cohort_week"), col("n_active_users").as("__n0"))
-    m.join(broadcast(base), Seq("cohort_week"))
-      .select(col("cohort_week"), col("week_offset"), col("n_active_users"),
-        graft.pipeline.TextAnalysis.round6(
-          col("n_active_users").cast("double") / col("__n0")).as("retention"))
-  }
-
   /** Ordered FUNNEL analysis: for each user, the earliest time they
     * completed each step of `steps` IN ORDER (step i+1 strictly after
     * step i) — the conversion-funnel query every product-analytics
@@ -801,30 +783,6 @@ object EventStream {
         .agg(min(col("__us")).as(s"step${i}_us"))
     }
     acc
-  }
-
-  /** FUNNEL CONVERSION table — [[funnel]]'s per-user witness frame folded
-    * into the summary every dashboard shows: per step, how many users
-    * reached it and the conversion rate vs step 1. ONE global aggregation
-    * over the witness frame (count of each step's non-NULL completion
-    * time) unpivoted through a literal-array explode — no second pass
-    * over the events.
-    * Output: (step_idx, step, n_users, conversion), conversion =
-    * round6(n_i / n_1), NULL when nobody completes step 1.
-    */
-  def funnelConversion(events: DataFrame, steps: Seq[String]): DataFrame = {
-    val wit = funnel(events, steps)
-    val agg = wit.agg(count(col("step1_us")).as("__n1"),
-      steps.indices.tail.map(i =>
-        count(col(s"step${i + 1}_us")).as(s"__n${i + 1}")): _*)
-    val rows = steps.indices.map(i =>
-      struct(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
-        col(s"__n${i + 1}").as("n_users")))
-    agg.select(col("__n1"), explode(array(rows: _*)).as("__s"))
-      .select(col("__s.step_idx").as("step_idx"), col("__s.step").as("step"),
-        col("__s.n_users").as("n_users"),
-        when(col("__n1") > 0, graft.pipeline.TextAnalysis.round6(
-          col("__s.n_users").cast("double") / col("__n1"))).as("conversion"))
   }
 
   /** Per-group z-score anomaly flags — the monitoring staple over a metric
