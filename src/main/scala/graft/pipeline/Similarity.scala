@@ -171,6 +171,76 @@ object Similarity {
           coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
+  /** nDCG@k — GRADED ranking quality (Järvelin/Kekäläinen 2002), the
+    * retrieval-eval companion to [[recallAtK]]'s set overlap: position r
+    * contributes gain (2^rel − 1)/log2(r + 1), normalized by the IDEAL
+    * ordering's DCG so 1.0 = perfect. Engine-exact like [[rrfFuse]]:
+    * each position's term snaps to the 1e-6 grid and the per-query sums
+    * run in exact decimal, so partial-agg order can't move the result.
+    *
+    * Scale shape: the ranked frame is already ≤ queries × k rows; the
+    * relevance join is (query, id)-keyed; the ideal DCG ranks each
+    * query's RELEVANT set with a keyed window (cost = relevant rows per
+    * query, never the corpus). Missing relevance = gain 0. Output:
+    * (queryIdCol, dcg, idcg, ndcg) per query in `ranked`; ndcg NULL when
+    * the query has no relevant documents (idcg 0).
+    */
+  def ndcgAtK(ranked: DataFrame, relevance: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k must be >= 1, got $k")
+    def gainTerm(rel: org.apache.spark.sql.Column,
+        pos: org.apache.spark.sql.Column) =
+      TextAnalysis.round6(
+        (pow(lit(2.0), rel) - 1.0) / log2(pos.cast("double") + 1.0))
+    val rel = relevance.select(col(queryIdCol), col(idCol),
+      col(relCol).cast("double").as("__rel"))
+    val dcg = ranked.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol), col(rankCol))
+      .join(rel, Seq(queryIdCol, idCol), "left")
+      .groupBy(col(queryIdCol))
+      .agg(sum(gainTerm(coalesce(col("__rel"), lit(0.0)), col(rankCol))
+        .cast("decimal(28,6)")).cast("double").as("dcg"))
+    val wI = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__rel").desc, col(idCol))
+    val idcg = rel.filter(col("__rel") > 0)
+      .withColumn("__ir", row_number().over(wI))
+      .filter(col("__ir") <= k)
+      .groupBy(col(queryIdCol))
+      .agg(sum(gainTerm(col("__rel"), col("__ir"))
+        .cast("decimal(28,6)")).cast("double").as("idcg"))
+    dcg.join(idcg, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("dcg"),
+        coalesce(col("idcg"), lit(0.0)).as("idcg"),
+        when(coalesce(col("idcg"), lit(0.0)) > 0,
+          TextAnalysis.round6(col("dcg") / col("idcg"))).as("ndcg"))
+  }
+
+  /** MRR@k — mean-reciprocal-rank's per-query half: 1/rank of the FIRST
+    * relevant result inside the top k, 0 when none is. The navigational
+    * retrieval metric ([[ndcgAtK]] grades the whole list; this grades
+    * time-to-first-hit). One (query, id)-keyed join + one keyed min —
+    * both inputs ≤ queries × k rows. Output: (queryIdCol,
+    * first_rel_rank nullable, rr 6-dec snapped) per query in `ranked`.
+    */
+  def mrrAtK(ranked: DataFrame, relevance: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"mrrAtK: k must be >= 1, got $k")
+    val rel = relevance.filter(col(relCol) > 0)
+      .select(col(queryIdCol), col(idCol))
+    val first = ranked.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol), col(rankCol))
+      .join(rel, Seq(queryIdCol, idCol), "left_semi")
+      .groupBy(col(queryIdCol))
+      .agg(min(col(rankCol)).as("first_rel_rank"))
+    ranked.select(col(queryIdCol)).distinct()
+      .join(first, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("first_rel_rank"),
+        coalesce(TextAnalysis.round6(
+          lit(1.0) / col("first_rel_rank")), lit(0.0)).as("rr"))
+  }
+
   /** Reciprocal-rank FUSION (Cormack/Clarke/Buettcher 2009): fuse any
     * number of per-query rankings into one — fused(d) = Σ_r 1/(k0 +
     * rank_r(d)) — the standard way hybrid search combines a lexical
@@ -890,6 +960,78 @@ object Similarity {
             .otherwise((floor((x - col("__mn")) * (lit(255.0) / (col("__mx") - col("__mn"))) + 0.5))
               .cast("int") - 128)).as("qvec"),
         col("__mn").as("q_min_v"), col("__mx").as("q_max_v"))
+  }
+
+  /** SIGN-BIT BINARY QUANTIZATION — the memory-bound end of the ANN
+    * storage ladder (int8 is 4x, this is ~32x: one bit per component).
+    * Bit = (component > 0), folded MSB-first into integer WORDS of 32
+    * bits each (not 64: a 64-bit fold's top bit would overflow checked
+    * BIGINT arithmetic — Spark ANSI and the SQL oracle both — so the
+    * portable form packs 32 bits/word; a production sink could repack
+    * pairs into longs at write time). Trailing partial word folds its
+    * own (shorter) slice. Stateless codegen'd per-row map — no corpus
+    * pass, unlike [[quantizeInt8]]'s global range scan.
+    * Output: input id + `bits` (array<long> of ceil(d/32) words).
+    */
+  def binarize(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", outCol: String = "bits"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val nWords = org.apache.spark.sql.graftbridge.Bridge
+      .integralDivide(size(v) + 31, lit(32L))
+    val words = transform(sequence(lit(0L), nWords - 1L), w =>
+      aggregate(slice(v, (w * 32L + 1L).cast("int"), lit(32)),
+        lit(0L), (a, x) => a * 2L + when(x > 0d, 1L).otherwise(0L)))
+    corpus.withColumn(outCol, words)
+  }
+
+  /** HAMMING-DISTANCE ANN over [[binarize]]d vectors with exact-cosine
+    * rerank — the two-stage shape memory-bound retrieval actually runs:
+    * the corpus SCAN touches only the bit words (popcount of XOR per
+    * word, ~32x less I/O than float vectors), the top-`candidates` per
+    * query by (hamming, id) survive, and only those few rows JOIN BACK
+    * to the full-precision vectors for the exact cosine top-k. The
+    * query batch broadcasts onto the bits scan; the candidate set is
+    * ≤ queries x candidates rows, so the rerank join broadcasts too —
+    * the float vectors are never shuffled or scanned wholesale.
+    * Output: (query_id, vec_id, hamming, cosine, rank ∈ 1..k), rank by
+    * (cosine desc, id), cosine 6-dec snapped.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      candidates: Int = 20, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    require(candidates >= k,
+      s"hammingTopK: candidates ($candidates) must be >= k ($k)")
+    val cb = binarize(corpus, idCol, vecCol).select(col(idCol), col("bits"))
+    val qb = binarize(queries, queryIdCol, vecCol)
+      .select(col(queryIdCol), col("bits").as("__qb"))
+    val ham = aggregate(
+      zip_with(col("__qb"), col("bits"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (a, h) => a + h)
+    val wH = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("hamming"), col(idCol))
+    val cand = cb.join(broadcast(qb),
+        sameWidth(col("__qb"), col("bits"), "hammingTopK"))
+      .withColumn("hamming", ham)
+      .withColumn("__r", row_number().over(wH))
+      .filter(col("__r") <= candidates)
+      .select(col(queryIdCol), col(idCol), col("hamming"))
+    val cv = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm2(col("__cv")))
+    val qv = queries.select(col(queryIdCol),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm2(col("__qv")))
+    val wC = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    cand.join(cv, Seq(idCol)).join(qv, Seq(queryIdCol))
+      .filter(sameWidth(col("__qv"), col("__cv"), "hammingTopK"))
+      .withColumn("cosine", TextAnalysis.round6(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("hamming"), col("cosine"),
+        col("rank"))
   }
 
   /** The IVF QUERY path: each query probes its `nprobe` nearest cells and

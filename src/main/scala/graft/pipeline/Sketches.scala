@@ -1023,6 +1023,108 @@ object Sketches {
           col("__s.n_users").cast("double") / col("__n1"))).as("conversion"))
   }
 
+  /** THETA-SKETCH SET ALGEBRA — distinct-cardinality estimates for the
+    * UNION, INTERSECTION, and per-side counts of two key sets, plus the
+    * Jaccard estimate, without ever shuffling the full key streams. Both
+    * sides keep only keys whose uniform 32-bit hash falls below 2^32/θ⁻¹
+    * (the SAME salt → the same retained subspace, which is what makes
+    * the set algebra valid: a key survives on either side iff it
+    * survives on both), the survivors merge in ONE keyed aggregation
+    * carrying two membership bits, and every estimate is survivor-count
+    * × θ⁻¹ — exact integer arithmetic end to end, like [[thetaDistinct]].
+    *
+    * Scale shape: the hash filters are stateless codegen'd predicates
+    * that drop (θ⁻¹-1)/θ⁻¹ of each side BEFORE the one shuffle; the
+    * estimate error is ~sqrt(θ⁻¹/n) relative. Output: one row
+    * (sampled_a/b/intersection/union, est_a/b/intersection/union,
+    * jaccard_est 6-dec snapped, NULL when the sampled union is empty).
+    */
+  def thetaSetOps(a: DataFrame, b: DataFrame, keyCol: String,
+      thetaInverse: Int, salt: String = "theta"): DataFrame = {
+    require(thetaInverse >= 1,
+      s"thetaSetOps: thetaInverse must be >= 1, got $thetaInverse")
+    val cut = math.round(4294967296.0 / thetaInverse)
+    def side(df: DataFrame, tag: Int) = df
+      .filter(Sampling.keyHash32(col(keyCol), salt) < cut)
+      .select(col(keyCol).cast("string").as("__k"), lit(tag).as("__s"))
+    val merged = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("__k"))
+      .agg(max(when(col("__s") === 0, 1L).otherwise(0L)).as("__ia"),
+        max(when(col("__s") === 1, 1L).otherwise(0L)).as("__ib"))
+    merged.agg(
+      sum(col("__ia")).as("sampled_a"),
+      sum(col("__ib")).as("sampled_b"),
+      sum(col("__ia") * col("__ib")).as("sampled_intersection"),
+      count(lit(1L)).as("sampled_union"))
+      .select(
+        coalesce(col("sampled_a"), lit(0L)).as("sampled_a"),
+        coalesce(col("sampled_b"), lit(0L)).as("sampled_b"),
+        coalesce(col("sampled_intersection"), lit(0L)).as("sampled_intersection"),
+        col("sampled_union"))
+      .select(col("*"),
+        (col("sampled_a") * thetaInverse.toLong).as("est_a"),
+        (col("sampled_b") * thetaInverse.toLong).as("est_b"),
+        (col("sampled_intersection") * thetaInverse.toLong).as("est_intersection"),
+        (col("sampled_union") * thetaInverse.toLong).as("est_union"),
+        when(col("sampled_union") > 0, TextAnalysis.round6(
+          col("sampled_intersection").cast("double") / col("sampled_union")))
+          .as("jaccard_est"))
+  }
+
+  /** WINDOWED FUNNEL over an integral (ns-contract) ts column — the
+    * ClickHouse-windowFunnel semantics: a user reaches step k iff SOME
+    * chain exists where step 1 anchors at one of their step-1 events,
+    * each later step is strictly after the previous, and the WHOLE chain
+    * fits inside `(t1, t1 + window]`. Unlike [[funnelSteps]]'s unwindowed
+    * form, greedy-from-the-earliest-anchor is not exact here — a later
+    * step-1 event may open the window that completes the chain — so the
+    * search anchors at EVERY step-1 event. Given an anchor, taking each
+    * step's earliest qualifying event is optimal (more room for the
+    * rest), so per anchor the chain is still one keyed min per step.
+    *
+    * Scale shape: the anchor frame is keyed (user, t1) — per-user cost
+    * is (step-1 events) × (per-step events), all through keyed joins on
+    * the user, never a global window or per-user sequence collect. The
+    * per-step reach counts fold in ONE aggregation (distinct users with
+    * a completing anchor). Output: (step, event_type, n_users,
+    * conversion vs step 1, 6-dec snapped, NULL when step 1 is empty).
+    */
+  def funnelWindow(ev: DataFrame, userCol: String, tsCol: String,
+      eventCol: String, steps: Seq[String], window: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelWindow: need at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnelWindow: steps must be distinct, got $steps")
+    require(window > 0, s"funnelWindow: window must be > 0, got $window")
+    def slice(t: String) = ev.filter(col(eventCol) === lit(t))
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+    var acc = slice(steps.head)
+      .select(col("__u"), col("__ts").as("__t1")).distinct()
+    for (i <- 2 to steps.length) {
+      val next = slice(steps(i - 1)).select(col("__u").as("__u2"), col("__ts"))
+      acc = acc.join(next,
+          col("__u") === col("__u2") &&
+            col("__ts") > col(s"__t${i - 1}") &&
+            col("__ts") <= col("__t1") + lit(window),
+          "left")
+        .groupBy(acc.columns.map(col): _*)
+        .agg(min(col("__ts")).as(s"__t$i"))
+    }
+    val agg = acc.agg(
+      count_distinct(col("__u")).as("__n1"),
+      (2 to steps.length).map(i =>
+        count_distinct(when(col(s"__t$i").isNotNull, col("__u")))
+          .as(s"__n$i")): _*)
+    val rows = steps.indices.map(i =>
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+        col(s"__n${i + 1}").as("n_users")))
+    agg.select(col("__n1"), explode(array(rows: _*)).as("__s"))
+      .select(col("__s.step").as("step"),
+        col("__s.event_type").as("event_type"),
+        col("__s.n_users").as("n_users"),
+        when(col("__n1") > 0, TextAnalysis.round6(
+          col("__s.n_users").cast("double") / col("__n1"))).as("conversion"))
+  }
+
   /** RETENTION CURVE over arbitrary (user, ts) columns — per (cohort
     * week, week offset), the fraction of the cohort still active. A
     * user's cohort is the epoch week (ts seconds integrally divided by

@@ -154,6 +154,52 @@ object CorpusPack extends QueryPack {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    // sign-bit binary quantization: 32-bit words of MSB-first sign bits
+    // (the ~32x ANN storage form), words pinned exactly per vector
+    "q299_binarize" -> ((s, d) => {
+      Similarity.binarize(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("bits").getItem(0).as("w0"),
+          col("bits").getItem(1).as("w1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // two-stage memory-bound ANN: hamming over binarized words prunes to
+    // 20 candidates, exact cosine reranks the survivors to top-5
+    "q300_hamming_topk" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 250 === 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.hammingTopK(corpus, queries, k = 5, candidates = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // nDCG@10 of exact retrieval against label-match relevance (graded
+    // ranking quality; self-hit excluded so the metric is non-trivial)
+    "q305_ndcg" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val q = corpus.filter(col("vec_id") % 250 === 3)
+      val ranked = Similarity.bruteForceTopK(corpus,
+        q.select(col("vec_id").as("query_id"), col("embedding")), k = 10)
+      val rel = q.select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(corpus.select(col("vec_id"), col("label")),
+          col("__ql") === col("label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), lit(1.0).as("rel"))
+      Similarity.ndcgAtK(ranked, rel, k = 10).orderBy(col("query_id"))
+    }),
+
+    // MRR@10: reciprocal rank of the first same-label (non-self) hit
+    "q306_mrr" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val q = corpus.filter(col("vec_id") % 250 === 3)
+      val ranked = Similarity.bruteForceTopK(corpus,
+        q.select(col("vec_id").as("query_id"), col("embedding")), k = 10)
+      val rel = q.select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(corpus.select(col("vec_id"), col("label")),
+          col("__ql") === col("label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), lit(1.0).as("rel"))
+      Similarity.mrrAtK(ranked, rel, k = 10).orderBy(col("query_id"))
+    }),
+
     // symmetric int8 scalar quantization (global range), summarized per
     // vector with exact integer stats
     "q108_quantize_int8" -> ((s, d) => {
@@ -263,6 +309,14 @@ object CorpusPack extends QueryPack {
     "q268_event_transitions" -> ((s, d) => {
       EventStream.eventTransitions(Tables.eventsWithTs(s, d))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // SCD2 change-interval history: per-user event_type runs compressed
+    // to validity intervals (null-safe change detection, keyed windows)
+    "q307_change_intervals" -> ((s, d) => {
+      EventStream.changeIntervals(Tables.eventsWithTs(s, d), "user_id",
+        Seq("ts", "event_id"), "event_type")
+        .orderBy(col("user_id"), col("version"))
     }),
 
     // forward fill per user: every 5th reading nulled, LOCF repairs it
@@ -767,6 +821,118 @@ object CorpusPack extends QueryPack {
           |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q305_ndcg" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding, label AS ql
+          |  FROM embeddings WHERE vec_id % 250 = 3),
+          |s AS (SELECT a.query_id, b.vec_id,
+          |    CAST(FLOOR(
+          |      list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+          |      * 1e6 + 0.5) AS BIGINT) AS ci
+          |  FROM q a, embeddings b),
+          |l AS (SELECT query_id, list_sort(list({'nk': -ci, 'v': vec_id})) AS srt
+          |  FROM s GROUP BY query_id),
+          |rk AS (SELECT l.query_id, srt[r.r].v AS vec_id, r.r AS rank
+          |  FROM l, (SELECT unnest(range(1, 11)) AS r) r),
+          |dc AS (SELECT rk.query_id,
+          |    CAST(SUM(CAST(CASE WHEN c.label = q.ql AND rk.vec_id <> rk.query_id
+          |      THEN FLOOR(1.0 / log2(rank + 1.0) * 1e6 + 0.5) / 1e6
+          |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS dcg
+          |  FROM rk JOIN embeddings c ON rk.vec_id = c.vec_id
+          |  JOIN q ON rk.query_id = q.query_id
+          |  GROUP BY rk.query_id),
+          |nr AS (SELECT q.query_id, LEAST(COUNT(*), 10) AS m
+          |  FROM q JOIN embeddings c
+          |    ON c.label = q.ql AND c.vec_id <> q.query_id
+          |  GROUP BY q.query_id),
+          |ic AS (SELECT nr.query_id,
+          |    CAST(SUM(CAST(FLOOR(1.0 / log2(i.i + 1.0) * 1e6 + 0.5) / 1e6
+          |      AS DECIMAL(28,6))) AS DOUBLE) AS idcg
+          |  FROM nr, (SELECT unnest(range(1, 11)) AS i) i
+          |  WHERE i.i <= nr.m GROUP BY nr.query_id)
+          |SELECT dc.query_id, dc.dcg, COALESCE(ic.idcg, 0.0) AS idcg,
+          |  CASE WHEN COALESCE(ic.idcg, 0.0) > 0
+          |    THEN FLOOR(dc.dcg / ic.idcg * 1e6 + 0.5) / 1e6 END AS ndcg
+          |FROM dc LEFT JOIN ic ON dc.query_id = ic.query_id
+          |ORDER BY dc.query_id""".stripMargin,
+
+      "q306_mrr" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding, label AS ql
+          |  FROM embeddings WHERE vec_id % 250 = 3),
+          |s AS (SELECT a.query_id, b.vec_id,
+          |    CAST(FLOOR(
+          |      list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+          |      * 1e6 + 0.5) AS BIGINT) AS ci
+          |  FROM q a, embeddings b),
+          |l AS (SELECT query_id, list_sort(list({'nk': -ci, 'v': vec_id})) AS srt
+          |  FROM s GROUP BY query_id),
+          |rk AS (SELECT l.query_id, srt[r.r].v AS vec_id, r.r AS rank
+          |  FROM l, (SELECT unnest(range(1, 11)) AS r) r),
+          |f AS (SELECT rk.query_id, MIN(rk.rank) AS fr
+          |  FROM rk JOIN embeddings c ON rk.vec_id = c.vec_id
+          |  JOIN q ON rk.query_id = q.query_id
+          |  WHERE c.label = q.ql AND rk.vec_id <> rk.query_id
+          |  GROUP BY rk.query_id)
+          |SELECT q.query_id, CAST(f.fr AS INT) AS first_rel_rank,
+          |  COALESCE(FLOOR(1.0 / f.fr * 1e6 + 0.5) / 1e6, 0.0) AS rr
+          |FROM q LEFT JOIN f ON q.query_id = f.query_id
+          |ORDER BY q.query_id""".stripMargin,
+
+      "q299_binarize" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings)
+          |SELECT vec_id,
+          |  list_reduce(list_transform(list_slice(v, 1, 32),
+          |    x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)),
+          |    (a, b) -> a * 2 + b) AS w0,
+          |  list_reduce(list_transform(list_slice(v, 33, 64),
+          |    x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)),
+          |    (a, b) -> a * 2 + b) AS w1
+          |FROM e ORDER BY vec_id""".stripMargin,
+
+      "q300_hamming_topk" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |b AS (SELECT vec_id, v, [
+          |    list_reduce(list_transform(list_slice(v, 1, 32),
+          |      x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)),
+          |      (a, bb) -> a * 2 + bb),
+          |    list_reduce(list_transform(list_slice(v, 33, 64),
+          |      x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)),
+          |      (a, bb) -> a * 2 + bb)] AS bits
+          |  FROM e),
+          |q AS (SELECT vec_id AS query_id, v AS qv, bits AS qb
+          |  FROM b WHERE vec_id % 250 = 3),
+          |h AS (SELECT q.query_id, c.vec_id,
+          |    CAST(bit_count(xor(q.qb[1], c.bits[1]))
+          |      + bit_count(xor(q.qb[2], c.bits[2])) AS BIGINT) AS hamming
+          |  FROM q, b c),
+          |cand AS (SELECT query_id, vec_id, hamming,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY hamming, vec_id) AS rn
+          |  FROM h),
+          |sc AS (SELECT cand.query_id, cand.vec_id, cand.hamming,
+          |    CAST(FLOOR(
+          |      list_sum(list_transform(range(0, 64), i -> q.qv[i+1] * c.v[i+1])) /
+          |      (sqrt(list_sum(list_transform(range(0, 64), i -> q.qv[i+1] * q.qv[i+1]))) *
+          |       sqrt(list_sum(list_transform(range(0, 64), i -> c.v[i+1] * c.v[i+1]))))
+          |      * 1e6 + 0.5) AS BIGINT) AS ci
+          |  FROM cand
+          |  JOIN q ON cand.query_id = q.query_id
+          |  JOIN b c ON cand.vec_id = c.vec_id
+          |  WHERE cand.rn <= 20)
+          |SELECT query_id, vec_id, hamming,
+          |  CAST(ci AS DOUBLE) / 1e6 AS cosine, CAST(rnk AS INT) AS rank
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          |    ORDER BY ci DESC, vec_id) AS rnk FROM sc)
+          |WHERE rnk <= 5
+          |ORDER BY query_id, rank""".stripMargin,
+
       "q108_quantize_int8" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1011,6 +1177,25 @@ object CorpusPack extends QueryPack {
           |  FLOOR(CAST(pr.n AS DOUBLE) / t.tot * 1e6 + 0.5) / 1e6 AS p
           |FROM pr JOIN t USING (from_type)
           |ORDER BY from_type, to_type""".stripMargin,
+
+      "q307_change_intervals" ->
+        """WITH ev AS (
+          |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+          |  FROM events),
+          |m AS (SELECT *,
+          |    LAG(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY t, event_id) AS prev,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY t, event_id) AS rn
+          |  FROM ev),
+          |c AS (SELECT user_id, event_type, t, event_id FROM m
+          |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+          |SELECT user_id, event_type AS state, t AS valid_from,
+          |  LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+          |    AS valid_to,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+          |    ORDER BY t, event_id) AS INT) AS version
+          |FROM c ORDER BY user_id, version""".stripMargin,
 
       "q291_forward_fill" ->
         """WITH ev AS (

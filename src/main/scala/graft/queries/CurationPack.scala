@@ -467,6 +467,25 @@ object CurationPack extends QueryPack {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // theta-sketch set algebra: union/intersection/Jaccard estimates of
+    // two overlapping doc-id sets from one keyed pass over survivors
+    "q301_theta_setops" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sketches.thetaSetOps(
+        docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 1 || col("doc_id") % 3 === 2),
+        "doc_id", thetaInverse = 4, salt = "ts")
+    }),
+
+    // windowed funnel (ClickHouse windowFunnel semantics): every step-1
+    // event anchors a 2-day window; chain = strictly-after mins inside it
+    "q302_funnel_window" -> ((s, d) => {
+      Sketches.funnelWindow(Tables.eventsWithTs(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        window = 172800000000000L)
+        .orderBy(col("step"))
+    }),
+
     // per-language AUC (the grouped form: per-stratum ranking quality)
     "q267_auc_by_lang" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("lang"),
@@ -872,6 +891,69 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q301_theta_setops" ->
+      s"""WITH sa AS (
+        |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)
+        |    AND ${hex32Sql("'ts:' || CAST(doc_id AS VARCHAR)")} < 1073741824),
+        |sb AS (
+        |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents
+        |  WHERE doc_id % 3 IN (1, 2)
+        |    AND ${hex32Sql("'ts:' || CAST(doc_id AS VARCHAR)")} < 1073741824),
+        |m AS (
+        |  SELECT COALESCE(sa.k, sb.k) AS k,
+        |    sa.k IS NOT NULL AS ia, sb.k IS NOT NULL AS ib
+        |  FROM sa FULL OUTER JOIN sb ON sa.k = sb.k),
+        |c AS (SELECT
+        |  CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS sampled_a,
+        |  CAST(SUM(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS sampled_b,
+        |  CAST(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sampled_intersection,
+        |  CAST(COUNT(*) AS BIGINT) AS sampled_union FROM m)
+        |SELECT sampled_a, sampled_b, sampled_intersection, sampled_union,
+        |  sampled_a * 4 AS est_a, sampled_b * 4 AS est_b,
+        |  sampled_intersection * 4 AS est_intersection,
+        |  sampled_union * 4 AS est_union,
+        |  CASE WHEN sampled_union > 0 THEN
+        |    FLOOR(CAST(sampled_intersection AS DOUBLE) / sampled_union
+        |      * 1e6 + 0.5) / 1e6
+        |  END AS jaccard_est
+        |FROM c""".stripMargin,
+
+    "q302_funnel_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
+        |a1 AS (SELECT DISTINCT user_id, t AS t1 FROM ev
+        |  WHERE event_type = 'view'),
+        |a2 AS (SELECT a1.user_id, a1.t1, MIN(e.t) AS t2 FROM a1
+        |  LEFT JOIN ev e ON e.user_id = a1.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.t > a1.t1 AND e.t <= a1.t1 + 172800000000000
+        |  GROUP BY 1, 2),
+        |a3 AS (SELECT a2.user_id, a2.t1, a2.t2, MIN(e.t) AS t3 FROM a2
+        |  LEFT JOIN ev e ON e.user_id = a2.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND e.t > a2.t2 AND e.t <= a2.t1 + 172800000000000
+        |  GROUP BY 1, 2, 3),
+        |n AS (SELECT
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n1,
+        |  CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+        |    AS BIGINT) AS n2,
+        |  CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+        |    AS BIGINT) AS n3
+        |  FROM a3)
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN n1 > 0 THEN
+        |    FLOOR(CAST(n_users AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6
+        |  END AS conversion
+        |FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, n1 AS n_users, n1 FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', n2, n1 FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3, n1 FROM n)
+        |ORDER BY step""".stripMargin,
 
     "q297_funnel_steps" ->
       """WITH s1 AS (

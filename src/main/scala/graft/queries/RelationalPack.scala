@@ -51,6 +51,31 @@ object RelationalPack extends QueryPack {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // PIVOT to a wide per-user event-type count matrix (explicit value
+    // list so the plan is one pass — no distinct-values pre-scan; absent
+    // cells filled 0 to match SQL conditional-count semantics)
+    "q303_pivot_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    // UNPIVOT (melt) three aggregate measures back to long form — the
+    // Expand-based inverse of q303's pivot, one pass, no join
+    "q304_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("price"),
+          dsum(col("l_discount")).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // Five-way join family seed: inner equi-join element(lineitem) x
     // obs(orders) + groupBy (reference relational_query.py:337-395).
     "q02_join_inner_agg" -> ((s, d) => {
@@ -282,6 +307,31 @@ object RelationalPack extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    // conditional-count mirror of the one-pass PIVOT
+    "q303_pivot_counts" ->
+      """SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // UNION-ALL mirror of the Expand-based unpivot
+    "q304_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'price', price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'disc', disc FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
     "q02_join_inner_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price

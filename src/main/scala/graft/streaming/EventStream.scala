@@ -731,6 +731,40 @@ object EventStream {
       last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** SCD2-style CHANGE INTERVALS — compress a per-key state log into the
+    * validity-interval history table (one row per state RUN: the row's
+    * state held from `valid_from` until the next change's `valid_to`,
+    * NULL = still current). The warehouse "slowly changing dimension"
+    * build, as one declarative pass: a keyed lag marks change points
+    * (null-SAFE compare, so consecutive NULL states collapse into one
+    * run and a NULL run is a real run), a keyed lead closes each
+    * interval, and `version` numbers the runs 1..n per key.
+    *
+    * Scale shape: two keyed windows over the SAME (key, orderCols)
+    * ordering — one sort, no self-join, no global window; cost is the
+    * per-key history length. `orderCols` must reach a unique order (add
+    * an id tiebreaker) or run boundaries are nondeterministic. Output:
+    * (keyCol, state = stateCol, valid_from = first orderCol at the
+    * change, valid_to, version).
+    */
+  def changeIntervals(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      stateCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "changeIntervals: need at least one order column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val marked = df
+      .select((keyCol +: stateCol +: orderCols).distinct.map(col): _*)
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(stateCol)))
+    marked
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col(keyCol), col(stateCol).as("state"), col("valid_from"),
+        col("valid_to"), col("version"))
+  }
+
   /** TIME-DECAYED counts per key — the recency-weighted frequency behind
     * trending-topic / hot-domain / activity-score features: each event
     * contributes 2^(−age/halflife) with the age bucketed to INTEGER

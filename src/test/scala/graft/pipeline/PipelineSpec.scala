@@ -93,6 +93,64 @@ class PipelineSpec extends SparkTestBase {
     assert(lsh.exists { case (qid, vid, _) => qid == vid })
   }
 
+  test("binarize packs sign bits MSB-first into 32-bit words") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f)),
+      (2L, Array.fill(35)(1.0f)),
+      (3L, Array.fill(35)(-2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.binarize(df).select("vec_id", "bits")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(5L)) // 101 MSB-first
+    assert(out(2L) == Seq(4294967295L, 7L)) // 32 ones + 3-bit tail
+    assert(out(3L) == Seq(0L, 0L))
+  }
+
+  test("ndcgAtK and mrrAtK: hand-derived graded gains and first-hit ranks") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ranked = Seq(
+      ("qa", 1L, 1), ("qa", 2L, 2), ("qa", 3L, 3),
+      ("qb", 1L, 1), ("qb", 2L, 2)).toDF("query_id", "vec_id", "rank")
+    val rel = Seq(("qa", 2L, 1.0), ("qa", 3L, 2.0), ("qa", 9L, 5.0))
+      .toDF("query_id", "vec_id", "rel")
+    val n = Similarity.ndcgAtK(ranked, rel, k = 3,
+      queryIdCol = "query_id").orderBy("query_id")
+      .as[(String, Double, Double, Option[Double])].collect()
+    // qa: dcg = r6(1/log2(3)) + r6(3/log2(4)); ideal list [5,2,1].
+    // micro-unit integer sums + ONE divide mirror the exact-decimal path
+    def u6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val lg3 = math.log(3) / math.log(2)
+    val dcgA = (u6(1.0 / lg3) + u6(1.5)) / 1e6
+    val idcgA = (u6(31.0) + u6(3.0 / lg3) + u6(0.5)) / 1e6
+    assert(n(0) === (("qa", dcgA, idcgA, Some(r6(dcgA / idcgA)))))
+    // qb has no relevant docs: dcg 0, idcg 0, ndcg NULL
+    assert(n(1) === (("qb", 0.0, 0.0, None)))
+    val m = Similarity.mrrAtK(ranked, rel, k = 3, queryIdCol = "query_id")
+      .orderBy("query_id")
+      .as[(String, Option[Int], Double)].collect()
+    assert(m(0) === (("qa", Some(2), 0.5)))
+    assert(m(1) === (("qb", None, 0.0)))
+  }
+
+  test("hammingTopK at full candidate width reproduces brute-force") {
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ham = Similarity.hammingTopK(emb, q, k = 5, candidates = 40)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ham == brute)
+    // a query is hamming-0 from its own corpus copy
+    val self = Similarity.hammingTopK(emb, q, k = 5, candidates = 40)
+      .filter(col("query_id") === col("vec_id"))
+      .select("hamming").as[Long].collect()
+    assert(self.length == 2 && self.forall(_ == 0L))
+  }
+
   test("redactPii replaces every marker, counts before rewriting") {
     val docs = Seq(
       (1L, "mail a@b.co and c.d+x@e.org, call +1 (555) 123-4567, from 10.1.2.3"),

@@ -644,4 +644,55 @@ class SelectionOpsSpec extends SparkTestBase {
       (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5),
       (1L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0)))
   }
+
+  test("thetaSetOps: thetaInverse=1 degenerates to exact set algebra") {
+    def df(xs: Long*) = xs.map(Tuple1(_)).toDF("k")
+    val out = Sketches.thetaSetOps(df(1, 2, 3, 3), df(2, 3, 4), "k",
+      thetaInverse = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .head()
+    // a={1,2,3} (dup collapses), b={2,3,4}: |∩|=2, |∪|=4, J=0.5
+    assert(out === ((3L, 3L, 2L, 4L, 3L, 3L, 2L, 4L, Some(0.5))))
+    // disjoint empty-side law: jaccard NULL only when union is empty
+    val empty = Sketches.thetaSetOps(df(), df(), "k", thetaInverse = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .head()
+    assert(empty === ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, None)))
+  }
+
+  test("thetaSetOps: sampled counts bounded by exact and scale with theta") {
+    val a = (1 to 400).map(i => Tuple1(i.toLong)).toDF("k")
+    val b = (201 to 600).map(i => Tuple1(i.toLong)).toDF("k")
+    val out = Sketches.thetaSetOps(a, b, "k", thetaInverse = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .head()
+    // survivors are a ~1/4 uniform subsample; estimates within 3 sigma
+    assert(out._1 <= 400 && out._2 <= 400 && out._3 <= out._4)
+    assert(math.abs(out._5 - 400L) < 150, s"est_a=${out._5}")
+    assert(math.abs(out._7 - 200L) < 120, s"est_int=${out._7}")
+    assert(math.abs(out._8 - 600L) < 180, s"est_union=${out._8}")
+  }
+
+  test("funnelWindow: later anchor completes a chain the first one misses") {
+    def ev(rows: (String, Long, String)*) =
+      rows.map { case (u, t, e) => (u, t, e) }.toDF("user_id", "ts", "event_type")
+    // anchor@0 misses click@100 (window 10); anchor@95 catches it
+    val e1 = ev(("u", 0L, "view"), ("u", 95L, "view"), ("u", 100L, "click"))
+    val out1 = Sketches.funnelWindow(e1, "user_id", "ts", "event_type",
+      Seq("view", "click"), window = 10L)
+      .as[(Int, String, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out1.map(r => (r._1, r._3)) === Array((1, 1L), (2, 1L)))
+    // whole chain must fit the step-1 window: purchase lands outside
+    val e2 = ev(("u", 0L, "view"), ("u", 5L, "click"), ("u", 20L, "purchase"))
+    val out2 = Sketches.funnelWindow(e2, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), window = 10L)
+      .as[(Int, String, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out2.map(r => (r._1, r._3)) === Array((1, 1L), (2, 1L), (3, 0L)))
+    // same-instant is not strictly-after even inside the window
+    val e3 = ev(("u", 0L, "view"), ("u", 0L, "click"))
+    val out3 = Sketches.funnelWindow(e3, "user_id", "ts", "event_type",
+      Seq("view", "click"), window = 10L)
+      .as[(Int, String, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out3.map(r => (r._1, r._3)) === Array((1, 1L), (2, 0L)))
+  }
 }

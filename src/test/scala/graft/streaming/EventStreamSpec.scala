@@ -263,6 +263,28 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("changeIntervals: runs compress, NULL runs are real, intervals chain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "u", Some("a")), (2L, 20L, "u", Some("a")), // a-run
+      (3L, 30L, "u", Some("b")),
+      (4L, 40L, "u", None), (5L, 50L, "u", None), // NULL run
+      (6L, 60L, "u", Some("a")), // back to a: a NEW run
+      (7L, 10L, "v", Some("x"))
+    ).toDF("event_id", "ts", "user_id", "state_in")
+    val got = EventStream.changeIntervals(df, "user_id",
+      Seq("ts", "event_id"), "state_in")
+      .select("user_id", "state", "valid_from", "valid_to", "version")
+      .as[(String, Option[String], Long, Option[Long], Int)]
+      .collect().sortBy(r => (r._1, r._5))
+    assert(got === Array(
+      ("u", Some("a"), 10L, Some(30L), 1),
+      ("u", Some("b"), 30L, Some(40L), 2),
+      ("u", None, 40L, Some(60L), 3),
+      ("u", Some("a"), 60L, None, 4),
+      ("v", Some("x"), 10L, None, 1)))
+  }
+
   test("decayedCounts: dyadic weights sum exactly; deep past and future drop") {
     import spark.implicits._
     val hl = 100L // ns half-life for the toy
