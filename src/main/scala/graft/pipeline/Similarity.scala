@@ -241,6 +241,53 @@ object Similarity {
           lit(1.0) / col("first_rel_rank")), lit(0.0)).as("rr"))
   }
 
+  /** Truncated RANK-BIASED OVERLAP (Webber/Moffat/Zobel 2010) — "how
+    * similar are two rankings", top-weighted: RBO@k = (1-p) Σ_{i≤k}
+    * p^(i-1) · |A_i ∩ B_i| / i, where A_i/B_i are the depth-i prefixes.
+    * The index-tuning companion to [[recallAtK]]: recall ignores order
+    * inside the top-k; RBO pays more for agreeing early. p sets how
+    * top-heavy (0.9 ≈ the canonical "first ~10 ranks carry the weight").
+    *
+    * The depth sum collapses to ONE term per COMMON document: a doc at
+    * ranks (ra, rb) is inside both prefixes for every depth i ≥
+    * max(ra,rb), so its total weight is S(max(ra,rb)) with S(m) =
+    * Σ_{i=m..k} p^(i-1)/i — k literals PRECOMPUTED on the driver (this
+    * is O(k) arithmetic on constants, not data work), each snapped to
+    * the 1e-6 grid; the data-side cost is one (query, id)-keyed join of
+    * two ≤ queries×k frames and one exact-decimal keyed sum. Queries in
+    * `a` with no common documents score 0. Output: (queryIdCol,
+    * n_common, rbo 6-dec snapped ∈ [0, ~1)).
+    */
+  def rboTruncated(a: DataFrame, b: DataFrame, k: Int, p: Double = 0.9,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"rboTruncated: k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"rboTruncated: p must be in (0,1), got $p")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // S(m) = sum_{i=m..k} p^(i-1)/i, snapped; S(k+1) = 0
+    val suffix = (1 to k).scanRight(0.0) { (i, acc) =>
+      acc + math.pow(p, i - 1) / i
+    }.map(r6)
+    val weight = (1 to k).foldLeft(lit(0.0)) { (acc, m) =>
+      when(greatest(col("__ra"), col("__rb")) === m, lit(suffix(m - 1)))
+        .otherwise(acc)
+    }
+    val ra = a.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol), col(rankCol).as("__ra"))
+    val rb = b.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol), col(rankCol).as("__rb"))
+    val common = ra.join(rb, Seq(queryIdCol, idCol))
+      .groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_common"),
+        sum(weight.cast("decimal(28,6)")).cast("double").as("__w"))
+    a.select(col(queryIdCol)).distinct()
+      .join(common, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        TextAnalysis.round6(
+          lit(1.0 - p) * coalesce(col("__w"), lit(0.0))).as("rbo"))
+  }
+
   /** Reciprocal-rank FUSION (Cormack/Clarke/Buettcher 2009): fuse any
     * number of per-query rankings into one — fused(d) = Σ_r 1/(k0 +
     * rank_r(d)) — the standard way hybrid search combines a lexical

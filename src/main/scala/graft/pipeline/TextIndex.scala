@@ -49,6 +49,28 @@ object TextIndex {
   def readBandIndex(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** INCREMENTAL band-index maintenance — the dedup twin of
+    * [[appendToBm25Index]]: minhash ONLY the new batch and append its
+    * band rows under the SAME bucket spec, preserving the no-exchange
+    * probe property. Band rows are per-doc-local (no cross-doc state in
+    * the index), so `write(old); append(new)` is row-identical to
+    * `write(old ∪ new)` — a probe after appends matches a probe against
+    * a full rebuild (the q309 gate pins this with q162's full-corpus
+    * oracle). This is how a 100 TB dedup corpus absorbs a daily crawl
+    * batch without re-minhashing what's at rest; only the hot-bucket cap
+    * is corpus-global, and it re-aggregates bucket-locally at probe time.
+    */
+  def appendToBandIndex(newDocs: DataFrame, table: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      buckets: Int = 16): Unit =
+    Dedup.lshBands(newDocs, textCol, idCol, k, numHashes, bands)
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "band", "band_key")
+      .sortBy("band", "band_key")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Probe a NEW batch against the stored corpus bands: band the batch
     * (its own minhash pass — it is the small side), cap hot buckets on
     * EACH side independently (same policy and same oracle-mirrorable

@@ -871,6 +871,31 @@ object PipelinePack extends QueryPack {
     // the LSH band index AT REST: build the corpus band table once
     // (bucketed+sorted parquet table), probe a new batch against it —
     // must match the recompute band algebra row-for-row (same oracle CTEs)
+    // incremental band-index maintenance: build on 4/5 of the corpus,
+    // APPEND the rest, probe — must equal a full rebuild's probe (the
+    // oracle recomputes over the whole corpus and never sees the index)
+    "q309_band_index_append" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 5 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bandidx_")
+      val table = "graft_band_index_q309"
+      try {
+        TextIndex.writeBandIndex(corpus.filter(col("doc_id") % 5 =!= 4),
+          table, tmp.resolve("idx").toString)
+        TextIndex.appendToBandIndex(corpus.filter(col("doc_id") % 5 === 4),
+          table)
+        TextIndex.probe(TextIndex.readBandIndex(s, table), batch)
+          .filter(col("doc_id") =!= col("corpus_id"))
+          .orderBy(col("doc_id"), col("corpus_id"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     "q162_band_index_probe" -> ((s, d) => {
       val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val batch = corpus.filter(col("doc_id") % 5 === 0)
@@ -1018,6 +1043,18 @@ object PipelinePack extends QueryPack {
       val bf = Similarity.bruteForceTopK(corpus, queries, k = 10)
       Similarity.linearFuse(lsh, bf, k = 5, alpha = 0.5, scoreCol = "cosine")
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // rank-biased overlap between the exact and LSH top-10 rankings —
+    // the top-weighted "how similar are two rankings" index-tuning stat
+    "q308_rbo" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val bf = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      val lsh = Similarity.lshTopK(corpus, queries, k = 10, numPlanes = 8)
+      Similarity.rboTruncated(bf, lsh, k = 10, p = 0.9)
+        .orderBy(col("query_id"))
     }),
 
     "q205_hybrid_rrf" -> ((s, d) => {
@@ -1626,6 +1663,21 @@ object PipelinePack extends QueryPack {
       // at-rest probe == recompute: corpus bands capped over the corpus,
       // probe bands capped over the batch alone (the batch's band table is
       // the corpus band table restricted to its ids — same text, same sig)
+      // identical algebra to q162: append must not change the candidate set
+      "q309_band_index_append" ->
+        s"""$bandsSqlCte,
+           |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+           |pb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+           |pok AS (SELECT band, band_key FROM pb GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+           |pcapped AS (SELECT p.* FROM pb p JOIN pok USING (band, band_key))
+           |SELECT p.doc_id AS doc_id, c.doc_id AS corpus_id,
+           |  COUNT(DISTINCT p.band) AS n_bands
+           |FROM pcapped p JOIN capped c
+           |  ON p.band = c.band AND p.band_key = c.band_key
+           |WHERE p.doc_id <> c.doc_id
+           |GROUP BY 1, 2 ORDER BY doc_id, corpus_id""".stripMargin,
+
       "q162_band_index_probe" ->
         s"""$bandsSqlCte,
            |ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
@@ -2824,6 +2876,53 @@ object PipelinePack extends QueryPack {
            |SELECT query_id, vec_id, fused, CAST(rank AS INT) AS rank FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused DESC, vec_id) AS rank
            |  FROM f) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q308_rbo" -> {
+        // independent recomputation of the suffix weights S(m) =
+        // sum_{i=m..10} 0.9^(i-1)/i, snapped; exact doubles interpolated
+        // so both engines multiply identical literals
+        def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        val suf = (1 to 10).scanRight(0.0) { (i, acc) =>
+          acc + math.pow(0.9, i - 1) / i
+        }.map(r6d)
+        val caseW = (1 to 10).map(m =>
+          s"WHEN ${m} THEN ${suf(m - 1)}").mkString(" ")
+        s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id % 100 = 0),
+           |lscored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q JOIN c ON q.bucket = c.bucket),
+           |lsh AS (
+           |  SELECT query_id, vec_id, rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM lscored) WHERE rank <= 10),
+           |bscored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    FLOOR((list_sum(list_transform(range(0, 64), i ->
+           |      CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))) /
+           |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS cosine
+           |  FROM q, c),
+           |bf AS (
+           |  SELECT query_id, vec_id, rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM bscored) WHERE rank <= 10),
+           |j AS (
+           |  SELECT bf.query_id, CASE GREATEST(bf.rank, lsh.rank) $caseW END AS w
+           |  FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id),
+           |g AS (
+           |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+           |    CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS sw
+           |  FROM j GROUP BY query_id)
+           |SELECT q.query_id, COALESCE(g.n_common, 0) AS n_common,
+           |  FLOOR(${1.0 - 0.9} * COALESCE(g.sw, 0.0) * 1e6 + 0.5) / 1e6 AS rbo
+           |FROM q LEFT JOIN g ON q.query_id = g.query_id
+           |ORDER BY q.query_id""".stripMargin
+      },
 
       "q205_hybrid_rrf" ->
         s"""WITH c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),

@@ -131,6 +131,25 @@ class PipelineSpec extends SparkTestBase {
     assert(m(1) === (("qb", None, 0.0)))
   }
 
+  test("rboTruncated: hand suffix weights, identity and disjoint laws") {
+    val a = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query_id", "vec_id", "rank")
+    val b = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("query_id", "vec_id", "rank")
+    // p=0.5, k=2: S(1)=1.25, S(2)=0.25; only d2 common at max(2,1)=2
+    val out = Similarity.rboTruncated(a, b, k = 2, p = 0.5,
+      queryIdCol = "query_id")
+      .as[(String, Long, Double)].head()
+    assert(out === (("q", 1L, 0.125)))
+    // identical rankings reach the truncated maximum (1-p)*(S(1)+S(2))
+    val same = Similarity.rboTruncated(a, a, k = 2, p = 0.5,
+      queryIdCol = "query_id").as[(String, Long, Double)].head()
+    assert(same === (("q", 2L, 0.75)))
+    // disjoint rankings score 0 and keep the query row
+    val c = Seq(("q", 8L, 1), ("q", 9L, 2)).toDF("query_id", "vec_id", "rank")
+    val dis = Similarity.rboTruncated(a, c, k = 2, p = 0.5,
+      queryIdCol = "query_id").as[(String, Long, Double)].head()
+    assert(dis === (("q", 0L, 0.0)))
+  }
+
   test("hammingTopK at full candidate width reproduces brute-force") {
     val emb = (1 to 40).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
