@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.pipeline.CacheScope
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,10 +19,11 @@ import org.apache.spark.sql.functions._
   * Determinism contract: ranks are a pure function of the total order, so
   * `sortCols` MUST reach a unique key (append the row id as the final
   * tiebreaker) — with duplicate sort keys the ranks WITHIN a tie group
-  * follow arrival order and are not reproducible. The ranked input is
-  * internally persisted (both the count job and the output read it) and
-  * released after the caller's first action via [[CacheScope]]; callers
-  * running multiple actions over the result should persist it themselves.
+  * follow arrival order and are not reproducible. The range-shuffled
+  * input is materialized ONCE via eager localCheckpoint: the per-range
+  * offsets are baked from that materialization, and a releasable cache
+  * here was a correctness race — a post-release action re-sampled range
+  * boundaries against the stale offsets and silently corrupted ranks.
   */
 object Ranking {
 
@@ -42,11 +42,17 @@ object Ranking {
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val keys = sortCols.map(col)
-    // __pid is materialized INTO the cache, so the count job and the
-    // output read identical partition ids (no re-sample drift)
+    // __pid is materialized ONCE via eager localCheckpoint — not a
+    // releasable cache. The per-range offsets below are BAKED from this
+    // materialization; if a later action recomputed the range shuffle,
+    // RangePartitioner would RESAMPLE boundaries (its seed varies with
+    // the rebuilt RDD id) against the stale offsets and silently corrupt
+    // ranks — observed as run-to-run row drift in SNM blocking before
+    // truncation. Checkpoint blocks are reclaimed by the context cleaner
+    // once the frame is unreferenced.
     val sorted = df.repartitionByRange(p, keys: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val counts = sorted.groupBy(col("__pid")).count()
       .as[(Int, Long)].collect().toMap // O(partitions) handoff
     val offsets = (0 until p).scanLeft(0L) { (acc, pid) =>
@@ -60,7 +66,6 @@ object Ranking {
           Window.partitionBy(col("__pid")).orderBy(keys: _*))
           .cast("long") + col("__off") - 1L)
       .drop("__pid", "__off")
-    CacheScope.releaseAfterFirstUse(out, Seq(sorted))
     out
   }
 
@@ -80,7 +85,9 @@ object Ranking {
     * DESCENDING, cummax WITHIN each range, and the cross-range carry-in
     * is an O(partitions) driver handoff of per-range maxima; (3) one
     * equi-join back on x. Rows with NULL on either axis drop (NULL is
-    * unrankable). Internal sorted cache CacheScope-released.
+    * unrankable). The per-x maxima materialize once (eager
+    * localCheckpoint — see [[globalRank]] on why a releasable cache
+    * would be a rank-corruption race).
     * Output: the dominating input rows, schema unchanged.
     */
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
@@ -93,9 +100,12 @@ object Ranking {
     val y = col(yCol).cast("double")
     val base = df.filter(x.isNotNull && y.isNotNull)
     val mx = base.groupBy(x.as("__x")).agg(max(y).as("__ymax"))
+    // eager localCheckpoint, same reason as [[globalRank]]: the carry-in
+    // below is baked from THIS materialization's partition ids; a
+    // recompute would resample range boundaries against stale carries
     val sorted = mx.repartitionByRange(p, col("__x").desc)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // per-range maxima -> strict prefix carry-in per range (O(p) handoff)
     val rangeMax = sorted.groupBy(col("__pid")).agg(max(col("__ymax")))
       .as[(Int, Double)].collect().toMap
@@ -115,7 +125,6 @@ object Ranking {
     val out = base.join(frontierX,
       x === col("__x") && y === col("__ymax"))
       .drop("__x", "__ymax")
-    CacheScope.releaseAfterFirstUse(out, Seq(sorted))
     out
   }
 }

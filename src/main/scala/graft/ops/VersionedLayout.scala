@@ -156,6 +156,49 @@ object VersionedLayout {
     commit(merged, path, overwrite = true)
   }
 
+  /** Surgical copy-on-write DELETE — the right-to-be-forgotten primitive:
+    * remove rows matching `predicate`, committed as ONE new version that
+    * rewrites ONLY the file sets containing matches. One scan finds the
+    * touched sets (the driver holds the matching file paths —
+    * O(files-with-matches) metadata, the same class a table format's
+    * planner holds); untouched file sets carry forward into the new
+    * manifest VERBATIM, so a delete touching 1 of 1000 commits rewrites
+    * ~0.1% of the data. SQL DELETE semantics: only predicate-TRUE rows
+    * go — NULL-predicate rows stay. Survivors of the touched sets land
+    * in one new file set; if nothing survives it is omitted. A predicate
+    * matching nothing still commits (an auditable no-op version).
+    * Returns the committed version.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"deleteWhere: no committed versions under $path")
+    val dirs = readManifest(spark, path, vs.last)
+    // file-set dirs are data/<uuid>, so the parent NAME identifies the set
+    val touched = spark.read.parquet(dirs: _*)
+      .filter(predicate)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0)).getPath)
+        .getParent.getName).toSet
+    val (hit, kept) = dirs.partition(d => touched.contains(new Path(d).getName))
+    val rewritten: Seq[String] =
+      if (hit.isEmpty) Seq.empty
+      else {
+        val dataDir = s"$path/data/${java.util.UUID.randomUUID().toString}"
+        spark.read.parquet(hit: _*)
+          .filter(not(coalesce(predicate, lit(false))))
+          .write.parquet(dataDir)
+        val f = fs(spark, path)
+        val hasRows = f.listStatus(new Path(dataDir))
+          .exists(_.getPath.getName.startsWith("part-"))
+        if (hasRows) Seq(dataDir) else { f.delete(new Path(dataDir), true); Seq.empty }
+      }
+    val v = vs.last + 1
+    writeManifest(spark, path, v, kept ++ rewritten)
+    v
+  }
+
   /** [[read]] with parquet schema merging across the version's file sets
     * — SCHEMA EVOLUTION: a commit may add columns; older file sets fill
     * them with NULL. Additive evolution only (parquet mergeSchema

@@ -713,14 +713,27 @@ object Dedup {
     * the honest cost of auditing; a huge cluster is ITSELF the finding).
     * Output: (cluster_id, size, n_pairs, min_jaccard, avg_jaccard,
     * audited) — unaudited and singleton clusters carry NULL metrics.
+    *
+    * EAGER by design: the membership frame is snapshot once via
+    * localCheckpoint before the audit plan is built. The audit references
+    * `clusters` five times (sizes, the two member-join sides, the final
+    * re-join), and CC label frames carry their iterative loop's lineage —
+    * analyzed afresh at EVERY reference, the analyzer alone took ~40 s
+    * and the action minutes at sf0.1 (each CC step references its edge
+    * frame twice, so copies multiply). Truncating the lineage to a
+    * materialized leaf collapses that to seconds; the checkpoint is
+    * membership-sized (the clustered slice of the corpus), strictly
+    * smaller than the shingle work the audit itself does.
     */
   def clusterCohesion(docs: DataFrame, clusters: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 3,
       maxClusterSize: Long = 100L): DataFrame = {
     require(maxClusterSize >= 2,
       s"clusterCohesion: maxClusterSize must be >= 2, got $maxClusterSize")
-    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
-    val mem = clusters
+    val cl = clusters.select(col("cluster_id"), col(idCol))
+      .localCheckpoint(true)
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+    val mem = cl
       .join(sizes.filter(col("size") >= 2 && col("size") <= maxClusterSize)
         .select(col("cluster_id")), Seq("cluster_id"))
       .select(col("cluster_id"), col(idCol))
@@ -1266,11 +1279,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // the symmetric union references `pairs` TWICE — unpersisted, the whole
-    // upstream candidate pipeline (band build + self-join) replays once per
-    // branch at edge materialization (measured ~2x the candidate cost at
-    // sf0.1); one small cache collapses that to a single pass
-    val p0 = pairs.select(col("id_a"), col("id_b")).persist(lvl)
+    // EAGER LINEAGE TRUNCATION, not just a cache: the loop references the
+    // edge frame twice per step and analyzes the accumulated plan at every
+    // convergence action, so the caller's upstream lineage is re-walked by
+    // the ANALYZER once per reference per round — with an expensive
+    // upstream expression (a Jaro-Winkler column filter, an LSH pipeline)
+    // that alone took 300+ s on a 7k-edge graph at sf0.1 while the actual
+    // shuffles were sub-second. localCheckpoint materializes the edge list
+    // (small by design: the candidate graph, ~0.1% of corpus bytes) and
+    // roots every later plan at a flat leaf. A cluster deployment that
+    // must survive executor loss would use reliable checkpoint() here —
+    // same truncation, durable storage.
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val edges = p0.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(p0.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().persist(lvl)
@@ -1341,7 +1361,8 @@ object Dedup {
       first = false
     } finally spark0.conf.set(aqeKey, aqePrev)
     edges.unpersist()
-    p0.unpersist(blocking = false)
+    // p0 is a local checkpoint — its blocks are reclaimed by the context
+    // cleaner once unreferenced; nothing to unpersist here
     // failure path must not strand the per-round cache
     if (!converged) persisted.unpersist(blocking = false)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -199,6 +199,34 @@ object ExtraPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // surgical copy-on-write DELETE: v1 = 60%, v2 = +40%, v3 = delete a
+    // slice living only in v2's file set — v1's set carries forward
+    // unrewritten; every version stays a consistent snapshot and the
+    // oracle recomputes each from the raw table (layout invisible)
+    "q310_layout_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vdel_")
+      val path = tmp.resolve("t").toString
+      try {
+        graft.ops.VersionedLayout.commit(docs.filter(col("doc_id") % 5 < 3), path)
+        graft.ops.VersionedLayout.commit(docs.filter(col("doc_id") % 5 >= 3), path)
+        graft.ops.VersionedLayout.deleteWhere(s, path, col("doc_id") % 5 === 4)
+        Seq(1, 2, 3).map { v =>
+          graft.ops.VersionedLayout.read(s, path, Some(v))
+            .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"))
+            .withColumn("version", lit(v))
+        }.reduce(_.unionByName(_))
+          .select(col("version"), col("n_rows"), col("sum_id"))
+          .orderBy(col("version"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // manifest-versioned layout: v1 = 60% commit, v2 = +40% append,
     // v3 = compaction — every version a consistent pinned snapshot; the
     // oracle recomputes each version's totals from the raw table with the
@@ -687,6 +715,22 @@ object ExtraPack extends QueryPack {
         |  SELECT doc_id, lang, n_chars, 'removed' FROM base WHERE doc_id % 7 = 0)
         |SELECT doc_id, lang, n_chars, change FROM changes
         |ORDER BY doc_id, change""".stripMargin,
+    // v1 = the 60% split, v2 = full, v3 = full minus the deleted slice
+    "q310_layout_delete" ->
+      """WITH v1 AS (
+        |  SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        |  FROM documents WHERE doc_id % 5 < 3),
+        |v2 AS (
+        |  SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        |  FROM documents),
+        |v3 AS (
+        |  SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        |  FROM documents WHERE doc_id % 5 <> 4)
+        |SELECT 1 AS version, n_rows, sum_id FROM v1
+        |UNION ALL SELECT 2, n_rows, sum_id FROM v2
+        |UNION ALL SELECT 3, n_rows, sum_id FROM v3
+        |ORDER BY version""".stripMargin,
+
     // per-version totals from the raw table: v1 = the 60% split, v2 and
     // v3 (compaction rewrites, content unchanged) = the full table
     "q228_versioned_layout" ->

@@ -89,6 +89,53 @@ class VersionedLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("deleteWhere is surgical: untouched file sets carry forward verbatim") {
+    withDir { path =>
+      VersionedLayout.commit(a, path) // ids 0..99
+      VersionedLayout.commit(b, path) // ids 100..149
+      val v1Dirs = VersionedLayout.read(spark, path, Some(1))
+        .inputFiles.map(_.split("/data/")(1).split("/")(0)).distinct
+      assert(VersionedLayout.deleteWhere(spark, path,
+        col("id") >= 120 && col("id") < 130) === 3)
+      val after = VersionedLayout.read(spark, path)
+      assert(after.count() === 140L)
+      assert(after.filter(col("id") >= 120 && col("id") < 130).isEmpty)
+      // a's file set (no matches) is the SAME uuid dir in v3 — not rewritten
+      val v3Dirs = after.inputFiles.map(_.split("/data/")(1).split("/")(0)).distinct
+      assert(v1Dirs.forall(v3Dirs.contains), "v1 set must carry forward")
+      // pre-delete snapshot still time-travels
+      assert(VersionedLayout.read(spark, path, Some(2)).count() === 150L)
+    }
+  }
+
+  test("deleteWhere: NULL-predicate rows stay; full-set deletes drop the set") {
+    withDir { path =>
+      val withNulls = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+        .toDF("id", "v")
+      VersionedLayout.commit(withNulls, path)
+      VersionedLayout.deleteWhere(spark, path, col("v") > 10)
+      // v=NULL makes the predicate NULL -> the row STAYS (SQL DELETE law)
+      assert(VersionedLayout.read(spark, path).select("id")
+        .as[Long].collect().sorted === Array(1L, 2L))
+      // deleting everything: whatever the engine does with empty writes,
+      // the committed version must surface ZERO rows (possibly as an
+      // empty-manifest read refusal)
+      VersionedLayout.deleteWhere(spark, path, lit(true))
+      assert(VersionedLayout.versions(spark, path).last === 3)
+      val n = try VersionedLayout.read(spark, path).count()
+        catch { case _: Exception => 0L }
+      assert(n === 0L)
+    }
+  }
+
+  test("deleteWhere with no matches commits an auditable no-op version") {
+    withDir { path =>
+      VersionedLayout.commit(a, path)
+      assert(VersionedLayout.deleteWhere(spark, path, col("id") > 9999) === 2)
+      assert(VersionedLayout.read(spark, path).count() === 100L)
+    }
+  }
+
   test("diff surfaces updates as added+removed and inserts as added") {
     withDir { path =>
       VersionedLayout.commit(a, path)
