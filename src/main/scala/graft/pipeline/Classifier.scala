@@ -282,4 +282,33 @@ object Classifier {
             lit(2.0) * col("precision") * col("recall") /
               (col("precision") + col("recall")))))
   }
+
+  /** WILSON score interval for a proportion (Wilson 1927) — the
+    * confidence band every rate readout (conversion, defect rate, match
+    * precision) should ship with instead of the normal approximation,
+    * which collapses at p̂ near 0/1 or small n where curation decisions
+    * actually live. Given per-row (hits, n): center = (p̂ + z²/2n) /
+    * (1 + z²/n), halfwidth = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+    * A stateless codegen'd per-row map — no shuffle, composes after any
+    * aggregation. z defaults to 1.959964 (95%, the snapped constant both
+    * engines multiply identically). n = 0 rows yield NULL bounds.
+    * Output: input + (p_hat, ci_lo, ci_hi), all 6-dec snapped;
+    * bounds clamped to [0, 1].
+    */
+  def wilsonInterval(df: DataFrame, hitsCol: String, nCol: String,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"wilsonInterval: z must be > 0, got $z")
+    val n = col(nCol).cast("double")
+    val p = col(hitsCol).cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    df.withColumn("p_hat", when(n > 0, TextAnalysis.round6(p)))
+      .withColumn("ci_lo",
+        when(n > 0, TextAnalysis.round6(greatest(lit(0.0), center - half))))
+      .withColumn("ci_hi",
+        when(n > 0, TextAnalysis.round6(least(lit(1.0), center + half))))
+  }
 }

@@ -467,6 +467,16 @@ object CurationPack extends QueryPack {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Wilson 95% confidence band on per-type high-value event rates —
+    // the interval every rate readout should carry at small n
+    "q312_wilson" -> ((s, d) => {
+      val g = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(sum(when(col("value") > 500, 1L).otherwise(0L)).as("hits"),
+          count(lit(1)).as("n"))
+      Classifier.wilsonInterval(g, "hits", "n")
+        .orderBy(col("event_type"))
+    }),
+
     // theta-sketch set algebra: union/intersection/Jaccard estimates of
     // two overlapping doc-id sets from one keyed pass over survivors
     "q301_theta_setops" -> ((s, d) => {
@@ -891,6 +901,32 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q312_wilson" -> {
+      val z = 1.959964
+      val z2 = z * z
+      s"""WITH g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, hits, n,
+        |    CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT event_type, hits, n,
+        |  FLOOR(p * 1e6 + 0.5) / 1e6 AS p_hat,
+        |  FLOOR(GREATEST(0.0,
+        |    (p + $z2 / (2.0 * nd)) / (1.0 + $z2 / nd)
+        |    - $z * sqrt(p * (1.0 - p) / nd + $z2 / (4.0 * nd * nd))
+        |      / (1.0 + $z2 / nd)) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  FLOOR(LEAST(1.0,
+        |    (p + $z2 / (2.0 * nd)) / (1.0 + $z2 / nd)
+        |    + $z * sqrt(p * (1.0 - p) / nd + $z2 / (4.0 * nd * nd))
+        |      / (1.0 + $z2 / nd)) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM w ORDER BY event_type""".stripMargin
+    },
 
     "q301_theta_setops" ->
       s"""WITH sa AS (

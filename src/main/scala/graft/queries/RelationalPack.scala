@@ -63,6 +63,17 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // OLAP CUBE: all four grouping sets in one Expand pass — the
+    // completion of the rollup/pivot/unpivot report family
+    "q311_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
     // UNPIVOT (melt) three aggregate measures back to long form — the
     // Expand-based inverse of q303's pivot, one pass, no join
     "q304_unpivot" -> ((s, d) => {
@@ -316,6 +327,13 @@ object RelationalPack extends QueryPack {
         |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q311_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     // UNION-ALL mirror of the Expand-based unpivot
     "q304_unpivot" ->

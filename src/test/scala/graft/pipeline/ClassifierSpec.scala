@@ -45,4 +45,29 @@ class ClassifierSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.size === before,
       "training must unpersist its feature cache")
   }
+
+  test("wilsonInterval: hand formula, clamping, and n=0 NULL law") {
+    import spark.implicits._
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val df = Seq(("a", 8L, 10L), ("b", 0L, 5L), ("c", 5L, 5L), ("d", 0L, 0L))
+      .toDF("k", "hits", "n")
+    val got = Classifier.wilsonInterval(df, "hits", "n")
+      .select("k", "p_hat", "ci_lo", "ci_hi")
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val z = 1.959964; val z2 = z * z
+    def wilson(h: Long, n: Long): (Double, Double) = {
+      val nd = n.toDouble; val p = h.toDouble / nd
+      val denom = 1.0 + z2 / nd
+      val c = (p + z2 / (2.0 * nd)) / denom
+      val hw = z * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)) / denom
+      (r6(math.max(0.0, c - hw)), r6(math.min(1.0, c + hw)))
+    }
+    val (loA, hiA) = wilson(8, 10)
+    assert(got("a") === ((Some(0.8), Some(loA), Some(hiA))))
+    // p=0 and p=1 clamp to the [0,1] ends
+    assert(got("b")._2.get === 0.0 && got("c")._3.get === 1.0)
+    assert(got("b")._3.get > 0.0 && got("c")._2.get < 1.0)
+    assert(got("d") === ((None, None, None)))
+  }
 }
