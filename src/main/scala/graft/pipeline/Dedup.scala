@@ -1272,10 +1272,13 @@ object Dedup {
     * join+aggregate phases instead of one. Measured on the LSH candidate
     * graph at sf0.1, hash-to-min already converges in 2 propagation
     * rounds (+1 verification) — star alternation would do 2 phases x 2
-    * rounds = the same four keyed shuffles with more plan overhead. It
-    * becomes the right trade only when duplicate chains run deep
+    * rounds = the same four keyed shuffles with more plan overhead.
+    * It becomes the right trade only when duplicate chains run deep
     * (diameter >> 4), which near-duplicate clusters, by construction
-    * (band collision = high similarity), do not.
+    * (band collision = high similarity), do not. A pointer-jump variant
+    * (lbl := min(lbl, lbl(lbl)) per action) was measured on the sf0.1 ER
+    * blocking graph and lost 8x to this loop — the extra per-action
+    * materialization dominates until diameters reach the hundreds.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1348,6 +1351,12 @@ object Dedup {
       // — the cost driver when the candidate graph is small relative to
       // the cluster (at 100 TB the LSH pair graph is ~0.1% of corpus
       // bytes, so action cadence bounds this stage there too).
+      // (A pointer-jump variant — lbl := min(lbl, lbl(lbl)) folded into
+      // each action for O(log diameter) rounds — was MEASURED here on the
+      // sf0.1 ER blocking graph and LOST 8x: the extra node-sized
+      // self-join adds a cache materialization and two shuffle stages per
+      // action, and this graph converges in a handful of rounds anyway.
+      // At genuinely deep diameters the trade flips; see the class doc.)
       val mid = if (first) None
                 else Some(step(labels).select("id", "lbl").persist(lvl))
       val s2 = step(mid.getOrElse(labels)).persist(lvl)
