@@ -149,6 +149,27 @@ object RasterPack extends QueryPack {
     }),
 
     // unpad (reference _utils.py:71-160): strip zero margins, shift to origin.
+    // distributed connected-component labeling: tile-local union-find +
+    // boundary-strip merge through graph CC; the bars+dots mask has
+    // CLOSED-FORM components (one welded bar grid + isolated dots), so
+    // the oracle states the labeling without ever running a fill
+    "q313_label_components" -> ((s, d) => {
+      val H = 48; val W = 64
+      val pix = s.range(0, H.toLong * W).select(
+          (col("id") / W).cast("int").as("y"),
+          (col("id") % W).cast("int").as("x"))
+        .withColumn("bar", col("y") % 7 < 2 || col("x") % 11 < 2)
+        .withColumn("dot", col("y") % 7 >= 3 && col("y") % 7 <= 5 &&
+          col("x") % 11 >= 3 && col("x") % 11 <= 9 &&
+          (col("y") * 31 + col("x") * 17) % 29 === 0)
+        .select(col("y"), col("x"),
+          when(col("bar") || col("dot"), 1.0).otherwise(0.0).as("value"))
+      val tiles = RasterOps.pixelsToTilesExact(pix, H, W, tileSize = 16,
+        channelCol = None)
+      RasterOps.labelConnected(tiles, widthPx = W, tileSize = 16)
+        .orderBy(col("y"), col("x"))
+    }),
+
     "q37_unpad" -> ((s, d) => {
       val pixels = Tables.events(s, d).select(
         (col("event_id") % 40 + 7).cast("int").as("y"),
@@ -160,6 +181,21 @@ object RasterPack extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // closed-form labeling: the bar grid is ONE component whose min
+    // pixel is (0,0); every dot is its own singleton
+    "q313_label_components" ->
+      """WITH g AS (
+        |  SELECT CAST(r // 64 AS INT) AS y, CAST(r % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 3072)) AS r)),
+        |fg AS (SELECT y, x,
+        |    (y % 7 < 2 OR x % 11 < 2) AS bar,
+        |    (y % 7 BETWEEN 3 AND 5 AND x % 11 BETWEEN 3 AND 9
+        |      AND (y*31 + x*17) % 29 = 0) AS dot
+        |  FROM g)
+        |SELECT y, x,
+        |  CAST(CASE WHEN bar THEN 0 ELSE y*64 + x END AS BIGINT) AS component
+        |FROM fg WHERE bar OR dot ORDER BY y, x""".stripMargin,
+
     "q30_rasterize_points_count" ->
       s"""SELECT CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 4.0) AS INT) AS x,
          |  COUNT(*) AS value

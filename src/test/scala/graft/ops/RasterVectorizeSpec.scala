@@ -245,4 +245,26 @@ class RasterVectorizeSpec extends SparkTestBase {
     val r = Vectorize.labelsToCircles(px).select("radius").as[Double].collect()(0)
     assert(math.abs(math.Pi * r * r - 16.0) < 1e-9)
   }
+
+  test("labelConnected: merges across BOTH tile boundaries, 4-connectivity only") {
+    import spark.implicits._
+    // 6x8 raster, 4x4 tiles: col 0 ones (crosses the row-3|4 tile seam),
+    // row 0 cols 0..5 (crosses the col-3|4 seam), plus a diagonal pixel
+    // pair (1,7)/(2,6) that must remain TWO components
+    val fg = (0 until 6).map(y => (y, 0)) ++ (0 until 6).map(x => (0, x)) ++
+      Seq((1, 7), (2, 6))
+    val pix = (for (y <- 0 until 6; x <- 0 until 8) yield
+      (y, x, if (fg.contains((y, x))) 1.0 else 0.0)).toDF("y", "x", "value")
+    val tiles = RasterOps.pixelsToTilesExact(pix, 6, 8, tileSize = 4,
+      channelCol = None)
+    val got = RasterOps.labelConnected(tiles, widthPx = 8, tileSize = 4)
+      .as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === fg.distinct.size)
+    // the L-shaped bar (col 0 + row 0) welds into one component, min id 0
+    (0 until 6).foreach { y => assert(got((y, 0)) === 0L, s"col0 y=$y") }
+    (0 until 6).foreach { x => assert(got((0, x)) === 0L, s"row0 x=$x") }
+    // the diagonal pair stays split (no 8-connectivity)
+    assert(got((1, 7)) === 15L && got((2, 6)) === 22L)
+  }
 }
