@@ -23,6 +23,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"BroadcastNestedLoopJoin in:\n$plan")
   }
 
+  test("hammingTopK: one deliberate broadcast bits scan, keyed rerank, no product") {
+    val q = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val plan = Similarity.hammingTopK(emb, q, k = 3, candidates = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    // the bits scan broadcasts the query batch over the corpus words —
+    // exactly ONE nested-loop by design; the float-vector rerank must
+    // stay a keyed (broadcastable) join, never a second scan product
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj === 1, s"expected exactly 1 BroadcastNestedLoopJoin:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"keyed rerank join missing in:\n$plan")
+  }
+
   test("cosinePairs is bucket-gated: no product join in the plan") {
     assertNoProduct(Dedup.cosinePairs(emb, threshold = 0.5))
   }
