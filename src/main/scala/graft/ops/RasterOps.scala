@@ -373,6 +373,58 @@ object RasterOps {
     }
   }
 
+  /** (2·depth+1)-square MORPHOLOGICAL dilate/erode — the flat-structuring-
+    * element max/min filter: on binary masks this is classic binary
+    * morphology (dilate grows blobs / bridges gaps, erode shaves
+    * boundaries / drops specks; composed they are closing and opening),
+    * on grayscale the flat-SE rank filters. Output values are exact
+    * COPIES of input values (an order statistic, like
+    * [[medianFilterBox]]) — zero float accumulation, engine-portable.
+    * Same margin-clipped halo exchange and boundary policy as the other
+    * box kernels.
+    */
+  def morphBox(tiles: DataFrame, depth: Int, dilate: Boolean,
+      tileSize: Int = TS, boundary: Boundary = Boundary.Reflect): DataFrame = {
+    require(depth >= 1 && depth <= tileSize,
+      s"morphBox: depth must be in [1, tileSize=$tileSize], got $depth")
+    mapRasterWithHalo(tiles, tileSize, boundary, depth) { (h, w, px, halo) =>
+      val at = haloReader(h, w, px, halo, depth, "morphBox")
+      Array.tabulate(h * w) { i =>
+        val r = i / w; val c = i % w
+        var m = at(r - depth, c - depth)
+        var dy = -depth
+        while (dy <= depth) {
+          var dx = -depth
+          while (dx <= depth) {
+            val v = at(r + dy, c + dx)
+            if (if (dilate) v > m else v < m) m = v
+            dx += 1
+          }
+          dy += 1
+        }
+        m
+      }
+    }
+  }
+
+  /** REGION PROPERTIES over a [[labelConnected]] labeling — the table
+    * every CCL consumer actually wants (skimage regionprops' core
+    * columns): per component, pixel count, bounding box, and the
+    * centroid (6-dec snapped ratio of exact integer sums). ONE keyed
+    * aggregation with map-side partials; a blob costs its pixel count.
+    * Output: (component, n_pixels, min_y, max_y, min_x, max_x,
+    * centroid_y, centroid_x).
+    */
+  def componentStats(labeled: DataFrame): DataFrame =
+    labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("y")).cast("double") / count(lit(1))).as("centroid_y"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("x")).cast("double") / count(lit(1))).as("centroid_x"))
+
   /** Shared neighborhood accessor for the box kernels: resolves (r, c)
     * offsets that fall outside the center tile into the neighbor ring,
     * indexing each neighbor with ITS OWN dims/stride (partial edge

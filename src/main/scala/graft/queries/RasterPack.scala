@@ -170,6 +170,47 @@ object RasterPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // region properties over the CCL labeling: per-blob count, bbox,
+    // snapped centroid — same closed-form mask as q313
+    "q314_component_stats" -> ((s, d) => {
+      val H = 48; val W = 64
+      val pix = s.range(0, H.toLong * W).select(
+          (col("id") / W).cast("int").as("y"),
+          (col("id") % W).cast("int").as("x"))
+        .withColumn("bar", col("y") % 7 < 2 || col("x") % 11 < 2)
+        .withColumn("dot", col("y") % 7 >= 3 && col("y") % 7 <= 5 &&
+          col("x") % 11 >= 3 && col("x") % 11 <= 9 &&
+          (col("y") * 31 + col("x") * 17) % 29 === 0)
+        .select(col("y"), col("x"),
+          when(col("bar") || col("dot"), 1.0).otherwise(0.0).as("value"))
+      val tiles = RasterOps.pixelsToTilesExact(pix, H, W, tileSize = 16,
+        channelCol = None)
+      RasterOps.componentStats(
+        RasterOps.labelConnected(tiles, widthPx = W, tileSize = 16))
+        .orderBy(col("component"))
+    }),
+
+    // binary dilation (flat 3x3 structuring element) with mirror
+    // boundary — the morphology twin of q199's blur, exact value copies
+    "q315_dilate" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 60).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).as("cnt"))
+      val grid = s.range(64L * 60)
+        .select(lit(0).as("c"), (col("id") / 60).cast("int").as("y"),
+          (col("id") % 60).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          when(col("cnt").isNotNull, 1.0).otherwise(0.0).as("value"))
+      val tiles = RasterOps.pixelsToTilesExact(pixels, 64, 60, tileSize = 16)
+      val dil = RasterOps.morphBox(tiles, depth = 1, dilate = true,
+        tileSize = 16, boundary = RasterOps.Boundary.Reflect)
+      RasterOps.tilesToPixels(dil, tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
     "q37_unpad" -> ((s, d) => {
       val pixels = Tables.events(s, d).select(
         (col("event_id") % 40 + 7).cast("int").as("y"),
@@ -195,6 +236,57 @@ object RasterPack extends QueryPack {
         |SELECT y, x,
         |  CAST(CASE WHEN bar THEN 0 ELSE y*64 + x END AS BIGINT) AS component
         |FROM fg WHERE bar OR dot ORDER BY y, x""".stripMargin,
+
+    // per-component closed-form stats: bar grid = one blob spanning the
+    // full extent; each dot a 1-pixel blob at itself
+    "q314_component_stats" ->
+      """WITH g AS (
+        |  SELECT CAST(r // 64 AS INT) AS y, CAST(r % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 3072)) AS r)),
+        |fg AS (SELECT y, x,
+        |    (y % 7 < 2 OR x % 11 < 2) AS bar,
+        |    (y % 7 BETWEEN 3 AND 5 AND x % 11 BETWEEN 3 AND 9
+        |      AND (y*31 + x*17) % 29 = 0) AS dot
+        |  FROM g),
+        |pix AS (SELECT y, x,
+        |    CAST(CASE WHEN bar THEN 0 ELSE y*64 + x END AS BIGINT) AS component
+        |  FROM fg WHERE bar OR dot)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  MIN(y) AS min_y, MAX(y) AS max_y,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+        |    AS centroid_y,
+        |  FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+        |    AS centroid_x
+        |FROM pix GROUP BY component ORDER BY component""".stripMargin,
+
+    // 3x3 mirror-boundary MAX over the binarized grid
+    "q315_dilate" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 60 AS INT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 60 AS INT) AS y, CAST(i % 60 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 3840)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x,
+        |    CASE WHEN px.y IS NOT NULL THEN 1.0 ELSE 0.0 END AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |offs AS (
+        |  SELECT dy, dx
+        |  FROM (SELECT unnest(range(-1, 2)) AS dy), (SELECT unnest(range(-1, 2)) AS dx))
+        |SELECT d.y, d.x, MAX(n.v) AS value
+        |FROM dense d
+        |JOIN offs o ON TRUE
+        |JOIN dense n
+        |  ON n.y = CASE WHEN d.y + o.dy < 0 THEN -(d.y + o.dy) - 1
+        |                WHEN d.y + o.dy >= 64 THEN 127 - (d.y + o.dy)
+        |                ELSE d.y + o.dy END
+        | AND n.x = CASE WHEN d.x + o.dx < 0 THEN -(d.x + o.dx) - 1
+        |                WHEN d.x + o.dx >= 60 THEN 119 - (d.x + o.dx)
+        |                ELSE d.x + o.dx END
+        |GROUP BY d.y, d.x
+        |ORDER BY d.y, d.x""".stripMargin,
 
     "q30_rasterize_points_count" ->
       s"""SELECT CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 4.0) AS INT) AS x,

@@ -246,6 +246,40 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(math.abs(math.Pi * r * r - 16.0) < 1e-9)
   }
 
+  test("morphBox: erode drops specks, dilate grows; duality law holds") {
+    import spark.implicits._
+    // 8x8, one 4x4 tile quadrant each: a 3x3 block at (1..3, 1..3) plus an
+    // isolated speck at (6, 6)
+    val fg = (for (y <- 1 to 3; x <- 1 to 3) yield (y, x)) :+ ((6, 6))
+    val pix = (for (y <- 0 until 8; x <- 0 until 8) yield
+      (y, x, if (fg.contains((y, x))) 1.0 else 0.0)).toDF("y", "x", "value")
+    val tiles = RasterOps.pixelsToTilesExact(pix, 8, 8, tileSize = 4,
+      channelCol = None)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      RasterOps.tilesToPixels(df, tileSize = 4)
+        .select("y", "x", "value").as[(Int, Int, Double)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val er = asMap(RasterOps.morphBox(tiles, depth = 1, dilate = false,
+      tileSize = 4))
+    // erosion keeps only the block's center; the speck dies
+    assert(er((2, 2)) === 1.0)
+    assert(er.filterNot(_._1 == ((2, 2))).values.forall(_ === 0.0))
+    val di = asMap(RasterOps.morphBox(tiles, depth = 1, dilate = true,
+      tileSize = 4))
+    // dilation grows the block to 5x5 and the speck to 3x3 (45 px here:
+    // the two grown regions are disjoint) — and crosses tile seams
+    assert(di.values.count(_ === 1.0) === 25 + 9)
+    assert(di((4, 4)) === 1.0 && di((5, 5)) === 1.0)
+    // duality: dilate(mask) == 1 - erode(1 - mask)
+    val inv = pix.select(col("y"), col("x"),
+      (lit(1.0) - col("value")).as("value"))
+    val invTiles = RasterOps.pixelsToTilesExact(inv, 8, 8, tileSize = 4,
+      channelCol = None)
+    val dual = asMap(RasterOps.morphBox(invTiles, depth = 1, dilate = false,
+      tileSize = 4)).map { case (k, v) => k -> (1.0 - v) }
+    assert(dual === di)
+  }
+
   test("labelConnected: merges across BOTH tile boundaries, 4-connectivity only") {
     import spark.implicits._
     // 6x8 raster, 4x4 tiles: col 0 ones (crosses the row-3|4 tile seam),
