@@ -1023,6 +1023,51 @@ object Sketches {
           col("__s.n_users").cast("double") / col("__n1"))).as("conversion"))
   }
 
+  /** Per-group ORDINARY LEAST SQUARES line fit — slope/intercept/R² of
+    * y on x for every group in ONE keyed aggregation (the trend-line
+    * staple: metric drift per segment, rate-over-time per entity).
+    * Engine-exact in the house style: inputs snap to the 1e-6 grid, the
+    * five moments (Σx, Σy, Σx², Σy², Σxy) accumulate in exact DECIMAL so
+    * partial-agg order can't move them, and the closed forms
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²), intercept = (Σy − slope·Σx)/n,
+    * R² = (n·Σxy − Σx·Σy)² / ((n·Σx² − Σx²)(n·Σy² − Σy²))
+    * evaluate in a fixed double-op order both engines reproduce. NULL
+    * x/y rows drop; slope/intercept are NULL for a zero-x-variance
+    * group, R² additionally NULL for zero y-variance. Output: group
+    * cols + (n, slope, intercept, r2), 6-dec snapped.
+    */
+  def groupedLinFit(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedLinFit: need at least one group column")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        TextAnalysis.round6(col(xCol).cast("double")).as("__x"),
+        TextAnalysis.round6(col(yCol).cast("double")).as("__y")): _*)
+    val agg = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,6)")).as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,12)")).as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,12)")).as("__syy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,12)")).as("__sxy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val covN = n * sxy - sx * sy
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      when(varXN > 0, TextAnalysis.round6(covN / varXN)).as("slope"),
+      when(varXN > 0, TextAnalysis.round6(
+        (sy - (covN / varXN) * sx) / n)).as("intercept"),
+      when(varXN > 0 && varYN > 0, TextAnalysis.round6(
+        covN * covN / (varXN * varYN))).as("r2")): _*)
+  }
+
   /** THETA-SKETCH SET ALGEBRA — distinct-cardinality estimates for the
     * UNION, INTERSECTION, and per-side counts of two key sets, plus the
     * Jaccard estimate, without ever shuffling the full key streams. Both

@@ -467,6 +467,15 @@ object CurationPack extends QueryPack {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // per-type OLS trend of value on a derived feature: one keyed
+    // aggregation of exact-decimal moments, closed-form slope/R²
+    "q316_lin_fit" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 97).cast("double").as("xf"), col("value"))
+      Sketches.groupedLinFit(ev, Seq("event_type"), "xf", "value")
+        .orderBy(col("event_type"))
+    }),
+
     // Wilson 95% confidence band on per-type high-value event rates —
     // the interval every rate readout should carry at small n
     "q312_wilson" -> ((s, d) => {
@@ -901,6 +910,38 @@ object CurationPack extends QueryPack {
         |    FLOOR(CAST(c_lang AS DOUBLE) / n_lang * 1e6 + 0.5) / 1e6 >= 0.95
         |  FROM t)
         |ORDER BY "check", "column"""".stripMargin,
+
+    "q316_lin_fit" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    FLOOR(CAST(user_id % 97 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x,
+        |    FLOOR(CAST(value AS DOUBLE) * 1e6 + 0.5) / 1e6 AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn,
+        |    sx, sy
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN varxn > 0 THEN
+        |    FLOOR(covn / varxn * 1e6 + 0.5) / 1e6 END AS slope,
+        |  CASE WHEN varxn > 0 THEN
+        |    FLOOR((sy - (covn / varxn) * sx) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |      / 1e6 END AS intercept,
+        |  CASE WHEN varxn > 0 AND varyn > 0 THEN
+        |    FLOOR(covn * covn / (varxn * varyn) * 1e6 + 0.5) / 1e6
+        |  END AS r2
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q312_wilson" -> {
       val z = 1.959964

@@ -645,6 +645,19 @@ class SelectionOpsSpec extends SparkTestBase {
       (1L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0)))
   }
 
+  test("groupedLinFit: exact line recovers, zero-variance group is NULL") {
+    val df = Seq(
+      ("g1", Some(0.0), Some(1.0)), ("g1", Some(1.0), Some(3.0)),
+      ("g1", Some(2.0), Some(5.0)), ("g1", None, Some(9.0)), // dropped
+      ("g2", Some(4.0), Some(1.0)), ("g2", Some(4.0), Some(7.0)))
+      .toDF("g", "x", "y")
+    val got = Sketches.groupedLinFit(df, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g1") === (("g1", 3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(got("g2") === (("g2", 2L, None, None, None)))
+  }
+
   test("thetaSetOps: thetaInverse=1 degenerates to exact set algebra") {
     def df(xs: Long*) = xs.map(Tuple1(_)).toDF("k")
     val out = Sketches.thetaSetOps(df(1, 2, 3, 3), df(2, 3, 4), "k",
