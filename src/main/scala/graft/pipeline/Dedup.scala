@@ -169,6 +169,36 @@ object Dedup {
         (0 until numHashes).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** CORPUS-LEVEL similarity between SOURCES from MinHash signatures —
+    * the dataset-diagnostics op ("how much does crawl A overlap crawl
+    * B?") that never compares documents pairwise: a GROUP's signature
+    * component j is the min of its docs' component j (the min over a
+    * union of shingle sets IS the min of per-set minima, so the per-doc
+    * kernel reuses verbatim and the group pass is ONE keyed min-agg over
+    * [[minhashSignatures]] rows); Jaccard(A, B) is then estimated by the
+    * fraction of agreeing components (unbiased, stderr ≈ 1/√numHashes).
+    * The pairwise stage runs on the GROUP-signature frame — one row per
+    * source — so the inequality self-join is a broadcast over a
+    * group-count-sized table, never the corpus. Output:
+    * (source_a < source_b, n_agree, jaccard_est 6-dec snapped).
+    */
+  def sourceSimilarity(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", k: Int = 3,
+      numHashes: Int = 12): DataFrame = {
+    val perDoc = minhashSignatures(docs, textCol, groupCol, k, numHashes)
+    val mins = (0 until numHashes).map(j => min(col(s"mh$j")).as(s"mh$j"))
+    val gsig = perDoc.groupBy(col(groupCol)).agg(mins.head, mins.tail: _*)
+    def side(tag: String) = gsig.select(
+      col(groupCol).as(s"source_$tag") +:
+        (0 until numHashes).map(j => col(s"mh$j").as(s"__${tag}$j")): _*)
+    val agree = (0 until numHashes).map(j =>
+      when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0)).reduce(_ + _)
+    side("a").join(side("b"), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), agree.as("n_agree"),
+        TextAnalysis.round6(
+          agree.cast("double") / numHashes).as("jaccard_est"))
+  }
+
   /** MinHash Jaccard ESTIMATE vs EXACT for candidate pairs — the sketch-
     * quality evaluation next to [[graft.pipeline.Similarity.recallAtK]]:
     * the estimator is the fraction of agreeing signature components

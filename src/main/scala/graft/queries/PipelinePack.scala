@@ -871,6 +871,13 @@ object PipelinePack extends QueryPack {
     // the LSH band index AT REST: build the corpus band table once
     // (bucketed+sorted parquet table), probe a new batch against it —
     // must match the recompute band algebra row-for-row (same oracle CTEs)
+    // corpus-level source overlap: group minhash signature = keyed min
+    // of per-doc signatures; est Jaccard = agreeing-component fraction
+    "q317_source_similarity" -> ((s, d) => {
+      Dedup.sourceSimilarity(Tables.documents(s, d))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // incremental band-index maintenance: build on 4/5 of the corpus,
     // APPEND the rest, probe — must equal a full rebuild's probe (the
     // oracle recomputes over the whole corpus and never sees the index)
@@ -1663,6 +1670,23 @@ object PipelinePack extends QueryPack {
       // at-rest probe == recompute: corpus bands capped over the corpus,
       // probe bands capped over the batch alone (the batch's band table is
       // the corpus band table restricted to its ids — same text, same sig)
+      "q317_source_similarity" -> {
+        val minCols = (1 to 12).map(j => s"MIN(sig[$j])").mkString("[", ", ", "]")
+        val agree = (1 to 12).map(j =>
+          s"CASE WHEN a.gs[$j] = b.gs[$j] THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT source, ${shinglesSql(wordsSql, 3)} AS sh FROM documents),
+           |sig AS (
+           |  SELECT source, ${sigSql("sh")} AS sig FROM w WHERE len(sh) > 0),
+           |g AS (SELECT source, $minCols AS gs FROM sig GROUP BY source)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  CAST($agree AS INT) AS n_agree,
+           |  FLOOR(CAST($agree AS DOUBLE) / 12 * 1e6 + 0.5) / 1e6
+           |    AS jaccard_est
+           |FROM g a JOIN g b ON a.source < b.source
+           |ORDER BY source_a, source_b""".stripMargin
+      },
+
       // identical algebra to q162: append must not change the candidate set
       "q309_band_index_append" ->
         s"""$bandsSqlCte,

@@ -131,6 +131,24 @@ class PipelineSpec extends SparkTestBase {
     assert(m(1) === (("qb", None, 0.0)))
   }
 
+  test("sourceSimilarity: identical sources read exactly 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "zeta eta theta iota kappa", "s1"),
+      (3L, "alpha beta gamma delta epsilon", "s2"),
+      (4L, "zeta eta theta iota kappa", "s2"),
+      (5L, "totally different words over here", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceSimilarity(docs)
+      .as[(String, String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size === 3)
+    // same shingle union -> identical group signatures -> estimate 1.0
+    assert(out(("s1", "s2")) === ((12, 1.0)))
+    // disjoint corpora agree only by hash collision — never fully
+    assert(out(("s1", "s3"))._2 < 1.0 && out(("s2", "s3"))._2 < 1.0)
+  }
+
   test("rboTruncated: hand suffix weights, identity and disjoint laws") {
     val a = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query_id", "vec_id", "rank")
     val b = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("query_id", "vec_id", "rank")
