@@ -129,6 +129,34 @@ object TextAnalysis {
       returnNullable = false)
   }
 
+  /** MONGE-ELKAN soft token-set similarity (Monge/Elkan 1996): the mean
+    * over a's tokens of the best [[jaroWinklerCol]] match among b's
+    * tokens — the record-linkage matcher that forgives word reordering
+    * ("maria garcia" vs "garcia maria" reads 1.0 where whole-string JW
+    * collapses). ASYMMETRIC by definition (a quoted subset scores high
+    * against a longer b, not vice versa); take the mean of both
+    * directions for a symmetric score. Tokenization = [[Dedup.words]]
+    * (lowercased alphanumerics). Cost per row: |tokens_a| × |tokens_b|
+    * JW kernel calls inside ONE codegen'd projection — sized for names,
+    * titles, addresses, not documents. NULL input propagates NULL; a
+    * side that tokenizes to nothing contributes 0-similarity tokens
+    * (the DuckDB/RapidFuzz empty convention [[jaroWinklerCol]] pins).
+    */
+  def mongeElkanCol(a: Column, b: Column): Column = {
+    val ta = Dedup.words(a)
+    val tb = Dedup.words(b)
+    // each token's best match snaps to the 1e-6 grid and the per-row sum
+    // runs in exact DECIMAL (the rrfFuse pattern), so the score is
+    // engine-exact regardless of either engine's list-sum order
+    val best = transform(ta, t =>
+      round6(array_max(transform(tb, u => jaroWinklerCol(t, u)))))
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(
+        aggregate(best, lit(0).cast("decimal(28,6)"),
+          (s, x) => (s + x.cast("decimal(28,6)")).cast("decimal(28,6)"))
+          .cast("double") / size(ta))
+  }
+
   /** 6-decimal rounding as pure IEEE arithmetic (`floor(x*1e6 + 0.5)/1e6`)
     * — bit-identical on every engine that evaluates the same double ops,
     * unlike engine-native `round`, whose half-way decisions differ between

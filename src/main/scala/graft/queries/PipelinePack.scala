@@ -420,6 +420,26 @@ object PipelinePack extends QueryPack {
       near.unionByName(far).orderBy(col("kind"), col("id"))
     }),
 
+    // Monge-Elkan soft token matching: order-insensitive avg-of-best-JW,
+    // both directions + symmetric mean, vs DuckDB's native JW kernel
+    "q318_monge_elkan" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val pairs = c.as("x")
+        .join(c.as("y"), col("y.c_custkey") === col("x.c_custkey") + 1)
+        .select(col("x.c_custkey").as("id"),
+          concat(col("x.c_name"), lit(" "), col("x.c_mktsegment")).as("a"),
+          concat(col("y.c_mktsegment"), lit(" "), col("x.c_name")).as("b"))
+      pairs.select(col("id"),
+        TextAnalysis.round6(
+          TextAnalysis.mongeElkanCol(col("a"), col("b"))).as("me_ab"),
+        TextAnalysis.round6(
+          TextAnalysis.mongeElkanCol(col("b"), col("a"))).as("me_ba"),
+        TextAnalysis.round6(
+          (TextAnalysis.mongeElkanCol(col("a"), col("b")) +
+            TextAnalysis.mongeElkanCol(col("b"), col("a"))) / 2).as("me_sym"))
+        .orderBy(col("id"))
+    }),
+
     // 2-D skyline: the (length, score) Pareto frontier — per-x max
     // collapse + two-phase descending cummax; the oracle is brute-force
     // NOT EXISTS dominance, a completely different algorithm
@@ -2289,6 +2309,34 @@ object PipelinePack extends QueryPack {
           |ORDER BY a, b""".stripMargin,
 
       // DuckDB's native implementation is the ground truth
+      "q318_monge_elkan" -> {
+        def w(e: String) =
+          s"string_split(trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g')), ' ')"
+        // per-token best snapped, per-row sum in exact DECIMAL — mirrors
+        // mongeElkanCol's order-independent arithmetic
+        def me(wa: String, wb: String) =
+          s"""CAST(list_sum(list_transform($wa, t ->
+             |  CAST(FLOOR(list_max(list_transform($wb, u ->
+             |    jaro_winkler_similarity(t, u))) * 1e6 + 0.5) / 1e6
+             |    AS DECIMAL(28,6)))) AS DOUBLE) / len($wa)""".stripMargin
+        s"""WITH p AS (
+           |  SELECT x.c_custkey AS id,
+           |    x.c_name || ' ' || x.c_mktsegment AS a,
+           |    y.c_mktsegment || ' ' || x.c_name AS b
+           |  FROM customer x JOIN customer y
+           |    ON y.c_custkey = x.c_custkey + 1),
+           |t AS (SELECT id, ${w("a")} AS wa, ${w("b")} AS wb FROM p),
+           |m AS (SELECT id,
+           |    ${me("wa", "wb")} AS ab,
+           |    ${me("wb", "wa")} AS ba
+           |  FROM t)
+           |SELECT id,
+           |  FLOOR(ab * 1e6 + 0.5) / 1e6 AS me_ab,
+           |  FLOOR(ba * 1e6 + 0.5) / 1e6 AS me_ba,
+           |  FLOOR((ab + ba) / 2 * 1e6 + 0.5) / 1e6 AS me_sym
+           |FROM m ORDER BY id""".stripMargin
+      },
+
       "q275_jaro_winkler" ->
         """WITH near AS (
           |  SELECT x.c_custkey AS id, 'near' AS kind,

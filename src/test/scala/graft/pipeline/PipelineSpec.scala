@@ -131,6 +131,31 @@ class PipelineSpec extends SparkTestBase {
     assert(m(1) === (("qb", None, 0.0)))
   }
 
+  test("mongeElkan: reorder-invariant, asymmetric on subsets, NULL law") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val df = Seq(
+      ("perm", Some("Maria Garcia"), Some("garcia, MARIA")),
+      ("sub", Some("customer"), Some("customer building")),
+      ("nul", None, Some("x"))).toDF("k", "a", "b")
+    val got = df.select(col("k"),
+      TextAnalysis.round6(TextAnalysis.mongeElkanCol(col("a"), col("b"))).as("ab"),
+      TextAnalysis.round6(TextAnalysis.mongeElkanCol(col("b"), col("a"))).as("ba"))
+      .as[(String, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // same token set, any order/case/punctuation -> exactly 1.0 both ways
+    assert(got("perm") === ((Some(1.0), Some(1.0))))
+    // the quoted subset scores 1.0 forward, averaged-down backward
+    val jwBC = graft.pipeline.TextKernel.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString("building"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("customer"))
+    assert(got("sub")._1 === Some(1.0))
+    // one-grid slack: the op sums snapped terms in decimal then halves,
+    // which can land exactly on a floor boundary the double replay of
+    // this expectation resolves differently
+    assert(math.abs(got("sub")._2.get - (1.0 + r6(jwBC)) / 2) < 1.1e-6)
+    assert(got("nul") === ((None, None)))
+  }
+
   test("sourceSimilarity: identical sources read exactly 1.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon", "s1"),
