@@ -425,6 +425,155 @@ object RasterOps {
         graft.pipeline.TextAnalysis.round6(
           sum(col("x")).cast("double") / count(lit(1))).as("centroid_x"))
 
+  /** 3x3 SOBEL gradient magnitude (L1 form |Gx| + |Gy|) — the classic
+    * edge detector riding the same depth-1 margin-clipped halo exchange
+    * as [[meanBlur3x3]]. Gx/Gy are small-integer-weighted sums (±1, ±2),
+    * so on integer-valued rasters every intermediate is exact in a
+    * double and the L1 magnitude is engine-portable with zero float
+    * drift (the L2 sqrt form would need a snap; L1 is the standard cheap
+    * variant). Same boundary policy as the other box kernels.
+    */
+  def sobelFilter(tiles: DataFrame, tileSize: Int = TS,
+      boundary: Boundary = Boundary.Reflect): DataFrame =
+    mapRasterWithHalo(tiles, tileSize, boundary, depth = 1) { (h, w, px, halo) =>
+      val at = haloReader(h, w, px, halo, 1, "sobelFilter")
+      Array.tabulate(h * w) { i =>
+        val r = i / w; val c = i % w
+        val gx = -at(r - 1, c - 1) + at(r - 1, c + 1) -
+          2.0 * at(r, c - 1) + 2.0 * at(r, c + 1) -
+          at(r + 1, c - 1) + at(r + 1, c + 1)
+        val gy = -at(r - 1, c - 1) - 2.0 * at(r - 1, c) - at(r - 1, c + 1) +
+          at(r + 1, c - 1) + 2.0 * at(r + 1, c) + at(r + 1, c + 1)
+        math.abs(gx) + math.abs(gy)
+      }
+    }
+
+  /** Distributed INTEGRAL IMAGE (summed-area table, Crow 1984): output
+    * pixel (Y, X) holds Σ value over all (y ≤ Y, x ≤ X) — the O(1)
+    * box-sum primitive behind Viola-Jones features, fast box blurs and
+    * adaptive thresholding. A 2D prefix scan does NOT fit one pass of
+    * any per-tile kernel, so this is the classic DECOUPLED-LOOKBACK
+    * shape, three strictly bounded stages:
+    *
+    *  1. per tile (embarrassingly parallel, no shuffle): the LOCAL SAT,
+    *     plus three carry summaries — rowCum[r] = Σ of the tile's rows
+    *     0..r (all columns), colCum[c] = Σ of columns 0..c (all rows),
+    *     and the tile total;
+    *  2. carry propagation over the TILE GRID, never pixels: a window
+    *     along each tile row accumulates left-neighbor rowCum arrays
+    *     (zip_with addition over collect_list — the frame holds at most
+    *     gridWidth arrays of h doubles); a window down each tile column
+    *     does the same for colCum; two chained scalar windows give the
+    *     diagonal block total (row-prefix of totals, then its
+    *     column-prefix);
+    *  3. one stateless codegen projection: out(r,c) = localSAT(r,c) +
+    *     left[r] + above[c] + diag.
+    *
+    * The windows partition by tile row/column, so their frames are
+    * bounded by the tile GRID extent (a 10^6 x 10^6-pixel raster at TS
+    * 64 is a 16k-tile-wide grid — window frames of 16k rows), while all
+    * pixel-scale work stays per-tile. Integer-valued rasters stay exact:
+    * every sum is a sum of integers representable in a double (exact to
+    * 2^53). Emits the tiled layout with `px` replaced by the global SAT.
+    */
+  def integralImage(tiles: DataFrame, tileSize: Int = TS): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    // stage 1: local SAT + carries, one typed per-tile kernel
+    val local = tiles
+      .select(col("scale"), col("c"), col("tile_y"), col("tile_x"),
+        col("h"), col("w"), col("px"))
+      .as[(Int, Int, Int, Int, Int, Int, Array[Double])]
+      .map { case (scale, c, ty, tx, h, w, px) =>
+        val sat = new Array[Double](h * w)
+        var r = 0
+        while (r < h) {
+          var cc = 0
+          var rowRun = 0.0
+          while (cc < w) {
+            rowRun += px(r * w + cc)
+            sat(r * w + cc) = rowRun + (if (r > 0) sat((r - 1) * w + cc) else 0.0)
+            cc += 1
+          }
+          r += 1
+        }
+        // rowCum[r] = SAT(r, w-1); colCum[c] = SAT(h-1, c); total = SAT(h-1, w-1)
+        val rowCum = Array.tabulate(h)(rr => sat(rr * w + w - 1))
+        val colCum = Array.tabulate(w)(cc => sat((h - 1) * w + cc))
+        (scale, c, ty, tx, h, w, sat, rowCum, colCum, sat(h * w - 1))
+      }
+      .toDF("scale", "c", "tile_y", "tile_x", "h", "w", "px",
+        "__row_cum", "__col_cum", "__total")
+    // stage 2: carries over the tile grid
+    def accArrays(arrCol: Column, lenCol: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      aggregate(
+        coalesce(collect_list(arrCol).over(w),
+          array().cast("array<array<double>>")),
+        transform(sequence(lit(1), lenCol), _ => lit(0.0)),
+        (acc, a) => zip_with(acc, a, _ + _))
+    val rowW = Window.partitionBy(col("scale"), col("c"), col("tile_y"))
+      .orderBy(col("tile_x")).rowsBetween(Window.unboundedPreceding, -1)
+    val colW = Window.partitionBy(col("scale"), col("c"), col("tile_x"))
+      .orderBy(col("tile_y")).rowsBetween(Window.unboundedPreceding, -1)
+    val diagRowW = Window.partitionBy(col("scale"), col("c"), col("tile_y"))
+      .orderBy(col("tile_x")).rowsBetween(Window.unboundedPreceding, -1)
+    val diagColW = Window.partitionBy(col("scale"), col("c"), col("tile_x"))
+      .orderBy(col("tile_y")).rowsBetween(Window.unboundedPreceding, -1)
+    val carried = local
+      .withColumn("__left", accArrays(col("__row_cum"), col("h"), rowW))
+      .withColumn("__above", accArrays(col("__col_cum"), col("w"), colW))
+      .withColumn("__row_pref",
+        coalesce(sum(col("__total")).over(diagRowW), lit(0.0)))
+      .withColumn("__diag",
+        coalesce(sum(col("__row_pref")).over(diagColW), lit(0.0)))
+    // stage 3: stateless per-pixel addition
+    carried.select(col("scale"), col("c"), col("tile_y"), col("tile_x"),
+      col("h"), col("w"),
+      transform(col("px"), (v, i) => v +
+        element_at(col("__left"),
+          (floor(i / col("w")) + 1).cast("int")) +
+        element_at(col("__above"), (i % col("w") + 1).cast("int")) +
+        col("__diag")).as("px"))
+  }
+
+  /** Global HISTOGRAM EQUALIZATION over long-form integer-level pixels —
+    * the contrast-normalization pass (OpenCV `equalizeHist` semantics):
+    * with cdf(v) the running count of pixels at levels ≤ v and cdfMin
+    * the count at the lowest PRESENT level,
+    *
+    *   eq(v) = floor((cdf(v) − cdfMin) · (levels−1) / (N − cdfMin) + 0.5)
+    *
+    * A constant image (N = cdfMin) maps to 0. Two-pass global-stat shape:
+    * ONE keyed count aggregation to per-level counts (at most `levels`
+    * rows — the window that builds the cdf runs over that bounded frame,
+    * never pixels), then the level→eq map joins back (broadcast — its
+    * size is the level count). All arithmetic is exact integer products
+    * in doubles (≤ 2^53), so the floor is engine-portable with no snap.
+    * Input (…, y, x, value); output the same with `value` equalized.
+    */
+  def histogramEqualize(pixels: DataFrame, levels: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(levels >= 2, s"histogramEqualize: levels must be >= 2, got $levels")
+    val counts = pixels.groupBy(col("value").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    // bounded window: at most `levels` rows per frame
+    val cdf = counts.withColumn("__cdf",
+      sum(col("__n")).over(Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val stats = cdf.agg(min(col("__cdf")).as("__cdf_min"),
+      max(col("__cdf")).as("__n_tot"))
+    val mapping = cdf.crossJoin(broadcast(stats))
+      .select(col("__v"),
+        when(col("__n_tot") > col("__cdf_min"),
+          floor((col("__cdf") - col("__cdf_min")).cast("double") *
+            (levels - 1) / (col("__n_tot") - col("__cdf_min")) + 0.5))
+          .otherwise(lit(0.0)).cast("long").as("__eq"))
+    pixels.join(broadcast(mapping), pixels("value") === col("__v"))
+      .drop("value", "__v")
+      .withColumnRenamed("__eq", "value")
+  }
+
   /** Shared neighborhood accessor for the box kernels: resolves (r, c)
     * offsets that fall outside the center tile into the neighbor ring,
     * indexing each neighbor with ITS OWN dims/stride (partial edge

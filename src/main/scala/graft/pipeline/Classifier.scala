@@ -311,4 +311,40 @@ object Classifier {
       .withColumn("ci_hi",
         when(n > 0, TextAnalysis.round6(least(lit(1.0), center + half))))
   }
+
+  /** LEAVE-ONE-OUT target encoding of a categorical feature (Micci-Barreca
+    * 2001's empirical-Bayes family, the LOO variant): each row's encoding
+    * is the mean target of the OTHER rows in its category,
+    * (Σ_cat y − y_row) / (n_cat − 1) — the leak-free form (a row never
+    * sees its own label; the naive per-category mean leaks the target
+    * into the feature and inflates validation). Singleton categories and
+    * NULL categories fall back to the global mean over all OTHER rows,
+    * (Σ y − y_row) / (N − 1), the same LOO discipline at the corpus
+    * level (degenerate 1-row corpus → NULL).
+    *
+    * Scale shape: one keyed aggregation to per-category (Σ, n) joined
+    * back on the category (broadcastable — category cardinality, not row
+    * count), plus a 1-row global frame; sums run in exact decimal so the
+    * subtraction of the row's own y is drift-free; encodings snap to the
+    * 1e-6 grid. Output: input columns + `te` — no shuffle of the fact
+    * table beyond the category aggregation.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String): DataFrame = {
+    val y = col(targetCol).cast("decimal(28,6)")
+    val byCat = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(y).as("__sum_c"), count(lit(1)).as("__n_c"))
+    val global = df.agg(
+      coalesce(sum(y), lit(0).cast("decimal(28,6)")).as("__sum_g"),
+      count(lit(1)).as("__n_g"))
+    df.join(byCat, Seq(catCol), "left")
+      .crossJoin(broadcast(global))
+      .withColumn("te", TextAnalysis.round6(
+        when(col(catCol).isNotNull && col("__n_c") > 1,
+          (col("__sum_c") - y).cast("double") / (col("__n_c") - 1))
+          .when(col("__n_g") > 1,
+            (col("__sum_g") - y).cast("double") / (col("__n_g") - 1))
+          .otherwise(lit(null).cast("double"))))
+      .drop("__sum_c", "__n_c", "__sum_g", "__n_g")
+  }
 }

@@ -440,6 +440,97 @@ object Sketches {
       .select(col("chi2"), col("dof"), col("n_a"), col("n_b"))
   }
 
+  /** POPULATION STABILITY INDEX over the shared fixed grid — the
+    * industry-standard drift score between two corpus snapshots
+    * (credit-risk lineage; the "has the feature distribution moved?"
+    * number dashboards alarm on): PSI = Σ_bins (pa − pb)·ln(pa/pb),
+    * always ≥ 0, with the usual reading <0.1 stable / 0.1–0.25 moderate
+    * / >0.25 shifted. Empty bins would blow up the log, so counts are
+    * LAPLACE-SMOOTHED: p = (c + 0.5) / (n + 0.5·bins) over the DENSE
+    * bin spine (every grid bin participates, occupied or not) — a fixed,
+    * engine-portable convention, stated here because smoothed PSI values
+    * differ from ad-hoc epsilon-clamp implementations. The log snaps to
+    * the 1e-6 grid per bin and the sum runs in exact decimal
+    * ([[chiSquareDrift]] is the log-free shape-drift twin; PSI is what
+    * the monitoring playbook expects). Scale shape: two histogram
+    * aggregations (≤ bins partials per task) + arithmetic over exactly
+    * `bins` rows. Output: one row (psi, n_a, n_b).
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    val spark = a.sparkSession
+    def clamped(df: DataFrame) = df.withColumn(valueCol,
+      when(col(valueCol).isNotNull,
+        greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))))
+    val ha = histogramBins(clamped(a), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("ca"))
+    val hb = histogramBins(clamped(b), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("cb"))
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val cells = spine.join(ha, Seq("bin"), "left").join(hb, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val r6 = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    val k = lit(0.5 * bins)
+    cells.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        ((col("ca") + 0.5) / (col("na") + k)).as("__pa"),
+        ((col("cb") + 0.5) / (col("nb") + k)).as("__pb"))
+      .select(col("na"), col("nb"),
+        r6((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")))
+          .as("__t"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(r6(sum(col("__t").cast("decimal(28,6)")).cast("double")).as("psi"))
+      .select(col("psi"), col("n_a"), col("n_b"))
+  }
+
+  /** 1-D EARTH MOVER'S DISTANCE (Wasserstein-1) over the shared fixed
+    * grid — the drift metric that knows HOW FAR mass moved, not just
+    * that bins disagree (χ²/PSI score a one-bin-over shift and a
+    * cross-range shift identically; EMD scales with displacement, in
+    * VALUE units). Closed form in 1-D: EMD = Σ_bins |cdfA − cdfB| ·
+    * binWidth, with cdfs from cumulative counts over the DENSE bin
+    * spine (empty bins still carry the standing |cdf gap|). Entirely
+    * log-free — exact integer cumulations, one IEEE division per side,
+    * snapped terms, exact decimal sum. The cumulative window runs over
+    * exactly `bins` rows, never corpus rows; everything upstream is the
+    * two histogram aggregations. Output: one row (emd, n_a, n_b).
+    */
+  def emdDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = a.sparkSession
+    def clamped(df: DataFrame) = df.withColumn(valueCol,
+      when(col(valueCol).isNotNull,
+        greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))))
+    val ha = histogramBins(clamped(a), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("ca"))
+    val hb = histogramBins(clamped(b), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("cb"))
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val cells = spine.join(ha, Seq("bin"), "left").join(hb, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val r6 = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    // bounded window: exactly `bins` rows
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val width = lit((hi - lo) / bins)
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("na"), col("nb"),
+        (sum(col("ca")).over(w).cast("double") / col("na")).as("__fa"),
+        (sum(col("cb")).over(w).cast("double") / col("nb")).as("__fb"))
+      .select(col("na"), col("nb"),
+        r6(abs(col("__fa") - col("__fb")) * width).as("__t"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(r6(sum(col("__t").cast("decimal(28,6)")).cast("double")).as("emd"))
+      .select(col("emd"), col("n_a"), col("n_b"))
+  }
+
   /** SPEARMAN rank correlation between two DISCRETE/snapped signal
     * columns — do two quality scorers agree on ordering? (the monotone-
     * agreement check before blending signals; Pearson would be fooled by

@@ -346,6 +346,138 @@ object TextAnalysis {
         round6(col("sum_lp4").cast("double") / (col("n_bigrams") * 1e4)))
   }
 
+  /** Score every doc under an INTERPOLATED KNESER-NEY bigram LM (Kneser &
+    * Ney 1995; the Chen & Goodman 1998 interpolated form with a fixed
+    * absolute discount) trained on an arbitrary training frame — the
+    * production n-gram smoothing ([[lmScoreAgainst]]'s add-one is the
+    * teaching baseline; KN is what CCNet-lineage quality filters and
+    * KenLM-style scorers actually ship). With c12 the train bigram count,
+    * c1 = Σ_w c(w1,w) the prefix mass, n1fw(w1) = |{w : c(w1,w)>0}|,
+    * n1bw(w2) = |{w : c(w,w2)>0}|, B = distinct train bigram types, and
+    * discount d:
+    *
+    *   Pcont(w2)  = n1bw(w2) / B
+    *   P(w2|w1)   = (max(c12 − d, 0) + d·n1fw(w1)·Pcont(w2)) / c1
+    *   c1 = 0     → P = Pcont(w2)            (unseen-prefix backoff)
+    *   n1bw = 0   → the bigram is OOV: excluded from the average,
+    *                counted in n_oov (its probability is 0 under the
+    *                model; the reported average stays finite and the OOV
+    *                count is the quality signal).
+    *
+    * Scale shape: three keyed count tables (bigram, prefix, continuation
+    * — each at most vocabulary-sized, usually broadcastable) + a 1-row
+    * B frame; scoring is the corpus bigram explode joined against them —
+    * the same shape as [[lmScoreAgainst]], nothing corpus-quadratic.
+    * Determinism: log terms snap to the 1e-4 fixed-point grid and sum as
+    * exact BIGINTs ([[lmScore]]'s convention). Output: (idCol,
+    * n_bigrams, n_oov, sum_lp4, avg_logprob) — docs with < 2 tokens have
+    * no bigrams and are omitted; docs whose every bigram is OOV report
+    * NULL avg_logprob.
+    */
+  def knScoreAgainst(docs: DataFrame, train: DataFrame, discount: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"knScoreAgainst: discount must be in (0,1), got $discount")
+    // get(), not getItem(1): shingleRows' pre-filter rows (last token of a
+    // doc, NULL lead skipped by concat_ws) are one-token shingles; codegen
+    // can evaluate this projection before the filter drops them, and ANSI
+    // getItem throws on the out-of-bounds index where get() returns NULL
+    val trBi = Dedup.shingleRows(train, textCol, idCol, 2)
+      .select(split(col("shingle"), " ").getItem(0).as("__w1"),
+        get(split(col("shingle"), " "), lit(1)).as("__w2"))
+      .filter(col("__w2").isNotNull)
+    val big = trBi.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).cast("double").as("__c12"))
+    val pre = trBi.groupBy(col("__w1"))
+      .agg(count(lit(1)).cast("double").as("__c1"),
+        count_distinct(col("__w2")).cast("double").as("__n1fw"))
+    val cont = trBi.select(col("__w1"), col("__w2")).distinct()
+      .groupBy(col("__w2"))
+      .agg(count(lit(1)).cast("double").as("__n1bw"))
+    val btot = trBi.select(col("__w1"), col("__w2")).distinct()
+      .agg(count(lit(1)).cast("double").as("__b"))
+    val d = lit(discount)
+    val scored = Dedup.shingleRows(docs, textCol, idCol, 2)
+      .select(col(idCol),
+        split(col("shingle"), " ").getItem(0).as("__w1"),
+        get(split(col("shingle"), " "), lit(1)).as("__w2"))
+      .filter(col("__w2").isNotNull)
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(pre, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(btot))
+      .withColumn("__pcont", col("__n1bw") / col("__b"))
+      .withColumn("__p",
+        when(col("__n1bw").isNull, lit(null).cast("double"))
+          .when(col("__c1").isNull, col("__pcont"))
+          .otherwise((greatest(coalesce(col("__c12"), lit(0.0)) - d, lit(0.0)) +
+            d * col("__n1fw") * col("__pcont")) / col("__c1")))
+      .withColumn("__lp4",
+        floor(log(col("__p")) * 1e4 + 0.5).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("__lp4")).as("sum_lp4"))
+      .withColumn("avg_logprob",
+        when(col("n_bigrams") > col("n_oov"),
+          round6(col("sum_lp4").cast("double") /
+            ((col("n_bigrams") - col("n_oov")) * 1e4))))
+  }
+
+  /** [[knScoreAgainst]] trained on a deterministic hash sample of the
+    * corpus itself — the self-scored form matching [[lmScore]]'s shape.
+    */
+  def knScore(docs: DataFrame, trainFraction: Double = 0.25,
+      discount: Double = 0.75, salt: String = "kn",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    knScoreAgainst(docs,
+      Sampling.hashSample(docs.select(col(idCol), col(textCol)),
+        idCol, trainFraction, salt),
+      discount, textCol, idCol)
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): words are
+    * nodes, an undirected edge links every pair of words co-occurring
+    * within a `window`-token sliding window anywhere in the corpus, and
+    * [[GraphOps.pageRank]] over that graph ranks the vocabulary — the
+    * graph-centrality keyword signal that needs no training data, the
+    * corpus-level complement to [[tfidfKeywords]]' per-doc statistic.
+    *
+    * Scale shape: window pairs come from `lead()` over each doc's token
+    * sequence (one doc-keyed sort, NO self-join — position windows are
+    * the bigram machinery of [[Dedup.shingleRows]] generalized to gap
+    * 1..window); the pair set dedups to vocabulary-sized edges; PageRank
+    * then runs over vocab-sized frames with its usual keyed joins and
+    * broadcast N. Nothing is ever corpus-quadratic. Determinism: the
+    * snapped fixed-point PageRank arithmetic, ties on term. Output:
+    * (rank, term, pr) — the topK highest-centrality terms.
+    */
+  def textRankKeywords(docs: DataFrame, window: Int = 2, iters: Int = 3,
+      topK: Int = 20, damping: Double = 0.85, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"textRankKeywords: window must be >= 1, got $window")
+    require(topK >= 1, s"textRankKeywords: topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = docs
+      .select(col(idCol), posexplode(Dedup.words(col(textCol)))
+        .as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) > 0)
+    val pairs = (1 to window).map { gap =>
+      toks.withColumn("__v", lead(col("__w"), gap).over(w))
+        .filter(col("__v").isNotNull && col("__v") =!= col("__w"))
+        .select(col("__w").as("src"), col("__v").as("dst"))
+    }.reduce(_ unionAll _)
+    // undirected: each co-occurrence contributes both directions
+    val edges = pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    GraphOps.pageRank(edges, iters, damping)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pr").desc, col("node"))))
+      .select(col("rank"), col("node").as("term"), col("pr"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus doc
     * under a TARGET-domain bigram LM and under a corpus-background bigram

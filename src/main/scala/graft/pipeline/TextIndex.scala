@@ -416,4 +416,106 @@ object TextIndex {
           .as("n_occurrences"))
       .withColumn("has_phrase", col("n_occurrences") > 0)
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001,
+    * "A Study of Smoothing Methods for Language Models Applied to Ad Hoc
+    * Information Retrieval") — the LM-based ranker that complements
+    * [[bm25Rank]]'s tf-idf family. Candidates are documents containing at
+    * least one query term (the standard postings-driven evaluation set;
+    * a doc matching nothing scores only background mass and never enters
+    * a top-k in practice). With p_q = cf(q)/T the corpus unigram model:
+    *
+    *   score(D) = Σ_q log((c(q,D) + μ·p_q) / (dl(D) + μ))
+    *            = Σ_matched [log(c + μ·p_q) − log(μ·p_q)]
+    *              + Σ_q log(μ·p_q) − |Q|·log(dl(D) + μ)
+    *
+    * so only MATCHED (doc, term) rows carry per-pair work; the Σ_q term
+    * is a 1-row broadcast constant. Query terms absent from the corpus
+    * (cf = 0) are dropped — they contribute −∞ to every candidate
+    * equally and carry no ranking signal.
+    *
+    * Scale shape: identical to [[bm25Rank]] — the corpus explode is
+    * filtered to the query's terms in-stage (the shuffle carries |query|
+    * terms' rows, not the vocabulary), cf (|Q| rows) and (T, Σ_q) (1 row)
+    * broadcast back, top-k plans as TakeOrderedAndProject. Determinism:
+    * every log snaps to the 1e-6 grid, per-doc sums run in exact decimal,
+    * ties break on id. Output: (idCol, score, n_terms_hit).
+    */
+  def qlRank(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      mu: Double = 2000.0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "qlRank: need at least one query term")
+    require(k >= 1 && mu > 0, s"qlRank: bad k=$k / mu=$mu")
+    val base = docs.select(col(idCol), Dedup.words(col(textCol)).as("__w"))
+      .withColumn("__dl", size(col("__w")).cast("double"))
+    val toks = base.select(col(idCol), col("__dl"),
+      explode(col("__w")).as("term"))
+    // T = total corpus tokens (exact decimal sum -> one double)
+    val total = base.agg(
+      sum(col("__dl").cast("decimal(28,6)")).cast("double").as("__t"))
+    // corpus frequency per query term; cf = 0 terms never join (inner)
+    val cf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("__cf"))
+    qlScoreMatched(
+      toks.filter(col("term").isin(queryTerms: _*))
+        .groupBy(col(idCol), col("__dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("__tf")),
+      cf, total, mu, k, idCol, dlCol = "__dl", tfCol = "__tf")
+  }
+
+  /** Shared Dirichlet-QL scoring tail: matched (id, dl, term, tf) rows +
+    * per-term cf + 1-row total-token frame -> top-k. Factored so the scan
+    * form and the at-rest form are the SAME arithmetic (and so the same
+    * doubles) by construction.
+    */
+  private def qlScoreMatched(tf: DataFrame, cf: DataFrame, total: DataFrame,
+      mu: Double, k: Int, idCol: String, dlCol: String,
+      tfCol: String): DataFrame = {
+    import TextAnalysis.round6
+    // per-term background mass log(mu * cf / T), snapped; and the 1-row
+    // query constant Σ_q of those (exact decimal sum over |Q| rows)
+    val bg = cf.crossJoin(broadcast(total))
+      .withColumn("__lbg", round6(log(lit(mu) * col("__cf") / col("__t"))))
+    val qConst = bg.agg(
+      sum(col("__lbg").cast("decimal(28,6)")).cast("double").as("__sum_lbg"),
+      count(lit(1)).as("__nq"))
+    tf.join(broadcast(bg.select(col("term"), col("__cf"), col("__t"), col("__lbg"))),
+        Seq("term"))
+      .withColumn("__lm", round6(log(
+        col(tfCol) + lit(mu) * col("__cf") / col("__t"))))
+      .groupBy(col(idCol), col(dlCol))
+      .agg(sum((col("__lm") - col("__lbg")).cast("decimal(28,6)"))
+          .cast("double").as("__match"),
+        count(lit(1)).as("n_terms_hit"))
+      .crossJoin(broadcast(qConst))
+      .withColumn("score", round6(col("__match") + col("__sum_lbg") -
+        col("__nq") * round6(log(col(dlCol) + mu))))
+      .select(col(idCol), col("score"), col("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Dirichlet query likelihood against the AT-REST BM25 index — the same
+    * postings/stats layout serves both ranking families, which is the
+    * point of building it once: (term, id, tf, dl) rows give matched
+    * counts and doc lengths; the stats row's exact-decimal `sum_dl` IS
+    * the corpus token total T (so appends keep T consistent the same way
+    * they keep avgdl consistent); cf(q) re-aggregates over the pruned
+    * postings of the query's own terms (term IN pushes into the bucketed
+    * scan). Identical arithmetic to [[qlRank]] by shared code — the gate
+    * pins rank equality against the scan form's independent oracle.
+    * Per query the work is O(postings of the query's terms).
+    */
+  def qlRankIndexed(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int = 10, mu: Double = 2000.0,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "qlRankIndexed: need at least one query term")
+    require(k >= 1 && mu > 0, s"qlRankIndexed: bad k=$k / mu=$mu")
+    val matched = postings.filter(col("term").isin(queryTerms: _*))
+    val cf = matched.groupBy(col("term"))
+      .agg(sum(col("tf").cast("decimal(28,6)")).cast("double").as("__cf"))
+    val total = stats.select(col("sum_dl").cast("double").as("__t"))
+    qlScoreMatched(matched, cf, total, mu, k, idCol,
+      dlCol = "dl", tfCol = "tf")
+  }
 }

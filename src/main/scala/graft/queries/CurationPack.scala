@@ -258,6 +258,25 @@ object CurationPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // interpolated Kneser-Ney bigram LM (d=0.75) trained on the salt-"kn"
+    // quarter sample — the production n-gram smoothing (q147's add-one is
+    // the teaching baseline); OOV bigrams counted, not averaged
+    "q321_kneser_ney" -> ((s, d) => {
+      TextAnalysis.knScore(Tables.documents(s, d), trainFraction = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // leave-one-out target encoding of lang against n_chars — the
+    // leak-free categorical feature (a row never sees its own target);
+    // singleton/NULL categories fall back to the global LOO mean
+    "q326_target_encode" -> ((s, d) => {
+      Classifier.targetEncodeLoo(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("te"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling: every doc scored under a TARGET bigram
     // LM (English docs) and the corpus-background LM; likelihood-ratio
     // weight w = exp(lp_t - lp_c), kept iff hash < min(1, 0.5·w)·2^32 —
@@ -558,6 +577,26 @@ object CurationPack extends QueryPack {
         "value", lo = 0.0, hi = 1000.0, bins = 64)
     }),
 
+    // population stability index between the q260 event halves: Laplace-
+    // smoothed proportions over the dense 64-bin spine, snapped log terms
+    "q327_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Sketches.psiDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", lo = 0.0, hi = 1000.0, bins = 64)
+    }),
+
+    // 1-D Wasserstein (EMD) between the same halves: |cdf gap| x bin
+    // width summed over the dense spine — drift in VALUE units
+    "q328_emd_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Sketches.emdDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", lo = 0.0, hi = 1000.0, bins = 64)
+    }),
+
     // distributed logistic-regression training (the fastText-style quality
     // classifier gate): 2 full-batch GD iterations over shape features,
     // label = is-English; exact fixed-point trace
@@ -751,6 +790,73 @@ object CurationPack extends QueryPack {
          |  FLOOR(CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 1e4) * 1e6 + 0.5) / 1e6 AS avg_logprob
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // interpolated Kneser-Ney (d=0.75) from the salt-'kn' quarter sample:
+    // continuation counts over DISTINCT train bigrams, prefix mass over
+    // train bigram tokens; unseen-prefix backoff to Pcont; OOV (unseen
+    // continuation) bigrams counted, excluded from the average
+    "q321_kneser_ney" -> {
+      val bi2 = shinglesSql("w", 2)
+      s"""WITH tr AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${hex32Sql("'kn:' || CAST(doc_id AS VARCHAR)")} < ${math.round(0.25 * 4294967296.0)}),
+         |trw AS (SELECT doc_id, $wordsSql AS w FROM tr),
+         |bi AS (
+         |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT unnest($bi2) AS g FROM trw)),
+         |big AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12 FROM bi GROUP BY 1, 2),
+         |pre AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1,
+         |               CAST(COUNT(DISTINCT w2) AS DOUBLE) AS n1fw
+         |        FROM bi GROUP BY 1),
+         |cont AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS DOUBLE) AS n1bw
+         |         FROM bi GROUP BY 1),
+         |btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b
+         |         FROM (SELECT DISTINCT w1, w2 FROM bi)),
+         |dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |db AS (
+         |  SELECT doc_id, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT doc_id, unnest($bi2) AS g FROM dw)),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN cont.n1bw IS NULL THEN NULL
+         |         WHEN pre.c1 IS NULL THEN cont.n1bw / btot.b
+         |         ELSE (GREATEST(COALESCE(big.c12, 0.0) - 0.75, 0.0) +
+         |               0.75 * pre.n1fw * (cont.n1bw / btot.b)) / pre.c1
+         |    END AS p
+         |  FROM db d
+         |  LEFT JOIN big ON d.w1 = big.w1 AND d.w2 = big.w2
+         |  LEFT JOIN pre ON d.w1 = pre.w1
+         |  LEFT JOIN cont ON d.w2 = cont.w2, btot),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |    CAST(SUM(CAST(FLOOR(ln(p) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_lp4
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, n_oov, sum_lp4,
+         |  CASE WHEN n_bigrams > n_oov THEN
+         |    FLOOR(CAST(sum_lp4 AS DOUBLE) / ((n_bigrams - n_oov) * 1e4) * 1e6 + 0.5) / 1e6
+         |  END AS avg_logprob
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // LOO target encoding: per-category (Σ, n) minus the row's own
+    // target; singleton/NULL categories -> global LOO mean
+    "q326_target_encode" ->
+      """WITH c AS (
+        |  SELECT lang, SUM(CAST(n_chars AS DECIMAL(28,6))) AS s, COUNT(*) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))),
+        |           CAST(0 AS DECIMAL(28,6))) AS s, COUNT(*) AS n
+        |  FROM documents)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  FLOOR((CASE WHEN d.lang IS NOT NULL AND c.n > 1
+        |      THEN CAST(c.s - CAST(d.n_chars AS DECIMAL(28,6)) AS DOUBLE) / (c.n - 1)
+        |    WHEN g.n > 1
+        |      THEN CAST(g.s - CAST(d.n_chars AS DECIMAL(28,6)) AS DOUBLE) / (g.n - 1)
+        |    END) * 1e6 + 0.5) / 1e6 AS te
+        |FROM documents d LEFT JOIN c ON d.lang = c.lang, g
+        |ORDER BY d.doc_id""".stripMargin,
 
     // two q147-algebra bigram LMs (prefix-disambiguated CTEs): target =
     // English docs, background = the salt-'dsir' quarter sample; weight =
@@ -1385,6 +1491,71 @@ object CurationPack extends QueryPack {
         |  FLOOR(CAST(SUM(CAST(ta + tb AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
         |  COUNT(*) - 1 AS dof, na AS n_a, nb AS n_b
         |FROM snapped GROUP BY na, nb""".stripMargin,
+
+    // PSI over the q260 halves: dense 64-bin spine, Laplace-smoothed
+    // p = (c + 0.5)/(n + 32), snapped (pa-pb)*ln(pa/pb) terms
+    "q327_psi_drift" ->
+      """WITH av AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |ha AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS ca FROM av GROUP BY 1),
+        |hb AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS cb FROM bv GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 64)) AS bin),
+        |cells AS (
+        |  SELECT spine.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM spine LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cells),
+        |p AS (
+        |  SELECT tot.na, tot.nb,
+        |    (ca + 0.5) / (tot.na + 32.0) AS pa,
+        |    (cb + 0.5) / (tot.nb + 32.0) AS pb
+        |  FROM cells, tot),
+        |t AS (
+        |  SELECT na, nb,
+        |    FLOOR(((pa - pb) * ln(pa / pb)) * 1e6 + 0.5) / 1e6 AS t
+        |  FROM p)
+        |SELECT
+        |  FLOOR(CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi,
+        |  na AS n_a, nb AS n_b
+        |FROM t GROUP BY na, nb""".stripMargin,
+
+    // EMD: |cumA/na - cumB/nb| * binWidth summed over the dense spine
+    "q328_emd_drift" ->
+      """WITH av AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |ha AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS ca FROM av GROUP BY 1),
+        |hb AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS cb FROM bv GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 64)) AS bin),
+        |cells AS (
+        |  SELECT spine.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM spine LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cells),
+        |cum AS (
+        |  SELECT tot.na, tot.nb,
+        |    CAST(SUM(ca) OVER (ORDER BY cells.bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.na AS fa,
+        |    CAST(SUM(cb) OVER (ORDER BY cells.bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.nb AS fb
+        |  FROM cells, tot),
+        |t AS (
+        |  SELECT na, nb,
+        |    FLOOR((ABS(fa - fb) * (1000.0 / 64)) * 1e6 + 0.5) / 1e6 AS t
+        |  FROM cum)
+        |SELECT
+        |  FLOOR(CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS emd,
+        |  na AS n_a, nb AS n_b
+        |FROM t GROUP BY na, nb""".stripMargin,
 
     // q163's bin/cum algebra at p05/p95 -> two scalar cutoffs -> clamp;
     // NULL values stay NULL (the engine side gates on non-null)

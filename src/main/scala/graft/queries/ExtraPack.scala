@@ -377,6 +377,42 @@ object ExtraPack extends QueryPack {
       }
     }),
 
+    // the STREAMING half of the at-rest spatial story, end-to-end as a
+    // gate (DocStreamSpec pins it as a spec; q171 precedent for running
+    // a real Structured Streaming query inside a gate): 3 micro-batches
+    // append into the Z-ordered layout via foreachBatch with one
+    // mid-stream compaction, then readBox over the final layout — must
+    // equal the plain-SQL box recompute over the raw table
+    "q329_stream_zingest" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("event_id"),
+        (((col("event_id") * 131) % 997).cast("double") / 10.0).as("x"),
+        (((col("user_id") * 379) % 991).cast("double") / 10.0).as("y"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zstream_")
+      val path = tmp.resolve("pts").toString
+      try {
+        // empty layout fixes the grid parameters before data flows
+        graft.ops.ZOrder.writeZOrdered(pts.limit(0), "x", "y", path,
+          0.0, 100.0, 0.0, 100.0, bits = 10, numPartitions = Some(2))
+        val srcDir = tmp.resolve("src").toString
+        pts.repartition(3).write.parquet(srcDir)
+        val q = EventStream.streamingZOrderedIngest(s, srcDir,
+          "event_id BIGINT, x DOUBLE, y DOUBLE", path,
+          compactEvery = 2, maxFilesPerTrigger = Some(1),
+          checkpointDir = Some(tmp.resolve("ckpt").toString))
+        try assert(q.awaitTermination(180000),
+          "q329: streaming ingest did not terminate within 180 s")
+        finally q.stop()
+        graft.ops.ZOrder.readBox(s, path, 20.0, 40.0, 15.0, 35.0, level = 5)
+          .select(col("event_id"), col("x"), col("y"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // polygon query over the same Z layout: the target-cs triangle is
     // inverse-mapped, its envelope's Morton bands prune the scan, and the
     // plain path's exact ray-cast (in target space) refines — again the
@@ -425,6 +461,60 @@ object ExtraPack extends QueryPack {
       val filtered = RasterOps.medianFilterBox(tiles, depth = 1, tileSize = 16,
         boundary = RasterOps.Boundary.Reflect)
       RasterOps.tilesToPixels(filtered, tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // 3x3 Sobel L1 gradient magnitude over the q202 dense grid: the
+    // small-integer kernel keeps every intermediate exact in a double
+    // (depth-1 Reflect == coordinate clamp, as in q202)
+    "q323_sobel" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(64L * 64)
+        .select(lit(0).as("c"), (col("id") / 64).cast("int").as("y"),
+          (col("id") % 64).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 16)
+      RasterOps.tilesToPixels(
+          RasterOps.sobelFilter(tiles, tileSize = 16), tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // distributed integral image (summed-area table) over the dense
+    // 64x64 grid: per-tile local SAT + tile-grid carry windows; every
+    // sum is exact integer arithmetic in doubles
+    "q324_integral_image" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(64L * 64)
+        .select(lit(0).as("c"), (col("id") / 64).cast("int").as("y"),
+          (col("id") % 64).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 16)
+      RasterOps.tilesToPixels(
+          RasterOps.integralImage(tiles, tileSize = 16), tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // global histogram equalization over the sparse long-form event
+    // grid (integer levels; exact integer products, portable floor)
+    "q325_hist_equalize" -> ((s, d) => {
+      val pixels = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).as("value"))
+      RasterOps.histogramEqualize(pixels, levels = 256)
         .select(col("y"), col("x"), col("value"))
         .orderBy(col("y"), col("x"))
     }),
@@ -785,6 +875,18 @@ object ExtraPack extends QueryPack {
         |WHERE (x > 17.5 AND x < 37.5 AND y > 14.0 AND y < 34.0)
         |   OR (x > 72.5 AND x < 92.5 AND y > 51.5 AND y < 71.5)
         |ORDER BY event_id""".stripMargin,
+    // streamed-in rows answer box queries exactly like a batch write:
+    // the oracle recomputes from the raw table, inclusive bounds
+    // (readBox's refine), layout/compaction machinery never mirrored
+    "q329_stream_zingest" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    CAST((event_id * 131) % 997 AS DOUBLE) / 10.0 AS x,
+        |    CAST((user_id * 379) % 991 AS DOUBLE) / 10.0 AS y
+        |  FROM events)
+        |SELECT event_id, x, y FROM pts
+        |WHERE x >= 20.0 AND x <= 40.0 AND y >= 15.0 AND y <= 35.0
+        |ORDER BY event_id""".stripMargin,
     // q209's raw recompute: coarse intrinsic bbox (the engine's
     // interval-inverse formulas, written as the same arithmetic) + CCW
     // half-plane containment of the TARGET-projected point against the
@@ -829,6 +931,73 @@ object ExtraPack extends QueryPack {
         | AND n.x = LEAST(GREATEST(d.x + o.dx, 0), 63)
         |GROUP BY d.y, d.x
         |ORDER BY d.y, d.x""".stripMargin,
+    // 3x3 Sobel |Gx|+|Gy| with depth-1 clamped borders; integer-exact
+    "q323_sobel" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 64 AS INT) AS y, CAST(i % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x, COALESCE(px.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |offs AS (
+        |  SELECT dy, dx,
+        |    CASE WHEN dx = 0 THEN 0.0 ELSE dx * (CASE WHEN dy = 0 THEN 2.0 ELSE 1.0 END) END AS wx,
+        |    CASE WHEN dy = 0 THEN 0.0 ELSE dy * (CASE WHEN dx = 0 THEN 2.0 ELSE 1.0 END) END AS wy
+        |  FROM (SELECT unnest(range(-1, 2)) AS dy), (SELECT unnest(range(-1, 2)) AS dx))
+        |SELECT d.y, d.x, ABS(SUM(o.wx * n.v)) + ABS(SUM(o.wy * n.v)) AS value
+        |FROM dense d
+        |JOIN offs o ON TRUE
+        |JOIN dense n
+        |  ON n.y = LEAST(GREATEST(d.y + o.dy, 0), 63)
+        | AND n.x = LEAST(GREATEST(d.x + o.dx, 0), 63)
+        |GROUP BY d.y, d.x
+        |ORDER BY d.y, d.x""".stripMargin,
+    // summed-area table: two chained cumulative windows over the dense
+    // grid — integer sums, exact in doubles
+    "q324_integral_image" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 64 AS INT) AS y, CAST(i % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x, COALESCE(px.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |colcum AS (
+        |  SELECT y, x, SUM(v) OVER (PARTITION BY x ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        |  FROM dense)
+        |SELECT y, x, SUM(cv) OVER (PARTITION BY y ORDER BY x
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM colcum
+        |ORDER BY y, x""".stripMargin,
+    // histogram equalization: bounded per-level cdf -> eq map -> join
+    "q325_hist_equalize" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lvl AS (SELECT v, COUNT(*) AS n FROM px GROUP BY v),
+        |cdf AS (
+        |  SELECT v, SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM lvl),
+        |st AS (SELECT MIN(c) AS cmin, MAX(c) AS ntot FROM cdf),
+        |mp AS (
+        |  SELECT v,
+        |    CASE WHEN st.ntot > st.cmin THEN
+        |      CAST(FLOOR(CAST(c - st.cmin AS DOUBLE) * 255 / (st.ntot - st.cmin) + 0.5) AS BIGINT)
+        |    ELSE 0 END AS eq
+        |  FROM cdf, st)
+        |SELECT px.y, px.x, mp.eq AS value
+        |FROM px JOIN mp ON px.v = mp.v
+        |ORDER BY px.y, px.x""".stripMargin,
     // 5x5 mean with true numpy-"symmetric" mirroring (depth 2: -2 -> 1,
     // dim+1 -> dim-2 — NOT a clamp) over the 64x60 dense grid
     "q199_halo_blur5" ->

@@ -153,6 +153,39 @@ object PipelinePack extends QueryPack {
        |       COUNT(*) AS n_terms_hit FROM s GROUP BY 1)""".stripMargin
   }
 
+  // Dirichlet query-likelihood CTE chain for the q204 query terms,
+  // mu=2000: ends at `fin` (doc_id, score, n_terms_hit). Shared verbatim
+  // by q319 (recompute) and q320 (at-rest index — pure layout change).
+  // Mirrors TextIndex.qlScoreMatched's snapped algebra term for term.
+  private lazy val qlCtes: String = {
+    def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+    s"""w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |tot AS (SELECT CAST(SUM(CAST(len(w) AS DECIMAL(28,6))) AS DOUBLE) AS t FROM w),
+       |qtf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w)
+       |  WHERE term IN ('spark', 'join', 'vector')
+       |  GROUP BY 1, 2, 3),
+       |qcf AS (SELECT term, SUM(tf) AS cf FROM qtf GROUP BY 1),
+       |lbg AS (SELECT term, cf, ${r6("ln(2000.0 * cf / tot.t)")} AS lbg
+       |        FROM qcf, tot),
+       |qc AS (SELECT CAST(SUM(CAST(lbg AS DECIMAL(28,6))) AS DOUBLE) AS sum_lbg,
+       |              COUNT(*) AS nq FROM lbg),
+       |qs AS (
+       |  SELECT qtf.doc_id, qtf.dl,
+       |    ${r6("ln(qtf.tf + 2000.0 * lbg.cf / tot.t)")} - lbg.lbg AS sm
+       |  FROM qtf JOIN lbg USING (term), tot),
+       |qsc AS (SELECT doc_id, dl,
+       |          CAST(SUM(CAST(sm AS DECIMAL(28,6))) AS DOUBLE) AS mt,
+       |          COUNT(*) AS n_terms_hit
+       |        FROM qs GROUP BY 1, 2),
+       |fin AS (
+       |  SELECT doc_id,
+       |    ${r6(s"mt + qc.sum_lbg - qc.nq * (${r6("ln(dl + 2000.0)")})")} AS score,
+       |    n_terms_hit
+       |  FROM qsc, qc)""".stripMargin
+  }
+
   // single-query (vec 100) IVF+PQ chain — the q153/q146 oracle algebra
   // (CorpusPack.ivfPqOracle) restricted to one probe query; ends at
   // `pqscored` (query_id, vec_id, adist)
@@ -1182,6 +1215,46 @@ object PipelinePack extends QueryPack {
         .select(col("query_id"), col("vec_id"), col("rank"))
       Similarity.rrfFuse(Seq(lex, vec), k = 10)
         .orderBy(col("rank"))
+    }),
+
+    // Dirichlet query-likelihood retrieval (Zhai & Lafferty 2001) — the
+    // LM-based ranker over the same corpus and query terms as q204's
+    // BM25; candidates are docs matching >= 1 term, score = smoothed
+    // log-likelihood of the query under the doc LM
+    "q319_ql_rank" -> ((s, d) => {
+      TextIndex.qlRank(Tables.documents(s, d),
+        Seq("spark", "join", "vector"), k = 10, mu = 2000.0)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // the same ranking against the AT-REST postings/stats tables — one
+    // index layout serves both ranking families (BM25 q206, QL here);
+    // stats.sum_dl IS the corpus token total, so no new table is built.
+    // Index memoized per (JVM, sf dir) like q207: reps time the probe.
+    "q320_ql_at_rest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = emb.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val (table, _) = hybridIndexes(s, d, docs, emb, centroids, cb)
+      val (postings, stats) = TextIndex.readBm25Index(s, table)
+      TextIndex.qlRankIndexed(postings, stats,
+        Seq("spark", "join", "vector"), k = 10, mu = 2000.0)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): window-2
+    // co-occurrence graph over a corpus slice, 2 snapped PageRank
+    // rounds, top-15 vocabulary terms by centrality
+    "q322_textrank" -> ((s, d) => {
+      TextAnalysis.textRankKeywords(
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 0),
+        window = 2, iters = 2, topK = 15)
     }),
 
     // IVF query path: probe the 2 nearest cells per query, search only
@@ -3472,6 +3545,61 @@ object PipelinePack extends QueryPack {
         s"""WITH $bm25Ctes
            |SELECT doc_id, score, n_terms_hit FROM sc
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // Dirichlet QL: same candidates as BM25 (docs matching >= 1 query
+      // term), LM-smoothed score; ties on doc_id
+      "q319_ql_rank" ->
+        s"""WITH $qlCtes
+           |SELECT doc_id, score, n_terms_hit FROM fin
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // at-rest QL must be a pure layout change over the same algebra
+      "q320_ql_at_rest" ->
+        s"""WITH $qlCtes
+           |SELECT doc_id, score, n_terms_hit FROM fin
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // TextRank: window-2 co-occurrence edges (gap 1 + gap 2 lead pairs,
+      // both directions, distinct) over the doc_id % 7 slice, then the
+      // q215-algebra snapped PageRank unrolled 2 rounds; top-15
+      "q322_textrank" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        def iter(prev: String, cN: String, prN: String) =
+          s"""$cN AS (
+             |  SELECT e.dst AS node,
+             |    CAST(SUM(CAST(${r6(s"$prev.pr / od.outdeg")} AS DECIMAL(28,6))) AS DOUBLE) AS s
+             |  FROM $prev JOIN e ON e.src = $prev.node JOIN od ON od.src = e.src
+             |  GROUP BY 1),
+             |$prN AS (
+             |  SELECT nodes.node,
+             |    ${r6(s"(1.0 - 0.85) / n.n + 0.85 * COALESCE($cN.s, 0.0)")} AS pr
+             |  FROM nodes LEFT JOIN $cN USING (node), n)""".stripMargin
+        s"""WITH w AS (
+           |  SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id % 7 = 0),
+           |p1 AS (
+           |  SELECT unnest(list_transform(range(1, len(w)),
+           |    i -> {'a': w[i], 'b': w[i + 1]})) AS p
+           |  FROM w WHERE len(w) >= 2),
+           |p2 AS (
+           |  SELECT unnest(list_transform(range(1, len(w) - 1),
+           |    i -> {'a': w[i], 'b': w[i + 2]})) AS p
+           |  FROM w WHERE len(w) >= 3),
+           |pr_pairs AS (
+           |  SELECT p.a AS src, p.b AS dst FROM p1
+           |  UNION ALL SELECT p.a, p.b FROM p2),
+           |e AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM pr_pairs
+           |    UNION ALL SELECT dst, src FROM pr_pairs)
+           |  WHERE src <> dst AND length(src) > 0 AND length(dst) > 0),
+           |nodes AS (SELECT DISTINCT src AS node FROM e
+           |          UNION SELECT DISTINCT dst FROM e),
+           |n AS (SELECT COUNT(*) AS n FROM nodes),
+           |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+           |pr0 AS (SELECT node, ${r6("1.0 / n.n")} AS pr FROM nodes, n),
+           |${iter("pr0", "c1", "pr1")},
+           |${iter("pr1", "c2", "pr2")}
+           |SELECT ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rank,
+           |  node AS term, pr
+           |FROM pr2 ORDER BY pr DESC, node LIMIT 15""".stripMargin
+      },
       // build-on-80% + append-20% must equal the full-corpus build, so
       // the oracle is again q204's verbatim
       "q213_bm25_index_append" ->

@@ -301,4 +301,57 @@ class RasterVectorizeSpec extends SparkTestBase {
     // the diagonal pair stays split (no 8-connectivity)
     assert(got((1, 7)) === 15L && got((2, 6)) === 22L)
   }
+
+  test("sobelFilter matches the brute-force kernel with clamped borders") {
+    // 6x6 deterministic integer grid, 3x3 tiles (interior + edge seams)
+    def v(y: Int, x: Int): Double = ((y * 7 + x * 3) % 11).toDouble
+    val pix = (for (y <- 0 until 6; x <- 0 until 6) yield
+      (0, y, x, v(y, x))).toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pix, tileSize = 3)
+    val got = RasterOps.tilesToPixels(
+        RasterOps.sobelFilter(tiles, tileSize = 3), tileSize = 3)
+      .select("y", "x", "value").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    def at(y: Int, x: Int) = v(y.max(0).min(5), x.max(0).min(5))
+    for (y <- 0 until 6; x <- 0 until 6) {
+      val gx = -at(y - 1, x - 1) + at(y - 1, x + 1) - 2 * at(y, x - 1) +
+        2 * at(y, x + 1) - at(y + 1, x - 1) + at(y + 1, x + 1)
+      val gy = -at(y - 1, x - 1) - 2 * at(y - 1, x) - at(y - 1, x + 1) +
+        at(y + 1, x - 1) + 2 * at(y + 1, x) + at(y + 1, x + 1)
+      assert(got((y, x)) === math.abs(gx) + math.abs(gy), s"($y,$x)")
+    }
+  }
+
+  test("integralImage equals the brute-force 2D prefix, partial edge tiles included") {
+    // 5x7 raster, 4x4 tiles -> partial right and bottom tiles; carries
+    // cross both tile seams
+    def v(y: Int, x: Int): Double = ((y * 5 + x * 2 + 1) % 7).toDouble
+    val pix = (for (y <- 0 until 5; x <- 0 until 7) yield
+      (0, y, x, v(y, x))).toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTilesExact(pix, 5, 7, tileSize = 4)
+    val got = RasterOps.tilesToPixels(
+        RasterOps.integralImage(tiles, tileSize = 4), tileSize = 4)
+      .select("y", "x", "value").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 35)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val want = (for (a <- 0 to y; b <- 0 to x) yield v(a, b)).sum
+      assert(got((y, x)) === want, s"($y,$x)")
+    }
+  }
+
+  test("histogramEqualize maps levels through the global cdf; constant image -> 0") {
+    // levels 1,1,2,5: cdf 1->2, 2->3, 5->4; cdfMin=2, N=4
+    // eq(v) = floor((cdf-2)*255/(4-2)+0.5) -> 1->0, 2->128, 5->255
+    val pix = Seq((0, 0, 1L), (0, 1, 1L), (1, 0, 2L), (1, 1, 5L))
+      .toDF("y", "x", "value")
+    val got = RasterOps.histogramEqualize(pix, levels = 256)
+      .select("y", "x", "value").as[(Int, Int, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((0, 0) -> 0L, (0, 1) -> 0L, (1, 0) -> 128L, (1, 1) -> 255L))
+    val const = Seq((0, 0, 9L), (0, 1, 9L)).toDF("y", "x", "value")
+    val g2 = RasterOps.histogramEqualize(const, levels = 256)
+      .select("value").as[Long].collect().toSeq
+    assert(g2 === Seq(0L, 0L))
+  }
 }

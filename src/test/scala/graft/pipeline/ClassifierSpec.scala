@@ -70,4 +70,28 @@ class ClassifierSpec extends SparkTestBase {
     assert(got("b")._3.get > 0.0 && got("c")._2.get < 1.0)
     assert(got("d") === ((None, None, None)))
   }
+
+  test("targetEncodeLoo: LOO category mean, singleton/NULL fall back to global LOO") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("a"), 20.0), (3L, Some("a"), 30.0),
+      (4L, Some("b"), 100.0),           // singleton category
+      (5L, None: Option[String], 40.0)  // NULL category
+    ).toDF("id", "cat", "y")
+    val got = Classifier.targetEncodeLoo(df, "cat", "y")
+      .select("id", "te").as[(Long, Option[Double])]
+      .collect().map(r => r._1 -> r._2).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L) === Some(r6((20.0 + 30.0) / 2)))     // excludes own 10
+    assert(got(2L) === Some(r6((10.0 + 30.0) / 2)))
+    assert(got(3L) === Some(r6((10.0 + 20.0) / 2)))
+    // global sum=200, N=5: singleton b -> (200-100)/4; NULL -> (200-40)/4
+    assert(got(4L) === Some(r6(100.0 / 4)))
+    assert(got(5L) === Some(r6(160.0 / 4)))
+    // degenerate 1-row frame -> NULL (no other row to borrow from)
+    val one = Seq((1L, Some("z"), 7.0)).toDF("id", "cat", "y")
+    val g1 = Classifier.targetEncodeLoo(one, "cat", "y")
+      .select("te").as[Option[Double]].collect().toSeq
+    assert(g1 === Seq(None))
+  }
 }

@@ -182,6 +182,45 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out(1L) === out(0L))
   }
 
+  test("knScoreAgainst: hand-computed interpolated KN, backoff and OOV paths") {
+    // train bigrams: (a b) x2, (a c) x1, (b a) x1 -> from "a b a c" + "a b"
+    val train = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    // doc bigrams exercise: seen (a b), unseen-pair-seen-prefix (a a),
+    // unseen-prefix-seen-continuation (c a), OOV continuation (a z)
+    val docs = Seq((10L, "a b"), (11L, "a a"), (12L, "c a"), (13L, "a z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knScoreAgainst(docs, train)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // counts: c1(a)=3, n1fw(a)=2; c1(b)=1, n1fw(b)=1; B=3 distinct bigrams
+    // pcont: a <- {b}: 1/3; b <- {a}: 1/3; c <- {a}: 1/3
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def lp(p: Double) = r6(math.floor(math.log(p) * 1e4 + 0.5) / 1e4)
+    // (a b): (max(2-.75,0) + .75*2*(1/3)) / 3
+    val pAB = (1.25 + 0.75 * 2 * (1.0 / 3)) / 3
+    assert(out(10L)._3.get === lp(pAB))
+    // (a a): c12=0 -> (0 + .75*2*(1/3)) / 3
+    val pAA = (0.75 * 2 * (1.0 / 3)) / 3
+    assert(out(11L)._3.get === lp(pAA))
+    // (c a): prefix c unseen -> backoff to pcont(a) = 1/3
+    assert(out(12L)._3.get === lp(1.0 / 3))
+    // (a z): z never continues anything -> OOV, no average
+    assert(out(13L) === ((1L, 1L, None)))
+    assert(out(10L)._1 === 1L && out(10L)._2 === 0L)
+  }
+
+  test("textRankKeywords: the hub word of a star graph ranks first") {
+    // "hub" co-occurs with every spoke; spokes only with hub (+ window-2
+    // neighbors) -> hub gets the highest centrality
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"hub spoke$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs, window = 2, iters = 2, topK = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.head === ((1, "hub")))
+    assert(out.length === 3)
+  }
+
   test("normalizedExact collapses case/punct/whitespace variants, keeps distinct texts") {
     val docs = Seq(
       (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO   world."),

@@ -389,6 +389,38 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("psiDrift: identical samples score 0; shifted samples cross the 0.25 alarm") {
+    val a = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val same = Sketches.psiDrift(a, a, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long)].head()
+    assert(same._1 === 0.0 && same._2 === 200 && same._3 === 200)
+    val b = (1 to 200).map(i => (i.toLong, (i % 10).toDouble + 10.0)).toDF("id", "v")
+    val diff = Sketches.psiDrift(a, b, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long)].head()
+    assert(diff._1 > 0.25, s"disjoint distributions must alarm: $diff")
+    // PSI is symmetric by construction
+    val rev = Sketches.psiDrift(b, a, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long)].head()
+    assert(rev._1 === diff._1)
+  }
+
+  test("emdDrift: identical 0; a constant shift measures its own displacement") {
+    val a = (1 to 100).map(i => (i.toLong, 2.5)).toDF("id", "v")
+    val same = Sketches.emdDrift(a, a, "v", 0.0, 10.0, bins = 10)
+      .as[(Double, Long, Long)].head()
+    assert(same._1 === 0.0)
+    // all mass at 2.5 vs all at 7.5: EMD = 5.0 (5 bins x width 1.0 gap)
+    val b = (1 to 100).map(i => (i.toLong, 7.5)).toDF("id", "v")
+    val got = Sketches.emdDrift(a, b, "v", 0.0, 10.0, bins = 10)
+      .as[(Double, Long, Long)].head()
+    assert(got._1 === 5.0, s"point masses 5 apart must read EMD 5: $got")
+    // unlike chi2/PSI, EMD scales with displacement: a 2-unit shift reads 2
+    val c = (1 to 100).map(i => (i.toLong, 4.5)).toDF("id", "v")
+    val near = Sketches.emdDrift(a, c, "v", 0.0, 10.0, bins = 10)
+      .as[(Double, Long, Long)].head()
+    assert(near._1 === 2.0, s"2-unit shift must read EMD 2: $near")
+  }
+
   test("benfordAudit: log-law data fits, uniform data drifts, absent digits are zero rows") {
     // multiplicative growth series follows Benford closely
     val growth = (1 to 2000).map(i =>

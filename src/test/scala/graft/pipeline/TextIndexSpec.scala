@@ -141,6 +141,56 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("Dirichlet QL: hand-computed scores, and indexed == scan form") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark spark join"),   // tf(spark)=2, tf(join)=1, dl=3
+      (2L, "spark vector"),       // tf(spark)=1, tf(vector)=1, dl=2
+      (3L, "other words here"),   // no query terms -> not a candidate
+      (4L, "join")                // tf(join)=1, dl=1
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "join", "vector")
+    val mu = 10.0
+    val got = TextIndex.qlRank(docs, terms, k = 10, mu = mu)
+      .orderBy(col("doc_id"))
+      .as[(Long, Double, Long)].collect().toSeq
+    // T=9; cf: spark=3, join=2, vector=1; p=cf/9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def lbg(cf: Double) = r6(math.log(mu * cf / 9.0))
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sumLbg = dec6(lbg(3)) + dec6(lbg(2)) + dec6(lbg(1))
+    def lm(tf: Double, cf: Double) = r6(math.log(tf + mu * cf / 9.0))
+    def score(matched: Seq[(Double, Double)], dl: Double) = {
+      val m = matched.map { case (tf, cf) => dec6(lm(tf, cf) - lbg(cf)) }.sum
+      r6(m.toDouble + sumLbg.toDouble - 3 * r6(math.log(dl + mu)))
+    }
+    val want = Seq(
+      (1L, score(Seq((2.0, 3.0), (1.0, 2.0)), 3.0), 2L),
+      (2L, score(Seq((1.0, 3.0), (1.0, 1.0)), 2.0), 2L),
+      (4L, score(Seq((1.0, 2.0)), 1.0), 1L))
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._2 - w._2) < 1e-9, s"doc ${g._1}: ${g._2} vs ${w._2}")
+      assert(g._3 === w._3)
+    }
+    // at-rest form: identical rows through the postings/stats layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qlidx_")
+    val t = "graft_ql_spec_idx"
+    try {
+      TextIndex.writeBm25Index(docs, t, tmp.resolve("idx").toString)
+      val (p, st) = TextIndex.readBm25Index(spark, t)
+      val idx = TextIndex.qlRankIndexed(p, st, terms, k = 10, mu = mu)
+        .orderBy(col("doc_id")).as[(Long, Double, Long)].collect().toSeq
+      assert(idx === got)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${t}_stats`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+    }
+  }
+
   test("hot-bucket cap applies to each side independently") {
     withIndex("cap") { idx =>
       // cap of 1 drops every bucket shared by >1 doc on either side ->
