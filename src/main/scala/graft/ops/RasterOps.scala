@@ -537,6 +537,118 @@ object RasterOps {
         col("__diag")).as("px"))
   }
 
+  /** Sentinel for "no feature reached yet" in [[distanceTransform34]]:
+    * an exact integer in a double, far above any reachable 3-4 chamfer
+    * cost, and safe to add 4 to without losing exactness.
+    */
+  val DtInf: Double = 1e9
+
+  /** Distributed DISTANCE TRANSFORM, 3-4 chamfer metric (Borgefors 1986):
+    * every pixel gets the weighted-grid distance to its nearest FEATURE
+    * pixel (value > 0) — axial steps cost 3, diagonal steps cost 4; the
+    * classic integer approximation of 3·Euclidean. The workhorse behind
+    * proximity masks, morphological seeding and "how far from tissue"
+    * spatial features.
+    *
+    * The sequential algorithm is two whole-raster ordered sweeps — a
+    * shape no single per-tile kernel can express, so this is the
+    * iterative-relaxation form: each ROUND runs the full forward+backward
+    * chamfer sweep INSIDE every tile (resolving all intra-tile
+    * propagation at once) seeded by the neighbors' current depth-1
+    * margins, through the same margin-clipped halo exchange as the box
+    * kernels, with missing neighbors held at [[DtInf]] (outside the
+    * raster is featureless). A round moves information across at least
+    * one tile boundary, so `rounds` >= the tile-GRID diameter
+    * (tiles_y + tiles_x) guarantees the global fixpoint — the caller
+    * knows the grid from raster metadata; each round is one halo
+    * exchange over the raster (the stated cost of distributing an
+    * inherently sequential scan). Every value is an exact integer in a
+    * double (0, 3a+4b, or the sentinel), so min/plus arithmetic is
+    * engine-portable with zero drift. Pixels that reach no feature
+    * report [[DtInf]]. Rounds are driver-pinned (no convergence probe —
+    * deterministic job count, the q118 one-action-per-iteration lesson);
+    * each round localCheckpoints so lineage stays flat (the
+    * connectedComponents discipline).
+    */
+  def distanceTransform34(tiles: DataFrame, rounds: Int,
+      tileSize: Int = TS): DataFrame = {
+    require(rounds >= 1, s"distanceTransform34: rounds must be >= 1, got $rounds")
+    var d = mapRaster(tiles)(v =>
+      when(v > 0, lit(0.0)).otherwise(lit(DtInf)))
+    for (_ <- 0 until rounds) {
+      d = mapRasterWithHalo(d, tileSize, Boundary.Constant(DtInf), depth = 1) {
+        (h, w, px, halo) =>
+          val at = haloReader(h, w, px, halo, 1, "distanceTransform34")
+          val out = px.clone()
+          // cur: updated in-tile values where available, neighbor margins
+          // (this round's INPUT state) beyond the tile
+          def cur(r: Int, c: Int): Double =
+            if (r >= 0 && r < h && c >= 0 && c < w) out(r * w + c) else at(r, c)
+          def relax(r: Int, c: Int, offs: Array[(Int, Int, Double)]): Unit = {
+            var m = out(r * w + c)
+            var i = 0
+            while (i < offs.length) {
+              val v = cur(r + offs(i)._1, c + offs(i)._2) + offs(i)._3
+              if (v < m) m = v
+              i += 1
+            }
+            out(r * w + c) = m
+          }
+          val fwd = Array((-1, -1, 4.0), (-1, 0, 3.0), (-1, 1, 4.0), (0, -1, 3.0))
+          val bwd = Array((1, 1, 4.0), (1, 0, 3.0), (1, -1, 4.0), (0, 1, 3.0))
+          var r = 0
+          while (r < h) {
+            var c = 0
+            while (c < w) { relax(r, c, fwd); c += 1 }
+            r += 1
+          }
+          r = h - 1
+          while (r >= 0) {
+            var c = w - 1
+            while (c >= 0) { relax(r, c, bwd); c -= 1 }
+            r -= 1
+          }
+          out
+      }.localCheckpoint(true)
+    }
+    d
+  }
+
+  /** 2x BILINEAR UPSAMPLING over the tiled layout (align-centers
+    * convention: source coordinate of output (Y, X) is ((Y+0.5)/2 − 0.5)
+    * — the torchvision/OpenCV `align_corners=false` default). Every
+    * output pixel mixes its up-to-4 source neighbors with weights from
+    * {0.25, 0.75}² — exact binary fractions, so integer-valued rasters
+    * upsample with ZERO float drift. Per tile the kernel needs only the
+    * depth-1 margin of each neighbor (the half-pixel offsets never reach
+    * further), riding the same margin-clipped halo exchange; raster
+    * borders replicate the edge pixel (Reflect at depth 1 == clamp).
+    * Emits the tiled layout with DOUBLED per-tile dims — read it back
+    * with `tilesToPixels(tileSize = 2 * tileSize)`.
+    */
+  def bilinearUpsample2x(tiles: DataFrame, tileSize: Int = TS): DataFrame =
+    mapRasterWithHalo(tiles, tileSize, Boundary.Reflect, depth = 1) {
+      (h, w, px, halo) =>
+        val at = haloReader(h, w, px, halo, 1, "bilinearUpsample2x")
+        Array.tabulate(2 * h * 2 * w) { i =>
+          val oy = i / (2 * w); val ox = i % (2 * w)
+          // source center = oy/2 - 0.25: an EVEN output row 2k sits at
+          // k - 0.25 (rows k-1, k with weights 0.25, 0.75); an ODD row
+          // 2k+1 sits at k + 0.25 (rows k, k+1 with weights 0.75, 0.25).
+          // ry is the lower source row, wy its weight; same along x.
+          val ry = if (oy % 2 == 0) oy / 2 - 1 else oy / 2
+          val wy = if (oy % 2 == 0) 0.25 else 0.75
+          val rx = if (ox % 2 == 0) ox / 2 - 1 else ox / 2
+          val wx = if (ox % 2 == 0) 0.25 else 0.75
+          val v00 = at(ry, rx); val v01 = at(ry, rx + 1)
+          val v10 = at(ry + 1, rx); val v11 = at(ry + 1, rx + 1)
+          wy * (wx * v00 + (1.0 - wx) * v01) +
+            (1.0 - wy) * (wx * v10 + (1.0 - wx) * v11)
+        }
+    }
+      .withColumn("h", col("h") * 2)
+      .withColumn("w", col("w") * 2)
+
   /** Global HISTOGRAM EQUALIZATION over long-form integer-level pixels —
     * the contrast-normalization pass (OpenCV `equalizeHist` semantics):
     * with cdf(v) the running count of pixels at levels ≤ v and cdfMin

@@ -531,6 +531,66 @@ object Sketches {
       .select(col("emd"), col("n_a"), col("n_b"))
   }
 
+  /** KENDALL'S TAU-B between two DISCRETE/snapped signal columns — the
+    * concordant-vs-discordant ordinal agreement, tie-corrected (the
+    * third agreement statistic next to Pearson and [[spearman]]; tau is
+    * what ranking-eval literature quotes, and its pair semantics make
+    * ties explicit where Spearman averages them away). Same discrete
+    * contract as [[spearman]]: both columns must be low-cardinality
+    * (bucketed/snapped signals), because the statistic is computed from
+    * the JOINT CONTINGENCY TABLE, never row pairs — with n_ij the count
+    * of rows at (a_i, b_j):
+    *
+    *   C  = Σ_ij n_ij · Σ_{k>i, l>j} n_kl     (concordant pairs)
+    *   D  = Σ_ij n_ij · Σ_{k>i, l<j} n_kl     (discordant pairs)
+    *   n0 = n(n−1)/2;  t_a, t_b = Σ ties within each column
+    *   τ_b = (C − D) / sqrt((n0 − t_a)·(n0 − t_b))
+    *
+    * Scale shape: one keyed aggregation to the cell table (rows = joint
+    * cardinality), a cells×cells inequality join over that BOUNDED frame
+    * (the [[spearman]]-family cost statement: a hot signal costs its
+    * distinct-value count squared, never corpus rows squared), two tiny
+    * tie aggregations, exact LONG pair counts throughout. The one
+    * non-integer step — the sqrt of a product that can exceed 2^53 —
+    * runs as CAST-to-double-then-multiply in a FIXED order both engines
+    * reproduce, then the ratio snaps to 1e-6. Output: one row
+    * (tau_b, n_conc, n_disc, n).
+    */
+  def kendallTauB(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val l = cells.select(col("__a").as("__la"), col("__b").as("__lb"),
+      col("__n").as("__ln"))
+    val r = cells.select(col("__a").as("__ra"), col("__b").as("__rb"),
+      col("__n").as("__rn"))
+    val pairs = l.join(r, col("__la") < col("__ra"))
+      .select(
+        when(col("__lb") < col("__rb"), col("__ln") * col("__rn"))
+          .otherwise(0L).as("__c"),
+        when(col("__lb") > col("__rb"), col("__ln") * col("__rn"))
+          .otherwise(0L).as("__d"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_conc"),
+        coalesce(sum(col("__d")), lit(0L)).as("n_disc"))
+    def tieHalfPairs(c: String) = cells.groupBy(col(c))
+      .agg(sum(col("__n")).as("__cn"))
+      .agg(coalesce(sum(col("__cn") * (col("__cn") - 1)), lit(0L)).as("t2"))
+    val ta = tieHalfPairs("__a").select(col("t2").as("__ta2"))
+    val tb = tieHalfPairs("__b").select(col("t2").as("__tb2"))
+    val n = cells.agg(sum(col("__n")).as("__nn"))
+    // everything is a 1-row frame from here — the broadcast-stats pattern
+    val da = (col("__nn") * (col("__nn") - 1) - col("__ta2")).cast("double") / 2
+    val db = (col("__nn") * (col("__nn") - 1) - col("__tb2")).cast("double") / 2
+    pairs.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .crossJoin(broadcast(n))
+      .select(
+        // a constant column (n0 == its ties) has no ordering signal -> NULL
+        when(da > 0 && db > 0, TextAnalysis.round6(
+          (col("n_conc") - col("n_disc")).cast("double") / sqrt(da * db)))
+          .as("tau_b"),
+        col("n_conc"), col("n_disc"), col("__nn").as("n"))
+  }
+
   /** SPEARMAN rank correlation between two DISCRETE/snapped signal
     * columns — do two quality scorers agree on ordering? (the monotone-
     * agreement check before blending signals; Pearson would be fooled by

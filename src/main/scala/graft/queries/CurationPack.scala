@@ -577,6 +577,17 @@ object CurationPack extends QueryPack {
         "value", lo = 0.0, hi = 1000.0, bins = 64)
     }),
 
+    // Kendall's tau-b between a fine and a coarse bucketing of the same
+    // signal (strong positive, heavy ties) — contingency-table form,
+    // never row pairs
+    "q330_kendall_tau" -> ((s, d) => {
+      Sketches.kendallTauB(
+        Tables.events(s, d).filter(col("value").isNotNull).select(
+          floor(col("value") / 100).cast("long").as("va"),
+          floor(col("value") / 200).cast("long").as("vb")),
+        "va", "vb")
+    }),
+
     // population stability index between the q260 event halves: Laplace-
     // smoothed proportions over the dense 64-bin spine, snapped log terms
     "q327_psi_drift" -> ((s, d) => {
@@ -1491,6 +1502,35 @@ object CurationPack extends QueryPack {
         |  FLOOR(CAST(SUM(CAST(ta + tb AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
         |  COUNT(*) - 1 AS dof, na AS n_a, nb AS n_b
         |FROM snapped GROUP BY na, nb""".stripMargin,
+
+    // tau-b from the joint contingency table: concordant/discordant cell
+    // products, tie-corrected denominator in the engine's fixed cast-
+    // then-multiply order
+    "q330_kendall_tau" ->
+      """WITH src AS (
+        |  SELECT CAST(FLOOR(value / 100) AS BIGINT) AS a,
+        |         CAST(FLOOR(value / 200) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT a, b, COUNT(*) AS n FROM src GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN l.b < r.b THEN l.n * r.n ELSE 0 END), 0) AS BIGINT) AS c,
+        |    CAST(COALESCE(SUM(CASE WHEN l.b > r.b THEN l.n * r.n ELSE 0 END), 0) AS BIGINT) AS d
+        |  FROM cells l JOIN cells r ON l.a < r.a),
+        |ta AS (SELECT CAST(COALESCE(SUM(cn * (cn - 1)), 0) AS BIGINT) AS t
+        |       FROM (SELECT SUM(n) AS cn FROM cells GROUP BY a)),
+        |tb AS (SELECT CAST(COALESCE(SUM(cn * (cn - 1)), 0) AS BIGINT) AS t
+        |       FROM (SELECT SUM(n) AS cn FROM cells GROUP BY b)),
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells)
+        |SELECT
+        |  CASE WHEN CAST(nn.n * (nn.n - 1) - ta.t AS DOUBLE) / 2 > 0
+        |        AND CAST(nn.n * (nn.n - 1) - tb.t AS DOUBLE) / 2 > 0
+        |    THEN FLOOR((CAST(p.c - p.d AS DOUBLE) /
+        |      sqrt((CAST(nn.n * (nn.n - 1) - ta.t AS DOUBLE) / 2) *
+        |           (CAST(nn.n * (nn.n - 1) - tb.t AS DOUBLE) / 2))) * 1e6 + 0.5) / 1e6
+        |  END AS tau_b,
+        |  p.c AS n_conc, p.d AS n_disc, nn.n AS n
+        |FROM p, ta, tb, nn""".stripMargin,
 
     // PSI over the q260 halves: dense 64-bin spine, Laplace-smoothed
     // p = (c + 0.5)/(n + 32), snapped (pa-pb)*ln(pa/pb) terms

@@ -519,6 +519,52 @@ object ExtraPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // distributed 3-4 chamfer distance transform: features = dense-grid
+    // cells whose event count is a multiple of 5; 4 relaxation rounds
+    // (>= the 2x2 tile-grid diameter) reach the global fixpoint; the
+    // oracle is the closed-form chamfer metric min over features — a
+    // completely different algorithm than the iterative sweeps
+    "q331_distance_transform" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 32).cast("int").as("y"),
+        (col("user_id") % 32).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).as("cnt"))
+      val grid = s.range(32L * 32)
+        .select(lit(0).as("c"), (col("id") / 32).cast("int").as("y"),
+          (col("id") % 32).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          when(col("cnt").isNotNull && col("cnt") % 5 === 0, 1.0)
+            .otherwise(0.0).as("value"))
+      val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 16)
+      RasterOps.tilesToPixels(
+          RasterOps.distanceTransform34(tiles, rounds = 4, tileSize = 16),
+          tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // 2x bilinear upsampling (align-centers): 64x64 -> 128x128 through
+    // the depth-1 halo; {0.25, 0.75} weights are exact binary fractions,
+    // so integer counts upsample drift-free
+    "q332_bilinear_up" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(64L * 64)
+        .select(lit(0).as("c"), (col("id") / 64).cast("int").as("y"),
+          (col("id") % 64).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTiles(pixels, tileSize = 16)
+      RasterOps.tilesToPixels(
+          RasterOps.bilinearUpsample2x(tiles, tileSize = 16), tileSize = 32)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
     // rasterize_bins (rasterize_bins.py:31-237): grid-binned obs -> pixels
     "q39_rasterize_bins" -> ((s, d) => {
       val obs = Tables.orders(s, d).select(
@@ -998,6 +1044,62 @@ object ExtraPack extends QueryPack {
         |SELECT px.y, px.x, mp.eq AS value
         |FROM px JOIN mp ON px.v = mp.v
         |ORDER BY px.y, px.x""".stripMargin,
+    // closed-form 3-4 chamfer: d = 4*min(|dy|,|dx|) + 3*(max-min), min
+    // over all features; featureless rasters would read the 1e9 sentinel
+    "q331_distance_transform" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 32 AS INT) AS y, CAST(user_id % 32 AS INT) AS x,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 32 AS INT) AS y, CAST(i % 32 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 1024)) AS i)),
+        |feat AS (SELECT y, x FROM px WHERE c % 5 = 0)
+        |SELECT g.y, g.x,
+        |  COALESCE(CAST(MIN(
+        |    4 * LEAST(ABS(g.y - f.y), ABS(g.x - f.x)) +
+        |    3 * (GREATEST(ABS(g.y - f.y), ABS(g.x - f.x)) -
+        |         LEAST(ABS(g.y - f.y), ABS(g.x - f.x)))) AS DOUBLE),
+        |    1000000000.0) AS value
+        |FROM grid g LEFT JOIN feat f ON TRUE
+        |GROUP BY g.y, g.x
+        |ORDER BY g.y, g.x""".stripMargin,
+    // bilinear: per output pixel the 4 clamped source neighbors with
+    // parity-derived {0.25, 0.75} weights — exact dyadic arithmetic
+    "q332_bilinear_up" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 64 AS INT) AS y, CAST(i % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x, COALESCE(px.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |og AS (
+        |  SELECT CAST(i // 128 AS INT) AS oy, CAST(i % 128 AS INT) AS ox
+        |  FROM (SELECT unnest(range(0, 16384)) AS i)),
+        |w AS (
+        |  SELECT oy, ox,
+        |    CASE WHEN oy % 2 = 0 THEN oy // 2 - 1 ELSE oy // 2 END AS ry,
+        |    CASE WHEN oy % 2 = 0 THEN 0.25 ELSE 0.75 END AS wy,
+        |    CASE WHEN ox % 2 = 0 THEN ox // 2 - 1 ELSE ox // 2 END AS rx,
+        |    CASE WHEN ox % 2 = 0 THEN 0.25 ELSE 0.75 END AS wx
+        |  FROM og)
+        |SELECT w.oy AS y, w.ox AS x,
+        |  w.wy * (w.wx * d00.v + (1 - w.wx) * d01.v) +
+        |  (1 - w.wy) * (w.wx * d10.v + (1 - w.wx) * d11.v) AS value
+        |FROM w
+        |JOIN dense d00 ON d00.y = LEAST(GREATEST(w.ry, 0), 63)
+        |              AND d00.x = LEAST(GREATEST(w.rx, 0), 63)
+        |JOIN dense d01 ON d01.y = LEAST(GREATEST(w.ry, 0), 63)
+        |              AND d01.x = LEAST(GREATEST(w.rx + 1, 0), 63)
+        |JOIN dense d10 ON d10.y = LEAST(GREATEST(w.ry + 1, 0), 63)
+        |              AND d10.x = LEAST(GREATEST(w.rx, 0), 63)
+        |JOIN dense d11 ON d11.y = LEAST(GREATEST(w.ry + 1, 0), 63)
+        |              AND d11.x = LEAST(GREATEST(w.rx + 1, 0), 63)
+        |ORDER BY y, x""".stripMargin,
     // 5x5 mean with true numpy-"symmetric" mirroring (depth 2: -2 -> 1,
     // dim+1 -> dim-2 — NOT a clamp) over the 64x60 dense grid
     "q199_halo_blur5" ->

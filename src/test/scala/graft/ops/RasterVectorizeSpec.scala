@@ -340,6 +340,62 @@ class RasterVectorizeSpec extends SparkTestBase {
     }
   }
 
+  test("distanceTransform34 reaches the closed-form chamfer fixpoint across tile seams") {
+    // 8x8 raster, 4x4 tiles; two features in opposite corner tiles so
+    // distances must propagate through every tile boundary
+    val feats = Set((1, 1), (6, 6))
+    val pix = (for (y <- 0 until 8; x <- 0 until 8) yield
+      (0, y, x, if (feats((y, x))) 1.0 else 0.0)).toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pix, tileSize = 4)
+    // rounds = tile-grid diameter (2 + 2)
+    val got = RasterOps.tilesToPixels(
+        RasterOps.distanceTransform34(tiles, rounds = 4, tileSize = 4),
+        tileSize = 4)
+      .select("y", "x", "value").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    def chamfer(y: Int, x: Int) = feats.map { case (fy, fx) =>
+      val dy = math.abs(y - fy); val dx = math.abs(x - fx)
+      4.0 * math.min(dy, dx) + 3.0 * (math.max(dy, dx) - math.min(dy, dx))
+    }.min
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(got((y, x)) === chamfer(y, x), s"($y,$x)")
+    // featureless raster: every pixel reports the sentinel
+    val none = (for (y <- 0 until 4; x <- 0 until 4) yield
+      (0, y, x, 0.0)).toDF("c", "y", "x", "value")
+    val g2 = RasterOps.tilesToPixels(
+        RasterOps.distanceTransform34(
+          RasterOps.pixelsToTiles(none, tileSize = 4), rounds = 1, tileSize = 4),
+        tileSize = 4)
+      .select("value").as[Double].collect()
+    assert(g2.forall(_ === RasterOps.DtInf))
+  }
+
+  test("bilinearUpsample2x: hand-computed 2x2 -> 4x4 with clamped borders") {
+    // source [[0, 4], [8, 12]]: interior output (1,1) mixes all four
+    val pix = Seq((0, 0, 0, 0.0), (0, 0, 1, 4.0), (0, 1, 0, 8.0), (0, 1, 1, 12.0))
+      .toDF("c", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles(pix, tileSize = 2)
+    val got = RasterOps.tilesToPixels(
+        RasterOps.bilinearUpsample2x(tiles, tileSize = 2), tileSize = 4)
+      .select("y", "x", "value").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 16)
+    def src(y: Int, x: Int) = Map((0, 0) -> 0.0, (0, 1) -> 4.0,
+      (1, 0) -> 8.0, (1, 1) -> 12.0)((y.max(0).min(1), x.max(0).min(1)))
+    def bil(oy: Int, ox: Int): Double = {
+      val ry = if (oy % 2 == 0) oy / 2 - 1 else oy / 2
+      val wy = if (oy % 2 == 0) 0.25 else 0.75
+      val rx = if (ox % 2 == 0) ox / 2 - 1 else ox / 2
+      val wx = if (ox % 2 == 0) 0.25 else 0.75
+      wy * (wx * src(ry, rx) + (1 - wx) * src(ry, rx + 1)) +
+        (1 - wy) * (wx * src(ry + 1, rx) + (1 - wx) * src(ry + 1, rx + 1))
+    }
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(got((y, x)) === bil(y, x), s"($y,$x)")
+    // corners replicate the nearest source pixel exactly
+    assert(got((0, 0)) === 0.0 && got((3, 3)) === 12.0)
+  }
+
   test("histogramEqualize maps levels through the global cdf; constant image -> 0") {
     // levels 1,1,2,5: cdf 1->2, 2->3, 5->4; cdfMin=2, N=4
     // eq(v) = floor((cdf-2)*255/(4-2)+0.5) -> 1->0, 2->128, 5->255

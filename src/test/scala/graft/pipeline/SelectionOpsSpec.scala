@@ -389,6 +389,33 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("kendallTauB: monotone 1, reversed -1, hand tie case, constant NULL") {
+    val up = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L), (4L, 4L, 40L))
+      .toDF("id", "a", "b")
+    val one = Sketches.kendallTauB(up, "a", "b")
+      .as[(Option[Double], Long, Long, Long)].head()
+    assert(one === ((Some(1.0), 6L, 0L, 4L)))
+    val down = Seq((1L, 1L, 40L), (2L, 2L, 30L), (3L, 3L, 20L), (4L, 4L, 10L))
+      .toDF("id", "a", "b")
+    assert(Sketches.kendallTauB(down, "a", "b")
+      .as[(Option[Double], Long, Long, Long)].head()._1 === Some(-1.0))
+    // ties: a = (1,1,2,2), b = (1,2,1,2): C = 2 (cells (1,1)-(2,2) and
+    // nothing else... enumerate: cells {(1,1),(1,2),(2,1),(2,2)} n=1 each;
+    // a-ordered pairs: (1,1)x(2,1): b equal? 1 vs 1 -> tie on b (neither);
+    // (1,1)x(2,2): conc; (1,2)x(2,1): disc; (1,2)x(2,2): b 2 vs 2 tie
+    // -> C=1, D=1; n0=6, ta=2+2 halves: t_a2 = 2*1+2*1=4 -> n0-ta=4;
+    // same for b -> tau = 0/4 = 0
+    val ties = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 1L), (4L, 2L, 2L))
+      .toDF("id", "a", "b")
+    val t = Sketches.kendallTauB(ties, "a", "b")
+      .as[(Option[Double], Long, Long, Long)].head()
+    assert(t === ((Some(0.0), 1L, 1L, 4L)))
+    // constant column: no ordering signal -> NULL
+    val const = Seq((1L, 5L, 1L), (2L, 5L, 2L)).toDF("id", "a", "b")
+    assert(Sketches.kendallTauB(const, "a", "b")
+      .as[(Option[Double], Long, Long, Long)].head()._1 === None)
+  }
+
   test("psiDrift: identical samples score 0; shifted samples cross the 0.25 alarm") {
     val a = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
     val same = Sketches.psiDrift(a, a, "v", 0.0, 20.0, bins = 16)
