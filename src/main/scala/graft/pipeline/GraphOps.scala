@@ -200,6 +200,57 @@ object GraphOps {
     * documents are different signals). Same keyed-join shape, one extra
     * count aggregation.  Output: (src, dst, weight).
     */
+  /** ASSOCIATION RULES over baskets (the market-basket support /
+    * confidence / lift battery, Agrawal et al. 1993 Apriori's level-2
+    * output — "users who bought A also bought B"): for each co-occurring
+    * item pair with n_ab shared baskets, n_a/n_b per-item basket counts
+    * and N retained baskets,
+    *
+    *   support = n_ab/N,  conf(a→b) = n_ab/n_a,  conf(b→a) = n_ab/n_b,
+    *   lift = n_ab·N / (n_a·n_b)   (> 1 ⇔ positive association)
+    *
+    * Scale shape: the pair generation is a BASKET-KEYED self-join, so a
+    * basket costs its size² — baskets larger than `maxBasketSize` are
+    * DROPPED before pairing (the [[Dedup.lshCandidatePairs]] hot-bucket
+    * stance: a power-user/spam basket is noise for association mining
+    * and would otherwise dominate the shuffle; N counts retained baskets
+    * so the probabilities stay consistent). Counts stay exact longs;
+    * the n_ab·N and n_a·n_b products stay under 2^53 for any realistic
+    * catalog, and every ratio snaps to the 1e-6 grid. `minPairCount`
+    * prunes the long tail BEFORE the stat joins. Output: (a, b (a < b),
+    * n_ab, n_a, n_b, support, conf_ab, conf_ba, lift) — topK by lift.
+    */
+  def assocRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2, topK: Int = 20,
+      maxBasketSize: Int = 256): DataFrame = {
+    require(minPairCount >= 1 && topK >= 1 && maxBasketSize >= 2,
+      s"assocRules: bad minPairCount=$minPairCount topK=$topK maxBasketSize=$maxBasketSize")
+    val b0 = baskets.select(col(basketCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+    val sizes = b0.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
+    val b = b0.join(sizes.filter(col("__sz") <= maxBasketSize), Seq("__g"))
+      .select(col("__g"), col("__i"))
+    val nB = b.select(col("__g")).distinct().agg(count(lit(1)).as("__n"))
+    val ci = b.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val snap = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    b.select(col("__g"), col("__i").as("a"))
+      .join(b.select(col("__g"), col("__i").as("b")), Seq("__g"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+      .join(ci.select(col("__i").as("a"), col("__c").as("n_a")), Seq("a"))
+      .join(ci.select(col("__i").as("b"), col("__c").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nB))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        snap(col("n_ab").cast("double") / col("__n")).as("support"),
+        snap(col("n_ab").cast("double") / col("n_a")).as("conf_ab"),
+        snap(col("n_ab").cast("double") / col("n_b")).as("conf_ba"),
+        snap((col("n_ab") * col("__n")).cast("double") /
+          (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   def coOccurrenceEdgesWeighted(items: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val g = items.select(col(groupCol).as("__g"), col(valueCol).as("__v"))

@@ -241,6 +241,52 @@ object Similarity {
           lit(1.0) / col("first_rel_rank")), lit(0.0)).as("rr"))
   }
 
+  /** AVERAGE PRECISION @k per query (the area-under-PR summary the MAP
+    * of "mean average precision" averages; trec_eval lineage) — the
+    * missing member of the eval battery next to [[recallAtK]] (set
+    * overlap), [[ndcgAtK]] (graded positions) and [[mrrAtK]] (first
+    * hit): AP rewards packing ALL relevant documents early,
+    *
+    *   AP@k = (Σ_{r ≤ k, doc_r relevant} cumRel(r) / r) / min(R, k)
+    *
+    * with R the query's total relevant count (min(R, k) so a perfect
+    * top-k scores 1.0 even when R > k). Binary relevance (`relCol` > 0).
+    * Precision terms snap to the 1e-6 grid and sum in exact decimal.
+    *
+    * Scale shape: one (query, id)-keyed semi-join of the ≤ queries×k
+    * ranked frame against the relevance set, one keyed window over the
+    * HITS (≤ k rows per query), two keyed aggregations. Queries with no
+    * relevant documents report NULL ap (undefined, matching
+    * [[ndcgAtK]]'s idcg-0 convention); R > 0 with zero hits reports 0.
+    * Output: (queryIdCol, n_rel, ap) for every query in `ranked`.
+    */
+  def mapAtK(ranked: DataFrame, relevance: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"mapAtK: k must be >= 1, got $k")
+    val rel = relevance.filter(col(relCol) > 0)
+      .select(col(queryIdCol), col(idCol))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col(rankCol))
+    val terms = ranked.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol), col(rankCol))
+      .join(rel, Seq(queryIdCol, idCol), "left_semi")
+      .withColumn("__cum", row_number().over(w))
+      .select(col(queryIdCol), TextAnalysis.round6(
+        col("__cum").cast("double") / col(rankCol)).as("__t"))
+      .groupBy(col(queryIdCol))
+      .agg(sum(col("__t").cast("decimal(28,6)")).cast("double").as("__s"))
+    val nRel = rel.groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_rel"))
+    ranked.select(col(queryIdCol)).distinct()
+      .join(nRel, Seq(queryIdCol), "left")
+      .join(terms, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0, TextAnalysis.round6(
+          coalesce(col("__s"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)))).as("ap"))
+  }
+
   /** Truncated RANK-BIASED OVERLAP (Webber/Moffat/Zobel 2010) — "how
     * similar are two rankings", top-weighted: RBO@k = (1-p) Σ_{i≤k}
     * p^(i-1) · |A_i ∩ B_i| / i, where A_i/B_i are the depth-i prefixes.

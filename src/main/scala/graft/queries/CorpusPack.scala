@@ -187,6 +187,20 @@ object CorpusPack extends QueryPack {
       Similarity.ndcgAtK(ranked, rel, k = 10).orderBy(col("query_id"))
     }),
 
+    // AP@10 (the MAP summary) of the same retrieval run: precision at
+    // each relevant hit, normalized by min(R, 10)
+    "q335_map" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val q = corpus.filter(col("vec_id") % 250 === 3)
+      val ranked = Similarity.bruteForceTopK(corpus,
+        q.select(col("vec_id").as("query_id"), col("embedding")), k = 10)
+      val rel = q.select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(corpus.select(col("vec_id"), col("label")),
+          col("__ql") === col("label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), lit(1.0).as("rel"))
+      Similarity.mapAtK(ranked, rel, k = 10).orderBy(col("query_id"))
+    }),
+
     // MRR@10: reciprocal rank of the first same-label (non-self) hit
     "q306_mrr" -> ((s, d) => {
       val corpus = Tables.embeddings(s, d)
@@ -327,6 +341,18 @@ object CorpusPack extends QueryPack {
       EventStream.forwardFill(ev, "user_id", Seq("ts", "event_id"), "value")
         .select(col("event_id"), col("user_id"), col("value"),
           col("value_ff"))
+        .orderBy(col("event_id"))
+    }),
+
+    // linear-interpolation gap fill per user (q291's time-aware sibling):
+    // the same nulled readings reconstructed from the bounding non-NULL
+    // neighbors in (ts, event_id) order; one-sided gaps stay NULL
+    "q334_interpolate" -> ((s, d) => {
+      val ev = Tables.eventsWithTs(s, d).withColumn("value",
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      EventStream.interpolateLinear(ev, "user_id", "ts", "event_id", "value")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("value_li"))
         .orderBy(col("event_id"))
     }),
 
@@ -857,6 +883,45 @@ object CorpusPack extends QueryPack {
           |FROM dc LEFT JOIN ic ON dc.query_id = ic.query_id
           |ORDER BY dc.query_id""".stripMargin,
 
+      // q305's ranking chain with the AP tail: cumulative relevant count
+      // at each relevant rank, snapped precision terms, min(R, 10) norm
+      "q335_map" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding, label AS ql
+          |  FROM embeddings WHERE vec_id % 250 = 3),
+          |s AS (SELECT a.query_id, b.vec_id,
+          |    CAST(FLOOR(
+          |      list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(0, 64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+          |      * 1e6 + 0.5) AS BIGINT) AS ci
+          |  FROM q a, embeddings b),
+          |l AS (SELECT query_id, list_sort(list({'nk': -ci, 'v': vec_id})) AS srt
+          |  FROM s GROUP BY query_id),
+          |rk AS (SELECT l.query_id, srt[r.r].v AS vec_id, r.r AS rank
+          |  FROM l, (SELECT unnest(range(1, 11)) AS r) r),
+          |h AS (SELECT rk.query_id, rk.rank
+          |  FROM rk JOIN embeddings c ON rk.vec_id = c.vec_id
+          |  JOIN q ON rk.query_id = q.query_id
+          |  WHERE c.label = q.ql AND rk.vec_id <> rk.query_id),
+          |cr AS (SELECT query_id, rank,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS cum
+          |  FROM h),
+          |apq AS (SELECT query_id,
+          |    CAST(SUM(CAST(FLOOR(CAST(cum AS DOUBLE) / rank * 1e6 + 0.5) / 1e6
+          |      AS DECIMAL(28,6))) AS DOUBLE) AS s
+          |  FROM cr GROUP BY 1),
+          |nr AS (SELECT q.query_id, COUNT(c.vec_id) AS r
+          |  FROM q LEFT JOIN embeddings c
+          |    ON c.label = q.ql AND c.vec_id <> q.query_id
+          |  GROUP BY q.query_id)
+          |SELECT q.query_id, CAST(nr.r AS BIGINT) AS n_rel,
+          |  CASE WHEN nr.r > 0 THEN
+          |    FLOOR(COALESCE(apq.s, 0.0) / LEAST(nr.r, 10) * 1e6 + 0.5) / 1e6
+          |  END AS ap
+          |FROM q JOIN nr ON q.query_id = nr.query_id
+          |LEFT JOIN apq ON q.query_id = apq.query_id
+          |ORDER BY q.query_id""".stripMargin,
+
       "q306_mrr" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding, label AS ql
           |  FROM embeddings WHERE vec_id % 250 = 3),
@@ -1207,6 +1272,37 @@ object CorpusPack extends QueryPack {
           |    PARTITION BY user_id ORDER BY ts, event_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
           |FROM ev ORDER BY event_id""".stripMargin,
+
+      // bounding non-NULL neighbors via IGNORE NULLS windows (value and
+      // its ts picked by the same aligned CASE), engine's snap mirrored
+      "q334_interpolate" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, epoch_ns(ts) AS tns,
+          |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+          |  FROM events),
+          |w AS (
+          |  SELECT event_id, user_id, value, tns,
+          |    last_value(value IGNORE NULLS) OVER wp AS pv,
+          |    last_value(CASE WHEN value IS NOT NULL THEN tns END IGNORE NULLS)
+          |      OVER wp AS pt,
+          |    first_value(value IGNORE NULLS) OVER wn AS nv,
+          |    first_value(CASE WHEN value IS NOT NULL THEN tns END IGNORE NULLS)
+          |      OVER wn AS nt
+          |  FROM ev
+          |  WINDOW
+          |    wp AS (PARTITION BY user_id ORDER BY tns, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    wn AS (PARTITION BY user_id ORDER BY tns, event_id
+          |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          |SELECT event_id, user_id, value,
+          |  CASE WHEN value IS NOT NULL THEN value
+          |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          |         CASE WHEN nt > pt THEN
+          |           FLOOR((pv + (nv - pv) *
+          |             (CAST(tns - pt AS DOUBLE) / (nt - pt))) * 1e6 + 0.5) / 1e6
+          |         ELSE pv END
+          |  END AS value_li
+          |FROM w ORDER BY event_id""".stripMargin,
 
       "q279_decayed_counts" ->
         """WITH e AS (

@@ -22,6 +22,16 @@ object RelationalPack extends QueryPack {
     sum(c.cast("decimal(28,6)")).cast("double") / n
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // market-basket association rules over order baskets: items = parts
+    // folded to a 97-value vocabulary so co-occurrence is dense at every
+    // SF; top-20 pairs by lift
+    "q333_assoc_rules" -> ((s, d) => {
+      graft.pipeline.GraphOps.assocRules(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_partkey") % 97).as("item")),
+        "l_orderkey", "item", minPairCount = 3, topK = 20)
+    }),
+
     // Pricing summary (groupBy + exact-decimal sums; mirrors
     // aggregate(agg_func=sum/mean/count) over the table layer,
     // reference aggregate.py:439-452).
@@ -302,6 +312,29 @@ object RelationalPack extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // basket-keyed pair counts + per-item basket counts; no basket at
+    // any SF approaches the 256 size cap, so the cap filter is identity
+    "q333_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey % 97 AS i FROM lineitem),
+        |sz AS (SELECT g, COUNT(*) AS n FROM b GROUP BY 1),
+        |bk AS (SELECT b.g, b.i FROM b JOIN sz USING (g) WHERE sz.n <= 256),
+        |nb AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n FROM bk),
+        |ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+        |p AS (
+        |  SELECT l.i AS a, r.i AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bk l JOIN bk r ON l.g = r.g AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p.a, p.b, p.n_ab, ca.c AS n_a, cb.c AS n_b,
+        |  FLOOR(CAST(p.n_ab AS DOUBLE) / nb.n * 1e6 + 0.5) / 1e6 AS support,
+        |  FLOOR(CAST(p.n_ab AS DOUBLE) / ca.c * 1e6 + 0.5) / 1e6 AS conf_ab,
+        |  FLOOR(CAST(p.n_ab AS DOUBLE) / cb.c * 1e6 + 0.5) / 1e6 AS conf_ba,
+        |  FLOOR(CAST(p.n_ab * nb.n AS DOUBLE) / (ca.c * cb.c) * 1e6 + 0.5) / 1e6 AS lift
+        |FROM p
+        |JOIN ci ca ON ca.i = p.a
+        |JOIN ci cb ON cb.i = p.b, nb
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -731,6 +731,47 @@ object EventStream {
       last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** LINEAR INTERPOLATION gap fill per key — [[forwardFill]]'s
+    * time-aware sibling (LOCF repeats the last reading; interpolation
+    * reconstructs a smoothly varying signal between the bounding
+    * readings — sensor/metric backfill): a NULL reading becomes
+    *
+    *   prev + (next − prev) · (ts − ts_prev) / (ts_next − ts_prev)
+    *
+    * from the key's nearest non-NULL neighbors in event order. Rows
+    * missing EITHER side (leading/trailing gaps) stay NULL — never
+    * invent data, the [[forwardFill]] law; equal-timestamp neighbors
+    * (a zero-length gap) take the previous value. The interpolated
+    * value snaps to the 1e-6 grid; pass-through values are untouched.
+    *
+    * Scale shape: two keyed windows over the SAME (key, tsCol, tieCol)
+    * ordering — one sort, no self-join; a key costs its own history.
+    * `tieCol` must make the order unique or neighbor choice is
+    * nondeterministic. tsCol is integer time (the ns convention).
+    */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col(valueCol).isNotNull,
+      struct(col(tsCol).as("t"), col(valueCol).as("v")))
+    val pv = last(obs, ignoreNulls = true).over(wPrev)
+    val nv = first(obs, ignoreNulls = true).over(wNext)
+    val ratio = (col(tsCol) - pv.getField("t")).cast("double") /
+      (nv.getField("t") - pv.getField("t"))
+    df.withColumn(s"${valueCol}_li",
+      when(col(valueCol).isNotNull, col(valueCol))
+        .when(pv.isNotNull && nv.isNotNull,
+          when(nv.getField("t") > pv.getField("t"),
+            graft.pipeline.TextAnalysis.round6(
+              pv.getField("v") +
+                (nv.getField("v") - pv.getField("v")) * ratio))
+            .otherwise(pv.getField("v"))))
+  }
+
   /** SCD2-style CHANGE INTERVALS — compress a per-key state log into the
     * validity-interval history table (one row per state RUN: the row's
     * state held from `valid_from` until the next change's `valid_to`,

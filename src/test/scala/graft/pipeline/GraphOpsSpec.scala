@@ -293,4 +293,39 @@ class GraphOpsSpec extends SparkTestBase {
     // 1/ln(3) = 0.910239 snapped, three leaf pairs
     assert(full.length === 3 && full.forall(r => r._3 == 1L && r._4 == 0.910239))
   }
+
+  test("assocRules: hand-computed support/confidence/lift; oversized baskets drop") {
+    import spark.implicits._
+    // 4 baskets: {x,y} x3, {x,z} x1 -> (x,y): n_ab=3, n_x=4, n_y=3, N=4
+    // lift(x,y) = 3*4/(4*3) = 1.0; (x,z): n_ab=1 < minPairCount drops
+    val b = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"), (4L, "x") // duplicate (4, x) must dedup
+    ).toDF("basket", "item")
+    val got = GraphOps.assocRules(b, "basket", "item", minPairCount = 2, topK = 10)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r === (("x", "y", 3L, 4L, 3L, 0.75, 0.75, 1.0, 1.0)))
+    // a basket over the size cap contributes neither pairs nor counts
+    val wide = b.unionAll(
+      (0 until 10).map(i => (9L, s"w$i")).toDF("basket", "item"))
+    val capped = GraphOps.assocRules(wide, "basket", "item",
+      minPairCount = 2, topK = 10, maxBasketSize = 5)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(capped.toSeq === got.toSeq)
+    // negative association reads lift < 1: y and z never co-occur with
+    // each other but each pairs with x
+    val anti = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "x"), (4L, "z")
+    ).toDF("basket", "item")
+    val a = GraphOps.assocRules(anti, "basket", "item", minPairCount = 2, topK = 10)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(x => (x._1, x._2) -> x._9).toMap
+    // (x,y): 2*4/(4*2) = 1.0; (x,z): 1.0; y-z pair absent
+    assert(a === Map(("x", "y") -> 1.0, ("x", "z") -> 1.0))
+  }
 }

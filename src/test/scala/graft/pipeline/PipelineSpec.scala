@@ -131,6 +131,28 @@ class PipelineSpec extends SparkTestBase {
     assert(m(1) === (("qb", None, 0.0)))
   }
 
+  test("mapAtK: hand-derived AP, perfect top-k, zero-hit and no-relevant laws") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ranked = Seq(
+      ("qa", 1L, 1), ("qa", 2L, 2), ("qa", 3L, 3),   // rel at ranks 2, 3
+      ("qb", 7L, 1), ("qb", 8L, 2),                  // both relevant, R=2
+      ("qc", 4L, 1),                                 // R>0 but zero hits
+      ("qd", 5L, 1)                                  // no relevant docs
+    ).toDF("query_id", "vec_id", "rank")
+    val rel = Seq(("qa", 2L, 1.0), ("qa", 3L, 1.0),
+      ("qb", 7L, 1.0), ("qb", 8L, 1.0),
+      ("qc", 9L, 1.0)).toDF("query_id", "vec_id", "rel")
+    val got = Similarity.mapAtK(ranked, rel, k = 3, queryIdCol = "query_id")
+      .orderBy("query_id")
+      .as[(String, Long, Option[Double])].collect()
+    // qa: (r6(1/2) + r6(2/3)) / min(2,3)
+    assert(got(0) === (("qa", 2L, Some(r6((0.5 + r6(2.0 / 3)) / 2)))))
+    // qb: perfect ranking scores exactly 1
+    assert(got(1) === (("qb", 2L, Some(1.0))))
+    assert(got(2) === (("qc", 1L, Some(0.0))))
+    assert(got(3) === (("qd", 0L, None)))
+  }
+
   test("mongeElkan: reorder-invariant, asymmetric on subsets, NULL law") {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val df = Seq(

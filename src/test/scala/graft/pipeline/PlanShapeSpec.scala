@@ -382,6 +382,49 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("qlRankIndexed: term IN pushes to the postings scan; top-k TakeOrdered; == scan form") {
+    val docs = (1 to 50).map(i => (i.toLong, s"spark join filter scan number $i"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qlspec_")
+    val table = "graft_ql_spec_idx"
+    try {
+      TextIndex.writeBm25Index(docs, table, tmp.resolve("idx").toString)
+      val (postings, stats) = TextIndex.readBm25Index(spark, table)
+      val out = TextIndex.qlRankIndexed(postings, stats, Seq("spark", "join"), k = 5)
+      val plan = out.queryExecution.executedPlan.toString
+      // the index serves BOTH ranking families: the QL probe too must
+      // read only its own terms' postings
+      assert(plan.contains("PushedFilters: [In(term"),
+        s"term IN not pushed to the postings scan:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k must plan as TakeOrderedAndProject:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+      val got = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val want = TextIndex.qlRank(docs, Seq("spark", "join"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(got.sameElements(want), s"indexed != recompute:\n${got.toSeq}\n${want.toSeq}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("assocRules: basket-keyed pair join, broadcast N row, top-k TakeOrdered, no product") {
+    val b = (1 to 60).flatMap(g => Seq((g.toLong, s"i${g % 5}"), (g.toLong, s"i${g % 7}")))
+      .toDF("basket", "item")
+    val out = GraphOps.assocRules(b, "basket", "item", minPairCount = 2, topK = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+    // the only nested-loop join allowed is the broadcast 1-row N frame
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
   test("quantizeInt8: the range row broadcasts; no window, no wide shuffle") {
     val out = Similarity.quantizeInt8(emb)
     val plan = out.queryExecution.executedPlan.toString

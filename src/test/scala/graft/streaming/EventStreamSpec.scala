@@ -263,6 +263,27 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("interpolateLinear: time-weighted fills, one-sided gaps stay NULL, equal-ts takes prev") {
+    import spark.implicits._
+    val df = Seq(
+      // key 1: 5.0 @10 ... NULL @20 (quarter point) ... NULL @25 ... 9.0 @50
+      (1L, 10L, 1L, Some(5.0)), (2L, 20L, 1L, None), (3L, 25L, 1L, None),
+      (4L, 50L, 1L, Some(9.0)),
+      (5L, 60L, 1L, None),                       // trailing gap -> NULL
+      (6L, 10L, 2L, None), (7L, 20L, 2L, Some(1.0)), // leading gap -> NULL
+      // key 3: neighbors share ts 10 -> zero-length gap takes prev
+      (8L, 10L, 3L, Some(2.0)), (9L, 10L, 3L, None), (10L, 10L, 3L, Some(4.0))
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = EventStream.interpolateLinear(df, "user_id", "ts", "event_id", "value")
+      .select("event_id", "value_li").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(1L) === Some(5.0) && got(4L) === Some(9.0)) // pass-through
+    assert(got(2L) === Some(6.0), "5 + 4 * 10/40")
+    assert(got(3L) === Some(6.5), "5 + 4 * 15/40")
+    assert(got(5L) === None && got(6L) === None)
+    assert(got(9L) === Some(2.0), "zero-length gap takes prev")
+  }
+
   test("changeIntervals: runs compress, NULL runs are real, intervals chain") {
     import spark.implicits._
     val df = Seq(
