@@ -531,6 +531,62 @@ object Sketches {
       .select(col("emd"), col("n_a"), col("n_b"))
   }
 
+  /** KAPLAN-MEIER survival estimator (Kaplan & Meier 1958) — the
+    * censoring-aware retention/churn curve ([[retentionCohorts]] reads
+    * raw fractions and silently treats "still subscribed" as "will
+    * churn"; KM is the standard fix): rows are (duration, event) with
+    * event = 1 an observed event (churn/failure) and 0 right-censored
+    * (still alive at last observation). At each distinct event time t
+    * with n_t subjects still at risk and d_t events,
+    *
+    *   S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u)
+    *
+    * Determinism without a product aggregate (no engine guarantees
+    * multiply order): each factor's LOG snaps to the 1e-6 grid, the
+    * cumulative log-sum runs in exact decimal over the ordered distinct-
+    * time frame, and S = round6(exp(sum)) — the [[graft.pipeline
+    * .TextAnalysis.dsirWeights]] exp∘snap discipline. A time where
+    * everyone at risk dies (d = n) zeroes the curve from there on (the
+    * log would be −∞), tracked as an explicit flag.
+    *
+    * DISCRETE-durations contract (the [[spearman]] stance): bucket
+    * continuous times first (days/hours) — every aggregation and window
+    * here is over DISTINCT durations, so the whole curve costs the
+    * bucket count, never subjects. One keyed aggregation over subjects
+    * is the only corpus-scale pass. Output: one row per distinct
+    * duration with d > 0 or c > 0: (t, n_risk, n_events, n_censored,
+    * survival).
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = df.filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) > 0, 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(eventCol) > 0, 0L).otherwise(1L)).as("n_censored"))
+    val total = byT.agg(
+      coalesce(sum(col("n_events") + col("n_censored")), lit(0L)).as("__all"))
+    // bounded windows: frames hold distinct durations, never subjects
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpto = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val r6 = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__all") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(wBefore), lit(0L)))
+      .withColumn("__lf", when(col("n_events") === 0, lit(0.0))
+        .when(col("n_events") < col("n_risk"),
+          r6(log(lit(1.0) - col("n_events").cast("double") / col("n_risk")))))
+      .withColumn("__dead",
+        max((col("n_events") === col("n_risk")).cast("int")).over(wUpto))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0)).otherwise(r6(exp(
+          sum(col("__lf").cast("decimal(28,6)")).over(wUpto).cast("double")))))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("survival"))
+  }
+
   /** KENDALL'S TAU-B between two DISCRETE/snapped signal columns — the
     * concordant-vs-discordant ordinal agreement, tie-corrected (the
     * third agreement statistic next to Pearson and [[spearman]]; tau is

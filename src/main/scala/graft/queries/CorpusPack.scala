@@ -344,6 +344,14 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // linear multi-touch attribution: each user's first purchase splits
+    // one unit of credit equally over the strictly-earlier events
+    "q337_attribution_credit" -> ((s, d) => {
+      EventStream.linearAttribution(Tables.eventsWithTs(s, d),
+        "user_id", "ts", "event_type", "purchase")
+        .orderBy(col("event_type"))
+    }),
+
     // linear-interpolation gap fill per user (q291's time-aware sibling):
     // the same nulled readings reconstructed from the bounding non-NULL
     // neighbors in (ts, event_id) order; one-sided gaps stay NULL
@@ -1272,6 +1280,25 @@ object CorpusPack extends QueryPack {
           |    PARTITION BY user_id ORDER BY ts, event_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
           |FROM ev ORDER BY event_id""".stripMargin,
+
+      // first purchase per user, strictly-earlier touches, snapped 1/n
+      // credits, exact decimal channel totals
+      "q337_attribution_credit" ->
+        """WITH conv AS (
+          |  SELECT user_id, MIN(epoch_ns(ts)) AS tc
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |touch AS (
+          |  SELECT e.user_id, e.event_type
+          |  FROM events e JOIN conv ON e.user_id = conv.user_id
+          |  WHERE epoch_ns(e.ts) < conv.tc),
+          |pu AS (SELECT user_id, COUNT(*) AS nt FROM touch GROUP BY 1),
+          |cr AS (
+          |  SELECT t.event_type,
+          |    FLOOR(1.0 / pu.nt * 1e6 + 0.5) / 1e6 AS credit
+          |  FROM touch t JOIN pu ON t.user_id = pu.user_id)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+          |  CAST(SUM(CAST(credit AS DECIMAL(28,6))) AS DOUBLE) AS credit
+          |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // bounding non-NULL neighbors via IGNORE NULLS windows (value and
       // its ts picked by the same aligned CASE), engine's snap mirrored

@@ -577,6 +577,17 @@ object CurationPack extends QueryPack {
         "value", lo = 0.0, hi = 1000.0, bins = 64)
     }),
 
+    // Kaplan-Meier survival: per-user observed lifetime (hour-bucketed
+    // ts span), event = made a purchase, else right-censored; the
+    // censoring-aware churn curve
+    "q336_kaplan_meier" -> ((s, d) => {
+      val subj = Tables.eventsWithTs(s, d).groupBy(col("user_id"))
+        .agg(((max(col("ts")) - min(col("ts"))) / lit(3600000000000L))
+            .cast("long").as("dur"),
+          max((col("event_type") === "purchase").cast("int")).as("ev"))
+      Sketches.kaplanMeier(subj, "dur", "ev").orderBy(col("t"))
+    }),
+
     // Kendall's tau-b between a fine and a coarse bucketing of the same
     // signal (strong positive, heavy ties) — contingency-table form,
     // never row pairs
@@ -1502,6 +1513,40 @@ object CurationPack extends QueryPack {
         |  FLOOR(CAST(SUM(CAST(ta + tb AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
         |  COUNT(*) - 1 AS dof, na AS n_a, nb AS n_b
         |FROM snapped GROUP BY na, nb""".stripMargin,
+
+    // KM: at-risk counts from the cumulative walk over distinct
+    // durations, snapped per-time log factors, exact decimal log-sum,
+    // exp snapped; an exhausted time (d = n) zeroes the curve onward
+    "q336_kaplan_meier" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR((MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) / 3600000000000.0) AS BIGINT) AS t,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+        |  FROM events GROUP BY 1),
+        |byt AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+        |               CAST(SUM(1 - ev) AS BIGINT) AS c
+        |        FROM subj GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS al FROM byt),
+        |r AS (
+        |  SELECT t, d, c,
+        |    tot.al - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+        |  FROM byt, tot),
+        |lf AS (
+        |  SELECT t, d, c, n,
+        |    CASE WHEN d = 0 THEN 0.0
+        |         WHEN d < n THEN FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n) * 1e6 + 0.5) / 1e6
+        |    END AS lf,
+        |    MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM r)
+        |SELECT t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE FLOOR(exp(CAST(SUM(CAST(lf AS DECIMAL(28,6))) OVER (
+        |         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS survival
+        |FROM lf ORDER BY t""".stripMargin,
 
     // tau-b from the joint contingency table: concordant/discordant cell
     // products, tie-corrected denominator in the engine's fixed cast-

@@ -731,6 +731,41 @@ object EventStream {
       last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — the credit-assignment completion
+    * of the funnel/attribution family ([[streamingAttributionPairs]]
+    * finds src→dst pairs; funnels count stage survival; this answers
+    * "which CHANNEL gets the conversion credit"): for each user's FIRST
+    * `convType` event, every strictly-earlier event is a touch and
+    * shares the conversion's one unit of credit equally (the linear
+    * model — first-touch and last-touch are the argmin/argmax
+    * specializations). Per-touch credit 1/n snaps to the 1e-6 grid;
+    * per-channel totals sum in exact decimal. Conversions with zero
+    * preceding touches credit nothing (stated; the self-credit variant
+    * is a different model).
+    *
+    * Scale shape: one user-keyed aggregation for the first-conversion
+    * time, one keyed join back (broadcastable at converter counts, AQE's
+    * choice), one per-user touch count, one channel aggregation —
+    * nothing user-quadratic, no windows. Output: (typeCol, n_touches,
+    * credit) per channel that touched any converting journey.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__tc"))
+    val touches = events.join(conv, Seq(userCol))
+      .filter(col(tsCol) < col("__tc"))
+      .select(col(userCol), col(typeCol))
+    val perUser = touches.groupBy(col(userCol))
+      .agg(count(lit(1)).as("__nt"))
+    touches.join(perUser, Seq(userCol))
+      .select(col(typeCol), graft.pipeline.TextAnalysis.round6(
+        lit(1.0) / col("__nt")).as("__credit"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__credit").cast("decimal(28,6)")).cast("double").as("credit"))
+  }
+
   /** LINEAR INTERPOLATION gap fill per key — [[forwardFill]]'s
     * time-aware sibling (LOCF repeats the last reading; interpolation
     * reconstructs a smoothly varying signal between the bounding

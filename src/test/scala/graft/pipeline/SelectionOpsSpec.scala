@@ -389,6 +389,27 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(diff._1 > 100.0, s"disjoint distributions must drift hard: $diff")
   }
 
+  test("kaplanMeier: textbook curve with censoring, exhaustion zeroes the tail") {
+    // 6 subjects: events at t=1,2,3,5; censored at t=2,4
+    val subj = Seq((1L, 1L, 1), (2L, 2L, 1), (3L, 2L, 0), (4L, 3L, 1),
+      (5L, 4L, 0), (6L, 5L, 1)).toDF("id", "dur", "ev")
+    val got = Sketches.kaplanMeier(subj, "dur", "ev")
+      .orderBy("t").as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq === Seq(
+      (1L, 6L, 1L, 0L), (2L, 5L, 1L, 1L), (3L, 3L, 1L, 0L),
+      (4L, 2L, 0L, 1L), (5L, 1L, 1L, 0L)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lf = Seq(1.0 / 6, 1.0 / 5, 1.0 / 3).map(p => dec6(r6(math.log(1 - p))))
+    val s1 = r6(math.exp(lf(0).toDouble))
+    val s2 = r6(math.exp((lf(0) + lf(1)).toDouble))
+    val s3 = r6(math.exp((lf(0) + lf(1) + lf(2)).toDouble))
+    assert(got.map(_._5).toSeq === Seq(s1, s2, s3, s3, 0.0))
+    // sanity on the magnitudes: the classic 5/6, 2/3, 4/9 curve
+    assert(math.abs(s1 - 5.0 / 6) < 1e-5 && math.abs(s2 - 2.0 / 3) < 1e-5 &&
+      math.abs(s3 - 4.0 / 9) < 1e-5)
+  }
+
   test("kendallTauB: monotone 1, reversed -1, hand tie case, constant NULL") {
     val up = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L), (4L, 4L, 40L))
       .toDF("id", "a", "b")

@@ -263,6 +263,25 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("linearAttribution: equal split over pre-conversion touches; post-conversion and zero-touch excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view@1, click@2, purchase@3, view@4 (post-conv ignored)
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"), (1L, 4L, "view"),
+      // user 2: click@1, purchase@2, purchase@5 (only FIRST conversion counts)
+      (2L, 1L, "click"), (2L, 2L, "purchase"), (2L, 5L, "purchase"),
+      // user 3: purchase with no prior touches -> credits nothing
+      (3L, 1L, "purchase"),
+      // user 4: touches but never converts -> contributes nothing
+      (4L, 1L, "view"), (4L, 2L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventStream.linearAttribution(ev, "user_id", "ts",
+        "event_type", "purchase")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // user 1 splits 1 over {view, click}; user 2 gives click 1.0
+    assert(got === Map("view" -> ((1L, 0.5)), "click" -> ((2L, 1.5))))
+  }
+
   test("interpolateLinear: time-weighted fills, one-sided gaps stay NULL, equal-ts takes prev") {
     import spark.implicits._
     val df = Seq(
