@@ -486,6 +486,49 @@ object Sketches {
       .select(col("psi"), col("n_a"), col("n_b"))
   }
 
+  /** JENSEN-SHANNON DIVERGENCE over the shared fixed grid — the bounded
+    * (≤ ln 2), SYMMETRIC drift score that, unlike [[psiDrift]], needs NO
+    * smoothing convention: JSD = ½KL(a‖m) + ½KL(b‖m) with m the
+    * midpoint mixture, and a bin empty on one side contributes the
+    * finite p·ln2 from the other (0·ln0 ≡ 0 — the CASE is explicit so
+    * both engines agree). Complements the family: χ² (shape, log-free),
+    * PSI (the alarm convention), EMD (displacement units), KS (max cdf
+    * gap), JSD (information units, metric when square-rooted). Snapped
+    * per-bin terms, exact decimal sum, same two-histogram scale shape
+    * as [[chiSquareDrift]]. Output: one row (jsd, n_a, n_b).
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    def clamped(df: DataFrame) = df.withColumn(valueCol,
+      when(col(valueCol).isNotNull,
+        greatest(least(col(valueCol).cast("double"), lit(hi)), lit(lo))))
+    val ha = histogramBins(clamped(a), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("ca"))
+    val hb = histogramBins(clamped(b), valueCol, lo, hi, bins)
+      .select(col("bin"), col("c").as("cb"))
+    val cells = ha.join(hb, Seq("bin"), "full")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val r6 = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    cells.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("ca").cast("double") / col("na")).as("__pa"),
+        (col("cb").cast("double") / col("nb")).as("__pb"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .select(col("na"), col("nb"),
+        r6(when(col("__pa") > 0,
+            col("__pa") / 2 * log(col("__pa") / col("__m")))
+          .otherwise(lit(0.0))).as("__ta"),
+        r6(when(col("__pb") > 0,
+            col("__pb") / 2 * log(col("__pb") / col("__m")))
+          .otherwise(lit(0.0))).as("__tb"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(r6(sum((col("__ta") + col("__tb")).cast("decimal(28,6)"))
+        .cast("double")).as("jsd"))
+      .select(col("jsd"), col("n_a"), col("n_b"))
+  }
+
   /** 1-D EARTH MOVER'S DISTANCE (Wasserstein-1) over the shared fixed
     * grid — the drift metric that knows HOW FAR mass moved, not just
     * that bins disagree (χ²/PSI score a one-bin-over shift and a

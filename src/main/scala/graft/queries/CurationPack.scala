@@ -609,6 +609,17 @@ object CurationPack extends QueryPack {
         "value", lo = 0.0, hi = 1000.0, bins = 64)
     }),
 
+    // Jensen-Shannon divergence between the same halves: bounded,
+    // symmetric, smoothing-free (empty-on-one-side bins contribute the
+    // finite p*ln2 term)
+    "q338_js_divergence" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Sketches.jsDivergence(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", lo = 0.0, hi = 1000.0, bins = 64)
+    }),
+
     // 1-D Wasserstein (EMD) between the same halves: |cdf gap| x bin
     // width summed over the dense spine — drift in VALUE units
     "q328_emd_drift" -> ((s, d) => {
@@ -1606,6 +1617,39 @@ object CurationPack extends QueryPack {
         |  FROM p)
         |SELECT
         |  FLOOR(CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi,
+        |  na AS n_a, nb AS n_b
+        |FROM t GROUP BY na, nb""".stripMargin,
+
+    // JSD: midpoint-mixture KL halves, explicit 0*ln0 = 0 CASEs, snapped
+    // terms over the occupied-bin full join (empty-both bins are 0 terms
+    // and need no spine)
+    "q338_js_divergence" ->
+      """WITH av AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT GREATEST(LEAST(CAST(value AS DOUBLE), 1000.0), 0.0) AS v
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |ha AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS ca FROM av GROUP BY 1),
+        |hb AS (SELECT LEAST(CAST(FLOOR(v / (1000.0 / 64)) AS BIGINT), 63) AS bin,
+        |       COUNT(*) AS cb FROM bv GROUP BY 1),
+        |cells AS (
+        |  SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ha FULL JOIN hb USING (bin)),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cells),
+        |p AS (
+        |  SELECT tot.na, tot.nb,
+        |    CAST(ca AS DOUBLE) / tot.na AS pa,
+        |    CAST(cb AS DOUBLE) / tot.nb AS pb
+        |  FROM cells, tot),
+        |t AS (
+        |  SELECT na, nb,
+        |    FLOOR((CASE WHEN pa > 0 THEN pa / 2 * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS ta,
+        |    FLOOR((CASE WHEN pb > 0 THEN pb / 2 * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS tb
+        |  FROM p)
+        |SELECT
+        |  FLOOR(CAST(SUM(CAST(ta + tb AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jsd,
         |  na AS n_a, nb AS n_b
         |FROM t GROUP BY na, nb""".stripMargin,
 

@@ -452,6 +452,22 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(rev._1 === diff._1)
   }
 
+  test("jsDivergence: identical 0, disjoint saturates at ln 2, symmetric") {
+    val a = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val same = Sketches.jsDivergence(a, a, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long)].head()
+    assert(same._1 === 0.0)
+    val b = (1 to 200).map(i => (i.toLong, (i % 10).toDouble + 10.0)).toDF("id", "v")
+    val diff = Sketches.jsDivergence(a, b, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long)].head()
+    // fully disjoint supports: JSD = ln 2 exactly (each side's KL to the
+    // midpoint is ln 2); snapped terms sum to within a few 1e-6 grid steps
+    assert(math.abs(diff._1 - math.log(2.0)) < 1e-4, s"disjoint must read ln2: $diff")
+    val rev = Sketches.jsDivergence(b, a, "v", 0.0, 20.0, bins = 16)
+      .as[(Double, Long, Long)].head()
+    assert(rev._1 === diff._1)
+  }
+
   test("emdDrift: identical 0; a constant shift measures its own displacement") {
     val a = (1 to 100).map(i => (i.toLong, 2.5)).toDF("id", "v")
     val same = Sketches.emdDrift(a, a, "v", 0.0, 10.0, bins = 10)
