@@ -556,16 +556,23 @@ object GraphOps {
         .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__raw"))
     var h = nodes.select(col("node"), lit(1.0).as("hub"))
     var a = nodes.select(col("node"), lit(1.0).as("auth"))
-    // NOT materialized per half-round: measured on the q254 graph, both a
-    // lazy persist (8-9 s warm) and persist+count (12-13 s warm) LOSE to
-    // the single-action lazy chain (2.6 s warm) — with `e`/`nodes` cached,
-    // re-deriving a tiny spread is cheaper than the extra action/cache
-    // round-trips. Bounded: the duplicated-subplan fan-out is 2^(2·iters)
-    // references to CACHED inputs, and iters is capped at 20 above (real
-    // HITS uses 2-5).
+    // LAZY localCheckpoint per half-round. The unbroken lazy chain is
+    // marginally faster warm-isolated (2.6 s vs 3.1 s on the q254
+    // graph), but its duplicated-subplan fan-out (each half-round
+    // references the previous one twice: norm agg + select) makes the
+    // ANALYZER walk up to 4^iters subplan copies — measured at 10-40 s
+    // for the same query inside a long bench suite (codegen-cache churn,
+    // old-gen pressure). localCheckpoint(eager = false) truncates the
+    // LOGICAL plan to a leaf, so analysis is O(1) per reference while
+    // the single final action still materializes each half-round exactly
+    // once — unlike persist, which bounds execution but leaves the full
+    // lineage for the analyzer (measured 8-9 s warm). Production HITS
+    // runs inside exactly the kind of long-lived JVM the suite simulates.
     for (_ <- 0 until iters) {
       a = normalized(spread(h, "hub", bySrc), "__raw", "auth")
+        .localCheckpoint(false)
       h = normalized(spread(a, "auth", byDst), "__raw", "hub")
+        .localCheckpoint(false)
     }
     val out = h.join(a, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))

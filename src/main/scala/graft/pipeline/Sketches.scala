@@ -630,6 +630,70 @@ object Sketches {
         col("survival"))
   }
 
+  /** LOG-RANK TEST (Mantel 1966) — "are these two survival curves the
+    * same?", the hypothesis-test companion to [[kaplanMeier]] (an A/B
+    * readout on churn needs more than two curves that LOOK different):
+    * at each pooled distinct event time with n₁, n₂ at risk and
+    * d = d₁ + d₂ events,
+    *
+    *   E₁ = d·n₁/n,   V = d·(n₁/n)·(n₂/n)·(n−d)/(n−1)   [V = 0 at n = 1]
+    *   Z  = Σ(d₁ − E₁) / sqrt(ΣV)  — χ²₁ = Z²; p-value lookup is the
+    *   consumer's (the [[chiSquareDrift]] stance).
+    *
+    * Same DISCRETE-durations contract and determinism discipline as
+    * [[kaplanMeier]]: per-time terms are fixed-order double expressions
+    * snapped to the 1e-6 grid, sums run in exact decimal over the
+    * pooled distinct-time frame (bounded windows — never subjects), the
+    * final ratio snaps once. Two subject-scale aggregations total.
+    * Output: one row (o_minus_e, var_sum, z, n_a, n_b); z NULL when the
+    * variance sum is 0 (no comparable event times).
+    */
+  def logRankTest(a: DataFrame, b: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def byT(df: DataFrame, dn: String, cn: String) =
+      df.filter(col(durationCol).isNotNull)
+        .groupBy(col(durationCol).cast("long").as("t"))
+        .agg(sum(when(col(eventCol) > 0, 1L).otherwise(0L)).as(dn),
+          sum(when(col(eventCol) > 0, 0L).otherwise(1L)).as(cn))
+    val spine = byT(a, "d1", "c1").join(byT(b, "d2", "c2"), Seq("t"), "full")
+      .select(col("t"),
+        coalesce(col("d1"), lit(0L)).as("d1"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("d2"), lit(0L)).as("d2"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = spine.agg(
+      coalesce(sum(col("d1") + col("c1")), lit(0L)).as("__ta"),
+      coalesce(sum(col("d2") + col("c2")), lit(0L)).as("__tb"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r6 = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    val terms = spine.crossJoin(broadcast(tot))
+      .withColumn("n1", col("__ta") -
+        coalesce(sum(col("d1") + col("c1")).over(wBefore), lit(0L)))
+      .withColumn("n2", col("__tb") -
+        coalesce(sum(col("d2") + col("c2")).over(wBefore), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0)
+      .select(col("__ta"), col("__tb"),
+        r6(col("d1") - col("d").cast("double") * col("n1") / col("n"))
+          .as("__ome"),
+        when(col("n") > 1, r6(
+          col("d").cast("double") * (col("n1").cast("double") / col("n")) *
+            (col("n2").cast("double") / col("n")) *
+            (col("n") - col("d")).cast("double") / (col("n") - 1)))
+          .otherwise(lit(0.0)).as("__v"))
+    terms.groupBy(col("__ta").as("n_a"), col("__tb").as("n_b"))
+      .agg(sum(col("__ome").cast("decimal(28,6)")).cast("double")
+          .as("o_minus_e"),
+        sum(col("__v").cast("decimal(28,6)")).cast("double").as("var_sum"))
+      .select(col("o_minus_e"), col("var_sum"),
+        when(col("var_sum") > 0,
+          r6(col("o_minus_e") / sqrt(col("var_sum")))).as("z"),
+        col("n_a"), col("n_b"))
+  }
+
   /** KENDALL'S TAU-B between two DISCRETE/snapped signal columns — the
     * concordant-vs-discordant ordinal agreement, tie-corrected (the
     * third agreement statistic next to Pearson and [[spearman]]; tau is

@@ -588,6 +588,18 @@ object CurationPack extends QueryPack {
       Sketches.kaplanMeier(subj, "dur", "ev").orderBy(col("t"))
     }),
 
+    // log-rank test between the user-id halves' survival curves —
+    // the hypothesis-test companion to q336's KM estimator
+    "q339_log_rank" -> ((s, d) => {
+      val subj = Tables.eventsWithTs(s, d).groupBy(col("user_id"))
+        .agg(((max(col("ts")) - min(col("ts"))) / lit(3600000000000L))
+            .cast("long").as("dur"),
+          max((col("event_type") === "purchase").cast("int")).as("ev"))
+      Sketches.logRankTest(
+        subj.filter(col("user_id") % 2 === 0),
+        subj.filter(col("user_id") % 2 === 1), "dur", "ev")
+    }),
+
     // Kendall's tau-b between a fine and a coarse bucketing of the same
     // signal (strong positive, heavy ties) — contingency-table form,
     // never row pairs
@@ -1524,6 +1536,54 @@ object CurationPack extends QueryPack {
         |  FLOOR(CAST(SUM(CAST(ta + tb AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
         |  COUNT(*) - 1 AS dof, na AS n_a, nb AS n_b
         |FROM snapped GROUP BY na, nb""".stripMargin,
+
+    // log-rank: pooled distinct-time spine, per-group at-risk walks,
+    // hypergeometric E/V terms in the engine's fixed expression order
+    "q339_log_rank" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR((MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) / 3600000000000.0) AS BIGINT) AS t,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+        |  FROM events GROUP BY 1),
+        |ga AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d1,
+        |              CAST(SUM(1 - ev) AS BIGINT) AS c1
+        |       FROM subj WHERE user_id % 2 = 0 GROUP BY 1),
+        |gb AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d2,
+        |              CAST(SUM(1 - ev) AS BIGINT) AS c2
+        |       FROM subj WHERE user_id % 2 = 1 GROUP BY 1),
+        |spine AS (
+        |  SELECT t, COALESCE(d1, 0) AS d1, COALESCE(c1, 0) AS c1,
+        |         COALESCE(d2, 0) AS d2, COALESCE(c2, 0) AS c2
+        |  FROM ga FULL JOIN gb USING (t)),
+        |tot AS (SELECT CAST(SUM(d1 + c1) AS BIGINT) AS ta,
+        |               CAST(SUM(d2 + c2) AS BIGINT) AS tb FROM spine),
+        |r AS (
+        |  SELECT t, d1, d2,
+        |    tot.ta - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+        |    tot.tb - CAST(COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2,
+        |    tot.ta, tot.tb
+        |  FROM spine, tot),
+        |terms AS (
+        |  SELECT ta, tb,
+        |    FLOOR((d1 - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)) * 1e6 + 0.5) / 1e6 AS ome,
+        |    CASE WHEN n1 + n2 > 1 THEN
+        |      FLOOR((CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / (n1 + n2)) *
+        |        (CAST(n2 AS DOUBLE) / (n1 + n2)) *
+        |        CAST(n1 + n2 - (d1 + d2) AS DOUBLE) / (n1 + n2 - 1)) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS v
+        |  FROM r WHERE d1 + d2 > 0),
+        |agg AS (
+        |  SELECT ta, tb,
+        |    CAST(SUM(CAST(ome AS DECIMAL(28,6))) AS DOUBLE) AS o_minus_e,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS var_sum
+        |  FROM terms GROUP BY ta, tb)
+        |SELECT o_minus_e, var_sum,
+        |  CASE WHEN var_sum > 0 THEN
+        |    FLOOR(o_minus_e / sqrt(var_sum) * 1e6 + 0.5) / 1e6 END AS z,
+        |  ta AS n_a, tb AS n_b
+        |FROM agg""".stripMargin,
 
     // KM: at-risk counts from the cumulative walk over distinct
     // durations, snapped per-time log factors, exact decimal log-sum,

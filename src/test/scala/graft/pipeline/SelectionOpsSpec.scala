@@ -410,6 +410,26 @@ class SelectionOpsSpec extends SparkTestBase {
       math.abs(s3 - 4.0 / 9) < 1e-5)
   }
 
+  test("logRankTest: identical groups read Z ~ 0; early-vs-late churn separates") {
+    // identical survival experience -> every O-E term is d1 - d/2 with
+    // n1 = n2, summing to ~0 (exactly 0 here by symmetry)
+    val g = (1 to 20).map(i => (i.toLong, (i % 5 + 1).toLong, 1)).toDF("id", "dur", "ev")
+    val same = Sketches.logRankTest(g, g, "dur", "ev")
+      .as[(Double, Double, Option[Double], Long, Long)].head()
+    assert(same._1 === 0.0 && same._3 === Some(0.0) && same._4 === 20 && same._5 === 20)
+    // group a churns at t=1..2, group b at t=8..9: strongly negative
+    // O-E for the late group's perspective — |Z| must be large
+    val early = (1 to 10).map(i => (i.toLong, (i % 2 + 1).toLong, 1)).toDF("id", "dur", "ev")
+    val late = (1 to 10).map(i => (i.toLong, (i % 2 + 8).toLong, 1)).toDF("id", "dur", "ev")
+    val sep = Sketches.logRankTest(early, late, "dur", "ev")
+      .as[(Double, Double, Option[Double], Long, Long)].head()
+    assert(sep._3.isDefined && math.abs(sep._3.get) > 2.0,
+      s"clearly separated curves must reject: $sep")
+    // all-censored comparison: no event times -> no terms -> empty frame
+    val cens = (1 to 5).map(i => (i.toLong, i.toLong, 0)).toDF("id", "dur", "ev")
+    assert(Sketches.logRankTest(cens, cens, "dur", "ev").count() === 0L)
+  }
+
   test("kendallTauB: monotone 1, reversed -1, hand tie case, constant NULL") {
     val up = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L), (4L, 4L, 40L))
       .toDF("id", "a", "b")
