@@ -312,6 +312,38 @@ object Classifier {
         when(n > 0, TextAnalysis.round6(least(lit(1.0), center + half))))
   }
 
+  /** CLASS-BALANCE WEIGHTS by effective number of samples (Cui et al.
+    * 2019, "Class-Balanced Loss Based on Effective Number of Samples"):
+    * raw inverse-frequency over-weights rare classes because marginal
+    * samples overlap; the effective count E_c = (1 − β^{n_c})/(1 − β)
+    * discounts that, and the loss weight is its inverse, normalized so
+    * Σ w_c = C (the paper's convention — a C-class uniform set gets all
+    * 1.0). β → 0 degenerates to unweighted, β → 1 to inverse frequency.
+    *
+    * Scale shape: ONE keyed count aggregation (map-side partials) + a
+    * 1-row normalizer broadcast — the weight table is class-cardinality
+    * sized and feeds a broadcast join onto the training frame.
+    * Determinism: β^n snaps to the 1e-6 grid straight off the pow (libm
+    * ulp absorption), inverses snap, the normalizer sums exact decimals,
+    * the final weight snaps once. NULL classes are a class (they will
+    * be trained on). Output: (classCol, n, weight).
+    */
+  def classBalanceWeights(df: DataFrame, classCol: String,
+      beta: Double = 0.999): DataFrame = {
+    require(beta > 0 && beta < 1,
+      s"classBalanceWeights: beta must be in (0,1), got $beta")
+    val r6 = (c: org.apache.spark.sql.Column) => TextAnalysis.round6(c)
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .withColumn("__inv", r6((lit(1.0) - beta) /
+        (lit(1.0) - r6(pow(lit(beta), col("n"))))))
+    val norm = counts.agg(
+      sum(col("__inv").cast("decimal(28,6)")).cast("double").as("__s"),
+      count(lit(1)).as("__c"))
+    counts.crossJoin(broadcast(norm))
+      .select(col(classCol), col("n"),
+        r6(col("__inv") * col("__c") / col("__s")).as("weight"))
+  }
+
   /** LEAVE-ONE-OUT target encoding of a categorical feature (Micci-Barreca
     * 2001's empirical-Bayes family, the LOO variant): each row's encoding
     * is the mean target of the OTHER rows in its category,

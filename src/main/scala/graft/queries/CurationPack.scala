@@ -266,6 +266,13 @@ object CurationPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // class-balanced loss weights over document languages (effective
+    // number of samples, beta = 0.999)
+    "q340_class_weights" -> ((s, d) => {
+      Classifier.classBalanceWeights(Tables.documents(s, d), "lang")
+        .orderBy(col("lang"))
+    }),
+
     // leave-one-out target encoding of lang against n_chars — the
     // leak-free categorical feature (a row never sees its own target);
     // singleton/NULL categories fall back to the global LOO mean
@@ -883,6 +890,24 @@ object CurationPack extends QueryPack {
          |  END AS avg_logprob
          |FROM agg ORDER BY doc_id""".stripMargin
     },
+
+    // effective-number weights: snapped pow, snapped inverse, exact
+    // decimal normalizer, weights sum to the class count
+    "q340_class_weights" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |i AS (
+        |  -- (1.0 - 0.999) must subtract in DOUBLE space: DuckDB's decimal
+        |  -- literals would give the exact 0.001 where Spark's double fold
+        |  -- gives 0.0010000000000000009
+        |  SELECT lang, n,
+        |    FLOOR(((CAST(1.0 AS DOUBLE) - CAST(0.999 AS DOUBLE)) /
+        |      (1.0 - FLOOR(POWER(0.999, n) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS inv
+        |  FROM c),
+        |s AS (SELECT CAST(SUM(CAST(inv AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        |             COUNT(*) AS cc FROM i)
+        |SELECT lang, n,
+        |  FLOOR((inv * s.cc / s.s) * 1e6 + 0.5) / 1e6 AS weight
+        |FROM i, s ORDER BY lang""".stripMargin,
 
     // LOO target encoding: per-category (Σ, n) minus the row's own
     // target; singleton/NULL categories -> global LOO mean

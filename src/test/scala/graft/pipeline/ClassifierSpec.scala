@@ -71,6 +71,27 @@ class ClassifierSpec extends SparkTestBase {
     assert(got("d") === ((None, None, None)))
   }
 
+  test("classBalanceWeights: uniform classes all 1.0; rare classes weigh more; beta->1 approaches inverse frequency") {
+    import spark.implicits._
+    val uniform = (1 to 30).map(i => (i.toLong, s"c${i % 3}")).toDF("id", "cls")
+    val u = Classifier.classBalanceWeights(uniform, "cls")
+      .select("weight").as[Double].collect().toSeq
+    assert(u === Seq(1.0, 1.0, 1.0))
+    // 90/9/1 split: weights must order inversely to counts and sum to C
+    val skew = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 9).map(i => (100L + i, "mid")) ++ Seq((200L, "rare")))
+      .toDF("id", "cls")
+    val w = Classifier.classBalanceWeights(skew, "cls")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w("rare") > w("mid") && w("mid") > w("big"))
+    assert(math.abs(w.values.sum - 3.0) < 1e-4, s"weights must sum to C: $w")
+    // beta -> 1: ratios approach inverse frequency (rare/big ~ 90/1)
+    val w9 = Classifier.classBalanceWeights(skew, "cls", beta = 0.99999)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w9("rare") / w9("big") > 50.0,
+      s"near-1 beta must approach inverse frequency: $w9")
+  }
+
   test("targetEncodeLoo: LOO category mean, singleton/NULL fall back to global LOO") {
     import spark.implicits._
     val df = Seq(
