@@ -730,4 +730,57 @@ object GraphOps {
       .select(col("a"), col("b"), col("common_neighbors"), col("adamic_adar"))
     CacheScope.releaseAfterFirstUse(out, Seq(e))
   }
+
+  /** Multi-source BFS hop distances over a DIRECTED edge table — the
+    * link-proximity primitive (crawl frontier depth, seed-set distance
+    * tiers, TrustRank's hop-bounded neighborhoods): every node reachable
+    * from the source set within `maxDepth` hops gets its SHORTEST hop
+    * count (sources themselves at 0, multi-source = min over sources).
+    * Unreachable (or beyond-depth) nodes are absent, not NULL — the
+    * caller left-joins if it wants the full node set. For an undirected
+    * walk, pass the symmetrized edge table.
+    *
+    * Iteration shape (the [[Dedup.connectedComponents]] discipline):
+    * edges localCheckpoint once (flat leaf — the analyzer never re-walks
+    * the caller's upstream), each round is ONE keyed frontier⋈edges join
+    * plus one anti-join against the settled set, both frames re-truncated
+    * per round so the plan stays O(1) deep; AQE is scoped off inside the
+    * loop (tiny fixed-size shuffles, re-planning is pure driver tax). The
+    * frontier SHRINKS monotonically on expander-ish graphs; settled rows
+    * accumulate but only ever join by key. Convergence = empty frontier,
+    * detected on the same action that materializes the round.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int = 20,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 200,
+      s"bfsDistances: maxDepth must be in [1, 200], got $maxDepth")
+    val spark0 = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    var settled = sources.select(col(nodeCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = settled
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark0.conf.get(aqeKey, "true")
+    spark0.conf.set(aqeKey, "false")
+    try {
+      var depth = 1L
+      var done = false
+      while (!done && depth <= maxDepth) {
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .select(col("node"), lit(depth).as("dist"))
+          .localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else {
+          settled = settled.unionAll(next).localCheckpoint(true)
+          frontier = next
+          depth += 1
+        }
+      }
+    } finally spark0.conf.set(aqeKey, aqePrev)
+    settled
+  }
 }

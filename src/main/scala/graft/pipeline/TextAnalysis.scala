@@ -251,6 +251,74 @@ object TextAnalysis {
       .withColumn("novelty", round6(col("n_novel").cast("double") / col("n_bigrams")))
   }
 
+  /** Sentence/document BLEU (Papineni et al. 2002) over (candidate,
+    * reference) text-pair rows — the overlap metric under distillation
+    * filtering, paraphrase mining, and eval-suite scoring: modified
+    * n-gram precision p_n for n = 1..maxN with REFERENCE-CLIPPED counts
+    * (a candidate n-gram only credits up to its count in the reference),
+    * geometric mean, and the brevity penalty exp(1 − ref_len/cand_len)
+    * for candidates shorter than their reference. Any p_n = 0 zeroes the
+    * score (the standard unsmoothed convention). Tokenization is the
+    * engine-wide [[Dedup.words]] normalizer; ln/exp results snap to the
+    * 1e-6 grid.
+    *
+    * Shape at scale: each side explodes to (pair, n, gram) COUNT rows
+    * (partial aggregation — the shuffle carries per-pair gram counts,
+    * bounded by pair text size × maxN), one pair+gram-keyed left join
+    * clips, one keyed rollup per (pair, n), one conditional-aggregation
+    * pivot back to a row per pair. No window over the corpus, no product.
+    * Output: (idCol, cand_len, ref_len, bleu).
+    */
+  def bleuScore(pairs: DataFrame, idCol: String = "pair_id",
+      candCol: String = "cand", refCol: String = "ref",
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"bleuScore: maxN must be in [1, 6], got $maxN")
+    def toks(c: Column) = filter(Dedup.words(c), t => length(t) > 0)
+    def gramRows(df: DataFrame, textCol: String, cnt: String) = {
+      val w = toks(col(textCol))
+      // per-n arrays concatenate at the Scala level (maxN is a constant);
+      // sequence(1, size-n+1) must be guarded — Spark's sequence DESCENDS
+      // when stop < start, so a doc shorter than n words needs the typed
+      // empty branch, not sequence(1, 0)
+      val perN = (1 to maxN).map { n =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - n + 1), i =>
+            struct(lit(n).as("n"), concat_ws(" ", slice(w, i, lit(n))).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      }
+      df.select(col(idCol), explode(flatten(array(perN: _*))).as("g"))
+        .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val candG = gramRows(pairs, candCol, "__c")
+    val refG = gramRows(pairs, refCol, "__r")
+    val perN = candG.join(refG, Seq(idCol, "n", "gram"), "left")
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__m"),
+        sum(col("__c")).as("__t"))
+    val pivotCols =
+      (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("__m"))).as(s"__m_$n")) ++
+      (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("__t"))).as(s"__t_$n"))
+    val pivoted = perN.groupBy(col(idCol))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val lens = pairs.select(col(idCol),
+      size(toks(col(candCol))).as("cand_len"),
+      size(toks(col(refCol))).as("ref_len"))
+    val allPos = (1 to maxN).map(n =>
+      col(s"__m_$n") > 0 && col(s"__t_$n") > 0).reduce(_ && _)
+    val logSum = (1 to maxN).map(n =>
+      log(col(s"__m_$n").cast("double") / col(s"__t_$n"))).reduce(_ + _)
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
+    lens.join(pivoted, Seq(idCol), "left")
+      .select(col(idCol), col("cand_len"), col("ref_len"),
+        when(col("cand_len") === 0, lit(0.0))
+          .when(allPos, round6(bp * exp(logSum / maxN)))
+          .otherwise(lit(0.0)).as("bleu"))
+  }
+
   /** Per-document TF-IDF-style keyword extraction: score = tf * N / df
     * (term frequency times inverse document frequency as a pure rational —
     * no log, so the doubles are an exact IEEE division both engines

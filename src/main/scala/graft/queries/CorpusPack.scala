@@ -364,6 +364,22 @@ object CorpusPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // lag-1..3 sample autocorrelation per user series: one keyed window
+    // sort carries all three lag columns; exact-decimal centered moments
+    "q341_acf" -> ((s, d) => {
+      EventStream.acfByKey(Tables.eventsWithTs(s, d),
+        "user_id", "ts", "event_id", "value", maxLag = 3)
+        .orderBy(col("user_id"), col("lag"))
+    }),
+
+    // standardized CUSUM mean-shift screen per user series: running
+    // exact-decimal centered sum, max_|S|/(sd*sqrt(n)) + first argmax
+    "q342_cusum" -> ((s, d) => {
+      EventStream.cusumMaxShift(Tables.eventsWithTs(s, d),
+        "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"))
+    }),
+
     // time-decayed counts as of 2024-01-31, 24h half-life: every weight
     // a dyadic rational, the sum exact integers, ONE power-of-two divide
     "q279_decayed_counts" -> ((s, d) => {
@@ -1330,6 +1346,76 @@ object CorpusPack extends QueryPack {
           |         ELSE pv END
           |  END AS value_li
           |FROM w ORDER BY event_id""".stripMargin,
+
+      // sample ACF r_1..3: the engine's exact-decimal centered moments
+      // recomputed over DuckDB windows; lag rows unpivot via a 3-row cross
+      "q341_acf" ->
+        """WITH base AS (
+          |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+          |         FLOOR(value * 1e6 + 0.5) / 1e6 AS x
+          |  FROM events WHERE value IS NOT NULL),
+          |m AS (
+          |  SELECT user_id, COUNT(*) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean
+          |  FROM base GROUP BY 1),
+          |l AS (
+          |  SELECT user_id, x,
+          |    lag(x, 1) OVER wk AS x1,
+          |    lag(x, 2) OVER wk AS x2,
+          |    lag(x, 3) OVER wk AS x3
+          |  FROM base
+          |  WINDOW wk AS (PARTITION BY user_id ORDER BY tns, event_id)),
+          |agg AS (
+          |  SELECT l.user_id, m.n,
+          |    CAST(SUM(CAST((x - mean) * (x - mean) AS DECIMAL(38,12))) AS DOUBLE) AS den,
+          |    CAST(SUM(CAST((x - mean) * (x1 - mean) AS DECIMAL(38,12))) AS DOUBLE) AS n1,
+          |    CAST(SUM(CAST((x - mean) * (x2 - mean) AS DECIMAL(38,12))) AS DOUBLE) AS n2,
+          |    CAST(SUM(CAST((x - mean) * (x3 - mean) AS DECIMAL(38,12))) AS DOUBLE) AS n3
+          |  FROM l JOIN m USING (user_id) GROUP BY 1, 2),
+          |lags AS (SELECT unnest([1, 2, 3]) AS lag)
+          |SELECT a.user_id, lag, a.n,
+          |  CASE WHEN den > 0 AND
+          |    (CASE lag WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) IS NOT NULL
+          |  THEN FLOOR((CASE lag WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END)
+          |             / den * 1e6 + 0.5) / 1e6 END AS acf
+          |FROM agg a CROSS JOIN lags
+          |ORDER BY user_id, lag""".stripMargin,
+
+      // CUSUM mean-shift screen: running exact-decimal centered sum over
+      // the same total order; argmax picked by (|S| DESC, seq ASC)
+      "q342_cusum" ->
+        """WITH base AS (
+          |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+          |         FLOOR(value * 1e6 + 0.5) / 1e6 AS x
+          |  FROM events WHERE value IS NOT NULL),
+          |m AS (
+          |  SELECT user_id, COUNT(*) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean,
+          |    SQRT(
+          |      CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)))
+          |        AS DOUBLE) / COUNT(*)
+          |      - (CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+          |        * (CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)))
+          |      AS sd
+          |  FROM base GROUP BY 1),
+          |run AS (
+          |  SELECT b.user_id, m.n, m.sd,
+          |    ROW_NUMBER() OVER wk AS seq,
+          |    ABS(CAST(SUM(CAST(x - mean AS DECIMAL(38,12))) OVER
+          |      (PARTITION BY b.user_id ORDER BY tns, event_id
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+          |      AS sabs
+          |  FROM base b JOIN m USING (user_id)
+          |  WINDOW wk AS (PARTITION BY b.user_id ORDER BY tns, event_id)),
+          |pick AS (
+          |  SELECT user_id, n, sd, seq, sabs,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sabs DESC, seq) AS rk
+          |  FROM run)
+          |SELECT user_id, n,
+          |  CASE WHEN sd > 0
+          |    THEN FLOOR(sabs / (sd * SQRT(n)) * 1e6 + 0.5) / 1e6 END AS cusum_stat,
+          |  CASE WHEN sd > 0 THEN seq END AS change_seq
+          |FROM pick WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
       "q279_decayed_counts" ->
         """WITH e AS (

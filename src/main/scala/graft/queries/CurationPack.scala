@@ -273,6 +273,20 @@ object CurationPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // BLEU with reference clipping, both directions per doc: full text vs
+    // its 30-word prefix (clipping active, BP=1) and prefix vs full text
+    // (perfect precisions, BP = exp(1 - ref/cand) < 1)
+    "q343_bleu" -> ((s, d) => {
+      val w = filter(Dedup.words(col("text")), t => length(t) > 0)
+      val prefix = concat_ws(" ", slice(w, 1, 30))
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select((col("doc_id") * 2).as("pair_id"),
+          col("text").as("cand"), prefix.as("ref"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("pair_id"),
+          prefix.as("cand"), col("text").as("ref")))
+      TextAnalysis.bleuScore(pairs).orderBy(col("pair_id"))
+    }),
+
     // leave-one-out target encoding of lang against n_chars — the
     // leak-free categorical feature (a row never sees its own target);
     // singleton/NULL categories fall back to the global LOO mean
@@ -890,6 +904,60 @@ object CurationPack extends QueryPack {
          |  END AS avg_logprob
          |FROM agg ORDER BY doc_id""".stripMargin
     },
+
+    // BLEU recomputed from scratch: n-gram position unnest, clipped
+    // counts via LEFT JOIN + LEAST, geometric mean + brevity penalty
+    "q343_bleu" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter($wordsSql, t -> length(t) > 0) AS wd
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id * 2 AS pair_id, wd AS cw, wd[1:30] AS rw FROM w
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, wd[1:30], wd FROM w),
+         |nl AS (SELECT unnest([1, 2, 3, 4]) AS n),
+         |cpos AS (
+         |  SELECT pair_id, n, cw, unnest(range(1, len(cw) - n + 2)) AS i
+         |  FROM pairs CROSS JOIN nl WHERE len(cw) >= n),
+         |cc AS (
+         |  SELECT pair_id, n, array_to_string(cw[i : i + n - 1], ' ') AS gram,
+         |         COUNT(*) AS c
+         |  FROM cpos GROUP BY 1, 2, 3),
+         |rpos AS (
+         |  SELECT pair_id, n, rw, unnest(range(1, len(rw) - n + 2)) AS i
+         |  FROM pairs CROSS JOIN nl WHERE len(rw) >= n),
+         |rc AS (
+         |  SELECT pair_id, n, array_to_string(rw[i : i + n - 1], ' ') AS gram,
+         |         COUNT(*) AS r
+         |  FROM rpos GROUP BY 1, 2, 3),
+         |pn AS (
+         |  SELECT cc.pair_id, cc.n,
+         |    SUM(LEAST(cc.c, COALESCE(rc.r, 0))) AS m, SUM(cc.c) AS t
+         |  FROM cc LEFT JOIN rc
+         |    ON rc.pair_id = cc.pair_id AND rc.n = cc.n AND rc.gram = cc.gram
+         |  GROUP BY 1, 2),
+         |piv AS (
+         |  SELECT pair_id,
+         |    MAX(CASE WHEN n = 1 THEN m END) AS m1, MAX(CASE WHEN n = 1 THEN t END) AS t1,
+         |    MAX(CASE WHEN n = 2 THEN m END) AS m2, MAX(CASE WHEN n = 2 THEN t END) AS t2,
+         |    MAX(CASE WHEN n = 3 THEN m END) AS m3, MAX(CASE WHEN n = 3 THEN t END) AS t3,
+         |    MAX(CASE WHEN n = 4 THEN m END) AS m4, MAX(CASE WHEN n = 4 THEN t END) AS t4
+         |  FROM pn GROUP BY 1),
+         |lens AS (SELECT pair_id, CAST(len(cw) AS INT) AS cand_len,
+         |                CAST(len(rw) AS INT) AS ref_len FROM pairs)
+         |SELECT l.pair_id, cand_len, ref_len,
+         |  CASE WHEN cand_len = 0 THEN 0.0
+         |       WHEN m1 > 0 AND t1 > 0 AND m2 > 0 AND t2 > 0
+         |        AND m3 > 0 AND t3 > 0 AND m4 > 0 AND t4 > 0 THEN
+         |         FLOOR((CASE WHEN cand_len >= ref_len THEN 1.0
+         |                ELSE EXP(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END)
+         |           * EXP((LN(CAST(m1 AS DOUBLE) / t1) + LN(CAST(m2 AS DOUBLE) / t2)
+         |                + LN(CAST(m3 AS DOUBLE) / t3) + LN(CAST(m4 AS DOUBLE) / t4))
+         |               / 4) * 1e6 + 0.5) / 1e6
+         |       ELSE 0.0 END AS bleu
+         |FROM lens l LEFT JOIN piv USING (pair_id)
+         |ORDER BY pair_id""".stripMargin,
 
     // effective-number weights: snapped pow, snapped inverse, exact
     // decimal normalizer, weights sum to the class count

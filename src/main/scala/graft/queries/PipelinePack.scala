@@ -404,6 +404,24 @@ object PipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // multi-source BFS hop distances from two seed domains over the same
+    // co-citation graph — crawl-depth tiers; oracle = recursive-CTE BFS
+    "q344_bfs_distance" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documentsSpread(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" see https://www.site"),
+            (col("doc_id") % 11).cast("string"),
+            lit(".example.com/a and http://cdn"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.net/b.js"))).otherwise(lit(""))))
+      val urls = TextAnalysis.extractUrls(docs)
+      val edges = GraphOps.coOccurrenceEdges(urls, "doc_id", "domain")
+      val src = Seq("site0.example.com", "cdn1.example.net").toDF("node")
+      GraphOps.bfsDistances(edges, src, maxDepth = 6)
+        .orderBy(col("node"))
+    }),
+
     // WEIGHTED PageRank over co-citation counts: mass flows by edge
     // weight (share = round6(w/Σw) precomputed once), 3 snapped
     // iterations — multiplicity as signal, not just adjacency
@@ -2052,6 +2070,30 @@ object PipelinePack extends QueryPack {
            |    AS DECIMAL(28,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_sum,
            |  CAST(SUM(CASE WHEN d >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
            |FROM md GROUP BY node ORDER BY node""".stripMargin,
+
+      // recursive-CTE multi-source BFS over the q215 graph CTEs; UNION
+      // (not ALL) bounds row growth at V*maxDepth on the cyclic graph
+      "q344_bfs_distance" ->
+        s"""WITH RECURSIVE m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |dom AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS domain
+           |  FROM m
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           |  FROM m),
+           |e AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+           |      FROM dom a JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+           |srcs AS (SELECT 'site0.example.com' AS node
+           |         UNION ALL SELECT 'cdn1.example.net'),
+           |bfs AS (
+           |  SELECT node, 0 AS d FROM srcs
+           |  UNION
+           |  SELECT e.dst AS node, b.d + 1 AS d
+           |  FROM bfs b JOIN e ON e.src = b.node WHERE b.d < 6)
+           |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+           |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
 
       // two unrolled HITS rounds over the q215 graph CTEs: exact DECIMAL
       // raw sums of snapped scores, snapped-square LONG norms, one sqrt

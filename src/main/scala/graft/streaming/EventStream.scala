@@ -955,4 +955,106 @@ object EventStream {
         max(col("event_time")).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Lag-k AUTOCORRELATION per key (Box/Jenkins sample ACF) — the
+    * periodicity/memory readout over a metric stream: for each `groupCol`
+    * series ordered by (`tsCol`, `tieCol`), r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄)
+    * / Σ_t(x_t−x̄)² for k = 1..maxLag (the standard biased-denominator
+    * form, so r_0 ≡ 1 and |r_k| ≤ 1). Engine-deterministic: x snaps to the
+    * 1e-6 grid first; x̄ comes from an exact decimal sum; every centered
+    * product is cast to DECIMAL(38,12) before summing, so partial-agg
+    * order cannot move a bit.
+    *
+    * Shape at scale: one keyed window sort carries ALL maxLag lag columns
+    * (one exchange + one sort, not one per lag), the per-key moments frame
+    * is group-cardinality-sized (AQE broadcasts it back), and the lag→row
+    * unpivot is a stateless posexplode. Keys with < k+1 points or zero
+    * variance report NULL at that lag. Output: (groupCol, lag, n, acf).
+    */
+  def acfByKey(events: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, valueCol: String, maxLag: Int = 3): DataFrame = {
+    import graft.pipeline.TextAnalysis.round6
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1 && maxLag <= 16,
+      s"acfByKey: maxLag must be in [1, 16], got $maxLag")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol), col(tieCol))
+    val base = events
+      .select(col(groupCol), col(tsCol), col(tieCol),
+        round6(col(valueCol).cast("double")).as("__x"))
+      .filter(col("__x").isNotNull)
+    val means = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).cast("double").as("__s"))
+      .select(col(groupCol), col("n"), (col("__s") / col("n")).as("__mean"))
+    val lagged = (1 to maxLag).foldLeft(base) { (df, k) =>
+      df.withColumn(s"__x_$k", lag(col("__x"), k).over(w))
+    }
+    val centered = lagged.join(means, Seq(groupCol))
+    val perKey = centered.groupBy(col(groupCol), col("n"))
+      .agg(
+        sum(((col("__x") - col("__mean")) * (col("__x") - col("__mean")))
+          .cast("decimal(38,12)")).cast("double").as("__den"),
+        (1 to maxLag).map { k =>
+          sum(((col("__x") - col("__mean")) * (col(s"__x_$k") - col("__mean")))
+            .cast("decimal(38,12)")).cast("double").as(s"__num_$k")
+        }: _*)
+    perKey
+      .select(col(groupCol), col("n"), col("__den"),
+        posexplode(array((1 to maxLag).map(k => col(s"__num_$k")): _*))
+          .as(Seq("__k0", "__num")))
+      .select(col(groupCol), (col("__k0") + 1).as("lag"), col("n"),
+        when(col("__den") > 0.0 && col("__num").isNotNull,
+          round6(col("__num") / col("__den"))).as("acf"))
+  }
+
+  /** CUSUM mean-shift statistic per key (Page 1954 / the standardized
+    * cumulative-sum changepoint screen): over each `groupCol` series in
+    * (`tsCol`, `tieCol`) order, S_t = Σ_{i≤t}(x_i − x̄); the reported
+    * statistic is max_t |S_t| / (σ·√n) — ~0.3-0.9 under a stable mean,
+    * large when the mean shifts mid-series — plus the FIRST order position
+    * attaining the max (`change_seq`, 1-based) as the changepoint estimate.
+    * Determinism: x snaps to 1e-6; x̄/σ come from exact decimal moments;
+    * each centered term is cast to DECIMAL(38,12) so the RUNNING window
+    * sum is exact-decimal (associativity-free), not a sequential double
+    * fold. Zero-variance keys report NULL.
+    *
+    * Shape at scale: one keyed window sort (the running sum + row_number
+    * share it), one group-cardinality moments join (broadcast), one final
+    * keyed aggregate via max_by on the (|S|, −seq) pair — no self-join,
+    * nothing corpus-wide. Output: (groupCol, n, cusum_stat, change_seq).
+    */
+  def cusumMaxShift(events: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    import graft.pipeline.TextAnalysis.round6
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol), col(tieCol))
+    val base = events
+      .select(col(groupCol), col(tsCol), col(tieCol),
+        round6(col(valueCol).cast("double")).as("__x"))
+      .filter(col("__x").isNotNull)
+    val moments = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).cast("double").as("__s"),
+        sum(round6(col("__x") * col("__x")).cast("decimal(38,6)"))
+          .cast("double").as("__s2"))
+      .select(col(groupCol), col("n"),
+        (col("__s") / col("n")).as("__mean"),
+        sqrt(col("__s2") / col("n") -
+          (col("__s") / col("n")) * (col("__s") / col("n"))).as("__sd"))
+    val run = base.join(moments, Seq(groupCol))
+      .withColumn("__seq", row_number().over(w))
+      .withColumn("__scum",
+        sum((col("__x") - col("__mean")).cast("decimal(38,12)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__sabs", abs(col("__scum").cast("double")))
+    run.groupBy(col(groupCol), col("n"), col("__sd"))
+      .agg(max_by(col("__seq"),
+          struct(col("__sabs"), (-col("__seq")).as("__negseq"))).as("change_seq"),
+        max(col("__sabs")).as("__smax"))
+      .select(col(groupCol), col("n"),
+        when(col("__sd") > 0.0,
+          round6(col("__smax") / (col("__sd") * sqrt(col("n").cast("double")))))
+          .as("cusum_stat"),
+        when(col("__sd") > 0.0, col("change_seq").cast("long")).as("change_seq"))
+  }
 }

@@ -328,4 +328,24 @@ class GraphOpsSpec extends SparkTestBase {
     // (x,y): 2*4/(4*2) = 1.0; (x,z): 1.0; y-z pair absent
     assert(a === Map(("x", "y") -> 1.0, ("x", "z") -> 1.0))
   }
+
+  test("bfsDistances: chain, cycle, multi-source min, depth bound, unreachable absent") {
+    def dists(edges: Seq[(Long, Long)], srcs: Seq[Long], maxDepth: Int = 20) =
+      GraphOps.bfsDistances(edges.toDF("src", "dst"), srcs.toDF("node"),
+          maxDepth = maxDepth)
+        .as[(Long, Long)].collect().toMap
+    // directed chain 1->2->3->4, node 9 unreachable
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 9L))
+    assert(dists(chain, Seq(1L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // multi-source takes the min hop count
+    assert(dists(chain, Seq(1L, 4L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+    // a cycle terminates (settled nodes never re-enter the frontier)
+    assert(dists(Seq((1L, 2L), (2L, 3L), (3L, 1L)), Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // depth bound truncates: only hops <= maxDepth appear
+    assert(dists(chain, Seq(1L), maxDepth = 2) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // a source absent from the edge set still reports itself at 0
+    assert(dists(chain, Seq(42L)) === Map(42L -> 0L))
+  }
 }

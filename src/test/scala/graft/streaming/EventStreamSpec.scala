@@ -596,4 +596,44 @@ class EventStreamSpec extends SparkTestBase {
     // (lower bound -(W-1)), so event 3 at distance exactly W is EXCLUDED
     assert(out === Seq((1L, 1.0), (2L, 3.0), (3L, 7.0), (1L, 8.0)))
   }
+
+  test("acfByKey: hand ACF on 1..5, constant series NULL, short series NULL lags") {
+    import spark.implicits._
+    val ev = (
+      (1 to 5).map(i => (i.toLong, i.toLong * 1000, 1L, i.toDouble)) ++ // 1..5
+      (1 to 4).map(i => (10L + i, i.toLong * 1000, 2L, 7.0)) ++         // constant
+      Seq((20L, 1000L, 3L, 1.0), (21L, 2000L, 3L, 5.0))                 // n=2
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = EventStream.acfByKey(ev, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "lag")
+      .select("user_id", "lag", "n", "acf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), Option(r.get(3)))).toSeq
+    // series 1..5: mean 3, den 10, r1=4/10, r2=-1/10, r3=-4/10
+    assert(out.filter(_._1 == 1L) === Seq(
+      (1L, 1, 5L, Some(0.4)), (1L, 2, 5L, Some(-0.1)), (1L, 3, 5L, Some(-0.4))))
+    // constant series: zero variance -> NULL at every lag
+    assert(out.filter(_._1 == 2L).forall(_._4.isEmpty))
+    // n=2 series [1,5]: c = [-2,2], den 8, lag-1 num -4 -> r1 = -0.5
+    // (the biased-denominator form divides by n, not n-k); lags 2..3 NULL
+    val u3 = out.filter(_._1 == 3L)
+    assert(u3.head === ((3L, 1, 2L, Some(-0.5))))
+    assert(u3.tail.forall(_._4.isEmpty))
+  }
+
+  test("cusumMaxShift: mid-series level shift lands stat sqrt(2) at the shift point") {
+    import spark.implicits._
+    val ev = (
+      (1 to 8).map(i => (i.toLong, i.toLong * 1000, 1L,
+        if (i <= 4) 0.0 else 10.0)) ++                         // shift at 5
+      (1 to 6).map(i => (10L + i, i.toLong * 1000, 2L, 3.0))   // constant
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = EventStream.cusumMaxShift(ev, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toSeq
+    // S_t = [-5,-10,-15,-20,-15,-10,-5,0]; max |S| = 20 at seq 4;
+    // stat = 20 / (5 * sqrt(8)) = sqrt(2), 6-dec snapped
+    assert(out.head === ((1L, 8L, Some(1.414214), Some(4L))))
+    // zero variance: NULL stat and NULL position
+    assert(out(1) === ((2L, 6L, None, None)))
+  }
 }
