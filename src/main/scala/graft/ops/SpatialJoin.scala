@@ -237,6 +237,49 @@ object SpatialJoin {
       qid, qx, qy, pid, m.xCol, m.yCol)
   }
 
+  /** Inverse-distance-weighted interpolation (Shepard 1968) — the
+    * scattered-data → probe-grid estimator (gene-expression smoothing at
+    * probe locations, sensor-field resampling): each query point's
+    * estimate is Σ v_i/d²_i / Σ 1/d²_i over its k nearest samples within
+    * `radius` (power-2 Shepard: the weight is 1/dist2, an EXACT IEEE
+    * division of the exact squared distance). A sample at the probe
+    * location itself (dist2 = 0) short-circuits to that sample's value —
+    * the standard convention, and the guard that keeps 1/d² finite.
+    * Weights and weighted values snap to the 1e-6 grid and sum as exact
+    * decimals, so the estimate is engine-reproducible at any parallelism.
+    *
+    * Shape at scale: candidate generation IS [[knnWithinRadiusGrid]]
+    * (cell-stencil equi-join, no product), values join back pid-keyed,
+    * and the estimate is one keyed aggregation. Probes with no sample in
+    * radius are absent from the output (nothing to estimate from).
+    * `pid` MUST be unique in `points` — a duplicate id fans out the
+    * value join and double-counts its weight (dedupe upstream; checking
+    * here would cost a full extra pass). Output: (qid, n_neighbors, idw).
+    */
+  def idwInterpolate(queries: DataFrame, points: DataFrame,
+      k: Int, radius: Double,
+      qid: String = "qid", qx: String = "qx", qy: String = "qy",
+      pid: String = "pid", px: String = "x", py: String = "y",
+      valueCol: String = "v"): DataFrame = {
+    import graft.pipeline.TextAnalysis.round6
+    val nn = knnWithinRadiusGrid(queries,
+      points.select(col(pid), col(px), col(py)), k, radius,
+      qid, qx, qy, pid, px, py)
+    val withV = nn.join(
+      points.select(col(pid), col(valueCol).cast("double").as("__v")), pid)
+    withV.groupBy(col(qid))
+      .agg(count(lit(1)).as("n_neighbors"),
+        min(col("dist2")).as("__d0"),
+        min_by(col("__v"), struct(col("dist2"), col(pid))).as("__vnear"),
+        sum(when(col("dist2") > 0, round6(col("__v") / col("dist2")))
+          .otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double").as("__num"),
+        sum(when(col("dist2") > 0, round6(lit(1.0) / col("dist2")))
+          .otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double").as("__den"))
+      .select(col(qid), col("n_neighbors"),
+        when(col("__d0") === 0.0, col("__vnear"))
+          .otherwise(round6(col("__num") / col("__den"))).as("idw"))
+  }
+
   /** Shared refine + rank: exact radius filter, then a per-QUERY window
     * (partitioned on the query id — candidate count per query is bounded
     * by point density times the stencil area, never the corpus).

@@ -361,6 +361,52 @@ object Classifier {
     * 1e-6 grid. Output: input columns + `te` — no shuffle of the fact
     * table beyond the category aggregation.
     */
+  /** NORMALIZED MUTUAL INFORMATION between two categorical assignments —
+    * the external clustering-quality score (cluster ids vs ground-truth
+    * labels; Strehl/Ghosh 2002 sqrt normalization): NMI = I(U;V) /
+    * √(H(U)·H(V)), 1 for identical partitions, ~0 for independent ones.
+    * Every entropy/MI term is a snapped double of EXACT integer counts,
+    * summed as exact decimals — engine-reproducible like the other
+    * metric heads. Either side constant (zero entropy) yields NULL (the
+    * normalization is undefined, and "undefined" must not collide with
+    * "no shared information").
+    *
+    * Shape at scale: one contingency aggregation keyed by (a, b) —
+    * bounded by |A|·|B| cells, not corpus rows — two margin rollups OVER
+    * THE CELLS, and 1-row total frames broadcast back. Output: one row
+    * (n, mi, h_a, h_b, nmi).
+    */
+  def nmi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import TextAnalysis.round6
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__nij"))
+    val aTot = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ai"))
+    val bTot = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__bj"))
+    val nRow = cells.agg(sum(col("__nij")).as("n"))
+    val miRow = cells.join(aTot, "__a").join(bTot, "__b")
+      .crossJoin(broadcast(nRow))
+      .agg(sum(round6(
+        (col("__nij").cast("double") / col("n")) *
+          log(col("n").cast("double") * col("__nij") /
+            (col("__ai").cast("double") * col("__bj"))))
+        .cast("decimal(38,6)")).cast("double").as("mi"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(nRow))
+        .agg((-sum(round6((col(cnt).cast("double") / col("n")) *
+          log(col(cnt).cast("double") / col("n")))
+          .cast("decimal(38,6)")).cast("double")).as(out))
+    miRow.crossJoin(entropy(aTot, "__ai", "h_a"))
+      .crossJoin(entropy(bTot, "__bj", "h_b"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n"),
+        // the outer snap also normalizes -0.0 (a negated zero sum) to
+        // +0.0 so the two engines hash identically on degenerate inputs
+        round6(col("mi")).as("mi"),
+        round6(col("h_a")).as("h_a"), round6(col("h_b")).as("h_b"),
+        when(col("h_a") > 0.0 && col("h_b") > 0.0,
+          round6(col("mi") / sqrt(col("h_a") * col("h_b")))).as("nmi"))
+  }
+
   def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String): DataFrame = {
     val y = col(targetCol).cast("decimal(28,6)")
     val byCat = df.filter(col(catCol).isNotNull)

@@ -266,6 +266,16 @@ object CurationPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // normalized mutual information of a deterministic 7-way partition
+    // of the embedding rows against their ground-truth labels — the
+    // external clustering-quality readout (Strehl/Ghosh sqrt form)
+    "q347_nmi" -> ((s, d) => {
+      Classifier.nmi(
+        Tables.t(s, d, "embeddings")
+          .select((col("vec_id") % 7).as("cluster"), col("label")),
+        "cluster", "label")
+    }),
+
     // class-balanced loss weights over document languages (effective
     // number of samples, beta = 0.999)
     "q340_class_weights" -> ((s, d) => {
@@ -958,6 +968,39 @@ object CurationPack extends QueryPack {
          |       ELSE 0.0 END AS bleu
          |FROM lens l LEFT JOIN piv USING (pair_id)
          |ORDER BY pair_id""".stripMargin,
+
+    // contingency-cell MI and margin entropies, each term snapped then
+    // decimal-summed; the outer snaps normalize -0.0 like the engine
+    "q347_nmi" ->
+      """WITH cells AS (
+        |  SELECT vec_id % 7 AS a, label AS b, COUNT(*) AS nij
+        |  FROM embeddings GROUP BY 1, 2),
+        |at AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY 1),
+        |bt AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT CAST(SUM(CAST(FLOOR(
+        |    (CAST(nij AS DOUBLE) / n) *
+        |      LN(CAST(n AS DOUBLE) * nij / (CAST(ai AS DOUBLE) * bj))
+        |    * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS mi
+        |  FROM cells JOIN at USING (a) JOIN bt USING (b), nt),
+        |ha AS (
+        |  SELECT -CAST(SUM(CAST(FLOOR(
+        |    (CAST(ai AS DOUBLE) / n) * LN(CAST(ai AS DOUBLE) / n)
+        |    * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS h_a
+        |  FROM at, nt),
+        |hb AS (
+        |  SELECT -CAST(SUM(CAST(FLOOR(
+        |    (CAST(bj AS DOUBLE) / n) * LN(CAST(bj AS DOUBLE) / n)
+        |    * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS h_b
+        |  FROM bt, nt)
+        |SELECT n,
+        |  FLOOR(mi * 1e6 + 0.5) / 1e6 AS mi,
+        |  FLOOR(h_a * 1e6 + 0.5) / 1e6 AS h_a,
+        |  FLOOR(h_b * 1e6 + 0.5) / 1e6 AS h_b,
+        |  CASE WHEN h_a > 0 AND h_b > 0
+        |    THEN FLOOR(mi / SQRT(h_a * h_b) * 1e6 + 0.5) / 1e6 END AS nmi
+        |FROM mi, ha, hb, nt""".stripMargin,
 
     // effective-number weights: snapped pow, snapped inverse, exact
     // decimal normalizer, weights sum to the class count

@@ -186,6 +186,29 @@ object ExtraPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // separable 5-tap binomial blur over the q199 fixture (64x60, partial
+    // x-edge tiles): two depth-2 axis passes must equal the direct 5x5
+    // outer-product kernel the oracle computes — dyadic weights keep
+    // every intermediate exact, so the compare is bit-level
+    "q345_binomial_blur" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 60).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(64L * 60)
+        .select(lit(0).as("c"), (col("id") / 60).cast("int").as("y"),
+          (col("id") % 60).cast("int").as("x"))
+      val pixels = grid.join(counts, Seq("y", "x"), "left")
+        .select(col("c"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTilesExact(pixels, 64, 60, tileSize = 16)
+      val blurred = RasterOps.binomialBlur5(tiles, tileSize = 16,
+        boundary = RasterOps.Boundary.Reflect)
+      RasterOps.tilesToPixels(blurred, tileSize = 16)
+        .select(col("y"), col("x"), col("value"))
+        .orderBy(col("y"), col("x"))
+    }),
+
     // Morton (Z-order) key — the at-rest spatial clustering key
     // (ZOrder.writeZOrdered / readBox): pure bit-interleave algebra the
     // oracle recomputes independently; range-prune equivalence is pinned
@@ -1100,6 +1123,38 @@ object ExtraPack extends QueryPack {
         |JOIN dense d11 ON d11.y = LEAST(GREATEST(w.ry + 1, 0), 63)
         |              AND d11.x = LEAST(GREATEST(w.rx + 1, 0), 63)
         |ORDER BY y, x""".stripMargin,
+    // direct 5x5 binomial outer-product kernel with symmetric mirroring
+    // over the 64x60 dense grid — must equal the engine's two separable
+    // passes exactly (dyadic weights, integer inputs)
+    "q345_binomial_blur" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 60 AS INT) AS x,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(i // 60 AS INT) AS y, CAST(i % 60 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 3840)) AS i)),
+        |dense AS (
+        |  SELECT g.y, g.x, COALESCE(px.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN px ON px.y = g.y AND px.x = g.x),
+        |offs AS (
+        |  SELECT dy, dx,
+        |    (CASE WHEN dy IN (-2, 2) THEN 1 WHEN dy IN (-1, 1) THEN 4 ELSE 6 END) *
+        |    (CASE WHEN dx IN (-2, 2) THEN 1 WHEN dx IN (-1, 1) THEN 4 ELSE 6 END) AS wt
+        |  FROM (SELECT unnest(range(-2, 3)) AS dy), (SELECT unnest(range(-2, 3)) AS dx))
+        |SELECT d.y, d.x, SUM(o.wt * n.v) / 256.0 AS value
+        |FROM dense d
+        |JOIN offs o ON TRUE
+        |JOIN dense n
+        |  ON n.y = CASE WHEN d.y + o.dy < 0 THEN -(d.y + o.dy) - 1
+        |                WHEN d.y + o.dy >= 64 THEN 127 - (d.y + o.dy)
+        |                ELSE d.y + o.dy END
+        | AND n.x = CASE WHEN d.x + o.dx < 0 THEN -(d.x + o.dx) - 1
+        |                WHEN d.x + o.dx >= 60 THEN 119 - (d.x + o.dx)
+        |                ELSE d.x + o.dx END
+        |GROUP BY d.y, d.x
+        |ORDER BY d.y, d.x""".stripMargin,
+
     // 5x5 mean with true numpy-"symmetric" mirroring (depth 2: -2 -> 1,
     // dim+1 -> dim-2 — NOT a clamp) over the 64x60 dense grid
     "q199_halo_blur5" ->

@@ -95,6 +95,27 @@ object SpatialPack extends QueryPack {
         .orderBy(col("qid"), col("knn_rank"))
     }),
 
+    // IDW (Shepard p=2) interpolation at off-grid probes: kNN candidates
+    // from the grid join, exact-IEEE 1/dist2 weights snapped + decimal-
+    // summed; probes sit 0.25 off the integer quantity grid so dist2 is
+    // bounded below (weights can't blow past the snap grid)
+    "q346_idw" -> ((s, d) => {
+      // (orderkey, linenumber) is NOT unique in the driver generator —
+      // idwInterpolate requires unique sample ids, so collapse per pid
+      val pts = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("pid"),
+        (col("l_extendedprice") / 1000.0).as("x"),
+        col("l_quantity").as("y"),
+        (col("l_partkey") % 50).cast("double").as("v"))
+        .groupBy(col("pid"))
+        .agg(min(col("x")).as("x"), min(col("y")).as("y"), min(col("v")).as("v"))
+      val q = pts.filter(col("pid") % 401 === 1)
+        .select(col("pid").as("qid"),
+          (col("x") + 0.25).as("qx"), (col("y") + 0.25).as("qy"))
+      graft.ops.SpatialJoin.idwInterpolate(q, pts, k = 8, radius = 2.0)
+        .orderBy(col("qid"))
+    }),
+
     // Identity-cs bounding box on points: exclusive bounds, range predicate
     // pushed to the parquet scan (spatial_query.py:668-701 fast path).
     "q10_bbox_points_identity" -> ((s, d) => {
@@ -222,6 +243,41 @@ object SpatialPack extends QueryPack {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rnk
            |  FROM cand)
            |WHERE rnk <= 5 ORDER BY qid, knn_rank""".stripMargin,
+      // brute-force kNN then the same snapped Shepard weights; nearest
+      // value picked at rnk=1 (the engine's min_by(v, (dist2,pid)))
+      "q346_idw" ->
+        s"""WITH p AS (
+           |  SELECT pid, MIN(x) AS x, MIN(y) AS y, MIN(v) AS v FROM (
+           |    SELECT l_orderkey * 8 + l_linenumber AS pid,
+           |      l_extendedprice / 1000.0 AS x, l_quantity AS y,
+           |      CAST(l_partkey % 50 AS DOUBLE) AS v FROM lineitem)
+           |  GROUP BY pid),
+           |q AS (SELECT pid AS qid, x + 0.25 AS qx, y + 0.25 AS qy
+           |      FROM p WHERE pid % 401 = 1),
+           |cand AS (
+           |  SELECT qid, pid, v,
+           |    (qx - x) * (qx - x) + (qy - y) * (qy - y) AS dist2
+           |  FROM q JOIN p ON (qx - x) * (qx - x) + (qy - y) * (qy - y) <= 4.0),
+           |top AS (
+           |  SELECT * FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rnk
+           |    FROM cand)
+           |  WHERE rnk <= 8),
+           |agg AS (
+           |  SELECT qid, COUNT(*) AS n_neighbors, MIN(dist2) AS d0,
+           |    MAX(CASE WHEN rnk = 1 THEN v END) AS vnear,
+           |    CAST(SUM(CAST(CASE WHEN dist2 > 0
+           |      THEN FLOOR(v / dist2 * 1e6 + 0.5) / 1e6 ELSE 0.0 END
+           |      AS DECIMAL(38,6))) AS DOUBLE) AS num,
+           |    CAST(SUM(CAST(CASE WHEN dist2 > 0
+           |      THEN FLOOR(1.0 / dist2 * 1e6 + 0.5) / 1e6 ELSE 0.0 END
+           |      AS DECIMAL(38,6))) AS DOUBLE) AS den
+           |  FROM top GROUP BY qid)
+           |SELECT qid, n_neighbors,
+           |  CASE WHEN d0 = 0 THEN vnear
+           |       ELSE FLOOR(num / den * 1e6 + 0.5) / 1e6 END AS idw
+           |FROM agg ORDER BY qid""".stripMargin,
+
       // target = 2x+5 in (20,80) -> x in (7.5, 37.5); y: 4y-3 in (20,80) -> (5.75, 20.75)
       "q11_bbox_points_scale" ->
         s"""SELECT * FROM ($pts)

@@ -100,4 +100,29 @@ class KnnJoinSpec extends SparkTestBase {
       SpatialJoin.knnWithinRadiusBroadcast(probes, pts, k = 1, radius = 0.0)
     }
   }
+
+  test("idwInterpolate: hand weights, exact-hit short-circuit, no-neighbor probe absent") {
+    val samples = Seq(
+      (1L, 0.0, 0.0, 10.0), (2L, 1.0, 0.0, 20.0), (3L, 100.0, 100.0, 99.0)
+    ).toDF("pid", "x", "y", "v")
+    val q = Seq(
+      (1L, 0.5, 0.0),   // equidistant (d2=0.25 each): idw = mean = 15
+      (2L, 0.0, 0.0),   // exact hit on sample 1: short-circuit to 10
+      (3L, 50.0, 50.0)  // nothing within radius: absent
+    ).toDF("qid", "qx", "qy")
+    val out = SpatialJoin.idwInterpolate(q, samples, k = 4, radius = 2.0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((2L, 15.0)))
+    assert(out(2L) === ((2L, 10.0)), "dist2=0 must return the sample value itself")
+    assert(!out.contains(3L))
+    // asymmetric weights: probe at (0.25, 0): d2 = 0.0625 / 0.5625,
+    // w = 16, 1.777778 (snapped); idw = (16*10 + 1.777778*20)/17.777778
+    val q2 = Seq((9L, 0.25, 0.0)).toDF("qid", "qx", "qy")
+    val got = SpatialJoin.idwInterpolate(q2, samples, k = 4, radius = 2.0)
+      .as[(Long, Long, Double)].collect().head
+    val w2 = math.floor(1.0 / 0.5625 * 1e6 + 0.5) / 1e6
+    val vw2 = math.floor(20.0 / 0.5625 * 1e6 + 0.5) / 1e6
+    val expect = math.floor((160.0 + vw2) / (16.0 + w2) * 1e6 + 0.5) / 1e6
+    assert(got === ((9L, 2L, expect)))
+  }
 }

@@ -174,6 +174,33 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(out.map(v => math.round(v * 1e9)) == expect.map(v => math.round(v * 1e9)))
   }
 
+  test("binomialBlur5: two separable passes equal the direct 5x5 outer-product kernel") {
+    // 6x7 raster, tileSize 4 -> partial edge tiles; integer values so the
+    // dyadic-weight passes are bit-exact against the direct form
+    val hh = 6; val ww = 7
+    val dense = Array.tabulate(hh * ww)(i => (i * 5 % 13).toDouble)
+    val out = RasterOps.tilesToPixels(
+      RasterOps.binomialBlur5(partialTiles(dense, hh, ww, 4), tileSize = 4),
+      tileSize = 4)
+      .orderBy("y", "x").select("value").as[Double].collect().toSeq
+    val w5 = Array(1.0, 4.0, 6.0, 4.0, 1.0)
+    val expect = for (r <- 0 until hh; c <- 0 until ww) yield {
+      var s = 0.0
+      for (dy <- -2 to 2; dx <- -2 to 2)
+        s += w5(dy + 2) * w5(dx + 2) *
+          dense(mir(r + dy, hh) * ww + mir(c + dx, ww))
+      s / 256.0
+    }
+    // bit-exact, not rounded: dyadic weights on integer inputs
+    assert(out == expect.toSeq)
+    // a constant raster is a fixed point of any normalized blur
+    val const = RasterOps.tilesToPixels(
+      RasterOps.binomialBlur5(partialTiles(Array.fill(hh * ww)(3.0), hh, ww, 4),
+        tileSize = 4), tileSize = 4)
+      .select("value").as[Double].collect().toSeq
+    assert(const.forall(_ == 3.0))
+  }
+
   test("coarsen + subsample") {
     val pixels = Seq((0, 0, 0, 1.0), (0, 0, 1, 3.0), (0, 1, 0, 5.0), (0, 1, 1, 7.0))
       .toDF("c", "y", "x", "value")

@@ -115,4 +115,24 @@ class ClassifierSpec extends SparkTestBase {
       .select("te").as[Option[Double]].collect().toSeq
     assert(g1 === Seq(None))
   }
+
+  test("nmi: identical partitions 1, independent 0, constant side NULL") {
+    def run(rows: Seq[(String, String)]): (Double, Double, Double, Option[Double]) =
+      Classifier.nmi(rows.toDF("a", "b"), "a", "b")
+        .select("mi", "h_a", "h_b", "nmi")
+        .as[(Double, Double, Double, Option[Double])].collect().head
+    // identical 2-way partitions: mi = h = 2*round6(0.5 ln 2), nmi = 1
+    val same = run(Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")))
+    assert(same._4 === Some(1.0))
+    assert(same._1 === same._2 && same._2 === same._3)
+    // independent uniform 2x2: every cell ln(1) = 0 -> mi 0, nmi 0
+    val ind = run(Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")))
+    assert(ind._1 === 0.0 && ind._4 === Some(0.0))
+    // one side constant: its entropy is +0.0 (snap normalizes -0.0) and
+    // the normalization is undefined -> NULL
+    val const = run(Seq(("x", "p"), ("x", "q"), ("x", "p")))
+    assert(const._2 === 0.0)
+    assert(const._2.compareTo(0.0) == 0, "entropy of a constant side must be +0.0, not -0.0")
+    assert(const._4 === None)
+  }
 }
