@@ -319,6 +319,57 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("bleu"))
   }
 
+  /** ROUGE-N (Lin 2004) over the same (candidate, reference) pair rows as
+    * [[bleuScore]] — the RECALL-oriented twin (summarization/compression
+    * eval: how much of the reference's n-gram mass the candidate keeps),
+    * reported per n with clipped-overlap recall, precision, and F1.
+    * recall = Σ min(c,r)/Σr, precision = Σ min(c,r)/Σc over matched
+    * n-gram counts; a side with no n-grams (shorter than n) yields NULL
+    * for the ratios it denominates. Same tokenizer, same snap discipline.
+    *
+    * Shape at scale: identical to [[bleuScore]]'s — two per-pair gram
+    * count aggregations, one FULL OUTER pair+gram-keyed join (recall
+    * needs reference-only grams' mass too), one keyed rollup. Output:
+    * (idCol, n, rouge_recall, rouge_precision, rouge_f1).
+    */
+  def rougeN(pairs: DataFrame, idCol: String = "pair_id",
+      candCol: String = "cand", refCol: String = "ref",
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"rougeN: maxN must be in [1, 6], got $maxN")
+    def toks(c: Column) = filter(Dedup.words(c), t => length(t) > 0)
+    def gramRows(df: DataFrame, textCol: String, cnt: String) = {
+      val w = toks(col(textCol))
+      val perN = (1 to maxN).map { n =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - n + 1), i =>
+            struct(lit(n).as("n"), concat_ws(" ", slice(w, i, lit(n))).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      }
+      df.select(col(idCol), explode(flatten(array(perN: _*))).as("g"))
+        .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val candG = gramRows(pairs, candCol, "__c")
+    val refG = gramRows(pairs, refCol, "__r")
+    val perN = candG.join(refG, Seq(idCol, "n", "gram"), "full_outer")
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        sum(least(coalesce(col("__c"), lit(0L)), coalesce(col("__r"), lit(0L))))
+          .as("__m"),
+        sum(coalesce(col("__c"), lit(0L))).as("__tc"),
+        sum(coalesce(col("__r"), lit(0L))).as("__tr"))
+    val rec = when(col("__tr") > 0,
+      round6(col("__m").cast("double") / col("__tr")))
+    val prec = when(col("__tc") > 0,
+      round6(col("__m").cast("double") / col("__tc")))
+    perN.select(col(idCol), col("n"),
+        rec.as("rouge_recall"), prec.as("rouge_precision"),
+        // F1 = 2pr/(p+r) simplifies exactly to 2m/(tc+tr)
+        when(col("__tr") > 0 && col("__tc") > 0,
+          round6(lit(2.0) * col("__m") / (col("__tr") + col("__tc"))))
+          .as("rouge_f1"))
+  }
+
   /** Per-document TF-IDF-style keyword extraction: score = tf * N / df
     * (term frequency times inverse document frequency as a pure rational —
     * no log, so the doubles are an exact IEEE division both engines

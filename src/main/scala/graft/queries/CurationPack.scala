@@ -297,6 +297,20 @@ object CurationPack extends QueryPack {
       TextAnalysis.bleuScore(pairs).orderBy(col("pair_id"))
     }),
 
+    // ROUGE-1/2 recall+precision+F1 over the q343 pair construction:
+    // both directions so recall AND precision each vary off 1.0
+    "q348_rouge" -> ((s, d) => {
+      val w = filter(Dedup.words(col("text")), t => length(t) > 0)
+      val prefix = concat_ws(" ", slice(w, 1, 30))
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select((col("doc_id") * 2).as("pair_id"),
+          col("text").as("cand"), prefix.as("ref"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("pair_id"),
+          prefix.as("cand"), col("text").as("ref")))
+      TextAnalysis.rougeN(pairs, maxN = 2)
+        .orderBy(col("pair_id"), col("n"))
+    }),
+
     // leave-one-out target encoding of lang against n_chars — the
     // leak-free categorical feature (a row never sees its own target);
     // singleton/NULL categories fall back to the global LOO mean
@@ -968,6 +982,49 @@ object CurationPack extends QueryPack {
          |       ELSE 0.0 END AS bleu
          |FROM lens l LEFT JOIN piv USING (pair_id)
          |ORDER BY pair_id""".stripMargin,
+
+    // clipped n-gram overlap via FULL OUTER join (recall needs the
+    // reference-only gram mass); F1 = 2m/(tc+tr) exactly
+    "q348_rouge" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter($wordsSql, t -> length(t) > 0) AS wd
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id * 2 AS pair_id, wd AS cw, wd[1:30] AS rw FROM w
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, wd[1:30], wd FROM w),
+         |nl AS (SELECT unnest([1, 2]) AS n),
+         |cpos AS (
+         |  SELECT pair_id, n, cw, unnest(range(1, len(cw) - n + 2)) AS i
+         |  FROM pairs CROSS JOIN nl WHERE len(cw) >= n),
+         |cc AS (
+         |  SELECT pair_id, n, array_to_string(cw[i : i + n - 1], ' ') AS gram,
+         |         COUNT(*) AS c
+         |  FROM cpos GROUP BY 1, 2, 3),
+         |rpos AS (
+         |  SELECT pair_id, n, rw, unnest(range(1, len(rw) - n + 2)) AS i
+         |  FROM pairs CROSS JOIN nl WHERE len(rw) >= n),
+         |rc AS (
+         |  SELECT pair_id, n, array_to_string(rw[i : i + n - 1], ' ') AS gram,
+         |         COUNT(*) AS r
+         |  FROM rpos GROUP BY 1, 2, 3),
+         |pn AS (
+         |  SELECT COALESCE(cc.pair_id, rc.pair_id) AS pair_id,
+         |         COALESCE(cc.n, rc.n) AS n,
+         |    SUM(LEAST(COALESCE(cc.c, 0), COALESCE(rc.r, 0))) AS m,
+         |    SUM(COALESCE(cc.c, 0)) AS tc, SUM(COALESCE(rc.r, 0)) AS tr
+         |  FROM cc FULL OUTER JOIN rc
+         |    ON rc.pair_id = cc.pair_id AND rc.n = cc.n AND rc.gram = cc.gram
+         |  GROUP BY 1, 2)
+         |SELECT pair_id, n,
+         |  CASE WHEN tr > 0 THEN FLOOR(CAST(m AS DOUBLE) / tr * 1e6 + 0.5) / 1e6 END
+         |    AS rouge_recall,
+         |  CASE WHEN tc > 0 THEN FLOOR(CAST(m AS DOUBLE) / tc * 1e6 + 0.5) / 1e6 END
+         |    AS rouge_precision,
+         |  CASE WHEN tr > 0 AND tc > 0
+         |    THEN FLOOR(2.0 * m / (tr + tc) * 1e6 + 0.5) / 1e6 END AS rouge_f1
+         |FROM pn ORDER BY pair_id, n""".stripMargin,
 
     // contingency-cell MI and margin entropies, each term snapped then
     // decimal-summed; the outer snaps normalize -0.0 like the engine

@@ -41,6 +41,31 @@ class TextMetricsSpec extends SparkTestBase {
     assert(out(1L) === 0.0)
   }
 
+  test("rougeN: hand overlap, one-sided grams NULL the missing ratio, F1 law") {
+    // cand "a b c", ref "a b d": unigram m=2, tc=3, tr=3 -> r=p=f1=2/3;
+    // bigram: cand {a b, b c}, ref {a b, b d}: m=1 -> 1/2 each
+    val out = TextAnalysis.rougeN(pairsDF((1L, "a b c", "a b d")), maxN = 2)
+      .orderBy("n")
+      .select("n", "rouge_recall", "rouge_precision", "rouge_f1")
+      .as[(Int, Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1, Some(0.666667), Some(0.666667), Some(0.666667)),
+      (2, Some(0.5), Some(0.5), Some(0.5))))
+    // 1-word candidate: no bigrams -> n=2 row has NULL precision/f1 but
+    // real recall denominator from the reference side
+    val short = TextAnalysis.rougeN(pairsDF((1L, "a", "a b c")), maxN = 2)
+      .orderBy("n")
+      .select("n", "rouge_recall", "rouge_precision", "rouge_f1")
+      .as[(Int, Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(short(0) === ((1, Some(0.333333), Some(1.0), Some(0.5))))
+    assert(short(1) === ((2, Some(0.0), None, None)))
+    // clipping: repeated candidate gram credits at most its ref count
+    val clip = TextAnalysis.rougeN(pairsDF((1L, "a a a a", "a b")), maxN = 1)
+      .select("rouge_recall", "rouge_precision")
+      .as[(Double, Double)].collect().head
+    assert(clip === ((0.5, 0.25)))
+  }
+
   test("bleu: tokenizer normalizes case and punctuation; empty candidate is 0") {
     val out = bleuOf(2,
       (1L, "The CAT, sat!", "the cat sat"),
