@@ -228,6 +228,74 @@ object VersionedLayout {
       .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
   }
 
+  /** FILE-LEVEL CDC between two versions: rows of the file sets the two
+    * manifests DISAGREE on, tagged 'added' (in v2's manifest only) or
+    * 'removed' (in v1's only). NET-multiset-equivalent to [[diff]] —
+    * a rewritten set's survivors appear on both sides and cancel — but
+    * the scan cost is O(changed file sets), not O(table): an append or
+    * [[deleteWhere]] commit shares every untouched set between the two
+    * manifests, so only the delta is read. Whole-table rewrites
+    * ([[upsert]], [[compact]]) start the file list fresh and honestly
+    * degrade to a full read. This is what makes incremental consumers
+    * ([[maintainAgg]]) scale: refresh cost follows the commit's size.
+    */
+  def fileDiff(spark: SparkSession, path: String, v1: Int, v2: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, path)
+    require(vs.contains(v1) && vs.contains(v2),
+      s"fileDiff: versions ($v1, $v2) must both be in $vs")
+    val m1 = readManifest(spark, path, v1).toSet
+    val m2 = readManifest(spark, path, v2).toSet
+    val empty = read(spark, path, Some(v2)).limit(0)
+    def side(dirs: Seq[String], tag: String) =
+      (if (dirs.nonEmpty) spark.read.parquet(dirs: _*) else empty)
+        .withColumn("change", lit(tag))
+    side((m2 -- m1).toSeq, "added")
+      .unionByName(side((m1 -- m2).toSeq, "removed"))
+  }
+
+  /** Per-key (count, exact-decimal sum) snapshot in [[maintainAgg]]'s
+    * summary schema — the initial materialized view.
+    */
+  def aggSnapshot(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,6)")).as("sum6"))
+  }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE (materialized-view refresh): fold
+    * one version-to-version delta (from [[fileDiff]] or [[diff]]) into a
+    * per-key (count, sum) summary — n' = n + Σ±1, sum' = sum ± value —
+    * and drop keys whose count reaches 0. Counts are exact longs and the
+    * sums exact decimals, so add/remove pairs cancel EXACTLY (a rewritten
+    * file set's surviving rows contribute +v and −v that annihilate
+    * bit-for-bit), making the refreshed summary equal to a from-scratch
+    * [[aggSnapshot]] of the new version — the IVM invariant, pinned in
+    * VersionedLayoutSpec.
+    *
+    * Shape at scale: ONE keyed aggregation over the delta (map-side
+    * partials carry per-key partial counts/sums) plus a key-equi full
+    * outer join against the summary — the table itself is never
+    * rescanned. Refresh cost = O(delta) + O(summary keys).
+    */
+  def maintainAgg(summary: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sign = when(col("change") === "added", 1L).otherwise(-1L)
+    val dAgg = delta.groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).as("__dn"),
+        sum((col(valueCol) * sign).cast("decimal(38,6)")).as("__dsum"))
+    summary.join(dAgg, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("sum6"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")) +
+          coalesce(col("__dsum"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")))
+          .cast("decimal(38,6)").as("sum6")): _*)
+      .filter(col("n") > 0)
+  }
+
   /** Drop every data dir not referenced by the LATEST manifest and every
     * older manifest — ends time travel, reclaims space. The latest
     * version is untouched.

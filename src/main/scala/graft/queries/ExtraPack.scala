@@ -250,6 +250,40 @@ object ExtraPack extends QueryPack {
       }
     }),
 
+    // INCREMENTAL aggregate maintenance over the versioned layout: the
+    // summary refreshes from file-level deltas only (append, upsert,
+    // surgical delete), never rescanning the table — and must equal a
+    // from-scratch aggregation of the final state, which the oracle
+    // recomputes from the raw events with the commits' combined algebra
+    "q349_ivm" -> ((s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_")
+      val path = tmp.resolve("t").toString
+      try {
+        val VL = graft.ops.VersionedLayout
+        VL.commit(ev.filter(col("event_id") % 3 === 0), path)      // v1
+        VL.commit(ev.filter(col("event_id") % 3 === 1), path)      // v2 append
+        VL.upsert(ev.filter(col("event_id") % 6 === 1)
+          .withColumn("value", col("value") + 10.0), path, "event_id") // v3
+        VL.deleteWhere(s, path, col("event_type") === "click")     // v4
+        var summary = VL.aggSnapshot(
+          VL.read(s, path, Some(1)), Seq("event_type"), "value")
+        for (v <- 2 to 4)
+          summary = VL.maintainAgg(summary,
+            VL.fileDiff(s, path, v - 1, v), Seq("event_type"), "value")
+        summary
+          .select(col("event_type"), col("n"),
+            col("sum6").cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // manifest-versioned layout: v1 = 60% commit, v2 = +40% append,
     // v3 = compaction — every version a consistent pinned snapshot; the
     // oracle recomputes each version's totals from the raw table with the
@@ -903,6 +937,20 @@ object ExtraPack extends QueryPack {
         |UNION ALL SELECT 2, n_rows, sum_id FROM vall
         |UNION ALL SELECT 3, n_rows, sum_id FROM vall
         |ORDER BY version""".stripMargin,
+    // the four commits' combined algebra recomputed from the raw table:
+    // v1+v2 rows = event_id%3 in (0,1), the upsert adds 10 to %6==1
+    // values, the delete drops clicks — the incremental summary must
+    // land exactly there
+    "q349_ivm" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 6 = 1 THEN value + 10.0 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 3 IN (0, 1) AND event_type <> 'click')
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // brute-force KNN ground truth over the derived points — the Z
     // layout must be invisible
     "q227_knn_zlayout" ->

@@ -170,4 +170,54 @@ class VersionedLayoutSpec extends SparkTestBase {
       }
     }
   }
+
+  test("fileDiff: append reads only the delta; net-equivalent to diff after a rewrite") {
+    withDir { path =>
+      val v = (1 to 60).map(i => (i.toLong, (i % 4).toString, i * 1.5))
+        .toDF("id", "k", "v")
+      VersionedLayout.commit(v.filter(col("id") <= 40), path)
+      VersionedLayout.commit(v.filter(col("id") > 40), path)
+      // append: removed side EMPTY, added side exactly the new rows
+      val d12 = VersionedLayout.fileDiff(spark, path, 1, 2)
+      assert(d12.filter(col("change") === "removed").count() == 0)
+      assert(d12.filter(col("change") === "added").count() == 20)
+      // surgical delete rewrites one file set: gross rows include the
+      // survivors on both sides, but the NET multiset equals diff's
+      VersionedLayout.deleteWhere(spark, path, col("id") % 10 === 3)
+      val fd = VersionedLayout.fileDiff(spark, path, 2, 3)
+      val rd = VersionedLayout.diff(spark, path, 2, 3)
+      def net(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("id", "k", "v")
+          .agg(sum(when(col("change") === "added", 1L).otherwise(-1L)).as("s"))
+          .filter(col("s") =!= 0L)
+          .as[(Long, String, Double, Long)].collect().toSet
+      assert(net(fd) == net(rd) && net(fd).nonEmpty)
+    }
+  }
+
+  test("maintainAgg: incremental summary equals a from-scratch snapshot after every commit") {
+    withDir { path =>
+      val v = (1 to 80).map(i => (i.toLong, (i % 3).toString, i * 0.25))
+        .toDF("id", "k", "v")
+      val VL = VersionedLayout
+      VL.commit(v.filter(col("id") <= 50), path)                     // v1
+      VL.commit(v.filter(col("id") > 50), path)                      // v2
+      VL.upsert(v.filter(col("id") % 7 === 0)
+        .withColumn("v", col("v") + 100.0), path, "id")              // v3
+      VL.deleteWhere(spark, path, col("k") === "2")                  // v4
+      var summary = VL.aggSnapshot(VL.read(spark, path, Some(1)), Seq("k"), "v")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("k"), col("n"), col("sum6").cast("double"))
+          .as[(String, Long, Double)].collect().toSet
+      for (ver <- 2 to 4) {
+        summary = VL.maintainAgg(summary,
+          VL.fileDiff(spark, path, ver - 1, ver), Seq("k"), "v")
+        val fresh = VL.aggSnapshot(VL.read(spark, path, Some(ver)), Seq("k"), "v")
+        assert(rows(summary) == rows(fresh),
+          s"IVM invariant broken at version $ver")
+      }
+      // the deleted key's count reached 0 and the key dropped out
+      assert(!rows(summary).exists(_._1 == "2"))
+    }
+  }
 }
