@@ -269,29 +269,47 @@ object TextAnalysis {
     * pivot back to a row per pair. No window over the corpus, no product.
     * Output: (idCol, cand_len, ref_len, bleu).
     */
+  /** Per-pair (n, gram) COUNT rows for n = 1..maxN, tokenizing ONCE per
+    * row. NOT the array-lambda form: Catalyst inlines single-reference
+    * expressions into `transform` lambdas (the [[Dedup.shingles]]
+    * caveat), so building grams with `slice` inside a lambda re-runs the
+    * regex tokenizer PER GRAM POSITION PER n — measured 12 s/rep at
+    * sf0.1 on the BLEU gate. This is the [[Dedup.shingleRows]]
+    * discipline instead: posexplode words with position, assemble each
+    * gram from window `lead`s (all leads share ONE keyed window sort),
+    * stack the n variants, count. Linear work per token.
+    */
+  private def gramCountRows(df: DataFrame, idCol: String, textCol: String,
+      cnt: String, maxN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = filter(Dedup.words(col(textCol)), t => length(t) > 0)
+    val exploded = df.select(col(idCol),
+      posexplode(toks).as(Seq("__pos", "__t")))
+    val withLeads = (1 until maxN).foldLeft(exploded) { (d, o) =>
+      d.withColumn(s"__l$o", lead(col("__t"), o).over(win))
+    }
+    // a non-null last lead implies all earlier leads are non-null (the
+    // positions between exist), so one null check guards each gram
+    val gramN = (1 to maxN).map { n =>
+      val parts = col("__t") +: (1 until n).map(o => col(s"__l$o"))
+      val ok = if (n == 1) lit(true) else col(s"__l${n - 1}").isNotNull
+      when(ok, struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+    }
+    withLeads
+      .select(col(idCol), explode(array(gramN: _*)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as(cnt))
+  }
+
   def bleuScore(pairs: DataFrame, idCol: String = "pair_id",
       candCol: String = "cand", refCol: String = "ref",
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"bleuScore: maxN must be in [1, 6], got $maxN")
     def toks(c: Column) = filter(Dedup.words(c), t => length(t) > 0)
-    def gramRows(df: DataFrame, textCol: String, cnt: String) = {
-      val w = toks(col(textCol))
-      // per-n arrays concatenate at the Scala level (maxN is a constant);
-      // sequence(1, size-n+1) must be guarded — Spark's sequence DESCENDS
-      // when stop < start, so a doc shorter than n words needs the typed
-      // empty branch, not sequence(1, 0)
-      val perN = (1 to maxN).map { n =>
-        when(size(w) >= n,
-          transform(sequence(lit(1), size(w) - n + 1), i =>
-            struct(lit(n).as("n"), concat_ws(" ", slice(w, i, lit(n))).as("gram"))))
-          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-      }
-      df.select(col(idCol), explode(flatten(array(perN: _*))).as("g"))
-        .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
-        .agg(count(lit(1)).as(cnt))
-    }
-    val candG = gramRows(pairs, candCol, "__c")
-    val refG = gramRows(pairs, refCol, "__r")
+    val candG = gramCountRows(pairs, idCol, candCol, "__c", maxN)
+    val refG = gramCountRows(pairs, idCol, refCol, "__r", maxN)
     val perN = candG.join(refG, Seq(idCol, "n", "gram"), "left")
       .groupBy(col(idCol), col("n"))
       .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__m"),
@@ -336,21 +354,8 @@ object TextAnalysis {
       candCol: String = "cand", refCol: String = "ref",
       maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"rougeN: maxN must be in [1, 6], got $maxN")
-    def toks(c: Column) = filter(Dedup.words(c), t => length(t) > 0)
-    def gramRows(df: DataFrame, textCol: String, cnt: String) = {
-      val w = toks(col(textCol))
-      val perN = (1 to maxN).map { n =>
-        when(size(w) >= n,
-          transform(sequence(lit(1), size(w) - n + 1), i =>
-            struct(lit(n).as("n"), concat_ws(" ", slice(w, i, lit(n))).as("gram"))))
-          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-      }
-      df.select(col(idCol), explode(flatten(array(perN: _*))).as("g"))
-        .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
-        .agg(count(lit(1)).as(cnt))
-    }
-    val candG = gramRows(pairs, candCol, "__c")
-    val refG = gramRows(pairs, refCol, "__r")
+    val candG = gramCountRows(pairs, idCol, candCol, "__c", maxN)
+    val refG = gramCountRows(pairs, idCol, refCol, "__r", maxN)
     val perN = candG.join(refG, Seq(idCol, "n", "gram"), "full_outer")
       .groupBy(col(idCol), col("n"))
       .agg(
