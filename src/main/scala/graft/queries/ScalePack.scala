@@ -62,6 +62,21 @@ object ScalePack extends QueryPack {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // CUSTOM Catalyst operator (logical node + strategy + exec pair):
+    // per-supplier top-3 lineitems by price — the partial heap bounds the
+    // exchange at k rows per (group, partition) where the oracle's window
+    // form shuffles every row; results must be row-identical anyway
+    "q350_topk_pergroup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      graft.ops.TopK.perGroup(li, Seq("l_suppkey"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true),
+            ("l_linenumber", true)), k = 3)
+        .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -84,6 +99,15 @@ object ScalePack extends QueryPack {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the window form IS the oracle: row_number over the same total order
+    "q350_topk_pergroup" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
   )
 }
