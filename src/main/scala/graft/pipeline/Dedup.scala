@@ -990,7 +990,7 @@ object Dedup {
       dims: Int = Similarity.MaxDims,
       maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
     val withNorm0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("__norm", sqrt(Similarity.dot(col("__v"), col("__v"))))
     // the normalized table feeds 2 branches per band; persisting skips the
     // upstream recompute (same trade as lshCandidatePairs.persistBands)
     val withNorm = if (persistVectors)
@@ -1021,7 +1021,7 @@ object Dedup {
         // drop pairs at the threshold filter — refuse loudly instead
         .filter(Similarity.sameWidth(col("__va"), col("__vb"), "cosinePairs"))
         .withColumn("cosine", TextAnalysis.round6(
-          aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
+          Similarity.dot(col("__va"), col("__vb")) /
             (col("__na") * col("__nb"))))
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
@@ -1462,7 +1462,7 @@ object Dedup {
   def cosineForPairs(emb: DataFrame, pairs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val withNorm = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("__norm", sqrt(Similarity.dot(col("__v"), col("__v"))))
     pairs
       .join(withNorm.select(col(idCol).as("id_a"), col("__v").as("__va"),
         col("__norm").as("__na")), Seq("id_a"))
@@ -1470,7 +1470,7 @@ object Dedup {
         col("__norm").as("__nb")), Seq("id_b"))
       .filter(Similarity.sameWidth(col("__va"), col("__vb"), "cosineForPairs"))
       .withColumn("cosine", TextAnalysis.round6(
-        aggregate(zip_with(col("__va"), col("__vb"), (x, y) => x * y), lit(0.0), (s, p) => s + p) /
+        Similarity.dot(col("__va"), col("__vb")) /
           (col("__na") * col("__nb"))))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

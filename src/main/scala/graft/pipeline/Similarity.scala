@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private def norm2(v: org.apache.spark.sql.Column) =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    sqrt(dot(v, v))
 
   /** Cosine similarity of two equal-width double-array columns (width
     * checked loudly via [[sameWidth]]); also the `graft_cosine(a, b)` SQL
@@ -29,8 +29,20 @@ object Similarity {
       dot(ad, bd) / (norm2(ad) * norm2(bd)))
   }
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
+  // native doGenCode expressions (graft.functions.VecFold): the
+  // aggregate(zip_with(..)) folds they replace were CodegenFallback and
+  // allocated a per-row intermediate array; accumulation order and
+  // per-element arithmetic are identical, so every gate hash is unchanged
+  private[pipeline] def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.Bridge.column(graft.functions.VecDot(
+      org.apache.spark.sql.graftbridge.Bridge.expression(a),
+      org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  private[pipeline] def dist2Fold(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.Bridge.column(graft.functions.VecDist2(
+      org.apache.spark.sql.graftbridge.Bridge.expression(a),
+      org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   /** Always-true predicate that RAISES on mismatched vector widths.
     * `zip_with` silently null-pads the shorter array, so a wrong-width
@@ -476,9 +488,7 @@ object Similarity {
         s"pass dims= explicitly (max $MaxDims)", size(v0))))
     val bits = (0 until numPlanes).map { p =>
       val w = typedlit((0 until dims).map(i => planeWeight(planeOffset + p, i)))
-      val proj = aggregate(
-        zip_with(v, slice(w, lit(1), size(v)), (x, c) => x * c),
-        lit(0.0), (s, t) => s + t)
+      val proj = dot(v, slice(w, lit(1), size(v)))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -509,9 +519,7 @@ object Similarity {
     val coords = (0 until outDims).map { p =>
       val w = typedlit((0 until dims).map(i => planeWeight(planeOffset + p, i)))
       struct(lit(p).as("dim"),
-        TextAnalysis.round6(aggregate(
-          zip_with(v, slice(w, lit(1), size(v)), (x, c) => x * c),
-          lit(0.0), (s, t) => s + t)).as("value"))
+        TextAnalysis.round6(dot(v, slice(w, lit(1), size(v)))).as("value"))
     }
     corpus.select(col(idCol), explode(array(coords: _*)).as("__c"))
       .select(col(idCol), col("__c")("dim").as("dim"),
@@ -627,8 +635,7 @@ object Similarity {
       centroidIdCol: String = "centroid_id"): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val cent = centroids.select(col(centroidIdCol), col(vecCol).cast("array<double>").as("__c"))
-    val dist2 = aggregate(zip_with(col("__v"), col("__c"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val dist2 = dist2Fold(col("__v"), col("__c"))
     // argmin as a struct-min aggregate (lexicographic on (dist2, centroid_id),
     // same tiebreak as an ORDER BY window) — partial-aggregates map-side, so
     // the shuffle carries one row per vec_id instead of the full corpus x K
@@ -681,9 +688,7 @@ object Similarity {
     }: _*)
     // (d, cid) struct sort = the (dist, id) tiebreak every ranked mirror uses
     val ds = sort_array(transform(centArr, c =>
-      struct(sqrt(aggregate(
-        zip_with(col("__v"), c("vec"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, t) => s + t)).as("d"), c("cid").as("cid"))))
+      struct(sqrt(dist2Fold(col("__v"), c("vec"))).as("d"), c("cid").as("cid"))))
     val perPoint = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .filter(sameWidth(col("__v"), typedLit(cents.head._2), "simplifiedSilhouette"))
@@ -768,8 +773,7 @@ object Similarity {
     // (vec_id, centroid_id, d2) with d2 pre-rounded so the argmin tiebreak
     // (centroid_id) is engine-independent even at near-ties
     def assign(cent: DataFrame): DataFrame = {
-      val dist2 = aggregate(zip_with(col("__v"), col("__c"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, t) => s + t)
+      val dist2 = dist2Fold(col("__v"), col("__c"))
       c.crossJoin(broadcast(cent))
         .filter(sameWidth(col("__v"), col("__c"), "kmeansTrain"))
         .withColumn("__d", TextAnalysis.round6(dist2))
@@ -810,8 +814,7 @@ object Similarity {
     val subRows = corpus.select(col(idCol), posexplode(slices).as(Seq("sub", "__sv")))
     val cb = codebooks.select(col("sub"), col("code_id"),
       col("subvec").cast("array<double>").as("__cv"))
-    val dist2 = aggregate(zip_with(col("__sv"), col("__cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val dist2 = dist2Fold(col("__sv"), col("__cv"))
     subRows.join(broadcast(cb), Seq("sub"))
       .filter(sameWidth(col("__sv"), col("__cv"), "pqEncode"))
       .withColumn("__d", TextAnalysis.round6(dist2))
@@ -874,8 +877,7 @@ object Similarity {
       // row's own subvector for the means step (constant per group, so it
       // rides the struct-min without affecting the (d, code_id) order)
       def assign(cent: DataFrame): DataFrame = {
-        val dist2 = aggregate(zip_with(col("__sv"), col("__cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (s, t) => s + t)
+        val dist2 = dist2Fold(col("__sv"), col("__cv"))
         subRows.join(broadcast(cent), Seq("sub"))
           .filter(sameWidth(col("__sv"), col("__cv"), "pqTrain"))
           .withColumn("__d", TextAnalysis.round6(dist2))
@@ -934,8 +936,7 @@ object Similarity {
     val qsub = queries.select(col(queryIdCol), posexplode(slices).as(Seq("sub", "__qv")))
     val cb = codebooks.select(col("sub"), col("code_id"),
       col("subvec").cast("array<double>").as("__cv"))
-    val dist2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val dist2 = dist2Fold(col("__qv"), col("__cv"))
     val lut = qsub.join(cb, Seq("sub"))
       .filter(sameWidth(col("__qv"), col("__cv"), "pqSearch"))
       .select(col(queryIdCol), col("sub"), col("code_id"),
@@ -976,8 +977,7 @@ object Similarity {
     // nprobe nearest cells per query — the tiny per-query K-entry sort of
     // ivfTopK, carrying only ids into the big join
     val cent = centroids.select(col(centroidIdCol), col(vecCol).cast("array<double>").as("__c"))
-    val qDist2 = aggregate(zip_with(col("__qv"), col("__c"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val qDist2 = dist2Fold(col("__qv"), col("__c"))
     val probes = queries
       .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
       .crossJoin(broadcast(cent))
@@ -994,8 +994,7 @@ object Similarity {
     val qsub = queries.select(col(queryIdCol), posexplode(slices).as(Seq("sub", "__qv")))
     val cb = codebooks.select(col("sub"), col("code_id"),
       col("subvec").cast("array<double>").as("__cv"))
-    val dist2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val dist2 = dist2Fold(col("__qv"), col("__cv"))
     val lut = qsub.join(cb, Seq("sub"))
       .filter(sameWidth(col("__qv"), col("__cv"), "ivfPqSearch"))
       .select(col(queryIdCol), col("sub"), col("code_id"),
@@ -1145,8 +1144,7 @@ object Similarity {
       .join(corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv")), idCol)
       .withColumn("__cn", norm2(col("__cv")))
     val cent = centroids.select(col(centroidIdCol), col(vecCol).cast("array<double>").as("__c"))
-    val qDist2 = aggregate(zip_with(col("__qv"), col("__c"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val qDist2 = dist2Fold(col("__qv"), col("__c"))
     val probes = queries
       .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
       .crossJoin(broadcast(cent))

@@ -96,8 +96,7 @@ object VectorIndex {
       centroidIdCol: String = "centroid_id"): DataFrame = {
     val cent = centroids.select(col(centroidIdCol),
       col(vecCol).cast("array<double>").as("__c"))
-    val qDist2 = aggregate(zip_with(col("__qv"), col("__c"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val qDist2 = Similarity.dist2Fold(col("__qv"), col("__c"))
     val probes = queries
       .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
       .crossJoin(broadcast(cent))
@@ -113,8 +112,7 @@ object VectorIndex {
     val qsub = queries.select(col(queryIdCol), posexplode(slices).as(Seq("sub", "__qv")))
     val cb = codebooks.select(col("sub"), col("code_id"),
       col("subvec").cast("array<double>").as("__cv"))
-    val dist2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val dist2 = Similarity.dist2Fold(col("__qv"), col("__cv"))
     val lut = qsub.join(cb, Seq("sub"))
       .filter(Similarity.sameWidth(col("__qv"), col("__cv"), "searchIndex"))
       .select(col(queryIdCol), col("sub"), col("code_id"),
@@ -159,8 +157,7 @@ object VectorIndex {
       .join(broadcast(short), Seq(idCol))
     val qv = queries.select(col(queryIdCol),
       col(vecCol).cast("array<double>").as("__qv"))
-    val d2 = aggregate(zip_with(col("__qv"), col("__v"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, t) => s + t)
+    val d2 = Similarity.dist2Fold(col("__qv"), col("__v"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("edist"), col(idCol))
     cand.join(broadcast(qv), Seq(queryIdCol))
       .filter(Similarity.sameWidth(col("__qv"), col("__v"), "searchRerank"))
