@@ -407,6 +407,62 @@ object Classifier {
           round6(col("mi") / sqrt(col("h_a") * col("h_b")))).as("nmi"))
   }
 
+  /** ADJUSTED RAND INDEX + FOWLKES-MALLOWS from the pair-confusion
+    * matrix — [[nmi]]'s chance-corrected companions (Hubert/Arabie 1985;
+    * Fowlkes/Mallows 1983): over all C(n,2) row pairs, TP = pairs
+    * together in BOTH partitions (Σ C(nᵢⱼ,2) over contingency cells),
+    * FP/FN from the margins, TN the rest; ARI =
+    * 2(TP·TN − FN·FP) / ((TP+FN)(FN+TN) + (TP+FP)(FP+TN)) and
+    * FM = TP/√((TP+FP)(TP+FN)). Unlike the entropy scores these are
+    * EXACT INTEGER arithmetic end to end (pair counts as exact
+    * decimals, one snapped division each) — n up to ~3·10⁷ keeps the
+    * products under 2⁵³ through the DECIMAL(38,0) path. Degenerate
+    * cases: an all-zero ARI denominator with perfect agreement
+    * (FP = FN = 0 — both partitions trivial and identical) reports 1.0
+    * (the sklearn convention); otherwise NULL. FM is NULL when either
+    * partition has no within-cluster pair.
+    *
+    * Shape at scale: the same one contingency aggregation as [[nmi]]
+    * (bounded by |A|·|B| cells), margin rollups over cells, three 1-row
+    * frames crossed. Output: one row (n, tp, fp, fn, tn, ari,
+    * fowlkes_mallows).
+    */
+  def pairwiseClusterAgreement(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import TextAnalysis.round6
+    def pairs2(c: Column) = (c.cast("decimal(38,0)") * (c - 1) / 2)
+      .cast("decimal(38,0)")
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__nij"))
+    val tpRow = cells.agg(sum(pairs2(col("__nij"))).as("__tp"),
+      sum(col("__nij")).as("n"))
+    val saRow = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ai"))
+      .agg(sum(pairs2(col("__ai"))).as("__sa"))
+    val sbRow = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__bj"))
+      .agg(sum(pairs2(col("__bj"))).as("__sb"))
+    val joined = tpRow.crossJoin(broadcast(saRow)).crossJoin(broadcast(sbRow))
+      .select(col("n"), col("__tp").as("tp"),
+        (col("__sa") - col("__tp")).as("fp"),
+        (col("__sb") - col("__tp")).as("fn"),
+        (pairs2(col("n")) - col("__sa") - col("__sb") + col("__tp")).as("tn"))
+    // pair-count SUMS stay exact decimals; the products move to DOUBLE
+    // (exact below ~2^26 pairs per term, and a decimal(38,0)×decimal(38,0)
+    // would overflow the 38-digit cap on either engine) in a FIXED order
+    // both engines reproduce
+    def d(c: Column) = c.cast("double")
+    val num = lit(2.0) * (d(col("tp")) * d(col("tn")) - d(col("fn")) * d(col("fp")))
+    val den = (d(col("tp")) + d(col("fn"))) * (d(col("fn")) + d(col("tn"))) +
+      (d(col("tp")) + d(col("fp"))) * (d(col("fp")) + d(col("tn")))
+    val fmDen = (d(col("tp")) + d(col("fp"))) * (d(col("tp")) + d(col("fn")))
+    joined.select(col("n"), col("tp").cast("long").as("tp"),
+      col("fp").cast("long").as("fp"), col("fn").cast("long").as("fn"),
+      col("tn").cast("long").as("tn"),
+      when(den > 0.0, round6(num / den))
+        .when(col("fp") === 0 && col("fn") === 0, lit(1.0)).as("ari"),
+      when(fmDen > 0.0, round6(d(col("tp")) / sqrt(fmDen)))
+        .as("fowlkes_mallows"))
+  }
+
   def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String): DataFrame = {
     val y = col(targetCol).cast("decimal(28,6)")
     val byCat = df.filter(col(catCol).isNotNull)

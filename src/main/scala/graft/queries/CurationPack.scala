@@ -276,6 +276,16 @@ object CurationPack extends QueryPack {
         "cluster", "label")
     }),
 
+    // adjusted Rand + Fowlkes-Mallows over the q347 fixture — the
+    // chance-corrected pair-counting clustering scores (exact integer
+    // pair algebra, two snapped divisions)
+    "q351_ari" -> ((s, d) => {
+      Classifier.pairwiseClusterAgreement(
+        Tables.t(s, d, "embeddings")
+          .select((col("vec_id") % 7).as("cluster"), col("label")),
+        "cluster", "label")
+    }),
+
     // class-balanced loss weights over document languages (effective
     // number of samples, beta = 0.999)
     "q340_class_weights" -> ((s, d) => {
@@ -1058,6 +1068,43 @@ object CurationPack extends QueryPack {
         |  CASE WHEN h_a > 0 AND h_b > 0
         |    THEN FLOOR(mi / SQRT(h_a * h_b) * 1e6 + 0.5) / 1e6 END AS nmi
         |FROM mi, ha, hb, nt""".stripMargin,
+
+    // pair-confusion recompute: exact C(x,2) sums, the products in the
+    // engine's fixed double order, two snapped divisions
+    "q351_ari" ->
+      """WITH cells AS (
+        |  SELECT vec_id % 7 AS a, label AS b, COUNT(*) AS nij
+        |  FROM embeddings GROUP BY 1, 2),
+        |tpn AS (
+        |  SELECT CAST(SUM(nij * (nij - 1) / 2) AS DECIMAL(38,0)) AS tp,
+        |         CAST(SUM(nij) AS BIGINT) AS n
+        |  FROM cells),
+        |sa AS (
+        |  SELECT CAST(SUM(ai * (ai - 1) / 2) AS DECIMAL(38,0)) AS sa
+        |  FROM (SELECT SUM(nij) AS ai FROM cells GROUP BY a)),
+        |sb AS (
+        |  SELECT CAST(SUM(bj * (bj - 1) / 2) AS DECIMAL(38,0)) AS sb
+        |  FROM (SELECT SUM(nij) AS bj FROM cells GROUP BY b)),
+        |j AS (
+        |  SELECT n, tp, sa - tp AS fp, sb - tp AS fn,
+        |    CAST(n AS DECIMAL(38,0)) * (n - 1) / 2 - sa - sb + tp AS tn
+        |  FROM tpn, sa, sb),
+        |jd AS (
+        |  SELECT n, tp, fp, fn, tn,
+        |    CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+        |    CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+        |  FROM j)
+        |SELECT n, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  CASE WHEN (tpd + fnd) * (fnd + tnd) + (tpd + fpd) * (fpd + tnd) > 0
+        |    THEN FLOOR(2.0 * (tpd * tnd - fnd * fpd) /
+        |      ((tpd + fnd) * (fnd + tnd) + (tpd + fpd) * (fpd + tnd))
+        |      * 1e6 + 0.5) / 1e6
+        |  WHEN fp = 0 AND fn = 0 THEN 1.0 END AS ari,
+        |  CASE WHEN (tpd + fpd) * (tpd + fnd) > 0
+        |    THEN FLOOR(tpd / SQRT((tpd + fpd) * (tpd + fnd)) * 1e6 + 0.5) / 1e6
+        |  END AS fowlkes_mallows
+        |FROM jd""".stripMargin,
 
     // effective-number weights: snapped pow, snapped inverse, exact
     // decimal normalizer, weights sum to the class count

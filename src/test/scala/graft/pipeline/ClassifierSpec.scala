@@ -135,4 +135,27 @@ class ClassifierSpec extends SparkTestBase {
     assert(const._2.compareTo(0.0) == 0, "entropy of a constant side must be +0.0, not -0.0")
     assert(const._4 === None)
   }
+
+  test("pairwiseClusterAgreement: hand pair confusion, ARI/FM laws, trivial-partition convention") {
+    def run(rows: Seq[(String, String)]) =
+      Classifier.pairwiseClusterAgreement(rows.toDF("a", "b"), "a", "b")
+        .select("n", "tp", "fp", "fn", "tn", "ari", "fowlkes_mallows")
+        .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+        .collect().head
+    // identical 2-way partitions: perfect agreement
+    assert(run(Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))) ===
+      ((4L, 2L, 0L, 0L, 4L, Some(1.0), Some(1.0))))
+    // hand-derived mixed case (3+3 vs 3+3 with one swap each way)
+    assert(run(Seq(("x", "p"), ("x", "p"), ("x", "q"),
+        ("y", "q"), ("y", "q"), ("y", "p"))) ===
+      ((6L, 2L, 4L, 4L, 5L, Some(-0.111111), Some(0.333333))))
+    // uniform independent 2x2 at n=4: exact pair algebra gives -0.5
+    // (chance-corrected to 0 only in expectation, not per arrangement)
+    assert(run(Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))) ===
+      ((4L, 0L, 2L, 2L, 2L, Some(-0.5), Some(0.0))))
+    // both partitions trivial and identical: zero denominator but
+    // fp = fn = 0 -> the 1.0 convention
+    assert(run(Seq(("x", "p"), ("x", "p"), ("x", "p"))) ===
+      ((3L, 3L, 0L, 0L, 0L, Some(1.0), Some(1.0))))
+  }
 }
