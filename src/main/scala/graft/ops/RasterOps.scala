@@ -722,6 +722,50 @@ object RasterOps {
       .withColumnRenamed("__eq", "value")
   }
 
+  /** OTSU global threshold over long-form integer-level pixels (Otsu
+    * 1979 — the parameter-free foreground/background split
+    * skimage's `threshold_otsu` computes; the binarization pass before
+    * [[labelConnected]] / morphology): pick the level t maximizing the
+    * between-class variance σ²_b(t) = ω₀ω₁(μ₀−μ₁)² of the ≤ t / > t
+    * split. Same two-pass global-stat shape as [[histogramEqualize]]:
+    * ONE keyed count aggregation to per-level (count, value·count) rows,
+    * cumulative sums over that BOUNDED level spine (never pixels), a
+    * broadcast 1-row totals frame, and an argmax over ≤ levels rows.
+    * σ²_b snaps to the 1e-6 grid BEFORE the argmax (the round-then-argmin
+    * discipline of kmeansTrain), ties break to the LOWEST level — both
+    * engines elect the same threshold even at near-ties. Candidate
+    * thresholds leave class 1 non-empty (the top level is not a
+    * candidate); a constant image therefore has no candidate and returns
+    * an empty frame, stated. Levels must be non-negative integers.
+    * Output: one row (threshold, sigma_b, n).
+    */
+  def otsuThreshold(pixels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = pixels.groupBy(col("value").cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__w0", sum(col("__n")).over(w))
+      .withColumn("__s0", sum(col("__v") * col("__n")).over(w))
+    val tot = counts.agg(sum(col("__n")).as("__nt"),
+      sum(col("__v") * col("__n")).as("__st"))
+    val w0d = col("__w0").cast("double")
+    val w1d = (col("__nt") - col("__w0")).cast("double")
+    val mu0 = col("__s0").cast("double") / w0d
+    val mu1 = (col("__st") - col("__s0")).cast("double") / w1d
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter(col("__w0") < col("__nt"))
+      .select(col("__v").as("threshold"),
+        graft.pipeline.TextAnalysis.round6(
+          w0d * w1d * (mu0 - mu1) * (mu0 - mu1)).as("sigma_b"),
+        col("__nt").as("n"))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("sigma_b").desc, col("threshold"))))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
   /** Shared neighborhood accessor for the box kernels: resolves (r, c)
     * offsets that fall outside the center tile into the neighbor ring,
     * indexing each neighbor with ITS OWN dims/stride (partial edge

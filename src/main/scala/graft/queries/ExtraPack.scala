@@ -576,6 +576,17 @@ object ExtraPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // Otsu global threshold over the q325 count raster: between-class
+    // variance maximized over the bounded level spine, snapped before
+    // the argmax so near-ties elect the same level on both engines
+    "q352_otsu" -> ((s, d) => {
+      val pixels = Tables.events(s, d).select(
+        (col("event_id") % 64).cast("int").as("y"),
+        (col("user_id") % 64).cast("int").as("x"))
+        .groupBy("y", "x").agg(count(lit(1)).as("value"))
+      RasterOps.otsuThreshold(pixels)
+    }),
+
     // distributed 3-4 chamfer distance transform: features = dense-grid
     // cells whose event count is a multiple of 5; 4 relaxation rounds
     // (>= the 2x2 tile-grid diameter) reach the global fixpoint; the
@@ -1095,6 +1106,39 @@ object ExtraPack extends QueryPack {
         |FROM colcum
         |ORDER BY y, x""".stripMargin,
     // histogram equalization: bounded per-level cdf -> eq map -> join
+    // Otsu recomputed over the same level spine: cumulative class
+    // moments, the variance in the engine's exact double order, snap,
+    // then (sigma DESC, level ASC) row_number argmax
+    "q352_otsu" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,
+        |         COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lvl AS (SELECT v, COUNT(*) AS n FROM px GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    SUM(n) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w0,
+        |    SUM(v * n) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+        |  FROM lvl),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |               CAST(SUM(v * n) AS BIGINT) AS st FROM lvl),
+        |scored AS (
+        |  SELECT v AS threshold,
+        |    FLOOR(CAST(w0 AS DOUBLE) * CAST(nt - w0 AS DOUBLE) *
+        |      (CAST(s0 AS DOUBLE) / CAST(w0 AS DOUBLE)
+        |        - CAST(st - s0 AS DOUBLE) / CAST(nt - w0 AS DOUBLE)) *
+        |      (CAST(s0 AS DOUBLE) / CAST(w0 AS DOUBLE)
+        |        - CAST(st - s0 AS DOUBLE) / CAST(nt - w0 AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS sigma_b,
+        |    nt AS n
+        |  FROM cum, tot WHERE w0 < nt)
+        |SELECT threshold, sigma_b, n FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY sigma_b DESC, threshold) AS rk
+        |  FROM scored)
+        |WHERE rk = 1""".stripMargin,
+
     "q325_hist_equalize" ->
       """WITH px AS (
         |  SELECT CAST(event_id % 64 AS INT) AS y, CAST(user_id % 64 AS INT) AS x,

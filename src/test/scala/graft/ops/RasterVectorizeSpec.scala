@@ -201,6 +201,19 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(const.forall(_ == 3.0))
   }
 
+  test("otsuThreshold: bimodal split, exact tie breaks low, constant image empty") {
+    def run(vals: Seq[Long]) =
+      RasterOps.otsuThreshold(vals.zipWithIndex
+          .map { case (v, i) => (0, i, 0, v) }.toDF("c", "y", "x", "value"))
+        .as[(Long, Double, Long)].collect().toSeq
+    // {0 x4, 10 x2}: only candidate t=0, sigma = 4*2*10^2 = 800
+    assert(run(Seq(0L, 0L, 0L, 0L, 10L, 10L)) === Seq((0L, 800.0, 6L)))
+    // {1 x3, 5 x2, 9 x3}: t=1 and t=5 tie at sigma 614.4 -> lowest wins
+    assert(run(Seq(1L, 1L, 1L, 5L, 5L, 9L, 9L, 9L)) === Seq((1L, 614.4, 8L)))
+    // constant image: no candidate threshold (class 1 would be empty)
+    assert(run(Seq(7L, 7L, 7L)).isEmpty)
+  }
+
   test("coarsen + subsample") {
     val pixels = Seq((0, 0, 0, 1.0), (0, 0, 1, 3.0), (0, 1, 0, 5.0), (0, 1, 1, 7.0))
       .toDF("c", "y", "x", "value")
