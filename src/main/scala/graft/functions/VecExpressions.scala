@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Accumulation is LEFT-TO-RIGHT from 0.0 with the identical per-element
   * arithmetic of the folds they replace, so results are bit-identical —
   * the whole gate registry re-verified unchanged when the call sites
-  * switched. Width mismatches throw (zip_with would silently null-pad);
-  * arrays must not contain null elements (embeddings never do — they are
-  * casts of parquet float arrays), stated here as the contract.
+  * switched. Width mismatches throw (zip_with would silently null-pad),
+  * and so does a null ELEMENT inside either array: parquet-cast
+  * array<double> is containsNull=true, and `ArrayData.getDouble` on a
+  * null slot silently reads 0.0 — a wrong number, not an error. The
+  * folds these replace propagated NULL; here a null element is refused
+  * loudly (engine convention), since no legitimate embedding has one.
   */
 abstract class VecFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -50,7 +53,12 @@ abstract class VecFold extends BinaryExpression {
         s"$prettyName: vector widths differ ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += termScala(x.getDouble(i), y.getDouble(i)); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i (vectors must be dense)")
+      s += termScala(x.getDouble(i), y.getDouble(i)); i += 1
+    }
     s
   }
 
@@ -69,6 +77,10 @@ abstract class VecFold extends BinaryExpression {
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException("$prettyName: null element at index "
+         |      + $i + " (vectors must be dense)");
+         |  }
          |  final double $x = $a.getDouble($i);
          |  final double $y = $b.getDouble($i);
          |  $s += ${termJava(x, y)};

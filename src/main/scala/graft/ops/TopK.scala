@@ -29,9 +29,17 @@ object TopK {
     if (!cur.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies = cur :+ TopKPerGroupStrategy
     val lp = df.queryExecution.analyzed
-    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"TopK.perGroup: no column '$n' in ${lp.output.map(_.name)}"))
+    // resolve by name, refusing ambiguity loudly: after a join the analyzed
+    // plan can carry two attributes with the same name, and silently binding
+    // the first would rank by the wrong side's column
+    def attr(n: String) = lp.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"TopK.perGroup: no column '$n' in ${lp.output.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        s"TopK.perGroup: column '$n' is ambiguous (${many.size} attributes match); " +
+          "alias the columns before calling")
+    }
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

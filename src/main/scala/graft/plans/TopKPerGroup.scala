@@ -64,6 +64,17 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * because compare-equal rows within a group are identical in every
   * output column (the order is expected to be a total tiebreak, as any
   * deterministic top-k needs).
+  *
+  * Memory envelope: the PARTIAL phase flushes its heap map whenever the
+  * buffered-row count exceeds [[TopKPerGroupExec.partialFlushRows]] —
+  * emitting a flushed group's ≤ k rows early is correct because the final
+  * phase re-reduces per group, so partial memory is bounded regardless of
+  * group cardinality (the analogue of HashAggregateExec's sort-based
+  * fallback, but cheaper: no sort needed, just emit-and-reset). The FINAL
+  * phase holds distinct-groups-in-partition × k rows — the same envelope
+  * as a final hash aggregation's state map — and does not spill; a
+  * pathological groups×k that outgrows an executor needs a larger shuffle
+  * partition count, exactly as final aggregation does.
   */
 case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: SparkPlan, partial: Boolean) extends UnaryExecNode {
@@ -80,6 +91,7 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
     val g = groupCols
     val o = order
     val out = child.output
+    val flushAt = if (partial) TopKPerGroupExec.partialFlushRows else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       // generated projections/orderings are not serializable — built per
       // partition, exactly like SortExec/HashAggregateExec do
@@ -88,23 +100,47 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
       val cmp = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kL, cmp)
-          heaps.put(key.copy(), heap)
+      import scala.jdk.CollectionConverters._
+      new Iterator[InternalRow] {
+        private var drained: Iterator[InternalRow] = Iterator.empty
+        // consume input until the row budget trips or input is exhausted,
+        // then hand the buffered heaps to `drained`; partial mode may loop
+        // (flush-and-reset), final mode's budget is unbounded so one pass
+        private def refill(): Unit = {
+          val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+          var buffered = 0
+          while (iter.hasNext && buffered < flushAt) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](kL, cmp)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size() < kL) { heap.add(row.copy()); buffered += 1 }
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
+          drained = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
         }
-        if (heap.size() < kL) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        override def hasNext: Boolean =
+          drained.hasNext || (iter.hasNext && { refill(); drained.hasNext })
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("TopKPerGroupExec")
+          drained.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
+}
+
+object TopKPerGroupExec {
+  /** Partial-phase buffered-row budget before a flush-and-reset. 2^20 rows
+    * of copied UnsafeRows (~100 MB at 100 B/row) — comfortably inside an
+    * executor task's share while making flushes rare: a flush only costs
+    * extra shuffle rows (≤ k per flushed group), never correctness.
+    */
+  val partialFlushRows: Int = 1 << 20
 }

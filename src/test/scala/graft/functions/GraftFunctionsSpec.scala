@@ -63,6 +63,22 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("vec folds refuse null ARRAY ELEMENTS loudly (no silent 0.0 read)") {
+    // parquet-cast array<double> is containsNull=true; ArrayData.getDouble on
+    // a null slot would silently read 0.0 — the expression must throw instead
+    val ex = intercept[Exception] {
+      sql.sql("SELECT graft_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
+        .head()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+        .mkString(" | "))
+    assert(rootMsg(ex).contains("null element"), rootMsg(ex))
+    // whole-NULL array still propagates NULL (BinaryExpression null-safety)
+    val r = sql.sql("SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c").head()
+    assert(r.isNullAt(0))
+  }
+
   test("graft_jaro_winkler: textbook values, conventions, NULL propagation") {
     val r = sql.sql(
       """SELECT graft_jaro_winkler('martha', 'marhta') AS a,
