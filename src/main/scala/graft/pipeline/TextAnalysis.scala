@@ -974,26 +974,36 @@ object TextAnalysis {
 
   /** Apply trained BPE merges ([[bpeTrain]] output, in rank order) to every
     * document: per-doc word pieces after the full merge chain, as counts.
-    * A stateless per-row projection — the merge rules are literals baked
-    * into one nested codegen'd expression (chars -> fold per merge ->
-    * size), summed across the doc's words with an `aggregate` fold. No
-    * shuffle, no join: the classic "tokenize the corpus" map step.
-    * Output: (id, n_words, n_pieces).
+    * A stateless per-row projection — ONE codegen'd static call per doc
+    * ([[TextKernel.bpeSegmentDoc]]; the merge rules ride along as a plan
+    * literal, parsed once per executor). No shuffle, no join: the classic
+    * "tokenize the corpus" map step. The previous form — a per-merge
+    * `aggregate` fold nested inside a per-word fold — was a
+    * HigherOrderFunction chain (CodegenFallback, interpreted) costing
+    * ~1.4 ms/doc at sf0.1; the kernel is the [[Dedup.simhashCol]]
+    * discipline applied here. Hash-identical output (exact integer
+    * counts either way). Output: (id, n_words, n_pieces).
     */
   def bpeSegment(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def pieces(word: Column): Column = {
-      var s = bpeInitSymbols(word)
-      merges.foreach { case (a, b) => s = bpeMergePass(s, a, b) }
-      size(s)
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(' ') && !b.contains(' ') &&
+        !a.contains('\n') && !b.contains('\n'),
+        s"bpeSegment: merge symbols must be non-empty and space/newline-free, got ('$a','$b')")
     }
+    val spec = merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    val counts = Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(LongType, containsNull = false), "bpeSegmentDoc",
+      Seq(concat_ws(" ", Dedup.words(col(textCol))), lit(spec)),
+      Seq(StringType, StringType), returnNullable = false)
     docs
+      .select(col(idCol), counts.as("__c"))
       .select(col(idCol),
-        filter(Dedup.words(col(textCol)), w => length(w) > 0).as("__w"))
-      .select(col(idCol),
-        size(col("__w")).cast("long").as("n_words"),
-        aggregate(col("__w"), lit(0L),
-          (acc, w) => acc + pieces(w).cast("long")).as("n_pieces"))
+        get(col("__c"), lit(0)).as("n_words"),
+        get(col("__c"), lit(1)).as("n_pieces"))
   }
 
   /** Quality-score components (length/punct/stopword ratios — the usual

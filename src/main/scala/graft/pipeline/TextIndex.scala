@@ -34,20 +34,31 @@ object TextIndex {
   def writeBandIndex(docs: DataFrame, table: String, path: String,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      buckets: Int = 16): Unit =
+    writeBandIndexRows(
+      Dedup.lshBands(docs, textCol, idCol, k, numHashes, bands),
+      table, path, buckets)
+
+  def readBandIndex(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Register PRECOMPUTED band rows ([[Dedup.lshBands]] output schema) as
+    * the at-rest index table under the same bucket spec as
+    * [[writeBandIndex]] — the restore path when the corpus minhash pass
+    * already ran (re-laying out an index copy, compaction, or the bench's
+    * memoized base). Costs one tiny shuffle of (id, band, band_key) rows;
+    * never touches document text.
+    */
+  def writeBandIndexRows(rows: DataFrame, table: String, path: String,
       buckets: Int = 16): Unit = {
-    val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    Dedup.lshBands(docs, textCol, idCol, k, numHashes, bands)
-      .write.mode(SaveMode.Overwrite)
+    rows.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    rows.write.mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, "band", "band_key")
       .sortBy("band", "band_key")
       .format("parquet")
       .saveAsTable(table)
   }
-
-  def readBandIndex(spark: SparkSession, table: String): DataFrame =
-    spark.table(table)
 
   /** INCREMENTAL band-index maintenance — the dedup twin of
     * [[appendToBm25Index]]: minhash ONLY the new batch and append its

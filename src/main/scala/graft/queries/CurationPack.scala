@@ -729,7 +729,12 @@ object CurationPack extends QueryPack {
     // counts. The 3-row merge model is memoized per (JVM, sf dir) — a
     // tokenizer is trained once and segments forever, so reps 2+ (and the
     // bench min-of-3) time the SEGMENT operator, not the training loop
-    // (q151 times bpeTrain itself).
+    // (q151 times bpeTrain itself). Round-11 note: the round-10 bench's
+    // 7.4 s min was the segment operator ITSELF — the nested aggregate-fold
+    // form was CodegenFallback (interpreted ~1.4 ms/doc); the old 0.4 s
+    // "isolated" claim was Profile's .count() pruning the whole projection.
+    // Both fixed: one StaticInvoke kernel (TextKernel.bpeSegmentDoc),
+    // Profile now noop-writes like Bench.
     "q152_bpe_segment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = bpeMergeCache.synchronized {

@@ -266,6 +266,35 @@ class CurationOpsSpec extends SparkTestBase {
     assert(seg(14L) === ((1L, 2L)))
   }
 
+  test("bpeSegment kernel: greedy non-overlap, multi-word sums, empty/blank docs") {
+    // (a,a) on "aaa" must fuse LEFT-TO-RIGHT non-overLAPPING: aa|a = 2
+    // pieces (the classic BPE scan), never 1 (re-matching the fused "aa"
+    // as `a`); multi-char rules apply after earlier ranks rewrite
+    val corpus = Seq(
+      (1L, "aaa"),
+      (2L, "aaaa aa b"),     // aa|aa + aa + b = 2+1+1 pieces, 3 words
+      (3L, ""),              // empty doc: 0 words, 0 pieces
+      (4L, " .,;! "),        // tokenizer yields nothing: 0/0
+      (5L, "xay")            // no rule applies: 3 char pieces
+    ).toDF("doc_id", "text")
+    val seg = TextAnalysis.bpeSegment(corpus, Seq(("a", "a")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(seg(1L) === ((1L, 2L)))
+    assert(seg(2L) === ((3L, 4L)))
+    assert(seg(3L) === ((0L, 0L)))
+    assert(seg(4L) === ((0L, 0L)))
+    assert(seg(5L) === ((1L, 3L)))
+    // chained ranks: (a,b) then (ab,ab): "ababab" -> ab|ab|ab -> abab|ab = 2
+    val seg2 = TextAnalysis.bpeSegment(Seq((1L, "ababab")).toDF("doc_id", "text"),
+      Seq(("a", "b"), ("ab", "ab")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(seg2(1L) === ((1L, 2L)))
+    // merge symbols with spaces/newlines are refused loudly (spec encoding)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeSegment(corpus, Seq(("a b", "c")))
+    }
+  }
+
   test("removeDuplicateSpans keeps the globally-first occurrence, strips the rest") {
     val shared = "one two three four five six seven eight"
     val corpus = Seq(
