@@ -381,9 +381,10 @@ object TextAnalysis {
     * compute identically), top `topK` tokens per doc, score-desc then
     * token-asc. Shape at scale: one tf aggregation keyed by (doc, token),
     * one df aggregation keyed by token, a token-keyed join back, then a
-    * per-doc top-k via sorted-slice aggregation (the buffer holds one
-    * doc's distinct tokens — bounded by document size, no window over the
-    * corpus).
+    * per-doc top-k via [[graft.plans.TopKPerGroupLogical]] — map-side
+    * bounded heaps, an exchange carrying <= k rows per (doc, partition),
+    * rank assignment over the <= k survivors. No window, and no
+    * aggregation buffer proportional to document vocabulary.
     */
   def tfidfKeywords(docs: DataFrame, topK: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -394,12 +395,22 @@ object TextAnalysis {
     val df = tok.select(col(idCol), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    tf.join(df, "token")
+    val scored = tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("__score", col("__tf").cast("double") * col("__n") / col("__df"))
+    // per-doc top-k through the custom TopKPerGroup operator: bounded
+    // map-side heaps emit <= k rows per (doc, partition) BEFORE the
+    // exchange — the shuffle carries O(docs * partitions * k), not every
+    // (doc, token) score. Ranks are then assigned by a sorted-slice
+    // aggregation whose buffer holds the <= k survivors (never a corpus
+    // window), reusing the exchange's doc-hash partitioning (no extra
+    // shuffle: the final TopK exec is already clustered on idCol).
+    graft.ops.TopK.perGroup(
+      scored.select(col(idCol), col("token"), col("__score")),
+      Seq(idCol), Seq(("__score", false), ("token", true)), topK)
       .groupBy(col(idCol))
-      .agg(slice(array_sort(collect_list(struct((-col("__score")).as("__neg"),
-        col("token"), col("__score").as("__s")))), 1, topK).as("__top"))
+      .agg(array_sort(collect_list(struct((-col("__score")).as("__neg"),
+        col("token"), col("__score").as("__s")))).as("__top"))
       .select(col(idCol), posexplode(col("__top")).as(Seq("__pos", "__kw")))
       .select(col(idCol), (col("__pos") + 1).cast("long").as("rank"),
         col("__kw.token").as("token"), round6(col("__kw.__s")).as("score"))
@@ -701,27 +712,35 @@ object TextAnalysis {
     * domain — the per-slice vocabulary audit next to the corpus-wide
     * [[heavyHitterGrams]]). Two stages: one keyed hash aggregation to
     * (group, token, count) — partial map-side combine, the only shuffle
-    * that sees corpus-scale data — then a rank window over the AGGREGATED
-    * counts. The window partitions by group over at most
-    * |vocabulary-per-group| rows, never corpus rows, so a hot group costs
-    * its vocab size, not its token count (same bounded-window argument as
-    * the quantile sketch). Ties break token-ascending. Output:
+    * that sees corpus-scale data — then per-group top-k through
+    * [[graft.plans.TopKPerGroupLogical]]: map-side bounded heaps emit
+    * <= k terms per (group, partition), so a hot group costs
+    * k x partitions exchange rows, not its vocabulary (strictly better
+    * than the previous rank window, which re-shuffled and sorted each
+    * group's whole vocab; [[topTermsPerGroupSalted]] remains as the
+    * composed-windows alternative). Ties break token-ascending. Output:
     * (groupCol, rank, token, n_occurrences).
     */
   def topTermsPerGroup(docs: DataFrame, groupCol: String, topK: Int = 5,
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = docs
       .select(col(groupCol), explode(Dedup.words(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("n_occurrences").desc, col("token"))
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col(groupCol), col("rank").cast("long").as("rank"),
-        col("token"), col("n_occurrences"))
+    // rank window -> TopKPerGroup: the window re-shuffled and sorted each
+    // group's WHOLE vocabulary; the custom operator's map-side heaps emit
+    // <= k terms per (group, partition), so a whole-web-scale group costs
+    // k * partitions exchange rows, not its vocab. Rank assignment sorts
+    // the <= k survivors per group (reuses the exchange's partitioning).
+    graft.ops.TopK.perGroup(counts, Seq(groupCol),
+      Seq(("n_occurrences", false), ("token", true)), topK)
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct((-col("n_occurrences")).as("__neg"),
+        col("token"), col("n_occurrences").as("__n")))).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__t.token").as("token"), col("__t.__n").as("n_occurrences"))
   }
 
   /** Unicode SCRIPT PROFILE — the script-level language signal

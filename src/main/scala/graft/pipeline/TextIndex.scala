@@ -264,7 +264,6 @@ object TextIndex {
       queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", queryIdCol: String = "query_id",
       termCol: String = "term"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"bm25RankIndexedBatch: k must be >= 1, got $k")
     val q = queries.select(col(queryIdCol), col(termCol)).distinct()
     val tf = postings.join(broadcast(q), Seq(termCol))
@@ -272,9 +271,7 @@ object TextIndex {
     // not once per (query, term)
     val dfreq = tf.select(col(termCol), col(idCol)).distinct()
       .groupBy(col(termCol)).agg(count(lit(1)).as("__df"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("score").desc, col(idCol))
-    tf.join(broadcast(dfreq), Seq(termCol))
+    val scored = tf.join(broadcast(dfreq), Seq(termCol))
       .crossJoin(broadcast(stats))
       .withColumn("__idf", TextAnalysis.round6(log(
         (col("n_docs") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)))
@@ -284,8 +281,22 @@ object TextIndex {
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__s").cast("decimal(28,6)")).cast("double").as("score"),
         count(lit(1)).as("n_terms_hit"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // per-query top-k via TopKPerGroup instead of a rank window: the window
+    // re-shuffled every (query, doc) score and sorted whole result lists; a
+    // hot query (a term hitting half the corpus) paid its full posting-list
+    // size in sort memory. Map-side heaps emit <= k docs per (query,
+    // partition); ranks are assigned over the <= k survivors per query on
+    // the exchange's partitioning.
+    graft.ops.TopK.perGroup(scored, Seq(queryIdCol),
+      Seq(("score", false), (idCol, true)), k)
+      .groupBy(col(queryIdCol))
+      .agg(array_sort(collect_list(struct((-col("score")).as("__neg"),
+        col(idCol), col("score").as("__sc"), col("n_terms_hit").as("__h"))))
+        .as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col(queryIdCol), col(s"__r.$idCol").as(idCol),
+        col("__r.__sc").as("score"), col("__r.__h").as("n_terms_hit"),
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 
   /** BM25 ranking of the corpus against a bag of query terms (Robertson/

@@ -435,7 +435,7 @@ class PlanShapeSpec extends SparkTestBase {
       s"range join must broadcast, not sort-merge:\n$plan")
   }
 
-  test("tfidfKeywords: per-doc sorted-slice aggregation, no corpus window") {
+  test("tfidfKeywords: TopKPerGroup prunes map-side, no corpus window") {
     val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidfKeywords(docs, topK = 2)
     val plan = out.queryExecution.executedPlan.toString
@@ -445,6 +445,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
     assert(!plan.contains("Window"),
       "top-k per doc must aggregate, not rank the corpus through a window")
+    assert(plan.contains("TopKPerGroup"),
+      s"per-doc top-k must plan through TopKPerGroupExec:\n$plan")
+  }
+
+  test("topTermsPerGroup / bm25RankIndexedBatch: TopKPerGroup, no window") {
+    val docs = Seq((1L, "en", "alpha beta beta"), (2L, "de", "alpha gamma"))
+      .toDF("doc_id", "lang", "text")
+    val p1 = TextAnalysis.topTermsPerGroup(docs, "lang", topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Window") && p1.contains("TopKPerGroup"),
+      s"topTermsPerGroup must rank through TopKPerGroupExec:\n$p1")
+    val postings = Seq(("alpha", 1L, 2L, 5L), ("beta", 2L, 1L, 3L))
+      .toDF("term", "doc_id", "tf", "dl")
+    val stats = Seq((2L, 4.0)).toDF("n_docs", "avgdl")
+    val queries = Seq((10L, "alpha"), (10L, "beta")).toDF("query_id", "term")
+    val p2 = TextIndex.bm25RankIndexedBatch(postings, stats, queries, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Window") && p2.contains("TopKPerGroup"),
+      s"bm25RankIndexedBatch must rank through TopKPerGroupExec:\n$p2")
   }
 
   test("attributionPairs joins on user id: no product") {
