@@ -262,37 +262,242 @@ object RasterOps {
             val synth = for {
               off <- haloOffsets
               if !real.contains(off)
-            } yield off -> clipHalo(b match {
-              case Boundary.Constant(v) => HaloTile(h, w, Array.fill(h * w)(v))
-              case _ =>
-                // Reflect = numpy "symmetric" padding of the GLOBAL raster.
-                // A missing EDGE neighbor mirrors the center across the
-                // shared edge. A missing DIAGONAL neighbor sits past the
-                // raster on one or both axes: past only the vertical axis
-                // (the horizontal edge-neighbor exists) it is the vertical
-                // mirror OF THAT NEIGHBOR — mirroring the center there
-                // would fabricate the wrong column block; symmetrically
-                // for the horizontal axis; past both (a raster corner, or
-                // a sparse store) it is the double mirror of the center.
-                // Each mirror keeps its SOURCE's dims and stride.
-                val (dy, dx) = off
-                val (src, mirY, mirX) =
-                  if (dy != 0 && dx != 0 && !real.contains((dy, 0)) && real.contains((0, dx)))
-                    (real((0, dx)), true, false)
-                  else if (dy != 0 && dx != 0 && real.contains((dy, 0)) && !real.contains((0, dx)))
-                    (real((dy, 0)), false, true)
-                  else (HaloTile(h, w, px), dy != 0, dx != 0)
-                HaloTile(src.h, src.w, Array.tabulate(src.h * src.w) { i =>
-                  val r = i / src.w; val cc = i % src.w
-                  val sr = if (mirY) src.h - 1 - r else r
-                  val sc = if (mirX) src.w - 1 - cc else cc
-                  src.px(sr * src.w + sc)
-                })
-            }, off._1, off._2, d)
+            } yield off -> synthNeighbor2d(HaloTile(h, w, px), real, off, d, b)
             real ++ synth
         }
         (scale, c, ty, tx, h, w, fn(h, w, px, m))
       }.toDF("scale", "c", "tile_y", "tile_x", "h", "w", "px")
+  }
+
+  /** Synthesize ONE missing 2D neighbor slab (raster edge / sparse store)
+    * — shared by the 2D and 3D halo assemblers. Reflect = numpy
+    * "symmetric" padding of the GLOBAL raster: a missing EDGE neighbor
+    * mirrors the center across the shared edge; a missing DIAGONAL
+    * neighbor sits past the raster on one or both axes — past only the
+    * vertical axis (the horizontal edge-neighbor exists) it is the
+    * vertical mirror OF THAT NEIGHBOR (mirroring the center there would
+    * fabricate the wrong column block), symmetrically for the horizontal
+    * axis, and past both (a raster corner, or a sparse store) the double
+    * mirror of the center. Each mirror keeps its SOURCE's dims and
+    * stride; the result is clipped to the depth margin like a real
+    * shipment ([[clipHalo]]).
+    */
+  private def synthNeighbor2d(center: HaloTile, real: Map[(Int, Int), HaloTile],
+      off: (Int, Int), depth: Int, boundary: Boundary): HaloTile =
+    clipHalo(boundary match {
+      case Boundary.Constant(v) =>
+        HaloTile(center.h, center.w, Array.fill(center.h * center.w)(v))
+      case _ =>
+        val (dy, dx) = off
+        val (src, mirY, mirX) =
+          if (dy != 0 && dx != 0 && !real.contains((dy, 0)) && real.contains((0, dx)))
+            (real((0, dx)), true, false)
+          else if (dy != 0 && dx != 0 && real.contains((dy, 0)) && !real.contains((0, dx)))
+            (real((dy, 0)), false, true)
+          else (center, dy != 0, dx != 0)
+        HaloTile(src.h, src.w, Array.tabulate(src.h * src.w) { i =>
+          val r = i / src.w; val cc = i % src.w
+          val sr = if (mirY) src.h - 1 - r else r
+          val sc = if (mirX) src.w - 1 - cc else cc
+          src.px(sr * src.w + sc)
+        })
+    }, off._1, off._2, depth)
+
+  // ---- 3D halo (z-depth ghost planes over the z-stacked tile layout) ----
+
+  /** The 3D halo exchange over z-stacked tiles ([[pixelsToTiles3d]]:
+    * one TSxTS tile per (c, z, tile_y, tile_x) — each tile is ONE z
+    * plane thick). Offsets run dz in [-depthZ, depthZ] x the 8-neighbor
+    * (dy, dx) ring plus the pure-z (dz, 0, 0) columns. In (y, x) only the
+    * `depth`-wide margin facing the receiver ships, exactly like
+    * [[haloSent]]; in z a kernel of half-extent depthZ needs WHOLE
+    * adjacent planes (the chunk is 1 plane thick), so the (dz, 0, 0)
+    * copies ship full tiles — ~2*depthZ x the raster bytes, the same
+    * ghost-cell cost dask `map_overlap(depth={z:k})` pays on
+    * (1, ty, tx)-chunked arrays (map.py:110-126 is dim-generic). A
+    * z-thick re-chunk is the lever when depthZ grows; for the blur/
+    * morphology kernels here depthZ is 1-2.
+    */
+  private[graft] def haloSent3d(tiles: DataFrame, depth: Int,
+      depthZ: Int): DataFrame = {
+    val offsets = for {
+      dz <- -depthZ to depthZ
+      (dy, dx) <- (0, 0) +: haloOffsets
+      if !(dz == 0 && dy == 0 && dx == 0)
+    } yield (dz, dy, dx)
+    val neighborCols = offsets.map { case (dz, dy, dx) =>
+      val sh = if (dy == 0) col("h") else least(lit(depth), col("h"))
+      val sw = if (dx == 0) col("w") else least(lit(depth), col("w"))
+      val r0 = if (dy == 1) col("h") - sh else lit(0)
+      val c0 = if (dx == 1) col("w") - sw else lit(0)
+      val pay =
+        if (dy == 0 && dx == 0) col("px")
+        else filter(col("px"), (_, i) => {
+          val r = floor(i / col("w")).cast("int")
+          val cc = i % col("w")
+          val rowOk = if (dy == 0) lit(true) else r >= r0 && r < r0 + sh
+          val colOk = if (dx == 0) lit(true) else cc >= c0 && cc < c0 + sw
+          rowOk && colOk
+        })
+      struct(lit(dz).as("dz"), lit(dy).as("dy"), lit(dx).as("dx"),
+        (col("z") + dz).as("to_z"),
+        (col("tile_y") + dy).as("to_y"), (col("tile_x") + dx).as("to_x"),
+        sh.cast("int").as("n_h"), sw.cast("int").as("n_w"), pay.as("n_px"))
+    }
+    tiles.select(col("scale"), col("c"), explode(array(neighborCols: _*)).as("o"))
+      .select(col("scale"), col("c"), col("o.n_px").as("n_px"),
+        col("o.n_h").as("n_h"), col("o.n_w").as("n_w"),
+        col("o.dz").as("dz"), col("o.dy").as("dy"), col("o.dx").as("dx"),
+        col("o.to_z").as("z"),
+        col("o.to_y").as("tile_y"), col("o.to_x").as("tile_x"))
+  }
+
+  /** 3D neighborhood kernel with halo — `map_overlap(depth)` with a z
+    * component (the reference's map.py:110-126 applies to 3D dask arrays;
+    * ghost margins ship in z too). Assembles each z-stacked tile with its
+    * neighbors' slabs keyed by (dz, dy, dx) and hands `(h, w, center,
+    * halo)` to `fn`. `boundary` fills missing neighbors; Reflect is
+    * numpy "symmetric" applied per axis — in z a missing plane resolves
+    * to the mirrored IN-RANGE plane (multi-bounce for rasters thinner
+    * than the reach), then the (dy, dx) margin of that plane is taken,
+    * 2D-synthesized through [[synthNeighbor2d]] when the plane's own
+    * (y, x) neighbor is past the raster (the full plane is always on
+    * hand: pure-z copies ship whole tiles).
+    */
+  def mapRasterWithHalo3d(tiles: DataFrame, tileSize: Int = TS,
+      boundary: Boundary = Boundary.NoPad, depth: Int = -1, depthZ: Int = 1)(
+      fn: (Int, Int, Array[Double], Map[(Int, Int, Int), HaloTile]) => Array[Double]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val d = if (depth <= 0) tileSize else depth
+    require(d <= tileSize,
+      s"mapRasterWithHalo3d: depth $d exceeds tileSize $tileSize — re-tile first")
+    require(depthZ >= 1, s"mapRasterWithHalo3d: depthZ must be >= 1, got $depthZ")
+    val dZ = depthZ
+    val sent = haloSent3d(tiles, d, dZ)
+    val joined = tiles.join(sent, Seq("scale", "c", "z", "tile_y", "tile_x"), "left")
+      .groupBy(col("scale"), col("c"), col("z"), col("tile_y"), col("tile_x"),
+        col("h"), col("w"), col("px"))
+      .agg(collect_list(struct(col("dz"), col("dy"), col("dx"),
+        col("n_h"), col("n_w"), col("n_px"))).as("halo"))
+    joined
+      .as[(Int, Int, Int, Int, Int, Int, Int, Array[Double],
+        Seq[(Option[Int], Option[Int], Option[Int], Option[Int], Option[Int], Option[Seq[Double]])])]
+      .map { case (scale, c, z, ty, tx, h, w, px, halo) =>
+        val real = halo.collect {
+          case (Some(dz), Some(dy), Some(dx), Some(nh), Some(nw), Some(npx)) =>
+            // sender offset seen from the receiver is the negation
+            ((-dz, -dy, -dx), HaloTile(nh, nw, npx.toArray))
+        }.toMap
+        val center = HaloTile(h, w, px)
+        val m = boundary match {
+          case Boundary.NoPad => real
+          case b =>
+            // the full plane at offset pz (pure-z shipments are whole tiles)
+            def planeCenter(pz: Int): Option[HaloTile] =
+              if (pz == 0) Some(center) else real.get((pz, 0, 0))
+            def real2d(pz: Int): Map[(Int, Int), HaloTile] = real.collect {
+              case ((z2, dy, dx), t) if z2 == pz && !(dy == 0 && dx == 0) =>
+                (dy, dx) -> t
+            }
+            // symmetric z-reflection on the known window: planes exist
+            // contiguously, so a missing (dz, 0, 0) marks the raster edge;
+            // mirror across it (and across the opposite edge if the raster
+            // is thinner than the reach — numpy's multi-bounce)
+            def reflectZ(dz: Int): Int = {
+              def extent(sign: Int): Int = {
+                var e = 0
+                while (e < dZ && planeCenter(sign * (e + 1)).isDefined) e += 1
+                e
+              }
+              val (ePos, eNeg) = (extent(1), extent(-1))
+              var r = dz
+              var guard = 0
+              while ((r > ePos || r < -eNeg) && guard < 8) {
+                if (r > ePos) r = 2 * ePos + 1 - r
+                if (r < -eNeg) r = -2 * eNeg - 1 - r
+                guard += 1
+              }
+              r
+            }
+            val offsets = for {
+              dz <- -dZ to dZ
+              (dy, dx) <- (0, 0) +: haloOffsets
+              if !(dz == 0 && dy == 0 && dx == 0)
+            } yield (dz, dy, dx)
+            val synth = for {
+              off @ (dz, dy, dx) <- offsets
+              if !real.contains(off)
+            } yield off -> (b match {
+              case Boundary.Constant(v) =>
+                clipHalo(HaloTile(h, w, Array.fill(h * w)(v)), dy, dx, d)
+              case _ =>
+                val pz = if (planeCenter(dz).isDefined) dz else reflectZ(dz)
+                if (dy == 0 && dx == 0) planeCenter(pz).get
+                else real.getOrElse((pz, dy, dx),
+                  synthNeighbor2d(planeCenter(pz).get, real2d(pz), (dy, dx), d, b))
+            })
+            real ++ synth
+        }
+        (scale, c, z, ty, tx, h, w, fn(h, w, px, m))
+      }.toDF("scale", "c", "z", "tile_y", "tile_x", "h", "w", "px")
+  }
+
+  /** Reader over a 3D-assembled halo: value at plane offset pz, row r,
+    * col c (r/c may run `depth` outside the tile; pz in [-depthZ,
+    * depthZ]). The NoPad clamp mirrors [[haloReader]]'s: missing
+    * neighbors clamp to the nearest center-plane pixel.
+    */
+  private def haloReader3d(h: Int, w: Int, px: Array[Double],
+      halo: Map[(Int, Int, Int), HaloTile], depth: Int,
+      op: String): (Int, Int, Int) => Double = { (pz, r, c) =>
+    val dy = if (r < 0) -1 else if (r >= h) 1 else 0
+    val dx = if (c < 0) -1 else if (c >= w) 1 else 0
+    if (pz == 0 && dy == 0 && dx == 0) px(r * w + c)
+    else halo.get((pz, dy, dx)) match {
+      case Some(t) =>
+        val rr = if (dy < 0) t.h + r else if (dy > 0) r - h else r
+        val cc = if (dx < 0) t.w + c else if (dx > 0) c - w else c
+        if (rr < 0 || rr >= t.h || cc < 0 || cc >= t.w)
+          throw new IllegalStateException(
+            s"$op: neighbor tile ${t.h}x${t.w} is thinner than " +
+              s"kernel depth $depth — re-tile with tiles >= depth in each dim")
+        t.px(rr * t.w + cc)
+      case None => px(r.max(0).min(h - 1) * w + c.max(0).min(w - 1))
+    }
+  }
+
+  /** 3D box mean blur over z-stacked tiles — the dim-generic
+    * `map_overlap` consumer the reference's 3D arrays get from dask
+    * (map.py:110-126): each output voxel is the mean of its
+    * (2*depthZ+1) x (2*depth+1)^2 neighborhood, tile seams stitched
+    * through the 3D halo, raster borders filled by `boundary`.
+    * Integer-valued rasters stay engine-exact (small-int double sums,
+    * one division).
+    */
+  def meanBlurBox3d(tiles: DataFrame, depth: Int, depthZ: Int,
+      tileSize: Int = TS, boundary: Boundary = Boundary.Reflect): DataFrame = {
+    require(depth >= 1 && depth <= tileSize,
+      s"meanBlurBox3d: depth must be in [1, tileSize=$tileSize], got $depth")
+    val n = (2 * depthZ + 1) * (2 * depth + 1) * (2 * depth + 1)
+    mapRasterWithHalo3d(tiles, tileSize, boundary, depth, depthZ) { (h, w, px, halo) =>
+      val at = haloReader3d(h, w, px, halo, depth, "meanBlurBox3d")
+      Array.tabulate(h * w) { i =>
+        val r = i / w; val c = i % w
+        var s = 0.0
+        var pz = -depthZ
+        while (pz <= depthZ) {
+          var dy = -depth
+          while (dy <= depth) {
+            var dx = -depth
+            while (dx <= depth) { s += at(pz, r + dy, c + dx); dx += 1 }
+            dy += 1
+          }
+          pz += 1
+        }
+        s / n
+      }
+    }
   }
 
   /** 3x3 mean blur over the tiled layout — the canonical `map_overlap`

@@ -174,6 +174,68 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(out.map(v => math.round(v * 1e9)) == expect.map(v => math.round(v * 1e9)))
   }
 
+  test("meanBlurBox3d: z/y/x tile seams and symmetric borders match a dense 3D reference") {
+    // 3 planes of 8x8 in 4x4 tiles: depth 2 crosses every y/x tile seam,
+    // depthZ 1 crosses every z border; all raster borders reflect
+    val zz = 3; val hh = 8; val ww = 8; val ts = 4
+    val dense = Array.tabulate(zz * hh * ww)(i => (i * 7 % 11).toDouble)
+    val pixels = (for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww)
+      yield (0, z, y, x, dense(z * hh * ww + y * ww + x)))
+      .toDF("c", "z", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles3d(pixels, tileSize = ts)
+    val out = RasterOps.tilesToPixels3d(
+      RasterOps.meanBlurBox3d(tiles, depth = 2, depthZ = 1, tileSize = ts),
+      tileSize = ts)
+      .orderBy("z", "y", "x").select("value").as[Double].collect().toSeq
+    val expect = for (z <- 0 until zz; r <- 0 until hh; c <- 0 until ww) yield {
+      var s = 0.0
+      for (dz <- -1 to 1; dy <- -2 to 2; dx <- -2 to 2)
+        s += dense(mir(z + dz, zz) * hh * ww + mir(r + dy, hh) * ww + mir(c + dx, ww))
+      s / 75.0
+    }
+    assert(out.map(v => math.round(v * 1e9)) == expect.map(v => math.round(v * 1e9)))
+  }
+
+  test("meanBlurBox3d depthZ 2: multi-bounce symmetric z on a volume thinner than the reach") {
+    // 2 planes only: z-2 from plane 0 must bounce off BOTH edges to plane 1
+    // (numpy symmetric), z+2 from plane 1 to plane 0
+    val zz = 2; val hh = 4; val ww = 4; val ts = 4
+    val dense = Array.tabulate(zz * hh * ww)(i => (i * 3 % 7).toDouble)
+    val pixels = (for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww)
+      yield (0, z, y, x, dense(z * hh * ww + y * ww + x)))
+      .toDF("c", "z", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles3d(pixels, tileSize = ts)
+    val out = RasterOps.tilesToPixels3d(
+      RasterOps.meanBlurBox3d(tiles, depth = 1, depthZ = 2, tileSize = ts),
+      tileSize = ts)
+      .orderBy("z", "y", "x").select("value").as[Double].collect().toSeq
+    val expect = for (z <- 0 until zz; r <- 0 until hh; c <- 0 until ww) yield {
+      var s = 0.0
+      for (dz <- -2 to 2; dy <- -1 to 1; dx <- -1 to 1)
+        s += dense(mir(z + dz, zz) * hh * ww + mir(r + dy, hh) * ww + mir(c + dx, ww))
+      s / 45.0
+    }
+    assert(out.map(v => math.round(v * 1e9)) == expect.map(v => math.round(v * 1e9)))
+  }
+
+  test("haloSent3d ships margin slabs in y/x, whole planes only in pure z") {
+    val zz = 2; val hh = 8; val ww = 8; val ts = 4
+    val pixels = (for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww)
+      yield (0, z, y, x, 1.0)).toDF("c", "z", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles3d(pixels, tileSize = ts)
+    val sent = RasterOps.haloSent3d(tiles, depth = 1, depthZ = 1)
+      .select("dz", "dy", "dx", "n_px").collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getSeq[Double](3).size))
+    sent.foreach { case ((dz, dy, dx), n) =>
+      val expected = (if (dy == 0) ts else 1) * (if (dx == 0) ts else 1)
+      assert(n == expected,
+        s"offset ($dz,$dy,$dx) shipped $n px, expected $expected")
+    }
+    // the pure-z full-plane copies exist, and nothing ships beyond dz=1
+    assert(sent.exists { case ((dz, dy, dx), n) => dz != 0 && dy == 0 && dx == 0 && n == ts * ts })
+    assert(sent.forall { case ((dz, _, _), _) => math.abs(dz) <= 1 })
+  }
+
   test("binomialBlur5: two separable passes equal the direct 5x5 outer-product kernel") {
     // 6x7 raster, tileSize 4 -> partial edge tiles; integer values so the
     // dyadic-weight passes are bit-exact against the direct form
