@@ -1479,7 +1479,7 @@ object Dedup {
     * the string itself plus every variant reachable by deleting up to `d`
     * single characters (FastSS / SymSpell key set). Size is O(len^d).
     */
-  private def deletionNeighborhood(s: Column, d: Int): Column = {
+  private[pipeline] def deletionNeighborhood(s: Column, d: Int): Column = {
     def dels(x: Column): Column = transform(
       sequence(lit(0), length(x) - 1),
       i => concat(x.substr(lit(1), i.cast("int")),

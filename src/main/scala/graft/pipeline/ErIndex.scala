@@ -1,0 +1,243 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution blocking structures AT REST — the ER twin of
+  * [[TextIndex]] (band/BM25 postings) and [[VectorIndex]] (IVF-PQ):
+  * [[Dedup.editDistancePairs]] and [[Dedup.sortedNeighborPairs]] rebuild
+  * their blocking structures from the full corpus on every run, but a
+  * production master-data corpus is resolved INCREMENTALLY — each arriving
+  * batch matches against the SAME existing records. At 100 TB the
+  * corpus-side key expansion (FastSS) and the corpus-wide range sort (SNM)
+  * must happen once, at build time, not once per batch.
+  *
+  * Two structures:
+  *
+  * 1. FastSS deletion-key index (Bocek et al. 2007): (term, key) rows for
+  *    every member of each DISTINCT term's <= maxDist deletion
+  *    neighborhood, persisted bucketed+sorted on `key` — probes then plan
+  *    with NO exchange on the index side, exactly like the band index.
+  *    Keys are per-term-local (no cross-term state), so
+  *    `write(old); append(new)` is row-identical to `write(old ∪ new)` —
+  *    probe-after-append ≡ probe-after-rebuild (the q354 gate pins this
+  *    against a full-corpus oracle that never sees the index).
+  *
+  * 2. SNM rank layout (Hernández/Stolfo 1995 sorted-neighborhood): the
+  *    corpus range-partitioned and stored by blocking-key order, one
+  *    parquet partition per contiguous key range (`range_id=`), plus a
+  *    manifest table of per-range (lo, hi, n_rows) bounds. A batch probe
+  *    touches only the ranges its keys fall in, plus one adjacent range
+  *    on each side — partition-pruned at the scan — and runs the windowed
+  *    pairing on that contiguous slice. Appends route new rows to their
+  *    covering ranges by the STORED bounds (a broadcast of the tiny
+  *    manifest), so the at-rest order never re-sorts.
+  *
+  * SNM probe exactness: touched ∪ adjacent ranges form contiguous
+  * intervals of the global (key, id) order, and batch rows are routed by
+  * the same bounds, so LOCAL rank differences inside an interval equal
+  * GLOBAL rank differences in the full union; a batch row's window
+  * partners (<= window-1 positions away) stay inside its own range or
+  * spill at most window-1 rows into an adjacent one, which is covered
+  * whenever every range holds >= window-1 rows — checked against the
+  * manifest and refused loudly otherwise.
+  */
+object ErIndex {
+
+  // ---- FastSS deletion-key index ----
+
+  /** Build + persist the deletion-key index over the DISTINCT terms: one
+    * key-expansion pass, written bucketed+sorted by `key`. Overwrites
+    * table and path.
+    */
+  def writeFastSSIndex(terms: DataFrame, table: String, path: String,
+      termCol: String = "term", maxDist: Int = 1,
+      buckets: Int = 16): Unit = {
+    terms.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    fastSSRows(terms, termCol, maxDist)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, "key")
+      .sortBy("key")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Incremental maintenance: key-expand ONLY the new batch and append
+    * under the same bucket spec. Deletion keys are per-term-local, so the
+    * appended table is row-identical to a full rebuild (modulo duplicate
+    * terms across batches, which the probe's distinct absorbs).
+    */
+  def appendToFastSSIndex(newTerms: DataFrame, table: String,
+      termCol: String = "term", maxDist: Int = 1,
+      buckets: Int = 16): Unit =
+    fastSSRows(newTerms, termCol, maxDist)
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "key")
+      .sortBy("key")
+      .format("parquet")
+      .saveAsTable(table)
+
+  private def fastSSRows(terms: DataFrame, termCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"FastSS index: maxDist must be 1 or 2, got $maxDist")
+    terms.select(col(termCol).as("term"))
+      .filter(col("term").isNotNull && length(col("term")) >= 1)
+      .distinct()
+      .select(col("term"),
+        explode(Dedup.deletionNeighborhood(col("term"), maxDist)).as("key"))
+  }
+
+  def readFastSSIndex(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Probe a batch of terms against the stored index: key-expand the
+    * batch (its own small expansion pass), equi-join on the deletion key
+    * — no exchange on the index side (pre-bucketed on exactly the join
+    * key) — and refine with true `levenshtein`. Recall-exact by the
+    * FastSS pigeonhole: two strings within distance d share a <= d
+    * deletion variant. The index must have been built with a `maxDist`
+    * >= this probe's. Output: (term, corpus_term, dist), dist in
+    * [1, maxDist] (identity matches are dropped), over distinct terms.
+    */
+  def probeFastSS(index: DataFrame, batch: DataFrame,
+      termCol: String = "term", maxDist: Int = 1): DataFrame = {
+    val b = fastSSRows(batch, termCol, maxDist)
+    b.join(index.select(col("term").as("corpus_term"), col("key")), Seq("key"))
+      .filter(col("term") =!= col("corpus_term"))
+      .withColumn("dist", levenshtein(col("term"), col("corpus_term")))
+      .filter(col("dist") <= maxDist)
+      .select(col("term"), col("corpus_term"), col("dist"))
+      .distinct()
+  }
+
+  // ---- SNM rank layout ----
+
+  /** Build + persist the sorted-neighborhood layout: the corpus
+    * range-partitioned on (keyCol, idCol) into `numRanges` contiguous
+    * key ranges, one parquet partition (`range_id=`) each, plus the
+    * `table`_manifest table of per-range (range_id, lo_key, lo_id,
+    * hi_key, hi_id, n_rows). The ONE corpus-wide range exchange happens
+    * here, at build time.
+    */
+  def writeSnmLayout(df: DataFrame, table: String, path: String,
+      keyCol: String, idCol: String, numRanges: Int = 16): Unit = {
+    require(numRanges >= 1, s"writeSnmLayout: numRanges must be >= 1")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_manifest`")
+    val ranged = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+      .repartitionByRange(numRanges, col("key"), col("id"))
+      .withColumn("range_id", spark_partition_id())
+    ranged.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .partitionBy("range_id")
+      .format("parquet")
+      .saveAsTable(table)
+    refreshManifest(spark, table)
+  }
+
+  /** Recompute the per-range bounds manifest from the stored layout —
+    * O(ranges) output from one partition-local aggregation.
+    */
+  private def refreshManifest(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_manifest`")
+    spark.table(table)
+      .groupBy(col("range_id"))
+      .agg(min(struct(col("key"), col("id"))).as("lo"),
+        max(struct(col("key"), col("id"))).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .select(col("range_id"), col("lo.key").as("lo_key"), col("lo.id").as("lo_id"),
+        col("hi.key").as("hi_key"), col("hi.id").as("hi_id"), col("n_rows"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_manifest")
+  }
+
+  /** Route new rows to their covering ranges by the STORED bounds (rows
+    * below the first range's lo go to range 0; above the last hi, to the
+    * last range) and append — no re-sort of what's at rest. The manifest
+    * is refreshed (an O(ranges) aggregation).
+    */
+  def appendToSnmLayout(newDf: DataFrame, table: String,
+      keyCol: String, idCol: String): Unit = {
+    val spark = newDf.sparkSession
+    val routed = routeToRanges(spark, table,
+      newDf.select(col(idCol).as("id"), col(keyCol).as("key")))
+    routed.select(col("id"), col("key"), col("range_id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("range_id")
+      .format("parquet")
+      .saveAsTable(table)
+    refreshManifest(spark, table)
+  }
+
+  /** Assign each row the id of the range whose [lo, hi] interval covers
+    * its (key, id) — by broadcast-joining the tiny manifest on
+    * row >= lo and taking the max matching range (range 0 when below
+    * all). Cost: |rows| x |ranges| predicate evaluations on a broadcast,
+    * no shuffle of `rows`.
+    */
+  private def routeToRanges(spark: SparkSession, table: String,
+      rows: DataFrame): DataFrame = {
+    val manifest = spark.table(s"${table}_manifest")
+      .select(col("range_id"), col("lo_key"), col("lo_id"))
+    rows
+      .join(broadcast(manifest),
+        struct(col("key"), col("id")) >= struct(col("lo_key"), col("lo_id")),
+        "left")
+      .groupBy(col("id"), col("key"))
+      .agg(coalesce(max(col("range_id")), lit(0)).as("range_id"))
+  }
+
+  /** Sorted-neighborhood pairs INVOLVING a new batch, against the stored
+    * layout + the batch, exchange-free on the corpus side: only the
+    * ranges the batch touches (plus one adjacent range each side) are
+    * scanned — partition-pruned on `range_id` — and the windowed pairing
+    * ([[Dedup.sortedNeighborPairs]]) runs on that contiguous slice of
+    * the global order, which preserves every rank DIFFERENCE and hence
+    * every window decision of the full union (see the object scaladoc
+    * for the exactness argument). Output: (id_a, id_b, key_a, key_b)
+    * with order(a) < order(b), restricted to pairs with a batch member.
+    *
+    * Refuses loudly when any stored range holds fewer than `window - 1`
+    * rows (a window could then span past the adjacent range).
+    */
+  def probeSnm(spark: SparkSession, table: String, batch: DataFrame,
+      keyCol: String, idCol: String, window: Int): DataFrame = {
+    val slice = snmSlice(spark, table, batch, keyCol, idCol, window)
+    val pairs = Dedup.sortedNeighborPairs(slice, "key", "id", window)
+    val bIds = batch.select(col(idCol).as("id"))
+    pairs.join(bIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .unionByName(
+        pairs.join(bIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+          .select(pairs.columns.map(col).toSeq: _*))
+      .distinct()
+  }
+
+  /** The contiguous corpus slice a batch probe runs over: the batch's
+    * ranges ± 1 adjacent (an O(|batch ranges|) driver-side set pushed as
+    * a PARTITION filter — the scan prunes every other range) unioned with
+    * the routed batch rows. Package-visible so specs can pin the pruned
+    * scan; [[probeSnm]] builds on it.
+    */
+  private[pipeline] def snmSlice(spark: SparkSession, table: String,
+      batch: DataFrame, keyCol: String, idCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2, s"probeSnm: window must be >= 2, got $window")
+    val manifest = spark.table(s"${table}_manifest")
+    val tooThin = manifest.filter(col("n_rows") < window - 1).count()
+    require(tooThin == 0,
+      s"probeSnm: $tooThin stored range(s) hold fewer than window-1 rows — " +
+        "a window could span past the adjacent range; rebuild with fewer ranges")
+    val b = routeToRanges(spark, table,
+      batch.select(col(idCol).as("id"), col(keyCol).as("key")))
+      .localCheckpoint(true)
+    val touched = b.select(col("range_id")).distinct().collect()
+      .map(_.getInt(0)).flatMap(r => Seq(r - 1, r, r + 1)).distinct.sorted
+    spark.table(table)
+      .filter(col("range_id").isin(touched.map(Integer.valueOf): _*))
+      .select(col("id"), col("key"))
+      .unionByName(b.select(col("id"), col("key")))
+  }
+}

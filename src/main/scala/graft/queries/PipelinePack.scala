@@ -1012,6 +1012,75 @@ object PipelinePack extends QueryPack {
       }
     }),
 
+    // ER at rest #1 — FastSS deletion-key index: build on 4/5 of the term
+    // set, APPEND the rest, probe a batch: must equal the brute-force
+    // edit-distance truth over the WHOLE corpus (the oracle recomputes
+    // with levenshtein and never sees the index; recall-exact by the
+    // FastSS pigeonhole, so candidates == truth after the refine)
+    "q354_fastss_at_rest" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val base = substring(md5(concat(lit("e:"),
+        col("c_custkey").cast("string"))), 1, 8)
+      val terms = cust.select(base.as("term"))
+        .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+          .select(concat(lit("z"), substring(base, 2, 7)).as("term")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .select(concat(base, lit("q")).as("term")))
+        .distinct()
+      val batch = terms.filter(substring(col("term"), 3, 1).isin("0", "7", "e"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fssidx_")
+      val table = "graft_fastss_index_q354"
+      try {
+        graft.pipeline.ErIndex.writeFastSSIndex(
+          terms.filter(crc32(col("term")) % 5 =!= 4), table,
+          tmp.resolve("idx").toString)
+        graft.pipeline.ErIndex.appendToFastSSIndex(
+          terms.filter(crc32(col("term")) % 5 === 4), table)
+        graft.pipeline.ErIndex.probeFastSS(
+          graft.pipeline.ErIndex.readFastSSIndex(s, table), batch)
+          .select(col("term"), col("corpus_term"), col("dist").cast("int").as("dist"))
+          .orderBy(col("term"), col("corpus_term"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
+    // ER at rest #2 — SNM rank layout: range-partitioned key-ordered
+    // corpus + manifest, written on 4/5, appended 1/5 (routed by the
+    // STORED bounds, no re-sort), then the window pairs INVOLVING a new
+    // batch via a partition-pruned slice. Oracle: full-union recompute
+    // (rank window over everything, filtered to batch membership).
+    "q355_snm_at_rest" -> ((s, d) => {
+      val recs = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        substring(md5(concat(lit("s:"),
+          col("c_custkey").cast("string"))), 1, 8).as("key"))
+      val batch = recs.filter(col("id") % 10 === 3)
+      val stored = recs.filter(col("id") % 10 =!= 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snmidx_")
+      val table = "graft_snm_layout_q355"
+      try {
+        graft.pipeline.ErIndex.writeSnmLayout(
+          stored.filter(col("id") % 5 =!= 4), table,
+          tmp.resolve("layout").toString, "key", "id", numRanges = 8)
+        graft.pipeline.ErIndex.appendToSnmLayout(
+          stored.filter(col("id") % 5 === 4), table, "key", "id")
+        graft.pipeline.ErIndex.probeSnm(s, table, batch, "key", "id", window = 4)
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        s.sql(s"DROP TABLE IF EXISTS `${table}_manifest`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     "q162_band_index_probe" -> ((s, d) => {
       val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val batch = corpus.filter(col("doc_id") % 5 === 0)
@@ -1838,6 +1907,39 @@ object PipelinePack extends QueryPack {
            |FROM g a JOIN g b ON a.source < b.source
            |ORDER BY source_a, source_b""".stripMargin
       },
+
+      // full brute-force recompute with true levenshtein — never sees the
+      // index; FastSS recall-exactness makes probe == truth
+      "q354_fastss_at_rest" ->
+        """WITH terms AS (
+          |  SELECT DISTINCT term FROM (
+          |    SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS term
+          |    FROM customer
+          |    UNION ALL
+          |    SELECT 'z' || substr(substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8), 2, 7)
+          |    FROM customer WHERE c_custkey % 5 = 0
+          |    UNION ALL
+          |    SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) || 'q'
+          |    FROM customer WHERE c_custkey % 10 = 0)),
+          |batch AS (SELECT term FROM terms WHERE substr(term, 3, 1) IN ('0', '7', 'e'))
+          |SELECT b.term, c.term AS corpus_term,
+          |  CAST(levenshtein(b.term, c.term) AS INTEGER) AS dist
+          |FROM batch b JOIN terms c ON b.term <> c.term
+          |WHERE levenshtein(b.term, c.term) <= 1
+          |ORDER BY b.term, corpus_term""".stripMargin,
+
+      // full-union rank-window recompute, filtered to batch membership —
+      // never sees the layout, the manifest, or the routing
+      "q355_snm_at_rest" ->
+        """WITH recs AS (
+          |  SELECT c_custkey AS id,
+          |         substr(md5('s:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS k
+          |  FROM customer),
+          |r AS (SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS rk FROM recs)
+          |SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b
+          |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+          |WHERE a.id % 10 = 3 OR b.id % 10 = 3
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // identical algebra to q162: append must not change the candidate set
       "q309_band_index_append" ->
