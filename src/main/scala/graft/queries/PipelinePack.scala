@@ -218,7 +218,13 @@ object PipelinePack extends QueryPack {
   // single-query (vec 100) IVF+PQ chain — the q153/q146 oracle algebra
   // (CorpusPack.ivfPqOracle) restricted to one probe query; ends at
   // `pqscored` (query_id, vec_id, adist)
-  private lazy val ivfPq1Ctes: String = {
+  private lazy val ivfPq1Ctes: String = ivfPqCtes("vec_id = 100")
+
+  /** IVF-PQ search mirror CTEs, parameterized by the query-set predicate
+    * (q207 probes one query; q356 a 100+-query batch). Ends at `pqscored`
+    * (query_id, vec_id, adist).
+    */
+  private def ivfPqCtes(queryWhere: String): String = {
     def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
     def subD2(a: String, sub: String) = r6(
       s"""list_sum(list_transform(range(0, 16), i ->
@@ -234,7 +240,7 @@ object PipelinePack extends QueryPack {
        |    SELECT e.vec_id, cc.centroid_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e", "cc")}, cc.centroid_id) AS rn
        |    FROM embeddings e, cent cc) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id = 100),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE $queryWhere),
        |probes AS (
        |  SELECT query_id, centroid_id FROM (
        |    SELECT q.query_id, cc.centroid_id,
@@ -1343,6 +1349,44 @@ object PipelinePack extends QueryPack {
         .select(col("query_id"), col("vec_id"), col("rank"))
       Similarity.rrfFuse(Seq(lex, vec), k = 10)
         .orderBy(col("rank"))
+    }),
+
+    // BATCHED hybrid search at rest — the q207 composition over 100+
+    // queries in ONE pass: per-query BM25 over the at-rest postings
+    // (bm25RankIndexedBatch — TopKPerGroup, no per-query loop), batched
+    // IVF-PQ over the partitioned index (searchIndex is natively
+    // batched), RRF-fused per query. Query text = each query doc's
+    // distinct early-alphabet words (order-free, so both engines derive
+    // identical term sets); query vector = the same id's embedding
+    // (shared id space). Indexes memoized per (JVM, sf dir) — q207's
+    // memo, shared: reps time the two batched searches + fusion.
+    "q356_hybrid_batch_at_rest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = emb.filter(col("vec_id") % 50 === 2)
+        .select(col("vec_id").as("code_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+            .as(Seq("sub", "subvec")))
+      val qvec = emb.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val qterms = docs
+        .join(qvec.select(col("query_id").as("doc_id")), Seq("doc_id"))
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(filter(Dedup.words(col("text")),
+            w => length(w) > 0 && substring(w, 1, 1) < "g"))).as("term"))
+      val (table, ivfPath) = hybridIndexes(s, d, docs, emb, centroids, cb)
+      val (postings, stats) = TextIndex.readBm25Index(s, table)
+      val lex = TextIndex.bm25RankIndexedBatch(postings, stats, qterms, k = 10)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+      val vec = graft.pipeline.VectorIndex.searchIndex(
+          graft.pipeline.VectorIndex.readIndex(s, ivfPath), centroids, cb,
+          qvec, k = 10, m = 4, subDim = 16, nprobe = 2)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 5)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Dirichlet query-likelihood retrieval (Zhai & Lafferty 2001) — the
@@ -3817,6 +3861,60 @@ object PipelinePack extends QueryPack {
            |  CAST(rank AS INT) AS rank FROM (
            |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, vec_id) AS rank
            |  FROM fused) WHERE rank <= 10 ORDER BY rank""".stripMargin
+      },
+      // the q207 mirror generalized to a 100+-query batch: per-query BM25
+      // (terms = each query doc's distinct early-alphabet words), batched
+      // IVF-PQ, per-query RRF — every stage recomputed from the raw tables
+      "q356_hybrid_batch_at_rest" -> {
+        def r6(x: String) = s"FLOOR(($x) * 1e6 + 0.5) / 1e6"
+        val idf = r6("ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)")
+        s"""WITH ${ivfPqCtes("vec_id % 5 = 2")},
+           |w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |stats AS (SELECT COUNT(*) AS n,
+           |  CAST(SUM(CAST(len(w) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+           |  FROM w),
+           |qt AS (
+           |  SELECT w.doc_id AS query_id, t.term
+           |  FROM w, UNNEST(list_distinct(list_filter(w.w,
+           |    x -> length(x) > 0 AND substr(x, 1, 1) < 'g'))) AS t(term)
+           |  WHERE w.doc_id IN (SELECT query_id FROM q)),
+           |tf AS (
+           |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w)
+           |  WHERE term IN (SELECT DISTINCT term FROM qt)
+           |  GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |s AS (
+           |  SELECT qt.query_id, tf.doc_id,
+           |    ${r6(s"($idf) * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))")} AS s
+           |  FROM qt JOIN tf USING (term) JOIN dfreq ON dfreq.term = qt.term, stats),
+           |sc AS (SELECT query_id, doc_id,
+           |         CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score
+           |       FROM s GROUP BY 1, 2),
+           |bmr AS (
+           |  SELECT query_id, doc_id AS vec_id, CAST(rank AS INT) AS rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id) AS rank
+           |    FROM sc) WHERE rank <= 10),
+           |vr AS (
+           |  SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adist, vec_id) AS rank
+           |    FROM pqscored) WHERE rank <= 10),
+           |rterms AS (
+           |  SELECT query_id, vec_id, FLOOR(1.0 / (rank + 60) * 1e6 + 0.5) / 1e6 AS t FROM bmr
+           |  UNION ALL
+           |  SELECT query_id, vec_id, FLOOR(1.0 / (rank + 60) * 1e6 + 0.5) / 1e6 AS t FROM vr),
+           |fused AS (
+           |  SELECT query_id, vec_id,
+           |    CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS rrf_score,
+           |    COUNT(*) AS n_rankers
+           |  FROM rterms GROUP BY 1, 2)
+           |SELECT query_id, vec_id, rrf_score, n_rankers, CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_score DESC, vec_id) AS rank
+           |  FROM fused) WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
       },
       "q203_weighted_sample" ->
         s"""SELECT doc_id, lang, n_chars FROM documents
