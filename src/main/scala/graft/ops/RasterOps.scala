@@ -648,6 +648,41 @@ object RasterOps {
     }
   }
 
+  /** 3D MORPHOLOGICAL dilate/erode over z-stacked tiles — [[morphBox]]
+    * with a z half-extent (the volumetric flat-SE max/min filter the
+    * reference's Labels3D arrays get from dask-image): window
+    * (2*depthZ+1) x (2*depth+1)^2, values exact COPIES of inputs (order
+    * statistic — zero float accumulation, engine-portable), seams
+    * stitched through the (z,y,x) halo ([[mapRasterWithHalo3d]]).
+    */
+  def morphBox3d(tiles: DataFrame, depth: Int, depthZ: Int, dilate: Boolean,
+      tileSize: Int = TS, boundary: Boundary = Boundary.Reflect): DataFrame = {
+    require(depth >= 1 && depth <= tileSize,
+      s"morphBox3d: depth must be in [1, tileSize=$tileSize], got $depth")
+    mapRasterWithHalo3d(tiles, tileSize, boundary, depth, depthZ) { (h, w, px, halo) =>
+      val at = haloReader3d(h, w, px, halo, depth, "morphBox3d")
+      Array.tabulate(h * w) { i =>
+        val r = i / w; val c = i % w
+        var m = at(-depthZ, r - depth, c - depth)
+        var pz = -depthZ
+        while (pz <= depthZ) {
+          var dy = -depth
+          while (dy <= depth) {
+            var dx = -depth
+            while (dx <= depth) {
+              val v = at(pz, r + dy, c + dx)
+              if (if (dilate) v > m else v < m) m = v
+              dx += 1
+            }
+            dy += 1
+          }
+          pz += 1
+        }
+        m
+      }
+    }
+  }
+
   /** REGION PROPERTIES over a [[labelConnected]] labeling — the table
     * every CCL consumer actually wants (skimage regionprops' core
     * columns): per component, pixel count, bounding box, and the

@@ -213,6 +213,31 @@ object ExtraPack extends QueryPack {
         .orderBy(col("z"), col("y"), col("x"))
     }),
 
+    // 3D EROSION over the q353 volume (3x3x3 flat SE, reflect): the
+    // order-statistic twin — output values are exact copies, so the
+    // compare is bit-level; the dense oracle takes MIN over the mirrored
+    // 27-voxel window
+    "q357_morph3d_erode" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 4).cast("int").as("z"),
+        (col("event_id") % 32).cast("int").as("y"),
+        (col("user_id") % 32).cast("int").as("x"))
+        .groupBy("z", "y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(4L * 32 * 32).select(lit(0).as("c"),
+        (col("id") / 1024).cast("int").as("z"),
+        ((col("id") % 1024) / 32).cast("int").as("y"),
+        (col("id") % 32).cast("int").as("x"))
+      val vox = grid.join(counts, Seq("z", "y", "x"), "left")
+        .select(col("c"), col("z"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      val tiles = RasterOps.pixelsToTiles3d(vox, tileSize = 16)
+      val eroded = RasterOps.morphBox3d(tiles, depth = 1, depthZ = 1,
+        dilate = false, tileSize = 16, boundary = RasterOps.Boundary.Reflect)
+      RasterOps.tilesToPixels3d(eroded, tileSize = 16)
+        .select(col("z"), col("y"), col("x"), col("value"))
+        .orderBy(col("z"), col("y"), col("x"))
+    }),
+
     // separable 5-tap binomial blur over the q199 fixture (64x60, partial
     // x-edge tiles): two depth-2 axis passes must equal the direct 5x5
     // outer-product kernel the oracle computes — dyadic weights keep
@@ -1302,6 +1327,39 @@ object ExtraPack extends QueryPack {
         |                ELSE d.x + o.dx END
         |GROUP BY d.y, d.x
         |ORDER BY d.y, d.x""".stripMargin,
+
+    "q357_morph3d_erode" ->
+      """WITH vox AS (
+        |  SELECT CAST(event_id % 4 AS INT) AS z, CAST(event_id % 32 AS INT) AS y,
+        |         CAST(user_id % 32 AS INT) AS x, CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT CAST(i // 1024 AS INT) AS z, CAST((i % 1024) // 32 AS INT) AS y,
+        |         CAST(i % 32 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+        |dense AS (
+        |  SELECT g.z, g.y, g.x, COALESCE(v.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN vox v ON v.z = g.z AND v.y = g.y AND v.x = g.x),
+        |offs AS (
+        |  SELECT dz, dy, dx
+        |  FROM (SELECT unnest(range(-1, 2)) AS dz),
+        |       (SELECT unnest(range(-1, 2)) AS dy),
+        |       (SELECT unnest(range(-1, 2)) AS dx))
+        |SELECT d.z, d.y, d.x, MIN(n.v) AS value
+        |FROM dense d
+        |JOIN offs o ON TRUE
+        |JOIN dense n
+        |  ON n.z = CASE WHEN d.z + o.dz < 0 THEN -(d.z + o.dz) - 1
+        |                WHEN d.z + o.dz >= 4 THEN 7 - (d.z + o.dz)
+        |                ELSE d.z + o.dz END
+        | AND n.y = CASE WHEN d.y + o.dy < 0 THEN -(d.y + o.dy) - 1
+        |                WHEN d.y + o.dy >= 32 THEN 63 - (d.y + o.dy)
+        |                ELSE d.y + o.dy END
+        | AND n.x = CASE WHEN d.x + o.dx < 0 THEN -(d.x + o.dx) - 1
+        |                WHEN d.x + o.dx >= 32 THEN 63 - (d.x + o.dx)
+        |                ELSE d.x + o.dx END
+        |GROUP BY d.z, d.y, d.x
+        |ORDER BY d.z, d.y, d.x""".stripMargin,
 
     "q353_halo3d_blur" ->
       """WITH vox AS (

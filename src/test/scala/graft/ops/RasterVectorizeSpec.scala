@@ -218,6 +218,32 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(out.map(v => math.round(v * 1e9)) == expect.map(v => math.round(v * 1e9)))
   }
 
+  test("morphBox3d: 3D duality law and dense min/max reference across seams") {
+    val zz = 3; val hh = 8; val ww = 8; val ts = 4
+    val dense = Array.tabulate(zz * hh * ww)(i => (i * 13 % 17).toDouble)
+    val pixels = (for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww)
+      yield (0, z, y, x, dense(z * hh * ww + y * ww + x)))
+      .toDF("c", "z", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles3d(pixels, tileSize = ts)
+    def run(dilate: Boolean, in: org.apache.spark.sql.DataFrame = tiles) =
+      RasterOps.morphBox3d(in, depth = 1, depthZ = 1, dilate = dilate, tileSize = ts)
+    val ero = RasterOps.tilesToPixels3d(run(dilate = false), tileSize = ts)
+      .orderBy("z", "y", "x").select("value").as[Double].collect().toSeq
+    val expect = for (z <- 0 until zz; r <- 0 until hh; c <- 0 until ww) yield {
+      (for (dz <- -1 to 1; dy <- -1 to 1; dx <- -1 to 1)
+        yield dense(mir(z + dz, zz) * hh * ww + mir(r + dy, hh) * ww + mir(c + dx, ww))).min
+    }
+    assert(ero === expect)
+    // duality: erode(-f) == -dilate(f) (flat SE), voxel for voxel
+    val neg = RasterOps.pixelsToTiles3d(
+      pixels.withColumn("value", -col("value")), tileSize = ts)
+    val eroNeg = RasterOps.tilesToPixels3d(run(dilate = false, neg), tileSize = ts)
+      .orderBy("z", "y", "x").select("value").as[Double].collect().toSeq
+    val dil = RasterOps.tilesToPixels3d(run(dilate = true), tileSize = ts)
+      .orderBy("z", "y", "x").select("value").as[Double].collect().toSeq
+    assert(eroNeg === dil.map(-_))
+  }
+
   test("haloSent3d ships margin slabs in y/x, whole planes only in pure z") {
     val zz = 2; val hh = 8; val ww = 8; val ts = 4
     val pixels = (for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww)
