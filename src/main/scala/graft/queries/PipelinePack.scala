@@ -1372,11 +1372,16 @@ object PipelinePack extends QueryPack {
             .as(Seq("sub", "subvec")))
       val qvec = emb.filter(col("vec_id") % 5 === 2)
         .select(col("vec_id").as("query_id"), col("embedding"))
+      // 3 terms per query (the lexicographically-first early-alphabet
+      // words — sort-then-slice is order-canonical on both engines):
+      // realistic short queries, and it bounds the tf join against this
+      // fixture's deliberately tiny vocabulary, where every term matches
+      // most of the corpus
       val qterms = docs
         .join(qvec.select(col("query_id").as("doc_id")), Seq("doc_id"))
         .select(col("doc_id").as("query_id"),
-          explode(array_distinct(filter(Dedup.words(col("text")),
-            w => length(w) > 0 && substring(w, 1, 1) < "g"))).as("term"))
+          explode(slice(array_sort(array_distinct(filter(Dedup.words(col("text")),
+            w => length(w) > 0 && substring(w, 1, 1) < "g"))), 1, 3)).as("term"))
       val (table, ivfPath) = hybridIndexes(s, d, docs, emb, centroids, cb)
       val (postings, stats) = TextIndex.readBm25Index(s, table)
       val lex = TextIndex.bm25RankIndexedBatch(postings, stats, qterms, k = 10)
@@ -3875,8 +3880,8 @@ object PipelinePack extends QueryPack {
            |  FROM w),
            |qt AS (
            |  SELECT w.doc_id AS query_id, t.term
-           |  FROM w, UNNEST(list_distinct(list_filter(w.w,
-           |    x -> length(x) > 0 AND substr(x, 1, 1) < 'g'))) AS t(term)
+           |  FROM w, UNNEST(list_slice(list_sort(list_distinct(list_filter(w.w,
+           |    x -> length(x) > 0 AND substr(x, 1, 1) < 'g'))), 1, 3)) AS t(term)
            |  WHERE w.doc_id IN (SELECT query_id FROM q)),
            |tf AS (
            |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
