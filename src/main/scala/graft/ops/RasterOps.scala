@@ -1446,4 +1446,86 @@ object RasterOps {
         (col("tile_x") * ts + col("pos") % col("w")).cast("int").as("x"),
         coalesce(col("__comp"), col("__lbl")).as("component"))
   }
+
+  /** DISTRIBUTED 3D connected-component labeling over z-stacked tiles —
+    * [[labelConnected]] with the z axis (6-connectivity, the Labels3D
+    * volumetric twin: nuclei/vessel segmentation masks in the reference's
+    * 3D label arrays). Same three keyed stages, one new edge family:
+    *
+    *  1. Per (z, tile_y, tile_x) tile, the SAME in-plane local union-find
+    *     ([[labelTileLocal]]); provisional labels are shifted by
+    *     z·heightPx·widthPx so they are min GLOBAL VOXEL ids
+    *     (z·H·W + y·W + x) — globally unique and min-mergeable.
+    *  2. In-plane boundary strips zip exactly as in 2D (keyed by
+    *     (z, tile_y, tile_x)); Z-FACE edges zip the FULL label arrays of
+    *     (z, ty, tx) against (z+1, ty, tx) — the "boundary strip" of a
+    *     1-voxel-thick plane IS the whole tile, the same O(face) cost the
+    *     3D halo pays for pure-z neighbors. Edges ship only where BOTH
+    *     voxels are foreground.
+    *  3. Graph CC + min-label join-back, unchanged.
+    *
+    * Input: the [[pixelsToTiles3d]] layout at a single (scale, c); raster
+    * dims must be tile multiples (pixelsToTiles3d zero-pads, and padding
+    * is background, but heightPx must equal the padded plane height for
+    * the voxel ids to be dense). Output: long-form (z, y, x, component)
+    * for foreground voxels, component = min global voxel id of the blob.
+    */
+  def labelConnected3d(tiles: DataFrame, heightPx: Int, widthPx: Int,
+      tileSize: Int = TS): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val wpx = widthPx
+    val hpx = heightPx
+    val ts = tileSize
+    val lab = tiles
+      .select(col("z").cast("int"), col("tile_y").cast("int"),
+        col("tile_x").cast("int"), col("h").cast("int"), col("w").cast("int"),
+        col("px").cast("array<double>"))
+      .as[(Int, Int, Int, Int, Int, Seq[Double])]
+      .map { case (z, ty, tx, h, w, px) =>
+        val off = z.toLong * hpx * wpx
+        val l = labelTileLocal(ty, tx, h, w, px, wpx, ts)
+          .map(v => if (v >= 0) v + off else v)
+        (z, ty, tx, h, w, l.toSeq)
+      }
+      .toDF("z", "tile_y", "tile_x", "h", "w", "lab")
+    def pairsOf(aStrip: Column, bStrip: Column) =
+      filter(zip_with(aStrip, bStrip, (a, b) =>
+        when(a >= 0 && b >= 0, struct(least(a, b).as("id_a"),
+          greatest(a, b).as("id_b")))), p => p.isNotNull)
+    val keys = Seq("z", "tile_y", "tile_x")
+    val right = lab.select(col("z"), col("tile_y"), (col("tile_x") + 1).as("tile_x"),
+      transform(sequence(lit(0), col("h") - 1),
+        r => element_at(col("lab"), r * col("w") + col("w"))).as("__r"))
+    val left = lab.select(col("z"), col("tile_y"), col("tile_x"),
+      transform(sequence(lit(0), col("h") - 1),
+        r => element_at(col("lab"), r * col("w") + 1)).as("__l"))
+    val bottom = lab.select(col("z"), (col("tile_y") + 1).as("tile_y"), col("tile_x"),
+      slice(col("lab"), (col("h") - 1) * col("w") + 1, col("w")).as("__b"))
+    val top = lab.select(col("z"), col("tile_y"), col("tile_x"),
+      slice(col("lab"), lit(1), col("w")).as("__t"))
+    val below = lab.select((col("z") + 1).as("z"), col("tile_y"), col("tile_x"),
+      col("lab").as("__d"))
+    val above = lab.select(col("z"), col("tile_y"), col("tile_x"),
+      col("lab").as("__u"))
+    val hEdges = right.join(left, keys)
+      .select(explode(pairsOf(col("__r"), col("__l"))).as("__p"))
+    val vEdges = bottom.join(top, keys)
+      .select(explode(pairsOf(col("__b"), col("__t"))).as("__p"))
+    val zEdges = below.join(above, keys)
+      .select(explode(pairsOf(col("__d"), col("__u"))).as("__p"))
+    val edges = hEdges.unionByName(vEdges).unionByName(zEdges)
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val comp = graft.pipeline.Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("__lbl"), col("cluster_id").as("__comp"))
+    lab.select(col("z"), col("tile_y"), col("tile_x"), col("h"), col("w"),
+        posexplode(col("lab")).as(Seq("pos", "__lbl")))
+      .filter(col("__lbl") >= 0)
+      .join(comp, Seq("__lbl"), "left")
+      .select(col("z"),
+        (col("tile_y") * ts + (col("pos") / col("w")).cast("int")).as("y"),
+        (col("tile_x") * ts + col("pos") % col("w")).cast("int").as("x"),
+        coalesce(col("__comp"), col("__lbl")).as("component"))
+  }
 }

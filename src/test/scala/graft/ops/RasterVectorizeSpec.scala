@@ -430,6 +430,42 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(got((1, 7)) === 15L && got((2, 6)) === 22L)
   }
 
+  test("labelConnected3d: matches a brute-force 3D union-find; 6-connectivity only") {
+    val zz = 3; val hh = 8; val ww = 8; val ts = 4
+    val n = zz * hh * ww
+    val fg = Array.tabulate(n)(i => (i * 5 % 3) == 0)
+    val pixels = (for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww)
+      yield (0, z, y, x, if (fg(z * hh * ww + y * ww + x)) 1.0 else 0.0))
+      .toDF("c", "z", "y", "x", "value")
+    val tiles = RasterOps.pixelsToTiles3d(pixels, tileSize = ts)
+    val got = RasterOps.labelConnected3d(tiles, heightPx = hh, widthPx = ww,
+        tileSize = ts)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    // brute force: union-find over the 6-neighborhood, min-id components
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); r }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww) {
+      val i = z * hh * ww + y * ww + x
+      if (fg(i)) {
+        if (x + 1 < ww && fg(i + 1)) union(i, i + 1)
+        if (y + 1 < hh && fg(i + ww)) union(i, i + ww)
+        if (z + 1 < zz && fg(i + hh * ww)) union(i, i + hh * ww)
+      }
+    }
+    val want = (for (z <- 0 until zz; y <- 0 until hh; x <- 0 until ww;
+        i = z * hh * ww + y * ww + x; if fg(i))
+      yield ((z, y, x), find(i).toLong)).toMap
+    assert(got === want)
+    // 6-connectivity: two voxels sharing only an edge/corner stay separate
+    assert(got.nonEmpty && got.values.toSet.size > 1,
+      "fixture must produce multiple components")
+  }
+
   test("sobelFilter matches the brute-force kernel with clamped borders") {
     // 6x6 deterministic integer grid, 3x3 tiles (interior + edge seams)
     def v(y: Int, x: Int): Double = ((y * 7 + x * 3) % 11).toDouble
