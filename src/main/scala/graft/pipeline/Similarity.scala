@@ -66,6 +66,13 @@ object Similarity {
 
   /** Exact top-k by cosine for each query vector. Ties break on corpus id
     * (deterministic). Output: (query_id, vec_id, cosine, rank).
+    *
+    * The scoring pass is inherently |Q| x |C| (that IS brute force — the
+    * scale path is the IVF-PQ index); the RANKING, though, goes through
+    * [[graft.plans.TopKPerGroupLogical]], so the exchange after scoring
+    * carries <= k rows per (query, partition) instead of every scored
+    * pair — at eval scale (1000 queries x 10M corpus) the window form
+    * shuffled and sorted 10^10 rows, this ships ~k x partitions per query.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -77,11 +84,27 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(sameWidth(col("__qv"), col("__cv"), "bruteForceTopK"))
       .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+      .select(col(queryIdCol), col(idCol), col("cosine"))
+    rankTopPerGroup(scored, queryIdCol, idCol, "cosine", k)
   }
+
+  /** Shared tail for the brute-force scorers: per-group top-k through
+    * TopKPerGroup (map-side heaps, <= k rows per group per partition on
+    * the exchange), then rank 1..k assigned by a sorted-slice over the
+    * <= k survivors (reuses the exchange's group partitioning; no
+    * Window). Order: scoreCol desc, idCol asc — a total order because
+    * ids are unique within a group.
+    */
+  private def rankTopPerGroup(scored: DataFrame, queryIdCol: String,
+      idCol: String, scoreCol: String, k: Int): DataFrame =
+    graft.ops.TopK.perGroup(scored, Seq(queryIdCol),
+      Seq((scoreCol, false), (idCol, true)), k)
+      .groupBy(col(queryIdCol))
+      .agg(array_sort(collect_list(struct((-col(scoreCol)).as("__neg"),
+        col(idCol), col(scoreCol).as("__s")))).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col(queryIdCol), col(s"__r.$idCol").as(idCol),
+        col("__r.__s").as(scoreCol), (col("__pos") + 1).cast("int").as("rank"))
 
   /** Every vector's top-k neighbors among the OTHERS — the kNN-GRAPH
     * builder (self-retrieval without the trivial self-hit). Brute-force
@@ -102,11 +125,10 @@ object Similarity {
       .filter(sameWidth(col("__qv"), col("__cv"), "selfTopK"))
       .withColumn("cosine", TextAnalysis.round6(
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+      .select(col("query_id"), col(idCol), col("cosine"))
+    // same TopKPerGroup tail as bruteForceTopK — the kNN graph over N
+    // vectors scores N^2 pairs, but ships only k x partitions per vector
+    rankTopPerGroup(scored, "query_id", idCol, "cosine", k)
   }
 
   /** MUTUAL-kNN pairs from ANY ranked neighbor frame — the symmetrized
