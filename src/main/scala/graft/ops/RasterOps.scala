@@ -701,6 +701,26 @@ object RasterOps {
         graft.pipeline.TextAnalysis.round6(
           sum(col("x")).cast("double") / count(lit(1))).as("centroid_x"))
 
+  /** 3D REGION PROPERTIES over a [[labelConnected3d]] labeling — per
+    * component: voxel count, (z, y, x) bounding box, and the 6-dec
+    * snapped centroid of exact integer sums. ONE keyed aggregation with
+    * map-side partials, like [[componentStats]]; a blob costs its voxel
+    * count. Output: (component, n_voxels, min_z, max_z, min_y, max_y,
+    * min_x, max_x, centroid_z, centroid_y, centroid_x).
+    */
+  def componentStats3d(labeled: DataFrame): DataFrame =
+    labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_voxels"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("z")).cast("double") / count(lit(1))).as("centroid_z"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("y")).cast("double") / count(lit(1))).as("centroid_y"),
+        graft.pipeline.TextAnalysis.round6(
+          sum(col("x")).cast("double") / count(lit(1))).as("centroid_x"))
+
   /** 3x3 SOBEL gradient magnitude (L1 form |Gx| + |Gy|) — the classic
     * edge detector riding the same depth-1 margin-clipped halo exchange
     * as [[meanBlur3x3]]. Gx/Gy are small-integer-weighted sums (±1, ±2),

@@ -213,6 +213,26 @@ object RasterPack extends QueryPack {
         .orderBy(col("z"), col("y"), col("x"))
     }),
 
+    // 3D regionprops over the q358 labeling — same closed-form mask, one
+    // keyed aggregation per blob (voxel count, 3D bbox, snapped centroid)
+    "q359_component_stats_3d" -> ((s, d) => {
+      val Z = 3; val H = 32; val W = 32
+      val pix = s.range(0, Z.toLong * H * W).select(
+          (col("id") / (H * W)).cast("int").as("z"),
+          ((col("id") % (H * W)) / W).cast("int").as("y"),
+          (col("id") % W).cast("int").as("x"))
+        .withColumn("bar", col("y") % 7 < 2 || col("x") % 11 < 2)
+        .withColumn("dot", col("y") % 7 >= 3 && col("y") % 7 <= 5 &&
+          col("x") % 11 >= 3 && col("x") % 11 <= 9 &&
+          (col("y") * 31 + col("x") * 17 + col("z") * 41) % 29 === 0)
+        .select(lit(0).as("c"), col("z"), col("y"), col("x"),
+          when(col("bar") || col("dot"), 1.0).otherwise(0.0).as("value"))
+      val tiles = RasterOps.pixelsToTiles3d(pix, tileSize = 16)
+      RasterOps.componentStats3d(
+        RasterOps.labelConnected3d(tiles, heightPx = H, widthPx = W, tileSize = 16))
+        .orderBy(col("component"))
+    }),
+
     // binary dilation (flat 3x3 structuring element) with mirror
     // boundary — the morphology twin of q199's blur, exact value copies
     "q315_dilate" -> ((s, d) => {
@@ -299,6 +319,30 @@ object RasterPack extends QueryPack {
         |SELECT z, y, x,
         |  CAST(CASE WHEN bar THEN 0 ELSE z*1024 + y*32 + x END AS BIGINT) AS component
         |FROM fg WHERE bar OR dot ORDER BY z, y, x""".stripMargin,
+
+    // per-component closed-form 3D stats over the q358 labeling
+    "q359_component_stats_3d" ->
+      """WITH g AS (
+        |  SELECT CAST(r // 1024 AS INT) AS z,
+        |         CAST((r % 1024) // 32 AS INT) AS y,
+        |         CAST(r % 32 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 3072)) AS r)),
+        |fg AS (SELECT z, y, x,
+        |    (y % 7 < 2 OR x % 11 < 2) AS bar,
+        |    (y % 7 BETWEEN 3 AND 5 AND x % 11 BETWEEN 3 AND 9
+        |      AND (y*31 + x*17 + z*41) % 29 = 0) AS dot
+        |  FROM g),
+        |vox AS (SELECT z, y, x,
+        |    CAST(CASE WHEN bar THEN 0 ELSE z*1024 + y*32 + x END AS BIGINT) AS component
+        |  FROM fg WHERE bar OR dot)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_voxels,
+        |  MIN(z) AS min_z, MAX(z) AS max_z,
+        |  MIN(y) AS min_y, MAX(y) AS max_y,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  FLOOR(CAST(SUM(z) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS centroid_z,
+        |  FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS centroid_y,
+        |  FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS centroid_x
+        |FROM vox GROUP BY component ORDER BY component""".stripMargin,
 
     // 3x3 mirror-boundary MAX over the binarized grid
     "q315_dilate" ->
