@@ -94,6 +94,56 @@ object PipelinePack extends QueryPack {
   // q266's positional index, memoized per (JVM, sf dir)
   private val posIndexCache = scala.collection.mutable.Map[String, String]()
 
+  // q354/q360's shared brute-force levenshtein oracle (index- and
+  // streaming-invisible)
+  private val fastssOracleSql: String =
+    """WITH terms AS (
+      |  SELECT DISTINCT term FROM (
+      |    SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS term
+      |    FROM customer
+      |    UNION ALL
+      |    SELECT 'z' || substr(substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8), 2, 7)
+      |    FROM customer WHERE c_custkey % 5 = 0
+      |    UNION ALL
+      |    SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) || 'q'
+      |    FROM customer WHERE c_custkey % 10 = 0)),
+      |batch AS (SELECT term FROM terms WHERE substr(term, 3, 1) IN ('0', '7', 'e'))
+      |SELECT b.term, c.term AS corpus_term,
+      |  CAST(levenshtein(b.term, c.term) AS INTEGER) AS dist
+      |FROM batch b JOIN terms c ON b.term <> c.term
+      |WHERE levenshtein(b.term, c.term) <= 1
+      |ORDER BY b.term, corpus_term""".stripMargin
+
+  // q354/q360's derived entity-term fixture: md5-based 8-char keys plus
+  // planted 1-edit variants (replaced first char / appended char)
+  private def fastssTerms(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val base = substring(md5(concat(lit("e:"),
+      col("c_custkey").cast("string"))), 1, 8)
+    cust.select(base.as("term"))
+      .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+        .select(concat(lit("z"), substring(base, 2, 7)).as("term")))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+        .select(concat(base, lit("q")).as("term")))
+      .distinct()
+  }
+
+  // q360's full-corpus FastSS index, memoized per (JVM, sf dir) — the
+  // q171 precedent (q354 times build+append+probe; the streaming gate
+  // times the micro-batch screening)
+  private val fastssStreamIndexCache = scala.collection.mutable.Map[String, String]()
+
+  private def fastssStreamIndex(s: SparkSession, d: String,
+      terms: DataFrame): String =
+    fastssStreamIndexCache.synchronized {
+      fastssStreamIndexCache.getOrElseUpdate(d, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_fss_sidx_")
+        val t = s"graft_fastss_q360_${Integer.toHexString(d.hashCode)}"
+        graft.pipeline.ErIndex.writeFastSSIndex(terms, t, tmp.resolve("idx").toString)
+        t
+      })
+    }
+
   // q309's BASE band rows (4/5-corpus minhash pass precomputed to parquet),
   // memoized per (JVM, sf dir) — see the q309 comment
   private val bandBaseCache = scala.collection.mutable.Map[String, String]()
@@ -1024,15 +1074,7 @@ object PipelinePack extends QueryPack {
     // with levenshtein and never sees the index; recall-exact by the
     // FastSS pigeonhole, so candidates == truth after the refine)
     "q354_fastss_at_rest" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val base = substring(md5(concat(lit("e:"),
-        col("c_custkey").cast("string"))), 1, 8)
-      val terms = cust.select(base.as("term"))
-        .unionByName(cust.filter(col("c_custkey") % 5 === 0)
-          .select(concat(lit("z"), substring(base, 2, 7)).as("term")))
-        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
-          .select(concat(base, lit("q")).as("term")))
-        .distinct()
+      val terms = fastssTerms(s, d)
       val batch = terms.filter(substring(col("term"), 3, 1).isin("0", "7", "e"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_fssidx_")
       val table = "graft_fastss_index_q354"
@@ -1049,6 +1091,38 @@ object PipelinePack extends QueryPack {
           .localCheckpoint(true)
       } finally {
         s.sql(s"DROP TABLE IF EXISTS `$table`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
+    // STREAMING ER screening: the q354 batch arrives as 3 parquet micro-
+    // batches and probes the at-rest FastSS index per batch — union of
+    // per-batch outputs equals the one-shot probe (terms are disjoint
+    // across batches), so q354's brute-force oracle gates it unchanged.
+    // Index memoized per (JVM, sf dir): reps time the streaming run.
+    "q360_streaming_fastss" -> ((s, d) => {
+      val terms = fastssTerms(s, d)
+      val batch = terms.filter(substring(col("term"), 3, 1).isin("0", "7", "e"))
+      val table = fastssStreamIndex(s, d, terms)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fss_stream_")
+      try {
+        val srcDir = tmp.resolve("src").toString
+        batch.repartition(3).write.parquet(srcDir)
+        val outDir = tmp.resolve("out").toString
+        val q = graft.streaming.DocStream.streamingFastSSProbe(
+          s, srcDir, "term STRING",
+          graft.pipeline.ErIndex.readFastSSIndex(s, table), outDir,
+          maxFilesPerTrigger = Some(1))
+        try assert(q.awaitTermination(180000),
+          "q360: streaming FastSS probe did not terminate within 180 s")
+        finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("term"), col("corpus_term"), col("dist").cast("int").as("dist"))
+          .orderBy(col("term"), col("corpus_term"))
+          .localCheckpoint(true)
+      } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -1957,25 +2031,13 @@ object PipelinePack extends QueryPack {
            |ORDER BY source_a, source_b""".stripMargin
       },
 
+      // the streamed micro-batches screen the SAME batch slice against the
+      // SAME truth — union of disjoint per-batch probes == one-shot probe
+      "q360_streaming_fastss" -> fastssOracleSql,
+
       // full brute-force recompute with true levenshtein — never sees the
       // index; FastSS recall-exactness makes probe == truth
-      "q354_fastss_at_rest" ->
-        """WITH terms AS (
-          |  SELECT DISTINCT term FROM (
-          |    SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS term
-          |    FROM customer
-          |    UNION ALL
-          |    SELECT 'z' || substr(substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8), 2, 7)
-          |    FROM customer WHERE c_custkey % 5 = 0
-          |    UNION ALL
-          |    SELECT substr(md5('e:' || CAST(c_custkey AS VARCHAR)), 1, 8) || 'q'
-          |    FROM customer WHERE c_custkey % 10 = 0)),
-          |batch AS (SELECT term FROM terms WHERE substr(term, 3, 1) IN ('0', '7', 'e'))
-          |SELECT b.term, c.term AS corpus_term,
-          |  CAST(levenshtein(b.term, c.term) AS INTEGER) AS dist
-          |FROM batch b JOIN terms c ON b.term <> c.term
-          |WHERE levenshtein(b.term, c.term) <= 1
-          |ORDER BY b.term, corpus_term""".stripMargin,
+      "q354_fastss_at_rest" -> fastssOracleSql,
 
       // full-union rank-window recompute, filtered to batch membership —
       // never sees the layout, the manifest, or the routing

@@ -99,4 +99,37 @@ object DocStream {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
+
+  /** STREAMING entity-resolution screening: stream new terms (product
+    * codes, author names, entity keys) and per micro-batch probe the
+    * at-rest FastSS deletion-key index ([[graft.pipeline.ErIndex]]) —
+    * the incremental "does this new entity fuzzily match a known one?"
+    * check at crawl-batch cadence. foreachBatch like
+    * [[streamingNearDupProbe]] (the probe ends in a distinct the
+    * append-mode engine cannot express); per batch the index side plans
+    * with NO exchange (bucketed on the deletion key), only the small
+    * batch is expanded and shuffled. Each batch screens independently,
+    * so the union of per-batch outputs equals the one-shot probe of all
+    * streamed terms (DocStreamSpec pins this); output rows:
+    * (term, corpus_term, dist, batch_id).
+    */
+  def streamingFastSSProbe(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, index: DataFrame, outDir: String,
+      termCol: String = "term", maxDist: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.ErIndex.probeFastSS(index, batch, termCol, maxDist)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
 }
