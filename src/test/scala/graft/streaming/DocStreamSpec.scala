@@ -50,6 +50,44 @@ class DocStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming FastSS probe union equals the one-shot probe; batches disjoint") {
+    import graft.pipeline.ErIndex
+    import spark.implicits._
+    val terms = ((1 to 80).map(i => f"${(i * 2654435761L) & 0xffffffffL}%08x") ++
+      (1 to 80 by 4).map(i => "z" + f"${(i * 2654435761L) & 0xffffffffL}%08x".substring(1)))
+      .distinct.toDF("term")
+    val batch = terms.filter(substring(col("term"), 2, 1).isin("0", "3", "a", "z"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fss_ds_")
+    val table = "graft_fastss_docstream"
+    try {
+      ErIndex.writeFastSSIndex(terms, table, tmp.resolve("idx").toString)
+      val index = ErIndex.readFastSSIndex(spark, table)
+      val oneShot = ErIndex.probeFastSS(index, batch)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(oneShot.nonEmpty, "fixture must contain near-matches")
+      val srcDir = tmp.resolve("src").toString
+      batch.repartition(3).write.parquet(srcDir)
+      val outDir = tmp.resolve("out").toString
+      val q = DocStream.streamingFastSSProbe(spark, srcDir, "term STRING",
+        index, outDir, maxFilesPerTrigger = Some(1))
+      try assert(q.awaitTermination(120000),
+        "streaming FastSS probe did not terminate within 120 s")
+      finally q.stop()
+      val streamed = spark.read.parquet(outDir)
+      assert(streamed.select("batch_id").distinct().count() >= 2)
+      val streamedPairs = streamed.select("term", "corpus_term", "dist")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(streamedPairs == oneShot)
+      // a term is screened in exactly one batch — no pair repeats
+      assert(streamed.count() == streamedPairs.size)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming BM25 append: drained stream equals the one-shot full build") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.documents(spark, sf).select("doc_id", "text")
