@@ -1161,6 +1161,42 @@ object PipelinePack extends QueryPack {
       }
     }),
 
+    // the production INCREMENTAL-ER compose over the at-rest SNM layout:
+    // probe a new batch (partition-pruned slice pairing) then refine with
+    // snapped Jaro-Winkler — "which KNOWN records does each arriving
+    // record fuzzily match". The oracle recomputes the full-union window
+    // + the same snapped JW, never seeing layout/manifest/routing.
+    "q361_snm_probe_refined" -> ((s, d) => {
+      // batch = last-char-perturbed copies of every 10th stored record:
+      // they sort ADJACENT to their source (7-char shared prefix) so SNM
+      // windows catch them, and JW(source, copy) = 0.95 clears the refine
+      val stored = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        substring(md5(concat(lit("s:"),
+          col("c_custkey").cast("string"))), 1, 8).as("key"))
+      val batch = stored.filter(col("id") % 10 === 3)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("key"), 1, 7), lit("z")).as("key"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snmref_")
+      val table = "graft_snm_layout_q361"
+      try {
+        graft.pipeline.ErIndex.writeSnmLayout(stored, table,
+          tmp.resolve("layout").toString, "key", "id", numRanges = 8)
+        graft.pipeline.ErIndex.probeSnm(s, table, batch, "key", "id", window = 6)
+          .filter(TextAnalysis.round6(
+            TextAnalysis.jaroWinklerCol(col("key_a"), col("key_b"))) >= 0.9)
+          .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        s.sql(s"DROP TABLE IF EXISTS `${table}_manifest`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     "q162_band_index_probe" -> ((s, d) => {
       val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val batch = corpus.filter(col("doc_id") % 5 === 0)
@@ -2038,6 +2074,23 @@ object PipelinePack extends QueryPack {
       // full brute-force recompute with true levenshtein — never sees the
       // index; FastSS recall-exactness makes probe == truth
       "q354_fastss_at_rest" -> fastssOracleSql,
+
+      // full-union rank window + the same snapped JW — layout-invisible
+      "q361_snm_probe_refined" ->
+        """WITH stored AS (
+          |  SELECT c_custkey AS id,
+          |         substr(md5('s:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS k
+          |  FROM customer),
+          |b AS (
+          |  SELECT id + 1000000 AS id, substr(k, 1, 7) || 'z' AS k
+          |  FROM stored WHERE id % 10 = 3),
+          |recs AS (SELECT * FROM stored UNION ALL SELECT * FROM b),
+          |r AS (SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS rk FROM recs)
+          |SELECT a.id AS id_a, b2.id AS id_b, a.k AS key_a, b2.k AS key_b
+          |FROM r a JOIN r b2 ON b2.rk - a.rk BETWEEN 1 AND 5
+          |WHERE (a.id >= 1000000 OR b2.id >= 1000000)
+          |  AND FLOOR(jaro_winkler_similarity(a.k, b2.k) * 1e6 + 0.5) / 1e6 >= 0.9
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // full-union rank-window recompute, filtered to batch membership —
       // never sees the layout, the manifest, or the routing
