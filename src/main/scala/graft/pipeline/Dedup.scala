@@ -1362,6 +1362,19 @@ object Dedup {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark0.conf.get(aqeKey, "true")
     spark0.conf.set(aqeKey, "false")
+    // With AQE off, the loop would otherwise run every tiny shuffle at the
+    // session's partition count: a deep-chain graph at sf0.1 (7k edges,
+    // ~17 propagation rounds) spent ~10 s in stage scheduling alone at 32
+    // partitions. Size the LOOP's shuffles to the edge count instead —
+    // the manual version of exactly the coalescing AQE would have done
+    // (p0 is checkpointed, so the count is a cached-leaf scan). Scoped
+    // like the AQE flag: only plans built inside the loop are affected.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = spark0.conf.get(partsKey)
+    val edgeRows = p0.count()
+    val loopParts = math.max(1L, math.min(partsPrev.toLong,
+      (edgeRows + 249999L) / 250000L))
+    spark0.conf.set(partsKey, loopParts.toString)
     try while (!converged && it < maxIter) {
       // FIRST action: one shallow step — it materializes the p0/edges/
       // labels caches (and, through their lineage, the whole upstream
@@ -1381,6 +1394,13 @@ object Dedup {
       // — the cost driver when the candidate graph is small relative to
       // the cluster (at 100 TB the LSH pair graph is ~0.1% of corpus
       // bytes, so action cadence bounds this stage there too).
+      // TWO is also the measured optimum for steps-per-action (round 11):
+      // an unmaterialized persisted intermediate is referenced twice by
+      // the next step, and within one job those references RACE the
+      // not-yet-populated cache into recomputation — a 4-step chain
+      // measured ~3x SLOWER on the 17-round ER chain graph (22 s vs
+      // 7.6 s), the same cold-cache race the first-action note below
+      // describes. More steps per action compound it exponentially.
       // (A pointer-jump variant — lbl := min(lbl, lbl(lbl)) folded into
       // each action for O(log diameter) rounds — was MEASURED here on the
       // sf0.1 ER blocking graph and LOST 8x: the extra node-sized
@@ -1398,7 +1418,10 @@ object Dedup {
       converged = nChanged == 0
       it += (if (first) 1 else 2)
       first = false
-    } finally spark0.conf.set(aqeKey, aqePrev)
+    } finally {
+      spark0.conf.set(aqeKey, aqePrev)
+      spark0.conf.set(partsKey, partsPrev)
+    }
     edges.unpersist()
     // p0 is a local checkpoint — its blocks are reclaimed by the context
     // cleaner once unreferenced; nothing to unpersist here
