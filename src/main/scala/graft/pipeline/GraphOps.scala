@@ -351,6 +351,14 @@ object GraphOps {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark0.conf.get(aqeKey, "true")
     spark0.conf.set(aqeKey, "false")
+    // loop shuffles sized to the (persisted) symmetric edge count — the
+    // connectedComponents round-11 finding; the count doubles as the
+    // cache-warming first materialization of e
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = spark0.conf.get(partsKey)
+    val loopParts = math.max(1L,
+      math.min(partsPrev.toLong, (e.count() + 249999L) / 250000L))
+    spark0.conf.set(partsKey, loopParts.toString)
     try while (rounds < maxRounds && !stable) {
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -367,7 +375,10 @@ object GraphOps {
         e = e2
       }
       rounds += 1
-    } finally spark0.conf.set(aqeKey, aqePrev)
+    } finally {
+      spark0.conf.set(aqeKey, aqePrev)
+      spark0.conf.set(partsKey, partsPrev)
+    }
     val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
     CacheScope.releaseAfterFirstUse(out, held)
   }
@@ -764,6 +775,15 @@ object GraphOps {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark0.conf.get(aqeKey, "true")
     spark0.conf.set(aqeKey, "false")
+    // with AQE off, size the loop's shuffles to the edge count — the
+    // connectedComponents round-11 finding: a small graph at the session
+    // partition count pays per-round stage scheduling, not shuffle work
+    // (e is checkpointed, so the count is a cached-leaf scan)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = spark0.conf.get(partsKey)
+    val loopParts = math.max(1L,
+      math.min(partsPrev.toLong, (e.count() + 249999L) / 250000L))
+    spark0.conf.set(partsKey, loopParts.toString)
     try {
       var depth = 1L
       var done = false
@@ -780,7 +800,10 @@ object GraphOps {
           depth += 1
         }
       }
-    } finally spark0.conf.set(aqeKey, aqePrev)
+    } finally {
+      spark0.conf.set(aqeKey, aqePrev)
+      spark0.conf.set(partsKey, partsPrev)
+    }
     settled
   }
 }
