@@ -1503,14 +1503,15 @@ object Dedup {
     * single characters (FastSS / SymSpell key set). Size is O(len^d).
     */
   private[pipeline] def deletionNeighborhood(s: Column, d: Int): Column = {
-    def dels(x: Column): Column = transform(
-      sequence(lit(0), length(x) - 1),
-      i => concat(x.substr(lit(1), i.cast("int")),
-        x.substr((i + lit(2)).cast("int"), length(x))))
-    var nb = array(s)
-    for (_ <- 0 until d)
-      nb = array_distinct(concat(nb, flatten(transform(nb, x => dels(x)))))
-    nb
+    // one codegen'd static call per term ([[TextKernel.deletionNeighborhood]])
+    // — the composed transform/substr/array_distinct fold was interpreted
+    // (HOF chain), len^d per-character work on the hottest ER expansion
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(StringType, containsNull = false), "deletionNeighborhood",
+      Seq(s, lit(d)), Seq(StringType, IntegerType), returnNullable = false)
   }
 
   /** All DISTINCT term pairs within Levenshtein distance `maxDist` —

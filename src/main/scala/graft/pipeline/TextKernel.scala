@@ -449,6 +449,41 @@ object TextKernel {
     new GenericArrayData(Array[Any](nWords, nPieces))
   }
 
+  /** The <= d-deletion neighborhood of a string (FastSS/SymSpell key
+    * set): the string itself plus every DISTINCT variant reachable by
+    * deleting up to d characters (code-point-aware). One static call per
+    * term inside whole-stage codegen — the composed
+    * transform/sequence/substr/array_distinct form it replaces was a
+    * CodegenFallback HOF chain, interpreted per character per level
+    * (len^d work, the dominant cost of every FastSS expansion). BFS over
+    * deletions with a seen-set, so each variant is produced and expanded
+    * once — same distinct set as the level-wise array_distinct fold.
+    */
+  def deletionNeighborhood(s: UTF8String, d: Int): ArrayData = {
+    val str = s.toString
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(str)
+    var cur: List[Array[Int]] = List(str.codePoints().toArray)
+    var k = 0
+    while (k < d && cur.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[Array[Int]]
+      for (x <- cur; i <- 0 until x.length) {
+        val y = new Array[Int](x.length - 1)
+        System.arraycopy(x, 0, y, 0, i)
+        System.arraycopy(x, i + 1, y, i, x.length - i - 1)
+        val ys = new String(y, 0, y.length)
+        if (out.add(ys)) next += y
+      }
+      cur = next.toList
+      k += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Unicode NFC canonical composition (UAX #15, via the JDK's
     * `java.text.Normalizer` tables): "é" as e+U+0301 and as U+00E9 become
     * the same bytes, so content hashes, shingles, and equality joins see
