@@ -1056,21 +1056,36 @@ object RasterOps {
   // ---- pyramid (models.py:234-263 multiscale; coarsen/subsample) ----
 
   /** One pyramid level down for images: 2x2 mean (coarsen, like
-    * multiscale_spatial_image; pyramids_utils.py:54).
+    * multiscale_spatial_image; pyramids_utils.py:54). DIMS-GENERIC: a
+    * `z` column, when present, coarsens too (2x2x2 mean — the
+    * reference's 3D multiscales, models.py:234-263 pass the full dim
+    * tuple to `to_multiscale`); without one the plan is the exact 2D
+    * groupBy as before.
     */
-  def coarsenImage(pixels: DataFrame, factor: Int = 2): DataFrame =
-    pixels.groupBy(col("c"),
-        (col("y") / factor).cast("int").as("y"),
-        (col("x") / factor).cast("int").as("x"))
+  def coarsenImage(pixels: DataFrame, factor: Int = 2): DataFrame = {
+    val zKey = if (pixels.columns.contains("z"))
+      Seq((col("z") / factor).cast("int").as("z")) else Nil
+    val keys = Seq(col("c")) ++ zKey ++ Seq(
+      (col("y") / factor).cast("int").as("y"),
+      (col("x") / factor).cast("int").as("x"))
+    pixels.groupBy(keys: _*)
       .agg(avg(col("value")).as("value"))
+  }
 
   /** One level down for labels: nearest-neighbour subsample (top-left),
     * matching ome-zarr's `resize` order-0 (models.py:242-263).
+    * Dims-generic like [[coarsenImage]]: a `z` column subsamples too.
     */
-  def subsampleLabels(labels: DataFrame, factor: Int = 2): DataFrame =
-    labels.filter(col("y") % factor === 0 && col("x") % factor === 0)
-      .select((col("y") / factor).cast("int").as("y"),
+  def subsampleLabels(labels: DataFrame, factor: Int = 2): DataFrame = {
+    val has3d = labels.columns.contains("z")
+    val keep = if (has3d)
+      col("z") % factor === 0 && col("y") % factor === 0 && col("x") % factor === 0
+    else col("y") % factor === 0 && col("x") % factor === 0
+    val outCols = (if (has3d) Seq((col("z") / factor).cast("int").as("z")) else Nil) ++
+      Seq((col("y") / factor).cast("int").as("y"),
         (col("x") / factor).cast("int").as("x"), col("label"))
+    labels.filter(keep).select(outCols: _*)
+  }
 
   /** Full pyramid as a single DataFrame with a `scale` column. */
   def buildPyramid(pixels: DataFrame, levels: Int, factor: Int = 2): DataFrame = {
@@ -1103,6 +1118,33 @@ object RasterOps {
       .filter(col("__px") >= 0 && col("__px") < width &&
         col("__py") >= 0 && col("__py") < height)
     val keys = Seq(col("__py").as("y"), col("__px").as("x")) ++
+      categoryCol.map(c => col(c).as("category"))
+    base.withColumn("__v", valueCol.map(col).getOrElse(lit(1L)))
+      .groupBy(keys: _*)
+      .agg(Aggregate.reduction(aggFunc, col("__v")).as("value"))
+  }
+
+  /** 3D points -> sparse voxel table (`rasterize` with
+    * `spatial_axes={"x","y","z"}` + `target_depth`, rasterize.py:86-140;
+    * axis assembly :487-531): bin all three coordinates, reduce per
+    * voxel (and per category). Identical shape to [[rasterizePoints]]
+    * with a z key — one partial-aggregated groupBy, any point count.
+    */
+  def rasterizePoints3d(points: DataFrame,
+      x0: Double, y0: Double, z0: Double,
+      sx: Double, sy: Double, sz: Double,
+      width: Int, height: Int, depth: Int,
+      valueCol: Option[String] = None, aggFunc: String = "count",
+      categoryCol: Option[String] = None): DataFrame = {
+    val px = floor((col("x") - x0) / sx).cast("int")
+    val py = floor((col("y") - y0) / sy).cast("int")
+    val pz = floor((col("z") - z0) / sz).cast("int")
+    val base = points
+      .withColumn("__px", px).withColumn("__py", py).withColumn("__pz", pz)
+      .filter(col("__px") >= 0 && col("__px") < width &&
+        col("__py") >= 0 && col("__py") < height &&
+        col("__pz") >= 0 && col("__pz") < depth)
+    val keys = Seq(col("__pz").as("z"), col("__py").as("y"), col("__px").as("x")) ++
       categoryCol.map(c => col(c).as("category"))
     base.withColumn("__v", valueCol.map(col).getOrElse(lit(1L)))
       .groupBy(keys: _*)
@@ -1175,6 +1217,49 @@ object RasterOps {
           valueCol.getOrElse("value"), t,
           minC, maxC, targetWidth, targetHeight, numLevels, keepCols = Seq("c"))._1
       case other => sys.error(s"rasterize: unsupported element kind $other")
+    }
+  }
+
+  /** Unified 3D rasterize dispatch (`rasterize` with
+    * `spatial_axes={"x","y","z"}` + `target_depth`, rasterize.py:86-140):
+    * burn an element into a `(targetDepth, targetHeight, targetWidth)`
+    * voxel grid over `[minC, maxC]` (x, y, z order) in `cs`. Points
+    * transform through the full 3-axis affine then bin; labels/images
+    * gather through the inverse 3x4 ([[rasterizeRaster3d]]). Shapes are
+    * 2D by the data model (GeoParquet ingest force-drops z,
+    * `io_shapes.py:33-67`) — refused loudly, matching the reference's
+    * own ValueError for unsupported axis sets.
+    */
+  def rasterize3d(sd: graft.model.SpatialDataset, elementName: String, cs: String,
+      minC: Seq[Double], maxC: Seq[Double],
+      targetWidth: Int, targetHeight: Int, targetDepth: Int,
+      valueCol: Option[String] = None, aggFunc: Option[String] = None): DataFrame = {
+    import graft.model._
+    require(minC.size == 3 && maxC.size == 3,
+      "rasterize3d: minC/maxC must be (x, y, z) triples")
+    val el = sd.element(elementName)
+    val t = sd.transformTo(elementName, cs)
+    val sx = (maxC(0) - minC(0)) / targetWidth
+    val sy = (maxC(1) - minC(1)) / targetHeight
+    val sz = (maxC(2) - minC(2)) / targetDepth
+    el.meta.kind match {
+      case ElementKind.Points =>
+        val moved = TransformOps.transformPoints(el.data, t, Seq("x", "y", "z"))
+        rasterizePoints3d(moved, minC(0), minC(1), minC(2), sx, sy, sz,
+          targetWidth, targetHeight, targetDepth,
+          valueCol, aggFunc.getOrElse("count"))
+      case ElementKind.Labels =>
+        rasterizeRaster3d(el.data, valueCol.getOrElse("label"), t, minC, maxC,
+          targetWidth, targetHeight, targetDepth)._1
+      case ElementKind.Images =>
+        val numLevels = 1 + el.data.agg(max(col("scale"))).collect()(0).getInt(0)
+        rasterizeRaster3d(tilesToPixels3d(el.data, el.meta.tileSize),
+          valueCol.getOrElse("value"), t, minC, maxC,
+          targetWidth, targetHeight, targetDepth, numLevels,
+          keepCols = Seq("c"))._1
+      case other => sys.error(
+        s"rasterize3d: element kind $other has no z axis to rasterize " +
+          "(shapes are 2D by the data model)")
     }
   }
 
@@ -1295,6 +1380,99 @@ object RasterOps {
     val src = if (pyramid.columns.contains("scale"))
       pyramid.filter(col("scale") === lvl).drop("scale") else pyramid
     (affineResample(src, valueCol, a, targetWidth, targetHeight, keepCols), lvl)
+  }
+
+  // ---- 3D resample / rasterize-of-rasters (transform.py:38-105 and
+  //      rasterize.py:375-613 are dim-generic via dask_image) ----
+
+  /** 3D inverse-affine gather, order 0: for every output voxel the source
+    * voxel is `floor(inv . (xo+0.5, yo+0.5, zo+0.5, 1))`; the gather is
+    * an equi-join on `(z, y, x)` — the same plain shuffle join as the 2D
+    * [[affineResample]], planned by Catalyst at any scale (the output
+    * grid is a distributed `range`, never a driver loop). `inv` is
+    * row-major 3x4 in row order (xs, ys, zs), each row's coefficients
+    * over (xo, yo, zo, 1).
+    */
+  def affineResample3d(src: DataFrame, valueCol: String,
+      inv: Array[Double],
+      outWidth: Int, outHeight: Int, outDepth: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    require(inv.length == 12,
+      s"affineResample3d: inverse must be row-major 3x4 (12 values), got ${inv.length}")
+    val spark = src.sparkSession
+    val plane = outWidth.toLong * outHeight
+    val outGrid = spark.range(plane * outDepth)
+      .select((col("id") / plane).cast("int").as("zo"),
+        ((col("id") % plane) / outWidth).cast("int").as("yo"),
+        (col("id") % outWidth).cast("int").as("xo"))
+    def row(o: Int) = floor(
+      lit(inv(o)) * (col("xo") + 0.5) + lit(inv(o + 1)) * (col("yo") + 0.5) +
+        lit(inv(o + 2)) * (col("zo") + 0.5) + lit(inv(o + 3))).cast("int")
+    outGrid
+      .withColumn("__xs", row(0)).withColumn("__ys", row(4)).withColumn("__zs", row(8))
+      .join(src.withColumnRenamed("x", "__xs").withColumnRenamed("y", "__ys")
+          .withColumnRenamed("z", "__zs"),
+        Seq("__xs", "__ys", "__zs"), "inner")
+      .select(keepCols.map(col) ++
+        Seq(col("zo").as("z"), col("yo").as("y"), col("xo").as("x"), col(valueCol)): _*)
+  }
+
+  /** 3D pyramid-level heuristic: the 2D walk (rasterize.py:406-451) over
+    * the 8 bbox corners with `sqrt(3)` slack — coarsest level that still
+    * oversamples the target on EVERY axis. Pure driver math.
+    */
+  def selectPyramidLevel3d(numLevels: Int, levelToCs: graft.model.Transform,
+      minC: Seq[Double], maxC: Seq[Double],
+      targetWidth: Double, targetHeight: Double, targetDepth: Double,
+      levelFactor: Double = 2.0): Int = {
+    val axes = Seq("x", "y", "z")
+    val inv = levelToCs.toAffineMatrix(axes, axes).inverseMatrix
+    val corners = for {
+      x <- Seq(minC(0), maxC(0)); y <- Seq(minC(1), maxC(1))
+      z <- Seq(minC(2), maxC(2))
+    } yield (0 to 2).map(i =>
+      inv(i, 0) * x + inv(i, 1) * y + inv(i, 2) * z + inv(i, 3))
+    val span = (0 to 2).map(i => corners.map(_(i)).max - corners.map(_(i)).min)
+    val targets = Seq(targetWidth, targetHeight, targetDepth)
+    val slack = math.sqrt(3.0)
+    var lvl = numLevels - 1
+    while (lvl > 0) {
+      val f = math.pow(levelFactor, lvl)
+      if (span.zip(targets).forall { case (s, t) => s / f >= t * slack })
+        return lvl
+      lvl -= 1
+    }
+    0
+  }
+
+  /** Rasterize a (possibly multiscale) 3D long-form raster into a target
+    * `(depth, height, width)` grid over a 3D bounding box in `cs`
+    * coordinates — the z-generalized [[rasterizeRaster]]: pick the level,
+    * fold level factor + output-grid geometry into ONE inverse 3x4, and
+    * gather with [[affineResample3d]]. Returns (voxels, chosenLevel).
+    */
+  def rasterizeRaster3d(pyramid: DataFrame, valueCol: String,
+      t: graft.model.Transform, minC: Seq[Double], maxC: Seq[Double],
+      targetWidth: Int, targetHeight: Int, targetDepth: Int,
+      numLevels: Int = 1, keepCols: Seq[String] = Nil): (DataFrame, Int) = {
+    import graft.model.{ScaleT, Transform}
+    val axes = Seq("x", "y", "z")
+    val lvl = selectPyramidLevel3d(numLevels, t, minC, maxC,
+      targetWidth, targetHeight, targetDepth)
+    val f = math.pow(2.0, lvl)
+    val levelToCs = Transform.sequence(ScaleT(Seq(f, f, f), axes), t)
+    val inv = levelToCs.toAffineMatrix(axes, axes).inverseMatrix
+    val s = Seq((maxC(0) - minC(0)) / targetWidth,
+      (maxC(1) - minC(1)) / targetHeight,
+      (maxC(2) - minC(2)) / targetDepth)
+    val a = (0 to 2).flatMap { i =>
+      Seq(inv(i, 0) * s(0), inv(i, 1) * s(1), inv(i, 2) * s(2),
+        inv(i, 0) * minC(0) + inv(i, 1) * minC(1) + inv(i, 2) * minC(2) + inv(i, 3))
+    }.toArray
+    val src = if (pyramid.columns.contains("scale"))
+      pyramid.filter(col("scale") === lvl).drop("scale") else pyramid
+    (affineResample3d(src, valueCol, a, targetWidth, targetHeight, targetDepth,
+      keepCols), lvl)
   }
 
   // ---- unpad (reference _utils.py:71-160) ----

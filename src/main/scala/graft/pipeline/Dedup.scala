@@ -1358,6 +1358,15 @@ object Dedup {
     // affected; the caller's consuming action still plans under the
     // session's own setting (and sees a shallow plan — the returned
     // labels are cache-backed).
+    // CONCURRENCY CONTRACT: both overrides below (AQE flag, shuffle
+    // partition count) mutate SESSION-scoped conf for the loop's
+    // duration — any query planned CONCURRENTLY on this same
+    // SparkSession would pick them up, and two overlapping loop
+    // invocations would restore each other's stale values. This engine
+    // plans one query at a time per session (the driver contract);
+    // callers running concurrent queries must give each its own
+    // `spark.newSession()` (separate SQLConf, shared catalog) — the
+    // standard Spark isolation mechanism for exactly this.
     val spark0 = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark0.conf.get(aqeKey, "true")

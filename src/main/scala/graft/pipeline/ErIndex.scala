@@ -46,14 +46,23 @@ object ErIndex {
 
   // ---- FastSS deletion-key index ----
 
+  /** Table property recording the maxDist the index was expanded at —
+    * the recall guarantee is only valid for probes at <= this distance,
+    * so the probe path reads it back and refuses a deeper probe loudly
+    * instead of silently losing recall.
+    */
+  private val MaxDistProp = "graft.fastss.maxdist"
+
   /** Build + persist the deletion-key index over the DISTINCT terms: one
     * key-expansion pass, written bucketed+sorted by `key`. Overwrites
-    * table and path.
+    * table and path. The build `maxDist` is stamped into the table
+    * properties; probes and appends validate against it.
     */
   def writeFastSSIndex(terms: DataFrame, table: String, path: String,
       termCol: String = "term", maxDist: Int = 1,
       buckets: Int = 16): Unit = {
-    terms.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val spark = terms.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     fastSSRows(terms, termCol, maxDist)
       .write.mode(SaveMode.Overwrite)
       .option("path", path)
@@ -61,22 +70,43 @@ object ErIndex {
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES ('$MaxDistProp' = '$maxDist')")
+  }
+
+  /** The maxDist a stored index was built at (from table properties).
+    * Refuses indexes written before the property existed — their depth
+    * is unknowable, so every probe against them would be unsafe.
+    */
+  def fastSSIndexMaxDist(spark: SparkSession, table: String): Int = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES `$table` ('$MaxDistProp')")
+      .collect()
+    val v = rows.headOption.map(_.getString(1))
+      .filterNot(_.contains("does not have property"))
+    v.map(_.toInt).getOrElse(sys.error(
+      s"FastSS index '$table' records no build maxDist " +
+        s"(missing table property $MaxDistProp) — rebuild with writeFastSSIndex"))
   }
 
   /** Incremental maintenance: key-expand ONLY the new batch and append
     * under the same bucket spec. Deletion keys are per-term-local, so the
     * appended table is row-identical to a full rebuild (modulo duplicate
-    * terms across batches, which the probe's distinct absorbs).
+    * terms across batches, which the probe's distinct absorbs). The batch
+    * is expanded at the STORED maxDist — a shallower append would leave
+    * the new terms under-expanded and silently break the index's recall
+    * contract for every later probe.
     */
   def appendToFastSSIndex(newTerms: DataFrame, table: String,
-      termCol: String = "term", maxDist: Int = 1,
-      buckets: Int = 16): Unit =
+      termCol: String = "term",
+      buckets: Int = 16): Unit = {
+    val maxDist = fastSSIndexMaxDist(newTerms.sparkSession, table)
     fastSSRows(newTerms, termCol, maxDist)
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "key")
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   private def fastSSRows(terms: DataFrame, termCol: String,
       maxDist: Int): DataFrame = {
@@ -98,11 +128,14 @@ object ErIndex {
     * key) — and refine with true `levenshtein`. Recall-exact by the
     * FastSS pigeonhole: two strings within distance d share a <= d
     * deletion variant. The index must have been built with a `maxDist`
-    * >= this probe's. Output: (term, corpus_term, dist), dist in
-    * [1, maxDist] (identity matches are dropped), over distinct terms.
+    * >= this probe's — the table-name overload enforces that against the
+    * stored build property; this DataFrame form is the unchecked core
+    * for callers that already validated (or composed) the index.
+    * Output: (term, corpus_term, dist), dist in [1, maxDist] (identity
+    * matches are dropped), over distinct terms.
     */
   def probeFastSS(index: DataFrame, batch: DataFrame,
-      termCol: String = "term", maxDist: Int = 1): DataFrame = {
+      termCol: String, maxDist: Int): DataFrame = {
     val b = fastSSRows(batch, termCol, maxDist)
     b.join(index.select(col("term").as("corpus_term"), col("key")), Seq("key"))
       .filter(col("term") =!= col("corpus_term"))
@@ -110,6 +143,22 @@ object ErIndex {
       .filter(col("dist") <= maxDist)
       .select(col("term"), col("corpus_term"), col("dist"))
       .distinct()
+  }
+
+  /** Probe a STORED index by table name — validates the probe's
+    * `maxDist` against the build's (recorded in the table properties by
+    * [[writeFastSSIndex]]): probing a d=1 index at maxDist=2 would
+    * silently lose recall (the index holds no depth-2 deletion keys), so
+    * it refuses loudly instead.
+    */
+  def probeFastSS(spark: SparkSession, table: String, batch: DataFrame,
+      termCol: String = "term", maxDist: Int = 1): DataFrame = {
+    val built = fastSSIndexMaxDist(spark, table)
+    require(built >= maxDist,
+      s"probeFastSS: index '$table' was built with maxDist=$built, " +
+        s"probing at maxDist=$maxDist would silently lose recall — " +
+        "rebuild the index at the deeper distance")
+    probeFastSS(spark.table(table), batch, termCol, maxDist)
   }
 
   // ---- SNM rank layout ----
@@ -225,11 +274,25 @@ object ErIndex {
       batch: DataFrame, keyCol: String, idCol: String,
       window: Int): DataFrame = {
     require(window >= 2, s"probeSnm: window must be >= 2, got $window")
-    val manifest = spark.table(s"${table}_manifest")
-    val tooThin = manifest.filter(col("n_rows") < window - 1).count()
+    // O(ranges) driver-side manifest audit. The ±1-adjacency argument
+    // needs every range_id in 0..max to EXIST with >= window-1 rows: a
+    // range_id absent from the manifest is an EMPTY partition (e.g. a
+    // trailing range narrower than realizable bounds) — n_rows = 0 —
+    // which the old n_rows filter could not see, so treat missing ids as
+    // zero-row ranges and refuse them by the same rule.
+    val ranges = spark.table(s"${table}_manifest")
+      .select(col("range_id"), col("n_rows")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    require(ranges.nonEmpty, s"probeSnm: '$table' manifest is empty — build the layout first")
+    val maxId = ranges.map(_._1).max
+    val missing = (0 to maxId).toSet -- ranges.map(_._1).toSet
+    val tooThin = ranges.count(_._2 < window - 1) + missing.size
     require(tooThin == 0,
-      s"probeSnm: $tooThin stored range(s) hold fewer than window-1 rows — " +
-        "a window could span past the adjacent range; rebuild with fewer ranges")
+      s"probeSnm: $tooThin stored range(s) hold fewer than window-1 rows" +
+        (if (missing.nonEmpty)
+          s" (range ids ${missing.toSeq.sorted.mkString(",")} are empty — absent from the manifest)"
+        else "") +
+        " — a window could span past the adjacent range; rebuild with fewer ranges")
     val b = routeToRanges(spark, table,
       batch.select(col(idCol).as("id"), col(keyCol).as("key")))
       .localCheckpoint(true)

@@ -17,6 +17,24 @@ object Similarity {
   private def norm2(v: org.apache.spark.sql.Column) =
     sqrt(dot(v, v))
 
+  /** Norm that RAISES on zero-norm vectors. A zero embedding makes
+    * cosine 0/0 = NaN, and NaN orders differently between the TopK
+    * heap's SortOrder (NaN sorts as the LARGEST double, so the heap
+    * keeps it) and the array_sort rank tail (-NaN is still NaN, so it
+    * sorts LAST) — the two stages of [[rankTopPerGroup]] would silently
+    * disagree on rank positions. Same loud-refusal stance as
+    * [[sameWidth]]: a zero-norm vector is an upstream data bug the
+    * caller should see by name, not a quiet rank shuffle.
+    */
+  private def checkedNorm(v: org.apache.spark.sql.Column,
+      op: String): org.apache.spark.sql.Column = {
+    val n = norm2(v)
+    when(n === 0d, raise_error(lit(
+      s"$op: zero-norm embedding vector — cosine is 0/0 (NaN); " +
+        "filter zero vectors upstream")))
+      .otherwise(n)
+  }
+
   /** Cosine similarity of two equal-width double-array columns (width
     * checked loudly via [[sameWidth]]); also the `graft_cosine(a, b)` SQL
     * function. NaN when either vector is all-zero.
@@ -78,9 +96,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cn", norm2(col("__cv")))
+      .withColumn("__cn", checkedNorm(col("__cv"), "bruteForceTopK"))
     val q = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__qn", norm2(col("__qv")))
+      .withColumn("__qn", checkedNorm(col("__qv"), "bruteForceTopK"))
     val scored = q.crossJoin(c)
       .filter(sameWidth(col("__qv"), col("__cv"), "bruteForceTopK"))
       .withColumn("cosine", TextAnalysis.round6(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
@@ -116,10 +134,10 @@ object Similarity {
   def selfTopK(corpus: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cn", norm2(col("__cv")))
+      .withColumn("__cn", checkedNorm(col("__cv"), "selfTopK"))
     val q = corpus.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__qn", norm2(col("__qv")))
+      .withColumn("__qn", checkedNorm(col("__qv"), "selfTopK"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col(idCol))
       .filter(sameWidth(col("__qv"), col("__cv"), "selfTopK"))

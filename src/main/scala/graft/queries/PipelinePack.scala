@@ -1101,8 +1101,7 @@ object PipelinePack extends QueryPack {
           tmp.resolve("idx").toString)
         graft.pipeline.ErIndex.appendToFastSSIndex(
           terms.filter(crc32(col("term")) % 5 === 4), table)
-        graft.pipeline.ErIndex.probeFastSS(
-          graft.pipeline.ErIndex.readFastSSIndex(s, table), batch)
+        graft.pipeline.ErIndex.probeFastSS(s, table, batch)
           .select(col("term"), col("corpus_term"), col("dist").cast("int").as("dist"))
           .orderBy(col("term"), col("corpus_term"))
           .localCheckpoint(true)
@@ -1129,8 +1128,7 @@ object PipelinePack extends QueryPack {
         batch.repartition(3).write.parquet(srcDir)
         val outDir = tmp.resolve("out").toString
         val q = graft.streaming.DocStream.streamingFastSSProbe(
-          s, srcDir, "term STRING",
-          graft.pipeline.ErIndex.readFastSSIndex(s, table), outDir,
+          s, srcDir, "term STRING", table, outDir,
           maxFilesPerTrigger = Some(1))
         try assert(q.awaitTermination(180000),
           "q360: streaming FastSS probe did not terminate within 180 s")

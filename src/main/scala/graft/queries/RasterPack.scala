@@ -261,6 +261,77 @@ object RasterPack extends QueryPack {
         col("value").as("value"))
         .groupBy("y", "x").agg(count(lit(1)).cast("double").as("value"))
       RasterOps.unpad(pixels).orderBy(col("y"), col("x"))
+    }),
+
+    // 3D POINT BURN (rasterize with spatial_axes={"x","y","z"} +
+    // target_depth, rasterize.py:86-140): the events point cloud binned
+    // into an 8x8x4 voxel grid, sum of an integral weight per voxel —
+    // one partial-aggregated groupBy, the z-generalized q30/q31 path.
+    // Half-integer coordinates and power-of-two bin widths keep every
+    // floor exact in both engines.
+    "q362_rasterize3d_points" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(
+        (col("user_id") % 32 + 0.5).as("x"),
+        (col("event_id") % 32 + 0.5).as("y"),
+        (col("event_id") % 8 + 0.5).as("z"),
+        (col("event_id") % 100 + col("user_id") % 50).as("v"))
+      RasterOps.rasterizePoints3d(pts, 0.0, 0.0, 0.0, 4.0, 4.0, 2.0,
+        8, 8, 4, valueCol = Some("v"), aggFunc = "sum")
+        .orderBy(col("z"), col("y"), col("x"))
+    }),
+
+    // 3D ORDER-0 RESAMPLE through a rotation+scale (transform.py:38-105
+    // is dim-generic via dask_image): a dense 8x16x16 volume gathered
+    // into a 16x16x8 target through cs = (rot90 in xy) . scale(2) —
+    // exercises the 4x4 homogeneous inverse and the level/grid fold; the
+    // closed form is out(z,y,x) = src(z, 15-x, y), which the oracle
+    // recomputes densely. All matrix entries are powers of two, so the
+    // Gauss-Jordan inverse and every gather coordinate are exact.
+    "q363_resample3d_rotate" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 8).cast("int").as("z"),
+        (col("event_id") % 16).cast("int").as("y"),
+        (col("user_id") % 16).cast("int").as("x"))
+        .groupBy("z", "y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(8L * 16 * 16).select(
+        (col("id") / 256).cast("int").as("z"),
+        ((col("id") % 256) / 16).cast("int").as("y"),
+        (col("id") % 16).cast("int").as("x"))
+      val vox = grid.join(counts, Seq("z", "y", "x"), "left")
+        .select(col("z"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      // src -> cs: cs_x = -2*src_y, cs_y = 2*src_x, cs_z = 2*src_z
+      val t = graft.model.AffineT(graft.model.Matrix(4, 4, Array(
+        0, -2, 0, 0,
+        2, 0, 0, 0,
+        0, 0, 2, 0,
+        0, 0, 0, 1)), Seq("x", "y", "z"), Seq("x", "y", "z"))
+      RasterOps.rasterizeRaster3d(vox, "value", t,
+        Seq(-32.0, 0.0, 0.0), Seq(0.0, 32.0, 16.0), 16, 16, 8)._1
+        .orderBy(col("z"), col("y"), col("x"))
+    }),
+
+    // 3D PYRAMID COARSEN (3D multiscales, models.py:234-263): one level
+    // down over a dense 8x32x32 volume = 2x2x2 mean — the avg-of-8
+    // oracle; sums of small integers stay exact and /8 is a power-of-two
+    // divide, so the compare is bit-level.
+    "q364_pyramid3d_coarsen" -> ((s, d) => {
+      val counts = Tables.events(s, d).select(
+        (col("event_id") % 8).cast("int").as("z"),
+        (col("event_id") % 32).cast("int").as("y"),
+        (col("user_id") % 32).cast("int").as("x"))
+        .groupBy("z", "y", "x").agg(count(lit(1)).cast("double").as("cnt"))
+      val grid = s.range(8L * 32 * 32).select(lit(0).as("c"),
+        (col("id") / 1024).cast("int").as("z"),
+        ((col("id") % 1024) / 32).cast("int").as("y"),
+        (col("id") % 32).cast("int").as("x"))
+      val vox = grid.join(counts, Seq("z", "y", "x"), "left")
+        .select(col("c"), col("z"), col("y"), col("x"),
+          coalesce(col("cnt"), lit(0.0)).as("value"))
+      RasterOps.buildPyramid(vox, levels = 1)
+        .filter(col("scale") === 1)
+        .select(col("z"), col("y"), col("x"), col("value"))
+        .orderBy(col("z"), col("y"), col("x"))
     })
   )
 
@@ -467,6 +538,48 @@ object RasterPack extends QueryPack {
         |  FROM events GROUP BY 1, 2),
         |ext AS (SELECT min(y) AS y0, min(x) AS x0 FROM px WHERE value <> 0)
         |SELECT px.y - ext.y0 AS y, px.x - ext.x0 AS x, px.value
-        |FROM px, ext ORDER BY y, x""".stripMargin
+        |FROM px, ext ORDER BY y, x""".stripMargin,
+
+    "q362_rasterize3d_points" ->
+      """SELECT CAST(FLOOR((event_id % 8 + 0.5) / 2.0) AS INT) AS z,
+        |  CAST(FLOOR((event_id % 32 + 0.5) / 4.0) AS INT) AS y,
+        |  CAST(FLOOR((user_id % 32 + 0.5) / 4.0) AS INT) AS x,
+        |  CAST(SUM(event_id % 100 + user_id % 50) AS BIGINT) AS value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // out(z, y, x) = src(z, 15 - x, y): the closed form of the
+    // rot90+scale2 inverse gather over half-integer voxel centers
+    "q363_resample3d_rotate" ->
+      """WITH vox AS (
+        |  SELECT CAST(event_id % 8 AS INT) AS z, CAST(event_id % 16 AS INT) AS y,
+        |         CAST(user_id % 16 AS INT) AS x, CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT CAST(i // 256 AS INT) AS z, CAST((i % 256) // 16 AS INT) AS y,
+        |         CAST(i % 16 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 2048)) AS i)),
+        |dense AS (
+        |  SELECT g.z, g.y, g.x, COALESCE(v.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN vox v ON v.z = g.z AND v.y = g.y AND v.x = g.x)
+        |SELECT o.z, o.y, o.x, d.v AS value
+        |FROM grid o JOIN dense d
+        |  ON d.z = o.z AND d.y = 15 - o.x AND d.x = o.y
+        |ORDER BY o.z, o.y, o.x""".stripMargin,
+
+    "q364_pyramid3d_coarsen" ->
+      """WITH vox AS (
+        |  SELECT CAST(event_id % 8 AS INT) AS z, CAST(event_id % 32 AS INT) AS y,
+        |         CAST(user_id % 32 AS INT) AS x, CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT CAST(i // 1024 AS INT) AS z, CAST((i % 1024) // 32 AS INT) AS y,
+        |         CAST(i % 32 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 8192)) AS i)),
+        |dense AS (
+        |  SELECT g.z, g.y, g.x, COALESCE(v.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN vox v ON v.z = g.z AND v.y = g.y AND v.x = g.x)
+        |SELECT CAST(z // 2 AS INT) AS z, CAST(y // 2 AS INT) AS y,
+        |  CAST(x // 2 AS INT) AS x, AVG(v) AS value
+        |FROM dense GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -114,10 +114,17 @@ object DocStream {
     * (term, corpus_term, dist, batch_id).
     */
   def streamingFastSSProbe(spark: SparkSession, sourceDir: String,
-      schemaDDL: String, index: DataFrame, outDir: String,
+      schemaDDL: String, indexTable: String, outDir: String,
       termCol: String = "term", maxDist: Int = 1,
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None): StreamingQuery = {
+    // validate the probe depth against the index's stored build maxDist
+    // ONCE at stream setup (refuses loudly before any batch runs)
+    val built = graft.pipeline.ErIndex.fastSSIndexMaxDist(spark, indexTable)
+    require(built >= maxDist,
+      s"streamingFastSSProbe: index '$indexTable' built with maxDist=$built " +
+        s"cannot serve maxDist=$maxDist probes without losing recall")
+    val index = graft.pipeline.ErIndex.readFastSSIndex(spark, indexTable)
     val reader = spark.readStream.schema(schemaDDL)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))

@@ -574,4 +574,75 @@ class RasterVectorizeSpec extends SparkTestBase {
       .select("value").as[Long].collect().toSeq
     assert(g2 === Seq(0L, 0L))
   }
+
+  test("rasterizePoints3d: per-z-slice equals the 2D binner, out-of-range voxels drop") {
+    val pts = (0 until 200).map { i =>
+      (i % 17 + 0.25, (i * 3) % 13 + 0.75, (i % 5).toDouble + 0.5, (i % 7).toLong)
+    }.toDF("x", "y", "z", "v")
+    val got = RasterOps.rasterizePoints3d(pts, 0, 0, 0, 4.0, 4.0, 1.0,
+        4, 4, 4, valueCol = Some("v"), aggFunc = "sum")
+      .select("z", "y", "x", "value").as[(Int, Int, Int, Long)].collect().toSet
+    // 2D binner per z slice (z bin = floor(z/1.0); z=4.5 bins to 4 >= depth -> dropped)
+    val want = (0 until 4).flatMap { zi =>
+      RasterOps.rasterizePoints(
+          pts.filter(floor(col("z")) === zi), 0, 0, 4.0, 4.0, 4, 4,
+          valueCol = Some("v"), aggFunc = "sum")
+        .select("y", "x", "value").as[(Int, Int, Long)].collect()
+        .map { case (y, x, v) => (zi, y, x, v) }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty && !got.exists(_._1 >= 4))
+  }
+
+  test("affineResample3d: identity gather and z-downscale") {
+    val src = (for (z <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
+      yield (z, y, x, (z * 4 + y * 2 + x).toLong)).toDF("z", "y", "x", "label")
+    val id = Array[Double](1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0)
+    val got = RasterOps.affineResample3d(src, "label", id, 2, 2, 2)
+      .orderBy("z", "y", "x").select("label").as[Long].collect().toSeq
+    assert(got == (0L until 8L))
+    // 2x upscale in z only: zs = floor((zo+0.5)/2)
+    val upZ = Array[Double](1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0.5, 0)
+    val up = RasterOps.affineResample3d(src, "label", upZ, 2, 2, 4)
+      .orderBy("z", "y", "x").select("label").as[Long].collect().toSeq
+    assert(up == Seq(0L, 1L, 2L, 3L, 0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 4L, 5L, 6L, 7L))
+  }
+
+  test("coarsenImage/subsampleLabels are dims-generic: 2x2x2 mean and z subsample") {
+    val vox = (for (z <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
+      yield (0, z, y, x, (z * 4 + y * 2 + x).toDouble)).toDF("c", "z", "y", "x", "value")
+    val c = RasterOps.coarsenImage(vox).select("value").as[Double].collect().toSeq
+    assert(c == Seq(3.5)) // mean of 0..7
+    val lbl = (for (z <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
+      yield (z, y, x, (z * 4 + y * 2 + x).toLong)).toDF("z", "y", "x", "label")
+    val s = RasterOps.subsampleLabels(lbl)
+      .select("z", "y", "x", "label").as[(Int, Int, Int, Long)].collect().toSeq
+    assert(s == Seq((0, 0, 0, 0L))) // top-left-front voxel survives
+    // buildPyramid composes the generic coarsen: scale-1 of a 4^3 volume is 2^3
+    val vol4 = (for (z <- 0 until 4; y <- 0 until 4; x <- 0 until 4)
+      yield (0, z, y, x, 1.0 * (z * 16 + y * 4 + x))).toDF("c", "z", "y", "x", "value")
+    val lvl1 = RasterOps.buildPyramid(vol4, levels = 1).filter(col("scale") === 1)
+    assert(lvl1.count() == 8)
+  }
+
+  test("rasterizeRaster3d picks the coarse pyramid level for a small target") {
+    import graft.model.{AffineT, Matrix}
+    // identity element transform; 2-level pyramid of an 8^3 volume
+    val p0 = (for (z <- 0 until 8; y <- 0 until 8; x <- 0 until 8)
+      yield (0, z, y, x, (z * 64 + y * 8 + x).toDouble)).toDF("c", "z", "y", "x", "value")
+    val pyr = RasterOps.buildPyramid(p0, levels = 1)
+    val ident = AffineT(Matrix(4, 4, Array[Double](
+      1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1)),
+      Seq("x", "y", "z"), Seq("x", "y", "z"))
+    // 2x2x2 target over the full extent: level 1 spans 4 px per axis
+    // >= 2 * sqrt(3) -> the coarse level is selected
+    val (out, lvl) = RasterOps.rasterizeRaster3d(pyr, "value", ident,
+      Seq(0, 0, 0), Seq(8, 8, 8), 2, 2, 2, numLevels = 2)
+    assert(lvl == 1)
+    assert(out.count() == 8)
+    // full-resolution target keeps level 0
+    val (_, lvl0) = RasterOps.rasterizeRaster3d(pyr, "value", ident,
+      Seq(0, 0, 0), Seq(8, 8, 8), 8, 8, 8, numLevels = 2)
+    assert(lvl0 == 0)
+  }
 }

@@ -37,11 +37,11 @@ class ErIndexSpec extends SparkTestBase {
         // incremental: build on 4/5, append 1/5
         ErIndex.writeFastSSIndex(part1, t1, tmp.resolve("a").toString)
         ErIndex.appendToFastSSIndex(part2, t1)
-        val inc = ErIndex.probeFastSS(ErIndex.readFastSSIndex(spark, t1), batch)
+        val inc = ErIndex.probeFastSS(spark, t1, batch)
           .orderBy("term", "corpus_term").collect().toSeq
         // full rebuild
         ErIndex.writeFastSSIndex(terms, t2, tmp.resolve("b").toString)
-        val full = ErIndex.probeFastSS(ErIndex.readFastSSIndex(spark, t2), batch)
+        val full = ErIndex.probeFastSS(spark, t2, batch)
           .orderBy("term", "corpus_term").collect().toSeq
         assert(inc === full, "append != rebuild")
         // brute force over the cross product (test-only oracle)
@@ -66,7 +66,7 @@ class ErIndexSpec extends SparkTestBase {
       try {
         ErIndex.writeFastSSIndex(terms, t, tmp.resolve("idx").toString)
         val batch = terms.limit(10)
-        val plan = ErIndex.probeFastSS(ErIndex.readFastSSIndex(spark, t), batch)
+        val plan = ErIndex.probeFastSS(spark, t, batch)
           .queryExecution.executedPlan.toString
         assert(plan.contains("Bucketed: true"),
           s"index scan must engage the bucketed layout:\n$plan")
@@ -82,6 +82,60 @@ class ErIndexSpec extends SparkTestBase {
             s"index side re-shuffled on key:\n$plan")
         }
       } finally spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    }
+  }
+
+  test("FastSS probe deeper than the build maxDist refuses loudly") {
+    withTmp("fssdepth") { tmp =>
+      val t = "graft_eridx_fss_depth"
+      try {
+        ErIndex.writeFastSSIndex(terms, t, tmp.resolve("idx").toString, maxDist = 1)
+        assert(ErIndex.fastSSIndexMaxDist(spark, t) == 1)
+        val ex = intercept[IllegalArgumentException] {
+          ErIndex.probeFastSS(spark, t, terms.limit(5), maxDist = 2)
+        }
+        assert(ex.getMessage.contains("maxDist"), ex.getMessage)
+        // the streaming probe validates at setup, before any batch runs
+        val ex2 = intercept[IllegalArgumentException] {
+          graft.streaming.DocStream.streamingFastSSProbe(spark,
+            tmp.resolve("nosrc").toString, "term STRING", t,
+            tmp.resolve("noout").toString, maxDist = 2)
+        }
+        assert(ex2.getMessage.contains("maxDist"), ex2.getMessage)
+      } finally spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    }
+  }
+
+  test("SNM probe refuses a layout with EMPTY ranges (ids absent from the manifest)") {
+    withTmp("snmgap") { tmp =>
+      val t = "graft_eridx_snm_gap"
+      try {
+        // An EMPTY middle range (numRanges beyond realizable bounds)
+        // writes no rows, so its id never reaches the manifest — the
+        // ±1-adjacency argument breaks across that gap. The manifest is
+        // derived state, so simulate the gap deterministically: drop one
+        // middle id from it (an empty partition produces exactly this).
+        val recs = (1 to 240).map { i =>
+          (i.toLong, f"${(i * 1099511628211L) & 0xffffffffL}%08x")
+        }.toDF("id", "key")
+        ErIndex.writeSnmLayout(recs, t, tmp.resolve("layout").toString,
+          "key", "id", numRanges = 8)
+        val man = spark.table(s"${t}_manifest")
+        val kept = man.filter(col("range_id") =!= 3).collect().toSeq
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(kept, 1), man.schema)
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${t}_manifest")
+        val batch = recs.select((col("id") + 10000).as("id"), col("key"))
+        val ex = intercept[IllegalArgumentException] {
+          ErIndex.probeSnm(spark, t, batch, "key", "id", window = 2)
+        }
+        assert(ex.getMessage.contains("empty") || ex.getMessage.contains("fewer"),
+          ex.getMessage)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}_manifest`")
+      }
     }
   }
 

@@ -73,6 +73,22 @@ class PipelineSpec extends SparkTestBase {
     assert(top == Seq(1L, 2L))
   }
 
+  test("brute-force top-k refuses zero-norm embeddings loudly") {
+    // cosine of a zero vector is 0/0 = NaN; the TopK heap and the rank
+    // tail order NaN differently, so the scorer must refuse, not rank
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ex = intercept[Exception] {
+      Similarity.bruteForceTopK(emb, q, k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("zero-norm")), msgs(ex).mkString("; "))
+  }
+
   test("lsh ANN returns subset of brute-force candidates with exact scores") {
     val emb = (1 to 50).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))

@@ -61,15 +61,14 @@ class DocStreamSpec extends SparkTestBase {
     val table = "graft_fastss_docstream"
     try {
       ErIndex.writeFastSSIndex(terms, table, tmp.resolve("idx").toString)
-      val index = ErIndex.readFastSSIndex(spark, table)
-      val oneShot = ErIndex.probeFastSS(index, batch)
+      val oneShot = ErIndex.probeFastSS(spark, table, batch)
         .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
       assert(oneShot.nonEmpty, "fixture must contain near-matches")
       val srcDir = tmp.resolve("src").toString
       batch.repartition(3).write.parquet(srcDir)
       val outDir = tmp.resolve("out").toString
       val q = DocStream.streamingFastSSProbe(spark, srcDir, "term STRING",
-        index, outDir, maxFilesPerTrigger = Some(1))
+        table, outDir, maxFilesPerTrigger = Some(1))
       try assert(q.awaitTermination(120000),
         "streaming FastSS probe did not terminate within 120 s")
       finally q.stop()
