@@ -1309,6 +1309,20 @@ object Dedup {
     * (lbl := min(lbl, lbl(lbl)) per action) was measured on the sf0.1 ER
     * blocking graph and lost 8x to this loop — the extra per-action
     * materialization dominates until diameters reach the hundreds.
+    *
+    * SIZE-ADAPTIVE: below `graft.cc.localEdgeThreshold` edges (default
+    * 1M — tens of MB on the driver, a bounded metadata-scale handoff
+    * with the bound CHECKED against an exact count of the checkpointed
+    * edge frame, not guessed), labels come from a driver-side union-find
+    * instead: the iterative loop's cost on a small deep graph is pure
+    * action cadence (~0.75 s/action x O(diameter) actions, measured on
+    * the 17-round ER chain graph), while union-find is O(E alpha) — ~ms.
+    * Same fixpoint by construction (min id per component), so gate
+    * hashes are unchanged; a spec pins local == distributed on a deep
+    * fixture. At 100 TB the candidate graph exceeds any sane threshold
+    * and the distributed loop runs — this cutover only removes the
+    * small-graph regime where a 1000-executor cluster would otherwise
+    * burn seconds of scheduler round-trips on kilobytes of edges.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1324,6 +1338,13 @@ object Dedup {
     // must survive executor loss would use reliable checkpoint() here —
     // same truncation, durable storage.
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val spark0 = pairs.sparkSession
+    // exact edge count off the checkpointed leaf — it gates the local
+    // cutover AND sizes the loop's shuffles below
+    val edgeRows = p0.count()
+    if (edgeRows <= spark0.conf.get(
+        "graft.cc.localEdgeThreshold", "1000000").toLong)
+      return connectedComponentsLocal(p0)
     val edges = p0.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(p0.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().persist(lvl)
@@ -1367,7 +1388,6 @@ object Dedup {
     // callers running concurrent queries must give each its own
     // `spark.newSession()` (separate SQLConf, shared catalog) — the
     // standard Spark isolation mechanism for exactly this.
-    val spark0 = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark0.conf.get(aqeKey, "true")
     spark0.conf.set(aqeKey, "false")
@@ -1380,7 +1400,6 @@ object Dedup {
     // like the AQE flag: only plans built inside the loop are affected.
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = spark0.conf.get(partsKey)
-    val edgeRows = p0.count()
     val loopParts = math.max(1L, math.min(partsPrev.toLong,
       (edgeRows + 249999L) / 250000L))
     spark0.conf.set(partsKey, loopParts.toString)
@@ -1443,6 +1462,60 @@ object Dedup {
     CacheScope.releaseAfterFirstUse(
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")),
       Seq(persisted))
+  }
+
+  /** Driver-side union-find over a SMALL edge frame (the size-adaptive
+    * cutover on [[connectedComponents]] — the caller has already
+    * count-verified the bound against the checkpointed pairs): path-
+    * halving find, union rooted at the smaller id, so every component's
+    * root IS its min id — the exact fixpoint the distributed loop
+    * converges to, hence identical labels and gate hashes. O(E alpha)
+    * driver work vs O(diameter) cluster actions. Output:
+    * (doc_id, cluster_id), one row per node, id type preserved.
+    */
+  private def connectedComponentsLocal(p0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = p0.sparkSession
+    val idType = p0.schema.fields(0).dataType
+    val ord: Ordering[Any] = idType match {
+      case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case ShortType => Ordering.by((x: Any) => x.asInstanceOf[Short])
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case other => sys.error("connectedComponents: unsupported id type " +
+        s"$other for the local path — ids must be integral or string")
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    p0.collect().foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      require(a != null && b != null,
+        "connectedComponents: null id in the pair table")
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = parent.keySet().asScala.toSeq
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = StructType(Seq(
+      StructField("doc_id", idType), StructField("cluster_id", idType)))
+    val slices = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, rows.size / 100000 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)
   }
 
   /** Exact cosine for a caller-supplied candidate pair table (the verify
@@ -1579,9 +1652,22 @@ object Dedup {
   def sortedNeighborPairs(df: DataFrame, keyCol: String, idCol: String,
       window: Int): DataFrame = {
     require(window >= 2, s"sortedNeighborPairs: window must be >= 2, got $window")
-    val b = window - 1L // neighbor distance 1..window-1
     val ranked = graft.ops.Ranking.globalRank(
       df.select(col(idCol), col(keyCol)), Seq(keyCol, idCol), "__r")
+    snmPairsFromRanked(ranked, keyCol, idCol, window)
+  }
+
+  /** The SNM block join over an already-ranked frame (`__r` = dense
+    * global rank in blocking-key order): pairs at rank distance
+    * 1..window-1. Shared by [[sortedNeighborPairs]] (which pays the
+    * corpus-wide range sort to get `__r`) and
+    * [[ErIndex.snmPairsAtRest]] (which derives `__r` from the stored
+    * layout with no range exchange).
+    */
+  private[pipeline] def snmPairsFromRanked(ranked: DataFrame, keyCol: String,
+      idCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"snmPairsFromRanked: window must be >= 2, got $window")
+    val b = window - 1L // neighbor distance 1..window-1
     // a-side rows also probe the NEXT block: partners of rank r live in
     // blocks floor(r/b) and floor(r/b)+1
     val aSide = ranked.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),

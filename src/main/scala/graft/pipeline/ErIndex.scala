@@ -188,9 +188,20 @@ object ErIndex {
   }
 
   /** Recompute the per-range bounds manifest from the stored layout —
-    * O(ranges) output from one partition-local aggregation.
+    * O(ranges) output from one partition-local aggregation. The manifest
+    * lives UNDER the layout's own location (a `_`-prefixed dir, hidden
+    * from the layout's file listing), never in the warehouse: a managed
+    * table's warehouse dir outlives the in-memory catalog, so a second
+    * JVM reusing a deterministic layout name would hit
+    * LOCATION_ALREADY_EXISTS on a directory its catalog has never heard
+    * of. External + explicit path keeps the whole structure
+    * self-contained and idempotent across sessions.
     */
   private def refreshManifest(spark: SparkSession, table: String): Unit = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    val manPath = new java.net.URI(loc.toString.stripSuffix("/") +
+      "/_graft_manifest").toString
     spark.sql(s"DROP TABLE IF EXISTS `${table}_manifest`")
     spark.table(table)
       .groupBy(col("range_id"))
@@ -199,7 +210,7 @@ object ErIndex {
         count(lit(1)).as("n_rows"))
       .select(col("range_id"), col("lo.key").as("lo_key"), col("lo.id").as("lo_id"),
         col("hi.key").as("hi_key"), col("hi.id").as("hi_id"), col("n_rows"))
-      .write.mode(SaveMode.Overwrite).format("parquet")
+      .write.mode(SaveMode.Overwrite).option("path", manPath).format("parquet")
       .saveAsTable(s"${table}_manifest")
   }
 
@@ -262,6 +273,44 @@ object ErIndex {
         pairs.join(bIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
           .select(pairs.columns.map(col).toSeq: _*))
       .distinct()
+  }
+
+  /** FULL-corpus sorted-neighborhood pairs from the stored layout, with
+    * NO corpus-wide range exchange: [[Dedup.sortedNeighborPairs]] pays a
+    * RangePartitioner sampling pass + range shuffle + checkpoint + count
+    * collect on EVERY run to derive global ranks; the layout already
+    * paid that once at build time, so here rank = manifest cumulative
+    * offset (at rest, O(ranges)) + a row_number WITHIN each `range_id`
+    * partition — one hash exchange on range_id, no sampling job, no
+    * checkpoint. Ranges are contiguous intervals of the global
+    * (key, id) order by construction, so the ranks (hence the pairs)
+    * are identical to the from-scratch form. Empty ranges contribute a
+    * zero offset and are harmless here (no probe adjacency argument is
+    * involved). Per-range work is bounded by the layout's range
+    * granularity — size `numRanges` to the corpus at build time (the
+    * window sort is per-range, not global).
+    */
+  def snmPairsAtRest(spark: SparkSession, table: String,
+      window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranges = spark.table(s"${table}_manifest")
+      .select(col("range_id"), col("n_rows")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    require(ranges.nonEmpty,
+      s"snmPairsAtRest: '$table' manifest is empty — build the layout first")
+    val offsets = ranges.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (rid, n)) => (rid, acc + n)
+    }.init.map { case (_, off) => off } // offset BEFORE each range, in order
+    val spark0 = spark
+    import spark0.implicits._
+    val offDf = ranges.map(_._1).zip(offsets).toSeq.toDF("range_id", "__off")
+    val ranked = spark.table(table)
+      .join(broadcast(offDf), Seq("range_id"))
+      .withColumn("__r",
+        row_number().over(
+          Window.partitionBy(col("range_id")).orderBy(col("key"), col("id")))
+          .cast("long") + col("__off") - 1L)
+    Dedup.snmPairsFromRanked(ranked, "key", "id", window)
   }
 
   /** The contiguous corpus slice a batch probe runs over: the batch's

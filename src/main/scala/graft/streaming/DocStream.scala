@@ -113,6 +113,41 @@ object DocStream {
     * streamed terms (DocStreamSpec pins this); output rows:
     * (term, corpus_term, dist, batch_id).
     */
+  /** STREAMING sorted-neighborhood screening: stream record batches and
+    * per micro-batch probe the at-rest SNM layout
+    * ([[graft.pipeline.ErIndex.probeSnm]]) — partition-pruned slice
+    * pairing at crawl-batch cadence, the order-blocking twin of
+    * [[streamingFastSSProbe]]. foreachBatch (the probe routes, prunes
+    * and distincts — not append-expressible); the corpus side scans only
+    * the ranges each micro-batch touches. NOTE the batch-composition
+    * semantics: unlike the FastSS probe (row-independent), SNM batch
+    * rows can pair with EACH OTHER through the window, so each
+    * micro-batch screens as a unit against stored ∪ that batch — the
+    * union over micro-batches equals per-batch one-shot probes (pinned
+    * by DocStreamSpec), not one probe of the concatenated stream.
+    * Output rows: (id_a, id_b, key_a, key_b, batch_id).
+    */
+  def streamingSnmProbe(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, layoutTable: String, outDir: String,
+      keyCol: String, idCol: String, window: Int,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.ErIndex.probeSnm(spark, layoutTable, batch,
+            keyCol, idCol, window)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   def streamingFastSSProbe(spark: SparkSession, sourceDir: String,
       schemaDDL: String, indexTable: String, outDir: String,
       termCol: String = "term", maxDist: Int = 1,

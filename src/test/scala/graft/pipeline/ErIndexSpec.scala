@@ -171,6 +171,39 @@ class ErIndexSpec extends SparkTestBase {
     }
   }
 
+  test("snmPairsAtRest == sortedNeighborPairs, including after an append") {
+    withTmp("snmrest") { tmp =>
+      val t = "graft_eridx_snm_rest"
+      try {
+        val recs = (1 to 300).map { i =>
+          (i.toLong, f"${(i * 1099511628211L) & 0xffffffffL}%08x")
+        }.toDF("id", "key")
+        ErIndex.writeSnmLayout(recs.filter(col("id") % 4 =!= 0), t,
+          tmp.resolve("layout").toString, "key", "id", numRanges = 8)
+        ErIndex.appendToSnmLayout(recs.filter(col("id") % 4 === 0), t, "key", "id")
+        for (window <- Seq(2, 5)) {
+          val atRest = ErIndex.snmPairsAtRest(spark, t, window)
+            .orderBy("id_a", "id_b")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          val scratch = Dedup.sortedNeighborPairs(recs, "key", "id", window)
+            .orderBy("id_a", "id_b")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          assert(atRest === scratch, s"window $window")
+          assert(atRest.nonEmpty)
+        }
+        // the at-rest plan never range-exchanges: no RangePartitioning
+        // exchange (the layout already holds the range order)
+        val plan = ErIndex.snmPairsAtRest(spark, t, 4)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("rangepartitioning("),
+          s"at-rest pairing re-sorted the corpus:\n$plan")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}_manifest`")
+      }
+    }
+  }
+
   test("SNM probe prunes partitions and refuses thin ranges") {
     withTmp("snmplan") { tmp =>
       val t = "graft_eridx_snm_plan"

@@ -471,15 +471,42 @@ class PipelineSpec extends SparkTestBase {
     // two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
       .toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // default: small graph -> driver union-find path
     val got = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // pathological chain deeper than maxIter fails loudly, not half-merged
-    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 2)
-    }
+    assert(got == want)
+    // forced distributed loop: identical labels
+    val key = "graft.cc.localEdgeThreshold"
+    spark.conf.set(key, "0")
+    try {
+      val gotDist = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist == want)
+      // pathological chain deeper than maxIter fails loudly, not
+      // half-merged (loop path only; union-find converges exactly)
+      val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(chain, maxIter = 2)
+      }
+    } finally spark.conf.unset(key)
+  }
+
+  test("connected components: local union-find == distributed loop on a deep chain, string ids") {
+    // a 60-deep chain (diameter stress) plus a star, over STRING ids
+    val chain = (1 to 60).map(i => (f"s$i%03d", f"s${i + 1}%03d"))
+    val star = (2 to 5).map(i => ("zz1", s"zz$i"))
+    val pairs = (chain ++ star).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    val key = "graft.cc.localEdgeThreshold"
+    spark.conf.set(key, "0")
+    val dist = try Dedup.connectedComponents(pairs, maxIter = 200)
+      .as[(String, String)].collect().toMap
+    finally spark.conf.unset(key)
+    assert(local == dist)
+    assert(local("s061") == "s001" && local("zz5") == "zz1")
   }
 
   test("kmeansTrain separates obvious clusters and converges inertia") {

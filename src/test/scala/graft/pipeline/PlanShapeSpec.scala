@@ -477,10 +477,14 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("connectedComponents rounds are equi-joins: no product in any iteration") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // force the distributed loop (the default would take the small-graph
+    // union-find path, whose plan is a parallelize leaf)
+    spark.conf.set("graft.cc.localEdgeThreshold", "0")
     // the result plan only shows the last round; products in EARLIER rounds
     // would also surface there through the persisted lineage boundary, so
     // asserting on the returned frame covers the loop
-    assertNoProduct(Dedup.connectedComponents(pairs))
+    try assertNoProduct(Dedup.connectedComponents(pairs))
+    finally spark.conf.unset("graft.cc.localEdgeThreshold")
   }
 
   test("repetitionSignals aggregates by doc id: no product, no global window") {

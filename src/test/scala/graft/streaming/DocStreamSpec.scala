@@ -225,4 +225,52 @@ class DocStreamSpec extends SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("streaming SNM probe: per-micro-batch outputs equal per-batch one-shot probes") {
+    import graft.pipeline.ErIndex
+    import spark.implicits._
+    val recs = (1 to 200).map { i =>
+      (i.toLong, f"${(i * 1099511628211L) & 0xffffffffL}%08x")
+    }.toDF("id", "key")
+    val stored = recs.filter(col("id") % 10 =!= 3)
+    val batch = recs.filter(col("id") % 10 === 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snm_ds_")
+    val table = "graft_snm_docstream"
+    try {
+      ErIndex.writeSnmLayout(stored, table, tmp.resolve("layout").toString,
+        "key", "id", numRanges = 4)
+      // one-shot probes, one per deterministic sub-batch (SNM batch rows
+      // interact through the window, so composition is semantic)
+      val want = (0 to 2).flatMap { i =>
+        ErIndex.probeSnm(spark, table, batch.filter(col("id") % 3 === i),
+            "key", "id", window = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.toSet
+      assert(want.nonEmpty, "fixture must produce pairs")
+      val srcDir = tmp.resolve("src").toString
+      (0 to 2).foreach { i =>
+        batch.filter(col("id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      }
+      val outDir = tmp.resolve("out").toString
+      val q = DocStream.streamingSnmProbe(spark, srcDir, "id BIGINT, key STRING",
+        table, outDir, "key", "id", window = 4, maxFilesPerTrigger = Some(1))
+      try assert(q.awaitTermination(120000),
+        "streaming SNM probe did not terminate within 120 s")
+      finally q.stop()
+      val streamed = spark.read.parquet(outDir)
+      assert(streamed.select("batch_id").distinct().count() == 3)
+      val got = streamed.select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      // no cross-sub-batch pair can form -> no repeats across batches
+      assert(streamed.count() == got.size)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"DROP TABLE IF EXISTS `${table}_manifest`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
