@@ -4,18 +4,23 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, OneRowRelation, Project, Window}
-import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, IntegerLiteral, ScalaUDF}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Session-enforced scale guardrails — [[graft.tools.PlanLint]]'s CI
   * pre-flight productized as an injected Catalyst OPTIMIZER RULE, so a
-  * shared-cluster session can refuse the two query shapes that melt down
+  * shared-cluster session can refuse the query shapes that melt down
   * at 100 TB *at planning time*, before a single task launches:
   *
   *   - a WINDOW with an empty partition spec (every row through ONE
   *     reducer — the shape [[graft.ops.Ranking.globalRank]] exists to
   *     replace);
-  *   - a CROSS join (row-count product).
+  *   - a CROSS join (row-count product);
+  *   - a conditioned join with NO equi-key between two multi-row sides
+  *     (plans as BroadcastNestedLoopJoin — per-probe-row full scans of
+  *     the build side);
+  *   - a per-row ScalaUDF anywhere in the plan (opaque to codegen,
+  *     pushdown and pruning).
   *
   * Deploy with `spark.sql.extensions=graft.functions.GraftGuardrails`
   * (composes with [[GraftSqlExtensions]] — the config takes a
@@ -67,6 +72,26 @@ object GuardrailRule extends Rule[LogicalPlan] with Logging {
     case other => other.children.size == 1 && boundedOne(other.children.head)
   }
 
+  /** Does the join condition contain at least one equality whose sides
+    * reference opposite children? That is what lets the planner pick a
+    * hash/sort-merge strategy; without one, a conditioned join between
+    * two multi-row sides plans as BroadcastNestedLoopJoin — every probe
+    * row scans the entire build side.
+    */
+  private def hasEquiKeys(j: Join): Boolean = {
+    val left = j.left.outputSet
+    val right = j.right.outputSet
+    def opposite(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(left) && b.references.subsetOf(right)) ||
+          (a.references.subsetOf(right) && b.references.subsetOf(left)))
+    j.condition.exists(_.exists {
+      case EqualTo(a, b) => opposite(a, b)
+      case EqualNullSafe(a, b) => opposite(a, b)
+      case _ => false
+    })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val m = mode
     if (m == "off") return plan
@@ -82,6 +107,26 @@ object GuardrailRule extends Rule[LogicalPlan] with Logging {
         findings += ("cross-join: row-count product " +
           s"(${j.joinType}); add an equi-condition (a provably 1-row side " +
           "— a grouping-free aggregate or LIMIT 1 — is exempt)")
+      case j: Join if j.condition.isDefined && !hasEquiKeys(j) &&
+          !boundedOne(j.left) && !boundedOne(j.right) =>
+        findings += ("nested-loop-join: no equi-key in the join condition " +
+          s"(${j.condition.get.sql}) — this plans as BroadcastNestedLoopJoin, " +
+          "every probe row scanning the whole build side; add an " +
+          "equi-conjunct (band a range predicate, bucket a key). An " +
+          "inequality join against a side bounded by construction (e.g. " +
+          "an O(ranges) broadcast manifest, graft's routeToRanges) should " +
+          "run under spark.graft.guardrails=warn — the rule sees shapes, " +
+          "not cardinality bounds")
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) =>
+        val names = p.expressions.flatMap(_.collect {
+          case u: ScalaUDF => u.udfName.getOrElse("anonymous")
+        }).distinct
+        findings += (s"scala-udf: opaque per-row function(s) " +
+          s"(${names.mkString(", ")}) block whole-stage codegen, predicate " +
+          "pushdown and column pruning on the hot path — use " +
+          "org.apache.spark.sql.functions or a native Catalyst expression. " +
+          "Bounded ingest-time parsing (e.g. one-off GeoJSON -> WKB) " +
+          "should run under spark.graft.guardrails=warn")
       case _ =>
     }
     if (findings.nonEmpty) {

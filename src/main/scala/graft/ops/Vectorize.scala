@@ -5,19 +5,35 @@ import graft.geom.st._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Raster/shape -> shape conversions (`_core/operations/vectorize.py`). */
+/** Raster/shape -> shape conversions (`_core/operations/vectorize.py`).
+  *
+  * 2D ONLY, by the reference's own contract: `to_polygons`/`to_circles`
+  * raise for 3D rasters (vectorize.py walks (y, x) contours and shapes
+  * are a 2D GeoDataFrame model), and this engine pins the SAME loud
+  * refusal ([[require2d]]) rather than silently flattening a z-stack —
+  * even though 3D labels now flow end-to-end elsewhere (q358/q359
+  * components, q362-q364 rasterize/resample/pyramid).
+  */
 object Vectorize {
+
+  private def require2d(labels: DataFrame, op: String): Unit =
+    require(!labels.columns.contains("z"),
+      s"$op: labels have a z axis — vectorize is 2D-only (the reference's " +
+        "vectorize.py raises for 3D rasters; shapes are a 2D model). " +
+        "Select a z plane or aggregate over z first.")
 
   /** Labels -> equal-area circles: radius = sqrt(area/pi), center =
     * centroid (vectorize.py:39-156). Pure aggregation; `pixelArea` scales
     * counts to areas.
     */
-  def labelsToCircles(labels: DataFrame, pixelArea: Double = 1.0): DataFrame =
+  def labelsToCircles(labels: DataFrame, pixelArea: Double = 1.0): DataFrame = {
+    require2d(labels, "labelsToCircles")
     labels.filter(col("label") =!= 0)
       .groupBy(col("label").as("index"))
       .agg(
         avg(col("x")).as("x"), avg(col("y")).as("y"),
         sqrt(count(lit(1)) * pixelArea / math.Pi).as("radius"))
+  }
 
   /** Polygons -> equal-area circles (vectorize.py:84-117). */
   def shapesToCircles(shapes: DataFrame): DataFrame =
@@ -53,6 +69,7 @@ object Vectorize {
     * traces pixel edges at 0.5 offsets); total polygon area == pixel count.
     */
   def labelsToPolygons(labels: DataFrame): DataFrame = {
+    require2d(labels, "labelsToPolygons")
     val spark = labels.sparkSession
     import spark.implicits._
     val px = labels.filter(col("label") =!= 0)

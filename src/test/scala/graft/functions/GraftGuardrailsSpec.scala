@@ -77,4 +77,48 @@ class GraftGuardrailsSpec extends SparkTestBase {
       assert(df.crossJoin(df.select(col("id").as("id2"))).count() === 25)
     }
   }
+
+  test("non-equi joins between multi-row sides refuse; equi and bounded sides pass") {
+    withGuarded { s =>
+      import s.implicits._
+      val a = (1 to 10).map(i => (i.toLong, i * 2.0)).toDF("id", "lo")
+      val b = (1 to 10).map(i => (i.toLong, i * 3.0)).toDF("id2", "hi")
+      // pure range join, both sides multi-row -> BroadcastNestedLoopJoin
+      val e = intercept[Exception] {
+        a.join(b, col("lo") < col("hi")).collect()
+      }
+      assert(e.getMessage.contains("nested-loop-join"), e.getMessage)
+      // an equi-conjunct restores a hash-joinable shape
+      assert(a.join(b, col("id") === col("id2") && col("lo") < col("hi"))
+        .count() === 10)
+      // a provably <= 1-row side is exempt (the broadcast-threshold idiom)
+      val mx = b.agg(max(col("hi")).as("mxhi"))
+      assert(a.join(mx, col("lo") < col("mxhi")).count() === 10)
+      // warn mode is the documented escape for bounded-by-construction
+      // inequality joins (routeToRanges' O(ranges) broadcast manifest)
+      s.conf.set("spark.graft.guardrails", "warn")
+      assert(a.join(b, col("lo") < col("hi")).count() > 0)
+      s.conf.set("spark.graft.guardrails", "fail")
+    }
+  }
+
+  test("per-row ScalaUDFs refuse in fail mode; warn is the ingest escape") {
+    withGuarded { s =>
+      import s.implicits._
+      // range-backed (a local Seq would fold through ConvertToLocalRelation
+      // and evaluate the UDF at optimize time, leaving nothing to flag)
+      val df = s.range(5).select(col("id"),
+        concat(lit("v"), col("id").cast("string")).as("t"))
+      val up = udf((x: String) => x.toUpperCase)
+      val e = intercept[Exception] {
+        df.select(up(col("t")).as("u")).collect()
+      }
+      assert(e.getMessage.contains("scala-udf"), e.getMessage)
+      // the native-function spelling of the same thing passes
+      assert(df.select(upper(col("t"))).count() === 5)
+      s.conf.set("spark.graft.guardrails", "warn")
+      assert(df.select(up(col("t")).as("u")).count() === 5)
+      s.conf.set("spark.graft.guardrails", "fail")
+    }
+  }
 }

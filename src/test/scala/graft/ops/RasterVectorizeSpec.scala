@@ -625,6 +625,22 @@ class RasterVectorizeSpec extends SparkTestBase {
     assert(lvl1.count() == 8)
   }
 
+  test("vectorize refuses 3D labels loudly (reference contract: vectorize.py is 2D-only)") {
+    val lbl3d = Seq((0, 0, 0, 1L), (0, 0, 1, 1L), (1, 0, 0, 2L))
+      .toDF("z", "y", "x", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      Vectorize.labelsToCircles(lbl3d)
+    }
+    assert(e1.getMessage.contains("2D-only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Vectorize.labelsToPolygons(lbl3d)
+    }
+    assert(e2.getMessage.contains("2D-only"), e2.getMessage)
+    // a selected z plane vectorizes fine
+    val plane = lbl3d.filter(col("z") === 0).drop("z")
+    assert(Vectorize.labelsToCircles(plane).count() === 1)
+  }
+
   test("rasterizeRaster3d picks the coarse pyramid level for a small target") {
     import graft.model.{AffineT, Matrix}
     // identity element transform; 2-level pyramid of an 8^3 volume
