@@ -1160,7 +1160,7 @@ object Dedup {
     * gram's `xxhash64`, computed BEFORE any exchange so only 8 bytes per
     * window ever shuffle — the gram text itself dies inside the map task.
     */
-  private def windowRows(docs: DataFrame, k: Int, textCol: String,
+  private[pipeline] def windowRows(docs: DataFrame, k: Int, textCol: String,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
@@ -1175,14 +1175,26 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"window must be at least 2 tokens, got $k")
-    import org.apache.spark.sql.expressions.Window
     val wins = windowRows(docs, k, textCol, idCol)
     val dup = wins.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select("__gh")
     val marked = wins.join(dup, Seq("__gh")).select(col(idCol), col("__s"))
-    // gaps-and-islands: window at __s covers tokens [__s, __s + k); a new
-    // span starts when __s clears the running max end of everything before
+    spansFromMarked(marked, k, idCol)
+  }
+
+  /** The gaps-and-islands tail of span dedup: fold marked window starts
+    * (`__s`, covering tokens [__s, __s+k)) into maximal contiguous spans
+    * per document. Per-doc window only — bounded by document length.
+    * Shared by [[duplicateSpans]] (full-corpus gate) and
+    * [[TextIndex.probeSpans]] (batch marks against the at-rest gram
+    * index).
+    */
+  private[pipeline] def spansFromMarked(marked: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // a new span starts when __s clears the running max end of everything
+    // before it
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"))
     val prevEnd = max(col("__s") + k)
       .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))

@@ -540,4 +540,96 @@ object TextIndex {
     qlScoreMatched(matched, cf, total, mu, k, idCol,
       dlCol = "dl", tfCol = "tf")
   }
+
+  // ---- substring-dedup (Lee et al. 2022) k-token gram index at rest ----
+
+  /** Table property recording the window width the span index was built
+    * at — probing at a different k is meaningless (the grams are k-token
+    * hashes), so probes read it back instead of guessing.
+    */
+  private val SpanKProp = "graft.spanindex.k"
+
+  /** Build + persist the k-token window table of
+    * [[Dedup.duplicateSpans]]: one (doc_id, pos, gram) row per k-token
+    * window (gram = xxhash64 of the window text — 8 bytes shuffled, never
+    * gram text), bucketed+sorted on `gram`, so the probe's duplicate gate
+    * aggregates and joins with NO exchange on the index side. Window rows
+    * are per-doc-local, so `write(old); append(new)` is row-identical to
+    * `write(old ∪ new)` — probe-after-append ≡ probe-after-rebuild (the
+    * q366 gate pins this against a full-union oracle). This is how
+    * Lee-et-al span dedup absorbs a crawl batch at 100 TB without
+    * re-hashing the at-rest corpus per batch.
+    */
+  def writeSpanIndex(docs: DataFrame, table: String, path: String,
+      k: Int = 8, textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 16): Unit = {
+    require(k >= 2, s"writeSpanIndex: window must be at least 2 tokens, got $k")
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spanRows(docs, k, textCol, idCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, "gram")
+      .sortBy("gram")
+      .format("parquet")
+      .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES ('$SpanKProp' = '$k')")
+  }
+
+  /** The k a stored span index was built at (from table properties). */
+  def spanIndexK(spark: SparkSession, table: String): Int = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES `$table` ('$SpanKProp')").collect()
+    rows.headOption.map(_.getString(1))
+      .filterNot(_.contains("does not have property"))
+      .map(_.toInt).getOrElse(sys.error(
+        s"span index '$table' records no window width " +
+          s"(missing table property $SpanKProp) — rebuild with writeSpanIndex"))
+  }
+
+  /** Incremental maintenance: window ONLY the new batch (at the STORED
+    * k) and append under the same bucket spec — per-doc-local rows, so
+    * the result is row-identical to a full rebuild.
+    */
+  def appendToSpanIndex(newDocs: DataFrame, table: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 16): Unit = {
+    val k = spanIndexK(newDocs.sparkSession, table)
+    spanRows(newDocs, k, textCol, idCol)
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "gram")
+      .sortBy("gram")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  private def spanRows(docs: DataFrame, k: Int, textCol: String,
+      idCol: String): DataFrame =
+    Dedup.windowRows(docs, k, textCol, idCol)
+      .select(col(idCol), col("__s").as("pos"), col("__gh").as("gram"))
+
+  /** Duplicate spans of a NEW batch against the stored corpus ∪ the
+    * batch itself — [[Dedup.duplicateSpans]] over (stored ∪ batch),
+    * restricted to batch documents, with the corpus-side work at rest:
+    * the batch windows its own (small) text, the index side's gram
+    * counts aggregate BUCKET-LOCALLY (grouped on exactly the bucketing
+    * key — no exchange), and a batch gram is duplicated when its total
+    * count across index + batch exceeds 1. The per-doc islands fold runs
+    * on batch docs only. Output: (idCol, span_start, span_tokens).
+    */
+  def probeSpans(spark: SparkSession, table: String, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val k = spanIndexK(spark, table)
+    val bw = Dedup.windowRows(batch, k, textCol, idCol)
+    val idxCounts = spark.table(table).groupBy(col("gram"))
+      .agg(count(lit(1)).as("__ni"))
+      .withColumnRenamed("gram", "__gh")
+    val batchCounts = bw.groupBy(col("__gh")).agg(count(lit(1)).as("__nb"))
+    val dupGrams = batchCounts
+      .join(idxCounts, Seq("__gh"), "left")
+      .filter(coalesce(col("__ni"), lit(0L)) + col("__nb") > 1)
+      .select("__gh")
+    val marked = bw.join(dupGrams, Seq("__gh")).select(col(idCol), col("__s"))
+    Dedup.spansFromMarked(marked, k, idCol)
+  }
 }

@@ -250,6 +250,38 @@ object CurationPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SUBSTRING-DEDUP AT REST (Lee et al. spans, the band-index pattern):
+    // k-token gram index built on 4/5 of the stored corpus, APPENDED the
+    // rest (per-doc-local rows: append ≡ rebuild), then a batch's
+    // duplicate spans against stored ∪ batch — the index side's gram
+    // counts aggregate bucket-locally, no corpus re-hash per batch. The
+    // oracle recomputes full-union duplicate spans restricted to the
+    // batch and never sees the index.
+    "q366_span_index_at_rest" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d)
+      val batch = docs.filter(col("doc_id") % 7 === 2)
+      val stored = docs.filter(col("doc_id") % 7 =!= 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_spanidx_")
+      val table = "graft_span_index_q366"
+      try {
+        graft.pipeline.TextIndex.writeSpanIndex(
+          stored.filter(col("doc_id") % 5 =!= 4), table,
+          tmp.resolve("idx").toString, k = 8)
+        graft.pipeline.TextIndex.appendToSpanIndex(
+          stored.filter(col("doc_id") % 5 === 4), table)
+        graft.pipeline.TextIndex.probeSpans(s, table, batch)
+          .select(col("doc_id"), col("span_start").cast("int").as("span_start"),
+            col("span_tokens").cast("int").as("span_tokens"))
+          .orderBy(col("doc_id"), col("span_start"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // CCNet-style bigram-LM quality scoring: add-one-smoothed counts from
     // the salt-"lm" quarter sample, every doc scored by average bigram
     // log-probability (1e-4 fixed-point log terms -> exact BIGINT sums)
@@ -2291,6 +2323,35 @@ object CurationPack extends QueryPack {
         |FROM documents d
         |LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // full-union duplicate gate (dup counts over ALL docs = stored ∪
+    // batch), spans folded over batch docs only — the probe's exact
+    // semantics, derived without the index
+    "q366_span_index_at_rest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS INT) AS s, array_to_string(t[i+1:i+8], ' ') AS gram
+        |  FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) > 1),
+        |marked AS (SELECT doc_id, s FROM wins JOIN dup USING (gram)
+        |           WHERE doc_id % 7 = 2),
+        |flagged AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN s > COALESCE(MAX(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM marked),
+        |isl AS (
+        |  SELECT doc_id, s,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM flagged)
+        |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+        |  CAST(MAX(s) + 8 - MIN(s) AS INT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q145_dup_spans" ->
       """WITH toks AS (

@@ -203,4 +203,53 @@ class TextIndexSpec extends SparkTestBase {
       assert(capped < uncapped, s"cap=1 ($capped) must drop pairs vs uncapped ($uncapped)")
     }
   }
+
+  test("span index at rest: probe-after-append == rebuild == full recompute on batch docs") {
+    // corpus where every 6th doc shares an 8+-token run with its neighbor
+    val docs = (1 to 120).map { i =>
+      val core = if (i % 6 < 2)
+        s"alpha beta gamma delta epsilon zeta eta theta shared run ${i % 2}"
+      else s"solo text $i with tokens ${i * 13} ${i * 29} spread wide apart here now"
+      (i.toLong, core)
+    }.toDF("doc_id", "text")
+    val batch = docs.filter($"doc_id" % 4 === 1)
+    val stored = docs.filter($"doc_id" % 4 =!= 1)
+    val tmp = java.nio.file.Files.createTempDirectory("tidx_span")
+    val t1 = "graft_tidx_span_a"; val t2 = "graft_tidx_span_b"
+    try {
+      TextIndex.writeSpanIndex(stored.filter($"doc_id" % 3 =!= 0), t1,
+        tmp.resolve("a").toString, k = 8)
+      TextIndex.appendToSpanIndex(stored.filter($"doc_id" % 3 === 0), t1)
+      val inc = TextIndex.probeSpans(spark, t1, batch)
+        .orderBy("doc_id", "span_start")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      TextIndex.writeSpanIndex(stored, t2, tmp.resolve("b").toString, k = 8)
+      val full = TextIndex.probeSpans(spark, t2, batch)
+        .orderBy("doc_id", "span_start")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(inc === full, "append != rebuild")
+      // recompute oracle: full-union duplicateSpans restricted to batch
+      val batchIds = batch.select("doc_id").as[Long].collect().toSet
+      val want = Dedup.duplicateSpans(docs, k = 8)
+        .orderBy("doc_id", "span_start")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .filter(x => batchIds.contains(x._1)).toSeq
+      assert(inc === want, "probe != full-union recompute")
+      assert(inc.nonEmpty, "fixture must contain duplicated spans")
+      // the index-side gram count aggregates bucket-locally: no exchange
+      // between the index scan and its aggregate
+      val plan = TextIndex.probeSpans(spark, t2, batch)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"span probe must engage the bucketed layout:\n$plan")
+      // k mismatch refuses loudly via the stored property
+      assert(TextIndex.spanIndexK(spark, t2) == 8)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t1`")
+      spark.sql(s"DROP TABLE IF EXISTS `$t2`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
