@@ -1377,6 +1377,7 @@ object Dedup {
     var converged = false
     var it = 1
     var first = true
+    var roundsSinceCut = 0
     // labels is a PROJECTION over the persisted frame after the first
     // action, so unpersisting it would be a no-op — track the persisted
     // handles themselves
@@ -1458,6 +1459,24 @@ object Dedup {
       converged = nChanged == 0
       it += (if (first) 1 else 2)
       first = false
+      // PERIODIC LINEAGE TRUNCATION: each step references the previous
+      // labels frame TWICE (the neighbor-min join and the outer merge),
+      // so the accumulated logical plan is a DAG whose tree expansions
+      // (canonicalization, transformUp copies) grow EXPONENTIALLY in
+      // rounds — ~2^rounds nodes. persist() caches execution but the
+      // analyzer still walks the full plan every action; measured: an
+      // 8 GiB driver OOMs in doCanonicalize near round ~24. Deep
+      // diameters are exactly where the distributed loop matters, so
+      // cut the plan to a checkpointed leaf every 8 rounds — one extra
+      // materialization per 8 rounds, analyzer cost back to linear.
+      roundsSinceCut += 2
+      if (!converged && roundsSinceCut >= 8) {
+        val cut = labels.localCheckpoint(true)
+        persisted.unpersist()
+        persisted = cut
+        labels = cut
+        roundsSinceCut = 0
+      }
     } finally {
       spark0.conf.set(aqeKey, aqePrev)
       spark0.conf.set(partsKey, partsPrev)

@@ -54,6 +54,46 @@ class RasterizeDispatchSpec extends SparkTestBase {
     assert(i.columns.contains("c"))
   }
 
+  test("rasterize3d dispatches points and 3D labels; shapes refuse (2D data model)") {
+    val pts3d = Seq.tabulate(60)(i =>
+      (i.toLong, (i % 5).toDouble, (i / 5 % 4).toDouble, (i / 20).toDouble))
+      .toDF("id", "x", "y", "z")
+    val lab3d = (for (z <- 0 until 2; y <- 0 until 3; x <- 0 until 4)
+      yield (z, y, x, (z * 12 + y * 4 + x + 1).toLong)).toDF("z", "y", "x", "label")
+    val shp = Models.ShapesModel.parse(
+      Seq((1L, 0.0, 0.0)).toDF("index", "x0", "y0")
+        .withColumn("geometry", st_make_box(col("x0"), col("y0"),
+          col("x0") + 2.0, col("y0") + 2.0))
+        .withColumn("geom_type", lit("polygon")).drop("x0", "y0"))
+    val sd = SpatialDataset(spark, Seq(
+      SpatialElement(ElementMeta("p3", ElementKind.Points, Seq("x", "y", "z"),
+        transforms = Map("global" -> ScaleT(Seq(2.0, 2.0, 2.0), Seq("x", "y", "z")))),
+        pts3d),
+      SpatialElement(ElementMeta("l3", ElementKind.Labels, Seq("z", "y", "x")), lab3d),
+      SpatialElement(Models.ShapesModel.meta("shp"), shp)))
+    // points: cs = 2x intrinsic -> [0,10)x[0,8)x[0,6) at 1 unit/voxel
+    val p = RasterOps.rasterize3d(sd, "p3", "global",
+      Seq(0.0, 0.0, 0.0), Seq(10.0, 8.0, 6.0), 10, 8, 6)
+    assert(p.agg(sum("value")).as[Long].collect()(0) == 60L)
+    val direct = RasterOps.rasterizePoints3d(
+      TransformOps.transformPoints(sd("p3"),
+        sd.transformTo("p3", "global"), Seq("x", "y", "z")),
+      0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 10, 8, 6)
+    assert(p.orderBy("z", "y", "x").collect().toSeq ==
+      direct.orderBy("z", "y", "x").collect().toSeq)
+    // 3D labels: identity resample reproduces the volume
+    val l = RasterOps.rasterize3d(sd, "l3", "global",
+      Seq(0.0, 0.0, 0.0), Seq(4.0, 3.0, 2.0), 4, 3, 2)
+    val want = lab3d.select("z", "y", "x", "label").as[(Int, Int, Int, Long)].collect().toSet
+    assert(l.select("z", "y", "x", "label").as[(Int, Int, Int, Long)].collect().toSet == want)
+    // shapes: 2D by the data model -> loud refusal
+    val e = intercept[RuntimeException] {
+      RasterOps.rasterize3d(sd, "shp", "global",
+        Seq(0.0, 0.0, 0.0), Seq(4.0, 4.0, 4.0), 4, 4, 4)
+    }
+    assert(e.getMessage.contains("no z axis"), e.getMessage)
+  }
+
   test("rasterizeBinsAffine recovers the bin-grid affine exactly") {
     // bins laid out at x = 2*col + 10, y = 3*row - 5
     val obs = Seq.tabulate(40)(i => (i / 8, i % 8, 2.0 * (i % 8) + 10.0, 3.0 * (i / 8) - 5.0))

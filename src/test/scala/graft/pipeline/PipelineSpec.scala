@@ -494,7 +494,12 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("connected components: local union-find == distributed loop on a deep chain, string ids") {
-    // a 60-deep chain (diameter stress) plus a star, over STRING ids
+    // a 60-deep chain: ~30 propagation rounds — this SPECIFICALLY
+    // exercises the loop's periodic lineage truncation (each round
+    // references labels twice, so without the every-8-rounds checkpoint
+    // cut the plan DAG's tree expansion is ~2^rounds and an 8 GiB driver
+    // OOMs in the analyzer near round ~24 — measured) — plus a star,
+    // over STRING ids
     val chain = (1 to 60).map(i => (f"s$i%03d", f"s${i + 1}%03d"))
     val star = (2 to 5).map(i => ("zz1", s"zz$i"))
     val pairs = (chain ++ star).toDF("id_a", "id_b")
@@ -504,7 +509,10 @@ class PipelineSpec extends SparkTestBase {
     spark.conf.set(key, "0")
     val dist = try Dedup.connectedComponents(pairs, maxIter = 200)
       .as[(String, String)].collect().toMap
-    finally spark.conf.unset(key)
+    finally {
+      spark.conf.unset(key)
+      spark.catalog.clearCache()
+    }
     assert(local == dist)
     assert(local("s061") == "s001" && local("zz5") == "zz1")
   }
