@@ -1323,9 +1323,10 @@ object Dedup {
     * materialization dominates until diameters reach the hundreds.
     *
     * SIZE-ADAPTIVE: below `graft.cc.localEdgeThreshold` edges (default
-    * 1M — tens of MB on the driver, a bounded metadata-scale handoff
-    * with the bound CHECKED against an exact count of the checkpointed
-    * edge frame, not guessed), labels come from a driver-side union-find
+    * 1M — order 100 MB of driver heap with string ids, a bounded
+    * metadata-scale handoff with the bound CHECKED against an exact
+    * count of the checkpointed edge frame, not guessed; lower it on a
+    * thin driver), labels come from a driver-side union-find
     * instead: the iterative loop's cost on a small deep graph is pure
     * action cadence (~0.75 s/action x O(diameter) actions, measured on
     * the 17-round ER chain graph), while union-find is O(E alpha) — ~ms.

@@ -367,10 +367,17 @@ object GraphOps {
         deg.unpersist()
       } else {
         val keep = deg.filter(col("degree") >= k).select(col("node"))
-        val e2 = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        val peeled = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // periodic lineage truncation (the connectedComponents round-12
+        // finding): each round references `e` three ways (directly + via
+        // keep->deg twice), so the accumulated plan DAG's tree expansions
+        // grow ~3^rounds — bounded fine at the default maxRounds but an
+        // analyzer blowup on deep peels; a checkpointed leaf every 8
+        // rounds keeps it linear for one extra materialization
+        val e2 = if (rounds % 8 == 7) peeled.localCheckpoint(true)
+                 else peeled.persist(StorageLevel.MEMORY_AND_DISK)
         held = e2 :: deg :: held
         e = e2
       }

@@ -348,4 +348,15 @@ class GraphOpsSpec extends SparkTestBase {
     // a source absent from the edge set still reports itself at 0
     assert(dists(chain, Seq(42L)) === Map(42L -> 0L))
   }
+
+  test("kCore deep peel: a long path drains one endpoint pair per round (lineage truncation)") {
+    // path of 41 nodes: k=2 peeling removes the two endpoints each round,
+    // ~20 rounds to drain — drives the every-8-rounds checkpoint cut that
+    // keeps the peeled lineage's analyzer cost linear
+    val path = (1L to 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(GraphOps.kCore(path, k = 2, maxRounds = 25).count() === 0L)
+    // a cycle is its own 2-core: survives any number of rounds intact
+    val cycle = ((1L to 40L).map(i => (i, i % 40 + 1))).toDF("src", "dst")
+    assert(GraphOps.kCore(cycle, k = 2, maxRounds = 25).count() === 40L)
+  }
 }
