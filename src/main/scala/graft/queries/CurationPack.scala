@@ -175,6 +175,22 @@ object CurationPack extends QueryPack {
   private val bpeMergeCache =
     scala.collection.mutable.Map[String, Seq[(String, String)]]()
 
+  // q367's at-rest span-gram index (stored = doc_id % 7 <> 2), memoized
+  // per (JVM, sf dir) — reps time the streaming probe, not the build
+  private val spanStreamIndexCache = scala.collection.mutable.Map[String, String]()
+
+  private def spanStreamIndex(s: SparkSession, d: String,
+      stored: DataFrame): String =
+    spanStreamIndexCache.synchronized {
+      spanStreamIndexCache.getOrElseUpdate(d, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_span_sidx_")
+        val t = s"graft_span_q367_${Integer.toHexString(d.hashCode)}"
+        graft.pipeline.TextIndex.writeSpanIndex(stored, t,
+          tmp.resolve("idx").toString, k = 8)
+        t
+      })
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // one-pass multi-column profiling over lineitem (ingest QA)
@@ -248,6 +264,43 @@ object CurationPack extends QueryPack {
     "q145_dup_spans" -> ((s, d) => {
       Dedup.duplicateSpanSignals(Tables.documentsSpread(s, d), k = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING substring-dedup screening: the q366 batch arrives as 3
+    // DETERMINISTIC micro-batches (doc_id % 3 slices — grams can
+    // duplicate WITHIN a batch, so composition is semantic, the q365
+    // discipline) and each screens as a unit against the at-rest gram
+    // index ∪ itself. Oracle: per-sub-batch full-union duplicate spans,
+    // unioned (a doc lives in exactly one sub-batch — no repeats).
+    // Index memoized per (JVM, sf dir): reps time the streaming run.
+    "q367_streaming_spans" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d)
+      val batch = docs.filter(col("doc_id") % 7 === 2)
+      val table = spanStreamIndex(s, d, docs.filter(col("doc_id") % 7 =!= 2))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_span_stream_")
+      try {
+        val srcDir = tmp.resolve("src").toString
+        (0 to 2).foreach { i =>
+          batch.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(srcDir)
+        }
+        val outDir = tmp.resolve("out").toString
+        val q = graft.streaming.DocStream.streamingSpanProbe(
+          s, srcDir, "doc_id BIGINT, text STRING", table, outDir,
+          maxFilesPerTrigger = Some(1))
+        try assert(q.awaitTermination(180000),
+          "q367: streaming span probe did not terminate within 180 s")
+        finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("doc_id"), col("span_start").cast("int").as("span_start"),
+            col("span_tokens").cast("int").as("span_tokens"))
+          .orderBy(col("doc_id"), col("span_start"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
 
     // SUBSTRING-DEDUP AT REST (Lee et al. spans, the band-index pattern):
@@ -2323,6 +2376,46 @@ object CurationPack extends QueryPack {
         |FROM documents d
         |LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-sub-batch union gates: sub-batch i's grams count against
+    // stored ∪ b_i only (other sub-batches invisible — each micro-batch
+    // screens as a unit); spans folded per sub-batch, unioned
+    "q367_streaming_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS INT) AS s, array_to_string(t[i+1:i+8], ' ') AS gram
+        |  FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |stored AS (SELECT * FROM wins WHERE doc_id % 7 <> 2),
+        |b0 AS (SELECT * FROM wins WHERE doc_id % 7 = 2 AND doc_id % 3 = 0),
+        |b1 AS (SELECT * FROM wins WHERE doc_id % 7 = 2 AND doc_id % 3 = 1),
+        |b2 AS (SELECT * FROM wins WHERE doc_id % 7 = 2 AND doc_id % 3 = 2),
+        |d0 AS (SELECT gram FROM (SELECT * FROM stored UNION ALL SELECT * FROM b0)
+        |       GROUP BY gram HAVING COUNT(*) > 1),
+        |d1 AS (SELECT gram FROM (SELECT * FROM stored UNION ALL SELECT * FROM b1)
+        |       GROUP BY gram HAVING COUNT(*) > 1),
+        |d2 AS (SELECT gram FROM (SELECT * FROM stored UNION ALL SELECT * FROM b2)
+        |       GROUP BY gram HAVING COUNT(*) > 1),
+        |marked AS (
+        |  SELECT doc_id, s FROM b0 JOIN d0 USING (gram)
+        |  UNION ALL SELECT doc_id, s FROM b1 JOIN d1 USING (gram)
+        |  UNION ALL SELECT doc_id, s FROM b2 JOIN d2 USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN s > COALESCE(MAX(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM marked),
+        |isl AS (
+        |  SELECT doc_id, s,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM flagged)
+        |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+        |  CAST(MAX(s) + 8 - MIN(s) AS INT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // full-union duplicate gate (dup counts over ALL docs = stored ∪
     // batch), spans folded over batch docs only — the probe's exact

@@ -113,6 +113,40 @@ object DocStream {
     * streamed terms (DocStreamSpec pins this); output rows:
     * (term, corpus_term, dist, batch_id).
     */
+  /** STREAMING substring-dedup screening: stream document batches and
+    * per micro-batch compute their duplicate spans against the at-rest
+    * k-token gram index ([[graft.pipeline.TextIndex.probeSpans]]) ∪ the
+    * batch itself — Lee-et-al span marking at crawl-batch cadence with
+    * no corpus re-hash. Like the SNM probe (and unlike FastSS), batch
+    * COMPOSITION is semantic: grams can duplicate WITHIN a micro-batch,
+    * so each batch screens as a unit and union-over-batches equals
+    * per-batch one-shot probes (each doc lives in exactly one batch, so
+    * outputs never repeat). Output rows:
+    * (idCol, span_start, span_tokens, batch_id).
+    */
+  def streamingSpanProbe(spark: SparkSession, sourceDir: String,
+      schemaDDL: String, indexTable: String, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    // fail at setup if the index records no window width
+    graft.pipeline.TextIndex.spanIndexK(spark, indexTable)
+    val reader = spark.readStream.schema(schemaDDL)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.TextIndex.probeSpans(spark, indexTable, batch,
+            textCol, idCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** STREAMING sorted-neighborhood screening: stream record batches and
     * per micro-batch probe the at-rest SNM layout
     * ([[graft.pipeline.ErIndex.probeSnm]]) — partition-pruned slice

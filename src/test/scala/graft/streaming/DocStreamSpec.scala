@@ -273,4 +273,56 @@ class DocStreamSpec extends SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("streaming span probe: per-micro-batch outputs equal per-batch one-shot probes") {
+    import graft.pipeline.TextIndex
+    import spark.implicits._
+    // i % 5 templates so every doc_id % 3 sub-batch of the % 4 == 1
+    // batch holds template docs (an % 6 period would alias with % 4 and
+    // % 3 into a single spanning sub-batch)
+    val docs = (1 to 120).map { i =>
+      val core = if (i % 5 < 2)
+        s"alpha beta gamma delta epsilon zeta eta theta shared run ${i % 2}"
+      else s"solo text $i with tokens ${i * 13} ${i * 29} spread wide apart here now"
+      (i.toLong, core)
+    }.toDF("doc_id", "text")
+    val stored = docs.filter(col("doc_id") % 4 =!= 1)
+    val batch = docs.filter(col("doc_id") % 4 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_span_ds_")
+    val table = "graft_span_docstream"
+    try {
+      TextIndex.writeSpanIndex(stored, table, tmp.resolve("idx").toString, k = 8)
+      // one-shot probes per deterministic sub-batch (grams duplicate
+      // within a batch, so composition is semantic — the SNM discipline)
+      val want = (0 to 2).flatMap { i =>
+        TextIndex.probeSpans(spark, table, batch.filter(col("doc_id") % 3 === i))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      }.toSet
+      assert(want.nonEmpty, "fixture must produce duplicate spans")
+      val srcDir = tmp.resolve("src").toString
+      (0 to 2).foreach { i =>
+        batch.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      }
+      val outDir = tmp.resolve("out").toString
+      val q = DocStream.streamingSpanProbe(spark, srcDir,
+        "doc_id BIGINT, text STRING", table, outDir,
+        maxFilesPerTrigger = Some(1))
+      try assert(q.awaitTermination(120000),
+        "streaming span probe did not terminate within 120 s")
+      finally q.stop()
+      val streamed = spark.read.parquet(outDir)
+      assert(streamed.select("batch_id").distinct().count() == 3)
+      val got = streamed.select("doc_id", "span_start", "span_tokens")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == want)
+      // a doc lives in exactly one sub-batch -> no repeats
+      assert(streamed.count() == got.size)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
