@@ -4,7 +4,7 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, OneRowRelation, Project, Window}
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, IntegerLiteral, ScalaUDF}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, IntegerLiteral, ScalaUDF}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Session-enforced scale guardrails — [[graft.tools.PlanLint]]'s CI
@@ -85,7 +85,14 @@ object GuardrailRule extends Rule[LogicalPlan] with Logging {
       a.references.nonEmpty && b.references.nonEmpty &&
         ((a.references.subsetOf(left) && b.references.subsetOf(right)) ||
           (a.references.subsetOf(right) && b.references.subsetOf(left)))
-    j.condition.exists(_.exists {
+    // only TOP-LEVEL CONJUNCTS count: an equality buried inside an OR
+    // (`a.id = b.id OR a.x < b.x`) is not extractable as a hash-join key
+    // — ExtractEquiJoinKeys splits conjunctions the same way
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    j.condition.exists(c => conjuncts(c).exists {
       case EqualTo(a, b) => opposite(a, b)
       case EqualNullSafe(a, b) => opposite(a, b)
       case _ => false

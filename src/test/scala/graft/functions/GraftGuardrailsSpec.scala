@@ -91,6 +91,11 @@ class GraftGuardrailsSpec extends SparkTestBase {
       // an equi-conjunct restores a hash-joinable shape
       assert(a.join(b, col("id") === col("id2") && col("lo") < col("hi"))
         .count() === 10)
+      // an equality buried in an OR is NOT a usable join key — refuse
+      val eOr = intercept[Exception] {
+        a.join(b, col("id") === col("id2") || col("lo") < col("hi")).collect()
+      }
+      assert(eOr.getMessage.contains("nested-loop-join"), eOr.getMessage)
       // a provably <= 1-row side is exempt (the broadcast-threshold idiom)
       val mx = b.agg(max(col("hi")).as("mxhi"))
       assert(a.join(mx, col("lo") < col("mxhi")).count() === 10)
