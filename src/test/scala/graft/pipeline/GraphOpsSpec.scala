@@ -352,11 +352,22 @@ class GraphOpsSpec extends SparkTestBase {
   test("kCore deep peel: a long path drains one endpoint pair per round (lineage truncation)") {
     // path of 41 nodes: k=2 peeling removes the two endpoints each round,
     // ~20 rounds to drain — drives the every-8-rounds checkpoint cut that
-    // keeps the peeled lineage's analyzer cost linear
-    val path = (1L to 40L).map(i => (i, i + 1)).toDF("src", "dst")
-    assert(GraphOps.kCore(path, k = 2, maxRounds = 25).count() === 0L)
-    // a cycle is its own 2-core: survives any number of rounds intact
-    val cycle = ((1L to 40L).map(i => (i, i % 40 + 1))).toDF("src", "dst")
-    assert(GraphOps.kCore(cycle, k = 2, maxRounds = 25).count() === 40L)
+    // keeps the peeled lineage's analyzer cost linear. Broadcast OFF for
+    // the loop's ~40 tiny semi-joins: each would pin a driver broadcast
+    // relation, and under full-suite heap pressure the exchange runs out
+    // of build memory (the peel itself is partition-count-1 SMJ work).
+    val thKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thKey)
+    spark.conf.set(thKey, "-1")
+    try {
+      val path = (1L to 40L).map(i => (i, i + 1)).toDF("src", "dst")
+      assert(GraphOps.kCore(path, k = 2, maxRounds = 25).count() === 0L)
+      // a cycle is its own 2-core: survives any number of rounds intact
+      val cycle = ((1L to 40L).map(i => (i, i % 40 + 1))).toDF("src", "dst")
+      assert(GraphOps.kCore(cycle, k = 2, maxRounds = 25).count() === 40L)
+    } finally {
+      spark.conf.set(thKey, prev)
+      spark.catalog.clearCache()
+    }
   }
 }
