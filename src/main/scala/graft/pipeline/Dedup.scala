@@ -391,7 +391,8 @@ object Dedup {
     val prefixLen = (size(col("toks")) -
       ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
     val prefixes = ordered
-      .select(col(idCol), explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
+      .select(col(idCol), size(col("toks")).as("__sz"),
+        explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
     val gated = maxTokenBucket match {
       case Some(cap) =>
         val ok = prefixes.groupBy(col("token"))
@@ -400,16 +401,26 @@ object Dedup {
         prefixes.join(ok, Seq("token"))
       case None => prefixes
     }
-    val cand = gated.select(col(idCol).as("id_a"), col("token"))
-      .join(gated.select(col(idCol).as("id_b"), col("token")), Seq("token"))
+    // LENGTH FILTER (Arasu/Bayardo): jaccard >= t forces t·|B| <= |A|
+    // (and symmetrically) — size-incompatible candidates are pruned
+    // BEFORE the distinct and the full-array verify joins. Sound (only
+    // pairs that cannot reach t are dropped), so output is unchanged.
+    val cand = gated.select(col(idCol).as("id_a"), col("__sz").as("__na"), col("token"))
+      .join(gated.select(col(idCol).as("id_b"), col("__sz").as("__nb"), col("token")),
+        Seq("token"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("__na") >= ceil(lit(threshold) * col("__nb")) &&
+        col("__nb") >= ceil(lit(threshold) * col("__na")))
       .select(col("id_a"), col("id_b")).distinct()
+    // |A∪B| = |A| + |B| - |A∩B| on distinct token sets — one intersect
+    // kernel instead of intersect + a union allocation; same value.
     cand
       .join(ordered.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
       .join(ordered.select(col(idCol).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
       .withColumn("jaccard", TextAnalysis.round6(
-        size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
-          size(array_union(col("__ta"), col("__tb")))))
+        col("__i").cast("double") /
+          (size(col("__ta")) + size(col("__tb")) - col("__i"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -458,9 +469,10 @@ object Dedup {
     val prefixLen = (size(col("toks")) -
       ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
     val prefixes = ordered
-      .select(col(idCol).as("id_a"),
+      .select(col(idCol).as("id_a"), size(col("toks")).as("__na"),
         explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
-    val postings0 = df0.select(col(idCol).as("id_b"), col("token"))
+    val postings0 = toks.select(col(idCol).as("id_b"),
+      size(col("__t")).as("__nb"), explode(col("__t")).as("token"))
     val postings = maxTokenBucket match {
       case Some(cap) =>
         val ok = postings0.groupBy(col("token"))
@@ -469,8 +481,13 @@ object Dedup {
         postings0.join(ok, Seq("token"))
       case None => postings0
     }
+    // ONE-SIDED LENGTH FILTER: |A∩B| >= ceil(t·|A|) forces |B| >= that
+    // same floor (the intersection fits inside B) — size-incompatible
+    // candidates are pruned before the distinct and the verify joins.
+    // Sound, so output is unchanged.
     val cand = prefixes.join(postings, Seq("token"))
       .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__nb") >= ceil(lit(threshold) * col("__na")))
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(ordered.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
