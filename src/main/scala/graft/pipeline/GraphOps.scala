@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -486,29 +486,56 @@ object GraphOps {
       .select(col("node").as("lm")).persist(lvl)
     // renamed-column join frame sidesteps self-join ambiguity (each hop's
     // frontier descends from the same persisted edge frame)
-    val eK = e.select(col("src").as("__fn"), col("dst").as("__to"))
-    val base = lms.select(col("lm"), col("lm").as("node"), lit(0).as("d"))
-      .persist(lvl)
-    base.count()
-    val hops = scala.collection.mutable.ArrayBuffer[DataFrame](base)
-    var dist = base
-    var frontier: DataFrame = base.select(col("lm"), col("node"))
-    var hop = 1
-    var drained = false
-    while (hop <= maxHops && !drained) {
-      val next = frontier.select(col("lm"), col("node").as("__fn"))
-        .join(eK, Seq("__fn"))
-        .select(col("lm"), col("__to").as("node")).distinct()
-        .join(dist.select(col("lm"), col("node")), Seq("lm", "node"),
-          "left_anti")
-        .select(col("lm"), col("node"), lit(hop).as("d"))
-        .persist(lvl)
-      drained = next.count() == 0 // forces the hop's cache; early stop
-      hops += next
-      dist = dist.unionByName(next) // union of CACHED frames: shallow
-      frontier = next.select(col("lm"), col("node"))
-      hop += 1
-    }
+    // SIZE-ADAPTIVE (the connectedComponents pattern): a small graph's
+    // hop loop is pure driver-action cadence (<= maxHops persist+count
+    // rounds), so under the edge threshold the (lm, node, d) distance
+    // table comes from a driver-side multi-source BFS instead — EXACT
+    // integer rows fed to the IDENTICAL aggregation below, so the
+    // snapped decimal h_sum arithmetic never leaves Spark and outputs
+    // are unchanged. Above threshold: the distributed hop loop.
+    val spark = edges.sparkSession
+    val hopsHeld = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val eCount = e.count()
+    val dist: DataFrame =
+      if (eCount <= localGraphThreshold(spark)) {
+        val adj = collectAdjacency(e)
+        val lmsL = lms.collect().map(_.get(0))
+        val rows = lmsL.iterator.flatMap { lm =>
+          localBfs(adj, Seq(lm), maxHops).iterator
+            .map { case (n, d) => org.apache.spark.sql.Row(lm, n, d.toInt) }
+        }.toSeq
+        import org.apache.spark.sql.types._
+        val nodeT = e.schema.fields(0).dataType
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("lm", nodeT), StructField("node", nodeT),
+            StructField("d", IntegerType))))
+      } else {
+        val eK = e.select(col("src").as("__fn"), col("dst").as("__to"))
+        val base = lms.select(col("lm"), col("lm").as("node"), lit(0).as("d"))
+          .persist(lvl)
+        base.count()
+        hopsHeld += base
+        var distAcc = base
+        var frontier: DataFrame = base.select(col("lm"), col("node"))
+        var hop = 1
+        var drained = false
+        while (hop <= maxHops && !drained) {
+          val next = frontier.select(col("lm"), col("node").as("__fn"))
+            .join(eK, Seq("__fn"))
+            .select(col("lm"), col("__to").as("node")).distinct()
+            .join(distAcc.select(col("lm"), col("node")), Seq("lm", "node"),
+              "left_anti")
+            .select(col("lm"), col("node"), lit(hop).as("d"))
+            .persist(lvl)
+          drained = next.count() == 0 // forces the hop's cache; early stop
+          hopsHeld += next
+          distAcc = distAcc.unionByName(next) // union of CACHED frames: shallow
+          frontier = next.select(col("lm"), col("node"))
+          hop += 1
+        }
+        distAcc
+      }
     val out = dist
       .groupBy(col("node"))
       .agg(
@@ -517,7 +544,56 @@ object GraphOps {
             TextAnalysis.round6(lit(1.0) / col("d"))).otherwise(lit(0.0))
             .cast("decimal(28,6)")).cast("double")).as("h_sum"),
         sum(when(col("d") >= 1, 1L).otherwise(0L)).as("n_reached"))
-    CacheScope.releaseAfterFirstUse(out, Seq(e, lms) ++ hops.toSeq)
+    CacheScope.releaseAfterFirstUse(out, Seq(e, lms) ++ hopsHeld.toSeq)
+  }
+
+  /** Conf-gated edge threshold shared by the size-adaptive graph ops
+    * (the [[Dedup.connectedComponents]] cutover, same rationale): below
+    * it, BFS frontiers run on the driver over a collected adjacency —
+    * the bound is CHECKED against an exact count, never guessed.
+    */
+  private def localGraphThreshold(spark: SparkSession): Long =
+    spark.conf.get("graft.graph.localEdgeThreshold", "1000000").toLong
+
+  /** Driver-side adjacency from a SMALL distinct edge frame (caller has
+    * count-verified the bound).
+    */
+  private def collectAdjacency(
+      e: DataFrame): java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]] = {
+    val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
+    e.collect().foreach { r =>
+      val (s, d) = (r.get(0), r.get(1))
+      var lst = adj.get(s)
+      if (lst == null) { lst = scala.collection.mutable.ArrayBuffer.empty[Any]; adj.put(s, lst) }
+      lst += d
+    }
+    adj
+  }
+
+  /** Multi-source driver BFS along edge direction: min hop distance per
+    * reached node (sources at 0), capped at `maxHops` — the same rows
+    * the distributed frontier loop settles, exactly.
+    */
+  private def localBfs(
+      adj: java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]],
+      sources: Seq[Any], maxHops: Int): Seq[(Any, Long)] = {
+    val dist = new java.util.HashMap[Any, Long]()
+    var frontier = sources.distinct
+    frontier.foreach(s => dist.put(s, 0L))
+    var hop = 1L
+    while (hop <= maxHops && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Any]
+      frontier.foreach { n =>
+        val lst = adj.get(n)
+        if (lst != null) lst.foreach { m =>
+          if (!dist.containsKey(m)) { dist.put(m, hop); next += m }
+        }
+      }
+      frontier = next.toSeq
+      hop += 1
+    }
+    import scala.jdk.CollectionConverters._
+    dist.entrySet().asScala.iterator.map(e0 => (e0.getKey, e0.getValue)).toSeq
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) — the directional
@@ -776,6 +852,23 @@ object GraphOps {
     val spark0 = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
+    // size-adaptive: under the edge threshold (exact count of the
+    // checkpointed frame) the frontier loop's per-hop checkpoint+count
+    // cadence costs more than the whole BFS — settle distances on the
+    // driver instead; identical integer rows by construction
+    val eCount = e.count()
+    if (eCount <= localGraphThreshold(spark0)) {
+      val adj = collectAdjacency(e)
+      val srcsDf = sources.select(col(nodeCol).as("node")).distinct()
+      val nodeT = srcsDf.schema.fields(0).dataType
+      val rows = localBfs(adj, srcsDf.collect().map(_.get(0)).toSeq, maxDepth)
+        .map { case (n, d) => org.apache.spark.sql.Row(n, d) }
+      import org.apache.spark.sql.types._
+      return spark0.createDataFrame(
+        spark0.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("node", nodeT),
+          StructField("dist", LongType))))
+    }
     var settled = sources.select(col(nodeCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
     var frontier = settled
@@ -789,7 +882,7 @@ object GraphOps {
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = spark0.conf.get(partsKey)
     val loopParts = math.max(1L,
-      math.min(partsPrev.toLong, (e.count() + 249999L) / 250000L))
+      math.min(partsPrev.toLong, (eCount + 249999L) / 250000L))
     spark0.conf.set(partsKey, loopParts.toString)
     try {
       var depth = 1L
