@@ -100,19 +100,6 @@ object DocStream {
       .start()
   }
 
-  /** STREAMING entity-resolution screening: stream new terms (product
-    * codes, author names, entity keys) and per micro-batch probe the
-    * at-rest FastSS deletion-key index ([[graft.pipeline.ErIndex]]) —
-    * the incremental "does this new entity fuzzily match a known one?"
-    * check at crawl-batch cadence. foreachBatch like
-    * [[streamingNearDupProbe]] (the probe ends in a distinct the
-    * append-mode engine cannot express); per batch the index side plans
-    * with NO exchange (bucketed on the deletion key), only the small
-    * batch is expanded and shuffled. Each batch screens independently,
-    * so the union of per-batch outputs equals the one-shot probe of all
-    * streamed terms (DocStreamSpec pins this); output rows:
-    * (term, corpus_term, dist, batch_id).
-    */
   /** STREAMING substring-dedup screening: stream document batches and
     * per micro-batch compute their duplicate spans against the at-rest
     * k-token gram index ([[graft.pipeline.TextIndex.probeSpans]]) ∪ the
@@ -182,6 +169,19 @@ object DocStream {
       .start()
   }
 
+  /** STREAMING entity-resolution screening: stream new terms (product
+    * codes, author names, entity keys) and per micro-batch probe the
+    * at-rest FastSS deletion-key index ([[graft.pipeline.ErIndex]]) —
+    * the incremental "does this new entity fuzzily match a known one?"
+    * check at crawl-batch cadence. foreachBatch like
+    * [[streamingNearDupProbe]] (the probe ends in a distinct the
+    * append-mode engine cannot express); per batch the index side plans
+    * with NO exchange (bucketed on the deletion key), only the small
+    * batch is expanded and shuffled. Each batch screens independently,
+    * so the union of per-batch outputs equals the one-shot probe of all
+    * streamed terms (DocStreamSpec pins this); output rows:
+    * (term, corpus_term, dist, batch_id).
+    */
   def streamingFastSSProbe(spark: SparkSession, sourceDir: String,
       schemaDDL: String, indexTable: String, outDir: String,
       termCol: String = "term", maxDist: Int = 1,
