@@ -336,30 +336,27 @@ object GraphOps {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
     val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var e = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
+    // LOOP-SCOPED SESSION ([[LoopSession]]): AQE off for the loop's own
+    // actions (re-optimizing the accumulating peeled lineage at every
+    // stage turned 6 rounds into ~18 s of driver work at sf0.1 — the
+    // connectedComponents finding) and loop shuffles sized to the
+    // symmetric edge count (round-11 finding) — both on a CLONED
+    // session, so concurrent queries on the caller's session keep the
+    // caller's conf. Each round runs ONE bounded action — "does any node
+    // sit below k" on the node-sized degree frame (limit(1), not an
+    // edge count).
+    val spark0 = edges.sparkSession
+    val loopSpark = LoopSession.enter(spark0)
+    var e = LoopSession.rebind(
+      raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct(), loopSpark)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var held: List[DataFrame] = List(e)
     var rounds = 0
     var stable = false
-    // ONE bounded action per round — "does any node sit below k" on the
-    // node-sized degree frame (limit(1), not an edge count) — and AQE off
-    // for the loop's own actions: re-optimizing the accumulating peeled
-    // lineage at every stage turned 6 rounds into ~18 s of driver work at
-    // sf0.1 (the connectedComponents finding, same fix)
-    val spark0 = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark0.conf.get(aqeKey, "true")
-    spark0.conf.set(aqeKey, "false")
-    // loop shuffles sized to the (persisted) symmetric edge count — the
-    // connectedComponents round-11 finding; the count doubles as the
-    // cache-warming first materialization of e
-    val partsKey = "spark.sql.shuffle.partitions"
-    val partsPrev = spark0.conf.get(partsKey)
-    val loopParts = math.max(1L,
-      math.min(partsPrev.toLong, (e.count() + 249999L) / 250000L))
-    spark0.conf.set(partsKey, loopParts.toString)
-    try while (rounds < maxRounds && !stable) {
+    // the count doubles as the cache-warming first materialization of e
+    LoopSession.sizeShuffles(loopSpark, spark0, e.count())
+    while (rounds < maxRounds && !stable) {
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (deg.filter(col("degree") < k).limit(1).count() == 0) {
@@ -382,11 +379,11 @@ object GraphOps {
         e = e2
       }
       rounds += 1
-    } finally {
-      spark0.conf.set(aqeKey, aqePrev)
-      spark0.conf.set(partsKey, partsPrev)
     }
-    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    // result rebound to the CALLER's session — its consuming action must
+    // not plan under the loop clone's conf
+    val out = LoopSession.rebind(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree")), spark0)
     CacheScope.releaseAfterFirstUse(out, held)
   }
 
@@ -498,16 +495,23 @@ object GraphOps {
     val eCount = e.count()
     val dist: DataFrame =
       if (eCount <= localGraphThreshold(spark)) {
-        val adj = collectAdjacency(e)
-        val lmsL = lms.collect().map(_.get(0))
-        val rows = lmsL.iterator.flatMap { lm =>
-          localBfs(adj, Seq(lm), maxHops).iterator
-            .map { case (n, d) => org.apache.spark.sql.Row(lm, n, d.toInt) }
-        }.toSeq
+        // the threshold bounds DRIVER state at O(edges) — the adjacency.
+        // The distance table is O(landmarks × reached-nodes), up to 16×
+        // larger, so it must never materialize on the driver: broadcast
+        // the adjacency once and run each landmark's BFS in an EXECUTOR
+        // task (landmarks are few; one task each), so rows are born
+        // distributed and flow straight into the aggregation below.
+        val adjB = spark.sparkContext.broadcast(collectAdjacency(e))
+        val lmsL = lms.collect().map(_.get(0)).toSeq
         import org.apache.spark.sql.types._
         val nodeT = e.schema.fields(0).dataType
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1),
+        val rdd = spark.sparkContext
+          .parallelize(lmsL, math.max(1, lmsL.size))
+          .flatMap { lm =>
+            localBfs(adjB.value, Seq(lm), maxHops).iterator
+              .map { case (n, d) => org.apache.spark.sql.Row(lm, n, d.toInt) }
+          }
+        spark.createDataFrame(rdd,
           StructType(Seq(StructField("lm", nodeT), StructField("node", nodeT),
             StructField("d", IntegerType))))
       } else {
@@ -869,41 +873,36 @@ object GraphOps {
         StructType(Seq(StructField("node", nodeT),
           StructField("dist", LongType))))
     }
-    var settled = sources.select(col(nodeCol).as("node")).distinct()
-      .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    // LOOP-SCOPED SESSION ([[LoopSession]]): AQE off + loop shuffles
+    // sized to the edge count (a small graph at the session partition
+    // count pays per-round stage scheduling, not shuffle work — the
+    // connectedComponents round-11 finding; e is checkpointed, so the
+    // count was a cached-leaf scan) — on a CLONED session, so concurrent
+    // queries on the caller's session keep the caller's conf.
+    val loopSpark = LoopSession.enter(spark0)
+    LoopSession.sizeShuffles(loopSpark, spark0, eCount)
+    val eL = LoopSession.rebind(e, loopSpark)
+    var settled = LoopSession.rebind(
+      sources.select(col(nodeCol).as("node")).distinct()
+        .select(col("node"), lit(0L).as("dist")), loopSpark)
+      .localCheckpoint(true)
     var frontier = settled
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark0.conf.get(aqeKey, "true")
-    spark0.conf.set(aqeKey, "false")
-    // with AQE off, size the loop's shuffles to the edge count — the
-    // connectedComponents round-11 finding: a small graph at the session
-    // partition count pays per-round stage scheduling, not shuffle work
-    // (e is checkpointed, so the count is a cached-leaf scan)
-    val partsKey = "spark.sql.shuffle.partitions"
-    val partsPrev = spark0.conf.get(partsKey)
-    val loopParts = math.max(1L,
-      math.min(partsPrev.toLong, (eCount + 249999L) / 250000L))
-    spark0.conf.set(partsKey, loopParts.toString)
-    try {
-      var depth = 1L
-      var done = false
-      while (!done && depth <= maxDepth) {
-        val next = frontier.join(e, frontier("node") === e("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(settled, Seq("node"), "left_anti")
-          .select(col("node"), lit(depth).as("dist"))
-          .localCheckpoint(true)
-        if (next.isEmpty) done = true
-        else {
-          settled = settled.unionAll(next).localCheckpoint(true)
-          frontier = next
-          depth += 1
-        }
+    var depth = 1L
+    var done = false
+    while (!done && depth <= maxDepth) {
+      val next = frontier.join(eL, frontier("node") === eL("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        settled = settled.unionAll(next).localCheckpoint(true)
+        frontier = next
+        depth += 1
       }
-    } finally {
-      spark0.conf.set(aqeKey, aqePrev)
-      spark0.conf.set(partsKey, partsPrev)
     }
-    settled
+    // rebound: the caller's consuming action plans under its own session
+    LoopSession.rebind(settled, spark0)
   }
 }
