@@ -390,9 +390,13 @@ object Dedup {
         transform(col("__ord"), s => s.getField("token")).as("toks"))
     val prefixLen = (size(col("toks")) -
       ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    // posexplode: 1-based position in the doc's RAREST-FIRST order rides
+    // along for the positional filter below
     val prefixes = ordered
       .select(col(idCol), size(col("toks")).as("__sz"),
-        explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
+        posexplode(slice(col("toks"), lit(1), prefixLen)))
+      .select(col(idCol), col("__sz"), (col("pos") + 1).as("__p"),
+        col("col").as("token"))
     val gated = maxTokenBucket match {
       case Some(cap) =>
         val ok = prefixes.groupBy(col("token"))
@@ -403,14 +407,29 @@ object Dedup {
     }
     // LENGTH FILTER (Arasu/Bayardo): jaccard >= t forces t·|B| <= |A|
     // (and symmetrically) — size-incompatible candidates are pruned
-    // BEFORE the distinct and the full-array verify joins. Sound (only
-    // pairs that cannot reach t are dropped), so output is unchanged.
-    val cand = gated.select(col(idCol).as("id_a"), col("__sz").as("__na"), col("token"))
-      .join(gated.select(col(idCol).as("id_b"), col("__sz").as("__nb"), col("token")),
+    // BEFORE the distinct and the full-array verify joins.
+    // POSITIONAL FILTER (PPJoin, Xiao et al. 2008 §3.2): a shared prefix
+    // token at 1-based positions (pa, pb) of the two rarest-first arrays
+    // bounds the overlap at u = 1 + min(na−pa, nb−pb) — tokens BEFORE the
+    // SMALLEST shared token are shared on neither side, so for that
+    // occurrence u ≥ true overlap, and jaccard ≥ t needs overlap ≥
+    // t·(na+nb)/(1+t). A pair survives iff SOME generating occurrence
+    // passes (the smallest shared token always does when the pair truly
+    // qualifies — exact recall); occurrences that cannot are dropped
+    // before the distinct. The 1e-6 slack only LOOSENS the bound (fp
+    // tie-breaks keep a candidate, never lose one); verify is exact.
+    // Both filters are sound, so output is unchanged.
+    val cand = gated.select(col(idCol).as("id_a"), col("__sz").as("__na"),
+        col("__p").as("__pa"), col("token"))
+      .join(gated.select(col(idCol).as("id_b"), col("__sz").as("__nb"),
+        col("__p").as("__pb"), col("token")),
         Seq("token"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("__na") >= ceil(lit(threshold) * col("__nb")) &&
         col("__nb") >= ceil(lit(threshold) * col("__na")))
+      .filter((lit(1) + least(col("__na") - col("__pa"),
+          col("__nb") - col("__pb"))).cast("double") * (1.0 + threshold) >=
+        lit(threshold) * (col("__na") + col("__nb")) - lit(1e-6))
       .select(col("id_a"), col("id_b")).distinct()
     // |A∪B| = |A| + |B| - |A∩B| on distinct token sets — one intersect
     // kernel instead of intersect + a union allocation; same value.
@@ -468,11 +487,18 @@ object Dedup {
         transform(col("__ord"), s => s.getField("token")).as("toks"))
     val prefixLen = (size(col("toks")) -
       ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    // posexplode both sides: 1-based positions in the SAME global
+    // rarest-first order feed the positional filter below
     val prefixes = ordered
       .select(col(idCol).as("id_a"), size(col("toks")).as("__na"),
-        explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
-    val postings0 = toks.select(col(idCol).as("id_b"),
-      size(col("__t")).as("__nb"), explode(col("__t")).as("token"))
+        posexplode(slice(col("toks"), lit(1), prefixLen)))
+      .select(col("id_a"), col("__na"), (col("pos") + 1).as("__pa"),
+        col("col").as("token"))
+    val postings0 = ordered
+      .select(col(idCol).as("id_b"), size(col("toks")).as("__nb"),
+        posexplode(col("toks")))
+      .select(col("id_b"), col("__nb"), (col("pos") + 1).as("__pb"),
+        col("col").as("token"))
     val postings = maxTokenBucket match {
       case Some(cap) =>
         val ok = postings0.groupBy(col("token"))
@@ -484,10 +510,20 @@ object Dedup {
     // ONE-SIDED LENGTH FILTER: |A∩B| >= ceil(t·|A|) forces |B| >= that
     // same floor (the intersection fits inside B) — size-incompatible
     // candidates are pruned before the distinct and the verify joins.
-    // Sound, so output is unchanged.
+    // ONE-SIDED POSITIONAL FILTER (PPJoin adapted to containment): a
+    // shared token at positions (pa, pb) of the two rarest-first arrays
+    // bounds the overlap at u = 1 + min(na−pa, nb−pb) (the smallest
+    // shared token has no shared token before it on EITHER side), and
+    // containment ≥ t needs overlap ≥ t·na. The smallest shared token of
+    // a qualifying pair always passes, so recall is exact; the 1e-6
+    // slack only loosens fp ties toward keeping. Both filters sound —
+    // output unchanged.
     val cand = prefixes.join(postings, Seq("token"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("__nb") >= ceil(lit(threshold) * col("__na")))
+      .filter((lit(1) + least(col("__na") - col("__pa"),
+          col("__nb") - col("__pb"))).cast("double") >=
+        lit(threshold) * col("__na") - lit(1e-6))
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(ordered.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
@@ -1372,11 +1408,34 @@ object Dedup {
     // exact edge count off the checkpointed leaf — it gates the local
     // cutover AND sizes the loop's shuffles below
     val edgeRows = p0.count()
+    // the local path is a PURE OPTIMIZATION: it must never change which
+    // inputs are accepted. Ids outside the types the driver union-find
+    // orders (integral/string) or null ids fall through to the
+    // distributed loop — same behavior on either side of the threshold.
+    // The null scan runs only under the threshold, over the checkpointed
+    // leaf (≤ threshold rows, no upstream replay).
     if (edgeRows <= spark0.conf.get(
-        "graft.cc.localEdgeThreshold", "1000000").toLong)
+        "graft.cc.localEdgeThreshold", "1000000").toLong &&
+        localIdOrdering(p0.schema.fields(0).dataType).isDefined &&
+        p0.filter(col("id_a").isNull || col("id_b").isNull).isEmpty)
       return connectedComponentsLocal(p0)
-    val edges = p0.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionAll(p0.select(col("id_b").as("a"), col("id_a").as("b")))
+    // LOOP-SCOPED SESSION (see [[LoopSession]]): the loop's conf
+    // overrides — AQE off (adaptive re-optimization of the accumulated
+    // iterative lineage at every query stage turned each convergence
+    // count into ~10 driver-bound jobs; measured 3x wall on the composed
+    // dedup, 16 s -> 5 s at sf0.1), shuffle partitions sized to the edge
+    // count (a deep-chain graph at sf0.1, 7k edges / ~17 rounds, spent
+    // ~10 s in stage scheduling alone at 32 partitions) — live on a
+    // CLONED session's SQLConf, so a query planned CONCURRENTLY on the
+    // caller's session keeps the caller's settings and two overlapping
+    // loop invocations can't clobber each other. The caller's consuming
+    // action plans under its own session again (result rebound below,
+    // and it sees a shallow cache-backed plan anyway).
+    val loopSpark = LoopSession.enter(spark0)
+    LoopSession.sizeShuffles(loopSpark, spark0, edgeRows)
+    val p0L = LoopSession.rebind(p0, loopSpark)
+    val edges = p0L.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(p0L.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().persist(lvl)
     // step 1 folds into initialization: lbl = min(own id, nearest neighbor)
     var labels = edges.groupBy(col("a"))
@@ -1400,41 +1459,7 @@ object Dedup {
     // action, so unpersisting it would be a no-op — track the persisted
     // handles themselves
     var persisted: DataFrame = labels
-    // AQE OFF for the loop's own actions: adaptive execution re-optimizes
-    // and re-codegens the accumulated iterative lineage at EVERY query
-    // stage, turning each convergence count into ~10 driver-bound jobs —
-    // measured 3x wall time on the composed dedup (16 s -> 5 s at sf0.1,
-    // 41 jobs -> 11). The loop's shuffles are tiny and fixed-size (the
-    // candidate graph), so AQE's coalescing/skew handling has nothing to
-    // offer here. Scoped: only queries PLANNED inside this loop are
-    // affected; the caller's consuming action still plans under the
-    // session's own setting (and sees a shallow plan — the returned
-    // labels are cache-backed).
-    // CONCURRENCY CONTRACT: both overrides below (AQE flag, shuffle
-    // partition count) mutate SESSION-scoped conf for the loop's
-    // duration — any query planned CONCURRENTLY on this same
-    // SparkSession would pick them up, and two overlapping loop
-    // invocations would restore each other's stale values. This engine
-    // plans one query at a time per session (the driver contract);
-    // callers running concurrent queries must give each its own
-    // `spark.newSession()` (separate SQLConf, shared catalog) — the
-    // standard Spark isolation mechanism for exactly this.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark0.conf.get(aqeKey, "true")
-    spark0.conf.set(aqeKey, "false")
-    // With AQE off, the loop would otherwise run every tiny shuffle at the
-    // session's partition count: a deep-chain graph at sf0.1 (7k edges,
-    // ~17 propagation rounds) spent ~10 s in stage scheduling alone at 32
-    // partitions. Size the LOOP's shuffles to the edge count instead —
-    // the manual version of exactly the coalescing AQE would have done
-    // (p0 is checkpointed, so the count is a cached-leaf scan). Scoped
-    // like the AQE flag: only plans built inside the loop are affected.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val partsPrev = spark0.conf.get(partsKey)
-    val loopParts = math.max(1L, math.min(partsPrev.toLong,
-      (edgeRows + 249999L) / 250000L))
-    spark0.conf.set(partsKey, loopParts.toString)
-    try while (!converged && it < maxIter) {
+    while (!converged && it < maxIter) {
       // FIRST action: one shallow step — it materializes the p0/edges/
       // labels caches (and, through their lineage, the whole upstream
       // candidate pipeline) exactly once. A deep two-step first job
@@ -1495,9 +1520,6 @@ object Dedup {
         labels = cut
         roundsSinceCut = 0
       }
-    } finally {
-      spark0.conf.set(aqeKey, aqePrev)
-      spark0.conf.set(partsKey, partsPrev)
     }
     edges.unpersist()
     // p0 is a local checkpoint — its blocks are reclaimed by the context
@@ -1507,9 +1529,13 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // the final merged frame backs the returned labels; scope it to the
     // caller's first consuming action (reusers must persist the result —
-    // the iterative lineage is expensive to replay)
+    // the iterative lineage is expensive to replay). Rebound to the
+    // CALLER's session: the loop session's conf must not govern the
+    // consuming action's plan.
     CacheScope.releaseAfterFirstUse(
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")),
+      LoopSession.rebind(
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")),
+        spark0),
       Seq(persisted))
   }
 
@@ -1522,18 +1548,48 @@ object Dedup {
     * driver work vs O(diameter) cluster actions. Output:
     * (doc_id, cluster_id), one row per node, id type preserved.
     */
+  /** Driver-side ordering matching the distributed loop's `least`/`min`
+    * semantics per id type, or None when the type has no such ordering
+    * here (the cutover then stays on the distributed loop). Strings
+    * compare as UNSIGNED UTF-8 BYTES — Spark's UTF8String.compareTo —
+    * not Java's UTF-16 code units: the two differ on supplementary
+    * characters (surrogate pairs sort above U+E000..U+FFFF in UTF-16
+    * but below in UTF-8), and the min-id root must be the same id the
+    * distributed loop would converge to.
+    */
+  private def localIdOrdering(idType: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = {
+          val a = x.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      })
+      case _ => None
+    }
+  }
+
   private def connectedComponentsLocal(p0: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = p0.sparkSession
     val idType = p0.schema.fields(0).dataType
-    val ord: Ordering[Any] = idType match {
-      case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
-      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
-      case ShortType => Ordering.by((x: Any) => x.asInstanceOf[Short])
-      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
-      case other => sys.error("connectedComponents: unsupported id type " +
-        s"$other for the local path — ids must be integral or string")
-    }
+    // cutover guarantees a supported type; .get is safe by construction
+    val ord: Ordering[Any] = localIdOrdering(idType).get
     val parent = new java.util.HashMap[Any, Any]()
     def find(x0: Any): Any = {
       var x = x0

