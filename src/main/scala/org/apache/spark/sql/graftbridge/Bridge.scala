@@ -31,6 +31,26 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Clone a session: same SparkContext, SharedState (catalog, cache
+    * manager) and a COPY of the current SQLConf — conf mutations on the
+    * clone never leak back to the parent (`cloneSession` is
+    * `private[sql]`; this bridge package lives inside
+    * `org.apache.spark.sql`). The isolation mechanism graft's iterative
+    * loops use to scope their AQE/shuffle-partition overrides away from
+    * concurrent queries on the caller's session.
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Re-bind a DataFrame to another session over the same SparkContext:
+    * logical plans are session-agnostic, so actions on the result plan
+    * under `to`'s conf; cached fragments still hit (the CacheManager is
+    * in SharedState and matches by canonicalized plan).
+    */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+      to: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    ofRows(to, df.queryExecution.logical)
+
   /** A `FunctionRegistry` entry for a Column-DSL function: SQL arguments
     * arrive as resolved child expressions, flow through the same Column
     * builder the Scala DSL uses, and lower back to the identical expression
