@@ -29,12 +29,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `warn` (log and pass), `off`. The rule only INSPECTS — it never
   * rewrites, so semantics are untouchable by construction.
   *
-  * Engine note: a few graft operators use global windows that are BOUNDED
-  * by construction (the aucRoc/spearman distinct-value walks — ≤ 1e6 rows
-  * on the snapped grid regardless of corpus size; percentileRank's
-  * ≤-bins cum table). Sessions running those through SQL should use
-  * `warn`, or scope `off` around the call — the guardrail cannot see
-  * cardinality bounds, only shapes, and says so in its message.
+  * Engine note: graft's own operators plan clean under `fail` mode —
+  * kernels are codegen `StaticInvoke`s (never ScalaUDFs), and the one
+  * deliberate non-equi broadcast join ([[graft.pipeline.ErIndex]]'s
+  * manifest routing) is exempted by its explicit `broadcast()` hint (the
+  * author's bounded-side assertion; see `hasBroadcastHint`). A few
+  * operators use global windows that are BOUNDED by construction (the
+  * aucRoc/spearman distinct-value walks — ≤ 1e6 rows on the snapped grid
+  * regardless of corpus size; percentileRank's ≤-bins cum table).
+  * Sessions running those through SQL should use `warn`, or scope `off`
+  * around the call — the guardrail cannot see cardinality bounds, only
+  * shapes, and says so in its message.
   */
 class GraftGuardrails extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -70,6 +75,21 @@ object GuardrailRule extends Rule[LogicalPlan] with Logging {
     case pr: Project => boundedOne(pr.child)
     case f: Filter => boundedOne(f.child)
     case other => other.children.size == 1 && boundedOne(other.children.head)
+  }
+
+  /** An EXPLICIT broadcast hint on a join side is the author's signed
+    * assertion that the side is small enough to ship to every executor —
+    * the exact cardinality bound the nested-loop check cannot see. A
+    * hinted BNLJ is therefore a deliberate bounded-side scan (graft's
+    * own `ErIndex.routeToRanges` joins rows `>=` a broadcast O(ranges)
+    * manifest this way), not an accident — exempt it. Only the explicit
+    * hint qualifies: a side the PLANNER would auto-broadcast from size
+    * stats carries no such assertion and still trips the check.
+    */
+  private def hasBroadcastHint(j: Join): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+      j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
   }
 
   /** Does the join condition contain at least one equality whose sides
@@ -115,15 +135,16 @@ object GuardrailRule extends Rule[LogicalPlan] with Logging {
           s"(${j.joinType}); add an equi-condition (a provably 1-row side " +
           "— a grouping-free aggregate or LIMIT 1 — is exempt)")
       case j: Join if j.condition.isDefined && !hasEquiKeys(j) &&
-          !boundedOne(j.left) && !boundedOne(j.right) =>
+          !boundedOne(j.left) && !boundedOne(j.right) &&
+          !hasBroadcastHint(j) =>
         findings += ("nested-loop-join: no equi-key in the join condition " +
           s"(${j.condition.get.sql}) — this plans as BroadcastNestedLoopJoin, " +
           "every probe row scanning the whole build side; add an " +
           "equi-conjunct (band a range predicate, bucket a key). An " +
           "inequality join against a side bounded by construction (e.g. " +
-          "an O(ranges) broadcast manifest, graft's routeToRanges) should " +
-          "run under spark.graft.guardrails=warn — the rule sees shapes, " +
-          "not cardinality bounds")
+          "an O(ranges) manifest) is exempt when that side carries an " +
+          "EXPLICIT broadcast() hint — the author's bounded-side " +
+          "assertion the rule itself cannot derive from shape")
       case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) =>
         val names = p.expressions.flatMap(_.collect {
           case u: ScalaUDF => u.udfName.getOrElse("anonymous")
@@ -131,9 +152,10 @@ object GuardrailRule extends Rule[LogicalPlan] with Logging {
         findings += (s"scala-udf: opaque per-row function(s) " +
           s"(${names.mkString(", ")}) block whole-stage codegen, predicate " +
           "pushdown and column pruning on the hot path — use " +
-          "org.apache.spark.sql.functions or a native Catalyst expression. " +
-          "Bounded ingest-time parsing (e.g. one-off GeoJSON -> WKB) " +
-          "should run under spark.graft.guardrails=warn")
+          "org.apache.spark.sql.functions or a native Catalyst expression " +
+          "(graft's own kernels are StaticInvoke — see graft.geom.st, " +
+          "graft.model.ShapeKernel). User UDFs that must stay should run " +
+          "under spark.graft.guardrails=warn")
       case _ =>
     }
     if (findings.nonEmpty) {

@@ -59,39 +59,47 @@ object Models {
       * encodings, the reference's `geometry_encoding="geoarrow"` write path,
       * io_shapes.py:100-150) to WKB: `struct<x,y>` points,
       * `list<list<struct<x,y>>>` polygons,
-      * `list<list<list<struct<x,y>>>>` multipolygons. The conversion is a
-      * per-row scalar UDF — an ingest-boundary cost, like the zarr chunk
-      * codec; everything downstream stays on WKB.
+      * `list<list<list<struct<x,y>>>>` multipolygons. The WKB assembly is
+      * a codegen'd `StaticInvoke` of [[ShapeKernel]] (house pattern — no
+      * per-row ScalaUDF anywhere in the engine, so the ingest plans clean
+      * under [[graft.functions.GraftGuardrails]] `fail` mode); the
+      * struct→interleaved-doubles reshape stays in codegen'd
+      * `transform`/`flatten`.
       */
     private def geoarrowToWkb(df: DataFrame, geometryCol: String): DataFrame = {
-      import graft.geom.{GMultiPolygon, GPolygon, GPoint, WKB}
       def depth(t: DataType): Int = t match {
         case ArrayType(e, _) => 1 + depth(e)
         case _ => 0
       }
       // flatten each struct<x,y> ring into interleaved doubles with codegen'd
-      // transforms, so the WKB-assembly UDF sees plain nested Seq[Double]
+      // transforms, so the WKB-assembly kernel sees plain nested ArrayData
       val g = col(geometryCol)
       def ringFlat(ring: Column): Column =
         flatten(transform(ring, p => array(p("x"), p("y"))))
+      val AD = ArrayType(DoubleType)
       val t = df.schema(geometryCol).dataType
       val converted = depth(t) match {
         case 0 =>
-          val mk = udf((xy: Seq[Double]) => WKB.write(GPoint(xy(0), xy(1))))
-          mk(array(g("x"), g("y")))
+          shapeKernel("wkbPointXY", Seq(AD), array(g("x"), g("y")))
         case 2 =>
-          val mk = udf((rings: Seq[Seq[Double]]) =>
-            WKB.write(GPolygon(rings.map(_.toArray).toArray)))
-          mk(transform(g, ringFlat(_)))
+          shapeKernel("wkbPolygonRings", Seq(ArrayType(AD)),
+            transform(g, ringFlat(_)))
         case 3 =>
-          val mk = udf((polys: Seq[Seq[Seq[Double]]]) =>
-            WKB.write(GMultiPolygon(polys.map(rs => GPolygon(rs.map(_.toArray).toArray)).toArray)))
-          mk(transform(g, poly => transform(poly, ringFlat(_))))
+          shapeKernel("wkbMultiPolygonParts", Seq(ArrayType(ArrayType(AD))),
+            transform(g, poly => transform(poly, ringFlat(_))))
         case d => sys.error(s"unsupported geoarrow geometry nesting depth $d " +
           "(point, polygon and multipolygon encodings are supported)")
       }
       df.withColumn(geometryCol, converted)
     }
+
+    private val SK: Class[_] = Class.forName("graft.model.ShapeKernel")
+
+    /** Codegen'd WKB-assembly call ([[ShapeKernel]] static invoke). */
+    private def shapeKernel(fn: String, inputTypes: Seq[DataType],
+        args: Column*): Column =
+      org.apache.spark.sql.graftbridge.Bridge.staticInvoke(
+        SK, BinaryType, fn, args.toSeq, inputTypes, returnNullable = false)
 
     /** GeoParquet read path (reference io_shapes.py:33-67, format v02+:
       * `shapes.parquet` with a WKB or geoarrow geometry column): plain
@@ -114,34 +122,12 @@ object Models {
       parse(typed, geometryCol, indexCol = indexCol)
     }
 
-    /** One GeoJSON geometry (or Feature) object -> 2D WKB. Z ordinates are
-      * dropped (the reference's shapely parse + force_2d stance).
+    /** One GeoJSON geometry (or Feature) object -> 2D WKB, as a codegen'd
+      * column over [[ShapeKernel.geoJsonToWkb]]. Z ordinates are dropped
+      * (the reference's shapely parse + force_2d stance).
       */
-    private[model] def geoJsonGeomToWkb(jsonStr: String): Array[Byte] = {
-      import graft.geom.{GMultiPolygon, GPolygon, GPoint, WKB}
-      import org.json4s._
-      implicit val fmt: Formats = DefaultFormats
-      val j0 = org.json4s.jackson.JsonMethods.parse(jsonStr)
-      val j = (j0 \ "type") match {
-        case JString("Feature") => j0 \ "geometry"
-        case _ => j0
-      }
-      def ring(r: Seq[Seq[Double]]): Array[Double] =
-        r.iterator.flatMap(p => Iterator(p(0), p(1))).toArray
-      (j \ "type") match {
-        case JString("Point") =>
-          val c = (j \ "coordinates").extract[Seq[Double]]
-          WKB.write(GPoint(c(0), c(1)))
-        case JString("Polygon") =>
-          val rings = (j \ "coordinates").extract[Seq[Seq[Seq[Double]]]]
-          WKB.write(GPolygon(rings.map(ring).toArray))
-        case JString("MultiPolygon") =>
-          val polys = (j \ "coordinates").extract[Seq[Seq[Seq[Seq[Double]]]]]
-          WKB.write(GMultiPolygon(polys.map(p => GPolygon(p.map(ring).toArray)).toArray))
-        case other => sys.error(s"unsupported GeoJSON geometry type $other " +
-          "(Point, Polygon, MultiPolygon)")
-      }
-    }
+    private def geoJsonWkbCol(json: Column): Column =
+      shapeKernel("geoJsonToWkb", Seq(StringType), json)
 
     /** Shared tail of the GeoJSON ingest paths: WKB -> typed canonical
       * layout; Point geometries require `radius` (circles), as in the
@@ -197,11 +183,10 @@ object Models {
           s"or FeatureCollection (got $other)")
       }
       import spark.implicits._
-      val wkbUdf = udf((s: String) => geoJsonGeomToWkb(s))
       val base = geoms.zipWithIndex.map { case (s, i) => (i.toLong, s) }
         .toDF("index", "__gj")
         .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("geometry", wkbUdf(col("__gj"))).drop("__gj")
+        .withColumn("geometry", geoJsonWkbCol(col("__gj"))).drop("__gj")
       finishGeoJson(base, radius)
     }
 
@@ -214,7 +199,6 @@ object Models {
       */
     def parseGeoJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
         radius: Option[Double] = None): DataFrame = {
-      val wkbUdf = udf((s: String) => geoJsonGeomToWkb(s))
       val indexed = spark.read.text(path)
         .filter(length(trim(col("value"))) > 0)
         .select("value").rdd.map(_.getString(0)).zipWithIndex()
@@ -222,7 +206,7 @@ object Models {
         indexed.map { case (v, i) => org.apache.spark.sql.Row(i, v) },
         StructType(Seq(StructField("index", LongType, nullable = false),
           StructField("value", StringType, nullable = false))))
-      finishGeoJson(lines.withColumn("geometry", wkbUdf(col("value")))
+      finishGeoJson(lines.withColumn("geometry", geoJsonWkbCol(col("value")))
         .drop("value"), radius)
     }
 

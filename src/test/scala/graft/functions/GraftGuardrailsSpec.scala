@@ -107,6 +107,50 @@ class GraftGuardrailsSpec extends SparkTestBase {
     }
   }
 
+  test("an EXPLICIT broadcast() hint exempts a non-equi join (the routeToRanges shape)") {
+    withGuarded { s =>
+      import s.implicits._
+      val rows = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "key")
+      val manifest = (1 to 5).map(i => (i, i * 20L)).toDF("range_id", "lo_id")
+      // the ErIndex.routeToRanges shape: rows >= a broadcast O(ranges)
+      // manifest, left join + max — the hint is the author's bounded-side
+      // assertion, so fail mode lets it plan
+      val routed = rows.join(broadcast(manifest), col("id") >= col("lo_id"), "left")
+        .groupBy("id").agg(coalesce(max(col("range_id")), lit(0)).as("range_id"))
+      assert(routed.count() === 100)
+      // the SAME shape without the hint still refuses — no silent hole
+      val e = intercept[Exception] {
+        rows.join(manifest, col("id") >= col("lo_id"), "left")
+          .groupBy("id").agg(max(col("range_id"))).collect()
+      }
+      assert(e.getMessage.contains("nested-loop-join"), e.getMessage)
+    }
+  }
+
+  test("graft's own shapes ingest plans clean under fail mode (StaticInvoke kernels, no UDFs)") {
+    withGuarded { s =>
+      import s.implicits._
+      // GeoJSON paths: driver-split collection + newline-delimited scale path
+      val root = new java.io.File("src/test/resources/geojson").getAbsolutePath
+      val gc = graft.model.Models.ShapesModel.parseGeoJson(s, s"$root/gc.json")
+      assert(gc.count() === 18)
+      val nd = graft.model.Models.ShapesModel
+        .parseGeoJsonLines(s, s"$root/features.ndjson")
+      assert(nd.count() === 12)
+      // geoarrow path: struct<x,y> points through readGeoParquet
+      val dir = java.nio.file.Files.createTempDirectory("geoarrow").toString
+      (1 to 8).map(i => (i.toLong, i.toDouble, i * 2.0, 1.5))
+        .toDF("index", "x", "y", "radius")
+        .select(col("index"), struct(col("x"), col("y")).as("geometry"),
+          col("radius"))
+        .write.mode("overwrite").parquet(dir)
+      val ga = graft.model.Models.ShapesModel.readGeoParquet(s, dir)
+      assert(ga.count() === 8)
+      assert(ga.select("geom_type").distinct().as[String].collect()
+        .toSeq === Seq("circle"))
+    }
+  }
+
   test("per-row ScalaUDFs refuse in fail mode; warn is the ingest escape") {
     withGuarded { s =>
       import s.implicits._
