@@ -30,10 +30,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Manifests list directories (one per committed write), so the manifest
   * itself stays tiny — O(commits since vacuum), not O(files).
   *
-  * Out of scope, loudly: multi-WRITER coordination. The single commit
-  * point makes readers safe; two concurrent writers need a lock service
-  * or a conditional-put store, which is deployment infrastructure, not
-  * query-engine code.
+  * MULTI-WRITER coordination is CAS-on-the-manifest: every commit writes
+  * a uniquely-named tmp file and publishes it with a rename that REFUSES
+  * an existing destination (`FileContext` + `Rename.NONE` — atomic
+  * no-overwrite rename on HDFS), then on collision re-reads the new
+  * latest version and retries with a freshly derived file list. Appends
+  * ([[commit]]) always converge — each retry simply re-bases on the
+  * winner's manifest. Snapshot REWRITES ([[compact]], [[deleteWhere]])
+  * retry by carrying forward any file sets appended since their
+  * snapshot; if the race removed one of the file sets they rewrote
+  * (a concurrent compact/delete), they refuse with
+  * `ConcurrentModificationException` rather than resurrect or drop data.
+  * [[upsert]] reads the whole table, so ANY racing commit invalidates it
+  * — it refuses on collision (re-run against the new version).
+  * Object-store caveat: stores without an exclusive rename/create (plain
+  * S3) shrink the commit point to an exists-check+rename window; a
+  * production deployment there closes it with a conditional-put (ETag /
+  * If-None-Match) manifest write — same protocol, store-native CAS.
   */
 object VersionedLayout {
 
@@ -64,20 +77,62 @@ object VersionedLayout {
     finally in.close()
   }
 
-  private def writeManifest(spark: SparkSession, path: String, v: Int,
-      dirs: Seq[String]): Unit = {
+  /** Attempt to publish `dirs` as version `v`. Write-then-rename keeps
+    * the commit point a single metadata op even on stores where partial
+    * writes are visible; the tmp name is UNIQUE per attempt (two racing
+    * writers can never cross-contaminate tmp content) and the rename
+    * REFUSES an existing destination, so exactly one writer wins a
+    * version. Returns false on loss — the CAS failure the commit loop
+    * re-bases and retries on.
+    */
+  private def tryPublish(spark: SparkSession, path: String, v: Int,
+      dirs: Seq[String]): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
-    val target = manifestPath(path, v)
-    // write-then-rename makes the manifest CREATE the atomic commit point
-    // even on stores where partial writes are visible
-    val tmp = new Path(manifestDir(path), f"v$v%08d.manifest.tmp")
+    val target = f.makeQualified(manifestPath(path, v))
+    if (f.exists(target)) return false // cheap fast-path, not the guard
+    val tmp = f.makeQualified(new Path(manifestDir(path),
+      f"v$v%08d.${java.util.UUID.randomUUID().toString}.tmp"))
     val out = f.create(tmp, true)
     try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target))
-      throw new IllegalStateException(
-        s"commit collision: version $v already exists under $path")
+    // FileContext rename defaults to Rename.NONE: fail-if-exists — atomic
+    // on HDFS; on local/object stores the residual exists-check+rename
+    // window is the documented caveat (conditional put closes it)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, target); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false); false
+    }
+  }
+
+  /** CAS commit loop: per attempt, derive the new version's file list
+    * from the CURRENT latest manifest via `transform` and try the
+    * exclusive publish; on collision, re-read and re-derive (a racing
+    * writer's commit is never dropped). `transform` returns None to
+    * refuse — the current base conflicts with the snapshot the caller's
+    * data rewrite was computed against.
+    */
+  private def publishTransform(spark: SparkSession, path: String,
+      maxAttempts: Int = 16)(transform: Seq[String] => Option[Seq[String]]): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val vs = versions(spark, path)
+      val base = if (vs.isEmpty) Seq.empty[String]
+        else readManifest(spark, path, vs.last)
+      val v = vs.lastOption.getOrElse(0) + 1
+      transform(base) match {
+        case None => throw new java.util.ConcurrentModificationException(
+          s"commit under $path conflicts with a concurrent rewrite of the " +
+            "file sets this operation read — re-run against the new version")
+        case Some(dirs) => if (tryPublish(spark, path, v, dirs)) return v
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit: lost the version race $maxAttempts times under $path")
   }
 
   /** Commit `df` as a new version: latest version's file sets plus this
@@ -89,12 +144,11 @@ object VersionedLayout {
     val spark = df.sparkSession
     val dataDir = s"$path/data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(dataDir)
-    val vs = versions(spark, path)
-    val base = if (overwrite || vs.isEmpty) Seq.empty
-      else readManifest(spark, path, vs.last)
-    val v = vs.lastOption.getOrElse(0) + 1
-    writeManifest(spark, path, v, base :+ dataDir)
-    v
+    // append re-bases freely on a racing winner's manifest; overwrite's
+    // list is snapshot-independent by definition (replace everything)
+    publishTransform(spark, path) { base =>
+      Some(if (overwrite) Seq(dataDir) else base :+ dataDir)
+    }
   }
 
   /** Read a version (default: latest). The version's file-set union as one
@@ -120,7 +174,12 @@ object VersionedLayout {
   def compact(spark: SparkSession, path: String,
       sortCol: Option[String] = None,
       numPartitions: Option[Int] = None): Int = {
-    val cur = read(spark, path, None)
+    // pin the snapshot ONCE: the dirs actually rewritten below must be
+    // exactly the dirs the CAS transform subtracts from the final base
+    val vs0 = versions(spark, path)
+    require(vs0.nonEmpty, s"compact: no committed versions under $path")
+    val snapDirs = readManifest(spark, path, vs0.last).toSet
+    val cur = spark.read.parquet(snapDirs.toSeq: _*)
     val parted = (sortCol, numPartitions) match {
       case (Some(c), Some(n)) => cur.repartitionByRange(n, org.apache.spark.sql.functions.col(c))
         .sortWithinPartitions(c)
@@ -131,9 +190,14 @@ object VersionedLayout {
     }
     val dataDir = s"$path/data/${java.util.UUID.randomUUID().toString}"
     parted.write.parquet(dataDir)
-    val v = versions(spark, path).last + 1
-    writeManifest(spark, path, v, Seq(dataDir))
-    v
+    // snapshot rewrite: carry forward file sets APPENDED since the
+    // snapshot; refuse if a racing rewrite removed one we compacted
+    // (resurrecting its rows would un-delete data)
+    publishTransform(spark, path) { base =>
+      if (snapDirs.forall(base.contains)) // base is the snapshot + appends
+        Some(dataDir +: base.filterNot(snapDirs.contains))
+      else None
+    }
   }
 
   /** Copy-on-write MERGE (upsert): rows of `df` replace same-key rows of
@@ -148,12 +212,21 @@ object VersionedLayout {
     */
   def upsert(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
-    val cur = read(spark, path, None)
+    val vs0 = versions(spark, path)
+    require(vs0.nonEmpty, s"upsert: no committed versions under $path")
+    val snapDirs = readManifest(spark, path, vs0.last)
+    val cur = spark.read.parquet(snapDirs: _*)
     require(cur.columns.contains(keyCol) && df.columns.contains(keyCol),
       s"upsert: key column '$keyCol' must exist on both sides")
     val merged = cur.join(df.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(df)
-    commit(merged, path, overwrite = true)
+    val dataDir = s"$path/data/${java.util.UUID.randomUUID().toString}"
+    merged.write.parquet(dataDir)
+    // the merge read the WHOLE table, so any racing commit invalidates
+    // it — publish only onto the exact snapshot, refuse otherwise
+    publishTransform(spark, path) { base =>
+      if (base == snapDirs) Some(Seq(dataDir)) else None
+    }
   }
 
   /** Surgical copy-on-write DELETE — the right-to-be-forgotten primitive:
@@ -194,9 +267,16 @@ object VersionedLayout {
           .exists(_.getPath.getName.startsWith("part-"))
         if (hasRows) Seq(dataDir) else { f.delete(new Path(dataDir), true); Seq.empty }
       }
-    val v = vs.last + 1
-    writeManifest(spark, path, v, kept ++ rewritten)
-    v
+    // snapshot rewrite (Delta-style snapshot isolation): file sets
+    // appended since the snapshot carry forward untouched — the delete
+    // applied to the version it read; a racing REWRITE of a set we
+    // processed refuses instead of resurrecting or double-dropping rows
+    val snapDirs = dirs.toSet
+    publishTransform(spark, path) { base =>
+      if (snapDirs.forall(base.contains))
+        Some((kept ++ rewritten) ++ base.filterNot(snapDirs.contains))
+      else None
+    }
   }
 
   /** [[read]] with parquet schema merging across the version's file sets
