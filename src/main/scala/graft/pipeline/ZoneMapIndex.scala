@@ -121,4 +121,39 @@ object ZoneMapIndex {
     else data.filter(col(partCol).isin(cand: _*) &&
       col(valueCol) >= lit(lo) && col(valueCol) <= lit(hi))
   }
+
+  /** EXACT CONJUNCTIVE multi-range read (`lo <= col <= hi` for EVERY
+    * bound): a candidate partition must intersect every column's range —
+    * per-column reads would UNION, not intersect, and the 2D/3D crop
+    * shape ([[graft.ops.TileLayout]]'s (scale, tile_y, tile_x)) needs
+    * the conjunction. One sidecar scan per column (O(partitions) rows —
+    * a planning handoff, like Z-order's key bands), then one data scan
+    * with the intersected partition list in PartitionFilters and all
+    * exact range predicates pushed to the row groups.
+    */
+  def readRanges(spark: SparkSession, path: String,
+      bounds: Seq[(String, Any, Any)], numeric: Boolean = true): DataFrame = {
+    require(bounds.nonEmpty, "readRanges: need at least one (col, lo, hi)")
+    val (partCol, statCols) = readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"readRanges: no _zonemap_meta under $path — write with writeZoneMapped"))
+    bounds.foreach { case (c, _, _) => require(statCols.contains(c),
+      s"readRanges: '$c' has no zone stats (have: $statCols)") }
+    val side = spark.read.parquet(s"$path/_zonemap")
+    val cand = bounds.map { case (c, lo, hi) =>
+      val s = side.filter(col("column") === c && col("n_notnull") > 0)
+      val (sLo, sHi) = if (numeric)
+        (col("lo_d"), col("hi_d")) else (col("lo"), col("hi"))
+      val (qLo, qHi) = if (numeric)
+        (lit(lo).cast("double"), lit(hi).cast("double")) else (lit(lo), lit(hi))
+      s.filter(sLo <= qHi && sHi >= qLo)
+        .select(col("part")).distinct().collect().map(_.get(0)).toSet
+    }.reduce(_ intersect _).toSeq
+    val data = spark.read.parquet(path)
+    if (cand.isEmpty) data.filter(org.apache.spark.sql.functions.lit(false))
+    else bounds.foldLeft(data.filter(col(partCol).isin(cand: _*))) {
+      case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
 }

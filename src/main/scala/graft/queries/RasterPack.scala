@@ -170,6 +170,43 @@ object RasterPack extends QueryPack {
         .orderBy(col("y"), col("x"))
     }),
 
+    // at-rest tile store crop through the zone-map sidecar
+    // (ops/TileLayout): the mask written as a blocked tile layout plus an
+    // APPENDED second scale level (must be pruned away), cropped to tiles
+    // (1..2, 1..3) at scale 0 — only intersecting block dirs are scanned
+    // (RasterZoneSpec pins the PartitionFilters shape); pixels of the
+    // cropped tiles vs the closed-form mask restricted to the same box
+    "q368_tile_store_crop" -> ((s, d) => {
+      val H = 48; val W = 64
+      val pix = s.range(0, H.toLong * W).select(
+          (col("id") / W).cast("int").as("y"),
+          (col("id") % W).cast("int").as("x"))
+        .withColumn("bar", col("y") % 7 < 2 || col("x") % 11 < 2)
+        .withColumn("dot", col("y") % 7 >= 3 && col("y") % 7 <= 5 &&
+          col("x") % 11 >= 3 && col("x") % 11 <= 9 &&
+          (col("y") * 31 + col("x") * 17) % 29 === 0)
+        .select(col("y"), col("x"),
+          when(col("bar") || col("dot"), 1.0).otherwise(0.0).as("value"))
+      val tiles = RasterOps.pixelsToTilesExact(pix, H, W, tileSize = 16,
+        channelCol = None)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tilestore_")
+      val path = tmp.resolve("t").toString
+      try {
+        graft.ops.TileLayout.write(tiles, path, blockTiles = 2)
+        graft.ops.TileLayout.append(tiles.withColumn("scale", lit(1)), path)
+        RasterOps.tilesToPixels(
+            graft.ops.TileLayout.crop(s, path, scale = 0, 1, 2, 1, 3),
+            tileSize = 16)
+          .select(col("y"), col("x"), col("value"))
+          .orderBy(col("y"), col("x"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // region properties over the CCL labeling: per-blob count, bbox,
     // snapped centroid — same closed-form mask as q313
     "q314_component_stats" -> ((s, d) => {
@@ -350,6 +387,22 @@ object RasterPack extends QueryPack {
         |SELECT y, x,
         |  CAST(CASE WHEN bar THEN 0 ELSE y*64 + x END AS BIGINT) AS component
         |FROM fg WHERE bar OR dot ORDER BY y, x""".stripMargin,
+
+    // the crop box is tiles (1..2, 1..3) at size 16 → y 16..47, x 16..63;
+    // the oracle re-derives the mask arithmetically over just that box
+    // (it never sees the tile store, the block dirs, or the sidecar)
+    "q368_tile_store_crop" ->
+      """WITH g AS (
+        |  SELECT CAST(r // 64 AS INT) AS y, CAST(r % 64 AS INT) AS x
+        |  FROM (SELECT unnest(range(0, 3072)) AS r)),
+        |box AS (SELECT y, x FROM g
+        |  WHERE y BETWEEN 16 AND 47 AND x BETWEEN 16 AND 63)
+        |SELECT y, x,
+        |  CASE WHEN (y % 7 < 2 OR x % 11 < 2)
+        |        OR (y % 7 BETWEEN 3 AND 5 AND x % 11 BETWEEN 3 AND 9
+        |            AND (y*31 + x*17) % 29 = 0)
+        |    THEN 1.0 ELSE 0.0 END AS value
+        |FROM box ORDER BY y, x""".stripMargin,
 
     // per-component closed-form stats: bar grid = one blob spanning the
     // full extent; each dot a 1-pixel blob at itself
