@@ -374,20 +374,7 @@ object Dedup {
       maxTokenBucket: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"jaccardPrefixPairs: threshold must be in (0, 1], got $threshold")
-    val toks = docs
-      .select(col(idCol), array_distinct(words(col(textCol))).as("__t"))
-      .select(col(idCol), filter(col("__t"), t => length(t) > 0).as("__t"))
-      .filter(size(col("__t")) > 0)
-    val df0 = toks.select(col(idCol), explode(col("__t")).as("token"))
-    val dfreq = df0.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    // per-doc rarest-first order: sort_array over (df, token) structs —
-    // the global order is the tuple itself, no vocabulary-wide window
-    val ordered = df0.join(dfreq, Seq("token"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__df"), col("token"))))
-        .as("__ord"))
-      .select(col(idCol),
-        transform(col("__ord"), s => s.getField("token")).as("toks"))
+    val ordered = rarestFirstTokens(docs, textCol, idCol, minTokens = 1)
     val prefixLen = (size(col("toks")) -
       ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
     // posexplode: 1-based position in the doc's RAREST-FIRST order rides
@@ -473,18 +460,7 @@ object Dedup {
       s"containmentPrefixPairs: threshold must be in (0, 1], got $threshold")
     require(minTokens >= 1,
       s"containmentPrefixPairs: minTokens must be >= 1, got $minTokens")
-    val toks = docs
-      .select(col(idCol), array_distinct(words(col(textCol))).as("__t"))
-      .select(col(idCol), filter(col("__t"), t => length(t) > 0).as("__t"))
-      .filter(size(col("__t")) >= minTokens)
-    val df0 = toks.select(col(idCol), explode(col("__t")).as("token"))
-    val dfreq = df0.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val ordered = df0.join(dfreq, Seq("token"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__df"), col("token"))))
-        .as("__ord"))
-      .select(col(idCol),
-        transform(col("__ord"), s => s.getField("token")).as("toks"))
+    val ordered = rarestFirstTokens(docs, textCol, idCol, minTokens)
     val prefixLen = (size(col("toks")) -
       ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
     // posexplode both sides: 1-based positions in the SAME global
@@ -533,6 +509,68 @@ object Dedup {
           size(col("__ta"))))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** Distinct-word sets in global rarest-first (df, token) order — the
+    * shared spine of the prefix-filter join family. One keyed df agg, one
+    * per-doc sort_array over (df, token) structs (the tuple IS the global
+    * rank — no vocabulary-wide window). Output: (idCol, toks).
+    */
+  private def rarestFirstTokens(docs: DataFrame, textCol: String,
+      idCol: String, minTokens: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), array_distinct(words(col(textCol))).as("__t"))
+      .select(col(idCol), filter(col("__t"), t => length(t) > 0).as("__t"))
+      .filter(size(col("__t")) >= minTokens)
+    val df0 = toks.select(col(idCol), explode(col("__t")).as("token"))
+    val dfreq = df0.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    df0.join(dfreq, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("token"))))
+        .as("__ord"))
+      .select(col(idCol),
+        transform(col("__ord"), s => s.getField("token")).as("toks"))
+  }
+
+  /** AUDIT for the prefix-join hot-token caps — run it BEFORE trusting the
+    * exact-recall guarantee of [[jaccardPrefixPairs]] /
+    * [[containmentPrefixPairs]] at a new corpus scale. The caps
+    * (`maxTokenBucket`) bound the candidate blow-up of hot tokens by
+    * DROPPING them, which silently costs recall once a token's occupancy
+    * crosses the cap — and occupancy grows with the corpus, so a cap that
+    * was inert at sf0.1 can be active at 10×. (Measured in the round-13
+    * ScaleStress run: q252's output fell 769 → 208 pairs at 10×
+    * near-duplicate-rich scale with the default cap of 1000 and no runtime
+    * signal.)
+    *
+    * Returns every token whose occupancy exceeds `cap` in either role:
+    * `prefix_count` is the occupancy [[jaccardPrefixPairs]] caps (and the
+    * A-side prefix of the containment join); `df` is the full-postings
+    * occupancy [[containmentPrefixPairs]] caps on its B side. Empty audit
+    * at cap c ⟹ the pair joins at `maxTokenBucket = Some(c)` are
+    * bit-identical to uncapped (the law the spec pins); non-empty audit
+    * names exactly the tokens to fix — raise the cap, pre-dedup exactly
+    * first, or stoplist the offending boilerplate tokens.
+    * Output: (token, df, prefix_count) with df > cap OR prefix_count > cap.
+    */
+  def prefixCapAudit(docs: DataFrame, threshold: Double, cap: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefixCapAudit: threshold must be in (0, 1], got $threshold")
+    require(cap >= 1, s"prefixCapAudit: cap must be >= 1, got $cap")
+    val ordered = rarestFirstTokens(docs, textCol, idCol, minTokens = 1)
+    val prefixLen = (size(col("toks")) -
+      ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
+    val prefixCnt = ordered
+      .select(explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("prefix_count"))
+    val dfCnt = ordered
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    dfCnt.join(prefixCnt, Seq("token"), "left")
+      .select(col("token"), col("df"),
+        coalesce(col("prefix_count"), lit(0L)).as("prefix_count"))
+      .filter(col("df") > cap || col("prefix_count") > cap)
   }
 
   /** CLUSTER-AWARE train/eval split — the CONSTRUCTIVE fix for what

@@ -715,6 +715,18 @@ object PipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // cap AUDIT for the prefix-join family (born from the round-13
+    // ScaleStress run, where q252's default hot-token cap crossed from
+    // inert to active at 10x scale and silently dropped pairs): every
+    // token whose prefix or full-postings occupancy exceeds the cap —
+    // the pre-flight check before trusting the exact-recall guarantee
+    "q369_prefix_cap_audit" -> ((s, d) => {
+      Dedup.prefixCapAudit(
+        Tables.documentsSpread(s, d).select(col("doc_id"), col("text")),
+        threshold = 0.95, cap = 3)
+        .orderBy(col("token"))
+    }),
+
     // blocking-quality scorecard: the q42 LSH blocking evaluated against
     // brute-force word-set-Jaccard >= 0.7 ground truth — pair
     // completeness (recall kept) + reduction ratio (pair space pruned).
@@ -2667,6 +2679,31 @@ object PipelinePack extends QueryPack {
            |  FROM t2 a JOIN t2 b ON a.doc_id <> b.doc_id)
            |SELECT id_a, id_b, containment FROM p
            |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+      // the same rarest-first (df, token) order + prefix-length arithmetic,
+      // via a per-doc window (a DIFFERENT mechanism than the engine's
+      // struct sort_array); both occupancy counts recomputed from scratch
+      "q369_prefix_cap_audit" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_filter($wordsSql, w -> length(w) > 0)) AS toks
+           |  FROM documents),
+           |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+           |tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS n FROM t2),
+           |dfq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
+           |ord AS (
+           |  SELECT tok.doc_id, tok.token, tok.n, dfq.df,
+           |    row_number() OVER (PARTITION BY tok.doc_id
+           |      ORDER BY dfq.df, tok.token) AS p
+           |  FROM tok JOIN dfq USING (token)),
+           |pc AS (
+           |  SELECT token, COUNT(*) AS prefix_count FROM ord
+           |  WHERE p <= n - CEIL(0.95 * n) + 1 GROUP BY 1)
+           |SELECT dfq.token, dfq.df,
+           |  COALESCE(pc.prefix_count, 0) AS prefix_count
+           |FROM dfq LEFT JOIN pc USING (token)
+           |WHERE dfq.df > 3 OR COALESCE(pc.prefix_count, 0) > 3
+           |ORDER BY token""".stripMargin,
 
       // brute-force all-pairs word-set Jaccard — an INDEPENDENT algorithm
       // (no prefix/df machinery); exact rational intersection/union sizes

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{SparkEntry, Tables}
+import graft.pipeline.{TextIndex, VectorIndex}
 
 /** Empirical scale-stress harness for the pair-generating and
   * at-rest-index gate families — one order of magnitude of EVIDENCE on
@@ -17,11 +18,28 @@ import graft.{SparkEntry, Tables}
   * customer name appends one character — so the dedup/ER candidate
   * graphs GROW super-linearly in pairs, the honest worst direction),
   * then runs the UNMODIFIED gate registry entries against it, recording
-  * per gate: wall seconds, output rows, PlanLint findings, and
-  * total/peak shuffle bytes from stage metrics. Run with factor=1 for
-  * the same-harness baseline the ratios are computed against.
+  * per gate: wall seconds (INCLUDING DataFrame construction — iterative
+  * ops run their loops and at-rest gates build memoized indexes eagerly
+  * there, so a write-only clock would miss most of their work), output
+  * rows (an `observe` on the timed action — no second pass), PlanLint
+  * findings, and total/peak shuffle bytes from stage metrics. The gates'
+  * top-level orderBy is oracle plumbing, stripped exactly as Bench does.
+  * Run with factor=1 for the same-harness baseline the ratios are
+  * computed against (timings are single-shot COLD, unlike Bench's
+  * min-of-3 warm reps — only the f10/f1 ratio is comparable, not the
+  * absolute seconds).
+  *
+  * Two gates scale their QUERY batch with the corpus (q356 derives its
+  * queries from `embeddings`), so their stress ratio measures
+  * queries×corpus growth, not corpus scaling alone. The `fixed_*`
+  * entries below add the production framing: index BUILD over the
+  * scaled corpus (expect ~linear) and a FIXED 100-query probe batch
+  * against it (expect ~posting/list growth, i.e. ~linear in corpus with
+  * small constants), using the same public index APIs the gates use.
   *
   * Usage: runMain graft.tools.ScaleStress [baseSfDir] [outDir] [factor]
+  *   [onlyGates] — optional comma-list to re-run a subset against an
+  *   already-generated directory (substring match on gate names).
   * One JSON line per gate + one summary line (prefix `[scale]`).
   */
 object ScaleStress {
@@ -87,6 +105,10 @@ object ScaleStress {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/scale_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Seq[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSeq) else None
+    def want(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -112,16 +134,11 @@ object ScaleStress {
     })
     spark.range(1000).selectExpr("sum(id)").collect() // warm the stack
 
-    def timed(name: String, df: => DataFrame): Unit = {
-      val frame = df
-      val lint = PlanLint.lint(frame)
-      shufW.set(0); shufR.set(0); peakStageW.set(0)
-      val t0 = System.nanoTime()
-      // noop write materializes every row+column (Bench semantics)
-      frame.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
+    def report(name: String, sec: Double, rows: Long,
+        lint: Seq[Any]): Unit = {
       Thread.sleep(400) // listener bus drain
       println(f"""[scale] {"gate":"$name","factor":$factor,"sec":$sec%.2f,""" +
+        s""""rows":$rows,""" +
         s""""lint":${lint.size},"lint_detail":"${lint.mkString("; ")}",""" +
         s""""shuffle_write_mb":${shufW.get / 1048576},""" +
         s""""shuffle_read_mb":${shufR.get / 1048576},""" +
@@ -130,13 +147,93 @@ object ScaleStress {
       graft.pipeline.CacheScope.drainAll(spark)
     }
 
-    Gates.foreach { g => timed(g, SparkEntry.queries(g)(spark, out)) }
+    def timed(name: String, df: => DataFrame): Unit = {
+      shufW.set(0); shufR.set(0); peakStageW.set(0)
+      // clock starts BEFORE construction: iterative loops (CC) and the
+      // memoized at-rest index builds run eagerly inside the gate body
+      val t0 = System.nanoTime()
+      val frame0 = df
+      // top-level global Sort is oracle plumbing, stripped as in Bench
+      val plan = frame0.queryExecution.analyzed match {
+        case org.apache.spark.sql.catalyst.plans.logical.Sort(_, true, child, _) => child
+        case p => p
+      }
+      // Observation is listener-backed, so the metric survives the
+      // writer's fresh QueryExecution (plain observe(name, ...) would not)
+      val obs = org.apache.spark.sql.Observation(s"__stress_$name")
+      val frame = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
+        .observe(obs, count(lit(1)).as("rows"))
+      // noop write materializes every row+column (Bench semantics)
+      frame.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(-1L)
+      report(name, sec, rows, PlanLint.lint(frame))
+    }
+
+    /** Time an arbitrary action (index build) — no plan to lint/observe. */
+    def timedUnit(name: String)(body: => Unit): Unit = {
+      shufW.set(0); shufR.set(0); peakStageW.set(0)
+      val t0 = System.nanoTime()
+      body
+      report(name, (System.nanoTime() - t0) / 1e9, -1L, Seq.empty)
+    }
+
+    Gates.filter(want).foreach { g =>
+      timed(g, SparkEntry.queries(g)(spark, out)) }
+
+    // ---- fixed-query-batch framing of the at-rest indexes ----
+    // The model tables (centroids / PQ codebooks / query batch) are
+    // pinned to BASE-scale ids (< 1_000_000 = the k=0 copies), so they
+    // are IDENTICAL at every factor; only the indexed corpus scales.
+    val docs = Tables.documents(spark, out)
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val baseEmb = emb.filter(col("vec_id") < 1000000L)
+    val centroids = baseEmb.filter(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val cb = baseEmb.filter(col("vec_id") % 50 === 2)
+      .select(col("vec_id").as("code_id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          x => slice(col("embedding").cast("array<double>"), x * 16 + 1, lit(16))))
+          .as(Seq("sub", "subvec")))
+    val qvec = baseEmb.filter(col("vec_id") % 5 === 2 && col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val qterms = docs
+      .join(qvec.select(col("query_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_sort(array_distinct(filter(
+          graft.pipeline.Dedup.words(col("text")),
+          w => length(w) > 0 && substring(w, 1, 1) < "g"))), 1, 3)).as("term"))
+
+    val bm25Table = s"stress_bm25_f$factor"
+    if (want("fixed_bm25_build")) timedUnit("fixed_bm25_build") {
+      TextIndex.writeBm25Index(docs, bm25Table, s"$out/bm25_index")
+    }
+    if (want("fixed_bm25_probe")) {
+      val (postings, stats) = TextIndex.readBm25Index(spark, bm25Table)
+      timed("fixed_bm25_probe",
+        TextIndex.bm25RankIndexedBatch(postings, stats, qterms, k = 10))
+    }
+
+    if (want("fixed_ivfpq_build")) timedUnit("fixed_ivfpq_build") {
+      VectorIndex.writeIndex(emb, centroids, cb, m = 4, subDim = 16,
+        path = s"$out/ivfpq_index")
+    }
+    if (want("fixed_ivfpq_probe")) timed("fixed_ivfpq_probe",
+      VectorIndex.searchIndex(VectorIndex.readIndex(spark, s"$out/ivfpq_index"),
+        centroids, cb, qvec, k = 10, m = 4, subDim = 16, nprobe = 2))
+
+    // cap audit over the stress corpus at q252's threshold and the
+    // DEFAULT cap — names the tokens whose occupancy crossed 1000 and
+    // explains the q252 rows drop at factor 10 (see SCALE.md)
+    if (want("cap_audit")) timed("cap_audit_t095_default",
+      graft.pipeline.Dedup.prefixCapAudit(docs, threshold = 0.95,
+        cap = graft.pipeline.Dedup.DefaultMaxBucketSize))
 
     // raster CC at factor× the q313 pixel count (the gate's own mask is
     // fixed-size): same bars+dots closed-form mask, scaled grid
     val H = 48 * math.max(1, math.sqrt(factor.toDouble).round.toInt)
     val W = 64 * math.max(1, math.sqrt(factor.toDouble).round.toInt)
-    timed(s"raster_cc_${H}x$W", {
+    if (want("raster_cc")) timed(s"raster_cc_${H}x$W", {
       val pix = spark.range(0, H.toLong * W).select(
           (col("id") / W).cast("int").as("y"),
           (col("id") % W).cast("int").as("x"))

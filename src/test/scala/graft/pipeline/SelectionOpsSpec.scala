@@ -226,6 +226,40 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(uncapped.count() === 45) // all C(10,2) identical pairs
   }
 
+  test("prefixCapAudit names capped tokens in both roles; empty audit implies capped == uncapped") {
+    // docs 1-8: three hot fillers (df 11) + one unique token; docs 9-11:
+    // the same fillers + a shared rare token that is their RAREST, so it
+    // lands in the length-1 prefix of all three (prefix_count 3)
+    val docs = ((1 to 8).map(i => (i.toLong, s"filler1 filler2 filler3 uniq$i")) ++
+      (9 to 11).map(i => (i.toLong, "rare3 filler1 filler2 filler3")))
+      .toDF("doc_id", "text")
+    val audit = Dedup.prefixCapAudit(docs, threshold = 0.9, cap = 2)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(audit.keySet === Set("filler1", "filler2", "filler3", "rare3"))
+    assert(audit("rare3") === ((3L, 3L)))     // hot in BOTH roles
+    assert(audit("filler1") === ((11L, 0L)))  // hot postings, never in a prefix
+    // law: audit empty at cap c ⟹ both prefix joins at cap c are
+    // bit-identical to uncapped
+    val calm = (1 to 12).map(i => (i.toLong, s"w${i % 4} w${i % 3} x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixCapAudit(calm, 0.8, cap = 50).count() === 0)
+    val jc = Dedup.jaccardPrefixPairs(calm, 0.8, maxTokenBucket = Some(50))
+      .as[(Long, Long, Double)].collect().toSet
+    val ju = Dedup.jaccardPrefixPairs(calm, 0.8, maxTokenBucket = None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(jc === ju)
+    val cc = Dedup.containmentPrefixPairs(calm, 0.8, maxTokenBucket = Some(50))
+      .as[(Long, Long, Double)].collect().toSet
+    val cu = Dedup.containmentPrefixPairs(calm, 0.8, maxTokenBucket = None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cc === cu)
+    // and on the hot corpus the active cap visibly loses pairs (the
+    // recall loss the audit exists to surface)
+    val hotCapped = Dedup.jaccardPrefixPairs(docs, 0.9, maxTokenBucket = Some(2)).count()
+    val hotFull = Dedup.jaccardPrefixPairs(docs, 0.9, maxTokenBucket = None).count()
+    assert(hotCapped < hotFull, s"expected recall loss: capped=$hotCapped full=$hotFull")
+  }
+
   test("containmentPrefixPairs: exact recall vs brute force; asymmetry surfaces excerpts") {
     val docs = (1 to 40).map { i =>
       (i.toLong, s"alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
