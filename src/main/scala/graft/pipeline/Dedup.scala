@@ -420,9 +420,13 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     // |A∪B| = |A| + |B| - |A∩B| on distinct token sets — one intersect
     // kernel instead of intersect + a union allocation; same value.
+    // Verify reads the UNSORTED tokenSets leaf: array_intersect is
+    // order-free, and each `ordered` consumer replans the df-join+sort
+    // pipeline from scratch (no exchange reuse) — see [[tokenSets]].
+    val sets = tokenSets(docs, textCol, idCol, minTokens = 1)
     cand
-      .join(ordered.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
-      .join(ordered.select(col(idCol).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
       .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
       .withColumn("jaccard", TextAnalysis.round6(
         col("__i").cast("double") /
@@ -461,20 +465,24 @@ object Dedup {
     require(minTokens >= 1,
       s"containmentPrefixPairs: minTokens must be >= 1, got $minTokens")
     val ordered = rarestFirstTokens(docs, textCol, idCol, minTokens)
+    val sets = tokenSets(docs, textCol, idCol, minTokens)
     val prefixLen = (size(col("toks")) -
       ceil(lit(threshold) * size(col("toks"))) + 1).cast("int")
-    // posexplode both sides: 1-based positions in the SAME global
-    // rarest-first order feed the positional filter below
     val prefixes = ordered
       .select(col(idCol).as("id_a"), size(col("toks")).as("__na"),
-        posexplode(slice(col("toks"), lit(1), prefixLen)))
-      .select(col("id_a"), col("__na"), (col("pos") + 1).as("__pa"),
-        col("col").as("token"))
-    val postings0 = ordered
-      .select(col(idCol).as("id_b"), size(col("toks")).as("__nb"),
-        posexplode(col("toks")))
-      .select(col("id_b"), col("__nb"), (col("pos") + 1).as("__pb"),
-        col("col").as("token"))
+        explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
+    // NO positional filter here, by measurement (round 13): the A-side
+    // bound 1+(na−pa) ≥ t·na is VACUOUS inside the prefix (prefixLen is
+    // derived from exactly that inequality), so all of the one-sided
+    // PPJoin filter's pruning comes from the B-side term (nb−pb) — and
+    // pb requires B's FULL postings to ride the rarest-first ordering
+    // pipeline (corpus-wide df join + per-doc sort, replanned per
+    // consumer), which tripled this gate's wall time (3.2 s → 9 s at
+    // sf0.1) for pruning that rarely binds in the asymmetric case
+    // (nb >> na makes nb−pb the loose arm of the min). Postings stay on
+    // the cheap unsorted [[tokenSets]] leaf instead.
+    val postings0 = sets.select(col(idCol).as("id_b"),
+      size(col("toks")).as("__nb"), explode(col("toks")).as("token"))
     val postings = maxTokenBucket match {
       case Some(cap) =>
         val ok = postings0.groupBy(col("token"))
@@ -486,30 +494,35 @@ object Dedup {
     // ONE-SIDED LENGTH FILTER: |A∩B| >= ceil(t·|A|) forces |B| >= that
     // same floor (the intersection fits inside B) — size-incompatible
     // candidates are pruned before the distinct and the verify joins.
-    // ONE-SIDED POSITIONAL FILTER (PPJoin adapted to containment): a
-    // shared token at positions (pa, pb) of the two rarest-first arrays
-    // bounds the overlap at u = 1 + min(na−pa, nb−pb) (the smallest
-    // shared token has no shared token before it on EITHER side), and
-    // containment ≥ t needs overlap ≥ t·na. The smallest shared token of
-    // a qualifying pair always passes, so recall is exact; the 1e-6
-    // slack only loosens fp ties toward keeping. Both filters sound —
-    // output unchanged.
+    // Sound, so output is unchanged.
     val cand = prefixes.join(postings, Seq("token"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("__nb") >= ceil(lit(threshold) * col("__na")))
-      .filter((lit(1) + least(col("__na") - col("__pa"),
-          col("__nb") - col("__pb"))).cast("double") >=
-        lit(threshold) * col("__na") - lit(1e-6))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(ordered.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
-      .join(ordered.select(col(idCol).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
       .withColumn("containment", TextAnalysis.round6(
         size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
           size(col("__ta"))))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** Distinct-word sets, UNSORTED — the cheap tokenization leaf of the
+    * prefix-filter join family (one scan + per-row array ops, no join, no
+    * aggregate). Anything that only needs the token SET (postings sides,
+    * the exact set-algebra verify joins) reads this, NOT
+    * [[rarestFirstTokens]] — the ordering pipeline costs a corpus-wide df
+    * join + per-doc sort and Spark replans it per consumer (no exchange
+    * reuse), which is exactly the 3× q253 regression round 13 measured
+    * and reverted. Output: (idCol, toks).
+    */
+  private def tokenSets(docs: DataFrame, textCol: String,
+      idCol: String, minTokens: Int): DataFrame = docs
+    .select(col(idCol), array_distinct(words(col(textCol))).as("__t"))
+    .select(col(idCol), filter(col("__t"), t => length(t) > 0).as("toks"))
+    .filter(size(col("toks")) >= minTokens)
 
   /** Distinct-word sets in global rarest-first (df, token) order — the
     * shared spine of the prefix-filter join family. One keyed df agg, one
@@ -518,11 +531,8 @@ object Dedup {
     */
   private def rarestFirstTokens(docs: DataFrame, textCol: String,
       idCol: String, minTokens: Int): DataFrame = {
-    val toks = docs
-      .select(col(idCol), array_distinct(words(col(textCol))).as("__t"))
-      .select(col(idCol), filter(col("__t"), t => length(t) > 0).as("__t"))
-      .filter(size(col("__t")) >= minTokens)
-    val df0 = toks.select(col(idCol), explode(col("__t")).as("token"))
+    val ts = tokenSets(docs, textCol, idCol, minTokens)
+    val df0 = ts.select(col(idCol), explode(col("toks")).as("token"))
     val dfreq = df0.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     df0.join(dfreq, Seq("token"))
       .groupBy(col(idCol))
