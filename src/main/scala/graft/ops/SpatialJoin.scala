@@ -105,7 +105,20 @@ object SpatialJoin {
     val l = prepLeft(by)
       .withColumn("__cellx", explode(cells(col("__lminx"), col("__lmaxx"))))
       .withColumn("__celly", explode(cells(col("__lminy"), col("__lmaxy"))))
-    val r = prepRight(values)
+    // Spread the probe side when the file layout under-parallelizes it: a
+    // single small parquet file scans as ONE task, and with the tiny `by`
+    // side broadcast, the whole per-pair intersection kernel (the expensive
+    // triangulated-area path for non-convex regions) then runs serially on
+    // that task (measured: q71's 2.1 s single-task stage). Hash-partition on
+    // the value id — deterministic, no round-robin pre-sort. At production
+    // scale the scan already has >= cores splits and NO shuffle is added.
+    val spark = values.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val r0 = prepRight(values)
+    val rSpread =
+      if (r0.rdd.getNumPartitions * 4 <= want) r0.repartition(want, col("value_id"))
+      else r0
+    val r = rSpread
       .withColumn("__cellx", explode(cells(col("minx"), col("maxx"))))
       .withColumn("__celly", explode(cells(col("miny"), col("maxy"))))
     val canonical =

@@ -59,7 +59,11 @@ object BloomIndex {
     require(bits >= 64 && bits % 64 == 0,
       s"writeBloomIndexed: bits must be a positive multiple of 64, got $bits")
     require(hashes >= 1, s"writeBloomIndexed: hashes must be >= 1, got $hashes")
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // cluster by the partition column first: an unclustered dynamic-
+    // partition write opens one file per (task, partition value) — tasks x
+    // values tiny files; clustered, each value is written by one task
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
     probes(df.select(col(partCol).as("part"), col(keyCol)),
         keyCol, bits, hashes, salt, Seq("part"))
       .groupBy(col("part"), col("word"))
@@ -81,7 +85,8 @@ object BloomIndex {
     val spark = df.sparkSession
     val m = readMeta(spark, path).getOrElse(throw new IllegalArgumentException(
       s"appendBloomIndexed: no _bloom_meta under $path"))
-    df.write.mode("append").partitionBy(m.partCol).parquet(path)
+    df.repartition(col(m.partCol)) // one task per partition value — see write
+      .write.mode("append").partitionBy(m.partCol).parquet(path)
     val fresh = probes(df.select(col(m.partCol).as("part"), col(m.keyCol)),
         m.keyCol, m.bits, m.hashes, m.salt, Seq("part"))
       .groupBy(col("part"), col("word"))

@@ -101,22 +101,26 @@ object Classifier {
   def classMetrics(df: DataFrame, actualCol: String,
       predictedCol: String): DataFrame = {
     val cm = confusionMatrix(df, actualCol, predictedCol)
-    val classes = cm.select(col("actual").as("clazz"))
-      .union(cm.select(col("predicted").as("clazz"))).distinct()
-    val support = cm.groupBy(col("actual").as("clazz"))
-      .agg(sum(col("n")).as("support"))
-    val predTot = cm.groupBy(col("predicted").as("clazz"))
-      .agg(sum(col("n")).as("n_predicted"))
-    val tp = cm.filter(col("actual") === col("predicted"))
-      .select(col("actual").as("clazz"), col("n").as("tp"))
-    val base = classes
-      .join(support, Seq("clazz"), "left")
-      .join(predTot, Seq("clazz"), "left")
-      .join(tp, Seq("clazz"), "left")
-      .select(col("clazz"),
-        coalesce(col("support"), lit(0L)).as("support"),
-        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
-        coalesce(col("tp"), lit(0L)).as("tp"))
+    // ONE reference to cm: the previous classes/support/n_predicted/tp
+    // four-branch join replayed the corpus-wide confusion aggregation per
+    // branch (cm is unpersisted, so each consumer recomputes the scan —
+    // measured 5x the corpus work on the q263 languageId input). Each cm
+    // row instead explodes into its two class roles and ONE tiny keyed
+    // aggregation over |classes|² rows derives all three totals; the
+    // class universe (union of roles) falls out of the same explode.
+    val roles = cm.select(explode(array(
+        struct(col("actual").as("clazz"), col("n").as("support"),
+          lit(0L).as("n_predicted"),
+          when(col("actual") === col("predicted"), col("n"))
+            .otherwise(lit(0L)).as("tp")),
+        struct(col("predicted").as("clazz"), lit(0L).as("support"),
+          col("n").as("n_predicted"), lit(0L).as("tp")))).as("r"))
+      .select(col("r.clazz").as("clazz"), col("r.support").as("support"),
+        col("r.n_predicted").as("n_predicted"), col("r.tp").as("tp"))
+    val base = roles.groupBy(col("clazz"))
+      .agg(sum(col("support")).as("support"),
+        sum(col("n_predicted")).as("n_predicted"),
+        sum(col("tp")).as("tp"))
     val prec = when(col("n_predicted") > 0,
       TextAnalysis.round6(col("tp").cast("double") / col("n_predicted")))
     val rec = when(col("support") > 0,

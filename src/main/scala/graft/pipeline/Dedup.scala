@@ -1766,19 +1766,40 @@ object Dedup {
       maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"editDistancePairs: maxDist must be 1 or 2, got $maxDist")
-    val t = terms.select(col(termCol).as("__t"))
+    val raw = terms.select(col(termCol).as("__t"))
       .filter(col("__t").isNotNull && length(col("__t")) >= 1)
-      .distinct()
+    // Fan-out-aware partitioning for the deletion-key exchange: the work
+    // AFTER it (Σ bucket² candidate pairs, each a banded levenshtein) is
+    // orders of magnitude heavier per byte than the keyed rows themselves,
+    // so AQE's byte-based coalescing folds the whole verify stage into ONE
+    // task (measured: 4.5 s single-task stage on a 93 KB shuffle at sf0.1).
+    // An explicit numPartitions (which AQE leaves alone) sized from the
+    // term count — one partition per ~2k terms, floored at the session's
+    // parallelism, capped at 4x the configured shuffle width so huge
+    // corpora don't explode the task count — keeps the verify stage wide.
+    // The count is one column-pruned pass over the input, paid before the
+    // heavy stage it sizes (the LoopSession.sizeShuffles discipline,
+    // applied to a one-shot join).
+    val spark = terms.sparkSession
+    val nTerms = raw.count()
+    val width = math.max(spark.sparkContext.defaultParallelism.toLong,
+      math.min(nTerms / 2000L,
+        4L * spark.conf.get("spark.sql.shuffle.partitions").toInt)).toInt
+    val t = raw.distinct()
     val keyed = t.select(col("__t"),
-      explode(deletionNeighborhood(col("__t"), maxDist)).as("__k"))
+        explode(deletionNeighborhood(col("__t"), maxDist)).as("__k"))
+      .repartition(width, col("__k"))
     // verify BEFORE dedup: levenshtein is a codegen'd scalar on the join
     // output, so filtering first means the distinct exchange carries only
-    // TRUE pairs (a few per key) instead of every candidate co-occurrence
+    // TRUE pairs (a few per key) instead of every candidate co-occurrence.
+    // The threshold form runs the banded O(maxDist·len) DP and returns -1
+    // above the bound — same distances for every surviving pair, ~len/d
+    // times less work on the rejected majority.
     keyed.select(col("__t").as("a"), col("__k"))
       .join(keyed.select(col("__t").as("b"), col("__k")), Seq("__k"))
       .filter(col("a") < col("b"))
-      .withColumn("dist", levenshtein(col("a"), col("b")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("a"), col("b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist")).distinct()
   }
 

@@ -958,15 +958,17 @@ object Similarity {
 
   /** Product-quantization SEARCH via ADC (asymmetric distance
     * computation) — the query path that completes the PQ story
-    * ([[pqTrain]] -> [[pqEncode]] -> here): per query, the m x k lookup
-    * table of exact subspace distances to every codebook entry is tiny
-    * (queries x m x k rows) and BROADCASTS; every encoded vector is then
-    * scored with ONE equi-join on (sub, code_id) plus a keyed partial-
-    * aggregating sum. The corpus is touched only through its m-code rows,
-    * never its raw vectors — the read-bandwidth win that makes PQ the
-    * standard 100 TB ANN index format. LUT entries are 6-decimal-rounded
-    * and summed in exact DECIMAL, so ranking is engine-independent; ties
-    * break on corpus id. Output: (query_id, vec_id, adist, rank <= k).
+    * ([[pqTrain]] -> [[pqEncode]] -> here): the model-side inputs (query
+    * subvectors: queries x m rows; codebook: m x k rows) BROADCAST, and
+    * every encoded vector is scored through two keyed equi-joins plus a
+    * partial-aggregating sum — the subspace distance is evaluated inline
+    * per scored row (codegen'd fold), which keeps the broadcast size
+    * independent of the query batch. The corpus is touched only through
+    * its m-code rows, never its raw vectors — the read-bandwidth win that
+    * makes PQ the standard 100 TB ANN index format. Subspace distances
+    * are 6-decimal-rounded and summed in exact DECIMAL, so ranking is
+    * engine-independent; ties break on corpus id.
+    * Output: (query_id, vec_id, adist, rank <= k).
     */
   def pqSearch(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, m: Int, subDim: Int, idCol: String = "vec_id",
@@ -977,12 +979,23 @@ object Similarity {
     val cb = codebooks.select(col("sub"), col("code_id"),
       col("subvec").cast("array<double>").as("__cv"))
     val dist2 = dist2Fold(col("__qv"), col("__cv"))
-    val lut = qsub.join(cb, Seq("sub"))
-      .filter(sameWidth(col("__qv"), col("__cv"), "pqSearch"))
-      .select(col(queryIdCol), col("sub"), col("code_id"),
-        TextAnalysis.round6(dist2).as("__d"))
+    // INLINE ADC: the LUT used to materialize queries x m x k_codebook
+    // rounded distances and broadcast them as one hash relation keyed by
+    // (query, sub, code) — a relation whose size scales with the query
+    // batch (1.6M entries at the q214 fixture), built single-threaded on
+    // the driver and lock-waited on by every task. The two model-side
+    // inputs are what actually stay small: broadcast THEM (query subvecs:
+    // queries x m rows; codebook: m x k rows) and evaluate the identical
+    // round6(dist2) expression per scored row — same fold order, same
+    // rounding, bit-identical sums, no driver-built mega-relation. The
+    // extra arithmetic (subDim mults per scored row instead of a 3-key
+    // hash probe) is codegen'd VecDist2 — comparable CPU, and the
+    // broadcast no longer grows with the query batch.
     val scored = codes.select(col(idCol), col("sub"), col("code_id"))
-      .join(broadcast(lut), Seq("sub", "code_id"))
+      .join(broadcast(qsub), Seq("sub"))
+      .join(broadcast(cb), Seq("sub", "code_id"))
+      .filter(sameWidth(col("__qv"), col("__cv"), "pqSearch"))
+      .withColumn("__d", TextAnalysis.round6(dist2))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__d").cast("decimal(28,6)")).cast("double").as("adist"),
         count(lit(1)).as("__n"))
@@ -998,11 +1011,11 @@ object Similarity {
     * operator: [[ivfAssign]] partitions the corpus into inverted lists,
     * [[pqEncode]] compresses every vector to m codes, and a query (a) probes
     * its `nprobe` nearest cells and (b) scores ONLY those cells' members
-    * through their codes via the broadcast ADC lookup table of [[pqSearch]].
+    * through their codes via the inline ADC arithmetic of [[pqSearch]].
     * The corpus is touched once for the cell join (ids only) and once
     * through its m-code rows — raw vectors never ship to the query side.
-    * Every join is an equi-join (cell id; then (query, sub, code) against
-    * the broadcast LUT); distances are 6-decimal-rounded and summed in
+    * Every join is an equi-join (cell id; then (query, sub) / (sub, code)
+    * against the broadcast model sides); distances are 6-decimal-rounded and summed in
     * exact DECIMAL so ranking is engine-independent, ties on corpus id.
     * Output: (query_id, vec_id, adist, rank <= k).
     */
@@ -1035,15 +1048,19 @@ object Similarity {
     val cb = codebooks.select(col("sub"), col("code_id"),
       col("subvec").cast("array<double>").as("__cv"))
     val dist2 = dist2Fold(col("__qv"), col("__cv"))
-    val lut = qsub.join(cb, Seq("sub"))
-      .filter(sameWidth(col("__qv"), col("__cv"), "ivfPqSearch"))
-      .select(col(queryIdCol), col("sub"), col("code_id"),
-        TextAnalysis.round6(dist2).as("__d"))
     // candidate pairs: probed cells' inverted lists, ids only
     val cand = probes.join(cells, Seq(centroidIdCol))
       .select(col(queryIdCol), col(idCol))
+    // INLINE ADC (see [[pqSearch]]): broadcast the model-side inputs
+    // (query subvecs, codebook) instead of the queries x m x k LUT
+    // relation, and evaluate the identical round6(dist2) per candidate
+    // row — bit-identical sums, no driver-built broadcast that scales
+    // with the query batch.
     val scored = cand.join(codes, Seq(idCol))
-      .join(broadcast(lut), Seq(queryIdCol, "sub", "code_id"))
+      .join(broadcast(qsub), Seq(queryIdCol, "sub"))
+      .join(broadcast(cb), Seq("sub", "code_id"))
+      .filter(sameWidth(col("__qv"), col("__cv"), "ivfPqSearch"))
+      .withColumn("__d", TextAnalysis.round6(dist2))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__d").cast("decimal(28,6)")).cast("double").as("adist"),
         count(lit(1)).as("__n"))

@@ -307,34 +307,26 @@ object TextAnalysis {
       candCol: String = "cand", refCol: String = "ref",
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"bleuScore: maxN must be in [1, 6], got $maxN")
-    def toks(c: Column) = filter(Dedup.words(c), t => length(t) > 0)
-    val candG = gramCountRows(pairs, idCol, candCol, "__c", maxN)
-    val refG = gramCountRows(pairs, idCol, refCol, "__r", maxN)
-    val perN = candG.join(refG, Seq(idCol, "n", "gram"), "left")
-      .groupBy(col(idCol), col("n"))
-      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__m"),
-        sum(col("__c")).as("__t"))
-    val pivotCols =
-      (1 to maxN).map(n =>
-        sum(when(col("n") === n, col("__m"))).as(s"__m_$n")) ++
-      (1 to maxN).map(n =>
-        sum(when(col("n") === n, col("__t"))).as(s"__t_$n"))
-    val pivoted = perN.groupBy(col(idCol))
-      .agg(pivotCols.head, pivotCols.tail: _*)
-    val lens = pairs.select(col(idCol),
-      size(toks(col(candCol))).as("cand_len"),
-      size(toks(col(refCol))).as("ref_len"))
-    val allPos = (1 to maxN).map(n =>
-      col(s"__m_$n") > 0 && col(s"__t_$n") > 0).reduce(_ && _)
-    val logSum = (1 to maxN).map(n =>
-      log(col(s"__m_$n").cast("double") / col(s"__t_$n"))).reduce(_ + _)
-    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
-      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
-    lens.join(pivoted, Seq(idCol), "left")
-      .select(col(idCol), col("cand_len"), col("ref_len"),
-        when(col("cand_len") === 0, lit(0.0))
-          .when(allPos, round6(bp * exp(logSum / maxN)))
-          .otherwise(lit(0.0)).as("bleu"))
+    // ONE codegen'd kernel call per row — candidate and reference live on
+    // the SAME row, so BLEU needs no token explode, no per-doc window and
+    // no gram-keyed join (the prior aggregation form shuffled every n-gram
+    // of the corpus twice for a row-local value; guide §2.4: remove
+    // shuffles outright). [[TextKernel.bleuRow]] documents the
+    // bit-exactness contract (exact long counts, StrictMath float tail in
+    // the identical operation order); TextAnalysisSpec pins kernel ==
+    // aggregation form on randomized pairs.
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    val stats = Bridge.staticInvoke(
+      Class.forName("graft.pipeline.TextKernel"),
+      ArrayType(DoubleType, containsNull = false), "bleuRow",
+      Seq(col(candCol), col(refCol), lit(maxN)),
+      Seq(StringType, StringType, IntegerType), returnNullable = false)
+    pairs.select(col(idCol), stats.as("__b"))
+      .select(col(idCol),
+        col("__b").getItem(0).cast("int").as("cand_len"),
+        col("__b").getItem(1).cast("int").as("ref_len"),
+        col("__b").getItem(2).as("bleu"))
   }
 
   /** ROUGE-N (Lin 2004) over the same (candidate, reference) pair rows as
@@ -1207,10 +1199,28 @@ object TextAnalysis {
       minQuality: Double = 0.3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val origCols = docs.columns.toSeq.map(col)
+    // Spread the corpus scan when the file layout under-parallelizes it
+    // (a single small parquet file scans as ONE task, serializing the
+    // regex-heavy quality/language projections below — and the `kept`
+    // persist then caches ONE partition, so every dedup branch downstream
+    // stays serial too; measured 1.5-3.5 s single-task stages on q116/
+    // q127). A bare repartition is NOT enough: PushDownPredicates/
+    // ColumnPruning sink the quality filter (and with it the whole scoring
+    // projection) below a RepartitionByExpression, putting the compute
+    // right back on the single scan task — the lazy localCheckpoint roots
+    // the spread rows at a flat leaf nothing can push through. Guarded:
+    // at production scale the scan already has >= cores splits and
+    // neither shuffle nor checkpoint is added.
+    val spark = docs.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val base =
+      if (docs.rdd.getNumPartitions * 4 <= want)
+        docs.repartition(want, col(idCol)).localCheckpoint(false)
+      else docs
     // persisted: the dedup stage references its input from several plan
     // branches (exact hash, band table, final anti-join), which would
     // replay the regex-heavy quality/language projections per branch
-    val kept = languageId(qualityScore(docs, textCol), textCol)
+    val kept = languageId(qualityScore(base, textCol), textCol)
       .filter(col("lang_pred") === lang &&
         col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
       .select(origCols: _*)

@@ -641,4 +641,94 @@ object TextKernel {
       jaro + l * 0.1 * (1.0 - jaro)
     }
   }
+
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** The shared [[graft.pipeline.Dedup.words]] tokenizer as a kernel —
+    * byte-for-byte the expression chain's semantics: UTF8String
+    * lowercasing (what Spark's `lower` calls), `[^a-z0-9]+` collapsed to
+    * single spaces via java.util.regex (what `regexp_replace` uses),
+    * space-trim, single-space split, empties dropped.
+    */
+  private def wordsOf(s: UTF8String): Array[String] = {
+    val norm = NonAlnum.matcher(s.toLowerCase.toString).replaceAll(" ").trim
+    if (norm.isEmpty) new Array[String](0) else norm.split(" ")
+  }
+
+  /** n-gram counts (gram = n tokens joined by spaces) for n = 1..maxN.
+    * One map per n; linear in tokens.
+    */
+  private def gramCounts(toks: Array[String], n: Int)
+      : java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      val e = m.get(g)
+      if (e == null) m.put(g, Array(1L)) else e(0) += 1L
+      i += 1
+    }
+    m
+  }
+
+  /** BLEU of one (candidate, reference) pair in a single row-local pass —
+    * candidate and reference live on the SAME row, so clipped-precision
+    * BLEU needs no token explode, no per-doc window and no gram-keyed
+    * join (the aggregation form shuffled every n-gram of the corpus
+    * twice for a value computable inside the row's own task).
+    *
+    * Bit-exactness contract with the aggregation form it replaces (and
+    * with the DuckDB oracle): the clipped/total counts are exact longs
+    * (order-free), and the float tail — log(m_n/t_n) summed in ascending
+    * n, divided by maxN, exponentiated, scaled by the brevity penalty,
+    * snapped by floor(x*1e6+0.5)/1e6 — runs the identical operation
+    * sequence through java.lang.StrictMath, which is what Spark's
+    * LOG/EXP codegen calls. Returns [cand_len, ref_len, bleu] (lens as
+    * exact doubles; the caller casts back to int).
+    */
+  def bleuRow(cand: UTF8String, ref: UTF8String, maxN: Int): ArrayData = {
+    val c = wordsOf(cand)
+    val r = wordsOf(ref)
+    val candLen = c.length
+    val refLen = r.length
+    var allPos = true
+    var logSum = 0.0
+    var n = 1
+    while (n <= maxN && allPos) {
+      val cm = gramCounts(c, n)
+      val rm = gramCounts(r, n)
+      var m = 0L
+      var t = 0L
+      val it = cm.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cc = e.getValue()(0)
+        t += cc
+        val rc = rm.get(e.getKey)
+        if (rc != null) m += math.min(cc, rc(0))
+      }
+      if (m <= 0L || t <= 0L) allPos = false
+      else logSum += java.lang.StrictMath.log(m.toDouble / t.toDouble)
+      n += 1
+    }
+    val bleu =
+      if (candLen == 0 || !allPos) 0.0
+      else {
+        val bp =
+          if (candLen >= refLen) 1.0
+          else java.lang.StrictMath.exp(1.0 - refLen.toDouble / candLen.toDouble)
+        val x = bp * java.lang.StrictMath.exp(logSum / maxN)
+        math.floor(x * 1e6 + 0.5) / 1e6
+      }
+    new GenericArrayData(Array[Any](candLen.toDouble, refLen.toDouble, bleu))
+  }
 }

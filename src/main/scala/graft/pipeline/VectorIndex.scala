@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   *     the model — k x dims and m x k x subDim doubles).
   *
   * Search then never touches a raw corpus vector: candidates stream out of
-  * the probed partitions as m-code rows and are scored against the
-  * per-query broadcast ADC LUT, exactly the [[Similarity.pqSearch]]
-  * arithmetic (6-decimal-rounded LUT entries, exact DECIMAL sums,
-  * id-ascending ties) — so at-rest results match the recompute path
-  * bit-for-bit.
+  * the probed partitions as m-code rows and are scored through the inline
+  * ADC arithmetic of [[Similarity.pqSearch]] against the broadcast query
+  * subvectors + codebook (6-decimal-rounded subspace distances, exact
+  * DECIMAL sums, id-ascending ties) — so at-rest results match the
+  * recompute path bit-for-bit.
   */
 object VectorIndex {
 
@@ -52,6 +52,15 @@ object VectorIndex {
       vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): Unit =
     buildIndex(corpus, centroids, codebooks, m, subDim, idCol, vecCol, centroidIdCol)
+      // cluster by the partition column before the dynamic-partition write:
+      // without it every task holds rows of every cell and opens one file
+      // per (task, cell) — tasks x cells tiny files (3,200 for the 32x100
+      // q214 fixture; measured ~27 s of task time mostly opening/closing
+      // writers). After the repartition each cell is written by exactly one
+      // task: ~one file per cell, file count independent of the task count.
+      // A pathologically hot cell writes from one task — at that point use
+      // a REBALANCE hint (AQE splits skewed write partitions) instead.
+      .repartition(col(centroidIdCol))
       .write.mode("overwrite").partitionBy(centroidIdCol).parquet(path)
 
   /** INCREMENTAL index maintenance: encode a NEW batch of vectors with the
@@ -70,6 +79,7 @@ object VectorIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): Unit =
     buildIndex(newVectors, centroids, codebooks, m, subDim, idCol, vecCol, centroidIdCol)
+      .repartition(col(centroidIdCol)) // one task per cell — see writeIndex
       .write.mode("append").partitionBy(centroidIdCol).parquet(path)
 
   /** Read the at-rest index back. The partition column comes back typed by
@@ -85,9 +95,9 @@ object VectorIndex {
   /** ANN search against the stored index: nprobe nearest cells per query
     * (tiny broadcast-centroid argsort), ONE equi-join of the probe list
     * against the partitioned index on the PARTITION column — only the
-    * probed directories are scanned — then ADC scoring through the
-    * broadcast per-query LUT and a per-query top-k. Identical semantics
-    * (and oracle) to [[Similarity.ivfPqSearch]].
+    * probed directories are scanned — then inline ADC scoring against the
+    * broadcast query subvectors + codebook and a per-query top-k.
+    * Identical semantics (and oracle) to [[Similarity.ivfPqSearch]].
     */
   def searchIndex(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       queries: DataFrame, k: Int, m: Int, subDim: Int, nprobe: Int = 2,
@@ -113,12 +123,17 @@ object VectorIndex {
     val cb = codebooks.select(col("sub"), col("code_id"),
       col("subvec").cast("array<double>").as("__cv"))
     val dist2 = Similarity.dist2Fold(col("__qv"), col("__cv"))
-    val lut = qsub.join(cb, Seq("sub"))
-      .filter(Similarity.sameWidth(col("__qv"), col("__cv"), "searchIndex"))
-      .select(col(queryIdCol), col("sub"), col("code_id"),
-        TextAnalysis.round6(dist2).as("__d"))
+    // INLINE ADC (see [[Similarity.pqSearch]]): broadcast the model-side
+    // inputs (query subvecs: queries x m rows; codebook: m x k rows)
+    // instead of materializing the queries x m x k LUT as one
+    // driver-built hash relation that scales with the query batch, and
+    // evaluate the identical round6(dist2) per scored row — bit-identical
+    // sums, same oracle.
     val scored = index.join(broadcast(probes), Seq(centroidIdCol))
-      .join(broadcast(lut), Seq(queryIdCol, "sub", "code_id"))
+      .join(broadcast(qsub), Seq(queryIdCol, "sub"))
+      .join(broadcast(cb), Seq("sub", "code_id"))
+      .filter(Similarity.sameWidth(col("__qv"), col("__cv"), "searchIndex"))
+      .withColumn("__d", TextAnalysis.round6(dist2))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__d").cast("decimal(28,6)")).cast("double").as("adist"),
         count(lit(1)).as("__n"))

@@ -33,7 +33,11 @@ object ZoneMapIndex {
     require(statCols.nonEmpty, "writeZoneMapped: need at least one stat column")
     require(!statCols.contains(partCol),
       s"writeZoneMapped: '$partCol' partitions the layout; zone stats on it are vacuous")
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // cluster by the partition column first: an unclustered dynamic-
+    // partition write opens one file per (task, partition value) — tasks x
+    // values tiny files; clustered, each value is written by one task
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
     sidecarStats(df, partCol, statCols)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
     df.sparkSession.createDataFrame(Seq((partCol, statCols.mkString(","))))
@@ -68,7 +72,8 @@ object ZoneMapIndex {
     val (partCol, statCols) = readMeta(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"appendZoneMapped: no _zonemap_meta under $path"))
-    df.write.mode("append").partitionBy(partCol).parquet(path)
+    df.repartition(col(partCol)) // one task per partition value — see write
+      .write.mode("append").partitionBy(partCol).parquet(path)
     val merged = spark.read.parquet(s"$path/_zonemap")
       .unionByName(sidecarStats(df, partCol, statCols))
       .groupBy(col("part"), col("column"))

@@ -66,6 +66,67 @@ class TextMetricsSpec extends SparkTestBase {
     assert(clip === ((0.5, 0.25)))
   }
 
+  test("bleu kernel == the aggregation form it replaced, on randomized pairs") {
+    // the round-13 row-local kernel must be bit-identical to the original
+    // explode + window + gram-join pipeline (exact long counts, StrictMath
+    // float tail) — re-derive the old form inline and compare
+    def oldBleu(pairs: org.apache.spark.sql.DataFrame, maxN: Int) = {
+      import org.apache.spark.sql.expressions.Window
+      def gramCountRows(df: org.apache.spark.sql.DataFrame, textCol: String, cnt: String) = {
+        val win = Window.partitionBy(col("pair_id")).orderBy(col("__pos"))
+        val toks = filter(Dedup.words(col(textCol)), t => length(t) > 0)
+        val exploded = df.select(col("pair_id"), posexplode(toks).as(Seq("__pos", "__t")))
+        val withLeads = (1 until maxN).foldLeft(exploded) { (d, o) =>
+          d.withColumn(s"__l$o", lead(col("__t"), o).over(win))
+        }
+        val gramN = (1 to maxN).map { n =>
+          val parts = col("__t") +: (1 until n).map(o => col(s"__l$o"))
+          val ok = if (n == 1) lit(true) else col(s"__l${n - 1}").isNotNull
+          when(ok, struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+        }
+        withLeads.select(col("pair_id"), explode(array(gramN: _*)).as("g"))
+          .filter(col("g").isNotNull)
+          .groupBy(col("pair_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+          .agg(count(lit(1)).as(cnt))
+      }
+      def toks(c: org.apache.spark.sql.Column) = filter(Dedup.words(c), t => length(t) > 0)
+      val candG = gramCountRows(pairs, "cand", "__c")
+      val refG = gramCountRows(pairs, "ref", "__r")
+      val perN = candG.join(refG, Seq("pair_id", "n", "gram"), "left")
+        .groupBy(col("pair_id"), col("n"))
+        .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__m"),
+          sum(col("__c")).as("__t"))
+      val pivotCols =
+        (1 to maxN).map(n => sum(when(col("n") === n, col("__m"))).as(s"__m_$n")) ++
+        (1 to maxN).map(n => sum(when(col("n") === n, col("__t"))).as(s"__t_$n"))
+      val pivoted = perN.groupBy(col("pair_id")).agg(pivotCols.head, pivotCols.tail: _*)
+      val lens = pairs.select(col("pair_id"),
+        size(toks(col("cand"))).as("cand_len"), size(toks(col("ref"))).as("ref_len"))
+      val allPos = (1 to maxN).map(n =>
+        col(s"__m_$n") > 0 && col(s"__t_$n") > 0).reduce(_ && _)
+      val logSum = (1 to maxN).map(n =>
+        log(col(s"__m_$n").cast("double") / col(s"__t_$n"))).reduce(_ + _)
+      val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
+      lens.join(pivoted, Seq("pair_id"), "left")
+        .select(col("pair_id"), col("cand_len"), col("ref_len"),
+          when(col("cand_len") === 0, lit(0.0))
+            .when(allPos, TextAnalysis.round6(bp * exp(logSum / maxN)))
+            .otherwise(lit(0.0)).as("bleu"))
+    }
+    val rng = new scala.util.Random(13)
+    val vocab = Seq("the", "cat", "sat", "on", "Mat!", "a", "b", "dog", "ran", "42")
+    def text() = (0 until rng.nextInt(25)).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val rows = (1L to 60L).map(i => (i, text(), text()))
+    for (maxN <- Seq(1, 2, 4)) {
+      val df = pairsDF(rows: _*)
+      val neu = TextAnalysis.bleuScore(df, maxN = maxN)
+      val old = oldBleu(df, maxN)
+      assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+        s"kernel and aggregation BLEU diverge at maxN=$maxN")
+    }
+  }
+
   test("bleu: tokenizer normalizes case and punctuation; empty candidate is 0") {
     val out = bleuOf(2,
       (1L, "The CAT, sat!", "the cat sat"),
