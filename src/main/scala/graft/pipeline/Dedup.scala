@@ -1605,7 +1605,7 @@ object Dedup {
     * but below in UTF-8), and the min-id root must be the same id the
     * distributed loop would converge to.
     */
-  private def localIdOrdering(idType: org.apache.spark.sql.types.DataType)
+  private[pipeline] def localIdOrdering(idType: org.apache.spark.sql.types.DataType)
       : Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     idType match {

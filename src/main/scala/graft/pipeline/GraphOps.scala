@@ -50,6 +50,22 @@ object GraphOps {
     // out-degree rides on every edge row so iterations never re-join it
     val eo = e.join(outdeg, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LOCAL CUTOVER (the [[Dedup.connectedComponents]] stance, measured on
+    // q215/q254-class graphs: tens of nodes, ~50 scheduler jobs, ~2-3 s of
+    // pure cadence for microseconds of arithmetic): below the edge
+    // threshold, run the identical snapped fixed point on the driver
+    // ([[GraphLocal]] documents the bit-exactness contract). The count
+    // doubles as the cache-warming first materialization of eo; unsupported
+    // or null ids fall through — pure optimization, never a behavior gate.
+    val spark0 = edges.sparkSession
+    val idT = e.schema.fields(0).dataType
+    if (eo.count() <= GraphLocal.threshold(spark0) &&
+        idT == e.schema.fields(1).dataType && GraphLocal.idsSupported(idT) &&
+        eo.filter(col("src").isNull || col("dst").isNull).isEmpty) {
+      val rows = eo.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+      eo.unpersist(blocking = false)
+      return GraphLocal.pageRank(spark0, rows, iters, damping, idT)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -100,6 +116,26 @@ object GraphOps {
     val eo = e.join(outdeg, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val s = seeds.select(col(seedCol).as("node")).distinct()
+    // LOCAL CUTOVER — see [[pageRank]]; seeds ride along (they are the
+    // teleport set, tiny by construction but bounded by the same check).
+    val spark0 = edges.sparkSession
+    val idT = e.schema.fields(0).dataType
+    if (eo.count() <= GraphLocal.threshold(spark0) &&
+        idT == e.schema.fields(1).dataType &&
+        idT == s.schema.fields(0).dataType && GraphLocal.idsSupported(idT) &&
+        eo.filter(col("src").isNull || col("dst").isNull).isEmpty) {
+      val seedIds = s.collect().map(_.get(0))
+      // a null seed is a degenerate-but-defined distributed case (it
+      // becomes an isolated zero-rank node); keep the local path pure by
+      // falling through rather than replicating it
+      if (!seedIds.contains(null) &&
+          seedIds.length <= GraphLocal.threshold(spark0)) {
+        val rows = eo.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+        eo.unpersist(blocking = false)
+        return GraphLocal.personalizedPageRank(spark0, rows,
+          seedIds.map(x => x: Any), iters, damping, idT)
+      }
+    }
     val sRow = s.agg(count(lit(1)).as("__s"))
     def snap(c: org.apache.spark.sql.Column) = TextAnalysis.round6(c)
     // teleport rides on the node frame — computed once, reused per iteration
@@ -176,6 +212,19 @@ object GraphOps {
              else raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst"))))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LOCAL CUTOVER — see [[pageRank]]; ties need the same UTF-8-byte
+    // min-label order the distributed struct-min uses, which is exactly
+    // what [[Dedup.localIdOrdering]] (and so [[GraphLocal.idsSupported]])
+    // guarantees.
+    val spark0 = edges.sparkSession
+    val idT = e.schema.fields(0).dataType
+    if (e.count() <= GraphLocal.threshold(spark0) &&
+        idT == e.schema.fields(1).dataType && GraphLocal.idsSupported(idT) &&
+        e.filter(col("src").isNull || col("dst").isNull).isEmpty) {
+      val rows = e.collect().map(r => (r.get(0), r.get(1)))
+      e.unpersist(blocking = false)
+      return GraphLocal.labelPropagation(spark0, rows, iters, idT)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -298,6 +347,19 @@ object GraphOps {
       .select(col("src"), col("dst"),
         snap(col("w").cast("double") / col("__ow").cast("double")).as("__share"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LOCAL CUTOVER — see [[pageRank]]; shares are collected precomputed
+    // (the same snapped division the iterations would read), null weights
+    // fall through with the null-id check (a null w nulls its share).
+    val spark0 = edges.sparkSession
+    val idT = e.schema.fields(0).dataType
+    if (eo.count() <= GraphLocal.threshold(spark0) &&
+        idT == e.schema.fields(1).dataType && GraphLocal.idsSupported(idT) &&
+        eo.filter(col("src").isNull || col("dst").isNull ||
+          col("__share").isNull).isEmpty) {
+      val rows = eo.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+      eo.unpersist(blocking = false); e.unpersist(blocking = false)
+      return GraphLocal.weightedPageRank(spark0, rows, iters, damping, idT)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -625,6 +687,18 @@ object GraphOps {
     require(iters >= 1 && iters <= 20, s"hits: iters must be in [1, 20], got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // LOCAL CUTOVER — see [[pageRank]]. The q254 co-citation graph is 18
+    // nodes; two distributed HITS rounds cost ~55 scheduler jobs and ~3 s
+    // of cadence for arithmetic the driver does in microseconds.
+    val spark0 = edges.sparkSession
+    val idT = e.schema.fields(0).dataType
+    if (e.count() <= GraphLocal.threshold(spark0) &&
+        idT == e.schema.fields(1).dataType && GraphLocal.idsSupported(idT) &&
+        e.filter(col("src").isNull || col("dst").isNull).isEmpty) {
+      val rows = e.collect().map(r => (r.get(0), r.get(1)))
+      e.unpersist(blocking = false)
+      return GraphLocal.hits(spark0, rows, iters, idT)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

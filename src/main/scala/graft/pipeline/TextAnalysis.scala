@@ -677,6 +677,11 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
     val total = docs.agg(count(lit(1)).as("__n"))
+    // NOT widened (round-13 measurement): forcing the shingle exchange to
+    // 32 partitions (the q226 fan-out fix) made this operator SLOWER —
+    // the pair groupBy's map-side partial aggregation collapses far better
+    // on the few fat AQE-coalesced tasks (78k partial rows) than on wide
+    // ones (1.3M partial rows), and the 3-task stages were never the wall.
     val w = tf.join(dfreq, Seq("shingle"))
       .crossJoin(broadcast(total)) // 1-row corpus size, the usual pattern
       .withColumn("w",

@@ -370,4 +370,43 @@ class GraphOpsSpec extends SparkTestBase {
       spark.catalog.clearCache()
     }
   }
+
+  test("local cutover == distributed loop on randomized graphs (rank family + LPA + HITS)") {
+    // the round-13 GraphLocal cutover is a pure optimization: force the
+    // distributed path with a zero threshold and compare bit-for-bit
+    val rng = new scala.util.Random(7)
+    def randomEdges(n: Int, m: Int) =
+      (1 to m).map(_ => (s"n${rng.nextInt(n)}", s"n${rng.nextInt(n)}")).toDF("src", "dst")
+    val key = "graft.graph.localEdgeThreshold"
+    def both(f: => org.apache.spark.sql.DataFrame)
+        : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val loc = f.collect().toSeq
+      spark.conf.set(key, "0")
+      try {
+        val dist = f.collect().toSeq
+        (loc, dist)
+      } finally {
+        spark.conf.unset(key)
+        spark.catalog.clearCache()
+      }
+    }
+    for (trial <- 1 to 3) {
+      val e = randomEdges(12 + trial * 3, 25 + trial * 10)
+        .persist(); e.count()
+      val w = e.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+        .persist(); w.count()
+      val seeds = Seq("n1", "n3", "n999").toDF("node")
+      def cmp(tag: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+        val (loc, dist) = both(f)
+        assert(loc.toSet === dist.toSet, s"$tag diverged on trial $trial")
+      }
+      cmp("pageRank", GraphOps.pageRank(e, iters = 3))
+      cmp("personalizedPageRank",
+        GraphOps.personalizedPageRank(e, seeds, iters = 3))
+      cmp("weightedPageRank", GraphOps.weightedPageRank(w, iters = 3))
+      cmp("hits", GraphOps.hits(e, iters = 2))
+      cmp("labelPropagation", GraphOps.labelPropagation(e, iters = 3))
+      e.unpersist(); w.unpersist()
+    }
+  }
 }
