@@ -218,19 +218,25 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(j => when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
       .reduce(_ + _)
+    // persisted: referenced twice below (the exact-jaccard verify's pair
+    // input AND the final estimate join) — unpersisted, the signature
+    // aggregation + two id joins (md5 per shingle, the expensive scan)
+    // replay per reference; released at the caller's first action
     val withEst = pairs
       .join(side("a"), Seq("id_a"))
       .join(side("b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), agree.as("n_agree"))
       .withColumn("jaccard_est",
         TextAnalysis.round6(col("n_agree").cast("double") / numHashes))
-    ngramJaccard(docs, withEst.select("id_a", "id_b"), textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ngramJaccard(docs, withEst.select("id_a", "id_b"), textCol, idCol, k)
       .join(withEst, Seq("id_a", "id_b"))
       .withColumn("jaccard", TextAnalysis.round6(col("jaccard")))
       .withColumn("abs_err",
         TextAnalysis.round6(abs(col("jaccard_est") - col("jaccard"))))
       .select(col("id_a"), col("id_b"), col("n_agree").cast("long").as("n_agree"),
         col("jaccard_est"), col("jaccard"), col("abs_err"))
+    CacheScope.releaseAfterFirstUse(out, Seq(withEst))
   }
 
   /** LSH banding: docs -> (band_id, band_key) rows; docs sharing a band key

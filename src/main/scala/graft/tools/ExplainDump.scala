@@ -21,6 +21,12 @@ object ExplainDump {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides, e.g. to force a gated cutover's other path:
+    // GRAFT_EXPLAIN_CONF="graft.graph.localEdgeThreshold=0,other=v"
+    sys.env.get("GRAFT_EXPLAIN_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
