@@ -62,11 +62,15 @@ private[graft] object CacheScope {
     */
   private val MaxPending = 64
 
-  private final class Pending(val target: LogicalPlan, cached: Seq[DataFrame]) {
+  private final class Pending(val target: LogicalPlan, cached: Seq[DataFrame],
+      extra: Seq[() => Unit] = Nil) {
     val misses = new AtomicInteger(0)
     private val done = new AtomicBoolean(false)
     def release(): Unit =
-      if (done.compareAndSet(false, true)) cached.foreach(_.unpersist(blocking = false))
+      if (done.compareAndSet(false, true)) {
+        cached.foreach(_.unpersist(blocking = false))
+        extra.foreach(f => try f() catch { case _: Throwable => () })
+      }
   }
 
   private final class Scoper extends QueryExecutionListener {
@@ -107,10 +111,18 @@ private[graft] object CacheScope {
     * failed job must not strand the cache); matches by `sameResult` on the
     * canonicalized subtree. Unpersisting is non-blocking.
     */
-  def releaseAfterFirstUse(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
-    if (cached.isEmpty) return result
+  def releaseAfterFirstUse(result: DataFrame, cached: Seq[DataFrame]): DataFrame =
+    releaseAfterFirstUse(result, cached, Nil)
+
+  /** As above, plus arbitrary release thunks for storage the plain
+    * `unpersist` cannot reach (e.g. a `localCheckpoint`'s RDD blocks via
+    * [[org.apache.spark.sql.graftbridge.Bridge.unpersistRddLeaves]]).
+    */
+  def releaseAfterFirstUse(result: DataFrame, cached: Seq[DataFrame],
+      extra: Seq[() => Unit]): DataFrame = {
+    if (cached.isEmpty && extra.isEmpty) return result
     val sc = scoperFor(result.sparkSession)
-    sc.pending.add(new Pending(result.queryExecution.analyzed, cached))
+    sc.pending.add(new Pending(result.queryExecution.analyzed, cached, extra))
     while (sc.pending.size > MaxPending) {
       val oldest = sc.pending.poll()
       if (oldest != null) oldest.release()

@@ -1779,22 +1779,34 @@ object Dedup {
     // orders of magnitude heavier per byte than the keyed rows themselves,
     // so AQE's byte-based coalescing folds the whole verify stage into ONE
     // task (measured: 4.5 s single-task stage on a 93 KB shuffle at sf0.1).
-    // An explicit numPartitions (which AQE leaves alone) sized from the
-    // term count — one partition per ~2k terms, floored at the session's
-    // parallelism, capped at 4x the configured shuffle width so huge
-    // corpora don't explode the task count — keeps the verify stage wide.
-    // The count is one column-pruned pass over the input, paid before the
-    // heavy stage it sizes (the LoopSession.sizeShuffles discipline,
-    // applied to a one-shot join).
+    // An explicit numPartitions (which AQE leaves alone) keeps the verify
+    // stage wide — but it must be sized from the CANDIDATE count
+    // Σ c·(c−1)/2 over deletion-key buckets, which is the work the verify
+    // stage actually does. The TERM count cannot tell a heavy caller from
+    // a light one: 15k customer names sharing long prefixes collide into
+    // ~500k candidates (q226: 4.5 s serial), while 19.5k random 8-char
+    // ids barely collide at all (q238: ~5k candidates) — and for the
+    // light caller the parallelism-floored exchange plus the sizing pass
+    // were a pure tax (measured 0.53 → 0.83 s in round 13). The stats
+    // pass map-side-combines to one row per distinct key before its
+    // exchange, so it stays cheap at any scale; callers below the cutoff
+    // skip the explicit exchange entirely and keep AQE's coalesced
+    // few-fat-task layout (the q182 lesson: that layout WINS when the
+    // post-exchange work is small).
     val spark = terms.sparkSession
-    val nTerms = raw.count()
-    val width = math.max(spark.sparkContext.defaultParallelism.toLong,
-      math.min(nTerms / 2000L,
-        4L * spark.conf.get("spark.sql.shuffle.partitions").toInt)).toInt
     val t = raw.distinct()
-    val keyed = t.select(col("__t"),
-        explode(deletionNeighborhood(col("__t"), maxDist)).as("__k"))
-      .repartition(width, col("__k"))
+    val keyed0 = t.select(col("__t"),
+      explode(deletionNeighborhood(col("__t"), maxDist)).as("__k"))
+    val candRow = keyed0.groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c") * (col("__c") - lit(1L))).as("__c2")).head()
+    val cand = if (candRow.isNullAt(0)) 0L else candRow.getLong(0) / 2
+    val perPart = spark.conf.getOption("graft.er.candidatesPerPartition")
+      .map(_.toLong).getOrElse(16384L)
+    val cap = 4L * spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed =
+      if (cand <= 2 * perPart) keyed0
+      else keyed0.repartition(
+        math.min((cand + perPart - 1) / perPart, cap).toInt, col("__k"))
     // verify BEFORE dedup: levenshtein is a codegen'd scalar on the join
     // output, so filtering first means the distinct exchange carries only
     // TRUE pairs (a few per key) instead of every candidate co-occurrence.

@@ -59,9 +59,13 @@ object GraphOps {
     // or null ids fall through — pure optimization, never a behavior gate.
     val spark0 = edges.sparkSession
     val idT = e.schema.fields(0).dataType
+    // the null check must run on e, NOT eo: eo's null-unsafe inner join on
+    // src already dropped null-src edges, so checking eo could cut over
+    // locally on a graph whose distributed node set includes the null node
+    // (and anything reachable only through it)
     if (eo.count() <= GraphLocal.threshold(spark0) &&
         idT == e.schema.fields(1).dataType && GraphLocal.idsSupported(idT) &&
-        eo.filter(col("src").isNull || col("dst").isNull).isEmpty) {
+        e.filter(col("src").isNull || col("dst").isNull).isEmpty) {
       val rows = eo.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
       eo.unpersist(blocking = false)
       return GraphLocal.pageRank(spark0, rows, iters, damping, idT)
@@ -123,7 +127,8 @@ object GraphOps {
     if (eo.count() <= GraphLocal.threshold(spark0) &&
         idT == e.schema.fields(1).dataType &&
         idT == s.schema.fields(0).dataType && GraphLocal.idsSupported(idT) &&
-        eo.filter(col("src").isNull || col("dst").isNull).isEmpty) {
+        // on e, not eo — see [[pageRank]]'s cutover
+        e.filter(col("src").isNull || col("dst").isNull).isEmpty) {
       val seedIds = s.collect().map(_.get(0))
       // a null seed is a degenerate-but-defined distributed case (it
       // becomes an isolated zero-rank node); keep the local path pure by
@@ -354,8 +359,10 @@ object GraphOps {
     val idT = e.schema.fields(0).dataType
     if (eo.count() <= GraphLocal.threshold(spark0) &&
         idT == e.schema.fields(1).dataType && GraphLocal.idsSupported(idT) &&
-        eo.filter(col("src").isNull || col("dst").isNull ||
-          col("__share").isNull).isEmpty) {
+        // null ids checked on e, not eo — see [[pageRank]]'s cutover; the
+        // null-share check stays on eo (shares only exist post-join)
+        e.filter(col("src").isNull || col("dst").isNull).isEmpty &&
+        eo.filter(col("__share").isNull).isEmpty) {
       val rows = eo.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
       eo.unpersist(blocking = false); e.unpersist(blocking = false)
       return GraphLocal.weightedPageRank(spark0, rows, iters, damping, idT)

@@ -303,6 +303,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as(cnt))
   }
 
+  /** BLEU per (candidate, reference) pair row. PRECONDITION: `idCol` is
+    * unique per row — the kernel scores each ROW independently, where the
+    * pre-round-13 aggregation form MERGED duplicate-id rows' gram counts
+    * into one score per id (identical results on unique ids, which every
+    * gate, spec and the oracle use). Null cand/ref rows keep the
+    * aggregation form's semantics: length -1 for the null side, bleu 0.0.
+    */
   def bleuScore(pairs: DataFrame, idCol: String = "pair_id",
       candCol: String = "cand", refCol: String = "ref",
       maxN: Int = 4): DataFrame = {
@@ -321,7 +328,9 @@ object TextAnalysis {
       Class.forName("graft.pipeline.TextKernel"),
       ArrayType(DoubleType, containsNull = false), "bleuRow",
       Seq(col(candCol), col(refCol), lit(maxN)),
-      Seq(StringType, StringType, IntegerType), returnNullable = false)
+      Seq(StringType, StringType, IntegerType), returnNullable = false,
+      // the kernel defines null-text semantics (old form's -1/-1/0.0)
+      propagateNull = false)
     pairs.select(col(idCol), stats.as("__b"))
       .select(col(idCol),
         col("__b").getItem(0).cast("int").as("cand_len"),
@@ -1215,13 +1224,21 @@ object TextAnalysis {
     // right back on the single scan task — the lazy localCheckpoint roots
     // the spread rows at a flat leaf nothing can push through. Guarded:
     // at production scale the scan already has >= cores splits and
-    // neither shuffle nor checkpoint is added.
+    // neither shuffle nor checkpoint is added. Two caveats inside the
+    // guard: (a) the LogicalRDD leaf replaces the frame's stats with
+    // defaults, so this barrier must not be reused where size estimates
+    // feed a join strategy (here the consumers broadcast the OTHER side);
+    // (b) localCheckpoint blocks are executor-local — an executor loss
+    // fails the job rather than recomputing (acceptable for the
+    // small-input local shapes this guard targets; at scale the guard is
+    // false and no checkpoint exists).
     val spark = docs.sparkSession
     val want = spark.sparkContext.defaultParallelism
-    val base =
+    val checkpointed =
       if (docs.rdd.getNumPartitions * 4 <= want)
-        docs.repartition(want, col(idCol)).localCheckpoint(false)
-      else docs
+        Some(docs.repartition(want, col(idCol)).localCheckpoint(false))
+      else None
+    val base = checkpointed.getOrElse(docs)
     // persisted: the dedup stage references its input from several plan
     // branches (exact hash, band table, final anti-join), which would
     // replay the regex-heavy quality/language projections per branch
@@ -1230,7 +1247,12 @@ object TextAnalysis {
         col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
       .select(origCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheScope.releaseAfterFirstUse(Dedup.dedupCorpus(kept, textCol, idCol), Seq(kept))
+    // the checkpoint's RDD blocks are invisible to Dataset.unpersist and
+    // catalog.clearCache — release them through the same scope as `kept`,
+    // or repeated invocations in one session accumulate storage memory
+    CacheScope.releaseAfterFirstUse(Dedup.dedupCorpus(kept, textCol, idCol),
+      Seq(kept), checkpointed.toSeq.map(df =>
+        () => org.apache.spark.sql.graftbridge.Bridge.unpersistRddLeaves(df)))
   }
 
   /** The full training-export pipeline: [[curateCorpus]] (quality gate →

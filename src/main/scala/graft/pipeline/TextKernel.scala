@@ -696,6 +696,13 @@ object TextKernel {
     * exact doubles; the caller casts back to int).
     */
   def bleuRow(cand: UTF8String, ref: UTF8String, maxN: Int): ArrayData = {
+    // null-text rows reproduce the aggregation form it replaced:
+    // size(words(NULL)) = -1 lengths, bleu 0.0 — not a NULLed-out row
+    // (the call site invokes with propagateNull = false)
+    if (cand == null || ref == null)
+      return new GenericArrayData(Array[Any](
+        (if (cand == null) -1 else wordsOf(cand).length).toDouble,
+        (if (ref == null) -1 else wordsOf(ref).length).toDouble, 0.0))
     val c = wordsOf(cand)
     val r = wordsOf(ref)
     val candLen = c.length

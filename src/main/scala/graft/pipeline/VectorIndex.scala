@@ -9,27 +9,37 @@ import org.apache.spark.sql.functions._
   * builds them ONCE and stores the index so query cost is independent of
   * the raw corpus. The layout is deliberately plain Spark:
   *
-  *   - one parquet dataset of (vec_id, sub, code_id), PARTITIONED BY
-  *     centroid_id — each inverted list is a partition directory, so a
-  *     query that probes `nprobe` cells reads only those directories
-  *     (Spark's dynamic partition pruning fires on the cell equi-join:
-  *     partition-column join key + broadcastable probe side);
+  *   - one parquet dataset of (vec_id, codes: array — position = sub),
+  *     PARTITIONED BY centroid_id — each inverted list is a partition
+  *     directory, so a query that probes `nprobe` cells reads only those
+  *     directories (Spark's dynamic partition pruning fires on the cell
+  *     equi-join: partition-column join key + broadcastable probe side).
+  *     ONE row per vector: the previous (vec_id, sub, code_id) layout
+  *     stored (and scanned, and shuffled) m rows per vector and needed a
+  *     (query, vec) groupBy to re-assemble the ADC sum — a 4.5M-row
+  *     partial-agg exchange at the q356 fixture for values computable
+  *     row-locally once the codes share a row;
   *   - centroids and codebooks ride along as small side tables (they are
   *     the model — k x dims and m x k x subDim doubles).
   *
   * Search then never touches a raw corpus vector: candidates stream out of
-  * the probed partitions as m-code rows and are scored through the inline
-  * ADC arithmetic of [[Similarity.pqSearch]] against the broadcast query
-  * subvectors + codebook (6-decimal-rounded subspace distances, exact
-  * DECIMAL sums, id-ascending ties) — so at-rest results match the
-  * recompute path bit-for-bit.
+  * the probed partitions as one-code-array rows and are scored by ONE
+  * codegen'd kernel call per (query, candidate) against the broadcast
+  * query vectors + codebook ([[AdcKernel]] documents the bit-exactness
+  * contract with [[Similarity.pqSearch]]'s join+aggregate scoring:
+  * 6-decimal-rounded subspace distances, exact DECIMAL sums,
+  * id-ascending ties) — so at-rest results match the recompute path
+  * bit-for-bit (VectorIndexSpec pins the parity).
   */
 object VectorIndex {
 
   /** The index rows: every corpus vector's cell assignment joined with its
-    * m PQ codes — (vec_id, centroid_id, sub, code_id). One ivfAssign pass
-    * (broadcast centroids) + one pqEncode pass (broadcast codebooks) and a
-    * single id-keyed equi-join.
+    * PQ code array — (vec_id, centroid_id, codes) with codes[sub] the
+    * subspace's code id. One ivfAssign pass (broadcast centroids) + one
+    * pqEncode pass (broadcast codebooks), the m code rows folded to one
+    * array row (the fold's groupBy shares its id partitioning with the
+    * cell join, so the pivot adds no exchange), and a single id-keyed
+    * equi-join. m× fewer rows at rest and on every downstream scan.
     */
   def buildIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       m: Int, subDim: Int, idCol: String = "vec_id",
@@ -38,9 +48,12 @@ object VectorIndex {
     val cells = Similarity.ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol)
       .select(col(idCol), col(centroidIdCol))
     val codes = Similarity.pqEncode(corpus, codebooks, m, subDim, idCol, vecCol)
-      .select(col(idCol), col("sub"), col("code_id"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code_id")))),
+        e => e("code_id")).as("codes"))
     cells.join(codes, Seq(idCol))
-      .select(col(idCol), col(centroidIdCol), col("sub"), col("code_id"))
+      .select(col(idCol), col(centroidIdCol), col("codes"))
   }
 
   /** Persist the index partitioned by cell: one directory per inverted
@@ -117,31 +130,77 @@ object VectorIndex {
         1, nprobe).as("__cells"))
       .select(col(queryIdCol), explode(col("__cells")).as("__cell"))
       .select(col(queryIdCol), col(s"__cell.$centroidIdCol").as(centroidIdCol))
-    val slices = transform(sequence(lit(0), lit(m - 1)),
-      s => slice(col(vecCol).cast("array<double>"), s * subDim + 1, lit(subDim)))
-    val qsub = queries.select(col(queryIdCol), posexplode(slices).as(Seq("sub", "__qv")))
-    val cb = codebooks.select(col("sub"), col("code_id"),
-      col("subvec").cast("array<double>").as("__cv"))
-    val dist2 = Similarity.dist2Fold(col("__qv"), col("__cv"))
-    // INLINE ADC (see [[Similarity.pqSearch]]): broadcast the model-side
-    // inputs (query subvecs: queries x m rows; codebook: m x k rows)
-    // instead of materializing the queries x m x k LUT as one
-    // driver-built hash relation that scales with the query batch, and
-    // evaluate the identical round6(dist2) per scored row — bit-identical
-    // sums, same oracle.
+    // model-side width refusal runs ONCE per model row, up front — a
+    // malformed codebook/query batch refuses even when no candidate is
+    // ever scored (round-13's inline-ADC rewrite had narrowed the check
+    // to scored candidates)
+    val qv = queries
+      .select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .filter(when(col("__qv").isNull, raise_error(lit(
+          "searchIndex: null query embedding — filter null embeddings upstream")))
+        .when(size(col("__qv")) === m * subDim, lit(true))
+        .otherwise(raise_error(format_string(
+          s"searchIndex: query width mismatch (%d vs m*subDim = ${m * subDim} dims)",
+          size(col("__qv"))))))
+    val cb = codebooks.select(col("sub").cast("int").as("sub"),
+        col("code_id").cast("long").as("code_id"),
+        col("subvec").cast("array<double>").as("__cv"))
+      .filter(when(col("__cv").isNull, raise_error(lit(
+          "searchIndex: null codebook subvector")))
+        .when(size(col("__cv")) === subDim, lit(true))
+        .otherwise(raise_error(format_string(
+          s"searchIndex: codebook subvector width mismatch (%d vs subDim = $subDim dims)",
+          size(col("__cv"))))))
+    // the whole codebook as ONE broadcast row of aligned sorted arrays —
+    // the model is m x k rows by definition, so this is small at any scale
+    val cbRow = cb.groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("code_id"),
+        col("__cv")))).as("__e"))
+      .select(transform(col("__e"), e => e("sub")).as("__cbSubs"),
+        transform(col("__e"), e => e("code_id")).as("__cbCodes"),
+        flatten(transform(col("__e"), e => e("__cv"))).as("__cbFlat"))
+    // ONE kernel call per candidate row ([[AdcKernel.adcSum]] — identical
+    // snapped/exact-decimal arithmetic to the join+aggregate scoring it
+    // replaces): the pivoted layout puts all m codes on the row, so there
+    // is no per-sub join fan-out and no (query, vec) groupBy exchange.
+    // NULL adist = incomplete/unknown codes — the old `count == m` drop.
+    val adist = org.apache.spark.sql.graftbridge.Bridge.staticInvoke(
+      Class.forName("graft.pipeline.AdcKernel"),
+      org.apache.spark.sql.types.DoubleType, "adcSum",
+      Seq(col("codes").cast("array<long>"), col("__qv"), col("__cbSubs"),
+        col("__cbCodes"), col("__cbFlat"), lit(m), lit(subDim)),
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType),
+      returnNullable = true,
+      // the kernel IS pure — the flag only stops PushDownPredicates from
+      // inlining the isNotNull filter into the join condition, which
+      // re-evaluated the kernel per row (once in the join condition, once
+      // in the projection; optimization-guide §4.4's duplication problem)
+      deterministic = false)
     val scored = index.join(broadcast(probes), Seq(centroidIdCol))
-      .join(broadcast(qsub), Seq(queryIdCol, "sub"))
-      .join(broadcast(cb), Seq("sub", "code_id"))
-      .filter(Similarity.sameWidth(col("__qv"), col("__cv"), "searchIndex"))
-      .withColumn("__d", TextAnalysis.round6(dist2))
-      .groupBy(col(queryIdCol), col(idCol))
-      .agg(sum(col("__d").cast("decimal(28,6)")).cast("double").as("adist"),
-        count(lit(1)).as("__n"))
-      .filter(col("__n") === m).drop("__n")
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("adist"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+      .join(broadcast(qv), Seq(queryIdCol))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("adist", adist)
+      .filter(col("adist").isNotNull)
+      .select(col(queryIdCol), col(idCol), col("adist"))
+    // per-group top-k through TopKPerGroup (map-side heaps: the exchange
+    // ships <= k rows per (query, partition) instead of every scored
+    // candidate — at production cell sizes the candidate set per query is
+    // the inverted-list mass, not k), then rank 1..k by a sorted slice
+    // over the <= k survivors; (adist, id) ascending is the same total
+    // order the Window form used, so ranks are unchanged.
+    graft.ops.TopK.perGroup(scored, Seq(queryIdCol),
+        Seq(("adist", true), (idCol, true)), k)
+      .groupBy(col(queryIdCol))
+      .agg(array_sort(collect_list(struct(col("adist"), col(idCol)))).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col(queryIdCol), col(s"__r.$idCol").as(idCol),
+        col("__r.adist").as("adist"), (col("__pos") + 1).cast("int").as("rank"))
   }
 
   /** TWO-STAGE ANN search: ADC shortlist → EXACT re-rank — the standard

@@ -92,18 +92,40 @@ object Bridge {
       .sessionState.functionRegistry.registerFunction(ident, info, fb)
   }
 
-  /** Codegen-friendly static method call: `clazz.fn(args...)`. */
+  /** Unpersist the RDDs behind a checkpointed frame's `LogicalRDD` leaves.
+    * `Dataset.unpersist` only talks to the CacheManager (`.persist()`
+    * entries); a `localCheckpoint` persists at the RDD level, so its
+    * storage-memory blocks survive both `unpersist` and
+    * `catalog.clearCache` — this is the matching release. Safe on a lazy
+    * checkpoint that never materialized (RDD.unpersist is a no-op then).
+    */
+  def unpersistRddLeaves(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Codegen-friendly static method call: `clazz.fn(args...)`. With
+    * `propagateNull = false` the method is invoked even when an argument
+    * is null (the kernel defines the null semantics itself — e.g.
+    * [[graft.pipeline.TextKernel.bleuRow]] must reproduce the aggregation
+    * form's `size(null) = -1` lengths rather than NULL out).
+    */
   def staticInvoke(
       clazz: Class[_],
       dataType: DataType,
       fn: String,
       args: Seq[Column],
       inputTypes: Seq[DataType],
-      returnNullable: Boolean): Column =
+      returnNullable: Boolean,
+      propagateNull: Boolean = true,
+      deterministic: Boolean = true): Column =
     ExpressionUtils.column(StaticInvoke(
       clazz, dataType, fn,
       args.map(ExpressionUtils.expression),
       inputTypes,
-      propagateNull = true,
-      returnNullable = returnNullable))
+      propagateNull = propagateNull,
+      returnNullable = returnNullable,
+      isDeterministic = deterministic))
 }

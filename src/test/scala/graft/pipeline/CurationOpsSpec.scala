@@ -462,6 +462,19 @@ class CurationOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.editDistancePairs(terms, "term", maxDist = 3)
     }
+    // the candidate-sized explicit exchange (taken when Σ bucket pairs
+    // exceeds the per-partition budget) returns the identical pair set
+    val prev = spark.conf.getOption("graft.er.candidatesPerPartition")
+    spark.conf.set("graft.er.candidatesPerPartition", "1")
+    try {
+      val wide = Dedup.editDistancePairs(terms, "term", maxDist = 1)
+      assert(wide.select("a", "b").as[(String, String)].collect().toSet === d1)
+      assert(wide.queryExecution.executedPlan.toString
+        .contains("REPARTITION_BY_NUM"), "expected the explicit exchange")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.er.candidatesPerPartition", v)
+      case None => spark.conf.unset("graft.er.candidatesPerPartition")
+    }
   }
 
   test("canonicalUrl collapses the standard crawl-duplicate variants") {

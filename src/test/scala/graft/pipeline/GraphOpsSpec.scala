@@ -409,4 +409,28 @@ class GraphOpsSpec extends SparkTestBase {
       e.unpersist(); w.unpersist()
     }
   }
+
+  test("rank-family cutover falls through on null ids: node set matches distributed") {
+    // the null check must look at the RAW edge set — the out-degree inner
+    // join already drops null-src edges, so a check on the joined frame
+    // would cut over locally and silently lose the null node (and shift
+    // every rank through a smaller N)
+    val key = "graft.graph.localEdgeThreshold"
+    def forcedDistributed(f: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(key, "0")
+      try f.collect().toSet finally { spark.conf.unset(key); spark.catalog.clearCache() }
+    }
+    val e = Seq((null.asInstanceOf[String], "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("b").toDF("node")
+    def cmp(tag: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+      val got = f.collect().toSet
+      assert(got === forcedDistributed(f), s"$tag diverged on a null-src edge")
+      assert(got.size === 3, s"$tag must keep the null node in the node set")
+    }
+    cmp("pageRank", GraphOps.pageRank(e, iters = 2))
+    cmp("personalizedPageRank", GraphOps.personalizedPageRank(e, seeds, iters = 2))
+    val w = Seq((null.asInstanceOf[String], "b", 1L), ("b", "c", 2L))
+      .toDF("src", "dst", "weight")
+    cmp("weightedPageRank", GraphOps.weightedPageRank(w, iters = 2))
+  }
 }

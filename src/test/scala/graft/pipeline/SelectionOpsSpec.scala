@@ -373,6 +373,29 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(de.getDouble(4) === 1.0 && de.getDouble(5) === 1.0 && de.getDouble(6) === 1.0)
   }
 
+  test("classMetrics: null labels form a real class with support/n_predicted, tp 0") {
+    // pins the round-13 single-pass form's null semantics: a null label is
+    // aggregated as its own class (real support / n_predicted; tp stays 0
+    // because actual === predicted is null-rejecting) — the pre-13
+    // four-branch join emitted (null, 0, 0, 0) because its null-unsafe
+    // joins dropped the group's counts
+    val df = Seq(
+      (Some("en"), Some("en")),
+      (None: Option[String], Some("en")),  // null actual predicted en
+      (Some("fr"), None: Option[String])   // fr predicted as null
+    ).toDF("actual", "predicted")
+    val out = Classifier.classMetrics(df, "actual", "predicted").collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
+    val nul = out(None)
+    assert(nul.getLong(1) === 1 && nul.getLong(2) === 1 && nul.getLong(3) === 0)
+    assert(nul.getDouble(4) === 0.0 && nul.getDouble(5) === 0.0 && nul.isNullAt(6))
+    val en = out(Some("en"))
+    assert(en.getLong(1) === 1 && en.getLong(2) === 2 && en.getLong(3) === 1)
+    val fr = out(Some("fr"))
+    assert(fr.getLong(1) === 1 && fr.getLong(2) === 0 && fr.getLong(3) === 0)
+    assert(fr.isNullAt(4), "never-predicted class keeps NULL precision")
+  }
+
   test("spearman: monotone 1, reversed -1, ties averaged, constant NULL") {
     val mono = (1 to 50).map(i => (i.toLong, i.toDouble, (i * i).toDouble))
       .toDF("id", "a", "b")

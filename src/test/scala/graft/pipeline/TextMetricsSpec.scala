@@ -127,6 +127,20 @@ class TextMetricsSpec extends SparkTestBase {
     }
   }
 
+  test("bleu: null cand/ref rows keep the aggregation form's -1 lengths and 0.0 score") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "the cat"),
+      (2L, "the cat", null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (4L, "the cat", "the cat")).toDF("pair_id", "cand", "ref")
+    val out = TextAnalysis.bleuScore(df, maxN = 2)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, -1, 2, 0.0)))
+    assert(out(2L) === ((2L, 2, -1, 0.0)))
+    assert(out(3L) === ((3L, -1, -1, 0.0)))
+    assert(out(4L) === ((4L, 2, 2, 1.0)))
+  }
+
   test("bleu: tokenizer normalizes case and punctuation; empty candidate is 0") {
     val out = bleuOf(2,
       (1L, "The CAT, sat!", "the cat sat"),

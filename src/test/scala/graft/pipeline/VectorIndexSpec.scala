@@ -49,8 +49,8 @@ class VectorIndexSpec extends SparkTestBase {
     VectorIndex.appendToIndex(emb.filter(col("vec_id") % 3 === 0),
       cent, cb, m = 2, subDim = 8, incr)
     def rows(p: String) = VectorIndex.readIndex(spark, p)
-      .select("vec_id", "centroid_id", "sub", "code_id")
-      .as[(Long, Long, Int, Long)].collect().toSet
+      .select("vec_id", "centroid_id", "codes")
+      .as[(Long, Long, Seq[Long])].collect().toSet
     assert(rows(incr) === rows(full))
     def search(p: String) = VectorIndex.searchIndex(
       VectorIndex.readIndex(spark, p), cent, cb, queries,
@@ -67,10 +67,68 @@ class VectorIndexSpec extends SparkTestBase {
       .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
     assert(dirs.nonEmpty, "expected centroid_id= partition directories")
     val idx = VectorIndex.readIndex(spark, path)
-    assert(idx.columns.sorted.toSeq === Seq("centroid_id", "code_id", "sub", "vec_id"),
+    assert(idx.columns.sorted.toSeq === Seq("centroid_id", "codes", "vec_id"),
       s"index must store codes only, got ${idx.columns.toSeq}")
-    // m code rows per vector
-    assert(idx.count() === emb.count() * 2)
+    // ONE row per vector, carrying all m codes
+    assert(idx.count() === emb.count())
+    assert(idx.filter(size(col("codes")) =!= 2).isEmpty,
+      "every row must carry exactly m codes")
+  }
+
+  test("at-rest kernel scoring == recompute on randomized vectors (all probe depths)") {
+    // the round-14 pivot scores through AdcKernel (row-local snapped
+    // micro-long sums) while ivfPqSearch keeps the independent
+    // join+aggregate DECIMAL(28,6) pipeline — randomized cross-check of
+    // the two implementations, bit-for-bit
+    val rng = new scala.util.Random(41)
+    val rEmb = (1 to 150).map(i =>
+      (i.toLong, Array.fill(12)(rng.nextDouble() * 6 - 3)))
+      .toDF("vec_id", "embedding")
+    val rCent = rEmb.filter(col("vec_id") % 30 === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val rCb = rEmb.filter(col("vec_id") % 20 === 2)
+      .select(col("vec_id").as("code_id"),
+        posexplode(transform(sequence(lit(0), lit(2)),
+          x => slice(col("embedding").cast("array<double>"), x * 4 + 1, lit(4))))
+          .as(Seq("sub", "subvec")))
+    val rQ = rEmb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val path = tmpPath("randparity")
+    VectorIndex.writeIndex(rEmb, rCent, rCb, m = 3, subDim = 4, path)
+    for (np <- Seq(1, 3, 5)) {
+      val atRest = VectorIndex.searchIndex(VectorIndex.readIndex(spark, path),
+        rCent, rCb, rQ, k = 6, m = 3, subDim = 4, nprobe = np)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val recompute = Similarity.ivfPqSearch(rEmb, rCent, rCb, rQ,
+        k = 6, m = 3, subDim = 4, nprobe = np)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(atRest === recompute, s"nprobe=$np diverged")
+      assert(atRest.nonEmpty)
+    }
+  }
+
+  test("model-side width refusal fires even with zero scored candidates") {
+    val path = tmpPath("widths")
+    VectorIndex.writeIndex(emb, cent, cb, m = 2, subDim = 8, path)
+    val idx = VectorIndex.readIndex(spark, path)
+    // a codebook whose subvectors are the wrong width must refuse loudly
+    // even if no candidate row would ever join against it
+    val badCb = cb.withColumn("subvec",
+      slice(col("subvec").cast("array<double>"), 1, 3))
+    val ex = intercept[Exception] {
+      VectorIndex.searchIndex(idx, cent, badCb, queries,
+        k = 4, m = 2, subDim = 8, nprobe = 1).collect()
+    }
+    assert(ex.getMessage != null)
+    // wrong-width query batch refuses too (old form silently ignored
+    // trailing dims; the pivot asserts |qv| == m*subDim)
+    val badQ = queries.withColumn("embedding",
+      slice(col("embedding").cast("array<double>"), 1, 12))
+    intercept[Exception] {
+      VectorIndex.searchIndex(idx, cent.withColumn("embedding",
+          slice(col("embedding").cast("array<double>"), 1, 12)),
+        cb, badQ, k = 4, m = 2, subDim = 8, nprobe = 1).collect()
+    }
   }
 
   test("two-stage rerank: with full probe + corpus-wide shortlist it equals exact L2 top-k") {
